@@ -1,13 +1,32 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Aggregates the query registry from each module. Every entry in
+  * `queries` that is SQL-expressible has a DuckDB oracle in `oracleSql`
+  * with IDENTICAL output column names (the driver sorts columns by name
+  * and hash-compares values).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    graft.queries.Relational.q01PricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.Relational.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    graft.queries.Relational.oracleSql
+
+  /** Headline subset timed by Bench (sf0.1). */
+  def benchQueries: Seq[String] = Seq(
+    "q01_pricing_summary", "q03_shipping_priority", "q05_local_supplier_volume",
+    "q06_revenue_forecast", "q10_returned_items", "q18_large_orders",
+    "q_top3_per_segment", "q_events_hourly", "q_event_sessions")
 }

@@ -1,0 +1,464 @@
+package graft.queries
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Relational / analytic query surface.
+  *
+  * The reference (hansetag/iceberg-rest-server) delegates all relational
+  * execution to Spark via the Iceberg connector — its integration suite
+  * (tests/python/tests/test_spark.py) certifies scans, filters, joins,
+  * aggregates and DML through the catalog. This module is the equivalent
+  * declarative surface of our engine, expressed Spark-first so Catalyst
+  * performs pushdown/pruning/join-selection. Each query has a DuckDB
+  * oracle for the driver's sf0.01 hash-compare.
+  *
+  * Scale notes (100 TB design intent):
+  *  - every query is a declarative plan: filters sit directly on the scan
+  *    (parquet PushedFilters), projections prune columns at the reader;
+  *  - small dimensions (region/nation/customer/supplier/part) are
+  *    broadcast explicitly so the big fact (lineitem) never shuffles for
+  *    a dimension join;
+  *  - aggregates are partial (map-side combine) by construction;
+  *  - no collect()s, no driver-side loops.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    load(s, dir, name)
+
+  // ---------------------------------------------------------------- Q1
+  /** TPC-H Q1 shape: full-scan aggregate with map-side combine. */
+  def q01PricingSummary(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast(DoubleType).as("sum_disc_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+          * (lit(1) + dec(col("l_tax")))).cast(DoubleType).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val q01Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+      | CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+      | COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- Q3
+  /** TPC-H Q3 shape: broadcast dim filter, fact-side agg, top-N. */
+  def q03ShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord = t(s, dir, "orders").filter(col("o_orderdate") < ts("1998-01-01 00:00:00"))
+    val li = t(s, dir, "lineitem").filter(col("l_shipdate") > ts("1998-01-01 00:00:00"))
+    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q03Sql: String =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- Q4
+  /** Semi join (EXISTS) — stays a broadcast/shuffled semi, no fact dup. */
+  def q04OrderPriority(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+        col("o_orderdate") < ts("1996-07-01 00:00:00"))
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"))
+    ord.join(li, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q04Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- Q5
+  /** Five-way star join; all dims broadcast, lineitem never shuffles
+    * until the final (tiny) groupBy. */
+  def q05LocalSupplierVolume(s: SparkSession, dir: String): DataFrame = {
+    val asia = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    val nat = t(s, dir, "nation")
+    val cust = t(s, dir, "customer")
+    val sup = t(s, dir, "supplier")
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+        col("o_orderdate") < ts("1997-01-01 00:00:00"))
+    val li = t(s, dir, "lineitem")
+    li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust),
+        col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q05Sql: String =
+    """SELECT n_name,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+      |  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  // ---------------------------------------------------------------- Q6
+  /** Pure scan-filter-sum; filters must appear in PushedFilters. */
+  def q06RevenueForecast(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1997-01-01 00:00:00") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+        .cast(DoubleType).as("revenue"))
+
+  val q06Sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  // ---------------------------------------------------------------- Q10
+  /** Returned-items report: fact-side filter, broadcast dims, top 20. */
+  def q10ReturnedItems(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= ts("1996-10-01 00:00:00") &&
+        col("o_orderdate") < ts("1997-01-01 00:00:00"))
+    val cust = t(s, dir, "customer")
+    val nat = t(s, dir, "nation")
+    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"), col("c_mktsegment"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q10Sql: String =
+    """SELECT c_custkey, c_name, c_acctbal, n_name, c_mktsegment,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem, nation
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- Q14
+  /** Conditional aggregate ratio (promo revenue share). */
+  def q14PromoShare(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1996-09-01 00:00:00") &&
+        col("l_shipdate") < ts("1996-10-01 00:00:00"))
+    val part = t(s, dir, "part")
+    val discPrice = dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .agg(
+        (sum(when(col("p_type") === "PROMO", discPrice).otherwise(lit(0)))
+          .cast(DoubleType) * lit(100.0) /
+          sum(discPrice).cast(DoubleType)).as("promo_revenue_pct"))
+  }
+
+  val q14Sql: String =
+    """SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) ELSE 0 END) AS DOUBLE) * 100.0
+      |     / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS promo_revenue_pct
+      |FROM lineitem, part
+      |WHERE l_partkey = p_partkey
+      |  AND l_shipdate >= TIMESTAMP '1996-09-01 00:00:00' AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""".stripMargin
+
+  // ---------------------------------------------------------------- Q18
+  /** Large-volume orders: aggregate-then-join (HAVING pushes the filter
+    * onto the small aggregated side before the join). */
+  def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val big = li.groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 250)
+    val ord = t(s, dir, "orders")
+    val cust = t(s, dir, "customer")
+    big.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_orderdate"),
+        dec(col("o_totalprice")).cast(DoubleType).as("o_totalprice"), col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+  }
+
+  val q18Sql: String =
+    """SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+      |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice, total_qty
+      |FROM (SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      |      FROM lineitem GROUP BY l_orderkey HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 250) big
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY total_qty DESC, o_orderkey""".stripMargin
+
+  // ------------------------------------------------------- windows: top-N
+  /** Top-3 customers per market segment (ranking window). */
+  def qTop3PerSegment(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    t(s, dir, "customer")
+      .withColumn("rank_in_segment", row_number().over(w))
+      .filter(col("rank_in_segment") <= 3)
+      .select(col("c_mktsegment"), col("rank_in_segment"), col("c_custkey"),
+        col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_mktsegment"), col("rank_in_segment"))
+  }
+
+  val qTop3PerSegmentSql: String =
+    """SELECT c_mktsegment, rank_in_segment, c_custkey, c_name, c_acctbal
+      |FROM (SELECT c_mktsegment, c_custkey, c_name, c_acctbal,
+      |             ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rank_in_segment
+      |      FROM customer)
+      |WHERE rank_in_segment <= 3
+      |ORDER BY c_mktsegment, rank_in_segment""".stripMargin
+
+  // ------------------------------------------------ windows: running agg
+  /** Per-customer running spend (frame window, deterministic order). */
+  def qRunningSpend(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .filter(col("o_custkey") < 50)
+      .withColumn("order_seq", row_number().over(w))
+      .withColumn("running_spend",
+        sum(dec(col("o_totalprice"))).over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast(DoubleType))
+      .select(col("o_custkey"), col("order_seq"), col("o_orderkey"), col("o_orderdate"),
+        col("running_spend"))
+      .orderBy(col("o_custkey"), col("order_seq"))
+  }
+
+  val qRunningSpendSql: String =
+    """SELECT o_custkey, order_seq, o_orderkey, o_orderdate, running_spend
+      |FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+      |             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq,
+      |             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+      |      FROM orders WHERE o_custkey < 50)
+      |ORDER BY o_custkey, order_seq""".stripMargin
+
+  // ------------------------------------------------------------- set ops
+  /** EXCEPT: building-segment customers that never placed a high-value
+    * order. Set ops compile to distinct + anti/semi joins in Spark. */
+  def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    val building = t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val bigSpenders = t(s, dir, "orders")
+      .filter(col("o_totalprice") > 300000).select(col("o_custkey").as("c_custkey"))
+    building.except(bigSpenders).orderBy(col("c_custkey"))
+  }
+
+  val qSetOpsSql: String =
+    """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |EXCEPT
+      |SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000
+      |ORDER BY c_custkey""".stripMargin
+
+  // ------------------------------------------------------------ anti join
+  /** Customers with no high-value order (NOT EXISTS → left anti join). */
+  def qCustomersWithoutOrders(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val ord = t(s, dir, "orders")
+      .filter(col("o_totalprice") > 250000).select(col("o_custkey"))
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val qCustomersWithoutOrdersSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 250000)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ------------------------------------------------------- distinct aggs
+  /** COUNT(DISTINCT) per group (expand + two-phase agg in Spark). */
+  def qDistinctCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        countDistinct(col("o_custkey")).as("distinct_customers"),
+        countDistinct(col("o_orderpriority")).as("distinct_priorities"),
+        count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderstatus"))
+
+  val qDistinctCountsSql: String =
+    """SELECT o_orderstatus,
+      |       COUNT(DISTINCT o_custkey) AS distinct_customers,
+      |       COUNT(DISTINCT o_orderpriority) AS distinct_priorities,
+      |       COUNT(*) AS order_count
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
+  // ------------------------------------------------------------- rollup
+  /** ROLLUP over status × priority (grouping sets). NULL ordering is
+    * pinned NULLS FIRST on both sides. */
+  def qRollupOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(dsum(col("o_totalprice")).as("total_price"), count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  val qRollupOrdersSql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+      |       COUNT(*) AS n_orders
+      |FROM orders
+      |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  // ------------------------------------------------------- events: hourly
+  /** Time-bucketed aggregate over the event stream table (the batch
+    * equivalent of a tumbling-window streaming agg). */
+  def qEventsHourly(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec(col("value"), 28, 12)).cast(DoubleType).as("total_value"),
+        countDistinct(col("user_id")).as("distinct_users"))
+      .filter(col("n_events") > 1)
+      .orderBy(col("hour"), col("event_type"))
+
+  val qEventsHourlySql: String =
+    """SELECT date_trunc('hour', ts) AS hour, event_type,
+      |       COUNT(*) AS n_events,
+      |       CAST(SUM(CAST(value AS DECIMAL(28,12))) AS DOUBLE) AS total_value,
+      |       COUNT(DISTINCT user_id) AS distinct_users
+      |FROM events
+      |GROUP BY 1, 2
+      |HAVING COUNT(*) > 1
+      |ORDER BY 1, 2""".stripMargin
+
+  // --------------------------------------------------- events: sessions
+  /** Sessionization via lag(): a session starts after a >30 min gap.
+    * Pure window algebra — the streaming twin uses mapGroupsWithState. */
+  def qEventSessions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("is_session_start",
+        (col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES")).cast("int"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("is_session_start")).as("n_sessions"))
+      .filter(col("n_events") >= 20)
+      .orderBy(col("user_id"))
+  }
+
+  val qEventSessionsSql: String =
+    """SELECT user_id, COUNT(*) AS n_events, SUM(is_session_start) AS n_sessions
+      |FROM (SELECT user_id,
+      |             CAST((prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE) AS INT) AS is_session_start
+      |      FROM (SELECT user_id, ts, event_id,
+      |                   LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |            FROM events))
+      |GROUP BY user_id
+      |HAVING COUNT(*) >= 20
+      |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------- events: regex k
+  /** Extract a numeric field from the JSON-ish props payload with a
+    * regex (codegen'd, no UDF) and aggregate it. */
+  def qEventsPropsExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("k", regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  val qEventsPropsExtractSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |       SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS sum_k,
+      |       MAX(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS max_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // ----------------------------------------------------------- registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01PricingSummary _),
+    "q03_shipping_priority" -> (q03ShippingPriority _),
+    "q04_order_priority" -> (q04OrderPriority _),
+    "q05_local_supplier_volume" -> (q05LocalSupplierVolume _),
+    "q06_revenue_forecast" -> (q06RevenueForecast _),
+    "q10_returned_items" -> (q10ReturnedItems _),
+    "q14_promo_share" -> (q14PromoShare _),
+    "q18_large_orders" -> (q18LargeOrders _),
+    "q_top3_per_segment" -> (qTop3PerSegment _),
+    "q_running_spend" -> (qRunningSpend _),
+    "q_setops_except" -> (qSetOps _),
+    "q_customers_without_orders" -> (qCustomersWithoutOrders _),
+    "q_distinct_counts" -> (qDistinctCounts _),
+    "q_rollup_orders" -> (qRollupOrders _),
+    "q_events_hourly" -> (qEventsHourly _),
+    "q_event_sessions" -> (qEventSessions _),
+    "q_events_props_extract" -> (qEventsPropsExtract _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" -> q01Sql,
+    "q03_shipping_priority" -> q03Sql,
+    "q04_order_priority" -> q04Sql,
+    "q05_local_supplier_volume" -> q05Sql,
+    "q06_revenue_forecast" -> q06Sql,
+    "q10_returned_items" -> q10Sql,
+    "q14_promo_share" -> q14Sql,
+    "q18_large_orders" -> q18Sql,
+    "q_top3_per_segment" -> qTop3PerSegmentSql,
+    "q_running_spend" -> qRunningSpendSql,
+    "q_setops_except" -> qSetOpsSql,
+    "q_customers_without_orders" -> qCustomersWithoutOrdersSql,
+    "q_distinct_counts" -> qDistinctCountsSql,
+    "q_rollup_orders" -> qRollupOrdersSql,
+    "q_events_hourly" -> qEventsHourlySql,
+    "q_event_sessions" -> qEventSessionsSql,
+    "q_events_props_extract" -> qEventsPropsExtractSql)
+}
