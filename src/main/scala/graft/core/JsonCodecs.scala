@@ -1,0 +1,357 @@
+package graft.core
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+
+/** JSON codecs for the metadata model in the Iceberg kebab-case wire
+  * format (matching the public spec; same shape the reference emits via
+  * serde rename_all = "kebab-case",
+  * /root/reference/crates/iceberg-ext/src/catalog/rest/table.rs:10).
+  * Tree-built explicitly: field names are part of the protocol, so no
+  * reflective naming.
+  */
+object JsonCodecs {
+  private val mapper = new ObjectMapper()
+
+  def parse(json: String): JsonNode = mapper.readTree(json)
+  def render(node: JsonNode): String = mapper.writeValueAsString(node)
+
+  // ------------------------------------------------------------- types
+  def typeToJson(t: IType): JsonNode = t match {
+    case p: PrimitiveType => mapper.getNodeFactory.textNode(p.wireName)
+    case IType.TStruct(fields) =>
+      val o = mapper.createObjectNode()
+      o.put("type", "struct")
+      o.set[ObjectNode]("fields", fieldsToJson(fields))
+      o
+    case IType.TList(eid, elem, req) =>
+      val o = mapper.createObjectNode()
+      o.put("type", "list")
+      o.put("element-id", eid)
+      o.set[ObjectNode]("element", typeToJson(elem))
+      o.put("element-required", req)
+      o
+    case IType.TMap(kid, k, vid, v, vreq) =>
+      val o = mapper.createObjectNode()
+      o.put("type", "map")
+      o.put("key-id", kid)
+      o.set[ObjectNode]("key", typeToJson(k))
+      o.put("value-id", vid)
+      o.set[ObjectNode]("value", typeToJson(v))
+      o.put("value-required", vreq)
+      o
+  }
+
+  private def fieldsToJson(fields: Seq[NestedField]): ArrayNode = {
+    val arr = mapper.createArrayNode()
+    fields.foreach { f =>
+      val o = mapper.createObjectNode()
+      o.put("id", f.id)
+      o.put("name", f.name)
+      o.put("required", f.required)
+      o.set[ObjectNode]("type", typeToJson(f.fieldType))
+      f.doc.foreach(o.put("doc", _))
+      arr.add(o)
+    }
+    arr
+  }
+
+  def typeFromJson(node: JsonNode): Either[String, IType] =
+    if (node.isTextual) IType.parsePrimitive(node.asText())
+    else if (node.isObject) node.get("type").asText() match {
+      case "struct" => fieldsFromJson(node.get("fields")).map(IType.TStruct)
+      case "list" =>
+        typeFromJson(node.get("element")).map(e =>
+          IType.TList(node.get("element-id").asInt(), e,
+            node.get("element-required").asBoolean()))
+      case "map" =>
+        for {
+          k <- typeFromJson(node.get("key"))
+          v <- typeFromJson(node.get("value"))
+        } yield IType.TMap(node.get("key-id").asInt(), k,
+          node.get("value-id").asInt(), v, node.get("value-required").asBoolean())
+      case other => Left(s"unknown nested type: $other")
+    }
+    else Left(s"malformed type node: $node")
+
+  private def fieldsFromJson(node: JsonNode): Either[String, Seq[NestedField]] = {
+    val out = Vector.newBuilder[NestedField]
+    for (f <- node.elements().asScala) {
+      typeFromJson(f.get("type")) match {
+        case Left(e) => return Left(e)
+        case Right(t) =>
+          out += NestedField(
+            f.get("id").asInt(), f.get("name").asText(),
+            f.get("required").asBoolean(), t,
+            Option(f.get("doc")).filter(!_.isNull).map(_.asText()))
+      }
+    }
+    Right(out.result())
+  }
+
+  // ------------------------------------------------------------ schema
+  def schemaToJson(s: Schema): ObjectNode = {
+    val o = mapper.createObjectNode()
+    o.put("type", "struct")
+    o.put("schema-id", s.schemaId)
+    if (s.identifierFieldIds.nonEmpty) {
+      val ids = mapper.createArrayNode()
+      s.identifierFieldIds.toSeq.sorted.foreach(ids.add)
+      o.set[ObjectNode]("identifier-field-ids", ids)
+    }
+    o.set[ObjectNode]("fields", fieldsToJson(s.fields))
+    o
+  }
+
+  def schemaFromJson(node: JsonNode): Either[String, Schema] =
+    fieldsFromJson(node.get("fields")).map { fs =>
+      val ids = Option(node.get("identifier-field-ids"))
+        .filter(!_.isNull)
+        .map(_.elements().asScala.map(_.asInt()).toSet)
+        .getOrElse(Set.empty[Int])
+      Schema(Option(node.get("schema-id")).map(_.asInt()).getOrElse(0), fs, ids)
+    }
+
+  // ------------------------------------------------------------- specs
+  def specToJson(spec: PartitionSpec): ObjectNode = {
+    val o = mapper.createObjectNode()
+    o.put("spec-id", spec.specId)
+    val arr = mapper.createArrayNode()
+    spec.fields.foreach { f =>
+      val fo = mapper.createObjectNode()
+      fo.put("source-id", f.sourceId)
+      fo.put("field-id", f.fieldId)
+      fo.put("name", f.name)
+      fo.put("transform", f.transform.wireName)
+      arr.add(fo)
+    }
+    o.set[ObjectNode]("fields", arr)
+    o
+  }
+
+  def specFromJson(node: JsonNode): Either[String, PartitionSpec] = {
+    val fields = Vector.newBuilder[PartitionField]
+    for (f <- node.get("fields").elements().asScala) {
+      Transform.parse(f.get("transform").asText()) match {
+        case Left(e) => return Left(e)
+        case Right(t) => fields += PartitionField(
+          f.get("source-id").asInt(), f.get("field-id").asInt(),
+          f.get("name").asText(), t)
+      }
+    }
+    Right(PartitionSpec(node.get("spec-id").asInt(), fields.result()))
+  }
+
+  def unboundSpecFromJson(node: JsonNode): Either[String, UnboundPartitionSpec] = {
+    val fields = Vector.newBuilder[UnboundPartitionField]
+    for (f <- node.get("fields").elements().asScala) {
+      Transform.parse(f.get("transform").asText()) match {
+        case Left(e) => return Left(e)
+        case Right(t) => fields += UnboundPartitionField(
+          f.get("source-id").asInt(),
+          Option(f.get("field-id")).filter(!_.isNull).map(_.asInt()),
+          f.get("name").asText(), t)
+      }
+    }
+    Right(UnboundPartitionSpec(
+      Option(node.get("spec-id")).filter(!_.isNull).map(_.asInt()),
+      fields.result()))
+  }
+
+  // -------------------------------------------------------- sort order
+  def sortOrderToJson(order: SortOrder): ObjectNode = {
+    val o = mapper.createObjectNode()
+    o.put("order-id", order.orderId)
+    val arr = mapper.createArrayNode()
+    order.fields.foreach { f =>
+      val fo = mapper.createObjectNode()
+      fo.put("transform", f.transform.wireName)
+      fo.put("source-id", f.sourceId)
+      fo.put("direction", f.direction.wireName)
+      fo.put("null-order", f.nullOrder.wireName)
+      arr.add(fo)
+    }
+    o.set[ObjectNode]("fields", arr)
+    o
+  }
+
+  def sortOrderFromJson(node: JsonNode): Either[String, SortOrder] = {
+    val fields = Vector.newBuilder[SortField]
+    for (f <- node.get("fields").elements().asScala) {
+      val parsed = for {
+        t <- Transform.parse(f.get("transform").asText())
+        d <- SortDirection.parse(f.get("direction").asText())
+        n <- NullOrder.parse(f.get("null-order").asText())
+      } yield SortField(f.get("source-id").asInt(), t, d, n)
+      parsed match {
+        case Left(e) => return Left(e)
+        case Right(sf) => fields += sf
+      }
+    }
+    Right(SortOrder(node.get("order-id").asInt(), fields.result()))
+  }
+
+  // --------------------------------------------------------- snapshots
+  def snapshotToJson(s: Snapshot): ObjectNode = {
+    val o = mapper.createObjectNode()
+    o.put("snapshot-id", s.snapshotId)
+    s.parentSnapshotId.foreach(o.put("parent-snapshot-id", _))
+    o.put("sequence-number", s.sequenceNumber)
+    o.put("timestamp-ms", s.timestampMs)
+    o.put("manifest-list", s.manifestList)
+    val sum = mapper.createObjectNode()
+    s.summary.toSeq.sortBy(_._1).foreach { case (k, v) => sum.put(k, v) }
+    o.set[ObjectNode]("summary", sum)
+    s.schemaId.foreach(o.put("schema-id", _))
+    o
+  }
+
+  def snapshotFromJson(node: JsonNode): Snapshot =
+    Snapshot(
+      node.get("snapshot-id").asLong(),
+      Option(node.get("parent-snapshot-id")).filter(!_.isNull).map(_.asLong()),
+      Option(node.get("sequence-number")).filter(!_.isNull).map(_.asLong()).getOrElse(0L),
+      node.get("timestamp-ms").asLong(),
+      Option(node.get("manifest-list")).filter(!_.isNull).map(_.asText()).getOrElse(""),
+      Option(node.get("summary")).filter(!_.isNull).map(s =>
+        s.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
+        .getOrElse(Map.empty),
+      Option(node.get("schema-id")).filter(!_.isNull).map(_.asInt()))
+
+  def refToJson(r: SnapshotReference): ObjectNode = {
+    val o = mapper.createObjectNode()
+    o.put("snapshot-id", r.snapshotId)
+    o.put("type", r.refType)
+    r.minSnapshotsToKeep.foreach(o.put("min-snapshots-to-keep", _))
+    r.maxSnapshotAgeMs.foreach(o.put("max-snapshot-age-ms", _))
+    r.maxRefAgeMs.foreach(o.put("max-ref-age-ms", _))
+    o
+  }
+
+  def refFromJson(node: JsonNode): SnapshotReference =
+    SnapshotReference(
+      node.get("snapshot-id").asLong(),
+      node.get("type").asText(),
+      Option(node.get("min-snapshots-to-keep")).filter(!_.isNull).map(_.asInt()),
+      Option(node.get("max-snapshot-age-ms")).filter(!_.isNull).map(_.asLong()),
+      Option(node.get("max-ref-age-ms")).filter(!_.isNull).map(_.asLong()))
+
+  // ---------------------------------------------------- table metadata
+  def metadataToJson(m: TableMetadata): String = {
+    val o = mapper.createObjectNode()
+    o.put("format-version", m.formatVersion)
+    o.put("table-uuid", m.tableUuid.toString)
+    o.put("location", m.location)
+    o.put("last-sequence-number", m.lastSequenceNumber)
+    o.put("last-updated-ms", m.lastUpdatedMs)
+    o.put("last-column-id", m.lastColumnId)
+
+    val schemas = mapper.createArrayNode()
+    m.schemas.toSeq.sortBy(_._1).foreach { case (_, s) => schemas.add(schemaToJson(s)) }
+    o.set[ObjectNode]("schemas", schemas)
+    o.put("current-schema-id", m.currentSchemaId)
+
+    val specs = mapper.createArrayNode()
+    m.partitionSpecs.toSeq.sortBy(_._1).foreach { case (_, s) => specs.add(specToJson(s)) }
+    o.set[ObjectNode]("partition-specs", specs)
+    o.put("default-spec-id", m.defaultSpecId)
+    o.put("last-partition-id", m.lastPartitionId)
+
+    val props = mapper.createObjectNode()
+    m.properties.toSeq.sortBy(_._1).foreach { case (k, v) => props.put(k, v) }
+    o.set[ObjectNode]("properties", props)
+
+    m.currentSnapshotId.foreach(o.put("current-snapshot-id", _))
+    val snaps = mapper.createArrayNode()
+    m.snapshots.toSeq.sortBy(_._1).foreach { case (_, s) => snaps.add(snapshotToJson(s)) }
+    o.set[ObjectNode]("snapshots", snaps)
+
+    val slog = mapper.createArrayNode()
+    m.snapshotLog.foreach { e =>
+      val eo = mapper.createObjectNode()
+      eo.put("snapshot-id", e.snapshotId)
+      eo.put("timestamp-ms", e.timestampMs)
+      slog.add(eo)
+    }
+    o.set[ObjectNode]("snapshot-log", slog)
+
+    val mlog = mapper.createArrayNode()
+    m.metadataLog.foreach { e =>
+      val eo = mapper.createObjectNode()
+      eo.put("metadata-file", e.metadataFile)
+      eo.put("timestamp-ms", e.timestampMs)
+      mlog.add(eo)
+    }
+    o.set[ObjectNode]("metadata-log", mlog)
+
+    val orders = mapper.createArrayNode()
+    m.sortOrders.toSeq.sortBy(_._1).foreach { case (_, s) => orders.add(sortOrderToJson(s)) }
+    o.set[ObjectNode]("sort-orders", orders)
+    o.put("default-sort-order-id", m.defaultSortOrderId)
+
+    val refs = mapper.createObjectNode()
+    m.refs.toSeq.sortBy(_._1).foreach { case (k, r) => refs.set[ObjectNode](k, refToJson(r)) }
+    o.set[ObjectNode]("refs", refs)
+
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(o)
+  }
+
+  def metadataFromJson(json: String): Either[String, TableMetadata] = {
+    val n = parse(json)
+    val schemas = scala.collection.mutable.Map[Int, Schema]()
+    for (s <- n.get("schemas").elements().asScala)
+      schemaFromJson(s) match {
+        case Left(e) => return Left(e)
+        case Right(sc) => schemas(sc.schemaId) = sc
+      }
+    val specs = scala.collection.mutable.Map[Int, PartitionSpec]()
+    for (s <- n.get("partition-specs").elements().asScala)
+      specFromJson(s) match {
+        case Left(e) => return Left(e)
+        case Right(sp) => specs(sp.specId) = sp
+      }
+    val orders = scala.collection.mutable.Map[Int, SortOrder]()
+    for (s <- n.get("sort-orders").elements().asScala)
+      sortOrderFromJson(s) match {
+        case Left(e) => return Left(e)
+        case Right(so) => orders(so.orderId) = so
+      }
+    val snaps = n.get("snapshots").elements().asScala
+      .map(snapshotFromJson).map(s => s.snapshotId -> s).toMap
+    val refs = Option(n.get("refs")).filter(!_.isNull).map(r =>
+      r.properties().asScala.map(e => e.getKey -> refFromJson(e.getValue)).toMap)
+      .getOrElse(Map.empty[String, SnapshotReference])
+
+    Right(TableMetadata(
+      formatVersion = n.get("format-version").asInt(),
+      tableUuid = UUID.fromString(n.get("table-uuid").asText()),
+      location = n.get("location").asText(),
+      lastSequenceNumber = Option(n.get("last-sequence-number")).filter(!_.isNull)
+        .map(_.asLong()).getOrElse(0L),
+      lastUpdatedMs = n.get("last-updated-ms").asLong(),
+      lastColumnId = n.get("last-column-id").asInt(),
+      schemas = schemas.toMap,
+      currentSchemaId = n.get("current-schema-id").asInt(),
+      partitionSpecs = specs.toMap,
+      defaultSpecId = n.get("default-spec-id").asInt(),
+      lastPartitionId = n.get("last-partition-id").asInt(),
+      properties = Option(n.get("properties")).filter(!_.isNull).map(p =>
+        p.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
+        .getOrElse(Map.empty),
+      currentSnapshotId = Option(n.get("current-snapshot-id")).filter(!_.isNull)
+        .map(_.asLong()).filter(_ != -1L),
+      snapshots = snaps,
+      snapshotLog = Option(n.get("snapshot-log")).filter(!_.isNull).map(_.elements().asScala
+        .map(e => SnapshotLogEntry(e.get("snapshot-id").asLong(), e.get("timestamp-ms").asLong()))
+        .toSeq).getOrElse(Nil),
+      metadataLog = Option(n.get("metadata-log")).filter(!_.isNull).map(_.elements().asScala
+        .map(e => MetadataLogEntry(e.get("metadata-file").asText(), e.get("timestamp-ms").asLong()))
+        .toSeq).getOrElse(Nil),
+      sortOrders = orders.toMap,
+      defaultSortOrderId = n.get("default-sort-order-id").asInt(),
+      refs = refs))
+  }
+}
