@@ -1,24 +1,63 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main. Times every registered query on
+  * SPARK_GRAFT_SF_DIR (default sf0.1) with:
+  *  - a warmup pass (JIT + codegen + parquet footer caches) so the
+  *    first-measured query is not charged the JVM warmup;
+  *  - noop-sink execution (`format("noop")`) — materializes every output
+  *    row without letting Spark prune output columns the way `count()`
+  *    can, and without filesystem cost;
+  *  - failures surfaced (query name + error on stderr, -1 recorded);
+  *  - the result JSON written BOTH to SPARK_GRAFT_BENCH_OUT (default
+  *    bench_out.json) and as the single final stdout line, so the
+  *    driver's parser finds a clean line regardless of log noise.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // events.ts is parquet TIMESTAMP(NANOS): read as raw long, set
+      // once at construction (see Tables.load).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          -1.0
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // Warmup: run everything once untimed.
+    SparkEntry.queries.foreach { case (name, fn) => runOnce(name, fn) }
+    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+      name -> runOnce(name, fn)
+    }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val nFailed = results.count(_._2 < 0)
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"sf":"$sfDir"}"""
+    Files.writeString(Paths.get(outPath), json + "\n")
     spark.stop()
+    // Final clean stdout line AFTER spark.stop() so no executor log
+    // lines can interleave behind it.
+    println(json)
   }
 }

@@ -23,10 +23,20 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-      // reader rejects; read the raw int64 nanos and truncate to micros
+      // reader rejects; with spark.sql.legacy.parquet.nanosAsLong=true
+      // it reads as the raw int64 nanos, which we truncate to micros
       // (integer div — the value exceeds 2^53, double math would lose
       // precision). DuckDB does the same ns→µs truncation natively.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The flag is session-construction config (set in Verify/Bench
+      // builders); if the hosting session (e.g. the driver's own) was
+      // built without it, set it once here — idempotent, and flagged
+      // loudly rather than silently flipped per load() call.
+      if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true") {
+        System.err.println(
+          "[graft] session built without spark.sql.legacy.parquet.nanosAsLong=true; " +
+            "setting it now (required to read events.parquet TIMESTAMP(NANOS))")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      }
       spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     } else spark.read.parquet(s"$dir/$name.parquet")

@@ -70,8 +70,12 @@ object Relational {
     val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
     val ord = t(s, dir, "orders").filter(col("o_orderdate") < ts("1998-01-01 00:00:00"))
     val li = t(s, dir, "lineitem").filter(col("l_shipdate") > ts("1998-01-01 00:00:00"))
-    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    // orders and customer are FACT-sized (1.5B / 150M rows at sf1000) —
+    // no broadcast hints: these are shuffle joins on the join keys, and
+    // AQE is free to auto-broadcast the filtered sides when they turn
+    // out genuinely small at low sf.
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
         .cast(DoubleType).as("revenue"))
@@ -111,8 +115,11 @@ object Relational {
       |ORDER BY o_orderpriority""".stripMargin
 
   // ---------------------------------------------------------------- Q5
-  /** Five-way star join; all dims broadcast, lineitem never shuffles
-    * until the final (tiny) groupBy. */
+  /** Five-way star join; true dimensions (supplier/nation/region) are
+    * broadcast so lineitem avoids dim shuffles; the fact–fact joins
+    * (orders, customer) shuffle on their keys — at 100 TB neither fits
+    * in executor memory, so hinting them broadcast would OOM. AQE still
+    * auto-broadcasts them at small sf. */
   def q05LocalSupplierVolume(s: SparkSession, dir: String): DataFrame = {
     val asia = t(s, dir, "region").filter(col("r_name") === "ASIA")
     val nat = t(s, dir, "nation")
@@ -123,8 +130,8 @@ object Relational {
         col("o_orderdate") < ts("1997-01-01 00:00:00"))
     val li = t(s, dir, "lineitem")
     li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust),
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust,
         col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
@@ -162,7 +169,8 @@ object Relational {
       |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
 
   // ---------------------------------------------------------------- Q10
-  /** Returned-items report: fact-side filter, broadcast dims, top 20. */
+  /** Returned-items report: fact-side filter, broadcast nation (true
+    * dim) only; orders/customer join by shuffle (fact-sized at scale). */
   def q10ReturnedItems(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
     val ord = t(s, dir, "orders")
@@ -170,8 +178,8 @@ object Relational {
         col("o_orderdate") < ts("1997-01-01 00:00:00"))
     val cust = t(s, dir, "customer")
     val nat = t(s, dir, "nation")
-    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"), col("c_mktsegment"))
       .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
@@ -223,8 +231,10 @@ object Relational {
       .filter(col("total_qty") > 250)
     val ord = t(s, dir, "orders")
     val cust = t(s, dir, "customer")
+    // `big` (HAVING-filtered aggregate) is the naturally small side;
+    // customer is fact-sized at scale — no broadcast hint, AQE decides.
     big.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_orderdate"),
         dec(col("o_totalprice")).cast(DoubleType).as("o_totalprice"), col("total_qty"))
       .orderBy(col("total_qty").desc, col("o_orderkey"))
@@ -240,15 +250,29 @@ object Relational {
       |ORDER BY total_qty DESC, o_orderkey""".stripMargin
 
   // ------------------------------------------------------- windows: top-N
-  /** Top-3 customers per market segment (ranking window). */
+  /** Top-3 customers per market segment — two-phase bounded top-K.
+    *
+    * NOT a `row_number().over(Window.partitionBy(c_mktsegment))`:
+    * c_mktsegment has 5 values, so the window form sorts the entire
+    * customer table in 5 tasks — a single task owns ~1/5 of the table
+    * at any scale. The [[graft.functions.TopK]] aggregator instead keeps
+    * a bounded K-row buffer per group inside a normal two-phase hash
+    * aggregate: each input partition reduces to ≤3 rows per segment
+    * map-side, only those survivors shuffle. */
   def qTop3PerSegment(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("c_mktsegment"))
-      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    import org.apache.spark.sql.types._
+    val rowSchema = StructType(Seq(
+      StructField("ord", DoubleType, nullable = false),
+      StructField("tie", LongType, nullable = false),
+      StructField("c_name", StringType),
+      StructField("c_acctbal", DoubleType)))
     t(s, dir, "customer")
-      .withColumn("rank_in_segment", row_number().over(w))
-      .filter(col("rank_in_segment") <= 3)
-      .select(col("c_mktsegment"), col("rank_in_segment"), col("c_custkey"),
-        col("c_name"), col("c_acctbal"))
+      .groupBy(col("c_mktsegment"))
+      .agg(graft.functions.TopK.topK(3, rowSchema)(
+        col("c_acctbal"), col("c_custkey"), col("c_name"), col("c_acctbal")).as("top"))
+      .select(col("c_mktsegment"), posexplode(col("top")))
+      .select(col("c_mktsegment"), (col("pos") + 1).as("rank_in_segment"),
+        col("col.tie").as("c_custkey"), col("col.c_name"), col("col.c_acctbal"))
       .orderBy(col("c_mktsegment"), col("rank_in_segment"))
   }
 
@@ -395,7 +419,7 @@ object Relational {
   }
 
   val qEventSessionsSql: String =
-    """SELECT user_id, COUNT(*) AS n_events, SUM(is_session_start) AS n_sessions
+    """SELECT user_id, COUNT(*) AS n_events, CAST(SUM(is_session_start) AS BIGINT) AS n_sessions
       |FROM (SELECT user_id,
       |             CAST((prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE) AS INT) AS is_session_start
       |      FROM (SELECT user_id, ts, event_id,
@@ -417,7 +441,7 @@ object Relational {
 
   val qEventsPropsExtractSql: String =
     """SELECT event_type, COUNT(*) AS n,
-      |       SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS sum_k,
+      |       CAST(SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
       |       MAX(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS max_k
       |FROM events
       |GROUP BY event_type

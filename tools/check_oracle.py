@@ -88,6 +88,15 @@ def main():
             print(f"FAIL {name}: columns differ spark={list(got.columns)} duckdb={list(want.columns)}")
             n_fail += 1
             continue
+        # The driver hash-compares values; pandas int64 vs float64 hash
+        # differently even when numerically equal (round-1 failure mode).
+        kg = {c: got[c].dtype.kind for c in got.columns}
+        kw = {c: want[c].dtype.kind for c in want.columns}
+        if kg != kw:
+            diff = {c: (kg[c], kw[c]) for c in kg if kg[c] != kw[c]}
+            print(f"FAIL {name}: dtype kinds differ (spark, duckdb): {diff}")
+            n_fail += 1
+            continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows differ spark={len(got)} duckdb={len(want)}")
             n_fail += 1
