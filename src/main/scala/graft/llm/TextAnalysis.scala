@@ -1,0 +1,219 @@
+package graft.llm
+
+import graft.Tables.load
+import graft.llm.Portable._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Text-analysis operators for a training-data pipeline, over the
+  * `documents` table (doc_id, text, lang, source, n_chars).
+  *
+  * The reference (hansetag/iceberg-rest-server) has no text operators —
+  * it delegates all data processing to Spark (SURVEY.md §2.5); these are
+  * the pipeline capabilities the BASELINE north star adds on top. Each
+  * query is a pure declarative plan (narrow per-row expressions + one
+  * final aggregate), so at 100 TB it is embarrassingly parallel: no
+  * shuffle until the final small groupBy, filters/projections reach the
+  * parquet scan, everything stays inside whole-stage codegen (no UDFs —
+  * only built-in string/array/higher-order functions).
+  *
+  * Every query has a value-identical DuckDB oracle: see [[Portable]] for
+  * the md5-based cross-engine hash.
+  */
+object TextAnalysis {
+
+  // Shared expression snippets (Spark SQL dialect).
+  private val toksS = "split(lower(text), ' ')"
+  private val stopwords = "('the','a','of','to','and','in','is','it','for','on')"
+
+  // ------------------------------------------------------------- stats
+  /** Token counting: whitespace tokens and a BPE-ish regex token count
+    * (letter runs / digit runs / single punctuation — the pre-tokenizer
+    * shape BPE vocabularies use), aggregated per (lang, source).
+    */
+  def qTextStats(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .selectExpr(
+        "lang", "source",
+        s"size($toksS) as n_ws_tokens",
+        "size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) as n_re_tokens",
+        "length(text) as len_chars")
+      .groupBy("lang", "source")
+      .agg(
+        org.apache.spark.sql.functions.expr("count(*) as n_docs"),
+        org.apache.spark.sql.functions.expr("sum(n_ws_tokens) as sum_ws_tokens"),
+        org.apache.spark.sql.functions.expr("sum(n_re_tokens) as sum_re_tokens"),
+        org.apache.spark.sql.functions.expr(
+          "cast(sum(len_chars) as double) / count(*) as avg_chars"),
+        org.apache.spark.sql.functions.expr("max(len_chars) as max_chars"))
+      .orderBy("lang", "source")
+
+  val qTextStatsSql: String =
+    """WITH d AS (
+      |  SELECT lang, source,
+      |         len(string_split(lower(text), ' ')) AS n_ws_tokens,
+      |         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_re_tokens,
+      |         length(text) AS len_chars
+      |  FROM documents)
+      |SELECT lang, source,
+      |       COUNT(*) AS n_docs,
+      |       CAST(SUM(n_ws_tokens) AS BIGINT) AS sum_ws_tokens,
+      |       CAST(SUM(n_re_tokens) AS BIGINT) AS sum_re_tokens,
+      |       CAST(SUM(len_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+      |       MAX(len_chars) AS max_chars
+      |FROM d GROUP BY lang, source
+      |ORDER BY lang, source""".stripMargin
+
+  // ----------------------------------------------------------- quality
+  /** Heuristic quality scoring (the classic pre-LLM-filtering shape:
+    * length band, stopword ratio, mean word length, punctuation ratio),
+    * 0.25 per satisfied criterion, aggregated per source.
+    */
+  def qTextQuality(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .selectExpr(
+        "source",
+        s"size($toksS) as n_tok",
+        s"size(filter($toksS, x -> x in $stopwords)) as n_stop",
+        "length(text) as n_char",
+        "length(regexp_replace(lower(text), '[^a-z0-9 ]', '')) as n_clean",
+        "length(replace(text, ' ', '')) as n_nospace")
+      .selectExpr(
+        "source",
+        """cast(n_tok between 20 and 1000 as int) * 0.25
+          | + cast((cast(n_stop as double) / n_tok) between 0.01 and 0.5 as int) * 0.25
+          | + cast((cast(n_nospace as double) / n_tok) between 3.0 and 10.0 as int) * 0.25
+          | + cast((cast(n_char - n_clean as double) / n_char) <= 0.2 as int) * 0.25
+          | as quality""".stripMargin)
+      .groupBy("source")
+      .agg(
+        org.apache.spark.sql.functions.expr("count(*) as n_docs"),
+        org.apache.spark.sql.functions.expr(
+          "cast(sum(quality) as double) / count(*) as avg_quality"),
+        org.apache.spark.sql.functions.expr(
+          "sum(cast(quality >= 0.75 as int)) as n_pass"))
+      .orderBy("source")
+
+  val qTextQualitySql: String =
+    """WITH d AS (
+      |  SELECT source,
+      |         len(string_split(lower(text), ' ')) AS n_tok,
+      |         len(list_filter(string_split(lower(text), ' '),
+      |             x -> x IN ('the','a','of','to','and','in','is','it','for','on'))) AS n_stop,
+      |         length(text) AS n_char,
+      |         length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS n_clean,
+      |         length(replace(text, ' ', '')) AS n_nospace
+      |  FROM documents),
+      |q AS (
+      |  SELECT source,
+      |         CAST(n_tok BETWEEN 20 AND 1000 AS INT) * 0.25
+      |       + CAST((CAST(n_stop AS DOUBLE) / n_tok) BETWEEN 0.01 AND 0.5 AS INT) * 0.25
+      |       + CAST((CAST(n_nospace AS DOUBLE) / n_tok) BETWEEN 3.0 AND 10.0 AS INT) * 0.25
+      |       + CAST((CAST(n_char - n_clean AS DOUBLE) / n_char) <= 0.2 AS INT) * 0.25
+      |         AS quality
+      |  FROM d)
+      |SELECT source, COUNT(*) AS n_docs,
+      |       CAST(SUM(quality) AS DOUBLE) / COUNT(*) AS avg_quality,
+      |       CAST(SUM(CAST(quality >= 0.75 AS INT)) AS BIGINT) AS n_pass
+      |FROM q GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  // ------------------------------------------------------------ langid
+  /** N-gram-marker language ID: counts language-characteristic function
+    * words (padded substring occurrences — a tiny fixed "n-gram profile")
+    * and classifies by the max with a deterministic priority order.
+    * Output: confusion counts labeled-lang × predicted-lang.
+    */
+  private def occS(p: String): String =
+    s"(length(padded) - length(replace(padded, '$p', ''))) / ${p.length}"
+
+  def qTextLangId(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .selectExpr("lang", "concat(' ', lower(text), ' ') as padded")
+      .selectExpr(
+        "lang",
+        s"${occS(" the ")} + ${occS(" and ")} + ${occS(" is ")} as score_en",
+        s"${occS(" el ")} + ${occS(" la ")} + ${occS(" que ")} as score_es",
+        s"${occS(" der ")} + ${occS(" und ")} + ${occS(" ist ")} as score_de",
+        s"${occS(" le ")} + ${occS(" et ")} + ${occS(" est ")} as score_fr",
+        s"${occS(" de ")} + ${occS(" shi ")} as score_zh")
+      .selectExpr(
+        "lang",
+        """case
+          | when score_en >= score_es and score_en >= score_de and score_en >= score_fr and score_en >= score_zh then 'en'
+          | when score_es >= score_de and score_es >= score_fr and score_es >= score_zh then 'es'
+          | when score_de >= score_fr and score_de >= score_zh then 'de'
+          | when score_fr >= score_zh then 'fr'
+          | else 'zh' end as predicted""".stripMargin)
+      .groupBy("lang", "predicted")
+      .agg(org.apache.spark.sql.functions.expr("count(*) as n_docs"))
+      .orderBy("lang", "predicted")
+
+  private def occD(p: String): String =
+    s"(length(padded) - length(replace(padded, '$p', ''))) / ${p.length}"
+
+  val qTextLangIdSql: String =
+    s"""WITH p AS (SELECT lang, ' ' || lower(text) || ' ' AS padded FROM documents),
+       |sc AS (
+       |  SELECT lang,
+       |         ${occD(" the ")} + ${occD(" and ")} + ${occD(" is ")} AS score_en,
+       |         ${occD(" el ")} + ${occD(" la ")} + ${occD(" que ")} AS score_es,
+       |         ${occD(" der ")} + ${occD(" und ")} + ${occD(" ist ")} AS score_de,
+       |         ${occD(" le ")} + ${occD(" et ")} + ${occD(" est ")} AS score_fr,
+       |         ${occD(" de ")} + ${occD(" shi ")} AS score_zh
+       |  FROM p),
+       |cls AS (
+       |  SELECT lang,
+       |         CASE
+       |          WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr AND score_en >= score_zh THEN 'en'
+       |          WHEN score_es >= score_de AND score_es >= score_fr AND score_es >= score_zh THEN 'es'
+       |          WHEN score_de >= score_fr AND score_de >= score_zh THEN 'de'
+       |          WHEN score_fr >= score_zh THEN 'fr'
+       |          ELSE 'zh' END AS predicted
+       |  FROM sc)
+       |SELECT lang, predicted, COUNT(*) AS n_docs
+       |FROM cls GROUP BY lang, predicted
+       |ORDER BY lang, predicted""".stripMargin
+
+  // ------------------------------------------------------- fingerprint
+  /** Document fingerprinting: a whole-doc content hash plus a bottom-1
+    * shingle sketch (min hash over word 3-gram shingles — the building
+    * block of the MinHash signatures in [[Dedup]]).
+    */
+  def qTextFingerprint(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .selectExpr("doc_id", s"$toksS as toks", "lower(text) as ltext")
+      .selectExpr(
+        "doc_id",
+        s"${hSpark("ltext")} as fp_full",
+        s"""coalesce(array_min(transform(
+           |  case when size(toks) >= 3
+           |       then transform(sequence(1, size(toks) - 2),
+           |            i -> concat(element_at(toks, i), ' ', element_at(toks, i+1), ' ', element_at(toks, i+2)))
+           |       else cast(array() as array<string>) end,
+           |  s -> ${hSpark("s")})), -1) as fp_min_shingle""".stripMargin)
+      .orderBy("doc_id")
+
+  val qTextFingerprintSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks, lower(text) AS ltext FROM documents)
+       |SELECT doc_id,
+       |       ${hDuck("ltext")} AS fp_full,
+       |       COALESCE(list_min(list_transform(
+       |         list_transform(range(1, greatest(len(toks) - 1, 1)),
+       |                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
+       |         s -> ${hDuck("s")})), -1) AS fp_min_shingle
+       |FROM d
+       |ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------- registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_stats" -> (qTextStats _),
+    "q_text_quality" -> (qTextQuality _),
+    "q_text_langid" -> (qTextLangId _),
+    "q_text_fingerprint" -> (qTextFingerprint _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_text_stats" -> qTextStatsSql,
+    "q_text_quality" -> qTextQualitySql,
+    "q_text_langid" -> qTextLangIdSql,
+    "q_text_fingerprint" -> qTextFingerprintSql)
+}
