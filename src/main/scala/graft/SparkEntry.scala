@@ -17,16 +17,16 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Relational.queries
+    graft.queries.Relational.queries ++
+      graft.llm.Dedup.queries ++
+      graft.llm.Similarity.queries ++
+      graft.llm.TextAnalysis.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracleSql
-
-  /** Headline subset timed by Bench (sf0.1). */
-  def benchQueries: Seq[String] = Seq(
-    "q01_pricing_summary", "q03_shipping_priority", "q05_local_supplier_volume",
-    "q06_revenue_forecast", "q10_returned_items", "q18_large_orders",
-    "q_top3_per_segment", "q_events_hourly", "q_event_sessions")
+    graft.queries.Relational.oracleSql ++
+      graft.llm.Dedup.oracleSql ++
+      graft.llm.Similarity.oracleSql ++
+      graft.llm.TextAnalysis.oracleSql
 }
