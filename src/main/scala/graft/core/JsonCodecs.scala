@@ -249,6 +249,23 @@ object JsonCodecs {
     o.put("last-updated-ms", m.lastUpdatedMs)
     o.put("last-column-id", m.lastColumnId)
 
+    // v1 compat: the v1 spec REQUIRES the single `schema` and flattened
+    // `partition-spec` fields (spec-compliant v1 readers ignore the v2
+    // arrays). Writers targeting v1 must emit both forms.
+    if (m.formatVersion == 1) {
+      o.set[ObjectNode]("schema", schemaToJson(m.currentSchema))
+      val legacyFields = mapper.createArrayNode()
+      m.partitionSpecs.get(m.defaultSpecId).toSeq.flatMap(_.fields).foreach { f =>
+        val fo = mapper.createObjectNode()
+        fo.put("source-id", f.sourceId)
+        fo.put("field-id", f.fieldId)
+        fo.put("name", f.name)
+        fo.put("transform", f.transform.wireName)
+        legacyFields.add(fo)
+      }
+      o.set[ObjectNode]("partition-spec", legacyFields)
+    }
+
     val schemas = mapper.createArrayNode()
     m.schemas.toSeq.sortBy(_._1).foreach { case (_, s) => schemas.add(schemaToJson(s)) }
     o.set[ObjectNode]("schemas", schemas)
@@ -301,24 +318,60 @@ object JsonCodecs {
 
   def metadataFromJson(json: String): Either[String, TableMetadata] = {
     val n = parse(json)
+    def arr(name: String): Iterator[JsonNode] =
+      Option(n.get(name)).filter(!_.isNull).map(_.elements().asScala)
+        .getOrElse(Iterator.empty)
+
+    // Legacy v1 documents may carry only the single `schema` /
+    // `partition-spec` fields; fall back to those when the v2 arrays
+    // are absent rather than NPE-ing (ADVICE r2 finding a).
     val schemas = scala.collection.mutable.Map[Int, Schema]()
-    for (s <- n.get("schemas").elements().asScala)
+    for (s <- arr("schemas"))
       schemaFromJson(s) match {
         case Left(e) => return Left(e)
         case Right(sc) => schemas(sc.schemaId) = sc
       }
+    if (schemas.isEmpty)
+      Option(n.get("schema")).filter(!_.isNull) match {
+        case Some(legacy) => schemaFromJson(legacy) match {
+          case Left(e) => return Left(e)
+          case Right(sc) => schemas(sc.schemaId) = sc
+        }
+        case None => return Left("metadata has neither `schemas` nor legacy `schema`")
+      }
+
     val specs = scala.collection.mutable.Map[Int, PartitionSpec]()
-    for (s <- n.get("partition-specs").elements().asScala)
+    for (s <- arr("partition-specs"))
       specFromJson(s) match {
         case Left(e) => return Left(e)
         case Right(sp) => specs(sp.specId) = sp
       }
+    if (specs.isEmpty)
+      Option(n.get("partition-spec")).filter(!_.isNull).foreach { legacy =>
+        // Flattened v1 form: a bare field array; ids may be absent in
+        // very old documents — assign 1000+ordinal like Iceberg readers.
+        val fields = Vector.newBuilder[PartitionField]
+        for ((f, i) <- legacy.elements().asScala.zipWithIndex) {
+          Transform.parse(f.get("transform").asText()) match {
+            case Left(e) => return Left(e)
+            case Right(t) => fields += PartitionField(
+              f.get("source-id").asInt(),
+              Option(f.get("field-id")).filter(!_.isNull).map(_.asInt())
+                .getOrElse(PartitionSpec.StartFieldId + i),
+              f.get("name").asText(), t)
+          }
+        }
+        specs(0) = PartitionSpec(0, fields.result())
+      }
+    if (specs.isEmpty) specs(0) = PartitionSpec.Unpartitioned
+
     val orders = scala.collection.mutable.Map[Int, SortOrder]()
-    for (s <- n.get("sort-orders").elements().asScala)
+    for (s <- arr("sort-orders"))
       sortOrderFromJson(s) match {
         case Left(e) => return Left(e)
         case Right(so) => orders(so.orderId) = so
       }
+    if (orders.isEmpty) orders(0) = SortOrder.Unsorted
     val snaps = n.get("snapshots").elements().asScala
       .map(snapshotFromJson).map(s => s.snapshotId -> s).toMap
     val refs = Option(n.get("refs")).filter(!_.isNull).map(r =>
@@ -334,10 +387,13 @@ object JsonCodecs {
       lastUpdatedMs = n.get("last-updated-ms").asLong(),
       lastColumnId = n.get("last-column-id").asInt(),
       schemas = schemas.toMap,
-      currentSchemaId = n.get("current-schema-id").asInt(),
+      currentSchemaId = Option(n.get("current-schema-id")).filter(!_.isNull)
+        .map(_.asInt()).getOrElse(schemas.keys.max),
       partitionSpecs = specs.toMap,
-      defaultSpecId = n.get("default-spec-id").asInt(),
-      lastPartitionId = n.get("last-partition-id").asInt(),
+      defaultSpecId = Option(n.get("default-spec-id")).filter(!_.isNull)
+        .map(_.asInt()).getOrElse(specs.keys.min),
+      lastPartitionId = Option(n.get("last-partition-id")).filter(!_.isNull)
+        .map(_.asInt()).getOrElse(specs.values.map(_.maxFieldId).max),
       properties = Option(n.get("properties")).filter(!_.isNull).map(p =>
         p.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
         .getOrElse(Map.empty),
@@ -351,7 +407,8 @@ object JsonCodecs {
         .map(e => MetadataLogEntry(e.get("metadata-file").asText(), e.get("timestamp-ms").asLong()))
         .toSeq).getOrElse(Nil),
       sortOrders = orders.toMap,
-      defaultSortOrderId = n.get("default-sort-order-id").asInt(),
+      defaultSortOrderId = Option(n.get("default-sort-order-id")).filter(!_.isNull)
+        .map(_.asInt()).getOrElse(0),
       refs = refs))
   }
 }

@@ -71,6 +71,7 @@ object PartitionSpecBinder {
     val bound = Vector.newBuilder[PartitionField]
     val seenNames = scala.collection.mutable.Set[String]()
     val seenPairs = scala.collection.mutable.Set[(Int, String)]()
+    val seenFieldIds = scala.collection.mutable.Set[Int]()
 
     for (f <- unbound.fields) {
       if (f.name.isEmpty)
@@ -105,6 +106,8 @@ object PartitionSpecBinder {
             s"by ${f.transform.dedupName}"))
 
       val fid = f.fieldId.getOrElse { nextId += 1; nextId }
+      if (!seenFieldIds.add(fid))
+        return Left(SpecBindError(s"duplicate partition field id: $fid"))
       nextId = math.max(nextId, fid)
       bound += PartitionField(f.sourceId, fid, f.name, f.transform)
     }

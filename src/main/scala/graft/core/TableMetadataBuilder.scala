@@ -69,6 +69,11 @@ final class TableMetadataBuilder private (private var m: TableMetadata) {
       : Either[CommitError, TableMetadataBuilder] = {
     m.schemas.values.find(_.sameStructure(schema)) match {
       case Some(existing) =>
+        // last_column_id stays monotonic against the REQUESTED value even
+        // when the schema dedups to an existing id (Iceberg keeps the
+        // counter advancing; ADVICE r2 finding b).
+        m = m.copy(lastColumnId =
+          math.max(m.lastColumnId, lastColumnId.getOrElse(0)))
         lastAddedSchemaId = Some(existing.schemaId)
         Right(this)
       case None =>

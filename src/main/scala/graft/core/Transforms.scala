@@ -90,14 +90,52 @@ object Transform {
       case _ => false
     }
     def resultType(source: IType): IType = TInt
+
+    /** Ordinal for a date given as days since 1970-01-01. */
+    def fromDays(days: Int): Int
+    /** Ordinal for a timestamp given as microseconds since the epoch. */
+    def fromMicros(micros: Long): Int =
+      fromDays(Math.toIntExact(Math.floorDiv(micros, TimeTransform.MicrosPerDay)))
+
+    /** Partition value for pruning / path layout. Accepts the storage
+      * representations (Int days, Long micros) and java.time values. */
+    final def apply(value: Any): Int = value match {
+      case days: Int => fromDays(days)
+      case micros: Long => fromMicros(micros)
+      case d: java.time.LocalDate => fromDays(Math.toIntExact(d.toEpochDay))
+      case i: java.time.Instant =>
+        fromMicros(Math.addExact(
+          Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L))
+      case o: java.time.OffsetDateTime => apply(o.toInstant)
+      case other => throw new IllegalArgumentException(
+        s"cannot apply $wireName to $other")
+    }
+  }
+  object TimeTransform {
+    val MicrosPerHour = 3600000000L
+    val MicrosPerDay = 86400000000L
+    private val Epoch = java.time.LocalDate.ofEpochDay(0)
+    /** Floor-style ordinal of the calendar unit containing `days`: e.g.
+      * 1969-12-31 is in year -1, month -1 (negatives round toward -inf,
+      * matching the public Iceberg spec's year/month examples). */
+    private[Transform] def daysToUnit(days: Int, unit: java.time.temporal.ChronoUnit): Int =
+      if (days >= 0) unit.between(Epoch, Epoch.plusDays(days.toLong)).toInt
+      else unit.between(Epoch, Epoch.plusDays(days + 1L)).toInt - 1
   }
   /** Years since 1970 (ordinal). */
-  case object Year extends TimeTransform("year")
+  case object Year extends TimeTransform("year") {
+    def fromDays(days: Int): Int =
+      TimeTransform.daysToUnit(days, java.time.temporal.ChronoUnit.YEARS)
+  }
   /** Months since 1970-01. */
-  case object Month extends TimeTransform("month")
+  case object Month extends TimeTransform("month") {
+    def fromDays(days: Int): Int =
+      TimeTransform.daysToUnit(days, java.time.temporal.ChronoUnit.MONTHS)
+  }
   /** Days since 1970-01-01; result conventionally typed as date. */
   case object Day extends TimeTransform("day") {
     override def resultType(source: IType): IType = TDate
+    def fromDays(days: Int): Int = days
   }
   /** Hours since 1970-01-01T00. Not applicable to date columns. */
   case object Hour extends TimeTransform("hour") {
@@ -105,6 +143,10 @@ object Transform {
       case TTimestamp | TTimestamptz => true
       case _ => false
     }
+    def fromDays(days: Int): Int =
+      throw new IllegalArgumentException("hour transform does not apply to dates")
+    override def fromMicros(micros: Long): Int =
+      Math.toIntExact(Math.floorDiv(micros, TimeTransform.MicrosPerHour))
   }
 
   /** Always-null transform; the only one allowed on non-primitives. */

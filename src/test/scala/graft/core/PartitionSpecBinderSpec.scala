@@ -71,6 +71,23 @@ class PartitionSpecBinderSpec extends AnyFunSuite {
       unbound((3, "a", Identity), (3, "b", Bucket(4))), 0).isRight)
   }
 
+  test("rejects duplicate explicit partition field ids") {
+    val spec = UnboundPartitionSpec(None, Seq(
+      UnboundPartitionField(2, Some(1000), "data_day", Day),
+      UnboundPartitionField(3, Some(1000), "category", Identity)))
+    assert(PartitionSpecBinder.bind(schema, spec, 0).isLeft)
+    // distinct explicit ids still bind
+    val ok = UnboundPartitionSpec(None, Seq(
+      UnboundPartitionField(2, Some(1000), "data_day", Day),
+      UnboundPartitionField(3, Some(1001), "category", Identity)))
+    assert(PartitionSpecBinder.bind(schema, ok, 0).isRight)
+    // explicit id colliding with an auto-assigned one is also rejected
+    val mixed = UnboundPartitionSpec(None, Seq(
+      UnboundPartitionField(2, None, "data_day", Day),        // auto → 1000
+      UnboundPartitionField(3, Some(1000), "category", Identity)))
+    assert(PartitionSpecBinder.bind(schema, mixed, 0).isLeft)
+  }
+
   test("void transform allowed on any type") {
     val nested = Schema(0, Seq(
       NestedField.required(1, "s", TStruct(Seq(NestedField.required(2, "x", TInt))))))

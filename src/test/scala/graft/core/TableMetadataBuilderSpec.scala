@@ -42,6 +42,20 @@ class TableMetadataBuilderSpec extends AnyFunSuite {
     assert(built(b).schemas.size === 1) // same structure → no new schema
   }
 
+  test("add-schema dedup branch still advances last_column_id") {
+    val b = fresh()
+    // identical structure but a larger requested last-column-id: the
+    // schema dedups away, the counter must still advance monotonically
+    assert(b.apply(AddSchema(schema.copy(schemaId = 99), Some(7))).isRight)
+    val m = built(b)
+    assert(m.schemas.size === 1)
+    assert(m.lastColumnId === 7)
+    // and a smaller requested value never shrinks it
+    val b2 = fresh()
+    assert(b2.apply(AddSchema(schema.copy(schemaId = 99), Some(1))).isRight)
+    assert(built(b2).lastColumnId === 3)
+  }
+
   test("schema evolution: add column, set-current-schema -1") {
     val b = fresh()
     val evolved = Schema(1, schema.fields :+ NestedField.optional(4, "flag", TBoolean))
@@ -221,6 +235,52 @@ class TableMetadataBuilderSpec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------- json
+  test("v1 metadata emits legacy schema/partition-spec fields and reads legacy docs") {
+    val b = TableMetadataBuilder.newTable(uuid, "file:///tmp/wh/ns/t", schema, t0,
+      formatVersion = 1).fold(e => fail(e.message), identity)
+    assert(b.applyAll(Seq(
+      AddSpec(UnboundPartitionSpec(None, Seq(
+        UnboundPartitionField(3, None, "ts_day", Transform.Day)))),
+      SetDefaultSpec(-1))).isRight)
+    val json = JsonCodecs.metadataToJson(built(b))
+    val tree = JsonCodecs.parse(json)
+    // v1-required single-value fields present alongside the v2 arrays
+    assert(tree.hasNonNull("schema"))
+    assert(tree.hasNonNull("partition-spec"))
+    assert(tree.get("partition-spec").get(0).get("transform").asText === "day")
+    assert(tree.get("partition-spec").get(0).get("field-id").asInt === 1000)
+
+    // a legacy v1 document WITHOUT schemas/partition-specs/sort-orders
+    // arrays (and without field-ids in partition-spec) must still parse
+    val legacy =
+      """{"format-version":1,
+         |"table-uuid":"f79c3e09-677c-4bbd-a479-3f349cb785e7",
+         |"location":"file:///tmp/wh/ns/t",
+         |"last-updated-ms":1700000000000,
+         |"last-column-id":3,
+         |"schema":{"type":"struct","schema-id":0,"fields":[
+         |  {"id":1,"name":"id","required":true,"type":"int"},
+         |  {"id":2,"name":"name","required":true,"type":"string"},
+         |  {"id":3,"name":"ts","required":false,"type":"timestamptz"}]},
+         |"partition-spec":[{"source-id":3,"name":"ts_day","transform":"day"}],
+         |"properties":{},
+         |"snapshots":[],
+         |"snapshot-log":[]}""".stripMargin
+    val m = JsonCodecs.metadataFromJson(legacy).fold(e => fail(e), identity)
+    assert(m.formatVersion === 1)
+    assert(m.currentSchemaId === 0)
+    assert(m.schemas(0).fields.size === 3)
+    assert(m.defaultSpecId === 0)
+    assert(m.partitionSpecs(0).fields.map(f => (f.sourceId, f.fieldId, f.name)) ===
+      Seq((3, 1000, "ts_day")))
+    assert(m.sortOrders(0).isUnsorted)
+    assert(m.defaultSortOrderId === 0)
+    // and a v1 doc round-trips through our writer
+    val m2 = JsonCodecs.metadataFromJson(JsonCodecs.metadataToJson(m))
+      .fold(e => fail(e), identity)
+    assert(m2 === m)
+  }
+
   test("metadata JSON round-trip") {
     val b = fresh()
     assert(b.applyAll(Seq(

@@ -58,6 +58,43 @@ class TransformsSpec extends AnyFunSuite {
     assert(Transform.parse("nope").isLeft)
   }
 
+  // Vectors from the public Iceberg spec's partition-transform examples:
+  // 2017-11-16 = day 17486, year 47, month 574; 2017-11-16T22:31:08 UTC
+  // = hour 17486*24+22 = 419686. Negatives round toward -inf.
+  test("time transforms: epoch-ordinal values per spec") {
+    val d = java.time.LocalDate.of(2017, 11, 16)
+    assert(d.toEpochDay === 17486L)
+    assert(Day(d) === 17486)
+    assert(Year(d) === 47)
+    assert(Month(d) === 574)
+    val ts = java.time.OffsetDateTime.parse("2017-11-16T22:31:08Z")
+    val micros = ts.toInstant.getEpochSecond * 1000000L
+    assert(Hour(micros) === 419686)
+    assert(Day(micros) === 17486)
+    assert(Year(micros) === 47)
+    assert(Month(micros) === 574)
+  }
+
+  test("time transforms: negatives floor toward -inf") {
+    val d = java.time.LocalDate.of(1969, 12, 31) // day -1
+    assert(Day(d) === -1)
+    assert(Year(d) === -1)
+    assert(Month(d) === -1)
+    assert(Year(java.time.LocalDate.of(1969, 1, 1)) === -1)
+    assert(Year(java.time.LocalDate.of(1968, 12, 31)) === -2)
+    assert(Month(java.time.LocalDate.of(1969, 11, 30)) === -2)
+    // one microsecond before the epoch is in hour/day -1
+    assert(Hour(-1L) === -1)
+    assert(Day(-1L) === -1)
+    // exactly the epoch boundary is ordinal 0
+    assert(Hour(0L) === 0)
+    assert(Year(java.time.LocalDate.of(1970, 1, 1)) === 0)
+  }
+
+  test("hour transform rejects dates") {
+    intercept[IllegalArgumentException](Hour(17486))
+  }
+
   test("transform family dedup names") {
     assert(Bucket(4).dedupName === Bucket(16).dedupName)
     assert(Truncate(2).dedupName === Truncate(8).dedupName)
