@@ -15,6 +15,8 @@ import scala.jdk.CollectionConverters._
   */
 object JsonCodecs {
   private val mapper = new ObjectMapper()
+  /** Shared mapper for the REST wire layer (same node factory). */
+  private[graft] def mapperRef: ObjectMapper = mapper
 
   def parse(json: String): JsonNode = mapper.readTree(json)
   def render(node: JsonNode): String = mapper.writeValueAsString(node)

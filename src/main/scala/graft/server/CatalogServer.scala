@@ -1,0 +1,288 @@
+package graft.server
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.catalog._
+
+import java.net.{InetSocketAddress, URLDecoder}
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+import java.util.concurrent.Executors
+import scala.util.Try
+
+/** Iceberg REST catalog server over the JDK HTTP server (zero extra
+  * dependencies). Routes mirror the reference's /catalog/v1 +
+  * /management/v1 surface (/root/reference/crates/iceberg-catalog/src/
+  * api/router.rs:50-51); every handler follows the same
+  * VALIDATIONS → (authz) → BUSINESS LOGIC discipline with the uniform
+  * error envelope. The server holds no state beyond the injected store —
+  * N replicas in front of one store scale horizontally exactly like the
+  * reference claims (README.md:21).
+  */
+final class CatalogServer(
+    store: CatalogStore,
+    defaultProjectId: UUID,
+    port: Int = 0,
+    clock: () => Long = () => System.currentTimeMillis()) {
+
+  private val server: HttpServer = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  server.setExecutor(Executors.newFixedThreadPool(16))
+  server.createContext("/", (ex: HttpExchange) => route(ex))
+
+  def start(): CatalogServer = { server.start(); this }
+  def stop(): Unit = server.stop(0)
+  def boundPort: Int = server.getAddress.getPort
+  def baseUri: String = s"http://127.0.0.1:$boundPort"
+
+  // ------------------------------------------------------------ plumbing
+  private def respond(ex: HttpExchange, status: Int, body: String = ""): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    if (body.nonEmpty)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+    // HEAD and 204 must not carry a body (send -1 = no content)
+    if (bytes.isEmpty || ex.getRequestMethod == "HEAD") {
+      ex.sendResponseHeaders(status, -1)
+    } else {
+      ex.sendResponseHeaders(status, bytes.length.toLong)
+      val os = ex.getResponseBody
+      try os.write(bytes) finally os.close()
+    }
+    ex.close()
+  }
+
+  private def respondError(ex: HttpExchange, e: CatalogError): Unit =
+    respond(ex, e.code, RestCodecs.errorResponse(e))
+
+  private def ok[A](ex: HttpExchange, r: Either[CatalogError, A])(f: A => String): Unit =
+    r match {
+      case Left(e) => respondError(ex, e)
+      case Right(a) =>
+        val body = f(a)
+        respond(ex, if (body.isEmpty) 204 else 200, body)
+    }
+
+  private def readBody(ex: HttpExchange): String =
+    new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).map(_.split("&").toSeq.flatMap { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => Some(URLDecoder.decode(k, "UTF-8") ->
+          URLDecoder.decode(v, "UTF-8"))
+        case Array(k) => Some(URLDecoder.decode(k, "UTF-8") -> "")
+        case _ => None
+      }
+    }.toMap).getOrElse(Map.empty)
+
+  /** Multipart namespaces arrive %1F (unit separator) joined per the
+    * public REST spec; depth is 1 here but decode faithfully. */
+  private def decodeNs(segment: String): Seq[String] =
+    URLDecoder.decode(segment, "UTF-8").split(0x1f.toChar).toSeq
+
+  private def uuid(s: String): Either[CatalogError, UUID] =
+    Try(UUID.fromString(s)).toOption
+      .toRight(CatalogError.badRequest(s"malformed uuid: $s"))
+
+  // -------------------------------------------------------------- router
+  private def route(ex: HttpExchange): Unit =
+    try {
+      val path = ex.getRequestURI.getPath.stripPrefix("/").stripSuffix("/")
+      val segs = if (path.isEmpty) Array.empty[String] else path.split("/")
+      (ex.getRequestMethod, segs.toList) match {
+        case (m, "catalog" :: "v1" :: rest) => catalogRoute(ex, m, rest)
+        case (m, "management" :: "v1" :: rest) => managementRoute(ex, m, rest)
+        case _ => respondError(ex, CatalogError.notFound("NotFound", "no such route"))
+      }
+    } catch {
+      case e: CatalogError => respondError(ex, e)
+      case e: Exception =>
+        respond(ex, 500, RestCodecs.errorResponse(
+          CatalogError(500, "InternalError", String.valueOf(e.getMessage))))
+    }
+
+  private def catalogRoute(ex: HttpExchange, method: String, rest: List[String]): Unit =
+    (method, rest) match {
+      // -- session bootstrap (§2.1 #1)
+      case ("GET", "config" :: Nil) =>
+        val arg = queryParams(ex).getOrElse("warehouse", "")
+        ok(ex, resolveWarehouse(arg)) { w =>
+          RestCodecs.configResponse(Map(
+            "prefix" -> w.id.toString,
+            "uri" -> s"$baseUri/catalog"))
+        }
+
+      // -- namespaces (§2.1 #2-7)
+      case ("GET", prefix :: "namespaces" :: Nil) =>
+        val parent = queryParams(ex).get("parent").filter(_.nonEmpty).map(decodeNs)
+        withWh(ex, prefix) { wh =>
+          ok(ex, store.listNamespaces(wh, parent))(RestCodecs.listNamespacesResponse)
+        }
+      case ("POST", prefix :: "namespaces" :: Nil) =>
+        withWh(ex, prefix) { wh =>
+          ok(ex, RestCodecs.createNamespaceRequest(readBody(ex))
+            .flatMap(r => store.createNamespace(wh, r.namespace, r.properties)))(
+            RestCodecs.namespaceResponse)
+        }
+      case ("GET", prefix :: "namespaces" :: ns :: Nil) =>
+        withWh(ex, prefix) { wh =>
+          ok(ex, store.getNamespace(wh, decodeNs(ns)))(RestCodecs.namespaceResponse)
+        }
+      case ("HEAD", prefix :: "namespaces" :: ns :: Nil) =>
+        withWh(ex, prefix) { wh =>
+          store.namespaceExists(wh, decodeNs(ns)) match {
+            case Right(true) => respond(ex, 204)
+            case Right(false) => respond(ex, 404)
+            case Left(e) => respondError(ex, e)
+          }
+        }
+      case ("DELETE", prefix :: "namespaces" :: ns :: Nil) =>
+        withWh(ex, prefix) { wh =>
+          ok(ex, store.dropNamespace(wh, decodeNs(ns)))(_ => "")
+        }
+      case ("POST", prefix :: "namespaces" :: ns :: "properties" :: Nil) =>
+        withWh(ex, prefix) { wh =>
+          ok(ex, RestCodecs.updatePropertiesRequest(readBody(ex)).flatMap(r =>
+            store.updateNamespaceProperties(wh, decodeNs(ns), r.removals, r.updates)))(
+            RestCodecs.propertyUpdateResponse)
+        }
+
+      // -- tables (§2.1 #8-16)
+      case ("GET", prefix :: "namespaces" :: ns :: "tables" :: Nil) =>
+        withWh(ex, prefix) { wh =>
+          ok(ex, store.listTables(wh, decodeNs(ns)))(RestCodecs.listTablesResponse)
+        }
+      case ("POST", prefix :: "namespaces" :: ns :: "tables" :: Nil) =>
+        withWh(ex, prefix) { wh =>
+          ok(ex, RestCodecs.createTableRequest(readBody(ex)).flatMap { r =>
+            // server-assigned locations only (reference catalog/
+            // tables.rs:965-975 rejects client-specified locations)
+            if (r.location.isDefined)
+              Left(CatalogError.badRequest("client-specified location is not allowed"))
+            else store.createTable(wh, decodeNs(ns), r.name, r.schema, r.spec,
+              r.sortOrder, r.properties, r.stageCreate, clock())
+          })(RestCodecs.loadTableResponse(_))
+        }
+      case ("POST", _ :: "namespaces" :: _ :: "register" :: Nil) =>
+        // not supported, like the reference (catalog/tables.rs:211-225)
+        respondError(ex, CatalogError(501, "RegisterTableNotSupported",
+          "register table is not supported"))
+      case ("GET", prefix :: "namespaces" :: ns :: "tables" :: tbl :: Nil) =>
+        withWh(ex, prefix) { wh =>
+          ok(ex, store.loadTable(wh, TableIdent(decodeNs(ns), tbl)))(
+            RestCodecs.loadTableResponse(_))
+        }
+      case ("HEAD", prefix :: "namespaces" :: ns :: "tables" :: tbl :: Nil) =>
+        withWh(ex, prefix) { wh =>
+          store.tableExists(wh, TableIdent(decodeNs(ns), tbl)) match {
+            case Right(true) => respond(ex, 204)
+            case Right(false) => respond(ex, 404)
+            case Left(e) => respondError(ex, e)
+          }
+        }
+      case ("DELETE", prefix :: "namespaces" :: ns :: "tables" :: tbl :: Nil) =>
+        withWh(ex, prefix) { wh =>
+          ok(ex, store.dropTable(wh, TableIdent(decodeNs(ns), tbl)))(_ => "")
+        }
+      case ("POST", prefix :: "namespaces" :: ns :: "tables" :: tbl :: Nil) =>
+        withWh(ex, prefix) { wh =>
+          val ident = TableIdent(decodeNs(ns), tbl)
+          ok(ex, RestCodecs.commitTableRequest(readBody(ex)).flatMap { r =>
+            // path/body identifier reconciliation (catalog/tables.rs:326-361)
+            if (r.identifier.exists(_ != ident))
+              Left(CatalogError.badRequest(
+                "identifier in body does not match request path"))
+            else store.commitTable(wh, ident, r.requirements, r.updates, clock())
+          })(RestCodecs.commitTableResponse)
+        }
+      case ("POST", prefix :: "namespaces" :: _ :: "tables" :: _ :: "metrics" :: Nil) =>
+        // accepted, not persisted (reference no-op, catalog/metrics.rs:9-21)
+        withWh(ex, prefix)(_ => respond(ex, 204))
+      case ("POST", prefix :: "tables" :: "rename" :: Nil) =>
+        withWh(ex, prefix) { wh =>
+          ok(ex, RestCodecs.renameTableRequest(readBody(ex)).flatMap(r =>
+            store.renameTable(wh, r.source, r.destination)))(_ => "")
+        }
+      case ("POST", prefix :: "transactions" :: "commit" :: Nil) =>
+        withWh(ex, prefix) { wh =>
+          ok(ex, RestCodecs.commitTransactionRequest(readBody(ex)).flatMap { changes =>
+            val withIdents = changes.map { c =>
+              c.identifier match {
+                case Some(id) => Right(TableChange(id, c.requirements, c.updates))
+                case None => Left(CatalogError.badRequest(
+                  "transaction table-change requires an identifier"))
+              }
+            }
+            withIdents.collectFirst { case Left(e) => e } match {
+              case Some(e) => Left(e)
+              case None => store.commitTransaction(
+                wh, withIdents.collect { case Right(c) => c }, clock())
+            }
+          })(_ => "")
+        }
+      case _ => respondError(ex, CatalogError.notFound("NotFound", "no such route"))
+    }
+
+  private def withWh(ex: HttpExchange, prefix: String)(f: UUID => Unit): Unit =
+    uuid(prefix) match {
+      case Left(e) => respondError(ex, e)
+      case Right(id) => f(id)
+    }
+
+  /** `?warehouse=` grammar: `[project_uuid/]warehouse_name`, or a bare
+    * warehouse UUID (reference catalog/config.rs:145-177). */
+  private def resolveWarehouse(arg: String): Either[CatalogError, Warehouse] =
+    arg.split("/", 2) match {
+      case Array("") => Left(CatalogError.badRequest("warehouse argument is required"))
+      case Array(projectId, name) =>
+        uuid(projectId).flatMap(store.warehouseByName(_, name))
+      case Array(single) =>
+        Try(UUID.fromString(single)).toOption match {
+          case Some(id) => store.getWarehouse(id)
+          case None => store.warehouseByName(defaultProjectId, single)
+        }
+    }
+
+  private def managementRoute(ex: HttpExchange, method: String, rest: List[String]): Unit =
+    (method, rest) match {
+      case ("POST", "warehouse" :: Nil) =>
+        ok(ex, RestCodecs.parse(readBody(ex)).flatMap { n =>
+          def field(name: String): Either[CatalogError, String] =
+            Option(n.get(name)).filter(!_.isNull).map(_.asText())
+              .toRight(CatalogError.badRequest(s"missing field: $name"))
+          for {
+            name <- field("warehouse-name")
+            location <- field("location")
+            projectId = Option(n.get("project-id")).filter(!_.isNull)
+              .map(p => UUID.fromString(p.asText())).getOrElse(defaultProjectId)
+            w <- store.createWarehouse(projectId, name, location)
+          } yield w
+        })(RestCodecs.warehouseResponse)
+      case ("GET", "warehouse" :: Nil) =>
+        val params = queryParams(ex)
+        val projectId = params.get("project-id").map(UUID.fromString)
+          .getOrElse(defaultProjectId)
+        val includeInactive = params.get("status").contains("all")
+        respond(ex, 200, RestCodecs.listWarehousesResponse(
+          store.listWarehouses(projectId, includeInactive)))
+      case ("GET", "warehouse" :: id :: Nil) =>
+        withWh(ex, id)(w => ok(ex, store.getWarehouse(w))(RestCodecs.warehouseResponse))
+      case ("DELETE", "warehouse" :: id :: Nil) =>
+        withWh(ex, id)(w => ok(ex, store.deleteWarehouse(w))(_ => ""))
+      case ("POST", "warehouse" :: id :: "rename" :: Nil) =>
+        withWh(ex, id) { w =>
+          ok(ex, RestCodecs.parse(readBody(ex)).flatMap { n =>
+            Option(n.get("new-name")).map(_.asText())
+              .toRight(CatalogError.badRequest("missing field: new-name"))
+              .flatMap(store.renameWarehouse(w, _))
+          })(RestCodecs.warehouseResponse)
+        }
+      case ("POST", "warehouse" :: id :: "activate" :: Nil) =>
+        withWh(ex, id)(w => ok(ex, store.setWarehouseActive(w, active = true))(
+          RestCodecs.warehouseResponse))
+      case ("POST", "warehouse" :: id :: "deactivate" :: Nil) =>
+        withWh(ex, id)(w => ok(ex, store.setWarehouseActive(w, active = false))(
+          RestCodecs.warehouseResponse))
+      case ("GET", "project" :: Nil) =>
+        respond(ex, 200, RestCodecs.listProjectsResponse(store.listProjects()))
+      case _ => respondError(ex, CatalogError.notFound("NotFound", "no such route"))
+    }
+}

@@ -1,0 +1,243 @@
+package graft.server
+
+import graft.catalog._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+import java.util.UUID
+
+/** End-to-end HTTP conformance: the same call sequence Spark's
+  * RESTCatalog makes at session start (config → namespace → table CRUD →
+  * commit), mirroring the reference's integration flow
+  * (tests/python/tests/test_pyiceberg.py + conftest.py:65-98).
+  */
+class CatalogServerSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val project = UUID.randomUUID()
+  private val store = new InMemoryCatalogStore
+  private var server: CatalogServer = _
+  private val client = HttpClient.newHttpClient()
+  private var base: String = _
+  private var prefix: String = _
+
+  override def beforeAll(): Unit = {
+    server = new CatalogServer(store, project).start()
+    base = server.baseUri
+    val wh = Files.createTempDirectory("graft-srv").toUri.toString.stripSuffix("/")
+    val created = post("/management/v1/warehouse",
+      s"""{"warehouse-name":"prod","location":"$wh","project-id":"$project"}""")
+    assert(created.statusCode() === 200, created.body())
+    prefix = json(created.body()).get("id").asText()
+  }
+
+  override def afterAll(): Unit = server.stop()
+
+  private def json(s: String) = graft.core.JsonCodecs.parse(s)
+
+  private def req(method: String, path: String, body: String = ""): HttpResponse[String] = {
+    val b = HttpRequest.newBuilder(URI.create(s"$base$path"))
+    val withMethod = method match {
+      case "GET" => b.GET()
+      case "DELETE" => b.DELETE()
+      case "HEAD" => b.method("HEAD", HttpRequest.BodyPublishers.noBody())
+      case "POST" => b.POST(HttpRequest.BodyPublishers.ofString(body))
+        .header("Content-Type", "application/json")
+    }
+    client.send(withMethod.build(), HttpResponse.BodyHandlers.ofString())
+  }
+  private def post(path: String, body: String) = req("POST", path, body)
+  private def get(path: String) = req("GET", path)
+
+  private val schemaJson =
+    """{"type":"struct","schema-id":0,"fields":[
+      |{"id":1,"name":"id","required":true,"type":"int"},
+      |{"id":2,"name":"s","required":true,"type":"string"}]}""".stripMargin
+
+  test("GET /config resolves warehouse by name, uuid, and project/name") {
+    val byName = get(s"/catalog/v1/config?warehouse=prod")
+    assert(byName.statusCode() === 200)
+    val overrides = json(byName.body()).get("overrides")
+    assert(overrides.get("prefix").asText() === prefix)
+    assert(overrides.get("uri").asText() === s"$base/catalog")
+
+    assert(get(s"/catalog/v1/config?warehouse=$prefix").statusCode() === 200)
+    assert(get(s"/catalog/v1/config?warehouse=$project/prod").statusCode() === 200)
+    assert(get(s"/catalog/v1/config?warehouse=ghost").statusCode() === 404)
+    assert(get(s"/catalog/v1/config").statusCode() === 400)
+  }
+
+  test("namespace CRUD over HTTP") {
+    assert(post(s"/catalog/v1/$prefix/namespaces",
+      """{"namespace":["web"],"properties":{"owner":"alice"}}""").statusCode() === 200)
+    // duplicate → 409; reserved → 400
+    assert(post(s"/catalog/v1/$prefix/namespaces",
+      """{"namespace":["web"]}""").statusCode() === 409)
+    assert(post(s"/catalog/v1/$prefix/namespaces",
+      """{"namespace":["system"]}""").statusCode() === 400)
+
+    val listed = get(s"/catalog/v1/$prefix/namespaces")
+    assert(listed.statusCode() === 200)
+    assert(listed.body().contains("web"))
+
+    val got = get(s"/catalog/v1/$prefix/namespaces/web")
+    assert(got.statusCode() === 200)
+    assert(json(got.body()).get("properties").get("owner").asText() === "alice")
+
+    assert(req("HEAD", s"/catalog/v1/$prefix/namespaces/web").statusCode() === 204)
+    assert(req("HEAD", s"/catalog/v1/$prefix/namespaces/ghost").statusCode() === 404)
+
+    val props = post(s"/catalog/v1/$prefix/namespaces/web/properties",
+      """{"removals":["ghost"],"updates":{"team":"data"}}""")
+    assert(props.statusCode() === 200)
+    val pr = json(props.body())
+    assert(pr.get("updated").get(0).asText() === "team")
+    assert(pr.get("missing").get(0).asText() === "ghost")
+
+    assert(post(s"/catalog/v1/$prefix/namespaces",
+      """{"namespace":["scratch"]}""").statusCode() === 200)
+    assert(req("DELETE", s"/catalog/v1/$prefix/namespaces/scratch").statusCode() === 204)
+    assert(req("HEAD", s"/catalog/v1/$prefix/namespaces/scratch").statusCode() === 404)
+  }
+
+  test("table create/load/head/list/commit/rename/drop over HTTP") {
+    assert(post(s"/catalog/v1/$prefix/namespaces",
+      """{"namespace":["db"]}""").statusCode() === 200)
+
+    // create (client-supplied location must be rejected)
+    assert(post(s"/catalog/v1/$prefix/namespaces/db/tables",
+      s"""{"name":"t","schema":$schemaJson,"location":"file:///evil"}""")
+      .statusCode() === 400)
+    val created = post(s"/catalog/v1/$prefix/namespaces/db/tables",
+      s"""{"name":"t","schema":$schemaJson,
+         |"partition-spec":{"fields":[
+         |  {"source-id":1,"name":"id_bucket","transform":"bucket[16]"}]},
+         |"properties":{"owner":"bob"}}""".stripMargin)
+    assert(created.statusCode() === 200, created.body())
+    val meta = json(created.body())
+    assert(meta.hasNonNull("metadata-location"))
+    assert(meta.get("metadata").get("format-version").asInt() === 2)
+    val tableUuid = meta.get("metadata").get("table-uuid").asText()
+
+    // duplicate create 409
+    assert(post(s"/catalog/v1/$prefix/namespaces/db/tables",
+      s"""{"name":"t","schema":$schemaJson}""").statusCode() === 409)
+
+    // load / head / list
+    assert(get(s"/catalog/v1/$prefix/namespaces/db/tables/t").statusCode() === 200)
+    assert(req("HEAD", s"/catalog/v1/$prefix/namespaces/db/tables/t").statusCode() === 204)
+    assert(req("HEAD", s"/catalog/v1/$prefix/namespaces/db/tables/ghost").statusCode() === 404)
+    val listed = get(s"/catalog/v1/$prefix/namespaces/db/tables")
+    assert(listed.statusCode() === 200)
+    assert(listed.body().contains("\"name\":\"t\""))
+
+    // commit: first append with assert-create-style ref requirement
+    val commit1 = post(s"/catalog/v1/$prefix/namespaces/db/tables/t",
+      s"""{"identifier":{"namespace":["db"],"name":"t"},
+         |"requirements":[
+         |  {"type":"assert-table-uuid","uuid":"$tableUuid"},
+         |  {"type":"assert-ref-snapshot-id","ref":"main"}],
+         |"updates":[
+         |  {"action":"add-snapshot","snapshot":{"snapshot-id":100,
+         |   "sequence-number":1,"timestamp-ms":1700000001000,
+         |   "manifest-list":"manifests/100.avro",
+         |   "summary":{"operation":"append"},"schema-id":0}},
+         |  {"action":"set-snapshot-ref","ref-name":"main",
+         |   "snapshot-id":100,"type":"branch"},
+         |  {"action":"set-properties","updates":{"fmt":"parquet"}}]}""".stripMargin)
+    assert(commit1.statusCode() === 200, commit1.body())
+    val committed = json(commit1.body()).get("metadata")
+    assert(committed.get("current-snapshot-id").asLong() === 100L)
+    assert(committed.get("properties").get("fmt").asText() === "parquet")
+
+    // stale requirement → 409 (optimistic concurrency over the wire)
+    val stale = post(s"/catalog/v1/$prefix/namespaces/db/tables/t",
+      s"""{"requirements":[{"type":"assert-ref-snapshot-id","ref":"main"}],
+         |"updates":[]}""".stripMargin)
+    assert(stale.statusCode() === 409)
+
+    // mismatched path/body identifier → 400
+    assert(post(s"/catalog/v1/$prefix/namespaces/db/tables/t",
+      """{"identifier":{"namespace":["db"],"name":"other"},"updates":[]}""")
+      .statusCode() === 400)
+
+    // metrics no-op, register 501
+    assert(post(s"/catalog/v1/$prefix/namespaces/db/tables/t/metrics",
+      """{"report-type":"scan"}""").statusCode() === 204)
+    assert(post(s"/catalog/v1/$prefix/namespaces/db/register",
+      """{"name":"x","metadata-location":"file:///x"}""").statusCode() === 501)
+
+    // rename then drop
+    assert(post(s"/catalog/v1/$prefix/tables/rename",
+      """{"source":{"namespace":["db"],"name":"t"},
+        |"destination":{"namespace":["db"],"name":"t2"}}""".stripMargin)
+      .statusCode() === 204)
+    assert(req("HEAD", s"/catalog/v1/$prefix/namespaces/db/tables/t").statusCode() === 404)
+    assert(req("DELETE", s"/catalog/v1/$prefix/namespaces/db/tables/t2").statusCode() === 204)
+    assert(req("HEAD", s"/catalog/v1/$prefix/namespaces/db/tables/t2").statusCode() === 404)
+  }
+
+  test("multi-table transactions commit atomically over HTTP") {
+    assert(post(s"/catalog/v1/$prefix/namespaces",
+      """{"namespace":["txn"]}""").statusCode() === 200)
+    for (t <- Seq("a", "b"))
+      assert(post(s"/catalog/v1/$prefix/namespaces/txn/tables",
+        s"""{"name":"$t","schema":$schemaJson}""").statusCode() === 200)
+
+    // one bad assert fails the whole batch
+    val bad = post(s"/catalog/v1/$prefix/transactions/commit",
+      """{"table-changes":[
+        |{"identifier":{"namespace":["txn"],"name":"a"},
+        | "updates":[{"action":"set-properties","updates":{"k":"v"}}]},
+        |{"identifier":{"namespace":["txn"],"name":"b"},
+        | "requirements":[{"type":"assert-ref-snapshot-id","ref":"main","snapshot-id":9}],
+        | "updates":[]}]}""".stripMargin)
+    assert(bad.statusCode() === 409)
+    val a = get(s"/catalog/v1/$prefix/namespaces/txn/tables/a")
+    assert(!json(a.body()).get("metadata").get("properties").has("k"))
+
+    val good = post(s"/catalog/v1/$prefix/transactions/commit",
+      """{"table-changes":[
+        |{"identifier":{"namespace":["txn"],"name":"a"},
+        | "updates":[{"action":"set-properties","updates":{"k":"v"}}]},
+        |{"identifier":{"namespace":["txn"],"name":"b"},
+        | "updates":[{"action":"set-properties","updates":{"k":"w"}}]}]}""".stripMargin)
+    assert(good.statusCode() === 204, good.body())
+    val a2 = get(s"/catalog/v1/$prefix/namespaces/txn/tables/a")
+    assert(json(a2.body()).get("metadata").get("properties").get("k").asText() === "v")
+  }
+
+  test("management API lifecycle: rename, deactivate gates catalog, list") {
+    val created = post("/management/v1/warehouse",
+      s"""{"warehouse-name":"stage","location":"file:///tmp/stage","project-id":"$project"}""")
+    assert(created.statusCode() === 200)
+    val whId = json(created.body()).get("id").asText()
+
+    assert(post(s"/management/v1/warehouse/$whId/rename",
+      """{"new-name":"staging"}""").statusCode() === 200)
+    assert(post(s"/management/v1/warehouse/$whId/deactivate", "").statusCode() === 200)
+    // catalog surface is now 404 for this warehouse
+    assert(get(s"/catalog/v1/$whId/namespaces").statusCode() === 404)
+    assert(get(s"/management/v1/warehouse/$whId").statusCode() === 404)
+    assert(post(s"/management/v1/warehouse/$whId/activate", "").statusCode() === 200)
+    assert(get(s"/catalog/v1/$whId/namespaces").statusCode() === 200)
+
+    val projects = get("/management/v1/project")
+    assert(projects.statusCode() === 200)
+    assert(projects.body().contains(project.toString))
+
+    assert(req("DELETE", s"/management/v1/warehouse/$whId").statusCode() === 204)
+    assert(get(s"/catalog/v1/$whId/namespaces").statusCode() === 404)
+  }
+
+  test("uniform error envelope carries message/type/code") {
+    val err = get(s"/catalog/v1/$prefix/namespaces/ghost")
+    assert(err.statusCode() === 404)
+    val e = json(err.body()).get("error")
+    assert(e.get("type").asText() === "NamespaceNotFound")
+    assert(e.get("code").asInt() === 404)
+    assert(e.get("message").asText().nonEmpty)
+  }
+}
