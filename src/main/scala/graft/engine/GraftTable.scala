@@ -1,0 +1,207 @@
+package graft.engine
+
+import graft.catalog.{CatalogError, TableIdent}
+import graft.core._
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Path}
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+
+/** Spark-side table operations through the catalog: the Surface-B
+  * capabilities the reference certifies via iceberg-spark
+  * (tests/python/tests/test_spark.py — INSERT, SELECT round-trip, MERGE,
+  * branches/tags + time travel, compaction), re-expressed on our own
+  * engine. Data files move directly between Spark and storage; only
+  * metadata transits the catalog. Every write is an optimistic commit:
+  * build against a base snapshot, assert the branch still points there,
+  * retry on 409 with a refreshed base — the loop that makes concurrent
+  * writers converge (SURVEY §7.5 #1).
+  */
+final class GraftTable(
+    client: RestCatalogClient,
+    prefix: String,
+    ident: TableIdent,
+    clock: () => Long = () => System.currentTimeMillis()) {
+
+  private val MaxRetries = 20
+
+  def metadata: TableMetadata = client.loadTable(prefix, ident).metadata
+
+  // -------------------------------------------------------------- reads
+  sealed trait Selector
+  case object CurrentMain extends Selector
+  final case class AtRef(name: String) extends Selector
+  final case class AtSnapshot(id: Long) extends Selector
+
+  /** Snapshot scan. Empty tables (and empty branches) read as an empty
+    * DataFrame with the table schema — reference test_spark.py:96-123
+    * requires empty scans to work. */
+  def scan(spark: SparkSession, selector: Selector = CurrentMain): DataFrame = {
+    val m = metadata
+    val snap = selector match {
+      case CurrentMain => m.currentSnapshot
+      case AtRef(name) => Some(m.snapshotFor(name).getOrElse(
+        throw CatalogError.notFound("RefNotFound", s"ref $name not found")))
+      case AtSnapshot(id) => Some(m.snapshots.getOrElse(id,
+        throw CatalogError.notFound("SnapshotNotFound", s"snapshot $id not found")))
+    }
+    snap match {
+      case None => emptyDf(spark, m.currentSchema)
+      case Some(s) =>
+        // time travel reads with the SNAPSHOT's schema, not the current
+        val schema = s.schemaId.flatMap(m.schemas.get).getOrElse(m.currentSchema)
+        val files = Manifests.read(s.manifestList).map(_.path)
+        if (files.isEmpty) emptyDf(spark, schema)
+        else spark.read.schema(SchemaBridge.toSpark(schema)).parquet(files: _*)
+    }
+  }
+
+  private def emptyDf(spark: SparkSession, schema: Schema): DataFrame =
+    spark.createDataFrame(new java.util.ArrayList[Row](), SchemaBridge.toSpark(schema))
+
+  // ------------------------------------------------------------- writes
+  /** INSERT INTO: append a new snapshot on `branch` (copy-on-write:
+    * the new manifest lists previous files ++ written files). */
+  def append(df: DataFrame, branch: String = TableMetadata.MainBranch): TableMetadata = {
+    val written = writeDataFiles(df)
+    commitLoop(branch, "append") { base =>
+      base.map(s => Manifests.read(s.manifestList)).getOrElse(Nil) ++ written
+    }
+  }
+
+  /** Replace the branch's entire content with `df` (the commit style
+    * behind MERGE/compaction). `expectedBase` pins the snapshot the
+    * caller computed from; a concurrent commit in between fails with
+    * 409 rather than silently dropping the other writer's rows. */
+  def overwriteAll(
+      df: DataFrame,
+      expectedBase: Option[Long],
+      operation: String = "overwrite",
+      branch: String = TableMetadata.MainBranch): TableMetadata = {
+    val written = writeDataFiles(df)
+    commitOnce(branch, operation, expectedBase, _ => written)
+  }
+
+  /** MERGE INTO (upsert form: WHEN MATCHED UPDATE SET *, WHEN NOT
+    * MATCHED INSERT * — the shape reference test_spark.py:64-81 runs).
+    * Copy-on-write: rewrites the table as (unmatched target) ∪ source.
+    * At scale both sides shuffle on the key; Catalyst plans the join —
+    * a MoR path (delete files) is the upgrade, not a different API. */
+  def upsert(spark: SparkSession, source: DataFrame, keys: Seq[String]): TableMetadata = {
+    val m = metadata
+    val base = m.currentSnapshotId
+    val target = scan(spark)
+    val cols = target.columns.toSeq
+    val joinCond = keys.map(k => target(k) <=> source(k)).reduce(_ && _)
+    val merged = target.join(source, joinCond, "left_anti")
+      .unionByName(source.select(cols.map(c => col(c)): _*))
+    overwriteAll(merged, base)
+  }
+
+  /** DELETE FROM (copy-on-write): rewrite without the matching rows. */
+  def deleteWhere(spark: SparkSession, condition: Column): TableMetadata = {
+    val m = metadata
+    val remaining = scan(spark).filter(!condition)
+    overwriteAll(remaining, m.currentSnapshotId, operation = "delete")
+  }
+
+  /** CALL system.rewrite_data_files: compact small files into
+    * `targetFileCount` without changing content (reference
+    * test_spark.py:330-357). Content-identical ⇒ committed as a
+    * "replace" snapshot. */
+  def rewriteDataFiles(spark: SparkSession, targetFileCount: Int = 1): TableMetadata = {
+    val m = metadata
+    val compacted = scan(spark).repartition(targetFileCount)
+    overwriteAll(compacted, m.currentSnapshotId, operation = "replace")
+  }
+
+  /** CREATE TAG / CREATE BRANCH at the current main snapshot. */
+  def createRef(name: String, refType: String,
+      maxRefAgeMs: Option[Long] = None): TableMetadata = {
+    val m = metadata
+    val snapId = m.currentSnapshotId.getOrElse(
+      throw CatalogError.badRequest("cannot create a ref on an empty table"))
+    client.commitTable(prefix, ident, Nil, Seq(
+      TableUpdate.SetSnapshotRef(name, snapId, refType, maxRefAgeMs = maxRefAgeMs)))
+      .metadata
+  }
+
+  // ------------------------------------------------------------ commits
+  private def commitLoop(branch: String, operation: String)(
+      files: Option[Snapshot] => Seq[Manifests.DataFile]): TableMetadata = {
+    var attempt = 0
+    while (true) {
+      val cur = metadata
+      val base = cur.snapshotFor(branch)
+      try return commitOnceAgainst(cur, branch, operation, base, files(base))
+      catch {
+        case e: CatalogError if e.code == 409 && attempt < MaxRetries => attempt += 1
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  private def commitOnce(
+      branch: String, operation: String, expectedBase: Option[Long],
+      files: Option[Snapshot] => Seq[Manifests.DataFile]): TableMetadata = {
+    val cur = metadata
+    val base = expectedBase.map(id => cur.snapshots.getOrElse(id,
+      throw CatalogError.conflict("SnapshotNotFound", s"base snapshot $id vanished")))
+    commitOnceAgainst(cur, branch, operation, base, files(base))
+  }
+
+  private def commitOnceAgainst(
+      cur: TableMetadata, branch: String, operation: String,
+      base: Option[Snapshot], files: Seq[Manifests.DataFile]): TableMetadata = {
+    val snapId = java.util.concurrent.ThreadLocalRandom.current().nextLong(1L, Long.MaxValue)
+    val manifestLoc = s"${cur.location}/metadata/snap-$snapId.json"
+    Manifests.write(manifestLoc, snapId, files)
+    val snapshot = Snapshot(
+      snapId,
+      base.map(_.snapshotId),
+      cur.lastSequenceNumber + 1,
+      clock(),
+      manifestLoc,
+      Map(
+        "operation" -> operation,
+        "total-data-files" -> files.size.toString,
+        "total-records" -> files.map(_.recordCount).sum.toString),
+      Some(cur.currentSchemaId))
+    val refType =
+      if (cur.refs.get(branch).exists(_.refType == SnapshotRefType.Tag))
+        throw CatalogError.badRequest(s"cannot write to tag $branch")
+      else SnapshotRefType.Branch
+    client.commitTable(prefix, ident,
+      Seq(TableRequirement.AssertRefSnapshotId(branch, base.map(_.snapshotId))),
+      Seq(TableUpdate.AddSnapshot(snapshot),
+        TableUpdate.SetSnapshotRef(branch, snapId, refType))).metadata
+  }
+
+  // --------------------------------------------------------- data files
+  /** Write df as parquet under a fresh data/ subdirectory and inventory
+    * the produced files (path, bytes, rows from parquet footers — a
+    * driver-side metadata read, no data scan). */
+  private def writeDataFiles(df: DataFrame): Seq[Manifests.DataFile] = {
+    val location = metadata.location
+    val dataDir = s"$location/data/${UUID.randomUUID()}"
+    df.write.parquet(dataDir)
+    val dir = graft.catalog.MetadataIO.toPath(dataDir)
+    Files.walk(dir).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .map(p => Manifests.DataFile(
+        p.toUri.toString, Files.size(p), parquetRowCount(p)))
+      .toVector
+      .sortBy(_.path)
+  }
+
+  private def parquetRowCount(p: Path): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(p.toUri),
+      new org.apache.hadoop.conf.Configuration())
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+    finally reader.close()
+  }
+}

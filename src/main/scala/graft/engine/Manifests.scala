@@ -1,0 +1,69 @@
+package graft.engine
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Snapshot file manifests. Each snapshot's `manifest-list` points at
+  * ONE JSON document holding the COMPLETE data-file listing for that
+  * snapshot (copy-on-write semantics: an append writes old ++ new).
+  *
+  * This is deliberately simpler than Iceberg's avro manifest tree but
+  * carries the same planning information: per-file path, byte size,
+  * record count and the partition tuple — enough for snapshot isolation,
+  * time travel, and partition pruning at plan time. At 100 TB the
+  * listing for a snapshot is O(file count) JSON; the upgrade path is
+  * sharding the listing per partition (manifest-per-partition), which
+  * changes only this module.
+  */
+object Manifests {
+
+  final case class DataFile(
+      path: String,
+      sizeBytes: Long,
+      recordCount: Long,
+      /** partition-field name → literal string value ("" when unpartitioned) */
+      partition: Map[String, String] = Map.empty)
+
+  private val mapper = new ObjectMapper()
+
+  def write(location: String, snapshotId: Long, files: Seq[DataFile]): Unit = {
+    val o = mapper.createObjectNode()
+    o.put("snapshot-id", snapshotId)
+    val arr = mapper.createArrayNode()
+    files.foreach { f =>
+      val fo = mapper.createObjectNode()
+      fo.put("path", f.path)
+      fo.put("size-bytes", f.sizeBytes)
+      fo.put("record-count", f.recordCount)
+      if (f.partition.nonEmpty) {
+        val p = mapper.createObjectNode()
+        f.partition.toSeq.sortBy(_._1).foreach { case (k, v) => p.put(k, v) }
+        fo.set[ObjectNode]("partition", p)
+      }
+      arr.add(fo)
+    }
+    o.set[ArrayNode]("files", arr)
+    val path = graft.catalog.MetadataIO.toPath(location)
+    Files.createDirectories(path.getParent)
+    Files.write(path, mapper.writeValueAsString(o).getBytes(StandardCharsets.UTF_8))
+  }
+
+  def read(location: String): Seq[DataFile] = {
+    val path = graft.catalog.MetadataIO.toPath(location)
+    if (!Files.exists(path)) return Nil
+    val n = mapper.readTree(new String(Files.readAllBytes(path), StandardCharsets.UTF_8))
+    n.get("files").elements().asScala.map { f =>
+      DataFile(
+        f.get("path").asText(),
+        f.get("size-bytes").asLong(),
+        f.get("record-count").asLong(),
+        Option(f.get("partition")).filter(!_.isNull).map(p =>
+          p.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
+          .getOrElse(Map.empty))
+    }.toSeq
+  }
+}

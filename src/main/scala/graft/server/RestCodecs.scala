@@ -153,6 +153,94 @@ object RestCodecs {
   }
 
   // ------------------------------------------------------ commit path
+  /** Serialize for the client side of the same wire (round-trips with
+    * requirementFromJson). */
+  def requirementToJson(r: TableRequirement): ObjectNode = {
+    import TableRequirement._
+    val o = objNode()
+    o.put("type", r.requirementType)
+    r match {
+      case AssertCreate =>
+      case AssertTableUuid(u) => o.put("uuid", u.toString)
+      case AssertCurrentSchemaId(id) => o.put("current-schema-id", id)
+      case AssertDefaultSortOrderId(id) => o.put("default-sort-order-id", id)
+      case AssertRefSnapshotId(ref, sid) =>
+        o.put("ref", ref); sid.foreach(o.put("snapshot-id", _))
+      case AssertDefaultSpecId(id) => o.put("default-spec-id", id)
+      case AssertLastAssignedPartitionId(id) => o.put("last-assigned-partition-id", id)
+      case AssertLastAssignedFieldId(id) => o.put("last-assigned-field-id", id)
+    }
+    o
+  }
+
+  def updateToJson(u: TableUpdate): ObjectNode = {
+    import TableUpdate._
+    val o = objNode()
+    o.put("action", u.action)
+    u match {
+      case AssignUuid(uuid) => o.put("uuid", uuid.toString)
+      case UpgradeFormatVersion(v) => o.put("format-version", v)
+      case AddSchema(s, lastColumnId) =>
+        o.set[ObjectNode]("schema", JsonCodecs.schemaToJson(s))
+        lastColumnId.foreach(o.put("last-column-id", _))
+      case SetCurrentSchema(id) => o.put("schema-id", id)
+      case AddSpec(spec) =>
+        val sp = objNode()
+        spec.specId.foreach(sp.put("spec-id", _))
+        val fs = arrNode()
+        spec.fields.foreach { f =>
+          val fo = objNode()
+          fo.put("source-id", f.sourceId)
+          f.fieldId.foreach(fo.put("field-id", _))
+          fo.put("name", f.name)
+          fo.put("transform", f.transform.wireName)
+          fs.add(fo)
+        }
+        sp.set[ObjectNode]("fields", fs)
+        o.set[ObjectNode]("spec", sp)
+      case SetDefaultSpec(id) => o.put("spec-id", id)
+      case AddSortOrder(order) =>
+        o.set[ObjectNode]("sort-order", JsonCodecs.sortOrderToJson(order))
+      case SetDefaultSortOrder(id) => o.put("sort-order-id", id)
+      case AddSnapshot(s) => o.set[ObjectNode]("snapshot", JsonCodecs.snapshotToJson(s))
+      case RemoveSnapshots(ids) =>
+        val a = arrNode(); ids.foreach(a.add); o.set[ObjectNode]("snapshot-ids", a)
+      case SetSnapshotRef(name, sid, tpe, minKeep, maxSnapAge, maxRefAge) =>
+        o.put("ref-name", name); o.put("snapshot-id", sid); o.put("type", tpe)
+        minKeep.foreach(o.put("min-snapshots-to-keep", _))
+        maxSnapAge.foreach(o.put("max-snapshot-age-ms", _))
+        maxRefAge.foreach(o.put("max-ref-age-ms", _))
+      case RemoveSnapshotRef(name) => o.put("ref-name", name)
+      case SetLocation(loc) => o.put("location", loc)
+      case SetProperties(updates) =>
+        val m = objNode()
+        updates.toSeq.sortBy(_._1).foreach { case (k, v) => m.put(k, v) }
+        o.set[ObjectNode]("updates", m)
+      case RemoveProperties(removals) =>
+        val a = arrNode(); removals.foreach(a.add); o.set[ObjectNode]("removals", a)
+    }
+    o
+  }
+
+  def commitRequestJson(
+      ident: Option[TableIdent],
+      requirements: Seq[TableRequirement],
+      updates: Seq[TableUpdate]): String = {
+    val o = objNode()
+    ident.foreach { id =>
+      val i = objNode()
+      val ns = arrNode(); id.namespace.foreach(ns.add)
+      i.set[ObjectNode]("namespace", ns)
+      i.put("name", id.name)
+      o.set[ObjectNode]("identifier", i)
+    }
+    val reqs = arrNode(); requirements.foreach(r => reqs.add(requirementToJson(r)))
+    o.set[ObjectNode]("requirements", reqs)
+    val ups = arrNode(); updates.foreach(u => ups.add(updateToJson(u)))
+    o.set[ObjectNode]("updates", ups)
+    render(o)
+  }
+
   def requirementFromJson(n: JsonNode): Either[CatalogError, TableRequirement] = {
     import TableRequirement._
     def int(name: String) = requireField(n, name).map(_.asInt())

