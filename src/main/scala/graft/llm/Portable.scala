@@ -36,4 +36,17 @@ object Portable {
 
   def hDuckSeeded(seed: String, e: String): String =
     hDuck(s"(($seed)::VARCHAR || '|' || ($e))")
+
+  /** JVM twin of [[hSpark]]/[[hDuck]] — same 60-bit md5 value. Used to
+    * PRECOMPUTE row-independent pseudo-random quantities (LSH
+    * hyperplanes) on the driver and inline them as literals in both
+    * engines' queries: the per-row md5 work disappears from the data
+    * plane entirely, and cross-engine agreement becomes trivial (both
+    * sides read the same constants). */
+  def h(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
 }

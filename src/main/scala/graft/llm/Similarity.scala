@@ -94,51 +94,89 @@ object Similarity {
   }
 
   // --------------------------------------------------------- LSH bits
-  /** Spark: b-bit random-hyperplane signature of `embedding`. */
-  private val sigS: String = {
-    val hp = hSpark("concat('hp', cast(j as string), '_', cast(i as string))")
+  private val DIM = 64 // embeddings table vector dimension (TESTDATA.md)
+
+  /** Hyperplane coefficient m,i — row-independent, so computed ONCE on
+    * the driver via the same portable hash and inlined as literals in
+    * both engines (w_m[i] = H("hp"+m+"_"+i) mod 2001 - 1000; identical
+    * values to the former per-row in-engine evaluation, md5 cost gone
+    * from the data plane). */
+  private def w(m: Int, i: Int): Long = Portable.h(s"hp${m}_${i}") % 2001 - 1000
+
+  /** Flattened literal hyperplane matrix covering `ms` planes: entry
+    * (m, i) at 1-based index m*DIM + i. */
+  private def wLitSpark(ms: Int): String =
+    (0 until ms).flatMap(m => (1 to DIM).map(i => s"${w(m, i)}.0D"))
+      .mkString("array(", ",", ")")
+  private def wLitDuck(ms: Int): String =
+    (0 until ms).flatMap(m => (1 to DIM).map(i => s"${w(m, i)}.0"))
+      .mkString("[", ",", "]")
+
+  /** Spark: b-bit signature from planes m0..m0+b-1 of matrix `wArr`. */
+  private def sigS(wArr: String, m0: String, b: Int): String = {
     val dotJ =
-      s"""aggregate(sequence(1, size(embedding)), cast(0 as double),
-         |  (a, i) -> a + cast(($hp % 2001) - 1000 as double) * cast(element_at(embedding, i) as double))""".stripMargin
-    s"""aggregate(sequence(0, ${LSH_BITS - 1}), cast(0 as bigint),
+      s"""aggregate(sequence(1, $DIM), cast(0 as double),
+         |  (a, i) -> a + element_at($wArr, ($m0 + j) * $DIM + i) * cast(element_at(embedding, i) as double))""".stripMargin
+    s"""aggregate(sequence(0, ${b - 1}), cast(0 as bigint),
        |  (acc, j) -> acc + if($dotJ >= 0, shiftleft(cast(1 as bigint), j), cast(0 as bigint)))""".stripMargin
   }
 
-  /** DuckDB twin of [[sigS]]. */
-  private val sigD: String = {
-    val hp = hDuck("('hp' || j::VARCHAR || '_' || i::VARCHAR)")
+  /** DuckDB twin of [[sigS]] (lists are 1-indexed in both engines, so
+    * the indexing expression is shared verbatim). */
+  private def sigD(wArr: String, m0: String, b: Int): String = {
     val dotJ =
-      s"""list_reduce(list_transform(range(1, len(embedding) + 1),
-         |  i -> (($hp % 2001) - 1000)::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y)""".stripMargin
-    s"""CAST(list_sum(list_transform(range(0, $LSH_BITS),
+      s"""list_reduce(list_transform(range(1, $DIM + 1),
+         |  i -> ($wArr)[($m0 + j) * $DIM + i] * embedding[i]::DOUBLE), (x, y) -> x + y)""".stripMargin
+    s"""CAST(list_sum(list_transform(range(0, $b),
        |  j -> CASE WHEN $dotJ >= 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT)""".stripMargin
   }
 
   /** Bucket occupancy histogram — the data-layout view of the index
-    * (bucket id is the IVF partition key at scale). */
+    * (bucket id is the IVF partition key at scale). Single 6-bit table;
+    * values identical to the pre-literal formulation. */
   def qAnnLshBuckets(s: SparkSession, dir: String): DataFrame =
     load(s, dir, "embeddings")
-      .selectExpr(s"$sigS as bucket")
+      .selectExpr(s"${sigS(wLitSpark(LSH_BITS), "0", LSH_BITS)} as bucket")
       .groupBy("bucket")
       .agg(org.apache.spark.sql.functions.expr("count(*) as n_vectors"))
       .orderBy("bucket")
 
   val qAnnLshBucketsSql: String =
-    s"""SELECT $sigD AS bucket, COUNT(*) AS n_vectors
+    s"""SELECT ${sigD(wLitDuck(LSH_BITS), "0", LSH_BITS)} AS bucket, COUNT(*) AS n_vectors
        |FROM embeddings
        |GROUP BY 1
        |ORDER BY bucket""".stripMargin
 
-  /** ANN: top-3 by exact cosine among same-bucket candidates for each
-    * query vector (vec_id < 5) — bucket equi-join, then the bounded
-    * top-k aggregate. The approximate answer; recall vs [[qKnnBruteForce]]
-    * is the quality metric (asserted in ScalaTest). */
+  /** Multi-table LSH parameters: L tables of B bits. One table has
+    * per-neighbor hit probability p = agreement^B; L independent tables
+    * lift recall to 1-(1-p)^L while candidates stay ~L/2^B of the
+    * corpus per query (vs 1.0 for brute force). Tune B up / L with
+    * corpus size; recall@3 vs brute force is pinned in SimilaritySpec. */
+  private val ANN_TABLES = 8
+  private val ANN_BITS = 5
+
+  /** ANN: top-3 by exact cosine among candidates that share ANY of the
+    * L per-table buckets with the query (vec_id < 5) — (table, bucket)
+    * equi-join, pair-dedup, then the bounded top-k aggregate. */
   def qAnnLshTopK(s: SparkSession, dir: String): DataFrame = {
-    val emb = load(s, dir, "embeddings").selectExpr("vec_id", "embedding", s"$sigS as bucket")
-    val queries = emb.filter("vec_id < 5")
-      .selectExpr("vec_id as query_id", "embedding as q_emb", "bucket")
-    emb.join(broadcast(queries), "bucket")
+    val wArr = wLitSpark(ANN_TABLES * ANN_BITS)
+    val bucketsExpr =
+      s"""transform(sequence(0, ${ANN_TABLES - 1}),
+         |  t -> ${sigS(wArr, s"t * $ANN_BITS", ANN_BITS)})""".stripMargin
+    val emb = load(s, dir, "embeddings")
+    val sig = emb.selectExpr("vec_id", s"$bucketsExpr as buckets")
+      .selectExpr("vec_id", "posexplode(buckets) as (t, bucket)")
+    val qsig = sig.filter("vec_id < 5")
+      .selectExpr("vec_id as query_id", "t", "bucket")
+    val candidates = sig.join(broadcast(qsig), Seq("t", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id")
+      .distinct()
+    val queries = emb.filter("vec_id < 5")
+      .selectExpr("vec_id as query_id", "embedding as q_emb")
+    candidates
+      .join(emb, "vec_id")
+      .join(broadcast(queries), "query_id")
       .selectExpr("query_id", "vec_id", s"${cosS("q_emb", "embedding")} as cosine")
       .groupBy("query_id")
       .agg(TopK.topK(3, knnSchema)(col("cosine"), col("vec_id")).as("top"))
@@ -149,13 +187,24 @@ object Similarity {
   }
 
   val qAnnLshTopKSql: String = {
+    val wArr = wLitDuck(ANN_TABLES * ANN_BITS)
     val cos = cosD("q.q_emb", "e.embedding")
-    s"""WITH sig AS (SELECT vec_id, embedding, $sigD AS bucket FROM embeddings),
-       |q AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket FROM sig WHERE vec_id < 5),
+    s"""WITH w AS (SELECT $wArr AS wm),
+       |sig AS (
+       |  SELECT vec_id, t, ${sigD("w.wm", s"t * $ANN_BITS", ANN_BITS)} AS bucket
+       |  FROM embeddings CROSS JOIN w
+       |       CROSS JOIN (SELECT unnest(range(0, $ANN_TABLES)) AS t) ts),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, e.vec_id
+       |  FROM sig e JOIN (SELECT * FROM sig WHERE vec_id < 5) q
+       |    ON e.t = q.t AND e.bucket = q.bucket
+       |  WHERE e.vec_id <> q.vec_id),
        |scored AS (
-       |  SELECT q.query_id, e.vec_id, $cos AS cosine
-       |  FROM sig e JOIN q USING (bucket)
-       |  WHERE e.vec_id <> q.query_id),
+       |  SELECT c.query_id, c.vec_id, $cos AS cosine
+       |  FROM cand c
+       |  JOIN embeddings e ON c.vec_id = e.vec_id
+       |  JOIN (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+       |        WHERE vec_id < 5) q ON c.query_id = q.query_id),
        |ranked AS (
        |  SELECT query_id, vec_id, cosine,
        |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank

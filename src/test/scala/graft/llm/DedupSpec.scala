@@ -1,0 +1,73 @@
+package graft.llm
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** LSH structural invariants (the DuckDB oracle pins the VALUES; these
+  * pin the properties that make the algorithm correct at scale). */
+class DedupSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("exact duplicates share the band key in ALL bands") {
+    import spark.implicits._
+    val texts = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog today",
+      2L -> "the quick brown fox jumps over the lazy dog today", // exact dup of 1
+      3L -> "an entirely different document about spark catalyst internals and shuffles",
+      4L -> "the quick brown fox jumps over the lazy dog yesterday") // near-dup of 1
+    val docs = texts.toDF("id", "text")
+      .selectExpr("id", "split(lower(text), ' ') as toks")
+    val bands = Dedup.bandsOf(Dedup.shingleRows(docs))
+
+    val shared = bands.as("x").join(bands.as("y"),
+      $"x.b" === $"y.b" && $"x.k" === $"y.k" && $"x.id" < $"y.id")
+      .groupBy($"x.id".as("a"), $"y.id".as("b"))
+      .count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+    // exact dup pair (1,2): all bands agree — NEVER missed by LSH
+    assert(shared((1L, 2L)) === Dedup.NumBands.toLong)
+    // unrelated docs share no band
+    assert(!shared.contains((1L, 3L)) && !shared.contains((2L, 3L)))
+  }
+
+  test("hot-bucket cap bounds pair explosion from boilerplate text") {
+    import spark.implicits._
+    // 300 identical boilerplate docs (one mega-bucket in every band)
+    // plus one small near-dup cluster in cold buckets
+    val boiler = (1L to 300L).map(i =>
+      i -> "subscribe to our newsletter for updates terms of service apply always")
+    val cluster = Seq(
+      9001L -> "catalyst optimizes logical plans into efficient physical plans with codegen",
+      9002L -> "catalyst optimizes logical plans into efficient physical plans with codegen")
+    val docs = (boiler ++ cluster).toDF("id", "text")
+      .selectExpr("id", "split(lower(text), ' ') as toks")
+    val sh = Dedup.shingleRows(docs)
+
+    // uncapped: the mega-bucket explodes quadratically (300·299/2 pairs)
+    val uncapped = Dedup.candidatePairs(sh, maxBucket = Int.MaxValue).count()
+    assert(uncapped === (300L * 299 / 2) + 1)
+
+    // capped: boilerplate bucket dropped, the true pair in cold buckets
+    // is untouched
+    val capped = Dedup.candidatePairs(sh, maxBucket = 100).collect()
+    assert(capped.length === 1)
+    assert((capped.head.getLong(0), capped.head.getLong(1)) === (9001L, 9002L))
+    assert(capped.head.getLong(2) === Dedup.NumBands.toLong)
+  }
+
+  test("near-dup pairs from the corpus derivation survive the verify join") {
+    // the sf0.001 corpus derives near-copies of every 7th doc: those
+    // pairs must be found with jaccard >= 0.5 and id_b = id_a + 2000000
+    val out = Dedup.qDedupMinhashLsh(spark, sf).collect()
+    assert(out.nonEmpty)
+    val derived = out.filter(r => r.getLong(1) == r.getLong(0) + 2000000L)
+    assert(derived.nonEmpty)
+    // every reported pair passed the exact-Jaccard threshold
+    assert(out.forall(_.getDouble(3) >= 0.5))
+    // band counts never exceed the number of bands
+    assert(out.forall(r => r.getLong(2) >= 1 && r.getLong(2) <= Dedup.NumBands))
+  }
+}

@@ -1,0 +1,40 @@
+package graft.llm
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ANN quality gate: recall of the LSH top-k against the exact
+  * brute-force top-k (the assertion [[Similarity]]'s scaladoc promises).
+  */
+class SimilaritySpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("ANN LSH recall@3 vs brute force is above floor; scores are exact") {
+    val exact = Similarity.qKnnBruteForce(spark, sf).collect()
+      .filter(_.getInt(1) <= 3)
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ann = Similarity.qAnnLshTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+
+    assert(exact.nonEmpty)
+    val recall = (exact & ann).size.toDouble / exact.size
+    // 6-bit signatures give one 64th of the corpus as candidates; the
+    // same-bucket prefilter must still recover a solid share of the true
+    // top-3. Floor set below observed (deterministic) recall so the test
+    // pins quality without flaking on portable-hash changes.
+    assert(recall >= 0.4, s"recall@3 = $recall")
+  }
+
+  test("ANN candidates come only from the query's bucket (never all-pairs)") {
+    // structural: every ANN result pair shares the LSH bucket by
+    // construction of the equi-join; verify against the bucket histogram
+    val buckets = Similarity.qAnnLshBuckets(spark, sf).collect()
+    val total = buckets.map(_.getLong(1)).sum
+    assert(buckets.length > 1, "degenerate: all vectors in one bucket")
+    // no single bucket holds the whole corpus — the prefilter actually
+    // partitions the space (quality of the hyperplane hash)
+    assert(buckets.map(_.getLong(1)).max < total)
+  }
+}
