@@ -69,10 +69,31 @@ final case class TableChange(
   * requirements are asserted against current metadata INSIDE the commit
   * critical section so optimistic-concurrency losers observe a 409.
   */
+/** S3 access credential vended to the signer (reference §1.4: stored
+  * encrypted; encryption is a backend concern behind this trait). */
+final case class S3Credential(accessKeyId: String, secretAccessKey: String)
+
+/** Pluggable secret storage (reference `SecretStore` trait,
+  * service/secrets.rs; Postgres pgcrypto impl there). */
+trait SecretStore {
+  def putS3Credential(warehouseId: UUID, cred: S3Credential): Unit
+  def getS3Credential(warehouseId: UUID): Option[S3Credential]
+  def deleteS3Credential(warehouseId: UUID): Unit
+}
+
+final class InMemorySecretStore extends SecretStore {
+  private val secrets = new java.util.concurrent.ConcurrentHashMap[UUID, S3Credential]()
+  def putS3Credential(warehouseId: UUID, cred: S3Credential): Unit =
+    secrets.put(warehouseId, cred)
+  def getS3Credential(warehouseId: UUID): Option[S3Credential] =
+    Option(secrets.get(warehouseId))
+  def deleteS3Credential(warehouseId: UUID): Unit = secrets.remove(warehouseId)
+}
+
 trait CatalogStore {
   // ---- management surface (§2.2)
-  def createWarehouse(projectId: UUID, name: String, location: String)
-      : Either[CatalogError, Warehouse]
+  def createWarehouse(projectId: UUID, name: String, location: String,
+      properties: Map[String, String] = Map.empty): Either[CatalogError, Warehouse]
   def listWarehouses(projectId: UUID, includeInactive: Boolean = false): Seq[Warehouse]
   def getWarehouse(id: UUID): Either[CatalogError, Warehouse]
   def warehouseByName(projectId: UUID, name: String): Either[CatalogError, Warehouse]
@@ -125,6 +146,11 @@ trait CatalogStore {
     * swapped together, or nothing at all. */
   def commitTransaction(wh: UUID, changes: Seq[TableChange], timestampMs: Long)
       : Either[CatalogError, Seq[TableRecord]]
+
+  /** Reverse lookup for the S3 signer: the table whose location is a
+    * prefix of `location` (longest match; staged excluded) — reference
+    * LIKE-prefix query postgres/table.rs:430-505. */
+  def tableByLocation(wh: UUID, location: String): Either[CatalogError, TableRecord]
 }
 
 /** In-memory store for dev/tests. One global monitor plays the role of
@@ -152,19 +178,20 @@ final class InMemoryCatalogStore extends CatalogStore {
   private val MaxNamespaceDepth = 1
 
   // ------------------------------------------------------- management
-  def createWarehouse(projectId: UUID, name: String, location: String)
-      : Either[CatalogError, Warehouse] = lock.synchronized {
-    if (name.trim.isEmpty) Left(badRequest("warehouse name cannot be empty"))
-    else if (warehouses.values.exists(w => w.projectId == projectId && w.name == name))
-      Left(conflict("WarehouseAlreadyExists",
-        s"warehouse $name already exists in project $projectId"))
-    else {
-      val w = Warehouse(UUID.randomUUID(), projectId, name,
-        location.stripSuffix("/"), active = true)
-      warehouses += w.id -> w
-      Right(w)
+  def createWarehouse(projectId: UUID, name: String, location: String,
+      properties: Map[String, String]): Either[CatalogError, Warehouse] =
+    lock.synchronized {
+      if (name.trim.isEmpty) Left(badRequest("warehouse name cannot be empty"))
+      else if (warehouses.values.exists(w => w.projectId == projectId && w.name == name))
+        Left(conflict("WarehouseAlreadyExists",
+          s"warehouse $name already exists in project $projectId"))
+      else {
+        val w = Warehouse(UUID.randomUUID(), projectId, name,
+          location.stripSuffix("/"), active = true, properties)
+        warehouses += w.id -> w
+        Right(w)
+      }
     }
-  }
 
   def listWarehouses(projectId: UUID, includeInactive: Boolean): Seq[Warehouse] =
     lock.synchronized {
@@ -495,4 +522,15 @@ final class InMemoryCatalogStore extends CatalogStore {
       Right(results.map(_._2))
     }
   }
+
+  def tableByLocation(wh: UUID, location: String): Either[CatalogError, TableRecord] =
+    lock.synchronized {
+      activeWarehouse(wh).flatMap { _ =>
+        tables.collect {
+          case ((`wh`, _), rec)
+            if !rec.staged && location.startsWith(rec.tableLocation) => rec
+        }.toSeq.sortBy(-_.tableLocation.length).headOption
+          .toRight(notFound("TableNotFound", s"no table owns location $location"))
+      }
+    }
 }

@@ -19,7 +19,14 @@ object MetadataIO {
     if (location.startsWith("file:")) Paths.get(java.net.URI.create(location))
     else Paths.get(location)
 
+  /** Only `file:`/bare-path locations are writable here; for object
+    * stores (s3://…) the authoritative copy is the store row and the
+    * mirror write is the FileIO backend's job — no-op locally. */
+  def isLocal(location: String): Boolean =
+    location.startsWith("file:") || !location.contains("://")
+
   def write(location: String, metadata: TableMetadata): Unit = {
+    if (!isLocal(location)) return
     val path = toPath(location)
     Files.createDirectories(path.getParent)
     val out = new GZIPOutputStream(

@@ -22,7 +22,8 @@ final class CatalogServer(
     store: CatalogStore,
     defaultProjectId: UUID,
     port: Int = 0,
-    clock: () => Long = () => System.currentTimeMillis()) {
+    clock: () => Long = () => System.currentTimeMillis(),
+    secrets: SecretStore = new InMemorySecretStore) {
 
   private val server: HttpServer = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   server.setExecutor(Executors.newFixedThreadPool(16))
@@ -201,6 +202,10 @@ final class CatalogServer(
           ok(ex, RestCodecs.renameTableRequest(readBody(ex)).flatMap(r =>
             store.renameTable(wh, r.source, r.destination)))(_ => "")
         }
+      // -- S3 remote signing (§2.1 #19 / §2.4)
+      case ("POST", prefix :: "v1" :: "aws" :: "s3" :: "sign" :: Nil) =>
+        withWh(ex, prefix)(wh => ok(ex, signS3Request(wh, readBody(ex)))(identity))
+
       case ("POST", prefix :: "transactions" :: "commit" :: Nil) =>
         withWh(ex, prefix) { wh =>
           ok(ex, RestCodecs.commitTransactionRequest(readBody(ex)).flatMap { changes =>
@@ -226,6 +231,73 @@ final class CatalogServer(
       case Left(e) => respondError(ex, e)
       case Right(id) => f(id)
     }
+
+  /** Only these request headers participate in signing (reference
+    * s3_signer.rs:25-32 whitelist). */
+  private val SignableHeaders = Set(
+    "amz-sdk-invocation-id", "amz-sdk-request", "content-length",
+    "content-type", "expect", "host")
+
+  /** POST /:prefix/v1/aws/s3/sign — §2.4: resolve the table by request
+    * location, enforce verb/region/URI rules, then SigV4-sign with the
+    * warehouse credential. Data still flows directly to storage; only
+    * the signature transits the catalog. */
+  private def signS3Request(wh: UUID, body: String): Either[CatalogError, String] = {
+    import S3SignerValidation._
+    import scala.jdk.CollectionConverters._
+    for {
+      n <- RestCodecs.parse(body)
+      method <- Option(n.get("method")).filter(!_.isNull).map(_.asText())
+        .toRight(CatalogError.badRequest("missing field: method"))
+      region <- Option(n.get("region")).filter(!_.isNull).map(_.asText())
+        .toRight(CatalogError.badRequest("missing field: region"))
+      uriStr <- Option(n.get("uri")).filter(!_.isNull).map(_.asText())
+        .toRight(CatalogError.badRequest("missing field: uri"))
+      uri = java.net.URI.create(uriStr)
+      _ <- methodAccess(method) // read ⇒ load rights, write ⇒ commit rights (AllowAll authz)
+      warehouse <- store.getWarehouse(wh)
+      profile = S3Profile(
+        bucket = warehouse.properties.getOrElse("s3.bucket", ""),
+        region = warehouse.properties.getOrElse("s3.region", ""),
+        endpoint = warehouse.properties.get("s3.endpoint"))
+      _ <- validateRegion(region, profile)
+      loc <- parseS3UrlToLocation(uri)
+      rec <- store.tableByLocation(wh, loc)
+      _ <- validateUri(uri, rec.tableLocation, profile)
+      decoded <- partiallyDecodePath(uri)
+      cred <- secrets.getS3Credential(wh).toRight(CatalogError(404,
+        "CredentialNotFound", s"no S3 credential stored for warehouse $wh"))
+    } yield {
+      val requestHeaders: Map[String, Seq[String]] =
+        Option(n.get("headers")).filter(!_.isNull).map(h =>
+          h.properties().asScala.map { e =>
+            val vs = if (e.getValue.isArray)
+              e.getValue.elements().asScala.map(_.asText()).toSeq
+            else Seq(e.getValue.asText())
+            e.getKey.toLowerCase -> vs
+          }.toMap).getOrElse(Map.empty)
+      val payloadHash = Option(n.get("body")).filter(!_.isNull)
+        .map(b => SigV4.sha256Hex(b.asText())).getOrElse("UNSIGNED-PAYLOAD")
+      val toSign = requestHeaders.view.filterKeys(SignableHeaders).toMap ++
+        Map(
+          "host" -> Seq(Option(uri.getAuthority).getOrElse("")),
+          "x-amz-content-sha256" -> Seq(payloadHash))
+      val signed = SigV4.sign(method, decoded, toSign, payloadHash,
+        cred.accessKeyId, cred.secretAccessKey, region, "s3",
+        java.time.Instant.ofEpochMilli(clock()))
+      val o = graft.core.JsonCodecs.mapperRef.createObjectNode()
+      o.put("uri", decoded.toString)
+      val hs = graft.core.JsonCodecs.mapperRef.createObjectNode()
+      (signed.signedHeaders + ("authorization" -> Seq(signed.authorization)))
+        .toSeq.sortBy(_._1).foreach { case (k, vs) =>
+          val arr = graft.core.JsonCodecs.mapperRef.createArrayNode()
+          vs.foreach(arr.add)
+          hs.set[com.fasterxml.jackson.databind.node.ObjectNode](k, arr)
+        }
+      o.set[com.fasterxml.jackson.databind.node.ObjectNode]("headers", hs)
+      RestCodecs.render(o)
+    }
+  }
 
   /** `?warehouse=` grammar: `[project_uuid/]warehouse_name`, or a bare
     * warehouse UUID (reference catalog/config.rs:145-177). */
@@ -253,9 +325,33 @@ final class CatalogServer(
             location <- field("location")
             projectId = Option(n.get("project-id")).filter(!_.isNull)
               .map(p => UUID.fromString(p.asText())).getOrElse(defaultProjectId)
-            w <- store.createWarehouse(projectId, name, location)
+            // optional storage-profile {region, endpoint, bucket} kept as
+            // warehouse properties; consumed by the S3 signer
+            props = Option(n.get("storage-profile")).filter(!_.isNull).map { sp =>
+              Seq("region", "endpoint", "bucket").flatMap(k =>
+                Option(sp.get(k)).filter(!_.isNull).map(v => s"s3.$k" -> v.asText())).toMap
+            }.getOrElse(Map.empty[String, String])
+            w <- store.createWarehouse(projectId, name, location, props)
+            _ = Option(n.get("storage-credential")).filter(!_.isNull).foreach { c =>
+              secrets.putS3Credential(w.id, S3Credential(
+                c.get("access-key-id").asText(), c.get("secret-access-key").asText()))
+            }
           } yield w
         })(RestCodecs.warehouseResponse)
+      case ("POST", "warehouse" :: id :: "storage-credential" :: Nil) =>
+        withWh(ex, id) { w =>
+          ok(ex, RestCodecs.parse(readBody(ex)).flatMap { n =>
+            (for {
+              ak <- Option(n.get("access-key-id")).filter(!_.isNull).map(_.asText())
+              sk <- Option(n.get("secret-access-key")).filter(!_.isNull).map(_.asText())
+            } yield S3Credential(ak, sk))
+              .toRight(CatalogError.badRequest(
+                "access-key-id and secret-access-key are required"))
+              .flatMap(c => store.getWarehouse(w).map { _ =>
+                secrets.putS3Credential(w, c); ""
+              })
+          })(identity)
+        }
       case ("GET", "warehouse" :: Nil) =>
         val params = queryParams(ex)
         val projectId = params.get("project-id").map(UUID.fromString)

@@ -232,6 +232,52 @@ class CatalogServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(get(s"/catalog/v1/$whId/namespaces").statusCode() === 404)
   }
 
+  test("S3 sign endpoint: verb/region/URI rules + SigV4 over HTTP") {
+    // dedicated warehouse with an s3:// location, storage profile, creds
+    val created = post("/management/v1/warehouse",
+      s"""{"warehouse-name":"s3wh","location":"s3://data-bucket/wh",
+         |"project-id":"$project",
+         |"storage-profile":{"region":"eu-central-1","bucket":"data-bucket"},
+         |"storage-credential":{"access-key-id":"AK","secret-access-key":"SK"}}""".stripMargin)
+    assert(created.statusCode() === 200, created.body())
+    val p = json(created.body()).get("id").asText()
+    assert(post(s"/catalog/v1/$p/namespaces", """{"namespace":["ns"]}""").statusCode() === 200)
+    val t = post(s"/catalog/v1/$p/namespaces/ns/tables",
+      s"""{"name":"t","schema":$schemaJson}""")
+    assert(t.statusCode() === 200, t.body())
+    val tableLocation = json(t.body()).get("metadata").get("location").asText()
+    assert(tableLocation.startsWith("s3://data-bucket/wh/"))
+    val key = tableLocation.stripPrefix("s3://data-bucket/")
+
+    def sign(method: String, uri: String, region: String = "eu-central-1") =
+      post(s"/catalog/v1/$p/v1/aws/s3/sign",
+        s"""{"method":"$method","region":"$region","uri":"$uri","headers":{"Content-Length":["42"]}}""")
+
+    // valid write request under the table location (virtual-host style)
+    val ok1 = sign("PUT", s"https://data-bucket.s3.eu-central-1.amazonaws.com/$key/data/f.parquet")
+    assert(ok1.statusCode() === 200, ok1.body())
+    val auth = json(ok1.body()).get("headers").get("authorization").get(0).asText()
+    assert(auth.startsWith("AWS4-HMAC-SHA256 Credential=AK/"))
+    assert(auth.contains("/eu-central-1/s3/aws4_request"))
+    assert(json(ok1.body()).get("headers").has("x-amz-date"))
+    // path-style with a DOTTED endpoint host cannot be reverse-parsed
+    // to a location (first label would be taken as the bucket) — the
+    // reference documents the same limitation for its lookup-by-location
+    // path (s3_signer.rs parse_s3_url_to_location doc); must NOT sign
+    assert(sign("GET", s"https://s3.eu-central-1.amazonaws.com/data-bucket/$key/data/f.parquet")
+      .statusCode() === 404)
+    // foreign location → 404 (no owning table) or 403 — must not sign
+    assert(sign("PUT", "https://data-bucket.s3.eu-central-1.amazonaws.com/other/key")
+      .statusCode() === 404)
+    // wrong region → 400
+    assert(sign("PUT",
+      s"https://data-bucket.s3.eu-central-1.amazonaws.com/$key/f", region = "us-east-1")
+      .statusCode() === 400)
+    // disallowed verb → 405
+    assert(sign("PATCH", s"https://data-bucket.s3.eu-central-1.amazonaws.com/$key/f")
+      .statusCode() === 405)
+  }
+
   test("uniform error envelope carries message/type/code") {
     val err = get(s"/catalog/v1/$prefix/namespaces/ghost")
     assert(err.statusCode() === 404)
