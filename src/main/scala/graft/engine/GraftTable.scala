@@ -40,14 +40,7 @@ final class GraftTable(
     * requires empty scans to work. */
   def scan(spark: SparkSession, selector: Selector = CurrentMain): DataFrame = {
     val m = metadata
-    val snap = selector match {
-      case CurrentMain => m.currentSnapshot
-      case AtRef(name) => Some(m.snapshotFor(name).getOrElse(
-        throw CatalogError.notFound("RefNotFound", s"ref $name not found")))
-      case AtSnapshot(id) => Some(m.snapshots.getOrElse(id,
-        throw CatalogError.notFound("SnapshotNotFound", s"snapshot $id not found")))
-    }
-    snap match {
+    resolveSnapshot(m, selector) match {
       case None => emptyDf(spark, m.currentSchema)
       case Some(s) =>
         // time travel reads with the SNAPSHOT's schema, not the current
@@ -60,6 +53,80 @@ final class GraftTable(
 
   private def emptyDf(spark: SparkSession, schema: Schema): DataFrame =
     spark.createDataFrame(new java.util.ArrayList[Row](), SchemaBridge.toSpark(schema))
+
+  private def resolveSnapshot(m: TableMetadata, selector: Selector): Option[Snapshot] =
+    selector match {
+      case CurrentMain => m.currentSnapshot
+      case AtRef(name) => Some(m.snapshotFor(name).getOrElse(
+        throw CatalogError.notFound("RefNotFound", s"ref $name not found")))
+      case AtSnapshot(id) => Some(m.snapshots.getOrElse(id,
+        throw CatalogError.notFound("SnapshotNotFound", s"snapshot $id not found")))
+    }
+
+  /** Plan-time file listing for a snapshot (what a distributed scan
+    * would hand to the scheduler). */
+  def planFiles(selector: Selector = CurrentMain): Seq[Manifests.DataFile] =
+    resolveSnapshot(metadata, selector)
+      .map(s => Manifests.read(s.manifestList)).getOrElse(Nil)
+
+  /** Partition-pruned snapshot scan: only data files whose partition
+    * tuple passes `keep` are read — the manifest prune happens at plan
+    * time on the driver, so a selective partition predicate touches a
+    * fraction of the files regardless of table size (the 100 TB lever).
+    */
+  def scanPruned(
+      spark: SparkSession,
+      keep: Map[String, String] => Boolean,
+      selector: Selector = CurrentMain): DataFrame = {
+    val m = metadata
+    val snap = resolveSnapshot(m, selector)
+    val schema = snap.flatMap(_.schemaId).flatMap(m.schemas.get).getOrElse(m.currentSchema)
+    val files = snap.map(s => Manifests.read(s.manifestList)).getOrElse(Nil)
+      .filter(f => keep(f.partition))
+    if (files.isEmpty) emptyDf(spark, schema)
+    else spark.read.schema(SchemaBridge.toSpark(schema))
+      .parquet(files.map(_.path): _*)
+  }
+
+  /** Metadata tables: `.files`, `.partitions`, `.refs`, `.snapshots`,
+    * `.history` (reference test_spark.py:149-357 surface). Driver-side
+    * metadata, same as Iceberg's metadata tables. */
+  def metadataTable(spark: SparkSession, name: String): DataFrame = {
+    import spark.implicits._
+    val m = metadata
+    name match {
+      case "files" =>
+        planFiles().map(f => (f.path, f.sizeBytes, f.recordCount,
+          f.partition.toSeq.sortBy(_._1).map(kv => s"${kv._1}=${kv._2}").mkString("/")))
+          .toDF("file_path", "file_size_in_bytes", "record_count", "partition")
+      case "partitions" =>
+        planFiles().groupBy(_.partition).toSeq
+          .map { case (p, fs) =>
+            (p.toSeq.sortBy(_._1).map(kv => s"${kv._1}=${kv._2}").mkString("/"),
+              fs.size.toLong, fs.map(_.recordCount).sum)
+          }
+          .sortBy(_._1)
+          .toDF("partition", "file_count", "record_count")
+      case "refs" =>
+        m.refs.toSeq.sortBy(_._1).map { case (n, r) =>
+          (n, r.refType, r.snapshotId, r.minSnapshotsToKeep, r.maxSnapshotAgeMs, r.maxRefAgeMs)
+        }.toDF("name", "type", "snapshot_id", "min_snapshots_to_keep",
+          "max_snapshot_age_in_ms", "max_reference_age_in_ms")
+      case "snapshots" =>
+        m.snapshots.values.toSeq.sortBy(_.sequenceNumber).map(s =>
+          (new java.sql.Timestamp(s.timestampMs), s.snapshotId, s.parentSnapshotId,
+            s.sequenceNumber, s.summary.getOrElse("operation", ""), s.manifestList))
+          .toDF("committed_at", "snapshot_id", "parent_id", "sequence_number",
+            "operation", "manifest_list")
+      case "history" =>
+        m.snapshotLog.map(e =>
+          (new java.sql.Timestamp(e.timestampMs), e.snapshotId,
+            m.currentSnapshotId.contains(e.snapshotId)))
+          .toDF("made_current_at", "snapshot_id", "is_current_ancestor")
+      case other =>
+        throw CatalogError.badRequest(s"unknown metadata table: $other")
+    }
+  }
 
   // ------------------------------------------------------------- writes
   /** INSERT INTO: append a new snapshot on `branch` (copy-on-write:
@@ -180,20 +247,59 @@ final class GraftTable(
   }
 
   // --------------------------------------------------------- data files
-  /** Write df as parquet under a fresh data/ subdirectory and inventory
-    * the produced files (path, bytes, rows from parquet footers — a
-    * driver-side metadata read, no data scan). */
+  /** Internal directory prefix for partition dirs, so derived partition
+    * columns never collide with data columns (data files keep EVERY
+    * source column; partition values live in the manifest). */
+  private val PartDirPrefix = "__p_"
+
+  /** Write df as parquet under a fresh data/ subdirectory — partitioned
+    * by the table's default spec when one is set (partition values
+    * derived per row by codegen'd transform expressions, incl. the
+    * native bucket expression) — and inventory the produced files
+    * (path, bytes, rows from parquet footers, partition tuple from the
+    * directory layout; a driver-side metadata read, no data scan). */
   private def writeDataFiles(df: DataFrame): Seq[Manifests.DataFile] = {
-    val location = metadata.location
-    val dataDir = s"$location/data/${UUID.randomUUID()}"
-    df.write.parquet(dataDir)
+    val m = metadata
+    val spec = m.defaultSpec
+    val dataDir = s"${m.location}/data/${UUID.randomUUID()}"
+    if (spec.isUnpartitioned) df.write.parquet(dataDir)
+    else {
+      val pcols = PartitionExprs.partitionColumns(spec, m.currentSchema, df.col)
+        .zip(spec.fields)
+        .map { case (c, f) => c.as(s"$PartDirPrefix${f.name}") }
+      df.select(df.columns.map(col).toSeq ++ pcols: _*)
+        .write
+        .partitionBy(spec.fields.map(f => s"$PartDirPrefix${f.name}"): _*)
+        .parquet(dataDir)
+    }
     val dir = graft.catalog.MetadataIO.toPath(dataDir)
     Files.walk(dir).iterator().asScala
       .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
-      .map(p => Manifests.DataFile(
-        p.toUri.toString, Files.size(p), parquetRowCount(p)))
+      .map { p =>
+        val partition = dir.relativize(p).iterator().asScala.map(_.toString)
+          .filter(_.contains("=")).map { seg =>
+            val Array(k, v) = seg.split("=", 2)
+            k.stripPrefix(PartDirPrefix) -> unescapePathName(v)
+          }.toMap
+        Manifests.DataFile(p.toString, Files.size(p), parquetRowCount(p), partition)
+      }
       .toVector
       .sortBy(_.path)
+  }
+
+  /** Hive-style %XX path unescape (what partitionBy writes for special
+    * characters in partition values). */
+  private def unescapePathName(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 3 <= s.length) {
+        try { sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar); i += 3 }
+        catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   private def parquetRowCount(p: Path): Long = {

@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Minimal bridge into `private[sql]` surface: Column ⇄ Expression for
+  * libraries defining native Catalyst expressions (the conventional
+  * extension-library shim; Spark 4 keeps these behind
+  * classic.ExpressionUtils). */
+object GraftShims {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -171,6 +171,96 @@ class SurfaceBSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(current.schema.fieldNames.contains("flag") || current.count() === 2)
   }
 
+  test("partitioned writes: identity + bucket + day derive per-file tuples") {
+    import spark.implicits._
+    val ident = TableIdent(Seq("db"), "t_part")
+    val pschema = Schema(0, Seq(
+      NestedField.required(1, "id", TInt),
+      NestedField.required(2, "category", TString),
+      NestedField.required(3, "ts", TTimestamptz)))
+    val spec = UnboundPartitionSpec(None, Seq(
+      UnboundPartitionField(2, None, "category", Transform.Identity),
+      UnboundPartitionField(1, None, "id_bucket", Transform.Bucket(4)),
+      UnboundPartitionField(3, None, "ts_day", Transform.Day)))
+    client.createTable(prefix, ident, pschema, spec)
+    val t = new GraftTable(client, prefix, ident)
+
+    val ts1 = java.sql.Timestamp.from(java.time.Instant.parse("2017-11-16T22:31:08Z"))
+    val ts2 = java.sql.Timestamp.from(java.time.Instant.parse("2017-11-17T01:00:00Z"))
+    t.append(Seq(
+      (1, "news", ts1), (2, "news", ts1), (3, "blog", ts1), (4, "blog", ts2))
+      .toDF("id", "category", "ts"))
+
+    val files = t.planFiles()
+    assert(files.nonEmpty)
+    // every file carries the full partition tuple
+    assert(files.forall(_.partition.keySet === Set("category", "id_bucket", "ts_day")))
+    // day ordinal matches the spec vector (2017-11-16 = 17486)
+    assert(files.map(_.partition("ts_day")).toSet.subsetOf(Set("17486", "17487")))
+    // bucket values agree with the pure JVM transform
+    val bucketOf = (i: Int) => graft.core.Transform.Bucket(4)(i).toString
+    for (f <- files; id <- Seq(1, 2, 3, 4)
+         if f.partition("id_bucket") == bucketOf(id)) ()
+    // data files retain ALL source columns (partition cols are derived)
+    val all = t.scan(spark)
+    assert(all.columns.toSeq === Seq("id", "category", "ts"))
+    assert(all.count() === 4)
+
+    // partition-pruned scan reads only matching files
+    val newsFiles = files.filter(_.partition("category") == "news")
+    assert(newsFiles.nonEmpty && newsFiles.size < files.size)
+    val pruned = t.scanPruned(spark, p => p("category") == "news")
+    assert(pruned.collect().map(_.getInt(0)).toSet === Set(1, 2))
+    assert(pruned.inputFiles.length === newsFiles.size)
+
+    // .partitions metadata table aggregates per tuple
+    val parts = t.metadataTable(spark, "partitions").collect()
+    assert(parts.map(_.getLong(2)).sum === 4) // records add up
+    assert(parts.exists(_.getString(0).contains("category=news")))
+    // .files carries sizes and counts
+    val filesMeta = t.metadataTable(spark, "files").collect()
+    assert(filesMeta.length === files.size)
+    assert(filesMeta.forall(_.getLong(1) > 0))
+  }
+
+  test("special characters in partition values round-trip") {
+    import spark.implicits._
+    val ident = TableIdent(Seq("db"), "t_special")
+    val pschema = Schema(0, Seq(
+      NestedField.required(1, "id", TInt),
+      NestedField.required(2, "label", TString)))
+    val spec = UnboundPartitionSpec(None, Seq(
+      UnboundPartitionField(2, None, "label", Transform.Identity)))
+    client.createTable(prefix, ident, pschema, spec)
+    val t = new GraftTable(client, prefix, ident)
+    t.append(Seq((1, "with space"), (2, "a/slash"), (3, "colon:2020"))
+      .toDF("id", "label"))
+    val tuples = t.planFiles().map(_.partition("label")).toSet
+    assert(tuples === Set("with space", "a/slash", "colon:2020"))
+    assert(t.scanPruned(spark, _("label") == "with space")
+      .collect().map(_.getInt(0)).toSet === Set(1))
+    assert(t.scan(spark).collect().map(_.getString(1)).toSet ===
+      Set("with space", "a/slash", "colon:2020"))
+  }
+
+  test("metadata tables: refs, snapshots, history") {
+    import spark.implicits._
+    val t = table("t_meta")
+    t.append(Seq((1, "a", 1.0)).toDF("id", "strings", "floats"))
+    t.createRef("v1", SnapshotRefType.Tag)
+    t.append(Seq((2, "b", 2.0)).toDF("id", "strings", "floats"))
+
+    val refs = t.metadataTable(spark, "refs").collect()
+    assert(refs.map(_.getString(0)).toSet === Set("main", "v1"))
+    val snaps = t.metadataTable(spark, "snapshots").collect()
+    assert(snaps.length === 2)
+    assert(snaps.map(_.getString(4)).forall(_ === "append"))
+    assert(snaps.map(_.getLong(3)).toSeq === Seq(1L, 2L)) // sequence numbers
+    val hist = t.metadataTable(spark, "history").collect()
+    assert(hist.length === 2)
+    assert(hist.last.getBoolean(2)) // latest is current
+  }
+
   test("table properties round-trip over the engine client") {
     val ident = TableIdent(Seq("db"), "t_props")
     client.createTable(prefix, ident, schema, props = Map("write.format" -> "parquet"))
