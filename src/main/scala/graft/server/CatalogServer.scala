@@ -23,7 +23,12 @@ final class CatalogServer(
     defaultProjectId: UUID,
     port: Int = 0,
     clock: () => Long = () => System.currentTimeMillis(),
-    secrets: SecretStore = new InMemorySecretStore) {
+    secrets: SecretStore = new InMemorySecretStore,
+    authz: graft.service.AuthZHandler = graft.service.AuthZHandler.AllowAll,
+    contracts: graft.service.ContractVerifiers = graft.service.ContractVerifiers.Empty,
+    events: graft.service.QueueingEventPublisher =
+      new graft.service.QueueingEventPublisher(graft.service.CloudEventBackend.Noop)) {
+  import graft.service.CatalogEvent
 
   private val server: HttpServer = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   server.setExecutor(Executors.newFixedThreadPool(16))
@@ -115,12 +120,15 @@ final class CatalogServer(
       case ("GET", prefix :: "namespaces" :: Nil) =>
         val parent = queryParams(ex).get("parent").filter(_.nonEmpty).map(decodeNs)
         withWh(ex, prefix) { wh =>
-          ok(ex, store.listNamespaces(wh, parent))(RestCodecs.listNamespacesResponse)
+          ok(ex, authz.checkNamespaceOp(wh, "list", parent.getOrElse(Nil))
+            .flatMap(_ => store.listNamespaces(wh, parent)))(
+            RestCodecs.listNamespacesResponse)
         }
       case ("POST", prefix :: "namespaces" :: Nil) =>
         withWh(ex, prefix) { wh =>
           ok(ex, RestCodecs.createNamespaceRequest(readBody(ex))
-            .flatMap(r => store.createNamespace(wh, r.namespace, r.properties)))(
+            .flatMap(r => authz.checkNamespaceOp(wh, "create", r.namespace)
+              .flatMap(_ => store.createNamespace(wh, r.namespace, r.properties))))(
             RestCodecs.namespaceResponse)
         }
       case ("GET", prefix :: "namespaces" :: ns :: Nil) =>
@@ -153,14 +161,19 @@ final class CatalogServer(
         }
       case ("POST", prefix :: "namespaces" :: ns :: "tables" :: Nil) =>
         withWh(ex, prefix) { wh =>
-          ok(ex, RestCodecs.createTableRequest(readBody(ex)).flatMap { r =>
+          val result = RestCodecs.createTableRequest(readBody(ex)).flatMap { r =>
             // server-assigned locations only (reference catalog/
             // tables.rs:965-975 rejects client-specified locations)
             if (r.location.isDefined)
               Left(CatalogError.badRequest("client-specified location is not allowed"))
-            else store.createTable(wh, decodeNs(ns), r.name, r.schema, r.spec,
-              r.sortOrder, r.properties, r.stageCreate, clock())
-          })(RestCodecs.loadTableResponse(_))
+            else authz.checkTableOp(wh, "create", TableIdent(decodeNs(ns), r.name))
+              .flatMap(_ => store.createTable(wh, decodeNs(ns), r.name, r.schema,
+                r.spec, r.sortOrder, r.properties, r.stageCreate, clock()))
+          }
+          result.foreach(rec => events.emit(CatalogEvent("createTable", wh,
+            TableIdent(rec.namespace, rec.name), rec.tableId,
+            events.nextSequenceNumber(), clock())))
+          ok(ex, result)(RestCodecs.loadTableResponse(_))
         }
       case ("POST", _ :: "namespaces" :: _ :: "register" :: Nil) =>
         // not supported, like the reference (catalog/tables.rs:211-225)
@@ -168,8 +181,9 @@ final class CatalogServer(
           "register table is not supported"))
       case ("GET", prefix :: "namespaces" :: ns :: "tables" :: tbl :: Nil) =>
         withWh(ex, prefix) { wh =>
-          ok(ex, store.loadTable(wh, TableIdent(decodeNs(ns), tbl)))(
-            RestCodecs.loadTableResponse(_))
+          val ident = TableIdent(decodeNs(ns), tbl)
+          ok(ex, authz.checkTableOp(wh, "load", ident)
+            .flatMap(_ => store.loadTable(wh, ident)))(RestCodecs.loadTableResponse(_))
         }
       case ("HEAD", prefix :: "namespaces" :: ns :: "tables" :: tbl :: Nil) =>
         withWh(ex, prefix) { wh =>
@@ -181,18 +195,42 @@ final class CatalogServer(
         }
       case ("DELETE", prefix :: "namespaces" :: ns :: "tables" :: tbl :: Nil) =>
         withWh(ex, prefix) { wh =>
-          ok(ex, store.dropTable(wh, TableIdent(decodeNs(ns), tbl)))(_ => "")
+          val ident = TableIdent(decodeNs(ns), tbl)
+          val result = authz.checkTableOp(wh, "drop", ident).flatMap { _ =>
+            // contract check + event need the table id; staged tables
+            // have no external consumers, so only loadable tables are
+            // contract-gated
+            store.loadTable(wh, ident).toOption match {
+              case Some(rec) =>
+                contracts.checkDrop(rec.tableId)
+                  .flatMap(_ => store.dropTable(wh, ident))
+                  .map(_ => Some(rec))
+              case None => store.dropTable(wh, ident).map(_ => None)
+            }
+          }
+          result.foreach(_.foreach(rec => events.emit(CatalogEvent("dropTable", wh,
+            ident, rec.tableId, events.nextSequenceNumber(), clock()))))
+          ok(ex, result)(_ => "")
         }
       case ("POST", prefix :: "namespaces" :: ns :: "tables" :: tbl :: Nil) =>
         withWh(ex, prefix) { wh =>
           val ident = TableIdent(decodeNs(ns), tbl)
-          ok(ex, RestCodecs.commitTableRequest(readBody(ex)).flatMap { r =>
+          val result = RestCodecs.commitTableRequest(readBody(ex)).flatMap { r =>
             // path/body identifier reconciliation (catalog/tables.rs:326-361)
             if (r.identifier.exists(_ != ident))
               Left(CatalogError.badRequest(
                 "identifier in body does not match request path"))
-            else store.commitTable(wh, ident, r.requirements, r.updates, clock())
-          })(RestCodecs.commitTableResponse)
+            else authz.checkTableOp(wh, "commit", ident)
+              // contract verifiers may veto the update diff (409),
+              // reference catalog/tables.rs:458-463
+              .flatMap(_ => store.loadTable(wh, ident).toOption
+                .map(rec => contracts.checkCommit(r.updates, rec.metadata))
+                .getOrElse(Right(())))
+              .flatMap(_ => store.commitTable(wh, ident, r.requirements, r.updates, clock()))
+          }
+          result.foreach(rec => events.emit(CatalogEvent("updateTable", wh, ident,
+            rec.tableId, events.nextSequenceNumber(), clock())))
+          ok(ex, result)(RestCodecs.commitTableResponse)
         }
       case ("POST", prefix :: "namespaces" :: _ :: "tables" :: _ :: "metrics" :: Nil) =>
         // accepted, not persisted (reference no-op, catalog/metrics.rs:9-21)
@@ -200,7 +238,9 @@ final class CatalogServer(
       case ("POST", prefix :: "tables" :: "rename" :: Nil) =>
         withWh(ex, prefix) { wh =>
           ok(ex, RestCodecs.renameTableRequest(readBody(ex)).flatMap(r =>
-            store.renameTable(wh, r.source, r.destination)))(_ => "")
+            authz.checkTableOp(wh, "rename", r.source)
+              .flatMap(_ => contracts.checkRename(r.source, r.destination))
+              .flatMap(_ => store.renameTable(wh, r.source, r.destination))))(_ => "")
         }
       // -- S3 remote signing (§2.1 #19 / §2.4)
       case ("POST", prefix :: "v1" :: "aws" :: "s3" :: "sign" :: Nil) =>

@@ -1,0 +1,142 @@
+package graft.service
+
+import graft.catalog._
+import graft.core._
+import graft.server.CatalogServer
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+import java.util.UUID
+
+/** §2.6 extension traits: AuthZ gating, contract-verification chain
+  * with short-circuit, and the bounded fire-and-forget event publisher
+  * wired through the commit path. */
+class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+  import IType._
+
+  private val project = UUID.randomUUID()
+  private val client = HttpClient.newHttpClient()
+
+  private val schemaJson =
+    """{"type":"struct","schema-id":0,"fields":[
+      |{"id":1,"name":"id","required":true,"type":"int"}]}""".stripMargin
+
+  private def post(base: String, path: String, body: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(s"$base$path"))
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def newServer(
+      authz: AuthZHandler = AuthZHandler.AllowAll,
+      contracts: ContractVerifiers = ContractVerifiers.Empty,
+      events: QueueingEventPublisher =
+        new QueueingEventPublisher(CloudEventBackend.Noop)): (CatalogServer, String, String) = {
+    val store = new InMemoryCatalogStore
+    val server = new CatalogServer(store, project,
+      authz = authz, contracts = contracts, events = events).start()
+    val wh = Files.createTempDirectory("graft-ext").toUri.toString.stripSuffix("/")
+    val created = store.createWarehouse(project, "wh", wh)
+      .fold(e => fail(e.message), identity)
+    (server, server.baseUri, created.id.toString)
+  }
+
+  test("deny-all authz gates catalog routes with 403; management unaffected") {
+    val (server, base, prefix) = newServer(authz = AuthZHandler.DenyCatalog)
+    try {
+      assert(post(base, s"/catalog/v1/$prefix/namespaces",
+        """{"namespace":["ns"]}""").statusCode() === 403)
+      assert(post(base, s"/catalog/v1/$prefix/namespaces/ns/tables",
+        s"""{"name":"t","schema":$schemaJson}""").statusCode() === 403)
+      // management stays open (separate checkWarehouseOp)
+      assert(post(base, "/management/v1/warehouse",
+        s"""{"warehouse-name":"w2","location":"file:///tmp/w2","project-id":"$project"}""")
+        .statusCode() === 200)
+    } finally server.stop()
+  }
+
+  test("contract verifier chain vetoes commits and short-circuits in order") {
+    val calls = scala.collection.mutable.ArrayBuffer[String]()
+    def verifier(n: String, veto: Boolean): ContractVerifier = new ContractVerifier {
+      val name = n
+      def checkCommit(updates: Seq[TableUpdate], current: TableMetadata): ContractOutcome = {
+        calls += n
+        if (veto && updates.exists(_.isInstanceOf[TableUpdate.SetProperties]))
+          ContractOutcome.Violation("ContractViolation", "property changes are frozen")
+        else ContractOutcome.Clear
+      }
+    }
+    val (server, base, prefix) = newServer(
+      contracts = ContractVerifiers(
+        verifier("first", veto = true), verifier("second", veto = false)))
+    try {
+      assert(post(base, s"/catalog/v1/$prefix/namespaces",
+        """{"namespace":["ns"]}""").statusCode() === 200)
+      assert(post(base, s"/catalog/v1/$prefix/namespaces/ns/tables",
+        s"""{"name":"t","schema":$schemaJson}""").statusCode() === 200)
+
+      val veto = post(base, s"/catalog/v1/$prefix/namespaces/ns/tables/t",
+        """{"updates":[{"action":"set-properties","updates":{"k":"v"}}]}""")
+      assert(veto.statusCode() === 409)
+      assert(veto.body().contains("[first] property changes are frozen"))
+      // first verifier vetoed → second never ran for this commit
+      assert(calls.count(_ == "first") === 1)
+      assert(calls.count(_ == "second") === 0)
+
+      // non-vetoed updates pass the whole chain
+      val ok = post(base, s"/catalog/v1/$prefix/namespaces/ns/tables/t",
+        """{"updates":[{"action":"remove-properties","removals":["ghost"]}]}""")
+      assert(ok.statusCode() === 200)
+      assert(calls.count(_ == "second") === 1)
+    } finally server.stop()
+  }
+
+  test("commit path emits createTable/updateTable/dropTable events in order") {
+    val sink = new CloudEventBackend.Collecting
+    val publisher = new QueueingEventPublisher(sink)
+    val (server, base, prefix) = newServer(events = publisher)
+    try {
+      assert(post(base, s"/catalog/v1/$prefix/namespaces",
+        """{"namespace":["ns"]}""").statusCode() === 200)
+      assert(post(base, s"/catalog/v1/$prefix/namespaces/ns/tables",
+        s"""{"name":"t","schema":$schemaJson}""").statusCode() === 200)
+      assert(post(base, s"/catalog/v1/$prefix/namespaces/ns/tables/t",
+        """{"updates":[{"action":"set-properties","updates":{"k":"v"}}]}""")
+        .statusCode() === 200)
+      val del = client.send(HttpRequest.newBuilder(
+        URI.create(s"$base/catalog/v1/$prefix/namespaces/ns/tables/t")).DELETE().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(del.statusCode() === 204)
+
+      // drain the async queue
+      val deadline = System.nanoTime() + 5e9.toLong
+      while (sink.events.size < 3 && System.nanoTime() < deadline) Thread.sleep(10)
+      val evts = sink.events
+      assert(evts.map(_.eventType) === Seq("createTable", "updateTable", "dropTable"))
+      assert(evts.map(_.sequenceNumber) === Seq(1L, 2L, 3L))
+      assert(evts.forall(_.ident.name == "t"))
+      assert(evts.map(_.tableId).distinct.size === 1)
+    } finally { server.stop(); publisher.close() }
+  }
+
+  test("publisher never blocks the caller: full queue drops after timeout") {
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val slow = new CloudEventBackend {
+      def publish(e: CatalogEvent): Unit = gate.await() // wedge the worker
+    }
+    val p = new QueueingEventPublisher(slow, capacity = 2, enqueueTimeoutMs = 10)
+    try {
+      val ident = TableIdent(Seq("ns"), "t")
+      def evt(i: Long) = CatalogEvent("updateTable", UUID.randomUUID(), ident,
+        UUID.randomUUID(), i, i)
+      val t0 = System.nanoTime()
+      (1L to 10L).foreach(i => p.emit(evt(i))) // 1 wedged + 2 queued + 7 dropped
+      val elapsedMs = (System.nanoTime() - t0) / 1e6
+      // 7 drops × ≤10ms timeout — far below a blocking publisher
+      assert(elapsedMs < 2000, s"emit path blocked for ${elapsedMs}ms")
+    } finally { gate.countDown(); p.close() }
+  }
+}
