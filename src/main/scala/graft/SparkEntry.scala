@@ -20,7 +20,8 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.llm.Dedup.queries ++
       graft.llm.Similarity.queries ++
-      graft.llm.TextAnalysis.queries
+      graft.llm.TextAnalysis.queries ++
+      graft.llm.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +29,6 @@ object SparkEntry {
     graft.queries.Relational.oracleSql ++
       graft.llm.Dedup.oracleSql ++
       graft.llm.Similarity.oracleSql ++
-      graft.llm.TextAnalysis.oracleSql
+      graft.llm.TextAnalysis.oracleSql ++
+      graft.llm.Multimodal.oracleSql
 }

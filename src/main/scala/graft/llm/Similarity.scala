@@ -155,17 +155,42 @@ object Similarity {
   private val ANN_TABLES = 8
   private val ANN_BITS = 5
 
+  /** (vec_id, embedding) → (vec_id, t, bucket) for all L tables, as a
+    * RELATIONAL pipeline: posexplode the vector (cheap generator
+    * child), broadcast-join the (m, i, w) hyperplane table (L·B·DIM
+    * rows built driver-side from the portable hash), then two
+    * codegen'd aggregations — per-(vec, plane) dot sums and per-(vec,
+    * table) bit assembly. No interpreted lambdas, no giant literal
+    * arrays; only the dot's SIGN feeds the bucket, so float summation
+    * order cannot change the result (the oracle folds left-to-right to
+    * the same sign). */
+  private def lshSignatures(
+      corpus: DataFrame, tables: Int = ANN_TABLES, bits: Int = ANN_BITS): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val planes = (for {
+      m <- 0 until tables * bits
+      i <- 1 to DIM
+    } yield (m, i, w(m, i).toDouble)).toDF("m", "i", "w")
+    corpus
+      .selectExpr("vec_id", "posexplode(embedding) as (i0, x)")
+      .selectExpr("vec_id", "i0 + 1 as i", "cast(x as double) as x")
+      .join(broadcast(planes), "i")
+      .groupBy(col("vec_id"), col("m"))
+      .agg(org.apache.spark.sql.functions.sum(col("x") * col("w")).as("dot"))
+      .selectExpr("vec_id", s"m div $bits as t",
+        s"if(dot >= 0, shiftleft(cast(1 as bigint), m % $bits), cast(0 as bigint)) as bit")
+      .groupBy(col("vec_id"), col("t"))
+      .agg(org.apache.spark.sql.functions.sum(col("bit")).as("bucket"))
+      .select("vec_id", "t", "bucket")
+  }
+
   /** ANN: top-3 by exact cosine among candidates that share ANY of the
     * L per-table buckets with the query (vec_id < 5) — (table, bucket)
     * equi-join, pair-dedup, then the bounded top-k aggregate. */
   def qAnnLshTopK(s: SparkSession, dir: String): DataFrame = {
-    val wArr = wLitSpark(ANN_TABLES * ANN_BITS)
-    val bucketsExpr =
-      s"""transform(sequence(0, ${ANN_TABLES - 1}),
-         |  t -> ${sigS(wArr, s"t * $ANN_BITS", ANN_BITS)})""".stripMargin
     val emb = load(s, dir, "embeddings")
-    val sig = emb.selectExpr("vec_id", s"$bucketsExpr as buckets")
-      .selectExpr("vec_id", "posexplode(buckets) as (t, bucket)")
+    val sig = lshSignatures(emb)
     val qsig = sig.filter("vec_id < 5")
       .selectExpr("vec_id as query_id", "t", "bucket")
     val candidates = sig.join(broadcast(qsig), Seq("t", "bucket"))
@@ -214,14 +239,112 @@ object Similarity {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // ------------------------------------------ embedding-cosine near-dup
+  /** Occupancy cap for the near-dup candidate join (same rationale as
+    * the MinHash hot-bucket cap). */
+  private val NEARDUP_MAX_BUCKET = 200
+  private val NEARDUP_THRESHOLD = 0.98
+  /** Near-dup detection hunts cos≈1 pairs, so deeper signatures (256
+    * buckets/table) keep per-table recall ≈(1-θ/π)^8 ≈ high for true
+    * near-dups while cutting random-pair candidates ~8× vs 5 bits. */
+  private val NEARDUP_TABLES = 8
+  private val NEARDUP_BITS = 8
+
+  /** Embedding-cosine near-duplicate detection: corpus = embeddings ∪
+    * deterministically perturbed copies of every 5th vector (±10%
+    * per-element scaling from the portable hash, so true near-dups
+    * exist at every scale factor and the oracle replays them); ALL-PAIR
+    * candidates come from the multi-table LSH (t, bucket) self-join —
+    * never n² — capped per bucket, then exact cosine ≥ 0.98 verifies.
+    */
+  def qDedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.count
+    val perturb =
+      s"""transform(embedding, (x, i) -> cast(x as double) *
+         |  (1.0d + (${hSpark("concat('n|', cast(vec_id as string), '|', cast(i as string))")} % 21 - 10) / 100.0d))""".stripMargin
+    val emb = load(s, dir, "embeddings")
+    val base = emb.selectExpr("vec_id",
+      "transform(embedding, x -> cast(x as double)) as embedding")
+    val perturbed = emb.filter("vec_id % 5 = 0")
+      .selectExpr("vec_id + 100000 as vec_id", s"$perturb as embedding")
+    val corpus = base.unionAll(perturbed)
+
+    val sig = lshSignatures(corpus, NEARDUP_TABLES, NEARDUP_BITS)
+      .withColumn("occ", count(org.apache.spark.sql.functions.expr("*"))
+        .over(Window.partitionBy("t", "bucket")))
+      .filter(s"occ <= $NEARDUP_MAX_BUCKET")
+      .select("vec_id", "t", "bucket")
+
+    val cand = sig.as("x")
+      .join(sig.as("y"),
+        col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+      .distinct()
+
+    // norms are per-VECTOR: computed once with the deterministic fold
+    // and joined in, so the per-pair work is a single dot fold
+    val withNorm = corpus.selectExpr("vec_id", "embedding",
+      s"${foldSumS("transform(embedding, x -> cast(x as double) * cast(x as double))")} as norm")
+    val dot = foldSumS(
+      "zip_with(emb_a, emb_b, (x, y) -> cast(x as double) * cast(y as double))")
+    cand
+      .join(withNorm.selectExpr("vec_id as id_a", "embedding as emb_a", "norm as norm_a"), "id_a")
+      .join(withNorm.selectExpr("vec_id as id_b", "embedding as emb_b", "norm as norm_b"), "id_b")
+      .selectExpr("id_a", "id_b", s"($dot / (sqrt(norm_a) * sqrt(norm_b))) as cosine")
+      .filter(s"cosine >= $NEARDUP_THRESHOLD")
+      .orderBy("id_a", "id_b")
+  }
+
+  val qDedupEmbeddingSql: String = {
+    val wArr = wLitDuck(NEARDUP_TABLES * NEARDUP_BITS)
+    val h = hDuck("('n|' || vec_id::VARCHAR || '|' || (i - 1)::VARCHAR)")
+    def fold(l: String) = s"list_reduce($l, (acc, p) -> acc + p)"
+    val dot = fold(
+      "list_transform(range(1, len(a.embedding) + 1), i -> (a.embedding)[i] * (b.embedding)[i])")
+    s"""WITH w AS (SELECT $wArr AS wm),
+       |base AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding
+       |         FROM embeddings),
+       |pert AS (SELECT vec_id + 100000 AS vec_id,
+       |                list_transform(range(1, len(embedding) + 1),
+       |                  i -> embedding[i]::DOUBLE * (1.0 + ($h % 21 - 10) / 100.0)) AS embedding
+       |         FROM embeddings WHERE vec_id % 5 = 0),
+       |corpus AS (
+       |  SELECT vec_id, embedding,
+       |         ${fold("list_transform(embedding, x -> x * x)")} AS norm
+       |  FROM (SELECT * FROM base UNION ALL SELECT * FROM pert)),
+       |sig AS (
+       |  SELECT vec_id, t, ${sigD("w.wm", s"t * $NEARDUP_BITS", NEARDUP_BITS)} AS bucket
+       |  FROM corpus CROSS JOIN w
+       |       CROSS JOIN (SELECT unnest(range(0, $NEARDUP_TABLES)) AS t) ts),
+       |cold AS (SELECT t, bucket FROM sig GROUP BY t, bucket
+       |         HAVING COUNT(*) <= $NEARDUP_MAX_BUCKET),
+       |kept AS (SELECT sig.* FROM sig JOIN cold USING (t, bucket)),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+       |  FROM kept x JOIN kept y
+       |    ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+       |scored AS (
+       |  SELECT c.id_a, c.id_b, ($dot / (sqrt(a.norm) * sqrt(b.norm))) AS cosine
+       |  FROM cand c
+       |  JOIN corpus a ON c.id_a = a.vec_id
+       |  JOIN corpus b ON c.id_b = b.vec_id)
+       |SELECT id_a, id_b, cosine
+       |FROM scored WHERE cosine >= $NEARDUP_THRESHOLD
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   // ----------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_bruteforce" -> (qKnnBruteForce _),
     "q_ann_lsh_buckets" -> (qAnnLshBuckets _),
-    "q_ann_lsh_topk" -> (qAnnLshTopK _))
+    "q_ann_lsh_topk" -> (qAnnLshTopK _),
+    "q_dedup_embedding" -> (qDedupEmbedding _))
 
   val oracleSql: Map[String, String] = Map(
     "q_knn_bruteforce" -> qKnnBruteForceSql,
     "q_ann_lsh_buckets" -> qAnnLshBucketsSql,
-    "q_ann_lsh_topk" -> qAnnLshTopKSql)
+    "q_ann_lsh_topk" -> qAnnLshTopKSql,
+    "q_dedup_embedding" -> qDedupEmbeddingSql)
 }

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the events stream (same shape as
+  * the driver's `events` table: event_id, ts, user_id, event_type,
+  * value, props).
+  *
+  * Scale design: both operators are keyed stateful streams — state
+  * lives per (window, event_type) or per user_id and shuffles on that
+  * key, so a 1000-executor cluster partitions the state store exactly
+  * like the batch shuffles; watermarks bound state growth (late data
+  * beyond the watermark is dropped, closed windows/sessions are
+  * evicted).
+  */
+object EventStreams {
+
+  final case class Event(
+      event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionSummary(
+      user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
+
+  /** Internal per-user running-session state (public: the state-store
+    * encoder is codegen'd and needs accessible members). */
+  final case class SessionState(
+      start: Long, last: Long, n: Long, total: Double)
+
+  /** Hourly tumbling-window counts per event type with a 2-hour
+    * watermark — the streaming twin of the batch hourly rollup
+    * (Relational q_events_hourly). Emits once a window is final
+    * (Append mode ⇒ only watermark-closed windows). */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Gap-based sessionization with explicit per-user state
+    * (flatMapGroupsWithState + event-time timeout): a session closes
+    * when no event arrives within `gapMinutes` of its last event (by
+    * watermark) — custom state semantics the built-in window cannot
+    * express. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionSummary](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          def summary(s: SessionState): SessionSummary = SessionSummary(
+            userId, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last),
+            s.n, s.total)
+
+          if (state.hasTimedOut) {
+            // watermark passed last+gap: the open session is final
+            val out = state.getOption.map(summary).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val events = batch.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionSummary]
+            var cur = state.getOption
+            for (e <- events) {
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1,
+                    total = s.total + e.value))
+                case Some(s) =>
+                  closed ::= summary(s)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur match {
+              case Some(s) =>
+                state.update(s)
+                state.setTimeoutTimestamp(s.last + gapMs)
+              case None => state.remove()
+            }
+            closed.reverse.iterator
+          }
+      }
+  }
+}

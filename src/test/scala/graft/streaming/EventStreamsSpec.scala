@@ -1,0 +1,90 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+/** Streaming operators against batch ground truth: the streamed result
+  * after the watermark closes must equal the same aggregation run as a
+  * batch query over the same events. */
+class EventStreamsSpec extends AnyFunSuite {
+  import EventStreams._
+
+  private lazy val spark = SparkTestSession.spark
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.from(java.time.Instant.parse("2026-01-01T00:00:00Z")
+      .plusSeconds(minute * 60L))
+
+  private def evt(id: Long, minute: Int, user: Long, tpe: String, v: Double) =
+    Event(id, ts(minute), user, tpe, v)
+
+  test("hourly windowed counts with watermark match the batch rollup") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = hourlyCounts(input.toDF())
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("append").start()
+    try {
+      val events = Seq(
+        evt(1, 5, 1, "view", 1.0), evt(2, 20, 2, "view", 2.0),
+        evt(3, 61, 1, "click", 3.0), evt(4, 70, 2, "view", 4.0),
+        evt(5, 130, 1, "view", 5.0))
+      input.addData(events: _*)
+      query.processAllAvailable()
+      // advance watermark far enough to close every window
+      input.addData(evt(99, 600, 9, "tick", 0.0))
+      query.processAllAvailable()
+
+      val streamed = spark.table("hourly")
+        .select("hour_start", "event_type", "n_events", "total_value")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val batch = events.toDF()
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum("value").as("tv"))
+        .select(col("window.start"), col("event_type"), col("n"), col("tv"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(streamed === batch)
+      assert(streamed.size === 4) // (h0: view×2) (h1: click, view) (h2: view)
+    } finally query.stop()
+  }
+
+  test("stateful sessionization closes sessions on the 30-minute gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: events at 0,10,20 (one session), then 120,125 (second)
+      // user 2: single event at 15
+      input.addData(
+        evt(1, 0, 1, "view", 1.0), evt(2, 10, 1, "view", 2.0),
+        evt(3, 20, 1, "click", 3.0), evt(4, 15, 2, "view", 10.0))
+      query.processAllAvailable()
+      input.addData(evt(5, 120, 1, "view", 4.0), evt(6, 125, 1, "view", 5.0))
+      query.processAllAvailable()
+      // push the watermark beyond every session's gap so all close
+      input.addData(evt(99, 600, 9, "tick", 0.0))
+      query.processAllAvailable()
+      input.addData(evt(100, 1200, 9, "tick", 0.0))
+      query.processAllAvailable()
+
+      val out = spark.table("sessions")
+        .filter("user_id <> 9") // watermark-tick user closes its own session
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      assert(out === Set(
+        (1L, ts(0), ts(20), 3L, 6.0),
+        (1L, ts(120), ts(125), 2L, 9.0),
+        (2L, ts(15), ts(15), 1L, 10.0)))
+    } finally query.stop()
+  }
+}
