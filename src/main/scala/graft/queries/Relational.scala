@@ -447,8 +447,167 @@ object Relational {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- Q7
+  /** TPC-H Q7 shape: nation-pair trade volume by year. Supplier and the
+    * two nation copies broadcast (true dims); lineitem–orders–customer
+    * shuffle on keys. */
+  def q07VolumeShipping(s: SparkSession, dir: String): DataFrame = {
+    val n1 = t(s, dir, "nation").selectExpr("n_nationkey as s_nk", "n_name as supp_nation")
+    val n2 = t(s, dir, "nation").selectExpr("n_nationkey as c_nk", "n_name as cust_nation")
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter(
+        (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast(DoubleType).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  val q07Sql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |       CAST(year(l_shipdate) AS INT) AS l_year,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+      |GROUP BY 1, 2, 3
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  // ---------------------------------------------------------------- Q8
+  /** TPC-H Q8 shape: a nation's market share inside a region per year —
+    * conditional aggregation over a 6-way join; dims broadcast. */
+  def q08MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val suppNation = t(s, dir, "nation")
+      .selectExpr("n_nationkey as s_nk", "n_name as supp_nation")
+    val custNation = t(s, dir, "nation")
+      .selectExpr("n_nationkey as c_nk", "n_regionkey as c_rk")
+    val regions = t(s, dir, "region").filter(col("r_name") === "EUROPE")
+    val parts = t(s, dir, "part").filter(col("p_type") === "PROMO")
+    val vol = dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+    t(s, dir, "lineitem")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppNation), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(custNation), col("c_nationkey") === col("c_nk"))
+      .join(broadcast(regions), col("c_rk") === col("r_regionkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg((sum(when(col("supp_nation") === "NATION_3", vol).otherwise(dec(lit(0))))
+        .cast(DoubleType) /
+        sum(vol).cast(DoubleType)).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  val q08Sql: String =
+    """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+      |  CAST(SUM(CASE WHEN n1.n_name = 'NATION_3'
+      |        THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+      |        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+      |  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS mkt_share
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |JOIN region ON n2.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+      |GROUP BY 1
+      |ORDER BY o_year""".stripMargin
+
+  // ---------------------------------------------------------------- Q9
+  /** TPC-H Q9 shape (adapted: no partsupp table, so profit = revenue on
+    * the name-matched parts): per supplier-nation per year. */
+  def q09ProductProfit(s: SparkSession, dir: String): DataFrame = {
+    val parts = t(s, dir, "part").filter(col("p_name").contains("widget"))
+    t(s, dir, "lineitem")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast(DoubleType).as("profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  val q09Sql: String =
+    """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS profit
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1, 2
+      |ORDER BY nation, o_year DESC""".stripMargin
+
+  // --------------------------------------------------------------- Q13
+  /** TPC-H Q13 shape: customer order-count distribution via LEFT OUTER
+    * join (customers with zero orders included) + re-aggregation. */
+  def q13CustomerDistribution(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  val q13Sql: String =
+    """SELECT c_count, COUNT(*) AS custdist
+      |FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      |      GROUP BY c_custkey) c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // --------------------------------------------------------------- Q19
+  /** TPC-H Q19 shape: disjunctive brand/size/quantity predicates pushed
+    * into one broadcast-joined scan (no union of three scans). */
+  def q19DiscountedRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val p = broadcast(t(s, dir, "part"))
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 35) &&
+            col("l_quantity").between(20, 30)))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast(DoubleType).as("revenue"))
+
+  }
+
+  val q19Sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q07_volume_shipping" -> (q07VolumeShipping _),
+    "q08_market_share" -> (q08MarketShare _),
+    "q09_product_profit" -> (q09ProductProfit _),
+    "q13_customer_distribution" -> (q13CustomerDistribution _),
+    "q19_discounted_revenue" -> (q19DiscountedRevenue _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q03_shipping_priority" -> (q03ShippingPriority _),
     "q04_order_priority" -> (q04OrderPriority _),
@@ -468,6 +627,11 @@ object Relational {
     "q_events_props_extract" -> (qEventsPropsExtract _))
 
   val oracleSql: Map[String, String] = Map(
+    "q07_volume_shipping" -> q07Sql,
+    "q08_market_share" -> q08Sql,
+    "q09_product_profit" -> q09Sql,
+    "q13_customer_distribution" -> q13Sql,
+    "q19_discounted_revenue" -> q19Sql,
     "q01_pricing_summary" -> q01Sql,
     "q03_shipping_priority" -> q03Sql,
     "q04_order_priority" -> q04Sql,
