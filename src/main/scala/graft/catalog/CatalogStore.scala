@@ -100,6 +100,10 @@ trait CatalogStore {
   def deleteWarehouse(id: UUID): Either[CatalogError, Unit]
   def renameWarehouse(id: UUID, newName: String): Either[CatalogError, Warehouse]
   def setWarehouseActive(id: UUID, active: Boolean): Either[CatalogError, Warehouse]
+  /** Merge properties (storage-profile updates); caller enforces
+    * immutability rules. */
+  def setWarehouseProperties(id: UUID, props: Map[String, String])
+      : Either[CatalogError, Warehouse]
   def listProjects(): Seq[UUID]
 
   // ---- namespaces (§2.1 #2-7)
@@ -250,6 +254,17 @@ final class InMemoryCatalogStore extends CatalogStore {
           Right(flipped)
       }
     }
+
+  def setWarehouseProperties(id: UUID, props: Map[String, String])
+      : Either[CatalogError, Warehouse] = lock.synchronized {
+    warehouses.get(id) match {
+      case None => Left(notFound("WarehouseNotFound", s"warehouse $id not found"))
+      case Some(w) =>
+        val updated = w.copy(properties = w.properties ++ props)
+        warehouses += id -> updated
+        Right(updated)
+    }
+  }
 
   def listProjects(): Seq[UUID] = lock.synchronized {
     warehouses.values.map(_.projectId).toSeq.distinct.sortBy(_.toString)

@@ -237,11 +237,29 @@ final class CatalogServer(
         withWh(ex, prefix)(_ => respond(ex, 204))
       case ("POST", prefix :: "tables" :: "rename" :: Nil) =>
         withWh(ex, prefix) { wh =>
-          ok(ex, RestCodecs.renameTableRequest(readBody(ex)).flatMap(r =>
+          val result = RestCodecs.renameTableRequest(readBody(ex)).flatMap(r =>
             authz.checkTableOp(wh, "rename", r.source)
               .flatMap(_ => contracts.checkRename(r.source, r.destination))
-              .flatMap(_ => store.renameTable(wh, r.source, r.destination))))(_ => "")
+              .flatMap(_ => store.renameTable(wh, r.source, r.destination))
+              .flatMap(_ => store.loadTable(wh, r.destination)))
+          result.foreach(rec => events.emit(CatalogEvent("renameTable", wh,
+            TableIdent(rec.namespace, rec.name), rec.tableId,
+            events.nextSequenceNumber(), clock())))
+          ok(ex, result)(_ => "")
         }
+      // -- views (reference surface: list is empty, mutations 501/404 —
+      //    catalog/views.rs:43-189)
+      case ("GET", prefix :: "namespaces" :: _ :: "views" :: Nil) =>
+        withWh(ex, prefix)(_ => respond(ex, 200, """{"identifiers":[]}"""))
+      case ("POST", _ :: "namespaces" :: _ :: "views" :: Nil) =>
+        respondError(ex, CatalogError(501, "CreateViewNotSupported",
+          "views are not supported"))
+      case (("GET" | "HEAD" | "DELETE"), _ :: "namespaces" :: _ :: "views" :: _ :: Nil) =>
+        respondError(ex, CatalogError.notFound("ViewNotFound", "views are not supported"))
+      case ("POST", _ :: "views" :: "rename" :: Nil) =>
+        respondError(ex, CatalogError(501, "RenameViewNotSupported",
+          "views are not supported"))
+
       // -- S3 remote signing (§2.1 #19 / §2.4)
       case ("POST", prefix :: "v1" :: "aws" :: "s3" :: "sign" :: Nil) =>
         withWh(ex, prefix)(wh => ok(ex, signS3Request(wh, readBody(ex)))(identity))
@@ -378,6 +396,33 @@ final class CatalogServer(
             }
           } yield w
         })(RestCodecs.warehouseResponse)
+      case ("POST", "warehouse" :: id :: "storage" :: Nil) =>
+        withWh(ex, id) { w =>
+          ok(ex, RestCodecs.parse(readBody(ex)).flatMap { n =>
+            store.getWarehouse(w).flatMap { existing =>
+              Option(n.get("storage-profile")).filter(!_.isNull)
+                .toRight(CatalogError.badRequest("missing field: storage-profile"))
+                .flatMap { sp =>
+              val next = Seq("region", "endpoint", "bucket").flatMap(k =>
+                Option(sp.get(k)).filter(!_.isNull).map(v => s"s3.$k" -> v.asText())).toMap
+              // bucket/region are immutable on update (reference
+              // s3.rs:184-220); endpoint may change
+              val frozen = Seq("s3.bucket", "s3.region").find(k =>
+                existing.properties.get(k).exists(old => next.get(k).exists(_ != old)))
+              frozen match {
+                case Some(k) => Left(CatalogError.badRequest(
+                  s"${k.stripPrefix("s3.")} is immutable on storage update"))
+                case None =>
+                  Option(n.get("storage-credential")).filter(!_.isNull).foreach { c =>
+                    secrets.putS3Credential(w, S3Credential(
+                      c.get("access-key-id").asText(), c.get("secret-access-key").asText()))
+                  }
+                  store.setWarehouseProperties(w, next)
+              }
+              }
+            }
+          })(RestCodecs.warehouseResponse)
+        }
       case ("POST", "warehouse" :: id :: "storage-credential" :: Nil) =>
         withWh(ex, id) { w =>
           ok(ex, RestCodecs.parse(readBody(ex)).flatMap { n =>

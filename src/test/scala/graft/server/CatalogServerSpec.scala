@@ -278,6 +278,50 @@ class CatalogServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       .statusCode() === 405)
   }
 
+  test("views surface matches the reference: empty list, 501 mutations") {
+    assert(get(s"/catalog/v1/$prefix/namespaces/web/views").statusCode() === 200)
+    assert(get(s"/catalog/v1/$prefix/namespaces/web/views").body() ===
+      """{"identifiers":[]}""")
+    assert(post(s"/catalog/v1/$prefix/namespaces/web/views",
+      """{"name":"v"}""").statusCode() === 501)
+    assert(get(s"/catalog/v1/$prefix/namespaces/web/views/v").statusCode() === 404)
+    assert(req("DELETE", s"/catalog/v1/$prefix/namespaces/web/views/v").statusCode() === 404)
+    assert(post(s"/catalog/v1/$prefix/views/rename", """{}""").statusCode() === 501)
+  }
+
+  test("storage update: endpoint mutable, bucket/region immutable") {
+    val created = post("/management/v1/warehouse",
+      s"""{"warehouse-name":"stor","location":"s3://bkt/wh","project-id":"$project",
+         |"storage-profile":{"region":"eu-central-1","bucket":"bkt"}}""".stripMargin)
+    assert(created.statusCode() === 200)
+    val id = json(created.body()).get("id").asText()
+
+    // endpoint change allowed (+ credential rotation piggybacks)
+    assert(post(s"/management/v1/warehouse/$id/storage",
+      """{"storage-profile":{"region":"eu-central-1","bucket":"bkt",
+        |"endpoint":"https://minio.local"},
+        |"storage-credential":{"access-key-id":"AK2","secret-access-key":"SK2"}}""".stripMargin)
+      .statusCode() === 200)
+    // region change rejected
+    assert(post(s"/management/v1/warehouse/$id/storage",
+      """{"storage-profile":{"region":"us-east-1","bucket":"bkt"}}""")
+      .statusCode() === 400)
+    // bucket change rejected
+    assert(post(s"/management/v1/warehouse/$id/storage",
+      """{"storage-profile":{"region":"eu-central-1","bucket":"other"}}""")
+      .statusCode() === 400)
+  }
+
+  test("branch-probe contract: table.branch as deeper namespace 404s cleanly") {
+    // Spark probes `db.t.branch_x` as namespace ["db","t"] + table
+    // "branch_x" (reference catalog/tables.rs:237-250) — must be a
+    // clean 404, not a 400/500
+    val sep = java.net.URLEncoder.encode("db" + 0x1f.toChar + "t", "UTF-8")
+    assert(get(s"/catalog/v1/$prefix/namespaces/$sep/tables/branch_x").statusCode() === 404)
+    assert(req("HEAD", s"/catalog/v1/$prefix/namespaces/$sep/tables/branch_x")
+      .statusCode() === 404)
+  }
+
   test("uniform error envelope carries message/type/code") {
     val err = get(s"/catalog/v1/$prefix/namespaces/ghost")
     assert(err.statusCode() === 404)
