@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-audit entry point: prints the formatted physical plan of the
+  * named registered queries (or all of them) so shuffle/broadcast/
+  * pushdown regressions are visible without running anything.
+  * Usage: runMain graft.Explain [queryName ...]
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    for (name <- names) {
+      println(s"========== $name")
+      SparkEntry.queries.get(name) match {
+        case Some(fn) => println(fn(s, dir).queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+        case None => println(s"unknown query: $name")
+      }
+    }
+    s.stop()
+  }
+}
