@@ -184,6 +184,22 @@ final class GraftTable(
     overwriteAll(compacted, m.currentSnapshotId, operation = "replace")
   }
 
+  /** expire_snapshots maintenance: remove snapshots older than the
+    * cutoff that no ref points at (ref targets and the current snapshot
+    * always survive). Metadata-only commit; data files of expired
+    * snapshots are left for a separate orphan sweep, like the
+    * reference's no-purge drop. */
+  def expireSnapshots(olderThanMs: Long): TableMetadata = {
+    val m = metadata
+    val pinned = m.refs.values.map(_.snapshotId).toSet ++ m.currentSnapshotId
+    val removable = m.snapshots.values
+      .filter(s => s.timestampMs < olderThanMs && !pinned.contains(s.snapshotId))
+      .map(_.snapshotId).toSeq.sorted
+    if (removable.isEmpty) m
+    else client.commitTable(prefix, ident, Nil,
+      Seq(TableUpdate.RemoveSnapshots(removable))).metadata
+  }
+
   /** CREATE TAG / CREATE BRANCH at the current main snapshot. */
   def createRef(name: String, refType: String,
       maxRefAgeMs: Option[Long] = None): TableMetadata = {

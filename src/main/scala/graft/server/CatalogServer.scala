@@ -183,7 +183,8 @@ final class CatalogServer(
         withWh(ex, prefix) { wh =>
           val ident = TableIdent(decodeNs(ns), tbl)
           ok(ex, authz.checkTableOp(wh, "load", ident)
-            .flatMap(_ => store.loadTable(wh, ident)))(RestCodecs.loadTableResponse(_))
+            .flatMap(_ => store.loadTable(wh, ident)))(
+            RestCodecs.loadTableResponse(_, tableConfig(wh)))
         }
       case ("HEAD", prefix :: "namespaces" :: ns :: "tables" :: tbl :: Nil) =>
         withWh(ex, prefix) { wh =>
@@ -289,6 +290,22 @@ final class CatalogServer(
       case Left(e) => respondError(ex, e)
       case Right(id) => f(id)
     }
+
+  /** Per-table client config attached to LoadTableResult: remote
+    * signing is the default data-access mode, so S3-profiled
+    * warehouses steer engines to our signer endpoint (reference
+    * storage/s3.rs:279-288 injects s3.signer.uri the same way). */
+  private def tableConfig(wh: UUID): Map[String, String] =
+    store.getWarehouse(wh).toOption
+      .filter(_.properties.contains("s3.region"))
+      .map { w =>
+        Map(
+          "s3.signer.uri" -> s"$baseUri/catalog/v1/${w.id}",
+          "s3.remote-signing-enabled" -> "true",
+          "s3.region" -> w.properties("s3.region")) ++
+          w.properties.get("s3.endpoint").map("s3.endpoint" -> _)
+      }
+      .getOrElse(Map.empty)
 
   /** Only these request headers participate in signing (reference
     * s3_signer.rs:25-32 whitelist). */

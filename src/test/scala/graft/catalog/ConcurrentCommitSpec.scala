@@ -100,4 +100,64 @@ class ConcurrentCommitSpec extends AnyFunSuite {
     // at least 7 conflicts are guaranteed, and all were retried away
     assert(conflicts.get() >= writers - 1)
   }
+
+  test("multi-table transactions race atomically: both tables or neither") {
+    val store = new InMemoryCatalogStore
+    val whLoc = Files.createTempDirectory("graft-race2").toUri.toString.stripSuffix("/")
+    val wh = store.createWarehouse(UUID.randomUUID(), "race2", whLoc)
+      .fold(e => fail(e.message), identity).id
+    assert(store.createNamespace(wh, Seq("ns"), Map.empty).isRight)
+    val idents = Seq("a", "b").map { n =>
+      assert(store.createTable(wh, Seq("ns"), n, schema,
+        UnboundPartitionSpec.Unpartitioned, None, Map.empty,
+        stageCreate = false, timestampMs = t0).isRight)
+      TableIdent(Seq("ns"), n)
+    }
+
+    val writers = 6
+    val txnsPerWriter = 4
+    val idGen = new AtomicInteger(0)
+    val conflicts = new AtomicInteger(0)
+    val pool = Executors.newFixedThreadPool(writers)
+    val futures = (0 until writers).map { _ =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          var committed = 0
+          while (committed < txnsPerWriter) {
+            // one txn = a paired append to BOTH tables
+            val changes = idents.map { ident =>
+              val cur = store.loadTable(wh, ident).fold(e => throw e, identity).metadata
+              val snapId = 5000L + idGen.incrementAndGet()
+              val snap = Snapshot(snapId, cur.currentSnapshotId,
+                cur.lastSequenceNumber + 1, t0 + snapId,
+                s"manifests/$snapId.avro", Map("operation" -> "append"), Some(0))
+              TableChange(ident,
+                Seq(TableRequirement.AssertRefSnapshotId("main",
+                  cur.refs.get("main").map(_.snapshotId))),
+                Seq(TableUpdate.AddSnapshot(snap),
+                  TableUpdate.SetSnapshotRef("main", snapId, SnapshotRefType.Branch)))
+            }
+            store.commitTransaction(wh, changes, t0) match {
+              case Right(_) => committed += 1
+              case Left(e) if e.code == 409 => conflicts.incrementAndGet()
+              case Left(e) => throw e
+            }
+          }
+        }
+      })
+    }
+    futures.foreach(_.get(60, TimeUnit.SECONDS))
+    pool.shutdown()
+
+    val total = writers * txnsPerWriter
+    // atomicity under contention: EVERY txn landed on both tables, so
+    // the two snapshot histories advanced in lockstep
+    for (ident <- idents) {
+      val m = store.loadTable(wh, ident).fold(e => fail(e.message), identity).metadata
+      assert(m.snapshots.size === total)
+      assert(m.snapshots.values.map(_.sequenceNumber).toSeq.sorted ===
+        (1L to total.toLong))
+      assert(m.snapshotLog.size === total)
+    }
+  }
 }

@@ -270,6 +270,30 @@ class SurfaceBSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m.properties === Map("write.format" -> "parquet", "commit.retries" -> "5"))
   }
 
+  test("expire_snapshots drops old unreferenced snapshots, keeps refs") {
+    import spark.implicits._
+    val t = table("t_expire")
+    t.append(Seq((1, "a", 1.0)).toDF("id", "strings", "floats"))
+    val first = t.metadata.currentSnapshotId.get
+    t.createRef("keepme", SnapshotRefType.Tag)
+    t.append(Seq((2, "b", 2.0)).toDF("id", "strings", "floats"))
+    t.append(Seq((3, "c", 3.0)).toDF("id", "strings", "floats"))
+    val before = t.metadata
+    assert(before.snapshots.size === 3)
+    val middle = before.snapshotLog(1).snapshotId
+
+    val after = t.expireSnapshots(olderThanMs = System.currentTimeMillis() + 60000)
+    // first snapshot survives (tagged), middle expired, current kept
+    assert(after.snapshots.keySet === Set(first, before.currentSnapshotId.get))
+    assert(after.refs.keySet === Set("main", "keepme"))
+    assert(!after.snapshots.contains(middle))
+    // reads still correct on current and on the tag
+    assert(rows(t).map(_._1) === Set(1, 2, 3))
+    assert(t.scan(spark, t.AtRef("keepme")).count() === 1)
+    // time travel to the expired snapshot now fails cleanly
+    assertThrows[CatalogError](t.scan(spark, t.AtSnapshot(middle)))
+  }
+
   test("concurrent engine appends through HTTP converge") {
     import spark.implicits._
     val t = table("t_conc")
