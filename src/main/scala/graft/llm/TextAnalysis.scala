@@ -179,19 +179,22 @@ object TextAnalysis {
     * shingle sketch (min hash over word 3-gram shingles — the building
     * block of the MinHash signatures in [[Dedup]]).
     */
-  def qTextFingerprint(s: SparkSession, dir: String): DataFrame =
+  def qTextFingerprint(s: SparkSession, dir: String): DataFrame = {
+    // min over DISTINCT shingles equals min over all, so the sketch
+    // rides Dedup's relational shingle pipeline (codegen'd, one md5
+    // per shingle row) instead of per-row interpreted lambdas
+    val docs = load(s, dir, "documents").selectExpr("doc_id as id", s"$toksS as toks")
+    val mins = graft.llm.Dedup.shingleRows(docs)
+      .selectExpr("id as doc_id", s"${hSpark("s")} as h")
+      .groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.min("h").as("mh"))
     load(s, dir, "documents")
-      .selectExpr("doc_id", s"$toksS as toks", "lower(text) as ltext")
-      .selectExpr(
-        "doc_id",
-        s"${hSpark("ltext")} as fp_full",
-        s"""coalesce(array_min(transform(
-           |  case when size(toks) >= 3
-           |       then transform(sequence(1, size(toks) - 2),
-           |            i -> concat(element_at(toks, i), ' ', element_at(toks, i+1), ' ', element_at(toks, i+2)))
-           |       else cast(array() as array<string>) end,
-           |  s -> ${hSpark("s")})), -1) as fp_min_shingle""".stripMargin)
+      .selectExpr("doc_id", s"${hSpark("lower(text)")} as fp_full")
+      .join(mins, Seq("doc_id"), "left_outer")
+      .selectExpr("doc_id", "fp_full",
+        "coalesce(mh, cast(-1 as bigint)) as fp_min_shingle")
       .orderBy("doc_id")
+  }
 
   val qTextFingerprintSql: String =
     s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks, lower(text) AS ltext FROM documents)
