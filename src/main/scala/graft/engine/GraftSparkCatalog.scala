@@ -1,0 +1,178 @@
+package graft.engine
+
+import graft.catalog.{CatalogError, TableIdent}
+import graft.core.{Transform => ITransform, UnboundPartitionField, UnboundPartitionSpec}
+import org.apache.spark.sql.{GraftShims, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, NamespaceAlreadyExistsException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, NamedReference, Transform}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+/** Spark V2 catalog plugin over our REST catalog — the SQL front door
+  * (the role iceberg-spark's SparkCatalog plays against the reference,
+  * conftest.py:208-217):
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft", classOf[GraftSparkCatalog].getName)
+  *   spark.conf.set("spark.sql.catalog.graft.uri", serverUri)
+  *   spark.conf.set("spark.sql.catalog.graft.warehouse", "wh")
+  *   spark.sql("CREATE NAMESPACE graft.db")
+  *   spark.sql("CREATE TABLE graft.db.t (id INT) PARTITIONED BY (bucket(16, id))")
+  *   spark.sql("SELECT * FROM graft.db.t WHERE id > 7")
+  * }}}
+  *
+  * Reads resolve the current snapshot's file list from the manifest and
+  * hand it to the builtin parquet source, so SQL scans get the full
+  * pushdown/pruning machinery. Writes go through [[GraftTable]] (the
+  * snapshot-commit path); SQL-level INSERT is intentionally not exposed
+  * yet — the returned table is read-only so a writer cannot bypass the
+  * commit protocol.
+  */
+class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var client: RestCatalogClient = _
+  private var prefix: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val uri = Option(options.get("uri")).getOrElse(
+      throw new IllegalArgumentException(s"catalog $name requires option `uri`"))
+    val warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(s"catalog $name requires option `warehouse`"))
+    client = new RestCatalogClient(uri)
+    prefix = client.config(warehouse)
+  }
+
+  override def name(): String = catalogName
+
+  private def ident(i: Identifier): TableIdent =
+    TableIdent(i.namespace().toSeq, i.name())
+
+  // -------------------------------------------------------- namespaces
+  override def listNamespaces(): Array[Array[String]] =
+    client.listNamespaces(prefix).map(_.toArray).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty // depth is 1
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] =
+    try client.getNamespaceProperties(prefix, namespace.toSeq).asJava
+    catch { case e: CatalogError if e.code == 404 =>
+      throw new NoSuchNamespaceException(namespace) }
+
+  override def createNamespace(
+      namespace: Array[String], metadata: util.Map[String, String]): Unit =
+    try client.createNamespace(prefix, namespace.toSeq, metadata.asScala.toMap)
+    catch { case e: CatalogError if e.code == 409 =>
+      throw new NamespaceAlreadyExistsException(namespace) }
+
+  override def alterNamespace(
+      namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("alterNamespace is not supported yet")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    try { client.dropNamespace(prefix, namespace.toSeq); true }
+    catch { case e: CatalogError if e.code == 404 => false }
+
+  // ------------------------------------------------------------ tables
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    try client.listTables(prefix, namespace.toSeq)
+      .map(t => Identifier.of(t.namespace.toArray, t.name)).toArray
+    catch { case e: CatalogError if e.code == 404 =>
+      throw new NoSuchNamespaceException(namespace) }
+
+  override def loadTable(i: Identifier): Table = {
+    val loaded =
+      try client.loadTable(prefix, ident(i))
+      catch { case e: CatalogError if e.code == 404 =>
+        throw new NoSuchTableException(i) }
+    val m = loaded.metadata
+    val files = m.currentSnapshot
+      .map(s => Manifests.read(s.manifestList).map(_.path)).getOrElse(Nil)
+    val schema = SchemaBridge.toSpark(m.currentSchema)
+    val spark = SparkSession.active
+    new ReadOnlyTable(
+      s"$catalogName.${i.namespace().mkString(".")}.${i.name()}",
+      GraftShims.parquetTable(i.name(), spark, files, schema), schema)
+  }
+
+  override def createTable(
+      i: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val icebergSchema = SchemaBridge.toIceberg(schema)
+    def sourceId(fieldNames: Seq[String]): Int = {
+      require(fieldNames.size == 1, s"nested partition refs unsupported: $fieldNames")
+      icebergSchema.fieldByName(fieldNames.head).getOrElse(
+        throw new IllegalArgumentException(s"no such column: ${fieldNames.head}")).id
+    }
+    // generic V2 Transform API (name + arguments): the typed extractor
+    // classes are private[sql]
+    val fields = partitions.toSeq.map { p =>
+      def ref: NamedReference = p.arguments().collectFirst {
+        case r: NamedReference => r
+      }.getOrElse(throw new UnsupportedOperationException(
+        s"partition transform without column reference: $p"))
+      def field = ref.fieldNames().last
+      def src = sourceId(ref.fieldNames().toSeq)
+      p.name() match {
+        case "identity" => UnboundPartitionField(src, None, field, ITransform.Identity)
+        case "bucket" =>
+          val n = p.arguments().collectFirst {
+            case l: V2Literal[_] => l.value().toString.toInt
+          }.getOrElse(throw new IllegalArgumentException(s"bucket without count: $p"))
+          UnboundPartitionField(src, None, s"${field}_bucket", ITransform.Bucket(n))
+        case "years" => UnboundPartitionField(src, None, s"${field}_year", ITransform.Year)
+        case "months" => UnboundPartitionField(src, None, s"${field}_month", ITransform.Month)
+        case "days" => UnboundPartitionField(src, None, s"${field}_day", ITransform.Day)
+        case "hours" => UnboundPartitionField(src, None, s"${field}_hour", ITransform.Hour)
+        case "truncate" =>
+          val w = p.arguments().collectFirst {
+            case l: V2Literal[_] => l.value().toString.toInt
+          }.getOrElse(throw new IllegalArgumentException(s"truncate without width: $p"))
+          UnboundPartitionField(src, None, s"${field}_trunc", ITransform.Truncate(w))
+        case other => throw new UnsupportedOperationException(
+          s"partition transform not supported: $other")
+      }
+    }
+    try client.createTable(prefix, ident(i), icebergSchema,
+      UnboundPartitionSpec(None, fields), properties.asScala.toMap)
+    catch { case e: CatalogError if e.code == 409 =>
+      throw new TableAlreadyExistsException(i) }
+    loadTable(i)
+  }
+
+  override def alterTable(i: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE via SQL is not supported yet; use the commit API")
+
+  override def dropTable(i: Identifier): Boolean =
+    try { client.dropTable(prefix, ident(i)); true }
+    catch { case e: CatalogError if e.code == 404 => false }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    try client.renameTable(prefix, ident(oldIdent), ident(newIdent))
+    catch { case e: CatalogError if e.code == 404 =>
+      throw new NoSuchTableException(oldIdent) }
+
+  /** Delegates scans to the parquet table, but exposes NO write
+    * capability: SQL writes must not bypass the snapshot-commit
+    * protocol. */
+  private final class ReadOnlyTable(
+      tableName: String, delegate: Table, tableSchema: StructType)
+      extends Table with SupportsRead {
+    override def name(): String = tableName
+    override def schema(): StructType = tableSchema
+    override def capabilities(): util.Set[TableCapability] =
+      util.EnumSet.of(TableCapability.BATCH_READ)
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      delegate.asInstanceOf[SupportsRead].newScanBuilder(options)
+  }
+}

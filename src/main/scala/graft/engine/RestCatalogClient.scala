@@ -39,6 +39,42 @@ final class RestCatalogClient(baseUri: String) {
     ()
   }
 
+  def listNamespaces(prefix: String): Seq[Seq[String]] = {
+    import scala.jdk.CollectionConverters._
+    getJson(s"$baseUri/catalog/v1/$prefix/namespaces").get("namespaces")
+      .elements().asScala.map(_.elements().asScala.map(_.asText()).toSeq).toSeq
+  }
+
+  def getNamespaceProperties(prefix: String, ns: Seq[String]): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    val n = getJson(s"$baseUri/catalog/v1/$prefix/namespaces/${encodeNs(ns)}")
+    Option(n.get("properties")).filter(!_.isNull).map(p =>
+      p.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
+      .getOrElse(Map.empty)
+  }
+
+  def dropNamespace(prefix: String, ns: Seq[String]): Unit = {
+    send(HttpRequest.newBuilder(URI.create(
+      s"$baseUri/catalog/v1/$prefix/namespaces/${encodeNs(ns)}")).DELETE().build())
+    ()
+  }
+
+  def listTables(prefix: String, ns: Seq[String]): Seq[TableIdent] = {
+    import scala.jdk.CollectionConverters._
+    getJson(s"${tablesUri(prefix, ns)}").get("identifiers").elements().asScala
+      .map(i => TableIdent(
+        i.get("namespace").elements().asScala.map(_.asText()).toSeq,
+        i.get("name").asText())).toSeq
+  }
+
+  def renameTable(prefix: String, source: TableIdent, dest: TableIdent): Unit = {
+    def identJson(id: TableIdent) =
+      s"""{"namespace":${id.namespace.map(p => s""""$p"""").mkString("[", ",", "]")},"name":"${id.name}"}"""
+    postJson(s"$baseUri/catalog/v1/$prefix/tables/rename",
+      s"""{"source":${identJson(source)},"destination":${identJson(dest)}}""")
+    ()
+  }
+
   def createTable(
       prefix: String, ident: TableIdent, schema: Schema,
       spec: UnboundPartitionSpec = UnboundPartitionSpec.Unpartitioned,

@@ -10,6 +10,24 @@ object GraftShims {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** A read-capable V2 Table over an explicit parquet file list — the
+    * planning surface our snapshot scans hand to Spark SQL (full
+    * pushdown/pruning via the builtin parquet source). */
+  def parquetTable(
+      name: String,
+      spark: SparkSession,
+      paths: Seq[String],
+      schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.connector.catalog.Table =
+    execution.datasources.v2.parquet.ParquetTable(
+      name,
+      spark.asInstanceOf[classic.SparkSession],
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap()),
+      paths,
+      Some(schema),
+      classOf[execution.datasources.parquet.ParquetFileFormat])
+
   /** Register a SQL function on a LIVE session (the extensions route,
     * `spark.sql.extensions`, only applies at session construction). */
   def registerFunction(
