@@ -89,15 +89,29 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
     catch { case e: CatalogError if e.code == 404 =>
       throw new NoSuchNamespaceException(namespace) }
 
-  override def loadTable(i: Identifier): Table = {
+  override def loadTable(i: Identifier): Table = loadTableAt(i, None)
+
+  /** SQL time travel: `VERSION AS OF <snapshot-id | tag | branch>`. */
+  override def loadTable(i: Identifier, version: String): Table =
+    loadTableAt(i, Some(version))
+
+  private def loadTableAt(i: Identifier, version: Option[String]): Table = {
     val loaded =
       try client.loadTable(prefix, ident(i))
       catch { case e: CatalogError if e.code == 404 =>
         throw new NoSuchTableException(i) }
     val m = loaded.metadata
-    val files = m.currentSnapshot
-      .map(s => Manifests.read(s.manifestList).map(_.path)).getOrElse(Nil)
-    val schema = SchemaBridge.toSpark(m.currentSchema)
+    val snapshot = version match {
+      case None => m.currentSnapshot
+      case Some(v) =>
+        val byId = v.toLongOption.flatMap(m.snapshots.get)
+        Some(byId.orElse(m.snapshotFor(v)).getOrElse(
+          throw new NoSuchTableException(i)))
+    }
+    // time travel reads with the snapshot's schema
+    val schema = SchemaBridge.toSpark(
+      snapshot.flatMap(_.schemaId).flatMap(m.schemas.get).getOrElse(m.currentSchema))
+    val files = snapshot.map(s => Manifests.read(s.manifestList).map(_.path)).getOrElse(Nil)
     val spark = SparkSession.active
     new ReadOnlyTable(
       s"$catalogName.${i.namespace().mkString(".")}.${i.name()}",

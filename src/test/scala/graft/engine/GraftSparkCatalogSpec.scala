@@ -79,6 +79,24 @@ class GraftSparkCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql(s"DROP NAMESPACE $cat.db")
   }
 
+  test("SQL time travel: VERSION AS OF snapshot id and tag") {
+    import spark.implicits._
+    spark.sql(s"CREATE NAMESPACE $cat.tt")
+    spark.sql(s"CREATE TABLE $cat.tt.t (id INT, s STRING)")
+    val t = new GraftTable(client, prefix, TableIdent(Seq("tt"), "t"))
+    t.append(Seq((1, "v1")).toDF("id", "s"))
+    val firstSnap = t.metadata.currentSnapshotId.get
+    t.createRef("rel1", graft.core.SnapshotRefType.Tag)
+    t.append(Seq((2, "v2")).toDF("id", "s"))
+
+    assert(spark.sql(s"SELECT * FROM $cat.tt.t").count() === 2)
+    assert(spark.sql(s"SELECT * FROM $cat.tt.t VERSION AS OF $firstSnap").count() === 1)
+    assert(spark.sql(s"SELECT s FROM $cat.tt.t VERSION AS OF 'rel1'")
+      .collect().map(_.getString(0)).toSeq === Seq("v1"))
+    assertThrows[Exception](
+      spark.sql(s"SELECT * FROM $cat.tt.t VERSION AS OF 'ghost'").collect())
+  }
+
   test("table and namespace misses surface as standard analysis errors") {
     import org.apache.spark.sql.AnalysisException
     assertThrows[AnalysisException](spark.sql(s"SELECT * FROM $cat.nope.t").collect())
