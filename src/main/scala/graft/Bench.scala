@@ -27,6 +27,9 @@ object Bench {
       // events.ts is parquet TIMESTAMP(NANOS): read as raw long, set
       // once at construction (see Tables.load).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.fieldId.write.enabled", "true")
+      .config("spark.sql.parquet.fieldId.read.enabled", "true")
+      .config("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

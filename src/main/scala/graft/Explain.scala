@@ -14,6 +14,9 @@ object Explain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.fieldId.write.enabled", "true")
+      .config("spark.sql.parquet.fieldId.read.enabled", "true")
+      .config("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -15,6 +15,9 @@ object Verify {
       // events.ts is parquet TIMESTAMP(NANOS): read as raw long (see
       // Tables.load) — session-construction config, not per-load.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.fieldId.write.enabled", "true")
+      .config("spark.sql.parquet.fieldId.read.enabled", "true")
+      .config("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

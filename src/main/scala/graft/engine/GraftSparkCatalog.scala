@@ -7,6 +7,8 @@ import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchT
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, NamedReference, Transform}
 import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -108,14 +110,21 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
         Some(byId.orElse(m.snapshotFor(v)).getOrElse(
           throw new NoSuchTableException(i)))
     }
-    // time travel reads with the snapshot's schema
-    val schema = SchemaBridge.toSpark(
-      snapshot.flatMap(_.schemaId).flatMap(m.schemas.get).getOrElse(m.currentSchema))
+    // a current load always presents the table's CURRENT schema (data
+    // files resolve by field id, so older files still read correctly);
+    // only time travel pins the snapshot's schema
+    val schema = SchemaBridge.toSpark(version match {
+      case None => m.currentSchema
+      case Some(_) =>
+        snapshot.flatMap(_.schemaId).flatMap(m.schemas.get).getOrElse(m.currentSchema)
+    })
     val files = snapshot.map(s => Manifests.read(s.manifestList).map(_.path)).getOrElse(Nil)
     val spark = SparkSession.active
-    new ReadOnlyTable(
-      s"$catalogName.${i.namespace().mkString(".")}.${i.name()}",
-      GraftShims.parquetTable(i.name(), spark, files, schema), schema)
+    val fullName = s"$catalogName.${i.namespace().mkString(".")}.${i.name()}"
+    val delegate = GraftShims.parquetTable(i.name(), spark, files, schema)
+    // time-travel loads are read-only: you can't INSERT into the past
+    if (version.isDefined) new ReadOnlyTable(fullName, delegate, schema)
+    else new WritableTable(fullName, ident(i), delegate, schema)
   }
 
   override def createTable(
@@ -163,9 +172,40 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(i)
   }
 
-  override def alterTable(i: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE via SQL is not supported yet; use the commit API")
+  /** SQL ALTER TABLE: property changes map to set/remove-properties
+    * updates; column changes evolve the current schema through
+    * [[SchemaEvolution]] and land as add-schema + set-current-schema(-1)
+    * guarded by assert-current-schema-id, so a concurrent evolution
+    * conflicts (409) instead of silently clobbering. */
+  override def alterTable(i: Identifier, changes: TableChange*): Table = {
+    import graft.core.{TableRequirement, TableUpdate}
+    val m =
+      try client.loadTable(prefix, ident(i)).metadata
+      catch { case e: CatalogError if e.code == 404 =>
+        throw new NoSuchTableException(i) }
+
+    val sets = changes.collect { case c: TableChange.SetProperty => c.property -> c.value }
+    val removes = changes.collect { case c: TableChange.RemoveProperty => c.property }
+    val columnChanges = changes.filter {
+      case _: TableChange.SetProperty | _: TableChange.RemoveProperty => false
+      case _ => true
+    }
+
+    var requirements = Seq.empty[TableRequirement]
+    var updates = Seq.empty[TableUpdate]
+    if (sets.nonEmpty) updates :+= TableUpdate.SetProperties(sets.toMap)
+    if (removes.nonEmpty) updates :+= TableUpdate.RemoveProperties(removes)
+    if (columnChanges.nonEmpty) {
+      val (evolved, lastColumnId) =
+        SchemaEvolution.evolve(m.currentSchema, m.lastColumnId, columnChanges)
+      requirements :+= TableRequirement.AssertCurrentSchemaId(m.currentSchemaId)
+      updates ++= Seq(
+        TableUpdate.AddSchema(evolved, Some(lastColumnId)),
+        TableUpdate.SetCurrentSchema(-1))
+    }
+    if (updates.nonEmpty) client.commitTable(prefix, ident(i), requirements, updates)
+    loadTable(i)
+  }
 
   override def dropTable(i: Identifier): Boolean =
     try { client.dropTable(prefix, ident(i)); true }
@@ -177,8 +217,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
       throw new NoSuchTableException(oldIdent) }
 
   /** Delegates scans to the parquet table, but exposes NO write
-    * capability: SQL writes must not bypass the snapshot-commit
-    * protocol. */
+    * capability — used for time-travel loads, which must stay
+    * immutable. */
   private final class ReadOnlyTable(
       tableName: String, delegate: Table, tableSchema: StructType)
       extends Table with SupportsRead {
@@ -188,5 +228,48 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
       util.EnumSet.of(TableCapability.BATCH_READ)
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
       delegate.asInstanceOf[SupportsRead].newScanBuilder(options)
+  }
+
+  /** Reads like [[ReadOnlyTable]]; writes route through [[GraftTable]]'s
+    * optimistic snapshot commit (append for INSERT INTO, overwrite for
+    * INSERT OVERWRITE / TRUNCATE), so SQL writers get the same
+    * requirement-guarded commit path as the programmatic API. Spark has
+    * already resolved and cast the incoming query to the table schema
+    * (by-position), so the V1 bridge only needs to restore the table's
+    * column names before handing off — the data files must carry the
+    * table field names for read-by-name snapshot scans. */
+  private final class WritableTable(
+      tableName: String, tid: TableIdent, delegate: Table, tableSchema: StructType)
+      extends Table with SupportsRead with SupportsWrite {
+    override def name(): String = tableName
+    override def schema(): StructType = tableSchema
+    override def capabilities(): util.Set[TableCapability] =
+      util.EnumSet.of(
+        TableCapability.BATCH_READ,
+        TableCapability.V1_BATCH_WRITE,
+        TableCapability.TRUNCATE)
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      delegate.asInstanceOf[SupportsRead].newScanBuilder(options)
+
+    override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+      new WriteBuilder with SupportsTruncate {
+        private var replace = false
+        override def truncate(): WriteBuilder = { replace = true; this }
+        override def build(): Write = new V1Write {
+          override def toInsertableRelation: InsertableRelation =
+            new InsertableRelation {
+              override def insert(data: org.apache.spark.sql.DataFrame,
+                  overwrite: Boolean): Unit = {
+                require(data.columns.length == tableSchema.length,
+                  s"INSERT column count ${data.columns.length} != table arity ${tableSchema.length}")
+                val aligned = data.toDF(tableSchema.fieldNames.toIndexedSeq: _*)
+                val table = new GraftTable(client, prefix, tid)
+                if (replace || overwrite)
+                  table.overwriteAll(aligned, table.metadata.currentSnapshotId)
+                else table.append(aligned)
+              }
+            }
+        }
+      }
   }
 }

@@ -43,8 +43,12 @@ final class GraftTable(
     resolveSnapshot(m, selector) match {
       case None => emptyDf(spark, m.currentSchema)
       case Some(s) =>
-        // time travel reads with the SNAPSHOT's schema, not the current
-        val schema = s.schemaId.flatMap(m.schemas.get).getOrElse(m.currentSchema)
+        // current reads use the CURRENT schema (old files resolve by
+        // field id); time travel pins the snapshot's schema
+        val schema = selector match {
+          case CurrentMain => m.currentSchema
+          case _ => s.schemaId.flatMap(m.schemas.get).getOrElse(m.currentSchema)
+        }
         val files = Manifests.read(s.manifestList).map(_.path)
         if (files.isEmpty) emptyDf(spark, schema)
         else spark.read.schema(SchemaBridge.toSpark(schema)).parquet(files: _*)
@@ -80,7 +84,11 @@ final class GraftTable(
       selector: Selector = CurrentMain): DataFrame = {
     val m = metadata
     val snap = resolveSnapshot(m, selector)
-    val schema = snap.flatMap(_.schemaId).flatMap(m.schemas.get).getOrElse(m.currentSchema)
+    val schema = selector match {
+      case CurrentMain => m.currentSchema
+      case _ =>
+        snap.flatMap(_.schemaId).flatMap(m.schemas.get).getOrElse(m.currentSchema)
+    }
     val files = snap.map(s => Manifests.read(s.manifestList)).getOrElse(Nil)
       .filter(f => keep(f.partition))
     if (files.isEmpty) emptyDf(spark, schema)
@@ -278,12 +286,18 @@ final class GraftTable(
     val m = metadata
     val spec = m.defaultSpec
     val dataDir = s"${m.location}/data/${UUID.randomUUID()}"
-    if (spec.isUnpartitioned) df.write.parquet(dataDir)
+    // Stamp every column with its Iceberg field id so the parquet writer
+    // records field_id in the files — scans then resolve columns by id
+    // (see SchemaBridge.ParquetFieldId), keeping old files readable
+    // across renames without rewrites.
+    val stamped = df.select(m.currentSchema.fields.map(f =>
+      col(f.name).as(f.name, SchemaBridge.fieldIdMetadata(f.id))): _*)
+    if (spec.isUnpartitioned) stamped.write.parquet(dataDir)
     else {
-      val pcols = PartitionExprs.partitionColumns(spec, m.currentSchema, df.col)
+      val pcols = PartitionExprs.partitionColumns(spec, m.currentSchema, stamped.col)
         .zip(spec.fields)
         .map { case (c, f) => c.as(s"$PartDirPrefix${f.name}") }
-      df.select(df.columns.map(col).toSeq ++ pcols: _*)
+      stamped.select(stamped.columns.map(col).toSeq ++ pcols: _*)
         .write
         .partitionBy(spec.fields.map(f => s"$PartDirPrefix${f.name}"): _*)
         .parquet(dataDir)

@@ -10,6 +10,18 @@ import org.apache.spark.sql.types._
 object SchemaBridge {
   import IType._
 
+  /** Iceberg field ids travel to Spark as `parquet.field.id` column
+    * metadata: the parquet writer stamps them into files
+    * (spark.sql.parquet.fieldId.write.enabled) and the reader resolves
+    * columns BY ID instead of by name
+    * (spark.sql.parquet.fieldId.read.enabled) — Spark's native
+    * implementation of Iceberg's id-based column resolution, which is
+    * what makes RENAME COLUMN safe without rewriting data files. */
+  val ParquetFieldId = "parquet.field.id"
+
+  def fieldIdMetadata(id: Int): Metadata =
+    new MetadataBuilder().putLong(ParquetFieldId, id.toLong).build()
+
   def toSpark(t: IType): DataType = t match {
     case TBoolean => BooleanType
     case TInt => IntegerType
@@ -26,7 +38,8 @@ object SchemaBridge {
     case _: TFixed => BinaryType
     case TBinary => BinaryType
     case TStruct(fields) => StructType(fields.map(f =>
-      StructField(f.name, toSpark(f.fieldType), nullable = !f.required)))
+      StructField(f.name, toSpark(f.fieldType), nullable = !f.required,
+        metadata = fieldIdMetadata(f.id))))
     case TList(_, elem, req) => ArrayType(toSpark(elem), containsNull = !req)
     case TMap(_, k, _, v, req) =>
       MapType(toSpark(k), toSpark(v), valueContainsNull = !req)
@@ -35,11 +48,10 @@ object SchemaBridge {
   def toSpark(schema: Schema): StructType =
     toSpark(schema.struct).asInstanceOf[StructType]
 
-  /** Spark → Iceberg with depth-first field-id assignment from 1 (the
-    * create-table path when the caller starts from a DataFrame). */
-  def toIceberg(schema: StructType): Schema = {
-    var nextId = 0
-    def id(): Int = { nextId += 1; nextId }
+  /** Spark → Iceberg type conversion; `id` allocates ids for nested
+    * fields/elements (schema evolution passes the table's last-column-id
+    * counter so new nested ids never collide with existing ones). */
+  def toIcebergType(dt: DataType, id: () => Int): IType = {
     def conv(dt: DataType): IType = dt match {
       case BooleanType => TBoolean
       case ByteType | ShortType | IntegerType => TInt
@@ -62,12 +74,21 @@ object SchemaBridge {
       case other =>
         throw new IllegalArgumentException(s"unsupported Spark type: $other")
     }
+    conv(dt)
+  }
+
+  /** Spark → Iceberg with depth-first field-id assignment from 1 (the
+    * create-table path when the caller starts from a DataFrame). */
+  def toIceberg(schema: StructType): Schema = {
+    var nextId = 0
+    def id(): Int = { nextId += 1; nextId }
     // top-level fields get the first ids, then nested — assign in two
     // passes like Iceberg's fresh-schema assignment
     val fields = schema.fields.toSeq.map { f =>
       val fid = id()
       (fid, f)
-    }.map { case (fid, f) => NestedField(fid, f.name, !f.nullable, conv(f.dataType)) }
+    }.map { case (fid, f) =>
+      NestedField(fid, f.name, !f.nullable, toIcebergType(f.dataType, id)) }
     Schema(0, fields)
   }
 }

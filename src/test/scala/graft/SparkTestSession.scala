@@ -13,6 +13,12 @@ object SparkTestSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // id-based parquet column resolution for catalog-table scans
+      // (SchemaBridge.ParquetFieldId); name-matching still applies to
+      // files without ids (ignoreMissing)
+      .config("spark.sql.parquet.fieldId.write.enabled", "true")
+      .config("spark.sql.parquet.fieldId.read.enabled", "true")
+      .config("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -64,19 +64,87 @@ class GraftSparkCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(id,1)"), plan)
 
-    // SQL writes are refused (no capability): the commit path cannot be
-    // bypassed
-    val e = intercept[Exception](
-      spark.sql(s"INSERT INTO $cat.db.t VALUES (9, 'z')"))
-    assert(e.getMessage.toLowerCase.contains("does not support") ||
-      e.getMessage.toLowerCase.contains("unsupported"))
+    // SQL INSERT goes through the snapshot-commit path: a new snapshot
+    // appears and the rows are visible
+    val snapsBefore = client.loadTable(prefix, TableIdent(Seq("db"), "t"))
+      .metadata.snapshots.size
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (9, 'z')")
+    assert(spark.sql(s"SELECT s FROM $cat.db.t WHERE id = 9")
+      .collect().map(_.getString(0)).toSeq === Seq("z"))
+    assert(client.loadTable(prefix, TableIdent(Seq("db"), "t"))
+      .metadata.snapshots.size === snapsBefore + 1)
 
     // rename + drop via SQL
     spark.sql(s"ALTER TABLE $cat.db.t RENAME TO db.t2")
-    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t2").collect().head.getLong(0) === 3)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t2").collect().head.getLong(0) === 4)
     spark.sql(s"DROP TABLE $cat.db.t2")
     assert(spark.sql(s"SHOW TABLES IN $cat.db").count() === 0)
     spark.sql(s"DROP NAMESPACE $cat.db")
+  }
+
+  test("SQL INSERT OVERWRITE replaces content; CTAS creates and loads") {
+    spark.sql(s"CREATE NAMESPACE $cat.w")
+    spark.sql(s"CREATE TABLE $cat.w.t (id INT, s STRING)")
+    spark.sql(s"INSERT INTO $cat.w.t VALUES (1, 'a'), (2, 'b')")
+    spark.sql(s"INSERT INTO $cat.w.t VALUES (3, 'c')")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.w.t").collect().head.getLong(0) === 3)
+
+    spark.sql(s"INSERT OVERWRITE $cat.w.t VALUES (7, 'x')")
+    assert(spark.sql(s"SELECT id, s FROM $cat.w.t")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq === Seq((7, "x")))
+    // overwrite is a snapshot, not an erase: the pre-overwrite state is
+    // still reachable by time travel
+    val m = client.loadTable(prefix, TableIdent(Seq("w"), "t")).metadata
+    val overwriteSnap = m.currentSnapshot.get
+    assert(overwriteSnap.summary("operation") === "overwrite")
+    val parent = overwriteSnap.parentSnapshotId.get
+    assert(spark.sql(s"SELECT * FROM $cat.w.t VERSION AS OF $parent").count() === 3)
+
+    // CTAS: create + populate through the same catalog in one statement
+    spark.sql(s"CREATE TABLE $cat.w.big AS SELECT id * 10 AS id10, s FROM $cat.w.t")
+    assert(spark.sql(s"SELECT id10, s FROM $cat.w.big")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq === Seq((70, "x")))
+  }
+
+  test("SQL INSERT into a partitioned table records partition tuples") {
+    spark.sql(s"CREATE NAMESPACE $cat.p")
+    spark.sql(
+      s"CREATE TABLE $cat.p.t (id INT, s STRING) PARTITIONED BY (bucket(4, id))")
+    spark.sql(s"INSERT INTO $cat.p.t VALUES (1, 'a'), (2, 'b'), (3, 'c'), (4, 'd')")
+    val t = new GraftTable(client, prefix, TableIdent(Seq("p"), "t"))
+    val files = t.planFiles()
+    assert(files.nonEmpty)
+    assert(files.forall(_.partition.keySet === Set("id_bucket")))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.p.t").collect().head.getLong(0) === 4)
+  }
+
+  test("SQL ALTER TABLE: properties and column evolution") {
+    spark.sql(s"CREATE NAMESPACE $cat.a")
+    spark.sql(s"CREATE TABLE $cat.a.t (id INT, s STRING)")
+    spark.sql(s"INSERT INTO $cat.a.t VALUES (1, 'a')")
+
+    spark.sql(s"ALTER TABLE $cat.a.t SET TBLPROPERTIES ('dept' = 'graft', 'x' = '1')")
+    spark.sql(s"ALTER TABLE $cat.a.t UNSET TBLPROPERTIES ('x')")
+    val props = client.loadTable(prefix, TableIdent(Seq("a"), "t")).metadata.properties
+    assert(props.get("dept") === Some("graft") && !props.contains("x"))
+
+    spark.sql(s"ALTER TABLE $cat.a.t ADD COLUMN score DOUBLE")
+    spark.sql(s"ALTER TABLE $cat.a.t RENAME COLUMN s TO label")
+    val m = client.loadTable(prefix, TableIdent(Seq("a"), "t")).metadata
+    assert(m.currentSchema.fields.map(_.name) === Seq("id", "label", "score"))
+    // new column got a fresh id beyond the old last-column-id
+    assert(m.currentSchema.fields.last.id === 3 && m.lastColumnId === 3)
+    // evolution is a new schema version; the original schema survives
+    assert(m.schemas.size === 3)
+
+    // existing rows read the added column as NULL; inserts fill it
+    spark.sql(s"INSERT INTO $cat.a.t VALUES (2, 'b', 0.5)")
+    val rows = spark.sql(s"SELECT id, label, score FROM $cat.a.t ORDER BY id")
+      .collect().map(r => (r.getInt(0), r.getString(1), Option(r.get(2)))).toSeq
+    assert(rows === Seq((1, "a", None), (2, "b", Some(0.5))))
+
+    spark.sql(s"ALTER TABLE $cat.a.t DROP COLUMN score")
+    assert(spark.sql(s"SELECT * FROM $cat.a.t").columns.toSeq === Seq("id", "label"))
   }
 
   test("SQL time travel: VERSION AS OF snapshot id and tag") {

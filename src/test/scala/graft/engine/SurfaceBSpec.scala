@@ -162,13 +162,21 @@ class SurfaceBSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.metadata.currentSchema.fields.map(_.name) ===
       Seq("id", "strings", "floats", "flag"))
 
-    // old snapshot still reads with the OLD schema
-    assert(t.scan(spark).schema.fieldNames.toSeq === Seq("id", "strings", "floats"))
+    // a current scan presents the CURRENT schema; pre-evolution rows
+    // read the added column as NULL
+    val preEvolveSnap = t.metadata.currentSnapshotId.get
+    assert(t.scan(spark).schema.fieldNames.toSeq ===
+      Seq("id", "strings", "floats", "flag"))
+    assert(t.scan(spark).collect().map(r => Option(r.get(3))).toSeq === Seq(None))
+
+    // time travel to the pre-evolution snapshot pins the OLD schema
+    assert(t.scan(spark, t.AtSnapshot(preEvolveSnap)).schema.fieldNames.toSeq ===
+      Seq("id", "strings", "floats"))
 
     // new writes carry the new column
     t.append(Seq((2, "new", 2.0, true)).toDF("id", "strings", "floats", "flag"))
-    val current = t.scan(spark)
-    assert(current.schema.fieldNames.contains("flag") || current.count() === 2)
+    val current = t.scan(spark).collect().map(r => (r.getInt(0), Option(r.get(3))))
+    assert(current.toSet === Set((1, None), (2, Some(true))))
   }
 
   test("partitioned writes: identity + bucket + day derive per-file tuples") {
