@@ -34,19 +34,8 @@ object Similarity {
 
   private val LSH_BITS = 6 // 64 buckets
 
-  /** Spark: left-fold sum of a double array expression. */
-  private def foldSumS(arr: String): String =
-    s"aggregate($arr, cast(0 as double), (acc, p) -> acc + p)"
-
-  /** Spark: cosine(a, b) with deterministic evaluation order. */
-  private def cosS(a: String, b: String): String = {
-    val dot = foldSumS(s"zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double))")
-    val na = foldSumS(s"transform($a, x -> cast(x as double) * cast(x as double))")
-    val nb = foldSumS(s"transform($b, x -> cast(x as double) * cast(x as double))")
-    s"($dot / (sqrt($na) * sqrt($nb)))"
-  }
-
-  /** DuckDB: identical cosine (list_reduce folds left like aggregate). */
+  /** DuckDB cosine with left-fold sums — the shape graft.functions.VectorExprs
+    * reproduces exactly on the Spark side. */
   private def cosD(a: String, b: String): String = {
     def fold(l: String) = s"list_reduce($l, (acc, p) -> acc + p)"
     val dot = fold(s"list_transform(range(1, len($a) + 1), i -> ($a)[i]::DOUBLE * ($b)[i]::DOUBLE)")
@@ -68,7 +57,8 @@ object Similarity {
       .selectExpr("vec_id as query_id", "embedding as q_emb")
     emb.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
-      .selectExpr("query_id", "vec_id", s"${cosS("q_emb", "embedding")} as cosine")
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.VectorExprs.cosine(col("q_emb"), col("embedding")).as("cosine"))
       .groupBy("query_id")
       .agg(TopK.topK(10, knnSchema)(col("cosine"), col("vec_id")).as("top"))
       .selectExpr("query_id", "posexplode(top) as (pos, r)")
@@ -104,25 +94,14 @@ object Similarity {
   private def w(m: Int, i: Int): Long = Portable.h(s"hp${m}_${i}") % 2001 - 1000
 
   /** Flattened literal hyperplane matrix covering `ms` planes: entry
-    * (m, i) at 1-based index m*DIM + i. */
-  private def wLitSpark(ms: Int): String =
-    (0 until ms).flatMap(m => (1 to DIM).map(i => s"${w(m, i)}.0D"))
-      .mkString("array(", ",", ")")
+    * (m, i) at 1-based index m*DIM + i (oracle-side only; Spark uses
+    * [[planeMatrix]] through the native expression). */
   private def wLitDuck(ms: Int): String =
     (0 until ms).flatMap(m => (1 to DIM).map(i => s"${w(m, i)}.0"))
       .mkString("[", ",", "]")
 
-  /** Spark: b-bit signature from planes m0..m0+b-1 of matrix `wArr`. */
-  private def sigS(wArr: String, m0: String, b: Int): String = {
-    val dotJ =
-      s"""aggregate(sequence(1, $DIM), cast(0 as double),
-         |  (a, i) -> a + element_at($wArr, ($m0 + j) * $DIM + i) * cast(element_at(embedding, i) as double))""".stripMargin
-    s"""aggregate(sequence(0, ${b - 1}), cast(0 as bigint),
-       |  (acc, j) -> acc + if($dotJ >= 0, shiftleft(cast(1 as bigint), j), cast(0 as bigint)))""".stripMargin
-  }
-
-  /** DuckDB twin of [[sigS]] (lists are 1-indexed in both engines, so
-    * the indexing expression is shared verbatim). */
+  /** DuckDB signature for planes m0..m0+b-1 (left-fold dot per plane —
+    * the fold the native Spark expression reproduces exactly). */
   private def sigD(wArr: String, m0: String, b: Int): String = {
     val dotJ =
       s"""list_reduce(list_transform(range(1, $DIM + 1),
@@ -136,7 +115,9 @@ object Similarity {
     * values identical to the pre-literal formulation. */
   def qAnnLshBuckets(s: SparkSession, dir: String): DataFrame =
     load(s, dir, "embeddings")
-      .selectExpr(s"${sigS(wLitSpark(LSH_BITS), "0", LSH_BITS)} as bucket")
+      .select(org.apache.spark.sql.functions.element_at(
+        graft.functions.LshSignature.of(
+          col("embedding"), planeMatrix(1, LSH_BITS), 1, LSH_BITS), 1).as("bucket"))
       .groupBy("bucket")
       .agg(org.apache.spark.sql.functions.expr("count(*) as n_vectors"))
       .orderBy("bucket")
@@ -155,35 +136,27 @@ object Similarity {
   private val ANN_TABLES = 8
   private val ANN_BITS = 5
 
-  /** (vec_id, embedding) → (vec_id, t, bucket) for all L tables, as a
-    * RELATIONAL pipeline: posexplode the vector (cheap generator
-    * child), broadcast-join the (m, i, w) hyperplane table (L·B·DIM
-    * rows built driver-side from the portable hash), then two
-    * codegen'd aggregations — per-(vec, plane) dot sums and per-(vec,
-    * table) bit assembly. No interpreted lambdas, no giant literal
-    * arrays; only the dot's SIGN feeds the bucket, so float summation
-    * order cannot change the result (the oracle folds left-to-right to
-    * the same sign). */
+  /** Flat hyperplane matrix for planes 0 until tables*bits: plane m's
+    * coefficient for 0-based element i at index m*DIM + i (the
+    * driver-side constant both engines agree on via the portable hash).
+    */
+  private def planeMatrix(tables: Int, bits: Int): Array[Double] =
+    Array.tabulate(tables * bits * DIM)(k => w(k / DIM, k % DIM + 1).toDouble)
+
+  /** (vec_id, embedding) → (vec_id, t, bucket) for all L tables: ONE
+    * codegen'd pass per row through [[graft.functions.LshSignature]]
+    * (the hyperplane matrix rides along as a codegen reference), then a
+    * posexplode whose generator child is the PLAIN materialized column
+    * — no join, no aggregation, no shuffle. The expression's strict
+    * ascending-element dot fold equals the oracle's list_reduce
+    * bit-for-bit. */
   private def lshSignatures(
-      corpus: DataFrame, tables: Int = ANN_TABLES, bits: Int = ANN_BITS): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val planes = (for {
-      m <- 0 until tables * bits
-      i <- 1 to DIM
-    } yield (m, i, w(m, i).toDouble)).toDF("m", "i", "w")
+      corpus: DataFrame, tables: Int = ANN_TABLES, bits: Int = ANN_BITS): DataFrame =
     corpus
-      .selectExpr("vec_id", "posexplode(embedding) as (i0, x)")
-      .selectExpr("vec_id", "i0 + 1 as i", "cast(x as double) as x")
-      .join(broadcast(planes), "i")
-      .groupBy(col("vec_id"), col("m"))
-      .agg(org.apache.spark.sql.functions.sum(col("x") * col("w")).as("dot"))
-      .selectExpr("vec_id", s"m div $bits as t",
-        s"if(dot >= 0, shiftleft(cast(1 as bigint), m % $bits), cast(0 as bigint)) as bit")
-      .groupBy(col("vec_id"), col("t"))
-      .agg(org.apache.spark.sql.functions.sum(col("bit")).as("bucket"))
-      .select("vec_id", "t", "bucket")
-  }
+      .select(col("vec_id"),
+        graft.functions.LshSignature.of(
+          col("embedding"), planeMatrix(tables, bits), tables, bits).as("sigs"))
+      .selectExpr("vec_id", "posexplode(sigs) as (t, bucket)")
 
   /** ANN: top-3 by exact cosine among candidates that share ANY of the
     * L per-table buckets with the query (vec_id < 5) — (table, bucket)
@@ -202,7 +175,8 @@ object Similarity {
     candidates
       .join(emb, "vec_id")
       .join(broadcast(queries), "query_id")
-      .selectExpr("query_id", "vec_id", s"${cosS("q_emb", "embedding")} as cosine")
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.VectorExprs.cosine(col("q_emb"), col("embedding")).as("cosine"))
       .groupBy("query_id")
       .agg(TopK.topK(3, knnSchema)(col("cosine"), col("vec_id")).as("top"))
       .selectExpr("query_id", "posexplode(top) as (pos, r)")
@@ -260,14 +234,13 @@ object Similarity {
   def qDedupEmbedding(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.count
-    val perturb =
-      s"""transform(embedding, (x, i) -> cast(x as double) *
-         |  (1.0d + (${hSpark("concat('n|', cast(vec_id as string), '|', cast(i as string))")} % 21 - 10) / 100.0d))""".stripMargin
+    import graft.functions.VectorExprs
     val emb = load(s, dir, "embeddings")
-    val base = emb.selectExpr("vec_id",
-      "transform(embedding, x -> cast(x as double)) as embedding")
+    val base = emb.select(col("vec_id"),
+      VectorExprs.toDouble(col("embedding")).as("embedding"))
     val perturbed = emb.filter("vec_id % 5 = 0")
-      .selectExpr("vec_id + 100000 as vec_id", s"$perturb as embedding")
+      .select((col("vec_id") + 100000).as("vec_id"),
+        VectorExprs.perturb(col("vec_id"), col("embedding")).as("embedding"))
     val corpus = base.unionAll(perturbed)
 
     val sig = lshSignatures(corpus, NEARDUP_TABLES, NEARDUP_BITS)
@@ -284,15 +257,16 @@ object Similarity {
       .distinct()
 
     // norms are per-VECTOR: computed once with the deterministic fold
-    // and joined in, so the per-pair work is a single dot fold
-    val withNorm = corpus.selectExpr("vec_id", "embedding",
-      s"${foldSumS("transform(embedding, x -> cast(x as double) * cast(x as double))")} as norm")
-    val dot = foldSumS(
-      "zip_with(emb_a, emb_b, (x, y) -> cast(x as double) * cast(y as double))")
+    // and joined in, so the per-pair work is a single dot loop
+    val withNorm = corpus.select(col("vec_id"), col("embedding"),
+      VectorExprs.normSq(col("embedding")).as("norm"))
     cand
       .join(withNorm.selectExpr("vec_id as id_a", "embedding as emb_a", "norm as norm_a"), "id_a")
       .join(withNorm.selectExpr("vec_id as id_b", "embedding as emb_b", "norm as norm_b"), "id_b")
-      .selectExpr("id_a", "id_b", s"($dot / (sqrt(norm_a) * sqrt(norm_b))) as cosine")
+      .select(col("id_a"), col("id_b"),
+        (VectorExprs.dot(col("emb_a"), col("emb_b")) /
+          (org.apache.spark.sql.functions.sqrt(col("norm_a")) *
+            org.apache.spark.sql.functions.sqrt(col("norm_b")))).as("cosine"))
       .filter(s"cosine >= $NEARDUP_THRESHOLD")
       .orderBy("id_a", "id_b")
   }
