@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchT
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, NamedReference, Transform}
 import org.apache.spark.sql.connector.read.ScanBuilder
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{BatchWrite, LogicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -30,10 +30,13 @@ import scala.jdk.CollectionConverters._
   *
   * Reads resolve the current snapshot's file list from the manifest and
   * hand it to the builtin parquet source, so SQL scans get the full
-  * pushdown/pruning machinery. Writes go through [[GraftTable]] (the
-  * snapshot-commit path); SQL-level INSERT is intentionally not exposed
-  * yet — the returned table is read-only so a writer cannot bypass the
-  * commit protocol.
+  * pushdown/pruning machinery. Every SQL write form routes through the
+  * snapshot-commit protocol: INSERT INTO / INSERT OVERWRITE / CTAS via
+  * the V1 insert bridge into [[GraftTable]], DELETE FROM via
+  * SupportsDelete (copy-on-write rewrite), MERGE INTO / UPDATE via the
+  * row-level-operation framework backed by the distributed
+  * [[ParquetBatchWrite]], and ALTER TABLE as guarded metadata commits.
+  * Time-travel loads stay read-only.
   */
 class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
 
@@ -240,7 +243,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
     * table field names for read-by-name snapshot scans. */
   private final class WritableTable(
       tableName: String, tid: TableIdent, delegate: Table, tableSchema: StructType)
-      extends Table with SupportsRead with SupportsWrite {
+      extends Table with SupportsRead with SupportsWrite with SupportsDelete
+      with SupportsRowLevelOperations {
     override def name(): String = tableName
     override def schema(): StructType = tableSchema
     override def capabilities(): util.Set[TableCapability] =
@@ -250,6 +254,18 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
         TableCapability.TRUNCATE)
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
       delegate.asInstanceOf[SupportsRead].newScanBuilder(options)
+
+    // SQL DELETE FROM ... WHERE: copy-on-write rewrite through the
+    // commit path (snapshot operation "delete"); refuses untranslatable
+    // predicates so Spark errors rather than over- or under-deleting
+    override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+      FilterBridge.translateAll(filters).isDefined
+    override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+      val cond = FilterBridge.translateAll(filters).getOrElse(
+        throw new UnsupportedOperationException(
+          s"untranslatable delete condition: ${filters.mkString(", ")}"))
+      new GraftTable(client, prefix, tid).deleteWhere(SparkSession.active, cond)
+    }
 
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
       new WriteBuilder with SupportsTruncate {
@@ -267,6 +283,57 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
                 if (replace || overwrite)
                   table.overwriteAll(aligned, table.metadata.currentSnapshotId)
                 else table.append(aligned)
+              }
+            }
+        }
+      }
+
+    /** SQL MERGE INTO / UPDATE (group-based copy-on-write): Spark plans
+      * the full rewritten content against this operation's scan; the
+      * write is the distributed [[ParquetBatchWrite]], and its commit
+      * replaces the table content in one requirement-guarded snapshot
+      * pinned to the pre-operation base (concurrent writers 409). */
+    override def newRowLevelOperationBuilder(
+        info: RowLevelOperationInfo): RowLevelOperationBuilder =
+      new RowLevelOperationBuilder {
+        override def build(): RowLevelOperation = new RowLevelOperation {
+          override def command(): RowLevelOperation.Command = info.command()
+          // The write replaces the WHOLE table content, so the scan
+          // must surface every current row: hide the pushdown
+          // interfaces, otherwise Spark pushes the operation condition
+          // as a ROW filter and unaffected rows of affected files would
+          // vanish from the rewrite (data loss).
+          override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+            val full = delegate.asInstanceOf[SupportsRead].newScanBuilder(options)
+            new ScanBuilder { override def build() = full.build() }
+          }
+          override def newWriteBuilder(writeInfo: LogicalWriteInfo): WriteBuilder =
+            new WriteBuilder {
+              override def build(): Write = new Write {
+                override def toBatch: BatchWrite = {
+                  val table = new GraftTable(client, prefix, tid)
+                  val m = table.metadata
+                  require(m.defaultSpec.isUnpartitioned,
+                    "row-level SQL operations on partitioned tables are not supported yet")
+                  val base = m.currentSnapshotId
+                  val dataDir = s"${m.location}/data/${java.util.UUID.randomUUID()}"
+                  // write with the table's id-stamped schema, aligned to
+                  // the incoming rows' column order
+                  val byName = SchemaBridge.toSpark(m.currentSchema)
+                    .fields.map(f => f.name -> f).toMap
+                  val writeSchema = StructType(writeInfo.schema().fields.map(f =>
+                    byName.getOrElse(f.name, f)))
+                  val (factory, conf) = GraftShims.parquetWriteSpec(
+                    SparkSession.active, writeSchema, Map.empty)
+                  new ParquetBatchWrite(dataDir, writeSchema, factory, conf, files => {
+                    val dataFiles = files.map { f =>
+                      val p = graft.catalog.MetadataIO.toPath(f.path)
+                      Manifests.DataFile(p.toString, java.nio.file.Files.size(p), f.rows)
+                    }.sortBy(_.path)
+                    table.commitFiles(dataFiles,
+                      info.command().name().toLowerCase(java.util.Locale.ROOT), base)
+                  })
+                }
               }
             }
         }

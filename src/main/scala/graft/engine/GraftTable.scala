@@ -208,6 +208,18 @@ final class GraftTable(
       Seq(TableUpdate.RemoveSnapshots(removable))).metadata
   }
 
+  /** Commit ALREADY-WRITTEN data files as the branch's complete new
+    * content (the hook for external distributed writers, e.g. the V2
+    * [[ParquetBatchWrite]] behind SQL MERGE/UPDATE). `expectedBase` pins
+    * the snapshot the rewrite was computed from — concurrent commits
+    * 409 instead of losing rows. */
+  def commitFiles(
+      files: Seq[Manifests.DataFile],
+      operation: String,
+      expectedBase: Option[Long],
+      branch: String = TableMetadata.MainBranch): TableMetadata =
+    commitOnce(branch, operation, expectedBase, _ => files)
+
   /** CREATE TAG / CREATE BRANCH at the current main snapshot. */
   def createRef(name: String, refType: String,
       maxRefAgeMs: Option[Long] = None): TableMetadata = {

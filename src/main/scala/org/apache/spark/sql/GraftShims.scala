@@ -28,6 +28,24 @@ object GraftShims {
       Some(schema),
       classOf[execution.datasources.parquet.ParquetFileFormat])
 
+  /** Spark's own executor-side parquet write machinery for custom V2
+    * `BatchWrite`s: `ParquetFileFormat.prepareWrite` configures the job
+    * (write support, compression, field ids honored per session conf)
+    * and returns the serializable per-task writer factory, exactly as
+    * `FileFormatWriter` ships it to executors. */
+  def parquetWriteSpec(
+      spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      options: Map[String, String])
+      : (execution.datasources.OutputWriterFactory,
+         org.apache.spark.util.SerializableConfiguration) = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val job = org.apache.hadoop.mapreduce.Job.getInstance(cs.sessionState.newHadoopConf())
+    val factory = new execution.datasources.parquet.ParquetFileFormat()
+      .prepareWrite(cs, job, options, schema)
+    (factory, new org.apache.spark.util.SerializableConfiguration(job.getConfiguration))
+  }
+
   /** Register a SQL function on a LIVE session (the extensions route,
     * `spark.sql.extensions`, only applies at session construction). */
   def registerFunction(

@@ -147,6 +147,55 @@ class GraftSparkCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql(s"SELECT * FROM $cat.a.t").columns.toSeq === Seq("id", "label"))
   }
 
+  test("SQL DELETE FROM rewrites through the commit path") {
+    spark.sql(s"CREATE NAMESPACE $cat.d")
+    spark.sql(s"CREATE TABLE $cat.d.t (id INT, s STRING)")
+    spark.sql(s"INSERT INTO $cat.d.t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+
+    spark.sql(s"DELETE FROM $cat.d.t WHERE id = 2 OR s = 'c'")
+    assert(spark.sql(s"SELECT id FROM $cat.d.t").collect().map(_.getInt(0)).toSeq === Seq(1))
+    val m = client.loadTable(prefix, TableIdent(Seq("d"), "t")).metadata
+    assert(m.currentSnapshot.get.summary("operation") === "delete")
+
+    // delete everything (no WHERE) still leaves a scannable empty table
+    spark.sql(s"DELETE FROM $cat.d.t")
+    assert(spark.sql(s"SELECT * FROM $cat.d.t").count() === 0)
+  }
+
+  test("SQL MERGE INTO: matched update, unmatched insert, via snapshot commit") {
+    import spark.implicits._
+    spark.sql(s"CREATE NAMESPACE $cat.m")
+    spark.sql(s"CREATE TABLE $cat.m.t (id INT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.m.t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+
+    Seq((2, "B"), (4, "D")).toDF("id", "v").createOrReplaceTempView("merge_src")
+    spark.sql(
+      s"""MERGE INTO $cat.m.t t USING merge_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+
+    val rows = spark.sql(s"SELECT id, v FROM $cat.m.t ORDER BY id")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(rows === Seq((1, "a"), (2, "B"), (3, "c"), (4, "D")))
+    val m = client.loadTable(prefix, TableIdent(Seq("m"), "t")).metadata
+    assert(m.currentSnapshot.get.summary("operation") === "merge")
+    // pre-merge content still time-travelable
+    val parent = m.currentSnapshot.get.parentSnapshotId.get
+    assert(spark.sql(s"SELECT * FROM $cat.m.t VERSION AS OF $parent").count() === 3)
+  }
+
+  test("SQL UPDATE rewrites matching rows through the commit path") {
+    spark.sql(s"CREATE NAMESPACE $cat.u")
+    spark.sql(s"CREATE TABLE $cat.u.t (id INT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.u.t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql(s"UPDATE $cat.u.t SET v = upper(v) WHERE id >= 2")
+    val rows = spark.sql(s"SELECT id, v FROM $cat.u.t ORDER BY id")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(rows === Seq((1, "a"), (2, "B"), (3, "C")))
+    val m = client.loadTable(prefix, TableIdent(Seq("u"), "t")).metadata
+    assert(m.currentSnapshot.get.summary("operation") === "update")
+  }
+
   test("SQL time travel: VERSION AS OF snapshot id and tag") {
     import spark.implicits._
     spark.sql(s"CREATE NAMESPACE $cat.tt")
