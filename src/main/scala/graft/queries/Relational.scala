@@ -601,8 +601,178 @@ object Relational {
       |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
       |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
 
+  // --------------------------------------------------------------- Q15
+  /** TPC-H Q15 shape: windowed revenue per supplier, keep the max. The
+    * scalar max rides back as a broadcast (one row), so the fact scan
+    * happens once and nothing shuffles twice. */
+  def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val revenue = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1996-04-01")
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast(DoubleType).as("total_revenue"))
+    val top = revenue.agg(max(col("total_revenue")).as("max_revenue"))
+    revenue
+      .crossJoin(broadcast(top))
+      .filter(col("total_revenue") === col("max_revenue"))
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q15Sql: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey,
+      |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  // --------------------------------------------------------------- Q12
+  /** TPC-H Q12 shape (adapted — the dataset has no l_shipmode or
+    * commit/receipt dates): conditional aggregation over the
+    * lineitem⋈orders join, classing LATE shipments (> 30 days after
+    * the order date) by line status and counting critical vs other
+    * order priorities inside the aggregate. */
+  def q12LatePriority(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01")
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority") === "1-URGENT" ||
+          col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority") =!= "1-URGENT" &&
+          col("o_orderpriority") =!= "2-HIGH", 1L).otherwise(0L)).as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+
+  val q12Sql: String =
+    """SELECT l_linestatus,
+      |       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |       CAST(SUM(CASE WHEN o_orderpriority <> '1-URGENT' AND o_orderpriority <> '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin
+
+  // --------------------------------------------------------------- Q17
+  /** TPC-H Q17 shape: correlated per-part average (decorrelated into a
+    * keyed aggregate + equi-join) gating a revenue sum. Parts filtered
+    * to one brand, avg over that part's lineitems, keep rows below
+    * half the average quantity. */
+  def q17SmallQuantityRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val brandParts = broadcast(
+      t(s, dir, "part").filter(col("p_brand") === "Brand#4").select("p_partkey"))
+    val branded = li.join(brandParts, col("l_partkey") === col("p_partkey"))
+    val avgQty = branded.groupBy(col("l_partkey").as("avg_partkey"))
+      .agg(davg(col("l_quantity")).as("avg_qty"))
+    branded
+      .join(avgQty, col("l_partkey") === col("avg_partkey"))
+      .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+      .agg((sum(dec(col("l_extendedprice"))).cast(DoubleType) / lit(7.0)).as("avg_yearly"))
+  }
+
+  val q17Sql: String =
+    """WITH branded AS (
+      |  SELECT l_partkey, l_quantity, l_extendedprice
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_brand = 'Brand#4'),
+      |avgq AS (
+      |  SELECT l_partkey AS avg_partkey,
+      |         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS DOUBLE) AS avg_qty
+      |  FROM branded GROUP BY l_partkey)
+      |SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+      |FROM branded JOIN avgq ON l_partkey = avg_partkey
+      |WHERE l_quantity < 0.5 * avg_qty""".stripMargin
+
+  // --------------------------------------------------------------- Q21
+  /** TPC-H Q21 shape (adapted — lateness derived from ship vs order
+    * date): suppliers who were the ONLY late shipper in a
+    * multi-supplier order. EXISTS → left-semi join, NOT EXISTS →
+    * left-anti join, both keyed on the order — no correlated per-row
+    * subquery execution at scale. */
+  def q21LateSoleSupplier(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders").select("o_orderkey", "o_orderdate", "o_orderstatus"),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late", col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+    val l1 = li.filter(col("late") && col("o_orderstatus") === "F")
+      .select(col("l_orderkey").as("k1"), col("l_suppkey").as("sk1"))
+    val others = li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("sk2"))
+    val othersLate = li.filter(col("late"))
+      .select(col("l_orderkey").as("k3"), col("l_suppkey").as("sk3"))
+    l1
+      .join(others, col("k1") === col("k2") && col("sk1") =!= col("sk2"), "left_semi")
+      .join(othersLate, col("k1") === col("k3") && col("sk1") =!= col("sk3"), "left_anti")
+      .join(broadcast(t(s, dir, "supplier")), col("sk1") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
+
+  val q21Sql: String =
+    """WITH li AS (
+      |  SELECT l_orderkey, l_suppkey, o_orderstatus,
+      |         l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+      |SELECT s_name, COUNT(*) AS numwait
+      |FROM li l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+      |WHERE l1.late AND l1.o_orderstatus = 'F'
+      |  AND EXISTS (SELECT 1 FROM li l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM li l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name""".stripMargin
+
+  // --------------------------------------------------------------- Q22
+  /** TPC-H Q22 shape (adapted — no phone column, nation stands in for
+    * the country code): wealthy-but-idle customers. A scalar average
+    * over positive balances (broadcast single row) gates the customer
+    * scan; orders are excluded with a left-anti join. */
+  def q22IdleCustomers(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val avgBal = cust.filter(col("c_acctbal") > 0.0)
+      .agg(davg(col("c_acctbal")).as("avg_bal"))
+    cust
+      .crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(t(s, dir, "orders").select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+      .orderBy(col("n_name"))
+  }
+
+  val q22Sql: String =
+    """WITH avg_bal AS (
+      |  SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(c_acctbal) AS DOUBLE) AS avg_bal
+      |  FROM customer WHERE c_acctbal > 0.0)
+      |SELECT n_name, COUNT(*) AS numcust,
+      |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      |FROM customer, avg_bal, nation
+      |WHERE c_acctbal > avg_bal
+      |  AND c_nationkey = n_nationkey
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q12_late_priority" -> (q12LatePriority _),
+    "q15_top_supplier" -> (q15TopSupplier _),
+    "q17_small_quantity_revenue" -> (q17SmallQuantityRevenue _),
+    "q21_late_sole_supplier" -> (q21LateSoleSupplier _),
+    "q22_idle_customers" -> (q22IdleCustomers _),
     "q07_volume_shipping" -> (q07VolumeShipping _),
     "q08_market_share" -> (q08MarketShare _),
     "q09_product_profit" -> (q09ProductProfit _),
@@ -627,6 +797,11 @@ object Relational {
     "q_events_props_extract" -> (qEventsPropsExtract _))
 
   val oracleSql: Map[String, String] = Map(
+    "q12_late_priority" -> q12Sql,
+    "q15_top_supplier" -> q15Sql,
+    "q17_small_quantity_revenue" -> q17Sql,
+    "q21_late_sole_supplier" -> q21Sql,
+    "q22_idle_customers" -> q22Sql,
     "q07_volume_shipping" -> q07Sql,
     "q08_market_share" -> q08Sql,
     "q09_product_profit" -> q09Sql,
