@@ -49,10 +49,50 @@ final class GraftTable(
           case CurrentMain => m.currentSchema
           case _ => s.schemaId.flatMap(m.schemas.get).getOrElse(m.currentSchema)
         }
-        val files = Manifests.read(s.manifestList).map(_.path)
-        if (files.isEmpty) emptyDf(spark, schema)
-        else spark.read.schema(SchemaBridge.toSpark(schema)).parquet(files: _*)
+        readFiles(spark, schema, Manifests.read(s.manifestList))
     }
+  }
+
+  /** Snapshot listing → DataFrame, applying merge-on-read equality
+    * deletes: a delete file removes every key-matching row in data
+    * files with a LOWER sequence number, so rows re-inserted after the
+    * delete survive. Rows are attributed to their file via the builtin
+    * `_metadata.file_path` column and joined to the manifest's per-file
+    * sequence (a broadcast of O(file count)); each delete set is then a
+    * keyed LEFT ANTI join with the sequence comparison as a residual
+    * condition — no all-pairs work, scales with candidate matches. */
+  private def readFiles(
+      spark: SparkSession, schema: Schema,
+      all: Seq[Manifests.DataFile]): DataFrame = {
+    import spark.implicits._
+    val (deletes, datas) = all.partition(_.isDeleteFile)
+    if (datas.isEmpty) return emptyDf(spark, schema)
+    val base = spark.read.schema(SchemaBridge.toSpark(schema))
+      .parquet(datas.map(_.path): _*)
+    if (deletes.isEmpty) return base
+
+    // key a file by its last two path segments (uuid-dir/name): stable
+    // across file:// scheme differences between manifest paths and
+    // _metadata.file_path
+    def fileKey(c: Column): Column =
+      concat_ws("/", element_at(split(c, "/"), -2), element_at(split(c, "/"), -1))
+    val seqDf = datas.map(f => (f.path.split('/').takeRight(2).mkString("/"), f.seq))
+      .toDF("__seq_file", "__data_seq")
+    var df = base
+      .withColumn("__seq_file", fileKey(col("_metadata.file_path")))
+      .join(broadcast(seqDf), "__seq_file")
+
+    deletes.groupBy(_.equalityColumns).foreach { case (keys, dfiles) =>
+      val delRows = dfiles.map { f =>
+        spark.read.parquet(f.path)
+          .select(keys.map(k => col(k).as(s"__del_$k")): _*)
+          .withColumn("__del_seq", lit(f.seq))
+      }.reduce(_ unionAll _)
+      val cond = keys.map(k => df(k) <=> delRows(s"__del_$k")).reduce(_ && _) &&
+        delRows("__del_seq") > df("__data_seq")
+      df = df.join(delRows, cond, "left_anti")
+    }
+    df.select(base.columns.map(col).toIndexedSeq: _*)
   }
 
   private def emptyDf(spark: SparkSession, schema: Schema): DataFrame =
@@ -89,11 +129,9 @@ final class GraftTable(
       case _ =>
         snap.flatMap(_.schemaId).flatMap(m.schemas.get).getOrElse(m.currentSchema)
     }
-    val files = snap.map(s => Manifests.read(s.manifestList)).getOrElse(Nil)
-      .filter(f => keep(f.partition))
-    if (files.isEmpty) emptyDf(spark, schema)
-    else spark.read.schema(SchemaBridge.toSpark(schema))
-      .parquet(files.map(_.path): _*)
+    val all = snap.map(s => Manifests.read(s.manifestList)).getOrElse(Nil)
+    // delete files always ride along (their partition tuple is empty)
+    readFiles(spark, schema, all.filter(f => f.isDeleteFile || keep(f.partition)))
   }
 
   /** Metadata tables: `.files`, `.partitions`, `.refs`, `.snapshots`,
@@ -182,6 +220,32 @@ final class GraftTable(
     overwriteAll(remaining, m.currentSnapshotId, operation = "delete")
   }
 
+  /** DELETE (merge-on-read): write the distinct key tuples of
+    * `toDelete` as an equality-delete file and commit it ALONGSIDE the
+    * existing data — no data-file rewrite. Scans anti-join the delete
+    * rows against older-sequence data files; `rewriteDataFiles`
+    * materializes and drops the delete files. This is the
+    * O(deleted-keys) write path a 100 TB table needs for small deletes,
+    * vs copy-on-write's O(table). */
+  def deleteByKeys(
+      spark: SparkSession, keys: Seq[String], toDelete: DataFrame,
+      branch: String = TableMetadata.MainBranch): TableMetadata = {
+    val m = metadata
+    val schemaCols = m.currentSchema.fields.map(_.name).toSet
+    require(keys.nonEmpty && keys.forall(schemaCols), s"unknown key columns: $keys")
+    val dir = s"${m.location}/deletes/${UUID.randomUUID()}"
+    val byName = m.currentSchema.fields.map(f => f.name -> f).toMap
+    toDelete
+      .select(keys.map(k => col(k).as(k, SchemaBridge.fieldIdMetadata(byName(k).id))): _*)
+      .distinct()
+      .write.parquet(dir)
+    val deleteFiles = inventoryParquet(dir).map(_.copy(
+      content = Manifests.ContentEqualityDeletes, equalityColumns = keys))
+    commitLoop(branch, "delete") { base =>
+      base.map(s => Manifests.read(s.manifestList)).getOrElse(Nil) ++ deleteFiles
+    }
+  }
+
   /** CALL system.rewrite_data_files: compact small files into
     * `targetFileCount` without changing content (reference
     * test_spark.py:330-357). Content-identical ⇒ committed as a
@@ -257,9 +321,13 @@ final class GraftTable(
 
   private def commitOnceAgainst(
       cur: TableMetadata, branch: String, operation: String,
-      base: Option[Snapshot], files: Seq[Manifests.DataFile]): TableMetadata = {
+      base: Option[Snapshot], newFiles: Seq[Manifests.DataFile]): TableMetadata = {
     val snapId = java.util.concurrent.ThreadLocalRandom.current().nextLong(1L, Long.MaxValue)
     val manifestLoc = s"${cur.location}/metadata/snap-$snapId.json"
+    // files added by THIS commit get its sequence number (MoR delete
+    // scoping); carried-over files keep theirs
+    val files = newFiles.map(f =>
+      if (f.seq == Manifests.UnassignedSeq) f.copy(seq = cur.lastSequenceNumber + 1) else f)
     Manifests.write(manifestLoc, snapId, files)
     val snapshot = Snapshot(
       snapId,
@@ -314,6 +382,13 @@ final class GraftTable(
         .partitionBy(spec.fields.map(f => s"$PartDirPrefix${f.name}"): _*)
         .parquet(dataDir)
     }
+    inventoryParquet(dataDir)
+  }
+
+  /** Walk a freshly-written parquet directory into manifest entries
+    * (path, bytes, rows from footers, partition tuple from the
+    * directory layout) — driver-side metadata reads, no data scan. */
+  private def inventoryParquet(dataDir: String): Seq[Manifests.DataFile] = {
     val dir = graft.catalog.MetadataIO.toPath(dataDir)
     Files.walk(dir).iterator().asScala
       .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))

@@ -21,12 +21,30 @@ import scala.jdk.CollectionConverters._
   */
 object Manifests {
 
+  /** Content kinds, mirroring Iceberg v2: plain data files and
+    * equality-delete files (a delete file's rows are key tuples; it
+    * deletes every matching row in data files with a LOWER sequence
+    * number — merge-on-read). */
+  val ContentData = "data"
+  val ContentEqualityDeletes = "equality-deletes"
+
+  /** Sentinel for "assign the commit's sequence number at commit time"
+    * (files are written before the winning base snapshot is known). */
+  val UnassignedSeq: Long = -1L
+
   final case class DataFile(
       path: String,
       sizeBytes: Long,
       recordCount: Long,
       /** partition-field name → literal string value ("" when unpartitioned) */
-      partition: Map[String, String] = Map.empty)
+      partition: Map[String, String] = Map.empty,
+      content: String = ContentData,
+      /** data sequence number: commit order for MoR delete scoping */
+      seq: Long = UnassignedSeq,
+      /** equality-delete key columns (delete files only) */
+      equalityColumns: Seq[String] = Nil) {
+    def isDeleteFile: Boolean = content == ContentEqualityDeletes
+  }
 
   private val mapper = new ObjectMapper()
 
@@ -43,6 +61,13 @@ object Manifests {
         val p = mapper.createObjectNode()
         f.partition.toSeq.sortBy(_._1).foreach { case (k, v) => p.put(k, v) }
         fo.set[ObjectNode]("partition", p)
+      }
+      if (f.content != ContentData) fo.put("content", f.content)
+      if (f.seq != UnassignedSeq) fo.put("sequence-number", f.seq)
+      if (f.equalityColumns.nonEmpty) {
+        val eq = mapper.createArrayNode()
+        f.equalityColumns.foreach(eq.add)
+        fo.set[ArrayNode]("equality-columns", eq)
       }
       arr.add(fo)
     }
@@ -63,7 +88,11 @@ object Manifests {
         f.get("record-count").asLong(),
         Option(f.get("partition")).filter(!_.isNull).map(p =>
           p.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
-          .getOrElse(Map.empty))
+          .getOrElse(Map.empty),
+        Option(f.get("content")).map(_.asText()).getOrElse(ContentData),
+        Option(f.get("sequence-number")).map(_.asLong()).getOrElse(UnassignedSeq),
+        Option(f.get("equality-columns")).map(_.elements().asScala.map(_.asText()).toSeq)
+          .getOrElse(Nil))
     }.toSeq
   }
 }

@@ -1,0 +1,117 @@
+package graft.engine
+
+import graft.SparkTestSession
+import graft.catalog._
+import graft.core._
+import graft.server.CatalogServer
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+import java.util.UUID
+
+/** Merge-on-read equality deletes: delete files commit O(keys) work,
+  * scans subtract them from older-sequence data files, later
+  * re-inserts of the same key survive, and compaction materializes the
+  * deletes away (the Iceberg v2 delete-file model, re-expressed on our
+  * manifest + anti-join scan).
+  */
+class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
+  import IType._
+
+  private lazy val spark = SparkTestSession.spark
+  private val project = UUID.randomUUID()
+  private val store = new InMemoryCatalogStore
+  private var server: CatalogServer = _
+  private var client: RestCatalogClient = _
+  private var prefix: String = _
+
+  override def beforeAll(): Unit = {
+    server = new CatalogServer(store, project).start()
+    val whLoc = Files.createTempDirectory("graft-mor").toUri.toString.stripSuffix("/")
+    store.createWarehouse(project, "wh", whLoc).fold(e => fail(e.message), identity)
+    client = new RestCatalogClient(server.baseUri)
+    prefix = client.config("wh")
+    client.createNamespace(prefix, Seq("db"))
+  }
+
+  override def afterAll(): Unit = server.stop()
+
+  private val schema = Schema(0, Seq(
+    NestedField.required(1, "id", TInt),
+    NestedField.optional(2, "v", TString)))
+
+  private def table(name: String): GraftTable = {
+    client.createTable(prefix, TableIdent(Seq("db"), name), schema)
+    new GraftTable(client, prefix, TableIdent(Seq("db"), name))
+  }
+
+  private def rows(t: GraftTable): Set[(Int, String)] =
+    t.scan(spark).collect().map(r => (r.getInt(0), r.getString(1))).toSet
+
+  test("equality delete hides matching rows without rewriting data files") {
+    import spark.implicits._
+    val t = table("t_mor")
+    t.append(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"))
+    val dataFilesBefore = t.planFiles().filterNot(_.isDeleteFile).map(_.path).toSet
+
+    t.deleteByKeys(spark, Seq("id"), Seq((2, "x")).toDF("id", "v"))
+    assert(rows(t) === Set((1, "a"), (3, "c")))
+
+    // data files untouched; one delete file appeared with the key column
+    val after = t.planFiles()
+    assert(after.filterNot(_.isDeleteFile).map(_.path).toSet === dataFilesBefore)
+    val dels = after.filter(_.isDeleteFile)
+    assert(dels.size === 1 && dels.head.equalityColumns === Seq("id"))
+    assert(t.metadata.currentSnapshot.get.summary("operation") === "delete")
+  }
+
+  test("re-inserted keys survive: deletes only reach older sequences") {
+    import spark.implicits._
+    val t = table("t_seq")
+    t.append(Seq((1, "old"), (2, "other")).toDF("id", "v"))
+    t.deleteByKeys(spark, Seq("id"), Seq(1).toDF("id"))
+    assert(rows(t) === Set((2, "other")))
+
+    // same key written AFTER the delete is visible
+    t.append(Seq((1, "new")).toDF("id", "v"))
+    assert(rows(t) === Set((1, "new"), (2, "other")))
+
+    // a second delete of the key hides the newer row too
+    t.deleteByKeys(spark, Seq("id"), Seq(1).toDF("id"))
+    assert(rows(t) === Set((2, "other")))
+  }
+
+  test("multi-column keys and time travel across a MoR delete") {
+    import spark.implicits._
+    val t = table("t_multi")
+    t.append(Seq((1, "a"), (1, "b"), (2, "a")).toDF("id", "v"))
+    val preDelete = t.metadata.currentSnapshotId.get
+    t.deleteByKeys(spark, Seq("id", "v"), Seq((1, "a")).toDF("id", "v"))
+    assert(rows(t) === Set((1, "b"), (2, "a")))
+    // the pre-delete snapshot still reads everything
+    assert(t.scan(spark, t.AtSnapshot(preDelete)).count() === 3)
+  }
+
+  test("compaction materializes deletes and drops delete files") {
+    import spark.implicits._
+    val t = table("t_compact")
+    t.append(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"))
+    t.deleteByKeys(spark, Seq("id"), Seq(3).toDF("id"))
+    assert(t.planFiles().exists(_.isDeleteFile))
+
+    t.rewriteDataFiles(spark, targetFileCount = 1)
+    val files = t.planFiles()
+    assert(!files.exists(_.isDeleteFile) && files.size === 1)
+    assert(rows(t) === Set((1, "a"), (2, "b")))
+  }
+
+  test("MERGE-upsert on a table with outstanding MoR deletes") {
+    import spark.implicits._
+    val t = table("t_upsert")
+    t.append(Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    t.deleteByKeys(spark, Seq("id"), Seq(1).toDF("id"))
+    t.upsert(spark, Seq((2, "B"), (9, "Z")).toDF("id", "v"), Seq("id"))
+    assert(rows(t) === Set((2, "B"), (9, "Z")))
+  }
+}
