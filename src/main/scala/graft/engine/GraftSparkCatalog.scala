@@ -38,7 +38,8 @@ import scala.jdk.CollectionConverters._
   * [[ParquetBatchWrite]], and ALTER TABLE as guarded metadata commits.
   * Time-travel loads stay read-only.
   */
-class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
+class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
+    with StagingTableCatalog {
 
   private var catalogName: String = _
   private var client: RestCatalogClient = _
@@ -134,6 +135,18 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
       i: Identifier, schema: StructType, partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val icebergSchema = SchemaBridge.toIceberg(schema)
+    try client.createTable(prefix, ident(i), icebergSchema,
+      toUnboundSpec(icebergSchema, partitions), properties.asScala.toMap)
+    catch { case e: CatalogError if e.code == 409 =>
+      throw new TableAlreadyExistsException(i) }
+    loadTable(i)
+  }
+
+  /** V2 partition transforms → our unbound spec (shared by create and
+    * stage-create). */
+  private def toUnboundSpec(
+      icebergSchema: graft.core.Schema,
+      partitions: Array[Transform]): UnboundPartitionSpec = {
     def sourceId(fieldNames: Seq[String]): Int = {
       require(fieldNames.size == 1, s"nested partition refs unsupported: $fieldNames")
       icebergSchema.fieldByName(fieldNames.head).getOrElse(
@@ -168,11 +181,156 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
           s"partition transform not supported: $other")
       }
     }
-    try client.createTable(prefix, ident(i), icebergSchema,
-      UnboundPartitionSpec(None, fields), properties.asScala.toMap)
-    catch { case e: CatalogError if e.code == 409 =>
-      throw new TableAlreadyExistsException(i) }
-    loadTable(i)
+    UnboundPartitionSpec(None, fields)
+  }
+
+  // ---------------------------------------------------- staged (CTAS)
+  /** Atomic CTAS: POST tables with stage-create (the reference's
+    * staged-row contract, postgres/table.rs:226-259) — the staged table
+    * is invisible to loads/lists until the data write commits its first
+    * snapshot, which also finalizes the row. Abort drops the staged
+    * row. */
+  override def stageCreate(
+      i: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    val icebergSchema = SchemaBridge.toIceberg(schema)
+    val staged =
+      try client.createTable(prefix, ident(i), icebergSchema,
+        toUnboundSpec(icebergSchema, partitions), properties.asScala.toMap,
+        stageCreate = true)
+      catch { case e: CatalogError if e.code == 409 =>
+        throw new TableAlreadyExistsException(i) }
+    new GraftStagedTable(i, staged.metadata, replaceOf = None)
+  }
+
+  /** Atomic RTAS. An existing table is replaced CLIENT-side (like
+    * Iceberg's replace transaction): the new schema lands as add-schema
+    * with fresh field ids above the old last-column-id, and the data
+    * swap is pinned to the pre-replace snapshot — a concurrent commit
+    * 409s the whole replace. */
+  override def stageReplace(
+      i: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable =
+    stageForReplace(i, schema, partitions, properties, orCreate = false)
+
+  override def stageCreateOrReplace(
+      i: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable =
+    stageForReplace(i, schema, partitions, properties, orCreate = true)
+
+  private def stageForReplace(
+      i: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: util.Map[String, String], orCreate: Boolean): StagedTable = {
+    import graft.core.{NestedField, IType}
+    val existing =
+      try Some(client.loadTable(prefix, ident(i)).metadata)
+      catch { case e: CatalogError if e.code == 404 => None }
+    existing match {
+      case None if !orCreate => throw new NoSuchTableException(i)
+      case None => stageCreate(i, schema, partitions, properties)
+      case Some(m) =>
+        require(partitions.isEmpty && m.defaultSpec.isUnpartitioned,
+          "replacing partitioned tables is not supported yet")
+        // fresh ids strictly above the old last-column-id, so id-based
+        // file resolution can never confuse old and new columns
+        def shift(t: IType, by: Int): IType = t match {
+          case IType.TStruct(fs) => IType.TStruct(fs.map(f =>
+            f.copy(id = f.id + by, fieldType = shift(f.fieldType, by))))
+          case IType.TList(id, e, r) => IType.TList(id + by, shift(e, by), r)
+          case IType.TMap(k, kt, v, vt, r) =>
+            IType.TMap(k + by, shift(kt, by), v + by, shift(vt, by), r)
+          case p => p
+        }
+        val fresh = SchemaBridge.toIceberg(schema)
+        val shifted = fresh.copy(fields = fresh.fields.map(f =>
+          NestedField(f.id + m.lastColumnId, f.name, f.required,
+            shift(f.fieldType, m.lastColumnId), f.doc)))
+        val lastColumnId = m.lastColumnId + fresh.struct.maxFieldId
+        // pseudo-metadata for the data write: new schema at the old
+        // location, unpartitioned
+        val writeMeta = m.copy(
+          schemas = Map(0 -> shifted.copy(schemaId = 0)), currentSchemaId = 0)
+        new GraftStagedTable(i, writeMeta,
+          replaceOf = Some((m, shifted, lastColumnId)))
+    }
+  }
+
+  /** A staged table: Spark writes the query result through it, then
+    * commits or aborts atomically. The data write reuses the engine's
+    * file writer (field-id stamping, footer inventory); the commit is a
+    * single guarded metadata swap. */
+  private final class GraftStagedTable(
+      i: Identifier,
+      writeMeta: graft.core.TableMetadata,
+      replaceOf: Option[(graft.core.TableMetadata, graft.core.Schema, Int)])
+      extends StagedTable with SupportsWrite {
+    import graft.core._
+
+    private var written: Seq[Manifests.DataFile] = Nil
+
+    override def name(): String =
+      s"$catalogName.${i.namespace().mkString(".")}.${i.name()} (staged)"
+    override def schema(): StructType = SchemaBridge.toSpark(writeMeta.currentSchema)
+    override def capabilities(): util.Set[TableCapability] =
+      util.EnumSet.of(TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+    override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+      new WriteBuilder with SupportsTruncate {
+        override def truncate(): WriteBuilder = this // staged tables are empty
+        override def build(): Write = new V1Write {
+          override def toInsertableRelation: InsertableRelation =
+            new InsertableRelation {
+              override def insert(data: org.apache.spark.sql.DataFrame,
+                  overwrite: Boolean): Unit = {
+                val names = writeMeta.currentSchema.fields.map(_.name)
+                written = GraftTable.writeDataFiles(
+                  data.toDF(names: _*), writeMeta)
+              }
+            }
+        }
+      }
+
+    override def commitStagedChanges(): Unit = {
+      val base = replaceOf.map(_._1).getOrElse(writeMeta)
+      val seq = base.lastSequenceNumber + 1
+      val files = written.map(f =>
+        if (f.seq == Manifests.UnassignedSeq) f.copy(seq = seq) else f)
+      val snapId =
+        java.util.concurrent.ThreadLocalRandom.current().nextLong(1L, Long.MaxValue)
+      val manifestLoc = s"${writeMeta.location}/metadata/snap-$snapId.json"
+      Manifests.write(manifestLoc, snapId, files)
+      val (operation, schemaUpdates, requirements) = replaceOf match {
+        case None =>
+          ("append", Nil,
+            Seq(TableRequirement.AssertTableUuid(writeMeta.tableUuid)))
+        case Some((m, shifted, lastColumnId)) =>
+          ("replace",
+            Seq(TableUpdate.AddSchema(shifted, Some(lastColumnId)),
+              TableUpdate.SetCurrentSchema(-1)),
+            Seq(TableRequirement.AssertRefSnapshotId(
+              TableMetadata.MainBranch, m.currentSnapshotId)))
+      }
+      val snapshot = Snapshot(snapId, base.currentSnapshotId, seq,
+        System.currentTimeMillis(), manifestLoc,
+        Map("operation" -> operation,
+          "total-data-files" -> files.size.toString,
+          "total-records" -> files.map(_.recordCount).sum.toString),
+        schemaId = if (replaceOf.isEmpty) Some(writeMeta.currentSchemaId) else None)
+      client.commitTable(prefix, ident(i), requirements,
+        schemaUpdates ++ Seq(
+          TableUpdate.AddSnapshot(snapshot),
+          TableUpdate.SetSnapshotRef(TableMetadata.MainBranch, snapId,
+            SnapshotRefType.Branch)))
+    }
+
+    /** Create-mode: remove the staged row (hard delete incl. staged —
+      * reference DROP semantics). Replace-mode: the pre-existing table
+      * is untouched; written files are unreferenced orphans. */
+    override def abortStagedChanges(): Unit =
+      if (replaceOf.isEmpty) {
+        try client.dropTable(prefix, ident(i))
+        catch { case _: CatalogError => () }
+      }
   }
 
   /** SQL ALTER TABLE: property changes map to set/remove-properties

@@ -351,19 +351,33 @@ final class GraftTable(
   }
 
   // --------------------------------------------------------- data files
+  /** Write df as parquet under a fresh data/ subdirectory, stamped and
+    * partitioned per the table's current metadata (see the companion's
+    * [[GraftTable.writeDataFiles]]). */
+  private def writeDataFiles(df: DataFrame): Seq[Manifests.DataFile] =
+    GraftTable.writeDataFiles(df, metadata)
+
+  private def inventoryParquet(dataDir: String): Seq[Manifests.DataFile] =
+    GraftTable.inventoryParquet(dataDir)
+}
+
+object GraftTable {
   /** Internal directory prefix for partition dirs, so derived partition
     * columns never collide with data columns (data files keep EVERY
     * source column; partition values live in the manifest). */
   private val PartDirPrefix = "__p_"
 
-  /** Write df as parquet under a fresh data/ subdirectory — partitioned
-    * by the table's default spec when one is set (partition values
-    * derived per row by codegen'd transform expressions, incl. the
-    * native bucket expression) — and inventory the produced files
-    * (path, bytes, rows from parquet footers, partition tuple from the
-    * directory layout; a driver-side metadata read, no data scan). */
-  private def writeDataFiles(df: DataFrame): Seq[Manifests.DataFile] = {
-    val m = metadata
+  /** Write df as parquet under a fresh data/ subdirectory of
+    * `m.location` — partitioned by the metadata's default spec when one
+    * is set (partition values derived per row by codegen'd transform
+    * expressions, incl. the native bucket expression) — and inventory
+    * the produced files (path, bytes, rows from parquet footers,
+    * partition tuple from the directory layout; a driver-side metadata
+    * read, no data scan). Shared by the live-table write path and the
+    * staged-table (CTAS/RTAS) write path, which has no loadable table
+    * yet. */
+  private[engine] def writeDataFiles(
+      df: DataFrame, m: TableMetadata): Seq[Manifests.DataFile] = {
     val spec = m.defaultSpec
     val dataDir = s"${m.location}/data/${UUID.randomUUID()}"
     // Stamp every column with its Iceberg field id so the parquet writer
@@ -388,7 +402,7 @@ final class GraftTable(
   /** Walk a freshly-written parquet directory into manifest entries
     * (path, bytes, rows from footers, partition tuple from the
     * directory layout) — driver-side metadata reads, no data scan. */
-  private def inventoryParquet(dataDir: String): Seq[Manifests.DataFile] = {
+  private[engine] def inventoryParquet(dataDir: String): Seq[Manifests.DataFile] = {
     val dir = graft.catalog.MetadataIO.toPath(dataDir)
     Files.walk(dir).iterator().asScala
       .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))

@@ -162,6 +162,32 @@ class GraftSparkCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql(s"SELECT * FROM $cat.d.t").count() === 0)
   }
 
+  test("DataFrameWriterV2 createOrReplace: atomic stage-create, then replace") {
+    import spark.implicits._
+    spark.sql(s"CREATE NAMESPACE $cat.s")
+
+    // stage-create: the table only becomes visible with its data
+    Seq((1, "a"), (2, "b")).toDF("id", "v").writeTo(s"$cat.s.t").createOrReplace()
+    assert(spark.sql(s"SELECT id, v FROM $cat.s.t ORDER BY id")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq === Seq((1, "a"), (2, "b")))
+
+    // replace with a DIFFERENT schema in one atomic operation
+    Seq((10L, 1.5)).toDF("key", "score").writeTo(s"$cat.s.t").createOrReplace()
+    val out = spark.sql(s"SELECT key, score FROM $cat.s.t")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(out === Seq((10L, 1.5)))
+    val m = client.loadTable(prefix, TableIdent(Seq("s"), "t")).metadata
+    assert(m.currentSnapshot.get.summary("operation") === "replace")
+    // pre-replace content (old schema) still reachable by time travel
+    val parent = m.currentSnapshot.get.parentSnapshotId.get
+    assert(spark.sql(s"SELECT * FROM $cat.s.t VERSION AS OF $parent")
+      .columns.toSeq === Seq("id", "v"))
+
+    // SQL REPLACE TABLE AS SELECT uses the same staged path
+    spark.sql(s"REPLACE TABLE $cat.s.t AS SELECT 5 AS n")
+    assert(spark.sql(s"SELECT n FROM $cat.s.t").collect().map(_.getInt(0)).toSeq === Seq(5))
+  }
+
   test("SQL MERGE INTO: matched update, unmatched insert, via snapshot commit") {
     import spark.implicits._
     spark.sql(s"CREATE NAMESPACE $cat.m")
