@@ -117,18 +117,27 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     // a current load always presents the table's CURRENT schema (data
     // files resolve by field id, so older files still read correctly);
     // only time travel pins the snapshot's schema
-    val schema = SchemaBridge.toSpark(version match {
+    val coreSchema = version match {
       case None => m.currentSchema
       case Some(_) =>
         snapshot.flatMap(_.schemaId).flatMap(m.schemas.get).getOrElse(m.currentSchema)
-    })
-    val files = snapshot.map(s => Manifests.read(s.manifestList).map(_.path)).getOrElse(Nil)
+    }
+    val schema = SchemaBridge.toSpark(coreSchema)
+    val listing = snapshot.map(s => Manifests.read(s.manifestList)).getOrElse(Nil)
     val spark = SparkSession.active
     val fullName = s"$catalogName.${i.namespace().mkString(".")}.${i.name()}"
-    val delegate = GraftShims.parquetTable(i.name(), spark, files, schema)
+    val delegate = GraftShims.parquetTable(
+      i.name(), spark, listing.filterNot(_.isDeleteFile).map(_.path), schema)
+    // outstanding merge-on-read delete files can't be expressed by a
+    // plain parquet scan: those snapshots read through the engine's
+    // delete-applying scan (full pushdown returns after compaction)
+    val morScan: Option[() => org.apache.spark.sql.DataFrame] =
+      if (listing.exists(_.isDeleteFile))
+        Some(() => GraftTable.readFiles(SparkSession.active, coreSchema, listing))
+      else None
     // time-travel loads are read-only: you can't INSERT into the past
-    if (version.isDefined) new ReadOnlyTable(fullName, delegate, schema)
-    else new WritableTable(fullName, ident(i), delegate, schema)
+    if (version.isDefined) new ReadOnlyTable(fullName, delegate, schema, morScan)
+    else new WritableTable(fullName, ident(i), delegate, schema, morScan)
   }
 
   override def createTable(
@@ -377,18 +386,46 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     catch { case e: CatalogError if e.code == 404 =>
       throw new NoSuchTableException(oldIdent) }
 
+  /** A scan builder over the engine's DataFrame-producing read — the
+    * fallback for snapshots with outstanding MoR delete files, where
+    * the read is an anti-join plan, not a parquet file list. V1Scan
+    * hands Spark the computed RDD; pushdown is intentionally absent
+    * (the delete semantics must see every row). */
+  private final class MorScanBuilder(
+      tableSchema: StructType, thunk: () => org.apache.spark.sql.DataFrame)
+      extends ScanBuilder {
+    override def build(): org.apache.spark.sql.connector.read.Scan =
+      new org.apache.spark.sql.connector.read.V1Scan {
+        override def readSchema(): StructType = tableSchema
+        override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
+            with org.apache.spark.sql.sources.TableScan](
+            context: org.apache.spark.sql.SQLContext): T =
+          (new org.apache.spark.sql.sources.BaseRelation
+              with org.apache.spark.sql.sources.TableScan {
+            override def sqlContext: org.apache.spark.sql.SQLContext = context
+            override def schema: StructType = tableSchema
+            override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+              thunk().rdd
+          }).asInstanceOf[T]
+      }
+  }
+
   /** Delegates scans to the parquet table, but exposes NO write
     * capability — used for time-travel loads, which must stay
     * immutable. */
   private final class ReadOnlyTable(
-      tableName: String, delegate: Table, tableSchema: StructType)
+      tableName: String, delegate: Table, tableSchema: StructType,
+      morScan: Option[() => org.apache.spark.sql.DataFrame])
       extends Table with SupportsRead {
     override def name(): String = tableName
     override def schema(): StructType = tableSchema
     override def capabilities(): util.Set[TableCapability] =
       util.EnumSet.of(TableCapability.BATCH_READ)
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-      delegate.asInstanceOf[SupportsRead].newScanBuilder(options)
+      morScan match {
+        case Some(thunk) => new MorScanBuilder(tableSchema, thunk)
+        case None => delegate.asInstanceOf[SupportsRead].newScanBuilder(options)
+      }
   }
 
   /** Reads like [[ReadOnlyTable]]; writes route through [[GraftTable]]'s
@@ -400,7 +437,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     * column names before handing off — the data files must carry the
     * table field names for read-by-name snapshot scans. */
   private final class WritableTable(
-      tableName: String, tid: TableIdent, delegate: Table, tableSchema: StructType)
+      tableName: String, tid: TableIdent, delegate: Table, tableSchema: StructType,
+      morScan: Option[() => org.apache.spark.sql.DataFrame])
       extends Table with SupportsRead with SupportsWrite with SupportsDelete
       with SupportsRowLevelOperations {
     override def name(): String = tableName
@@ -411,18 +449,54 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
         TableCapability.V1_BATCH_WRITE,
         TableCapability.TRUNCATE)
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-      delegate.asInstanceOf[SupportsRead].newScanBuilder(options)
+      morScan match {
+        case Some(thunk) => new MorScanBuilder(tableSchema, thunk)
+        case None => delegate.asInstanceOf[SupportsRead].newScanBuilder(options)
+      }
 
     // SQL DELETE FROM ... WHERE: copy-on-write rewrite through the
     // commit path (snapshot operation "delete"); refuses untranslatable
-    // predicates so Spark errors rather than over- or under-deleting
+    // predicates so Spark errors rather than over- or under-deleting.
+    // With table property write.delete.mode=merge-on-read, an
+    // equality-shaped condition commits an O(keys) equality-delete file
+    // instead of rewriting the table (see GraftTable.deleteByKeys).
     override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
       FilterBridge.translateAll(filters).isDefined
     override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+      val spark = SparkSession.active
+      val table = new GraftTable(client, prefix, tid)
+      val mor = table.metadata.properties.get("write.delete.mode")
+        .contains("merge-on-read")
+      if (mor) equalityTuples(filters) match {
+        case Some((keys, rows)) =>
+          val keyTypes = tableSchema.fields.filter(f => keys.contains(f.name))
+          val ordered = keys.map(k => keyTypes.find(_.name == k).get)
+          val df = spark.createDataFrame(
+            rows.map(org.apache.spark.sql.Row.fromSeq).asJava,
+            StructType(ordered.map(f => f.copy(nullable = true))))
+          table.deleteByKeys(spark, keys, df)
+          return
+        case None => () // condition not equality-shaped: fall through to CoW
+      }
       val cond = FilterBridge.translateAll(filters).getOrElse(
         throw new UnsupportedOperationException(
           s"untranslatable delete condition: ${filters.mkString(", ")}"))
-      new GraftTable(client, prefix, tid).deleteWhere(SparkSession.active, cond)
+      table.deleteWhere(spark, cond)
+    }
+
+    /** AND of EqualTo filters → one key tuple; a single In → one tuple
+      * per value. Anything else is not equality-shaped. */
+    private def equalityTuples(filters: Array[org.apache.spark.sql.sources.Filter])
+        : Option[(Seq[String], Seq[Seq[Any]])] = {
+      import org.apache.spark.sql.sources.{EqualTo, In}
+      filters.toSeq match {
+        case Seq(In(a, vs)) => Some((Seq(a), vs.toSeq.map(v => Seq(v))))
+        case fs if fs.nonEmpty && fs.forall(_.isInstanceOf[EqualTo]) =>
+          val eqs = fs.map { case EqualTo(a, v) => a -> v }
+          if (eqs.map(_._1).distinct.size != eqs.size) None
+          else Some((eqs.map(_._1), Seq(eqs.map(_._2))))
+        case _ => None
+      }
     }
 
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -460,11 +534,15 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
           // must surface every current row: hide the pushdown
           // interfaces, otherwise Spark pushes the operation condition
           // as a ROW filter and unaffected rows of affected files would
-          // vanish from the rewrite (data loss).
-          override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-            val full = delegate.asInstanceOf[SupportsRead].newScanBuilder(options)
-            new ScanBuilder { override def build() = full.build() }
-          }
+          // vanish from the rewrite (data loss). MoR snapshots read
+          // through the delete-applying scan for the same reason.
+          override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+            morScan match {
+              case Some(thunk) => new MorScanBuilder(tableSchema, thunk)
+              case None =>
+                val full = delegate.asInstanceOf[SupportsRead].newScanBuilder(options)
+                new ScanBuilder { override def build() = full.build() }
+            }
           override def newWriteBuilder(writeInfo: LogicalWriteInfo): WriteBuilder =
             new WriteBuilder {
               override def build(): Write = new Write {

@@ -53,50 +53,13 @@ final class GraftTable(
     }
   }
 
-  /** Snapshot listing → DataFrame, applying merge-on-read equality
-    * deletes: a delete file removes every key-matching row in data
-    * files with a LOWER sequence number, so rows re-inserted after the
-    * delete survive. Rows are attributed to their file via the builtin
-    * `_metadata.file_path` column and joined to the manifest's per-file
-    * sequence (a broadcast of O(file count)); each delete set is then a
-    * keyed LEFT ANTI join with the sequence comparison as a residual
-    * condition — no all-pairs work, scales with candidate matches. */
   private def readFiles(
       spark: SparkSession, schema: Schema,
-      all: Seq[Manifests.DataFile]): DataFrame = {
-    import spark.implicits._
-    val (deletes, datas) = all.partition(_.isDeleteFile)
-    if (datas.isEmpty) return emptyDf(spark, schema)
-    val base = spark.read.schema(SchemaBridge.toSpark(schema))
-      .parquet(datas.map(_.path): _*)
-    if (deletes.isEmpty) return base
-
-    // key a file by its last two path segments (uuid-dir/name): stable
-    // across file:// scheme differences between manifest paths and
-    // _metadata.file_path
-    def fileKey(c: Column): Column =
-      concat_ws("/", element_at(split(c, "/"), -2), element_at(split(c, "/"), -1))
-    val seqDf = datas.map(f => (f.path.split('/').takeRight(2).mkString("/"), f.seq))
-      .toDF("__seq_file", "__data_seq")
-    var df = base
-      .withColumn("__seq_file", fileKey(col("_metadata.file_path")))
-      .join(broadcast(seqDf), "__seq_file")
-
-    deletes.groupBy(_.equalityColumns).foreach { case (keys, dfiles) =>
-      val delRows = dfiles.map { f =>
-        spark.read.parquet(f.path)
-          .select(keys.map(k => col(k).as(s"__del_$k")): _*)
-          .withColumn("__del_seq", lit(f.seq))
-      }.reduce(_ unionAll _)
-      val cond = keys.map(k => df(k) <=> delRows(s"__del_$k")).reduce(_ && _) &&
-        delRows("__del_seq") > df("__data_seq")
-      df = df.join(delRows, cond, "left_anti")
-    }
-    df.select(base.columns.map(col).toIndexedSeq: _*)
-  }
+      all: Seq[Manifests.DataFile]): DataFrame =
+    GraftTable.readFiles(spark, schema, all)
 
   private def emptyDf(spark: SparkSession, schema: Schema): DataFrame =
-    spark.createDataFrame(new java.util.ArrayList[Row](), SchemaBridge.toSpark(schema))
+    GraftTable.emptyDf(spark, schema)
 
   private def resolveSnapshot(m: TableMetadata, selector: Selector): Option[Snapshot] =
     selector match {
@@ -362,6 +325,53 @@ final class GraftTable(
 }
 
 object GraftTable {
+  /** Snapshot listing → DataFrame, applying merge-on-read equality
+    * deletes: a delete file removes every key-matching row in data
+    * files with a LOWER sequence number, so rows re-inserted after the
+    * delete survive. Rows are attributed to their file via the builtin
+    * `_metadata.file_path` column and joined to the manifest's per-file
+    * sequence (a broadcast of O(file count)); each delete set is then a
+    * keyed LEFT ANTI join with the sequence comparison as a residual
+    * condition — no all-pairs work, scales with candidate matches.
+    * Shared by the programmatic scan and the SQL path's MoR fallback
+    * scan. */
+  private[engine] def readFiles(
+      spark: SparkSession, schema: Schema,
+      all: Seq[Manifests.DataFile]): DataFrame = {
+    import spark.implicits._
+    val (deletes, datas) = all.partition(_.isDeleteFile)
+    if (datas.isEmpty) return emptyDf(spark, schema)
+    val base = spark.read.schema(SchemaBridge.toSpark(schema))
+      .parquet(datas.map(_.path): _*)
+    if (deletes.isEmpty) return base
+
+    // key a file by its last two path segments (uuid-dir/name): stable
+    // across file:// scheme differences between manifest paths and
+    // _metadata.file_path
+    def fileKey(c: Column): Column =
+      concat_ws("/", element_at(split(c, "/"), -2), element_at(split(c, "/"), -1))
+    val seqDf = datas.map(f => (f.path.split('/').takeRight(2).mkString("/"), f.seq))
+      .toDF("__seq_file", "__data_seq")
+    var df = base
+      .withColumn("__seq_file", fileKey(col("_metadata.file_path")))
+      .join(broadcast(seqDf), "__seq_file")
+
+    deletes.groupBy(_.equalityColumns).foreach { case (keys, dfiles) =>
+      val delRows = dfiles.map { f =>
+        spark.read.parquet(f.path)
+          .select(keys.map(k => col(k).as(s"__del_$k")): _*)
+          .withColumn("__del_seq", lit(f.seq))
+      }.reduce(_ unionAll _)
+      val cond = keys.map(k => df(k) <=> delRows(s"__del_$k")).reduce(_ && _) &&
+        delRows("__del_seq") > df("__data_seq")
+      df = df.join(delRows, cond, "left_anti")
+    }
+    df.select(base.columns.map(col).toIndexedSeq: _*)
+  }
+
+  private[engine] def emptyDf(spark: SparkSession, schema: Schema): DataFrame =
+    spark.createDataFrame(new java.util.ArrayList[Row](), SchemaBridge.toSpark(schema))
+
   /** Internal directory prefix for partition dirs, so derived partition
     * columns never collide with data columns (data files keep EVERY
     * source column; partition values live in the manifest). */

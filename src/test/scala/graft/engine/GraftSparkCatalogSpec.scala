@@ -162,6 +162,27 @@ class GraftSparkCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql(s"SELECT * FROM $cat.d.t").count() === 0)
   }
 
+  test("SQL DELETE under write.delete.mode=merge-on-read commits a delete file") {
+    spark.sql(s"CREATE NAMESPACE $cat.md")
+    spark.sql(s"CREATE TABLE $cat.md.t (id INT, v STRING) " +
+      "TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')")
+    spark.sql(s"INSERT INTO $cat.md.t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    val t = new GraftTable(client, prefix, TableIdent(Seq("md"), "t"))
+    val dataBefore = t.planFiles().filterNot(_.isDeleteFile).map(_.path).toSet
+
+    spark.sql(s"DELETE FROM $cat.md.t WHERE id = 2")
+    assert(spark.sql(s"SELECT id FROM $cat.md.t ORDER BY id")
+      .collect().map(_.getInt(0)).toSeq === Seq(1, 3))
+    // data files untouched, one equality-delete file added
+    val files = t.planFiles()
+    assert(files.filterNot(_.isDeleteFile).map(_.path).toSet === dataBefore)
+    assert(files.count(_.isDeleteFile) === 1)
+
+    // a non-equality condition falls back to copy-on-write
+    spark.sql(s"DELETE FROM $cat.md.t WHERE id > 1")
+    assert(spark.sql(s"SELECT id FROM $cat.md.t").collect().map(_.getInt(0)).toSeq === Seq(1))
+  }
+
   test("DataFrameWriterV2 createOrReplace: atomic stage-create, then replace") {
     import spark.implicits._
     spark.sql(s"CREATE NAMESPACE $cat.s")
