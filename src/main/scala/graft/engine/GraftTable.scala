@@ -140,9 +140,10 @@ final class GraftTable(
   // ------------------------------------------------------------- writes
   /** INSERT INTO: append a new snapshot on `branch` (copy-on-write:
     * the new manifest lists previous files ++ written files). */
-  def append(df: DataFrame, branch: String = TableMetadata.MainBranch): TableMetadata = {
+  def append(df: DataFrame, branch: String = TableMetadata.MainBranch,
+      extraSummary: Map[String, String] = Map.empty): TableMetadata = {
     val written = writeDataFiles(df)
-    commitLoop(branch, "append") { base =>
+    commitLoop(branch, "append", extraSummary) { base =>
       base.map(s => Manifests.read(s.manifestList)).getOrElse(Nil) ++ written
     }
   }
@@ -259,13 +260,14 @@ final class GraftTable(
   }
 
   // ------------------------------------------------------------ commits
-  private def commitLoop(branch: String, operation: String)(
+  private def commitLoop(branch: String, operation: String,
+      extraSummary: Map[String, String] = Map.empty)(
       files: Option[Snapshot] => Seq[Manifests.DataFile]): TableMetadata = {
     var attempt = 0
     while (true) {
       val cur = metadata
       val base = cur.snapshotFor(branch)
-      try return commitOnceAgainst(cur, branch, operation, base, files(base))
+      try return commitOnceAgainst(cur, branch, operation, base, files(base), extraSummary)
       catch {
         case e: CatalogError if e.code == 409 && attempt < MaxRetries => attempt += 1
       }
@@ -284,7 +286,8 @@ final class GraftTable(
 
   private def commitOnceAgainst(
       cur: TableMetadata, branch: String, operation: String,
-      base: Option[Snapshot], newFiles: Seq[Manifests.DataFile]): TableMetadata = {
+      base: Option[Snapshot], newFiles: Seq[Manifests.DataFile],
+      extraSummary: Map[String, String] = Map.empty): TableMetadata = {
     val snapId = java.util.concurrent.ThreadLocalRandom.current().nextLong(1L, Long.MaxValue)
     val manifestLoc = s"${cur.location}/metadata/snap-$snapId.json"
     // files added by THIS commit get its sequence number (MoR delete
@@ -301,7 +304,7 @@ final class GraftTable(
       Map(
         "operation" -> operation,
         "total-data-files" -> files.size.toString,
-        "total-records" -> files.map(_.recordCount).sum.toString),
+        "total-records" -> files.map(_.recordCount).sum.toString) ++ extraSummary,
       Some(cur.currentSchemaId))
     val refType =
       if (cur.refs.get(branch).exists(_.refType == SnapshotRefType.Tag))
