@@ -545,12 +545,32 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
             }
           override def newWriteBuilder(writeInfo: LogicalWriteInfo): WriteBuilder =
             new WriteBuilder {
-              override def build(): Write = new Write {
+              override def build(): Write = new Write
+                  with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+                private val table = new GraftTable(client, prefix, tid)
+                private val m = table.metadata
+                private val spec = m.defaultSpec
+
+                // cluster incoming rows on the partition SOURCE columns
+                // so each task sees few distinct partition tuples (no
+                // FunctionCatalog needed, unlike transform-clustering)
+                override def requiredDistribution()
+                    : org.apache.spark.sql.connector.distributions.Distribution =
+                  if (spec.isUnpartitioned)
+                    org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+                  else {
+                    val srcs = spec.fields.flatMap(f =>
+                      m.currentSchema.fieldById(f.sourceId).map(_.name)).distinct
+                    org.apache.spark.sql.connector.distributions.Distributions.clustered(
+                      srcs.map(n => org.apache.spark.sql.connector.expressions.Expressions
+                        .identity(n): org.apache.spark.sql.connector.expressions.Expression)
+                        .toArray)
+                  }
+                override def requiredOrdering()
+                    : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+                  Array.empty
+
                 override def toBatch: BatchWrite = {
-                  val table = new GraftTable(client, prefix, tid)
-                  val m = table.metadata
-                  require(m.defaultSpec.isUnpartitioned,
-                    "row-level SQL operations on partitioned tables are not supported yet")
                   val base = m.currentSnapshotId
                   val dataDir = s"${m.location}/data/${java.util.UUID.randomUUID()}"
                   // write with the table's id-stamped schema, aligned to
@@ -559,16 +579,26 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
                     .fields.map(f => f.name -> f).toMap
                   val writeSchema = StructType(writeInfo.schema().fields.map(f =>
                     byName.getOrElse(f.name, f)))
+                  val spark = SparkSession.active
+                  val routing =
+                    if (spec.isUnpartitioned) None
+                    else Some(ParquetBatchWrite.PartitionRouting(
+                      spec.fields.map(_.name),
+                      GraftShims.boundExpressions(spark, writeSchema,
+                        PartitionExprs.partitionColumns(spec, m.currentSchema,
+                          org.apache.spark.sql.functions.col))))
                   val (factory, conf) = GraftShims.parquetWriteSpec(
-                    SparkSession.active, writeSchema, Map.empty)
-                  new ParquetBatchWrite(dataDir, writeSchema, factory, conf, files => {
-                    val dataFiles = files.map { f =>
-                      val p = graft.catalog.MetadataIO.toPath(f.path)
-                      Manifests.DataFile(p.toString, java.nio.file.Files.size(p), f.rows)
-                    }.sortBy(_.path)
-                    table.commitFiles(dataFiles,
-                      info.command().name().toLowerCase(java.util.Locale.ROOT), base)
-                  })
+                    spark, writeSchema, Map.empty)
+                  new ParquetBatchWrite(dataDir, writeSchema, factory, conf, routing,
+                    files => {
+                      val dataFiles = files.map { f =>
+                        val p = graft.catalog.MetadataIO.toPath(f.path)
+                        Manifests.DataFile(p.toString, java.nio.file.Files.size(p),
+                          f.rows, f.partition)
+                      }.sortBy(_.path)
+                      table.commitFiles(dataFiles,
+                        info.command().name().toLowerCase(java.util.Locale.ROOT), base)
+                    })
                 }
               }
             }

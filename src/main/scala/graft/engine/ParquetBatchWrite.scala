@@ -3,13 +3,15 @@ package graft.engine
 import org.apache.hadoop.mapreduce.{TaskAttemptID, TaskID, TaskType, JobID}
 import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.connector.write._
-import org.apache.spark.sql.execution.datasources.OutputWriterFactory
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.execution.datasources.{OutputWriter, OutputWriterFactory}
+import org.apache.spark.sql.types.{DataType, DateType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.SerializableConfiguration
 
 /** Distributed V2 `BatchWrite` over Spark's builtin parquet writer: each
-  * task streams its `InternalRow`s straight into a parquet file under
+  * task streams its `InternalRow`s straight into parquet files under
   * the table's data directory (no driver funnel, no row buffering), the
   * driver collects the per-task file inventory from the commit
   * messages, and `onCommit` turns it into ONE snapshot commit. This is
@@ -17,20 +19,30 @@ import org.apache.spark.util.SerializableConfiguration
   * Spark requires a genuine `BatchWrite` — the V1 insert bridge is not
   * accepted there.
   *
+  * Partitioned tables route rows dynamically: the driver ships the
+  * table's partition-transform expressions pre-bound to row ordinals
+  * ([[PartitionRouting]]), each task evaluates them per row and keeps
+  * one open writer per partition tuple it encounters, and the tuple
+  * travels back in the commit message — the manifest never has to
+  * re-derive it from paths.
+  *
   * Scale: writer parallelism is the incoming query's partitioning;
-  * every task writes independently and ships only (path, rows) to the
-  * driver. Zero-row tasks produce no file.
+  * every task writes independently and ships only (path, rows,
+  * partition) to the driver. Zero-row tasks produce no file. The write
+  * declares a clustered distribution on the partition source columns,
+  * so tasks see few distinct partition tuples instead of all of them.
   */
 final class ParquetBatchWrite(
     dataDir: String,
     schema: StructType,
     factory: OutputWriterFactory,
     conf: SerializableConfiguration,
+    routing: Option[ParquetBatchWrite.PartitionRouting],
     onCommit: Seq[ParquetBatchWrite.WrittenFile] => Unit)
     extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new ParquetBatchWrite.Factory(dataDir, schema, factory, conf)
+    new ParquetBatchWrite.Factory(dataDir, schema, factory, conf, routing)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     onCommit(messages.toSeq.flatMap {
@@ -45,21 +57,43 @@ final class ParquetBatchWrite(
 }
 
 object ParquetBatchWrite {
-  final case class WrittenFile(path: String, rows: Long)
+  final case class WrittenFile(
+      path: String, rows: Long, partition: Map[String, String] = Map.empty)
   final case class FilesMessage(files: Seq[WrittenFile]) extends WriterCommitMessage
+
+  /** Partition derivation shipped to executors: spec field names plus
+    * the transform expressions bound to the write schema's ordinals. */
+  final case class PartitionRouting(
+      names: Seq[String], exprs: Seq[Expression]) extends Serializable
+
+  /** External string form of a partition value — the same rendering the
+    * copy-on-write path's `partitionBy` directories produce, so both
+    * write paths agree in the manifest. */
+  private def render(v: Any, dt: DataType): String = v match {
+    case null => "__HIVE_DEFAULT_PARTITION__"
+    case u: UTF8String => u.toString
+    case i: java.lang.Integer if dt == DateType =>
+      java.time.LocalDate.ofEpochDay(i.longValue()).toString
+    case other => other.toString
+  }
 
   private final class Factory(
       dataDir: String,
       schema: StructType,
       factory: OutputWriterFactory,
-      conf: SerializableConfiguration)
+      conf: SerializableConfiguration,
+      routing: Option[PartitionRouting])
       extends DataWriterFactory {
 
     override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
       new DataWriter[InternalRow] {
-        private val path = s"$dataDir/part-$partitionId-$taskId.parquet"
-        private var writer: org.apache.spark.sql.execution.datasources.OutputWriter = _
-        private var rows = 0L
+        // one open writer per partition tuple seen by this task
+        private val writers =
+          scala.collection.mutable.LinkedHashMap.empty[Map[String, String], OutputWriter]
+        private val rowCounts =
+          scala.collection.mutable.LinkedHashMap.empty[Map[String, String], Long]
+        private val paths =
+          scala.collection.mutable.LinkedHashMap.empty[Map[String, String], String]
 
         // Group-based row-level plans (MERGE/UPDATE) without connector
         // metadata columns reach the plain writing task with the
@@ -67,30 +101,49 @@ object ParquetBatchWrite {
         // strips it on the metadata-projection path). Project it away
         // with Spark's own ordinal projection.
         private var proj: org.apache.spark.sql.catalyst.ProjectingInternalRow = _
+        private var checked = false
+
+        private def newWriter(suffix: String): OutputWriter = {
+          val ctx = new TaskAttemptContextImpl(conf.value,
+            new TaskAttemptID(new TaskID(new JobID("graft", 0), TaskType.MAP,
+              partitionId), taskId.toInt))
+          factory.newInstance(s"$dataDir/part-$partitionId-$taskId$suffix.parquet",
+            schema, ctx)
+        }
 
         override def write(record: InternalRow): Unit = {
-          if (writer == null) {
-            val ctx = new TaskAttemptContextImpl(conf.value,
-              new TaskAttemptID(new TaskID(new JobID("graft", 0), TaskType.MAP,
-                partitionId), taskId.toInt))
-            writer = factory.newInstance(path, schema, ctx)
+          if (!checked) {
+            checked = true
             if (record.numFields == schema.length + 1)
               proj = org.apache.spark.sql.catalyst.ProjectingInternalRow(
                 schema, (1 to schema.length).toIndexedSeq)
             else require(record.numFields == schema.length,
               s"row arity ${record.numFields} does not match write schema ${schema.length}")
           }
-          if (proj != null) { proj.project(record); writer.write(proj) }
-          else writer.write(record)
-          rows += 1
+          val row: InternalRow =
+            if (proj != null) { proj.project(record); proj } else record
+          val partition = routing match {
+            case None => Map.empty[String, String]
+            case Some(r) => r.names.zip(r.exprs)
+              .map { case (n, e) => n -> render(e.eval(row), e.dataType) }.toMap
+          }
+          val writer = writers.getOrElseUpdate(partition, {
+            val w = newWriter(if (routing.isEmpty) "" else s"-${writers.size}")
+            paths(partition) = w.path()
+            w
+          })
+          writer.write(row)
+          rowCounts(partition) = rowCounts.getOrElse(partition, 0L) + 1
         }
 
         override def commit(): WriterCommitMessage = {
-          if (writer != null) writer.close()
-          if (rows == 0) FilesMessage(Nil) else FilesMessage(Seq(WrittenFile(path, rows)))
+          writers.values.foreach(_.close())
+          FilesMessage(paths.toSeq.map { case (partition, path) =>
+            WrittenFile(path, rowCounts(partition), partition)
+          })
         }
 
-        override def abort(): Unit = if (writer != null) writer.close()
+        override def abort(): Unit = writers.values.foreach(_.close())
 
         override def close(): Unit = ()
       }

@@ -46,6 +46,24 @@ object GraftShims {
     (factory, new org.apache.spark.util.SerializableConfiguration(job.getConfiguration))
   }
 
+  /** Analyze `cols` against `schema` and bind them to row ordinals:
+    * returns executor-evaluable expressions (the analyzer inserts any
+    * casts/coercions a manual binding would miss). Used to derive
+    * partition tuples per row inside custom V2 writers. */
+  def boundExpressions(
+      spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      cols: Seq[Column]): Seq[Expression] = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val df = cs.createDataFrame(new java.util.ArrayList[Row](), schema)
+    val analyzed = df.select(cols: _*).queryExecution.analyzed
+    val project = analyzed.asInstanceOf[catalyst.plans.logical.Project]
+    val input = project.child.output
+    project.projectList.map(e =>
+      catalyst.expressions.BindReferences.bindReference(
+        e, catalyst.expressions.AttributeSeq(input)))
+  }
+
   /** Register a SQL function on a LIVE session (the extensions route,
     * `spark.sql.extensions`, only applies at session construction). */
   def registerFunction(

@@ -231,6 +231,40 @@ class GraftSparkCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql(s"SELECT * FROM $cat.m.t VERSION AS OF $parent").count() === 3)
   }
 
+  test("SQL MERGE and UPDATE on a PARTITIONED table route partition tuples") {
+    import spark.implicits._
+    spark.sql(s"CREATE NAMESPACE $cat.pm")
+    spark.sql(s"CREATE TABLE $cat.pm.t (id INT, cat STRING, v DOUBLE) " +
+      "PARTITIONED BY (cat, bucket(4, id))")
+    spark.sql(s"INSERT INTO $cat.pm.t VALUES (1, 'a', 1.0), (2, 'b', 2.0), (3, 'a', 3.0)")
+
+    spark.sql(s"UPDATE $cat.pm.t SET v = v * 10 WHERE cat = 'a'")
+    val rows = spark.sql(s"SELECT id, cat, v FROM $cat.pm.t ORDER BY id")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(rows === Seq((1, "a", 10.0), (2, "b", 2.0), (3, "a", 30.0)))
+
+    // every rewritten file carries a full partition tuple in the manifest
+    val t = new GraftTable(client, prefix, TableIdent(Seq("pm"), "t"))
+    val files = t.planFiles()
+    assert(files.nonEmpty &&
+      files.forall(_.partition.keySet === Set("cat", "id_bucket")))
+    // partition values agree with the engine's own write path: a pruned
+    // scan on cat=a sees exactly the a-rows
+    val aRows = t.scanPruned(spark, p => p.get("cat").contains("a"))
+      .collect().map(_.getInt(0)).toSet
+    assert(aRows === Set(1, 3))
+
+    Seq((2, "b", 0.0), (9, "c", 9.0)).toDF("id", "cat", "v")
+      .createOrReplaceTempView("pm_src")
+    spark.sql(
+      s"""MERGE INTO $cat.pm.t t USING pm_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql(s"SELECT id, v FROM $cat.pm.t ORDER BY id")
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq ===
+      Seq((1, 10.0), (2, 0.0), (3, 30.0), (9, 9.0)))
+  }
+
   test("SQL UPDATE rewrites matching rows through the commit path") {
     spark.sql(s"CREATE NAMESPACE $cat.u")
     spark.sql(s"CREATE TABLE $cat.u.t (id INT, v STRING)")
