@@ -1,0 +1,238 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftShims}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+
+/** Native token/shingle hashing for the dedup and fingerprint
+  * operators: one pass per document inside whole-stage codegen,
+  * replacing explode → window-lead → distinct → wide-aggregate
+  * pipelines that shuffled every token/shingle row.
+  *
+  * Determinism contract: every hash is the portable 60-bit md5
+  * ([[graft.llm.Portable]]) the DuckDB oracles compute, shingles are
+  * word 3-grams over the raw token array with string-equality
+  * distinctness, and all arithmetic is exact 64-bit integer math — so
+  * results agree with the oracle bit-for-bit, same as the relational
+  * formulation they replace.
+  */
+private[functions] object TextHashHelper {
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Portable.h: first 15 hex chars of md5 as a 60-bit long. */
+  def h(s: String): Long = {
+    val d = md5.get()
+    d.reset()
+    val bytes = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // first 15 hex chars = 7.5 bytes: fold the top 60 bits
+    var acc = 0L
+    var i = 0
+    while (i < 7) { acc = (acc << 8) | (bytes(i) & 0xffL); i += 1 }
+    (acc << 4) | ((bytes(7) & 0xf0L) >> 4)
+  }
+
+  private def tokens(arr: ArrayData): Array[String] = {
+    val n = arr.numElements()
+    val out = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      out(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i).toString
+      i += 1
+    }
+    out
+  }
+
+  /** Distinct word-3-gram shingles, string equality. */
+  def shingleSet(arr: ArrayData): java.util.LinkedHashSet[String] = {
+    val toks = tokens(arr)
+    val set = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i + 2 < toks.length) {
+      if (toks(i) != null && toks(i + 1) != null && toks(i + 2) != null)
+        set.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+      i += 1
+    }
+    set
+  }
+
+  /** 60-bit SimHash over DISTINCT unigram tokens: bit j set iff the
+    * majority of token hashes have bit j set (2·c_j > n). */
+  def simHash60(arr: ArrayData): Long = {
+    val seen = new java.util.HashSet[String]()
+    val counts = new Array[Long](60)
+    var cnt = 0L
+    val toks = tokens(arr)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t != null && seen.add(t)) {
+        val hh = h(t)
+        cnt += 1
+        var j = 0
+        while (j < 60) { counts(j) += (hh >> j) & 1L; j += 1 }
+      }
+      i += 1
+    }
+    var sim = 0L
+    var j = 0
+    while (j < 60) { if (2 * counts(j) > cnt) sim |= 1L << j; j += 1 }
+    sim
+  }
+
+  /** MinHash signature via universal hashing h_i(s) = (a_i·(H(s) mod p)
+    * + b_i) mod p over distinct shingles; null when the doc has no
+    * 3-grams (mirrors the relational pipeline dropping those docs). */
+  def minhashSig(arr: ArrayData, a: Array[Long], b: Array[Long], p: Long): ArrayData = {
+    val set = shingleSet(arr)
+    if (set.isEmpty) return null
+    val k = a.length
+    val mins = Array.fill(k)(Long.MaxValue)
+    val it = set.iterator()
+    while (it.hasNext) {
+      val x = h(it.next()) % p
+      var i = 0
+      while (i < k) {
+        val v = (a(i) * x + b(i)) % p
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** Minimum portable hash over distinct shingles (bottom-1 sketch);
+    * null when no shingles. */
+  def shingleMin(arr: ArrayData): Any = {
+    val set = shingleSet(arr)
+    if (set.isEmpty) return null
+    var m = Long.MaxValue
+    val it = set.iterator()
+    while (it.hasNext) { val v = h(it.next()); if (v < m) m = v }
+    m
+  }
+
+  /** (|A ∩ B|, |A|, |B|) over the two docs' distinct shingle sets. */
+  def shingleStats(a: ArrayData, b: ArrayData): InternalRow = {
+    val sa = shingleSet(a)
+    val sb = shingleSet(b)
+    var inter = 0L
+    val it = sa.iterator()
+    while (it.hasNext) if (sb.contains(it.next())) inter += 1
+    InternalRow(inter, sa.size.toLong, sb.size.toLong)
+  }
+}
+
+private[functions] trait TokArrayInput { self: Expression =>
+  protected def tokOk(dt: DataType): Boolean = dt match {
+    case ArrayType(StringType, _) => true
+    case _ => false
+  }
+  protected val helperRef: String =
+    TextHashHelper.getClass.getName.stripSuffix("$") + ".MODULE$"
+}
+
+/** 60-bit SimHash of a token array. */
+final case class SimHash60(child: Expression)
+    extends UnaryExpression with TokArrayInput {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash60"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (tokOk(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"simhash60 expects array<string>, got ${child.dataType.catalogString}")
+  override protected def nullSafeEval(a: Any): Any =
+    TextHashHelper.simHash60(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"$helperRef.simHash60($a)")
+  override protected def withNewChildInternal(c: Expression): SimHash60 = copy(child = c)
+}
+
+/** MinHash signature (array of k mins) of a token array's 3-gram
+  * shingles; null for docs with no 3-grams. */
+final case class MinhashSig(
+    child: Expression, a: Array[Long], b: Array[Long], p: Long)
+    extends UnaryExpression with TokArrayInput {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_sig"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (tokOk(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig expects array<string>, got ${child.dataType.catalogString}")
+  override protected def nullSafeEval(x: Any): Any =
+    TextHashHelper.minhashSig(x.asInstanceOf[ArrayData], a, b, p)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", a, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", b, "long[]")
+    nullSafeCodeGen(ctx, ev, x => {
+      s"""
+         |${ev.value} = $helperRef.minhashSig($x, $aRef, $bRef, ${p}L);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildInternal(c: Expression): MinhashSig = copy(child = c)
+}
+
+/** Bottom-1 shingle sketch: min portable hash over distinct 3-grams;
+  * null when the doc has no 3-grams. */
+final case class ShingleMin(child: Expression)
+    extends UnaryExpression with TokArrayInput {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "shingle_min"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (tokOk(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"shingle_min expects array<string>, got ${child.dataType.catalogString}")
+  override protected def nullSafeEval(a: Any): Any =
+    TextHashHelper.shingleMin(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val tmp = ctx.freshName("shingleMin")
+      s"""
+         |Object $tmp = $helperRef.shingleMin($a);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((Long) $tmp).longValue(); }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): ShingleMin = copy(child = c)
+}
+
+/** (intersection, |A|, |B|) of two docs' distinct shingle sets — the
+  * exact-Jaccard verify in one pass over a candidate pair. */
+final case class ShingleStats(left: Expression, right: Expression)
+    extends BinaryExpression with TokArrayInput {
+  override def dataType: DataType = StructType(Seq(
+    StructField("inter", LongType, nullable = false),
+    StructField("na", LongType, nullable = false),
+    StructField("nb", LongType, nullable = false)))
+  override def prettyName: String = "shingle_stats"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (tokOk(left.dataType) && tokOk(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"shingle_stats expects array<string> inputs, got ${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextHashHelper.shingleStats(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"$helperRef.shingleStats($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ShingleStats =
+    copy(left = l, right = r)
+}
+
+object TextHashExprs {
+  private def c(e: Expression): Column = GraftShims.column(e)
+  private def x(col: Column): Expression = GraftShims.expression(col)
+  def simHash60(toks: Column): Column = c(SimHash60(x(toks)))
+  def minhashSig(toks: Column, a: Array[Long], b: Array[Long], p: Long): Column =
+    c(MinhashSig(x(toks), a, b, p))
+  def shingleMin(toks: Column): Column = c(ShingleMin(x(toks)))
+  def shingleStats(a: Column, b: Column): Column = c(ShingleStats(x(a), x(b)))
+}

@@ -87,25 +87,6 @@ object Dedup {
     * Corpus = documents ∪ near-copies (every 7th doc with its last 4
     * tokens dropped), so true near-dups exist at every scale factor.
     */
-  /** (id, toks) → distinct (id, s) word-3-gram shingle ROWS.
-    *
-    * Deliberately relational, not array-valued: Spark's Generate
-    * re-evaluates its child expression once per OUTPUT row, so
-    * `explode(<computed 3-gram array>)` costs O(shingles²) per doc and
-    * interpreted-lambda HOFs cost ~µs per element. Exploding the cheap
-    * `split()` and assembling 3-grams with a window `lead` keeps every
-    * operator codegen'd; the shuffles are keyed by doc id / (id, s). */
-  private[llm] def shingleRows(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("id").orderBy("pos")
-    docs.selectExpr("id", "posexplode(toks) as (pos, w)")
-      .withColumn("w1", org.apache.spark.sql.functions.lead("w", 1).over(w))
-      .withColumn("w2", org.apache.spark.sql.functions.lead("w", 2).over(w))
-      .filter("w1 is not null and w2 is not null")
-      .selectExpr("id", "concat(w, ' ', w1, ' ', w2) as s")
-      .distinct()
-  }
-
   // Universal-hash MinHash family: h_i(s) = (a_i·(H(s) mod P) + b_i)
   // mod P over prime P < 2^30 (products stay < 2^60, inside bigint).
   // ONE md5 per shingle instead of NUM_HASHES; a_i/b_i derive from the
@@ -114,26 +95,28 @@ object Dedup {
   private def aCoef(i: Int): Long = Portable.h(s"mina$i") % (P - 1) + 1
   private def bCoef(i: Int): Long = Portable.h(s"minb$i") % P
 
-  /** distinct (id, s) rows → (id, b, k): MinHash signature → one
-    * (band, band-key) row per band. Exact duplicates (same shingle set)
-    * share the key in ALL bands; the invariant is pinned in DedupSpec.
-    * One codegen'd md5 per shingle row, NUM_HASHES codegen'd MIN
-    * aggregates, and the explode child is a 4-struct array over plain
-    * columns (cheap to re-evaluate). Docs with no 3-grams drop out. */
-  private[llm] def bandsOf(shRows: DataFrame): DataFrame = {
-    val mins = (0 until NUM_HASHES).map(i =>
-      s"min((${aCoef(i)}L * x + ${bCoef(i)}L) % ${P}L) as m$i")
-    shRows
-      .selectExpr("id", s"${hSpark("s")} % ${P}L as x")
-      .groupBy("id")
-      .agg(expr(mins.head), mins.tail.map(expr): _*)
+  private[llm] def aCoefs: Array[Long] = (0 until NUM_HASHES).map(aCoef).toArray
+  private[llm] def bCoefs: Array[Long] = (0 until NUM_HASHES).map(bCoef).toArray
+
+  /** (id, toks) docs → (id, b, k): MinHash signature → one (band,
+    * band-key) row per band. Exact duplicates (same shingle set) share
+    * the key in ALL bands; the invariant is pinned in DedupSpec. The
+    * signature is ONE codegen'd pass per document
+    * ([[graft.functions.MinhashSig]]: shingle → md5 → k running mins —
+    * no shingle rows, no window, no wide aggregate); the explode child
+    * is a 4-struct array over the materialized signature column (cheap
+    * to re-evaluate). Docs with no 3-grams drop out (null signature). */
+  private[llm] def bandsOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("id"), graft.functions.TextHashExprs.minhashSig(
+        col("toks"), aCoefs, bCoefs, P).as("mh"))
+      .filter(col("mh").isNotNull)
       .selectExpr(
         "id",
         s"""explode(${(0 until NUM_BANDS).map(b =>
-             s"named_struct('b', $b, 'k', concat(cast(m${2 * b} as string), ',', cast(m${2 * b + 1} as string)))")
+             s"named_struct('b', $b, 'k', concat(cast(element_at(mh, ${2 * b + 1}) as string), ',', cast(element_at(mh, ${2 * b + 2}) as string)))")
              .mkString("array(", ", ", ")")}) as band""")
       .selectExpr("id", "band.b as b", "band.k as k")
-  }
 
   private[llm] val NumBands: Int = NUM_BANDS
   /** Hot-bucket occupancy cap (What's-wrong r2 #5): buckets holding
@@ -151,9 +134,9 @@ object Dedup {
     * pairs are generated by a codegen'd combination expression and
     * re-aggregated by pair. Every stage is keyed; per-bucket cost is
     * ≤ cap²/2 by construction. */
-  private[llm] def candidatePairs(sh: DataFrame, maxBucket: Int): DataFrame = {
+  private[llm] def candidatePairs(docs: DataFrame, maxBucket: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bands = bandsOf(sh)
+    val bands = bandsOf(docs)
     val kept = bands
       .withColumn("occ", count(expr("*")).over(Window.partitionBy("b", "k")))
       .filter(col("occ") <= maxBucket)
@@ -173,23 +156,21 @@ object Dedup {
     val base = load(s, dir, "documents").selectExpr("doc_id as id", s"$toksS as toks")
     val variants = base.filter("id % 7 = 0")
       .selectExpr("id + 2000000 as id", "slice(toks, 1, greatest(size(toks) - 4, 0)) as toks")
-    val shRows = shingleRows(base.unionAll(variants))
-    val pairs = candidatePairs(shRows, MaxBucket)
+    val corpus = base.unionAll(variants)
+    val pairs = candidatePairs(corpus, MaxBucket)
 
-    // exact-Jaccard verify, relationally: |A ∩ B| = count of shingle
-    // rows shared by the pair (two keyed joins), sizes from a keyed
-    // count — all O(candidates), no per-pair array scans
-    val sizes = shRows.groupBy("id").agg(count(expr("*")).as("n"))
+    // exact-Jaccard verify: join the candidate pair back to the two
+    // token arrays (keyed joins, O(candidates)) and compute
+    // (|A∩B|, |A|, |B|) in one codegen'd pass per pair — the shingle
+    // sets never materialize as rows
     pairs
-      .join(shRows.selectExpr("id as id_a", "s"), "id_a")
-      .join(shRows.selectExpr("id as id_b", "s"), Seq("id_b", "s"))
-      .groupBy("id_a", "id_b", "n_shared_bands")
-      .agg(count(expr("*")).as("inter"))
-      .join(sizes.selectExpr("id as id_a", "n as na"), "id_a")
-      .join(sizes.selectExpr("id as id_b", "n as nb"), "id_b")
+      .join(corpus.selectExpr("id as id_a", "toks as toks_a"), "id_a")
+      .join(corpus.selectExpr("id as id_b", "toks as toks_b"), "id_b")
+      .select(col("id_a"), col("id_b"), col("n_shared_bands"),
+        graft.functions.TextHashExprs.shingleStats(col("toks_a"), col("toks_b")).as("st"))
       .selectExpr(
         "id_a", "id_b", "n_shared_bands",
-        "cast(inter as double) / (na + nb - inter) as jaccard")
+        "cast(st.inter as double) / (st.na + st.nb - st.inter) as jaccard")
       .filter("jaccard >= 0.5")
       .orderBy("id_a", "id_b")
   }
@@ -236,25 +217,16 @@ object Dedup {
     * banded hamming join on signature chunks is the scale path (the
     * banding reuses the LSH machinery above).
     */
-  def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    // bit j set ⇔ Σ_tokens(2·bit_j(h)−1) > 0 ⇔ 2·Σ bit_j(h) > n_tokens:
-    // computed as explode → md5 once per token → 60 codegen'd SUMs +
-    // COUNT per doc (a plain two-phase hash aggregate), instead of a
-    // 60×n interpreted lambda per row.
-    val bitSums = (0 until 60).map(j =>
-      s"sum(shiftright(h, $j) & 1) as c$j")
-    val assemble = (0 until 60).map(j =>
-      s"if(2 * c$j > cnt, shiftleft(cast(1 as bigint), $j), cast(0 as bigint))")
-      .mkString(" + ")
+  def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
+    // bit j set ⇔ Σ_tokens(2·bit_j(h)−1) > 0 ⇔ 2·Σ bit_j(h) > n_tokens,
+    // over DISTINCT tokens — one codegen'd pass per document
+    // ([[graft.functions.SimHash60]]), no explode/distinct/wide-agg
+    // shuffles in the data plane.
     load(s, dir, "documents")
-      .selectExpr("doc_id", s"explode($toksS) as t")
-      .distinct() // relational distinct: no array_distinct re-eval in Generate
-      .selectExpr("doc_id", s"${hSpark("t")} as h")
-      .groupBy("doc_id")
-      .agg(expr("count(*) as cnt"), bitSums.map(expr): _*)
-      .selectExpr("doc_id", s"$assemble as simhash")
+      .select(col("doc_id"),
+        graft.functions.TextHashExprs.simHash60(
+          org.apache.spark.sql.functions.expr(toksS)).as("simhash"))
       .orderBy("doc_id")
-  }
 
   val qDedupSimhashSql: String =
     s"""WITH d AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks FROM documents),

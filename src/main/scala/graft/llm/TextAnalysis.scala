@@ -179,22 +179,19 @@ object TextAnalysis {
     * shingle sketch (min hash over word 3-gram shingles — the building
     * block of the MinHash signatures in [[Dedup]]).
     */
-  def qTextFingerprint(s: SparkSession, dir: String): DataFrame = {
-    // min over DISTINCT shingles equals min over all, so the sketch
-    // rides Dedup's relational shingle pipeline (codegen'd, one md5
-    // per shingle row) instead of per-row interpreted lambdas
-    val docs = load(s, dir, "documents").selectExpr("doc_id as id", s"$toksS as toks")
-    val mins = graft.llm.Dedup.shingleRows(docs)
-      .selectExpr("id as doc_id", s"${hSpark("s")} as h")
-      .groupBy("doc_id")
-      .agg(org.apache.spark.sql.functions.min("h").as("mh"))
+  def qTextFingerprint(s: SparkSession, dir: String): DataFrame =
+    // bottom-1 shingle sketch in one codegen'd pass per document
+    // ([[graft.functions.ShingleMin]]) riding the same scan as the
+    // whole-doc content hash — no join, no shingle rows
     load(s, dir, "documents")
-      .selectExpr("doc_id", s"${hSpark("lower(text)")} as fp_full")
-      .join(mins, Seq("doc_id"), "left_outer")
-      .selectExpr("doc_id", "fp_full",
-        "coalesce(mh, cast(-1 as bigint)) as fp_min_shingle")
+      .selectExpr("doc_id", s"${hSpark("lower(text)")} as fp_full", s"$toksS as toks")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("fp_full"),
+        org.apache.spark.sql.functions.coalesce(
+          graft.functions.TextHashExprs.shingleMin(
+            org.apache.spark.sql.functions.col("toks")),
+          org.apache.spark.sql.functions.lit(-1L)).as("fp_min_shingle"))
       .orderBy("doc_id")
-  }
 
   val qTextFingerprintSql: String =
     s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks, lower(text) AS ltext FROM documents)

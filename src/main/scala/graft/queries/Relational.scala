@@ -699,21 +699,29 @@ object Relational {
     * left-anti join, both keyed on the order — no correlated per-row
     * subquery execution at scale. */
   def q21LateSoleSupplier(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
-      .join(t(s, dir, "orders").select("o_orderkey", "o_orderdate", "o_orderstatus"),
+    // decorrelated to ONE lineitem pass: per (order, supplier) count
+    // late lines; per order derive supplier count, late-supplier count,
+    // and the lone late supplier — the EXISTS/NOT-EXISTS become two
+    // keyed aggregations instead of three fact-table joins
+    val perSupp = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate"),
         col("l_orderkey") === col("o_orderkey"))
-      .withColumn("late", col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
-    val l1 = li.filter(col("late") && col("o_orderstatus") === "F")
-      .select(col("l_orderkey").as("k1"), col("l_suppkey").as("sk1"))
-    val others = li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("sk2"))
-    val othersLate = li.filter(col("late"))
-      .select(col("l_orderkey").as("k3"), col("l_suppkey").as("sk3"))
-    l1
-      .join(others, col("k1") === col("k2") && col("sk1") =!= col("sk2"), "left_semi")
-      .join(othersLate, col("k1") === col("k3") && col("sk1") =!= col("sk3"), "left_anti")
-      .join(broadcast(t(s, dir, "supplier")), col("sk1") === col("s_suppkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(sum(when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"), 1L)
+        .otherwise(0L)).as("late_cnt"))
+    val perOrder = perSupp.groupBy(col("l_orderkey"))
+      .agg(
+        count(lit(1)).as("n_supp"),
+        sum(when(col("late_cnt") > 0, 1L).otherwise(0L)).as("n_late_supp"),
+        max(when(col("late_cnt") > 0, col("l_suppkey"))).as("lone_supp"),
+        max(when(col("late_cnt") > 0, col("late_cnt"))).as("lone_late_cnt"))
+    perOrder
+      .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+      .join(broadcast(t(s, dir, "supplier")), col("lone_supp") === col("s_suppkey"))
       .groupBy(col("s_name"))
-      .agg(count(lit(1)).as("numwait"))
+      .agg(sum(col("lone_late_cnt")).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
   }
 

@@ -19,7 +19,7 @@ class DedupSpec extends AnyFunSuite {
       4L -> "the quick brown fox jumps over the lazy dog yesterday") // near-dup of 1
     val docs = texts.toDF("id", "text")
       .selectExpr("id", "split(lower(text), ' ') as toks")
-    val bands = Dedup.bandsOf(Dedup.shingleRows(docs))
+    val bands = Dedup.bandsOf(docs)
 
     val shared = bands.as("x").join(bands.as("y"),
       $"x.b" === $"y.b" && $"x.k" === $"y.k" && $"x.id" < $"y.id")
@@ -44,15 +44,13 @@ class DedupSpec extends AnyFunSuite {
       9002L -> "catalyst optimizes logical plans into efficient physical plans with codegen")
     val docs = (boiler ++ cluster).toDF("id", "text")
       .selectExpr("id", "split(lower(text), ' ') as toks")
-    val sh = Dedup.shingleRows(docs)
-
     // uncapped: the mega-bucket explodes quadratically (300·299/2 pairs)
-    val uncapped = Dedup.candidatePairs(sh, maxBucket = Int.MaxValue).count()
+    val uncapped = Dedup.candidatePairs(docs, maxBucket = Int.MaxValue).count()
     assert(uncapped === (300L * 299 / 2) + 1)
 
     // capped: boilerplate bucket dropped, the true pair in cold buckets
     // is untouched
-    val capped = Dedup.candidatePairs(sh, maxBucket = 100).collect()
+    val capped = Dedup.candidatePairs(docs, maxBucket = 100).collect()
     assert(capped.length === 1)
     assert((capped.head.getLong(0), capped.head.getLong(1)) === (9001L, 9002L))
     assert(capped.head.getLong(2) === Dedup.NumBands.toLong)
