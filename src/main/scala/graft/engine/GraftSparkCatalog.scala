@@ -238,8 +238,12 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       case None if !orCreate => throw new NoSuchTableException(i)
       case None => stageCreate(i, schema, partitions, properties)
       case Some(m) =>
-        require(partitions.isEmpty && m.defaultSpec.isUnpartitioned,
-          "replacing partitioned tables is not supported yet")
+        // an existing PARTITIONED table can't be replaced yet: its old
+        // spec would need remove-partition-specs to survive the schema
+        // swap (the rebind-on-set-current-schema guard rejects specs
+        // over dropped columns)
+        require(m.defaultSpec.isUnpartitioned,
+          "replacing a partitioned table is not supported yet")
         // fresh ids strictly above the old last-column-id, so id-based
         // file resolution can never confuse old and new columns
         def shift(t: IType, by: Int): IType = t match {
@@ -255,14 +259,31 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
           NestedField(f.id + m.lastColumnId, f.name, f.required,
             shift(f.fieldType, m.lastColumnId), f.doc)))
         val lastColumnId = m.lastColumnId + fresh.struct.maxFieldId
-        // pseudo-metadata for the data write: new schema at the old
-        // location, unpartitioned
+        // the replacement may introduce its own partitioning: bind the
+        // new spec against the shifted schema for the data write and
+        // carry the unbound form into the commit
+        val newSpec = toUnboundSpec(shifted, partitions)
+        val boundSpec = graft.core.PartitionSpecBinder
+          .bind(shifted.copy(schemaId = 0), newSpec,
+            specId = m.defaultSpecId + 1, lastPartitionId = m.lastPartitionId)
+          .fold(e => throw new IllegalArgumentException(e.message), identity)
+        // pseudo-metadata for the data write: new schema + new spec at
+        // the old location
         val writeMeta = m.copy(
-          schemas = Map(0 -> shifted.copy(schemaId = 0)), currentSchemaId = 0)
+          schemas = Map(0 -> shifted.copy(schemaId = 0)), currentSchemaId = 0,
+          partitionSpecs = Map(boundSpec.specId -> boundSpec),
+          defaultSpecId = boundSpec.specId)
         new GraftStagedTable(i, writeMeta,
-          replaceOf = Some((m, shifted, lastColumnId)))
+          replaceOf = Some(ReplacePlan(m, shifted, lastColumnId,
+            if (partitions.isEmpty) None else Some(newSpec))))
     }
   }
+
+  private final case class ReplacePlan(
+      base: graft.core.TableMetadata,
+      schema: graft.core.Schema,
+      lastColumnId: Int,
+      newSpec: Option[graft.core.UnboundPartitionSpec])
 
   /** A staged table: Spark writes the query result through it, then
     * commits or aborts atomically. The data write reuses the engine's
@@ -271,7 +292,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
   private final class GraftStagedTable(
       i: Identifier,
       writeMeta: graft.core.TableMetadata,
-      replaceOf: Option[(graft.core.TableMetadata, graft.core.Schema, Int)])
+      replaceOf: Option[ReplacePlan])
       extends StagedTable with SupportsWrite {
     import graft.core._
 
@@ -300,7 +321,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       }
 
     override def commitStagedChanges(): Unit = {
-      val base = replaceOf.map(_._1).getOrElse(writeMeta)
+      val base = replaceOf.map(_.base).getOrElse(writeMeta)
       val seq = base.lastSequenceNumber + 1
       val files = written.map(f =>
         if (f.seq == Manifests.UnassignedSeq) f.copy(seq = seq) else f)
@@ -312,12 +333,14 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
         case None =>
           ("append", Nil,
             Seq(TableRequirement.AssertTableUuid(writeMeta.tableUuid)))
-        case Some((m, shifted, lastColumnId)) =>
+        case Some(plan) =>
           ("replace",
-            Seq(TableUpdate.AddSchema(shifted, Some(lastColumnId)),
-              TableUpdate.SetCurrentSchema(-1)),
+            Seq(TableUpdate.AddSchema(plan.schema, Some(plan.lastColumnId)),
+              TableUpdate.SetCurrentSchema(-1)) ++
+              plan.newSpec.toSeq.flatMap(sp => Seq(
+                TableUpdate.AddSpec(sp), TableUpdate.SetDefaultSpec(-1))),
             Seq(TableRequirement.AssertRefSnapshotId(
-              TableMetadata.MainBranch, m.currentSnapshotId)))
+              TableMetadata.MainBranch, plan.base.currentSnapshotId)))
       }
       val snapshot = Snapshot(snapId, base.currentSnapshotId, seq,
         System.currentTimeMillis(), manifestLoc,

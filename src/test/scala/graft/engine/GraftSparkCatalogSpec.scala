@@ -207,6 +207,18 @@ class GraftSparkCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     // SQL REPLACE TABLE AS SELECT uses the same staged path
     spark.sql(s"REPLACE TABLE $cat.s.t AS SELECT 5 AS n")
     assert(spark.sql(s"SELECT n FROM $cat.s.t").collect().map(_.getInt(0)).toSeq === Seq(5))
+
+    // a replace may introduce partitioning: the new spec binds against
+    // the new schema and the rewritten files carry partition tuples
+    import org.apache.spark.sql.functions.col
+    Seq((1, "x", 1.0), (2, "y", 2.0), (3, "x", 3.0)).toDF("id", "cat", "v")
+      .writeTo(s"$cat.s.t").partitionedBy(col("cat")).createOrReplace()
+    val t = new GraftTable(client, prefix, TableIdent(Seq("s"), "t"))
+    assert(t.metadata.defaultSpec.fields.map(_.name) === Seq("cat"))
+    assert(t.planFiles().forall(_.partition.keySet === Set("cat")))
+    assert(t.scanPruned(spark, p => p.get("cat").contains("x"))
+      .collect().map(_.getInt(0)).toSet === Set(1, 3))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.s.t").collect().head.getLong(0) === 3)
   }
 
   test("SQL MERGE INTO: matched update, unmatched insert, via snapshot commit") {
