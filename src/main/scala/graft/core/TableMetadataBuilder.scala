@@ -18,6 +18,7 @@ final class TableMetadataBuilder private (private var m: TableMetadata) {
   // -1 "last added" sentinels are scoped to one builder (= one commit).
   private var lastAddedSchemaId: Option[Int] = None
   private var lastAddedSpecId: Option[Int] = None
+  private var removedSpecs: Boolean = false
   private var lastAddedOrderId: Option[Int] = None
   /** Snapshots added in this commit (set-snapshot-ref bookkeeping). */
   private var addedSnapshotIds: Set[Long] = Set.empty
@@ -40,6 +41,7 @@ final class TableMetadataBuilder private (private var m: TableMetadata) {
       case SetCurrentSchema(id) => setCurrentSchema(id)
       case AddSpec(spec) => addSpec(spec)
       case SetDefaultSpec(id) => setDefaultSpec(id)
+      case RemovePartitionSpecs(ids) => removePartitionSpecs(ids)
       case AddSortOrder(order) => addSortOrder(order)
       case SetDefaultSortOrder(id) => setDefaultSortOrder(id)
       case AddSnapshot(snap) => addSnapshot(snap)
@@ -150,6 +152,22 @@ final class TableMetadataBuilder private (private var m: TableMetadata) {
             lastAddedSpecId = Some(newId)
             Right(this)
         }
+    }
+  }
+
+  /** Remove retired specs. Unknown ids are rejected; removing the
+    * CURRENT default is allowed mid-commit because build() re-checks
+    * that the final default spec exists (a commit that removes the
+    * default without installing a new one fails as a whole). */
+  private def removePartitionSpecs(ids: Seq[Int])
+      : Either[CommitError, TableMetadataBuilder] = {
+    val missing = ids.filterNot(m.partitionSpecs.contains)
+    if (missing.nonEmpty)
+      Left(CommitError.validation(
+        s"cannot remove unknown partition spec ids: ${missing.mkString(", ")}"))
+    else Right {
+      removedSpecs = true
+      m = m.copy(partitionSpecs = m.partitionSpecs -- ids); this
     }
   }
 
@@ -270,12 +288,18 @@ final class TableMetadataBuilder private (private var m: TableMetadata) {
     * when absent; a current schema must exist. */
   def build(): Either[CommitError, TableMetadata] = {
     var out = m
-    if (out.partitionSpecs.isEmpty)
+    // seed the unpartitioned default for NEW tables only — a commit
+    // that emptied the map via remove-partition-specs must not have a
+    // default silently resurrected (the contains-check below fails it)
+    if (out.partitionSpecs.isEmpty && !removedSpecs)
       out = out.copy(partitionSpecs = Map(0 -> PartitionSpec.Unpartitioned), defaultSpecId = 0)
     if (out.sortOrders.isEmpty)
       out = out.copy(sortOrders = Map(0 -> SortOrder.Unsorted), defaultSortOrderId = 0)
     if (!out.schemas.contains(out.currentSchemaId) || out.currentSchemaId < 0)
       return Left(CommitError.validation("table metadata has no current schema"))
+    if (!out.partitionSpecs.contains(out.defaultSpecId))
+      return Left(CommitError.validation(
+        s"default partition spec ${out.defaultSpecId} was removed without a replacement"))
     if (out.lastColumnId < 0)
       return Left(CommitError.validation("last-column-id must be >= 0"))
     Right(out)

@@ -41,6 +41,12 @@ object TableUpdate {
   final case class RemoveSnapshots(snapshotIds: Seq[Long]) extends TableUpdate {
     val action = "remove-snapshots"
   }
+  /** Iceberg v2 remove-partition-specs: drop retired specs by id. The
+    * default-spec invariant is re-checked at build(), so a commit may
+    * remove the old default as long as it installs a new one. */
+  final case class RemovePartitionSpecs(specIds: Seq[Int]) extends TableUpdate {
+    val action = "remove-partition-specs"
+  }
   final case class SetSnapshotRef(
       refName: String,
       snapshotId: Long,

@@ -238,12 +238,6 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       case None if !orCreate => throw new NoSuchTableException(i)
       case None => stageCreate(i, schema, partitions, properties)
       case Some(m) =>
-        // an existing PARTITIONED table can't be replaced yet: its old
-        // spec would need remove-partition-specs to survive the schema
-        // swap (the rebind-on-set-current-schema guard rejects specs
-        // over dropped columns)
-        require(m.defaultSpec.isUnpartitioned,
-          "replacing a partitioned table is not supported yet")
         // fresh ids strictly above the old last-column-id, so id-based
         // file resolution can never confuse old and new columns
         def shift(t: IType, by: Int): IType = t match {
@@ -259,9 +253,11 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
           NestedField(f.id + m.lastColumnId, f.name, f.required,
             shift(f.fieldType, m.lastColumnId), f.doc)))
         val lastColumnId = m.lastColumnId + fresh.struct.maxFieldId
-        // the replacement may introduce its own partitioning: bind the
-        // new spec against the shifted schema for the data write and
-        // carry the unbound form into the commit
+        // the replacement may change partitioning entirely: the old
+        // specs are retired (remove-partition-specs — they reference
+        // old field ids and cannot rebind to the new schema) and the
+        // new spec, possibly empty, binds against the shifted schema
+        val specChange = partitions.nonEmpty || !m.defaultSpec.isUnpartitioned
         val newSpec = toUnboundSpec(shifted, partitions)
         val boundSpec = graft.core.PartitionSpecBinder
           .bind(shifted.copy(schemaId = 0), newSpec,
@@ -275,7 +271,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
           defaultSpecId = boundSpec.specId)
         new GraftStagedTable(i, writeMeta,
           replaceOf = Some(ReplacePlan(m, shifted, lastColumnId,
-            if (partitions.isEmpty) None else Some(newSpec))))
+            newSpec = if (specChange) Some(newSpec) else None,
+            removeSpecIds = if (specChange) m.partitionSpecs.keys.toSeq.sorted else Nil)))
     }
   }
 
@@ -283,7 +280,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       base: graft.core.TableMetadata,
       schema: graft.core.Schema,
       lastColumnId: Int,
-      newSpec: Option[graft.core.UnboundPartitionSpec])
+      newSpec: Option[graft.core.UnboundPartitionSpec],
+      removeSpecIds: Seq[Int])
 
   /** A staged table: Spark writes the query result through it, then
     * commits or aborts atomically. The data write reuses the engine's
@@ -334,9 +332,14 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
           ("append", Nil,
             Seq(TableRequirement.AssertTableUuid(writeMeta.tableUuid)))
         case Some(plan) =>
+          // order matters: retire old specs BEFORE the schema swap (they
+          // cannot rebind to the new field ids), add the new spec AFTER
+          // it (it binds against the then-current schema)
           ("replace",
-            Seq(TableUpdate.AddSchema(plan.schema, Some(plan.lastColumnId)),
-              TableUpdate.SetCurrentSchema(-1)) ++
+            Seq(TableUpdate.AddSchema(plan.schema, Some(plan.lastColumnId))) ++
+              (if (plan.removeSpecIds.nonEmpty)
+                Seq(TableUpdate.RemovePartitionSpecs(plan.removeSpecIds)) else Nil) ++
+              Seq(TableUpdate.SetCurrentSchema(-1)) ++
               plan.newSpec.toSeq.flatMap(sp => Seq(
                 TableUpdate.AddSpec(sp), TableUpdate.SetDefaultSpec(-1))),
             Seq(TableRequirement.AssertRefSnapshotId(

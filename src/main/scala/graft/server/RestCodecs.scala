@@ -205,6 +205,8 @@ object RestCodecs {
       case AddSnapshot(s) => o.set[ObjectNode]("snapshot", JsonCodecs.snapshotToJson(s))
       case RemoveSnapshots(ids) =>
         val a = arrNode(); ids.foreach(a.add); o.set[ObjectNode]("snapshot-ids", a)
+      case RemovePartitionSpecs(ids) =>
+        val a = arrNode(); ids.foreach(a.add); o.set[ObjectNode]("spec-ids", a)
       case SetSnapshotRef(name, sid, tpe, minKeep, maxSnapAge, maxRefAge) =>
         o.put("ref-name", name); o.put("snapshot-id", sid); o.put("type", tpe)
         minKeep.foreach(o.put("min-snapshots-to-keep", _))
@@ -292,6 +294,9 @@ object RestCodecs {
       case "remove-snapshots" =>
         requireField(n, "snapshot-ids").map(ids =>
           RemoveSnapshots(ids.elements().asScala.map(_.asLong()).toSeq))
+      case "remove-partition-specs" =>
+        requireField(n, "spec-ids").map(ids =>
+          RemovePartitionSpecs(ids.elements().asScala.map(_.asInt()).toSeq))
       case "set-snapshot-ref" =>
         for {
           ref <- requireField(n, "ref-name").map(_.asText())

@@ -106,6 +106,38 @@ class TableMetadataBuilderSpec extends AnyFunSuite {
     assert(built(b).defaultSpec.fields.head.name === "name_trunc")
   }
 
+  test("remove-partition-specs drops retired specs, rejects unknown ids") {
+    val b = fresh()
+    assert(b.apply(AddSpec(UnboundPartitionSpec(None,
+      Seq(UnboundPartitionField(1, None, "id_bucket", Transform.Bucket(16)))))).isRight)
+    assert(b.apply(SetDefaultSpec(-1)).isRight)
+    // spec 0 (unpartitioned) is now retired and removable
+    assert(b.apply(RemovePartitionSpecs(Seq(0))).isRight)
+    val m = built(b)
+    assert(m.partitionSpecs.keySet === Set(m.defaultSpecId))
+    assert(!m.defaultSpec.isUnpartitioned)
+    // unknown ids are rejected outright
+    assert(fresh().apply(RemovePartitionSpecs(Seq(42))).isLeft)
+  }
+
+  test("remove-partition-specs of the default fails unless replaced in-commit") {
+    // removing the default with no replacement → whole commit fails at build
+    val b = fresh()
+    assert(b.apply(RemovePartitionSpecs(Seq(0))).isRight)
+    assert(b.build().isLeft)
+    // the replace flow: retire old default AND install a new one → ok
+    val b2 = fresh()
+    assert(b2.apply(RemovePartitionSpecs(Seq(0))).isRight)
+    assert(b2.apply(AddSpec(UnboundPartitionSpec(None,
+      Seq(UnboundPartitionField(2, None, "name_trunc", Transform.Truncate(4)))))).isRight)
+    assert(b2.apply(SetDefaultSpec(-1)).isRight)
+    val m = built(b2)
+    assert(m.defaultSpec.fields.head.name === "name_trunc")
+    // only the replacement spec remains (its id may reuse a freed one,
+    // as in Iceberg's max+1 allocation over the remaining specs)
+    assert(m.partitionSpecs.size === 1)
+  }
+
   test("sort orders: unsorted reuses id 0, real orders dedup") {
     val b = fresh()
     assert(b.apply(AddSortOrder(SortOrder.Unsorted)).isRight)

@@ -219,6 +219,25 @@ class GraftSparkCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.scanPruned(spark, p => p.get("cat").contains("x"))
       .collect().map(_.getInt(0)).toSet === Set(1, 3))
     assert(spark.sql(s"SELECT count(*) FROM $cat.s.t").collect().head.getLong(0) === 3)
+
+    // replacing a PARTITIONED table retires its old specs
+    // (remove-partition-specs) and installs the new partitioning
+    Seq((10, 100L), (11, 200L), (12, 300L)).toDF("k", "ts")
+      .writeTo(s"$cat.s.t").partitionedBy(org.apache.spark.sql.functions
+        .bucket(4, col("k"))).createOrReplace()
+    val t2 = new GraftTable(client, prefix, TableIdent(Seq("s"), "t"))
+    assert(t2.metadata.defaultSpec.fields.map(_.name) === Seq("k_bucket"))
+    // old specs (over dropped columns) are gone — only the new one remains
+    assert(t2.metadata.partitionSpecs.keySet === Set(t2.metadata.defaultSpecId))
+    assert(t2.planFiles().forall(_.partition.keySet === Set("k_bucket")))
+    assert(spark.sql(s"SELECT sum(ts) FROM $cat.s.t").collect().head.getLong(0) === 600L)
+
+    // and a replace may DROP partitioning entirely
+    Seq(("only", 1)).toDF("s", "n").writeTo(s"$cat.s.t").createOrReplace()
+    val t3 = new GraftTable(client, prefix, TableIdent(Seq("s"), "t"))
+    assert(t3.metadata.defaultSpec.isUnpartitioned)
+    assert(t3.metadata.partitionSpecs.size === 1)
+    assert(spark.sql(s"SELECT s FROM $cat.s.t").collect().map(_.getString(0)).toSeq === Seq("only"))
   }
 
   test("SQL MERGE INTO: matched update, unmatched insert, via snapshot commit") {
