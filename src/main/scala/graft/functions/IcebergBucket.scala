@@ -43,7 +43,7 @@ final case class IcebergBucket(child: Expression, numBuckets: Int)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val helper = IcebergBucketHelper.getClass.getName.stripSuffix("$") + ".MODULE$"
+    val helper = IcebergBucketHelper.getClass.getName.stripSuffix("$")
     val fn = child.dataType match {
       case IntegerType | DateType => "bucketInt"
       case LongType | TimestampType | TimestampNTZType => "bucketLong"

@@ -49,7 +49,7 @@ final case class LshSignature(
       elementType == FloatType)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val helper = LshSignatureHelper.getClass.getName.stripSuffix("$") + ".MODULE$"
+    val helper = LshSignatureHelper.getClass.getName.stripSuffix("$")
     val matrixRef = ctx.addReferenceObj("lshMatrix", matrix, "double[]")
     val isFloat = elementType == FloatType
     defineCodeGen(ctx, ev, c =>

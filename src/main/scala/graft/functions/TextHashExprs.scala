@@ -135,7 +135,7 @@ private[functions] trait TokArrayInput { self: Expression =>
     case _ => false
   }
   protected val helperRef: String =
-    TextHashHelper.getClass.getName.stripSuffix("$") + ".MODULE$"
+    TextHashHelper.getClass.getName.stripSuffix("$")
 }
 
 /** 60-bit SimHash of a token array. */

@@ -73,8 +73,11 @@ private[functions] trait VecInput { self: Expression =>
   }
   protected def isFloat(dt: DataType): Boolean =
     dt.asInstanceOf[ArrayType].elementType == FloatType
+  /** Generated code calls the object's STATIC FORWARDERS on the plain
+    * class (Spark's own codegen idiom, cf. DateTimeUtils call sites):
+    * `Helper$.MODULE$` is not resolvable by Janino from a dotted name. */
   protected val helperRef: String =
-    VectorExprHelper.getClass.getName.stripSuffix("$") + ".MODULE$"
+    VectorExprHelper.getClass.getName.stripSuffix("$")
 }
 
 /** Σ aᵢ·bᵢ in ascending order (the oracle's left fold). */
