@@ -511,11 +511,14 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     }
 
     /** AND of EqualTo filters → one key tuple; a single In → one tuple
-      * per value. Anything else is not equality-shaped. */
+      * per value. Anything else is not equality-shaped. Tuples
+      * containing NULL are rejected (→ CoW fallback): SQL `x = NULL` /
+      * `x IN (…, NULL)` never matches any row, but the MoR scan's
+      * null-safe `<=>` anti-join would wrongly delete NULL-key rows. */
     private def equalityTuples(filters: Array[org.apache.spark.sql.sources.Filter])
         : Option[(Seq[String], Seq[Seq[Any]])] = {
       import org.apache.spark.sql.sources.{EqualTo, In}
-      filters.toSeq match {
+      val shaped: Option[(Seq[String], Seq[Seq[Any]])] = filters.toSeq match {
         case Seq(In(a, vs)) => Some((Seq(a), vs.toSeq.map(v => Seq(v))))
         case fs if fs.nonEmpty && fs.forall(_.isInstanceOf[EqualTo]) =>
           val eqs = fs.map { case EqualTo(a, v) => a -> v }
@@ -523,6 +526,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
           else Some((eqs.map(_._1), Seq(eqs.map(_._2))))
         case _ => None
       }
+      shaped.filter { case (_, rows) => rows.forall(_.forall(_ != null)) }
     }
 
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =

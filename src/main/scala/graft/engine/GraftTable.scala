@@ -177,10 +177,14 @@ final class GraftTable(
     overwriteAll(merged, base)
   }
 
-  /** DELETE FROM (copy-on-write): rewrite without the matching rows. */
+  /** DELETE FROM (copy-on-write): rewrite without the matching rows.
+    * SQL DELETE removes rows where the condition is TRUE; rows where it
+    * evaluates NULL must SURVIVE — `!condition` alone would turn NULL
+    * into NULL and drop them, so the kept set is `NOT coalesce(cond,
+    * false)`. */
   def deleteWhere(spark: SparkSession, condition: Column): TableMetadata = {
     val m = metadata
-    val remaining = scan(spark).filter(!condition)
+    val remaining = scan(spark).filter(!coalesce(condition, lit(false)))
     overwriteAll(remaining, m.currentSnapshotId, operation = "delete")
   }
 

@@ -162,6 +162,26 @@ class GraftSparkCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql(s"SELECT * FROM $cat.d.t").count() === 0)
   }
 
+  test("DELETE keeps rows whose condition evaluates NULL (SQL semantics)") {
+    spark.sql(s"CREATE NAMESPACE $cat.dn")
+    spark.sql(s"CREATE TABLE $cat.dn.t (id INT, x INT)")
+    spark.sql(s"INSERT INTO $cat.dn.t VALUES (1, 10), (2, NULL), (3, 3)")
+
+    // x > 5 is NULL for id=2 — that row must SURVIVE the delete
+    spark.sql(s"DELETE FROM $cat.dn.t WHERE x > 5")
+    assert(spark.sql(s"SELECT id FROM $cat.dn.t ORDER BY id")
+      .collect().map(_.getInt(0)).toSeq === Seq(2, 3))
+
+    // MoR mode: IN-list containing NULL never matches NULL keys — must
+    // not take the <=> equality-delete path (which would delete id=2)
+    spark.sql(s"CREATE TABLE $cat.dn.m (id INT, k INT) " +
+      "TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')")
+    spark.sql(s"INSERT INTO $cat.dn.m VALUES (1, 1), (2, NULL), (3, 3)")
+    spark.sql(s"DELETE FROM $cat.dn.m WHERE k IN (3, NULL)")
+    assert(spark.sql(s"SELECT id FROM $cat.dn.m ORDER BY id")
+      .collect().map(_.getInt(0)).toSeq === Seq(1, 2))
+  }
+
   test("SQL DELETE under write.delete.mode=merge-on-read commits a delete file") {
     spark.sql(s"CREATE NAMESPACE $cat.md")
     spark.sql(s"CREATE TABLE $cat.md.t (id INT, v STRING) " +
