@@ -19,9 +19,12 @@ import org.apache.spark.sql.types.DoubleType
   * Scale notes (100 TB design intent):
   *  - every query is a declarative plan: filters sit directly on the scan
   *    (parquet PushedFilters), projections prune columns at the reader;
-  *  - small dimensions (region/nation/customer/supplier/part) are
-  *    broadcast explicitly so the big fact (lineitem) never shuffles for
-  *    a dimension join;
+  *  - only SIZE-CONSTANT dimensions (region: 5 rows, nation: 25 rows,
+  *    single-row scalar aggregates) carry explicit broadcast hints; the
+  *    SF-proportional relations (supplier, part, customer) are left to
+  *    AQE's runtime size check, which broadcasts them at small sf and
+  *    falls back to shuffle joins when they outgrow executor memory —
+  *    a forced hint there would OOM the driver at 100×;
   *  - aggregates are partial (map-side combine) by construction;
   *  - no collect()s, no driver-side loops.
   */
@@ -115,11 +118,11 @@ object Relational {
       |ORDER BY o_orderpriority""".stripMargin
 
   // ---------------------------------------------------------------- Q5
-  /** Five-way star join; true dimensions (supplier/nation/region) are
-    * broadcast so lineitem avoids dim shuffles; the fact–fact joins
-    * (orders, customer) shuffle on their keys — at 100 TB neither fits
-    * in executor memory, so hinting them broadcast would OOM. AQE still
-    * auto-broadcasts them at small sf. */
+  /** Five-way star join; size-constant dims (nation/region) are
+    * broadcast; supplier is SF-proportional so AQE decides its join
+    * side at runtime; the fact–fact joins (orders, customer) shuffle
+    * on their keys — at 100 TB neither fits in executor memory. AQE
+    * still auto-broadcasts the small sides at small sf. */
   def q05LocalSupplierVolume(s: SparkSession, dir: String): DataFrame = {
     val asia = t(s, dir, "region").filter(col("r_name") === "ASIA")
     val nat = t(s, dir, "nation")
@@ -129,7 +132,7 @@ object Relational {
       .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
         col("o_orderdate") < ts("1997-01-01 00:00:00"))
     val li = t(s, dir, "lineitem")
-    li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+    li.join(sup, col("l_suppkey") === col("s_suppkey"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(cust,
         col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
@@ -207,7 +210,7 @@ object Relational {
         col("l_shipdate") < ts("1996-10-01 00:00:00"))
     val part = t(s, dir, "part")
     val discPrice = dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
-    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+    li.join(part, col("l_partkey") === col("p_partkey"))
       .agg(
         (sum(when(col("p_type") === "PROMO", discPrice).otherwise(lit(0)))
           .cast(DoubleType) * lit(100.0) /
@@ -448,14 +451,14 @@ object Relational {
       |ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------- Q7
-  /** TPC-H Q7 shape: nation-pair trade volume by year. Supplier and the
-    * two nation copies broadcast (true dims); lineitem–orders–customer
-    * shuffle on keys. */
+  /** TPC-H Q7 shape: nation-pair trade volume by year. The two nation
+    * copies broadcast (true dims); supplier joins by AQE's choice;
+    * lineitem–orders–customer shuffle on keys. */
   def q07VolumeShipping(s: SparkSession, dir: String): DataFrame = {
     val n1 = t(s, dir, "nation").selectExpr("n_nationkey as s_nk", "n_name as supp_nation")
     val n2 = t(s, dir, "nation").selectExpr("n_nationkey as c_nk", "n_name as cust_nation")
     t(s, dir, "lineitem")
-      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
       .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
       .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
       .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
@@ -487,7 +490,8 @@ object Relational {
 
   // ---------------------------------------------------------------- Q8
   /** TPC-H Q8 shape: a nation's market share inside a region per year —
-    * conditional aggregation over a 6-way join; dims broadcast. */
+    * conditional aggregation over a 6-way join; constant dims broadcast,
+    * supplier/part sized by AQE. */
   def q08MarketShare(s: SparkSession, dir: String): DataFrame = {
     val suppNation = t(s, dir, "nation")
       .selectExpr("n_nationkey as s_nk", "n_name as supp_nation")
@@ -497,8 +501,8 @@ object Relational {
     val parts = t(s, dir, "part").filter(col("p_type") === "PROMO")
     val vol = dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
     t(s, dir, "lineitem")
-      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
       .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
       .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
       .join(broadcast(suppNation), col("s_nationkey") === col("s_nk"))
@@ -534,8 +538,8 @@ object Relational {
   def q09ProductProfit(s: SparkSession, dir: String): DataFrame = {
     val parts = t(s, dir, "part").filter(col("p_name").contains("widget"))
     t(s, dir, "lineitem")
-      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
       .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
@@ -577,10 +581,11 @@ object Relational {
 
   // --------------------------------------------------------------- Q19
   /** TPC-H Q19 shape: disjunctive brand/size/quantity predicates pushed
-    * into one broadcast-joined scan (no union of three scans). */
+    * into one joined scan (no union of three scans); AQE picks the part
+    * join strategy by its runtime size. */
   def q19DiscountedRevenue(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
-    val p = broadcast(t(s, dir, "part"))
+    val p = t(s, dir, "part")
     li.join(p, col("l_partkey") === col("p_partkey"))
       .filter(
         (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
@@ -615,7 +620,7 @@ object Relational {
     revenue
       .crossJoin(broadcast(top))
       .filter(col("total_revenue") === col("max_revenue"))
-      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
       .orderBy(col("s_suppkey"))
   }
@@ -668,8 +673,8 @@ object Relational {
     * half the average quantity. */
   def q17SmallQuantityRevenue(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
-    val brandParts = broadcast(
-      t(s, dir, "part").filter(col("p_brand") === "Brand#4").select("p_partkey"))
+    val brandParts =
+      t(s, dir, "part").filter(col("p_brand") === "Brand#4").select("p_partkey")
     val branded = li.join(brandParts, col("l_partkey") === col("p_partkey"))
     val avgQty = branded.groupBy(col("l_partkey").as("avg_partkey"))
       .agg(davg(col("l_quantity")).as("avg_qty"))
@@ -719,7 +724,7 @@ object Relational {
         max(when(col("late_cnt") > 0, col("late_cnt"))).as("lone_late_cnt"))
     perOrder
       .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
-      .join(broadcast(t(s, dir, "supplier")), col("lone_supp") === col("s_suppkey"))
+      .join(t(s, dir, "supplier"), col("lone_supp") === col("s_suppkey"))
       .groupBy(col("s_name"))
       .agg(sum(col("lone_late_cnt")).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
