@@ -128,16 +128,11 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     val fullName = s"$catalogName.${i.namespace().mkString(".")}.${i.name()}"
     val delegate = GraftShims.parquetTable(
       i.name(), spark, listing.filterNot(_.isDeleteFile).map(_.path), schema)
-    // outstanding merge-on-read delete files can't be expressed by a
-    // plain parquet scan: those snapshots read through the engine's
-    // delete-applying scan (full pushdown returns after compaction)
-    val morScan: Option[() => org.apache.spark.sql.DataFrame] =
-      if (listing.exists(_.isDeleteFile))
-        Some(() => GraftTable.readFiles(SparkSession.active, coreSchema, listing))
-      else None
     // time-travel loads are read-only: you can't INSERT into the past
-    if (version.isDefined) new ReadOnlyTable(fullName, delegate, schema, morScan)
-    else new WritableTable(fullName, ident(i), delegate, schema, morScan)
+    if (version.isDefined)
+      new ReadOnlyTable(fullName, delegate, schema, coreSchema, listing)
+    else new WritableTable(fullName, ident(i), delegate, schema,
+      coreSchema, listing)
   }
 
   override def createTable(
@@ -412,46 +407,22 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     catch { case e: CatalogError if e.code == 404 =>
       throw new NoSuchTableException(oldIdent) }
 
-  /** A scan builder over the engine's DataFrame-producing read — the
-    * fallback for snapshots with outstanding MoR delete files, where
-    * the read is an anti-join plan, not a parquet file list. V1Scan
-    * hands Spark the computed RDD; pushdown is intentionally absent
-    * (the delete semantics must see every row). */
-  private final class MorScanBuilder(
-      tableSchema: StructType, thunk: () => org.apache.spark.sql.DataFrame)
-      extends ScanBuilder {
-    override def build(): org.apache.spark.sql.connector.read.Scan =
-      new org.apache.spark.sql.connector.read.V1Scan {
-        override def readSchema(): StructType = tableSchema
-        override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
-            with org.apache.spark.sql.sources.TableScan](
-            context: org.apache.spark.sql.SQLContext): T =
-          (new org.apache.spark.sql.sources.BaseRelation
-              with org.apache.spark.sql.sources.TableScan {
-            override def sqlContext: org.apache.spark.sql.SQLContext = context
-            override def schema: StructType = tableSchema
-            override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
-              thunk().rdd
-          }).asInstanceOf[T]
-      }
-  }
-
   /** Delegates scans to the parquet table, but exposes NO write
     * capability — used for time-travel loads, which must stay
-    * immutable. */
+    * immutable. Snapshots with outstanding MoR delete files read
+    * through [[GraftScanBuilder]] (delete-applying scan with pushdown
+    * restored). */
   private final class ReadOnlyTable(
       tableName: String, delegate: Table, tableSchema: StructType,
-      morScan: Option[() => org.apache.spark.sql.DataFrame])
+      coreSchema: graft.core.Schema, listing: Seq[Manifests.DataFile])
       extends Table with SupportsRead {
     override def name(): String = tableName
     override def schema(): StructType = tableSchema
     override def capabilities(): util.Set[TableCapability] =
       util.EnumSet.of(TableCapability.BATCH_READ)
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-      morScan match {
-        case Some(thunk) => new MorScanBuilder(tableSchema, thunk)
-        case None => delegate.asInstanceOf[SupportsRead].newScanBuilder(options)
-      }
+      if (listing.exists(_.isDeleteFile)) new GraftScanBuilder(coreSchema, listing)
+      else delegate.asInstanceOf[SupportsRead].newScanBuilder(options)
   }
 
   /** Reads like [[ReadOnlyTable]]; writes route through [[GraftTable]]'s
@@ -464,9 +435,9 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     * table field names for read-by-name snapshot scans. */
   private final class WritableTable(
       tableName: String, tid: TableIdent, delegate: Table, tableSchema: StructType,
-      morScan: Option[() => org.apache.spark.sql.DataFrame])
+      coreSchema: graft.core.Schema, listing: Seq[Manifests.DataFile])
       extends Table with SupportsRead with SupportsWrite with SupportsDelete
-      with SupportsRowLevelOperations {
+      with SupportsRowLevelOperations with SupportsMetadataColumns {
     override def name(): String = tableName
     override def schema(): StructType = tableSchema
     override def capabilities(): util.Set[TableCapability] =
@@ -474,11 +445,20 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
         TableCapability.BATCH_READ,
         TableCapability.V1_BATCH_WRITE,
         TableCapability.TRUNCATE)
+
+    /** Row-lineage metadata columns — the SupportsDelta row id. Served
+      * by [[GraftScanBuilder]] (row-level operation scans and MoR
+      * reads); the plain parquet delegate never sees them because no
+      * normal query plan requests them. */
+    override def metadataColumns(): Array[MetadataColumn] = Array(
+      GraftSparkCatalog.metaCol(GraftTable.FileCol,
+        org.apache.spark.sql.types.StringType),
+      GraftSparkCatalog.metaCol(GraftTable.PosCol,
+        org.apache.spark.sql.types.LongType))
+
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-      morScan match {
-        case Some(thunk) => new MorScanBuilder(tableSchema, thunk)
-        case None => delegate.asInstanceOf[SupportsRead].newScanBuilder(options)
-      }
+      if (listing.exists(_.isDeleteFile)) new GraftScanBuilder(coreSchema, listing)
+      else delegate.asInstanceOf[SupportsRead].newScanBuilder(options)
 
     // SQL DELETE FROM ... WHERE: copy-on-write rewrite through the
     // commit path (snapshot operation "delete"); refuses untranslatable
@@ -550,89 +530,84 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
         }
       }
 
-    /** SQL MERGE INTO / UPDATE (group-based copy-on-write): Spark plans
-      * the full rewritten content against this operation's scan; the
-      * write is the distributed [[ParquetBatchWrite]], and its commit
-      * replaces the table content in one requirement-guarded snapshot
-      * pinned to the pre-operation base (concurrent writers 409). */
+    /** SQL MERGE INTO / UPDATE / DELETE as DELTA operations
+      * (SupportsDelta): the scan surfaces surviving rows plus their
+      * `(_file, _pos)` row ids; Spark sends only the CHANGED rows to
+      * the write — deletes as row ids, inserts as full rows, updates
+      * as delete+insert pairs. The write emits new data files and
+      * position-delete files; the commit appends them ON TOP of the
+      * base snapshot, carrying every untouched file over unchanged
+      * ([[GraftTable.commitDelta]]). A 1-row MERGE therefore writes
+      * O(1 row) — never an O(table) rewrite — and concurrent writers
+      * 409 on the pinned base. */
     override def newRowLevelOperationBuilder(
         info: RowLevelOperationInfo): RowLevelOperationBuilder =
       new RowLevelOperationBuilder {
-        override def build(): RowLevelOperation = new RowLevelOperation {
+        override def build(): RowLevelOperation = new RowLevelOperation
+            with org.apache.spark.sql.connector.write.SupportsDelta {
           override def command(): RowLevelOperation.Command = info.command()
-          // The write replaces the WHOLE table content, so the scan
-          // must surface every current row: hide the pushdown
-          // interfaces, otherwise Spark pushes the operation condition
-          // as a ROW filter and unaffected rows of affected files would
-          // vanish from the rewrite (data loss). MoR snapshots read
-          // through the delete-applying scan for the same reason.
+
+          override def rowId(): Array[NamedReference] = Array(
+            org.apache.spark.sql.connector.expressions.Expressions
+              .column(GraftTable.FileCol),
+            org.apache.spark.sql.connector.expressions.Expressions
+              .column(GraftTable.PosCol))
+
+          override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+          // the delta scan may filter ROWS freely (no group integrity
+          // to preserve): static predicates push down to the parquet
+          // scan, and only candidate rows flow into the merge join
           override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-            morScan match {
-              case Some(thunk) => new MorScanBuilder(tableSchema, thunk)
-              case None =>
-                val full = delegate.asInstanceOf[SupportsRead].newScanBuilder(options)
-                new ScanBuilder { override def build() = full.build() }
-            }
-          override def newWriteBuilder(writeInfo: LogicalWriteInfo): WriteBuilder =
-            new WriteBuilder {
-              override def build(): Write = new Write
-                  with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
-                private val table = new GraftTable(client, prefix, tid)
-                private val m = table.metadata
-                private val spec = m.defaultSpec
+            new GraftScanBuilder(coreSchema, listing)
 
-                // cluster incoming rows on the partition SOURCE columns
-                // so each task sees few distinct partition tuples (no
-                // FunctionCatalog needed, unlike transform-clustering)
-                override def requiredDistribution()
-                    : org.apache.spark.sql.connector.distributions.Distribution =
-                  if (spec.isUnpartitioned)
-                    org.apache.spark.sql.connector.distributions.Distributions.unspecified()
-                  else {
-                    val srcs = spec.fields.flatMap(f =>
-                      m.currentSchema.fieldById(f.sourceId).map(_.name)).distinct
-                    org.apache.spark.sql.connector.distributions.Distributions.clustered(
-                      srcs.map(n => org.apache.spark.sql.connector.expressions.Expressions
-                        .identity(n): org.apache.spark.sql.connector.expressions.Expression)
-                        .toArray)
-                  }
-                override def requiredOrdering()
-                    : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-                  Array.empty
-
-                override def toBatch: BatchWrite = {
-                  val base = m.currentSnapshotId
-                  val dataDir = s"${m.location}/data/${java.util.UUID.randomUUID()}"
-                  // write with the table's id-stamped schema, aligned to
-                  // the incoming rows' column order
-                  val byName = SchemaBridge.toSpark(m.currentSchema)
-                    .fields.map(f => f.name -> f).toMap
-                  val writeSchema = StructType(writeInfo.schema().fields.map(f =>
-                    byName.getOrElse(f.name, f)))
-                  val spark = SparkSession.active
-                  val routing =
-                    if (spec.isUnpartitioned) None
-                    else Some(ParquetBatchWrite.PartitionRouting(
-                      spec.fields.map(_.name),
-                      GraftShims.boundExpressions(spark, writeSchema,
-                        PartitionExprs.partitionColumns(spec, m.currentSchema,
-                          org.apache.spark.sql.functions.col))))
-                  val (factory, conf) = GraftShims.parquetWriteSpec(
-                    spark, writeSchema, Map.empty)
-                  new ParquetBatchWrite(dataDir, writeSchema, factory, conf, routing,
-                    files => {
-                      val dataFiles = files.map { f =>
-                        val p = graft.catalog.MetadataIO.toPath(f.path)
-                        Manifests.DataFile(p.toString, java.nio.file.Files.size(p),
-                          f.rows, f.partition)
-                      }.sortBy(_.path)
-                      table.commitFiles(dataFiles,
-                        info.command().name().toLowerCase(java.util.Locale.ROOT), base)
-                    })
-                }
+          override def newWriteBuilder(writeInfo: LogicalWriteInfo)
+              : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
+            new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+              override def build(): org.apache.spark.sql.connector.write.DeltaWrite = {
+                val table = new GraftTable(client, prefix, tid)
+                val m = table.metadata
+                val spec = m.defaultSpec
+                val base = m.currentSnapshotId
+                val spark = SparkSession.active
+                // inserts arrive projected to the table's column order;
+                // write them with the id-stamped table schema
+                val writeSchema = SchemaBridge.toSpark(m.currentSchema)
+                val dataDir = s"${m.location}/data/${java.util.UUID.randomUUID()}"
+                val deleteDir = s"${m.location}/deletes/${java.util.UUID.randomUUID()}"
+                val routing =
+                  if (spec.isUnpartitioned) None
+                  else Some(ParquetBatchWrite.PartitionRouting(
+                    spec.fields.map(_.name),
+                    GraftShims.boundExpressions(spark, writeSchema,
+                      PartitionExprs.partitionColumns(spec, m.currentSchema,
+                        org.apache.spark.sql.functions.col))))
+                new GraftDeltaWrite(dataDir, deleteDir, writeSchema,
+                  GraftShims.parquetWriteSpec(spark, writeSchema, Map.empty),
+                  GraftShims.parquetWriteSpec(spark, GraftTable.PosDeleteSchema, Map.empty),
+                  routing,
+                  files =>
+                    // an empty delta (nothing matched, nothing inserted)
+                    // commits no snapshot
+                    if (files.nonEmpty) table.commitDelta(
+                      GraftTable.toDataFiles(files),
+                      info.command().name().toLowerCase(java.util.Locale.ROOT),
+                      base))
               }
             }
         }
       }
   }
+}
+
+object GraftSparkCatalog {
+  /** Non-null metadata column (the SupportsDelta row id pieces). */
+  private def metaCol(
+      colName: String,
+      colType: org.apache.spark.sql.types.DataType): MetadataColumn =
+    new MetadataColumn {
+      override def name(): String = colName
+      override def dataType(): org.apache.spark.sql.types.DataType = colType
+      override def isNullable: Boolean = false
+    }
 }

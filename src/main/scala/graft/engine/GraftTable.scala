@@ -5,9 +5,7 @@ import graft.core._
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
-import java.nio.file.{Files, Path}
 import java.util.UUID
-import scala.jdk.CollectionConverters._
 
 /** Spark-side table operations through the catalog: the Surface-B
   * capabilities the reference certifies via iceberg-spark
@@ -203,12 +201,12 @@ final class GraftTable(
     require(keys.nonEmpty && keys.forall(schemaCols), s"unknown key columns: $keys")
     val dir = s"${m.location}/deletes/${UUID.randomUUID()}"
     val byName = m.currentSchema.fields.map(f => f.name -> f).toMap
-    toDelete
+    val keyRows = toDelete
       .select(keys.map(k => col(k).as(k, SchemaBridge.fieldIdMetadata(byName(k).id))): _*)
       .distinct()
-      .write.parquet(dir)
-    val deleteFiles = inventoryParquet(dir).map(_.copy(
-      content = Manifests.ContentEqualityDeletes, equalityColumns = keys))
+    val deleteFiles = GraftTable
+      .toDataFiles(ParquetBatchWrite.writeJob(keyRows, dir, routing = None))
+      .map(_.copy(content = Manifests.ContentEqualityDeletes, equalityColumns = keys))
     commitLoop(branch, "delete") { base =>
       base.map(s => Manifests.read(s.manifestList)).getOrElse(Nil) ++ deleteFiles
     }
@@ -251,6 +249,21 @@ final class GraftTable(
       expectedBase: Option[Long],
       branch: String = TableMetadata.MainBranch): TableMetadata =
     commitOnce(branch, operation, expectedBase, _ => files)
+
+  /** Commit a row-level DELTA (new data files + delete files) ON TOP of
+    * the branch's current content: every untouched file carries over
+    * into the new manifest unchanged, so a 1-row MERGE costs O(changed
+    * rows) data write + O(file count) manifest metadata — never an
+    * O(table) rewrite. `expectedBase` pins the snapshot the delta was
+    * computed against (position deletes address rows of those exact
+    * files); a concurrent commit 409s instead of corrupting. */
+  def commitDelta(
+      files: Seq[Manifests.DataFile],
+      operation: String,
+      expectedBase: Option[Long],
+      branch: String = TableMetadata.MainBranch): TableMetadata =
+    commitOnce(branch, operation, expectedBase, base =>
+      base.map(s => Manifests.read(s.manifestList)).getOrElse(Nil) ++ files)
 
   /** CREATE TAG / CREATE BRANCH at the current main snapshot. */
   def createRef(name: String, refType: String,
@@ -326,73 +339,116 @@ final class GraftTable(
     * [[GraftTable.writeDataFiles]]). */
   private def writeDataFiles(df: DataFrame): Seq[Manifests.DataFile] =
     GraftTable.writeDataFiles(df, metadata)
-
-  private def inventoryParquet(dataDir: String): Seq[Manifests.DataFile] =
-    GraftTable.inventoryParquet(dataDir)
 }
 
 object GraftTable {
-  /** Snapshot listing → DataFrame, applying merge-on-read equality
-    * deletes: a delete file removes every key-matching row in data
-    * files with a LOWER sequence number, so rows re-inserted after the
-    * delete survive. Rows are attributed to their file via the builtin
+  /** Row-lineage metadata column names the SQL layer exposes (Iceberg's
+    * metadata-column names): the data file a row came from and its
+    * ordinal position inside that file — the row id of position-delete
+    * (SupportsDelta) writes. */
+  val FileCol = "_file"
+  val PosCol = "_pos"
+
+  /** Position-delete file schema: which row of which data file dies. */
+  private[engine] val PosDeleteSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("file_path",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("pos",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+
+  /** Snapshot listing → DataFrame, applying merge-on-read deletes:
+    * an equality-delete file removes every key-matching row in data
+    * files with a STRICTLY LOWER sequence number (so rows re-inserted
+    * after the delete survive); a position-delete file removes the
+    * addressed `(file, pos)` rows in data files with sequence ≤ its
+    * own. Rows are attributed to their file via the builtin
     * `_metadata.file_path` column and joined to the manifest's per-file
     * sequence (a broadcast of O(file count)); each delete set is then a
     * keyed LEFT ANTI join with the sequence comparison as a residual
     * condition — no all-pairs work, scales with candidate matches.
-    * Shared by the programmatic scan and the SQL path's MoR fallback
-    * scan. */
+    * With `lineage`, the output carries `_file`/`_pos` columns (the
+    * surviving rows' addresses) for row-level operation scans.
+    * Shared by the programmatic scan and the SQL path's MoR scan. */
   private[engine] def readFiles(
       spark: SparkSession, schema: Schema,
-      all: Seq[Manifests.DataFile]): DataFrame = {
+      all: Seq[Manifests.DataFile], lineage: Boolean = false): DataFrame = {
     import spark.implicits._
     val (deletes, datas) = all.partition(_.isDeleteFile)
-    if (datas.isEmpty) return emptyDf(spark, schema)
+    if (datas.isEmpty) return emptyDf(spark, schema, lineage)
     val base = spark.read.schema(SchemaBridge.toSpark(schema))
       .parquet(datas.map(_.path): _*)
-    if (deletes.isEmpty) return base
+    if (deletes.isEmpty && !lineage) return base
 
-    // key a file by its last two path segments (uuid-dir/name): stable
-    // across file:// scheme differences between manifest paths and
-    // _metadata.file_path
-    def fileKey(c: Column): Column =
-      concat_ws("/", element_at(split(c, "/"), -2), element_at(split(c, "/"), -1))
-    val seqDf = datas.map(f => (f.path.split('/').takeRight(2).mkString("/"), f.seq))
-      .toDF("__seq_file", "__data_seq")
     var df = base
-      .withColumn("__seq_file", fileKey(col("_metadata.file_path")))
-      .join(broadcast(seqDf), "__seq_file")
+      .withColumn(FileCol, col("_metadata.file_path"))
+      .withColumn(PosCol, col("_metadata.row_index"))
+    if (deletes.nonEmpty) {
+      val seqDf = datas.map(f => (f.path.split('/').takeRight(2).mkString("/"), f.seq))
+        .toDF("__seq_file", "__data_seq")
+      df = df.withColumn("__seq_file", fileKey(col(FileCol)))
+        .join(broadcast(seqDf), "__seq_file")
 
-    deletes.groupBy(_.equalityColumns).foreach { case (keys, dfiles) =>
-      val delRows = dfiles.map { f =>
-        spark.read.parquet(f.path)
-          .select(keys.map(k => col(k).as(s"__del_$k")): _*)
-          .withColumn("__del_seq", lit(f.seq))
-      }.reduce(_ unionAll _)
-      val cond = keys.map(k => df(k) <=> delRows(s"__del_$k")).reduce(_ && _) &&
-        delRows("__del_seq") > df("__data_seq")
-      df = df.join(delRows, cond, "left_anti")
+      deletes.filterNot(_.isPositionDeleteFile).groupBy(_.equalityColumns)
+        .foreach { case (keys, dfiles) =>
+          val delRows = dfiles.map { f =>
+            spark.read.parquet(f.path)
+              .select(keys.map(k => col(k).as(s"__del_$k")): _*)
+              .withColumn("__del_seq", lit(f.seq))
+          }.reduce(_ unionAll _)
+          val cond = keys.map(k => df(k) <=> delRows(s"__del_$k")).reduce(_ && _) &&
+            delRows("__del_seq") > df("__data_seq")
+          df = df.join(delRows, cond, "left_anti")
+        }
+
+      val posDeletes = deletes.filter(_.isPositionDeleteFile)
+      if (posDeletes.nonEmpty) {
+        val delRows = posDeletes.map { f =>
+          spark.read.schema(PosDeleteSchema).parquet(f.path)
+            .select(fileKey(col("file_path")).as("__del_file"),
+              col("pos").as("__del_pos"))
+            .withColumn("__del_seq", lit(f.seq))
+        }.reduce(_ unionAll _)
+        val cond = df("__seq_file") === delRows("__del_file") &&
+          df(PosCol) === delRows("__del_pos") &&
+          delRows("__del_seq") >= df("__data_seq")
+        df = df.join(delRows, cond, "left_anti")
+      }
     }
-    df.select(base.columns.map(col).toIndexedSeq: _*)
+    val outCols = base.columns.toIndexedSeq ++ (if (lineage) Seq(FileCol, PosCol) else Nil)
+    df.select(outCols.map(col): _*)
   }
 
-  private[engine] def emptyDf(spark: SparkSession, schema: Schema): DataFrame =
-    spark.createDataFrame(new java.util.ArrayList[Row](), SchemaBridge.toSpark(schema))
+  /** Key a file by its last two path segments (uuid-dir/name): stable
+    * across file:// scheme differences between manifest paths and
+    * `_metadata.file_path`. */
+  private def fileKey(c: Column): Column =
+    concat_ws("/", element_at(split(c, "/"), -2), element_at(split(c, "/"), -1))
 
-  /** Internal directory prefix for partition dirs, so derived partition
-    * columns never collide with data columns (data files keep EVERY
-    * source column; partition values live in the manifest). */
-  private val PartDirPrefix = "__p_"
+  private[engine] def emptyDf(
+      spark: SparkSession, schema: Schema, lineage: Boolean = false): DataFrame = {
+    val s = SchemaBridge.toSpark(schema)
+    val withLineage =
+      if (!lineage) s
+      else org.apache.spark.sql.types.StructType(s.fields.toSeq ++ Seq(
+        org.apache.spark.sql.types.StructField(FileCol,
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField(PosCol,
+          org.apache.spark.sql.types.LongType, nullable = false)))
+    spark.createDataFrame(new java.util.ArrayList[Row](), withLineage)
+  }
 
   /** Write df as parquet under a fresh data/ subdirectory of
     * `m.location` — partitioned by the metadata's default spec when one
     * is set (partition values derived per row by codegen'd transform
-    * expressions, incl. the native bucket expression) — and inventory
-    * the produced files (path, bytes, rows from parquet footers,
-    * partition tuple from the directory layout; a driver-side metadata
-    * read, no data scan). Shared by the live-table write path and the
-    * staged-table (CTAS/RTAS) write path, which has no loadable table
-    * yet. */
+    * expressions, incl. the native bucket expression, one open writer
+    * per tuple per task) — via the same distributed task writer the V2
+    * write uses ([[ParquetBatchWrite.writeJob]]). The file inventory
+    * (path, bytes, rows, partition tuple) is assembled by the write
+    * tasks themselves and travels back in their commit results, so the
+    * driver does NO filesystem walking and opens NO parquet footers —
+    * at 10⁵ written files the metadata cost stays on the cluster.
+    * Shared by the live-table write path and the staged-table
+    * (CTAS/RTAS) write path, which has no loadable table yet. */
   private[engine] def writeDataFiles(
       df: DataFrame, m: TableMetadata): Seq[Manifests.DataFile] = {
     val spec = m.defaultSpec
@@ -403,59 +459,22 @@ object GraftTable {
     // across renames without rewrites.
     val stamped = df.select(m.currentSchema.fields.map(f =>
       col(f.name).as(f.name, SchemaBridge.fieldIdMetadata(f.id))): _*)
-    if (spec.isUnpartitioned) stamped.write.parquet(dataDir)
-    else {
-      val pcols = PartitionExprs.partitionColumns(spec, m.currentSchema, stamped.col)
-        .zip(spec.fields)
-        .map { case (c, f) => c.as(s"$PartDirPrefix${f.name}") }
-      stamped.select(stamped.columns.map(col).toSeq ++ pcols: _*)
-        .write
-        .partitionBy(spec.fields.map(f => s"$PartDirPrefix${f.name}"): _*)
-        .parquet(dataDir)
-    }
-    inventoryParquet(dataDir)
+    val routing =
+      if (spec.isUnpartitioned) None
+      else Some(ParquetBatchWrite.PartitionRouting(
+        spec.fields.map(_.name),
+        org.apache.spark.sql.GraftShims.boundExpressions(
+          df.sparkSession, stamped.schema,
+          PartitionExprs.partitionColumns(spec, m.currentSchema, col))))
+    toDataFiles(ParquetBatchWrite.writeJob(stamped, dataDir, routing))
   }
 
-  /** Walk a freshly-written parquet directory into manifest entries
-    * (path, bytes, rows from footers, partition tuple from the
-    * directory layout) — driver-side metadata reads, no data scan. */
-  private[engine] def inventoryParquet(dataDir: String): Seq[Manifests.DataFile] = {
-    val dir = graft.catalog.MetadataIO.toPath(dataDir)
-    Files.walk(dir).iterator().asScala
-      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
-      .map { p =>
-        val partition = dir.relativize(p).iterator().asScala.map(_.toString)
-          .filter(_.contains("=")).map { seg =>
-            val Array(k, v) = seg.split("=", 2)
-            k.stripPrefix(PartDirPrefix) -> unescapePathName(v)
-          }.toMap
-        Manifests.DataFile(p.toString, Files.size(p), parquetRowCount(p), partition)
-      }
-      .toVector
+  /** Task-reported inventory → manifest entries (scheme-normalized
+    * paths; pure transformation, no I/O). */
+  private[engine] def toDataFiles(
+      files: Seq[ParquetBatchWrite.WrittenFile]): Seq[Manifests.DataFile] =
+    files.map(f => Manifests.DataFile(
+      graft.catalog.MetadataIO.toPath(f.path).toString, f.bytes, f.rows, f.partition,
+      content = f.content))
       .sortBy(_.path)
-  }
-
-  /** Hive-style %XX path unescape (what partitionBy writes for special
-    * characters in partition values). */
-  private def unescapePathName(s: String): String = {
-    val sb = new StringBuilder
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '%' && i + 3 <= s.length) {
-        try { sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar); i += 3 }
-        catch { case _: NumberFormatException => sb.append(c); i += 1 }
-      } else { sb.append(c); i += 1 }
-    }
-    sb.toString
-  }
-
-  private def parquetRowCount(p: Path): Long = {
-    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-      new org.apache.hadoop.fs.Path(p.toUri),
-      new org.apache.hadoop.conf.Configuration())
-    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
-    finally reader.close()
-  }
 }

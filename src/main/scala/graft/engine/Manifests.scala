@@ -21,12 +21,16 @@ import scala.jdk.CollectionConverters._
   */
 object Manifests {
 
-  /** Content kinds, mirroring Iceberg v2: plain data files and
-    * equality-delete files (a delete file's rows are key tuples; it
-    * deletes every matching row in data files with a LOWER sequence
-    * number — merge-on-read). */
+  /** Content kinds, mirroring Iceberg v2: plain data files,
+    * equality-delete files (rows are key tuples; they delete every
+    * matching row in data files with a STRICTLY LOWER sequence number)
+    * and position-delete files (rows are `(file_path, pos)` pairs; they
+    * delete the addressed row in data files with sequence number ≤
+    * theirs — the output of row-level MERGE/UPDATE/DELETE delta
+    * writes). */
   val ContentData = "data"
   val ContentEqualityDeletes = "equality-deletes"
+  val ContentPositionDeletes = "position-deletes"
 
   /** Sentinel for "assign the commit's sequence number at commit time"
     * (files are written before the winning base snapshot is known). */
@@ -41,9 +45,11 @@ object Manifests {
       content: String = ContentData,
       /** data sequence number: commit order for MoR delete scoping */
       seq: Long = UnassignedSeq,
-      /** equality-delete key columns (delete files only) */
+      /** equality-delete key columns (equality-delete files only) */
       equalityColumns: Seq[String] = Nil) {
-    def isDeleteFile: Boolean = content == ContentEqualityDeletes
+    def isDeleteFile: Boolean =
+      content == ContentEqualityDeletes || content == ContentPositionDeletes
+    def isPositionDeleteFile: Boolean = content == ContentPositionDeletes
   }
 
   private val mapper = new ObjectMapper()

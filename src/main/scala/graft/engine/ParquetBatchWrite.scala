@@ -2,6 +2,7 @@ package graft.engine
 
 import org.apache.hadoop.mapreduce.{TaskAttemptID, TaskID, TaskType, JobID}
 import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.connector.write._
@@ -27,10 +28,13 @@ import org.apache.spark.util.SerializableConfiguration
   * re-derive it from paths.
   *
   * Scale: writer parallelism is the incoming query's partitioning;
-  * every task writes independently and ships only (path, rows,
-  * partition) to the driver. Zero-row tasks produce no file. The write
-  * declares a clustered distribution on the partition source columns,
-  * so tasks see few distinct partition tuples instead of all of them.
+  * every task writes independently and ships only (path, bytes, rows,
+  * partition) to the driver — bytes and rows are captured IN the task
+  * (file status after close, per-row count), so the driver never walks
+  * the output directory or opens parquet footers. Zero-row tasks
+  * produce no file. The write declares a clustered distribution on the
+  * partition source columns, so tasks see few distinct partition tuples
+  * instead of all of them.
   */
 final class ParquetBatchWrite(
     dataDir: String,
@@ -38,11 +42,13 @@ final class ParquetBatchWrite(
     factory: OutputWriterFactory,
     conf: SerializableConfiguration,
     routing: Option[ParquetBatchWrite.PartitionRouting],
-    onCommit: Seq[ParquetBatchWrite.WrittenFile] => Unit)
+    onCommit: Seq[ParquetBatchWrite.WrittenFile] => Unit,
+    fromRowLevelOperation: Boolean = false)
     extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new ParquetBatchWrite.Factory(dataDir, schema, factory, conf, routing)
+    new ParquetBatchWrite.Factory(dataDir, schema, factory, conf, routing,
+      fromRowLevelOperation)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     onCommit(messages.toSeq.flatMap {
@@ -58,7 +64,9 @@ final class ParquetBatchWrite(
 
 object ParquetBatchWrite {
   final case class WrittenFile(
-      path: String, rows: Long, partition: Map[String, String] = Map.empty)
+      path: String, bytes: Long, rows: Long,
+      partition: Map[String, String] = Map.empty,
+      content: String = Manifests.ContentData)
   final case class FilesMessage(files: Seq[WrittenFile]) extends WriterCommitMessage
 
   /** Partition derivation shipped to executors: spec field names plus
@@ -66,9 +74,36 @@ object ParquetBatchWrite {
   final case class PartitionRouting(
       names: Seq[String], exprs: Seq[Expression]) extends Serializable
 
+  /** Run a standalone distributed write of `df` into `dataDir` with the
+    * same per-task machinery the V2 [[ParquetBatchWrite]] uses, and
+    * return the inventory the tasks report. This is the write half of
+    * the programmatic paths (INSERT/append, CTAS staging, delete-file
+    * writes): the inventory — path, bytes, rows, partition tuple — is
+    * assembled ON the executors, so committing N files costs the driver
+    * O(N) commit-message decoding and zero filesystem I/O. */
+  def writeJob(
+      df: DataFrame,
+      dataDir: String,
+      routing: Option[PartitionRouting]): Seq[WrittenFile] = {
+    val spark = df.sparkSession
+    val schema = df.schema
+    val (factory, conf) = org.apache.spark.sql.GraftShims.parquetWriteSpec(
+      spark, schema, Map.empty)
+    org.apache.spark.sql.GraftShims.internalRdd(df)
+      .mapPartitionsWithIndex { (pid, rows) =>
+        val taskId = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(pid.toLong)
+        val w = new TaskWriter(dataDir, schema, factory, conf, routing, pid, taskId,
+          fromRowLevelOperation = false)
+        try { rows.foreach(w.write); Iterator.single(w.commitFiles()) }
+        catch { case t: Throwable => w.abort(); throw t }
+      }
+      .collect().toSeq.flatten
+  }
+
   /** External string form of a partition value — the same rendering the
-    * copy-on-write path's `partitionBy` directories produce, so both
-    * write paths agree in the manifest. */
+    * legacy `partitionBy` directories produced, so manifests stay
+    * comparable across write paths. */
   private def render(v: Any, dt: DataType): String = v match {
     case null => "__HIVE_DEFAULT_PARTITION__"
     case u: UTF8String => u.toString
@@ -77,74 +112,99 @@ object ParquetBatchWrite {
     case other => other.toString
   }
 
+  /** The per-task write state shared by the V2 `DataWriter` and the
+    * standalone [[writeJob]]: one open parquet writer per partition
+    * tuple, per-partition row counts, and a commit that closes the
+    * writers and stats the files (bytes) executor-side. */
+  private[engine] final class TaskWriter(
+      dataDir: String,
+      schema: StructType,
+      factory: OutputWriterFactory,
+      conf: SerializableConfiguration,
+      routing: Option[PartitionRouting],
+      partitionId: Int,
+      taskId: Long,
+      fromRowLevelOperation: Boolean) {
+
+    private val writers =
+      scala.collection.mutable.LinkedHashMap.empty[Map[String, String], OutputWriter]
+    private val rowCounts =
+      scala.collection.mutable.LinkedHashMap.empty[Map[String, String], Long]
+    private val paths =
+      scala.collection.mutable.LinkedHashMap.empty[Map[String, String], String]
+
+    // Group-based row-level plans (MERGE/UPDATE) without connector
+    // metadata columns reach the plain writing task with the leading
+    // RowDeltaUtils.OPERATION_COLUMN still attached (Spark only strips
+    // it on the metadata-projection path). That extra column is ONLY
+    // legitimate on the row-level-operation write path — everywhere
+    // else an arity mismatch is a real wiring bug and must fail, never
+    // silently shift ordinals.
+    private var proj: org.apache.spark.sql.catalyst.ProjectingInternalRow = _
+    private var checked = false
+
+    private def newWriter(suffix: String): OutputWriter = {
+      val ctx = new TaskAttemptContextImpl(conf.value,
+        new TaskAttemptID(new TaskID(new JobID("graft", 0), TaskType.MAP,
+          partitionId), taskId.toInt))
+      factory.newInstance(s"$dataDir/part-$partitionId-$taskId$suffix.parquet",
+        schema, ctx)
+    }
+
+    def write(record: InternalRow): Unit = {
+      if (!checked) {
+        checked = true
+        if (fromRowLevelOperation && record.numFields == schema.length + 1)
+          proj = org.apache.spark.sql.catalyst.ProjectingInternalRow(
+            schema, (1 to schema.length).toIndexedSeq)
+        else require(record.numFields == schema.length,
+          s"row arity ${record.numFields} does not match write schema ${schema.length}" +
+            (if (fromRowLevelOperation) " (+1 operation column also accepted)" else ""))
+      }
+      val row: InternalRow =
+        if (proj != null) { proj.project(record); proj } else record
+      val partition = routing match {
+        case None => Map.empty[String, String]
+        case Some(r) => r.names.zip(r.exprs)
+          .map { case (n, e) => n -> render(e.eval(row), e.dataType) }.toMap
+      }
+      val writer = writers.getOrElseUpdate(partition, {
+        val w = newWriter(if (routing.isEmpty) "" else s"-${writers.size}")
+        paths(partition) = w.path()
+        w
+      })
+      writer.write(row)
+      rowCounts(partition) = rowCounts.getOrElse(partition, 0L) + 1
+    }
+
+    def commitFiles(): Seq[WrittenFile] = {
+      writers.values.foreach(_.close())
+      paths.toSeq.map { case (partition, path) =>
+        val p = new org.apache.hadoop.fs.Path(path)
+        val bytes = p.getFileSystem(conf.value).getFileStatus(p).getLen
+        WrittenFile(path, bytes, rowCounts(partition), partition)
+      }
+    }
+
+    def abort(): Unit = writers.values.foreach(_.close())
+  }
+
   private final class Factory(
       dataDir: String,
       schema: StructType,
       factory: OutputWriterFactory,
       conf: SerializableConfiguration,
-      routing: Option[PartitionRouting])
+      routing: Option[PartitionRouting],
+      fromRowLevelOperation: Boolean)
       extends DataWriterFactory {
 
     override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
       new DataWriter[InternalRow] {
-        // one open writer per partition tuple seen by this task
-        private val writers =
-          scala.collection.mutable.LinkedHashMap.empty[Map[String, String], OutputWriter]
-        private val rowCounts =
-          scala.collection.mutable.LinkedHashMap.empty[Map[String, String], Long]
-        private val paths =
-          scala.collection.mutable.LinkedHashMap.empty[Map[String, String], String]
-
-        // Group-based row-level plans (MERGE/UPDATE) without connector
-        // metadata columns reach the plain writing task with the
-        // leading __row_operation column still attached (Spark only
-        // strips it on the metadata-projection path). Project it away
-        // with Spark's own ordinal projection.
-        private var proj: org.apache.spark.sql.catalyst.ProjectingInternalRow = _
-        private var checked = false
-
-        private def newWriter(suffix: String): OutputWriter = {
-          val ctx = new TaskAttemptContextImpl(conf.value,
-            new TaskAttemptID(new TaskID(new JobID("graft", 0), TaskType.MAP,
-              partitionId), taskId.toInt))
-          factory.newInstance(s"$dataDir/part-$partitionId-$taskId$suffix.parquet",
-            schema, ctx)
-        }
-
-        override def write(record: InternalRow): Unit = {
-          if (!checked) {
-            checked = true
-            if (record.numFields == schema.length + 1)
-              proj = org.apache.spark.sql.catalyst.ProjectingInternalRow(
-                schema, (1 to schema.length).toIndexedSeq)
-            else require(record.numFields == schema.length,
-              s"row arity ${record.numFields} does not match write schema ${schema.length}")
-          }
-          val row: InternalRow =
-            if (proj != null) { proj.project(record); proj } else record
-          val partition = routing match {
-            case None => Map.empty[String, String]
-            case Some(r) => r.names.zip(r.exprs)
-              .map { case (n, e) => n -> render(e.eval(row), e.dataType) }.toMap
-          }
-          val writer = writers.getOrElseUpdate(partition, {
-            val w = newWriter(if (routing.isEmpty) "" else s"-${writers.size}")
-            paths(partition) = w.path()
-            w
-          })
-          writer.write(row)
-          rowCounts(partition) = rowCounts.getOrElse(partition, 0L) + 1
-        }
-
-        override def commit(): WriterCommitMessage = {
-          writers.values.foreach(_.close())
-          FilesMessage(paths.toSeq.map { case (partition, path) =>
-            WrittenFile(path, rowCounts(partition), partition)
-          })
-        }
-
-        override def abort(): Unit = writers.values.foreach(_.close())
-
+        private val w = new TaskWriter(dataDir, schema, factory, conf, routing,
+          partitionId, taskId, fromRowLevelOperation)
+        override def write(record: InternalRow): Unit = w.write(record)
+        override def commit(): WriterCommitMessage = FilesMessage(w.commitFiles())
+        override def abort(): Unit = w.abort()
         override def close(): Unit = ()
       }
   }

@@ -64,6 +64,13 @@ object GraftShims {
         e, catalyst.expressions.AttributeSeq(input)))
   }
 
+  /** The analyzed query as an `InternalRow` RDD — the input side of
+    * custom distributed write jobs (each task consumes its partition's
+    * rows directly, no Row conversion). */
+  def internalRdd(df: Dataset[Row])
+      : org.apache.spark.rdd.RDD[catalyst.InternalRow] =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.toRdd
+
   /** Register a SQL function on a LIVE session (the extensions route,
     * `spark.sql.extensions`, only applies at session construction). */
   def registerFunction(

@@ -203,6 +203,23 @@ class GraftSparkCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql(s"SELECT id FROM $cat.md.t").collect().map(_.getInt(0)).toSeq === Seq(1))
   }
 
+  test("MoR snapshot scans keep predicate pushdown and column pruning") {
+    spark.sql(s"CREATE NAMESPACE $cat.mp")
+    spark.sql(s"CREATE TABLE $cat.mp.t (id INT, v STRING, w STRING) " +
+      "TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')")
+    spark.sql(s"INSERT INTO $cat.mp.t VALUES (1, 'a', 'x'), (2, 'b', 'y'), (3, 'c', 'z')")
+    spark.sql(s"DELETE FROM $cat.mp.t WHERE id = 2")
+    assert(new GraftTable(client, prefix, TableIdent(Seq("mp"), "t"))
+      .planFiles().exists(_.isDeleteFile))
+
+    val q = spark.sql(s"SELECT v FROM $cat.mp.t WHERE id > 1")
+    assert(q.collect().map(_.getString(0)).toSeq === Seq("c"))
+    // the filter is pushed INTO the MoR scan (it commutes with the
+    // delete anti-join) instead of evaluated on every surviving row
+    val outer = q.queryExecution.executedPlan.toString
+    assert(outer.contains("PushedFilters") && outer.contains("GreaterThan(id,1)"), outer)
+  }
+
   test("DataFrameWriterV2 createOrReplace: atomic stage-create, then replace") {
     import spark.implicits._
     spark.sql(s"CREATE NAMESPACE $cat.s")
@@ -282,6 +299,53 @@ class GraftSparkCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql(s"SELECT * FROM $cat.m.t VERSION AS OF $parent").count() === 3)
   }
 
+  test("1-row MERGE is a delta: untouched files carry over, O(changes) written") {
+    import spark.implicits._
+    spark.sql(s"CREATE NAMESPACE $cat.sc")
+    spark.sql(s"CREATE TABLE $cat.sc.t (id INT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.sc.t VALUES (1, 'a'), (2, 'b')")
+    spark.sql(s"INSERT INTO $cat.sc.t VALUES (3, 'c'), (4, 'd')")
+    val t = new GraftTable(client, prefix, TableIdent(Seq("sc"), "t"))
+    val before = t.planFiles().map(_.path).toSet
+    assert(before.size >= 2)
+
+    // one matched update + one insert
+    Seq((2, "B"), (9, "Z")).toDF("id", "v").createOrReplaceTempView("sc_src")
+    spark.sql(
+      s"""MERGE INTO $cat.sc.t t USING sc_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+
+    assert(spark.sql(s"SELECT id, v FROM $cat.sc.t ORDER BY id")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq ===
+      Seq((1, "a"), (2, "B"), (3, "c"), (4, "d"), (9, "Z")))
+
+    // EVERY pre-merge data file is still referenced (no table rewrite);
+    // the merge added only new data files + position-delete files
+    val after = t.planFiles()
+    assert(before.subsetOf(after.map(_.path).toSet))
+    val added = after.filterNot(f => before.contains(f.path))
+    val (delFiles, newData) = added.partition(_.isDeleteFile)
+    assert(delFiles.nonEmpty && delFiles.forall(_.isPositionDeleteFile))
+    // changed rows only: 2 rows written (update re-insert + new insert),
+    // 1 position-delete row recorded
+    assert(newData.map(_.recordCount).sum === 2L)
+    assert(delFiles.map(_.recordCount).sum === 1L)
+    assert(t.metadata.currentSnapshot.get.summary("operation") === "merge")
+
+    // an UPDATE is the same delta shape: nothing rewritten
+    val beforeUpd = t.planFiles().map(_.path).toSet
+    spark.sql(s"UPDATE $cat.sc.t SET v = 'one' WHERE id = 1")
+    assert(beforeUpd.subsetOf(t.planFiles().map(_.path).toSet))
+    assert(spark.sql(s"SELECT v FROM $cat.sc.t WHERE id = 1")
+      .collect().map(_.getString(0)).toSeq === Seq("one"))
+
+    // compaction materializes the deltas back into plain data files
+    t.rewriteDataFiles(spark, targetFileCount = 1)
+    assert(!t.planFiles().exists(_.isDeleteFile))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.sc.t").collect().head.getLong(0) === 5)
+  }
+
   test("SQL MERGE and UPDATE on a PARTITIONED table route partition tuples") {
     import spark.implicits._
     spark.sql(s"CREATE NAMESPACE $cat.pm")
@@ -294,11 +358,13 @@ class GraftSparkCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSeq
     assert(rows === Seq((1, "a", 10.0), (2, "b", 2.0), (3, "a", 30.0)))
 
-    // every rewritten file carries a full partition tuple in the manifest
+    // every DATA file carries a full partition tuple in the manifest
+    // (position-delete files ride along unpartitioned)
     val t = new GraftTable(client, prefix, TableIdent(Seq("pm"), "t"))
     val files = t.planFiles()
-    assert(files.nonEmpty &&
-      files.forall(_.partition.keySet === Set("cat", "id_bucket")))
+    val dataFiles = files.filterNot(_.isDeleteFile)
+    assert(dataFiles.nonEmpty &&
+      dataFiles.forall(_.partition.keySet === Set("cat", "id_bucket")))
     // partition values agree with the engine's own write path: a pruned
     // scan on cat=a sees exactly the a-rows
     val aRows = t.scanPruned(spark, p => p.get("cat").contains("a"))

@@ -75,6 +75,23 @@ class SurfaceBSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m.snapshotLog.size === 2)
   }
 
+  test("manifest inventory (bytes/rows) is task-reported and matches the filesystem") {
+    import spark.implicits._
+    val t = table("t_inv")
+    t.append((1 to 100).map(i => (i, s"s$i", i * 0.5)).toDF("id", "strings", "floats")
+      .repartition(4))
+    val files = t.planFiles()
+    assert(files.nonEmpty)
+    assert(files.map(_.recordCount).sum === 100L)
+    // the bytes in the manifest came from the write tasks, not a driver
+    // walk — they must still equal the real on-disk sizes
+    files.foreach { f =>
+      val p = graft.catalog.MetadataIO.toPath(f.path)
+      assert(Files.size(p) === f.sizeBytes, f.path)
+      assert(f.sizeBytes > 0)
+    }
+  }
+
   test("MERGE upsert: matched rows update, unmatched insert") {
     import spark.implicits._
     val t = table("t_merge")
