@@ -90,9 +90,10 @@ final class GraftTable(
       case _ =>
         snap.flatMap(_.schemaId).flatMap(m.schemas.get).getOrElse(m.currentSchema)
     }
-    val all = snap.map(s => Manifests.read(s.manifestList)).getOrElse(Nil)
-    // delete files always ride along (their partition tuple is empty)
-    readFiles(spark, schema, all.filter(f => f.isDeleteFile || keep(f.partition)))
+    // shard-level prune first (skips whole manifest files), then the
+    // residual file-level filter; delete files always ride along
+    val kept = snap.map(s => Manifests.readPruned(s.manifestList, keep)).getOrElse(Nil)
+    readFiles(spark, schema, kept)
   }
 
   /** Metadata tables: `.files`, `.partitions`, `.refs`, `.snapshots`,
@@ -141,9 +142,7 @@ final class GraftTable(
   def append(df: DataFrame, branch: String = TableMetadata.MainBranch,
       extraSummary: Map[String, String] = Map.empty): TableMetadata = {
     val written = writeDataFiles(df)
-    commitLoop(branch, "append", extraSummary) { base =>
-      base.map(s => Manifests.read(s.manifestList)).getOrElse(Nil) ++ written
-    }
+    commitLoop(branch, "append", extraSummary)(base => (carriedEntries(base), written))
   }
 
   /** Replace the branch's entire content with `df` (the commit style
@@ -156,7 +155,7 @@ final class GraftTable(
       operation: String = "overwrite",
       branch: String = TableMetadata.MainBranch): TableMetadata = {
     val written = writeDataFiles(df)
-    commitOnce(branch, operation, expectedBase, _ => written)
+    commitOnce(branch, operation, expectedBase, _ => (Nil, written))
   }
 
   /** MERGE INTO (upsert form: WHEN MATCHED UPDATE SET *, WHEN NOT
@@ -207,9 +206,7 @@ final class GraftTable(
     val deleteFiles = GraftTable
       .toDataFiles(ParquetBatchWrite.writeJob(keyRows, dir, routing = None))
       .map(_.copy(content = Manifests.ContentEqualityDeletes, equalityColumns = keys))
-    commitLoop(branch, "delete") { base =>
-      base.map(s => Manifests.read(s.manifestList)).getOrElse(Nil) ++ deleteFiles
-    }
+    commitLoop(branch, "delete")(base => (carriedEntries(base), deleteFiles))
   }
 
   /** CALL system.rewrite_data_files: compact small files into
@@ -248,7 +245,7 @@ final class GraftTable(
       operation: String,
       expectedBase: Option[Long],
       branch: String = TableMetadata.MainBranch): TableMetadata =
-    commitOnce(branch, operation, expectedBase, _ => files)
+    commitOnce(branch, operation, expectedBase, _ => (Nil, files))
 
   /** Commit a row-level DELTA (new data files + delete files) ON TOP of
     * the branch's current content: every untouched file carries over
@@ -262,8 +259,7 @@ final class GraftTable(
       operation: String,
       expectedBase: Option[Long],
       branch: String = TableMetadata.MainBranch): TableMetadata =
-    commitOnce(branch, operation, expectedBase, base =>
-      base.map(s => Manifests.read(s.manifestList)).getOrElse(Nil) ++ files)
+    commitOnce(branch, operation, expectedBase, base => (carriedEntries(base), files))
 
   /** CREATE TAG / CREATE BRANCH at the current main snapshot. */
   def createRef(name: String, refType: String,
@@ -277,14 +273,23 @@ final class GraftTable(
   }
 
   // ------------------------------------------------------------ commits
+  /** The base snapshot's manifest entries, carried verbatim into a
+    * child commit — untouched shards are immutable and shared across
+    * snapshots, so a commit's manifest I/O is O(its own files). */
+  private def carriedEntries(base: Option[Snapshot]): Seq[Manifests.ManifestEntry] =
+    base.map(s => Manifests.readEntries(s.manifestList)).getOrElse(Nil)
+
   private def commitLoop(branch: String, operation: String,
       extraSummary: Map[String, String] = Map.empty)(
-      files: Option[Snapshot] => Seq[Manifests.DataFile]): TableMetadata = {
+      delta: Option[Snapshot] => (Seq[Manifests.ManifestEntry], Seq[Manifests.DataFile]))
+      : TableMetadata = {
     var attempt = 0
     while (true) {
       val cur = metadata
       val base = cur.snapshotFor(branch)
-      try return commitOnceAgainst(cur, branch, operation, base, files(base), extraSummary)
+      val (carried, newFiles) = delta(base)
+      try return commitOnceAgainst(cur, branch, operation, base, carried, newFiles,
+        extraSummary)
       catch {
         case e: CatalogError if e.code == 409 && attempt < MaxRetries => attempt += 1
       }
@@ -294,24 +299,27 @@ final class GraftTable(
 
   private def commitOnce(
       branch: String, operation: String, expectedBase: Option[Long],
-      files: Option[Snapshot] => Seq[Manifests.DataFile]): TableMetadata = {
+      delta: Option[Snapshot] => (Seq[Manifests.ManifestEntry], Seq[Manifests.DataFile]))
+      : TableMetadata = {
     val cur = metadata
     val base = expectedBase.map(id => cur.snapshots.getOrElse(id,
       throw CatalogError.conflict("SnapshotNotFound", s"base snapshot $id vanished")))
-    commitOnceAgainst(cur, branch, operation, base, files(base))
+    val (carried, newFiles) = delta(base)
+    commitOnceAgainst(cur, branch, operation, base, carried, newFiles)
   }
 
   private def commitOnceAgainst(
       cur: TableMetadata, branch: String, operation: String,
-      base: Option[Snapshot], newFiles: Seq[Manifests.DataFile],
+      base: Option[Snapshot], carried: Seq[Manifests.ManifestEntry],
+      newFiles: Seq[Manifests.DataFile],
       extraSummary: Map[String, String] = Map.empty): TableMetadata = {
     val snapId = java.util.concurrent.ThreadLocalRandom.current().nextLong(1L, Long.MaxValue)
-    val manifestLoc = s"${cur.location}/metadata/snap-$snapId.json"
     // files added by THIS commit get its sequence number (MoR delete
-    // scoping); carried-over files keep theirs
+    // scoping); carried-over shards keep theirs untouched
     val files = newFiles.map(f =>
       if (f.seq == Manifests.UnassignedSeq) f.copy(seq = cur.lastSequenceNumber + 1) else f)
-    Manifests.write(manifestLoc, snapId, files)
+    val manifestLoc = Manifests.writeCommit(
+      s"${cur.location}/metadata", snapId, carried, files)
     val snapshot = Snapshot(
       snapId,
       base.map(_.snapshotId),
@@ -320,8 +328,11 @@ final class GraftTable(
       manifestLoc,
       Map(
         "operation" -> operation,
-        "total-data-files" -> files.size.toString,
-        "total-records" -> files.map(_.recordCount).sum.toString) ++ extraSummary,
+        "total-data-files" ->
+          (carried.map(_.fileCount).sum + files.size).toString,
+        "total-records" ->
+          (carried.map(_.rowCount).sum + files.map(_.recordCount).sum).toString) ++
+        extraSummary,
       Some(cur.currentSchemaId))
     val refType =
       if (cur.refs.get(branch).exists(_.refType == SnapshotRefType.Tag))

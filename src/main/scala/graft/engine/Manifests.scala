@@ -1,23 +1,35 @@
 package graft.engine
 
-import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
+import java.nio.file.Files
 import scala.jdk.CollectionConverters._
 
-/** Snapshot file manifests. Each snapshot's `manifest-list` points at
-  * ONE JSON document holding the COMPLETE data-file listing for that
-  * snapshot (copy-on-write semantics: an append writes old ++ new).
+/** Snapshot file manifests: a two-level tree like Iceberg's.
   *
-  * This is deliberately simpler than Iceberg's avro manifest tree but
-  * carries the same planning information: per-file path, byte size,
-  * record count and the partition tuple — enough for snapshot isolation,
-  * time travel, and partition pruning at plan time. At 100 TB the
-  * listing for a snapshot is O(file count) JSON; the upgrade path is
-  * sharding the listing per partition (manifest-per-partition), which
-  * changes only this module.
+  * Each snapshot's `manifest-list` points at a LIST document naming the
+  * snapshot's manifest SHARDS; each shard holds a subset of the data /
+  * delete files, grouped by partition tuple. Commits write only the
+  * shards for the files they ADD and a new (small) list that reuses the
+  * base snapshot's shard paths unchanged — so an append's manifest I/O
+  * is O(new files + shard count), never O(total files). At 100 TB with
+  * millions of files, the old single-document design rewrote the whole
+  * listing on every commit; here untouched shards are immutable and
+  * shared across snapshots.
+  *
+  * Shards are partition-grouped, and each list entry records its
+  * shard's partition tuple — so partition-pruned scans skip entire
+  * shard FILES at plan time ([[readPruned]]), not just file entries
+  * after parsing them. Commits touching more than [[MaxShardsPerCommit]]
+  * distinct tuples collapse the overflow into one mixed shard (entry
+  * partition `None` = "read always"); compaction re-shards cleanly.
+  *
+  * JSON instead of Iceberg's avro — simpler, same planning information
+  * (per-file path, bytes, rows, partition tuple, content kind,
+  * sequence number). The legacy single-document format (round ≤ 4) is
+  * still readable: a list-less document is treated as one mixed shard.
   */
 object Manifests {
 
@@ -36,6 +48,11 @@ object Manifests {
     * (files are written before the winning base snapshot is known). */
   val UnassignedSeq: Long = -1L
 
+  /** A commit adding more distinct partition tuples than this gets the
+    * overflow collapsed into ONE mixed shard — bounds the shard-file
+    * count per commit without losing pruning for the common case. */
+  val MaxShardsPerCommit = 64
+
   final case class DataFile(
       path: String,
       sizeBytes: Long,
@@ -52,9 +69,66 @@ object Manifests {
     def isPositionDeleteFile: Boolean = content == ContentPositionDeletes
   }
 
+  /** One manifest shard as named by the list: `partition = Some(tuple)`
+    * when every file in the shard has that exact partition tuple (the
+    * pruning key); `None` for mixed/legacy shards, which are always
+    * read. Delete-file shards are always read regardless. */
+  final case class ManifestEntry(
+      path: String,
+      fileCount: Long,
+      rowCount: Long,
+      hasDeletes: Boolean,
+      partition: Option[Map[String, String]])
+
   private val mapper = new ObjectMapper()
 
-  def write(location: String, snapshotId: Long, files: Seq[DataFile]): Unit = {
+  // ------------------------------------------------------------- write
+  /** Write a commit's manifests: shards for `newFiles` (partition-
+    * grouped) plus a new list reusing `carried` entries verbatim.
+    * Returns the list location to store in the snapshot. */
+  def writeCommit(
+      metadataDir: String,
+      snapshotId: Long,
+      carried: Seq[ManifestEntry],
+      newFiles: Seq[DataFile]): String = {
+    val groups: Seq[(Option[Map[String, String]], Seq[DataFile])] = {
+      val byTuple = newFiles.groupBy(_.partition).toSeq.sortBy(_._1.toSeq.sorted.mkString)
+      if (byTuple.size <= MaxShardsPerCommit) byTuple.map { case (p, fs) => (Some(p), fs) }
+      else {
+        val (kept, overflow) = byTuple.splitAt(MaxShardsPerCommit - 1)
+        kept.map { case (p, fs) => (Some(p), fs) } :+
+          (None, overflow.flatMap(_._2))
+      }
+    }
+    val newEntries = groups.zipWithIndex.map { case ((pt, fs), i) =>
+      val path = s"$metadataDir/manifest-$snapshotId-$i.json"
+      writeShard(path, snapshotId, fs)
+      ManifestEntry(path, fs.size.toLong, fs.map(_.recordCount).sum,
+        fs.exists(_.isDeleteFile), pt)
+    }
+    val listPath = s"$metadataDir/snap-$snapshotId.json"
+    val o = mapper.createObjectNode()
+    o.put("snapshot-id", snapshotId)
+    val arr = mapper.createArrayNode()
+    (carried ++ newEntries).foreach { e =>
+      val eo = mapper.createObjectNode()
+      eo.put("path", e.path)
+      eo.put("file-count", e.fileCount)
+      eo.put("row-count", e.rowCount)
+      if (e.hasDeletes) eo.put("has-deletes", true)
+      e.partition.foreach { p =>
+        val po = mapper.createObjectNode()
+        p.toSeq.sortBy(_._1).foreach { case (k, v) => po.put(k, v) }
+        eo.set[ObjectNode]("partition", po)
+      }
+      arr.add(eo)
+    }
+    o.set[ArrayNode]("manifests", arr)
+    writeDoc(listPath, o)
+    listPath
+  }
+
+  private def writeShard(location: String, snapshotId: Long, files: Seq[DataFile]): Unit = {
     val o = mapper.createObjectNode()
     o.put("snapshot-id", snapshotId)
     val arr = mapper.createArrayNode()
@@ -78,15 +152,74 @@ object Manifests {
       arr.add(fo)
     }
     o.set[ArrayNode]("files", arr)
+    writeDoc(location, o)
+  }
+
+  private def writeDoc(location: String, o: ObjectNode): Unit = {
     val path = graft.catalog.MetadataIO.toPath(location)
     Files.createDirectories(path.getParent)
     Files.write(path, mapper.writeValueAsString(o).getBytes(StandardCharsets.UTF_8))
   }
 
-  def read(location: String): Seq[DataFile] = {
+  // -------------------------------------------------------------- read
+  /** Complete file listing of a snapshot (list → all shards). */
+  def read(location: String): Seq[DataFile] =
+    parse(location) match {
+      case None => Nil
+      case Some(n) if n.has("files") => shardFiles(n) // legacy single doc
+      case Some(n) => entriesOf(n).flatMap(e => read(e.path))
+    }
+
+  /** Partition-pruned listing: reads ONLY the shards whose partition
+    * tuple passes `keep` (mixed and delete shards always read), then
+    * filters file-level for mixed shards — same result as
+    * `read(...).filter(f => f.isDeleteFile || keep(f.partition))` with
+    * O(matching shards) I/O. */
+  def readPruned(
+      location: String, keep: Map[String, String] => Boolean): Seq[DataFile] =
+    parse(location) match {
+      case None => Nil
+      case Some(n) if n.has("files") =>
+        shardFiles(n).filter(f => f.isDeleteFile || keep(f.partition))
+      case Some(n) =>
+        entriesOf(n)
+          .filter(e => e.hasDeletes || e.partition.forall(keep))
+          .flatMap(e => read(e.path))
+          .filter(f => f.isDeleteFile || keep(f.partition))
+    }
+
+  /** The list entries of a snapshot, for carrying into a child commit.
+    * A legacy single-document manifest becomes one synthetic mixed
+    * entry pointing at itself. */
+  def readEntries(location: String): Seq[ManifestEntry] =
+    parse(location) match {
+      case None => Nil
+      case Some(n) if n.has("files") =>
+        val files = shardFiles(n)
+        if (files.isEmpty) Nil
+        else Seq(ManifestEntry(location, files.size.toLong,
+          files.map(_.recordCount).sum, files.exists(_.isDeleteFile), None))
+      case Some(n) => entriesOf(n)
+    }
+
+  private def parse(location: String): Option[JsonNode] = {
     val path = graft.catalog.MetadataIO.toPath(location)
-    if (!Files.exists(path)) return Nil
-    val n = mapper.readTree(new String(Files.readAllBytes(path), StandardCharsets.UTF_8))
+    if (!Files.exists(path)) None
+    else Some(mapper.readTree(new String(Files.readAllBytes(path), StandardCharsets.UTF_8)))
+  }
+
+  private def entriesOf(n: JsonNode): Seq[ManifestEntry] =
+    n.get("manifests").elements().asScala.map { e =>
+      ManifestEntry(
+        e.get("path").asText(),
+        e.get("file-count").asLong(),
+        e.get("row-count").asLong(),
+        Option(e.get("has-deletes")).exists(_.asBoolean()),
+        Option(e.get("partition")).filter(!_.isNull).map(p =>
+          p.properties().asScala.map(x => x.getKey -> x.getValue.asText()).toMap))
+    }.toSeq
+
+  private def shardFiles(n: JsonNode): Seq[DataFile] =
     n.get("files").elements().asScala.map { f =>
       DataFile(
         f.get("path").asText(),
@@ -100,5 +233,4 @@ object Manifests {
         Option(f.get("equality-columns")).map(_.elements().asScala.map(_.asText()).toSeq)
           .getOrElse(Nil))
     }.toSeq
-  }
 }
