@@ -105,7 +105,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     val loaded =
       try client.loadTable(prefix, ident(i))
       catch { case e: CatalogError if e.code == 404 =>
-        throw new NoSuchTableException(i) }
+        // `db.t.files` / `db.t.branch_x` style identifier suffixes
+        return loadSpecialTable(i, version).getOrElse(throw new NoSuchTableException(i)) }
     val m = loaded.metadata
     val snapshot = version match {
       case None => m.currentSnapshot
@@ -130,9 +131,71 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       i.name(), spark, listing.filterNot(_.isDeleteFile).map(_.path), schema)
     // time-travel loads are read-only: you can't INSERT into the past
     if (version.isDefined)
-      new ReadOnlyTable(fullName, delegate, schema, coreSchema, listing)
+      new ReadOnlyTable(fullName, delegate, schema, coreSchema, listing, m.properties)
     else new WritableTable(fullName, ident(i), delegate, schema,
-      coreSchema, listing)
+      coreSchema, listing, m.properties)
+  }
+
+  /** Iceberg-style identifier suffixes on a table name: metadata tables
+    * (`db.t.files` / `.partitions` / `.refs` / `.snapshots` /
+    * `.history`, reference test_spark.py:149-164,344) and ref-pinned
+    * reads (`db.t.branch_x` / `db.t.tag_y`, test_spark.py:299-327).
+    * Returns None when the base table doesn't exist either. */
+  private def loadSpecialTable(i: Identifier, version: Option[String]): Option[Table] = {
+    if (i.namespace().isEmpty || version.isDefined) return None
+    val baseIdent = TableIdent(i.namespace().init.toSeq, i.namespace().last)
+    val loaded =
+      try client.loadTable(prefix, baseIdent)
+      catch { case e: CatalogError if e.code == 404 => return None }
+    val m = loaded.metadata
+    val name = i.name()
+    val fullName = s"$catalogName.${i.namespace().mkString(".")}.$name"
+    if (GraftSparkCatalog.MetadataTables(name)) {
+      val df = new GraftTable(client, prefix, baseIdent)
+        .metadataTable(SparkSession.active, name)
+      Some(new DataFrameTable(fullName, df))
+    } else if (name.startsWith("branch_") || name.startsWith("tag_")) {
+      val refName = name.substring(name.indexOf('_') + 1)
+      m.refs.get(refName).map { ref =>
+        val snap = m.snapshots(ref.snapshotId)
+        val listing = Manifests.read(snap.manifestList)
+        // branch/tag reads use the table's CURRENT schema (files
+        // resolve by field id), matching Iceberg's ref-read semantics
+        val schema = SchemaBridge.toSpark(m.currentSchema)
+        val delegate = GraftShims.parquetTable(i.name(), SparkSession.active,
+          listing.filterNot(_.isDeleteFile).map(_.path), schema)
+        new ReadOnlyTable(fullName, delegate, schema, m.currentSchema,
+          listing, m.properties)
+      }
+    } else None
+  }
+
+  /** A fixed DataFrame surfaced as a read-only V2 table (driver-side
+    * metadata relations — file/partition/ref listings). */
+  private final class DataFrameTable(
+      tableName: String, df: org.apache.spark.sql.DataFrame)
+      extends Table with SupportsRead {
+    override def name(): String = tableName
+    override def schema(): StructType = df.schema
+    override def capabilities(): util.Set[TableCapability] =
+      util.EnumSet.of(TableCapability.BATCH_READ)
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      new ScanBuilder {
+        override def build(): org.apache.spark.sql.connector.read.Scan =
+          new org.apache.spark.sql.connector.read.V1Scan {
+            override def readSchema(): StructType = df.schema
+            override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
+                with org.apache.spark.sql.sources.TableScan](
+                context: org.apache.spark.sql.SQLContext): T =
+              (new org.apache.spark.sql.sources.BaseRelation
+                  with org.apache.spark.sql.sources.TableScan {
+                override def sqlContext: org.apache.spark.sql.SQLContext = context
+                override def schema: StructType = df.schema
+                override def buildScan()
+                    : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = df.rdd
+              }).asInstanceOf[T]
+          }
+      }
   }
 
   override def createTable(
@@ -320,8 +383,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
         if (f.seq == Manifests.UnassignedSeq) f.copy(seq = seq) else f)
       val snapId =
         java.util.concurrent.ThreadLocalRandom.current().nextLong(1L, Long.MaxValue)
-      val manifestLoc = s"${writeMeta.location}/metadata/snap-$snapId.json"
-      Manifests.write(manifestLoc, snapId, files)
+      val manifestLoc = Manifests.writeCommit(
+        s"${writeMeta.location}/metadata", snapId, carried = Nil, files)
       val (operation, schemaUpdates, requirements) = replaceOf match {
         case None =>
           ("append", Nil,
@@ -398,6 +461,46 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     loadTable(i)
   }
 
+  // --------------------------------------- SQL-extension entry points
+  /** The engine-side table handle for extension commands (CALL
+    * procedures). */
+  private[engine] def engineTable(ti: TableIdent): GraftTable =
+    new GraftTable(client, prefix, ti)
+
+  /** ALTER TABLE ... ADD PARTITION FIELD: commit a new default spec =
+    * current default + the parsed field (existing fields keep their
+    * ids, so old files' partition tuples stay interpretable). */
+  private[engine] def addPartitionField(ti: TableIdent, transformSql: String): Unit = {
+    import graft.core.TableUpdate
+    val m = client.loadTable(prefix, ti).metadata
+    val field = PartitionFieldSql.parse(transformSql, m.currentSchema)
+    val existing = m.defaultSpec.fields.map(f =>
+      UnboundPartitionField(f.sourceId, Some(f.fieldId), f.name, f.transform))
+    require(!existing.exists(_.name == field.name),
+      s"partition field already exists: ${field.name}")
+    client.commitTable(prefix, ti, Nil, Seq(
+      TableUpdate.AddSpec(UnboundPartitionSpec(None, existing :+ field)),
+      TableUpdate.SetDefaultSpec(-1)))
+  }
+
+  /** ALTER TABLE ... DROP PARTITION FIELD: commit a new default spec
+    * without the matching field (by name or by source+transform). Old
+    * specs survive for old snapshots' interpretation. */
+  private[engine] def dropPartitionField(ti: TableIdent, refSql: String): Unit = {
+    import graft.core.TableUpdate
+    val m = client.loadTable(prefix, ti).metadata
+    val target = PartitionFieldSql.parse(refSql, m.currentSchema)
+    val remaining = m.defaultSpec.fields.filterNot(f =>
+      f.name == target.name ||
+        (f.sourceId == target.sourceId && f.transform == target.transform))
+    require(remaining.size < m.defaultSpec.fields.size,
+      s"no partition field matches: $refSql")
+    client.commitTable(prefix, ti, Nil, Seq(
+      TableUpdate.AddSpec(UnboundPartitionSpec(None, remaining.map(f =>
+        UnboundPartitionField(f.sourceId, Some(f.fieldId), f.name, f.transform)))),
+      TableUpdate.SetDefaultSpec(-1)))
+  }
+
   override def dropTable(i: Identifier): Boolean =
     try { client.dropTable(prefix, ident(i)); true }
     catch { case e: CatalogError if e.code == 404 => false }
@@ -414,10 +517,12 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     * restored). */
   private final class ReadOnlyTable(
       tableName: String, delegate: Table, tableSchema: StructType,
-      coreSchema: graft.core.Schema, listing: Seq[Manifests.DataFile])
+      coreSchema: graft.core.Schema, listing: Seq[Manifests.DataFile],
+      props: Map[String, String])
       extends Table with SupportsRead {
     override def name(): String = tableName
     override def schema(): StructType = tableSchema
+    override def properties(): util.Map[String, String] = props.asJava
     override def capabilities(): util.Set[TableCapability] =
       util.EnumSet.of(TableCapability.BATCH_READ)
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -435,11 +540,14 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     * table field names for read-by-name snapshot scans. */
   private final class WritableTable(
       tableName: String, tid: TableIdent, delegate: Table, tableSchema: StructType,
-      coreSchema: graft.core.Schema, listing: Seq[Manifests.DataFile])
+      coreSchema: graft.core.Schema, listing: Seq[Manifests.DataFile],
+      props: Map[String, String])
       extends Table with SupportsRead with SupportsWrite with SupportsDelete
       with SupportsRowLevelOperations with SupportsMetadataColumns {
     override def name(): String = tableName
     override def schema(): StructType = tableSchema
+    /** SHOW TBLPROPERTIES surface (reference test_spark.py:106-120). */
+    override def properties(): util.Map[String, String] = props.asJava
     override def capabilities(): util.Set[TableCapability] =
       util.EnumSet.of(
         TableCapability.BATCH_READ,
@@ -601,6 +709,10 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
 }
 
 object GraftSparkCatalog {
+  /** Metadata-table identifier suffixes (`SELECT * FROM db.t.files`). */
+  val MetadataTables: Set[String] =
+    Set("files", "partitions", "refs", "snapshots", "history")
+
   /** Non-null metadata column (the SupportsDelta row id pieces). */
   private def metaCol(
       colName: String,

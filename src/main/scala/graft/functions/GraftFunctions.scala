@@ -28,11 +28,19 @@ object GraftFunctions {
     GraftShims.registerFunction(spark, "iceberg_bucket", bucketBuilder)
 }
 
-/** `--conf spark.sql.extensions=graft.functions.GraftExtensions` */
+/** `--conf spark.sql.extensions=graft.functions.GraftExtensions`
+  *
+  * Injects the SQL functions AND the extension parser carrying the
+  * statements Spark's grammar lacks (ALTER TABLE ... ADD/DROP PARTITION
+  * FIELD, CALL <catalog>.system.<procedure> — see
+  * [[graft.engine.GraftSqlParser]]). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  def apply(extensions: SparkSessionExtensions): Unit =
+  def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectFunction((
       FunctionIdentifier("iceberg_bucket"),
       new ExpressionInfo("graft.functions.GraftFunctions", "iceberg_bucket"),
       GraftFunctions.bucketBuilder))
+    extensions.injectParser((_, parser) =>
+      new graft.engine.GraftSqlParser(parser))
+  }
 }

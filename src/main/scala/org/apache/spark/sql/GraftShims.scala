@@ -71,6 +71,20 @@ object GraftShims {
       : org.apache.spark.rdd.RDD[catalyst.InternalRow] =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.toRdd
 
+  /** Resolve a configured V2 catalog plugin by name (None → the
+    * session's current catalog) — the hook custom SQL commands use to
+    * reach their owning catalog instance. */
+  def catalogPlugin(spark: SparkSession, name: Option[String])
+      : org.apache.spark.sql.connector.catalog.CatalogPlugin = {
+    val mgr = spark.asInstanceOf[classic.SparkSession].sessionState.catalogManager
+    name.map(mgr.catalog).getOrElse(mgr.currentCatalog)
+  }
+
+  /** True when `name` resolves to a configured catalog. */
+  def isCatalogName(spark: SparkSession, name: String): Boolean =
+    try { catalogPlugin(spark, Some(name)); true }
+    catch { case _: Exception => false }
+
   /** Register a SQL function on a LIVE session (the extensions route,
     * `spark.sql.extensions`, only applies at session construction). */
   def registerFunction(

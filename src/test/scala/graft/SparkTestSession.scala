@@ -13,6 +13,9 @@ object SparkTestSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the library's SQL surface: functions + extension parser
+      // (ALTER ... PARTITION FIELD, CALL system.<proc>)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       // id-based parquet column resolution for catalog-table scans
       // (SchemaBridge.ParquetFieldId); name-matching still applies to
       // files without ids (ignoreMissing)

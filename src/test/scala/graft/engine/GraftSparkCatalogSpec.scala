@@ -412,6 +412,107 @@ class GraftSparkCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.sql(s"SELECT * FROM $cat.tt.t VERSION AS OF 'ghost'").collect())
   }
 
+  test("SHOW TBLPROPERTIES surfaces the catalog's table properties") {
+    spark.sql(s"CREATE NAMESPACE $cat.tp")
+    spark.sql(s"CREATE TABLE $cat.tp.t (id INT) TBLPROPERTIES ('dept' = 'graft')")
+    spark.sql(s"ALTER TABLE $cat.tp.t SET TBLPROPERTIES ('rev' = '7')")
+    val props = spark.sql(s"SHOW TBLPROPERTIES $cat.tp.t")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("dept") === Some("graft") && props.get("rev") === Some("7"))
+  }
+
+  test("metadata tables readable via SQL identifier suffixes") {
+    import spark.implicits._
+    spark.sql(s"CREATE NAMESPACE $cat.mt")
+    spark.sql(s"CREATE TABLE $cat.mt.t (id INT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.mt.t VALUES (1, 'a'), (2, 'b')")
+    spark.sql(s"INSERT INTO $cat.mt.t VALUES (3, 'c')")
+    val t = new GraftTable(client, prefix, TableIdent(Seq("mt"), "t"))
+    t.createRef("v1", graft.core.SnapshotRefType.Tag)
+
+    val files = spark.sql(s"SELECT file_path, record_count FROM $cat.mt.t.files")
+      .collect()
+    assert(files.map(_.getLong(1)).sum === 3L)
+    assert(files.forall(_.getString(0).endsWith(".parquet")))
+
+    assert(spark.sql(s"SELECT * FROM $cat.mt.t.partitions").count() >= 1)
+
+    val refs = spark.sql(s"SELECT name, type FROM $cat.mt.t.refs ORDER BY name")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(refs === Seq(("main", "branch"), ("v1", "tag")))
+
+    assert(spark.sql(s"SELECT snapshot_id FROM $cat.mt.t.snapshots").count() === 2)
+    assert(spark.sql(
+      s"SELECT * FROM $cat.mt.t.history WHERE is_current_ancestor").count() >= 1)
+  }
+
+  test("branch- and tag-qualified SQL reads pin the ref's snapshot") {
+    import spark.implicits._
+    spark.sql(s"CREATE NAMESPACE $cat.br")
+    spark.sql(s"CREATE TABLE $cat.br.t (id INT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.br.t VALUES (1, 'v1')")
+    val t = new GraftTable(client, prefix, TableIdent(Seq("br"), "t"))
+    t.createRef("rel", graft.core.SnapshotRefType.Tag)
+    t.createRef("audit", graft.core.SnapshotRefType.Branch)
+    // advance main and the audit branch independently
+    spark.sql(s"INSERT INTO $cat.br.t VALUES (2, 'v2')")
+    t.append(Seq((9, "branch-only")).toDF("id", "v"), branch = "audit")
+
+    assert(spark.sql(s"SELECT count(*) FROM $cat.br.t").collect().head.getLong(0) === 2)
+    assert(spark.sql(s"SELECT v FROM $cat.br.t.tag_rel")
+      .collect().map(_.getString(0)).toSeq === Seq("v1"))
+    assert(spark.sql(s"SELECT id FROM $cat.br.t.branch_audit ORDER BY id")
+      .collect().map(_.getInt(0)).toSeq === Seq(1, 9))
+  }
+
+  test("ALTER TABLE ADD/DROP PARTITION FIELD evolves the default spec via SQL") {
+    spark.sql(s"CREATE NAMESPACE $cat.pf")
+    spark.sql(s"CREATE TABLE $cat.pf.t (id INT, cat STRING, v DOUBLE)")
+    def spec = client.loadTable(prefix, TableIdent(Seq("pf"), "t"))
+      .metadata.defaultSpec
+
+    // the reference's evolution sequence: identity → bucket → truncate → drop
+    spark.sql(s"ALTER TABLE $cat.pf.t ADD PARTITION FIELD cat")
+    assert(spec.fields.map(f => (f.name, f.transform.wireName)) === Seq(("cat", "identity")))
+
+    spark.sql(s"ALTER TABLE $cat.pf.t ADD PARTITION FIELD bucket(16, id)")
+    assert(spec.fields.map(_.name) === Seq("cat", "id_bucket"))
+
+    spark.sql(s"ALTER TABLE $cat.pf.t ADD PARTITION FIELD truncate(4, cat)")
+    assert(spec.fields.map(_.name) === Seq("cat", "id_bucket", "cat_trunc"))
+
+    spark.sql(s"ALTER TABLE $cat.pf.t DROP PARTITION FIELD bucket(16, id)")
+    assert(spec.fields.map(_.name) === Seq("cat", "cat_trunc"))
+
+    // writes AFTER the evolution carry the new spec's tuples
+    spark.sql(s"INSERT INTO $cat.pf.t VALUES (1, 'abcdef', 1.0)")
+    val t = new GraftTable(client, prefix, TableIdent(Seq("pf"), "t"))
+    val dataFiles = t.planFiles().filterNot(_.isDeleteFile)
+    assert(dataFiles.forall(_.partition.keySet === Set("cat", "cat_trunc")))
+    assert(dataFiles.head.partition("cat_trunc") === "abcd")
+  }
+
+  test("CALL system.rewrite_data_files and expire_snapshots procedures") {
+    spark.sql(s"CREATE NAMESPACE $cat.pr")
+    spark.sql(s"CREATE TABLE $cat.pr.t (id INT) " +
+      "TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')")
+    spark.sql(s"INSERT INTO $cat.pr.t VALUES (1), (2)")
+    spark.sql(s"INSERT INTO $cat.pr.t VALUES (3)")
+    spark.sql(s"DELETE FROM $cat.pr.t WHERE id = 2")
+    val t = new GraftTable(client, prefix, TableIdent(Seq("pr"), "t"))
+    assert(t.planFiles().size > 2 && t.planFiles().exists(_.isDeleteFile))
+
+    spark.sql(s"CALL $cat.system.rewrite_data_files(table => 'pr.t')")
+    assert(t.planFiles().size === 1 && !t.planFiles().exists(_.isDeleteFile))
+    assert(spark.sql(s"SELECT id FROM $cat.pr.t ORDER BY id")
+      .collect().map(_.getInt(0)).toSeq === Seq(1, 3))
+
+    val before = t.metadata.snapshots.size
+    spark.sql(s"CALL $cat.system.expire_snapshots(table => 'pr.t', " +
+      s"older_than_ms => ${System.currentTimeMillis() + 1000})")
+    assert(t.metadata.snapshots.size < before)
+  }
+
   test("table and namespace misses surface as standard analysis errors") {
     import org.apache.spark.sql.AnalysisException
     assertThrows[AnalysisException](spark.sql(s"SELECT * FROM $cat.nope.t").collect())

@@ -92,6 +92,32 @@ class SurfaceBSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("appends reuse the base snapshot's manifest shards (O(new files) manifest I/O)") {
+    import spark.implicits._
+    import graft.core.{Transform => Tr, UnboundPartitionField, UnboundPartitionSpec}
+    client.createTable(prefix, TableIdent(Seq("db"), "t_shard"), schema,
+      UnboundPartitionSpec(None, Seq(UnboundPartitionField(1, None, "id", Tr.Identity))))
+    val t = new GraftTable(client, prefix, TableIdent(Seq("db"), "t_shard"))
+
+    t.append((1 to 4).map(i => (i, s"s$i", i * 1.0)).toDF("id", "strings", "floats"))
+    val m1 = t.metadata
+    val entries1 = Manifests.readEntries(m1.currentSnapshot.get.manifestList)
+    assert(entries1.nonEmpty && entries1.forall(_.partition.isDefined))
+
+    t.append(Seq((9, "s9", 9.0)).toDF("id", "strings", "floats"))
+    val entries2 = Manifests.readEntries(t.metadata.currentSnapshot.get.manifestList)
+    // every shard of snapshot 1 is referenced VERBATIM by snapshot 2 —
+    // the append wrote only its own (single-partition) shard + a list
+    assert(entries1.map(_.path).toSet.subsetOf(entries2.map(_.path).toSet))
+    val added = entries2.filterNot(e => entries1.map(_.path).contains(e.path))
+    assert(added.size === 1 && added.head.partition === Some(Map("id" -> "9")))
+    assert(t.scan(spark).count() === 5)
+
+    // shard-level pruning reads only the matching partitions' shards
+    assert(t.scanPruned(spark, p => p.get("id").contains("2"))
+      .collect().map(_.getInt(0)).toSeq === Seq(2))
+  }
+
   test("MERGE upsert: matched rows update, unmatched insert") {
     import spark.implicits._
     val t = table("t_merge")
