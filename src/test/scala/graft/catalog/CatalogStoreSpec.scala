@@ -12,8 +12,11 @@ import java.util.UUID
   * (postgres/table.rs:47), and commit-path conflicts. Behavior
   * re-derived from SURVEY.md §2 — no reference code copied.
   */
-class CatalogStoreSpec extends AnyFunSuite {
+abstract class CatalogStoreContract extends AnyFunSuite {
   import IType._
+
+  /** The store under test — each call must yield an ISOLATED store. */
+  protected def newStore(): CatalogStore
 
   private val project = UUID.randomUUID()
   private val t0 = 1700000000000L
@@ -22,8 +25,8 @@ class CatalogStoreSpec extends AnyFunSuite {
     NestedField.required(1, "id", TInt),
     NestedField.required(2, "s", TString)))
 
-  private def freshStore(): (InMemoryCatalogStore, UUID) = {
-    val store = new InMemoryCatalogStore
+  private def freshStore(): (CatalogStore, UUID) = {
+    val store = newStore()
     val tmp = Files.createTempDirectory("graft-wh").toUri.toString.stripSuffix("/")
     val wh = store.createWarehouse(project, s"wh-${UUID.randomUUID()}", tmp)
       .fold(e => fail(e.message), identity)
@@ -115,7 +118,7 @@ class CatalogStoreSpec extends AnyFunSuite {
   }
 
   test("warehouse management: dup name 409, rename, list filters inactive") {
-    val store = new InMemoryCatalogStore
+    val store = newStore()
     val w1 = store.createWarehouse(project, "prod", "file:///tmp/w1")
       .fold(e => fail(e.message), identity)
     assert(store.createWarehouse(project, "prod", "file:///tmp/w2")
@@ -319,4 +322,9 @@ class CatalogStoreSpec extends AnyFunSuite {
       stageCreate = false, timestampMs = t0).left.exists(_.code === 400))
     assert(store.tableExists(wh, TableIdent(Seq("ns"), "t2")) === Right(false))
   }
+}
+
+/** The contract run against the in-memory dev/test store. */
+class CatalogStoreSpec extends CatalogStoreContract {
+  protected def newStore(): CatalogStore = new InMemoryCatalogStore
 }

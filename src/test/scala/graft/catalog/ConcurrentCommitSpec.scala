@@ -14,14 +14,17 @@ import java.util.concurrent.atomic.AtomicInteger
   * snapshot history and losers observe 409 + retry to convergence
   * (the loop Spark's Iceberg committer runs).
   */
-class ConcurrentCommitSpec extends AnyFunSuite {
+abstract class ConcurrentCommitContract extends AnyFunSuite {
   import IType._
+
+  /** The store under test — each call must yield an ISOLATED store. */
+  protected def newStore(): CatalogStore
 
   private val schema = Schema(0, Seq(NestedField.required(1, "id", TInt)))
   private val t0 = 1700000000000L
 
   test("8 racing writers: losers 409, retries converge to a linear history") {
-    val store = new InMemoryCatalogStore
+    val store = newStore()
     val whLoc = Files.createTempDirectory("graft-race").toUri.toString.stripSuffix("/")
     val wh = store.createWarehouse(UUID.randomUUID(), "race", whLoc)
       .fold(e => fail(e.message), identity).id
@@ -102,7 +105,7 @@ class ConcurrentCommitSpec extends AnyFunSuite {
   }
 
   test("multi-table transactions race atomically: both tables or neither") {
-    val store = new InMemoryCatalogStore
+    val store = newStore()
     val whLoc = Files.createTempDirectory("graft-race2").toUri.toString.stripSuffix("/")
     val wh = store.createWarehouse(UUID.randomUUID(), "race2", whLoc)
       .fold(e => fail(e.message), identity).id
@@ -160,4 +163,9 @@ class ConcurrentCommitSpec extends AnyFunSuite {
       assert(m.snapshotLog.size === total)
     }
   }
+}
+
+/** The contract run against the in-memory dev/test store. */
+class ConcurrentCommitSpec extends ConcurrentCommitContract {
+  protected def newStore(): CatalogStore = new InMemoryCatalogStore
 }
