@@ -27,7 +27,9 @@ final class CatalogServer(
     authz: graft.service.AuthZHandler = graft.service.AuthZHandler.AllowAll,
     contracts: graft.service.ContractVerifiers = graft.service.ContractVerifiers.Empty,
     events: graft.service.QueueingEventPublisher =
-      new graft.service.QueueingEventPublisher(graft.service.CloudEventBackend.Noop)) {
+      new graft.service.QueueingEventPublisher(graft.service.CloudEventBackend.Noop),
+    auth: graft.service.TokenVerifier = graft.service.TokenVerifier.AllowAnonymous,
+    authConfig: graft.service.AuthConfigHandler = graft.service.AuthConfigHandler.None) {
   import graft.service.CatalogEvent
 
   private val server: HttpServer = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -91,6 +93,14 @@ final class CatalogServer(
   // -------------------------------------------------------------- router
   private def route(ex: HttpExchange): Unit =
     try {
+      // authn middleware: every route behind bearer verification when a
+      // verifier is mounted (reference token_verification.rs:46-75)
+      val bearer = Option(ex.getRequestHeaders.getFirst("Authorization"))
+        .filter(_.regionMatches(true, 0, "Bearer ", 0, 7)).map(_.substring(7).trim)
+      auth.verify(bearer) match {
+        case Left(e) => respondError(ex, e); return
+        case Right(_) => ()
+      }
       val path = ex.getRequestURI.getPath.stripPrefix("/").stripSuffix("/")
       val segs = if (path.isEmpty) Array.empty[String] else path.split("/")
       (ex.getRequestMethod, segs.toList) match {
@@ -111,9 +121,11 @@ final class CatalogServer(
       case ("GET", "config" :: Nil) =>
         val arg = queryParams(ex).getOrElse("warehouse", "")
         ok(ex, resolveWarehouse(arg)) { w =>
+          // auth entries merged into the bootstrap config (reference
+          // catalog/config.rs:115-126 token-exchange merge)
           RestCodecs.configResponse(Map(
             "prefix" -> w.id.toString,
-            "uri" -> s"$baseUri/catalog"))
+            "uri" -> s"$baseUri/catalog") ++ authConfig.authConfig(w.id))
         }
 
       // -- namespaces (§2.1 #2-7)

@@ -51,6 +51,107 @@ object AuthZHandler {
   }
 }
 
+// -------------------------------------------------------------- authn
+/** An authenticated caller (reference `UserID`, service/auth.rs). */
+final case class Principal(subject: String, claims: Map[String, String] = Map.empty)
+
+/** Bearer-token verification middleware contract (reference
+  * service/token_verification.rs:46-75 — JWKS/OIDC verification mounted
+  * ahead of every route when configured). `Right(principal)` admits the
+  * request; `Left` is returned verbatim as the HTTP error. */
+trait TokenVerifier {
+  def verify(bearer: Option[String]): Either[CatalogError, Principal]
+}
+
+object TokenVerifier {
+  /** Default: no authentication mounted (the reference's behavior when
+    * no OIDC provider is configured). */
+  object AllowAnonymous extends TokenVerifier {
+    def verify(bearer: Option[String]): Either[CatalogError, Principal] =
+      Right(Principal("anonymous"))
+  }
+
+  private def unauthorized(msg: String): Either[CatalogError, Principal] =
+    Left(CatalogError(401, "Unauthorized", msg))
+
+  /** HS256 JWT verification — the offline stand-in for the reference's
+    * RS256/JWKS verifier (same shape: decode, check signature, check
+    * `exp` and `iss`, extract the subject). An RS256 impl differs only
+    * in the `java.security.Signature` call behind [[checkSignature]].
+    */
+  final class HmacJwtVerifier(secret: Array[Byte], issuer: String,
+      clock: () => Long = () => System.currentTimeMillis()) extends TokenVerifier {
+    private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+    def verify(bearer: Option[String]): Either[CatalogError, Principal] =
+      bearer match {
+        case None => unauthorized("missing bearer token")
+        case Some(token) =>
+          token.split('.') match {
+            case Array(h, p, sig) =>
+              if (!checkSignature(s"$h.$p", sig)) unauthorized("invalid signature")
+              else {
+                val payload = mapper.readTree(java.util.Base64.getUrlDecoder.decode(p))
+                val exp = Option(payload.get("exp")).map(_.asLong(0L)).getOrElse(0L)
+                val iss = Option(payload.get("iss")).map(_.asText("")).getOrElse("")
+                val sub = Option(payload.get("sub")).map(_.asText("")).getOrElse("")
+                if (exp * 1000L <= clock()) unauthorized("token expired")
+                else if (iss != issuer) unauthorized(s"unknown issuer: $iss")
+                else if (sub.isEmpty) unauthorized("token has no subject")
+                else Right(Principal(sub))
+              }
+            case _ => unauthorized("malformed token")
+          }
+      }
+
+    private def checkSignature(signingInput: String, sigB64: String): Boolean = {
+      val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+      mac.init(new javax.crypto.spec.SecretKeySpec(secret, "HmacSHA256"))
+      val expected = mac.doFinal(
+        signingInput.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      val got =
+        try java.util.Base64.getUrlDecoder.decode(sigB64)
+        catch { case _: IllegalArgumentException => return false }
+      java.security.MessageDigest.isEqual(expected, got)
+    }
+  }
+
+  /** Test/demo helper: mint an HS256 JWT the [[HmacJwtVerifier]]
+    * accepts. */
+  def signHs256(secret: Array[Byte], issuer: String, subject: String,
+      expEpochSec: Long): String = {
+    val enc = java.util.Base64.getUrlEncoder.withoutPadding()
+    def b64(s: String) = enc.encodeToString(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val h = b64("""{"alg":"HS256","typ":"JWT"}""")
+    val p = b64(s"""{"sub":"$subject","iss":"$issuer","exp":$expEpochSec}""")
+    val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+    mac.init(new javax.crypto.spec.SecretKeySpec(secret, "HmacSHA256"))
+    val sig = enc.encodeToString(mac.doFinal(
+      s"$h.$p".getBytes(java.nio.charset.StandardCharsets.US_ASCII)))
+    s"$h.$p.$sig"
+  }
+}
+
+/** Reference `AuthConfigHandler` (service/auth.rs:200-249): contributes
+  * auth-related entries to the GET /config response so clients learn
+  * how to authenticate (token endpoint, client id, ...). */
+trait AuthConfigHandler {
+  def authConfig(warehouseId: UUID): Map[String, String]
+}
+
+object AuthConfigHandler {
+  /** No auth advertised (reference default without OIDC). */
+  object None extends AuthConfigHandler {
+    def authConfig(warehouseId: UUID): Map[String, String] = Map.empty
+  }
+
+  /** Static config entries (the OIDC case: token endpoint etc.). */
+  final case class Static(entries: Map[String, String]) extends AuthConfigHandler {
+    def authConfig(warehouseId: UUID): Map[String, String] = entries
+  }
+}
+
 // --------------------------------------------------- contract checks
 sealed trait ContractOutcome
 object ContractOutcome {

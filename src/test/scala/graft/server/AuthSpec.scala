@@ -1,0 +1,98 @@
+package graft.server
+
+import graft.catalog._
+import graft.service.{AuthConfigHandler, TokenVerifier}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+import java.util.UUID
+
+/** Bearer-token middleware + AuthConfigHandler conformance (reference
+  * service/token_verification.rs:46-75, service/auth.rs:200-249,
+  * catalog/config.rs:115-126): with a verifier mounted, every route
+  * 401s without a valid token; GET /config merges the handler's auth
+  * entries so clients learn how to authenticate. */
+class AuthSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val secret = "graft-test-secret".getBytes("UTF-8")
+  private val issuer = "https://idp.example/realm"
+  private val project = UUID.randomUUID()
+  private val store = new InMemoryCatalogStore
+  private var server: CatalogServer = _
+  private val client = HttpClient.newHttpClient()
+  private var prefix: String = _
+
+  private def token(sub: String = "alice",
+      exp: Long = System.currentTimeMillis() / 1000 + 3600,
+      iss: String = issuer): String =
+    TokenVerifier.signHs256(secret, iss, sub, exp)
+
+  override def beforeAll(): Unit = {
+    server = new CatalogServer(store, project,
+      auth = new TokenVerifier.HmacJwtVerifier(secret, issuer),
+      authConfig = AuthConfigHandler.Static(Map(
+        "token-endpoint" -> s"$issuer/oauth/token",
+        "auth-client-id" -> "graft"))).start()
+    val wh = Files.createTempDirectory("graft-auth").toUri.toString.stripSuffix("/")
+    val created = req("POST", "/management/v1/warehouse",
+      s"""{"warehouse-name":"prod","location":"$wh","project-id":"$project"}""",
+      bearer = Some(token()))
+    assert(created.statusCode() === 200, created.body())
+    prefix = graft.core.JsonCodecs.parse(created.body()).get("id").asText()
+  }
+
+  override def afterAll(): Unit = server.stop()
+
+  private def req(method: String, path: String, body: String = "",
+      bearer: Option[String] = None): HttpResponse[String] = {
+    val b = HttpRequest.newBuilder(URI.create(s"${server.baseUri}$path"))
+    bearer.foreach(t => b.header("Authorization", s"Bearer $t"))
+    val withMethod = method match {
+      case "GET" => b.GET()
+      case _ => b.method(method, HttpRequest.BodyPublishers.ofString(body))
+    }
+    client.send(withMethod.build(), HttpResponse.BodyHandlers.ofString())
+  }
+
+  test("requests without a token are rejected with 401") {
+    val r = req("GET", s"/catalog/v1/$prefix/namespaces")
+    assert(r.statusCode() === 401)
+    assert(r.body().contains("Unauthorized"))
+  }
+
+  test("garbage, wrong-signature and expired tokens are rejected") {
+    assert(req("GET", s"/catalog/v1/$prefix/namespaces",
+      bearer = Some("not.a.jwt")).statusCode() === 401)
+    val forged = TokenVerifier.signHs256(
+      "wrong-secret".getBytes("UTF-8"), issuer, "mallory",
+      System.currentTimeMillis() / 1000 + 3600)
+    assert(req("GET", s"/catalog/v1/$prefix/namespaces",
+      bearer = Some(forged)).statusCode() === 401)
+    assert(req("GET", s"/catalog/v1/$prefix/namespaces",
+      bearer = Some(token(exp = System.currentTimeMillis() / 1000 - 10)))
+      .statusCode() === 401)
+    assert(req("GET", s"/catalog/v1/$prefix/namespaces",
+      bearer = Some(token(iss = "https://other.example")))
+      .statusCode() === 401)
+  }
+
+  test("a valid token admits catalog operations end-to-end") {
+    val t = Some(token())
+    assert(req("POST", s"/catalog/v1/$prefix/namespaces",
+      """{"namespace":["authed"],"properties":{}}""", bearer = t)
+      .statusCode() === 200)
+    val list = req("GET", s"/catalog/v1/$prefix/namespaces", bearer = t)
+    assert(list.statusCode() === 200 && list.body().contains("authed"))
+  }
+
+  test("GET /config merges the AuthConfigHandler entries") {
+    val r = req("GET", "/catalog/v1/config?warehouse=prod", bearer = Some(token()))
+    assert(r.statusCode() === 200, r.body())
+    val overrides = graft.core.JsonCodecs.parse(r.body()).get("overrides")
+    assert(overrides.get("token-endpoint").asText() === s"$issuer/oauth/token")
+    assert(overrides.get("auth-client-id").asText() === "graft")
+  }
+}
