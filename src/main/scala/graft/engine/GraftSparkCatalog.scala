@@ -451,7 +451,9 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     if (removes.nonEmpty) updates :+= TableUpdate.RemoveProperties(removes)
     if (columnChanges.nonEmpty) {
       val (evolved, lastColumnId) =
-        SchemaEvolution.evolve(m.currentSchema, m.lastColumnId, columnChanges)
+        SchemaEvolution.evolve(m.currentSchema, m.lastColumnId, columnChanges,
+          partitionSourceIds =
+            m.partitionSpecs.values.flatMap(_.fields.map(_.sourceId)).toSet)
       requirements :+= TableRequirement.AssertCurrentSchemaId(m.currentSchemaId)
       updates ++= Seq(
         TableUpdate.AddSchema(evolved, Some(lastColumnId)),

@@ -140,9 +140,11 @@ final class GraftTable(
   /** INSERT INTO: append a new snapshot on `branch` (copy-on-write:
     * the new manifest lists previous files ++ written files). */
   def append(df: DataFrame, branch: String = TableMetadata.MainBranch,
-      extraSummary: Map[String, String] = Map.empty): TableMetadata = {
+      extraSummary: Map[String, String] = Map.empty,
+      extraProperties: Map[String, String] = Map.empty): TableMetadata = {
     val written = writeDataFiles(df)
-    commitLoop(branch, "append", extraSummary)(base => (carriedEntries(base), written))
+    commitLoop(branch, "append", extraSummary, extraProperties)(base =>
+      (carriedEntries(base), written))
   }
 
   /** Replace the branch's entire content with `df` (the commit style
@@ -205,7 +207,11 @@ final class GraftTable(
       .distinct()
     val deleteFiles = GraftTable
       .toDataFiles(ParquetBatchWrite.writeJob(keyRows, dir, routing = None))
-      .map(_.copy(content = Manifests.ContentEqualityDeletes, equalityColumns = keys))
+      .map(_.copy(content = Manifests.ContentEqualityDeletes,
+        // keys recorded BY FIELD ID (Iceberg equality_ids): scans
+        // resolve them to then-current names, so RENAME COLUMN on a
+        // key column cannot strand the delete files
+        equalityIds = keys.map(k => byName(k).id)))
     commitLoop(branch, "delete")(base => (carriedEntries(base), deleteFiles))
   }
 
@@ -280,7 +286,8 @@ final class GraftTable(
     base.map(s => Manifests.readEntries(s.manifestList)).getOrElse(Nil)
 
   private def commitLoop(branch: String, operation: String,
-      extraSummary: Map[String, String] = Map.empty)(
+      extraSummary: Map[String, String] = Map.empty,
+      extraProperties: Map[String, String] = Map.empty)(
       delta: Option[Snapshot] => (Seq[Manifests.ManifestEntry], Seq[Manifests.DataFile]))
       : TableMetadata = {
     var attempt = 0
@@ -289,7 +296,7 @@ final class GraftTable(
       val base = cur.snapshotFor(branch)
       val (carried, newFiles) = delta(base)
       try return commitOnceAgainst(cur, branch, operation, base, carried, newFiles,
-        extraSummary)
+        extraSummary, extraProperties)
       catch {
         case e: CatalogError if e.code == 409 && attempt < MaxRetries => attempt += 1
       }
@@ -312,7 +319,8 @@ final class GraftTable(
       cur: TableMetadata, branch: String, operation: String,
       base: Option[Snapshot], carried: Seq[Manifests.ManifestEntry],
       newFiles: Seq[Manifests.DataFile],
-      extraSummary: Map[String, String] = Map.empty): TableMetadata = {
+      extraSummary: Map[String, String] = Map.empty,
+      extraProperties: Map[String, String] = Map.empty): TableMetadata = {
     val snapId = java.util.concurrent.ThreadLocalRandom.current().nextLong(1L, Long.MaxValue)
     // files added by THIS commit get its sequence number (MoR delete
     // scoping); carried-over shards keep theirs untouched
@@ -341,7 +349,11 @@ final class GraftTable(
     client.commitTable(prefix, ident,
       Seq(TableRequirement.AssertRefSnapshotId(branch, base.map(_.snapshotId))),
       Seq(TableUpdate.AddSnapshot(snapshot),
-        TableUpdate.SetSnapshotRef(branch, snapId, refType))).metadata
+        TableUpdate.SetSnapshotRef(branch, snapId, refType)) ++
+        // properties ride in the SAME commit as the snapshot (used for
+        // the streaming high-water mark: atomically exactly-once)
+        (if (extraProperties.nonEmpty)
+          Seq(TableUpdate.SetProperties(extraProperties)) else Nil)).metadata
   }
 
   // --------------------------------------------------------- data files
@@ -399,10 +411,25 @@ object GraftTable {
       df = df.withColumn("__seq_file", fileKey(col(FileCol)))
         .join(broadcast(seqDf), "__seq_file")
 
-      deletes.filterNot(_.isPositionDeleteFile).groupBy(_.equalityColumns)
-        .foreach { case (keys, dfiles) =>
+      deletes.filterNot(_.isPositionDeleteFile)
+        .groupBy(f => (f.equalityIds, f.equalityColumns))
+        .foreach { case ((ids, legacyNames), dfiles) =>
+          // key columns resolve against the CURRENT schema by field id
+          // (rename-safe); legacy manifests recorded names only
+          val keyFields =
+            if (ids.nonEmpty) ids.map(id => schema.fieldById(id).getOrElse(
+              sys.error(s"equality-delete key field id $id missing from schema")))
+            else legacyNames.map(n => schema.fieldByName(n).getOrElse(
+              sys.error(s"equality-delete key column $n missing from schema")))
+          val keys = keyFields.map(_.name)
+          val delSchema = org.apache.spark.sql.types.StructType(keyFields.map(f =>
+            org.apache.spark.sql.types.StructField(f.name,
+              SchemaBridge.toSpark(f.fieldType), nullable = true,
+              SchemaBridge.fieldIdMetadata(f.id))))
           val delRows = dfiles.map { f =>
-            spark.read.parquet(f.path)
+            // id-stamped read schema: the delete file's columns resolve
+            // by field id even if written under a pre-rename name
+            spark.read.schema(delSchema).parquet(f.path)
               .select(keys.map(k => col(k).as(s"__del_$k")): _*)
               .withColumn("__del_seq", lit(f.seq))
           }.reduce(_ unionAll _)

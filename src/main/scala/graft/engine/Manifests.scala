@@ -62,8 +62,12 @@ object Manifests {
       content: String = ContentData,
       /** data sequence number: commit order for MoR delete scoping */
       seq: Long = UnassignedSeq,
-      /** equality-delete key columns (equality-delete files only) */
-      equalityColumns: Seq[String] = Nil) {
+      /** equality-delete key columns BY NAME (legacy manifests only —
+        * names go stale across RENAME COLUMN) */
+      equalityColumns: Seq[String] = Nil,
+      /** equality-delete key FIELD IDS (Iceberg v2 `equality_ids`):
+        * resolved to current names at scan time, rename-safe */
+      equalityIds: Seq[Int] = Nil) {
     def isDeleteFile: Boolean =
       content == ContentEqualityDeletes || content == ContentPositionDeletes
     def isPositionDeleteFile: Boolean = content == ContentPositionDeletes
@@ -149,6 +153,11 @@ object Manifests {
         f.equalityColumns.foreach(eq.add)
         fo.set[ArrayNode]("equality-columns", eq)
       }
+      if (f.equalityIds.nonEmpty) {
+        val eq = mapper.createArrayNode()
+        f.equalityIds.foreach(eq.add)
+        fo.set[ArrayNode]("equality-ids", eq)
+      }
       arr.add(fo)
     }
     o.set[ArrayNode]("files", arr)
@@ -231,6 +240,8 @@ object Manifests {
         Option(f.get("content")).map(_.asText()).getOrElse(ContentData),
         Option(f.get("sequence-number")).map(_.asLong()).getOrElse(UnassignedSeq),
         Option(f.get("equality-columns")).map(_.elements().asScala.map(_.asText()).toSeq)
+          .getOrElse(Nil),
+        Option(f.get("equality-ids")).map(_.elements().asScala.map(_.asInt()).toSeq)
           .getOrElse(Nil))
     }.toSeq
 }

@@ -17,11 +17,15 @@ import org.apache.spark.sql.connector.catalog.TableChange
 object SchemaEvolution {
 
   /** Returns the evolved schema (schemaId 0 — the builder assigns the
-    * real id on add-schema) and the new last-column-id. */
+    * real id on add-schema) and the new last-column-id.
+    * `partitionSourceIds` are the field ids referenced by any partition
+    * spec — dropping one would leave a spec whose sourceId dangles and
+    * break the next write, so it is rejected here. */
   def evolve(
       schema: Schema,
       lastColumnId: Int,
-      changes: Seq[TableChange]): (Schema, Int) = {
+      changes: Seq[TableChange],
+      partitionSourceIds: Set[Int] = Set.empty): (Schema, Int) = {
     var fields = schema.fields
     var nextId = lastColumnId
     def alloc(): Int = { nextId += 1; nextId }
@@ -56,7 +60,14 @@ object SchemaEvolution {
         val i = fields.indexWhere(_.name == name)
         if (i < 0) {
           require(c.ifExists(), s"no such column: $name")
-        } else fields = fields.patch(i, Nil, 1)
+        } else {
+          val fid = fields(i).id
+          require(!partitionSourceIds.contains(fid),
+            s"cannot drop column $name: referenced by a partition spec")
+          require(!schema.identifierFieldIds.contains(fid),
+            s"cannot drop column $name: part of the identifier-field list")
+          fields = fields.patch(i, Nil, 1)
+        }
 
       case c: TableChange.RenameColumn =>
         require(!fields.exists(_.name == c.newName()),
@@ -66,7 +77,13 @@ object SchemaEvolution {
       case c: TableChange.UpdateColumnType =>
         val t = SchemaBridge.toIcebergType(c.newDataType(), () => alloc())
         require(t.isPrimitive, s"type change to non-primitive: ${c.newDataType()}")
-        replace(topLevel(c.fieldNames()))(_.copy(fieldType = t))
+        replace(topLevel(c.fieldNames())) { f =>
+          require(safePromotion(f.fieldType, t),
+            s"unsafe type change ${f.fieldType} -> $t for column ${f.name}: " +
+              "only Iceberg's widening promotions are allowed " +
+              "(int->long, float->double, decimal scale widening)")
+          f.copy(fieldType = t)
+        }
 
       case c: TableChange.UpdateColumnNullability =>
         replace(topLevel(c.fieldNames()))(_.copy(required = !c.nullable()))
@@ -81,5 +98,19 @@ object SchemaEvolution {
 
     val survivingIds = fields.map(_.id).toSet
     (Schema(0, fields, schema.identifierFieldIds.intersect(survivingIds)), nextId)
+  }
+
+  /** Iceberg's safe (widening) primitive promotions — anything else
+    * could make existing data files unreadable or silently narrow
+    * values (spec §Schema Evolution). */
+  private def safePromotion(from: IType, to: IType): Boolean = {
+    import IType._
+    (from, to) match {
+      case (a, b) if a == b => true
+      case (TInt, TLong) => true
+      case (TFloat, TDouble) => true
+      case (TDecimal(p1, s1), TDecimal(p2, s2)) => s1 == s2 && p2 >= p1
+      case _ => false
+    }
   }
 }

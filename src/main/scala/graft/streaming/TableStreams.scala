@@ -10,11 +10,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * converge, and every epoch is time-travelable.
   *
   * Exactly-once across restarts: `foreachBatch` replays the last epoch
-  * after a failure, so each commit stamps `streaming-query-id` /
-  * `streaming-batch-id` into its snapshot summary, and a batch whose id
-  * is ≤ the query's last committed id is skipped — idempotent re-commit
-  * without a second storage system. The check scans snapshot summaries
-  * on the driver: O(retained snapshots), nothing per row.
+  * after a failure, so each commit persists the query's high-water mark
+  * (`streaming.<queryId>.last-batch-id`) in the TABLE PROPERTIES of the
+  * SAME commit as the append — a batch whose id is ≤ the mark is
+  * skipped, idempotently, without a second storage system. Properties
+  * survive `expire_snapshots` (snapshot summaries don't — an expired
+  * snapshot must not resurrect its epoch on replay); summaries still
+  * carry the ids for observability and as the legacy fallback.
   *
   * Scale: the micro-batch append inherits the batch write path
   * (distributed parquet write, partition-spec routing, field-id
@@ -27,15 +29,22 @@ object TableStreams {
   private[streaming] val QueryIdKey = "streaming-query-id"
   private[streaming] val BatchIdKey = "streaming-batch-id"
 
-  /** Highest batch id this query has committed to the table, if any. */
+  private[streaming] def hwmKey(queryId: String): String =
+    s"streaming.$queryId.last-batch-id"
+
+  /** Highest batch id this query has committed to the table, if any:
+    * the durable property high-water mark first, snapshot summaries as
+    * the legacy fallback (pre-HWM tables). */
   private[streaming] def lastCommittedBatch(
       table: GraftTable, queryId: String): Option[Long] = {
-    val snaps = table.metadata.snapshots.values
-    val ids = snaps.flatMap(s =>
-      if (s.summary.get(QueryIdKey).contains(queryId))
-        s.summary.get(BatchIdKey).flatMap(_.toLongOption)
-      else None)
-    if (ids.isEmpty) None else Some(ids.max)
+    val m = table.metadata
+    m.properties.get(hwmKey(queryId)).flatMap(_.toLongOption).orElse {
+      val ids = m.snapshots.values.flatMap(s =>
+        if (s.summary.get(QueryIdKey).contains(queryId))
+          s.summary.get(BatchIdKey).flatMap(_.toLongOption)
+        else None)
+      if (ids.isEmpty) None else Some(ids.max)
+    }
   }
 
   /** Start a streaming append into `table`. The source DataFrame must
@@ -52,7 +61,8 @@ object TableStreams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!lastCommittedBatch(table, queryId).exists(_ >= batchId)) {
           table.append(batch,
-            extraSummary = Map(QueryIdKey -> queryId, BatchIdKey -> batchId.toString))
+            extraSummary = Map(QueryIdKey -> queryId, BatchIdKey -> batchId.toString),
+            extraProperties = Map(hwmKey(queryId) -> batchId.toString))
         }
         ()
       }

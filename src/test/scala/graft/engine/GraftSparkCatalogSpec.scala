@@ -412,6 +412,45 @@ class GraftSparkCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.sql(s"SELECT * FROM $cat.tt.t VERSION AS OF 'ghost'").collect())
   }
 
+  test("MoR equality deletes survive RENAME COLUMN on a key column") {
+    spark.sql(s"CREATE NAMESPACE $cat.rn")
+    spark.sql(s"CREATE TABLE $cat.rn.t (id INT, v STRING) " +
+      "TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')")
+    spark.sql(s"INSERT INTO $cat.rn.t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql(s"DELETE FROM $cat.rn.t WHERE id = 2")
+    // the delete key column is RENAMED while the delete file is live:
+    // the manifest records the key by FIELD ID, so the scan resolves it
+    spark.sql(s"ALTER TABLE $cat.rn.t RENAME COLUMN id TO ident")
+    assert(spark.sql(s"SELECT ident FROM $cat.rn.t ORDER BY ident")
+      .collect().map(_.getInt(0)).toSeq === Seq(1, 3))
+    // the old name can even be REUSED for a new column without
+    // poisoning the delete resolution
+    spark.sql(s"ALTER TABLE $cat.rn.t ADD COLUMN id STRING")
+    assert(spark.sql(s"SELECT ident FROM $cat.rn.t ORDER BY ident")
+      .collect().map(_.getInt(0)).toSeq === Seq(1, 3))
+  }
+
+  test("unsafe column type changes and protected column drops are rejected") {
+    spark.sql(s"CREATE NAMESPACE $cat.ev")
+    spark.sql(s"CREATE TABLE $cat.ev.t (id INT, n INT, f FLOAT, s STRING) " +
+      "PARTITIONED BY (bucket(4, id))")
+    // widening promotions commit
+    spark.sql(s"ALTER TABLE $cat.ev.t ALTER COLUMN n TYPE BIGINT")
+    spark.sql(s"ALTER TABLE $cat.ev.t ALTER COLUMN f TYPE DOUBLE")
+    val m = client.loadTable(prefix, TableIdent(Seq("ev"), "t")).metadata
+    assert(m.currentSchema.fieldByName("n").get.fieldType === graft.core.IType.TLong)
+    // narrowing / cross-family changes are refused
+    assertThrows[Exception](
+      spark.sql(s"ALTER TABLE $cat.ev.t ALTER COLUMN n TYPE INT"))
+    assertThrows[Exception](
+      spark.sql(s"ALTER TABLE $cat.ev.t ALTER COLUMN s TYPE INT"))
+    // dropping a partition-source column would strand the spec
+    assertThrows[Exception](
+      spark.sql(s"ALTER TABLE $cat.ev.t DROP COLUMN id"))
+    // non-referenced columns still drop fine
+    spark.sql(s"ALTER TABLE $cat.ev.t DROP COLUMN s")
+  }
+
   test("SHOW TBLPROPERTIES surfaces the catalog's table properties") {
     spark.sql(s"CREATE NAMESPACE $cat.tp")
     spark.sql(s"CREATE TABLE $cat.tp.t (id INT) TBLPROPERTIES ('dept' = 'graft')")

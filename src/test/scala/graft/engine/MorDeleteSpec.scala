@@ -62,7 +62,8 @@ class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     val after = t.planFiles()
     assert(after.filterNot(_.isDeleteFile).map(_.path).toSet === dataFilesBefore)
     val dels = after.filter(_.isDeleteFile)
-    assert(dels.size === 1 && dels.head.equalityColumns === Seq("id"))
+    // keys recorded by FIELD ID (rename-safe), not by name
+    assert(dels.size === 1 && dels.head.equalityIds === Seq(1))
     assert(t.metadata.currentSnapshot.get.summary("operation") === "delete")
   }
 

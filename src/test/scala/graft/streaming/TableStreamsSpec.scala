@@ -73,5 +73,12 @@ class TableStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     q2.awaitTermination()
     assert(table.scan(spark).count() === 3)
     assert(TableStreams.lastCommittedBatch(table, "ingest-1") === Some(1L))
+
+    // the high-water mark is a TABLE PROPERTY committed with the
+    // append, so expiring every old snapshot cannot resurrect an epoch
+    assert(table.metadata.properties.get(
+      TableStreams.hwmKey("ingest-1")) === Some("1"))
+    table.expireSnapshots(olderThanMs = System.currentTimeMillis() + 1000)
+    assert(TableStreams.lastCommittedBatch(table, "ingest-1") === Some(1L))
   }
 }
