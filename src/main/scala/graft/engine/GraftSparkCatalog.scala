@@ -164,10 +164,63 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
         val schema = SchemaBridge.toSpark(m.currentSchema)
         val delegate = GraftShims.parquetTable(i.name(), SparkSession.active,
           listing.filterNot(_.isDeleteFile).map(_.path), schema)
-        new ReadOnlyTable(fullName, delegate, schema, m.currentSchema,
-          listing, m.properties)
+        // branches accept SQL INSERT / INSERT OVERWRITE (committed on
+        // the branch ref, main untouched); tags are immutable
+        if (name.startsWith("branch_"))
+          new BranchTable(fullName, baseIdent, refName, delegate, schema,
+            m.currentSchema, listing, m.properties)
+        else
+          new ReadOnlyTable(fullName, delegate, schema, m.currentSchema,
+            listing, m.properties)
       }
     } else None
+  }
+
+  /** A branch surfaced as its own identifier (`db.t.branch_x`): reads
+    * pin the branch head; INSERT INTO / INSERT OVERWRITE commit new
+    * snapshots ON the branch (reference test_spark.py:299-327 writes to
+    * a branch and proves main unchanged). Row-level operations stay on
+    * the main identifier. */
+  private final class BranchTable(
+      tableName: String, tid: TableIdent, branch: String,
+      delegate: Table, tableSchema: StructType,
+      coreSchema: graft.core.Schema, listing: Seq[Manifests.DataFile],
+      props: Map[String, String])
+      extends Table with SupportsRead with SupportsWrite {
+    override def name(): String = tableName
+    override def schema(): StructType = tableSchema
+    override def properties(): util.Map[String, String] = props.asJava
+    override def capabilities(): util.Set[TableCapability] =
+      util.EnumSet.of(
+        TableCapability.BATCH_READ,
+        TableCapability.V1_BATCH_WRITE,
+        TableCapability.TRUNCATE)
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      if (listing.exists(_.isDeleteFile)) new GraftScanBuilder(coreSchema, listing)
+      else delegate.asInstanceOf[SupportsRead].newScanBuilder(options)
+
+    override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+      new WriteBuilder with SupportsTruncate {
+        private var replace = false
+        override def truncate(): WriteBuilder = { replace = true; this }
+        override def build(): Write = new V1Write {
+          override def toInsertableRelation: InsertableRelation =
+            new InsertableRelation {
+              override def insert(data: org.apache.spark.sql.DataFrame,
+                  overwrite: Boolean): Unit = {
+                require(data.columns.length == tableSchema.length,
+                  s"INSERT column count ${data.columns.length} != table arity ${tableSchema.length}")
+                val aligned = data.toDF(tableSchema.fieldNames.toIndexedSeq: _*)
+                val table = new GraftTable(client, prefix, tid)
+                if (replace || overwrite)
+                  table.overwriteAll(aligned,
+                    table.metadata.refs.get(branch).map(_.snapshotId),
+                    branch = branch)
+                else table.append(aligned, branch = branch)
+              }
+            }
+        }
+      }
   }
 
   /** A fixed DataFrame surfaced as a read-only V2 table (driver-side

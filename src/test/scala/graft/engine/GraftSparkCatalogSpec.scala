@@ -502,6 +502,15 @@ class GraftSparkCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getString(0)).toSeq === Seq("v1"))
     assert(spark.sql(s"SELECT id FROM $cat.br.t.branch_audit ORDER BY id")
       .collect().map(_.getInt(0)).toSeq === Seq(1, 9))
+
+    // SQL INSERT into a branch commits on the branch ref; main untouched
+    spark.sql(s"INSERT INTO $cat.br.t.branch_audit VALUES (10, 'sql-branch')")
+    assert(spark.sql(s"SELECT id FROM $cat.br.t.branch_audit ORDER BY id")
+      .collect().map(_.getInt(0)).toSeq === Seq(1, 9, 10))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.br.t").collect().head.getLong(0) === 2)
+    // tags refuse writes
+    assertThrows[Exception](
+      spark.sql(s"INSERT INTO $cat.br.t.tag_rel VALUES (99, 'nope')"))
   }
 
   test("ALTER TABLE ADD/DROP PARTITION FIELD evolves the default spec via SQL") {
