@@ -81,6 +81,31 @@ final class CatalogServer(
       }
     }.toMap).getOrElse(Map.empty)
 
+  /** Iceberg REST pagination (`pageToken`/`pageSize`) over a SORTED
+    * listing: the token is an opaque base64 of the last-returned key,
+    * `next-page-token` is present while more remain. The reference
+    * currently ignores PageToken (catalog/tables.rs:64-67); a 15k-table
+    * warehouse needs it, so we implement the spec behavior. */
+  private def paginate[A](ex: HttpExchange, items: Seq[A])(key: A => String)
+      : (Seq[A], Option[String]) = {
+    val params = queryParams(ex)
+    val size = params.get("pageSize").flatMap(_.toIntOption).filter(_ > 0)
+    val after = params.get("pageToken").filter(_.nonEmpty).map(t =>
+      new String(java.util.Base64.getUrlDecoder.decode(t), StandardCharsets.UTF_8))
+    val fromStart = after.fold(items)(a => items.dropWhile(key(_) <= a))
+    size match {
+      case None => (fromStart, None)
+      case Some(n) =>
+        val page = fromStart.take(n)
+        val token =
+          if (fromStart.size > n)
+            Some(java.util.Base64.getUrlEncoder.withoutPadding()
+              .encodeToString(key(page.last).getBytes(StandardCharsets.UTF_8)))
+          else None
+        (page, token)
+    }
+  }
+
   /** Multipart namespaces arrive %1F (unit separator) joined per the
     * public REST spec; depth is 1 here but decode faithfully. */
   private def decodeNs(segment: String): Seq[String] =
@@ -133,8 +158,10 @@ final class CatalogServer(
         val parent = queryParams(ex).get("parent").filter(_.nonEmpty).map(decodeNs)
         withWh(ex, prefix) { wh =>
           ok(ex, authz.checkNamespaceOp(wh, "list", parent.getOrElse(Nil))
-            .flatMap(_ => store.listNamespaces(wh, parent)))(
-            RestCodecs.listNamespacesResponse)
+            .flatMap(_ => store.listNamespaces(wh, parent))) { all =>
+            val (page, next) = paginate(ex, all)(_.mkString("\u001f"))
+            RestCodecs.listNamespacesResponse(page, next)
+          }
         }
       case ("POST", prefix :: "namespaces" :: Nil) =>
         withWh(ex, prefix) { wh =>
@@ -169,7 +196,10 @@ final class CatalogServer(
       // -- tables (§2.1 #8-16)
       case ("GET", prefix :: "namespaces" :: ns :: "tables" :: Nil) =>
         withWh(ex, prefix) { wh =>
-          ok(ex, store.listTables(wh, decodeNs(ns)))(RestCodecs.listTablesResponse)
+          ok(ex, store.listTables(wh, decodeNs(ns))) { all =>
+            val (page, next) = paginate(ex, all)(_.name)
+            RestCodecs.listTablesResponse(page, next)
+          }
         }
       case ("POST", prefix :: "namespaces" :: ns :: "tables" :: Nil) =>
         withWh(ex, prefix) { wh =>

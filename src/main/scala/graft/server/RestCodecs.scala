@@ -63,11 +63,13 @@ object RestCodecs {
     render(o)
   }
 
-  def listNamespacesResponse(names: Seq[Seq[String]]): String = {
+  def listNamespacesResponse(
+      names: Seq[Seq[String]], nextPageToken: Option[String] = None): String = {
     val o = objNode()
     val arr = arrNode()
     names.foreach { n => val e = arrNode(); n.foreach(e.add); arr.add(e) }
     o.set[ObjectNode]("namespaces", arr)
+    nextPageToken.foreach(o.put("next-page-token", _))
     render(o)
   }
 
@@ -111,7 +113,8 @@ object RestCodecs {
       optField(n, "stage-create").exists(_.asBoolean(false)),
       optField(n, "location").map(_.asText()))
 
-  def listTablesResponse(idents: Seq[TableIdent]): String = {
+  def listTablesResponse(
+      idents: Seq[TableIdent], nextPageToken: Option[String] = None): String = {
     val o = objNode()
     val arr = arrNode()
     idents.foreach { id =>
@@ -122,6 +125,7 @@ object RestCodecs {
       arr.add(e)
     }
     o.set[ObjectNode]("identifiers", arr)
+    nextPageToken.foreach(o.put("next-page-token", _))
     render(o)
   }
 

@@ -322,6 +322,40 @@ class CatalogServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       .statusCode() === 404)
   }
 
+  test("list pagination: pageSize/pageToken walk the full set exactly once") {
+    assert(post(s"/catalog/v1/$prefix/namespaces",
+      """{"namespace":["pgns"],"properties":{}}""").statusCode() === 200)
+    (1 to 7).foreach { i =>
+      val r = post(s"/catalog/v1/$prefix/namespaces/pgns/tables",
+        s"""{"name":"pt$i","schema":{"type":"struct","schema-id":0,"fields":[
+           |{"id":1,"name":"id","required":true,"type":"int"}]}}""".stripMargin)
+      assert(r.statusCode() === 200, r.body())
+    }
+    // walk with pageSize=3: 3 + 3 + 1, token chain terminates
+    var token = ""
+    var seen = Seq.empty[String]
+    var pages = 0
+    var done = false
+    while (!done) {
+      val q = s"pageSize=3" + (if (token.nonEmpty) s"&pageToken=$token" else "")
+      val r = get(s"/catalog/v1/$prefix/namespaces/pgns/tables?$q")
+      assert(r.statusCode() === 200, r.body())
+      val n = json(r.body())
+      import scala.jdk.CollectionConverters._
+      seen ++= n.get("identifiers").elements().asScala.map(_.get("name").asText()).toSeq
+      pages += 1
+      Option(n.get("next-page-token")).filter(!_.isNull).map(_.asText()) match {
+        case Some(t) => token = t
+        case None => done = true
+      }
+    }
+    assert(pages === 3)
+    assert(seen === (1 to 7).map(i => s"pt$i").sorted)
+    // an unpaginated request still returns everything at once
+    val all = json(get(s"/catalog/v1/$prefix/namespaces/pgns/tables").body())
+    assert(all.get("identifiers").size() === 7 && all.get("next-page-token") == null)
+  }
+
   test("uniform error envelope carries message/type/code") {
     val err = get(s"/catalog/v1/$prefix/namespaces/ghost")
     assert(err.statusCode() === 404)
