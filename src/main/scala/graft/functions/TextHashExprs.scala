@@ -107,6 +107,17 @@ private[functions] object TextHashHelper {
     new GenericArrayData(mins)
   }
 
+  /** Distinct-shingle portable hashes (the inverted-index keys for
+    * direct n-gram Jaccard dedup); empty array when no shingles. */
+  def shingleHashes(arr: ArrayData): ArrayData = {
+    val set = shingleSet(arr)
+    val out = new Array[Long](set.size)
+    var i = 0
+    val it = set.iterator()
+    while (it.hasNext) { out(i) = h(it.next()); i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Minimum portable hash over distinct shingles (bottom-1 sketch);
     * null when no shingles. */
   def shingleMin(arr: ArrayData): Any = {
@@ -181,6 +192,25 @@ final case class MinhashSig(
   override protected def withNewChildInternal(c: Expression): MinhashSig = copy(child = c)
 }
 
+/** Distinct-shingle portable hashes of a token array — one codegen'd
+  * pass per document; the long keys feed keyed joins (no string
+  * shuffles, no window n-gram assembly). */
+final case class ShingleHashes(child: Expression)
+    extends UnaryExpression with TokArrayInput {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "shingle_hashes"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (tokOk(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes expects array<string>, got ${child.dataType.catalogString}")
+  override protected def nullSafeEval(a: Any): Any =
+    TextHashHelper.shingleHashes(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"$helperRef.shingleHashes($a)")
+  override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
+}
+
 /** Bottom-1 shingle sketch: min portable hash over distinct 3-grams;
   * null when the doc has no 3-grams. */
 final case class ShingleMin(child: Expression)
@@ -233,6 +263,7 @@ object TextHashExprs {
   def simHash60(toks: Column): Column = c(SimHash60(x(toks)))
   def minhashSig(toks: Column, a: Array[Long], b: Array[Long], p: Long): Column =
     c(MinhashSig(x(toks), a, b, p))
+  def shingleHashes(toks: Column): Column = c(ShingleHashes(x(toks)))
   def shingleMin(toks: Column): Column = c(ShingleMin(x(toks)))
   def shingleStats(a: Column, b: Column): Column = c(ShingleStats(x(a), x(b)))
 }

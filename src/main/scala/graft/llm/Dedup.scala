@@ -238,14 +238,120 @@ object Dedup {
        |FROM h
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- n-gram Jaccard
+  /** Document frequency cap for the inverted-index candidate generator:
+    * shingles appearing in more documents than this are boilerplate —
+    * near-zero dedup signal, unbounded (df²) pair fanout — and generate
+    * no candidates (the prefix-filtering insight). */
+  private[llm] val DfCap = 50
+  /** Candidate gate: a pair must share at least this many RARE shingles
+    * before the exact verify — one shared shingle is overwhelmingly
+    * coincidence on templated text and would make the verify join the
+    * bottleneck (measured at sf0.1: 1.3M one-shingle pairs vs ~10⁵ real
+    * candidates). Pairs of tiny docs (≤1 shingle) are out of near-dup
+    * scope by definition of this operator. */
+  private[llm] val MinSharedShingles = 2
+
+  /** Near-dup detection by DIRECT n-gram Jaccard (no sketching — the
+    * exact counterpart to MinHash+LSH): distinct word-3-gram shingles
+    * per doc, candidate pairs from a df-capped inverted index (only
+    * documents sharing a RARE shingle ever meet), exact Jaccard verify
+    * at ≥ 0.6. Corpus = documents ∪ near-copies (every 11th doc minus
+    * its last 2 tokens).
+    *
+    * Scale: per-shingle pair fanout is bounded by df ≤ [[DfCap]]; every
+    * stage is a keyed join/aggregation, nothing all-pairs. The shingle
+    * index keys are 60-bit portable HASHES computed by ONE codegen'd
+    * pass per document ([[graft.functions.ShingleHashes]]) — no window
+    * n-gram assembly, no string shuffle keys; the explode child is the
+    * materialized hash-array column (cheap to re-evaluate). */
+  def qDedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.explode
+    val base = load(s, dir, "documents").selectExpr("doc_id as id", s"$toksS as toks")
+    val variants = base.filter("id % 11 = 0")
+      .selectExpr("id + 3000000 as id", "slice(toks, 1, greatest(size(toks) - 2, 0)) as toks")
+    val corpus = base.unionAll(variants)
+
+    // (id, shingle-hash) rows — hashes are distinct per doc already.
+    // ONE shuffle on the shingle key serves df-capping AND pairing
+    // (same single-exchange shape as the LSH candidatePairs): a
+    // streaming window count drops non-rare shingles, the surviving
+    // posting lists (≤ DfCap ids) expand to in-list pairs via a
+    // codegen'd combination transform, and the pair re-aggregation
+    // applies the shared-shingle gate.
+    import org.apache.spark.sql.expressions.Window
+    // the repartitions are EXCHANGE BARRIERS: they materialize the
+    // computed arrays so each explode's child is a plain attribute —
+    // otherwise CollapseProject folds the hash/combination expression
+    // INTO the Generate child and it re-evaluates per OUTPUT row (the
+    // measured Generate re-evaluation trap)
+    val shingles = corpus
+      .select(col("id"), graft.functions.TextHashExprs.shingleHashes(col("toks")).as("shs"))
+      .repartition(col("id"))
+      .select(col("id"), explode(col("shs")).as("sh"))
+    val pairs = shingles
+      .withColumn("df", count(expr("*")).over(Window.partitionBy("sh")))
+      .filter(col("df") >= 2 && col("df") <= DfCap)
+      .groupBy("sh")
+      .agg(expr("sort_array(collect_list(id)) as ids"))
+      .selectExpr(
+        """flatten(transform(sequence(1, size(ids) - 1),
+          |  i -> transform(sequence(0, i - 1),
+          |    j -> named_struct('a', element_at(ids, j + 1), 'b', element_at(ids, i + 1))))) as prs""".stripMargin)
+      .repartition(col("prs"))
+      .selectExpr("explode(prs) as p")
+      .selectExpr("p.a as id_a", "p.b as id_b")
+      .groupBy("id_a", "id_b")
+      .agg(count(expr("*")).as("n_shared"))
+      .filter(col("n_shared") >= MinSharedShingles)
+      .select("id_a", "id_b")
+
+    pairs
+      .join(corpus.selectExpr("id as id_a", "toks as toks_a"), "id_a")
+      .join(corpus.selectExpr("id as id_b", "toks as toks_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        graft.functions.TextHashExprs.shingleStats(col("toks_a"), col("toks_b")).as("st"))
+      .selectExpr("id_a", "id_b",
+        "cast(st.inter as double) / (st.na + st.nb - st.inter) as jaccard")
+      .filter("jaccard >= 0.6")
+      .orderBy("id_a", "id_b")
+  }
+
+  val qDedupNgramJaccardSql: String =
+    s"""WITH base AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS toks FROM documents),
+       |corpus AS (
+       |  SELECT id, toks FROM base
+       |  UNION ALL
+       |  SELECT id + 3000000, toks[1:greatest(len(toks) - 2, 0)] FROM base WHERE id % 11 = 0),
+       |sh AS (SELECT id, $shingleD AS sh FROM corpus),
+       |shrows AS (SELECT id, unnest(sh) AS s FROM sh),
+       |rare AS (SELECT s FROM shrows GROUP BY s HAVING COUNT(*) BETWEEN 2 AND $DfCap),
+       |cand AS (
+       |  SELECT a.id AS id_a, b.id AS id_b
+       |  FROM (SELECT * FROM shrows JOIN rare USING (s)) a
+       |  JOIN (SELECT * FROM shrows JOIN rare USING (s)) b
+       |    ON a.s = b.s AND a.id < b.id
+       |  GROUP BY a.id, b.id HAVING COUNT(*) >= $MinSharedShingles),
+       |verified AS (
+       |  SELECT c.id_a, c.id_b,
+       |         len(list_filter(x.sh, q -> list_contains(y.sh, q))) AS inter,
+       |         len(x.sh) + len(y.sh) AS tot
+       |  FROM cand c JOIN sh x ON c.id_a = x.id JOIN sh y ON c.id_b = y.id)
+       |SELECT id_a, id_b, CAST(inter AS DOUBLE) / (tot - inter) AS jaccard
+       |FROM verified
+       |WHERE CAST(inter AS DOUBLE) / (tot - inter) >= 0.6
+       |ORDER BY id_a, id_b""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash_lsh" -> (qDedupMinhashLsh _),
+    "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
     "q_dedup_simhash" -> (qDedupSimhash _))
 
   val oracleSql: Map[String, String] = Map(
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_minhash_lsh" -> qDedupMinhashLshSql,
+    "q_dedup_ngram_jaccard" -> qDedupNgramJaccardSql,
     "q_dedup_simhash" -> qDedupSimhashSql)
 }

@@ -68,4 +68,16 @@ class DedupSpec extends AnyFunSuite {
     // band counts never exceed the number of bands
     assert(out.forall(r => r.getLong(2) >= 1 && r.getLong(2) <= Dedup.NumBands))
   }
+
+  test("n-gram Jaccard inverted index recovers the derived near-copies") {
+    // every 11th doc gets a truncated near-copy (id + 3000000): the
+    // df-capped inverted index must surface those pairs and the exact
+    // Jaccard verify must score them >= 0.6
+    val out = Dedup.qDedupNgramJaccard(spark, sf).collect()
+    assert(out.nonEmpty)
+    val derived = out.filter(r => r.getLong(1) == r.getLong(0) + 3000000L)
+    assert(derived.nonEmpty)
+    assert(derived.forall(r => r.getLong(0) % 11 == 0))
+    assert(out.forall(_.getDouble(2) >= 0.6))
+  }
 }
