@@ -45,7 +45,8 @@ final class JdbcCatalogStore(jdbcUrl: String) extends CatalogStore {
           |  name VARCHAR(255) NOT NULL,
           |  location VARCHAR(2048) NOT NULL,
           |  active BOOLEAN NOT NULL,
-          |  props CLOB NOT NULL)""".stripMargin,
+          |  props CLOB NOT NULL,
+          |  CONSTRAINT wh_name_uniq UNIQUE (project_id, name))""".stripMargin,
         """CREATE TABLE namespaces(
           |  wh VARCHAR(36) NOT NULL,
           |  id VARCHAR(36) NOT NULL,
@@ -73,6 +74,14 @@ final class JdbcCatalogStore(jdbcUrl: String) extends CatalogStore {
     try f(c) finally c.close()
   }
 
+  /** Concurrent check-then-act creators race to the DB's unique/primary
+    * key; the loser's duplicate-key violation (SQLState 23505) maps to
+    * the contract's 409 rather than surfacing as a 500. */
+  private def onDuplicate[A](conflict: => CatalogError)(body: => Either[CatalogError, A])
+      : Either[CatalogError, A] =
+    try body
+    catch { case e: java.sql.SQLException if e.getSQLState == "23505" => Left(conflict) }
+
   // ------------------------------------------------------- management
   def createWarehouse(projectId: UUID, name: String, location: String,
       properties: Map[String, String]): Either[CatalogError, Warehouse] = withConn { c =>
@@ -81,7 +90,8 @@ final class JdbcCatalogStore(jdbcUrl: String) extends CatalogStore {
       Seq(projectId.toString, name))(_ => ()).nonEmpty)
       Left(conflict("WarehouseAlreadyExists",
         s"warehouse $name already exists in project $projectId"))
-    else {
+    else onDuplicate[Warehouse](conflict("WarehouseAlreadyExists",
+      s"warehouse $name already exists in project $projectId")) {
       val w = Warehouse(UUID.randomUUID(), projectId, name,
         location.stripSuffix("/"), active = true, properties)
       update(c, "INSERT INTO warehouses VALUES (?,?,?,?,?,?)", Seq(
@@ -131,7 +141,8 @@ final class JdbcCatalogStore(jdbcUrl: String) extends CatalogStore {
             "SELECT id FROM warehouses WHERE project_id = ? AND name = ? AND id <> ?",
             Seq(w.projectId.toString, newName, id.toString))(_ => ()).nonEmpty)
             Left(conflict("WarehouseAlreadyExists", s"warehouse $newName already exists"))
-          else {
+          else onDuplicate[Warehouse](conflict("WarehouseAlreadyExists",
+            s"warehouse $newName already exists")) {
             update(c, "UPDATE warehouses SET name = ? WHERE id = ?",
               Seq(newName, id.toString))
             Right(w.copy(name = newName))
@@ -178,7 +189,7 @@ final class JdbcCatalogStore(jdbcUrl: String) extends CatalogStore {
   // ------------------------------------------------------- namespaces
   def createNamespace(wh: UUID, name: Seq[String], props: Map[String, String])
       : Either[CatalogError, NamespaceRecord] = withConn { c =>
-    for {
+    val checks = for {
       _ <- activeWarehouse(c, wh)
       _ <- validateNamespaceName(name)
       _ <- validateNamespaceProps(props.keys)
@@ -186,11 +197,16 @@ final class JdbcCatalogStore(jdbcUrl: String) extends CatalogStore {
         Left(conflict("NamespaceAlreadyExists",
           s"namespace ${name.mkString(".")} already exists"))
       else Right(())
-    } yield {
-      val rec = NamespaceRecord(UUID.randomUUID(), name, props)
-      update(c, "INSERT INTO namespaces VALUES (?,?,?,?)",
-        Seq(wh.toString, rec.id.toString, encodeNs(name), toJson(props)))
-      rec
+    } yield ()
+    checks match {
+      case Left(e) => Left(e)
+      case Right(_) => onDuplicate[NamespaceRecord](conflict("NamespaceAlreadyExists",
+        s"namespace ${name.mkString(".")} already exists")) {
+        val rec = NamespaceRecord(UUID.randomUUID(), name, props)
+        update(c, "INSERT INTO namespaces VALUES (?,?,?,?)",
+          Seq(wh.toString, rec.id.toString, encodeNs(name), toJson(props)))
+        Right(rec)
+      }
     }
   }
 
@@ -323,11 +339,23 @@ final class JdbcCatalogStore(jdbcUrl: String) extends CatalogStore {
         }
       val rec = TableRecord(tableId, ns, name, metadata, metadataLocation, location)
       // stage-create upsert over an existing staged row (reference ON
-      // CONFLICT ... DO UPDATE WHERE metadata_location IS NULL)
-      if (existing.isDefined)
-        update(c, "DELETE FROM tbls WHERE wh = ? AND ns = ? AND name = ?",
-          Seq(wh.toString, encodeNs(ns), name))
-      insertTable(c, wh, rec)
+      // CONFLICT ... DO UPDATE WHERE metadata_location IS NULL) —
+      // delete+insert run in ONE transaction so a crash or race never
+      // loses the row; a concurrent create racing to the PK maps to 409
+      c.setAutoCommit(false)
+      try {
+        if (existing.isDefined)
+          update(c, "DELETE FROM tbls WHERE wh = ? AND ns = ? AND name = ?",
+            Seq(wh.toString, encodeNs(ns), name))
+        insertTable(c, wh, rec)
+        c.commit()
+      } catch {
+        case e: java.sql.SQLException if e.getSQLState == "23505" =>
+          c.rollback()
+          throw CatalogError.conflict("TableAlreadyExists",
+            s"table $name already exists")
+        case e: Throwable => c.rollback(); throw e
+      } finally c.setAutoCommit(true)
       rec
     }
   }
@@ -375,7 +403,7 @@ final class JdbcCatalogStore(jdbcUrl: String) extends CatalogStore {
 
   def renameTable(wh: UUID, source: TableIdent, dest: TableIdent)
       : Either[CatalogError, Unit] = withConn { c =>
-    for {
+    val checks = for {
       _ <- activeWarehouse(c, wh)
       _ <- tableRow(c, wh, source).filter(!_.staged)
         .toRight(notFound("TableNotFound", s"table ${source.name} not found"))
@@ -384,11 +412,16 @@ final class JdbcCatalogStore(jdbcUrl: String) extends CatalogStore {
       _ <- if (tableRow(c, wh, dest).exists(!_.staged))
         Left(conflict("TableAlreadyExists", s"table ${dest.name} already exists"))
       else Right(())
-    } yield {
-      update(c, "UPDATE tbls SET ns = ?, name = ? WHERE wh = ? AND ns = ? AND name = ?",
-        Seq(encodeNs(dest.namespace), dest.name, wh.toString,
-          encodeNs(source.namespace), source.name))
-      ()
+    } yield ()
+    checks match {
+      case Left(e) => Left(e)
+      case Right(_) => onDuplicate[Unit](conflict("TableAlreadyExists",
+        s"table ${dest.name} already exists")) {
+        update(c, "UPDATE tbls SET ns = ?, name = ? WHERE wh = ? AND ns = ? AND name = ?",
+          Seq(encodeNs(dest.namespace), dest.name, wh.toString,
+            encodeNs(source.namespace), source.name))
+        Right(())
+      }
     }
   }
 
@@ -471,11 +504,16 @@ final class JdbcCatalogStore(jdbcUrl: String) extends CatalogStore {
   def tableByLocation(wh: UUID, location: String): Either[CatalogError, TableRecord] =
     withConn { c =>
       activeWarehouse(c, wh).flatMap { _ =>
+        // prefix-match on the slim identity columns only; the metadata
+        // CLOB of the single winner is parsed afterwards — the lookup
+        // never deserializes the warehouse's whole metadata
         query(c,
-          "SELECT * FROM tbls WHERE wh = ? AND metadata_location IS NOT NULL",
-          Seq(wh.toString))(readTable)
-          .filter(rec => location.startsWith(rec.tableLocation))
-          .sortBy(-_.tableLocation.length).headOption
+          "SELECT ns, name, table_location FROM tbls WHERE wh = ? AND metadata_location IS NOT NULL",
+          Seq(wh.toString))(rs => (rs.getString(1), rs.getString(2), rs.getString(3)))
+          .filter { case (_, _, loc) => location.startsWith(loc) }
+          .sortBy { case (_, _, loc) => -loc.length }.headOption
+          .flatMap { case (ns, name, _) =>
+            tableRow(c, wh, TableIdent(decodeNs(ns), name)) }
           .toRight(notFound("TableNotFound", s"no table owns location $location"))
       }
     }

@@ -544,10 +544,18 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
   private[engine] def dropPartitionField(ti: TableIdent, refSql: String): Unit = {
     import graft.core.TableUpdate
     val m = client.loadTable(prefix, ti).metadata
-    val target = PartitionFieldSql.parse(refSql, m.currentSchema)
-    val remaining = m.defaultSpec.fields.filterNot(f =>
-      f.name == target.name ||
-        (f.sourceId == target.sourceId && f.transform == target.transform))
+    // drop-by-FIELD-NAME first (covers derived names like `id_bucket`
+    // that are not schema columns); fall back to transform parsing
+    val bare = refSql.trim.stripPrefix("`").stripSuffix("`")
+    val remaining =
+      if (m.defaultSpec.fields.exists(_.name == bare))
+        m.defaultSpec.fields.filterNot(_.name == bare)
+      else {
+        val target = PartitionFieldSql.parse(refSql, m.currentSchema)
+        m.defaultSpec.fields.filterNot(f =>
+          f.name == target.name ||
+            (f.sourceId == target.sourceId && f.transform == target.transform))
+      }
     require(remaining.size < m.defaultSpec.fields.size,
       s"no partition field matches: $refSql")
     client.commitTable(prefix, ti, Nil, Seq(
@@ -611,8 +619,11 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
 
     /** Row-lineage metadata columns — the SupportsDelta row id. Served
       * by [[GraftScanBuilder]] (row-level operation scans and MoR
-      * reads); the plain parquet delegate never sees them because no
-      * normal query plan requests them. */
+      * reads). Known limitation: a user query that explicitly projects
+      * `_file`/`_pos` on a snapshot WITHOUT delete files routes to the
+      * parquet delegate, which cannot produce them, and fails to plan —
+      * the row-level framework (their actual consumer) always uses the
+      * graft builder, so DML is unaffected. */
     override def metadataColumns(): Array[MetadataColumn] = Array(
       GraftSparkCatalog.metaCol(GraftTable.FileCol,
         org.apache.spark.sql.types.StringType),

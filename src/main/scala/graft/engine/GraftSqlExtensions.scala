@@ -63,8 +63,20 @@ object GraftSqlParser {
     case _ => None
   }
 
-  private def parts(ident: String): Seq[String] =
-    ident.split('.').map(_.stripPrefix("`").stripSuffix("`")).toSeq
+  /** Split a multipart identifier on dots OUTSIDE backticks, then
+    * strip the quoting — `` cat.`my.db`.t `` → Seq(cat, my.db, t). */
+  private def parts(ident: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var quoted = false
+    ident.foreach {
+      case '`' => quoted = !quoted
+      case '.' if !quoted => out += cur.toString; cur.clear()
+      case ch => cur.append(ch)
+    }
+    out += cur.toString
+    out.result()
+  }
 }
 
 /** `<transform sql>` → an unbound partition field, with the same field

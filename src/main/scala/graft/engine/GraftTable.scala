@@ -336,10 +336,19 @@ final class GraftTable(
       manifestLoc,
       Map(
         "operation" -> operation,
+        // DATA files/rows only — delete files are subtractions, not
+        // content (delete shards are homogeneous, so entry-level
+        // hasDeletes separates them exactly; legacy mixed entries
+        // over-count until compaction)
         "total-data-files" ->
-          (carried.map(_.fileCount).sum + files.size).toString,
+          (carried.filterNot(_.hasDeletes).map(_.fileCount).sum +
+            files.count(!_.isDeleteFile)).toString,
         "total-records" ->
-          (carried.map(_.rowCount).sum + files.map(_.recordCount).sum).toString) ++
+          (carried.filterNot(_.hasDeletes).map(_.rowCount).sum +
+            files.filterNot(_.isDeleteFile).map(_.recordCount).sum).toString,
+        "total-delete-files" ->
+          (carried.filter(_.hasDeletes).map(_.fileCount).sum +
+            files.count(_.isDeleteFile)).toString) ++
         extraSummary,
       Some(cur.currentSchemaId))
     val refType =

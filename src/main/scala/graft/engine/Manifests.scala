@@ -96,11 +96,19 @@ object Manifests {
       carried: Seq[ManifestEntry],
       newFiles: Seq[DataFile]): String = {
     val groups: Seq[(Option[Map[String, String]], Seq[DataFile])] = {
-      val byTuple = newFiles.groupBy(_.partition).toSeq.sortBy(_._1.toSeq.sorted.mkString)
-      if (byTuple.size <= MaxShardsPerCommit) byTuple.map { case (p, fs) => (Some(p), fs) }
+      // shards are homogeneous: delete files never share a shard with
+      // data files, so a list entry's hasDeletes describes ALL its
+      // files (summary accounting and always-read behavior stay exact)
+      val byTuple = newFiles.groupBy(f => (f.isDeleteFile, f.partition)).toSeq
+        .sortBy { case ((d, p), _) => (d, p.toSeq.sorted.mkString) }
+      if (byTuple.size <= MaxShardsPerCommit)
+        byTuple.map { case ((_, p), fs) => (Some(p), fs) }
       else {
-        val (kept, overflow) = byTuple.splitAt(MaxShardsPerCommit - 1)
-        kept.map { case (p, fs) => (Some(p), fs) } :+
+        val (deletes, datas) = byTuple.partition(_._1._1)
+        val (kept, overflow) = datas.splitAt(
+          math.max(MaxShardsPerCommit - 1 - deletes.size, 0))
+        deletes.map { case ((_, p), fs) => (Some(p), fs) } ++
+          kept.map { case ((_, p), fs) => (Some(p), fs) } :+
           (None, overflow.flatMap(_._2))
       }
     }

@@ -177,8 +177,24 @@ object ParquetBatchWrite {
       rowCounts(partition) = rowCounts.getOrElse(partition, 0L) + 1
     }
 
+    private var closed = false
+
+    /** Close exactly once: a failure after commitFiles() closed the
+      * writers triggers abort(), which must not double-close (masking
+      * the original exception) nor stop at the first failing close. */
+    private def closeAll(): Unit = {
+      if (closed) return
+      closed = true
+      var first: Throwable = null
+      writers.values.foreach { w =>
+        try w.close()
+        catch { case t: Throwable => if (first == null) first = t }
+      }
+      if (first != null) throw first
+    }
+
     def commitFiles(): Seq[WrittenFile] = {
-      writers.values.foreach(_.close())
+      closeAll()
       paths.toSeq.map { case (partition, path) =>
         val p = new org.apache.hadoop.fs.Path(path)
         val bytes = p.getFileSystem(conf.value).getFileStatus(p).getLen
@@ -186,7 +202,7 @@ object ParquetBatchWrite {
       }
     }
 
-    def abort(): Unit = writers.values.foreach(_.close())
+    def abort(): Unit = closeAll()
   }
 
   private final class Factory(

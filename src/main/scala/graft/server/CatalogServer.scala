@@ -90,8 +90,13 @@ final class CatalogServer(
       : (Seq[A], Option[String]) = {
     val params = queryParams(ex)
     val size = params.get("pageSize").flatMap(_.toIntOption).filter(_ > 0)
-    val after = params.get("pageToken").filter(_.nonEmpty).map(t =>
-      new String(java.util.Base64.getUrlDecoder.decode(t), StandardCharsets.UTF_8))
+    val after = params.get("pageToken").filter(_.nonEmpty).map { t =>
+      val decoded =
+        try java.util.Base64.getUrlDecoder.decode(t)
+        catch { case _: IllegalArgumentException =>
+          throw CatalogError.badRequest(s"malformed pageToken: $t") }
+      new String(decoded, StandardCharsets.UTF_8)
+    }
     val fromStart = after.fold(items)(a => items.dropWhile(key(_) <= a))
     size match {
       case None => (fromStart, None)

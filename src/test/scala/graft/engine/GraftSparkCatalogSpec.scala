@@ -532,6 +532,12 @@ class GraftSparkCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql(s"ALTER TABLE $cat.pf.t DROP PARTITION FIELD bucket(16, id)")
     assert(spec.fields.map(_.name) === Seq("cat", "cat_trunc"))
 
+    // drop by the partition FIELD NAME works too (derived names like
+    // cat_trunc are not schema columns)
+    spark.sql(s"ALTER TABLE $cat.pf.t ADD PARTITION FIELD bucket(8, id)")
+    spark.sql(s"ALTER TABLE $cat.pf.t DROP PARTITION FIELD id_bucket")
+    assert(spec.fields.map(_.name) === Seq("cat", "cat_trunc"))
+
     // writes AFTER the evolution carry the new spec's tuples
     spark.sql(s"INSERT INTO $cat.pf.t VALUES (1, 'abcdef', 1.0)")
     val t = new GraftTable(client, prefix, TableIdent(Seq("pf"), "t"))
