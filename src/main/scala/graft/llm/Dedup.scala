@@ -285,8 +285,9 @@ object Dedup {
     // otherwise CollapseProject folds the hash/combination expression
     // INTO the Generate child and it re-evaluates per OUTPUT row (the
     // measured Generate re-evaluation trap)
-    val shingles = corpus
+    val hashed = corpus
       .select(col("id"), graft.functions.TextHashExprs.shingleHashes(col("toks")).as("shs"))
+    val shingles = hashed
       .repartition(col("id"))
       .select(col("id"), explode(col("shs")).as("sh"))
     val pairs = shingles
@@ -306,13 +307,18 @@ object Dedup {
       .filter(col("n_shared") >= MinSharedShingles)
       .select("id_a", "id_b")
 
+    // exact-Jaccard verify on the HASH sets (no re-hashing per pair —
+    // array_intersect over longs; 60-bit hashes make collisions
+    // negligible, so values equal the string-set Jaccard the oracle
+    // computes)
     pairs
-      .join(corpus.selectExpr("id as id_a", "toks as toks_a"), "id_a")
-      .join(corpus.selectExpr("id as id_b", "toks as toks_b"), "id_b")
-      .select(col("id_a"), col("id_b"),
-        graft.functions.TextHashExprs.shingleStats(col("toks_a"), col("toks_b")).as("st"))
+      .join(hashed.selectExpr("id as id_a", "shs as shs_a"), "id_a")
+      .join(hashed.selectExpr("id as id_b", "shs as shs_b"), "id_b")
       .selectExpr("id_a", "id_b",
-        "cast(st.inter as double) / (st.na + st.nb - st.inter) as jaccard")
+        "size(array_intersect(shs_a, shs_b)) as inter",
+        "size(shs_a) + size(shs_b) as tot")
+      .selectExpr("id_a", "id_b",
+        "cast(inter as double) / (tot - inter) as jaccard")
       .filter("jaccard >= 0.6")
       .orderBy("id_a", "id_b")
   }
