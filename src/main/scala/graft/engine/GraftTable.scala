@@ -161,19 +161,30 @@ final class GraftTable(
   }
 
   /** MERGE INTO (upsert form: WHEN MATCHED UPDATE SET *, WHEN NOT
-    * MATCHED INSERT * — the shape reference test_spark.py:64-81 runs).
-    * Copy-on-write: rewrites the table as (unmatched target) ∪ source.
-    * At scale both sides shuffle on the key; Catalyst plans the join —
-    * a MoR path (delete files) is the upgrade, not a different API. */
+    * MATCHED INSERT * — the shape reference test_spark.py:64-81 runs)
+    * as a DELTA: matched target rows become position-delete records
+    * (their `(_file, _pos)` addresses from the lineage-bearing scan),
+    * the source lands as new data files, and the commit carries every
+    * untouched file over — O(source + matched) work, never an O(table)
+    * rewrite. Same shape as the SQL MERGE path (SupportsDelta). */
   def upsert(spark: SparkSession, source: DataFrame, keys: Seq[String]): TableMetadata = {
     val m = metadata
     val base = m.currentSnapshotId
-    val target = scan(spark)
-    val cols = target.columns.toSeq
-    val joinCond = keys.map(k => target(k) <=> source(k)).reduce(_ && _)
-    val merged = target.join(source, joinCond, "left_anti")
-      .unionByName(source.select(cols.map(c => col(c)): _*))
-    overwriteAll(merged, base)
+    val cols = m.currentSchema.fields.map(_.name)
+    val aligned = source.select(cols.map(c => col(c)): _*)
+    val deleteFiles = m.currentSnapshot.toSeq.flatMap { snap =>
+      val target = GraftTable.readFiles(
+        spark, m.currentSchema, Manifests.read(snap.manifestList), lineage = true)
+      val joinCond = keys.map(k => target(k) <=> source(k)).reduce(_ && _)
+      val matched = target.join(source, joinCond, "left_semi")
+        .select(col(GraftTable.FileCol).as("file_path"),
+          col(GraftTable.PosCol).as("pos"))
+      val deleteDir = s"${m.location}/deletes/${UUID.randomUUID()}"
+      GraftTable.toDataFiles(ParquetBatchWrite.writeJob(matched, deleteDir, None))
+        .map(_.copy(content = Manifests.ContentPositionDeletes))
+    }
+    val dataFiles = writeDataFiles(aligned)
+    commitDelta(deleteFiles ++ dataFiles, "merge", base)
   }
 
   /** DELETE FROM (copy-on-write): rewrite without the matching rows.

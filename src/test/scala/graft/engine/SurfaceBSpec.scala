@@ -123,11 +123,17 @@ class SurfaceBSpec extends AnyFunSuite with BeforeAndAfterAll {
     val t = table("t_merge")
     t.append(Seq((1, "a", 1.0), (2, "b", 2.0)).toDF("id", "strings", "floats"))
 
+    val dataBefore = t.planFiles().filterNot(_.isDeleteFile).map(_.path).toSet
     t.upsert(spark,
       Seq((2, "b2", 2.5), (3, "c", 3.0)).toDF("id", "strings", "floats"),
       keys = Seq("id"))
     assert(rows(t) === Set((1, "a", 1.0), (2, "b2", 2.5), (3, "c", 3.0)))
-    assert(t.metadata.currentSnapshot.get.summary("operation") === "overwrite")
+    assert(t.metadata.currentSnapshot.get.summary("operation") === "merge")
+    // delta shape: the pre-merge data files carry over untouched; the
+    // matched row is masked by a position-delete file
+    val after = t.planFiles()
+    assert(dataBefore.subsetOf(after.map(_.path).toSet))
+    assert(after.exists(_.isPositionDeleteFile))
   }
 
   test("DELETE FROM rewrites without matching rows") {
