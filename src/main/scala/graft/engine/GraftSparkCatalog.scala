@@ -658,6 +658,13 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
           return
         case None => () // condition not equality-shaped: fall through to CoW
       }
+      // unconditioned DELETE = truncate: metadata-only, no per-row
+      // delete records
+      if (filters.isEmpty ||
+          filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])) {
+        table.truncate()
+        return
+      }
       val cond = FilterBridge.translateAll(filters).getOrElse(
         throw new UnsupportedOperationException(
           s"untranslatable delete condition: ${filters.mkString(", ")}"))

@@ -187,15 +187,38 @@ final class GraftTable(
     commitDelta(deleteFiles ++ dataFiles, "merge", base)
   }
 
-  /** DELETE FROM (copy-on-write): rewrite without the matching rows.
-    * SQL DELETE removes rows where the condition is TRUE; rows where it
-    * evaluates NULL must SURVIVE — `!condition` alone would turn NULL
-    * into NULL and drop them, so the kept set is `NOT coalesce(cond,
-    * false)`. */
+  /** DELETE FROM ... WHERE (delta): matching rows become position-
+    * delete records addressed by the lineage-bearing scan — O(matched
+    * rows) written, untouched files carried over, never an O(table)
+    * rewrite. SQL DELETE removes rows where the condition is TRUE; rows
+    * where it evaluates NULL survive (`coalesce(cond, false)`). A
+    * no-match delete commits nothing. Compaction materializes the
+    * deletes away. */
   def deleteWhere(spark: SparkSession, condition: Column): TableMetadata = {
     val m = metadata
-    val remaining = scan(spark).filter(!coalesce(condition, lit(false)))
-    overwriteAll(remaining, m.currentSnapshotId, operation = "delete")
+    val base = m.currentSnapshotId
+    m.currentSnapshot match {
+      case None => m
+      case Some(snap) =>
+        val target = GraftTable.readFiles(
+          spark, m.currentSchema, Manifests.read(snap.manifestList), lineage = true)
+        val matched = target.filter(coalesce(condition, lit(false)))
+          .select(col(GraftTable.FileCol).as("file_path"),
+            col(GraftTable.PosCol).as("pos"))
+        val dir = s"${m.location}/deletes/${UUID.randomUUID()}"
+        val deleteFiles = GraftTable
+          .toDataFiles(ParquetBatchWrite.writeJob(matched, dir, None))
+          .map(_.copy(content = Manifests.ContentPositionDeletes))
+        if (deleteFiles.isEmpty) m
+        else commitDelta(deleteFiles, "delete", base)
+    }
+  }
+
+  /** DELETE FROM with no predicate (truncate): metadata-only commit of
+    * an empty content set — no delete records, no rewrite. */
+  def truncate(): TableMetadata = {
+    val m = metadata
+    commitFiles(Nil, "delete", m.currentSnapshotId)
   }
 
   /** DELETE (merge-on-read): write the distinct key tuples of

@@ -147,19 +147,27 @@ class GraftSparkCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql(s"SELECT * FROM $cat.a.t").columns.toSeq === Seq("id", "label"))
   }
 
-  test("SQL DELETE FROM rewrites through the commit path") {
+  test("SQL DELETE FROM commits position-delete deltas; no-WHERE is a truncate") {
     spark.sql(s"CREATE NAMESPACE $cat.d")
     spark.sql(s"CREATE TABLE $cat.d.t (id INT, s STRING)")
     spark.sql(s"INSERT INTO $cat.d.t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    val t = new GraftTable(client, prefix, TableIdent(Seq("d"), "t"))
+    val dataBefore = t.planFiles().map(_.path).toSet
 
     spark.sql(s"DELETE FROM $cat.d.t WHERE id = 2 OR s = 'c'")
     assert(spark.sql(s"SELECT id FROM $cat.d.t").collect().map(_.getInt(0)).toSeq === Seq(1))
     val m = client.loadTable(prefix, TableIdent(Seq("d"), "t")).metadata
     assert(m.currentSnapshot.get.summary("operation") === "delete")
+    // data files carried over untouched; matches masked by pos-deletes
+    val after = t.planFiles()
+    assert(dataBefore.subsetOf(after.map(_.path).toSet))
+    assert(after.exists(_.isPositionDeleteFile))
 
-    // delete everything (no WHERE) still leaves a scannable empty table
+    // delete everything (no WHERE) = metadata-only truncate: zero
+    // delete records written, still a scannable empty table
     spark.sql(s"DELETE FROM $cat.d.t")
     assert(spark.sql(s"SELECT * FROM $cat.d.t").count() === 0)
+    assert(t.planFiles().isEmpty)
   }
 
   test("DELETE keeps rows whose condition evaluates NULL (SQL semantics)") {

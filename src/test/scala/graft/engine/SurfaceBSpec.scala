@@ -136,7 +136,7 @@ class SurfaceBSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after.exists(_.isPositionDeleteFile))
   }
 
-  test("DELETE FROM rewrites without matching rows") {
+  test("DELETE FROM masks matching rows with position-delete records") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
     val t = table("t_del")
