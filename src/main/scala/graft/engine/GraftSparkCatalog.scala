@@ -30,12 +30,14 @@ import scala.jdk.CollectionConverters._
   *
   * Reads resolve the current snapshot's file list from the manifest and
   * hand it to the builtin parquet source, so SQL scans get the full
-  * pushdown/pruning machinery. Every SQL write form routes through the
-  * snapshot-commit protocol: INSERT INTO / INSERT OVERWRITE / CTAS via
-  * the V1 insert bridge into [[GraftTable]], DELETE FROM via
-  * SupportsDelete (copy-on-write rewrite), MERGE INTO / UPDATE via the
-  * row-level-operation framework backed by the distributed
-  * [[ParquetBatchWrite]], and ALTER TABLE as guarded metadata commits.
+  * pushdown/pruning machinery (MoR snapshots read through
+  * [[GraftScanBuilder]], which keeps pushdown). Every SQL write form
+  * routes through the snapshot-commit protocol: INSERT INTO / INSERT
+  * OVERWRITE / CTAS via the V1 insert bridge into [[GraftTable]],
+  * DELETE FROM via SupportsDelete (position-delete deltas; truncate is
+  * metadata-only; equality deletes under merge-on-read mode), MERGE
+  * INTO / UPDATE as SupportsDelta row-level operations backed by
+  * [[GraftDeltaWrite]], and ALTER TABLE as guarded metadata commits.
   * Time-travel loads stay read-only.
   */
 class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
