@@ -211,6 +211,25 @@ class GraftSparkCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql(s"SELECT id FROM $cat.md.t").collect().map(_.getInt(0)).toSeq === Seq(1))
   }
 
+  test("DELETE with a subquery runs through the delta row-level path") {
+    import spark.implicits._
+    spark.sql(s"CREATE NAMESPACE $cat.ds")
+    spark.sql(s"CREATE TABLE $cat.ds.t (id INT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.ds.t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    Seq(2, 3).toDF("id").createOrReplaceTempView("ds_kill")
+    val t = new GraftTable(client, prefix, TableIdent(Seq("ds"), "t"))
+    val before = t.planFiles().map(_.path).toSet
+
+    // IN-subquery is not translatable to source filters, so Spark plans
+    // the SupportsDelta rewrite: row ids become position-delete records
+    spark.sql(s"DELETE FROM $cat.ds.t WHERE id IN (SELECT id FROM ds_kill)")
+    assert(spark.sql(s"SELECT id FROM $cat.ds.t").collect().map(_.getInt(0)).toSeq === Seq(1))
+    val after = t.planFiles()
+    assert(before.subsetOf(after.map(_.path).toSet))
+    assert(after.exists(_.isPositionDeleteFile))
+    assert(t.metadata.currentSnapshot.get.summary("operation") === "delete")
+  }
+
   test("MoR snapshot scans keep predicate pushdown and column pruning") {
     spark.sql(s"CREATE NAMESPACE $cat.mp")
     spark.sql(s"CREATE TABLE $cat.mp.t (id INT, v STRING, w STRING) " +
