@@ -28,7 +28,11 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   */
 final class GraftScanBuilder(
     coreSchema: Schema,
-    listing: Seq[Manifests.DataFile])
+    listing: Seq[Manifests.DataFile],
+    /** pushed filters → file keeper: the listing is pruned by manifest
+      * column stats + partition tuples before any file is read
+      * ([[StatsPruning]]); delete files always survive */
+    keeper: Seq[Filter] => Manifests.DataFile => Boolean = _ => _ => true)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
@@ -67,7 +71,9 @@ final class GraftScanBuilder(
           val spark = SparkSession.active
           val needsLineage = out.fieldNames.exists(n =>
             n == GraftTable.FileCol || n == GraftTable.PosCol)
-          var df = GraftTable.readFiles(spark, coreSchema, listing,
+          val kept =
+            if (filters.isEmpty) listing else listing.filter(keeper(filters))
+          var df = GraftTable.readFiles(spark, coreSchema, kept,
             lineage = needsLineage)
           filters.flatMap(FilterBridge.translate).foreach(c => df = df.filter(c))
           df.select(out.fieldNames.toIndexedSeq.map(col): _*).rdd

@@ -129,13 +129,38 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     val listing = snapshot.map(s => Manifests.read(s.manifestList)).getOrElse(Nil)
     val spark = SparkSession.active
     val fullName = s"$catalogName.${i.namespace().mkString(".")}.${i.name()}"
-    val delegate = GraftShims.parquetTable(
-      i.name(), spark, listing.filterNot(_.isDeleteFile).map(_.path), schema)
+    val pruning = new SnapshotPruning(m, coreSchema, listing)
+    val delegate = GraftShims.prunedParquetTable(
+      i.name(), spark,
+      listing.filterNot(_.isDeleteFile).map(f => (f.path, f.sizeBytes)),
+      schema, pruning.pathKeeper)
     // time-travel loads are read-only: you can't INSERT into the past
     if (version.isDefined)
-      new ReadOnlyTable(fullName, delegate, schema, coreSchema, listing, m.properties)
+      new ReadOnlyTable(fullName, delegate, schema, coreSchema, listing,
+        m.properties, pruning)
     else new WritableTable(fullName, ident(i), delegate, schema,
-      coreSchema, listing, m.properties)
+      coreSchema, listing, m.properties, pruning)
+  }
+
+  /** Filter-driven file skipping for one snapshot: evaluates pushed
+    * predicates against manifest column stats + partition tuples
+    * ([[StatsPruning]]), exposed file-keyed (MoR / row-level scans)
+    * and path-keyed (the delegate's [[GraftShims.prunedParquetTable]]
+    * file index). */
+  private final class SnapshotPruning(
+      m: graft.core.TableMetadata,
+      coreSchema: graft.core.Schema,
+      listing: Seq[Manifests.DataFile]) {
+    private val parts = StatsPruning.partFields(m.partitionSpecs.values)
+    private val byPath = listing.iterator.map(f => f.path -> f).toMap
+    def fileKeeper(filters: Seq[org.apache.spark.sql.sources.Filter])
+        : Manifests.DataFile => Boolean =
+      StatsPruning.keeper(coreSchema, parts, filters)
+    def pathKeeper(filters: Seq[org.apache.spark.sql.sources.Filter])
+        : String => Boolean = {
+      val keep = fileKeeper(filters)
+      p => byPath.get(p).forall(keep)
+    }
   }
 
   /** Iceberg-style identifier suffixes on a table name: metadata tables
@@ -164,16 +189,18 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
         // branch/tag reads use the table's CURRENT schema (files
         // resolve by field id), matching Iceberg's ref-read semantics
         val schema = SchemaBridge.toSpark(m.currentSchema)
-        val delegate = GraftShims.parquetTable(i.name(), SparkSession.active,
-          listing.filterNot(_.isDeleteFile).map(_.path), schema)
+        val pruning = new SnapshotPruning(m, m.currentSchema, listing)
+        val delegate = GraftShims.prunedParquetTable(i.name(), SparkSession.active,
+          listing.filterNot(_.isDeleteFile).map(f => (f.path, f.sizeBytes)),
+          schema, pruning.pathKeeper)
         // branches accept SQL INSERT / INSERT OVERWRITE (committed on
         // the branch ref, main untouched); tags are immutable
         if (name.startsWith("branch_"))
           new BranchTable(fullName, baseIdent, refName, delegate, schema,
-            m.currentSchema, listing, m.properties)
+            m.currentSchema, listing, m.properties, pruning)
         else
           new ReadOnlyTable(fullName, delegate, schema, m.currentSchema,
-            listing, m.properties)
+            listing, m.properties, pruning)
       }
     } else None
   }
@@ -187,7 +214,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       tableName: String, tid: TableIdent, branch: String,
       delegate: Table, tableSchema: StructType,
       coreSchema: graft.core.Schema, listing: Seq[Manifests.DataFile],
-      props: Map[String, String])
+      props: Map[String, String], pruning: SnapshotPruning)
       extends Table with SupportsRead with SupportsWrite {
     override def name(): String = tableName
     override def schema(): StructType = tableSchema
@@ -198,7 +225,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
         TableCapability.V1_BATCH_WRITE,
         TableCapability.TRUNCATE)
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-      if (listing.exists(_.isDeleteFile)) new GraftScanBuilder(coreSchema, listing)
+      if (listing.exists(_.isDeleteFile))
+        new GraftScanBuilder(coreSchema, listing, pruning.fileKeeper)
       else delegate.asInstanceOf[SupportsRead].newScanBuilder(options)
 
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -583,7 +611,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
   private final class ReadOnlyTable(
       tableName: String, delegate: Table, tableSchema: StructType,
       coreSchema: graft.core.Schema, listing: Seq[Manifests.DataFile],
-      props: Map[String, String])
+      props: Map[String, String], pruning: SnapshotPruning)
       extends Table with SupportsRead {
     override def name(): String = tableName
     override def schema(): StructType = tableSchema
@@ -591,7 +619,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     override def capabilities(): util.Set[TableCapability] =
       util.EnumSet.of(TableCapability.BATCH_READ)
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-      if (listing.exists(_.isDeleteFile)) new GraftScanBuilder(coreSchema, listing)
+      if (listing.exists(_.isDeleteFile))
+        new GraftScanBuilder(coreSchema, listing, pruning.fileKeeper)
       else delegate.asInstanceOf[SupportsRead].newScanBuilder(options)
   }
 
@@ -606,7 +635,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
   private final class WritableTable(
       tableName: String, tid: TableIdent, delegate: Table, tableSchema: StructType,
       coreSchema: graft.core.Schema, listing: Seq[Manifests.DataFile],
-      props: Map[String, String])
+      props: Map[String, String], pruning: SnapshotPruning)
       extends Table with SupportsRead with SupportsWrite with SupportsDelete
       with SupportsRowLevelOperations with SupportsMetadataColumns {
     override def name(): String = tableName
@@ -633,7 +662,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
         org.apache.spark.sql.types.LongType))
 
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-      if (listing.exists(_.isDeleteFile)) new GraftScanBuilder(coreSchema, listing)
+      if (listing.exists(_.isDeleteFile))
+        new GraftScanBuilder(coreSchema, listing, pruning.fileKeeper)
       else delegate.asInstanceOf[SupportsRead].newScanBuilder(options)
 
     // SQL DELETE FROM ... WHERE: copy-on-write rewrite through the
@@ -670,7 +700,9 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       val cond = FilterBridge.translateAll(filters).getOrElse(
         throw new UnsupportedOperationException(
           s"untranslatable delete condition: ${filters.mkString(", ")}"))
-      table.deleteWhere(spark, cond)
+      // the match-finding scan prunes files by stats/partitions first:
+      // a selective DELETE reads candidate files, not the table
+      table.deleteWhere(spark, cond, pruning.fileKeeper(filters.toSeq))
     }
 
     /** AND of EqualTo filters → one key tuple; a single In → one tuple
@@ -740,9 +772,12 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
 
           // the delta scan may filter ROWS freely (no group integrity
           // to preserve): static predicates push down to the parquet
-          // scan, and only candidate rows flow into the merge join
+          // scan AND prune the file listing by manifest stats, so a
+          // MERGE scoped by partition/range predicates reads candidate
+          // files only (key-only conditions still read the table —
+          // runtime filtering needs a native V2 batch scan)
           override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-            new GraftScanBuilder(coreSchema, listing)
+            new GraftScanBuilder(coreSchema, listing, pruning.fileKeeper)
 
           override def newWriteBuilder(writeInfo: LogicalWriteInfo)
               : org.apache.spark.sql.connector.write.DeltaWriteBuilder =

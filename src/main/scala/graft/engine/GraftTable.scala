@@ -173,15 +173,34 @@ final class GraftTable(
     val cols = m.currentSchema.fields.map(_.name)
     val aligned = source.select(cols.map(c => col(c)): _*)
     val deleteFiles = m.currentSnapshot.toSeq.flatMap { snap =>
-      val target = GraftTable.readFiles(
-        spark, m.currentSchema, Manifests.read(snap.manifestList), lineage = true)
-      val joinCond = keys.map(k => target(k) <=> source(k)).reduce(_ && _)
-      val matched = target.join(source, joinCond, "left_semi")
-        .select(col(GraftTable.FileCol).as("file_path"),
-          col(GraftTable.PosCol).as("pos"))
-      val deleteDir = s"${m.location}/deletes/${UUID.randomUUID()}"
-      GraftTable.toDataFiles(ParquetBatchWrite.writeJob(matched, deleteDir, None))
-        .map(_.copy(content = Manifests.ContentPositionDeletes))
+      // runtime file pruning: one tiny aggregation over the SOURCE
+      // derives per-key bounds, and only target files whose manifest
+      // stats / partition tuples can hold a matching key join at all —
+      // a 1-row MERGE on a 100 TB table reads candidate files, not the
+      // table (Iceberg's runtime file filtering, derived source-side)
+      val all = Manifests.read(snap.manifestList)
+      val keyFilters = GraftTable.sourceKeyFilters(source, keys)
+      val candidates = keyFilters match {
+        case None => all // bound derivation unavailable: read everything
+        case Some(Nil) => Nil // empty source: nothing can match
+        case Some(fs) =>
+          val parts = StatsPruning.partFields(m.partitionSpecs.values)
+          all.filter(StatsPruning.keeper(m.currentSchema, parts, fs))
+      }
+      GraftTable.lastUpsertPlan = Some(GraftTable.UpsertPlan(
+        candidates.count(!_.isDeleteFile), all.count(!_.isDeleteFile)))
+      if (candidates.forall(_.isDeleteFile)) Nil
+      else {
+        val target = GraftTable.readFiles(
+          spark, m.currentSchema, candidates, lineage = true)
+        val joinCond = keys.map(k => target(k) <=> source(k)).reduce(_ && _)
+        val matched = target.join(source, joinCond, "left_semi")
+          .select(col(GraftTable.FileCol).as("file_path"),
+            col(GraftTable.PosCol).as("pos"))
+        val deleteDir = s"${m.location}/deletes/${UUID.randomUUID()}"
+        GraftTable.toDataFiles(ParquetBatchWrite.writeJob(matched, deleteDir, None))
+          .map(_.copy(content = Manifests.ContentPositionDeletes))
+      }
     }
     val dataFiles = writeDataFiles(aligned)
     commitDelta(deleteFiles ++ dataFiles, "merge", base)
@@ -194,14 +213,21 @@ final class GraftTable(
     * where it evaluates NULL survive (`coalesce(cond, false)`). A
     * no-match delete commits nothing. Compaction materializes the
     * deletes away. */
-  def deleteWhere(spark: SparkSession, condition: Column): TableMetadata = {
+  def deleteWhere(
+      spark: SparkSession, condition: Column,
+      keep: Manifests.DataFile => Boolean = _ => true): TableMetadata = {
     val m = metadata
     val base = m.currentSnapshotId
     m.currentSnapshot match {
       case None => m
       case Some(snap) =>
+        // `keep` prunes the match-finding scan to candidate files
+        // (stats/partition bounds from the DELETE predicate) — a
+        // selective DELETE reads a fraction of the table, and rows in
+        // skipped files provably don't match, so no delete is lost
         val target = GraftTable.readFiles(
-          spark, m.currentSchema, Manifests.read(snap.manifestList), lineage = true)
+          spark, m.currentSchema,
+          Manifests.read(snap.manifestList).filter(keep), lineage = true)
         val matched = target.filter(coalesce(condition, lit(false)))
           .select(col(GraftTable.FileCol).as("file_path"),
             col(GraftTable.PosCol).as("pos"))
@@ -408,6 +434,46 @@ final class GraftTable(
 }
 
 object GraftTable {
+  /** How many data files the last upsert's match-finding scan read vs
+    * the snapshot total — the observable half of runtime file pruning
+    * (specs assert candidates ≪ total for selective sources). */
+  final case class UpsertPlan(candidates: Int, total: Int)
+  @volatile var lastUpsertPlan: Option[UpsertPlan] = None
+
+  /** Per-key pruning filters derived from the SOURCE side of an
+    * upsert: one small aggregation computes each key's min/max and
+    * null presence; single-valued keys become equality (which prunes
+    * through bucket transforms), ranges prune via stats and monotonic
+    * transforms, and a null-free source drops null-keyed target files.
+    * `Some(Nil)` = empty source (nothing can match); the aggregation
+    * evaluates the source once more than the join — cache upstream if
+    * the source is expensive to recompute. */
+  private[engine] def sourceKeyFilters(
+      source: DataFrame, keys: Seq[String])
+      : Option[Seq[org.apache.spark.sql.sources.Filter]] = {
+    import org.apache.spark.sql.sources._
+    val aggs = keys.flatMap(k => Seq(
+      min(col(k)).as(s"__mn_$k"), max(col(k)).as(s"__mx_$k"),
+      count(col(k)).as(s"__cnt_$k"))) :+ count(lit(1)).as("__total")
+    val row = source.agg(aggs.head, aggs.tail: _*).head()
+    val total = row.getAs[Long]("__total")
+    if (total == 0L) return Some(Nil)
+    Some(keys.map { k =>
+      val mn = row.getAs[Any](s"__mn_$k")
+      val mx = row.getAs[Any](s"__mx_$k")
+      val hasNull = row.getAs[Long](s"__cnt_$k") < total
+      val range: Option[Filter] =
+        if (mn == null) None
+        else if (mn == mx) Some(EqualTo(k, mn))
+        else Some(And(GreaterThanOrEqual(k, mn), LessThanOrEqual(k, mx)))
+      (range, hasNull) match {
+        case (Some(r), false) => r
+        case (Some(r), true) => Or(r, IsNull(k))
+        case (None, _) => IsNull(k) // no non-null key values at all
+      }
+    })
+  }
+
   /** Row-lineage metadata column names the SQL layer exposes (Iceberg's
     * metadata-column names): the data file a row came from and its
     * ordinal position inside that file — the row id of position-delete
@@ -556,6 +622,6 @@ object GraftTable {
       files: Seq[ParquetBatchWrite.WrittenFile]): Seq[Manifests.DataFile] =
     files.map(f => Manifests.DataFile(
       graft.catalog.MetadataIO.toPath(f.path).toString, f.bytes, f.rows, f.partition,
-      content = f.content))
+      content = f.content, stats = f.stats))
       .sortBy(_.path)
 }

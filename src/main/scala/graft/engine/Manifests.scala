@@ -53,6 +53,16 @@ object Manifests {
     * count per commit without losing pruning for the common case. */
   val MaxShardsPerCommit = 64
 
+  /** Per-column min/max/null-count for ONE data file, the planning
+    * information Iceberg manifests carry as `lower_bounds` /
+    * `upper_bounds` / `null_value_counts`. Bounds are canonical strings
+    * in the column's storage domain (ints/longs/epoch-days/micros as
+    * decimal strings, floats via toString, ASCII strings raw) —
+    * see [[StatsPruning]] for the comparison semantics. A missing
+    * bound means "unknown", never "no rows". */
+  final case class ColumnStats(
+      min: Option[String], max: Option[String], nullCount: Option[Long])
+
   final case class DataFile(
       path: String,
       sizeBytes: Long,
@@ -67,7 +77,11 @@ object Manifests {
       equalityColumns: Seq[String] = Nil,
       /** equality-delete key FIELD IDS (Iceberg v2 `equality_ids`):
         * resolved to current names at scan time, rename-safe */
-      equalityIds: Seq[Int] = Nil) {
+      equalityIds: Seq[Int] = Nil,
+      /** per-column stats BY FIELD ID (rename-safe) — what makes
+        * selective non-partition predicates skip whole files at plan
+        * time instead of reading every footer */
+      stats: Map[Int, ColumnStats] = Map.empty) {
     def isDeleteFile: Boolean =
       content == ContentEqualityDeletes || content == ContentPositionDeletes
     def isPositionDeleteFile: Boolean = content == ContentPositionDeletes
@@ -166,6 +180,17 @@ object Manifests {
         f.equalityIds.foreach(eq.add)
         fo.set[ArrayNode]("equality-ids", eq)
       }
+      if (f.stats.nonEmpty) {
+        val st = mapper.createObjectNode()
+        f.stats.toSeq.sortBy(_._1).foreach { case (id, cs) =>
+          val so = mapper.createObjectNode()
+          cs.min.foreach(so.put("min", _))
+          cs.max.foreach(so.put("max", _))
+          cs.nullCount.foreach(n => so.put("nulls", n))
+          st.set[ObjectNode](id.toString, so)
+        }
+        fo.set[ObjectNode]("stats", st)
+      }
       arr.add(fo)
     }
     o.set[ArrayNode]("files", arr)
@@ -250,6 +275,13 @@ object Manifests {
         Option(f.get("equality-columns")).map(_.elements().asScala.map(_.asText()).toSeq)
           .getOrElse(Nil),
         Option(f.get("equality-ids")).map(_.elements().asScala.map(_.asInt()).toSeq)
-          .getOrElse(Nil))
+          .getOrElse(Nil),
+        Option(f.get("stats")).map(_.properties().asScala.map { e =>
+          val so = e.getValue
+          e.getKey.toInt -> ColumnStats(
+            Option(so.get("min")).map(_.asText()),
+            Option(so.get("max")).map(_.asText()),
+            Option(so.get("nulls")).map(_.asLong()))
+        }.toMap).getOrElse(Map.empty))
     }.toSeq
 }

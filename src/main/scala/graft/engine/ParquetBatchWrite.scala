@@ -66,7 +66,10 @@ object ParquetBatchWrite {
   final case class WrittenFile(
       path: String, bytes: Long, rows: Long,
       partition: Map[String, String] = Map.empty,
-      content: String = Manifests.ContentData)
+      content: String = Manifests.ContentData,
+      /** per-column min/max/nulls by field id, folded from the footer
+        * the task just wrote ([[ParquetStats.fromFooter]]) */
+      stats: Map[Int, Manifests.ColumnStats] = Map.empty)
   final case class FilesMessage(files: Seq[WrittenFile]) extends WriterCommitMessage
 
   /** Partition derivation shipped to executors: spec field names plus
@@ -198,7 +201,11 @@ object ParquetBatchWrite {
       paths.toSeq.map { case (partition, path) =>
         val p = new org.apache.hadoop.fs.Path(path)
         val bytes = p.getFileSystem(conf.value).getFileStatus(p).getLen
-        WrittenFile(path, bytes, rowCounts(partition), partition)
+        // column stats fold from the footer THIS task wrote — executor-
+        // side, one local footer read, zero driver I/O (columns without
+        // a stamped field id — e.g. delete-file schemas — record none)
+        val stats = ParquetStats.fromFooter(path, conf.value, schema)
+        WrittenFile(path, bytes, rowCounts(partition), partition, stats = stats)
       }
     }
 

@@ -28,6 +28,23 @@ object GraftShims {
       Some(schema),
       classOf[execution.datasources.parquet.ParquetFileFormat])
 
+  /** Like [[parquetTable]], but with file enumeration AND plan-time
+    * file skipping served from manifest metadata: sizes ride in from
+    * the commit (no driver filesystem listing) and pushed data filters
+    * prune the listing through `prune` before the parquet source sees
+    * it. The scan itself stays the stock V2 parquet path. */
+  def prunedParquetTable(
+      name: String,
+      spark: SparkSession,
+      files: Seq[(String, Long)],
+      schema: org.apache.spark.sql.types.StructType,
+      prune: Seq[org.apache.spark.sql.sources.Filter] => (String => Boolean))
+      : org.apache.spark.sql.connector.catalog.Table = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    new execution.datasources.GraftParquetTable(name, cs, files.map(_._1), schema,
+      new execution.datasources.GraftFileIndex(cs, name, files, prune))
+  }
+
   /** Spark's own executor-side parquet write machinery for custom V2
     * `BatchWrite`s: `ParquetFileFormat.prepareWrite` configures the job
     * (write support, compression, field ids honored per session conf)
