@@ -6,6 +6,11 @@ import java.nio.file.{Files, Paths}
   * SPARK_GRAFT_SF_DIR (default sf0.1) with:
   *  - a warmup pass (JIT + codegen + parquet footer caches) so the
   *    first-measured query is not charged the JVM warmup;
+  *  - best-of-N timing (SPARK_GRAFT_BENCH_REPS measured passes per
+  *    query, default 2, minimum kept): single-pass numbers on a shared
+  *    machine jitter by multiples — a GC pause or noisy neighbor can
+  *    fake a 6× regression — while the per-query MINIMUM is the stable
+  *    estimate of what the plan actually costs;
   *  - noop-sink execution (`format("noop")`) — materializes every output
   *    row without letting Spark prune output columns the way `count()`
   *    can, and without filesystem cost;
@@ -47,8 +52,17 @@ object Bench {
 
     // Warmup: run everything once untimed.
     SparkEntry.queries.foreach { case (name, fn) => runOnce(name, fn) }
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
-      name -> runOnce(name, fn)
+    // Best-of-N measured passes, full-suite rounds (not back-to-back
+    // per query, so one query's page-cache residue can't flatter its
+    // own repeat more than everyone else's).
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    val rounds = Seq.fill(reps)(SparkEntry.queries.toSeq.map {
+      case (name, fn) => name -> runOnce(name, fn)
+    })
+    val results = SparkEntry.queries.keys.toSeq.map { name =>
+      val times = rounds.map(_.find(_._1 == name).get._2)
+      val ok = times.filter(_ >= 0)
+      name -> (if (ok.isEmpty) -1.0 else ok.min)
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -82,9 +82,20 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     catch { case e: CatalogError if e.code == 409 =>
       throw new NamespaceAlreadyExistsException(namespace) }
 
+  /** SQL ALTER NAMESPACE ... SET/UNSET PROPERTIES → the catalog's
+    * atomic namespace-properties endpoint. */
   override def alterNamespace(
-      namespace: Array[String], changes: NamespaceChange*): Unit =
-    throw new UnsupportedOperationException("alterNamespace is not supported yet")
+      namespace: Array[String], changes: NamespaceChange*): Unit = {
+    val sets = changes.collect {
+      case c: NamespaceChange.SetProperty => c.property -> c.value
+    }.toMap
+    val removes = changes.collect {
+      case c: NamespaceChange.RemoveProperty => c.property
+    }
+    try client.updateNamespaceProperties(prefix, namespace.toSeq, removes, sets)
+    catch { case e: CatalogError if e.code == 404 =>
+      throw new NoSuchNamespaceException(namespace) }
+  }
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
     try { client.dropNamespace(prefix, namespace.toSeq); true }

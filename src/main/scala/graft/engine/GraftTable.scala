@@ -97,24 +97,23 @@ final class GraftTable(
   }
 
   /** Metadata tables: `.files`, `.partitions`, `.refs`, `.snapshots`,
-    * `.history` (reference test_spark.py:149-357 surface). Driver-side
-    * metadata, same as Iceberg's metadata tables. */
+    * `.history` (reference test_spark.py:149-357 surface). `.files` and
+    * `.partitions` are DISTRIBUTED scans of the manifest shards — the
+    * driver holds only the shard entry list, executors parse the shard
+    * JSON — so a 10⁶-file table lists without materializing a driver
+    * Seq (Iceberg serves its metadata tables the same way). The
+    * low-cardinality tables (refs/snapshots/history) stay driver-side. */
   def metadataTable(spark: SparkSession, name: String): DataFrame = {
     import spark.implicits._
     val m = metadata
     name match {
-      case "files" =>
-        planFiles().map(f => (f.path, f.sizeBytes, f.recordCount,
-          f.partition.toSeq.sortBy(_._1).map(kv => s"${kv._1}=${kv._2}").mkString("/")))
-          .toDF("file_path", "file_size_in_bytes", "record_count", "partition")
+      case "files" => filesTable(spark, m)
       case "partitions" =>
-        planFiles().groupBy(_.partition).toSeq
-          .map { case (p, fs) =>
-            (p.toSeq.sortBy(_._1).map(kv => s"${kv._1}=${kv._2}").mkString("/"),
-              fs.size.toLong, fs.map(_.recordCount).sum)
-          }
-          .sortBy(_._1)
-          .toDF("partition", "file_count", "record_count")
+        filesTable(spark, m)
+          .groupBy(col("partition"))
+          .agg(count(lit(1)).as("file_count"),
+            sum(col("record_count")).as("record_count"))
+          .orderBy(col("partition"))
       case "refs" =>
         m.refs.toSeq.sortBy(_._1).map { case (n, r) =>
           (n, r.refType, r.snapshotId, r.minSnapshotsToKeep, r.maxSnapshotAgeMs, r.maxRefAgeMs)
@@ -134,6 +133,51 @@ final class GraftTable(
       case other =>
         throw CatalogError.badRequest(s"unknown metadata table: $other")
     }
+  }
+
+  /** `.files` as a distributed read: the shard paths (already in hand
+    * from the manifest list) go to Spark's JSON source; each executor
+    * task parses its shards and explodes the file entries. Column
+    * shapes match the old driver-side rendering exactly. */
+  private def filesTable(spark: SparkSession, m: TableMetadata): DataFrame = {
+    val entries = m.currentSnapshot.toSeq
+      .flatMap(s => Manifests.readEntries(s.manifestList))
+    val fileStruct = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("size-bytes",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("record-count",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("partition",
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType))))
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("files",
+        org.apache.spark.sql.types.ArrayType(fileStruct))))
+    val out = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("file_path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("file_size_in_bytes",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("record_count",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("partition",
+        org.apache.spark.sql.types.StringType)))
+    if (entries.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[Row](), out)
+    else
+      spark.read.schema(docSchema).json(entries.map(_.path): _*)
+        .select(explode(col("files")).as("f"))
+        .select(
+          col("f.path").as("file_path"),
+          col("f.`size-bytes`").as("file_size_in_bytes"),
+          col("f.`record-count`").as("record_count"),
+          coalesce(
+            array_join(transform(map_entries(col("f.partition")),
+              e => concat(e.getField("key"), lit("="), e.getField("value"))), "/"),
+            lit("")).as("partition"))
   }
 
   // ------------------------------------------------------------- writes
@@ -535,13 +579,20 @@ object GraftTable {
             org.apache.spark.sql.types.StructField(f.name,
               SchemaBridge.toSpark(f.fieldType), nullable = true,
               SchemaBridge.fieldIdMetadata(f.id))))
-          val delRows = dfiles.map { f =>
-            // id-stamped read schema: the delete file's columns resolve
-            // by field id even if written under a pre-rename name
-            spark.read.schema(delSchema).parquet(f.path)
-              .select(keys.map(k => col(k).as(s"__del_$k")): _*)
-              .withColumn("__del_seq", lit(f.seq))
-          }.reduce(_ unionAll _)
+          // ONE multi-path scan per key-set (not a union per file —
+          // plan size stays O(key-sets), not O(delete files)); each
+          // row's sequence number joins back in from a tiny broadcast
+          // keyed by source file, same as the data side. Read schema is
+          // id-stamped: columns resolve by field id even if written
+          // under a pre-rename name.
+          val delSeqDf = dfiles
+            .map(f => (f.path.split('/').takeRight(2).mkString("/"), f.seq))
+            .toDF("__del_seq_file", "__del_seq")
+          val delRows = spark.read.schema(delSchema)
+            .parquet(dfiles.map(_.path): _*)
+            .withColumn("__del_seq_file", fileKey(col("_metadata.file_path")))
+            .join(broadcast(delSeqDf), "__del_seq_file")
+            .select(keys.map(k => col(k).as(s"__del_$k")) :+ col("__del_seq"): _*)
           val cond = keys.map(k => df(k) <=> delRows(s"__del_$k")).reduce(_ && _) &&
             delRows("__del_seq") > df("__data_seq")
           df = df.join(delRows, cond, "left_anti")
@@ -549,12 +600,17 @@ object GraftTable {
 
       val posDeletes = deletes.filter(_.isPositionDeleteFile)
       if (posDeletes.nonEmpty) {
-        val delRows = posDeletes.map { f =>
-          spark.read.schema(PosDeleteSchema).parquet(f.path)
-            .select(fileKey(col("file_path")).as("__del_file"),
-              col("pos").as("__del_pos"))
-            .withColumn("__del_seq", lit(f.seq))
-        }.reduce(_ unionAll _)
+        // same consolidation: one scan over ALL position-delete files,
+        // per-file sequence joined from a broadcast
+        val posSeqDf = posDeletes
+          .map(f => (f.path.split('/').takeRight(2).mkString("/"), f.seq))
+          .toDF("__del_seq_file", "__del_seq")
+        val delRows = spark.read.schema(PosDeleteSchema)
+          .parquet(posDeletes.map(_.path): _*)
+          .withColumn("__del_seq_file", fileKey(col("_metadata.file_path")))
+          .join(broadcast(posSeqDf), "__del_seq_file")
+          .select(fileKey(col("file_path")).as("__del_file"),
+            col("pos").as("__del_pos"), col("__del_seq"))
         val cond = df("__seq_file") === delRows("__del_file") &&
           df(PosCol) === delRows("__del_pos") &&
           delRows("__del_seq") >= df("__data_seq")

@@ -53,6 +53,17 @@ final class RestCatalogClient(baseUri: String) {
       .getOrElse(Map.empty)
   }
 
+  /** POST namespaces/{ns}/properties — atomic set/remove (the endpoint
+    * behind SQL ALTER NAMESPACE ... SET/UNSET PROPERTIES). */
+  def updateNamespaceProperties(prefix: String, ns: Seq[String],
+      removals: Seq[String], updates: Map[String, String]): Unit = {
+    val remJson = removals.map(r => s""""$r"""").mkString("[", ",", "]")
+    val updJson = updates.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+    postJson(s"$baseUri/catalog/v1/$prefix/namespaces/${encodeNs(ns)}/properties",
+      s"""{"removals":$remJson,"updates":$updJson}""")
+    ()
+  }
+
   def dropNamespace(prefix: String, ns: Seq[String]): Unit = {
     send(HttpRequest.newBuilder(URI.create(
       s"$baseUri/catalog/v1/$prefix/namespaces/${encodeNs(ns)}")).DELETE().build())

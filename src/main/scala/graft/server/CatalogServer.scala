@@ -231,7 +231,7 @@ final class CatalogServer(
           val ident = TableIdent(decodeNs(ns), tbl)
           ok(ex, authz.checkTableOp(wh, "load", ident)
             .flatMap(_ => store.loadTable(wh, ident)))(
-            RestCodecs.loadTableResponse(_, tableConfig(wh)))
+            RestCodecs.loadTableResponse(_, tableConfig(wh, parseDataAccess(ex))))
         }
       case ("HEAD", prefix :: "namespaces" :: ns :: "tables" :: tbl :: Nil) =>
         withWh(ex, prefix) { wh =>
@@ -338,19 +338,43 @@ final class CatalogServer(
       case Right(id) => f(id)
     }
 
-  /** Per-table client config attached to LoadTableResult: remote
-    * signing is the default data-access mode, so S3-profiled
-    * warehouses steer engines to our signer endpoint (reference
-    * storage/s3.rs:279-288 injects s3.signer.uri the same way). */
-  private def tableConfig(wh: UUID): Map[String, String] =
+  /** `X-Iceberg-Access-Delegation` request modes (reference
+    * tables.rs:282-303 parses the same two tokens from all header
+    * values; engines may send either, both, or none). */
+  private[server] final case class DataAccess(
+      vendedCredentials: Boolean, remoteSigning: Boolean)
+
+  private def parseDataAccess(ex: com.sun.net.httpserver.HttpExchange): DataAccess = {
+    import scala.jdk.CollectionConverters._
+    val values = Option(ex.getRequestHeaders.get("X-iceberg-access-delegation"))
+      .map(_.asScala.toSeq).getOrElse(Nil)
+      .flatMap(_.split(',').map(_.trim))
+    DataAccess(
+      vendedCredentials = values.contains("vended-credentials"),
+      remoteSigning = values.contains("remote-signing"))
+  }
+
+  /** Per-table client config attached to LoadTableResult, shaped by the
+    * requested access-delegation mode (reference storage/s3.rs:318-374):
+    * no header defaults to remote signing; `vended-credentials` is
+    * served the reference's way — steer the client onto the REST signer
+    * (`s3.signer`/`py-io-impl` overrides + remote signing forced), since
+    * no STS is mounted to mint scoped credentials. */
+  private def tableConfig(wh: UUID, access: DataAccess): Map[String, String] =
     store.getWarehouse(wh).toOption
       .filter(_.properties.contains("s3.region"))
       .map { w =>
-        Map(
+        // remote signing ends up on in every mode, exactly like the
+        // reference: requested → on; vended-credentials → forced on
+        // (the signer serves the data path); no header → the default
+        Map("s3.region" -> w.properties("s3.region"),
           "s3.signer.uri" -> s"$baseUri/catalog/v1/${w.id}",
-          "s3.remote-signing-enabled" -> "true",
-          "s3.region" -> w.properties("s3.region")) ++
-          w.properties.get("s3.endpoint").map("s3.endpoint" -> _)
+          "s3.remote-signing-enabled" -> "true") ++
+          w.properties.get("s3.endpoint").map("s3.endpoint" -> _) ++
+          (if (access.vendedCredentials)
+            Map("s3.signer" -> "S3V4RestSigner",
+              "py-io-impl" -> "pyiceberg.io.fsspec.FsspecFileIO")
+          else Map.empty)
       }
       .getOrElse(Map.empty)
 

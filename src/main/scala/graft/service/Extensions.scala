@@ -74,14 +74,30 @@ object TokenVerifier {
   private def unauthorized(msg: String): Either[CatalogError, Principal] =
     Left(CatalogError(401, "Unauthorized", msg))
 
-  /** HS256 JWT verification — the offline stand-in for the reference's
-    * RS256/JWKS verifier (same shape: decode, check signature, check
-    * `exp` and `iss`, extract the subject). An RS256 impl differs only
-    * in the `java.security.Signature` call behind [[checkSignature]].
-    */
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** The claim checks every JWT verifier shares after its signature
+    * check: `exp` in the future, `iss` matching, non-empty `sub`. */
+  private def checkClaims(
+      payloadB64: String, issuer: String, clock: () => Long)
+      : Either[CatalogError, Principal] = {
+    val payload =
+      try mapper.readTree(java.util.Base64.getUrlDecoder.decode(payloadB64))
+      catch { case _: Exception => return unauthorized("malformed token") }
+    val exp = Option(payload.get("exp")).map(_.asLong(0L)).getOrElse(0L)
+    val iss = Option(payload.get("iss")).map(_.asText("")).getOrElse("")
+    val sub = Option(payload.get("sub")).map(_.asText("")).getOrElse("")
+    if (exp * 1000L <= clock()) unauthorized("token expired")
+    else if (iss != issuer) unauthorized(s"unknown issuer: $iss")
+    else if (sub.isEmpty) unauthorized("token has no subject")
+    else Right(Principal(sub))
+  }
+
+  /** HS256 JWT verification — the shared-secret sibling of
+    * [[RsaJwtVerifier]] (same decode / signature / claim pipeline with
+    * an HMAC in place of the RSA signature). */
   final class HmacJwtVerifier(secret: Array[Byte], issuer: String,
       clock: () => Long = () => System.currentTimeMillis()) extends TokenVerifier {
-    private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
     def verify(bearer: Option[String]): Either[CatalogError, Principal] =
       bearer match {
@@ -90,16 +106,7 @@ object TokenVerifier {
           token.split('.') match {
             case Array(h, p, sig) =>
               if (!checkSignature(s"$h.$p", sig)) unauthorized("invalid signature")
-              else {
-                val payload = mapper.readTree(java.util.Base64.getUrlDecoder.decode(p))
-                val exp = Option(payload.get("exp")).map(_.asLong(0L)).getOrElse(0L)
-                val iss = Option(payload.get("iss")).map(_.asText("")).getOrElse("")
-                val sub = Option(payload.get("sub")).map(_.asText("")).getOrElse("")
-                if (exp * 1000L <= clock()) unauthorized("token expired")
-                else if (iss != issuer) unauthorized(s"unknown issuer: $iss")
-                else if (sub.isEmpty) unauthorized("token has no subject")
-                else Right(Principal(sub))
-              }
+              else checkClaims(p, issuer, clock)
             case _ => unauthorized("malformed token")
           }
       }
@@ -114,6 +121,78 @@ object TokenVerifier {
         catch { case _: IllegalArgumentException => return false }
       java.security.MessageDigest.isEqual(expected, got)
     }
+  }
+
+  /** RS256/JWKS JWT verification — the reference's actual OIDC shape
+    * (token_verification.rs:46-75): the token header's `kid` selects a
+    * public key from the JWKS, the RSA-SHA256 signature is verified
+    * with `java.security.Signature`, then the standard claims. The key
+    * set is INJECTED (an offline JWKS snapshot) instead of fetched —
+    * this zero-egress environment can't hit an issuer's
+    * `/.well-known/jwks.json`, and rotation is modeled the same way it
+    * behaves live: swap the key set, and tokens signed by a
+    * rotated-out `kid` fail 401. */
+  final class RsaJwtVerifier(
+      keys: Map[String, java.security.interfaces.RSAPublicKey],
+      issuer: String,
+      clock: () => Long = () => System.currentTimeMillis()) extends TokenVerifier {
+
+    def verify(bearer: Option[String]): Either[CatalogError, Principal] =
+      bearer match {
+        case None => unauthorized("missing bearer token")
+        case Some(token) =>
+          token.split('.') match {
+            case Array(h, p, sig) =>
+              val header =
+                try mapper.readTree(java.util.Base64.getUrlDecoder.decode(h))
+                catch { case _: Exception => return unauthorized("malformed token") }
+              val alg = Option(header.get("alg")).map(_.asText("")).getOrElse("")
+              // pinning the algorithm to the key type kills the classic
+              // alg-confusion downgrade (an HS256 token MAC'd with the
+              // public key bytes must not verify)
+              if (alg != "RS256") unauthorized(s"unsupported alg: $alg")
+              else Option(header.get("kid")).map(_.asText) match {
+                case None => unauthorized("token has no kid")
+                case Some(kid) => keys.get(kid) match {
+                  case None => unauthorized(s"unknown signing key: $kid")
+                  case Some(key) =>
+                    if (!checkSignature(key, s"$h.$p", sig))
+                      unauthorized("invalid signature")
+                    else checkClaims(p, issuer, clock)
+                }
+              }
+            case _ => unauthorized("malformed token")
+          }
+      }
+
+    private def checkSignature(
+        key: java.security.interfaces.RSAPublicKey,
+        signingInput: String, sigB64: String): Boolean = {
+      val got =
+        try java.util.Base64.getUrlDecoder.decode(sigB64)
+        catch { case _: IllegalArgumentException => return false }
+      try {
+        val s = java.security.Signature.getInstance("SHA256withRSA")
+        s.initVerify(key)
+        s.update(signingInput.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        s.verify(got)
+      } catch { case _: java.security.GeneralSecurityException => false }
+    }
+  }
+
+  /** Test/demo helper: mint an RS256 JWT the [[RsaJwtVerifier]]
+    * accepts (the issuer side of the offline JWKS pair). */
+  def signRs256(priv: java.security.PrivateKey, kid: String, issuer: String,
+      subject: String, expEpochSec: Long): String = {
+    val enc = java.util.Base64.getUrlEncoder.withoutPadding()
+    def b64(s: String) = enc.encodeToString(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val h = b64(s"""{"alg":"RS256","typ":"JWT","kid":"$kid"}""")
+    val p = b64(s"""{"sub":"$subject","iss":"$issuer","exp":$expEpochSec}""")
+    val s = java.security.Signature.getInstance("SHA256withRSA")
+    s.initSign(priv)
+    s.update(s"$h.$p".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    s"$h.$p.${enc.encodeToString(s.sign())}"
   }
 
   /** Test/demo helper: mint an HS256 JWT the [[HmacJwtVerifier]]

@@ -599,4 +599,21 @@ class GraftSparkCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertThrows[AnalysisException](spark.sql(s"SELECT * FROM $cat.nope.t").collect())
     assertThrows[AnalysisException](spark.sql(s"SHOW TABLES IN $cat.nope").collect())
   }
+
+  test("ALTER NAMESPACE SET/UNSET PROPERTIES round-trips through the catalog") {
+    spark.sql(s"CREATE NAMESPACE $cat.nsprops")
+    spark.sql(s"ALTER NAMESPACE $cat.nsprops SET PROPERTIES ('team'='eng', 'tier'='gold')")
+    val props = client.getNamespaceProperties(prefix, Seq("nsprops"))
+    assert(props.get("team") === Some("eng"))
+    assert(props.get("tier") === Some("gold"))
+
+    spark.sql(s"ALTER NAMESPACE $cat.nsprops UNSET PROPERTIES ('tier')")
+    val after = client.getNamespaceProperties(prefix, Seq("nsprops"))
+    assert(after.get("team") === Some("eng"))
+    assert(!after.contains("tier"))
+
+    import org.apache.spark.sql.AnalysisException
+    assertThrows[AnalysisException](
+      spark.sql(s"ALTER NAMESPACE $cat.nope SET PROPERTIES ('a'='b')"))
+  }
 }

@@ -95,4 +95,64 @@ class AuthSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(overrides.get("token-endpoint").asText() === s"$issuer/oauth/token")
     assert(overrides.get("auth-client-id").asText() === "graft")
   }
+
+  // ------------------------------------------------------ RS256 / JWKS
+  private def rsaKeyPair(): java.security.KeyPair = {
+    val g = java.security.KeyPairGenerator.getInstance("RSA")
+    g.initialize(2048)
+    g.generateKeyPair()
+  }
+
+  test("RS256 verifier: JWKS key admits, rotated/unknown/forged reject") {
+    import java.security.interfaces.RSAPublicKey
+    val active = rsaKeyPair()
+    val retired = rsaKeyPair()
+    val verifier = new TokenVerifier.RsaJwtVerifier(
+      Map("k2" -> active.getPublic.asInstanceOf[RSAPublicKey]), issuer)
+    val exp = System.currentTimeMillis() / 1000 + 3600
+
+    val good = TokenVerifier.signRs256(active.getPrivate, "k2", issuer, "alice", exp)
+    assert(verifier.verify(Some(good)).map(_.subject) === Right("alice"))
+
+    // token minted under the rotated-out kid: key no longer in the set
+    val stale = TokenVerifier.signRs256(retired.getPrivate, "k1", issuer, "alice", exp)
+    assert(verifier.verify(Some(stale)).left.map(_.code) === Left(401))
+    // right kid, wrong private key (forgery)
+    val forged = TokenVerifier.signRs256(retired.getPrivate, "k2", issuer, "mallory", exp)
+    assert(verifier.verify(Some(forged)).left.map(_.code) === Left(401))
+    // expired / wrong issuer / no token
+    val old = TokenVerifier.signRs256(active.getPrivate, "k2", issuer, "alice",
+      System.currentTimeMillis() / 1000 - 10)
+    assert(verifier.verify(Some(old)).left.map(_.code) === Left(401))
+    val wrongIss = TokenVerifier.signRs256(active.getPrivate, "k2",
+      "https://other.example", "alice", exp)
+    assert(verifier.verify(Some(wrongIss)).left.map(_.code) === Left(401))
+    assert(verifier.verify(None).left.map(_.code) === Left(401))
+    // alg-confusion downgrade: an HS256 token never reaches the RSA path
+    val hs = TokenVerifier.signHs256(secret, issuer, "mallory", exp)
+    assert(verifier.verify(Some(hs)).left.map(_.code) === Left(401))
+  }
+
+  test("RS256 verifier mounts as server middleware like the HS256 one") {
+    import java.security.interfaces.RSAPublicKey
+    val kp = rsaKeyPair()
+    val rsServer = new CatalogServer(new InMemoryCatalogStore, UUID.randomUUID(),
+      auth = new TokenVerifier.RsaJwtVerifier(
+        Map("kid-1" -> kp.getPublic.asInstanceOf[RSAPublicKey]), issuer)).start()
+    try {
+      val exp = System.currentTimeMillis() / 1000 + 3600
+      val t = TokenVerifier.signRs256(kp.getPrivate, "kid-1", issuer, "carol", exp)
+      val ok = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"${rsServer.baseUri}/catalog/v1/config?warehouse=nope"))
+          .header("Authorization", s"Bearer $t").GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(ok.statusCode() === 404) // authenticated; warehouse missing
+      val anon = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"${rsServer.baseUri}/catalog/v1/config?warehouse=nope")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(anon.statusCode() === 401)
+    } finally rsServer.stop()
+  }
 }

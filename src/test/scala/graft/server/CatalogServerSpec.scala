@@ -232,6 +232,52 @@ class CatalogServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(get(s"/catalog/v1/$whId/namespaces").statusCode() === 404)
   }
 
+  test("X-Iceberg-Access-Delegation shapes the LoadTableResult config") {
+    val created = post("/management/v1/warehouse",
+      s"""{"warehouse-name":"dawh","location":"s3://da-bucket/wh",
+         |"project-id":"$project",
+         |"storage-profile":{"region":"eu-central-1","bucket":"da-bucket"},
+         |"storage-credential":{"access-key-id":"AK","secret-access-key":"SK"}}""".stripMargin)
+    assert(created.statusCode() === 200, created.body())
+    val p = json(created.body()).get("id").asText()
+    assert(post(s"/catalog/v1/$p/namespaces", """{"namespace":["ns"]}""").statusCode() === 200)
+    assert(post(s"/catalog/v1/$p/namespaces/ns/tables",
+      s"""{"name":"t","schema":$schemaJson}""").statusCode() === 200)
+
+    def load(delegation: Option[String]) = {
+      val b = HttpRequest.newBuilder(
+        URI.create(s"$base/catalog/v1/$p/namespaces/ns/tables/t")).GET()
+      delegation.foreach(d => b.header("X-Iceberg-Access-Delegation", d))
+      val r = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() === 200, r.body())
+      json(r.body()).get("config")
+    }
+
+    // no header → remote signing (the default mode)
+    val bare = load(None)
+    assert(bare.get("s3.remote-signing-enabled").asText() === "true")
+    assert(bare.get("s3.signer.uri").asText().endsWith(s"/catalog/v1/$p"))
+    assert(bare.get("s3.region").asText() === "eu-central-1")
+    assert(bare.get("s3.signer") === null)
+
+    // explicit remote-signing → same config, no vended keys
+    val remote = load(Some("remote-signing"))
+    assert(remote.get("s3.remote-signing-enabled").asText() === "true")
+    assert(remote.get("py-io-impl") === null)
+
+    // vended-credentials → signer steering keys appear, remote signing
+    // stays forced on (reference storage/s3.rs:349-374 behavior)
+    val vended = load(Some("vended-credentials"))
+    assert(vended.get("s3.signer").asText() === "S3V4RestSigner")
+    assert(vended.get("py-io-impl").asText() === "pyiceberg.io.fsspec.FsspecFileIO")
+    assert(vended.get("s3.remote-signing-enabled").asText() === "true")
+
+    // both tokens in one header value
+    val both = load(Some("vended-credentials, remote-signing"))
+    assert(both.get("s3.signer").asText() === "S3V4RestSigner")
+    assert(both.get("s3.remote-signing-enabled").asText() === "true")
+  }
+
   test("S3 sign endpoint: verb/region/URI rules + SigV4 over HTTP") {
     // dedicated warehouse with an s3:// location, storage profile, creds
     val created = post("/management/v1/warehouse",
