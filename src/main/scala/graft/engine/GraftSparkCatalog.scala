@@ -478,7 +478,10 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       val snapId =
         java.util.concurrent.ThreadLocalRandom.current().nextLong(1L, Long.MaxValue)
       val manifestLoc = Manifests.writeCommit(
-        s"${writeMeta.location}/metadata", snapId, carried = Nil, files)
+        s"${writeMeta.location}/metadata", snapId, carried = Nil, files,
+        iceberg = Some(IcebergAvro.Ctx(
+          writeMeta.currentSchema, writeMeta.partitionSpecs,
+          writeMeta.defaultSpecId, snapId, base.currentSnapshotId, seq)))
       val (operation, schemaUpdates, requirements) = replaceOf match {
         case None =>
           ("append", Nil,

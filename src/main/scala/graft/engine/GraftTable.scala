@@ -431,7 +431,10 @@ final class GraftTable(
     val files = newFiles.map(f =>
       if (f.seq == Manifests.UnassignedSeq) f.copy(seq = cur.lastSequenceNumber + 1) else f)
     val manifestLoc = Manifests.writeCommit(
-      s"${cur.location}/metadata", snapId, carried, files)
+      s"${cur.location}/metadata", snapId, carried, files,
+      iceberg = Some(IcebergAvro.Ctx(
+        cur.currentSchema, cur.partitionSpecs, cur.defaultSpecId,
+        snapId, base.map(_.snapshotId), cur.lastSequenceNumber + 1)))
     val snapshot = Snapshot(
       snapId,
       base.map(_.snapshotId),

@@ -1,0 +1,337 @@
+package graft.engine
+
+import graft.core.{IType, PartitionSpec, Schema => CoreSchema, Transform}
+import org.apache.avro.{Schema => ASchema}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+
+import java.nio.ByteBuffer
+import java.nio.ByteOrder
+import java.nio.charset.StandardCharsets
+import scala.jdk.CollectionConverters._
+
+/** Iceberg-SPEC avro manifests — the interop serialization external
+  * engines (pyiceberg, iceberg-spark) read, written ALONGSIDE the
+  * engine-native JSON manifest tree on every commit (reference proves
+  * this surface end-to-end via pyiceberg, tests/python/tests/
+  * test_pyiceberg.py:6-98; schemas and field ids from the PUBLIC
+  * Iceberg table spec, manifests + manifest-lists sections and
+  * Appendix C/D).
+  *
+  * Layout per snapshot: each new manifest SHARD gets one avro manifest
+  * file (`manifest-<snap>-<i>.avro`, v2 `manifest_entry` records with
+  * the spec's field ids), and the snapshot gets one avro manifest list
+  * (`snap-<id>-manifest-list.avro`, v2 `manifest_file` records).
+  * Carried-over shards reuse their existing avro twins — commit cost
+  * stays O(new files + shard count), same as the JSON tree. Bounds
+  * from the manifest column stats serialize per the spec's
+  * single-value binary forms (Appendix D: little-endian ints/longs/
+  * floats, UTF-8 strings).
+  *
+  * Documented divergences: unpartitioned delete files ride under the
+  * table's default spec with a null partition tuple, and columns whose
+  * stats are unrepresentable (decimals, non-ASCII strings) simply omit
+  * their bounds — both lossy-conservative, never wrong.
+  */
+object IcebergAvro {
+
+  /** What the avro writer needs from table metadata at commit time. */
+  final case class Ctx(
+      schema: CoreSchema,
+      specs: Map[Int, PartitionSpec],
+      specId: Int,
+      snapshotId: Long,
+      parentSnapshotId: Option[Long],
+      sequenceNumber: Long)
+
+  /** The avro twin of a JSON manifest shard, recorded in the JSON list
+    * so child commits can carry it without rereading anything. */
+  final case class AvroInfo(
+      path: String, length: Long, specId: Int, seq: Long,
+      addedSnapshotId: Long)
+
+  // ----------------------------------------------------- avro schemas
+  private def fld(name: String, s: ASchema, id: Int): ASchema.Field = {
+    val f = new ASchema.Field(name, s, null, null.asInstanceOf[AnyRef])
+    f.addProp("field-id", id)
+    f
+  }
+  private def optFld(name: String, s: ASchema, id: Int): ASchema.Field = {
+    val f = new ASchema.Field(
+      name, ASchema.createUnion(ASchema.create(ASchema.Type.NULL), s),
+      null, ASchema.Field.NULL_DEFAULT_VALUE)
+    f.addProp("field-id", id)
+    f
+  }
+  private def prim(t: ASchema.Type) = ASchema.create(t)
+  private def rec(name: String, fields: Seq[ASchema.Field]): ASchema =
+    ASchema.createRecord(name, null, null, false, fields.asJava)
+
+  /** map<int, T> the Iceberg-avro way: array of key/value records with
+    * a "map" logical-type marker. */
+  private def intKeyedMap(
+      name: String, valueType: ASchema.Type, keyId: Int, valueId: Int): ASchema = {
+    val entry = rec(s"k${keyId}_v$valueId", Seq(
+      fld("key", prim(ASchema.Type.INT), keyId),
+      fld("value", prim(valueType), valueId)))
+    val arr = ASchema.createArray(entry)
+    arr.addProp("logicalType", "map")
+    arr
+  }
+
+  /** Avro type for a partition field's RESULT type (nullable — delete
+    * files and null source values write null). */
+  private def partitionFieldType(t: IType): Option[ASchema] = t match {
+    case IType.TInt => Some(prim(ASchema.Type.INT))
+    case IType.TLong | IType.TTime => Some(prim(ASchema.Type.LONG))
+    case IType.TString | IType.TUuid => Some(prim(ASchema.Type.STRING))
+    case IType.TBoolean => Some(prim(ASchema.Type.BOOLEAN))
+    case IType.TFloat => Some(prim(ASchema.Type.FLOAT))
+    case IType.TDouble => Some(prim(ASchema.Type.DOUBLE))
+    case IType.TDate =>
+      val s = prim(ASchema.Type.INT); s.addProp("logicalType", "date"); Some(s)
+    case IType.TTimestamp | IType.TTimestamptz =>
+      val s = prim(ASchema.Type.LONG)
+      s.addProp("logicalType", "timestamp-micros"); Some(s)
+    case _ => None // decimals/binary partition values: skip avro twin
+  }
+
+  /** The r102 partition struct for a spec (field ids from the spec's
+    * partition-field ids, 1000+). None when a field's type has no avro
+    * mapping. */
+  private def partitionStruct(
+      spec: PartitionSpec, schema: CoreSchema): Option[ASchema] = {
+    val fields = spec.fields.map { pf =>
+      val src = schema.fieldById(pf.sourceId)
+      val resultT = src.map(s => pf.transform.resultType(s.fieldType))
+      resultT.flatMap(partitionFieldType)
+        .map(t => optFld(pf.name, t, pf.fieldId))
+    }
+    if (fields.exists(_.isEmpty)) None
+    else Some(rec("r102", fields.flatten))
+  }
+
+  private def dataFileSchema(partType: ASchema): ASchema = rec("r2", Seq(
+    fld("content", prim(ASchema.Type.INT), 134),
+    fld("file_path", prim(ASchema.Type.STRING), 100),
+    fld("file_format", prim(ASchema.Type.STRING), 101),
+    fld("partition", partType, 102),
+    fld("record_count", prim(ASchema.Type.LONG), 103),
+    fld("file_size_in_bytes", prim(ASchema.Type.LONG), 104),
+    optFld("null_value_counts", intKeyedMap("nvc", ASchema.Type.LONG, 121, 122), 110),
+    optFld("lower_bounds", intKeyedMap("lb", ASchema.Type.BYTES, 126, 127), 125),
+    optFld("upper_bounds", intKeyedMap("ub", ASchema.Type.BYTES, 129, 130), 128),
+    optFld("equality_ids", {
+      val a = ASchema.createArray(prim(ASchema.Type.INT))
+      a.addProp("element-id", 136); a
+    }, 135)))
+
+  private def manifestEntrySchema(dataFile: ASchema): ASchema =
+    rec("manifest_entry", Seq(
+      fld("status", prim(ASchema.Type.INT), 0),
+      optFld("snapshot_id", prim(ASchema.Type.LONG), 1),
+      optFld("sequence_number", prim(ASchema.Type.LONG), 3),
+      optFld("file_sequence_number", prim(ASchema.Type.LONG), 4),
+      fld("data_file", dataFile, 2)))
+
+  private val fieldSummarySchema: ASchema = rec("r508", Seq(
+    fld("contains_null", prim(ASchema.Type.BOOLEAN), 509),
+    optFld("contains_nan", prim(ASchema.Type.BOOLEAN), 518),
+    optFld("lower_bound", prim(ASchema.Type.BYTES), 510),
+    optFld("upper_bound", prim(ASchema.Type.BYTES), 511)))
+
+  private val manifestFileSchema: ASchema = rec("manifest_file", Seq(
+    fld("manifest_path", prim(ASchema.Type.STRING), 500),
+    fld("manifest_length", prim(ASchema.Type.LONG), 501),
+    fld("partition_spec_id", prim(ASchema.Type.INT), 502),
+    fld("content", prim(ASchema.Type.INT), 517),
+    fld("sequence_number", prim(ASchema.Type.LONG), 515),
+    fld("min_sequence_number", prim(ASchema.Type.LONG), 516),
+    fld("added_snapshot_id", prim(ASchema.Type.LONG), 503),
+    fld("added_files_count", prim(ASchema.Type.INT), 504),
+    fld("existing_files_count", prim(ASchema.Type.INT), 505),
+    fld("deleted_files_count", prim(ASchema.Type.INT), 506),
+    fld("added_rows_count", prim(ASchema.Type.LONG), 512),
+    fld("existing_rows_count", prim(ASchema.Type.LONG), 513),
+    fld("deleted_rows_count", prim(ASchema.Type.LONG), 514),
+    optFld("partitions", ASchema.createArray(fieldSummarySchema), 507)))
+
+  // ----------------------------------------------- value serialization
+  /** Spec Appendix D single-value binary form of a canonical stats
+    * string (the [[Manifests.ColumnStats]] domain). */
+  private[engine] def boundBytes(stored: String, t: IType): Option[ByteBuffer] = {
+    def le(n: Int) = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+    try t match {
+      case IType.TInt | IType.TDate =>
+        Some(le(4).putInt(stored.toInt).flip().asInstanceOf[ByteBuffer])
+      case IType.TLong | IType.TTime | IType.TTimestamp | IType.TTimestamptz =>
+        Some(le(8).putLong(stored.toLong).flip().asInstanceOf[ByteBuffer])
+      case IType.TFloat =>
+        Some(le(4).putFloat(stored.toFloat).flip().asInstanceOf[ByteBuffer])
+      case IType.TDouble =>
+        Some(le(8).putDouble(stored.toDouble).flip().asInstanceOf[ByteBuffer])
+      case IType.TString | IType.TUuid =>
+        Some(ByteBuffer.wrap(stored.getBytes(StandardCharsets.UTF_8)))
+      case IType.TBoolean =>
+        Some(ByteBuffer.wrap(Array[Byte](if (stored.toBoolean) 1 else 0)))
+      case _ => None
+    } catch { case _: Exception => None }
+  }
+
+  /** Rendered partition value string → the typed avro value (the
+    * inverse of the write path's rendering, per transform). */
+  private def partitionValue(
+      rendered: String, transform: Transform, sourceType: IType): Option[Any] = {
+    if (rendered == StatsPruning.NullSentinel) return Some(null)
+    val resultT = transform.resultType(sourceType)
+    try (transform, resultT) match {
+      case (Transform.Identity, IType.TDate) =>
+        Some(Math.toIntExact(java.time.LocalDate.parse(rendered).toEpochDay))
+      case (_, IType.TDate) => Some(rendered.toInt) // day ordinal, rendered raw
+      case (_, IType.TInt) => Some(rendered.toInt)
+      case (_, IType.TLong | IType.TTime | IType.TTimestamp | IType.TTimestamptz) =>
+        Some(rendered.toLong)
+      case (_, IType.TString | IType.TUuid) => Some(rendered)
+      case (_, IType.TBoolean) => Some(rendered.toBoolean)
+      case (_, IType.TFloat) => Some(rendered.toFloat)
+      case (_, IType.TDouble) => Some(rendered.toDouble)
+      case _ => None
+    } catch { case _: Exception => None }
+  }
+
+  // ------------------------------------------------------------ write
+  private def contentCode(f: Manifests.DataFile): Int = f.content match {
+    case Manifests.ContentPositionDeletes => 1
+    case Manifests.ContentEqualityDeletes => 2
+    case _ => 0
+  }
+
+  /** Write one avro manifest for a homogeneous shard of files (all
+    * ADDED at this snapshot). Returns None — no avro twin — when the
+    * spec's partition types have no avro mapping; interop degrades for
+    * that table, the engine path is untouched. */
+  def writeManifest(
+      path: String, files: Seq[Manifests.DataFile], ctx: Ctx): Option[AvroInfo] = {
+    val spec = ctx.specs.getOrElse(ctx.specId, PartitionSpec(ctx.specId, Nil))
+    val partType = partitionStruct(spec, ctx.schema).getOrElse(return None)
+    val entrySchema = manifestEntrySchema(dataFileSchema(partType))
+    val dfSchema = entrySchema.getField("data_file").schema()
+
+    val p = graft.catalog.MetadataIO.toPath(path)
+    java.nio.file.Files.createDirectories(p.getParent)
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord]())
+    w.setMeta("schema", graft.core.JsonCodecs.schemaToJson(ctx.schema).toString)
+    w.setMeta("partition-spec",
+      graft.core.JsonCodecs.specToJson(spec).get("fields").toString)
+    w.setMeta("partition-spec-id", spec.specId.toString)
+    w.setMeta("format-version", "2")
+    w.setMeta("content", if (files.exists(_.isDeleteFile)) "deletes" else "data")
+    w.create(entrySchema, p.toFile)
+    try files.foreach { f =>
+      val df = new GenericData.Record(dfSchema)
+      df.put("content", contentCode(f))
+      df.put("file_path", f.path)
+      df.put("file_format", "PARQUET")
+      val part = new GenericData.Record(partType)
+      spec.fields.foreach { pf =>
+        val v = f.partition.get(pf.name).flatMap { rendered =>
+          ctx.schema.fieldById(pf.sourceId)
+            .flatMap(s => partitionValue(rendered, pf.transform, s.fieldType))
+        }
+        part.put(pf.name, v.orNull)
+      }
+      df.put("partition", part)
+      df.put("record_count", f.recordCount)
+      df.put("file_size_in_bytes", f.sizeBytes)
+      def boundMap(pick: Manifests.ColumnStats => Option[String],
+          keyId: Int, valueId: Int) = {
+        val entries = f.stats.toSeq.sortBy(_._1).flatMap { case (id, cs) =>
+          for {
+            s <- pick(cs)
+            t <- ctx.schema.fieldById(id).map(_.fieldType)
+            b <- boundBytes(s, t)
+          } yield {
+            val es = intKeyedMap("x", ASchema.Type.BYTES, keyId, valueId)
+              .getElementType
+            val e = new GenericData.Record(es)
+            e.put("key", id); e.put("value", b); e
+          }
+        }
+        if (entries.isEmpty) null else entries.asJava
+      }
+      df.put("lower_bounds", boundMap(_.min, 126, 127))
+      df.put("upper_bounds", boundMap(_.max, 129, 130))
+      val nulls = f.stats.toSeq.sortBy(_._1).flatMap { case (id, cs) =>
+        cs.nullCount.map { n =>
+          val es = intKeyedMap("x", ASchema.Type.LONG, 121, 122).getElementType
+          val e = new GenericData.Record(es)
+          e.put("key", id); e.put("value", n); e
+        }
+      }
+      df.put("null_value_counts", if (nulls.isEmpty) null else nulls.asJava)
+      df.put("equality_ids",
+        if (f.equalityIds.isEmpty) null
+        else f.equalityIds.map(Int.box).asJava)
+
+      val entry = new GenericData.Record(entrySchema)
+      entry.put("status", 1) // ADDED at this snapshot
+      entry.put("snapshot_id", ctx.snapshotId)
+      entry.put("sequence_number", ctx.sequenceNumber)
+      entry.put("file_sequence_number", ctx.sequenceNumber)
+      entry.put("data_file", df)
+      w.append(entry)
+    } finally w.close()
+    Some(AvroInfo(p.toString, java.nio.file.Files.size(p), spec.specId,
+      ctx.sequenceNumber, ctx.snapshotId))
+  }
+
+  /** One `manifest_file` record per manifest (new + carried), exactly
+    * the v2 manifest-list shape. Carried manifests keep their original
+    * added-snapshot / sequence numbers and report their files as
+    * existing rather than added. */
+  def writeManifestList(
+      path: String,
+      manifests: Seq[(AvroInfo, Long, Long, Boolean, Boolean)], // (info, fileCount, rowCount, hasDeletes, carried)
+      ctx: Ctx): Unit = {
+    val p = graft.catalog.MetadataIO.toPath(path)
+    java.nio.file.Files.createDirectories(p.getParent)
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord]())
+    w.setMeta("snapshot-id", ctx.snapshotId.toString)
+    ctx.parentSnapshotId.foreach(id => w.setMeta("parent-snapshot-id", id.toString))
+    w.setMeta("sequence-number", ctx.sequenceNumber.toString)
+    w.setMeta("format-version", "2")
+    w.create(manifestFileSchema, p.toFile)
+    try manifests.foreach { case (info, fileCount, rowCount, hasDeletes, carried) =>
+      val r = new GenericData.Record(manifestFileSchema)
+      r.put("manifest_path", info.path)
+      r.put("manifest_length", info.length)
+      r.put("partition_spec_id", info.specId)
+      r.put("content", if (hasDeletes) 1 else 0)
+      r.put("sequence_number", info.seq)
+      r.put("min_sequence_number", info.seq)
+      r.put("added_snapshot_id", info.addedSnapshotId)
+      r.put("added_files_count", if (carried) 0 else fileCount.toInt)
+      r.put("existing_files_count", if (carried) fileCount.toInt else 0)
+      r.put("deleted_files_count", 0)
+      r.put("added_rows_count", if (carried) 0L else rowCount)
+      r.put("existing_rows_count", if (carried) rowCount else 0L)
+      r.put("deleted_rows_count", 0L)
+      r.put("partitions", null)
+      w.append(r)
+    } finally w.close()
+  }
+
+  // ------------------------------------------------------------- read
+  /** Read back an avro file's records + file metadata (conformance
+    * checks and debugging; the engine reads the JSON tree). */
+  def readRecords(path: String): (ASchema, Map[String, String], Seq[GenericRecord]) = {
+    val r = new DataFileReader[GenericRecord](
+      graft.catalog.MetadataIO.toPath(path).toFile,
+      new GenericDatumReader[GenericRecord]())
+    try {
+      val meta = r.getMetaKeys.asScala
+        .filter(!_.startsWith("avro.")).map(k => k -> r.getMetaString(k)).toMap
+      (r.getSchema, meta, r.iterator().asScala.toList)
+    } finally r.close()
+  }
+}

@@ -90,13 +90,17 @@ object Manifests {
   /** One manifest shard as named by the list: `partition = Some(tuple)`
     * when every file in the shard has that exact partition tuple (the
     * pruning key); `None` for mixed/legacy shards, which are always
-    * read. Delete-file shards are always read regardless. */
+    * read. Delete-file shards are always read regardless. `avro` names
+    * the shard's Iceberg-spec avro twin ([[IcebergAvro]]), carried
+    * forward so child commits can assemble a spec manifest list without
+    * rewriting untouched manifests. */
   final case class ManifestEntry(
       path: String,
       fileCount: Long,
       rowCount: Long,
       hasDeletes: Boolean,
-      partition: Option[Map[String, String]])
+      partition: Option[Map[String, String]],
+      avro: Option[IcebergAvro.AvroInfo] = None)
 
   private val mapper = new ObjectMapper()
 
@@ -108,7 +112,12 @@ object Manifests {
       metadataDir: String,
       snapshotId: Long,
       carried: Seq[ManifestEntry],
-      newFiles: Seq[DataFile]): String = {
+      newFiles: Seq[DataFile],
+      /** when present, each new shard also gets an Iceberg-spec avro
+        * manifest and the snapshot an avro manifest list
+        * ([[IcebergAvro]]) — same O(new files) cost, carried shards
+        * reuse their avro twins */
+      iceberg: Option[IcebergAvro.Ctx] = None): String = {
     val groups: Seq[(Option[Map[String, String]], Seq[DataFile])] = {
       // shards are homogeneous: delete files never share a shard with
       // data files, so a list entry's hasDeletes describes ALL its
@@ -129,8 +138,17 @@ object Manifests {
     val newEntries = groups.zipWithIndex.map { case ((pt, fs), i) =>
       val path = s"$metadataDir/manifest-$snapshotId-$i.json"
       writeShard(path, snapshotId, fs)
+      val avro = iceberg.flatMap(ctx => IcebergAvro.writeManifest(
+        s"$metadataDir/manifest-$snapshotId-$i.avro", fs, ctx))
       ManifestEntry(path, fs.size.toLong, fs.map(_.recordCount).sum,
-        fs.exists(_.isDeleteFile), pt)
+        fs.exists(_.isDeleteFile), pt, avro)
+    }
+    iceberg.foreach { ctx =>
+      val rows = (carried.map(e => (e, true)) ++ newEntries.map(e => (e, false)))
+        .flatMap { case (e, isCarried) =>
+          e.avro.map(a => (a, e.fileCount, e.rowCount, e.hasDeletes, isCarried)) }
+      IcebergAvro.writeManifestList(
+        s"$metadataDir/snap-$snapshotId-manifest-list.avro", rows, ctx)
     }
     val listPath = s"$metadataDir/snap-$snapshotId.json"
     val o = mapper.createObjectNode()
@@ -146,6 +164,15 @@ object Manifests {
         val po = mapper.createObjectNode()
         p.toSeq.sortBy(_._1).foreach { case (k, v) => po.put(k, v) }
         eo.set[ObjectNode]("partition", po)
+      }
+      e.avro.foreach { a =>
+        val ao = mapper.createObjectNode()
+        ao.put("path", a.path)
+        ao.put("length", a.length)
+        ao.put("spec-id", a.specId)
+        ao.put("sequence-number", a.seq)
+        ao.put("added-snapshot-id", a.addedSnapshotId)
+        eo.set[ObjectNode]("avro", ao)
       }
       arr.add(eo)
     }
@@ -258,7 +285,12 @@ object Manifests {
         e.get("row-count").asLong(),
         Option(e.get("has-deletes")).exists(_.asBoolean()),
         Option(e.get("partition")).filter(!_.isNull).map(p =>
-          p.properties().asScala.map(x => x.getKey -> x.getValue.asText()).toMap))
+          p.properties().asScala.map(x => x.getKey -> x.getValue.asText()).toMap),
+        Option(e.get("avro")).filter(!_.isNull).map(a =>
+          IcebergAvro.AvroInfo(
+            a.get("path").asText(), a.get("length").asLong(),
+            a.get("spec-id").asInt(), a.get("sequence-number").asLong(),
+            a.get("added-snapshot-id").asLong())))
     }.toSeq
 
   private def shardFiles(n: JsonNode): Seq[DataFile] =

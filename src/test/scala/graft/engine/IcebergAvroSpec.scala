@@ -1,0 +1,193 @@
+package graft.engine
+
+import graft.SparkTestSession
+import graft.catalog._
+import graft.core.IType
+import graft.server.CatalogServer
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+import java.util.UUID
+
+/** Iceberg-spec serialization conformance: every commit writes avro
+  * manifests + a manifest list with the spec's schemas and field ids
+  * ([[IcebergAvro]]), and metadata.json carries the spec's required v2
+  * fields — the surface an external engine (pyiceberg/iceberg-spark)
+  * reads (reference test_pyiceberg.py:6-98; no external engine ships
+  * in this environment, so conformance is asserted structurally:
+  * field ids, file metadata keys, value encodings, carried-manifest
+  * reuse). */
+class IcebergAvroSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkTestSession.spark
+  private val project = UUID.randomUUID()
+  private val store = new InMemoryCatalogStore
+  private var server: CatalogServer = _
+  private var client: RestCatalogClient = _
+  private var prefix: String = _
+  private val cat = "graftavro"
+
+  override def beforeAll(): Unit = {
+    server = new CatalogServer(store, project).start()
+    val whLoc = Files.createTempDirectory("graft-avro").toUri.toString.stripSuffix("/")
+    store.createWarehouse(project, "wh", whLoc).fold(e => fail(e.message), identity)
+    client = new RestCatalogClient(server.baseUri)
+    prefix = client.config("wh")
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftSparkCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.uri", server.baseUri)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", "wh")
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+  }
+
+  override def afterAll(): Unit = server.stop()
+
+  private def avroListPath(manifestList: String): String =
+    manifestList.stripSuffix(".json") + "-manifest-list.avro"
+
+  private def fieldId(s: org.apache.avro.Schema, name: String): Int =
+    s.getField(name).getObjectProp("field-id").asInstanceOf[Number].intValue()
+
+  test("single-value bound serialization follows spec Appendix D") {
+    def bytes(s: String, t: IType): Array[Byte] = {
+      val bb = IcebergAvro.boundBytes(s, t).get
+      val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
+    }
+    assert(bytes("1", IType.TInt).toSeq === Seq[Byte](1, 0, 0, 0))
+    assert(bytes("-1", IType.TInt).toSeq === Seq[Byte](-1, -1, -1, -1))
+    assert(bytes("1", IType.TLong).toSeq === Seq[Byte](1, 0, 0, 0, 0, 0, 0, 0))
+    assert(bytes("ab", IType.TString).toSeq === "ab".getBytes("UTF-8").toSeq)
+    assert(bytes("20678", IType.TDate).length === 4)
+    assert(bytes("true", IType.TBoolean).toSeq === Seq[Byte](1))
+    assert(IcebergAvro.boundBytes("x", IType.TInt).isEmpty) // unparseable
+  }
+
+  test("commits write spec-shaped avro manifests and manifest lists") {
+    spark.sql(s"CREATE TABLE $cat.db.av (id BIGINT, cat STRING) PARTITIONED BY (cat)")
+    spark.sql(s"INSERT INTO $cat.db.av SELECT id, 'a' FROM range(0, 10)")
+    spark.sql(s"INSERT INTO $cat.db.av SELECT id, 'b' FROM range(10, 20)")
+
+    val m = client.loadTable(prefix, TableIdent(Seq("db"), "av")).metadata
+    val snap = m.currentSnapshot.get
+
+    // ---- manifest list
+    val (listSchema, listMeta, listRecs) =
+      IcebergAvro.readRecords(avroListPath(snap.manifestList))
+    assert(listMeta("format-version") === "2")
+    assert(listMeta("snapshot-id") === snap.snapshotId.toString)
+    assert(listMeta("sequence-number") === snap.sequenceNumber.toString)
+    assert(listMeta.contains("parent-snapshot-id")) // second commit has a parent
+    assert(fieldId(listSchema, "manifest_path") === 500)
+    assert(fieldId(listSchema, "manifest_length") === 501)
+    assert(fieldId(listSchema, "partition_spec_id") === 502)
+    assert(fieldId(listSchema, "added_snapshot_id") === 503)
+    assert(fieldId(listSchema, "sequence_number") === 515)
+    assert(fieldId(listSchema, "min_sequence_number") === 516)
+    assert(fieldId(listSchema, "content") === 517)
+
+    val jsonEntries = Manifests.readEntries(snap.manifestList)
+    assert(jsonEntries.forall(_.avro.isDefined))
+    assert(listRecs.size === jsonEntries.size && listRecs.size >= 2)
+    // the first commit's manifest is carried: existing, original snapshot
+    assert(listRecs.exists(r =>
+      r.get("existing_files_count").asInstanceOf[Int] > 0 &&
+        r.get("added_snapshot_id").asInstanceOf[Long] != snap.snapshotId))
+    assert(listRecs.exists(r =>
+      r.get("added_files_count").asInstanceOf[Int] > 0 &&
+        r.get("added_snapshot_id").asInstanceOf[Long] === snap.snapshotId))
+    // lengths match the files on disk
+    listRecs.foreach { r =>
+      val p = graft.catalog.MetadataIO.toPath(r.get("manifest_path").toString)
+      assert(Files.size(p) === r.get("manifest_length").asInstanceOf[Long])
+    }
+
+    // ---- one data manifest, deep
+    val entry = jsonEntries.find(e => !e.hasDeletes).get
+    val (mSchema, mMeta, mRecs) = IcebergAvro.readRecords(entry.avro.get.path)
+    assert(mMeta("format-version") === "2")
+    assert(mMeta("content") === "data")
+    assert(mMeta("partition-spec-id") === m.defaultSpecId.toString)
+    assert(graft.core.JsonCodecs.parse(mMeta("schema")).get("fields").size() === 2)
+    assert(graft.core.JsonCodecs.parse(mMeta("partition-spec")).isArray)
+    assert(fieldId(mSchema, "status") === 0)
+    assert(fieldId(mSchema, "data_file") === 2)
+    val df0 = mSchema.getField("data_file").schema()
+    assert(fieldId(df0, "file_path") === 100)
+    assert(fieldId(df0, "partition") === 102)
+    assert(fieldId(df0, "record_count") === 103)
+    assert(fieldId(df0, "content") === 134)
+
+    val jsonFiles = Manifests.read(entry.path)
+    assert(mRecs.size === jsonFiles.size)
+    val idFieldId = m.currentSchema.fieldByName("id").get.id
+    mRecs.foreach { r =>
+      assert(r.get("status").asInstanceOf[Int] === 1)
+      val df = r.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+      val path = df.get("file_path").toString
+      val jf = jsonFiles.find(_.path == path).get
+      assert(df.get("record_count").asInstanceOf[Long] === jf.recordCount)
+      assert(df.get("file_size_in_bytes").asInstanceOf[Long] === jf.sizeBytes)
+      assert(df.get("file_format").toString === "PARQUET")
+      assert(df.get("content").asInstanceOf[Int] === 0)
+      // typed partition value round-trips
+      val part = df.get("partition").asInstanceOf[org.apache.avro.generic.GenericRecord]
+      assert(part.get("cat").toString === jf.partition("cat"))
+      // id bounds decode as little-endian longs matching the stats
+      val lower = df.get("lower_bounds").asInstanceOf[java.util.List[_]]
+      assert(lower != null && !lower.isEmpty)
+      var found = false
+      lower.forEach { e =>
+        val er = e.asInstanceOf[org.apache.avro.generic.GenericRecord]
+        if (er.get("key").asInstanceOf[Int] == idFieldId) {
+          val bb = er.get("value").asInstanceOf[java.nio.ByteBuffer]
+            .duplicate().order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          assert(bb.getLong === jf.stats(idFieldId).min.get.toLong)
+          found = true
+        }
+      }
+      assert(found, s"no lower bound for id field $idFieldId")
+    }
+  }
+
+  test("delete commits produce delete-content manifests") {
+    spark.sql(s"DELETE FROM $cat.db.av WHERE id = 5")
+    val m = client.loadTable(prefix, TableIdent(Seq("db"), "av")).metadata
+    val snap = m.currentSnapshot.get
+    val (_, _, listRecs) = IcebergAvro.readRecords(avroListPath(snap.manifestList))
+    assert(listRecs.exists(_.get("content").asInstanceOf[Int] === 1))
+
+    val delEntry = Manifests.readEntries(snap.manifestList).find(_.hasDeletes).get
+    val (_, mMeta, mRecs) = IcebergAvro.readRecords(delEntry.avro.get.path)
+    assert(mMeta("content") === "deletes")
+    mRecs.foreach { r =>
+      val df = r.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+      assert(df.get("content").asInstanceOf[Int] === 1) // position deletes
+    }
+  }
+
+  test("metadata.json carries the required Iceberg v2 fields") {
+    val m = client.loadTable(prefix, TableIdent(Seq("db"), "av")).metadata
+    val j = graft.core.JsonCodecs.parse(graft.core.JsonCodecs.metadataToJson(m))
+    assert(j.get("format-version").asInt() === 2)
+    assert(j.get("table-uuid").asText().nonEmpty)
+    assert(j.get("location").asText().nonEmpty)
+    assert(j.get("last-sequence-number").isNumber)
+    assert(j.get("last-updated-ms").isNumber)
+    assert(j.get("last-column-id").isNumber)
+    assert(j.get("schemas").isArray && j.get("schemas").size() >= 1)
+    assert(j.get("current-schema-id").isNumber)
+    assert(j.get("partition-specs").isArray)
+    assert(j.get("default-spec-id").isNumber)
+    assert(j.get("last-partition-id").isNumber)
+    assert(j.get("sort-orders").isArray)
+    assert(j.get("default-sort-order-id").isNumber)
+    assert(j.get("snapshots").isArray && j.get("snapshots").size() >= 1)
+    assert(j.get("refs").isObject)
+    val snap = j.get("snapshots").elements().next()
+    assert(snap.get("snapshot-id").isNumber)
+    assert(snap.get("sequence-number").isNumber)
+    assert(snap.get("timestamp-ms").isNumber)
+    assert(snap.get("manifest-list").asText().nonEmpty)
+    assert(snap.get("summary").get("operation").asText().nonEmpty)
+  }
+}
