@@ -285,14 +285,21 @@ object IcebergAvro {
       ctx.sequenceNumber, ctx.snapshotId))
   }
 
+  /** One manifest's row in the list: counts, content, carried-ness,
+    * and — for partition-homogeneous shards — the tuple that becomes
+    * the r508 field summaries. */
+  final case class ListRow(
+      info: AvroInfo, fileCount: Long, rowCount: Long,
+      hasDeletes: Boolean, carried: Boolean,
+      partition: Option[Map[String, String]] = None)
+
   /** One `manifest_file` record per manifest (new + carried), exactly
     * the v2 manifest-list shape. Carried manifests keep their original
     * added-snapshot / sequence numbers and report their files as
-    * existing rather than added. */
-  def writeManifestList(
-      path: String,
-      manifests: Seq[(AvroInfo, Long, Long, Boolean, Boolean)], // (info, fileCount, rowCount, hasDeletes, carried)
-      ctx: Ctx): Unit = {
+    * existing rather than added. Partition-homogeneous shards get
+    * field summaries (contains_null + tight lower=upper bounds), so a
+    * spec-compliant reader shard-prunes exactly like our JSON list. */
+  def writeManifestList(path: String, manifests: Seq[ListRow], ctx: Ctx): Unit = {
     val p = graft.catalog.MetadataIO.toPath(path)
     java.nio.file.Files.createDirectories(p.getParent)
     val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord]())
@@ -301,29 +308,76 @@ object IcebergAvro {
     w.setMeta("sequence-number", ctx.sequenceNumber.toString)
     w.setMeta("format-version", "2")
     w.create(manifestFileSchema, p.toFile)
-    try manifests.foreach { case (info, fileCount, rowCount, hasDeletes, carried) =>
+    try manifests.foreach { row =>
+      val info = row.info
       val r = new GenericData.Record(manifestFileSchema)
       r.put("manifest_path", info.path)
       r.put("manifest_length", info.length)
       r.put("partition_spec_id", info.specId)
-      r.put("content", if (hasDeletes) 1 else 0)
+      r.put("content", if (row.hasDeletes) 1 else 0)
       r.put("sequence_number", info.seq)
       r.put("min_sequence_number", info.seq)
       r.put("added_snapshot_id", info.addedSnapshotId)
-      r.put("added_files_count", if (carried) 0 else fileCount.toInt)
-      r.put("existing_files_count", if (carried) fileCount.toInt else 0)
+      r.put("added_files_count", if (row.carried) 0 else row.fileCount.toInt)
+      r.put("existing_files_count", if (row.carried) row.fileCount.toInt else 0)
       r.put("deleted_files_count", 0)
-      r.put("added_rows_count", if (carried) 0L else rowCount)
-      r.put("existing_rows_count", if (carried) rowCount else 0L)
+      r.put("added_rows_count", if (row.carried) 0L else row.rowCount)
+      r.put("existing_rows_count", if (row.carried) row.rowCount else 0L)
       r.put("deleted_rows_count", 0L)
-      r.put("partitions", null)
+      r.put("partitions", fieldSummaries(row.partition, info.specId, ctx))
       w.append(r)
     } finally w.close()
   }
 
+  /** r508 field summaries for a partition-homogeneous shard: one entry
+    * per spec field, in spec order; a single tuple value gives tight
+    * lower=upper bounds. Null when the tuple is unknown (mixed/legacy
+    * shards) — readers then scan the manifest, never wrongly skip. */
+  private def fieldSummaries(
+      partition: Option[Map[String, String]], specId: Int, ctx: Ctx): AnyRef =
+    (for {
+      tuple <- partition
+      spec <- ctx.specs.get(specId)
+      if spec.fields.nonEmpty
+    } yield spec.fields.map { pf =>
+      val r = new GenericData.Record(fieldSummarySchema)
+      val typed = for {
+        rendered <- tuple.get(pf.name)
+        if rendered != StatsPruning.NullSentinel
+        src <- ctx.schema.fieldById(pf.sourceId)
+        v <- partitionValue(rendered, pf.transform, src.fieldType)
+        if v != null
+        b <- typedBytes(v)
+      } yield b
+      typed match {
+        case Some(b) =>
+          r.put("contains_null", false)
+          r.put("lower_bound", b.duplicate())
+          r.put("upper_bound", b.duplicate())
+        case None =>
+          // unknown or null tuple value: may contain null, no bounds
+          r.put("contains_null", true)
+      }
+      r
+    }.asJava).orNull
+
+  /** A typed partition value → spec Appendix D bytes. */
+  private def typedBytes(v: Any): Option[ByteBuffer] = {
+    def le(n: Int) = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+    v match {
+      case i: Int => Some(le(4).putInt(i).flip().asInstanceOf[ByteBuffer])
+      case l: Long => Some(le(8).putLong(l).flip().asInstanceOf[ByteBuffer])
+      case f: Float => Some(le(4).putFloat(f).flip().asInstanceOf[ByteBuffer])
+      case d: Double => Some(le(8).putDouble(d).flip().asInstanceOf[ByteBuffer])
+      case s: String => Some(ByteBuffer.wrap(s.getBytes(StandardCharsets.UTF_8)))
+      case b: Boolean => Some(ByteBuffer.wrap(Array[Byte](if (b) 1 else 0)))
+      case _ => None
+    }
+  }
+
   // ------------------------------------------------------------- read
   /** Read back an avro file's records + file metadata (conformance
-    * checks and debugging; the engine reads the JSON tree). */
+    * checks, debugging, and the interop read path below). */
   def readRecords(path: String): (ASchema, Map[String, String], Seq[GenericRecord]) = {
     val r = new DataFileReader[GenericRecord](
       graft.catalog.MetadataIO.toPath(path).toFile,
@@ -333,5 +387,139 @@ object IcebergAvro {
         .filter(!_.startsWith("avro.")).map(k => k -> r.getMetaString(k)).toMap
       (r.getSchema, meta, r.iterator().asScala.toList)
     } finally r.close()
+  }
+
+  /** True when the avro file is a manifest LIST (vs a manifest). */
+  def isManifestList(schema: ASchema): Boolean =
+    schema.getName == "manifest_file"
+
+  /** Interop READ: entries of a spec avro manifest list, as the
+    * engine's [[Manifests.ManifestEntry]] shape — what lets a snapshot
+    * committed by an EXTERNAL Iceberg writer (avro manifest-list in
+    * its `manifest-list` field) scan and carry forward through this
+    * engine. Tuple-level pruning info isn't in the list (that rides in
+    * per-file partition tuples, applied file-level). */
+  def readManifestList(path: String): Seq[Manifests.ManifestEntry] = {
+    val (_, _, recs) = readRecords(path)
+    recs.map { r =>
+      def i(n: String) = r.get(n).asInstanceOf[Number]
+      val files = i("added_files_count").longValue() +
+        i("existing_files_count").longValue()
+      val rows = i("added_rows_count").longValue() +
+        i("existing_rows_count").longValue()
+      Manifests.ManifestEntry(
+        r.get("manifest_path").toString,
+        files, rows,
+        hasDeletes = i("content").intValue() == 1,
+        partition = None,
+        avro = Some(AvroInfo(
+          r.get("manifest_path").toString,
+          i("manifest_length").longValue(),
+          i("partition_spec_id").intValue(),
+          i("sequence_number").longValue(),
+          i("added_snapshot_id").longValue())))
+    }
+  }
+
+  /** Interop READ: one spec avro manifest → engine [[Manifests.DataFile]]s.
+    * Types come from the manifest's own `schema` metadata; partition
+    * values re-render into the engine's string domain via the
+    * `partition-spec` metadata's transforms. Entries with null
+    * sequence numbers inherit `inheritSeq` (the spec's v2 sequence
+    * inheritance from the list entry). DELETED-status entries drop. */
+  def readManifest(path: String, inheritSeq: Long): Seq[Manifests.DataFile] = {
+    val (_, meta, recs) = readRecords(path)
+    val schema = graft.core.JsonCodecs
+      .schemaFromJson(graft.core.JsonCodecs.parse(meta("schema")))
+      .fold(e => sys.error(s"bad manifest schema metadata: $e"), identity)
+    // partition-spec metadata: [{"name":…,"transform":…,"source-id":…,…}]
+    val transforms: Map[String, (Transform, IType)] =
+      Option(meta.get("partition-spec")).flatten.map { sp =>
+        graft.core.JsonCodecs.parse(sp).elements().asScala.flatMap { f =>
+          for {
+            t <- Transform.parse(f.get("transform").asText()).toOption
+            src <- schema.fieldById(f.get("source-id").asInt())
+          } yield f.get("name").asText() -> (t, src.fieldType)
+        }.toMap
+      }.getOrElse(Map.empty)
+
+    recs.filter(_.get("status").asInstanceOf[Int] != 2).map { r =>
+      val df = r.get("data_file").asInstanceOf[GenericRecord]
+      val content = df.get("content").asInstanceOf[Int] match {
+        case 1 => Manifests.ContentPositionDeletes
+        case 2 => Manifests.ContentEqualityDeletes
+        case _ => Manifests.ContentData
+      }
+      val partition = Option(df.get("partition"))
+        .map(_.asInstanceOf[GenericRecord]).map { p =>
+          p.getSchema.getFields.asScala.flatMap { f =>
+            Option(p.get(f.name())) match {
+              case None => Some(f.name() -> StatsPruning.NullSentinel)
+              case Some(v) =>
+                val rendered = transforms.get(f.name()) match {
+                  case Some((Transform.Identity, IType.TDate)) =>
+                    java.time.LocalDate.ofEpochDay(
+                      v.asInstanceOf[Number].longValue()).toString
+                  case _ => v.toString
+                }
+                Some(f.name() -> rendered)
+            }
+          }.toMap
+        }.getOrElse(Map.empty)
+      val seq = Option(r.get("sequence_number"))
+        .map(_.asInstanceOf[Number].longValue()).getOrElse(inheritSeq)
+      val equalityIds = Option(df.get("equality_ids"))
+        .map(_.asInstanceOf[java.util.List[_]].asScala
+          .map(_.asInstanceOf[Number].intValue()).toSeq).getOrElse(Nil)
+      def bounds(field: String): Map[Int, String] =
+        Option(df.get(field)).map(_.asInstanceOf[java.util.List[_]].asScala
+          .flatMap { e =>
+            val er = e.asInstanceOf[GenericRecord]
+            val id = er.get("key").asInstanceOf[Number].intValue()
+            schema.fieldById(id).map(_.fieldType).flatMap(t =>
+              decodeBound(er.get("value").asInstanceOf[ByteBuffer], t))
+              .map(id -> _)
+          }.toMap).getOrElse(Map.empty)
+      val lower = bounds("lower_bounds")
+      val upper = bounds("upper_bounds")
+      val nulls: Map[Int, Long] =
+        Option(df.get("null_value_counts"))
+          .map(_.asInstanceOf[java.util.List[_]].asScala.map { e =>
+            val er = e.asInstanceOf[GenericRecord]
+            er.get("key").asInstanceOf[Number].intValue() ->
+              er.get("value").asInstanceOf[Number].longValue()
+          }.toMap).getOrElse(Map.empty)
+      val statIds = lower.keySet ++ upper.keySet ++ nulls.keySet
+      Manifests.DataFile(
+        df.get("file_path").toString,
+        df.get("file_size_in_bytes").asInstanceOf[Long],
+        df.get("record_count").asInstanceOf[Long],
+        partition, content, seq,
+        equalityIds = equalityIds,
+        stats = statIds.map(id => id -> Manifests.ColumnStats(
+          lower.get(id), upper.get(id), nulls.get(id))).toMap)
+    }
+  }
+
+  /** Spec Appendix D bytes → the engine's canonical stats string; the
+    * inverse of [[boundBytes]], with the same ASCII guard on strings
+    * (non-ASCII bounds drop rather than mis-order). */
+  private[engine] def decodeBound(bb: ByteBuffer, t: IType): Option[String] = {
+    val b = bb.duplicate().order(ByteOrder.LITTLE_ENDIAN)
+    try t match {
+      case IType.TInt | IType.TDate if b.remaining() == 4 =>
+        Some(b.getInt.toString)
+      case IType.TLong | IType.TTime | IType.TTimestamp | IType.TTimestamptz
+          if b.remaining() == 8 => Some(b.getLong.toString)
+      case IType.TFloat if b.remaining() == 4 => Some(b.getFloat.toString)
+      case IType.TDouble if b.remaining() == 8 => Some(b.getDouble.toString)
+      case IType.TString | IType.TUuid =>
+        val a = new Array[Byte](b.remaining()); b.get(a)
+        val s = new String(a, StandardCharsets.UTF_8)
+        if (s.length <= 64 && s.forall(_ < 128)) Some(s) else None
+      case IType.TBoolean if b.remaining() == 1 =>
+        Some((b.get() != 0).toString)
+      case _ => None
+    } catch { case _: Exception => None }
   }
 }

@@ -146,7 +146,8 @@ object Manifests {
     iceberg.foreach { ctx =>
       val rows = (carried.map(e => (e, true)) ++ newEntries.map(e => (e, false)))
         .flatMap { case (e, isCarried) =>
-          e.avro.map(a => (a, e.fileCount, e.rowCount, e.hasDeletes, isCarried)) }
+          e.avro.map(a => IcebergAvro.ListRow(
+            a, e.fileCount, e.rowCount, e.hasDeletes, isCarried, e.partition)) }
       IcebergAvro.writeManifestList(
         s"$metadataDir/snap-$snapshotId-manifest-list.avro", rows, ctx)
     }
@@ -231,13 +232,34 @@ object Manifests {
   }
 
   // -------------------------------------------------------------- read
-  /** Complete file listing of a snapshot (list → all shards). */
+  /** Complete file listing of a snapshot (list → all shards). A
+    * location ending in `.avro` is an Iceberg-SPEC manifest list (or
+    * bare manifest) — e.g. a snapshot committed through the REST
+    * catalog by an EXTERNAL Iceberg writer — and reads through
+    * [[IcebergAvro]] into the same engine shapes. */
   def read(location: String): Seq[DataFile] =
-    parse(location) match {
+    if (location.endsWith(".avro")) readAvro(location)
+    else parse(location) match {
       case None => Nil
       case Some(n) if n.has("files") => shardFiles(n) // legacy single doc
-      case Some(n) => entriesOf(n).flatMap(e => read(e.path))
+      case Some(n) => entriesOf(n).flatMap(entryFiles)
     }
+
+  /** One list entry's files — the shard may be a JSON shard or an avro
+    * manifest (mixed trees happen when our commits carry entries from
+    * an externally-written snapshot forward). */
+  private def entryFiles(e: ManifestEntry): Seq[DataFile] =
+    if (e.path.endsWith(".avro"))
+      IcebergAvro.readManifest(e.path, e.avro.map(_.seq).getOrElse(0L))
+    else read(e.path)
+
+  private def readAvro(location: String): Seq[DataFile] = {
+    if (!Files.exists(graft.catalog.MetadataIO.toPath(location))) return Nil
+    val (schema, _, _) = IcebergAvro.readRecords(location)
+    if (IcebergAvro.isManifestList(schema))
+      IcebergAvro.readManifestList(location).flatMap(entryFiles)
+    else IcebergAvro.readManifest(location, inheritSeq = 0L)
+  }
 
   /** Partition-pruned listing: reads ONLY the shards whose partition
     * tuple passes `keep` (mixed and delete shards always read), then
@@ -246,14 +268,17 @@ object Manifests {
     * O(matching shards) I/O. */
   def readPruned(
       location: String, keep: Map[String, String] => Boolean): Seq[DataFile] =
-    parse(location) match {
+    if (location.endsWith(".avro"))
+      // avro lists carry no shard-level tuple; prune file-level
+      readAvro(location).filter(f => f.isDeleteFile || keep(f.partition))
+    else parse(location) match {
       case None => Nil
       case Some(n) if n.has("files") =>
         shardFiles(n).filter(f => f.isDeleteFile || keep(f.partition))
       case Some(n) =>
         entriesOf(n)
           .filter(e => e.hasDeletes || e.partition.forall(keep))
-          .flatMap(e => read(e.path))
+          .flatMap(entryFiles)
           .filter(f => f.isDeleteFile || keep(f.partition))
     }
 
@@ -261,7 +286,10 @@ object Manifests {
     * A legacy single-document manifest becomes one synthetic mixed
     * entry pointing at itself. */
   def readEntries(location: String): Seq[ManifestEntry] =
-    parse(location) match {
+    if (location.endsWith(".avro")) {
+      if (!Files.exists(graft.catalog.MetadataIO.toPath(location))) Nil
+      else IcebergAvro.readManifestList(location)
+    } else parse(location) match {
       case None => Nil
       case Some(n) if n.has("files") =>
         val files = shardFiles(n)

@@ -9,6 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import java.nio.file.Files
 import java.util.UUID
+import scala.jdk.CollectionConverters._
 
 /** Iceberg-spec serialization conformance: every commit writes avro
   * manifests + a manifest list with the spec's schemas and field ids
@@ -100,6 +101,15 @@ class IcebergAvroSpec extends AnyFunSuite with BeforeAndAfterAll {
       val p = graft.catalog.MetadataIO.toPath(r.get("manifest_path").toString)
       assert(Files.size(p) === r.get("manifest_length").asInstanceOf[Long])
     }
+    // partition-homogeneous shards carry r508 field summaries with
+    // tight (lower = upper) bounds — the shard-pruning info
+    val dataRec = listRecs
+      .find(r => r.get("added_files_count").asInstanceOf[Int] > 0).get
+    val sums = dataRec.get("partitions").asInstanceOf[java.util.List[_]]
+    assert(sums != null && sums.size() === 1)
+    val s0 = sums.get(0).asInstanceOf[org.apache.avro.generic.GenericRecord]
+    assert(s0.get("contains_null") === false)
+    assert(s0.get("lower_bound") === s0.get("upper_bound"))
 
     // ---- one data manifest, deep
     val entry = jsonEntries.find(e => !e.hasDeletes).get
@@ -163,6 +173,62 @@ class IcebergAvroSpec extends AnyFunSuite with BeforeAndAfterAll {
       val df = r.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
       assert(df.get("content").asInstanceOf[Int] === 1) // position deletes
     }
+  }
+
+  test("a snapshot committed with an avro manifest list reads through the engine") {
+    import graft.core.{Snapshot, SnapshotRefType, TableMetadata, TableUpdate}
+    // "external writer": parquet data files + SPEC avro manifests only —
+    // no engine JSON tree — committed through the REST protocol
+    spark.sql(s"CREATE TABLE $cat.db.ext (id BIGINT, cat STRING)")
+    val ident = TableIdent(Seq("db"), "ext")
+    val m0 = client.loadTable(prefix, ident).metadata
+
+    val dataDir = graft.catalog.MetadataIO.toPath(s"${m0.location}/data/ext")
+    spark.range(0, 7).selectExpr("id", "'x' AS cat")
+      .coalesce(1).write.parquet(dataDir.toString)
+    val part = Files.list(dataDir).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    // external writers record bounds (Iceberg metrics) — model that, so
+    // the avro→engine stats decode is exercised by the pruning below
+    val extIdField = m0.currentSchema.fieldByName("id").get.id
+    val df = Manifests.DataFile(part.toString, Files.size(part), 7L,
+      stats = Map(extIdField ->
+        Manifests.ColumnStats(Some("0"), Some("6"), Some(0L))))
+
+    val snapId = 424242L
+    val seq = m0.lastSequenceNumber + 1
+    val ctx = IcebergAvro.Ctx(m0.currentSchema, m0.partitionSpecs,
+      m0.defaultSpecId, snapId, None, seq)
+    val info = IcebergAvro.writeManifest(
+      s"${m0.location}/metadata/ext-manifest.avro", Seq(df), ctx).get
+    val listLoc = s"${m0.location}/metadata/ext-list.avro"
+    IcebergAvro.writeManifestList(listLoc,
+      Seq(IcebergAvro.ListRow(info, 1L, 7L, hasDeletes = false, carried = false)), ctx)
+
+    client.commitTable(prefix, ident, Nil, Seq(
+      TableUpdate.AddSnapshot(Snapshot(snapId, None, seq,
+        System.currentTimeMillis(), listLoc,
+        Map("operation" -> "append"), Some(m0.currentSchemaId))),
+      TableUpdate.SetSnapshotRef(TableMetadata.MainBranch, snapId,
+        SnapshotRefType.Branch)))
+
+    // the engine scans the avro tree directly
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.ext")
+      .collect().head.getLong(0) === 7L)
+    // stats from the avro bounds still prune
+    import org.apache.spark.sql.execution.datasources.GraftFileIndex
+    GraftFileIndex.lastPlanned = None
+    assert(spark.sql(s"SELECT * FROM $cat.db.ext WHERE id = 100")
+      .collect().isEmpty)
+    assert(GraftFileIndex.lastPlanned.get.kept === 0)
+
+    // and our own next commit CARRIES the avro manifest forward
+    spark.sql(s"INSERT INTO $cat.db.ext VALUES (100, 'y')")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.ext")
+      .collect().head.getLong(0) === 8L)
+    val m2 = client.loadTable(prefix, ident).metadata
+    val entries = Manifests.readEntries(m2.currentSnapshot.get.manifestList)
+    assert(entries.exists(_.path.endsWith("ext-manifest.avro")))
   }
 
   test("metadata.json carries the required Iceberg v2 fields") {
