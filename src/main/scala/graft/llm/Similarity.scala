@@ -309,16 +309,186 @@ object Similarity {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  // ----------------------------------------------------------- IVF ANN
+  /** IVF parameters. Cells partition the corpus (the inverted lists);
+    * probing P of K cells scans ≈ P/K of the data per query. At 100 TB
+    * K grows with the corpus (cell ≈ constant rows) and the refined
+    * centroids stay a tiny broadcast (K × DIM doubles). */
+  private val IVF_CELLS = 16
+  private val IVF_PROBES = 4
+  /** Centroid coordinates are means over assigned vectors — a cross-row
+    * float sum whose result depends on reduction ORDER. Quantizing each
+    * element to an integer first makes the sum exact and order-free, so
+    * Spark's parallel aggregation and DuckDB's serial one agree
+    * bit-for-bit (the hash gate's requirement). 1e-6 resolution is far
+    * below any cosine decision boundary here. */
+  private val IVF_QUANT = 1000000L
+
+  /** Nearest-cell assignment: broadcast the K centroids, score each
+    * (vector, cell) pair with the codegen'd cosine, and collapse back
+    * to one row per vector with `max_by` — partial aggregation folds
+    * the K candidate rows map-side (they are co-located by the
+    * broadcast cross join), so the shuffle stays O(corpus), never
+    * O(corpus × K). Ties break to the lowest cell id in both engines.
+    */
+  private def ivfAssign(corpus: DataFrame, cents: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("e"), col("cell"),
+        graft.functions.VectorExprs.cosine(col("e"), col("c")).as("cos"))
+      .groupBy("vec_id")
+      .agg(org.apache.spark.sql.functions.expr(
+        "max_by(struct(cell, e), struct(cos, -cell)) as best"))
+      .selectExpr("vec_id", "best.cell as cell", "best.e as e")
+
+  /** Deterministic coarse quantizer: seed centroids are the embeddings
+    * of the K lowest vec_ids, refined by ONE Lloyd step (assign all
+    * vectors to the nearest seed, recompute each cell's mean). At scale
+    * the training input would be a sample — the refinement itself is
+    * already fully distributed (the only per-cell state is the K × DIM
+    * mean matrix). */
+  private def ivfCentroids(corpus: DataFrame): DataFrame = {
+    val seeds = corpus.filter(s"vec_id < $IVF_CELLS")
+      .selectExpr("cast(vec_id as int) as cell", "e as c")
+    ivfAssign(corpus, seeds)
+      .selectExpr("cell", "posexplode(e) as (i, x)")
+      .groupBy("cell", "i")
+      .agg(
+        org.apache.spark.sql.functions.expr(
+          s"sum(floor(x * $IVF_QUANT)) as s"),
+        org.apache.spark.sql.functions.expr("count(*) as n"))
+      .groupBy("cell")
+      .agg(org.apache.spark.sql.functions.expr(
+        s"transform(array_sort(collect_list(struct(i, s, n))), " +
+          s"p -> cast(p.s as double) / (p.n * cast($IVF_QUANT as double))) as c"))
+  }
+
+  /** Cell occupancy histogram — the inverted-list layout view (cell id
+    * is the partition key of the index at scale). */
+  def qIvfCells(s: SparkSession, dir: String): DataFrame = {
+    val corpus = load(s, dir, "embeddings").select(col("vec_id"),
+      graft.functions.VectorExprs.toDouble(col("embedding")).as("e"))
+    ivfAssign(corpus, ivfCentroids(corpus))
+      .groupBy("cell")
+      .agg(org.apache.spark.sql.functions.expr("count(*) as n_vectors"))
+      .orderBy("cell")
+  }
+
+  /** IVF ANN: each query (vec_id < 5) probes its P nearest cells by
+    * centroid cosine; candidates are the vectors assigned to those
+    * cells; exact cosine reranks to top-3 via the bounded TopK
+    * aggregate. Scan cost per query ≈ P/K of the corpus — and with the
+    * inverted lists laid out as table partitions, a partition-pruned
+    * read. */
+  def qIvfTopK(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    val corpus = load(s, dir, "embeddings").select(col("vec_id"),
+      graft.functions.VectorExprs.toDouble(col("embedding")).as("e"))
+    val cents = ivfCentroids(corpus)
+    val assigned = ivfAssign(corpus, cents)
+
+    val queries = corpus.filter("vec_id < 5")
+      .selectExpr("vec_id as query_id", "e as q_emb")
+    val probed = queries.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("cell"),
+        graft.functions.VectorExprs.cosine(col("q_emb"), col("c")).as("cos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("cell"))))
+      .filter(s"rn <= $IVF_PROBES")
+      .select("query_id", "cell")
+
+    assigned.join(broadcast(probed), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.VectorExprs.cosine(col("q_emb"), col("e")).as("cosine"))
+      .groupBy("query_id")
+      .agg(TopK.topK(3, knnSchema)(col("cosine"), col("vec_id")).as("top"))
+      .selectExpr("query_id", "posexplode(top) as (pos, r)")
+      .selectExpr("query_id", "cast(pos + 1 as int) as rank",
+        "r.tie as vec_id", "r.ord as cosine")
+      .orderBy("query_id", "rank")
+  }
+
+  /** Shared oracle CTE chain up to refined centroids (`cents(cell, c)`)
+    * and final assignment (`asg(vec_id, e, cell)`). */
+  private def ivfOracleCtes: String = {
+    val cosSeed = cosD("v.e", "s.c")
+    val cosCent = cosD("v.e", "k.c")
+    s"""emb AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+       |        FROM embeddings),
+       |seeds AS (SELECT CAST(vec_id AS INT) AS cell, e AS c
+       |          FROM emb WHERE vec_id < $IVF_CELLS),
+       |a0 AS (
+       |  SELECT vec_id, e, cell FROM (
+       |    SELECT v.vec_id, v.e, s.cell,
+       |           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |                              ORDER BY $cosSeed DESC, s.cell) AS rn
+       |    FROM emb v CROSS JOIN seeds s) t WHERE rn = 1),
+       |sums AS (
+       |  SELECT cell, i,
+       |         SUM(CAST(FLOOR(e[i] * $IVF_QUANT) AS BIGINT)) AS s,
+       |         COUNT(*) AS n
+       |  FROM a0 CROSS JOIN (SELECT unnest(range(1, $DIM + 1)) AS i) idx
+       |  GROUP BY cell, i),
+       |cents AS (
+       |  SELECT cell,
+       |         array_agg(s::DOUBLE / (n * $IVF_QUANT.0) ORDER BY i) AS c
+       |  FROM sums GROUP BY cell),
+       |asg AS (
+       |  SELECT vec_id, e, cell FROM (
+       |    SELECT v.vec_id, v.e, k.cell,
+       |           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |                              ORDER BY $cosCent DESC, k.cell) AS rn
+       |    FROM emb v CROSS JOIN cents k) t WHERE rn = 1)""".stripMargin
+  }
+
+  val qIvfCellsSql: String =
+    s"""WITH $ivfOracleCtes
+       |SELECT cell, COUNT(*) AS n_vectors
+       |FROM asg GROUP BY cell ORDER BY cell""".stripMargin
+
+  val qIvfTopKSql: String = {
+    val cosProbe = cosD("q.q_emb", "k.c")
+    val cosRank = cosD("q.q_emb", "a.e")
+    s"""WITH $ivfOracleCtes,
+       |q AS (SELECT vec_id AS query_id, e AS q_emb FROM emb WHERE vec_id < 5),
+       |probed AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.query_id, k.cell,
+       |           ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |                              ORDER BY $cosProbe DESC, k.cell) AS rn
+       |    FROM q CROSS JOIN cents k) t WHERE rn <= $IVF_PROBES),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id, $cosRank AS cosine
+       |  FROM asg a
+       |  JOIN probed p ON a.cell = p.cell
+       |  JOIN q ON p.query_id = q.query_id
+       |  WHERE a.vec_id <> p.query_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cosine,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |                            ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cosine
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   // ----------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_bruteforce" -> (qKnnBruteForce _),
     "q_ann_lsh_buckets" -> (qAnnLshBuckets _),
     "q_ann_lsh_topk" -> (qAnnLshTopK _),
+    "q_ann_ivf_cells" -> (qIvfCells _),
+    "q_ann_ivf_topk" -> (qIvfTopK _),
     "q_dedup_embedding" -> (qDedupEmbedding _))
 
   val oracleSql: Map[String, String] = Map(
     "q_knn_bruteforce" -> qKnnBruteForceSql,
     "q_ann_lsh_buckets" -> qAnnLshBucketsSql,
     "q_ann_lsh_topk" -> qAnnLshTopKSql,
+    "q_ann_ivf_cells" -> qIvfCellsSql,
+    "q_ann_ivf_topk" -> qIvfTopKSql,
     "q_dedup_embedding" -> qDedupEmbeddingSql)
 }

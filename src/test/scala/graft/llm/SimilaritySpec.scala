@@ -27,6 +27,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.4, s"recall@3 = $recall")
   }
 
+  test("IVF recall@3 vs brute force is above floor; cells partition the corpus") {
+    val exact = Similarity.qKnnBruteForce(spark, sf).collect()
+      .filter(_.getInt(1) <= 3)
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.qIvfTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+
+    assert(exact.nonEmpty)
+    val recall = (exact & ivf).size.toDouble / exact.size
+    // probing 4 of 16 cells scans ~25% of the corpus; centroid-directed
+    // probing must recover well above that share of the true top-3.
+    // Floor below observed (deterministic) recall so the test pins
+    // quality without flaking on quantizer changes.
+    assert(recall >= 0.4, s"IVF recall@3 = $recall")
+
+    val cells = Similarity.qIvfCells(spark, sf).collect()
+    val total = cells.map(_.getLong(1)).sum
+    assert(cells.length > 4, "degenerate: quantizer collapsed the corpus into few cells")
+    // no cell holds the whole corpus and none is empty-adjacent-degenerate
+    assert(cells.map(_.getLong(1)).max < total / 2,
+      "degenerate: one cell dominates — probing would not cut scan cost")
+  }
+
   test("ANN candidates come only from the query's bucket (never all-pairs)") {
     // structural: every ANN result pair shares the LSH bucket by
     // construction of the equi-join; verify against the bucket histogram
