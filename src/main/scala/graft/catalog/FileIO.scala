@@ -1,0 +1,157 @@
+package graft.catalog
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+/** Object-store seam for the METADATA plane — table metadata JSON,
+  * manifest lists/shards, and their Iceberg-spec avro twins (the same
+  * byte-addressed surface the reference's FileIO trait covers,
+  * /root/reference/crates/iceberg-catalog/src/catalog/io.rs:7-85 and
+  * the storage profile probe in storage/s3.rs:438-487).
+  *
+  * Every metadata read/write in the engine resolves its backend from
+  * the location's URI scheme at the call site ([[FileIO.forLocation]]):
+  * `file:`/bare paths hit [[LocalFileIO]]; any other scheme must have a
+  * registered backend — an S3 implementation slots in by registering
+  * `"s3"` once at startup (on a cluster: in an executor plugin, since
+  * manifest shards are parsed executor-side by the distributed metadata
+  * tables). [[InMemoryFileIO]] is the test stand-in with object-store
+  * semantics: a flat key→bytes namespace, no directories, no rename —
+  * code that round-trips through it provably makes no local-filesystem
+  * assumptions.
+  *
+  * The DATA plane (parquet files) deliberately does NOT route through
+  * this trait: data files are written and scanned by Spark's own file
+  * source, whose Hadoop filesystem layer already speaks object stores.
+  */
+trait FileIO {
+  /** Create-or-replace the object at `location` (object-store PUT —
+    * atomicity is per-object, there is no append). */
+  def write(location: String, bytes: Array[Byte]): Unit
+
+  /** Full object content, or None when absent. */
+  def read(location: String): Option[Array[Byte]]
+
+  def exists(location: String): Boolean = read(location).isDefined
+
+  /** Object size in bytes, or None when absent (HEAD, not GET — local
+    * and remote impls answer without fetching content). */
+  def size(location: String): Option[Long]
+
+  def delete(location: String): Unit
+
+  /** All object locations under `prefix`, lexicographically sorted
+    * (object-store LIST; local impl walks the directory). */
+  def list(prefix: String): Seq[String]
+}
+
+/** `file:` URIs and bare paths via java.nio. Parent directories are
+  * created on write (object stores have no directories; local FS needs
+  * them). */
+object LocalFileIO extends FileIO {
+  def toPath(location: String): Path =
+    if (location.startsWith("file:")) Paths.get(java.net.URI.create(location))
+    else Paths.get(location)
+
+  override def write(location: String, bytes: Array[Byte]): Unit = {
+    val p = toPath(location)
+    Option(p.getParent).foreach(Files.createDirectories(_))
+    Files.write(p, bytes)
+  }
+
+  override def read(location: String): Option[Array[Byte]] = {
+    val p = toPath(location)
+    if (Files.exists(p)) Some(Files.readAllBytes(p)) else None
+  }
+
+  override def exists(location: String): Boolean = Files.exists(toPath(location))
+
+  override def size(location: String): Option[Long] = {
+    val p = toPath(location)
+    if (Files.exists(p)) Some(Files.size(p)) else None
+  }
+
+  override def delete(location: String): Unit =
+    Files.deleteIfExists(toPath(location))
+
+  override def list(prefix: String): Seq[String] = {
+    // the "directory" part of the prefix: everything up to the last '/'
+    val cut = prefix.lastIndexOf('/')
+    val dir = toPath(if (cut >= 0) prefix.substring(0, cut + 1) else prefix)
+    if (!Files.isDirectory(dir)) Nil
+    else {
+      val stream = Files.walk(dir)
+      try stream.iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .map(_.toString)
+        .filter(_.startsWith(toPath(prefix).toString))
+        .toSeq.sorted
+      finally stream.close()
+    }
+  }
+}
+
+/** Flat key→bytes store with S3-like semantics (PUT/GET/HEAD/DELETE,
+  * no directories, no partial writes visible). Used by specs to prove
+  * the metadata plane never touches the local filesystem. */
+final class InMemoryFileIO extends FileIO {
+  private val objects = TrieMap.empty[String, Array[Byte]]
+
+  override def write(location: String, bytes: Array[Byte]): Unit =
+    objects.put(location, bytes.clone())
+
+  override def read(location: String): Option[Array[Byte]] =
+    objects.get(location).map(_.clone())
+
+  override def size(location: String): Option[Long] =
+    objects.get(location).map(_.length.toLong)
+
+  override def delete(location: String): Unit = objects.remove(location)
+
+  override def list(prefix: String): Seq[String] =
+    objects.keys.filter(_.startsWith(prefix)).toSeq.sorted
+
+  def keys: Seq[String] = objects.keys.toSeq
+}
+
+object FileIO {
+  private val registry = TrieMap.empty[String, FileIO]
+
+  /** Register the backend for a URI scheme (e.g. `"s3"`, `"mem"`).
+    * Per-JVM: on a real cluster, register from an executor plugin too.
+    * Returns any previously registered backend. */
+  def register(scheme: String, io: FileIO): Option[FileIO] =
+    registry.put(scheme.toLowerCase, io)
+
+  def unregister(scheme: String): Unit = registry.remove(scheme.toLowerCase)
+
+  private def schemeOf(location: String): Option[String] = {
+    val i = location.indexOf("://")
+    if (i <= 0) None else Some(location.substring(0, i).toLowerCase)
+  }
+
+  /** Backend for a location: bare paths and `file:` → [[LocalFileIO]];
+    * other schemes must be registered (same failure mode as the
+    * reference when a warehouse lacks a storage profile for its
+    * location). */
+  def forLocation(location: String): FileIO = schemeOf(location) match {
+    case None | Some("file") => LocalFileIO
+    case Some(s) => registry.getOrElse(s,
+      throw new IllegalStateException(
+        s"no FileIO registered for scheme '$s' (location: $location)"))
+  }
+
+  /** True when some backend can serve this location. */
+  def canHandle(location: String): Boolean = schemeOf(location) match {
+    case None | Some("file") => true
+    case Some(s) => registry.contains(s)
+  }
+
+  def writeString(location: String, s: String): Unit =
+    forLocation(location).write(location, s.getBytes(StandardCharsets.UTF_8))
+
+  def readString(location: String): Option[String] =
+    forLocation(location).read(location).map(new String(_, StandardCharsets.UTF_8))
+}

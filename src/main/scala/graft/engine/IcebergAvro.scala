@@ -217,8 +217,7 @@ object IcebergAvro {
     val entrySchema = manifestEntrySchema(dataFileSchema(partType))
     val dfSchema = entrySchema.getField("data_file").schema()
 
-    val p = graft.catalog.MetadataIO.toPath(path)
-    java.nio.file.Files.createDirectories(p.getParent)
+    val buf = new java.io.ByteArrayOutputStream()
     val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord]())
     w.setMeta("schema", graft.core.JsonCodecs.schemaToJson(ctx.schema).toString)
     w.setMeta("partition-spec",
@@ -226,7 +225,7 @@ object IcebergAvro {
     w.setMeta("partition-spec-id", spec.specId.toString)
     w.setMeta("format-version", "2")
     w.setMeta("content", if (files.exists(_.isDeleteFile)) "deletes" else "data")
-    w.create(entrySchema, p.toFile)
+    w.create(entrySchema, buf)
     try files.foreach { f =>
       val df = new GenericData.Record(dfSchema)
       df.put("content", contentCode(f))
@@ -281,7 +280,9 @@ object IcebergAvro {
       entry.put("data_file", df)
       w.append(entry)
     } finally w.close()
-    Some(AvroInfo(p.toString, java.nio.file.Files.size(p), spec.specId,
+    val bytes = buf.toByteArray
+    graft.catalog.FileIO.forLocation(path).write(path, bytes)
+    Some(AvroInfo(path, bytes.length.toLong, spec.specId,
       ctx.sequenceNumber, ctx.snapshotId))
   }
 
@@ -300,14 +301,13 @@ object IcebergAvro {
     * field summaries (contains_null + tight lower=upper bounds), so a
     * spec-compliant reader shard-prunes exactly like our JSON list. */
   def writeManifestList(path: String, manifests: Seq[ListRow], ctx: Ctx): Unit = {
-    val p = graft.catalog.MetadataIO.toPath(path)
-    java.nio.file.Files.createDirectories(p.getParent)
+    val buf = new java.io.ByteArrayOutputStream()
     val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord]())
     w.setMeta("snapshot-id", ctx.snapshotId.toString)
     ctx.parentSnapshotId.foreach(id => w.setMeta("parent-snapshot-id", id.toString))
     w.setMeta("sequence-number", ctx.sequenceNumber.toString)
     w.setMeta("format-version", "2")
-    w.create(manifestFileSchema, p.toFile)
+    w.create(manifestFileSchema, buf)
     try manifests.foreach { row =>
       val info = row.info
       val r = new GenericData.Record(manifestFileSchema)
@@ -327,6 +327,7 @@ object IcebergAvro {
       r.put("partitions", fieldSummaries(row.partition, info.specId, ctx))
       w.append(r)
     } finally w.close()
+    graft.catalog.FileIO.forLocation(path).write(path, buf.toByteArray)
   }
 
   /** r508 field summaries for a partition-homogeneous shard: one entry
@@ -379,8 +380,10 @@ object IcebergAvro {
   /** Read back an avro file's records + file metadata (conformance
     * checks, debugging, and the interop read path below). */
   def readRecords(path: String): (ASchema, Map[String, String], Seq[GenericRecord]) = {
+    val bytes = graft.catalog.FileIO.forLocation(path).read(path)
+      .getOrElse(throw new java.io.FileNotFoundException(path))
     val r = new DataFileReader[GenericRecord](
-      graft.catalog.MetadataIO.toPath(path).toFile,
+      new org.apache.avro.file.SeekableByteArrayInput(bytes),
       new GenericDatumReader[GenericRecord]())
     try {
       val meta = r.getMetaKeys.asScala

@@ -3,8 +3,6 @@ package graft.engine
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.Files
 import scala.jdk.CollectionConverters._
 
 /** Snapshot file manifests: a two-level tree like Iceberg's.
@@ -225,11 +223,8 @@ object Manifests {
     writeDoc(location, o)
   }
 
-  private def writeDoc(location: String, o: ObjectNode): Unit = {
-    val path = graft.catalog.MetadataIO.toPath(location)
-    Files.createDirectories(path.getParent)
-    Files.write(path, mapper.writeValueAsString(o).getBytes(StandardCharsets.UTF_8))
-  }
+  private def writeDoc(location: String, o: ObjectNode): Unit =
+    graft.catalog.FileIO.writeString(location, mapper.writeValueAsString(o))
 
   // -------------------------------------------------------------- read
   /** Complete file listing of a snapshot (list → all shards). A
@@ -254,7 +249,7 @@ object Manifests {
     else read(e.path)
 
   private def readAvro(location: String): Seq[DataFile] = {
-    if (!Files.exists(graft.catalog.MetadataIO.toPath(location))) return Nil
+    if (!graft.catalog.FileIO.forLocation(location).exists(location)) return Nil
     val (schema, _, _) = IcebergAvro.readRecords(location)
     if (IcebergAvro.isManifestList(schema))
       IcebergAvro.readManifestList(location).flatMap(entryFiles)
@@ -287,7 +282,7 @@ object Manifests {
     * entry pointing at itself. */
   def readEntries(location: String): Seq[ManifestEntry] =
     if (location.endsWith(".avro")) {
-      if (!Files.exists(graft.catalog.MetadataIO.toPath(location))) Nil
+      if (!graft.catalog.FileIO.forLocation(location).exists(location)) Nil
       else IcebergAvro.readManifestList(location)
     } else parse(location) match {
       case None => Nil
@@ -299,11 +294,8 @@ object Manifests {
       case Some(n) => entriesOf(n)
     }
 
-  private def parse(location: String): Option[JsonNode] = {
-    val path = graft.catalog.MetadataIO.toPath(location)
-    if (!Files.exists(path)) None
-    else Some(mapper.readTree(new String(Files.readAllBytes(path), StandardCharsets.UTF_8)))
-  }
+  private def parse(location: String): Option[JsonNode] =
+    graft.catalog.FileIO.readString(location).map(mapper.readTree)
 
   private def entriesOf(n: JsonNode): Seq[ManifestEntry] =
     n.get("manifests").elements().asScala.map { e =>
