@@ -1,30 +1,54 @@
 package graft.engine
 
 import graft.core.Schema
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
-import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.sources.{BaseRelation, Filter, TableScan}
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.{GraftShims, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression, GenericInternalRow, JoinedRow}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeFiltering}
+import org.apache.spark.sql.execution.datasources.PartitionedFile
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
 
-/** Pushdown-capable scan over a snapshot's file listing, built on the
-  * engine's delete-applying read ([[GraftTable.readFiles]]).
+/** Pushdown-capable scan over a snapshot's file listing, applying
+  * merge-on-read deletes task-side.
   *
   * Used wherever the plain parquet-table delegate can't serve the read:
-  *  - snapshots with outstanding merge-on-read delete files (the scan
-  *    is an anti-join plan, not a bare file list), and
+  *  - snapshots with outstanding merge-on-read delete files, and
   *  - row-level operation scans (MERGE/UPDATE/DELETE), which must also
   *    surface the `_file`/`_pos` row-lineage metadata columns that form
   *    the SupportsDelta row id.
   *
-  * Data-side filters COMMUTE with the delete anti-joins (a row deleted
+  * This is a NATIVE V2 `Batch` (no V1 bridge, no InternalRow→Row copy):
+  * each input partition is a bin-packed set of data-file splits, and
+  * the reader opens them with Spark's own vectorized parquet machinery
+  * ([[GraftShims.parquetReadFunc]]), then applies deletes row-by-row —
+  * position deletes as a per-file hash set of row ordinals (true row
+  * indexes from the reader's row-index column), equality deletes as
+  * key-tuple hash sets scoped by sequence number. Delete sets load once
+  * per executor (soft-referenced cache), so N tasks over M delete rows
+  * cost O(M) loading, not O(N·M). Delete application is therefore fully
+  * distributed with no join planning at all — the Iceberg executor-side
+  * `DeleteFilter` design — and scales with (task's rows + applicable
+  * delete rows) per task at any table size.
+  *
+  * Pushed data filters COMMUTE with delete application (a row deleted
   * by key/position is deleted regardless of any predicate on its other
-  * columns), so accepted filters are applied to the inner DataFrame,
-  * where Catalyst pushes them through the joins down to the parquet
-  * scan (`PushedFilters` on the inner plan — predicate pushdown does
-  * not die with a MoR snapshot). Column pruning selects only the
-  * requested columns; the inner planner then prunes the parquet reader
-  * to requested ∪ delete-key ∪ `_metadata` columns.
+  * columns). They prune the file LISTING through manifest stats /
+  * partition tuples at plan time and are re-evaluated per row as a
+  * compiled predicate; they are deliberately NOT handed to the parquet
+  * row-group filter, which matches columns by NAME — on a file written
+  * before a column rename it would treat the renamed column as all-null
+  * and skip blocks that do hold matching rows (our columns resolve by
+  * field id, so name-based block skipping is unsound here).
+  *
+  * The scan implements [[SupportsRuntimeFiltering]] on every table
+  * column: when Spark plans a DPP-style runtime filter against it (see
+  * [[MergeRuntimeFiltering]] for the row-level MERGE wiring), the
+  * runtime `In`/range filters prune the file listing through the same
+  * stats evaluator before any file is opened — a key-only
+  * `MERGE ... ON t.id = s.id` reads candidate files, not the table.
   */
 final class GraftScanBuilder(
     coreSchema: Schema,
@@ -58,26 +82,337 @@ final class GraftScanBuilder(
     required = StructType(requiredSchema.fields.flatMap(f => byName.get(f.name)))
   }
 
-  override def build(): Scan = new V1Scan {
-    private val out = required
-    private val filters = pushed.toSeq
-    override def readSchema(): StructType = out
-    override def toV1TableScan[T <: BaseRelation with TableScan](
-        context: org.apache.spark.sql.SQLContext): T =
-      (new BaseRelation with TableScan {
-        override def sqlContext: org.apache.spark.sql.SQLContext = context
-        override def schema: StructType = out
-        override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
-          val spark = SparkSession.active
-          val needsLineage = out.fieldNames.exists(n =>
-            n == GraftTable.FileCol || n == GraftTable.PosCol)
-          val kept =
-            if (filters.isEmpty) listing else listing.filter(keeper(filters))
-          var df = GraftTable.readFiles(spark, coreSchema, kept,
-            lineage = needsLineage)
-          filters.flatMap(FilterBridge.translate).foreach(c => df = df.filter(c))
-          df.select(out.fieldNames.toIndexedSeq.map(col): _*).rdd
-        }
-      }).asInstanceOf[T]
+  override def build(): Scan = {
+    val spark = SparkSession.active
+    // plan-time static prune (stats + partition tuples); deletes survive
+    val kept =
+      if (pushed.isEmpty) listing else listing.filter(keeper(pushed.toSeq))
+    new GraftMorScan(spark, coreSchema, tableSchema, kept, keeper,
+      pushed.toSeq, required)
   }
+}
+
+/** One split of a data file, with the file's commit sequence number
+  * (delete-scoping) riding along. */
+private[engine] final case class GraftFileSlice(
+    path: String, fileSize: Long, seq: Long, start: Long, length: Long)
+
+private[engine] final case class GraftInputPartition(slices: Seq[GraftFileSlice])
+    extends InputPartition
+
+/** One equality-delete key set: the delete files carrying it (path,
+  * size, seq) plus how to read them and where the key columns sit in
+  * the data reader's output. */
+private[engine] final case class EqDeleteSpec(
+    files: Seq[(String, Long, Long)],
+    readFunc: PartitionedFile => Iterator[InternalRow],
+    keyOrdinals: Seq[Int],
+    keyTypes: Seq[DataType])
+
+private[engine] final case class PosDeleteSpec(
+    files: Seq[(String, Long, Long)],
+    readFunc: PartitionedFile => Iterator[InternalRow])
+
+final class GraftMorScan(
+    spark: SparkSession,
+    coreSchema: Schema,
+    tableSchema: StructType,
+    listing: Seq[Manifests.DataFile],
+    keeper: Seq[Filter] => Manifests.DataFile => Boolean,
+    pushed: Seq[Filter],
+    required: StructType)
+    extends Scan with Batch with SupportsRuntimeFiltering {
+
+  @volatile private var current: Seq[Manifests.DataFile] = listing
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftMorScan[files=${listing.count(!_.isDeleteFile)}] " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
+
+  /** Every OUTPUT data column participates: [[StatsPruning]] evaluates
+    * any of them against manifest stats and partition transforms, so a
+    * runtime filter on any column can only shrink the listing.
+    * (Restricted to the pruned output — Spark resolves these against
+    * the scan relation's attributes.) */
+  override def filterAttributes(): Array[NamedReference] = {
+    val dataCols = tableSchema.fieldNames.toSet
+    required.fieldNames.filter(dataCols).map(Expressions.column)
+  }
+
+  /** Runtime (DPP) filters: prune the file listing driver-side before
+    * [[planInputPartitions]] re-plans. Conservative like the static
+    * path — unknown shapes keep files; delete files always survive. */
+  override def filter(filters: Array[Filter]): Unit = {
+    val kept = current.filter(keeper(filters.toSeq))
+    GraftMorScan.lastRuntimePrune = Some(GraftMorScan.PruneInfo(
+      kept.count(!_.isDeleteFile), listing.count(!_.isDeleteFile)))
+    current = kept
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val datas = current.filterNot(_.isDeleteFile)
+    GraftMorScan.lastPlannedFiles = Some(datas.size)
+    val (maxSplit, openCost) = GraftShims.fileSplitConf(spark)
+    val slices = datas.flatMap { f =>
+      if (f.sizeBytes <= maxSplit)
+        Seq(GraftFileSlice(f.path, f.sizeBytes, f.seq, 0L, f.sizeBytes))
+      else (0L until f.sizeBytes by maxSplit).map(off => GraftFileSlice(
+        f.path, f.sizeBytes, f.seq, off, math.min(maxSplit, f.sizeBytes - off)))
+    }
+    // Spark's own FilePartition packing: largest-first, greedy fill
+    val parts = Seq.newBuilder[InputPartition]
+    val bin = scala.collection.mutable.ArrayBuffer.empty[GraftFileSlice]
+    var binBytes = 0L
+    slices.sortBy(-_.length).foreach { s =>
+      val cost = s.length + openCost
+      if (bin.nonEmpty && binBytes + cost > maxSplit) {
+        parts += GraftInputPartition(bin.toSeq); bin.clear(); binBytes = 0L
+      }
+      bin += s; binBytes += cost
+    }
+    if (bin.nonEmpty) parts += GraftInputPartition(bin.toSeq)
+    parts.result().toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = factory
+
+  /** Driver-side reader plan, built once: the parquet open function,
+    * the output projection template, the residual predicate, and the
+    * delete-file specs. Deletes are never runtime-pruned, so this is
+    * stable across [[filter]] calls. */
+  private lazy val factory: GraftReaderFactory = {
+    val byName = tableSchema.fields.map(f => f.name -> f).toMap
+    val deletes = listing.filter(_.isDeleteFile)
+    val posFiles = deletes.filter(_.isPositionDeleteFile)
+
+    // equality-delete groups: key columns resolve against the CURRENT
+    // schema by field id (rename-safe); legacy manifests recorded names
+    val eqGroups = deletes.filterNot(_.isPositionDeleteFile)
+      .groupBy(f => (f.equalityIds, f.equalityColumns)).toSeq
+      .sortBy(_._1.toString)
+      .map { case ((ids, legacyNames), dfiles) =>
+        val keyFields =
+          if (ids.nonEmpty) ids.map(id => coreSchema.fieldById(id).getOrElse(
+            sys.error(s"equality-delete key field id $id missing from schema")))
+          else legacyNames.map(n => coreSchema.fieldByName(n).getOrElse(
+            sys.error(s"equality-delete key column $n missing from schema")))
+        (keyFields, dfiles)
+      }
+
+    val requiredData = required.fields.filter(f =>
+      f.name != GraftTable.FileCol && f.name != GraftTable.PosCol)
+    val needPos = required.fieldNames.contains(GraftTable.PosCol) || posFiles.nonEmpty
+    // parquet read set: requested data columns ∪ equality keys ∪ filter
+    // columns (residual evaluation), plus the row-index column when
+    // positions matter — all id-stamped from the table schema
+    val extraNames = (eqGroups.flatMap(_._1.map(_.name)) ++
+      pushed.flatMap(_.references.toSeq).filterNot(_.contains('.'))).distinct
+    val dataColNames = (requiredData.map(_.name) ++
+      extraNames.filter(byName.contains)).distinct
+    val dataFields = dataColNames.map(byName)
+    val parquetOut = StructType(
+      dataFields ++ (if (needPos)
+        Seq(StructField(GraftShims.rowIndexColumnName, LongType)) else Nil))
+    val ordinalOf = parquetOut.fieldNames.zipWithIndex.toMap
+    val rowIdxOrdinal = if (needPos) parquetOut.length - 1 else -1
+
+    val readFunc = GraftShims.parquetReadFunc(spark, parquetOut, parquetOut, Nil)
+
+    // output projection template over JoinedRow(parquetRow, [filePath])
+    val outputExprs: Seq[Expression] = required.fields.toSeq.map { f =>
+      f.name match {
+        case GraftTable.FileCol =>
+          BoundReference(parquetOut.length, StringType, nullable = false)
+        case GraftTable.PosCol =>
+          BoundReference(rowIdxOrdinal, LongType, nullable = false)
+        case n => BoundReference(ordinalOf(n), f.dataType, f.nullable)
+      }
+    }
+
+    val residual: Option[Expression] =
+      if (pushed.isEmpty) None
+      else FilterBridge.translateAll(pushed.toArray).map(c =>
+        GraftShims.boundExpressions(spark, parquetOut, Seq(c)).head)
+
+    val eqSpecs = eqGroups.map { case (keyFields, dfiles) =>
+      val delSchema = StructType(keyFields.map(f =>
+        StructField(f.name, SchemaBridge.toSpark(f.fieldType), nullable = true,
+          SchemaBridge.fieldIdMetadata(f.id))))
+      EqDeleteSpec(
+        dfiles.map(f => (f.path, f.sizeBytes, f.seq)),
+        GraftShims.parquetReadFunc(spark, delSchema, delSchema, Nil),
+        keyFields.map(f => ordinalOf(f.name)),
+        delSchema.fields.map(_.dataType).toSeq)
+    }
+    val posSpec =
+      if (posFiles.isEmpty) None
+      else Some(PosDeleteSpec(
+        posFiles.map(f => (f.path, f.sizeBytes, f.seq)),
+        GraftShims.parquetReadFunc(
+          spark, GraftTable.PosDeleteSchema, GraftTable.PosDeleteSchema, Nil)))
+
+    new GraftReaderFactory(readFunc, parquetOut.length, outputExprs, residual,
+      eqSpecs, posSpec, rowIdxOrdinal)
+  }
+}
+
+object GraftMorScan {
+  /** Runtime-filter observability: data files kept vs the statically-
+    * planned total — the observable half of MERGE runtime pruning. */
+  final case class PruneInfo(kept: Int, total: Int)
+  @volatile var lastRuntimePrune: Option[PruneInfo] = None
+  /** Data-file count of the most recent planInputPartitions call. */
+  @volatile var lastPlannedFiles: Option[Int] = None
+}
+
+/** Executor-side reader: streams each slice through the shared parquet
+  * open function, drops rows the residual predicate rejects, drops
+  * deleted rows (position sets by row index, equality sets by key
+  * tuple), and projects to the scan's output schema (lineage columns
+  * synthesized from the slice path + row index). */
+private[engine] final class GraftReaderFactory(
+    readFunc: PartitionedFile => Iterator[InternalRow],
+    parquetArity: Int,
+    outputExprs: Seq[Expression],
+    residual: Option[Expression],
+    eqSpecs: Seq[EqDeleteSpec],
+    posSpec: Option[PosDeleteSpec],
+    rowIdxOrdinal: Int)
+    extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val slices = p.asInstanceOf[GraftInputPartition].slices.iterator
+      private val proj = GraftShims.unsafeProjection(outputExprs)
+      private val pred = residual.map(GraftShims.basePredicate).orNull
+      private val joined = new JoinedRow
+      private var st: SliceState = _
+      private var out: InternalRow = _
+
+      private final class SliceState(s: GraftFileSlice) {
+        val rows: Iterator[InternalRow] =
+          readFunc(GraftShims.partitionedFile(s.path, s.start, s.length, s.fileSize))
+        val fileRow = new GenericInternalRow(Array[Any](UTF8String.fromString(s.path)))
+        /** equality sets whose sequence is strictly above this file's */
+        val eq: Seq[(Seq[Int], Seq[DataType], Seq[java.util.HashSet[AnyRef]])] =
+          eqSpecs.flatMap { g =>
+            val sets = g.files.filter(_._3 > s.seq).map(f =>
+              GraftDeleteCache.eqTuples(f._1, f._2, g.readFunc, g.keyTypes))
+            if (sets.isEmpty) None else Some((g.keyOrdinals, g.keyTypes, sets))
+          }
+        /** position sets addressing THIS file, sequence ≥ the file's */
+        val pos: Seq[java.util.HashSet[java.lang.Long]] = posSpec.toSeq.flatMap { pd =>
+          val key = GraftDeleteCache.fileKey(s.path)
+          pd.files.filter(_._3 >= s.seq).flatMap(f =>
+            Option(GraftDeleteCache.posMap(f._1, f._2, pd.readFunc).get(key)))
+        }
+        def keep(r: InternalRow): Boolean = {
+          if (pred != null && !pred.eval(r)) return false
+          if (pos.nonEmpty) {
+            val ix = r.getLong(rowIdxOrdinal)
+            if (pos.exists(_.contains(ix))) return false
+          }
+          var i = 0
+          while (i < eq.length) {
+            val (ords, types, sets) = eq(i)
+            val tuple = GraftDeleteCache.tuple(r, ords, types)
+            if (sets.exists(_.contains(tuple))) return false
+            i += 1
+          }
+          true
+        }
+      }
+
+      override def next(): Boolean = {
+        while (true) {
+          if (st == null) {
+            if (!slices.hasNext) return false
+            st = new SliceState(slices.next())
+          }
+          while (st.rows.hasNext) {
+            val r = st.rows.next()
+            if (st.keep(r)) { out = proj(joined(r, st.fileRow)); return true }
+          }
+          st = null
+        }
+        false
+      }
+      override def get(): InternalRow = out
+      override def close(): Unit = ()
+    }
+}
+
+/** Executor-level cache of materialized delete sets, keyed by delete
+  * file path (delete files are immutable once committed). Soft
+  * references: under memory pressure a set reloads instead of OOMing.
+  * At 100 TB, delete files are partition-scoped by the writer, so a
+  * task's applicable sets stay bounded by its partition's churn. */
+private[engine] object GraftDeleteCache {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.ref.SoftReference[AnyRef]]()
+
+  private def getOrLoad[T <: AnyRef](key: String)(load: => T): T = {
+    val ref = cache.get(key)
+    val hit = if (ref == null) null else ref.get()
+    if (hit != null) hit.asInstanceOf[T]
+    else {
+      val v = load
+      cache.put(key, new java.lang.ref.SoftReference[AnyRef](v))
+      v
+    }
+  }
+
+  /** Key a file by its last two path segments (uuid-dir/name): stable
+    * across scheme differences between manifest paths and the
+    * `file_path` strings recorded inside position-delete files. */
+  def fileKey(p: String): String = p.split('/').takeRight(2).mkString("/")
+
+  /** Key tuple of `r` at `ords`, normalized so tuple equality matches
+    * SQL `<=>`: null elements compare equal, -0.0 folds onto 0.0 (NaN
+    * already self-equal under boxed equality). */
+  def tuple(r: InternalRow, ords: Seq[Int], types: Seq[DataType]): List[Any] = {
+    val b = List.newBuilder[Any]
+    var i = 0
+    while (i < ords.length) {
+      b += norm(if (r.isNullAt(ords(i))) null else r.get(ords(i), types(i)))
+      i += 1
+    }
+    b.result()
+  }
+
+  private def norm(v: Any): Any = v match {
+    case d: java.lang.Double if d.doubleValue() == 0.0d => java.lang.Double.valueOf(0.0d)
+    case f: java.lang.Float if f.floatValue() == 0.0f => java.lang.Float.valueOf(0.0f)
+    case other => other
+  }
+
+  def eqTuples(
+      path: String, size: Long,
+      readFunc: PartitionedFile => Iterator[InternalRow],
+      types: Seq[DataType]): java.util.HashSet[AnyRef] =
+    getOrLoad("eq:" + path) {
+      val set = new java.util.HashSet[AnyRef]()
+      val ords = types.indices.toSeq
+      readFunc(GraftShims.partitionedFile(path, 0L, size, size)).foreach { r =>
+        // rows from the reader are reused buffers — copy before keeping
+        set.add(tuple(r.copy(), ords, types))
+      }
+      set
+    }
+
+  def posMap(
+      path: String, size: Long,
+      readFunc: PartitionedFile => Iterator[InternalRow])
+      : java.util.HashMap[String, java.util.HashSet[java.lang.Long]] =
+    getOrLoad("pos:" + path) {
+      val m = new java.util.HashMap[String, java.util.HashSet[java.lang.Long]]()
+      readFunc(GraftShims.partitionedFile(path, 0L, size, size)).foreach { r =>
+        val fk = fileKey(r.getUTF8String(0).toString)
+        m.computeIfAbsent(fk, _ => new java.util.HashSet[java.lang.Long]())
+          .add(java.lang.Long.valueOf(r.getLong(1)))
+      }
+      m
+    }
 }

@@ -63,6 +63,61 @@ object GraftShims {
     (factory, new org.apache.spark.util.SerializableConfiguration(job.getConfiguration))
   }
 
+  /** Spark's own executor-side parquet READ machinery for custom V2
+    * `Batch` scans: `ParquetFileFormat.buildReaderWithPartitionValues`
+    * returns the serializable per-task open function `FileScanRDD`
+    * itself ships to executors (vectorized decode, field-id column
+    * resolution per session conf, row-index generation). Batches are
+    * declined (`OPTION_RETURNING_BATCH=false`), so the iterator yields
+    * genuine per-row `InternalRow`s — the shape a delete-applying
+    * reader filters row-by-row. `filters` land in the parquet reader
+    * for row-group/page skipping; pass Nil when the caller re-evaluates
+    * predicates itself. */
+  def parquetReadFunc(
+      spark: SparkSession,
+      dataSchema: org.apache.spark.sql.types.StructType,
+      requiredSchema: org.apache.spark.sql.types.StructType,
+      filters: Seq[org.apache.spark.sql.sources.Filter])
+      : execution.datasources.PartitionedFile => Iterator[catalyst.InternalRow] = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    new execution.datasources.parquet.ParquetFileFormat().buildReaderWithPartitionValues(
+      cs, dataSchema, new org.apache.spark.sql.types.StructType(), requiredSchema,
+      filters,
+      Map(execution.datasources.FileFormat.OPTION_RETURNING_BATCH -> "false"),
+      cs.sessionState.newHadoopConf())
+  }
+
+  /** A split of one data file for [[parquetReadFunc]] (no partition
+    * values, no locality hints — the manifest is the file inventory). */
+  def partitionedFile(
+      path: String, start: Long, length: Long, fileSize: Long)
+      : execution.datasources.PartitionedFile =
+    execution.datasources.PartitionedFile(
+      catalyst.InternalRow.empty,
+      org.apache.spark.paths.SparkPath.fromPathString(path),
+      start, length, Array.empty, 0L, fileSize, Map.empty)
+
+  /** The temporary column name the parquet reader populates with each
+    * row's ordinal position within its file (the machinery behind
+    * `_metadata.row_index`) — exact even under splits and row-group
+    * skipping. */
+  def rowIndexColumnName: String =
+    execution.datasources.parquet.ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME
+
+  /** Session split sizing for custom file-batch planning:
+    * (maxPartitionBytes, openCostInBytes). */
+  def fileSplitConf(spark: SparkSession): (Long, Long) = {
+    val conf = spark.asInstanceOf[classic.SparkSession].sessionState.conf
+    (conf.filesMaxPartitionBytes, conf.filesOpenCostInBytes)
+  }
+
+  /** Codegen'd (interpreted-fallback) projection / predicate over bound
+    * expressions — executor-side row shaping for custom readers. */
+  def unsafeProjection(exprs: Seq[Expression]): catalyst.expressions.UnsafeProjection =
+    catalyst.expressions.UnsafeProjection.create(exprs)
+  def basePredicate(e: Expression): catalyst.expressions.BasePredicate =
+    catalyst.expressions.Predicate.create(e)
+
   /** Analyze `cols` against `schema` and bind them to row ordinals:
     * returns executor-evaluable expressions (the analyzer inserts any
     * casts/coercions a manual binding would miss). Used to derive
