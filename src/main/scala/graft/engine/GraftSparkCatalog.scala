@@ -651,7 +651,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       coreSchema: graft.core.Schema, listing: Seq[Manifests.DataFile],
       props: Map[String, String], pruning: SnapshotPruning)
       extends Table with SupportsRead with SupportsWrite with SupportsDelete
-      with SupportsRowLevelOperations with SupportsMetadataColumns {
+      with SupportsRowLevelOperations with SupportsMetadataColumns
+      with GraftMergeTarget {
     override def name(): String = tableName
     override def schema(): StructType = tableSchema
     /** SHOW TBLPROPERTIES surface (reference test_spark.py:106-120). */

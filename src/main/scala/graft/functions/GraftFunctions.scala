@@ -42,5 +42,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftFunctions.bucketBuilder))
     extensions.injectParser((_, parser) =>
       new graft.engine.GraftSqlParser(parser))
+    // runtime file pruning for key-only MERGE/UPDATE/DELETE deltas:
+    // planted pre-CBO (post operator optimization, pre scan pushdown)
+    extensions.injectPreCBORule(spark =>
+      graft.engine.MergeRuntimeFiltering(spark))
   }
 }

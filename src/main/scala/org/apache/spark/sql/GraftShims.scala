@@ -118,6 +118,16 @@ object GraftShims {
   def basePredicate(e: Expression): catalyst.expressions.BasePredicate =
     catalyst.expressions.Predicate.create(e)
 
+  /** The underlying catalog table of an analyzer-wrapped row-level
+    * operation target (`RowLevelOperationTable` is private[sql]) —
+    * how optimizer rules recognize their own MERGE/UPDATE/DELETE
+    * targets. */
+  def rowLevelTargetOf(table: connector.catalog.Table)
+      : Option[connector.catalog.Table] = table match {
+    case t: connector.write.RowLevelOperationTable => Some(t.table)
+    case _ => None
+  }
+
   /** Analyze `cols` against `schema` and bind them to row ordinals:
     * returns executor-evaluable expressions (the analyzer inserts any
     * casts/coercions a manual binding would miss). Used to derive
