@@ -25,6 +25,18 @@ import scala.jdk.CollectionConverters._
   * The DATA plane (parquet files) deliberately does NOT route through
   * this trait: data files are written and scanned by Spark's own file
   * source, whose Hadoop filesystem layer already speaks object stores.
+  *
+  * Unregistered-scheme POLICY (one rule per direction, applied
+  * everywhere): CONTENT writes — manifests, the bytes a commit's
+  * snapshot will point at — resolve via [[FileIO.forLocation]] and
+  * THROW, because silently dropping them would corrupt the table.
+  * MIRROR writes (the gzip metadata.json copy, [[MetadataIO.write]])
+  * SKIP — the catalog store row is authoritative, the file is a
+  * convenience copy (reference behavior until a storage profile is
+  * configured). READS go through [[FileIO.readBytes]]/[[FileIO.readString]]
+  * and DEGRADE to absent, so loading a table whose metadata lives on an
+  * unconfigured scheme yields the store-backed surface instead of a
+  * planning-time crash.
   */
 trait FileIO {
   /** Create-or-replace the object at `location` (object-store PUT —
@@ -34,6 +46,10 @@ trait FileIO {
   /** Full object content, or None when absent. */
   def read(location: String): Option[Array[Byte]]
 
+  /** Existence probe. NOTE for remote impls: this default is a full
+    * GET — override with a HEAD request. Engine hot paths avoid
+    * exists+read double round trips by calling [[read]] once and
+    * branching on None. */
   def exists(location: String): Boolean = read(location).isDefined
 
   /** Object size in bytes, or None when absent (HEAD, not GET — local
@@ -77,16 +93,19 @@ object LocalFileIO extends FileIO {
     Files.deleteIfExists(toPath(location))
 
   override def list(prefix: String): Seq[String] = {
-    // the "directory" part of the prefix: everything up to the last '/'
-    val cut = prefix.lastIndexOf('/')
-    val dir = toPath(if (cut >= 0) prefix.substring(0, cut + 1) else prefix)
-    if (!Files.isDirectory(dir)) Nil
+    // walk the DEEPEST existing directory of the prefix (a prefix that
+    // names a directory walks it directly, not its parent tree), and
+    // return locations in the caller's form (file: URI vs bare path)
+    val isUri = prefix.startsWith("file:")
+    val p = toPath(prefix)
+    val dir = if (Files.isDirectory(p)) p else p.getParent
+    if (dir == null || !Files.isDirectory(dir)) Nil
     else {
       val stream = Files.walk(dir)
       try stream.iterator().asScala
         .filter(Files.isRegularFile(_))
-        .map(_.toString)
-        .filter(_.startsWith(toPath(prefix).toString))
+        .filter(_.toString.startsWith(p.toString))
+        .map(f => if (isUri) f.toUri.toString else f.toString)
         .toSeq.sorted
       finally stream.close()
     }
@@ -152,6 +171,11 @@ object FileIO {
   def writeString(location: String, s: String): Unit =
     forLocation(location).write(location, s.getBytes(StandardCharsets.UTF_8))
 
+  /** Degrading read (see trait policy): unregistered schemes and
+    * missing objects both answer None, in ONE round trip. */
+  def readBytes(location: String): Option[Array[Byte]] =
+    if (!canHandle(location)) None else forLocation(location).read(location)
+
   def readString(location: String): Option[String] =
-    forLocation(location).read(location).map(new String(_, StandardCharsets.UTF_8))
+    readBytes(location).map(new String(_, StandardCharsets.UTF_8))
 }

@@ -30,8 +30,9 @@ import scala.jdk.CollectionConverters._
   *
   * Documented divergences: unpartitioned delete files ride under the
   * table's default spec with a null partition tuple, and columns whose
-  * stats are unrepresentable (decimals, non-ASCII strings) simply omit
-  * their bounds — both lossy-conservative, never wrong.
+  * stats are unrepresentable (non-ASCII strings) simply omit their
+  * bounds — both lossy-conservative, never wrong. Decimal bounds
+  * serialize per Appendix D (unscaled big-endian two's complement).
   */
 object IcebergAvro {
 
@@ -45,10 +46,15 @@ object IcebergAvro {
       sequenceNumber: Long)
 
   /** The avro twin of a JSON manifest shard, recorded in the JSON list
-    * so child commits can carry it without rereading anything. */
+    * so child commits can carry it without rereading anything.
+    * `minSeq` is the smallest data sequence among the shard's entries
+    * (backfilled carried shards span older commits); None = same as
+    * `seq`. */
   final case class AvroInfo(
       path: String, length: Long, specId: Int, seq: Long,
-      addedSnapshotId: Long)
+      addedSnapshotId: Long, minSeq: Option[Long] = None) {
+    def minSequence: Long = minSeq.getOrElse(seq)
+  }
 
   // ----------------------------------------------------- avro schemas
   private def fld(name: String, s: ASchema, id: Int): ASchema.Field = {
@@ -174,6 +180,12 @@ object IcebergAvro {
         Some(ByteBuffer.wrap(stored.getBytes(StandardCharsets.UTF_8)))
       case IType.TBoolean =>
         Some(ByteBuffer.wrap(Array[Byte](if (stored.toBoolean) 1 else 0)))
+      case d: IType.TDecimal =>
+        // spec Appendix D: unscaled value, two's-complement big-endian
+        // minimal bytes; setScale is exact — a mismatched scale drops
+        // the bound rather than rounding it
+        Some(ByteBuffer.wrap(new java.math.BigDecimal(stored)
+          .setScale(d.scale).unscaledValue().toByteArray))
       case _ => None
     } catch { case _: Exception => None }
   }
@@ -206,12 +218,18 @@ object IcebergAvro {
     case _ => 0
   }
 
-  /** Write one avro manifest for a homogeneous shard of files (all
-    * ADDED at this snapshot). Returns None — no avro twin — when the
-    * spec's partition types have no avro mapping; interop degrades for
-    * that table, the engine path is untouched. */
+  /** Write one avro manifest for a homogeneous shard of files — ADDED
+    * at this snapshot, or (with `carried = true`) EXISTING files
+    * backfilled from a pre-avro shard, keeping their own per-file
+    * sequence numbers. Returns None — no avro twin — when the spec's
+    * partition types have no avro mapping or the shard mixes data and
+    * delete files (legacy mixed shards; a spec manifest must be
+    * homogeneous); interop degrades for that table, the engine path is
+    * untouched. */
   def writeManifest(
-      path: String, files: Seq[Manifests.DataFile], ctx: Ctx): Option[AvroInfo] = {
+      path: String, files: Seq[Manifests.DataFile], ctx: Ctx,
+      carried: Boolean = false): Option[AvroInfo] = {
+    if (files.exists(_.isDeleteFile) && files.exists(!_.isDeleteFile)) return None
     val spec = ctx.specs.getOrElse(ctx.specId, PartitionSpec(ctx.specId, Nil))
     val partType = partitionStruct(spec, ctx.schema).getOrElse(return None)
     val entrySchema = manifestEntrySchema(dataFileSchema(partType))
@@ -273,17 +291,23 @@ object IcebergAvro {
         else f.equalityIds.map(Int.box).asJava)
 
       val entry = new GenericData.Record(entrySchema)
-      entry.put("status", 1) // ADDED at this snapshot
+      // spec status codes: 0 = EXISTING, 1 = ADDED
+      entry.put("status", if (carried) 0 else 1)
       entry.put("snapshot_id", ctx.snapshotId)
-      entry.put("sequence_number", ctx.sequenceNumber)
-      entry.put("file_sequence_number", ctx.sequenceNumber)
+      val fseq =
+        if (f.seq != Manifests.UnassignedSeq) f.seq else ctx.sequenceNumber
+      entry.put("sequence_number", fseq)
+      entry.put("file_sequence_number", fseq)
       entry.put("data_file", df)
       w.append(entry)
     } finally w.close()
     val bytes = buf.toByteArray
     graft.catalog.FileIO.forLocation(path).write(path, bytes)
+    val seqs = files.map(f =>
+      if (f.seq != Manifests.UnassignedSeq) f.seq else ctx.sequenceNumber)
     Some(AvroInfo(path, bytes.length.toLong, spec.specId,
-      ctx.sequenceNumber, ctx.snapshotId))
+      if (seqs.isEmpty) ctx.sequenceNumber else seqs.max, ctx.snapshotId,
+      minSeq = if (seqs.isEmpty) None else Some(seqs.min)))
   }
 
   /** One manifest's row in the list: counts, content, carried-ness,
@@ -316,7 +340,7 @@ object IcebergAvro {
       r.put("partition_spec_id", info.specId)
       r.put("content", if (row.hasDeletes) 1 else 0)
       r.put("sequence_number", info.seq)
-      r.put("min_sequence_number", info.seq)
+      r.put("min_sequence_number", info.minSequence)
       r.put("added_snapshot_id", info.addedSnapshotId)
       r.put("added_files_count", if (row.carried) 0 else row.fileCount.toInt)
       r.put("existing_files_count", if (row.carried) row.fileCount.toInt else 0)
@@ -379,9 +403,14 @@ object IcebergAvro {
   // ------------------------------------------------------------- read
   /** Read back an avro file's records + file metadata (conformance
     * checks, debugging, and the interop read path below). */
-  def readRecords(path: String): (ASchema, Map[String, String], Seq[GenericRecord]) = {
-    val bytes = graft.catalog.FileIO.forLocation(path).read(path)
-      .getOrElse(throw new java.io.FileNotFoundException(path))
+  def readRecords(path: String): (ASchema, Map[String, String], Seq[GenericRecord]) =
+    parseRecords(graft.catalog.FileIO.forLocation(path).read(path)
+      .getOrElse(throw new java.io.FileNotFoundException(path)))
+
+  /** Parse already-fetched avro bytes — lets callers that just did the
+    * (single) object-store read avoid a second round trip. */
+  def parseRecords(bytes: Array[Byte])
+      : (ASchema, Map[String, String], Seq[GenericRecord]) = {
     val r = new DataFileReader[GenericRecord](
       new org.apache.avro.file.SeekableByteArrayInput(bytes),
       new GenericDatumReader[GenericRecord]())
@@ -402,8 +431,12 @@ object IcebergAvro {
     * its `manifest-list` field) scan and carry forward through this
     * engine. Tuple-level pruning info isn't in the list (that rides in
     * per-file partition tuples, applied file-level). */
-  def readManifestList(path: String): Seq[Manifests.ManifestEntry] = {
-    val (_, _, recs) = readRecords(path)
+  def readManifestList(path: String): Seq[Manifests.ManifestEntry] =
+    manifestListEntries(readRecords(path)._3)
+
+  /** Record-level form of [[readManifestList]] for callers holding
+    * already-parsed records (single-read paths). */
+  def manifestListEntries(recs: Seq[GenericRecord]): Seq[Manifests.ManifestEntry] = {
     recs.map { r =>
       def i(n: String) = r.get(n).asInstanceOf[Number]
       val files = i("added_files_count").longValue() +
@@ -420,7 +453,8 @@ object IcebergAvro {
           i("manifest_length").longValue(),
           i("partition_spec_id").intValue(),
           i("sequence_number").longValue(),
-          i("added_snapshot_id").longValue())))
+          i("added_snapshot_id").longValue(),
+          minSeq = Some(i("min_sequence_number").longValue()))))
     }
   }
 
@@ -432,6 +466,14 @@ object IcebergAvro {
     * inheritance from the list entry). DELETED-status entries drop. */
   def readManifest(path: String, inheritSeq: Long): Seq[Manifests.DataFile] = {
     val (_, meta, recs) = readRecords(path)
+    manifestFiles(meta, recs, inheritSeq)
+  }
+
+  /** Record-level form of [[readManifest]] for callers holding
+    * already-parsed records (single-read paths). */
+  def manifestFiles(
+      meta: Map[String, String], recs: Seq[GenericRecord],
+      inheritSeq: Long): Seq[Manifests.DataFile] = {
     val schema = graft.core.JsonCodecs
       .schemaFromJson(graft.core.JsonCodecs.parse(meta("schema")))
       .fold(e => sys.error(s"bad manifest schema metadata: $e"), identity)
@@ -522,6 +564,10 @@ object IcebergAvro {
         if (s.length <= 64 && s.forall(_ < 128)) Some(s) else None
       case IType.TBoolean if b.remaining() == 1 =>
         Some((b.get() != 0).toString)
+      case d: IType.TDecimal =>
+        val a = new Array[Byte](b.remaining()); b.get(a)
+        Some(new java.math.BigDecimal(
+          new java.math.BigInteger(a), d.scale).toPlainString)
       case _ => None
     } catch { case _: Exception => None }
   }

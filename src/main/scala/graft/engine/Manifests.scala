@@ -141,19 +141,44 @@ object Manifests {
       ManifestEntry(path, fs.size.toLong, fs.map(_.recordCount).sum,
         fs.exists(_.isDeleteFile), pt, avro)
     }
+    // Backfill avro twins for carried shards that predate the avro
+    // tree (legacy JSON-only shards): one O(shard files) re-read per
+    // shard, ONCE — the twin rides in the JSON list from here on, so
+    // the cost amortizes to zero. Files keep their own sequence
+    // numbers and are recorded as EXISTING. Shards that cannot have a
+    // twin (unmappable partition types, mixed legacy shards) stay bare.
+    val carriedOut = iceberg match {
+      case None => carried
+      case Some(ctx) => carried.zipWithIndex.map {
+        case (e, _) if e.avro.isDefined => e
+        case (e, i) =>
+          val twin = IcebergAvro.writeManifest(
+            s"$metadataDir/manifest-$snapshotId-c$i.avro",
+            entryFiles(e), ctx, carried = true)
+          e.copy(avro = twin)
+      }
+    }
     iceberg.foreach { ctx =>
-      val rows = (carried.map(e => (e, true)) ++ newEntries.map(e => (e, false)))
-        .flatMap { case (e, isCarried) =>
-          e.avro.map(a => IcebergAvro.ListRow(
-            a, e.fileCount, e.rowCount, e.hasDeletes, isCarried, e.partition)) }
-      IcebergAvro.writeManifestList(
-        s"$metadataDir/snap-$snapshotId-manifest-list.avro", rows, ctx)
+      val all = carriedOut.map(e => (e, true)) ++ newEntries.map(e => (e, false))
+      // A spec manifest list must name the snapshot's COMPLETE content:
+      // if any entry has no avro twin, an external reader would see a
+      // silently incomplete table — worse than no list. Skip it.
+      if (all.forall(_._1.avro.isDefined)) {
+        val rows = all.map { case (e, isCarried) =>
+          IcebergAvro.ListRow(
+            e.avro.get, e.fileCount, e.rowCount, e.hasDeletes, isCarried, e.partition)
+        }
+        IcebergAvro.writeManifestList(
+          s"$metadataDir/snap-$snapshotId-manifest-list.avro", rows, ctx)
+      } else System.err.println(
+        s"[graft] snapshot $snapshotId: skipping avro manifest list — " +
+          s"${all.count(_._1.avro.isEmpty)} of ${all.size} shards have no avro twin")
     }
     val listPath = s"$metadataDir/snap-$snapshotId.json"
     val o = mapper.createObjectNode()
     o.put("snapshot-id", snapshotId)
     val arr = mapper.createArrayNode()
-    (carried ++ newEntries).foreach { e =>
+    (carriedOut ++ newEntries).foreach { e =>
       val eo = mapper.createObjectNode()
       eo.put("path", e.path)
       eo.put("file-count", e.fileCount)
@@ -171,6 +196,7 @@ object Manifests {
         ao.put("spec-id", a.specId)
         ao.put("sequence-number", a.seq)
         ao.put("added-snapshot-id", a.addedSnapshotId)
+        a.minSeq.foreach(ao.put("min-sequence-number", _))
         eo.set[ObjectNode]("avro", ao)
       }
       arr.add(eo)
@@ -248,13 +274,17 @@ object Manifests {
       IcebergAvro.readManifest(e.path, e.avro.map(_.seq).getOrElse(0L))
     else read(e.path)
 
-  private def readAvro(location: String): Seq[DataFile] = {
-    if (!graft.catalog.FileIO.forLocation(location).exists(location)) return Nil
-    val (schema, _, _) = IcebergAvro.readRecords(location)
-    if (IcebergAvro.isManifestList(schema))
-      IcebergAvro.readManifestList(location).flatMap(entryFiles)
-    else IcebergAvro.readManifest(location, inheritSeq = 0L)
-  }
+  /** ONE degrading read (absent object / unregistered scheme → Nil),
+    * parsed once — never exists+read+read round trips. */
+  private def readAvro(location: String): Seq[DataFile] =
+    graft.catalog.FileIO.readBytes(location) match {
+      case None => Nil
+      case Some(bytes) =>
+        val (schema, meta, recs) = IcebergAvro.parseRecords(bytes)
+        if (IcebergAvro.isManifestList(schema))
+          IcebergAvro.manifestListEntries(recs).flatMap(entryFiles)
+        else IcebergAvro.manifestFiles(meta, recs, inheritSeq = 0L)
+    }
 
   /** Partition-pruned listing: reads ONLY the shards whose partition
     * tuple passes `keep` (mixed and delete shards always read), then
@@ -282,8 +312,11 @@ object Manifests {
     * entry pointing at itself. */
   def readEntries(location: String): Seq[ManifestEntry] =
     if (location.endsWith(".avro")) {
-      if (!graft.catalog.FileIO.forLocation(location).exists(location)) Nil
-      else IcebergAvro.readManifestList(location)
+      graft.catalog.FileIO.readBytes(location) match {
+        case None => Nil
+        case Some(bytes) =>
+          IcebergAvro.manifestListEntries(IcebergAvro.parseRecords(bytes)._3)
+      }
     } else parse(location) match {
       case None => Nil
       case Some(n) if n.has("files") =>
@@ -310,7 +343,8 @@ object Manifests {
           IcebergAvro.AvroInfo(
             a.get("path").asText(), a.get("length").asLong(),
             a.get("spec-id").asInt(), a.get("sequence-number").asLong(),
-            a.get("added-snapshot-id").asLong())))
+            a.get("added-snapshot-id").asLong(),
+            Option(a.get("min-sequence-number")).map(_.asLong()))))
     }.toSeq
 
   private def shardFiles(n: JsonNode): Seq[DataFile] =

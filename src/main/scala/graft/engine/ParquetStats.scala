@@ -104,6 +104,18 @@ object ParquetStats {
       // units; they agree on ASCII, diverge beyond the BMP
       if (s.length <= MaxBoundLength && s.forall(_ < 128)) Some(s) else None
     case (b: java.lang.Boolean, BooleanType) => Some(b.toString)
+    // decimals: parquet stores the unscaled value as INT32/INT64/binary
+    // depending on precision; canonical form is the plain decimal
+    // string (TPC-H predicates — l_discount BETWEEN, l_quantity < —
+    // live on decimal columns, so these bounds carry the flagship
+    // pruning wins)
+    case (i: java.lang.Integer, d: DecimalType) =>
+      Some(java.math.BigDecimal.valueOf(i.longValue(), d.scale).toPlainString)
+    case (l: java.lang.Long, d: DecimalType) =>
+      Some(java.math.BigDecimal.valueOf(l.longValue(), d.scale).toPlainString)
+    case (b: Binary, d: DecimalType) =>
+      Some(new java.math.BigDecimal(
+        new java.math.BigInteger(b.getBytes), d.scale).toPlainString)
     case _ => None
   }
 
@@ -114,6 +126,8 @@ object ParquetStats {
     case FloatType | DoubleType => a.toDouble < b.toDouble
     case StringType => a.compareTo(b) < 0
     case BooleanType => !a.toBoolean && b.toBoolean
+    case _: DecimalType =>
+      new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b)) < 0
     case _ => false
   }
 }

@@ -228,6 +228,23 @@ class FileSkippingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().head.getLong(0) === 300L)
   }
 
+  test("decimal bounds prune: BETWEEN on a DECIMAL column plans a strict subset") {
+    spark.sql(s"CREATE TABLE $cat.db.skipdec (id BIGINT, l_discount DECIMAL(12,2))")
+    spark.sql(s"INSERT INTO $cat.db.skipdec " +
+      "SELECT /*+ COALESCE(1) */ id, CAST(0.02 AS DECIMAL(12,2)) FROM range(0, 50)")
+    spark.sql(s"INSERT INTO $cat.db.skipdec " +
+      "SELECT /*+ COALESCE(1) */ id + 50, CAST(0.06 AS DECIMAL(12,2)) FROM range(0, 50)")
+    spark.sql(s"INSERT INTO $cat.db.skipdec " +
+      "SELECT /*+ COALESCE(1) */ id + 100, CAST(0.11 AS DECIMAL(12,2)) FROM range(0, 50)")
+
+    GraftFileIndex.lastPlanned = None
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.skipdec " +
+      "WHERE l_discount BETWEEN 0.05 AND 0.07").collect().head.getLong(0) === 50L)
+    val planned = GraftFileIndex.lastPlanned.get
+    assert(planned.total === 3)
+    assert(planned.kept === 1, s"decimal bounds should keep exactly 1 file: $planned")
+  }
+
   test("DELETE with selective predicate still deletes exactly its rows") {
     spark.sql(s"CREATE TABLE $cat.db.skipdel (id BIGINT, v DOUBLE)")
     spark.sql(s"INSERT INTO $cat.db.skipdel SELECT id, 0.0 FROM range(0, 100)")

@@ -256,4 +256,64 @@ class IcebergAvroSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(snap.get("manifest-list").asText().nonEmpty)
     assert(snap.get("summary").get("operation").asText().nonEmpty)
   }
+
+  test("committing over a legacy (pre-avro) snapshot backfills twins — no truncated list") {
+    import graft.core.{NestedField, PartitionSpec, Schema}
+    val dir = Files.createTempDirectory("graft-legacy").toUri.toString.stripSuffix("/")
+    val schema = Schema(0, Seq(NestedField.required(1, "id", IType.TInt)))
+    val specs = Map(0 -> PartitionSpec(0, Nil))
+
+    // round-≤4-style snapshot: JSON manifests only, no avro anywhere
+    val legacyList = Manifests.writeCommit(s"$dir/metadata", 100L, Nil,
+      Seq(Manifests.DataFile(s"$dir/data/f1.parquet", 10L, 5L, seq = 1L),
+        Manifests.DataFile(s"$dir/data/f2.parquet", 10L, 5L, seq = 1L)),
+      iceberg = None)
+    val carried = Manifests.readEntries(legacyList)
+    assert(carried.nonEmpty && carried.forall(_.avro.isEmpty))
+
+    // child commit with the avro tree enabled
+    val ctx = IcebergAvro.Ctx(schema, specs, 0, 200L, Some(100L), 2L)
+    val childList = Manifests.writeCommit(s"$dir/metadata", 200L, carried,
+      Seq(Manifests.DataFile(s"$dir/data/f3.parquet", 10L, 7L, seq = 2L)),
+      iceberg = Some(ctx))
+
+    // the avro list exists and names the COMPLETE content (carried + new)
+    val avroEntries =
+      IcebergAvro.readManifestList(s"$dir/metadata/snap-200-manifest-list.avro")
+    val jsonEntries = Manifests.readEntries(childList)
+    assert(avroEntries.size === jsonEntries.size)
+    assert(jsonEntries.forall(_.avro.isDefined), "backfilled twin not recorded")
+    assert(avroEntries.map(_.fileCount).sum === 3)
+
+    // the backfilled shard: EXISTING status, ORIGINAL per-file sequence
+    val backfilled = jsonEntries.find(_.path == carried.head.path).get.avro.get
+    val (_, _, recs) = IcebergAvro.readRecords(backfilled.path)
+    assert(recs.forall(_.get("status").asInstanceOf[Int] === 0))
+    assert(IcebergAvro.readManifest(backfilled.path, inheritSeq = 0L)
+      .forall(_.seq === 1L))
+    assert(backfilled.minSequence === 1L && backfilled.seq === 1L)
+
+    // reading the whole snapshot through the AVRO list sees every file
+    assert(Manifests.read(s"$dir/metadata/snap-200-manifest-list.avro").size === 3)
+  }
+
+  test("avro list is skipped outright, never truncated, when a twin is impossible") {
+    import graft.core.{NestedField, PartitionField, PartitionSpec, Schema, Transform}
+    val dir = Files.createTempDirectory("graft-notwin").toUri.toString.stripSuffix("/")
+    // a decimal partition source has no avro partition mapping
+    val schema = Schema(0, Seq(
+      NestedField.required(1, "id", IType.TInt),
+      NestedField.required(2, "amt", IType.TDecimal(10, 2))))
+    val spec = PartitionSpec(0, Seq(PartitionField(2, 1000, "amt", Transform.Identity)))
+    val ctx = IcebergAvro.Ctx(schema, Map(0 -> spec), 0, 300L, None, 1L)
+    val list = Manifests.writeCommit(s"$dir/metadata", 300L, Nil,
+      Seq(Manifests.DataFile(s"$dir/data/f1.parquet", 10L, 5L,
+        partition = Map("amt" -> "1.50"), seq = 1L)),
+      iceberg = Some(ctx))
+    // JSON tree intact, no twin, and NO avro manifest list on disk
+    assert(Manifests.read(list).size === 1)
+    assert(Manifests.readEntries(list).forall(_.avro.isEmpty))
+    assert(graft.catalog.FileIO.readString(
+      s"$dir/metadata/snap-300-manifest-list.avro").isEmpty)
+  }
 }
