@@ -189,9 +189,13 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     val name = i.name()
     val fullName = s"$catalogName.${i.namespace().mkString(".")}.$name"
     if (GraftSparkCatalog.MetadataTables(name)) {
-      val df = new GraftTable(client, prefix, baseIdent)
-        .metadataTable(SparkSession.active, name)
-      Some(new DataFrameTable(fullName, df))
+      val gt = new GraftTable(client, prefix, baseIdent)
+      // `.files`/`.partitions` scan manifest shards: partition-scoped
+      // queries prune SHARD reads through pushed filters
+      if (name == "files" || name == "partitions")
+        Some(new PartitionMetaTable(fullName, gt, name))
+      else Some(new DataFrameTable(fullName,
+        gt.metadataTable(SparkSession.active, name)))
     } else if (name.startsWith("branch_") || name.startsWith("tag_")) {
       val refName = name.substring(name.indexOf('_') + 1)
       m.refs.get(refName).map { ref =>
@@ -260,6 +264,61 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
                 else table.append(aligned, branch = branch)
               }
             }
+        }
+      }
+  }
+
+  /** `.files` / `.partitions` with shard-level pruning: a pushed
+    * `WHERE partition = 'k=v'` (or IN list) selects only the manifest
+    * SHARDS whose list-entry tuple matches — skipped partitions cost
+    * zero shard I/O, the 100 TB lever for partition-scoped metadata
+    * queries. Filters are reported back as residual (Spark re-applies
+    * them exactly), so the prune is pure I/O savings. */
+  private final class PartitionMetaTable(
+      tableName: String, gt: GraftTable, kind: String)
+      extends Table with SupportsRead {
+    override def name(): String = tableName
+    override def schema(): StructType =
+      if (kind == "files") GraftSparkCatalog.FilesTableSchema
+      else GraftSparkCatalog.PartitionsTableSchema
+    override def capabilities(): util.Set[TableCapability] =
+      util.EnumSet.of(TableCapability.BATCH_READ)
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      new ScanBuilder
+          with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+        private var keep: Map[String, String] => Boolean = _ => true
+        override def pushFilters(
+            filters: Array[org.apache.spark.sql.sources.Filter])
+            : Array[org.apache.spark.sql.sources.Filter] = {
+          import org.apache.spark.sql.sources.{EqualTo, In}
+          val allowedSets = filters.toSeq.collect {
+            case EqualTo("partition", s: String) => Set(s)
+            case In("partition", vs) =>
+              vs.collect { case s: String => s }.toSet
+          }
+          if (allowedSets.nonEmpty) {
+            val allowed = allowedSets.reduce(_ intersect _)
+            keep = m => allowed.contains(GraftTable.renderTuple(m))
+          }
+          filters // all residual — the prune is inexact by design
+        }
+        override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+          Array.empty
+        override def build(): org.apache.spark.sql.connector.read.Scan = {
+          val df = gt.metadataTable(SparkSession.active, kind, keep)
+          new org.apache.spark.sql.connector.read.V1Scan {
+            override def readSchema(): StructType = df.schema
+            override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
+                with org.apache.spark.sql.sources.TableScan](
+                context: org.apache.spark.sql.SQLContext): T =
+              (new org.apache.spark.sql.sources.BaseRelation
+                  with org.apache.spark.sql.sources.TableScan {
+                override def sqlContext: org.apache.spark.sql.SQLContext = context
+                override def schema: StructType = df.schema
+                override def buildScan()
+                    : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = df.rdd
+              }).asInstanceOf[T]
+          }
         }
       }
   }
@@ -837,6 +896,17 @@ object GraftSparkCatalog {
   /** Metadata-table identifier suffixes (`SELECT * FROM db.t.files`). */
   val MetadataTables: Set[String] =
     Set("files", "partitions", "refs", "snapshots", "history")
+
+  import org.apache.spark.sql.types.{LongType, StringType, StructField}
+  private[engine] val FilesTableSchema: StructType = StructType(Seq(
+    StructField("file_path", StringType),
+    StructField("file_size_in_bytes", LongType),
+    StructField("record_count", LongType),
+    StructField("partition", StringType)))
+  private[engine] val PartitionsTableSchema: StructType = StructType(Seq(
+    StructField("partition", StringType),
+    StructField("file_count", LongType),
+    StructField("record_count", LongType)))
 
   /** Non-null metadata column (the SupportsDelta row id pieces). */
   private def metaCol(

@@ -103,13 +103,15 @@ final class GraftTable(
     * JSON — so a 10⁶-file table lists without materializing a driver
     * Seq (Iceberg serves its metadata tables the same way). The
     * low-cardinality tables (refs/snapshots/history) stay driver-side. */
-  def metadataTable(spark: SparkSession, name: String): DataFrame = {
+  def metadataTable(
+      spark: SparkSession, name: String,
+      keepTuple: Map[String, String] => Boolean = _ => true): DataFrame = {
     import spark.implicits._
     val m = metadata
     name match {
-      case "files" => filesTable(spark, m)
+      case "files" => filesTable(spark, m, keepTuple)
       case "partitions" =>
-        filesTable(spark, m)
+        filesTable(spark, m, keepTuple)
           .groupBy(col("partition"))
           .agg(count(lit(1)).as("file_count"),
             sum(col("record_count")).as("record_count"))
@@ -138,10 +140,20 @@ final class GraftTable(
   /** `.files` as a distributed read: the shard paths (already in hand
     * from the manifest list) go to Spark's JSON source; each executor
     * task parses its shards and explodes the file entries. Column
-    * shapes match the old driver-side rendering exactly. */
-  private def filesTable(spark: SparkSession, m: TableMetadata): DataFrame = {
-    val entries = m.currentSnapshot.toSeq
+    * shapes match the old driver-side rendering exactly. A partition-
+    * scoped query (`WHERE partition = 'k=v'`) passes `keepTuple`, and
+    * only the matching SHARDS are parsed — the prune rides the list
+    * entries' tuples, zero shard I/O for skipped partitions (mixed and
+    * delete shards always read; the SQL layer re-applies the filter
+    * exactly). */
+  private def filesTable(
+      spark: SparkSession, m: TableMetadata,
+      keepTuple: Map[String, String] => Boolean = _ => true): DataFrame = {
+    val allEntries = m.currentSnapshot.toSeq
       .flatMap(s => Manifests.readEntries(s.manifestList))
+    val entries = allEntries.filter(e =>
+      e.hasDeletes || e.partition.forall(keepTuple))
+    GraftTable.lastMetaPlan = Some(GraftTable.MetaPlan(entries.size, allEntries.size))
     val fileStruct = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("path",
         org.apache.spark.sql.types.StringType),
@@ -215,39 +227,45 @@ final class GraftTable(
     val m = metadata
     val base = m.currentSnapshotId
     val cols = m.currentSchema.fields.map(_.name)
-    val aligned = source.select(cols.map(c => col(c)): _*)
-    val deleteFiles = m.currentSnapshot.toSeq.flatMap { snap =>
-      // runtime file pruning: one tiny aggregation over the SOURCE
-      // derives per-key bounds, and only target files whose manifest
-      // stats / partition tuples can hold a matching key join at all —
-      // a 1-row MERGE on a 100 TB table reads candidate files, not the
-      // table (Iceberg's runtime file filtering, derived source-side)
-      val all = Manifests.read(snap.manifestList)
-      val keyFilters = GraftTable.sourceKeyFilters(source, keys)
-      val candidates = keyFilters match {
-        case None => all // bound derivation unavailable: read everything
-        case Some(Nil) => Nil // empty source: nothing can match
-        case Some(fs) =>
-          val parts = StatsPruning.partFields(m.partitionSpecs.values)
-          all.filter(StatsPruning.keeper(m.currentSchema, parts, fs))
+    // the source is consumed up to three times (key-bounds aggregation,
+    // match join, data write) — persist so an expensive source subquery
+    // computes ONCE; the first consumer materializes the cache
+    val src = source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val aligned = src.select(cols.map(c => col(c)): _*)
+      val deleteFiles = m.currentSnapshot.toSeq.flatMap { snap =>
+        // runtime file pruning: one tiny aggregation over the SOURCE
+        // derives per-key bounds, and only target files whose manifest
+        // stats / partition tuples can hold a matching key join at all —
+        // a 1-row MERGE on a 100 TB table reads candidate files, not the
+        // table (Iceberg's runtime file filtering, derived source-side)
+        val all = Manifests.read(snap.manifestList)
+        val keyFilters = GraftTable.sourceKeyFilters(src, keys)
+        val candidates = keyFilters match {
+          case None => all // bound derivation unavailable: read everything
+          case Some(Nil) => Nil // empty source: nothing can match
+          case Some(fs) =>
+            val parts = StatsPruning.partFields(m.partitionSpecs.values)
+            all.filter(StatsPruning.keeper(m.currentSchema, parts, fs))
+        }
+        GraftTable.lastUpsertPlan = Some(GraftTable.UpsertPlan(
+          candidates.count(!_.isDeleteFile), all.count(!_.isDeleteFile)))
+        if (candidates.forall(_.isDeleteFile)) Nil
+        else {
+          val target = GraftTable.readFiles(
+            spark, m.currentSchema, candidates, lineage = true)
+          val joinCond = keys.map(k => target(k) <=> src(k)).reduce(_ && _)
+          val matched = target.join(src, joinCond, "left_semi")
+            .select(col(GraftTable.FileCol).as("file_path"),
+              col(GraftTable.PosCol).as("pos"))
+          val deleteDir = s"${m.location}/deletes/${UUID.randomUUID()}"
+          GraftTable.toDataFiles(ParquetBatchWrite.writeJob(matched, deleteDir, None))
+            .map(_.copy(content = Manifests.ContentPositionDeletes))
+        }
       }
-      GraftTable.lastUpsertPlan = Some(GraftTable.UpsertPlan(
-        candidates.count(!_.isDeleteFile), all.count(!_.isDeleteFile)))
-      if (candidates.forall(_.isDeleteFile)) Nil
-      else {
-        val target = GraftTable.readFiles(
-          spark, m.currentSchema, candidates, lineage = true)
-        val joinCond = keys.map(k => target(k) <=> source(k)).reduce(_ && _)
-        val matched = target.join(source, joinCond, "left_semi")
-          .select(col(GraftTable.FileCol).as("file_path"),
-            col(GraftTable.PosCol).as("pos"))
-        val deleteDir = s"${m.location}/deletes/${UUID.randomUUID()}"
-        GraftTable.toDataFiles(ParquetBatchWrite.writeJob(matched, deleteDir, None))
-          .map(_.copy(content = Manifests.ContentPositionDeletes))
-      }
-    }
-    val dataFiles = writeDataFiles(aligned)
-    commitDelta(deleteFiles ++ dataFiles, "merge", base)
+      val dataFiles = writeDataFiles(aligned)
+      commitDelta(deleteFiles ++ dataFiles, "merge", base)
+    } finally src.unpersist(blocking = false)
   }
 
   /** DELETE FROM ... WHERE (delta): matching rows become position-
@@ -486,6 +504,16 @@ object GraftTable {
     * (specs assert candidates ≪ total for selective sources). */
   final case class UpsertPlan(candidates: Int, total: Int)
   @volatile var lastUpsertPlan: Option[UpsertPlan] = None
+
+  /** Manifest shards parsed vs total by the last `.files`/`.partitions`
+    * metadata-table scan — observable shard-level pruning. */
+  final case class MetaPlan(shards: Int, total: Int)
+  @volatile var lastMetaPlan: Option[MetaPlan] = None
+
+  /** A partition tuple rendered the way the `.files` table's
+    * `partition` column renders it (`k=v/k2=v2`, keys sorted). */
+  def renderTuple(m: Map[String, String]): String =
+    m.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("/")
 
   /** Per-key pruning filters derived from the SOURCE side of an
     * upsert: one small aggregation computes each key's min/max and

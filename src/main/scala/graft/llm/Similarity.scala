@@ -341,14 +341,21 @@ object Similarity {
       .selectExpr("vec_id", "best.cell as cell", "best.e as e")
 
   /** Deterministic coarse quantizer: seed centroids are the embeddings
-    * of the K lowest vec_ids, refined by ONE Lloyd step (assign all
-    * vectors to the nearest seed, recompute each cell's mean). At scale
-    * the training input would be a sample — the refinement itself is
-    * already fully distributed (the only per-cell state is the K × DIM
-    * mean matrix). */
+    * of the K lowest vec_ids PRESENT (rank over vec_id — no dense-id
+    * assumption, so an offset or sparse id space still yields K cells),
+    * refined by ONE Lloyd step (assign all vectors to the nearest seed,
+    * recompute each cell's mean). At scale the training input would be
+    * a sample — the refinement itself is already fully distributed (the
+    * only per-cell state is the K × DIM mean matrix). */
   private def ivfCentroids(corpus: DataFrame): DataFrame = {
-    val seeds = corpus.filter(s"vec_id < $IVF_CELLS")
-      .selectExpr("cast(vec_id as int) as cell", "e as c")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    // orderBy+limit collapses to a driver-side top-K (K rows); the
+    // window only ranks those K rows, not the corpus
+    val seeds = corpus.orderBy("vec_id").limit(IVF_CELLS)
+      .withColumn("cell",
+        (row_number().over(Window.orderBy("vec_id")) - 1).cast("int"))
+      .select(col("cell"), col("e").as("c"))
     ivfAssign(corpus, seeds)
       .selectExpr("cell", "posexplode(e) as (i, x)")
       .groupBy("cell", "i")
@@ -417,8 +424,9 @@ object Similarity {
     val cosCent = cosD("v.e", "k.c")
     s"""emb AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
        |        FROM embeddings),
-       |seeds AS (SELECT CAST(vec_id AS INT) AS cell, e AS c
-       |          FROM emb WHERE vec_id < $IVF_CELLS),
+       |seeds AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+       |                 e AS c
+       |          FROM (SELECT vec_id, e FROM emb ORDER BY vec_id LIMIT $IVF_CELLS)),
        |a0 AS (
        |  SELECT vec_id, e, cell FROM (
        |    SELECT v.vec_id, v.e, s.cell,

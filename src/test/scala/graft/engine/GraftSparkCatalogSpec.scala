@@ -600,6 +600,30 @@ class GraftSparkCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertThrows[AnalysisException](spark.sql(s"SHOW TABLES IN $cat.nope").collect())
   }
 
+  test("partition-scoped .partitions/.files queries parse only matching shards") {
+    spark.sql(s"CREATE NAMESPACE $cat.meta")
+    spark.sql(s"CREATE TABLE $cat.meta.tmeta (id BIGINT, cat STRING) PARTITIONED BY (cat)")
+    spark.sql(s"INSERT INTO $cat.meta.tmeta SELECT /*+ COALESCE(1) */ id, 'a' FROM range(0, 20)")
+    spark.sql(s"INSERT INTO $cat.meta.tmeta SELECT /*+ COALESCE(1) */ id, 'b' FROM range(0, 30)")
+
+    GraftTable.lastMetaPlan = None
+    val parts = spark.sql(
+      s"SELECT * FROM $cat.meta.tmeta.partitions WHERE partition = 'cat=a'").collect()
+    assert(parts.map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(("cat=a", 1L)))
+    val plan = GraftTable.lastMetaPlan.get
+    assert(plan.total === 2 && plan.shards === 1,
+      s"expected 1 of 2 shards parsed, got $plan")
+
+    GraftTable.lastMetaPlan = None
+    val files = spark.sql(
+      s"SELECT file_path FROM $cat.meta.tmeta.files WHERE partition = 'cat=b'").collect()
+    assert(files.nonEmpty)
+    assert(GraftTable.lastMetaPlan.get.shards === 1)
+
+    // unscoped queries still see everything
+    assert(spark.sql(s"SELECT * FROM $cat.meta.tmeta.partitions").collect().length === 2)
+  }
+
   test("ALTER NAMESPACE SET/UNSET PROPERTIES round-trips through the catalog") {
     spark.sql(s"CREATE NAMESPACE $cat.nsprops")
     spark.sql(s"ALTER NAMESPACE $cat.nsprops SET PROPERTIES ('team'='eng', 'tier'='gold')")

@@ -115,4 +115,24 @@ class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     t.upsert(spark, Seq((2, "B"), (9, "Z")).toDF("id", "v"), Seq("id"))
     assert(rows(t) === Set((2, "B"), (9, "Z")))
   }
+
+  test("upsert evaluates an expensive source exactly once (persisted)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, udf}
+    val t = table("t_srconce")
+    t.append(Seq((1, "a"), (2, "b")).toDF("id", "v"))
+
+    // every per-row evaluation of the source ticks the accumulator:
+    // bounds aggregation + match join + data write would otherwise
+    // recompute it, tripling the count
+    val acc = spark.sparkContext.longAccumulator("src-evals")
+    val tick = udf((i: Int) => { acc.add(1L); i })
+    val source = Seq((2, "B2"), (3, "C")).toDF("id", "v")
+      .withColumn("id", tick(col("id")))
+
+    t.upsert(spark, source, Seq("id"))
+    assert(rows(t) === Set((1, "a"), (2, "B2"), (3, "C")))
+    assert(acc.value === 2L,
+      s"source rows evaluated ${acc.value} times for a 2-row source")
+  }
 }
