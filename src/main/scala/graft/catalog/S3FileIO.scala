@@ -1,0 +1,165 @@
+package graft.catalog
+
+import graft.server.SigV4
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+
+/** S3 object-store FileIO: a dependency-free HTTP client speaking the
+  * S3 REST API with SigV4 request signing (reusing the server's
+  * [[graft.server.SigV4]], already pinned to an AWS public test
+  * vector). Slots into the metadata plane via
+  * `FileIO.register("s3", new S3FileIO(...))` — on a real cluster,
+  * register from an executor plugin too, since manifest shards are
+  * parsed executor-side (reference context: the storage profile +
+  * credential machinery of storage/s3.rs; this is the client half the
+  * reference delegates to opendal).
+  *
+  * Shapes supported: AWS virtual-host addressing
+  * (`https://bucket.s3.region.amazonaws.com/key`) by default; a custom
+  * `endpoint` (MinIO, fakes) switches to path-style
+  * (`endpoint/bucket/key`). `exists`/`size` are HEAD (never a content
+  * GET); `list` pages through ListObjectsV2 continuation tokens.
+  *
+  * `scheme` is configurable so tests can register an isolated scheme
+  * without clobbering a real "s3" registration.
+  */
+final class S3FileIO(
+    accessKeyId: String,
+    secretAccessKey: String,
+    region: String,
+    endpoint: Option[String] = None,
+    scheme: String = "s3",
+    client: HttpClient = HttpClient.newHttpClient()) extends FileIO {
+
+  private def bucketKey(location: String): (String, String) = {
+    val prefix = s"$scheme://"
+    require(location.startsWith(prefix), s"not a $scheme location: $location")
+    val rest = location.stripPrefix(prefix)
+    val i = rest.indexOf('/')
+    if (i < 0) (rest, "") else (rest.substring(0, i), rest.substring(i + 1))
+  }
+
+  private def uriFor(bucket: String, key: String, query: String = ""): URI = {
+    val encKey = key.split("/", -1).map(s => SigV4.awsEncode(s)).mkString("/")
+    val base = endpoint match {
+      case Some(ep) => s"${ep.stripSuffix("/")}/$bucket/$encKey"
+      case None => s"https://$bucket.s3.$region.amazonaws.com/$encKey"
+    }
+    URI.create(base + (if (query.isEmpty) "" else s"?$query"))
+  }
+
+  private def send(
+      method: String, uri: URI,
+      body: Option[Array[Byte]]): HttpResponse[Array[Byte]] = {
+    val payload = body.getOrElse(Array.empty[Byte])
+    val payloadHash = SigV4.sha256Hex(payload)
+    val host = uri.getHost + (if (uri.getPort > 0) s":${uri.getPort}" else "")
+    val signed = SigV4.sign(
+      method, uri,
+      Map("host" -> Seq(host), "x-amz-content-sha256" -> Seq(payloadHash)),
+      payloadHash, accessKeyId, secretAccessKey, region, "s3",
+      java.time.Instant.now())
+    val b = HttpRequest.newBuilder(uri).method(method,
+      body.map(HttpRequest.BodyPublishers.ofByteArray)
+        .getOrElse(HttpRequest.BodyPublishers.noBody()))
+    // host is set by the client from the URI (restricted header) — the
+    // signature covers the same value
+    signed.signedHeaders.get("x-amz-date")
+      .foreach(v => b.header("x-amz-date", v.head))
+    b.header("x-amz-content-sha256", payloadHash)
+    b.header("Authorization", signed.authorization)
+    client.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
+  }
+
+  private def fail(op: String, location: String, code: Int): Nothing =
+    throw new IllegalStateException(s"S3 $op $location failed: HTTP $code")
+
+  override def write(location: String, bytes: Array[Byte]): Unit = {
+    val (b, k) = bucketKey(location)
+    val r = send("PUT", uriFor(b, k), Some(bytes))
+    if (r.statusCode() / 100 != 2) fail("PUT", location, r.statusCode())
+  }
+
+  override def read(location: String): Option[Array[Byte]] = {
+    val (b, k) = bucketKey(location)
+    val r = send("GET", uriFor(b, k), None)
+    if (r.statusCode() == 404) None
+    else if (r.statusCode() / 100 == 2) Some(r.body())
+    else fail("GET", location, r.statusCode())
+  }
+
+  /** HEAD — never a content GET. */
+  override def exists(location: String): Boolean = {
+    val (b, k) = bucketKey(location)
+    val r = send("HEAD", uriFor(b, k), None)
+    if (r.statusCode() / 100 == 2) true
+    else if (r.statusCode() == 404) false
+    else fail("HEAD", location, r.statusCode())
+  }
+
+  override def size(location: String): Option[Long] = {
+    val (b, k) = bucketKey(location)
+    val r = send("HEAD", uriFor(b, k), None)
+    if (r.statusCode() == 404) None
+    else if (r.statusCode() / 100 == 2)
+      Some(r.headers().firstValueAsLong("Content-Length").orElse(0L))
+    else fail("HEAD", location, r.statusCode())
+  }
+
+  override def delete(location: String): Unit = {
+    val (b, k) = bucketKey(location)
+    val r = send("DELETE", uriFor(b, k), None)
+    if (r.statusCode() / 100 != 2 && r.statusCode() != 404)
+      fail("DELETE", location, r.statusCode())
+  }
+
+  override def list(prefix: String): Seq[String] = {
+    val (bucket, keyPrefix) = bucketKey(prefix)
+    val out = Seq.newBuilder[String]
+    var token: Option[String] = None
+    var more = true
+    while (more) {
+      val query = (Seq(
+        "list-type=2",
+        s"prefix=${SigV4.awsEncode(keyPrefix)}") ++
+        token.map(t => s"continuation-token=${SigV4.awsEncode(t)}"))
+        .mkString("&")
+      val r = send("GET", uriFor(bucket, "", query), None)
+      if (r.statusCode() / 100 != 2) fail("LIST", prefix, r.statusCode())
+      val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+        .newDocumentBuilder()
+        .parse(new java.io.ByteArrayInputStream(r.body()))
+      val keys = doc.getElementsByTagName("Key")
+      (0 until keys.getLength).foreach(i =>
+        out += s"$scheme://$bucket/${keys.item(i).getTextContent}")
+      val nt = doc.getElementsByTagName("NextContinuationToken")
+      token = if (nt.getLength > 0) Some(nt.item(0).getTextContent) else None
+      more = token.isDefined
+    }
+    out.result().sorted
+  }
+}
+
+object S3FileIO {
+  /** Live write → read-back → delete round trip under `location` — the
+    * storage validation the reference runs at warehouse create/update
+    * (storage/s3.rs:438-487). Returns the failure message when the
+    * location's storage is not actually usable. */
+  def probe(location: String): Either[String, Unit] = {
+    val loc = s"${location.stripSuffix("/")}/.graft/probe-${java.util.UUID.randomUUID()}"
+    try {
+      val io = FileIO.forLocation(loc)
+      val payload = s"graft-probe-${System.nanoTime()}".getBytes(StandardCharsets.UTF_8)
+      io.write(loc, payload)
+      val back = io.read(loc)
+      io.delete(loc)
+      if (back.exists(java.util.Arrays.equals(_, payload))) Right(())
+      else Left(s"storage probe read-back mismatch at $location")
+    } catch {
+      case e: Exception =>
+        Left(s"storage validation failed for $location: ${e.getMessage}")
+    }
+  }
+}

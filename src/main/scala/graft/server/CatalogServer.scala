@@ -469,6 +469,15 @@ final class CatalogServer(
           for {
             name <- field("warehouse-name")
             location <- field("location")
+            // storage validation: a live write→read→delete probe under
+            // the location (reference storage/s3.rs:438-487) — runs
+            // whenever a FileIO backend serves the scheme; signer-only
+            // warehouses on unconfigured schemes skip (the reference
+            // equivalent of "no storage profile yet")
+            _ <-
+              if (!graft.catalog.FileIO.canHandle(location)) Right(())
+              else graft.catalog.S3FileIO.probe(location)
+                .left.map(CatalogError.badRequest)
             projectId = Option(n.get("project-id")).filter(!_.isNull)
               .map(p => UUID.fromString(p.asText())).getOrElse(defaultProjectId)
             // optional storage-profile {region, endpoint, bucket} kept as

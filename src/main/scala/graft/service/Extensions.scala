@@ -6,6 +6,7 @@ import graft.core.{TableMetadata, TableUpdate}
 import java.util.UUID
 import java.util.concurrent.{ArrayBlockingQueue, TimeUnit}
 import java.util.concurrent.atomic.AtomicLong
+import scala.jdk.CollectionConverters._
 
 /** Pluggable service extension traits (SURVEY §2.6) — plain Scala
   * shapes of the reference's pluggable surface (service/auth.rs:15-188,
@@ -298,6 +299,60 @@ object CloudEventBackend {
     private val buf = new java.util.concurrent.ConcurrentLinkedQueue[CatalogEvent]()
     def publish(event: CatalogEvent): Unit = buf.add(event)
     def events: Seq[CatalogEvent] = buf.toArray(Array.empty[CatalogEvent]).toSeq
+  }
+
+  /** Durable sink: one JSON line per event appended to a local file
+    * (the at-most-once stand-in for the reference's NATS backend,
+    * event_publisher.rs:157-198 — delivery semantics are identical:
+    * the publisher's bounded queue drops on overflow, a publish
+    * failure here logs-and-drops upstream, and whatever was published
+    * survives process restarts). Thread-safe; flushed per event so a
+    * crash loses at most the in-flight line. */
+  final class FileBacked(path: java.nio.file.Path)
+      extends CloudEventBackend with AutoCloseable {
+    private val out = java.nio.file.Files.newBufferedWriter(
+      path, java.nio.charset.StandardCharsets.UTF_8,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    def publish(event: CatalogEvent): Unit = synchronized {
+      out.write(FileBacked.toJson(event)); out.newLine(); out.flush()
+    }
+    def close(): Unit = synchronized(out.close())
+  }
+
+  object FileBacked {
+    private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+    private[service] def toJson(e: CatalogEvent): String = {
+      val o = mapper.createObjectNode()
+      o.put("event-type", e.eventType)
+      o.put("warehouse-id", e.warehouseId.toString)
+      val ns = o.putArray("namespace")
+      e.ident.namespace.foreach(ns.add)
+      o.put("name", e.ident.name)
+      o.put("table-id", e.tableId.toString)
+      o.put("sequence-number", e.sequenceNumber)
+      o.put("timestamp-ms", e.timestampMs)
+      mapper.writeValueAsString(o)
+    }
+
+    /** Replay a sink file (consumer side / tests). */
+    def readAll(path: java.nio.file.Path): Seq[CatalogEvent] = {
+      if (!java.nio.file.Files.exists(path)) return Nil
+      java.nio.file.Files.readAllLines(path).asScala.toSeq
+        .filter(_.nonEmpty).map { line =>
+          val n = mapper.readTree(line)
+          CatalogEvent(
+            n.get("event-type").asText(),
+            UUID.fromString(n.get("warehouse-id").asText()),
+            TableIdent(
+              n.get("namespace").elements().asScala.map(_.asText()).toSeq,
+              n.get("name").asText()),
+            UUID.fromString(n.get("table-id").asText()),
+            n.get("sequence-number").asLong(),
+            n.get("timestamp-ms").asLong())
+        }
+    }
   }
 }
 

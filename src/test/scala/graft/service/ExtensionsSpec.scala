@@ -139,4 +139,26 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(elapsedMs < 2000, s"emit path blocked for ${elapsedMs}ms")
     } finally { gate.countDown(); p.close() }
   }
+
+  test("file-backed sink: durable delivery through the publisher, append across reopen") {
+    val f = Files.createTempFile("graft-events", ".jsonl")
+    val ident = TableIdent(Seq("db"), "t")
+    val e1 = CatalogEvent("createTable", UUID.randomUUID(), ident,
+      UUID.randomUUID(), 1L, 100L)
+    val e2 = e1.copy(eventType = "updateTable", sequenceNumber = 2L)
+
+    val sink = new CloudEventBackend.FileBacked(f)
+    val p = new QueueingEventPublisher(sink)
+    try { p.emit(e1); p.emit(e2) } finally { p.close(); sink.close() }
+    assert(CloudEventBackend.FileBacked.readAll(f) === Seq(e1, e2))
+
+    // reopening appends — the log survives the process that wrote it
+    val sink2 = new CloudEventBackend.FileBacked(f)
+    try sink2.publish(e1.copy(eventType = "dropTable", sequenceNumber = 3L))
+    finally sink2.close()
+    assert(CloudEventBackend.FileBacked.readAll(f).map(_.eventType) ===
+      Seq("createTable", "updateTable", "dropTable"))
+    assert(CloudEventBackend.FileBacked.readAll(
+      Files.createTempDirectory("none").resolve("absent.jsonl")) === Nil)
+  }
 }
