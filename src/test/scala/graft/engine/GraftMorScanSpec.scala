@@ -1,0 +1,115 @@
+package graft.engine
+
+import graft.SparkTestSession
+import graft.catalog._
+import graft.server.CatalogServer
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+import java.util.UUID
+
+/** The native MoR/row-level batch scan under adversarial physical
+  * layout: ONE data file spanning many parquet row groups, scanned as
+  * MANY splits — row positions must stay file-global and exact through
+  * both (the row-index column the reader relies on is computed from
+  * row-group metadata, so a split in the middle of the file must not
+  * shift positions), or position deletes kill the wrong rows. */
+class GraftMorScanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkTestSession.spark
+  private val project = UUID.randomUUID()
+  private val store = new InMemoryCatalogStore
+  private var server: CatalogServer = _
+  private var client: RestCatalogClient = _
+  private var prefix: String = _
+  private val cat = "graftmor2"
+
+  override def beforeAll(): Unit = {
+    server = new CatalogServer(store, project).start()
+    val whLoc = Files.createTempDirectory("graft-mor2").toUri.toString.stripSuffix("/")
+    store.createWarehouse(project, "wh", whLoc).fold(e => fail(e.message), identity)
+    client = new RestCatalogClient(server.baseUri)
+    prefix = client.config("wh")
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftSparkCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.uri", server.baseUri)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", "wh")
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+  }
+
+  override def afterAll(): Unit = server.stop()
+
+  test("positions stay exact across row groups and scan splits") {
+    // tiny parquet row groups at write, tiny splits at read
+    spark.conf.set("spark.hadoop.parquet.block.size", "32768")
+    spark.conf.set("spark.hadoop.parquet.page.size", "4096")
+    try {
+      spark.sql(s"CREATE TABLE $cat.db.big (id BIGINT, v STRING)")
+      val t = new GraftTable(client, prefix, TableIdent(Seq("db"), "big"))
+      t.append(spark.range(0, 100000)
+        .selectExpr("id", "concat('v-', id) as v").coalesce(1).toDF())
+      val files = t.planFiles()
+      assert(files.size === 1)
+      // enough bytes for many 32 KB row groups and many 64 KB splits
+      assert(files.head.sizeBytes > 256 * 1024L, s"file too small: ${files.head.sizeBytes}")
+
+      // modulo predicate: untranslatable → the DELTA row-level path
+      // (scan produces (_file,_pos) row ids, write commits pos-deletes)
+      spark.sql(s"DELETE FROM $cat.db.big WHERE id % 1000 = 0")
+      assert(new GraftTable(client, prefix, TableIdent(Seq("db"), "big"))
+        .planFiles().exists(_.isPositionDeleteFile))
+
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+      // exactly the 100 deleted rows are gone — a single off-by-one
+      // position under any split would break one of these
+      assert(spark.sql(s"SELECT count(*) FROM $cat.db.big")
+        .collect().head.getLong(0) === 99900L)
+      assert(spark.sql(s"SELECT * FROM $cat.db.big WHERE id % 1000 = 0").count() === 0L)
+      assert(spark.sql(s"SELECT sum(id) FROM $cat.db.big").collect().head.getLong(0) ===
+        (0L until 100000L).sum - (0L until 100000L by 1000).sum)
+      // neighbors of deleted positions survive with intact values
+      val near = spark.sql(
+        s"SELECT id, v FROM $cat.db.big WHERE id IN (999, 1001, 49999, 50001)")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(near === Map(999L -> "v-999", 1001L -> "v-1001",
+        49999L -> "v-49999", 50001L -> "v-50001"))
+
+      // row-level UPDATE over the already-MoR table, still under tiny
+      // splits: the matched row's (_file,_pos) must address the right row
+      spark.sql(s"UPDATE $cat.db.big SET v = 'updated' WHERE id = 54321")
+      assert(spark.sql(s"SELECT v FROM $cat.db.big WHERE id = 54321")
+        .collect().map(_.getString(0)).toSeq === Seq("updated"))
+      assert(spark.sql(
+        s"SELECT v FROM $cat.db.big WHERE id IN (54320, 54322) ORDER BY id")
+        .collect().map(_.getString(0)).toSeq === Seq("v-54320", "v-54322"))
+      assert(spark.sql(s"SELECT count(*) FROM $cat.db.big")
+        .collect().head.getLong(0) === 99900L)
+    } finally {
+      spark.conf.unset("spark.sql.files.maxPartitionBytes")
+      spark.conf.unset("spark.hadoop.parquet.block.size")
+      spark.conf.unset("spark.hadoop.parquet.page.size")
+    }
+  }
+
+  test("equality deletes apply across splits; pushed filters stay correct") {
+    import spark.implicits._
+    spark.sql(s"CREATE TABLE $cat.db.eqbig (id BIGINT, grp STRING)")
+    val t = new GraftTable(client, prefix, TableIdent(Seq("db"), "eqbig"))
+    t.append(spark.range(0, 20000)
+      .selectExpr("id", "concat('g', id % 7) as grp").coalesce(2).toDF())
+    t.deleteByKeys(spark, Seq("id"), (0L until 20000L by 40).toDF("id"))
+
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+    try {
+      assert(spark.sql(s"SELECT count(*) FROM $cat.db.eqbig")
+        .collect().head.getLong(0) === 19500L)
+      // a pushed residual filter composes with the eq-delete sets
+      assert(spark.sql(s"SELECT count(*) FROM $cat.db.eqbig WHERE id < 1000")
+        .collect().head.getLong(0) === 975L)
+      // re-insert AFTER the delete: higher sequence, keys survive
+      t.append(Seq((0L, "revived")).toDF("id", "grp"))
+      assert(spark.sql(s"SELECT grp FROM $cat.db.eqbig WHERE id = 0")
+        .collect().map(_.getString(0)).toSeq === Seq("revived"))
+    } finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
+  }
+}
