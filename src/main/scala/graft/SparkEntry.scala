@@ -21,6 +21,7 @@ object SparkEntry {
       graft.llm.Dedup.queries ++
       graft.llm.Similarity.queries ++
       graft.llm.TextAnalysis.queries ++
+      graft.llm.Sampling.queries ++
       graft.llm.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -30,5 +31,6 @@ object SparkEntry {
       graft.llm.Dedup.oracleSql ++
       graft.llm.Similarity.oracleSql ++
       graft.llm.TextAnalysis.oracleSql ++
+      graft.llm.Sampling.oracleSql ++
       graft.llm.Multimodal.oracleSql
 }

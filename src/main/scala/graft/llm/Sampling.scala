@@ -1,0 +1,116 @@
+package graft.llm
+
+import graft.Tables.load
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Corpus-sampling operators for a training-data pipeline: the steps
+  * between "filtered corpus" and "training shards". Like the rest of
+  * the llm layer these have no counterpart in the reference (it
+  * delegates data processing to Spark, SURVEY.md §2.5); every query
+  * has a value-identical DuckDB oracle.
+  *
+  * Scale notes:
+  *  - Stratified sampling is a pure per-row filter (a multiplicative
+  *    hash of the key against a per-stratum threshold) — zero shuffle,
+  *    fully codegen'd, and DETERMINISTIC: re-running over 100 TB
+  *    selects the same sample, so downstream stages can re-derive
+  *    membership instead of materializing it. No `rand()` — a seeded
+  *    rng is partition-order-dependent under retries; the hash is not.
+  *  - Shard packing is a running token sum over an explicit total
+  *    order — inherently sequential, expressed as a window so the
+  *    oracle pins exact boundaries. At 100 TB the same shape runs
+  *    per range-partition (pack within ranges, then offset shard ids
+  *    by per-range totals — two passes, no global window); the
+  *    single-window form here is the correctness gate for that.
+  */
+object Sampling {
+
+  /** Knuth multiplicative hash of the doc id into [0, 1000) — exact
+    * 64-bit integer arithmetic, identical in Spark and DuckDB. */
+  private def hashPermille(col: String) =
+    s"pmod($col * 2654435761, 4294967296) % 1000"
+
+  /** Per-stratum deterministic sampling: length bands get different
+    * rates (long documents are scarcer and kept at a higher rate — the
+    * usual quality-vs-volume reweighting). Output is the sample itself
+    * (stratum, doc_id), so the gate pins exact membership. */
+  def qSampleStratified(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .selectExpr(
+        "doc_id",
+        """case when n_chars < 500 then 'short'
+          |     when n_chars < 2000 then 'medium'
+          |     else 'long' end as stratum""".stripMargin,
+        s"${hashPermille("doc_id")} as h")
+      .selectExpr("stratum", "doc_id",
+        """case stratum when 'short' then 50
+          |             when 'medium' then 200
+          |             else 500 end as rate""".stripMargin, "h")
+      .where("h < rate")
+      .selectExpr("stratum", "doc_id")
+      .orderBy("stratum", "doc_id")
+
+  val qSampleStratifiedSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         CASE WHEN n_chars < 500 THEN 'short'
+       |              WHEN n_chars < 2000 THEN 'medium'
+       |              ELSE 'long' END AS stratum,
+       |         (doc_id * 2654435761) % 4294967296 % 1000 AS h
+       |  FROM documents)
+       |SELECT stratum, doc_id
+       |FROM d
+       |WHERE h < CASE stratum WHEN 'short' THEN 50
+       |                       WHEN 'medium' THEN 200
+       |                       ELSE 500 END
+       |ORDER BY stratum, doc_id""".stripMargin
+
+  /** Token budget per training shard (whitespace tokens). */
+  private val ShardBudget = 10000L
+
+  /** Greedy shard packing: documents in doc_id order accumulate into
+    * shards of ≈ [[ShardBudget]] tokens (a document starts a new shard
+    * when the running total BEFORE it crosses a budget boundary).
+    * Output: per-shard document count, token total, id range. */
+  def qShardPack(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .selectExpr("doc_id", "size(split(lower(text), ' ')) as n_toks")
+      .selectExpr("doc_id", "n_toks",
+        "sum(n_toks) over (order by doc_id rows between unbounded preceding and current row) - n_toks as prior_toks")
+      .selectExpr(s"cast(floor(prior_toks / $ShardBudget) as int) as shard",
+        "doc_id", "n_toks")
+      .groupBy("shard")
+      .agg(
+        org.apache.spark.sql.functions.expr("count(*) as n_docs"),
+        org.apache.spark.sql.functions.expr("sum(n_toks) as shard_tokens"),
+        org.apache.spark.sql.functions.expr("min(doc_id) as first_doc"),
+        org.apache.spark.sql.functions.expr("max(doc_id) as last_doc"))
+      .orderBy("shard")
+
+  val qShardPackSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, len(string_split(lower(text), ' ')) AS n_toks
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, n_toks,
+       |         SUM(n_toks) OVER (ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_toks
+       |           AS prior_toks
+       |  FROM t)
+       |SELECT CAST(FLOOR(prior_toks / $ShardBudget) AS INT) AS shard,
+       |       COUNT(*) AS n_docs,
+       |       CAST(SUM(n_toks) AS BIGINT) AS shard_tokens,
+       |       MIN(doc_id) AS first_doc,
+       |       MAX(doc_id) AS last_doc
+       |FROM c GROUP BY shard
+       |ORDER BY shard""".stripMargin
+
+  // ----------------------------------------------------------- registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_stratified" -> (qSampleStratified _),
+    "q_shard_pack" -> (qShardPack _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_sample_stratified" -> qSampleStratifiedSql,
+    "q_shard_pack" -> qShardPackSql)
+}
