@@ -151,9 +151,17 @@ final class GraftTable(
       keepTuple: Map[String, String] => Boolean = _ => true): DataFrame = {
     val allEntries = m.currentSnapshot.toSeq
       .flatMap(s => Manifests.readEntries(s.manifestList))
-    val entries = allEntries.filter(e =>
+    val kept = allEntries.filter(e =>
       e.hasDeletes || e.partition.forall(keepTuple))
-    GraftTable.lastMetaPlan = Some(GraftTable.MetaPlan(entries.size, allEntries.size))
+    GraftTable.lastMetaPlan = Some(GraftTable.MetaPlan(kept.size, allEntries.size))
+    // avro shards (externally-written snapshots carried through the
+    // catalog) can't go through the JSON source — parse those few
+    // driver-side and union; our own shards stay a distributed scan
+    val (avroEntries, entries) = kept.partition(_.path.endsWith(".avro"))
+    val avroRows = avroEntries
+      .flatMap(e => Manifests.read(e.path))
+      .map(f => Row(f.path, f.sizeBytes, f.recordCount,
+        GraftTable.renderTuple(f.partition)))
     val fileStruct = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("path",
         org.apache.spark.sql.types.StringType),
@@ -177,8 +185,9 @@ final class GraftTable(
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("partition",
         org.apache.spark.sql.types.StringType)))
-    if (entries.isEmpty)
-      spark.createDataFrame(new java.util.ArrayList[Row](), out)
+    val avroDf = spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(avroRows).asJava, out)
+    if (entries.isEmpty) avroDf
     else
       spark.read.schema(docSchema).json(entries.map(_.path): _*)
         .select(explode(col("files")).as("f"))
@@ -190,6 +199,7 @@ final class GraftTable(
             array_join(transform(map_entries(col("f.partition")),
               e => concat(e.getField("key"), lit("="), e.getField("value"))), "/"),
             lit("")).as("partition"))
+        .unionAll(avroDf)
   }
 
   // ------------------------------------------------------------- writes

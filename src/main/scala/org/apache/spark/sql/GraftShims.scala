@@ -42,7 +42,8 @@ object GraftShims {
       : org.apache.spark.sql.connector.catalog.Table = {
     val cs = spark.asInstanceOf[classic.SparkSession]
     new execution.datasources.GraftParquetTable(name, cs, files.map(_._1), schema,
-      new execution.datasources.GraftFileIndex(cs, name, files, prune))
+      new execution.datasources.GraftFileIndex(cs, name, files, prune),
+      files, prune)
   }
 
   /** Spark's own executor-side parquet write machinery for custom V2

@@ -72,6 +72,78 @@ object GraftFileIndex {
   /** Last plan-time pruning decision — a test observation point (specs
     * assert a selective predicate planned a strict subset). */
   @volatile var lastPlanned: Option[Planned] = None
+
+  /** Last RUNTIME (DPP) pruning decision on the delegate scan path. */
+  @volatile var lastRuntimePrune: Option[Planned] = None
+}
+
+/** The stock parquet scan builder, except the built scan understands
+  * RUNTIME filters: Spark's dynamic partition pruning plants a
+  * subquery filter when this table is the probe side of a join whose
+  * build side is selective, and [[GraftRuntimeFilteredScan]] prunes
+  * the FILE LISTING with the materialized join keys through manifest
+  * stats — the delegate-path sibling of the MoR scan's runtime
+  * filtering. (Stock `FileScan` only runtime-filters on hive-style
+  * partition columns, which this table deliberately has none of — its
+  * pruning dimension is manifest stats.) */
+class GraftRuntimeScanBuilder(
+    spark: SparkSession,
+    index: PartitioningAwareFileIndex,
+    tableSchema: org.apache.spark.sql.types.StructType,
+    options: org.apache.spark.sql.util.CaseInsensitiveStringMap,
+    tableName: String,
+    files: Seq[(String, Long)],
+    prune: Seq[Filter] => (String => Boolean))
+    extends v2.parquet.ParquetScanBuilder(
+      spark, index, tableSchema, tableSchema, options) {
+
+  override def build(): v2.parquet.ParquetScan = {
+    val p = super.build()
+    // aggregate pushdown replans the scan shape — leave it stock
+    if (p.pushedAggregate.nonEmpty) p
+    else new GraftRuntimeFilteredScan(p, spark, tableName, files, prune)
+  }
+}
+
+/** [[v2.parquet.ParquetScan]] with [[SupportsRuntimeFiltering]] over
+  * the scan's DATA columns: a runtime `In`/range filter prunes the
+  * manifest listing (stats + partition tuples via `prune`) and input
+  * partitions re-plan over the surviving files — vectorized reading,
+  * row-group pruning, and codegen stay stock (reader construction is
+  * untouched; only the file listing shrinks). */
+final class GraftRuntimeFilteredScan(
+    p: v2.parquet.ParquetScan,
+    spark: SparkSession,
+    tableName: String,
+    allFiles: Seq[(String, Long)],
+    prune: Seq[Filter] => (String => Boolean))
+    extends v2.parquet.ParquetScan(
+      spark, p.hadoopConf, p.fileIndex, p.dataSchema, p.readDataSchema,
+      p.readPartitionSchema, p.pushedFilters, p.options, p.pushedAggregate,
+      p.partitionFilters, p.dataFilters)
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+
+  /** Pruned re-plan after [[filter]]; None = no runtime filter. */
+  @volatile private var pruned: Option[v2.parquet.ParquetScan] = None
+
+  override def planInputPartitions()
+      : Array[org.apache.spark.sql.connector.read.InputPartition] =
+    pruned.map(_.toBatch.planInputPartitions())
+      .getOrElse(super.planInputPartitions())
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    readDataSchema.fieldNames
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val keep = prune(filters.toSeq)
+    val kept = allFiles.filter(f => keep(f._1))
+    GraftFileIndex.lastRuntimePrune = Some(
+      GraftFileIndex.Planned(tableName, kept.size, allFiles.size))
+    pruned = Some(copy(fileIndex =
+      new GraftFileIndex(spark, tableName, kept, prune)))
+  }
 }
 
 /** The builtin V2 parquet table with its file index swapped for the
@@ -84,7 +156,9 @@ class GraftParquetTable(
     spark: SparkSession,
     paths: Seq[String],
     tableSchema: org.apache.spark.sql.types.StructType,
-    index: PartitioningAwareFileIndex)
+    index: PartitioningAwareFileIndex,
+    files: Seq[(String, Long)],
+    prune: Seq[Filter] => (String => Boolean))
     extends v2.parquet.ParquetTable(
       tableName,
       spark,
@@ -95,4 +169,10 @@ class GraftParquetTable(
       classOf[parquet.ParquetFileFormat]) {
 
   override lazy val fileIndex: PartitioningAwareFileIndex = index
+
+  override def newScanBuilder(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : v2.parquet.ParquetScanBuilder =
+    new GraftRuntimeScanBuilder(
+      spark, fileIndex, tableSchema, options, tableName, files, prune)
 }

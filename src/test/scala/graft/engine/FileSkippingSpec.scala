@@ -228,6 +228,28 @@ class FileSkippingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().head.getLong(0) === 300L)
   }
 
+  test("join-driven runtime filters prune delegate scans through manifest stats") {
+    import spark.implicits._
+    spark.sql(s"CREATE TABLE $cat.db.skipdpp (id BIGINT, v DOUBLE)")
+    spark.sql(s"INSERT INTO $cat.db.skipdpp SELECT /*+ COALESCE(1) */ id, 0.0 FROM range(0, 100)")
+    spark.sql(s"INSERT INTO $cat.db.skipdpp SELECT /*+ COALESCE(1) */ id + 100, 0.0 FROM range(0, 100)")
+    spark.sql(s"INSERT INTO $cat.db.skipdpp SELECT /*+ COALESCE(1) */ id + 200, 0.0 FROM range(0, 100)")
+
+    // the dim must be file-backed: a literal local relation constant-
+    // folds away its Filter and DPP has no selective predicate to see
+    spark.sql(s"CREATE TABLE $cat.db.dppdim (id BIGINT, flag STRING)")
+    spark.sql(s"INSERT INTO $cat.db.dppdim VALUES (50, 'x'), (150, 'y')")
+    org.apache.spark.sql.execution.datasources.GraftFileIndex.lastRuntimePrune = None
+    val n = spark.sql(
+      s"""SELECT count(*) FROM $cat.db.skipdpp t
+         |JOIN $cat.db.dppdim d ON t.id = d.id WHERE d.flag = 'x'""".stripMargin)
+      .collect().head.getLong(0)
+    assert(n === 1L)
+    val pruned = org.apache.spark.sql.execution.datasources.GraftFileIndex.lastRuntimePrune
+    assert(pruned.isDefined, "runtime filter never reached the delegate scan")
+    assert(pruned.get.total === 3 && pruned.get.kept === 1, pruned.toString)
+  }
+
   test("decimal bounds prune: BETWEEN on a DECIMAL column plans a strict subset") {
     spark.sql(s"CREATE TABLE $cat.db.skipdec (id BIGINT, l_discount DECIMAL(12,2))")
     spark.sql(s"INSERT INTO $cat.db.skipdec " +
