@@ -142,6 +142,22 @@ class S3FileIOSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(files.head.recordCount === 10L)
   }
 
+  test("plugin registration wires s3 from spark conf on driver and executor paths") {
+    val conf = Map(
+      "spark.graft.s3.region" -> "eu-west-1",
+      "spark.graft.s3.access-key-id" -> "AK",
+      "spark.graft.s3.secret-access-key" -> "SK",
+      "spark.graft.s3.endpoint" -> s"http://127.0.0.1:${server.getAddress.getPort}")
+    try {
+      GraftSparkPlugin.registerFromConf(conf.get)
+      assert(FileIO.canHandle("s3://bucket/x"))
+      // incomplete conf registers nothing
+      FileIO.unregister("s3")
+      GraftSparkPlugin.registerFromConf((conf - "spark.graft.s3.access-key-id").get)
+      assert(!FileIO.canHandle("s3://bucket/x"))
+    } finally FileIO.unregister("s3")
+  }
+
   test("warehouse create runs the live storage probe; failures 400") {
     val store = new InMemoryCatalogStore
     val project = UUID.randomUUID()
