@@ -93,21 +93,45 @@ final class GraftScanBuilder(
 }
 
 /** One split of a data file, with the file's commit sequence number
-  * (delete-scoping) riding along. */
+  * (delete-scoping) and its manifest key-column stats (equality-delete
+  * file pruning) riding along. */
 private[engine] final case class GraftFileSlice(
-    path: String, fileSize: Long, seq: Long, start: Long, length: Long)
+    path: String, fileSize: Long, seq: Long, start: Long, length: Long,
+    stats: Map[Int, Manifests.ColumnStats])
 
 private[engine] final case class GraftInputPartition(slices: Seq[GraftFileSlice])
     extends InputPartition
 
-/** One equality-delete key set: the delete files carrying it (path,
-  * size, seq) plus how to read them and where the key columns sit in
-  * the data reader's output. */
+/** One equality-delete file with its sequence number and key-column
+  * stats (by field id). */
+private[engine] final case class EqDeleteFile(
+    path: String, size: Long, seq: Long,
+    stats: Map[Int, Manifests.ColumnStats])
+
+/** One equality-delete key set: the delete files carrying it plus how
+  * to read them and where the key columns sit in the data reader's
+  * output. `keyIds`/`keyITypes` drive file-level pruning: a delete
+  * file whose key bounds provably miss a data file's key range never
+  * loads for that file's tasks — partition-localized churn stays
+  * local at 100 TB. */
 private[engine] final case class EqDeleteSpec(
-    files: Seq[(String, Long, Long)],
+    files: Seq[EqDeleteFile],
     readFunc: PartitionedFile => Iterator[InternalRow],
     keyOrdinals: Seq[Int],
-    keyTypes: Seq[DataType])
+    keyTypes: Seq[DataType],
+    keyIds: Seq[Int],
+    keyITypes: Seq[graft.core.IType]) {
+
+  /** Can this delete file's keys touch rows in a data file with
+    * `dataStats`? Missing stats on either side keep it. */
+  def mightApply(f: EqDeleteFile, dataStats: Map[Int, Manifests.ColumnStats]): Boolean =
+    keyIds.zip(keyITypes).forall { case (id, t) =>
+      (f.stats.get(id), dataStats.get(id)) match {
+        case (Some(a), Some(b)) => StatsPruning.rangesOverlap(a, b, t)
+        case _ => true
+      }
+    }
+}
 
 private[engine] final case class PosDeleteSpec(
     files: Seq[(String, Long, Long)],
@@ -157,9 +181,10 @@ final class GraftMorScan(
     val (maxSplit, openCost) = GraftShims.fileSplitConf(spark)
     val slices = datas.flatMap { f =>
       if (f.sizeBytes <= maxSplit)
-        Seq(GraftFileSlice(f.path, f.sizeBytes, f.seq, 0L, f.sizeBytes))
+        Seq(GraftFileSlice(f.path, f.sizeBytes, f.seq, 0L, f.sizeBytes, f.stats))
       else (0L until f.sizeBytes by maxSplit).map(off => GraftFileSlice(
-        f.path, f.sizeBytes, f.seq, off, math.min(maxSplit, f.sizeBytes - off)))
+        f.path, f.sizeBytes, f.seq, off,
+        math.min(maxSplit, f.sizeBytes - off), f.stats))
     }
     // Spark's own FilePartition packing: largest-first, greedy fill
     val parts = Seq.newBuilder[InputPartition]
@@ -241,10 +266,12 @@ final class GraftMorScan(
         StructField(f.name, SchemaBridge.toSpark(f.fieldType), nullable = true,
           SchemaBridge.fieldIdMetadata(f.id))))
       EqDeleteSpec(
-        dfiles.map(f => (f.path, f.sizeBytes, f.seq)),
+        dfiles.map(f => EqDeleteFile(f.path, f.sizeBytes, f.seq, f.stats)),
         GraftShims.parquetReadFunc(spark, delSchema, delSchema, Nil),
         keyFields.map(f => ordinalOf(f.name)),
-        delSchema.fields.map(_.dataType).toSeq)
+        delSchema.fields.map(_.dataType).toSeq,
+        keyFields.map(_.id),
+        keyFields.map(_.fieldType))
     }
     val posSpec =
       if (posFiles.isEmpty) None
@@ -295,11 +322,13 @@ private[engine] final class GraftReaderFactory(
         val rows: Iterator[InternalRow] =
           readFunc(GraftShims.partitionedFile(s.path, s.start, s.length, s.fileSize))
         val fileRow = new GenericInternalRow(Array[Any](UTF8String.fromString(s.path)))
-        /** equality sets whose sequence is strictly above this file's */
+        /** equality sets whose sequence is strictly above this file's
+          * AND whose key bounds can touch this file's key range */
         val eq: Seq[(Seq[Int], Seq[DataType], Seq[java.util.HashSet[AnyRef]])] =
           eqSpecs.flatMap { g =>
-            val sets = g.files.filter(_._3 > s.seq).map(f =>
-              GraftDeleteCache.eqTuples(f._1, f._2, g.readFunc, g.keyTypes))
+            val sets = g.files
+              .filter(f => f.seq > s.seq && g.mightApply(f, s.stats))
+              .map(f => GraftDeleteCache.eqTuples(f.path, f.size, g.readFunc, g.keyTypes))
             if (sets.isEmpty) None else Some((g.keyOrdinals, g.keyTypes, sets))
           }
         /** position sets addressing THIS file, sequence ≥ the file's */
@@ -353,6 +382,10 @@ private[engine] object GraftDeleteCache {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.ref.SoftReference[AnyRef]]()
 
+  /** Actual (non-cache-hit) delete-set loads — the observable half of
+    * equality-delete FILE pruning in specs (local mode: one JVM). */
+  val loads = new java.util.concurrent.atomic.AtomicLong(0)
+
   private def getOrLoad[T <: AnyRef](key: String)(load: => T): T = {
     val ref = cache.get(key)
     val hit = if (ref == null) null else ref.get()
@@ -393,6 +426,7 @@ private[engine] object GraftDeleteCache {
       readFunc: PartitionedFile => Iterator[InternalRow],
       types: Seq[DataType]): java.util.HashSet[AnyRef] =
     getOrLoad("eq:" + path) {
+      loads.incrementAndGet()
       val set = new java.util.HashSet[AnyRef]()
       val ords = types.indices.toSeq
       readFunc(GraftShims.partitionedFile(path, 0L, size, size)).foreach { r =>

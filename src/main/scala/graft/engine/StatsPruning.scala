@@ -211,6 +211,40 @@ object StatsPruning {
     recur(filter)
   }
 
+  /** Conservative range overlap of two columns' CANONICAL stats: false
+    * only when both ranges are known and provably disjoint (any
+    * missing bound keeps the pair). Used to skip equality-delete files
+    * whose key bounds cannot touch a data file's key range. */
+  def rangesOverlap(
+      a: Manifests.ColumnStats, b: Manifests.ColumnStats, t: IType): Boolean = {
+    val aAboveB = for {
+      amin <- a.min; bmax <- b.max; c <- cmpStored(amin, bmax, t)
+    } yield c > 0
+    val aBelowB = for {
+      amax <- a.max; bmin <- b.min; c <- cmpStored(amax, bmin, t)
+    } yield c < 0
+    !(aAboveB.contains(true) || aBelowB.contains(true))
+  }
+
+  /** Compare two canonical-domain bound strings. None = incomparable. */
+  private def cmpStored(a: String, b: String, t: IType): Option[Int] = t match {
+    case IType.TInt | IType.TLong | IType.TTime | IType.TDate |
+         IType.TTimestamp | IType.TTimestamptz =>
+      for { x <- a.toLongOption; y <- b.toLongOption }
+        yield java.lang.Long.compare(x, y)
+    case IType.TFloat | IType.TDouble =>
+      for { x <- a.toDoubleOption; y <- b.toDoubleOption }
+        yield java.lang.Double.compare(x, y)
+    case IType.TString | IType.TUuid => Some(a.compareTo(b))
+    case _: IType.TDecimal =>
+      try Some(new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b)))
+      catch { case _: NumberFormatException => None }
+    case IType.TBoolean =>
+      for { x <- a.toBooleanOption; y <- b.toBooleanOption }
+        yield java.lang.Boolean.compare(x, y)
+    case _ => None
+  }
+
   private sealed trait Op
   private case object Gt extends Op
   private case object Ge extends Op

@@ -91,6 +91,31 @@ class GraftMorScanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("equality-delete files with disjoint key bounds never load for other files") {
+    import spark.implicits._
+    spark.sql(s"CREATE TABLE $cat.db.eqprune (id BIGINT, v STRING)")
+    val t = new GraftTable(client, prefix, TableIdent(Seq("db"), "eqprune"))
+    // two data files with disjoint id ranges
+    t.append((0L until 1000L).map(i => (i, s"a$i")).toDF("id", "v").coalesce(1))
+    t.append((1000L until 2000L).map(i => (i, s"b$i")).toDF("id", "v").coalesce(1))
+    // delete keys entirely inside the FIRST file's range
+    t.deleteByKeys(spark, Seq("id"), (0L until 100L by 10).toDF("id"))
+
+    // scan ONLY the second file's range: a pushed filter prunes the
+    // listing to file 2, whose key bounds are disjoint from the delete
+    // file's — the delete set must never load
+    GraftDeleteCache.loads.set(0L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.eqprune WHERE id >= 1000")
+      .collect().head.getLong(0) === 1000L)
+    assert(GraftDeleteCache.loads.get() === 0L,
+      "delete set loaded for a data file its bounds cannot touch")
+
+    // full scan: the set loads (once) and the deletes apply
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.eqprune")
+      .collect().head.getLong(0) === 1990L)
+    assert(GraftDeleteCache.loads.get() === 1L)
+  }
+
   test("equality deletes apply across splits; pushed filters stay correct") {
     import spark.implicits._
     spark.sql(s"CREATE TABLE $cat.db.eqbig (id BIGINT, grp STRING)")
