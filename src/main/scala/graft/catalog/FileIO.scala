@@ -61,6 +61,11 @@ trait FileIO {
   /** All object locations under `prefix`, lexicographically sorted
     * (object-store LIST; local impl walks the directory). */
   def list(prefix: String): Seq[String]
+
+  /** Last-modified epoch millis, or None when absent/unknown. Unknown
+    * is SAFE-side for consumers like the orphan sweep: a file whose
+    * age can't be established is never deleted. */
+  def modifiedAt(location: String): Option[Long] = None
 }
 
 /** `file:` URIs and bare paths via java.nio. Parent directories are
@@ -92,6 +97,11 @@ object LocalFileIO extends FileIO {
   override def delete(location: String): Unit =
     Files.deleteIfExists(toPath(location))
 
+  override def modifiedAt(location: String): Option[Long] = {
+    val p = toPath(location)
+    if (Files.exists(p)) Some(Files.getLastModifiedTime(p).toMillis) else None
+  }
+
   override def list(prefix: String): Seq[String] = {
     // walk the DEEPEST existing directory of the prefix (a prefix that
     // names a directory walks it directly, not its parent tree), and
@@ -117,9 +127,14 @@ object LocalFileIO extends FileIO {
   * the metadata plane never touches the local filesystem. */
 final class InMemoryFileIO extends FileIO {
   private val objects = TrieMap.empty[String, Array[Byte]]
+  private val mtimes = TrieMap.empty[String, Long]
 
-  override def write(location: String, bytes: Array[Byte]): Unit =
+  override def write(location: String, bytes: Array[Byte]): Unit = {
     objects.put(location, bytes.clone())
+    mtimes.put(location, System.currentTimeMillis())
+  }
+
+  override def modifiedAt(location: String): Option[Long] = mtimes.get(location)
 
   override def read(location: String): Option[Array[Byte]] =
     objects.get(location).map(_.clone())

@@ -108,6 +108,21 @@ final class S3FileIO(
     else fail("HEAD", location, r.statusCode())
   }
 
+  override def modifiedAt(location: String): Option[Long] = {
+    val (b, k) = bucketKey(location)
+    val r = send("HEAD", uriFor(b, k), None)
+    if (r.statusCode() / 100 != 2) None
+    else {
+      val v = r.headers().firstValue("Last-Modified")
+      if (!v.isPresent) None
+      else
+        try Some(java.time.ZonedDateTime.parse(v.get,
+          java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME)
+          .toInstant.toEpochMilli)
+        catch { case _: Exception => None }
+    }
+  }
+
   override def delete(location: String): Unit = {
     val (b, k) = bucketKey(location)
     val r = send("DELETE", uriFor(b, k), None)

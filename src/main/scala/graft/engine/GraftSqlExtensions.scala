@@ -18,6 +18,7 @@ import org.apache.spark.sql.types.StructType
   *   ALTER TABLE t DROP PARTITION FIELD <transform | name>
   *   CALL cat.system.rewrite_data_files(table => 'db.t'[, target_file_count => N])
   *   CALL cat.system.expire_snapshots(table => 'db.t', older_than_ms => N)
+  *   CALL cat.system.remove_orphan_files(table => 'db.t'[, older_than_ms => N])
   *
   * Everything else delegates verbatim. Injected by
   * [[graft.functions.GraftExtensions]] via `spark.sql.extensions`.
@@ -152,6 +153,12 @@ final case class CallProcedureCommand(
         val olderThan = OlderArg.findFirstMatchIn(args).map(_.group(1).toLong).getOrElse(
           throw new IllegalArgumentException("expire_snapshots requires older_than_ms => N"))
         catalog.engineTable(ti).expireSnapshots(olderThan)
+      case "remove_orphan_files" =>
+        val t = catalog.engineTable(ti)
+        OlderArg.findFirstMatchIn(args).map(_.group(1).toLong) match {
+          case Some(cutoff) => t.removeOrphanFiles(cutoff)
+          case None => t.removeOrphanFiles() // default: 3-day age guard
+        }
       case other =>
         throw new UnsupportedOperationException(s"unknown procedure: system.$other")
     }

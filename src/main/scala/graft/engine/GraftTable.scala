@@ -266,8 +266,11 @@ final class GraftTable(
             spark, m.currentSchema, candidates, lineage = true)
           val joinCond = keys.map(k => target(k) <=> src(k)).reduce(_ && _)
           val matched = target.join(src, joinCond, "left_semi")
-            .select(col(GraftTable.FileCol).as("file_path"),
-              col(GraftTable.PosCol).as("pos"))
+            .select(
+              col(GraftTable.FileCol).as("file_path",
+                SchemaBridge.fieldIdMetadata(GraftTable.PosDeleteFilePathId)),
+              col(GraftTable.PosCol).as("pos",
+                SchemaBridge.fieldIdMetadata(GraftTable.PosDeletePosId)))
           val deleteDir = s"${m.location}/deletes/${UUID.randomUUID()}"
           GraftTable.toDataFiles(ParquetBatchWrite.writeJob(matched, deleteDir, None))
             .map(_.copy(content = Manifests.ContentPositionDeletes))
@@ -301,8 +304,11 @@ final class GraftTable(
           spark, m.currentSchema,
           Manifests.read(snap.manifestList).filter(keep), lineage = true)
         val matched = target.filter(coalesce(condition, lit(false)))
-          .select(col(GraftTable.FileCol).as("file_path"),
-            col(GraftTable.PosCol).as("pos"))
+          .select(
+            col(GraftTable.FileCol).as("file_path",
+              SchemaBridge.fieldIdMetadata(GraftTable.PosDeleteFilePathId)),
+            col(GraftTable.PosCol).as("pos",
+              SchemaBridge.fieldIdMetadata(GraftTable.PosDeletePosId)))
         val dir = s"${m.location}/deletes/${UUID.randomUUID()}"
         val deleteFiles = GraftTable
           .toDataFiles(ParquetBatchWrite.writeJob(matched, dir, None))
@@ -371,6 +377,45 @@ final class GraftTable(
     if (removable.isEmpty) m
     else client.commitTable(prefix, ident, Nil,
       Seq(TableUpdate.RemoveSnapshots(removable))).metadata
+  }
+
+  /** CALL system.remove_orphan_files: delete data-plane files under
+    * the table's data/ and deletes/ directories that NO snapshot
+    * references and that are older than `olderThanMs` — the
+    * complementary sweep to the reference's no-purge DROP
+    * (tables.rs:556 leaves files behind by design; something must
+    * reclaim them). Safety: the age cutoff keeps in-flight writers'
+    * not-yet-committed files alive (default 3 days, Iceberg's
+    * convention), unknown mtimes are never deleted, and referenced
+    * paths compare scheme-normalized. Metadata-only — no commit, no
+    * snapshot change. Returns the deleted locations. */
+  def removeOrphanFiles(
+      olderThanMs: Long = System.currentTimeMillis() - 3L * 24 * 3600 * 1000)
+      : Seq[String] = {
+    val m = metadata
+    def norm(p: String): String =
+      if (p.startsWith("file:")) graft.catalog.MetadataIO.toPath(p).toString else p
+    val referenced: Set[String] = m.snapshots.values.toSeq
+      .flatMap(s => Manifests.read(s.manifestList))
+      .map(f => norm(f.path)).toSet
+    val io = graft.catalog.FileIO.forLocation(m.location)
+    val candidates =
+      io.list(s"${m.location}/data/") ++ io.list(s"${m.location}/deletes/")
+    // a Hadoop checksum sidecar (.name.crc) lives and dies with its
+    // base file — sweep it only when the base is itself an orphan
+    def baseOf(p: String): String = {
+      val cut = p.lastIndexOf('/')
+      val name = p.substring(cut + 1)
+      if (name.startsWith(".") && name.endsWith(".crc"))
+        p.substring(0, cut + 1) + name.substring(1, name.length - 4)
+      else p
+    }
+    val orphans = candidates.filter { p =>
+      !referenced.contains(norm(baseOf(p))) &&
+        io.modifiedAt(p).exists(_ < olderThanMs) // unknown age: keep
+    }
+    orphans.foreach(io.delete)
+    orphans
   }
 
   /** Commit ALREADY-WRITTEN data files as the branch's complete new
@@ -566,12 +611,28 @@ object GraftTable {
   val FileCol = "_file"
   val PosCol = "_pos"
 
-  /** Position-delete file schema: which row of which data file dies. */
+  /** The Iceberg spec's RESERVED position-delete field ids. */
+  private[engine] val PosDeleteFilePathId = 2147483546
+  private[engine] val PosDeletePosId = 2147483545
+
+  /** Position-delete READ schema: which row of which data file dies.
+    * Deliberately id-LESS — columns resolve by NAME, so delete files
+    * written before the ids landed still read (an id-bearing read
+    * schema over an id-less file resolves to NULLs under
+    * fieldId.read, silently losing deletes). */
   private[engine] val PosDeleteSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("file_path",
       org.apache.spark.sql.types.StringType, nullable = false),
     org.apache.spark.sql.types.StructField("pos",
       org.apache.spark.sql.types.LongType, nullable = false)))
+
+  /** Position-delete WRITE schema: same columns stamped with the
+    * spec's reserved field ids, so new delete files carry conformant
+    * parquet ids (and footer stats fold by id). */
+  private[engine] val PosDeleteWriteSchema = org.apache.spark.sql.types.StructType(
+    PosDeleteSchema.fields.zip(Seq(PosDeleteFilePathId, PosDeletePosId)).map {
+      case (f, id) => f.copy(metadata = SchemaBridge.fieldIdMetadata(id))
+    })
 
   /** Snapshot listing → DataFrame, applying merge-on-read deletes:
     * an equality-delete file removes every key-matching row in data
@@ -701,8 +762,30 @@ object GraftTable {
     // records field_id in the files — scans then resolve columns by id
     // (see SchemaBridge.ParquetFieldId), keeping old files readable
     // across renames without rewrites.
-    val stamped = df.select(m.currentSchema.fields.map(f =>
+    val stamped0 = df.select(m.currentSchema.fields.map(f =>
       col(f.name).as(f.name, SchemaBridge.fieldIdMetadata(f.id))): _*)
+    // Honor the table's default sort order WITHIN each write task
+    // (transform-aware, direction + null order per spec): a local sort,
+    // no exchange — rows cluster by the sort key inside every file, so
+    // per-file min/max bounds tighten and stats pruning on the sort
+    // columns skips more files. This is Iceberg's write.sort behavior;
+    // a global sort (range exchange) stays the compaction job's call.
+    val order = m.defaultSortOrder
+    val sortCols = order.fields.flatMap { sf =>
+      for {
+        src <- m.currentSchema.fieldById(sf.sourceId)
+        base <- scala.util.Try(PartitionExprs.partitionValue(
+          sf.transform, col(src.name), src.fieldType)).toOption
+      } yield (sf.direction, sf.nullOrder) match {
+        case (SortDirection.Asc, NullOrder.NullsFirst) => base.asc_nulls_first
+        case (SortDirection.Asc, NullOrder.NullsLast) => base.asc_nulls_last
+        case (SortDirection.Desc, NullOrder.NullsFirst) => base.desc_nulls_first
+        case (SortDirection.Desc, NullOrder.NullsLast) => base.desc_nulls_last
+      }
+    }
+    val stamped =
+      if (sortCols.isEmpty) stamped0
+      else stamped0.sortWithinPartitions(sortCols: _*)
     val routing =
       if (spec.isUnpartitioned) None
       else Some(ParquetBatchWrite.PartitionRouting(

@@ -592,6 +592,14 @@ class GraftSparkCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql(s"CALL $cat.system.expire_snapshots(table => 'pr.t', " +
       s"older_than_ms => ${System.currentTimeMillis() + 1000})")
     assert(t.metadata.snapshots.size < before)
+
+    // expired snapshots' files are now unreferenced: the orphan sweep
+    // (future cutoff — no age protection in this test) reclaims them,
+    // and the table still reads its live content
+    spark.sql(s"CALL $cat.system.remove_orphan_files(" +
+      s"table => 'pr.t', older_than_ms => ${System.currentTimeMillis() + 1000})")
+    assert(spark.sql(s"SELECT id FROM $cat.pr.t ORDER BY id")
+      .collect().map(_.getInt(0)).toSeq === Seq(1, 3))
   }
 
   test("table and namespace misses surface as standard analysis errors") {

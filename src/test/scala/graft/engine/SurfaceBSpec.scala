@@ -351,6 +351,61 @@ class SurfaceBSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertThrows[CatalogError](t.scan(spark, t.AtSnapshot(middle)))
   }
 
+  test("writes honor the table's default sort order within each file") {
+    import spark.implicits._
+    val t = table("t_sorted")
+    client.commitTable(prefix, TableIdent(Seq("db"), "t_sorted"), Nil, Seq(
+      TableUpdate.AddSortOrder(SortOrder(-1, Seq(SortField(
+        1, Transform.Identity, SortDirection.Desc, NullOrder.NullsLast)))),
+      TableUpdate.SetDefaultSortOrder(-1)))
+
+    // shuffled input, one task → one file whose rows must come out DESC
+    t.append((1 to 50).map(i => ((i * 17) % 53, s"s$i", i * 1.0))
+      .toDF("id", "strings", "floats").coalesce(1))
+    val files = t.planFiles()
+    assert(files.size === 1)
+    val inFile = spark.read
+      .parquet(graft.catalog.MetadataIO.toPath(files.head.path).toString)
+      .select("id").collect().map(_.getInt(0)).toSeq
+    assert(inFile === inFile.sorted.reverse, "file rows not in sort order")
+    // content unaffected
+    assert(t.scan(spark).count() === 50)
+  }
+
+  test("remove_orphan_files sweeps only old unreferenced data-plane files") {
+    import spark.implicits._
+    val t = table("t_orphan")
+    t.append(Seq((1, "a", 1.0), (2, "b", 2.0)).toDF("id", "strings", "floats"))
+    val m = t.metadata
+    val live = t.planFiles().map(_.path).toSet
+
+    // plant two strays under data/: one old, one fresh
+    val dataDir = graft.catalog.MetadataIO.toPath(s"${m.location}/data").toString
+    val oldStray = java.nio.file.Paths.get(dataDir, "stray-old.parquet")
+    val newStray = java.nio.file.Paths.get(dataDir, "stray-new.parquet")
+    java.nio.file.Files.write(oldStray, Array[Byte](1, 2, 3))
+    java.nio.file.Files.write(newStray, Array[Byte](4, 5, 6))
+    java.nio.file.Files.setLastModifiedTime(oldStray,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 10L * 24 * 3600 * 1000))
+
+    val swept = t.removeOrphanFiles() // default 3-day guard
+    assert(swept.size === 1 && swept.head.endsWith("stray-old.parquet"),
+      s"swept=$swept live=$live")
+    assert(!java.nio.file.Files.exists(oldStray))
+    assert(java.nio.file.Files.exists(newStray)) // too fresh: protected
+
+    // live data untouched, table still reads
+    assert(t.planFiles().map(_.path).toSet === live)
+    assert(rows(t) === Set((1, "a", 1.0), (2, "b", 2.0)))
+
+    // explicit future cutoff reclaims the fresh stray too
+    val swept2 = t.removeOrphanFiles(System.currentTimeMillis() + 1000)
+    assert(swept2.size === 1 && !java.nio.file.Files.exists(newStray),
+      s"swept2=$swept2 live=$live")
+    assert(rows(t) === Set((1, "a", 1.0), (2, "b", 2.0)))
+  }
+
   test("concurrent engine appends through HTTP converge") {
     import spark.implicits._
     val t = table("t_conc")
