@@ -348,16 +348,80 @@ object Dedup {
        |WHERE CAST(inter AS DOUBLE) / (tot - inter) >= 0.6
        |ORDER BY id_a, id_b""".stripMargin
 
+  // ------------------------------------------------------- clustering
+  /** Connected components over an undirected pair graph `(id_a, id_b)`:
+    * every node labeled with its component's MINIMUM id — iterative
+    * min-label propagation to a fixpoint (each round, a node takes the
+    * least of its own and its neighbors' labels). Rounds are bounded by
+    * graph diameter; near-dup clusters are dense and shallow, so a
+    * handful of rounds converges. At 100 TB cut rounds to O(log n)
+    * with pointer jumping (large-star/small-star) — same join shape,
+    * edges rewritten toward labels each round. Per round: one keyed
+    * aggregation + one keyed join, nothing all-pairs; lineage is cut
+    * by per-round persists. */
+  private[llm] def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.toDF("src", "dst")
+      .unionAll(pairs.toDF("dst", "src").select(col("src"), col("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id")).persist()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 30) {
+      val nbr = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(edges("src").as("nid"))
+        .agg(org.apache.spark.sql.functions.min("cluster").as("nbmin"))
+      val next = labels.join(nbr, labels("id") === nbr("nid"), "left")
+        .select(labels("id"),
+          org.apache.spark.sql.functions.least(
+            labels("cluster"),
+            org.apache.spark.sql.functions.coalesce(col("nbmin"), labels("cluster")))
+            .as("cluster"))
+        .persist()
+      changed = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.cluster") =!= col("o.cluster")).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist(blocking = false)
+    labels
+  }
+
+  /** Near-duplicate CLUSTERS: components of the verified MinHash-LSH
+    * pair graph, each member labeled with the component's minimum doc
+    * id — the canonical-survivor assignment a dedup pipeline acts on
+    * ("keep cluster == doc_id, drop the rest"). */
+  def qDedupClusters(s: SparkSession, dir: String): DataFrame =
+    connectedComponents(qDedupMinhashLsh(s, dir).select("id_a", "id_b"))
+      .selectExpr("cluster", "id as doc_id")
+      .orderBy("cluster", "doc_id")
+
+  val qDedupClustersSql: String =
+    s"""WITH RECURSIVE p AS (SELECT id_a, id_b FROM ($qDedupMinhashLshSql) mh),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+       |          UNION ALL SELECT id_b, id_a FROM p),
+       |reach AS (
+       |  SELECT src AS id, dst AS r FROM edges
+       |  UNION
+       |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+       |allr AS (SELECT id, r FROM reach UNION SELECT src, src FROM edges)
+       |SELECT cl AS cluster, id AS doc_id
+       |FROM (SELECT id, MIN(r) AS cl FROM allr GROUP BY id)
+       |ORDER BY cluster, doc_id""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash_lsh" -> (qDedupMinhashLsh _),
+    "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
     "q_dedup_simhash" -> (qDedupSimhash _))
 
   val oracleSql: Map[String, String] = Map(
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_minhash_lsh" -> qDedupMinhashLshSql,
+    "q_dedup_clusters" -> qDedupClustersSql,
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccardSql,
     "q_dedup_simhash" -> qDedupSimhashSql)
 }

@@ -33,6 +33,19 @@ class DedupSpec extends AnyFunSuite {
     assert(!shared.contains((1L, 3L)) && !shared.contains((2L, 3L)))
   }
 
+  test("connected components label every member with the component minimum") {
+    import spark.implicits._
+    // chain (diameter 2), a triangle, and an isolated pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (6L, 7L), (5L, 7L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L,
+      10L -> 10L, 11L -> 10L))
+  }
+
   test("hot-bucket cap bounds pair explosion from boilerplate text") {
     import spark.implicits._
     // 300 identical boilerplate docs (one mega-bucket in every band)
