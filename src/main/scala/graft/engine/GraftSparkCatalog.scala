@@ -876,7 +876,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
                         org.apache.spark.sql.functions.col))))
                 new GraftDeltaWrite(dataDir, deleteDir, writeSchema,
                   GraftShims.parquetWriteSpec(spark, writeSchema, Map.empty),
-                  GraftShims.parquetWriteSpec(spark, GraftTable.PosDeleteSchema, Map.empty),
+                  GraftShims.parquetWriteSpec(spark, GraftTable.PosDeleteWriteSchema, Map.empty),
                   routing,
                   files =>
                     // an empty delta (nothing matched, nothing inserted)
