@@ -369,9 +369,15 @@ object Dedup {
       .persist()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id")).persist()
-    var changed = 1L
+    // per-node labels only ever DECREASE, so Σ(cluster) strictly
+    // decreases iff any node changed — a one-aggregate convergence
+    // probe per round instead of a join-and-count
+    def labelSum(df: DataFrame): Long =
+      df.agg(org.apache.spark.sql.functions.sum("cluster")).head().getLong(0)
+    var prevSum = labelSum(labels)
+    var changed = true
     var rounds = 0
-    while (changed > 0 && rounds < 30) {
+    while (changed && rounds < 30) {
       val nbr = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(edges("src").as("nid"))
         .agg(org.apache.spark.sql.functions.min("cluster").as("nbmin"))
@@ -382,8 +388,9 @@ object Dedup {
             org.apache.spark.sql.functions.coalesce(col("nbmin"), labels("cluster")))
             .as("cluster"))
         .persist()
-      changed = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.cluster") =!= col("o.cluster")).count()
+      val s = labelSum(next)
+      changed = s != prevSum
+      prevSum = s
       labels.unpersist(blocking = false)
       labels = next
       rounds += 1
