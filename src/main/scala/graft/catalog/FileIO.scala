@@ -183,6 +183,27 @@ object FileIO {
     case Some(s) => registry.contains(s)
   }
 
+  /** Live write → read-back → delete round trip under `location` — the
+    * storage validation the reference runs at warehouse create/update
+    * (storage/s3.rs:438-487). Backend-agnostic: exercises whatever
+    * implementation serves the location's scheme. Returns the failure
+    * message when the storage is not actually usable. */
+  def probe(location: String): Either[String, Unit] = {
+    val loc = s"${location.stripSuffix("/")}/.graft/probe-${java.util.UUID.randomUUID()}"
+    try {
+      val io = forLocation(loc)
+      val payload = s"graft-probe-${System.nanoTime()}".getBytes(StandardCharsets.UTF_8)
+      io.write(loc, payload)
+      val back = io.read(loc)
+      io.delete(loc)
+      if (back.exists(java.util.Arrays.equals(_, payload))) Right(())
+      else Left(s"storage probe read-back mismatch at $location")
+    } catch {
+      case e: Exception =>
+        Left(s"storage validation failed for $location: ${e.getMessage}")
+    }
+  }
+
   def writeString(location: String, s: String): Unit =
     forLocation(location).write(location, s.getBytes(StandardCharsets.UTF_8))
 

@@ -103,9 +103,11 @@ final class S3FileIO(
     val (b, k) = bucketKey(location)
     val r = send("HEAD", uriFor(b, k), None)
     if (r.statusCode() == 404) None
-    else if (r.statusCode() / 100 == 2)
-      Some(r.headers().firstValueAsLong("Content-Length").orElse(0L))
-    else fail("HEAD", location, r.statusCode())
+    else if (r.statusCode() / 100 == 2) {
+      // a 2xx without Content-Length is UNKNOWN, not empty
+      val len = r.headers().firstValueAsLong("Content-Length")
+      if (len.isPresent) Some(len.getAsLong) else None
+    } else fail("HEAD", location, r.statusCode())
   }
 
   override def modifiedAt(location: String): Option[Long] = {
@@ -157,24 +159,3 @@ final class S3FileIO(
   }
 }
 
-object S3FileIO {
-  /** Live write → read-back → delete round trip under `location` — the
-    * storage validation the reference runs at warehouse create/update
-    * (storage/s3.rs:438-487). Returns the failure message when the
-    * location's storage is not actually usable. */
-  def probe(location: String): Either[String, Unit] = {
-    val loc = s"${location.stripSuffix("/")}/.graft/probe-${java.util.UUID.randomUUID()}"
-    try {
-      val io = FileIO.forLocation(loc)
-      val payload = s"graft-probe-${System.nanoTime()}".getBytes(StandardCharsets.UTF_8)
-      io.write(loc, payload)
-      val back = io.read(loc)
-      io.delete(loc)
-      if (back.exists(java.util.Arrays.equals(_, payload))) Right(())
-      else Left(s"storage probe read-back mismatch at $location")
-    } catch {
-      case e: Exception =>
-        Left(s"storage validation failed for $location: ${e.getMessage}")
-    }
-  }
-}

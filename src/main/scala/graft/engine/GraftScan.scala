@@ -331,7 +331,13 @@ private[engine] final class GraftReaderFactory(
               .map(f => GraftDeleteCache.eqTuples(f.path, f.size, g.readFunc, g.keyTypes))
             if (sets.isEmpty) None else Some((g.keyOrdinals, g.keyTypes, sets))
           }
-        /** position sets addressing THIS file, sequence ≥ the file's */
+        /** position sets addressing THIS file, sequence ≥ the file's.
+          * Unlike the equality path there is no bounds-based FILE
+          * pruning here: pos-delete `file_path` bounds record the
+          * scan-time URI form (scheme-divergent from manifest paths)
+          * and real paths exceed the 64-char bound cap anyway, so the
+          * per-executor cache is the load bound; at 100 TB pos-delete
+          * files are partition-scoped by the writer. */
         val pos: Seq[java.util.HashSet[java.lang.Long]] = posSpec.toSeq.flatMap { pd =>
           val key = GraftDeleteCache.fileKey(s.path)
           pd.files.filter(_._3 >= s.seq).flatMap(f =>
@@ -418,6 +424,9 @@ private[engine] object GraftDeleteCache {
   private def norm(v: Any): Any = v match {
     case d: java.lang.Double if d.doubleValue() == 0.0d => java.lang.Double.valueOf(0.0d)
     case f: java.lang.Float if f.floatValue() == 0.0f => java.lang.Float.valueOf(0.0f)
+    // binary keys: arrays compare by REFERENCE in java collections —
+    // wrap as Seq[Byte] so tuple equality/hashing see the content
+    case b: Array[Byte] => b.toSeq
     case other => other
   }
 

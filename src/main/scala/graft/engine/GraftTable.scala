@@ -138,14 +138,17 @@ final class GraftTable(
   }
 
   /** `.files` as a distributed read: the shard paths (already in hand
-    * from the manifest list) go to Spark's JSON source; each executor
-    * task parses its shards and explodes the file entries. Column
-    * shapes match the old driver-side rendering exactly. A partition-
-    * scoped query (`WHERE partition = 'k=v'`) passes `keepTuple`, and
-    * only the matching SHARDS are parsed — the prune rides the list
-    * entries' tuples, zero shard I/O for skipped partitions (mixed and
-    * delete shards always read; the SQL layer re-applies the filter
-    * exactly). */
+    * from the manifest list) parallelize to the executors, and each
+    * task parses its shards through [[Manifests.read]] — which resolves
+    * the METADATA backend from the FileIO registry, so shards on an
+    * object store read through the registered backend (executors need
+    * [[graft.catalog.GraftSparkPlugin]] on a real cluster), and JSON
+    * and avro shards (externally-written snapshots) parse uniformly. A
+    * partition-scoped query (`WHERE partition = 'k=v'`) passes
+    * `keepTuple`, and only the matching SHARDS are read — the prune
+    * rides the list entries' tuples, zero shard I/O for skipped
+    * partitions (mixed and delete shards always read; the SQL layer
+    * re-applies the filter exactly). */
   private def filesTable(
       spark: SparkSession, m: TableMetadata,
       keepTuple: Map[String, String] => Boolean = _ => true): DataFrame = {
@@ -154,28 +157,6 @@ final class GraftTable(
     val kept = allEntries.filter(e =>
       e.hasDeletes || e.partition.forall(keepTuple))
     GraftTable.lastMetaPlan = Some(GraftTable.MetaPlan(kept.size, allEntries.size))
-    // avro shards (externally-written snapshots carried through the
-    // catalog) can't go through the JSON source — parse those few
-    // driver-side and union; our own shards stay a distributed scan
-    val (avroEntries, entries) = kept.partition(_.path.endsWith(".avro"))
-    val avroRows = avroEntries
-      .flatMap(e => Manifests.read(e.path))
-      .map(f => Row(f.path, f.sizeBytes, f.recordCount,
-        GraftTable.renderTuple(f.partition)))
-    val fileStruct = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("path",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("size-bytes",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("record-count",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("partition",
-        org.apache.spark.sql.types.MapType(
-          org.apache.spark.sql.types.StringType,
-          org.apache.spark.sql.types.StringType))))
-    val docSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("files",
-        org.apache.spark.sql.types.ArrayType(fileStruct))))
     val out = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("file_path",
         org.apache.spark.sql.types.StringType),
@@ -185,21 +166,15 @@ final class GraftTable(
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("partition",
         org.apache.spark.sql.types.StringType)))
-    val avroDf = spark.createDataFrame(
-      scala.jdk.CollectionConverters.SeqHasAsJava(avroRows).asJava, out)
-    if (entries.isEmpty) avroDf
-    else
-      spark.read.schema(docSchema).json(entries.map(_.path): _*)
-        .select(explode(col("files")).as("f"))
-        .select(
-          col("f.path").as("file_path"),
-          col("f.`size-bytes`").as("file_size_in_bytes"),
-          col("f.`record-count`").as("record_count"),
-          coalesce(
-            array_join(transform(map_entries(col("f.partition")),
-              e => concat(e.getField("key"), lit("="), e.getField("value"))), "/"),
-            lit("")).as("partition"))
-        .unionAll(avroDf)
+    val paths = kept.map(_.path)
+    if (paths.isEmpty)
+      return spark.createDataFrame(new java.util.ArrayList[Row](), out)
+    val parallelism =
+      math.max(1, math.min(paths.size, spark.sparkContext.defaultParallelism))
+    val rows = spark.sparkContext.parallelize(paths, parallelism).flatMap(p =>
+      Manifests.read(p).map(f => Row(
+        f.path, f.sizeBytes, f.recordCount, GraftTable.renderTuple(f.partition))))
+    spark.createDataFrame(rows, out)
   }
 
   // ------------------------------------------------------------- writes

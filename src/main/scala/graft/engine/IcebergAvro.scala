@@ -228,7 +228,11 @@ object IcebergAvro {
     * untouched. */
   def writeManifest(
       path: String, files: Seq[Manifests.DataFile], ctx: Ctx,
-      carried: Boolean = false): Option[AvroInfo] = {
+      carried: Boolean = false,
+      /** the snapshot that originally ADDED these files (spec
+        * manifest_entry.snapshot_id semantics) — backfilled carried
+        * shards pass their source shard's id; None = this commit */
+      addedSnapshotId: Option[Long] = None): Option[AvroInfo] = {
     if (files.exists(_.isDeleteFile) && files.exists(!_.isDeleteFile)) return None
     val spec = ctx.specs.getOrElse(ctx.specId, PartitionSpec(ctx.specId, Nil))
     val partType = partitionStruct(spec, ctx.schema).getOrElse(return None)
@@ -293,7 +297,7 @@ object IcebergAvro {
       val entry = new GenericData.Record(entrySchema)
       // spec status codes: 0 = EXISTING, 1 = ADDED
       entry.put("status", if (carried) 0 else 1)
-      entry.put("snapshot_id", ctx.snapshotId)
+      entry.put("snapshot_id", addedSnapshotId.getOrElse(ctx.snapshotId))
       val fseq =
         if (f.seq != Manifests.UnassignedSeq) f.seq else ctx.sequenceNumber
       entry.put("sequence_number", fseq)
@@ -306,7 +310,8 @@ object IcebergAvro {
     val seqs = files.map(f =>
       if (f.seq != Manifests.UnassignedSeq) f.seq else ctx.sequenceNumber)
     Some(AvroInfo(path, bytes.length.toLong, spec.specId,
-      if (seqs.isEmpty) ctx.sequenceNumber else seqs.max, ctx.snapshotId,
+      if (seqs.isEmpty) ctx.sequenceNumber else seqs.max,
+      addedSnapshotId.getOrElse(ctx.snapshotId),
       minSeq = if (seqs.isEmpty) None else Some(seqs.min)))
   }
 

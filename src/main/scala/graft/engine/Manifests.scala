@@ -152,9 +152,14 @@ object Manifests {
       case Some(ctx) => carried.zipWithIndex.map {
         case (e, _) if e.avro.isDefined => e
         case (e, i) =>
+          // spec manifest_entry.snapshot_id = the snapshot that ADDED
+          // the file: the legacy JSON shard recorded its writing
+          // commit's id — carry it through instead of claiming this one
+          val origSnap = parse(e.path)
+            .flatMap(n => Option(n.get("snapshot-id")).map(_.asLong()))
           val twin = IcebergAvro.writeManifest(
             s"$metadataDir/manifest-$snapshotId-c$i.avro",
-            entryFiles(e), ctx, carried = true)
+            entryFiles(e), ctx, carried = true, addedSnapshotId = origSnap)
           e.copy(avro = twin)
       }
     }

@@ -371,13 +371,18 @@ object Dedup {
       .withColumn("cluster", col("id")).persist()
     // per-node labels only ever DECREASE, so Σ(cluster) strictly
     // decreases iff any node changed — a one-aggregate convergence
-    // probe per round instead of a join-and-count
-    def labelSum(df: DataFrame): Long =
-      df.agg(org.apache.spark.sql.functions.sum("cluster")).head().getLong(0)
+    // probe per round instead of a join-and-count (sum over zero rows
+    // is SQL NULL: an empty pair graph reads as 0 and converges
+    // immediately instead of NPE-ing)
+    def labelSum(df: DataFrame): Long = {
+      val v = df.agg(org.apache.spark.sql.functions.sum("cluster")).head().get(0)
+      if (v == null) 0L else v.asInstanceOf[Long]
+    }
     var prevSum = labelSum(labels)
     var changed = true
     var rounds = 0
-    while (changed && rounds < 30) {
+    val maxRounds = 64
+    while (changed && rounds < maxRounds) {
       val nbr = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(edges("src").as("nid"))
         .agg(org.apache.spark.sql.functions.min("cluster").as("nbmin"))
@@ -395,6 +400,14 @@ object Dedup {
       labels = next
       rounds += 1
     }
+    // a component whose min-id node is further than maxRounds hops from
+    // some member would exit unconverged — never silently: label
+    // propagation covers one hop per round, so this only fires on
+    // pathological >64-edge chains (use pointer jumping before raising
+    // the cap)
+    if (changed) System.err.println(
+      s"[graft-dedup] connected components did NOT converge in $maxRounds rounds; " +
+        "labels may not be component minima")
     edges.unpersist(blocking = false)
     labels
   }

@@ -26,9 +26,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Sampling {
 
   /** Knuth multiplicative hash of the doc id into [0, 1000) — exact
-    * 64-bit integer arithmetic, identical in Spark and DuckDB. */
+    * 64-bit integer arithmetic, identical in Spark and DuckDB. The id
+    * is reduced mod a prime FIRST so the product stays below 2^63
+    * for any Int64 id (max ≈ 1e9 · 2.65e9 ≈ 2.7e18): Spark would
+    * silently wrap the overflow while DuckDB errors, which would break
+    * the oracle contract exactly at scale. Ids below the prime hash
+    * identically to the unreduced form. */
   private def hashPermille(col: String) =
-    s"pmod($col * 2654435761, 4294967296) % 1000"
+    s"pmod(pmod($col, 1000000007) * 2654435761, 4294967296) % 1000"
 
   /** Per-stratum deterministic sampling: length bands get different
     * rates (long documents are scarcer and kept at a higher rate — the
@@ -56,7 +61,7 @@ object Sampling {
        |         CASE WHEN n_chars < 500 THEN 'short'
        |              WHEN n_chars < 2000 THEN 'medium'
        |              ELSE 'long' END AS stratum,
-       |         (doc_id * 2654435761) % 4294967296 % 1000 AS h
+       |         ((doc_id % 1000000007) * 2654435761) % 4294967296 % 1000 AS h
        |  FROM documents)
        |SELECT stratum, doc_id
        |FROM d

@@ -476,7 +476,7 @@ final class CatalogServer(
             // equivalent of "no storage profile yet")
             _ <-
               if (!graft.catalog.FileIO.canHandle(location)) Right(())
-              else graft.catalog.S3FileIO.probe(location)
+              else graft.catalog.FileIO.probe(location)
                 .left.map(CatalogError.badRequest)
             projectId = Option(n.get("project-id")).filter(!_.isNull)
               .map(p => UUID.fromString(p.asText())).getOrElse(defaultProjectId)

@@ -292,6 +292,10 @@ class IcebergAvroSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(IcebergAvro.readManifest(backfilled.path, inheritSeq = 0L)
       .forall(_.seq === 1L))
     assert(backfilled.minSequence === 1L && backfilled.seq === 1L)
+    // spec snapshot attribution: the files were ADDED by snapshot 100,
+    // not by the backfilling commit 200
+    assert(backfilled.addedSnapshotId === 100L)
+    assert(recs.forall(_.get("snapshot_id").asInstanceOf[Long] === 100L))
 
     // reading the whole snapshot through the AVRO list sees every file
     assert(Manifests.read(s"$dir/metadata/snap-200-manifest-list.avro").size === 3)

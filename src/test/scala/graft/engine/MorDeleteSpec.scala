@@ -116,6 +116,23 @@ class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(t) === Set((2, "B"), (9, "Z")))
   }
 
+  test("equality deletes on BINARY key columns match by content, not reference") {
+    import spark.implicits._
+    val binSchema = Schema(0, Seq(
+      NestedField.required(1, "k", TBinary),
+      NestedField.optional(2, "v", TString)))
+    client.createTable(prefix, TableIdent(Seq("db"), "t_bin"), binSchema)
+    val t = new GraftTable(client, prefix, TableIdent(Seq("db"), "t_bin"))
+    t.append(Seq(
+      (Array[Byte](1, 2), "a"), (Array[Byte](3, 4), "b"), (Array[Byte](5), "c"))
+      .toDF("k", "v"))
+    t.deleteByKeys(spark, Seq("k"), Seq(Array[Byte](3, 4)).toDF("k"))
+    // the deleted key's bytes come from a DIFFERENT array instance than
+    // the data rows' — content equality must still kill the row
+    val left = t.scan(spark).collect().map(_.getString(1)).toSet
+    assert(left === Set("a", "c"))
+  }
+
   test("upsert evaluates an expensive source exactly once (persisted)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, udf}
