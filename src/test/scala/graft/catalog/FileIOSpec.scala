@@ -84,4 +84,35 @@ class FileIOSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(IcebergAvro.isManifestList(avroSchema))
     assert(Manifests.read(avroList).map(_.path).sorted === files.map(_.path))
   }
+
+  test("reads of unregistered schemes degrade to absent (trait policy)") {
+    assert(FileIO.readBytes("s3zz://nowhere/x.json").isEmpty)
+    assert(FileIO.readString("s3zz://nowhere/x.json").isEmpty)
+    // manifest reads over an unreachable scheme plan as empty, not crash
+    assert(Manifests.read("s3zz://nowhere/metadata/snap-1.json") === Nil)
+    assert(Manifests.readEntries("s3zz://nowhere/metadata/snap-1.avro") === Nil)
+  }
+
+  test("LocalFileIO.list walks the deepest existing directory, preserves prefix form") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-list")
+    val sub = dir.resolve("data")
+    java.nio.file.Files.createDirectories(sub.resolve("inner"))
+    java.nio.file.Files.write(sub.resolve("a.json"), Array[Byte](1))
+    java.nio.file.Files.write(sub.resolve("inner").resolve("b.json"), Array[Byte](2))
+    java.nio.file.Files.write(dir.resolve("outside.json"), Array[Byte](3))
+
+    // directory prefix: walks IT, not its parent (outside.json excluded)
+    val bare = LocalFileIO.list(s"$sub/")
+    assert(bare.map(_.split('/').last).sorted === Seq("a.json", "b.json"))
+    assert(bare.forall(!_.startsWith("file:"))) // bare prefix → bare paths
+
+    // file: URI prefix → file: URI results
+    val asUri = LocalFileIO.list(sub.toUri.toString)
+    assert(asUri.nonEmpty && asUri.forall(_.startsWith("file:")))
+
+    // name-prefix inside a directory still filters
+    assert(LocalFileIO.list(s"$sub/a").map(_.split('/').last) === Seq("a.json"))
+    // nonexistent root
+    assert(LocalFileIO.list(s"$dir/nope/deeper/x") === Nil)
+  }
 }
