@@ -33,10 +33,15 @@ import scala.jdk.CollectionConverters._
   * MIRROR writes (the gzip metadata.json copy, [[MetadataIO.write]])
   * SKIP — the catalog store row is authoritative, the file is a
   * convenience copy (reference behavior until a storage profile is
-  * configured). READS go through [[FileIO.readBytes]]/[[FileIO.readString]]
-  * and DEGRADE to absent, so loading a table whose metadata lives on an
-  * unconfigured scheme yields the store-backed surface instead of a
-  * planning-time crash.
+  * configured). READS split by what the bytes MEAN: mirror reads go
+  * through [[FileIO.readBytes]]/[[FileIO.readString]] and DEGRADE to
+  * absent (the store row is authoritative), but CONTENT reads — bytes a
+  * committed snapshot points at, i.e. manifest lists/shards — go
+  * through [[FileIO.readContentBytes]] and THROW on an unregistered
+  * scheme: a driver or executor missing its backend registration must
+  * fail loudly, not read the table as silently empty (the reference
+  * errors when a storage profile is unresolvable). Both degrade to None
+  * only for a genuinely ABSENT object.
   */
 trait FileIO {
   /** Create-or-replace the object at `location` (object-store PUT —
@@ -207,11 +212,23 @@ object FileIO {
   def writeString(location: String, s: String): Unit =
     forLocation(location).write(location, s.getBytes(StandardCharsets.UTF_8))
 
-  /** Degrading read (see trait policy): unregistered schemes and
-    * missing objects both answer None, in ONE round trip. */
+  /** Degrading MIRROR read (see trait policy): unregistered schemes and
+    * missing objects both answer None, in ONE round trip. For
+    * snapshot-referenced content use [[readContentBytes]]. */
   def readBytes(location: String): Option[Array[Byte]] =
     if (!canHandle(location)) None else forLocation(location).read(location)
 
   def readString(location: String): Option[String] =
     readBytes(location).map(new String(_, StandardCharsets.UTF_8))
+
+  /** CONTENT read for snapshot-referenced objects (manifest lists and
+    * shards): an absent object degrades to None, but an unregistered
+    * scheme THROWS via [[forLocation]] — a JVM that cannot resolve the
+    * backend for a committed snapshot's manifests must not serve the
+    * table as empty. */
+  def readContentBytes(location: String): Option[Array[Byte]] =
+    forLocation(location).read(location)
+
+  def readContentString(location: String): Option[String] =
+    readContentBytes(location).map(new String(_, StandardCharsets.UTF_8))
 }

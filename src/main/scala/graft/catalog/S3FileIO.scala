@@ -145,8 +145,7 @@ final class S3FileIO(
         .mkString("&")
       val r = send("GET", uriFor(bucket, "", query), None)
       if (r.statusCode() / 100 != 2) fail("LIST", prefix, r.statusCode())
-      val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
-        .newDocumentBuilder()
+      val doc = S3FileIO.secureXmlFactory.newDocumentBuilder()
         .parse(new java.io.ByteArrayInputStream(r.body()))
       val keys = doc.getElementsByTagName("Key")
       (0 until keys.getLength).foreach(i =>
@@ -159,3 +158,21 @@ final class S3FileIO(
   }
 }
 
+
+object S3FileIO {
+  /** Hardened XML parsing for ListObjectsV2 responses: a custom
+    * endpoint (MinIO path) is attacker-controllable input, so DTDs and
+    * external entities are disabled — no XXE against the driver or
+    * executor JVM. The factory is thread-safe only for configuration;
+    * builders are created per parse. */
+  private[catalog] def secureXmlFactory: javax.xml.parsers.DocumentBuilderFactory = {
+    val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    f.setFeature(javax.xml.XMLConstants.FEATURE_SECURE_PROCESSING, true)
+    f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    f.setFeature("http://xml.org/sax/features/external-general-entities", false)
+    f.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
+    f.setXIncludeAware(false)
+    f.setExpandEntityReferences(false)
+    f
+  }
+}

@@ -68,8 +68,18 @@ final class GraftScanBuilder(
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
 
+  /** Accepted filters are REMOVED from Spark's post-scan evaluation, so
+    * they must be fully enforceable by the scan's residual predicate —
+    * which binds against TOP-LEVEL parquet output columns. Decline any
+    * filter referencing a nested field (dotted ref) or a name outside
+    * the table schema (e.g. the lineage metadata columns): those go back
+    * to Spark for post-scan evaluation instead of losing rows or
+    * throwing at residual-bind time. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (ok, rest) = filters.partition(f => FilterBridge.translate(f).isDefined)
+    val dataCols = tableSchema.fieldNames.toSet
+    val (ok, rest) = filters.partition(f =>
+      FilterBridge.translate(f).isDefined &&
+        f.references.forall(r => !r.contains('.') && dataCols.contains(r)))
     pushed = ok
     rest
   }
@@ -403,10 +413,23 @@ private[engine] object GraftDeleteCache {
     }
   }
 
-  /** Key a file by its last two path segments (uuid-dir/name): stable
-    * across scheme differences between manifest paths and the
-    * `file_path` strings recorded inside position-delete files. */
-  def fileKey(p: String): String = p.split('/').takeRight(2).mkString("/")
+  /** Key a file by its FULL path with any scheme/authority stripped:
+    * position-delete `file_path` strings may carry a different URI form
+    * than manifest paths (`file:/x` vs `/x` vs `file:///x`), but the
+    * path component itself is identical — TaskWriter records the data
+    * file's scan path verbatim (see its naming invariant). Matching the
+    * whole path (not a name suffix) keeps deletes correct under any
+    * future nested/hive-style layout or cross-job name reuse. */
+  def fileKey(p: String): String = {
+    val i = p.indexOf("://")
+    if (i > 0) {
+      // scheme://authority/path → /path (authority is table-constant)
+      val rest = p.substring(i + 3)
+      val slash = rest.indexOf('/')
+      if (slash < 0) rest else rest.substring(slash)
+    } else if (p.startsWith("file:")) p.substring(5)
+    else p
+  }
 
   /** Key tuple of `r` at `ords`, normalized so tuple equality matches
     * SQL `<=>`: null elements compare equal, -0.0 folds onto 0.0 (NaN

@@ -279,10 +279,12 @@ object Manifests {
       IcebergAvro.readManifest(e.path, e.avro.map(_.seq).getOrElse(0L))
     else read(e.path)
 
-  /** ONE degrading read (absent object / unregistered scheme → Nil),
-    * parsed once — never exists+read+read round trips. */
+  /** ONE content read (absent object → Nil; UNREGISTERED SCHEME throws
+    * — see the [[graft.catalog.FileIO]] policy: a JVM missing its
+    * backend must not read the table as empty), parsed once — never
+    * exists+read+read round trips. */
   private def readAvro(location: String): Seq[DataFile] =
-    graft.catalog.FileIO.readBytes(location) match {
+    graft.catalog.FileIO.readContentBytes(location) match {
       case None => Nil
       case Some(bytes) =>
         val (schema, meta, recs) = IcebergAvro.parseRecords(bytes)
@@ -317,7 +319,7 @@ object Manifests {
     * entry pointing at itself. */
   def readEntries(location: String): Seq[ManifestEntry] =
     if (location.endsWith(".avro")) {
-      graft.catalog.FileIO.readBytes(location) match {
+      graft.catalog.FileIO.readContentBytes(location) match {
         case None => Nil
         case Some(bytes) =>
           IcebergAvro.manifestListEntries(IcebergAvro.parseRecords(bytes)._3)
@@ -333,7 +335,7 @@ object Manifests {
     }
 
   private def parse(location: String): Option[JsonNode] =
-    graft.catalog.FileIO.readString(location).map(mapper.readTree)
+    graft.catalog.FileIO.readContentString(location).map(mapper.readTree)
 
   private def entriesOf(n: JsonNode): Seq[ManifestEntry] =
     n.get("manifests").elements().asScala.map { e =>

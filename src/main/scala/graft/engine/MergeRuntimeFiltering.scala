@@ -85,10 +85,19 @@ final case class MergeRuntimeFiltering(spark: SparkSession)
     case None => j
   }
 
+  /** The pruning subquery re-evaluates the build subtree independently
+    * of the main join; a non-deterministic source (rand(), sampled or
+    * unordered-limited input) could materialize different keys than the
+    * join sees and prune files holding genuinely-matching rows. Same
+    * guard as Spark's PartitionPruning. */
+  private def deterministic(p: LogicalPlan): Boolean =
+    !p.exists(_.expressions.exists(e => !e.deterministic))
+
   private def inject(
       j: Join, pruneLeft: Boolean, rel: DataSourceV2Relation,
       equi: Seq[(Attribute, Attribute)]): Join = {
     val buildSide = if (pruneLeft) j.right else j.left
+    if (!deterministic(buildSide)) return j
     val relOut = rel.outputSet
     val buildOut = buildSide.outputSet
     // orient each equi-pair as (target key, source key)

@@ -150,6 +150,12 @@ object ParquetBatchWrite {
       val ctx = new TaskAttemptContextImpl(conf.value,
         new TaskAttemptID(new TaskID(new JobID("graft", 0), TaskType.MAP,
           partitionId), taskId.toInt))
+      // NAMING INVARIANT: data-file paths are recorded VERBATIM in
+      // manifests and (via the `_file` lineage column) in position-
+      // delete `file_path` values; [[GraftDeleteCache.fileKey]] matches
+      // them by full scheme-stripped path, so the path written here
+      // must be the one the scan lists. Layout changes (e.g. hive-style
+      // partition dirs) are safe as long as that round trip holds.
       factory.newInstance(s"$dataDir/part-$partitionId-$taskId$suffix.parquet",
         schema, ctx)
     }

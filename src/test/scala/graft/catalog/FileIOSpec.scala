@@ -85,12 +85,27 @@ class FileIOSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Manifests.read(avroList).map(_.path).sorted === files.map(_.path))
   }
 
-  test("reads of unregistered schemes degrade to absent (trait policy)") {
+  test("mirror reads degrade to absent; CONTENT reads throw on unregistered scheme") {
+    // mirror reads (metadata.json convenience copy): degrade quietly
     assert(FileIO.readBytes("s3zz://nowhere/x.json").isEmpty)
     assert(FileIO.readString("s3zz://nowhere/x.json").isEmpty)
-    // manifest reads over an unreachable scheme plan as empty, not crash
-    assert(Manifests.read("s3zz://nowhere/metadata/snap-1.json") === Nil)
-    assert(Manifests.readEntries("s3zz://nowhere/metadata/snap-1.avro") === Nil)
+    // snapshot-referenced CONTENT (manifest lists/shards): a JVM whose
+    // backend registration is missing must fail loudly — NOT serve the
+    // table as silently empty (reference errors on an unresolvable
+    // storage profile)
+    intercept[IllegalStateException](
+      FileIO.readContentBytes("s3zz://nowhere/metadata/snap-1.json"))
+    intercept[IllegalStateException](
+      Manifests.read("s3zz://nowhere/metadata/snap-1.json"))
+    intercept[IllegalStateException](
+      Manifests.readEntries("s3zz://nowhere/metadata/snap-1.avro"))
+    // absent object on a REGISTERED scheme still degrades to empty
+    val mem = new InMemoryFileIO
+    FileIO.register("s3zz", mem)
+    try {
+      assert(FileIO.readContentBytes("s3zz://nowhere/metadata/snap-1.json").isEmpty)
+      assert(Manifests.read("s3zz://nowhere/metadata/snap-1.json") === Nil)
+    } finally FileIO.unregister("s3zz")
   }
 
   test("LocalFileIO.list walks the deepest existing directory, preserves prefix form") {

@@ -137,4 +137,33 @@ class GraftMorScanSpec extends AnyFunSuite with BeforeAndAfterAll {
         .collect().map(_.getString(0)).toSeq === Seq("revived"))
     } finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
   }
+
+  test("fileKey matches full scheme-stripped paths, not name suffixes") {
+    // same path under divergent URI forms → one key
+    assert(GraftDeleteCache.fileKey("file:/wh/t/data/part-0-1.parquet") ===
+      GraftDeleteCache.fileKey("/wh/t/data/part-0-1.parquet"))
+    assert(GraftDeleteCache.fileKey("file:///wh/t/data/part-0-1.parquet") ===
+      GraftDeleteCache.fileKey("/wh/t/data/part-0-1.parquet"))
+    assert(GraftDeleteCache.fileKey("s3://bkt/wh/t/data/part-0-1.parquet") ===
+      "/wh/t/data/part-0-1.parquet")
+    // SAME file name under different parents must NOT collide (nested
+    // layouts / cross-job name reuse would mis-apply position deletes)
+    assert(GraftDeleteCache.fileKey("/wh/t/p=1/data/part-0-1.parquet") !==
+      GraftDeleteCache.fileKey("/wh/t/p=2/data/part-0-1.parquet"))
+  }
+
+  test("pushFilters declines nested (dotted) and non-table references") {
+    import org.apache.spark.sql.sources.{EqualTo, Filter}
+    val coreSchema = graft.core.Schema(0, Seq(
+      graft.core.NestedField(1, "id", required = true, graft.core.IType.TLong)))
+    val b = new GraftScanBuilder(coreSchema, Nil)
+    val dotted: Filter = EqualTo("s.x", 1)
+    val meta: Filter = EqualTo(GraftTable.FileCol, "f")
+    val ok: Filter = EqualTo("id", 1L)
+    val residual = b.pushFilters(Array(dotted, meta, ok))
+    // accepted filters are removed from Spark's post-scan evaluation, so
+    // anything the residual predicate can't bind must come back
+    assert(residual.toSet === Set(dotted, meta))
+    assert(b.pushedFilters().toSeq === Seq(ok))
+  }
 }
