@@ -40,6 +40,20 @@ object Dedup {
   private val NUM_HASHES = 8 // MinHash signature length
   private val NUM_BANDS = 4 // LSH bands (2 rows per band)
 
+  /** Rounds the last [[connectedComponents]] run took — observability
+    * for the O(log n) convergence contract (spec'd in DedupSpec). */
+  @volatile var lastCcRounds: Int = 0
+
+  // at most ONE connected-components result cache is live: each call
+  // unpersists the previous call's labels (see connectedComponents
+  // cache-ownership note)
+  private var lastCcResult: Option[DataFrame] = None
+  private def swapCcResult(df: DataFrame): DataFrame = synchronized {
+    lastCcResult.foreach(_.unpersist(blocking = false))
+    lastCcResult = Some(df)
+    df
+  }
+
   // Spark-side shared snippets.
   private val toksS = "split(lower(text), ' ')"
 
@@ -350,15 +364,29 @@ object Dedup {
 
   // ------------------------------------------------------- clustering
   /** Connected components over an undirected pair graph `(id_a, id_b)`:
-    * every node labeled with its component's MINIMUM id — iterative
-    * min-label propagation to a fixpoint (each round, a node takes the
-    * least of its own and its neighbors' labels). Rounds are bounded by
-    * graph diameter; near-dup clusters are dense and shallow, so a
-    * handful of rounds converges. At 100 TB cut rounds to O(log n)
-    * with pointer jumping (large-star/small-star) — same join shape,
-    * edges rewritten toward labels each round. Per round: one keyed
-    * aggregation + one keyed join, nothing all-pairs; lineage is cut
-    * by per-round persists. */
+    * every node labeled with its component's MINIMUM id.
+    *
+    * Each round does min-label PROPAGATION (a node takes the least of
+    * its own and its neighbors' labels — one keyed aggregation + one
+    * keyed join) followed by a POINTER JUMP (`l(v) ← l(l(v))`, one more
+    * keyed self-join): label chains halve every round, so convergence
+    * is O(log longest-chain) rounds, not O(diameter) — a 1000-node
+    * path converges in ~10 rounds where pure propagation needs 999
+    * (pinned in DedupSpec). Nothing is ever all-pairs; each round's
+    * labels are rebuilt as a LEAF DataFrame over the round's RDD
+    * (persist alone caches DATA but leaves the logical plan growing —
+    * the jump's self-reference would double plan size per round and
+    * blow up plan rendering), and the single action per round both
+    * materializes the cache AND computes the convergence probe (no
+    * separate probe job): per-node labels only ever decrease — the
+    * jump target `l(l(v))` satisfies `l(u) ≤ u` for `u = l(v)` — so
+    * Σ(cluster) strictly decreases iff any node changed (sum over zero
+    * rows is SQL NULL: an empty pair graph reads as 0 and converges
+    * immediately instead of NPE-ing).
+    *
+    * CACHE OWNERSHIP: the returned labels stay persisted (consumers
+    * typically aggregate them immediately); the NEXT call unpersists
+    * the previous result, so at most one result cache is ever live. */
   private[llm] def connectedComponents(pairs: DataFrame): DataFrame = {
     // the direction-union's two branches share the upstream pipeline
     // through exchange reuse — measured FASTER than an explicit
@@ -369,11 +397,6 @@ object Dedup {
       .persist()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id")).persist()
-    // per-node labels only ever DECREASE, so Σ(cluster) strictly
-    // decreases iff any node changed — a one-aggregate convergence
-    // probe per round instead of a join-and-count (sum over zero rows
-    // is SQL NULL: an empty pair graph reads as 0 and converges
-    // immediately instead of NPE-ing)
     def labelSum(df: DataFrame): Long = {
       val v = df.agg(org.apache.spark.sql.functions.sum("cluster")).head().get(0)
       if (v == null) 0L else v.asInstanceOf[Long]
@@ -386,30 +409,40 @@ object Dedup {
       val nbr = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(edges("src").as("nid"))
         .agg(org.apache.spark.sql.functions.min("cluster").as("nbmin"))
-      val next = labels.join(nbr, labels("id") === nbr("nid"), "left")
+      val prop = labels.join(nbr, labels("id") === nbr("nid"), "left")
         .select(labels("id"),
           org.apache.spark.sql.functions.least(
             labels("cluster"),
             org.apache.spark.sql.functions.coalesce(col("nbmin"), labels("cluster")))
             .as("cluster"))
-        .persist()
-      val s = labelSum(next)
+      // pointer jump: follow the label one hop (labels are node ids, so
+      // l(v) always has a row) — this is what makes rounds logarithmic
+      val jumped = prop.select(col("id").as("jid"), col("cluster").as("jcluster"))
+      val jumpPlan = prop.join(jumped, col("cluster") === col("jid"), "left")
+        .select(col("id"),
+          org.apache.spark.sql.functions.least(
+            col("cluster"),
+            org.apache.spark.sql.functions.coalesce(col("jcluster"), col("cluster")))
+            .as("cluster"))
+      // lineage CUT: next is a leaf over this round's RDD (upstream the
+      // RDD still reads the cached previous labels), then cached itself
+      val next = jumpPlan.sparkSession
+        .createDataFrame(jumpPlan.rdd, jumpPlan.schema).persist()
+      val s = labelSum(next) // one job: materializes cache + probes
       changed = s != prevSum
       prevSum = s
       labels.unpersist(blocking = false)
       labels = next
       rounds += 1
     }
-    // a component whose min-id node is further than maxRounds hops from
-    // some member would exit unconverged — never silently: label
-    // propagation covers one hop per round, so this only fires on
-    // pathological >64-edge chains (use pointer jumping before raising
-    // the cap)
+    Dedup.lastCcRounds = rounds
+    // pointer jumping makes >64 rounds ~impossible (2^64 chain); keep
+    // the loud warning as a safety net rather than silent wrong labels
     if (changed) System.err.println(
       s"[graft-dedup] connected components did NOT converge in $maxRounds rounds; " +
         "labels may not be component minima")
     edges.unpersist(blocking = false)
-    labels
+    Dedup.swapCcResult(labels)
   }
 
   /** Near-duplicate CLUSTERS: components of the verified MinHash-LSH

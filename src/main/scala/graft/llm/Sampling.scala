@@ -17,11 +17,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    membership instead of materializing it. No `rand()` — a seeded
   *    rng is partition-order-dependent under retries; the hash is not.
   *  - Shard packing is a running token sum over an explicit total
-  *    order — inherently sequential, expressed as a window so the
-  *    oracle pins exact boundaries. At 100 TB the same shape runs
-  *    per range-partition (pack within ranges, then offset shard ids
-  *    by per-range totals — two passes, no global window); the
-  *    single-window form here is the correctness gate for that.
+  *    order — inherently sequential in VALUE, but not in EXECUTION:
+  *    it runs as the classic distributed prefix sum (running sums
+  *    within contiguous id ranges + broadcast per-range prefix
+  *    offsets), so no stage ever moves the corpus to one task. The
+  *    DuckDB oracle pins the boundaries to the exact single-window
+  *    semantics.
   */
 object Sampling {
 
@@ -76,21 +77,63 @@ object Sampling {
   /** Greedy shard packing: documents in doc_id order accumulate into
     * shards of ≈ [[ShardBudget]] tokens (a document starts a new shard
     * when the running total BEFORE it crosses a budget boundary).
-    * Output: per-shard document count, token total, id range. */
-  def qShardPack(s: SparkSession, dir: String): DataFrame =
-    load(s, dir, "documents")
+    * Output: per-shard document count, token total, id range.
+    *
+    * Executes as a DISTRIBUTED prefix sum — never a global window:
+    *  1. a doc_id-only aggregate takes the id bounds (column-pruned
+    *     scan), cutting the id space into O(shuffle-partitions)
+    *     contiguous ranges;
+    *  2. ONE corpus shuffle clusters rows by range; Spark reuses that
+    *     exchange for both consumers below (ReusedExchange);
+    *  3. per-range token totals (map-side-combined agg) turn into
+    *     per-range prefix offsets via a triangular self-join over the
+    *     O(ranges) totals — tiny, and warning-free where a 1-row-
+    *     partition window would not be;
+    *  4. the running sum runs `over (partition by bucket order by
+    *     doc_id)` — parallel across ranges — and the broadcast offset
+    *     lifts it to the exact global prior_toks.
+    * Shard ids depend only on the global running total, so the result
+    * is bit-identical to the single-window form for ANY range cuts.
+    * Degenerately clustered ids can skew ranges (equal-width cuts);
+    * swap step 1-2 for repartitionByRange (sampled bounds) if ids are
+    * pathological — the algebra is unchanged. */
+  def qShardPack(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, expr, lit, sum}
+    // pass 0: id bounds — a doc_id-only scan (parquet reads one column)
+    val b0 = load(s, dir, "documents")
+      .selectExpr("min(doc_id) as lo", "max(doc_id) as hi").head()
+    val lo = if (b0.isNullAt(0)) 0L else b0.getLong(0)
+    val hi = if (b0.isNullAt(1)) lo else b0.getLong(1)
+    val ranges = math.max(1, s.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+    val width = math.max(1L, (hi - lo) / ranges + 1)
+
+    val bucketed = load(s, dir, "documents")
       .selectExpr("doc_id", "size(split(lower(text), ' ')) as n_toks")
+      .selectExpr(s"cast(floor((doc_id - ${lo}L) / ${width}L) as bigint) as bucket",
+        "doc_id", "n_toks")
+      .repartition(col("bucket")) // the ONE corpus shuffle, reused below
+
+    val totals = bucketed.groupBy("bucket").agg(sum("n_toks").as("btoks"))
+    // prefix offsets: sum of strictly-earlier ranges' totals. Triangular
+    // self-join over O(ranges) rows — bounded by parallelism, not data.
+    val offsets = totals.as("a")
+      .join(totals.as("b"), expr("b.bucket < a.bucket"), "left")
+      .groupBy(col("a.bucket").as("bucket"))
+      .agg(coalesce(sum(col("b.btoks")), lit(0L)).as("bucket_offset"))
+
+    bucketed.join(broadcast(offsets), "bucket")
       .selectExpr("doc_id", "n_toks",
-        "sum(n_toks) over (order by doc_id rows between unbounded preceding and current row) - n_toks as prior_toks")
+        "bucket_offset + sum(n_toks) over (partition by bucket order by doc_id rows between unbounded preceding and current row) - n_toks as prior_toks")
       .selectExpr(s"cast(floor(prior_toks / $ShardBudget) as int) as shard",
         "doc_id", "n_toks")
       .groupBy("shard")
       .agg(
-        org.apache.spark.sql.functions.expr("count(*) as n_docs"),
-        org.apache.spark.sql.functions.expr("sum(n_toks) as shard_tokens"),
-        org.apache.spark.sql.functions.expr("min(doc_id) as first_doc"),
-        org.apache.spark.sql.functions.expr("max(doc_id) as last_doc"))
+        expr("count(*) as n_docs"),
+        expr("sum(n_toks) as shard_tokens"),
+        expr("min(doc_id) as first_doc"),
+        expr("max(doc_id) as last_doc"))
       .orderBy("shard")
+  }
 
   val qShardPackSql: String =
     s"""WITH t AS (

@@ -46,6 +46,21 @@ class DedupSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("pointer jumping converges a 1000-node chain in O(log n) rounds") {
+    import spark.implicits._
+    // worst case for pure propagation: a path graph (diameter 999 —
+    // min-label propagation alone would need 999 rounds and trip the
+    // 64-round cap); the per-round pointer jump halves label chains,
+    // so convergence is logarithmic
+    val pairs = (0L until 999L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size === 1000)
+    assert(labels.values.forall(_ == 0L), "every chain member labels to the minimum")
+    assert(Dedup.lastCcRounds <= 12,
+      s"chain took ${Dedup.lastCcRounds} rounds — jumping regressed to O(diameter)")
+  }
+
   test("hot-bucket cap bounds pair explosion from boilerplate text") {
     import spark.implicits._
     // 300 identical boilerplate docs (one mega-bucket in every band)

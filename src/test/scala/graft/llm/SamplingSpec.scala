@@ -65,4 +65,53 @@ class SamplingSpec extends AnyFunSuite {
         s"shard $k ended at $cum tokens, below its boundary")
     }
   }
+
+  test("shard packing never plans a global (single-partition) window") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = Sampling.qShardPack(spark, sf)
+    df.collect() // force execution so AQE finalizes the plan
+    // AQE wraps finalized stages in leaf nodes — descend through them
+    def windowsIn(p: SparkPlan): Seq[WindowExec] = p.collect {
+      case w: WindowExec => Seq(w)
+      case a: AdaptiveSparkPlanExec => windowsIn(a.executedPlan)
+      case q: QueryStageExec => windowsIn(q.plan)
+      case r: ReusedExchangeExec => windowsIn(r.child)
+    }.flatten
+    val windows = windowsIn(df.queryExecution.executedPlan)
+    assert(windows.nonEmpty, "expected the running-sum window in the plan")
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"global window (no PARTITION BY) would serialize the corpus " +
+        s"through one task at 100 TB: $w"))
+
+    // the distributed prefix sum must actually SPAN ranges at test
+    // scale, or the partition-spec assertion proves nothing — recompute
+    // the query's own bucket cut and count the occupied ranges
+    val ranges = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val b = graft.Tables.load(spark, sf, "documents")
+      .selectExpr("min(doc_id) as lo", "max(doc_id) as hi").head()
+    val width = math.max(1L, (b.getLong(1) - b.getLong(0)) / ranges + 1)
+    val nBuckets = graft.Tables.load(spark, sf, "documents")
+      .selectExpr(s"floor((doc_id - ${b.getLong(0)}L) / ${width}L) as bucket")
+      .distinct().count()
+    assert(nBuckets > 1, "test data too small to exercise multiple ranges")
+
+    // bit-identical to the single-window semantics (the oracle's form)
+    val single = graft.Tables.load(spark, sf, "documents")
+      .selectExpr("doc_id", "size(split(lower(text), ' ')) as n_toks")
+      .selectExpr("doc_id", "n_toks",
+        "sum(n_toks) over (order by doc_id rows between unbounded preceding and current row) - n_toks as prior_toks")
+      .selectExpr("cast(floor(prior_toks / 10000) as int) as shard",
+        "doc_id", "n_toks")
+      .groupBy("shard")
+      .agg(
+        org.apache.spark.sql.functions.expr("count(*) as n_docs"),
+        org.apache.spark.sql.functions.expr("sum(n_toks) as shard_tokens"),
+        org.apache.spark.sql.functions.expr("min(doc_id) as first_doc"),
+        org.apache.spark.sql.functions.expr("max(doc_id) as last_doc"))
+      .orderBy("shard")
+    assert(df.collect().toSeq === single.collect().toSeq)
+  }
 }
