@@ -129,28 +129,57 @@ object LocalFileIO extends FileIO {
 
 /** Flat key→bytes store with S3-like semantics (PUT/GET/HEAD/DELETE,
   * no directories, no partial writes visible). Used by specs to prove
-  * the metadata plane never touches the local filesystem. */
+  * the metadata plane never touches the local filesystem — and, via
+  * the per-operation counters, to pin I/O complexity (e.g. the orphan
+  * sweep reads each distinct manifest shard ONCE, not once per
+  * snapshot). */
 final class InMemoryFileIO extends FileIO {
   private val objects = TrieMap.empty[String, Array[Byte]]
   private val mtimes = TrieMap.empty[String, Long]
+
+  /** Op counters (GET / LIST / DELETE / mtime HEAD) for complexity
+    * assertions in specs. */
+  val reads = new java.util.concurrent.atomic.AtomicLong(0)
+  val lists = new java.util.concurrent.atomic.AtomicLong(0)
+  val deletes = new java.util.concurrent.atomic.AtomicLong(0)
+  val mtimeProbes = new java.util.concurrent.atomic.AtomicLong(0)
+  def resetCounters(): Unit =
+    Seq(reads, lists, deletes, mtimeProbes).foreach(_.set(0L))
 
   override def write(location: String, bytes: Array[Byte]): Unit = {
     objects.put(location, bytes.clone())
     mtimes.put(location, System.currentTimeMillis())
   }
 
-  override def modifiedAt(location: String): Option[Long] = mtimes.get(location)
+  override def modifiedAt(location: String): Option[Long] = {
+    mtimeProbes.incrementAndGet()
+    mtimes.get(location)
+  }
 
-  override def read(location: String): Option[Array[Byte]] =
+  /** Test seam for the sweep's unknown-age keep rule: forget the mtime
+    * while keeping the object. */
+  def clearMtime(location: String): Unit = mtimes.remove(location)
+
+  /** Test seam for age-based rules: pin an object's mtime. */
+  def setMtime(location: String, ms: Long): Unit = mtimes.put(location, ms)
+
+  override def read(location: String): Option[Array[Byte]] = {
+    reads.incrementAndGet()
     objects.get(location).map(_.clone())
+  }
 
   override def size(location: String): Option[Long] =
     objects.get(location).map(_.length.toLong)
 
-  override def delete(location: String): Unit = objects.remove(location)
+  override def delete(location: String): Unit = {
+    deletes.incrementAndGet()
+    objects.remove(location)
+  }
 
-  override def list(prefix: String): Seq[String] =
+  override def list(prefix: String): Seq[String] = {
+    lists.incrementAndGet()
     objects.keys.filter(_.startsWith(prefix)).toSeq.sorted
+  }
 
   def keys: Seq[String] = objects.keys.toSeq
 }

@@ -156,8 +156,8 @@ final case class CallProcedureCommand(
       case "remove_orphan_files" =>
         val t = catalog.engineTable(ti)
         OlderArg.findFirstMatchIn(args).map(_.group(1).toLong) match {
-          case Some(cutoff) => t.removeOrphanFiles(cutoff)
-          case None => t.removeOrphanFiles() // default: 3-day age guard
+          case Some(cutoff) => t.removeOrphanFiles(spark, cutoff)
+          case None => t.removeOrphanFiles(spark) // default: 3-day age guard
         }
       case other =>
         throw new UnsupportedOperationException(s"unknown procedure: system.$other")

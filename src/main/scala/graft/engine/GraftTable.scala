@@ -2,7 +2,7 @@ package graft.engine
 
 import graft.catalog.{CatalogError, TableIdent}
 import graft.core._
-import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 import java.util.UUID
@@ -363,34 +363,33 @@ final class GraftTable(
     * not-yet-committed files alive (default 3 days, Iceberg's
     * convention), unknown mtimes are never deleted, and referenced
     * paths compare scheme-normalized. Metadata-only — no commit, no
-    * snapshot change. Returns the deleted locations. */
+    * snapshot change. Returns the deleted locations.
+    *
+    * DISTRIBUTED like the `.files` machinery — a table-scale reclaim
+    * (the post-DROP case is millions of files) never funnels through
+    * the driver:
+    *  - referenced paths: the driver holds only the per-snapshot shard
+    *    ENTRY lists, dedupes shard paths across snapshots (carried
+    *    shards repeat in every child snapshot — one read, not one per
+    *    snapshot), and executors parse the shards into a path
+    *    DataFrame;
+    *  - candidates: executors list the data/ and deletes/ trees and
+    *    probe ages IN the listing task (no per-file driver round
+    *    trips);
+    *  - the sweep set is a LEFT ANTI join on normalized path — keyed
+    *    shuffle, O(files) but parallel;
+    *  - deletion fans back out to executors in batches; only the
+    *    final orphan list (the return value) lands on the driver.
+    * Executors resolve backends from the FileIO registry, so a real
+    * cluster needs [[graft.catalog.GraftSparkPlugin]] — same contract
+    * as the distributed metadata tables. */
   def removeOrphanFiles(
+      spark: SparkSession,
       olderThanMs: Long = System.currentTimeMillis() - 3L * 24 * 3600 * 1000)
       : Seq[String] = {
     val m = metadata
-    def norm(p: String): String =
-      if (p.startsWith("file:")) graft.catalog.MetadataIO.toPath(p).toString else p
-    val referenced: Set[String] = m.snapshots.values.toSeq
-      .flatMap(s => Manifests.read(s.manifestList))
-      .map(f => norm(f.path)).toSet
-    val io = graft.catalog.FileIO.forLocation(m.location)
-    val candidates =
-      io.list(s"${m.location}/data/") ++ io.list(s"${m.location}/deletes/")
-    // a Hadoop checksum sidecar (.name.crc) lives and dies with its
-    // base file — sweep it only when the base is itself an orphan
-    def baseOf(p: String): String = {
-      val cut = p.lastIndexOf('/')
-      val name = p.substring(cut + 1)
-      if (name.startsWith(".") && name.endsWith(".crc"))
-        p.substring(0, cut + 1) + name.substring(1, name.length - 4)
-      else p
-    }
-    val orphans = candidates.filter { p =>
-      !referenced.contains(norm(baseOf(p))) &&
-        io.modifiedAt(p).exists(_ < olderThanMs) // unknown age: keep
-    }
-    orphans.foreach(io.delete)
-    orphans
+    GraftTable.sweepOrphans(spark, m.location,
+      m.snapshots.values.map(_.manifestList).toSeq, olderThanMs)
   }
 
   /** Commit ALREADY-WRITTEN data files as the branch's complete new
@@ -544,6 +543,69 @@ object GraftTable {
     * `partition` column renders it (`k=v/k2=v2`, keys sorted). */
   def renderTuple(m: Map[String, String]): String =
     m.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("/")
+
+  /** Scheme-normalized path for orphan-sweep comparisons (manifest
+    * paths vs listing output may differ in `file:` form). Pure —
+    * evaluated executor-side by the sweep tasks. */
+  private[engine] def normPath(p: String): String =
+    if (p.startsWith("file:")) graft.catalog.MetadataIO.toPath(p).toString else p
+
+  /** A Hadoop checksum sidecar's base file (`.name.crc` → `name`);
+    * non-sidecar paths map to themselves. */
+  private[engine] def crcBaseOf(p: String): String = {
+    val cut = p.lastIndexOf('/')
+    val name = p.substring(cut + 1)
+    if (name.startsWith(".") && name.endsWith(".crc"))
+      p.substring(0, cut + 1) + name.substring(1, name.length - 4)
+    else p
+  }
+
+  /** The orphan sweep behind [[GraftTable.removeOrphanFiles]], keyed
+    * only by the table location and its snapshots' manifest lists (so
+    * specs can drive it against an [[graft.catalog.InMemoryFileIO]]
+    * with op counters and no server). */
+  private[engine] def sweepOrphans(
+      spark: SparkSession,
+      location: String,
+      manifestLists: Seq[String],
+      olderThanMs: Long): Seq[String] = {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    def par(n: Int): Int = math.max(1, math.min(n, sc.defaultParallelism))
+
+    // driver holds only the shard ENTRY lists; carried shards repeat
+    // in every child snapshot — dedupe so each shard reads ONCE
+    val shardPaths = manifestLists
+      .flatMap(Manifests.readEntries)
+      .map(_.path).distinct
+    val referenced: Dataset[String] =
+      if (shardPaths.isEmpty) spark.emptyDataset[String]
+      else sc.parallelize(shardPaths, par(shardPaths.size))
+        .flatMap(p => Manifests.read(p).map(f => normPath(f.path)))
+        .toDS()
+
+    val prefixes = Seq(s"$location/data/", s"$location/deletes/")
+    // candidate (path, base-for-crc-pairing, mtime): listed AND
+    // age-probed executor-side; a Hadoop checksum sidecar (.name.crc)
+    // lives and dies with its base file, so it anti-joins on the base
+    val candidates = sc.parallelize(prefixes, prefixes.size)
+      .flatMap { prefix =>
+        val io = graft.catalog.FileIO.forLocation(prefix)
+        io.list(prefix).map(p => (p, normPath(crcBaseOf(p)), io.modifiedAt(p)))
+      }
+      .toDF("path", "base", "mtime")
+
+    val orphans = candidates
+      .join(referenced.toDF("ref_path"),
+        candidates("base") === col("ref_path"), "left_anti")
+      .where(col("mtime").isNotNull && col("mtime") < olderThanMs) // unknown age: keep
+      .select("path").as[String]
+      .collect().toSeq.sorted
+    if (orphans.nonEmpty)
+      sc.parallelize(orphans, par(orphans.size)).foreachPartition(it =>
+        it.foreach(p => graft.catalog.FileIO.forLocation(p).delete(p)))
+    orphans
+  }
 
   /** Per-key pruning filters derived from the SOURCE side of an
     * upsert: one small aggregation computes each key's min/max and

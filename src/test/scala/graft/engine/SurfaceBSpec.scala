@@ -389,7 +389,7 @@ class SurfaceBSpec extends AnyFunSuite with BeforeAndAfterAll {
       java.nio.file.attribute.FileTime.fromMillis(
         System.currentTimeMillis() - 10L * 24 * 3600 * 1000))
 
-    val swept = t.removeOrphanFiles() // default 3-day guard
+    val swept = t.removeOrphanFiles(spark) // default 3-day guard
     assert(swept.size === 1 && swept.head.endsWith("stray-old.parquet"),
       s"swept=$swept live=$live")
     assert(!java.nio.file.Files.exists(oldStray))
@@ -400,7 +400,7 @@ class SurfaceBSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(t) === Set((1, "a", 1.0), (2, "b", 2.0)))
 
     // explicit future cutoff reclaims the fresh stray too
-    val swept2 = t.removeOrphanFiles(System.currentTimeMillis() + 1000)
+    val swept2 = t.removeOrphanFiles(spark, System.currentTimeMillis() + 1000)
     assert(swept2.size === 1 && !java.nio.file.Files.exists(newStray),
       s"swept2=$swept2 live=$live")
     assert(rows(t) === Set((1, "a", 1.0), (2, "b", 2.0)))
