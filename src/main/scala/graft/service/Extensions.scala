@@ -124,61 +124,186 @@ object TokenVerifier {
     }
   }
 
-  /** RS256/JWKS JWT verification — the reference's actual OIDC shape
-    * (token_verification.rs:46-75): the token header's `kid` selects a
-    * public key from the JWKS, the RSA-SHA256 signature is verified
-    * with `java.security.Signature`, then the standard claims. The key
-    * set is INJECTED (an offline JWKS snapshot) instead of fetched —
-    * this zero-egress environment can't hit an issuer's
-    * `/.well-known/jwks.json`, and rotation is modeled the same way it
-    * behaves live: swap the key set, and tokens signed by a
-    * rotated-out `kid` fail 401. */
+  /** The shared RS256 token pipeline: the token header's `kid` selects
+    * a public key through `resolveKey`, the RSA-SHA256 signature is
+    * verified with `java.security.Signature`, then the standard
+    * claims. Backs both the offline-injected [[RsaJwtVerifier]] and
+    * the discovery-backed [[OidcJwtVerifier]]. */
+  private def rs256Verify(
+      bearer: Option[String],
+      resolveKey: String => Option[java.security.interfaces.RSAPublicKey],
+      issuer: String,
+      clock: () => Long): Either[CatalogError, Principal] =
+    bearer match {
+      case None => unauthorized("missing bearer token")
+      case Some(token) =>
+        token.split('.') match {
+          case Array(h, p, sig) =>
+            val header =
+              try mapper.readTree(java.util.Base64.getUrlDecoder.decode(h))
+              catch { case _: Exception => return unauthorized("malformed token") }
+            val alg = Option(header.get("alg")).map(_.asText("")).getOrElse("")
+            // pinning the algorithm to the key type kills the classic
+            // alg-confusion downgrade (an HS256 token MAC'd with the
+            // public key bytes must not verify)
+            if (alg != "RS256") unauthorized(s"unsupported alg: $alg")
+            else Option(header.get("kid")).map(_.asText) match {
+              case None => unauthorized("token has no kid")
+              case Some(kid) => resolveKey(kid) match {
+                case None => unauthorized(s"unknown signing key: $kid")
+                case Some(key) =>
+                  if (!rs256Signature(key, s"$h.$p", sig))
+                    unauthorized("invalid signature")
+                  else checkClaims(p, issuer, clock)
+              }
+            }
+          case _ => unauthorized("malformed token")
+        }
+    }
+
+  private def rs256Signature(
+      key: java.security.interfaces.RSAPublicKey,
+      signingInput: String, sigB64: String): Boolean = {
+    val got =
+      try java.util.Base64.getUrlDecoder.decode(sigB64)
+      catch { case _: IllegalArgumentException => return false }
+    try {
+      val s = java.security.Signature.getInstance("SHA256withRSA")
+      s.initVerify(key)
+      s.update(signingInput.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      s.verify(got)
+    } catch { case _: java.security.GeneralSecurityException => false }
+  }
+
+  /** RS256/JWKS JWT verification with an INJECTED key set (an offline
+    * JWKS snapshot) — the test seam under [[OidcJwtVerifier]], and the
+    * right shape wherever keys are provisioned out-of-band. Rotation
+    * is modeled the way it behaves live: swap the key set, and tokens
+    * signed by a rotated-out `kid` fail 401. */
   final class RsaJwtVerifier(
       keys: Map[String, java.security.interfaces.RSAPublicKey],
       issuer: String,
       clock: () => Long = () => System.currentTimeMillis()) extends TokenVerifier {
-
     def verify(bearer: Option[String]): Either[CatalogError, Principal] =
-      bearer match {
-        case None => unauthorized("missing bearer token")
-        case Some(token) =>
-          token.split('.') match {
-            case Array(h, p, sig) =>
-              val header =
-                try mapper.readTree(java.util.Base64.getUrlDecoder.decode(h))
-                catch { case _: Exception => return unauthorized("malformed token") }
-              val alg = Option(header.get("alg")).map(_.asText("")).getOrElse("")
-              // pinning the algorithm to the key type kills the classic
-              // alg-confusion downgrade (an HS256 token MAC'd with the
-              // public key bytes must not verify)
-              if (alg != "RS256") unauthorized(s"unsupported alg: $alg")
-              else Option(header.get("kid")).map(_.asText) match {
-                case None => unauthorized("token has no kid")
-                case Some(kid) => keys.get(kid) match {
-                  case None => unauthorized(s"unknown signing key: $kid")
-                  case Some(key) =>
-                    if (!checkSignature(key, s"$h.$p", sig))
-                      unauthorized("invalid signature")
-                    else checkClaims(p, issuer, clock)
-                }
-              }
-            case _ => unauthorized("malformed token")
-          }
-      }
+      rs256Verify(bearer, keys.get, issuer, clock)
+  }
 
-    private def checkSignature(
-        key: java.security.interfaces.RSAPublicKey,
-        signingInput: String, sigB64: String): Boolean = {
-      val got =
-        try java.util.Base64.getUrlDecoder.decode(sigB64)
-        catch { case _: IllegalArgumentException => return false }
-      try {
-        val s = java.security.Signature.getInstance("SHA256withRSA")
-        s.initVerify(key)
-        s.update(signingInput.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
-        s.verify(got)
-      } catch { case _: java.security.GeneralSecurityException => false }
+  /** Live OIDC verification, the reference's actual startup shape
+    * (token_verification.rs:84-110): fetch
+    * `{providerUrl}/.well-known/openid-configuration`, take `issuer`
+    * and `jwks_uri` from it, fetch the JWKS, and verify RS256 tokens
+    * against the discovered keys. Discovery failure THROWS at
+    * construction — a catalog that cannot resolve its token keys must
+    * not start serving (the reference's `Verifier::new` errors the
+    * same way).
+    *
+    * Key refresh piggybacks on requests instead of a timer thread
+    * (same observable semantics as the reference's jwks client):
+    *  - an UNKNOWN `kid` triggers a JWKS re-fetch, rate-limited to one
+    *    per `minRefreshIntervalMs` — rotation is picked up on first
+    *    sight of a new key id, and a flood of bogus kids cannot DoS
+    *    the issuer;
+    *  - a cache older than `cacheTtlMs` refreshes on the next verify,
+    *    so revoked keys age out even without new kids appearing.
+    * A failed REFRESH keeps the previous key set (verification
+    * continues; only startup is fail-fast). */
+  final class OidcJwtVerifier(
+      providerUrl: String,
+      clock: () => Long = () => System.currentTimeMillis(),
+      minRefreshIntervalMs: Long = 30 * 1000L,
+      cacheTtlMs: Long = 15 * 60 * 1000L) extends TokenVerifier {
+
+    private val (issuer, jwksUri) = {
+      val base = if (providerUrl.endsWith("/")) providerUrl else providerUrl + "/"
+      val doc =
+        try mapper.readTree(httpGet(base + ".well-known/openid-configuration"))
+        catch {
+          case e: Exception => throw new IllegalStateException(
+            s"OIDC discovery failed for $providerUrl (catalog cannot start " +
+              s"without its token keys): ${e.getMessage}", e)
+        }
+      val iss = Option(doc.get("issuer")).map(_.asText("")).getOrElse("")
+      val uri = Option(doc.get("jwks_uri")).map(_.asText("")).getOrElse("")
+      if (iss.isEmpty || uri.isEmpty) throw new IllegalStateException(
+        s"OIDC discovery document at $providerUrl lacks issuer/jwks_uri")
+      (iss, uri)
     }
+    @volatile private var keys: Map[String, java.security.interfaces.RSAPublicKey] =
+      try parseJwks(httpGet(jwksUri))
+      catch {
+        case e: Exception => throw new IllegalStateException(
+          s"JWKS fetch failed from $jwksUri (catalog cannot start without " +
+            s"its token keys): ${e.getMessage}", e)
+      }
+    @volatile private var fetchedAt: Long = clock()
+
+    def verify(bearer: Option[String]): Either[CatalogError, Principal] = {
+      if (clock() - fetchedAt > cacheTtlMs) refresh()
+      rs256Verify(bearer, resolveKey, issuer, clock)
+    }
+
+    private def resolveKey(kid: String)
+        : Option[java.security.interfaces.RSAPublicKey] =
+      keys.get(kid).orElse { refresh(); keys.get(kid) }
+
+    private def refresh(): Unit = synchronized {
+      if (clock() - fetchedAt >= minRefreshIntervalMs) {
+        fetchedAt = clock() // rate-limits failed attempts too
+        try keys = parseJwks(httpGet(jwksUri))
+        catch { case e: Exception => System.err.println(
+          s"[graft-auth] JWKS refresh from $jwksUri failed, keeping " +
+            s"${keys.size} cached keys: ${e.getMessage}") }
+      }
+    }
+  }
+
+  private def httpGet(url: String): String = {
+    val resp = java.net.http.HttpClient.newHttpClient().send(
+      java.net.http.HttpRequest.newBuilder(java.net.URI.create(url)).GET().build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() / 100 != 2)
+      throw new IllegalStateException(s"GET $url -> HTTP ${resp.statusCode()}")
+    resp.body()
+  }
+
+  /** Parse a JWKS document's RSA members (`kty: RSA`, base64url `n`/`e`)
+    * into a kid-keyed map; non-RSA entries are skipped. */
+  private[service] def parseJwks(json: String)
+      : Map[String, java.security.interfaces.RSAPublicKey] = {
+    val kf = java.security.KeyFactory.getInstance("RSA")
+    val dec = java.util.Base64.getUrlDecoder
+    mapper.readTree(json).path("keys").elements().asScala.flatMap { k =>
+      val kty = k.path("kty").asText("")
+      val kid = k.path("kid").asText("")
+      if (kty != "RSA" || kid.isEmpty) None
+      else try {
+        val n = new java.math.BigInteger(1, dec.decode(k.path("n").asText("")))
+        val e = new java.math.BigInteger(1, dec.decode(k.path("e").asText("")))
+        Some(kid -> kf.generatePublic(
+          new java.security.spec.RSAPublicKeySpec(n, e))
+          .asInstanceOf[java.security.interfaces.RSAPublicKey])
+      } catch { case _: Exception => None }
+    }.toMap
+  }
+
+  /** Render a kid-keyed RSA key map as a JWKS document — the issuer
+    * side of [[parseJwks]] (stub servers in specs, key export). */
+  def jwksJson(keys: Map[String, java.security.interfaces.RSAPublicKey]): String = {
+    val enc = java.util.Base64.getUrlEncoder.withoutPadding()
+    def b64(b: java.math.BigInteger): String = {
+      val raw = b.toByteArray
+      // strip the sign byte BigInteger prepends for high-bit values
+      enc.encodeToString(if (raw.length > 1 && raw(0) == 0) raw.drop(1) else raw)
+    }
+    val root = mapper.createObjectNode()
+    val arr = root.putArray("keys")
+    keys.toSeq.sortBy(_._1).foreach { case (kid, key) =>
+      val k = arr.addObject()
+      k.put("kty", "RSA"); k.put("kid", kid); k.put("alg", "RS256")
+      k.put("use", "sig")
+      k.put("n", b64(key.getModulus)); k.put("e", b64(key.getPublicExponent))
+    }
+    mapper.writeValueAsString(root)
   }
 
   /** Test/demo helper: mint an RS256 JWT the [[RsaJwtVerifier]]
@@ -318,6 +443,55 @@ object CloudEventBackend {
       out.write(FileBacked.toJson(event)); out.newLine(); out.flush()
     }
     def close(): Unit = synchronized(out.close())
+  }
+
+  /** Network sink: POST each event as a CloudEvents 1.0 structured
+    * JSON envelope to a fixed endpoint — the HTTP sibling of the
+    * reference's NATS backend (event_publisher.rs:173-198: serialize,
+    * publish, errors logged-and-dropped by the queueing publisher
+    * upstream). End-to-end delivery is at-most-once, matching the
+    * reference's contract: the publisher's bounded queue drops on
+    * overflow after the 50 ms offer timeout, and a slow consumer
+    * stalls the single worker so the queue fills and subsequent emits
+    * drop — commits never block on the sink. `timeoutMs` bounds each
+    * request so one hung consumer cannot wedge the worker forever. */
+  final class HttpBacked(
+      endpoint: String,
+      timeoutMs: Long = 5000,
+      client: java.net.http.HttpClient = java.net.http.HttpClient.newHttpClient())
+      extends CloudEventBackend {
+    def publish(event: CatalogEvent): Unit = {
+      val resp = client.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(endpoint))
+          .timeout(java.time.Duration.ofMillis(timeoutMs))
+          .header("Content-Type", "application/cloudevents+json")
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+            HttpBacked.toCloudEvent(event)))
+          .build(),
+        java.net.http.HttpResponse.BodyHandlers.discarding())
+      if (resp.statusCode() / 100 != 2)
+        throw new IllegalStateException(
+          s"event POST $endpoint -> HTTP ${resp.statusCode()}")
+    }
+  }
+
+  object HttpBacked {
+    private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+    /** CloudEvents 1.0 structured mode: spec attributes in the
+      * envelope, the catalog payload under `data`. */
+    private[service] def toCloudEvent(e: CatalogEvent): String = {
+      val o = mapper.createObjectNode()
+      o.put("specversion", "1.0")
+      o.put("id", UUID.randomUUID().toString)
+      o.put("type", e.eventType)
+      o.put("source", "graft-catalog")
+      o.put("time", java.time.Instant.ofEpochMilli(e.timestampMs).toString)
+      o.set[com.fasterxml.jackson.databind.node.ObjectNode](
+        "data", mapper.readTree(FileBacked.toJson(e))
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode])
+      mapper.writeValueAsString(o)
+    }
   }
 
   object FileBacked {

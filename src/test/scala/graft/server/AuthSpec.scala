@@ -133,6 +133,79 @@ class AuthSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(verifier.verify(Some(hs)).left.map(_.code) === Left(401))
   }
 
+  test("OIDC discovery: startup fetch, rate-limited rotation pickup, TTL refresh, degraded-refresh cache") {
+    import java.security.interfaces.RSAPublicKey
+    import com.sun.net.httpserver.HttpServer
+    val kp1 = rsaKeyPair()
+    val kp2 = rsaKeyPair()
+    @volatile var served = Map("kid-1" -> kp1.getPublic.asInstanceOf[RSAPublicKey])
+    @volatile var jwksFail = false
+    @volatile var jwksHits = 0
+    val http = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val base = s"http://127.0.0.1:${http.getAddress.getPort}"
+    def respond(ex: com.sun.net.httpserver.HttpExchange, code: Int, body: String): Unit = {
+      val b = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(code, b.length)
+      ex.getResponseBody.write(b)
+      ex.close()
+    }
+    http.createContext("/realm/.well-known/openid-configuration",
+      ex => respond(ex, 200,
+        s"""{"issuer":"$issuer","jwks_uri":"$base/realm/jwks"}"""))
+    http.createContext("/realm/jwks", ex => {
+      jwksHits += 1
+      if (jwksFail) respond(ex, 500, "boom")
+      else respond(ex, 200, TokenVerifier.jwksJson(served))
+    })
+    http.start()
+    try {
+      var now = System.currentTimeMillis()
+      val exp = now / 1000 + 3600
+      val v = new TokenVerifier.OidcJwtVerifier(s"$base/realm", () => now)
+      assert(jwksHits === 1) // startup: discovery doc + one JWKS fetch
+
+      val t1 = TokenVerifier.signRs256(kp1.getPrivate, "kid-1", issuer, "alice", exp)
+      assert(v.verify(Some(t1)).map(_.subject) === Right("alice"))
+      assert(jwksHits === 1) // known kid: no extra fetch
+
+      // rotation: new kid appears, but inside the min-refresh window the
+      // verifier must NOT hammer the issuer — 401 without a fetch
+      served = Map("kid-2" -> kp2.getPublic.asInstanceOf[RSAPublicKey])
+      val t2 = TokenVerifier.signRs256(kp2.getPrivate, "kid-2", issuer, "bob", exp)
+      assert(v.verify(Some(t2)).left.map(_.code) === Left(401))
+      assert(jwksHits === 1)
+
+      // past the window the unknown kid triggers the refresh: new key
+      // admits, rotated-out key rejects
+      now += 31 * 1000L
+      assert(v.verify(Some(t2)).map(_.subject) === Right("bob"))
+      assert(jwksHits === 2)
+      assert(v.verify(Some(t1)).left.map(_.code) === Left(401))
+
+      // refresh failure degrades to the cached keys, never to an outage
+      jwksFail = true
+      now += 31 * 1000L
+      val bogus = TokenVerifier.signRs256(kp1.getPrivate, "kid-x", issuer, "eve", exp)
+      assert(v.verify(Some(bogus)).left.map(_.code) === Left(401)) // attempted + failed
+      assert(jwksHits === 3)
+      assert(v.verify(Some(t2)).map(_.subject) === Right("bob")) // cache still serves
+
+      // cache TTL: a stale key set refreshes on the next verify even
+      // with no unknown kid in sight
+      jwksFail = false
+      now += 16 * 60 * 1000L
+      assert(v.verify(Some(t2)).map(_.subject) === Right("bob"))
+      assert(jwksHits === 4)
+    } finally http.stop(0)
+  }
+
+  test("OIDC discovery failure is a loud startup error, not an open catalog") {
+    // nothing listening on the path → fetch fails → constructor throws
+    val ex = intercept[IllegalStateException](
+      new TokenVerifier.OidcJwtVerifier("http://127.0.0.1:9/realm"))
+    assert(ex.getMessage.contains("cannot start"))
+  }
+
   test("RS256 verifier mounts as server middleware like the HS256 one") {
     import java.security.interfaces.RSAPublicKey
     val kp = rsaKeyPair()

@@ -161,4 +161,69 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(CloudEventBackend.FileBacked.readAll(
       Files.createTempDirectory("none").resolve("absent.jsonl")) === Nil)
   }
+
+  test("HTTP sink: CloudEvents POSTs delivered; failures logged-and-dropped; slow consumer sheds") {
+    import com.sun.net.httpserver.HttpServer
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    @volatile var failNext = false
+    @volatile var delayMs = 0L
+    val http = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    http.createContext("/events", ex => {
+      if (delayMs > 0) Thread.sleep(delayMs)
+      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      if (failNext) { failNext = false; ex.sendResponseHeaders(500, -1) }
+      else { received.add(body); ex.sendResponseHeaders(204, -1) }
+      ex.close()
+    })
+    // serialize handler calls like a real single consumer
+    http.setExecutor(java.util.concurrent.Executors.newSingleThreadExecutor())
+    http.start()
+    val endpoint = s"http://127.0.0.1:${http.getAddress.getPort}/events"
+    val ident = TableIdent(Seq("db"), "t")
+    def evt(tpe: String, i: Long) =
+      CatalogEvent(tpe, UUID.randomUUID(), ident, UUID.randomUUID(), i, 1700000000000L + i)
+    def drain(p: QueueingEventPublisher): Unit = p.close()
+    try {
+      // delivery: CloudEvents 1.0 structured envelopes with our payload
+      val p1 = new QueueingEventPublisher(new CloudEventBackend.HttpBacked(endpoint))
+      p1.emit(evt("createTable", 1L)); p1.emit(evt("updateTable", 2L))
+      drain(p1)
+      val bodies = received.toArray(Array.empty[String]).toSeq
+      assert(bodies.size === 2)
+      val n = graft.core.JsonCodecs.parse(bodies.head)
+      assert(n.get("specversion").asText() === "1.0")
+      assert(n.get("type").asText() === "createTable")
+      assert(n.get("source").asText() === "graft-catalog")
+      assert(n.get("data").get("name").asText() === "t")
+      assert(n.get("data").get("sequence-number").asLong() === 1L)
+      assert(graft.core.JsonCodecs.parse(bodies(1)).get("type").asText() === "updateTable")
+
+      // a non-2xx response is logged and dropped; the publisher survives
+      received.clear()
+      failNext = true
+      val p2 = new QueueingEventPublisher(new CloudEventBackend.HttpBacked(endpoint))
+      p2.emit(evt("dropTable", 3L)) // 500 → dropped
+      p2.emit(evt("createTable", 4L)) // delivered
+      drain(p2)
+      val after = received.toArray(Array.empty[String]).toSeq
+      assert(after.size === 1 &&
+        graft.core.JsonCodecs.parse(after.head).get("type").asText() === "createTable")
+
+      // slow consumer: the worker stalls on in-flight requests, the
+      // bounded queue fills, and emits DROP after the offer timeout
+      // instead of blocking the commit path
+      received.clear()
+      delayMs = 300L
+      val p3 = new QueueingEventPublisher(new CloudEventBackend.HttpBacked(endpoint),
+        capacity = 2, enqueueTimeoutMs = 10)
+      val t0 = System.nanoTime()
+      (1L to 10L).foreach(i => p3.emit(evt("updateTable", i)))
+      val elapsedMs = (System.nanoTime() - t0) / 1e6
+      assert(elapsedMs < 2000, s"emit path blocked for ${elapsedMs}ms")
+      drain(p3)
+      val slow = received.toArray(Array.empty[String]).toSeq
+      assert(slow.nonEmpty && slow.size < 10,
+        s"expected shed load: delivered ${slow.size}/10")
+    } finally http.stop(0)
+  }
 }
