@@ -466,9 +466,20 @@ final class CatalogServer(
           def field(name: String): Either[CatalogError, String] =
             Option(n.get(name)).filter(!_.isNull).map(_.asText())
               .toRight(CatalogError.badRequest(s"missing field: $name"))
+          val spOpt = Option(n.get("storage-profile")).filter(!_.isNull)
           for {
             name <- field("warehouse-name")
-            location <- field("location")
+            // reference clients send NO location field — the warehouse
+            // base derives from the storage profile
+            // (s3://bucket[/key-prefix], warehouse.rs:474-507 shape)
+            location <- field("location").orElse(spOpt
+              .flatMap(sp => Option(sp.get("bucket")).filter(!_.isNull).map { b =>
+                val kp = Option(sp.get("key-prefix")).filter(!_.isNull)
+                  .map(p => "/" + p.asText().stripPrefix("/")).getOrElse("")
+                s"s3://${b.asText()}$kp"
+              })
+              .toRight(CatalogError.badRequest(
+                "missing field: location (or storage-profile.bucket)")))
             // storage validation: a live write→read→delete probe under
             // the location (reference storage/s3.rs:438-487) — runs
             // whenever a FileIO backend serves the scheme; signer-only
@@ -480,16 +491,24 @@ final class CatalogServer(
                 .left.map(CatalogError.badRequest)
             projectId = Option(n.get("project-id")).filter(!_.isNull)
               .map(p => UUID.fromString(p.asText())).getOrElse(defaultProjectId)
-            // optional storage-profile {region, endpoint, bucket} kept as
-            // warehouse properties; consumed by the S3 signer
-            props = Option(n.get("storage-profile")).filter(!_.isNull).map { sp =>
-              Seq("region", "endpoint", "bucket").flatMap(k =>
-                Option(sp.get(k)).filter(!_.isNull).map(v => s"s3.$k" -> v.asText())).toMap
+            // optional storage-profile kept as warehouse properties;
+            // bucket/region/endpoint are consumed by the S3 signer
+            props = spOpt.map { sp =>
+              Seq("region", "endpoint", "bucket", "key-prefix", "path-style-access")
+                .flatMap(k => Option(sp.get(k)).filter(!_.isNull)
+                  .map(v => s"s3.$k" -> v.asText())).toMap
             }.getOrElse(Map.empty[String, String])
             w <- store.createWarehouse(projectId, name, location, props)
             _ = Option(n.get("storage-credential")).filter(!_.isNull).foreach { c =>
-              secrets.putS3Credential(w.id, S3Credential(
-                c.get("access-key-id").asText(), c.get("secret-access-key").asText()))
+              // both our plain keys and the reference's aws- prefixed
+              // wire names (warehouse.rs:474-507) decode
+              def credField(k: String): Option[String] =
+                Option(c.get(k)).orElse(Option(c.get(s"aws-$k")))
+                  .filter(!_.isNull).map(_.asText())
+              for {
+                ak <- credField("access-key-id")
+                sk <- credField("secret-access-key")
+              } secrets.putS3Credential(w.id, S3Credential(ak, sk))
             }
           } yield w
         })(RestCodecs.warehouseResponse)
