@@ -69,8 +69,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val nFailed = results.count(_._2 < 0)
+    // delete-prune observability: actual executor delete-set loads this
+    // run (0 when no bench query scans a MoR table with live deletes)
+    val delLoads = graft.engine.GraftMorScan.deleteCacheLoads
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"delete_cache_loads":$delLoads,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outPath), json + "\n")
     spark.stop()
     // Final clean stdout line AFTER spark.stop() so no executor log

@@ -302,6 +302,12 @@ object GraftMorScan {
   @volatile var lastRuntimePrune: Option[PruneInfo] = None
   /** Data-file count of the most recent planInputPartitions call. */
   @volatile var lastPlannedFiles: Option[Int] = None
+
+  /** Cumulative executor-side delete-set loads (cache misses) this JVM
+    * — the observable half of equality-delete file pruning, exported
+    * into the bench harness output so delete-prune efficacy is visible
+    * per run. */
+  def deleteCacheLoads: Long = GraftDeleteCache.loads.get()
 }
 
 /** Executor-side reader: streams each slice through the shared parquet

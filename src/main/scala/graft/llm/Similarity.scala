@@ -369,6 +369,19 @@ object Similarity {
           s"p -> cast(p.s as double) / (p.n * cast($IVF_QUANT as double))) as c"))
   }
 
+  /** The IVF index CONTENT — one row per vector with its assigned cell
+    * (the inverted-list id) and embedding. This is what a large-scale
+    * deployment MATERIALIZES as a cell-partitioned table: writes route
+    * each inverted list into its own partition's files, and a probe
+    * reading P of K cells plans only those cells' files through the
+    * engine's partition pruning (spec'd end-to-end against the file
+    * planner in IvfIndexLayoutSpec). */
+  def ivfIndex(s: SparkSession, dir: String): DataFrame = {
+    val corpus = load(s, dir, "embeddings").select(col("vec_id"),
+      graft.functions.VectorExprs.toDouble(col("embedding")).as("e"))
+    ivfAssign(corpus, ivfCentroids(corpus))
+  }
+
   /** Cell occupancy histogram — the inverted-list layout view (cell id
     * is the partition key of the index at scale). */
   def qIvfCells(s: SparkSession, dir: String): DataFrame = {

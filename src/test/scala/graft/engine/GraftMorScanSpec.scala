@@ -116,6 +116,32 @@ class GraftMorScanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(GraftDeleteCache.loads.get() === 1L)
   }
 
+  test("partition-disjoint churn never loads other partitions' delete sets") {
+    import spark.implicits._
+    // SAME surrogate-id range in both partitions: key bounds on id
+    // alone cannot separate them — only the partition column's bounds
+    // keep partition-b tasks from loading partition-a's delete sets
+    spark.sql(s"CREATE TABLE $cat.db.pdisj (id BIGINT, cat STRING, v STRING) " +
+      "PARTITIONED BY (cat)")
+    val t = new GraftTable(client, prefix, TableIdent(Seq("db"), "pdisj"))
+    t.append((0L until 1000L).map(i => (i, "a", s"a$i")).toDF("id", "cat", "v").coalesce(1))
+    t.append((0L until 1000L).map(i => (i, "b", s"b$i")).toDF("id", "cat", "v").coalesce(1))
+    // churn scoped to partition a via composite (id, cat) keys
+    t.deleteByKeys(spark, Seq("id", "cat"),
+      (0L until 100L by 10).map(i => (i, "a")).toDF("id", "cat"))
+
+    GraftDeleteCache.loads.set(0L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.pdisj WHERE cat = 'b'")
+      .collect().head.getLong(0) === 1000L)
+    assert(GraftDeleteCache.loads.get() === 0L,
+      "partition-b scan loaded partition-a's delete set")
+
+    // the full scan loads the set (once) and applies it
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.pdisj")
+      .collect().head.getLong(0) === 1990L)
+    assert(GraftDeleteCache.loads.get() === 1L)
+  }
+
   test("equality deletes apply across splits; pushed filters stay correct") {
     import spark.implicits._
     spark.sql(s"CREATE TABLE $cat.db.eqbig (id BIGINT, grp STRING)")
