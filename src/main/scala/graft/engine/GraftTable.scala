@@ -698,7 +698,7 @@ object GraftTable {
       .withColumn(FileCol, col("_metadata.file_path"))
       .withColumn(PosCol, col("_metadata.row_index"))
     if (deletes.nonEmpty) {
-      val seqDf = datas.map(f => (f.path.split('/').takeRight(2).mkString("/"), f.seq))
+      val seqDf = datas.map(f => (GraftDeleteCache.fileKey(f.path), f.seq))
         .toDF("__seq_file", "__data_seq")
       df = df.withColumn("__seq_file", fileKey(col(FileCol)))
         .join(broadcast(seqDf), "__seq_file")
@@ -725,7 +725,7 @@ object GraftTable {
           // id-stamped: columns resolve by field id even if written
           // under a pre-rename name.
           val delSeqDf = dfiles
-            .map(f => (f.path.split('/').takeRight(2).mkString("/"), f.seq))
+            .map(f => (GraftDeleteCache.fileKey(f.path), f.seq))
             .toDF("__del_seq_file", "__del_seq")
           val delRows = spark.read.schema(delSchema)
             .parquet(dfiles.map(_.path): _*)
@@ -742,7 +742,7 @@ object GraftTable {
         // same consolidation: one scan over ALL position-delete files,
         // per-file sequence joined from a broadcast
         val posSeqDf = posDeletes
-          .map(f => (f.path.split('/').takeRight(2).mkString("/"), f.seq))
+          .map(f => (GraftDeleteCache.fileKey(f.path), f.seq))
           .toDF("__del_seq_file", "__del_seq")
         val delRows = spark.read.schema(PosDeleteSchema)
           .parquet(posDeletes.map(_.path): _*)
@@ -760,11 +760,16 @@ object GraftTable {
     df.select(outCols.map(col): _*)
   }
 
-  /** Key a file by its last two path segments (uuid-dir/name): stable
-    * across file:// scheme differences between manifest paths and
-    * `_metadata.file_path`. */
+  /** Key a file by its FULL scheme/authority-stripped path — the SQL
+    * twin of [[GraftDeleteCache.fileKey]] (`file:///x`, `file:/x`,
+    * `s3://bucket/x` and bare `/x` all key to `/x`): stable across URI
+    * forms between manifest paths and `_metadata.file_path`, and safe
+    * under nested layouts or cross-job name reuse where a last-two-
+    * segment suffix could collide. */
   private def fileKey(c: Column): Column =
-    concat_ws("/", element_at(split(c, "/"), -2), element_at(split(c, "/"), -1))
+    regexp_replace(
+      regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", ""),
+      "^file:", "")
 
   private[engine] def emptyDf(
       spark: SparkSession, schema: Schema, lineage: Boolean = false): DataFrame = {

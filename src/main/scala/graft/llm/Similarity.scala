@@ -464,6 +464,15 @@ object Similarity {
        |    FROM emb v CROSS JOIN cents k) t WHERE rn = 1)""".stripMargin
   }
 
+  /** The full per-vector assignment — the materialized index content
+    * ([[ivfIndex]]) gated row-for-row against the oracle. */
+  def qIvfAssign(s: SparkSession, dir: String): DataFrame =
+    ivfIndex(s, dir).selectExpr("vec_id", "cell").orderBy("vec_id")
+
+  val qIvfAssignSql: String =
+    s"""WITH $ivfOracleCtes
+       |SELECT vec_id, cell FROM asg ORDER BY vec_id""".stripMargin
+
   val qIvfCellsSql: String =
     s"""WITH $ivfOracleCtes
        |SELECT cell, COUNT(*) AS n_vectors
@@ -502,6 +511,7 @@ object Similarity {
     "q_ann_lsh_buckets" -> (qAnnLshBuckets _),
     "q_ann_lsh_topk" -> (qAnnLshTopK _),
     "q_ann_ivf_cells" -> (qIvfCells _),
+    "q_ann_ivf_assign" -> (qIvfAssign _),
     "q_ann_ivf_topk" -> (qIvfTopK _),
     "q_dedup_embedding" -> (qDedupEmbedding _))
 
@@ -510,6 +520,7 @@ object Similarity {
     "q_ann_lsh_buckets" -> qAnnLshBucketsSql,
     "q_ann_lsh_topk" -> qAnnLshTopKSql,
     "q_ann_ivf_cells" -> qIvfCellsSql,
+    "q_ann_ivf_assign" -> qIvfAssignSql,
     "q_ann_ivf_topk" -> qIvfTopKSql,
     "q_dedup_embedding" -> qDedupEmbeddingSql)
 }
