@@ -395,8 +395,13 @@ object Dedup {
     val edges = pairs.toDF("src", "dst")
       .unionAll(pairs.toDF("dst", "src").select(col("src"), col("dst")))
       .persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id")).persist()
+    // init = the FIRST propagation, fused into the materializing
+    // aggregation: l0(v) = min(v, min neighbor) — one keyed agg, same
+    // cost as a distinct-nodes init, one whole round cheaper
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(org.apache.spark.sql.functions.least(
+        col("id"), org.apache.spark.sql.functions.min(col("dst"))).as("cluster"))
+      .persist()
     def labelSum(df: DataFrame): Long = {
       val v = df.agg(org.apache.spark.sql.functions.sum("cluster")).head().get(0)
       if (v == null) 0L else v.asInstanceOf[Long]
@@ -409,6 +414,11 @@ object Dedup {
       val nbr = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(edges("src").as("nid"))
         .agg(org.apache.spark.sql.functions.min("cluster").as("nbmin"))
+      // NOT persisted: the jump's self-join consumes prop twice, but
+      // the recompute (keyed join+agg over cached labels/edges) was
+      // MEASURED faster than paying a cache materialization per round
+      // — and the shuffles feeding both sides are shared via exchange
+      // reuse
       val prop = labels.join(nbr, labels("id") === nbr("nid"), "left")
         .select(labels("id"),
           org.apache.spark.sql.functions.least(

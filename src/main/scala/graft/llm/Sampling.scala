@@ -99,7 +99,9 @@ object Sampling {
     * pathological — the algebra is unchanged. */
   def qShardPack(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, coalesce, col, expr, lit, sum}
-    // pass 0: id bounds — a doc_id-only scan (parquet reads one column)
+    // pass 0: id bounds — a doc_id-only scan (parquet reads one
+    // column), eager and tiny (measured faster than riding the bounds
+    // along as a broadcast subplan)
     val b0 = load(s, dir, "documents")
       .selectExpr("min(doc_id) as lo", "max(doc_id) as hi").head()
     val lo = if (b0.isNullAt(0)) 0L else b0.getLong(0)

@@ -348,13 +348,19 @@ object Similarity {
     * a sample — the refinement itself is already fully distributed (the
     * only per-cell state is the K × DIM mean matrix). */
   private def ivfCentroids(corpus: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions.row_number
-    // orderBy+limit collapses to a driver-side top-K (K rows); the
-    // window only ranks those K rows, not the corpus
-    val seeds = corpus.orderBy("vec_id").limit(IVF_CELLS)
-      .withColumn("cell",
-        (row_number().over(Window.orderBy("vec_id")) - 1).cast("int"))
+    // seed selection: the K lowest vec_ids PRESENT. The ids (not the
+    // vectors) collect to the driver — K longs via a TakeOrdered job —
+    // and rank back in as a broadcast (vec_id, cell) map, so no window
+    // runs at all (a global row_number over the K rows would plan a
+    // single-partition WindowExec; Spark folds away constant partition
+    // keys, so the only warning-free form is windowless)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val seedIds = corpus.select(col("vec_id")).orderBy("vec_id")
+      .limit(IVF_CELLS).collect().map(_.getLong(0))
+    val rankDf = seedIds.zipWithIndex.map { case (id, i) => (id, i) }
+      .toSeq.toDF("vec_id", "cell")
+    val seeds = corpus.join(broadcast(rankDf), "vec_id")
       .select(col("cell"), col("e").as("c"))
     ivfAssign(corpus, seeds)
       .selectExpr("cell", "posexplode(e) as (i, x)")
