@@ -63,9 +63,30 @@ trait FileIO {
 
   def delete(location: String): Unit
 
-  /** All object locations under `prefix`, lexicographically sorted
-    * (object-store LIST; local impl walks the directory). */
-  def list(prefix: String): Seq[String]
+  /** All object locations under `prefix`, lazily, in lexicographic
+    * order (object-store LIST). STREAMING contract: remote impls yield
+    * page by page (S3 ListObjectsV2 pages are already in ascending key
+    * order), so a consumer that processes-and-drops never holds more
+    * than one page — at 10⁷ objects the listing must not materialize. */
+  def list(prefix: String): Iterator[String]
+
+  /** One-level listing under `prefix`, split at the next '/': the
+    * sub-prefixes ("directories") and the direct-child objects — the
+    * S3 `delimiter=/` shape. Lets a distributed consumer fan a deep
+    * tree out across tasks by sub-prefix instead of paging the whole
+    * tree through one JVM. Default derives from [[list]] (correct
+    * everywhere, not cheaper); remote impls override with a real
+    * delimiter request so only the shard names cross the wire. */
+  def listDir(prefix: String): FileIO.DirListing = {
+    val subs = scala.collection.mutable.SortedSet.empty[String]
+    val objs = Seq.newBuilder[String]
+    list(prefix).foreach { p =>
+      val rest = p.stripPrefix(prefix)
+      val i = rest.indexOf('/')
+      if (i < 0) objs += p else subs += prefix + rest.substring(0, i + 1)
+    }
+    FileIO.DirListing(subs.toSeq, objs.result())
+  }
 
   /** Last-modified epoch millis, or None when absent/unknown. Unknown
     * is SAFE-side for consumers like the orphan sweep: a file whose
@@ -107,23 +128,43 @@ object LocalFileIO extends FileIO {
     if (Files.exists(p)) Some(Files.getLastModifiedTime(p).toMillis) else None
   }
 
-  override def list(prefix: String): Seq[String] = {
+  override def list(prefix: String): Iterator[String] = {
     // walk the DEEPEST existing directory of the prefix (a prefix that
     // names a directory walks it directly, not its parent tree), and
-    // return locations in the caller's form (file: URI vs bare path)
+    // return locations in the caller's form (file: URI vs bare path).
+    // Local walks materialize to sort; the streaming contract matters
+    // for the REMOTE impls (S3 pages arrive pre-sorted).
     val isUri = prefix.startsWith("file:")
     val p = toPath(prefix)
     val dir = if (Files.isDirectory(p)) p else p.getParent
-    if (dir == null || !Files.isDirectory(dir)) Nil
+    if (dir == null || !Files.isDirectory(dir)) Iterator.empty
     else {
       val stream = Files.walk(dir)
       try stream.iterator().asScala
         .filter(Files.isRegularFile(_))
         .filter(_.toString.startsWith(p.toString))
         .map(f => if (isUri) f.toUri.toString else f.toString)
-        .toSeq.sorted
+        .toSeq.sorted.iterator
       finally stream.close()
     }
+  }
+
+  /** One directory level via `Files.list` — never walks the subtree. */
+  override def listDir(prefix: String): FileIO.DirListing = {
+    val isUri = prefix.startsWith("file:")
+    val p = toPath(prefix)
+    val dir = if (Files.isDirectory(p)) p else p.getParent
+    if (dir == null || !Files.isDirectory(dir)) return FileIO.DirListing(Nil, Nil)
+    val stream = Files.list(dir)
+    try {
+      val (dirs, files) = stream.iterator().asScala
+        .filter(_.toString.startsWith(p.toString))
+        .partition(Files.isDirectory(_))
+      FileIO.DirListing(
+        dirs.map(d => (if (isUri) d.toUri.toString else d.toString + "/")).toSeq.sorted,
+        files.filter(Files.isRegularFile(_))
+          .map(f => if (isUri) f.toUri.toString else f.toString).toSeq.sorted)
+    } finally stream.close()
   }
 }
 
@@ -143,8 +184,14 @@ final class InMemoryFileIO extends FileIO {
   val lists = new java.util.concurrent.atomic.AtomicLong(0)
   val deletes = new java.util.concurrent.atomic.AtomicLong(0)
   val mtimeProbes = new java.util.concurrent.atomic.AtomicLong(0)
+  /** Delimiter (one-level) listings — the cheap fan-out probe. */
+  val dirLists = new java.util.concurrent.atomic.AtomicLong(0)
+  /** Largest key count any single [[list]] call matched — specs pin
+    * "no task pages the whole tree" as listKeysMax ≪ total objects. */
+  val listKeysMax = new java.util.concurrent.atomic.AtomicLong(0)
   def resetCounters(): Unit =
-    Seq(reads, lists, deletes, mtimeProbes).foreach(_.set(0L))
+    Seq(reads, lists, deletes, mtimeProbes, dirLists, listKeysMax)
+      .foreach(_.set(0L))
 
   override def write(location: String, bytes: Array[Byte]): Unit = {
     objects.put(location, bytes.clone())
@@ -176,15 +223,35 @@ final class InMemoryFileIO extends FileIO {
     objects.remove(location)
   }
 
-  override def list(prefix: String): Seq[String] = {
+  override def list(prefix: String): Iterator[String] = {
     lists.incrementAndGet()
-    objects.keys.filter(_.startsWith(prefix)).toSeq.sorted
+    val matched = objects.keys.filter(_.startsWith(prefix)).toSeq.sorted
+    listKeysMax.getAndUpdate(m => math.max(m, matched.size.toLong))
+    matched.iterator
+  }
+
+  /** Emulates S3 `delimiter=/`: answered from the key index without a
+    * full-tree [[list]], so it never touches [[listKeysMax]]. */
+  override def listDir(prefix: String): FileIO.DirListing = {
+    dirLists.incrementAndGet()
+    val subs = scala.collection.mutable.SortedSet.empty[String]
+    val objs = scala.collection.mutable.SortedSet.empty[String]
+    objects.keys.filter(_.startsWith(prefix)).foreach { p =>
+      val rest = p.stripPrefix(prefix)
+      val i = rest.indexOf('/')
+      if (i < 0) objs += p else subs += prefix + rest.substring(0, i + 1)
+    }
+    FileIO.DirListing(subs.toSeq, objs.toSeq)
   }
 
   def keys: Seq[String] = objects.keys.toSeq
 }
 
 object FileIO {
+  /** One level of an object tree: the immediate sub-prefixes (each
+    * ending in '/') and the direct-child object locations. */
+  final case class DirListing(subPrefixes: Seq[String], objects: Seq[String])
+
   private val registry = TrieMap.empty[String, FileIO]
 
   /** Register the backend for a URI scheme (e.g. `"s3"`, `"mem"`).

@@ -132,29 +132,73 @@ final class S3FileIO(
       fail("DELETE", location, r.statusCode())
   }
 
-  override def list(prefix: String): Seq[String] = {
+  /** One ListObjectsV2 page: keys (+ CommonPrefixes when a delimiter
+    * was sent) and the continuation token for the next page. */
+  private def listPage(
+      bucket: String, keyPrefix: String,
+      token: Option[String], delimiter: Option[String])
+      : (Seq[String], Seq[String], Option[String]) = {
+    val query = (Seq(
+      "list-type=2",
+      s"prefix=${SigV4.awsEncode(keyPrefix)}") ++
+      delimiter.map(d => s"delimiter=${SigV4.awsEncode(d)}") ++
+      token.map(t => s"continuation-token=${SigV4.awsEncode(t)}"))
+      .mkString("&")
+    val r = send("GET", uriFor(bucket, "", query), None)
+    if (r.statusCode() / 100 != 2)
+      fail("LIST", s"$scheme://$bucket/$keyPrefix", r.statusCode())
+    val doc = S3FileIO.secureXmlFactory.newDocumentBuilder()
+      .parse(new java.io.ByteArrayInputStream(r.body()))
+    val keys = doc.getElementsByTagName("Key")
+    val ks = (0 until keys.getLength)
+      .map(i => s"$scheme://$bucket/${keys.item(i).getTextContent}")
+    // CommonPrefixes render as <CommonPrefixes><Prefix>…</Prefix></…>
+    val cps = doc.getElementsByTagName("CommonPrefixes")
+    val ps = (0 until cps.getLength).flatMap { i =>
+      val kids = cps.item(i).asInstanceOf[org.w3c.dom.Element]
+        .getElementsByTagName("Prefix")
+      (0 until kids.getLength)
+        .map(j => s"$scheme://$bucket/${kids.item(j).getTextContent}")
+    }
+    val nt = doc.getElementsByTagName("NextContinuationToken")
+    val next = if (nt.getLength > 0) Some(nt.item(0).getTextContent) else None
+    (ks, ps, next)
+  }
+
+  /** STREAMING listing: one ListObjectsV2 page in memory at a time,
+    * fetched on demand. S3 returns keys in ascending UTF-8 order both
+    * within and across pages, so the trait's sorted contract holds
+    * without materializing. */
+  override def list(prefix: String): Iterator[String] = {
     val (bucket, keyPrefix) = bucketKey(prefix)
-    val out = Seq.newBuilder[String]
+    new Iterator[String] {
+      private var page: Iterator[String] = Iterator.empty
+      private var token: Option[String] = None
+      private var started = false
+      private def advance(): Unit =
+        while (!page.hasNext && (!started || token.isDefined)) {
+          val (ks, _, next) = listPage(bucket, keyPrefix, token, None)
+          started = true; token = next; page = ks.iterator
+        }
+      def hasNext: Boolean = { advance(); page.hasNext }
+      def next(): String = { advance(); page.next() }
+    }
+  }
+
+  /** Real `delimiter=/` request — only the shard names and the direct
+    * children cross the wire, never the subtree. */
+  override def listDir(prefix: String): FileIO.DirListing = {
+    val (bucket, keyPrefix) = bucketKey(prefix)
+    val subs = Seq.newBuilder[String]
+    val objs = Seq.newBuilder[String]
     var token: Option[String] = None
     var more = true
     while (more) {
-      val query = (Seq(
-        "list-type=2",
-        s"prefix=${SigV4.awsEncode(keyPrefix)}") ++
-        token.map(t => s"continuation-token=${SigV4.awsEncode(t)}"))
-        .mkString("&")
-      val r = send("GET", uriFor(bucket, "", query), None)
-      if (r.statusCode() / 100 != 2) fail("LIST", prefix, r.statusCode())
-      val doc = S3FileIO.secureXmlFactory.newDocumentBuilder()
-        .parse(new java.io.ByteArrayInputStream(r.body()))
-      val keys = doc.getElementsByTagName("Key")
-      (0 until keys.getLength).foreach(i =>
-        out += s"$scheme://$bucket/${keys.item(i).getTextContent}")
-      val nt = doc.getElementsByTagName("NextContinuationToken")
-      token = if (nt.getLength > 0) Some(nt.item(0).getTextContent) else None
-      more = token.isDefined
+      val (ks, ps, next) = listPage(bucket, keyPrefix, token, Some("/"))
+      objs ++= ks; subs ++= ps
+      token = next; more = next.isDefined
     }
-    out.result().sorted
+    FileIO.DirListing(subs.result().sorted, objs.result().sorted)
   }
 }
 

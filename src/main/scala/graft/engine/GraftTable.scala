@@ -578,22 +578,49 @@ object GraftTable {
     val shardPaths = manifestLists
       .flatMap(Manifests.readEntries)
       .map(_.path).distinct
+
+    val prefixes = Seq(s"$location/data/", s"$location/deletes/")
+    // fail on the DRIVER with sweep context when this JVM lacks the
+    // scheme registration the executor tasks will need — otherwise the
+    // miss surfaces as an opaque task failure deep inside a listing
+    (prefixes ++ shardPaths.headOption).foreach { p =>
+      if (!graft.catalog.FileIO.canHandle(p))
+        throw new IllegalStateException(
+          s"orphan sweep for $location needs a FileIO for '$p' on every " +
+            "executor JVM — register the scheme via an executor plugin " +
+            "(FileIO.register) before calling remove_orphan_files")
+    }
+
     val referenced: Dataset[String] =
       if (shardPaths.isEmpty) spark.emptyDataset[String]
       else sc.parallelize(shardPaths, par(shardPaths.size))
         .flatMap(p => Manifests.read(p).map(f => normPath(f.path)))
         .toDS()
 
-    val prefixes = Seq(s"$location/data/", s"$location/deletes/")
     // candidate (path, base-for-crc-pairing, mtime): listed AND
     // age-probed executor-side; a Hadoop checksum sidecar (.name.crc)
-    // lives and dies with its base file, so it anti-joins on the base
-    val candidates = sc.parallelize(prefixes, prefixes.size)
-      .flatMap { prefix =>
-        val io = graft.catalog.FileIO.forLocation(prefix)
-        io.list(prefix).map(p => (p, normPath(crcBaseOf(p)), io.modifiedAt(p)))
+    // lives and dies with its base file, so it anti-joins on the base.
+    // The listing FANS OUT: a cheap delimiter probe per top prefix
+    // (driver-side, returns only shard names) splits the tree into one
+    // LIST task per sub-prefix — no single task pages the whole tree,
+    // and each task streams its shard page by page (FileIO.list is an
+    // Iterator). Direct children under the top prefixes (rare: legacy
+    // flat layouts) ride along as their own candidates.
+    val dirListings =
+      prefixes.map(p => graft.catalog.FileIO.forLocation(p).listDir(p))
+    val shards = dirListings.flatMap(_.subPrefixes)
+    val direct = dirListings.flatMap(_.objects)
+    val shardCands = sc.parallelize(shards, par(math.max(shards.size, 1)))
+      .flatMap { shard =>
+        val io = graft.catalog.FileIO.forLocation(shard)
+        io.list(shard).map(p => (p, normPath(crcBaseOf(p)), io.modifiedAt(p)))
       }
-      .toDF("path", "base", "mtime")
+    val directCands = sc.parallelize(direct, par(math.max(direct.size, 1)))
+      .map { p =>
+        val io = graft.catalog.FileIO.forLocation(p)
+        (p, normPath(crcBaseOf(p)), io.modifiedAt(p))
+      }
+    val candidates = (shardCands ++ directCands).toDF("path", "base", "mtime")
 
     val orphans = candidates
       .join(referenced.toDF("ref_path"),

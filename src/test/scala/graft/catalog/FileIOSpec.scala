@@ -117,17 +117,21 @@ class FileIOSpec extends AnyFunSuite with BeforeAndAfterAll {
     java.nio.file.Files.write(dir.resolve("outside.json"), Array[Byte](3))
 
     // directory prefix: walks IT, not its parent (outside.json excluded)
-    val bare = LocalFileIO.list(s"$sub/")
+    val bare = LocalFileIO.list(s"$sub/").toSeq
     assert(bare.map(_.split('/').last).sorted === Seq("a.json", "b.json"))
     assert(bare.forall(!_.startsWith("file:"))) // bare prefix → bare paths
 
     // file: URI prefix → file: URI results
-    val asUri = LocalFileIO.list(sub.toUri.toString)
+    val asUri = LocalFileIO.list(sub.toUri.toString).toSeq
     assert(asUri.nonEmpty && asUri.forall(_.startsWith("file:")))
 
     // name-prefix inside a directory still filters
-    assert(LocalFileIO.list(s"$sub/a").map(_.split('/').last) === Seq("a.json"))
+    assert(LocalFileIO.list(s"$sub/a").map(_.split('/').last).toSeq === Seq("a.json"))
     // nonexistent root
-    assert(LocalFileIO.list(s"$dir/nope/deeper/x") === Nil)
+    assert(LocalFileIO.list(s"$dir/nope/deeper/x").toSeq === Nil)
+    // one-level delimiter listing: the sub-directory and the direct file
+    val d = LocalFileIO.listDir(s"$sub/")
+    assert(d.subPrefixes.map(_.split('/').last) === Seq("inner") &&
+      d.objects.map(_.split('/').last) === Seq("a.json"))
   }
 }

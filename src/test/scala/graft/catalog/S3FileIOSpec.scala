@@ -21,6 +21,7 @@ class S3FileIOSpec extends AnyFunSuite with BeforeAndAfterAll {
   private var io: S3FileIO = _
   @volatile private var lastAuth: Option[String] = None
   @volatile private var lastContentSha: Option[String] = None
+  private val listRequests = new java.util.concurrent.atomic.AtomicLong(0)
   private val PageSize = 2
 
   override def beforeAll(): Unit = {
@@ -50,6 +51,7 @@ class S3FileIOSpec extends AnyFunSuite with BeforeAndAfterAll {
         objects(path) = body
         ex.sendResponseHeaders(200, -1)
       case "GET" if query.contains("list-type=2") =>
+        listRequests.incrementAndGet()
         val params = query.split("&").map(_.split("=", 2))
           .map(a => a(0) -> (if (a.length > 1) a(1) else "")).toMap
         val bucket = path.stripSuffix("/")
@@ -57,15 +59,30 @@ class S3FileIOSpec extends AnyFunSuite with BeforeAndAfterAll {
           params.getOrElse("prefix", ""), "UTF-8")
         val after = params.get("continuation-token")
           .map(t => java.net.URLDecoder.decode(t, "UTF-8"))
-        val all = objects.keys.toSeq.sorted
+        val delim = params.get("delimiter")
+          .map(d => java.net.URLDecoder.decode(d, "UTF-8"))
+        val allKeys = objects.keys.toSeq.sorted
           .filter(_.startsWith(s"$bucket/$prefix"))
           .map(_.stripPrefix(s"$bucket/"))
-        val remaining = after.map(t => all.dropWhile(_ <= t)).getOrElse(all)
+        // delimiter rolls keys with a '/' past the prefix up into
+        // distinct CommonPrefixes; paging covers the merged entries
+        val all: Seq[(String, Boolean)] = delim match { // (name, isCommonPrefix)
+          case Some(d) => allKeys.map { k =>
+            val rest = k.stripPrefix(prefix)
+            val i = rest.indexOf(d)
+            if (i < 0) (k, false) else (prefix + rest.substring(0, i + d.length), true)
+          }.distinct
+          case None => allKeys.map((_, false))
+        }
+        val remaining = after.map(t => all.dropWhile(_._1 <= t)).getOrElse(all)
         val page = remaining.take(PageSize)
         val truncated = remaining.size > PageSize
-        val keysXml = page.map(k => s"<Contents><Key>$k</Key></Contents>").mkString
+        val keysXml = page.map {
+          case (p, true) => s"<CommonPrefixes><Prefix>$p</Prefix></CommonPrefixes>"
+          case (k, false) => s"<Contents><Key>$k</Key></Contents>"
+        }.mkString
         val tokenXml =
-          if (truncated) s"<NextContinuationToken>${page.last}</NextContinuationToken>"
+          if (truncated) s"<NextContinuationToken>${page.last._1}</NextContinuationToken>"
           else ""
         val xml = "<?xml version=\"1.0\"?><ListBucketResult>" +
           s"<IsTruncated>$truncated</IsTruncated>$keysXml$tokenXml</ListBucketResult>"
@@ -126,9 +143,33 @@ class S3FileIOSpec extends AnyFunSuite with BeforeAndAfterAll {
     val keys = (1 to 5).map(i => s"s3t://bucket/listdir/f$i.json")
     keys.foreach(k => io.write(k, Array[Byte](1)))
     io.write("s3t://bucket/other/x.json", Array[Byte](1))
-    assert(io.list("s3t://bucket/listdir/") === keys) // 3 pages of ≤2
+    assert(io.list("s3t://bucket/listdir/").toSeq === keys) // 3 pages of ≤2
     keys.foreach(io.delete)
     io.delete("s3t://bucket/other/x.json")
+  }
+
+  test("list is lazy: the first element costs one page, not the full tree") {
+    val keys = (1 to 6).map(i => s"s3t://bucket/lazy/f$i.json")
+    keys.foreach(k => io.write(k, Array[Byte](1)))
+    val before = listRequests.get()
+    val it = io.list("s3t://bucket/lazy/")
+    assert(listRequests.get() === before) // building the iterator is free
+    assert(it.next() === keys.head)
+    assert(listRequests.get() === before + 1) // one page (≤2 keys) fetched
+    assert(it.toSeq === keys.tail) // draining pages the rest on demand
+    keys.foreach(io.delete)
+  }
+
+  test("listDir sends delimiter=/ and pages merged CommonPrefixes + keys") {
+    val under = Seq(
+      "s3t://bucket/dl/a/1.json", "s3t://bucket/dl/a/2.json",
+      "s3t://bucket/dl/b/1.json", "s3t://bucket/dl/c.json")
+    under.foreach(k => io.write(k, Array[Byte](1)))
+    val d = io.listDir("s3t://bucket/dl/")
+    // 3 merged entries at PageSize=2 → the client had to page
+    assert(d.subPrefixes === Seq("s3t://bucket/dl/a/", "s3t://bucket/dl/b/"))
+    assert(d.objects === Seq("s3t://bucket/dl/c.json"))
+    under.foreach(io.delete)
   }
 
   test("metadata plane round-trips through S3: manifests + commit tree") {

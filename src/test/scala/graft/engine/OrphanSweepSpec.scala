@@ -59,12 +59,51 @@ class OrphanSweepSpec extends AnyFunSuite {
       // once per snapshot
       assert(mem.reads.get() === 4L,
         s"expected 3 list + 1 deduped shard read, got ${mem.reads.get()}")
-      // one LIST per swept prefix, every candidate age-probed exactly
-      // once IN the listing task (no per-file driver round trips), one
-      // DELETE per orphan
-      assert(mem.lists.get() === 2L)
+      // this flat layout (files directly under data/) is fully served
+      // by the two cheap delimiter probes — zero tree LISTs; every
+      // candidate age-probed exactly once IN its task (no per-file
+      // driver round trips), one DELETE per orphan
+      assert(mem.dirLists.get() === 2L)
+      assert(mem.lists.get() === 0L)
       assert(mem.mtimeProbes.get() === all.size.toLong)
       assert(mem.deletes.get() === swept.size.toLong)
     } finally FileIO.unregister("orph")
+  }
+
+  test("candidate listing fans out by sub-prefix: >2 tasks, no task pages the tree") {
+    val mem = new InMemoryFileIO
+    FileIO.register("orphfan", mem)
+    try {
+      val loc = "orphfan://wh/t"
+      val metaDir = s"$loc/metadata"
+      val now = System.currentTimeMillis()
+      val old = now - 10L * 24 * 3600 * 1000
+      val cutoff = now - 3L * 24 * 3600 * 1000
+
+      // the real writer's layout: one data/<shard>/ directory per
+      // append — 4 data shards × 25 files + a deletes shard
+      val shards = (0 until 4).map(i => s"$loc/data/commit-$i")
+      val files = shards.flatMap(s => (0 until 25).map(j => s"$s/f$j.parquet")) ++
+        (0 until 5).map(j => s"$loc/deletes/dcommit/d$j.parquet")
+      files.foreach { p => mem.write(p, Array[Byte](1)); mem.setMtime(p, old) }
+      val live = files.head // one referenced file; the rest are orphans
+      val l1 = Manifests.writeCommit(metaDir, 1L, Nil,
+        Seq(Manifests.DataFile(live, 1L, 1L)))
+
+      mem.resetCounters()
+      val swept = GraftTable.sweepOrphans(spark, loc, Seq(l1), cutoff)
+      assert(swept.size === files.size - 1 && !swept.contains(live))
+
+      // fan-out proof by op counters: the driver's TWO delimiter
+      // probes return only shard names; then one LIST task per shard
+      // (5 > 2 tasks), and the largest single listing is one shard —
+      // 25 keys, a quarter of the tree, never the whole thing
+      assert(mem.dirLists.get() === 2L)
+      assert(mem.lists.get() === 5L,
+        s"expected one LIST per sub-prefix shard, got ${mem.lists.get()}")
+      assert(mem.listKeysMax.get() === 25L,
+        s"a listing task paged more than its shard: ${mem.listKeysMax.get()}")
+      assert(mem.mtimeProbes.get() === files.size.toLong)
+    } finally FileIO.unregister("orphfan")
   }
 }
