@@ -6,11 +6,13 @@ import java.nio.file.{Files, Paths}
   * SPARK_GRAFT_SF_DIR (default sf0.1) with:
   *  - a warmup pass (JIT + codegen + parquet footer caches) so the
   *    first-measured query is not charged the JVM warmup;
-  *  - best-of-N timing (SPARK_GRAFT_BENCH_REPS measured passes per
-  *    query, default 2, minimum kept): single-pass numbers on a shared
-  *    machine jitter by multiples — a GC pause or noisy neighbor can
-  *    fake a 6× regression — while the per-query MINIMUM is the stable
-  *    estimate of what the plan actually costs;
+  *  - median-of-N timing (SPARK_GRAFT_BENCH_REPS measured passes per
+  *    query, default 3): single-pass numbers on a shared machine jitter
+  *    by multiples — a GC pause or noisy neighbor can fake a 6×
+  *    regression — so each query reports its MEDIAN (the headline,
+  *    robust to one bad pass) alongside its MIN (the plan's floor) in
+  *    `queries_stats`; `queries` stays a flat name→seconds map (the
+  *    median) for the driver's parser;
   *  - noop-sink execution (`format("noop")`) — materializes every output
   *    row without letting Spark prune output columns the way `count()`
   *    can, and without filesystem cost;
@@ -52,28 +54,37 @@ object Bench {
 
     // Warmup: run everything once untimed.
     SparkEntry.queries.foreach { case (name, fn) => runOnce(name, fn) }
-    // Best-of-N measured passes, full-suite rounds (not back-to-back
+    // Median-of-N measured passes, full-suite rounds (not back-to-back
     // per query, so one query's page-cache residue can't flatter its
     // own repeat more than everyone else's).
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val rounds = Seq.fill(reps)(SparkEntry.queries.toSeq.map {
       case (name, fn) => name -> runOnce(name, fn)
     })
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
     val results = SparkEntry.queries.keys.toSeq.map { name =>
       val times = rounds.map(_.find(_._1 == name).get._2)
       val ok = times.filter(_ >= 0)
-      name -> (if (ok.isEmpty) -1.0 else ok.min)
+      name -> (if (ok.isEmpty) (-1.0, -1.0) else (median(ok), ok.min))
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def fmt(v: Double): String = (math.rint(v * 1e4) / 1e4).toString
+    val qs = results.map { case (k, (med, _)) => "\"" + k + "\":" + fmt(med) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val nFailed = results.count(_._2 < 0)
+    val stats = results.map { case (k, (med, mn)) =>
+      "\"" + k + "\":{\"median\":" + fmt(med) + ",\"min\":" + fmt(mn) + "}"
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    val nFailed = results.count(_._2._1 < 0)
     // delete-prune observability: actual executor delete-set loads this
     // run (0 when no bench query scans a MoR table with live deletes)
     val delLoads = graft.engine.GraftMorScan.deleteCacheLoads
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"delete_cache_loads":$delLoads,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_stats":$stats,"reps":$reps,"failed":$nFailed,"delete_cache_loads":$delLoads,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outPath), json + "\n")
     spark.stop()
     // Final clean stdout line AFTER spark.stop() so no executor log

@@ -498,18 +498,26 @@ final class CatalogServer(
                 .flatMap(k => Option(sp.get(k)).filter(!_.isNull)
                   .map(v => s"s3.$k" -> v.asText())).toMap
             }.getOrElse(Map.empty[String, String])
-            w <- store.createWarehouse(projectId, name, location, props)
-            _ = Option(n.get("storage-credential")).filter(!_.isNull).foreach { c =>
-              // both our plain keys and the reference's aws- prefixed
-              // wire names (warehouse.rs:474-507) decode
-              def credField(k: String): Option[String] =
-                Option(c.get(k)).orElse(Option(c.get(s"aws-$k")))
-                  .filter(!_.isNull).map(_.asText())
-              for {
-                ak <- credField("access-key-id")
-                sk <- credField("secret-access-key")
-              } secrets.putS3Credential(w.id, S3Credential(ak, sk))
+            // a PRESENT credential must decode — both our plain keys
+            // and the reference's aws- prefixed wire names
+            // (warehouse.rs:474-507); a partial/unrecognized one is a
+            // 400 here, not a deferred signing failure with a
+            // credential the operator believes was stored
+            cred <- Option(n.get("storage-credential")).filter(!_.isNull) match {
+              case None => Right(None)
+              case Some(c) =>
+                def credField(k: String): Option[String] =
+                  Option(c.get(k)).orElse(Option(c.get(s"aws-$k")))
+                    .filter(!_.isNull).map(_.asText())
+                (credField("access-key-id"), credField("secret-access-key")) match {
+                  case (Some(ak), Some(sk)) => Right(Some(S3Credential(ak, sk)))
+                  case _ => Left(CatalogError.badRequest(
+                    "storage-credential must carry access-key-id and " +
+                      "secret-access-key (aws- prefix accepted)"))
+                }
             }
+            w <- store.createWarehouse(projectId, name, location, props)
+            _ = cred.foreach(secrets.putS3Credential(w.id, _))
           } yield w
         })(RestCodecs.warehouseResponse)
       case ("POST", "warehouse" :: id :: "storage" :: Nil) =>

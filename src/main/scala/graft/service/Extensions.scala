@@ -206,17 +206,28 @@ object TokenVerifier {
     *  - a cache older than `cacheTtlMs` refreshes on the next verify,
     *    so revoked keys age out even without new kids appearing.
     * A failed REFRESH keeps the previous key set (verification
-    * continues; only startup is fail-fast). */
+    * continues; only startup is fail-fast).
+    *
+    * A hostile/hung issuer cannot stall request threads: every OIDC
+    * HTTP call carries connect+request timeouts (`httpTimeoutMs`, the
+    * reference's client is bounded the same way), and refresh is
+    * CAS-guarded, not lock-guarded — at most ONE thread is ever on the
+    * network; concurrent verifies with cached keys proceed immediately
+    * instead of convoying behind the fetch (pinned in AuthSpec by a
+    * stalling-JWKS stub). */
   final class OidcJwtVerifier(
       providerUrl: String,
       clock: () => Long = () => System.currentTimeMillis(),
       minRefreshIntervalMs: Long = 30 * 1000L,
-      cacheTtlMs: Long = 15 * 60 * 1000L) extends TokenVerifier {
+      cacheTtlMs: Long = 15 * 60 * 1000L,
+      httpTimeoutMs: Long = 10 * 1000L) extends TokenVerifier {
+
+    private def fetch(url: String): String = httpGet(url, httpTimeoutMs)
 
     private val (issuer, jwksUri) = {
       val base = if (providerUrl.endsWith("/")) providerUrl else providerUrl + "/"
       val doc =
-        try mapper.readTree(httpGet(base + ".well-known/openid-configuration"))
+        try mapper.readTree(fetch(base + ".well-known/openid-configuration"))
         catch {
           case e: Exception => throw new IllegalStateException(
             s"OIDC discovery failed for $providerUrl (catalog cannot start " +
@@ -229,13 +240,17 @@ object TokenVerifier {
       (iss, uri)
     }
     @volatile private var keys: Map[String, java.security.interfaces.RSAPublicKey] =
-      try parseJwks(httpGet(jwksUri))
+      try parseJwks(fetch(jwksUri))
       catch {
         case e: Exception => throw new IllegalStateException(
           s"JWKS fetch failed from $jwksUri (catalog cannot start without " +
             s"its token keys): ${e.getMessage}", e)
       }
     @volatile private var fetchedAt: Long = clock()
+    // single-flight guard: the thread that wins the CAS does the
+    // (timeout-bounded) network fetch; everyone else returns at once
+    // and verifies against the cached @volatile key map
+    private val refreshing = new java.util.concurrent.atomic.AtomicBoolean(false)
 
     def verify(bearer: Option[String]): Either[CatalogError, Principal] = {
       if (clock() - fetchedAt > cacheTtlMs) refresh()
@@ -246,20 +261,30 @@ object TokenVerifier {
         : Option[java.security.interfaces.RSAPublicKey] =
       keys.get(kid).orElse { refresh(); keys.get(kid) }
 
-    private def refresh(): Unit = synchronized {
-      if (clock() - fetchedAt >= minRefreshIntervalMs) {
-        fetchedAt = clock() // rate-limits failed attempts too
-        try keys = parseJwks(httpGet(jwksUri))
-        catch { case e: Exception => System.err.println(
-          s"[graft-auth] JWKS refresh from $jwksUri failed, keeping " +
-            s"${keys.size} cached keys: ${e.getMessage}") }
-      }
+    private def refresh(): Unit = {
+      if (clock() - fetchedAt < minRefreshIntervalMs) return
+      if (!refreshing.compareAndSet(false, true)) return // fetch in flight
+      try {
+        if (clock() - fetchedAt >= minRefreshIntervalMs) { // re-check inside
+          fetchedAt = clock() // rate-limits failed attempts too
+          try keys = parseJwks(fetch(jwksUri))
+          catch { case e: Exception => System.err.println(
+            s"[graft-auth] JWKS refresh from $jwksUri failed, keeping " +
+              s"${keys.size} cached keys: ${e.getMessage}") }
+        }
+      } finally refreshing.set(false)
     }
   }
 
-  private def httpGet(url: String): String = {
-    val resp = java.net.http.HttpClient.newHttpClient().send(
-      java.net.http.HttpRequest.newBuilder(java.net.URI.create(url)).GET().build(),
+  // one shared client (connection reuse) with a bounded connect; each
+  // request additionally carries its own response timeout
+  private lazy val oidcHttpClient = java.net.http.HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(10)).build()
+
+  private def httpGet(url: String, timeoutMs: Long = 10 * 1000L): String = {
+    val resp = oidcHttpClient.send(
+      java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+        .timeout(java.time.Duration.ofMillis(timeoutMs)).GET().build(),
       java.net.http.HttpResponse.BodyHandlers.ofString())
     if (resp.statusCode() / 100 != 2)
       throw new IllegalStateException(s"GET $url -> HTTP ${resp.statusCode()}")

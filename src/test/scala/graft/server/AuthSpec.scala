@@ -199,6 +199,69 @@ class AuthSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally http.stop(0)
   }
 
+  test("a hung JWKS endpoint never blocks verifies that have cached keys") {
+    import java.security.interfaces.RSAPublicKey
+    import com.sun.net.httpserver.HttpServer
+    val kp = rsaKeyPair()
+    val served = Map("kid-1" -> kp.getPublic.asInstanceOf[RSAPublicKey])
+    val hang = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val hangEntered = new java.util.concurrent.CountDownLatch(1)
+    val hangRelease = new java.util.concurrent.CountDownLatch(1)
+    val http = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    // JWKS requests must not serialize behind the hung one on the
+    // stub's single dispatch thread
+    http.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
+    val base = s"http://127.0.0.1:${http.getAddress.getPort}"
+    def respond(ex: com.sun.net.httpserver.HttpExchange, body: String): Unit = {
+      val b = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, b.length)
+      ex.getResponseBody.write(b)
+      ex.close()
+    }
+    http.createContext("/realm/.well-known/openid-configuration",
+      ex => respond(ex, s"""{"issuer":"$issuer","jwks_uri":"$base/realm/jwks"}"""))
+    http.createContext("/realm/jwks", ex => {
+      if (hang.get()) {
+        hangEntered.countDown()
+        hangRelease.await(30, java.util.concurrent.TimeUnit.SECONDS)
+      }
+      respond(ex, TokenVerifier.jwksJson(served))
+    })
+    http.start()
+    try {
+      @volatile var now = System.currentTimeMillis()
+      val exp = now / 1000 + 3600
+      val v = new TokenVerifier.OidcJwtVerifier(s"$base/realm", () => now)
+      val t = TokenVerifier.signRs256(kp.getPrivate, "kid-1", issuer, "alice", exp)
+      assert(v.verify(Some(t)).map(_.subject) === Right("alice"))
+
+      // age the cache past its TTL with the issuer wedged: the next
+      // verify kicks off the refresh and parks on the hung fetch …
+      hang.set(true)
+      now += 16 * 60 * 1000L
+      val stalled = new Thread(() => { v.verify(Some(t)); () })
+      stalled.start()
+      assert(hangEntered.await(10, java.util.concurrent.TimeUnit.SECONDS),
+        "refresh thread never reached the JWKS stub")
+
+      // … while a verify on another thread must complete from the
+      // cached keys instead of convoying behind the refresh. Run it on
+      // its own thread with a bounded join so a lock regression fails
+      // the test instead of deadlocking it.
+      @volatile var concurrent: Option[String] = None
+      val fast = new Thread(() =>
+        concurrent = v.verify(Some(t)).map(_.subject).toOption)
+      fast.start()
+      fast.join(5000)
+      assert(!fast.isAlive, "verify with cached keys blocked behind the hung JWKS refresh")
+      assert(concurrent === Some("alice"))
+
+      hangRelease.countDown()
+      stalled.join(10000)
+      assert(!stalled.isAlive)
+    } finally http.stop(0)
+  }
+
   test("OIDC discovery failure is a loud startup error, not an open catalog") {
     // nothing listening on the path → fetch fails → constructor throws
     val ex = intercept[IllegalStateException](

@@ -335,6 +335,28 @@ class CatalogServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(post(s"/catalog/v1/$prefix/views/rename", """{}""").statusCode() === 501)
   }
 
+  test("a present but undecodable storage-credential is a 400, not silently dropped") {
+    // missing secret-access-key
+    val partial = post("/management/v1/warehouse",
+      s"""{"warehouse-name":"badcred1","location":"s3://bc/wh","project-id":"$project",
+         |"storage-credential":{"access-key-id":"AK"}}""".stripMargin)
+    assert(partial.statusCode() === 400, partial.body())
+    assert(partial.body().contains("storage-credential"))
+    // unrecognized wire names
+    val alien = post("/management/v1/warehouse",
+      s"""{"warehouse-name":"badcred2","location":"s3://bc/wh","project-id":"$project",
+         |"storage-credential":{"client-id":"x","client-secret":"y"}}""".stripMargin)
+    assert(alien.statusCode() === 400, alien.body())
+    // neither half-creates the warehouse
+    val names = get("/management/v1/warehouse").body()
+    assert(!names.contains("badcred1") && !names.contains("badcred2"))
+    // the aws- prefixed reference shape still decodes
+    assert(post("/management/v1/warehouse",
+      s"""{"warehouse-name":"goodcred","location":"s3://bc/wh","project-id":"$project",
+         |"storage-credential":{"aws-access-key-id":"AK","aws-secret-access-key":"SK"}}""".stripMargin)
+      .statusCode() === 200)
+  }
+
   test("storage update: endpoint mutable, bucket/region immutable") {
     val created = post("/management/v1/warehouse",
       s"""{"warehouse-name":"stor","location":"s3://bkt/wh","project-id":"$project",
