@@ -74,15 +74,26 @@ object Sampling {
   /** Token budget per training shard (whitespace tokens). */
   private val ShardBudget = 10000L
 
+  /** Cut points chosen by the latest [[packShards]] call (strictly
+    * increasing doc_id upper-exclusive boundaries; empty = one range).
+    * Observability for specs/run logs — tells whether pathological id
+    * clustering was actually split across ranges. */
+  @volatile var lastPackCuts: Seq[Long] = Nil
+
   /** Greedy shard packing: documents in doc_id order accumulate into
     * shards of ≈ [[ShardBudget]] tokens (a document starts a new shard
     * when the running total BEFORE it crosses a budget boundary).
     * Output: per-shard document count, token total, id range.
     *
     * Executes as a DISTRIBUTED prefix sum — never a global window:
-    *  1. a doc_id-only aggregate takes the id bounds (column-pruned
-    *     scan), cutting the id space into O(shuffle-partitions)
-    *     contiguous ranges;
+    *  1. QUANTILE-SAMPLED id cuts (approxQuantile over the doc_id
+    *     column only) slice the corpus into O(shuffle-partitions)
+    *     contiguous ranges with ≈equal ROW counts — balanced by
+    *     construction even under pathological id clustering (a dense
+    *     band + far outliers lands every cut inside the band), where
+    *     the earlier equal-WIDTH cuts collapsed to one occupied range.
+    *     Same pass cost as the min/max bounds scan they replace: one
+    *     column-pruned scan into a tiny distributed sketch;
     *  2. ONE corpus shuffle clusters rows by range; Spark reuses that
     *     exchange for both consumers below (ReusedExchange);
     *  3. per-range token totals (map-side-combined agg) turn into
@@ -93,26 +104,38 @@ object Sampling {
     *     doc_id)` — parallel across ranges — and the broadcast offset
     *     lifts it to the exact global prior_toks.
     * Shard ids depend only on the global running total, so the result
-    * is bit-identical to the single-window form for ANY range cuts.
-    * Degenerately clustered ids can skew ranges (equal-width cuts);
-    * swap step 1-2 for repartitionByRange (sampled bounds) if ids are
-    * pathological — the algebra is unchanged. */
-  def qShardPack(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, coalesce, col, expr, lit, sum}
-    // pass 0: id bounds — a doc_id-only scan (parquet reads one
-    // column), eager and tiny (measured faster than riding the bounds
-    // along as a broadcast subplan)
-    val b0 = load(s, dir, "documents")
-      .selectExpr("min(doc_id) as lo", "max(doc_id) as hi").head()
-    val lo = if (b0.isNullAt(0)) 0L else b0.getLong(0)
-    val hi = if (b0.isNullAt(1)) lo else b0.getLong(1)
-    val ranges = math.max(1, s.conf.get("spark.sql.shuffle.partitions", "200").toInt)
-    val width = math.max(1L, (hi - lo) / ranges + 1)
+    * is bit-identical to the single-window form for ANY contiguous
+    * cuts — cut placement is a performance choice, never a semantics
+    * one. */
+  def qShardPack(s: SparkSession, dir: String): DataFrame =
+    packShards(load(s, dir, "documents")
+      .selectExpr("doc_id", "size(split(lower(text), ' ')) as n_toks"))
 
-    val bucketed = load(s, dir, "documents")
-      .selectExpr("doc_id", "size(split(lower(text), ' ')) as n_toks")
-      .selectExpr(s"cast(floor((doc_id - ${lo}L) / ${width}L) as bigint) as bucket",
-        "doc_id", "n_toks")
+  /** The packing algebra over an explicit (doc_id, n_toks) frame — the
+    * seam that lets specs drive pathological id distributions. */
+  def packShards(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, expr, lit, sum}
+    val s = docs.sparkSession
+    val ranges = math.max(1, s.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+    // pass 0: sampled range bounds — a doc_id-only scan (parquet reads
+    // one column) into a distributed quantile sketch, eager and tiny
+    // (same shape as the min/max bounds pass it replaces)
+    val cuts =
+      if (ranges <= 1) Array.empty[Double]
+      else docs.stat.approxQuantile(
+        "doc_id", (1 until ranges).map(_.toDouble / ranges).toArray, 0.001)
+    val cutIds = cuts.map(math.ceil(_).toLong).distinct.sorted.toSeq
+    lastPackCuts = cutIds
+    // bucket = #cuts ≤ doc_id: a codegen'd indicator sum over ≤31
+    // literals, monotone in doc_id so every bucket is one contiguous
+    // id range
+    val bucketExpr =
+      if (cutIds.isEmpty) "cast(0 as bigint)"
+      else cutIds.map(c => s"(case when doc_id >= ${c}L then 1 else 0 end)")
+        .mkString("cast(", " + ", " as bigint)")
+
+    val bucketed = docs
+      .selectExpr(s"$bucketExpr as bucket", "doc_id", "n_toks")
       .repartition(col("bucket")) // the ONE corpus shuffle, reused below
 
     val totals = bucketed.groupBy("bucket").agg(sum("n_toks").as("btoks"))

@@ -87,16 +87,11 @@ class SamplingSpec extends AnyFunSuite {
         s"through one task at 100 TB: $w"))
 
     // the distributed prefix sum must actually SPAN ranges at test
-    // scale, or the partition-spec assertion proves nothing — recompute
-    // the query's own bucket cut and count the occupied ranges
-    val ranges = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val b = graft.Tables.load(spark, sf, "documents")
-      .selectExpr("min(doc_id) as lo", "max(doc_id) as hi").head()
-    val width = math.max(1L, (b.getLong(1) - b.getLong(0)) / ranges + 1)
-    val nBuckets = graft.Tables.load(spark, sf, "documents")
-      .selectExpr(s"floor((doc_id - ${b.getLong(0)}L) / ${width}L) as bucket")
-      .distinct().count()
-    assert(nBuckets > 1, "test data too small to exercise multiple ranges")
+    // scale, or the partition-spec assertion proves nothing — the
+    // query's own sampled cuts must split the corpus into >1 occupied
+    // range (cuts are quantiles, so every cut separates real rows)
+    assert(Sampling.lastPackCuts.size > 1,
+      s"test data too small to exercise multiple ranges: ${Sampling.lastPackCuts}")
 
     // bit-identical to the single-window semantics (the oracle's form)
     val single = graft.Tables.load(spark, sf, "documents")
@@ -113,5 +108,44 @@ class SamplingSpec extends AnyFunSuite {
         org.apache.spark.sql.functions.expr("max(doc_id) as last_doc"))
       .orderBy("shard")
     assert(df.collect().toSeq === single.collect().toSeq)
+  }
+
+  test("pathologically clustered ids still split across ranges (sampled cuts)") {
+    import org.apache.spark.sql.functions.expr
+    // the equal-width failure mode: a dense band [0, 2000) plus one
+    // outlier 10^9 away — width cuts put the WHOLE band in range 0;
+    // quantile cuts must land inside the band instead
+    val docs = spark.range(0, 2000)
+      .selectExpr("id as doc_id", "cast(id % 37 + 3 as int) as n_toks")
+      .union(spark.range(1, 2)
+        .selectExpr("1000000000 as doc_id", "11 as n_toks"))
+    val packed = Sampling.packShards(docs).collect()
+
+    val cuts = Sampling.lastPackCuts
+    assert(cuts.size > 1, s"sampled cuts did not split the dense band: $cuts")
+    assert(cuts.count(_ <= 2000L) > 1,
+      s"cuts must fall INSIDE the clustered band, got $cuts")
+    // >1 OCCUPIED range: every quantile cut separates real rows by
+    // construction; prove it against the data rather than trust it
+    val bucketExpr = cuts.map(c => s"(case when doc_id >= ${c}L then 1 else 0 end)")
+      .mkString(" + ")
+    val occupied = docs.selectExpr(s"$bucketExpr as bucket")
+      .distinct().count()
+    assert(occupied > 1, s"only $occupied occupied range(s) under cuts $cuts")
+
+    // bit-identity to the single-window oracle form on the same input
+    val single = docs
+      .selectExpr("doc_id", "n_toks",
+        "sum(n_toks) over (order by doc_id rows between unbounded preceding and current row) - n_toks as prior_toks")
+      .selectExpr("cast(floor(prior_toks / 10000) as int) as shard",
+        "doc_id", "n_toks")
+      .groupBy("shard")
+      .agg(
+        expr("count(*) as n_docs"),
+        expr("sum(n_toks) as shard_tokens"),
+        expr("min(doc_id) as first_doc"),
+        expr("max(doc_id) as last_doc"))
+      .orderBy("shard")
+    assert(packed.toSeq === single.collect().toSeq)
   }
 }
