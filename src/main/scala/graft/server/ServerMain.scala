@@ -1,0 +1,100 @@
+package graft.server
+
+import graft.catalog.{CatalogStore, InMemoryCatalogStore, JdbcCatalogStore}
+import graft.service.{CloudEventBackend, QueueingEventPublisher, TokenVerifier}
+
+import java.util.UUID
+
+/** Env-configured catalog bootstrap — the deployable sibling of the
+  * reference's server binary (iceberg-catalog-bin/src/main.rs:72-89
+  * wires store pools, the optional NATS sink, and the optional OIDC
+  * verifier from `ICEBERG_REST__*` env config before building the
+  * router, router.rs:89-101). Every trait implementation already
+  * exists behind [[CatalogServer]]'s constructor DI; this object is
+  * the assembly from flat configuration:
+  *
+  *  - `GRAFT_PORT`            listen port (default 8080, the
+  *                            reference's default base_uri port,
+  *                            config.rs:85)
+  *  - `GRAFT_DB_PATH`         directory for the embedded-Derby JDBC
+  *                            store (created on first use; tables and
+  *                            namespaces survive restarts). Unset →
+  *                            in-memory store (dev mode; the reference
+  *                            has no in-memory catalog, but its tests'
+  *                            sqlx-pool stand-in plays the same role)
+  *  - `GRAFT_OPENID_PROVIDER_URI`  OIDC issuer → [[TokenVerifier.OidcJwtVerifier]]
+  *                            (live discovery + JWKS, FAIL-FAST on an
+  *                            unreachable issuer exactly like the
+  *                            reference's `Verifier::new(uri).await?`,
+  *                            main.rs:86). Unset → anonymous
+  *  - `GRAFT_EVENT_SINK`      `http(s)://…` → CloudEvents POST sink;
+  *                            any other non-empty value → JSONL file
+  *                            sink at that path; unset → drop (the
+  *                            reference publishes to NATS when
+  *                            `ICEBERG_REST__NATS_ADDRESS` is set,
+  *                            else tracing only, main.rs:56-62)
+  *  - `GRAFT_DEFAULT_PROJECT_ID`   UUID for single-project deployments
+  *                            (reference config.rs default-project
+  *                            semantics); default = the nil UUID
+  *
+  * `build(env)` is the testable seam (a spec passes a config map and
+  * the AuthSpec OIDC stub); `main` reads `sys.env` and blocks.
+  */
+object ServerMain {
+
+  val NilProject: UUID = new UUID(0L, 0L)
+
+  /** A fully wired, STARTED server plus the resources it owns. */
+  final class Running(
+      val server: CatalogServer,
+      val store: CatalogStore,
+      sink: CloudEventBackend,
+      val publisher: QueueingEventPublisher) extends AutoCloseable {
+    def baseUri: String = server.baseUri
+    def close(): Unit = {
+      server.stop()
+      publisher.close()
+      sink match { case c: AutoCloseable => c.close(); case _ => () }
+    }
+  }
+
+  def build(env: Map[String, String]): Running = {
+    def get(k: String): Option[String] = env.get(k).map(_.trim).filter(_.nonEmpty)
+
+    val port = get("GRAFT_PORT").map(_.toInt).getOrElse(8080)
+    val projectId = get("GRAFT_DEFAULT_PROJECT_ID").map(UUID.fromString)
+      .getOrElse(NilProject)
+
+    val store: CatalogStore = get("GRAFT_DB_PATH") match {
+      case Some(dir) => JdbcCatalogStore.embedded(java.nio.file.Paths.get(dir))
+      case None => new InMemoryCatalogStore
+    }
+
+    // fail-fast: an unreachable issuer aborts startup here, inside
+    // build(), before the port is bound — never an open catalog
+    val auth: TokenVerifier = get("GRAFT_OPENID_PROVIDER_URI") match {
+      case Some(uri) => new TokenVerifier.OidcJwtVerifier(uri)
+      case None => TokenVerifier.AllowAnonymous
+    }
+
+    val sink: CloudEventBackend = get("GRAFT_EVENT_SINK") match {
+      case Some(url) if url.startsWith("http://") || url.startsWith("https://") =>
+        new CloudEventBackend.HttpBacked(url)
+      case Some(path) =>
+        new CloudEventBackend.FileBacked(java.nio.file.Paths.get(path))
+      case None => CloudEventBackend.Noop
+    }
+    val publisher = new QueueingEventPublisher(sink)
+
+    val server = new CatalogServer(store, projectId, port = port,
+      events = publisher, auth = auth)
+    new Running(server.start(), store, sink, publisher)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val running = build(sys.env)
+    System.err.println(s"[graft-server] listening on ${running.baseUri}")
+    sys.addShutdownHook(running.close())
+    Thread.currentThread().join() // serve until killed
+  }
+}
