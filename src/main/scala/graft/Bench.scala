@@ -52,13 +52,23 @@ object Bench {
       }
     }
 
+    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the suite — a dev-loop
+    // knob for timing one query without paying the full pass; the
+    // driver never sets it, so round artifacts stay full-suite.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val queries = only match {
+      case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
+      case None => SparkEntry.queries
+    }
+
     // Warmup: run everything once untimed.
-    SparkEntry.queries.foreach { case (name, fn) => runOnce(name, fn) }
+    queries.foreach { case (name, fn) => runOnce(name, fn) }
     // Median-of-N measured passes, full-suite rounds (not back-to-back
     // per query, so one query's page-cache residue can't flatter its
     // own repeat more than everyone else's).
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
-    val rounds = Seq.fill(reps)(SparkEntry.queries.toSeq.map {
+    val rounds = Seq.fill(reps)(queries.toSeq.map {
       case (name, fn) => name -> runOnce(name, fn)
     })
     def median(xs: Seq[Double]): Double = {
@@ -66,7 +76,7 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val results = SparkEntry.queries.keys.toSeq.map { name =>
+    val results = queries.keys.toSeq.map { name =>
       val times = rounds.map(_.find(_._1 == name).get._2)
       val ok = times.filter(_ >= 0)
       name -> (if (ok.isEmpty) (-1.0, -1.0) else (median(ok), ok.min))
@@ -83,8 +93,11 @@ object Bench {
     // delete-prune observability: actual executor delete-set loads this
     // run (0 when no bench query scans a MoR table with live deletes)
     val delLoads = graft.engine.GraftMorScan.deleteCacheLoads
+    // clustering observability: rounds the last connected-components
+    // run took (0 when q_dedup_clusters wasn't in the suite)
+    val ccRounds = graft.llm.Dedup.lastCcRounds
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_stats":$stats,"reps":$reps,"failed":$nFailed,"delete_cache_loads":$delLoads,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_stats":$stats,"reps":$reps,"failed":$nFailed,"delete_cache_loads":$delLoads,"cc_rounds":$ccRounds,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outPath), json + "\n")
     spark.stop()
     // Final clean stdout line AFTER spark.stop() so no executor log

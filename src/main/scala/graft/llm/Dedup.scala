@@ -44,16 +44,6 @@ object Dedup {
     * for the O(log n) convergence contract (spec'd in DedupSpec). */
   @volatile var lastCcRounds: Int = 0
 
-  // at most ONE connected-components result cache is live: each call
-  // unpersists the previous call's labels (see connectedComponents
-  // cache-ownership note)
-  private var lastCcResult: Option[DataFrame] = None
-  private def swapCcResult(df: DataFrame): DataFrame = synchronized {
-    lastCcResult.foreach(_.unpersist(blocking = false))
-    lastCcResult = Some(df)
-    df
-  }
-
   // Spark-side shared snippets.
   private val toksS = "split(lower(text), ' ')"
 
@@ -384,17 +374,25 @@ object Dedup {
     * rows is SQL NULL: an empty pair graph reads as 0 and converges
     * immediately instead of NPE-ing).
     *
-    * CACHE OWNERSHIP: the returned labels stay persisted (consumers
-    * typically aggregate them immediately); the NEXT call unpersists
-    * the previous result, so at most one result cache is ever live. */
+    * CACHE OWNERSHIP: the result is the final round's local
+    * checkpoint, already materialized by that round's probe — its
+    * blocks are its own (no live dependency on the edges cache or
+    * earlier rounds), each call's result is independent (concurrent
+    * pipelines can't evict each other's labels), and storage is
+    * reclaimed by the ContextCleaner when the consumer drops the
+    * frame — no process-lifetime retention, no global slot. */
   private[llm] def connectedComponents(pairs: DataFrame): DataFrame = {
-    // the direction-union's two branches share the upstream pipeline
-    // through exchange reuse — measured FASTER than an explicit
-    // persist+materialize of the pair list (which pays an extra job
-    // and an InMemoryRelation scan per round)
-    val edges = pairs.toDF("src", "dst")
-      .unionAll(pairs.toDF("dst", "src").select(col("src"), col("dst")))
-      .persist()
+    // edges = a persisted LEAF over the symmetrized pair list. The cut
+    // matters as much as the cache: with df.persist() alone every
+    // round's plan embeds the full upstream pair pipeline and the
+    // CacheManager structurally re-compares that tree at each planning
+    // pass — measured ~0.5-0.9 s/round of pure DRIVER time against the
+    // LSH pipeline. As a leaf, round planning is O(round plan). The
+    // union's branches still share the upstream exchange inside the
+    // one materializing job.
+    val (edges, edgesRdd) = org.apache.spark.sql.GraftShims.cachedLeaf(
+      pairs.toDF("src", "dst")
+        .unionAll(pairs.toDF("dst", "src").select(col("src"), col("dst"))))
     // init = the FIRST propagation, fused into the materializing
     // aggregation: l0(v) = min(v, min neighbor) — one keyed agg, same
     // cost as a distinct-nodes init, one whole round cheaper
@@ -426,19 +424,32 @@ object Dedup {
             org.apache.spark.sql.functions.coalesce(col("nbmin"), labels("cluster")))
             .as("cluster"))
       // pointer jump: follow the label one hop (labels are node ids, so
-      // l(v) always has a row) — this is what makes rounds logarithmic
-      val jumped = prop.select(col("id").as("jid"), col("cluster").as("jcluster"))
-      val jumpPlan = prop.join(jumped, col("cluster") === col("jid"), "left")
-        .select(col("id"),
-          org.apache.spark.sql.functions.least(
-            col("cluster"),
-            org.apache.spark.sql.functions.coalesce(col("jcluster"), col("cluster")))
-            .as("cluster"))
-      // lineage CUT: next is a leaf over this round's RDD (upstream the
-      // RDD still reads the cached previous labels), then cached itself
-      val next = jumpPlan.sparkSession
-        .createDataFrame(jumpPlan.rdd, jumpPlan.schema).persist()
-      val s = labelSum(next) // one job: materializes cache + probes
+      // l(v) always has a row) — this is what makes rounds logarithmic.
+      // Round 1 runs propagation ONLY: the fused init already gave
+      // every node its distance-1 minimum, so the first jump can only
+      // reach distance-2 labels — exactly what round-1 propagation
+      // itself delivers on the near-clique graphs LSH emits (cliques
+      // and 2-paths converge with no jump join ever executed). Chains
+      // still get jumps from round 2, keeping convergence O(log n)
+      // (the 1000-node-path bound is pinned in DedupSpec).
+      val jumpPlan =
+        if (rounds == 0) prop
+        else {
+          val jumped = prop.select(col("id").as("jid"), col("cluster").as("jcluster"))
+          prop.join(jumped, col("cluster") === col("jid"), "left")
+            .select(col("id"),
+              org.apache.spark.sql.functions.least(
+                col("cluster"),
+                org.apache.spark.sql.functions.coalesce(col("jcluster"), col("cluster")))
+                .as("cluster"))
+        }
+      // lineage CUT + cache + self-containment in one construct: a lazy
+      // local checkpoint is a leaf over this round's InternalRow RDD
+      // (no external-Row round trip), persisted on first compute — the
+      // probe below materializes it. The final round's frame is thereby
+      // ALREADY independent of earlier rounds' storage when returned.
+      val next = jumpPlan.localCheckpoint(false)
+      val s = labelSum(next) // one job: materializes checkpoint + probes
       changed = s != prevSum
       prevSum = s
       labels.unpersist(blocking = false)
@@ -451,8 +462,13 @@ object Dedup {
     if (changed) System.err.println(
       s"[graft-dedup] connected components did NOT converge in $maxRounds rounds; " +
         "labels may not be component minima")
-    edges.unpersist(blocking = false)
-    Dedup.swapCcResult(labels)
+    edgesRdd.unpersist(blocking = false)
+    // CACHE OWNERSHIP: the returned frame is its own checkpoint — no
+    // dependency on edges/earlier rounds, no global slot, no
+    // cross-call unpersist of an in-use result; superseded rounds'
+    // checkpoint blocks (tiny, component-sized) are reclaimed by the
+    // ContextCleaner once the loop drops their references
+    labels
   }
 
   /** Near-duplicate CLUSTERS: components of the verified MinHash-LSH

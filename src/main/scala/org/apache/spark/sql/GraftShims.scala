@@ -154,6 +154,31 @@ object GraftShims {
       : org.apache.spark.rdd.RDD[catalyst.InternalRow] =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.toRdd
 
+  /** Persisted logical-plan lineage cut WITHOUT a Row round trip: the
+    * plan's `InternalRow` output becomes a persisted RDD wrapped in a
+    * LEAF (`LogicalRDD`) DataFrame. Two distinct costs disappear for
+    * iterative algorithms:
+    *  - plans that reference the frame more than once (a pointer-jump
+    *    self-join) stop doubling the LOGICAL plan per round, and
+    *  - downstream plans embed a leaf instead of the frame's full
+    *    upstream plan — `df.persist()` alone leaves every consumer
+    *    carrying (and the CacheManager structurally re-comparing) the
+    *    whole upstream tree at EVERY planning pass, which measured
+    *    ~0.5-0.9 s/round against a cached LSH pair pipeline.
+    * Rows are copied because the unsafe rows backing `toRdd` are
+    * reused per partition. The returned RDD handle is the cache
+    * owner: callers unpersist it explicitly when the iteration ends
+    * (GC/ContextCleaner reclaim would be too lazy for large
+    * intermediates). */
+  def cachedLeaf(df: Dataset[Row])
+      : (Dataset[Row], org.apache.spark.rdd.RDD[catalyst.InternalRow]) = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    val rdd = ds.queryExecution.toRdd.map(_.copy())
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (ds.sparkSession.internalCreateDataFrame(rdd, ds.schema, isStreaming = false),
+      rdd)
+  }
+
   /** Resolve a configured V2 catalog plugin by name (None → the
     * session's current catalog) — the hook custom SQL commands use to
     * reach their owning catalog instance. */
