@@ -80,6 +80,14 @@ object ServerMain {
     val sink: CloudEventBackend = get("GRAFT_EVENT_SINK") match {
       case Some(url) if url.startsWith("http://") || url.startsWith("https://") =>
         new CloudEventBackend.HttpBacked(url)
+      case Some(url) if url.startsWith("nats://") =>
+        // nats://host:4222/subject — the reference's NATS wiring
+        // (main.rs:56-62 gated on ICEBERG_REST__NATS_ADDRESS + topic)
+        val u = java.net.URI.create(url)
+        val subject = Option(u.getPath).map(_.stripPrefix("/")).filter(_.nonEmpty)
+          .getOrElse("graft-events")
+        new CloudEventBackend.NatsBacked(
+          u.getHost, if (u.getPort > 0) u.getPort else 4222, subject)
       case Some(path) =>
         new CloudEventBackend.FileBacked(java.nio.file.Paths.get(path))
       case None => CloudEventBackend.Noop

@@ -500,6 +500,89 @@ object CloudEventBackend {
     }
   }
 
+  /** NATS-protocol sink: each event's CloudEvents 1.0 JSON published
+    * to a fixed subject over the real NATS client wire protocol — the
+    * exact sibling of the reference's NatsBackend
+    * (event_publisher.rs:163-182: `client.publish(topic,
+    * serde_json::to_vec(&event))`). The protocol is public plaintext
+    * (docs.nats.io): server greets `INFO {...}`, client answers
+    * `CONNECT {...}`, messages are `PUB <subject> <#bytes>\r\n<payload>
+    * \r\n`, liveness is `PING`/`PONG`. Delivery semantics match the
+    * reference end to end: at-most-once — a failed publish throws, the
+    * queueing publisher upstream logs-and-drops, and the next publish
+    * reconnects. All socket ops are timeout-bounded so a hung broker
+    * stalls at most the single publisher worker, never a commit. */
+  final class NatsBacked(
+      host: String, port: Int, subject: String, timeoutMs: Int = 5000)
+      extends CloudEventBackend with AutoCloseable {
+    private var sock: java.net.Socket = _
+    private var in: java.io.BufferedInputStream = _
+    private var out: java.io.OutputStream = _
+
+    private def readLine(): String = {
+      val sb = new java.lang.StringBuilder()
+      var c = in.read()
+      while (c != -1 && c != '\n') { if (c != '\r') sb.append(c.toChar); c = in.read() }
+      if (c == -1 && sb.length() == 0)
+        throw new java.io.EOFException("NATS connection closed")
+      sb.toString
+    }
+
+    private def connect(): Unit = {
+      val s = new java.net.Socket()
+      s.connect(new java.net.InetSocketAddress(host, port), timeoutMs)
+      s.setSoTimeout(timeoutMs)
+      in = new java.io.BufferedInputStream(s.getInputStream)
+      out = s.getOutputStream
+      sock = s
+      val greeting = readLine()
+      if (!greeting.startsWith("INFO "))
+        throw new IllegalStateException(s"not a NATS server: $greeting")
+      out.write(("CONNECT {\"verbose\":false,\"pedantic\":false," +
+        "\"tls_required\":false,\"name\":\"graft-catalog\"," +
+        "\"lang\":\"scala\",\"version\":\"1\"}\r\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.flush()
+    }
+
+    /** Answer any control traffic the server pushed since the last
+      * publish (PING keep-alives must be PONGed or the server drops
+      * the connection); never blocks — only already-buffered bytes. */
+    private def drainControl(): Unit =
+      while (in.available() > 0) {
+        val line = readLine()
+        if (line == "PING")
+          out.write("PONG\r\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        else if (line.startsWith("-ERR"))
+          throw new IllegalStateException(s"NATS server error: $line")
+        // +OK / INFO updates: ignore
+      }
+
+    def publish(event: CatalogEvent): Unit = synchronized {
+      try {
+        if (sock == null || sock.isClosed) connect()
+        drainControl()
+        val payload = HttpBacked.toCloudEvent(event)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        out.write(s"PUB $subject ${payload.length}\r\n"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        out.write(payload)
+        out.write("\r\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        out.flush()
+      } catch {
+        case e: Exception =>
+          close() // next publish reconnects
+          throw new IllegalStateException(
+            s"NATS publish to $host:$port/$subject failed: ${e.getMessage}", e)
+      }
+    }
+
+    def close(): Unit = synchronized {
+      if (sock != null) { try sock.close() catch { case _: Exception => () } }
+      sock = null
+    }
+  }
+
   object HttpBacked {
     private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 

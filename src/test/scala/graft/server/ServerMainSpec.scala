@@ -128,6 +128,55 @@ class ServerMainSpec extends AnyFunSuite {
     } finally running.close() // idempotent: stop/close tolerate a second call
   }
 
+  test("GRAFT_EVENT_SINK nats:// URL wires the NATS-protocol sink") {
+    // minimal wire-protocol stub: INFO greeting, then record PUB frames
+    val pubs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val server = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    val stub = new Thread(() => {
+      try while (!server.isClosed) {
+        val s = server.accept()
+        try {
+          val in = new java.io.DataInputStream(
+            new java.io.BufferedInputStream(s.getInputStream))
+          def line(): String = {
+            val sb = new java.lang.StringBuilder()
+            var c = in.read()
+            while (c != -1 && c != '\n') { if (c != '\r') sb.append(c.toChar); c = in.read() }
+            if (c == -1) null else sb.toString
+          }
+          s.getOutputStream.write("INFO {}\r\n".getBytes("UTF-8"))
+          var l = line()
+          while (l != null) {
+            if (l.startsWith("PUB ")) {
+              val n = l.split(" ")(2).toInt
+              val buf = new Array[Byte](n)
+              in.readFully(buf); line()
+              pubs.add(l.split(" ")(1) + "|" + new String(buf, "UTF-8"))
+            }
+            l = line()
+          }
+        } catch { case _: Exception => () } finally s.close()
+      } catch { case _: Exception => () }
+    })
+    stub.setDaemon(true); stub.start()
+    val running = ServerMain.build(Map(
+      "GRAFT_PORT" -> "0",
+      "GRAFT_EVENT_SINK" -> s"nats://127.0.0.1:${server.getLocalPort}/catalog.events"))
+    try {
+      val prefix = createWarehouse(running.baseUri, ServerMain.NilProject)
+      val client = new RestCatalogClient(running.baseUri)
+      client.createNamespace(prefix, Seq("db"), Map.empty)
+      client.createTable(prefix, TableIdent(Seq("db"), "t"),
+        graft.core.Schema(0, Seq(graft.core.NestedField.required(
+          1, "id", graft.core.IType.TLong))))
+      running.close() // joins the publisher worker
+      val seen = pubs.toArray(Array.empty[String]).toSeq
+      assert(seen.exists(p => p.startsWith("catalog.events|") &&
+        p.contains("createTable")), s"expected a createTable on the subject: $seen")
+    } finally { running.close(); server.close() }
+  }
+
   test("GRAFT_DEFAULT_PROJECT_ID scopes the default project") {
     val pid = UUID.randomUUID()
     val running = ServerMain.build(Map(

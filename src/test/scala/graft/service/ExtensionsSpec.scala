@@ -226,4 +226,127 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"expected shed load: delivered ${slow.size}/10")
     } finally http.stop(0)
   }
+
+  /** Line-oriented stub NATS broker: speaks the real wire protocol
+    * (INFO greeting, CONNECT, PUB framing, PING/PONG) and records what
+    * it sees. Handles sequential reconnects. */
+  private final class NatsStub {
+    val connects = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val pubs = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    val pongs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pingAfterNextPub = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val pingSent = new java.util.concurrent.Semaphore(0)
+    @volatile var dropAfterNextPub = false
+    private val server = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    def port: Int = server.getLocalPort
+    private val thread = new Thread(() => {
+      try while (!server.isClosed) {
+        val s = server.accept()
+        try {
+          val in = new java.io.DataInputStream(
+            new java.io.BufferedInputStream(s.getInputStream))
+          val out = s.getOutputStream
+          def line(): String = {
+            val sb = new java.lang.StringBuilder()
+            var c = in.read()
+            while (c != -1 && c != '\n') { if (c != '\r') sb.append(c.toChar); c = in.read() }
+            if (c == -1) null else sb.toString
+          }
+          out.write("INFO {\"server_id\":\"stub\"}\r\n".getBytes("UTF-8"))
+          var l = line()
+          var open = true
+          while (open && l != null) {
+            if (l.startsWith("CONNECT ")) connects.add(l.drop(8))
+            else if (l.startsWith("PUB ")) {
+              val Array(_, subj, n) = l.split(" ")
+              val buf = new Array[Byte](n.toInt)
+              in.readFully(buf)
+              line() // trailing CRLF
+              pubs.add(subj -> new String(buf, "UTF-8"))
+              if (pingAfterNextPub.getAndSet(false)) {
+                out.write("PING\r\n".getBytes("UTF-8")); out.flush()
+                pingSent.release()
+              }
+              if (dropAfterNextPub) {
+                dropAfterNextPub = false
+                out.write("-ERR forced disconnect\r\n".getBytes("UTF-8"))
+                out.flush()
+                open = false
+              }
+            } else if (l == "PONG") pongs.incrementAndGet()
+            if (open) l = line()
+          }
+        } catch { case _: Exception => () } finally s.close()
+      } catch { case _: Exception => () }
+    })
+    thread.setDaemon(true); thread.start()
+    def close(): Unit = server.close()
+  }
+
+  test("NATS sink: wire-protocol publish, PING answered, reconnect after drop") {
+    val stub = new NatsStub
+    val ident = TableIdent(Seq("db"), "t")
+    def evt(tpe: String, i: Long) =
+      CatalogEvent(tpe, UUID.randomUUID(), ident, UUID.randomUUID(), i, 1700000000000L + i)
+    val sink = new CloudEventBackend.NatsBacked(
+      "127.0.0.1", stub.port, "graft.events", timeoutMs = 3000)
+    try {
+      // delivery: CONNECT handshake then CloudEvents payloads on the
+      // configured subject (ref event_publisher.rs:172-177 — serialized
+      // event to a fixed topic)
+      val p = new QueueingEventPublisher(sink)
+      stub.pingAfterNextPub.set(true)
+      p.emit(evt("createTable", 1L))
+      assert(stub.pingSent.tryAcquire(5, java.util.concurrent.TimeUnit.SECONDS))
+      p.emit(evt("updateTable", 2L)) // drains the PING → PONG first
+      p.close()
+      // writes are fire-and-forget over TCP: wait for the broker side
+      def await(cond: => Boolean): Boolean = {
+        val t0 = System.currentTimeMillis()
+        while (!cond && System.currentTimeMillis() - t0 < 5000) Thread.sleep(20)
+        cond
+      }
+      assert(await(stub.pubs.size == 2 && stub.pongs.get() == 1),
+        s"broker saw ${stub.pubs.size} pubs / ${stub.pongs.get()} pongs")
+      assert(stub.connects.size === 1)
+      val seen = stub.pubs.toArray(Array.empty[(String, String)]).toSeq
+      assert(seen.map(_._1) === Seq("graft.events", "graft.events"))
+      val n = graft.core.JsonCodecs.parse(seen.head._2)
+      assert(n.get("specversion").asText() === "1.0")
+      assert(n.get("type").asText() === "createTable")
+      assert(n.get("data").get("name").asText() === "t")
+      assert(stub.pongs.get() === 1, "keep-alive PING must be PONGed")
+
+      // broker sends -ERR and drops the connection: publishes caught
+      // mid-drop fail loudly (at-most-once — logged-and-dropped
+      // upstream), and a LATER publish reconnects and delivers.
+      // Bounded retry because TCP close propagation is asynchronous —
+      // which specific event is lost is explicitly not the contract.
+      val pubsBefore = stub.pubs.size
+      stub.dropAfterNextPub = true
+      sink.publish(evt("dropTable", 3L)) // delivered, then broker hangs up
+      var attempts = 0
+      // a write into the dying socket can "succeed" into the OS buffer,
+      // so recovery is judged by what the BROKER received, not by
+      // publish() not throwing
+      while (stub.pubs.size < pubsBefore + 2 && attempts < 20) {
+        attempts += 1
+        try sink.publish(evt("createTable", 100L + attempts))
+        catch { case _: IllegalStateException => () }
+        if (stub.pubs.size < pubsBefore + 2) Thread.sleep(100)
+      }
+      assert(stub.pubs.size >= pubsBefore + 2,
+        s"publish never recovered after the broker drop ($attempts attempts)")
+      assert(stub.connects.size >= 2, "expected a reconnect after the drop")
+
+      // dead broker: publish throws (the publisher's log-and-drop
+      // contract), emit never blocks the caller
+      stub.close()
+      sink.close()
+      val dead = new CloudEventBackend.NatsBacked(
+        "127.0.0.1", stub.port, "graft.events", timeoutMs = 500)
+      intercept[IllegalStateException](dead.publish(evt("createTable", 6L)))
+    } finally { stub.close(); sink.close() }
+  }
 }
