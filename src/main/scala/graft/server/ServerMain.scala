@@ -27,12 +27,15 @@ import java.util.UUID
   *                            unreachable issuer exactly like the
   *                            reference's `Verifier::new(uri).await?`,
   *                            main.rs:86). Unset → anonymous
-  *  - `GRAFT_EVENT_SINK`      `http(s)://…` → CloudEvents POST sink;
-  *                            any other non-empty value → JSONL file
-  *                            sink at that path; unset → drop (the
-  *                            reference publishes to NATS when
-  *                            `ICEBERG_REST__NATS_ADDRESS` is set,
-  *                            else tracing only, main.rs:56-62)
+  *  - `GRAFT_EVENT_SINK`      `nats://host:port/subject` → NATS
+  *                            wire-protocol sink (the reference's
+  *                            backend, gated on
+  *                            `ICEBERG_REST__NATS_ADDRESS`,
+  *                            main.rs:56-62); `http(s)://…` →
+  *                            CloudEvents POST sink; any other
+  *                            non-empty value → JSONL file sink at
+  *                            that path; unset → drop (reference:
+  *                            tracing only)
   *  - `GRAFT_DEFAULT_PROJECT_ID`   UUID for single-project deployments
   *                            (reference config.rs default-project
   *                            semantics); default = the nil UUID
