@@ -5,7 +5,8 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import java.nio.file.{Files, Path, Paths}
 
-/** Byte-golden pinning of the avro manifest + manifest-list writer.
+/** Byte-golden pinning of the table-format writers: avro manifests,
+  * the avro manifest list, and metadata.json (text + gzip mirror).
   *
   * Why bytes: IcebergAvroConformanceSpec reads our manifests back with
   * a spec-transcribed strict reader, but a transcription error SHARED
@@ -133,6 +134,64 @@ class IcebergAvroGoldenSpec extends AnyFunSuite {
     val infoD = IcebergAvro.writeManifest(pd, Seq(del), ctx)
     assert(infoD.isDefined)
     checkGolden("manifest-deletes.avro", normalizeSync(Files.readAllBytes(Paths.get(pd))))
+  }
+
+  test("metadata.json bytes are pinned (text + gzip container)") {
+    import graft.core._
+    // a representative metadata document: schema evolution (2 schemas),
+    // spec evolution, a sorted order, two snapshots with summaries and
+    // history, a branch and a tag — every v2 required field populated,
+    // all values fixed (TableMetadataBuilder is pure: callers supply
+    // uuid/timestamps, so the serialized form is fully deterministic)
+    val schema1 = schema.copy(schemaId = 1,
+      fields = schema.fields :+ NestedField.optional(5, "note", IType.TString))
+    val snap1 = Snapshot(1111111111111111L, None, 1L, 1700000000000L,
+      "s3://wh/db/t/metadata/snap-1.json",
+      Map("operation" -> "append", "added-data-files" -> "2"), Some(0))
+    val snap2 = Snapshot(4242424242424242L, Some(snap1.snapshotId), 3L,
+      1700000100000L, "s3://wh/db/t/metadata/snap-2.json",
+      Map("operation" -> "overwrite"), Some(1))
+    val meta = TableMetadata(
+      formatVersion = 2,
+      tableUuid = java.util.UUID.fromString("11111111-2222-3333-4444-555555555555"),
+      location = "s3://wh/db/t",
+      lastSequenceNumber = 3L,
+      lastUpdatedMs = 1700000100000L,
+      lastColumnId = 5,
+      schemas = Map(0 -> schema, 1 -> schema1),
+      currentSchemaId = 1,
+      partitionSpecs = Map(0 -> spec),
+      defaultSpecId = 0,
+      lastPartitionId = 1000,
+      properties = Map("write.sort.enabled" -> "true", "owner" -> "graft"),
+      currentSnapshotId = Some(snap2.snapshotId),
+      snapshots = Map(snap1.snapshotId -> snap1, snap2.snapshotId -> snap2),
+      snapshotLog = Seq(
+        SnapshotLogEntry(snap1.snapshotId, snap1.timestampMs),
+        SnapshotLogEntry(snap2.snapshotId, snap2.timestampMs)),
+      metadataLog = Seq(MetadataLogEntry(
+        "s3://wh/db/t/metadata/00000.gz.metadata.json", 1700000000000L)),
+      sortOrders = Map(1 -> SortOrder(1, Seq(SortField(1, Transform.Identity,
+        SortDirection.Asc, NullOrder.NullsFirst)))),
+      defaultSortOrderId = 1,
+      refs = Map(
+        TableMetadata.MainBranch -> SnapshotReference(
+          snap2.snapshotId, SnapshotRefType.Branch),
+        "v1" -> SnapshotReference(snap1.snapshotId, SnapshotRefType.Tag,
+          maxRefAgeMs = Some(86400000L))))
+
+    checkGolden("metadata.json",
+      graft.core.JsonCodecs.metadataToJson(meta)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    // the on-disk mirror: gzip container must be byte-stable too (Java's
+    // GZIPOutputStream writes MTIME=0, so the only input is the JSON)
+    val dir = Files.createTempDirectory("graft-golden")
+    val p = dir.resolve("m.gz.metadata.json")
+    graft.catalog.MetadataIO.write(p.toString, meta)
+    val roundTrip = graft.catalog.MetadataIO.read(p.toString)
+    assert(roundTrip === Right(meta), s"gzip mirror round trip: $roundTrip")
+    checkGolden("metadata.gz", Files.readAllBytes(p))
   }
 
   test("manifest-list bytes are pinned") {
