@@ -97,6 +97,48 @@ class DedupSpec extends AnyFunSuite {
     assert(out.forall(r => r.getLong(2) >= 1 && r.getLong(2) <= Dedup.NumBands))
   }
 
+  test("connected components match a union-find oracle on random graphs") {
+    import spark.implicits._
+    // deterministic pseudo-random graphs (fixed seeds) spanning the
+    // regimes the iterative algorithm must handle: sparse forests,
+    // dense near-cliques, and mixtures with isolated pairs — each
+    // compared against a driver-side union-find ground truth
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 120 + rnd.nextInt(80)
+      val pEdge = Seq(0.01, 0.05, 0.3)(seed % 3)
+      val pairs = (for {
+        a <- 0 until n; b <- (a + 1) until n
+        if rnd.nextDouble() < pEdge
+      } yield (a.toLong, b.toLong)).toSeq
+      if (pairs.nonEmpty) {
+        // oracle: path-compressed union-find, then min id per root
+        val parent = Array.tabulate(n)(identity)
+        def find(x: Int): Int = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+          r
+        }
+        pairs.foreach { case (a, b) =>
+          val (ra, rb) = (find(a.toInt), find(b.toInt))
+          if (ra != rb) parent(ra) = rb
+        }
+        val minOfRoot = (0 until n).filter(v => pairs.exists(p =>
+            p._1 == v || p._2 == v))
+          .groupBy(find).map { case (r, vs) => r -> vs.min.toLong }
+        val expected = (0 until n).flatMap(v =>
+          if (pairs.exists(p => p._1 == v || p._2 == v))
+            Some(v.toLong -> minOfRoot(find(v))) else None).toMap
+
+        val got = Dedup.connectedComponents(pairs.toDF("id_a", "id_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got === expected, s"seed=$seed n=$n p=$pEdge edges=${pairs.size}")
+      }
+    }
+  }
+
   test("n-gram Jaccard inverted index recovers the derived near-copies") {
     // every 11th doc gets a truncated near-copy (id + 3000000): the
     // df-capped inverted index must surface those pairs and the exact

@@ -148,4 +148,10 @@ class SamplingSpec extends AnyFunSuite {
       .orderBy("shard")
     assert(packed.toSeq === single.collect().toSeq)
   }
+
+  test("packShards on an empty corpus returns zero shards, no failure") {
+    val empty = spark.range(0, 0).selectExpr("id as doc_id", "cast(1 as int) as n_toks")
+    assert(Sampling.packShards(empty).collect().isEmpty)
+    assert(Sampling.lastPackCuts.isEmpty)
+  }
 }
