@@ -123,6 +123,18 @@ final class CatalogServer(
   // -------------------------------------------------------------- router
   private def route(ex: HttpExchange): Unit =
     try {
+      // liveness probe OUTSIDE the auth middleware (reference mounts
+      // /health on the root router, api/router.rs:53 — load balancers
+      // and the healthcheck subcommand carry no token)
+      if (ex.getRequestURI.getPath == "/health") {
+        ex.getResponseHeaders.set("Content-Type", "text/plain")
+        val okBytes = "OK".getBytes(StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(200, okBytes.length.toLong)
+        val os = ex.getResponseBody
+        try os.write(okBytes) finally os.close()
+        ex.close()
+        return
+      }
       // authn middleware: every route behind bearer verification when a
       // verifier is mounted (reference token_verification.rs:46-75)
       val bearer = Option(ex.getRequestHeaders.getFirst("Authorization"))

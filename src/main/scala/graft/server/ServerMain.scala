@@ -102,10 +102,51 @@ object ServerMain {
     new Running(server.start(), store, sink, publisher)
   }
 
-  def main(args: Array[String]): Unit = {
-    val running = build(sys.env)
-    System.err.println(s"[graft-server] listening on ${running.baseUri}")
-    sys.addShutdownHook(running.close())
-    Thread.currentThread().join() // serve until killed
+  val Version = "0.9.0"
+
+  /** Subcommands mirror the reference CLI (main.rs:123-160):
+    * `serve` (default), `migrate`, `healthcheck`, `version`. */
+  def main(args: Array[String]): Unit = args.headOption.getOrElse("serve") match {
+    case "serve" =>
+      val running = build(sys.env)
+      System.err.println(s"[graft-server] graft catalog $Version listening on ${running.baseUri}")
+      sys.addShutdownHook(running.close())
+      Thread.currentThread().join() // serve until killed
+    case "migrate" =>
+      // embedded-Derby DDL runs on first store construction — the
+      // JDBC sibling of the reference's embedded sqlx migrations
+      // (main.rs:124-133); a no-op on an already-migrated directory
+      sys.env.get("GRAFT_DB_PATH") match {
+        case Some(dir) =>
+          JdbcCatalogStore.embedded(java.nio.file.Paths.get(dir))
+          println(s"Database migration complete: $dir")
+        case None =>
+          System.err.println("migrate requires GRAFT_DB_PATH")
+          sys.exit(1)
+      }
+    case "healthcheck" =>
+      val port = sys.env.get("GRAFT_PORT").map(_.trim).filter(_.nonEmpty)
+        .map(_.toInt).getOrElse(8080)
+      val healthy =
+        try healthcheck(s"http://127.0.0.1:$port")
+        catch { case _: Exception => false }
+      if (!healthy) { System.err.println("Server is not healthy"); sys.exit(1) }
+      println("Server is healthy.")
+    case "version" => println(Version)
+    case other =>
+      System.err.println(s"unknown subcommand '$other' (serve|migrate|healthcheck|version)")
+      sys.exit(1)
+  }
+
+  /** GET /health — true iff the server answers 200 (the probe route
+    * sits outside the auth middleware, so no token is needed). */
+  def healthcheck(baseUri: String): Boolean = {
+    val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(5)).build()
+    val resp = client.send(
+      java.net.http.HttpRequest.newBuilder(java.net.URI.create(s"$baseUri/health"))
+        .timeout(java.time.Duration.ofSeconds(5)).GET().build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    resp.statusCode() == 200 && resp.body() == "OK"
   }
 }

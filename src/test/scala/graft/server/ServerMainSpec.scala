@@ -177,6 +177,43 @@ class ServerMainSpec extends AnyFunSuite {
     } finally { running.close(); server.close() }
   }
 
+  test("/health answers without a token even when OIDC is mounted") {
+    import com.sun.net.httpserver.HttpServer
+    val kpg = java.security.KeyPairGenerator.getInstance("RSA")
+    kpg.initialize(2048)
+    val kp = kpg.generateKeyPair()
+    val stub = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val base = s"http://127.0.0.1:${stub.getAddress.getPort}"
+    val issuer = s"$base/realm"
+    def respond(ex: com.sun.net.httpserver.HttpExchange, body: String): Unit = {
+      val b = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, b.length)
+      ex.getResponseBody.write(b)
+      ex.close()
+    }
+    stub.createContext("/realm/.well-known/openid-configuration",
+      ex => respond(ex, s"""{"issuer":"$issuer","jwks_uri":"$base/realm/jwks"}"""))
+    stub.createContext("/realm/jwks", ex => respond(ex, TokenVerifier.jwksJson(
+      Map("k1" -> kp.getPublic.asInstanceOf[java.security.interfaces.RSAPublicKey]))))
+    stub.start()
+    try {
+      val running = ServerMain.build(Map(
+        "GRAFT_PORT" -> "0", "GRAFT_OPENID_PROVIDER_URI" -> issuer))
+      try {
+        // the auth'd surface still 401s...
+        assert(post(running.baseUri, "/management/v1/warehouse", "{}")
+          .statusCode() === 401)
+        // ...while the liveness probe answers token-free (the reference
+        // mounts /health on the root router, api/router.rs:53)
+        assert(ServerMain.healthcheck(running.baseUri))
+      } finally running.close()
+    } finally stub.stop(0)
+  }
+
+  test("healthcheck is false against a dead server") {
+    intercept[Exception](ServerMain.healthcheck("http://127.0.0.1:1"))
+  }
+
   test("GRAFT_DEFAULT_PROJECT_ID scopes the default project") {
     val pid = UUID.randomUUID()
     val running = ServerMain.build(Map(
