@@ -43,7 +43,12 @@ object Bench {
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val df = fn(spark, sfDir)
+        if (sys.env.contains("GRAFT_PROF")) {
+          df.queryExecution.executedPlan
+          System.err.println(s"[prof] $name plan: ${(System.nanoTime()-t0)/1e9}")
+        }
+        df.write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       } catch {
         case e: Throwable =>

@@ -29,10 +29,13 @@ final class CatalogServer(
     events: graft.service.QueueingEventPublisher =
       new graft.service.QueueingEventPublisher(graft.service.CloudEventBackend.Noop),
     auth: graft.service.TokenVerifier = graft.service.TokenVerifier.AllowAnonymous,
-    authConfig: graft.service.AuthConfigHandler = graft.service.AuthConfigHandler.None) {
+    authConfig: graft.service.AuthConfigHandler = graft.service.AuthConfigHandler.None,
+    /** loopback by default (safe for tests/dev); deployments pass
+      * "0.0.0.0" like the reference's bind_addr (main.rs:136-138) */
+    bindHost: String = "127.0.0.1") {
   import graft.service.CatalogEvent
 
-  private val server: HttpServer = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  private val server: HttpServer = HttpServer.create(new InetSocketAddress(bindHost, port), 0)
   server.setExecutor(Executors.newFixedThreadPool(16))
   server.createContext("/", (ex: HttpExchange) => route(ex))
 

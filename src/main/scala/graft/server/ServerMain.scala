@@ -97,8 +97,11 @@ object ServerMain {
     }
     val publisher = new QueueingEventPublisher(sink)
 
+    // GRAFT_BIND=0.0.0.0 exposes the server beyond loopback (the
+    // reference binary's bind, main.rs:136-138); default stays local
     val server = new CatalogServer(store, projectId, port = port,
-      events = publisher, auth = auth)
+      events = publisher, auth = auth,
+      bindHost = get("GRAFT_BIND").getOrElse("127.0.0.1"))
     new Running(server.start(), store, sink, publisher)
   }
 
