@@ -22,6 +22,7 @@ object SparkEntry {
       graft.llm.Similarity.queries ++
       graft.llm.TextAnalysis.queries ++
       graft.llm.Sampling.queries ++
+      graft.llm.Decontaminate.queries ++
       graft.llm.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -32,5 +33,6 @@ object SparkEntry {
       graft.llm.Similarity.oracleSql ++
       graft.llm.TextAnalysis.oracleSql ++
       graft.llm.Sampling.oracleSql ++
+      graft.llm.Decontaminate.oracleSql ++
       graft.llm.Multimodal.oracleSql
 }

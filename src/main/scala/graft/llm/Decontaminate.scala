@@ -1,0 +1,125 @@
+package graft.llm
+
+import graft.Tables.load
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col, count, explode, expr}
+
+/** Benchmark decontamination: find corpus documents whose content
+  * overlaps an evaluation ("benchmark") set — the training-data
+  * hygiene step that keeps eval questions out of the training corpus.
+  * Like the rest of the llm layer this has no counterpart in the
+  * reference (it delegates data processing to Spark, SURVEY.md §2.5);
+  * the DuckDB oracle replays the identical derivation.
+  *
+  * Semantics: a corpus document is CONTAMINATED by a benchmark
+  * document when it shares ≥ half of the benchmark document's distinct
+  * word-3-gram shingles (overlap is measured against the BENCHMARK
+  * side — "most of this eval item appears in the training doc" — the
+  * direction real decontamination pipelines gate on). Shingles that
+  * appear in more than [[Dedup.DfCap]] benchmark documents are dropped
+  * from matching (boilerplate carries no contamination signal), the
+  * same df-cap discipline as the n-gram dedup family.
+  *
+  * Scale design (100 TB corpora):
+  *  - The benchmark side is BOUNDED (eval sets are finite — thousands
+  *    of documents, not corpus-scale), so its shingle index and sizes
+  *    BROADCAST: the corpus side is one pass — shingle-hash postings
+  *    (one native pass per doc, [[graft.functions.TextHashExprs
+  *    .shingleHashes]]) map-side-joined against the broadcast index,
+  *    then ONE keyed aggregation on (doc, bench). Nothing is all-pairs
+  *    and the corpus never shuffles by shingle.
+  *  - Join fanout per corpus posting is bounded by the benchmark df
+  *    cap; per-doc output is bounded by the benchmark count.
+  *  - Matching is on 60-bit portable md5 shingle hashes (collisions
+  *    negligible; cross-engine parity with DuckDB's string-set counts
+  *    is the same contract the n-gram Jaccard family pins at 48/48).
+  *
+  * Test corpus derives true positives deterministically: benchmark =
+  * every 97th doc; each benchmark doc plants a "leak" (id + 4000000,
+  * text minus its last 3 tokens) in the corpus.
+  */
+object Decontaminate {
+
+  private val toksS = "split(lower(text), ' ')"
+
+  def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = load(s, dir, "documents").selectExpr("doc_id as id", s"$toksS as toks")
+    val bench = base.filter("id % 97 = 0")
+    val leaked = bench.selectExpr(
+      "id + 4000000 as id", "slice(toks, 1, greatest(size(toks) - 3, 0)) as toks")
+    val corpus = base.filter("id % 97 != 0").unionAll(leaked)
+
+    // the repartitions are EXCHANGE BARRIERS: they materialize the
+    // computed hash arrays so each explode's child is a plain
+    // attribute (the Generate re-evaluation trap, see Dedup)
+    val bsh = bench
+      .select(col("id").as("bench_id"),
+        graft.functions.TextHashExprs.shingleHashes(col("toks")).as("sh"))
+      .repartition(col("bench_id"))
+    val bsz = bsh.filter("size(sh) > 0")
+      .selectExpr("bench_id", "cast(size(sh) as bigint) as bsize")
+    // benchmark-side df cap: shingles shared by many benchmark docs
+    // are boilerplate, not signal (and bound the join fanout)
+    val bkept = bsh.select(col("bench_id"), explode(col("sh")).as("s"))
+      .withColumn("bdf", count(expr("*")).over(Window.partitionBy("s")))
+      .filter(col("bdf") <= Dedup.DfCap)
+      .select("bench_id", "s")
+
+    val cpost = corpus
+      .select(col("id").as("doc_id"),
+        graft.functions.TextHashExprs.shingleHashes(col("toks")).as("sh"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+
+    cpost.join(broadcast(bkept), "s")
+      .groupBy("doc_id", "bench_id")
+      .agg(count(expr("*")).as("n_shared"))
+      .join(broadcast(bsz), "bench_id")
+      .selectExpr("doc_id", "bench_id", "n_shared",
+        "cast(n_shared as double) / bsize as overlap")
+      .filter("overlap >= 0.5")
+      .select("doc_id", "bench_id", "n_shared", "overlap")
+      .orderBy("doc_id", "bench_id")
+  }
+
+  /** DuckDB twin — string-valued shingle sets, identical derivation,
+    * posting-join shape mirrored so the df-cap semantics match
+    * exactly. */
+  val qDecontaminateSql: String = {
+    val shingleD =
+      """list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+        |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))""".stripMargin
+    s"""WITH base AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS toks FROM documents),
+       |bench AS (SELECT id, toks FROM base WHERE id % 97 = 0),
+       |leaked AS (SELECT id + 4000000 AS id, toks[1:greatest(len(toks) - 3, 0)] AS toks FROM bench),
+       |corpus AS (
+       |  SELECT id, toks FROM base WHERE id % 97 != 0
+       |  UNION ALL
+       |  SELECT id, toks FROM leaked),
+       |bsh AS (SELECT id AS bench_id, $shingleD AS sh FROM bench),
+       |bsz AS (SELECT bench_id, len(sh) AS bsize FROM bsh WHERE len(sh) > 0),
+       |bpost AS (SELECT bench_id, unnest(sh) AS s FROM bsh),
+       |bkept AS (
+       |  SELECT bench_id, s FROM bpost
+       |  WHERE s IN (SELECT s FROM bpost GROUP BY s HAVING COUNT(*) <= ${Dedup.DfCap})),
+       |csh AS (SELECT id AS doc_id, $shingleD AS sh FROM corpus),
+       |cpost AS (SELECT doc_id, unnest(sh) AS s FROM csh),
+       |shared AS (
+       |  SELECT doc_id, bench_id, COUNT(*) AS n_shared
+       |  FROM cpost JOIN bkept USING (s)
+       |  GROUP BY doc_id, bench_id)
+       |SELECT doc_id, bench_id, n_shared,
+       |       CAST(n_shared AS DOUBLE) / bsize AS overlap
+       |FROM shared JOIN bsz USING (bench_id)
+       |WHERE CAST(n_shared AS DOUBLE) / bsize >= 0.5
+       |ORDER BY doc_id, bench_id""".stripMargin
+  }
+
+  // ----------------------------------------------------------- registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_decontaminate" -> (qDecontaminate _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_decontaminate" -> qDecontaminateSql)
+}
