@@ -205,15 +205,76 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
 
   // ----------------------------------------------------------- registry
+  /** Within-document repetition metrics — the Gopher/MassiveText-style
+    * quality filters over token streams: duplicate-token fraction
+    * (1 − distinct/total) and top-bigram fraction (occurrences of the
+    * most frequent 2-gram over all 2-grams). Highly repetitive
+    * documents (template spam, keyword stuffing, decode loops) score
+    * high on both and are dropped by quality gates.
+    *
+    * Scale: the distinct/total side is per-row HOFs (zero shuffle);
+    * the bigram mode explodes to (doc, bigram) rows — corpus-token
+    * cardinality — then TWO keyed aggregations on doc-local keys, so
+    * every stage is keyed by doc and map-side combinable. The explode
+    * child is a materialized array column behind an exchange barrier
+    * (the Generate re-evaluation trap, see Dedup). Docs with <2
+    * tokens have no bigrams and drop out (inner join, both engines). */
+  def qTextRepetition(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, explode, max, sum}
+    val t = load(s, dir, "documents")
+      .selectExpr("doc_id", "split(lower(text), ' ') as toks")
+    val st = t.selectExpr(
+      "doc_id",
+      "cast(size(toks) as bigint) as n_toks",
+      "cast(size(array_distinct(toks)) as bigint) as n_distinct")
+    val bi = t.filter("size(toks) >= 2")
+      .selectExpr("doc_id",
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) as bgs""".stripMargin)
+      .repartition(col("doc_id")) // materialize bgs before the explode
+      .selectExpr("doc_id", "explode(bgs) as bg")
+    val top = bi.groupBy("doc_id", "bg").count()
+      .groupBy("doc_id")
+      .agg(max("count").as("top_bg"), sum("count").as("total_bg"))
+    st.join(top, "doc_id")
+      .selectExpr(
+        "doc_id", "n_toks",
+        "cast(n_toks - n_distinct as double) / n_toks as dup_tok_frac",
+        "cast(top_bg as double) / total_bg as top_bigram_frac")
+      .orderBy("doc_id")
+  }
+
+  val qTextRepetitionSql: String =
+    """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+      |st AS (
+      |  SELECT doc_id, len(toks) AS n_toks,
+      |         len(list_distinct(toks)) AS n_distinct
+      |  FROM t),
+      |bg AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(range(1, len(toks)),
+      |           i -> toks[i] || ' ' || toks[i+1])) AS bg
+      |  FROM t WHERE len(toks) >= 2),
+      |cnt AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg),
+      |top AS (SELECT doc_id, MAX(c) AS top_bg, SUM(c) AS total_bg
+      |        FROM cnt GROUP BY doc_id)
+      |SELECT st.doc_id, st.n_toks,
+      |       CAST(st.n_toks - st.n_distinct AS DOUBLE) / st.n_toks AS dup_tok_frac,
+      |       CAST(top.top_bg AS DOUBLE) / top.total_bg AS top_bigram_frac
+      |FROM st JOIN top ON st.doc_id = top.doc_id
+      |ORDER BY st.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats" -> (qTextStats _),
     "q_text_quality" -> (qTextQuality _),
     "q_text_langid" -> (qTextLangId _),
-    "q_text_fingerprint" -> (qTextFingerprint _))
+    "q_text_fingerprint" -> (qTextFingerprint _),
+    "q_text_repetition" -> (qTextRepetition _))
 
   val oracleSql: Map[String, String] = Map(
     "q_text_stats" -> qTextStatsSql,
     "q_text_quality" -> qTextQualitySql,
     "q_text_langid" -> qTextLangIdSql,
-    "q_text_fingerprint" -> qTextFingerprintSql)
+    "q_text_fingerprint" -> qTextFingerprintSql,
+    "q_text_repetition" -> qTextRepetitionSql)
 }
