@@ -212,37 +212,27 @@ object TextAnalysis {
     * documents (template spam, keyword stuffing, decode loops) score
     * high on both and are dropped by quality gates.
     *
-    * Scale: the distinct/total side is per-row HOFs (zero shuffle);
-    * the bigram mode explodes to (doc, bigram) rows — corpus-token
-    * cardinality — then TWO keyed aggregations on doc-local keys, so
-    * every stage is keyed by doc and map-side combinable. The explode
-    * child is a materialized array column behind an exchange barrier
-    * (the Generate re-evaluation trap, see Dedup). Docs with <2
-    * tokens have no bigrams and drop out (inner join, both engines). */
-  def qTextRepetition(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, explode, max, sum}
-    val t = load(s, dir, "documents")
-      .selectExpr("doc_id", "split(lower(text), ' ') as toks")
-    val st = t.selectExpr(
-      "doc_id",
-      "cast(size(toks) as bigint) as n_toks",
-      "cast(size(array_distinct(toks)) as bigint) as n_distinct")
-    val bi = t.filter("size(toks) >= 2")
-      .selectExpr("doc_id",
-        """transform(sequence(1, size(toks) - 1),
-          |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) as bgs""".stripMargin)
-      .repartition(col("doc_id")) // materialize bgs before the explode
-      .selectExpr("doc_id", "explode(bgs) as bg")
-    val top = bi.groupBy("doc_id", "bg").count()
-      .groupBy("doc_id")
-      .agg(max("count").as("top_bg"), sum("count").as("total_bg"))
-    st.join(top, "doc_id")
+    * Scale: the ENTIRE metric is one native codegen'd pass per
+    * document ([[graft.functions.TextHashExprs.repetitionStats]]:
+    * token count, distinct tokens, top-bigram multiplicity, bigram
+    * total from doc-local exact string counting — memory bounded by
+    * the doc's own length) — zero data-plane shuffles, only the final
+    * output sort. The first formulation (interpreted-HOF bigram
+    * transform + explode + two keyed aggs) measured ~6 µs/element and
+    * two corpus shuffles; the native pass replaces all of it, the same
+    * trade every hashing operator in this layer makes. Docs with <2
+    * tokens have no bigrams and drop out (both engines). */
+  def qTextRepetition(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        graft.functions.TextHashExprs.repetitionStats(
+          org.apache.spark.sql.functions.expr("split(lower(text), ' ')")).as("r"))
+      .filter("r.total_bg > 0")
       .selectExpr(
-        "doc_id", "n_toks",
-        "cast(n_toks - n_distinct as double) / n_toks as dup_tok_frac",
-        "cast(top_bg as double) / total_bg as top_bigram_frac")
+        "doc_id", "r.n_toks as n_toks",
+        "cast(r.n_toks - r.n_distinct as double) / r.n_toks as dup_tok_frac",
+        "cast(r.top_bg as double) / r.total_bg as top_bigram_frac")
       .orderBy("doc_id")
-  }
 
   val qTextRepetitionSql: String =
     """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
