@@ -71,6 +71,60 @@ object Sampling {
        |                       ELSE 500 END
        |ORDER BY stratum, doc_id""".stripMargin
 
+  /** Mixing hash — same overflow-safe multiplicative form as
+    * [[hashPermille]] but with a different odd multiplier, so mixture
+    * membership is DECORRELATED from stratified-sample membership (a
+    * doc's fate in one operator says nothing about the other). */
+  private def mixPermille(col: String) =
+    s"pmod(pmod($col, 1000000007) * 2246822519, 4294967296) % 1000"
+
+  /** Corpus mixing: per-source upsampling/downsampling into training
+    * epochs — the data-mixture step of an LLM pipeline ("2.5 passes
+    * over wiki, 0.4 of web"). A weight w yields floor(w) full copies
+    * of every document plus one more for the deterministic hash-gated
+    * w−floor(w) fraction; each copy carries an epoch number so
+    * downstream shuffling/packing can keep epochs separated.
+    *
+    * Scale: a pure per-row expansion — the explode child is an integer
+    * sequence bounded by the max weight, there is NO shuffle except
+    * the output sort, and membership is hash-deterministic: re-running
+    * over 100 TB (or recovering a lost partition) reproduces the exact
+    * same mixture, copy for copy, epoch for epoch. Weights here derive
+    * from the source id (suffix mod 4 → 2.5 / 1.0 / 0.4 / 1.5) so the
+    * oracle can replay them; a production caller would pass a weight
+    * table and broadcast-join it instead. */
+  def qMixEpochs(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .selectExpr("doc_id", "source",
+        """case (cast(substring(source, 4) as int) % 4)
+          |  when 0 then 2500 when 1 then 1000 when 2 then 400
+          |  else 1500 end as w_permille""".stripMargin,
+        s"${mixPermille("doc_id")} as h")
+      .selectExpr("doc_id", "source",
+        "cast(floor(w_permille / 1000) as int) + (case when h < w_permille % 1000 then 1 else 0 end) as copies")
+      .filter("copies > 0")
+      .selectExpr("source", "doc_id", "explode(sequence(0, copies - 1)) as epoch")
+      .selectExpr("source", "doc_id", "cast(epoch as bigint) as epoch")
+      .orderBy("source", "doc_id", "epoch")
+
+  val qMixEpochsSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, source,
+      |         CASE (CAST(substr(source, 4) AS INT) % 4)
+      |           WHEN 0 THEN 2500 WHEN 1 THEN 1000 WHEN 2 THEN 400
+      |           ELSE 1500 END AS w_permille,
+      |         ((doc_id % 1000000007) * 2246822519) % 4294967296 % 1000 AS h
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, source,
+      |         CAST(floor(w_permille / 1000) AS INT) +
+      |           (CASE WHEN h < w_permille % 1000 THEN 1 ELSE 0 END) AS copies
+      |  FROM w)
+      |SELECT source, doc_id,
+      |       unnest(generate_series(0, copies - 1)) AS epoch
+      |FROM c WHERE copies > 0
+      |ORDER BY source, doc_id, epoch""".stripMargin
+
   /** Token budget per training shard (whitespace tokens). */
   private val ShardBudget = 10000L
 
@@ -181,9 +235,11 @@ object Sampling {
   // ----------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_stratified" -> (qSampleStratified _),
-    "q_shard_pack" -> (qShardPack _))
+    "q_shard_pack" -> (qShardPack _),
+    "q_mix_epochs" -> (qMixEpochs _))
 
   val oracleSql: Map[String, String] = Map(
     "q_sample_stratified" -> qSampleStratifiedSql,
-    "q_shard_pack" -> qShardPackSql)
+    "q_shard_pack" -> qShardPackSql,
+    "q_mix_epochs" -> qMixEpochsSql)
 }

@@ -149,6 +149,38 @@ class SamplingSpec extends AnyFunSuite {
     assert(packed.toSeq === single.collect().toSeq)
   }
 
+  test("corpus mixing: deterministic epochs, observed rates track weights") {
+    val a = Sampling.qMixEpochs(spark, sf).collect()
+    val b = Sampling.qMixEpochs(spark, sf).collect()
+    assert(a.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ===
+      b.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
+    assert(a.nonEmpty)
+
+    // per-doc epochs are contiguous from 0 (a doc with k copies emits
+    // exactly epochs 0..k-1)
+    a.groupBy(r => (r.getString(0), r.getLong(1))).values.foreach { rows =>
+      assert(rows.map(_.getLong(2)).sorted.toSeq === (0L until rows.length).toSeq)
+    }
+
+    // observed copies/doc per weight class ≈ the configured weight
+    val srcCounts = graft.Tables.load(spark, sf, "documents")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val weights = Map(0 -> 2.5, 1 -> 1.0, 2 -> 0.4, 3 -> 1.5)
+    val byClass = a.groupBy(r => r.getString(0).drop(3).toInt % 4)
+    weights.foreach { case (cls, w) =>
+      val emitted = byClass.getOrElse(cls, Array.empty).length.toLong
+      val base = srcCounts.collect {
+        case (s, n) if s.drop(3).toInt % 4 == cls => n
+      }.sum
+      if (base >= 20) {
+        val rate = emitted.toDouble / base
+        assert(math.abs(rate - w) < 0.35,
+          s"class $cls: emitted $emitted over $base docs = $rate, want ≈ $w")
+      }
+    }
+  }
+
   test("packShards on an empty corpus returns zero shards, no failure") {
     val empty = spark.range(0, 0).selectExpr("id as doc_id", "cast(1 as int) as n_toks")
     assert(Sampling.packShards(empty).collect().isEmpty)
