@@ -582,13 +582,20 @@ object GraftTable {
     val prefixes = Seq(s"$location/data/", s"$location/deletes/")
     // fail on the DRIVER with sweep context when this JVM lacks the
     // scheme registration the executor tasks will need — otherwise the
-    // miss surfaces as an opaque task failure deep inside a listing
-    (prefixes ++ shardPaths.headOption).foreach { p =>
-      if (!graft.catalog.FileIO.canHandle(p))
+    // miss surfaces as an opaque task failure deep inside a listing.
+    // The probe runs ON AN EXECUTOR (one tiny job): a driver-only
+    // FileIO.register would pass a driver-side check and still fail
+    // every listing task on a real cluster.
+    locally {
+      val probePaths = prefixes ++ shardPaths.headOption
+      val missing = sc.parallelize(probePaths, 1)
+        .filter(p => !graft.catalog.FileIO.canHandle(p)).collect()
+      if (missing.nonEmpty)
         throw new IllegalStateException(
-          s"orphan sweep for $location needs a FileIO for '$p' on every " +
-            "executor JVM — register the scheme via an executor plugin " +
-            "(FileIO.register) before calling remove_orphan_files")
+          s"orphan sweep for $location needs a FileIO for " +
+            s"'${missing.mkString("', '")}' on every executor JVM — " +
+            "register the scheme via an executor plugin (FileIO.register) " +
+            "before calling remove_orphan_files")
     }
 
     val referenced: Dataset[String] =

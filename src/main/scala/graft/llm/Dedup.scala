@@ -374,13 +374,13 @@ object Dedup {
     * rows is SQL NULL: an empty pair graph reads as 0 and converges
     * immediately instead of NPE-ing).
     *
-    * CACHE OWNERSHIP: the result is the final round's local
-    * checkpoint, already materialized by that round's probe — its
-    * blocks are its own (no live dependency on the edges cache or
-    * earlier rounds), each call's result is independent (concurrent
-    * pipelines can't evict each other's labels), and storage is
-    * reclaimed by the ContextCleaner when the consumer drops the
-    * frame — no process-lifetime retention, no global slot. */
+    * CACHE OWNERSHIP: the result is the final round's persisted leaf,
+    * already materialized by that round's probe. Each call's result is
+    * independent (concurrent pipelines can't evict each other's
+    * labels), storage is reclaimed by the ContextCleaner when the
+    * consumer drops the frame, and RDD lineage stays intact — a lost
+    * executor's blocks recompute instead of failing the job — so there
+    * is no process-lifetime retention and no global slot. */
   private[llm] def connectedComponents(pairs: DataFrame): DataFrame = {
     // edges = a persisted LEAF over the symmetrized pair list. The cut
     // matters as much as the cache: with df.persist() alone every
@@ -407,6 +407,10 @@ object Dedup {
     var prevSum = labelSum(labels)
     var changed = true
     var rounds = 0
+    // the previous round's leaf RDD cache — unpersisted EXPLICITLY once
+    // superseded (Dataset.unpersist is a no-op for RDD-level caches, so
+    // relying on it would retain every round's blocks until driver GC)
+    var labelsRdd: org.apache.spark.rdd.RDD[_] = null
     val maxRounds = 64
     while (changed && rounds < maxRounds) {
       val nbr = edges.join(labels, edges("dst") === labels("id"))
@@ -443,17 +447,21 @@ object Dedup {
                 org.apache.spark.sql.functions.coalesce(col("jcluster"), col("cluster")))
                 .as("cluster"))
         }
-      // lineage CUT + cache + self-containment in one construct: a lazy
-      // local checkpoint is a leaf over this round's InternalRow RDD
-      // (no external-Row round trip), persisted on first compute — the
-      // probe below materializes it. The final round's frame is thereby
-      // ALREADY independent of earlier rounds' storage when returned.
-      val next = jumpPlan.localCheckpoint(false)
-      val s = labelSum(next) // one job: materializes checkpoint + probes
+      // lineage CUT + cache in one construct: next is a persisted LEAF
+      // over this round's InternalRow RDD (no external-Row round trip;
+      // the probe below materializes the cache). NOT localCheckpoint —
+      // that truncates RDD lineage, so one lost executor would kill the
+      // whole job on a real cluster; the leaf keeps the logical plan
+      // constant-size while lost blocks stay recomputable through the
+      // RDD chain (upstream caches, then the pair pipeline).
+      val (next, nextRdd) = org.apache.spark.sql.GraftShims.cachedLeaf(jumpPlan)
+      val s = labelSum(next) // one job: materializes cache + probes
       changed = s != prevSum
       prevSum = s
-      labels.unpersist(blocking = false)
+      labels.unpersist(blocking = false) // round-0 init (DF-level cache)
+      if (labelsRdd != null) labelsRdd.unpersist(blocking = false)
       labels = next
+      labelsRdd = nextRdd
       rounds += 1
     }
     Dedup.lastCcRounds = rounds
@@ -463,11 +471,10 @@ object Dedup {
       s"[graft-dedup] connected components did NOT converge in $maxRounds rounds; " +
         "labels may not be component minima")
     edgesRdd.unpersist(blocking = false)
-    // CACHE OWNERSHIP: the returned frame is its own checkpoint — no
-    // dependency on edges/earlier rounds, no global slot, no
-    // cross-call unpersist of an in-use result; superseded rounds'
-    // checkpoint blocks (tiny, component-sized) are reclaimed by the
-    // ContextCleaner once the loop drops their references
+    // CACHE OWNERSHIP: the returned frame owns the final round's RDD
+    // cache — no global slot, concurrent calls are independent, and the
+    // blocks are reclaimed by the ContextCleaner once the consumer
+    // drops the frame (or recomputed through lineage if evicted first).
     labels
   }
 

@@ -32,7 +32,13 @@ final class CatalogServer(
     authConfig: graft.service.AuthConfigHandler = graft.service.AuthConfigHandler.None,
     /** loopback by default (safe for tests/dev); deployments pass
       * "0.0.0.0" like the reference's bind_addr (main.rs:136-138) */
-    bindHost: String = "127.0.0.1") {
+    bindHost: String = "127.0.0.1",
+    /** the URI ADVERTISED to clients (config `uri`, `s3.signer.uri`) —
+      * the reference's explicit `base_uri` config (config.rs:38,85).
+      * Required when binding beyond loopback: "http://127.0.0.1:port"
+      * is only addressable by the client that computed it. None →
+      * loopback + bound port (correct for tests/dev). */
+    advertisedUri: Option[String] = None) {
   import graft.service.CatalogEvent
 
   private val server: HttpServer = HttpServer.create(new InetSocketAddress(bindHost, port), 0)
@@ -42,7 +48,13 @@ final class CatalogServer(
   def start(): CatalogServer = { server.start(); this }
   def stop(): Unit = server.stop(0)
   def boundPort: Int = server.getAddress.getPort
+  /** Loopback address of the bound port — always reachable from this
+    * machine (tests, the healthcheck subcommand, local clients). */
   def baseUri: String = s"http://127.0.0.1:$boundPort"
+
+  /** What clients are TOLD to call back (config `uri`,
+    * `s3.signer.uri`): the configured advertised URI, else loopback. */
+  private def advertised: String = advertisedUri.getOrElse(baseUri).stripSuffix("/")
 
   // ------------------------------------------------------------ plumbing
   private def respond(ex: HttpExchange, status: Int, body: String = ""): Unit = {
@@ -127,15 +139,20 @@ final class CatalogServer(
   private def route(ex: HttpExchange): Unit =
     try {
       // liveness probe OUTSIDE the auth middleware (reference mounts
-      // /health on the root router, api/router.rs:53 — load balancers
-      // and the healthcheck subcommand carry no token)
+      // /health as a GET route on the root router, api/router.rs:53 —
+      // load balancers and the healthcheck subcommand carry no token)
       if (ex.getRequestURI.getPath == "/health") {
-        ex.getResponseHeaders.set("Content-Type", "text/plain")
-        val okBytes = "OK".getBytes(StandardCharsets.UTF_8)
-        ex.sendResponseHeaders(200, okBytes.length.toLong)
-        val os = ex.getResponseBody
-        try os.write(okBytes) finally os.close()
-        ex.close()
+        ex.getRequestMethod match {
+          case "GET" =>
+            ex.getResponseHeaders.set("Content-Type", "text/plain")
+            val okBytes = "OK".getBytes(StandardCharsets.UTF_8)
+            ex.sendResponseHeaders(200, okBytes.length.toLong)
+            val os = ex.getResponseBody
+            try os.write(okBytes) finally os.close()
+            ex.close()
+          case "HEAD" => ex.sendResponseHeaders(200, -1); ex.close()
+          case _ => ex.sendResponseHeaders(405, -1); ex.close()
+        }
         return
       }
       // authn middleware: every route behind bearer verification when a
@@ -170,7 +187,7 @@ final class CatalogServer(
           // catalog/config.rs:115-126 token-exchange merge)
           RestCodecs.configResponse(Map(
             "prefix" -> w.id.toString,
-            "uri" -> s"$baseUri/catalog") ++ authConfig.authConfig(w.id))
+            "uri" -> s"$advertised/catalog") ++ authConfig.authConfig(w.id))
         }
 
       // -- namespaces (§2.1 #2-7)
@@ -383,7 +400,7 @@ final class CatalogServer(
         // reference: requested → on; vended-credentials → forced on
         // (the signer serves the data path); no header → the default
         Map("s3.region" -> w.properties("s3.region"),
-          "s3.signer.uri" -> s"$baseUri/catalog/v1/${w.id}",
+          "s3.signer.uri" -> s"$advertised/catalog/v1/${w.id}",
           "s3.remote-signing-enabled" -> "true") ++
           w.properties.get("s3.endpoint").map("s3.endpoint" -> _) ++
           (if (access.vendedCredentials)

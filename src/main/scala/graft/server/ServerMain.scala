@@ -98,10 +98,15 @@ object ServerMain {
     val publisher = new QueueingEventPublisher(sink)
 
     // GRAFT_BIND=0.0.0.0 exposes the server beyond loopback (the
-    // reference binary's bind, main.rs:136-138); default stays local
+    // reference binary's bind, main.rs:136-138); default stays local.
+    // GRAFT_BASE_URI sets the externally-reachable URI advertised in
+    // client-facing config (the reference's ICEBERG_REST__BASE_URI,
+    // config.rs:38) — required with a non-loopback bind, because the
+    // default advertises 127.0.0.1:<port>.
     val server = new CatalogServer(store, projectId, port = port,
       events = publisher, auth = auth,
-      bindHost = get("GRAFT_BIND").getOrElse("127.0.0.1"))
+      bindHost = get("GRAFT_BIND").getOrElse("127.0.0.1"),
+      advertisedUri = get("GRAFT_BASE_URI"))
     new Running(server.start(), store, sink, publisher)
   }
 

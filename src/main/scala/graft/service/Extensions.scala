@@ -210,11 +210,15 @@ object TokenVerifier {
     *
     * A hostile/hung issuer cannot stall request threads: every OIDC
     * HTTP call carries connect+request timeouts (`httpTimeoutMs`, the
-    * reference's client is bounded the same way), and refresh is
-    * CAS-guarded, not lock-guarded — at most ONE thread is ever on the
-    * network; concurrent verifies with cached keys proceed immediately
-    * instead of convoying behind the fetch (pinned in AuthSpec by a
-    * stalling-JWKS stub). */
+    * reference's client is bounded the same way), and the two refresh
+    * triggers block differently by what the caller NEEDS:
+    *  - TTL aging (cached kid still present) is a CAS-guarded best-
+    *    effort attempt — verifies with cached keys never wait on the
+    *    network (pinned in AuthSpec by a stalling-JWKS stub);
+    *  - an UNKNOWN kid (key rotation) waits on the fetch lock for the
+    *    in-flight result — bounded by the fetch timeout — because a
+    *    non-waiting miss would 401 freshly rotated, perfectly valid
+    *    tokens that lose the race to the fetching thread. */
   final class OidcJwtVerifier(
       providerUrl: String,
       clock: () => Long = () => System.currentTimeMillis(),
@@ -247,33 +251,45 @@ object TokenVerifier {
             s"its token keys): ${e.getMessage}", e)
       }
     @volatile private var fetchedAt: Long = clock()
-    // single-flight guard: the thread that wins the CAS does the
-    // (timeout-bounded) network fetch; everyone else returns at once
-    // and verifies against the cached @volatile key map
+    // single-flight guard for BEST-EFFORT (TTL) refreshes: the thread
+    // that wins the CAS does the timeout-bounded network fetch;
+    // everyone else returns at once and verifies against the cached
+    // @volatile key map
     private val refreshing = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // waited on only by unknown-kid resolution (the callers that NEED
+    // the fetch result); a hung fetch holds it at most httpTimeoutMs
+    private val fetchLock = new Object
 
     def verify(bearer: Option[String]): Either[CatalogError, Principal] = {
-      if (clock() - fetchedAt > cacheTtlMs) refresh()
+      if (clock() - fetchedAt > cacheTtlMs) refresh(waitForResult = false)
       rs256Verify(bearer, resolveKey, issuer, clock)
     }
 
     private def resolveKey(kid: String)
         : Option[java.security.interfaces.RSAPublicKey] =
-      keys.get(kid).orElse { refresh(); keys.get(kid) }
+      keys.get(kid).orElse { refresh(waitForResult = true); keys.get(kid) }
 
-    private def refresh(): Unit = {
+    private def refresh(waitForResult: Boolean): Unit = {
       if (clock() - fetchedAt < minRefreshIntervalMs) return
-      if (!refreshing.compareAndSet(false, true)) return // fetch in flight
-      try {
-        if (clock() - fetchedAt >= minRefreshIntervalMs) { // re-check inside
-          fetchedAt = clock() // rate-limits failed attempts too
-          try keys = parseJwks(fetch(jwksUri))
-          catch { case e: Exception => System.err.println(
-            s"[graft-auth] JWKS refresh from $jwksUri failed, keeping " +
-              s"${keys.size} cached keys: ${e.getMessage}") }
-        }
-      } finally refreshing.set(false)
+      if (waitForResult) {
+        // block for the in-flight (or own) fetch: after the lock, the
+        // rate-limit re-check observes the fetch that just completed
+        // and the caller re-reads the fresh key map
+        fetchLock.synchronized(doFetch())
+      } else if (refreshing.compareAndSet(false, true)) {
+        try fetchLock.synchronized(doFetch())
+        finally refreshing.set(false)
+      } // else: fetch in flight — proceed on cached keys
     }
+
+    private def doFetch(): Unit =
+      if (clock() - fetchedAt >= minRefreshIntervalMs) { // re-check inside
+        fetchedAt = clock() // rate-limits failed attempts too
+        try keys = parseJwks(fetch(jwksUri))
+        catch { case e: Exception => System.err.println(
+          s"[graft-auth] JWKS refresh from $jwksUri failed, keeping " +
+            s"${keys.size} cached keys: ${e.getMessage}") }
+      }
   }
 
   // one shared client (connection reuse) with a bounded connect; each
@@ -540,9 +556,21 @@ object CloudEventBackend {
         throw new IllegalStateException(s"not a NATS server: $greeting")
       out.write(("CONNECT {\"verbose\":false,\"pedantic\":false," +
         "\"tls_required\":false,\"name\":\"graft-catalog\"," +
-        "\"lang\":\"scala\",\"version\":\"1\"}\r\n")
+        "\"lang\":\"scala\",\"version\":\"1\"}\r\nPING\r\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       out.flush()
+      // the PONG proves the broker ACCEPTED the CONNECT — a rejecting
+      // broker (auth required, bad options) answers -ERR and closes,
+      // which must fail HERE, not surface as a silently lost first PUB
+      // written into a dying socket
+      var l = readLine()
+      while (l != "PONG") {
+        if (l.startsWith("-ERR"))
+          throw new IllegalStateException(s"NATS CONNECT rejected: $l")
+        if (l == "PING")
+          out.write("PONG\r\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        l = readLine() // +OK / INFO updates: ignore
+      }
     }
 
     /** Answer any control traffic the server pushed since the last

@@ -103,10 +103,9 @@ class DedupSpec extends AnyFunSuite {
     // regimes the iterative algorithm must handle: sparse forests,
     // dense near-cliques, and mixtures with isolated pairs — each
     // compared against a driver-side union-find ground truth
-    for (seed <- Seq(1, 7, 42)) {
+    for ((seed, pEdge) <- Seq((1, 0.01), (7, 0.05), (42, 0.3))) {
       val rnd = new scala.util.Random(seed)
       val n = 120 + rnd.nextInt(80)
-      val pEdge = Seq(0.01, 0.05, 0.3)(seed % 3)
       val pairs = (for {
         a <- 0 until n; b <- (a + 1) until n
         if rnd.nextDouble() < pEdge

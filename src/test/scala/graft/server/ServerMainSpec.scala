@@ -148,7 +148,10 @@ class ServerMainSpec extends AnyFunSuite {
           s.getOutputStream.write("INFO {}\r\n".getBytes("UTF-8"))
           var l = line()
           while (l != null) {
-            if (l.startsWith("PUB ")) {
+            if (l == "PING") {
+              s.getOutputStream.write("PONG\r\n".getBytes("UTF-8"))
+              s.getOutputStream.flush()
+            } else if (l.startsWith("PUB ")) {
               val n = l.split(" ")(2).toInt
               val buf = new Array[Byte](n)
               in.readFully(buf); line()
@@ -212,6 +215,25 @@ class ServerMainSpec extends AnyFunSuite {
 
   test("healthcheck is false against a dead server") {
     intercept[Exception](ServerMain.healthcheck("http://127.0.0.1:1"))
+  }
+
+  test("GRAFT_BASE_URI sets the advertised callback URI in client config") {
+    val running = ServerMain.build(Map(
+      "GRAFT_PORT" -> "0",
+      "GRAFT_BASE_URI" -> "https://catalog.example.com:8443/"))
+    try {
+      val prefix = createWarehouse(running.baseUri, ServerMain.NilProject)
+      val cfg = http.send(
+        HttpRequest.newBuilder(URI.create(
+          s"${running.baseUri}/catalog/v1/config?warehouse=wh")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(cfg.statusCode() === 200, cfg.body())
+      val uri = graft.core.JsonCodecs.parse(cfg.body())
+        .get("overrides").get("uri").asText()
+      // a non-loopback deployment must not advertise 127.0.0.1 — the
+      // follow-up requests would hit the CLIENT's own loopback
+      assert(uri === "https://catalog.example.com:8443/catalog", s"prefix=$prefix")
+    } finally running.close()
   }
 
   test("GRAFT_DEFAULT_PROJECT_ID scopes the default project") {

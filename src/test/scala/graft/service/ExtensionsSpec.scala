@@ -237,6 +237,7 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val pingAfterNextPub = new java.util.concurrent.atomic.AtomicBoolean(false)
     val pingSent = new java.util.concurrent.Semaphore(0)
     @volatile var dropAfterNextPub = false
+    @volatile var rejectConnect = false
     private val server = new java.net.ServerSocket(0, 1,
       java.net.InetAddress.getByName("127.0.0.1"))
     def port: Int = server.getLocalPort
@@ -257,7 +258,16 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
           var l = line()
           var open = true
           while (open && l != null) {
-            if (l.startsWith("CONNECT ")) connects.add(l.drop(8))
+            if (l.startsWith("CONNECT ")) {
+              if (rejectConnect) {
+                out.write("-ERR 'Authorization Violation'\r\n".getBytes("UTF-8"))
+                out.flush()
+                open = false
+              } else connects.add(l.drop(8))
+            }
+            else if (l == "PING") { // handshake liveness probe
+              out.write("PONG\r\n".getBytes("UTF-8")); out.flush()
+            }
             else if (l.startsWith("PUB ")) {
               val Array(_, subj, n) = l.split(" ")
               val buf = new Array[Byte](n.toInt)
@@ -340,13 +350,23 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"publish never recovered after the broker drop ($attempts attempts)")
       assert(stub.connects.size >= 2, "expected a reconnect after the drop")
 
+      // a broker that REJECTS the CONNECT (auth required) must fail the
+      // publish loudly at handshake time — never a silently lost first
+      // PUB written into a dying socket
+      stub.rejectConnect = true
+      sink.close() // force a fresh handshake
+      val rejected = intercept[IllegalStateException](
+        sink.publish(evt("createTable", 6L)))
+      assert(rejected.getMessage.contains("failed"), rejected.getMessage)
+      stub.rejectConnect = false
+
       // dead broker: publish throws (the publisher's log-and-drop
       // contract), emit never blocks the caller
       stub.close()
       sink.close()
       val dead = new CloudEventBackend.NatsBacked(
         "127.0.0.1", stub.port, "graft.events", timeoutMs = 500)
-      intercept[IllegalStateException](dead.publish(evt("createTable", 6L)))
+      intercept[IllegalStateException](dead.publish(evt("createTable", 7L)))
     } finally { stub.close(); sink.close() }
   }
 }
