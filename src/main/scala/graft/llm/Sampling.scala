@@ -232,14 +232,54 @@ object Sampling {
        |FROM c GROUP BY shard
        |ORDER BY shard""".stripMargin
 
+  /** Per-source cap hash — third decorrelated odd multiplier (golden
+    * ratio), same overflow-safe reduce-then-multiply form. */
+  private def capHash(col: String) =
+    s"pmod(pmod($col, 1000000007) * 2654435769, 4294967296)"
+
+  /** Per-source quota sampling: at most K documents from every source —
+    * the per-domain cap every crawl pipeline applies so one boilerplate
+    * domain cannot dominate the mixture. Selection order within a
+    * source is the multiplicative hash (then doc_id), so the quota is a
+    * deterministic uniform draw, not "first K by ingest order" (which
+    * would bias toward whatever the crawler fetched first).
+    *
+    * Scale: one shuffle on source; the ranking window is partitioned by
+    * source, so each domain ranks independently. A pathologically hot
+    * domain ranks through one task — if a single domain's row count
+    * exceeds a task, pre-filter with an approximate per-source
+    * threshold on the same hash (two-pass) before the exact window. */
+  def qSamplePerSource(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .selectExpr("source", "doc_id", s"${capHash("doc_id")} as h")
+      .selectExpr("source", "doc_id",
+        "row_number() over (partition by source order by h, doc_id) as rk")
+      .where("rk <= 10")
+      .orderBy("source", "rk")
+
+  val qSamplePerSourceSql: String =
+    """WITH h AS (
+      |  SELECT source, doc_id,
+      |         ((doc_id % 1000000007) * 2654435769) % 4294967296 AS h
+      |  FROM documents),
+      |r AS (
+      |  SELECT source, doc_id,
+      |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+      |  FROM h)
+      |SELECT source, doc_id, rk FROM r
+      |WHERE rk <= 10
+      |ORDER BY source, rk""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_stratified" -> (qSampleStratified _),
     "q_shard_pack" -> (qShardPack _),
-    "q_mix_epochs" -> (qMixEpochs _))
+    "q_mix_epochs" -> (qMixEpochs _),
+    "q_sample_per_source" -> (qSamplePerSource _))
 
   val oracleSql: Map[String, String] = Map(
     "q_sample_stratified" -> qSampleStratifiedSql,
     "q_shard_pack" -> qShardPackSql,
-    "q_mix_epochs" -> qMixEpochsSql)
+    "q_mix_epochs" -> qMixEpochsSql,
+    "q_sample_per_source" -> qSamplePerSourceSql)
 }

@@ -149,4 +149,50 @@ class DedupSpec extends AnyFunSuite {
     assert(derived.forall(r => r.getLong(0) % 11 == 0))
     assert(out.forall(_.getDouble(2) >= 0.6))
   }
+
+  test("prefix-containment: bucketed join finds exactly the true-prefix pairs") {
+    import spark.implicits._
+    // hand corpus (every doc >= 32 chars, matching the operator's
+    // documented minimum): 1 is a prefix of 2 and 3; 4 shares the
+    // 32-char bucket with 1/2/3 but diverges afterward (candidate that
+    // must FAIL the exact check); 5 is unrelated.
+    val head = "the quick brown fox jumps over " // 31 chars
+    val docs = Seq(
+      (1L, head + "the lazy dog"),
+      (2L, head + "the lazy dog and then some more text"),
+      (3L, head + "the lazy dog and then some more text plus an even longer tail"),
+      (4L, head + "the sleeping cat instead"),
+      (5L, "a completely different document body here")
+    ).toDF("doc_id", "text")
+
+    // run the same shape as qPrefixDedup against the hand corpus
+    val d = docs.select($"doc_id", $"text",
+      org.apache.spark.sql.functions.substring($"text", 1, 32).as("k32"))
+    val a = d.select($"doc_id".as("contained"), $"text".as("text_a"), $"k32")
+    val b = d.select($"doc_id".as("container"), $"text".as("text_b"), $"k32")
+    val pairs = a.join(b, "k32")
+      .where($"contained" =!= $"container" && $"text_b".startsWith($"text_a"))
+      .select($"contained", $"container")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 1<2, 1<3, 2<3; 4 and 5 in no pair
+    assert(pairs === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("prefix-containment corpus run is bucket-joined, not all-pairs") {
+    val df = Dedup.qPrefixDedup(spark, sf)
+    val out = df.collect()
+    // sanity on the live corpus output: a doc never contains itself
+    assert(out.forall(r => r.getLong(0) != r.getLong(1)))
+    // plan: the join must carry an equi-key (the 32-char bucket) — no
+    // cartesian / nested-loop fallback
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def bad(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = p.collect {
+      case _: CartesianProductExec => Seq("cartesian")
+      case _: BroadcastNestedLoopJoinExec => Seq("bnlj")
+      case ad: AdaptiveSparkPlanExec => bad(ad.executedPlan)
+      case q: QueryStageExec => bad(q.plan)
+    }.flatten
+    assert(bad(df.queryExecution.executedPlan).isEmpty)
+  }
 }

@@ -186,4 +186,27 @@ class SamplingSpec extends AnyFunSuite {
     assert(Sampling.packShards(empty).collect().isEmpty)
     assert(Sampling.lastPackCuts.isEmpty)
   }
+
+  test("per-source cap: at most K per source, deterministic, hash-ordered") {
+    val a = Sampling.qSamplePerSource(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    val b = Sampling.qSamplePerSource(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(a.toSeq === b.toSeq) // hash-deterministic, not rand()
+    assert(a.nonEmpty)
+    a.groupBy(_._1).foreach { case (src, rows) =>
+      assert(rows.length <= 10, s"source $src over cap: ${rows.length}")
+      // ranks are contiguous from 1 — a true quota, not a filtered sample
+      assert(rows.map(_._3).sorted.toSeq === (1 to rows.length).toSeq)
+    }
+    // the cap binds for sources with >10 docs: selection is a strict
+    // subset chosen by hash, so reruns pick the SAME subset (checked
+    // above) and every over-quota source is cut to exactly 10
+    val perSource = graft.Tables.load(spark, sf, "documents")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perSource.filter(_._2 > 10).keys.foreach { src =>
+      assert(a.count(_._1 == src) === 10, s"source $src not cut to quota")
+    }
+  }
 }
