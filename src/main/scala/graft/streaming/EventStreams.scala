@@ -42,6 +42,55 @@ object EventStreams {
       .select(col("w.start").as("hour_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Streaming exact dedup: keep the FIRST occurrence per content key,
+    * suppress duplicates arriving within the watermark horizon. Uses
+    * the built-in `dropDuplicatesWithinWatermark` — a keyed state
+    * store partitioned by the dedup key, so 1000 executors shard the
+    * seen-set exactly like a batch hash aggregate, and state for keys
+    * older than the watermark is evicted instead of growing forever
+    * (the unbounded-state failure of plain dropDuplicates on streams).
+    * Duplicates later than the horizon are late data by definition and
+    * are dropped by the watermark before reaching the operator. */
+  def dedupFirstSeen(events: DataFrame, keyCols: Seq[String],
+      horizon: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Streaming twin of the batch band join (q_range_count): every
+    * purchase paired with each error event in its trailing
+    * `windowMinutes`, as a watermarked stream-stream join.
+    *
+    * A keyless time-range join gives the symmetric hash join nothing
+    * to shard state by, so the same cell trick as the batch operator
+    * (graft.operators.TemporalJoins.bandCount) applies: bucket event
+    * time into window-width cells, explode each purchase to its two
+    * candidate cells, and join on the CELL as the equi key with the
+    * exact range as the time-bound condition. State shards by cell,
+    * and the two-sided event-time bounds + watermarks let Spark evict
+    * both join buffers — bounded state at any stream rate. */
+  def recentErrorPairs(events: DataFrame, windowMinutes: Int = 10): DataFrame = {
+    val wUs = windowMinutes * 60L * 1000000L + 1 // cell width, micros
+    // exact floor division (see TemporalJoins.floorDiv: decimal path so
+    // nothing rounds through a double)
+    def cellOf(c: org.apache.spark.sql.Column) =
+      ((c - pmod(c, lit(wUs))).cast("decimal(38,0)") / lit(wUs)).cast("long")
+    val p = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+      .withColumn("cell", explode(array_distinct(array(
+        cellOf(unix_micros(col("p_ts")) - lit(wUs - 1)),
+        cellOf(unix_micros(col("p_ts")))))))
+    val e = events.where(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("ts").as("e_ts"))
+      .withWatermark("e_ts", "2 hours")
+      .withColumn("cell", cellOf(unix_micros(col("e_ts"))))
+    p.join(e,
+      p("cell") === e("cell") &&
+        col("e_ts") > col("p_ts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
+        col("e_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("error_id"))
+  }
+
   /** Gap-based sessionization with explicit per-user state
     * (flatMapGroupsWithState + event-time timeout): a session closes
     * when no event arrives within `gapMinutes` of its last event (by

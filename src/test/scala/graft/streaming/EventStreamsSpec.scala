@@ -87,4 +87,63 @@ class EventStreamsSpec extends AnyFunSuite {
         (2L, ts(15), ts(15), 1L, 10.0)))
     } finally query.stop()
   }
+
+  test("streaming first-seen dedup suppresses within-horizon duplicates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = dedupFirstSeen(input.toDF(), Seq("event_type", "value"))
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        evt(1, 0, 1, "view", 1.0), evt(2, 1, 2, "view", 1.0), // dup of (view,1.0)
+        evt(3, 2, 1, "click", 2.0))
+      query.processAllAvailable()
+      // later batch: another duplicate within the horizon + a fresh key
+      input.addData(evt(4, 10, 3, "view", 1.0), evt(5, 11, 3, "view", 9.0))
+      query.processAllAvailable()
+
+      val kept = spark.table("deduped").select("event_id").as[Long].collect().toSet
+      // first arrival per (event_type, value) survives: 1, 3, 5
+      assert(kept === Set(1L, 3L, 5L))
+    } finally query.stop()
+  }
+
+  test("streaming band join pairs match the batch inequality join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = recentErrorPairs(input.toDF(), windowMinutes = 10)
+      .writeStream.format("memory").queryName("recent_errors")
+      .outputMode("append").start()
+    try {
+      val events = Seq(
+        evt(1, 5, 1, "error", 0.0),
+        evt(2, 10, 2, "purchase", 1.0),  // window (0,10]: error@5, error@10
+        evt(3, 10, 3, "error", 0.0),     // exactly at the purchase instant
+        evt(4, 25, 4, "error", 0.0),
+        evt(5, 28, 5, "error", 0.0),
+        evt(6, 30, 6, "purchase", 2.0),  // window (20,30]: errors@25,28
+        evt(7, 31, 7, "error", 0.0),     // after -> no pair
+        evt(8, 55, 8, "purchase", 3.0))  // window (45,55]: empty
+      input.addData(events: _*)
+      query.processAllAvailable()
+
+      val streamed = spark.table("recent_errors")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val df = events.toDF()
+      val p = df.filter("event_type = 'purchase'")
+        .selectExpr("event_id as purchase_id", "ts as p_ts")
+      val e = df.filter("event_type = 'error'")
+        .selectExpr("event_id as error_id", "ts as e_ts")
+      val batch = p.join(e,
+        col("e_ts") > col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+          col("e_ts") <= col("p_ts"))
+        .select("purchase_id", "error_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed === batch)
+      assert(streamed === Set((2L, 1L), (2L, 3L), (6L, 4L), (6L, 5L)))
+    } finally query.stop()
+  }
 }
