@@ -271,6 +271,12 @@ object Manifests {
       case Some(n) => entriesOf(n).flatMap(entryFiles)
     }
 
+  /** Files of an explicit entry subset — the incremental-scan read
+    * path: the caller diffs manifest LISTS (O(shards)) and only the
+    * named shards pay content I/O. */
+  def filesOf(entries: Seq[ManifestEntry]): Seq[DataFile] =
+    entries.flatMap(entryFiles)
+
   /** One list entry's files — the shard may be a JSON shard or an avro
     * manifest (mixed trees happen when our commits carry entries from
     * an externally-written snapshot forward). */
