@@ -3,7 +3,7 @@ package graft.llm
 import graft.Tables.load
 import graft.llm.Portable._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, expr, min, substring}
+import org.apache.spark.sql.functions.{col, count, expr, lit, min, substring}
 
 /** Deduplication operators over the `documents` table: exact
   * (hash-groupBy), MinHash+LSH near-dup (shingle → signature → band →
@@ -535,8 +535,68 @@ object Dedup {
       |  ON a.doc_id <> b.doc_id AND starts_with(b.text, a.text)
       |ORDER BY contained, container""".stripMargin
 
+  /** Exact block-level dedup (the C4 three-sentence-span family): doc
+    * pairs sharing at least one full 20-token block at the same block
+    * alignment grid. Catches long verbatim spans embedded in otherwise
+    * different documents — between exact dedup (whole doc) and MinHash
+    * (approximate global similarity) in the dedup ladder.
+    *
+    * Shape: per-doc block extraction explodes a cheap integer sequence
+    * (never a computed array — Generate re-evaluates its child per
+    * output row), builds each block with slice+concat over the
+    * materialized token array, and dedups to the DISTINCT (doc, block)
+    * inverted index. Boilerplate blocks are df-capped (blocks in > 20
+    * docs are dropped — same bound as the n-gram index), so per-block
+    * pair fan-out is ≤ C(20,2) and the join never quadratics on a hot
+    * span. One corpus pass, keyed joins only. */
+  def qDedupBlocks(s: SparkSession, dir: String): DataFrame =
+    blockPairs(load(s, dir, "documents"))
+
+  /** Core of [[qDedupBlocks]] over any (doc_id, text) frame; blockDf is
+    * the boilerplate document-frequency cap. */
+  def blockPairs(docs: DataFrame, blockDf: Int = 20): DataFrame = {
+    val blocks = docs
+      .selectExpr("doc_id", "split(text, ' ') as toks")
+      .where(expr("size(toks) >= 20"))
+      .selectExpr("doc_id", "toks",
+        "explode(sequence(0, cast(size(toks) div 20 as int) - 1)) as bi")
+      .selectExpr("doc_id", "concat_ws(' ', slice(toks, bi * 20 + 1, 20)) as block")
+      .distinct()
+    val kept = blocks.groupBy(col("block"))
+      .agg(count(lit(1)).as("bdf"))
+      .where(col("bdf") <= blockDf)
+      .select(col("block"))
+    val indexed = blocks.join(kept, "block")
+    val a = indexed.select(col("doc_id").as("doc_a"), col("block"))
+    val b = indexed.select(col("doc_id").as("doc_b"), col("block"))
+    a.join(b, "block")
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val qDedupBlocksSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |blocks AS (
+      |  SELECT DISTINCT doc_id,
+      |         array_to_string(w[i * 20 + 1 : i * 20 + 20], ' ') AS block
+      |  FROM (SELECT doc_id, w,
+      |               unnest(generate_series(0, CAST(len(w) // 20 AS INT) - 1)) AS i
+      |        FROM toks WHERE len(w) >= 20)),
+      |kept AS (
+      |  SELECT block FROM blocks GROUP BY block HAVING COUNT(*) <= 20)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      |FROM blocks a
+      |JOIN kept USING (block)
+      |JOIN blocks b ON a.block = b.block AND a.doc_id < b.doc_id
+      |GROUP BY a.doc_id, b.doc_id
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_blocks" -> (qDedupBlocks _),
     "q_dedup_prefix" -> (qPrefixDedup _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash_lsh" -> (qDedupMinhashLsh _),
@@ -545,6 +605,7 @@ object Dedup {
     "q_dedup_simhash" -> (qDedupSimhash _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_dedup_blocks" -> qDedupBlocksSql,
     "q_dedup_prefix" -> qPrefixDedupSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_minhash_lsh" -> qDedupMinhashLshSql,

@@ -84,6 +84,30 @@ class DedupSpec extends AnyFunSuite {
     assert(capped.head.getLong(2) === Dedup.NumBands.toLong)
   }
 
+  test("block dedup: aligned blocks pair, shifted copies don't, df cap kills boilerplate") {
+    import spark.implicits._
+    val span = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val tail = (1 to 19).map(i => s"x$i").mkString(" ")
+    val tail2 = (1 to 19).map(i => s"y$i").mkString(" ")
+    val boiler = (1 to 20).map(i => s"b$i").mkString(" ")
+    val docs = (Seq(
+      1L -> s"$span $tail",                         // block 0 = span
+      2L -> s"$span $tail2",                        // block 0 = span → pairs with 1
+      3L -> (Seq.fill(10)("pad").mkString(" ") + s" $span " + // span straddles the
+        (1 to 10).map(i => s"z$i").mkString(" ")))  // grid → NOT paired (alignment)
+      ++ (100L to 124L).map(i => i -> boiler)       // 25 docs share one block
+    ).toDF("doc_id", "text")
+
+    // uncapped: the boilerplate block alone contributes C(25,2) pairs
+    assert(Dedup.blockPairs(docs, blockDf = Int.MaxValue).count() === (25L * 24 / 2) + 1)
+
+    // capped (default 20): boilerplate dropped, only the true aligned pair
+    val out = Dedup.blockPairs(docs).collect()
+    assert(out.length === 1)
+    assert((out.head.getLong(0), out.head.getLong(1)) === (1L, 2L))
+    assert(out.head.getLong(2) === 1L) // n_shared
+  }
+
   test("near-dup pairs from the corpus derivation survive the verify join") {
     // the sf0.001 corpus derives near-copies of every 7th doc: those
     // pairs must be found with jaccard >= 0.5 and id_b = id_a + 2000000
