@@ -196,6 +196,12 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
         Some(new PartitionMetaTable(fullName, gt, name))
       else Some(new DataFrameTable(fullName,
         gt.metadataTable(SparkSession.active, name)))
+    } else if (name == "stream") {
+      // the table as a streaming SOURCE: offsets are snapshot ids, each
+      // micro-batch reads the incremental append plan (GraftStreamRead)
+      val gt = new GraftTable(client, prefix, baseIdent)
+      Some(new StreamReadTable(fullName, gt, m.currentSchema,
+        SchemaBridge.toSpark(m.currentSchema)))
     } else if (name.startsWith("branch_") || name.startsWith("tag_")) {
       val refName = name.substring(name.indexOf('_') + 1)
       m.refs.get(refName).map { ref =>
