@@ -16,7 +16,7 @@ import org.apache.spark.sql.types.StructType
   *
   *   ALTER TABLE t ADD PARTITION FIELD <transform>
   *   ALTER TABLE t DROP PARTITION FIELD <transform | name>
-  *   CALL cat.system.rewrite_data_files(table => 'db.t'[, target_file_count => N])
+  *   CALL cat.system.rewrite_data_files(table => 'db.t'[, target_file_count => N][, zorder => 'x,y'])
   *   CALL cat.system.expire_snapshots(table => 'db.t', older_than_ms => N)
   *   CALL cat.system.remove_orphan_files(table => 'db.t'[, older_than_ms => N])
   *
@@ -137,6 +137,7 @@ final case class CallProcedureCommand(
 
   private val TableArg = """(?i)table\s*=>\s*'([^']+)'""".r
   private val CountArg = """(?i)target_file_count\s*=>\s*(\d+)""".r
+  private val ZorderArg = """(?i)zorder\s*=>\s*'([^']+)'""".r
   private val OlderArg = """(?i)older_than_ms\s*=>\s*(\d+)""".r
 
   override def run(spark: SparkSession): Seq[Row] = {
@@ -148,7 +149,9 @@ final case class CallProcedureCommand(
     procedure match {
       case "rewrite_data_files" =>
         val target = CountArg.findFirstMatchIn(args).map(_.group(1).toInt).getOrElse(1)
-        catalog.engineTable(ti).rewriteDataFiles(spark, target)
+        val zorder = ZorderArg.findFirstMatchIn(args).map(_.group(1))
+          .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+        catalog.engineTable(ti).rewriteDataFiles(spark, target, zorder)
       case "expire_snapshots" =>
         val olderThan = OlderArg.findFirstMatchIn(args).map(_.group(1).toLong).getOrElse(
           throw new IllegalArgumentException("expire_snapshots requires older_than_ms => N"))

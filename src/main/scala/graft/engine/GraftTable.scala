@@ -412,10 +412,32 @@ final class GraftTable(
   /** CALL system.rewrite_data_files: compact small files into
     * `targetFileCount` without changing content (reference
     * test_spark.py:330-357). Content-identical ⇒ committed as a
-    * "replace" snapshot. */
-  def rewriteDataFiles(spark: SparkSession, targetFileCount: Int = 1): TableMetadata = {
+    * "replace" snapshot.
+    *
+    * With `zorderBy`, the rewrite CLUSTERS rows by the interleaved
+    * quantile-rank z-value ([[graft.functions.ZOrder]]) instead of
+    * hash-repartitioning: `repartitionByRange` on z (sampled range
+    * bounds — no global sort barrier beyond Spark's range exchange)
+    * then an in-partition sort, so every output file covers a small
+    * hyper-rectangle of the clustered columns' value space and
+    * manifest-stats pruning skips files for predicates on ANY of them.
+    * One extra sketch pass for the quantile cuts; everything else is
+    * the same single rewrite job. */
+  def rewriteDataFiles(
+      spark: SparkSession,
+      targetFileCount: Int = 1,
+      zorderBy: Seq[String] = Nil): TableMetadata = {
     val m = metadata
-    val compacted = scan(spark).repartition(targetFileCount)
+    val df = scan(spark)
+    val compacted =
+      if (zorderBy.isEmpty) df.repartition(targetFileCount)
+      else {
+        val z = graft.functions.ZOrder.clusterColumn(df, zorderBy)
+        df.withColumn("__graft_z", z)
+          .repartitionByRange(targetFileCount, col("__graft_z"))
+          .sortWithinPartitions("__graft_z")
+          .drop("__graft_z")
+      }
     overwriteAll(compacted, m.currentSnapshotId, operation = "replace")
   }
 

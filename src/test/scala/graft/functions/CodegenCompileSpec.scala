@@ -83,6 +83,26 @@ class CodegenCompileSpec extends AnyFunSuite {
     }
   }
 
+  test("zvalue compiles inside codegen and matches interpreted eval") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DoubleType
+    strictCodegen {
+      val cuts = Array(Array(3.0, 17.0), Array(2.0, 40.0))
+      val df = Seq((3.0, 40.0), (17.0, 2.0), (255.0, 255.0)).toDF("x", "y")
+      val zc = GraftShims.column(ZValue(
+        GraftShims.expression(array($"x".cast(DoubleType), $"y".cast(DoubleType))),
+        cuts))
+      val compiled = df.orderBy("x").select(zc.as("z")).collect().map(_.getLong(0))
+      val interp = Seq((3.0, 40.0), (17.0, 2.0), (255.0, 255.0)).sortBy(_._1)
+        .map { case (a, b) =>
+          ZOrderHelper.zValue(
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(a, b)), cuts)
+        }
+      assert(compiled.toSeq === interp)
+      assert(compiled.distinct.length === 3)
+    }
+  }
+
   test("codegen output matches interpreted eval bit-for-bit") {
     import spark.implicits._
     val df = Seq(
