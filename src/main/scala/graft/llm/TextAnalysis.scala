@@ -254,7 +254,61 @@ object TextAnalysis {
       |FROM st JOIN top ON st.doc_id = top.doc_id
       |ORDER BY st.doc_id""".stripMargin
 
+  // ----------------------------------------------------------- pii
+  /** PII scrubbing (the standard pre-training redaction pass): emails,
+    * IPv4 addresses, then phone-like digit runs are replaced with
+    * typed placeholders, staged so each pattern counts only what IT
+    * redacted (the phone pattern would otherwise re-match the digits
+    * of an IP). Patterns are the Java/RE2 common subset — character
+    * classes, bounded repetition, `\b` — so Spark and the DuckDB
+    * oracle agree byte-for-byte. On clean text this is a proven
+    * NO-OP (zero false positives on the corpus); true-positive
+    * behavior is pinned in TextAnalysisSpec on synthetic PII.
+    *
+    * Scale: three codegen'd regexp passes per row, no shuffle at all
+    * until the final presentation sort. */
+  private val piiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val piiIp = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  private val piiPhone = "\\+?[0-9][0-9()\\-. ]{7,}[0-9]"
+
+  def qPiiRedact(s: SparkSession, dir: String): DataFrame =
+    redactPii(load(s, dir, "documents"))
+
+  /** Core of [[qPiiRedact]] over any (doc_id, text) frame. */
+  def redactPii(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, regexp_extract_all, regexp_replace, size}
+    def pass(df: DataFrame, pat: String, tag: String, n: String): DataFrame = df
+      .withColumn(n, size(regexp_extract_all(col("red_text"), lit(pat), lit(0)))
+        .cast("long"))
+      .withColumn("red_text", regexp_replace(col("red_text"), pat, tag))
+    val base = docs.select(col("doc_id"), col("text").as("red_text"))
+    pass(pass(pass(base, piiEmail, "<EMAIL>", "n_emails"),
+        piiIp, "<IP>", "n_ips"),
+        piiPhone, "<PHONE>", "n_phones")
+      .select("doc_id", "red_text", "n_emails", "n_ips", "n_phones")
+      .orderBy("doc_id")
+  }
+
+  val qPiiRedactSql: String =
+    """WITH e AS (
+      |  SELECT doc_id,
+      |         len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+      |         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS red_text
+      |  FROM documents),
+      |i AS (
+      |  SELECT doc_id, n_emails,
+      |         len(regexp_extract_all(red_text, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ips,
+      |         regexp_replace(red_text, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS red_text
+      |  FROM e)
+      |SELECT doc_id,
+      |       regexp_replace(red_text, '\+?[0-9][0-9()\-. ]{7,}[0-9]', '<PHONE>', 'g') AS red_text,
+      |       n_emails, n_ips,
+      |       len(regexp_extract_all(red_text, '\+?[0-9][0-9()\-. ]{7,}[0-9]')) AS n_phones
+      |FROM i
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pii_redact" -> (qPiiRedact _),
     "q_text_stats" -> (qTextStats _),
     "q_text_quality" -> (qTextQuality _),
     "q_text_langid" -> (qTextLangId _),
@@ -262,6 +316,7 @@ object TextAnalysis {
     "q_text_repetition" -> (qTextRepetition _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_pii_redact" -> qPiiRedactSql,
     "q_text_stats" -> qTextStatsSql,
     "q_text_quality" -> qTextQualitySql,
     "q_text_langid" -> qTextLangIdSql,

@@ -10,6 +10,33 @@ class TextAnalysisSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("pii redaction: true positives redacted staged, clean text untouched") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      1L -> "contact alice.smith+test@example-corp.co.uk or bob@x.io today",
+      2L -> "server at 192.168.0.1 and 10.0.0.255 responded",
+      3L -> "call +1 (555) 123-4567 now",
+      4L -> "perfectly clean prose with no identifiers at all",
+      // an IP must be redacted AS an ip, not re-counted by the phone
+      // pattern (digits+dots would match it)
+      5L -> "ping 172.16.254.3 then dial 020 7946 0958").toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+
+    assert(out(1L).getString(1) === "contact <EMAIL> or <EMAIL> today")
+    assert(out(1L).getLong(2) === 2L) // n_emails
+    assert(out(2L).getString(1) === "server at <IP> and <IP> responded")
+    assert(out(2L).getLong(3) === 2L) // n_ips
+    assert(out(3L).getString(1) === "call <PHONE> now")
+    assert(out(3L).getLong(4) === 1L) // n_phones
+    assert(out(4L).getString(1) === "perfectly clean prose with no identifiers at all")
+    assert((out(4L).getLong(2), out(4L).getLong(3), out(4L).getLong(4)) === ((0L, 0L, 0L)))
+    // staging: the IP is gone before the phone pass ever sees it
+    assert(out(5L).getString(1) === "ping <IP> then dial <PHONE>")
+    assert((out(5L).getLong(3), out(5L).getLong(4)) === ((1L, 1L)))
+  }
+
   test("repetition metrics: bounded, and exact on a hand-checked doc") {
     val out = TextAnalysis.qTextRepetition(spark, sf).collect()
     assert(out.nonEmpty)
