@@ -5,7 +5,7 @@ import org.apache.spark.sql.{GraftShims, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression, GenericInternalRow, JoinedRow}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.execution.datasources.PartitionedFile
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
@@ -155,12 +155,33 @@ final class GraftMorScan(
     keeper: Seq[Filter] => Manifests.DataFile => Boolean,
     pushed: Seq[Filter],
     required: StructType)
-    extends Scan with Batch with SupportsRuntimeFiltering {
+    extends Scan with Batch with SupportsRuntimeFiltering
+    with SupportsReportStatistics {
 
   @volatile private var current: Seq[Manifests.DataFile] = listing
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Manifest-derived size/row statistics AFTER static pruning — free
+    * at plan time (the commit recorded them), and what lets Catalyst
+    * auto-broadcast a small merge-on-read table: without this a V2
+    * scan defaults to "unknown = huge" and a dim table carrying one
+    * delete file silently loses broadcastability. Row count is the
+    * pre-delete upper bound (delete subtraction is a read-time
+    * property); size is raw parquet bytes, matching what the stock
+    * FileScan reports for the delete-free path. */
+  override def estimateStatistics(): Statistics = {
+    val datas = current.filterNot(_.isDeleteFile)
+    val bytes = datas.map(_.sizeBytes).sum
+    val rows = datas.map(_.recordCount).sum
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
   override def description(): String =
     s"GraftMorScan[files=${listing.count(!_.isDeleteFile)}] " +
       s"PushedFilters: [${pushed.mkString(", ")}]"

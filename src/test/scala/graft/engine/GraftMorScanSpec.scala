@@ -116,6 +116,43 @@ class GraftMorScanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(GraftDeleteCache.loads.get() === 1L)
   }
 
+  test("manifest statistics auto-broadcast a small MoR table (no hint)") {
+    import spark.implicits._
+    // small dim table CARRYING A DELETE FILE — scan path is GraftMorScan
+    spark.sql(s"CREATE TABLE $cat.db.statsdim (id BIGINT, name STRING)")
+    val dim = new GraftTable(client, prefix, TableIdent(Seq("db"), "statsdim"))
+    dim.append((0L until 50L).map(i => (i, s"n$i")).toDF("id", "name").coalesce(1))
+    dim.deleteByKeys(spark, Seq("id"), Seq(49L).toDF("id"))
+    spark.sql(s"CREATE TABLE $cat.db.statsfact (id BIGINT, x BIGINT)")
+    val fact = new GraftTable(client, prefix, TableIdent(Seq("db"), "statsfact"))
+    fact.append((0L until 5000L).map(i => (i % 50, i)).toDF("id", "x").coalesce(4))
+
+    // optimizer sees manifest-derived stats, not "unknown = huge"
+    val dimDf = spark.sql(s"SELECT * FROM $cat.db.statsdim")
+    val sz = dimDf.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(sz < 10L * 1024 * 1024, s"dim stats should be file-sized, got $sz")
+
+    val joined = spark.sql(
+      s"""SELECT f.x, d.name FROM $cat.db.statsfact f
+         |JOIN $cat.db.statsdim d ON f.id = d.id""".stripMargin)
+    assert(joined.count() === 4900L) // id 49 deleted from dim
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        p +: allNodes(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        p +: allNodes(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        p +: allNodes(r.child)
+      case _ => p +: p.children.flatMap(allNodes)
+    }
+    val bhj = allNodes(joined.queryExecution.executedPlan).collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bhj.nonEmpty,
+      "small MoR dim table was not auto-broadcast — stats missing?")
+  }
+
   test("partition-disjoint churn never loads other partitions' delete sets") {
     import spark.implicits._
     // SAME surrogate-id range in both partitions: key bounds on id
