@@ -56,7 +56,10 @@ final class GraftScanBuilder(
     /** pushed filters → file keeper: the listing is pruned by manifest
       * column stats + partition tuples before any file is read
       * ([[StatsPruning]]); delete files always survive */
-    keeper: Seq[Filter] => Manifests.DataFile => Boolean = _ => _ => true)
+    keeper: Seq[Filter] => Manifests.DataFile => Boolean = _ => _ => true,
+    /** the table's default partition spec, for storage-partitioned-join
+      * key grouping (None disables SPJ reporting) */
+    spjSpec: Option[graft.core.PartitionSpec] = None)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
@@ -98,7 +101,7 @@ final class GraftScanBuilder(
     val kept =
       if (pushed.isEmpty) listing else listing.filter(keeper(pushed.toSeq))
     new GraftMorScan(spark, coreSchema, tableSchema, kept, keeper,
-      pushed.toSeq, required)
+      pushed.toSeq, required, spjSpec)
   }
 }
 
@@ -109,8 +112,23 @@ private[engine] final case class GraftFileSlice(
     path: String, fileSize: Long, seq: Long, start: Long, length: Long,
     stats: Map[Int, Manifests.ColumnStats])
 
+private[engine] sealed trait GraftSlicedPartition extends InputPartition {
+  def slices: Seq[GraftFileSlice]
+}
+
 private[engine] final case class GraftInputPartition(slices: Seq[GraftFileSlice])
-    extends InputPartition
+    extends GraftSlicedPartition
+
+/** One storage partition's files as one Spark partition, with the
+  * typed partition tuple exposed for KeyGroupedPartitioning — the unit
+  * of a storage-partitioned (shuffle-free) join. */
+private[engine] final case class GraftKeyedInputPartition(
+    slices: Seq[GraftFileSlice], key: InternalRow)
+    extends GraftSlicedPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+}
+
 
 /** One equality-delete file with its sequence number and key-column
   * stats (by field id). */
@@ -154,9 +172,11 @@ final class GraftMorScan(
     listing: Seq[Manifests.DataFile],
     keeper: Seq[Filter] => Manifests.DataFile => Boolean,
     pushed: Seq[Filter],
-    required: StructType)
+    required: StructType,
+    spjSpec: Option[graft.core.PartitionSpec] = None)
     extends Scan with Batch with SupportsRuntimeFiltering
-    with SupportsReportStatistics {
+    with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   @volatile private var current: Seq[Manifests.DataFile] = listing
 
@@ -206,7 +226,77 @@ final class GraftMorScan(
     current = kept
   }
 
+  // ------------------------------------------------- storage-partitioned join
+  /** Identity-partition key grouping for storage-partitioned joins:
+    * when `spark.sql.sources.v2.bucketing.enabled` is set and the
+    * table's default spec is all-identity, every storage partition
+    * becomes ONE Spark partition carrying its typed partition tuple
+    * (`HasPartitionKey`), and the scan reports KeyGroupedPartitioning —
+    * two tables partitioned the same way then JOIN WITHOUT ANY
+    * SHUFFLE, the single biggest join lever at 100 TB (co-located
+    * fact-fact joins; Iceberg's SPJ shape). Groups are computed from
+    * the STATIC post-pushdown listing so the reported key set never
+    * shifts under runtime filtering (a runtime-pruned group plans as
+    * an empty partition rather than vanishing). Any unparseable
+    * partition value (legacy files, unsupported source type) falls
+    * back to the normal bin-packed layout. */
+  private lazy val spjGroups
+      : Option[(Array[org.apache.spark.sql.connector.expressions.Expression],
+                Seq[(InternalRow, Seq[Manifests.DataFile])])] = {
+    val enabled = spark.conf
+      .get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean
+    spjSpec.filter(_ => enabled)
+      .filter(sp => sp.fields.nonEmpty &&
+        sp.fields.forall(_.transform == graft.core.Transform.Identity))
+      .flatMap { sp =>
+        val srcs = sp.fields.map(f => coreSchema.fieldById(f.sourceId))
+        if (srcs.exists(_.isEmpty)) None
+        else try {
+          val fields = sp.fields.zip(srcs.map(_.get))
+          val exprs = fields.map { case (_, s) =>
+            org.apache.spark.sql.connector.expressions.Expressions
+              .identity(s.name): org.apache.spark.sql.connector.expressions.Expression }
+          val grouped = listing.filterNot(_.isDeleteFile)
+            .groupBy(f => fields.map { case (pf, s) =>
+              GraftMorScan.partitionKeyValue(
+                f.partition.getOrElse(pf.name,
+                  throw new IllegalArgumentException(s"no tuple value ${pf.name}")),
+                s.fieldType)
+            })
+            .toSeq.sortBy(_._1.map(String.valueOf(_)).mkString("|"))
+            .map { case (vals, fs) =>
+              (new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+                vals.toArray[Any]): InternalRow, fs)
+            }
+          if (grouped.isEmpty) None else Some((exprs.toArray, grouped))
+        } catch { case _: Exception => None }
+      }
+  }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    spjGroups match {
+      case Some((exprs, groups)) =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(exprs, groups.size)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
+
   override def planInputPartitions(): Array[InputPartition] = {
+    spjGroups match {
+      case Some((_, groups)) =>
+        val keep = current.filterNot(_.isDeleteFile).map(_.path).toSet
+        GraftMorScan.lastPlannedFiles =
+          Some(groups.iterator.map(_._2.count(f => keep(f.path))).sum)
+        return groups.map { case (key, fs) =>
+          GraftKeyedInputPartition(
+            fs.filter(f => keep(f.path)).map(f => GraftFileSlice(
+              f.path, f.sizeBytes, f.seq, 0L, f.sizeBytes, f.stats)),
+            key): InputPartition
+        }.toArray
+      case None => ()
+    }
     val datas = current.filterNot(_.isDeleteFile)
     GraftMorScan.lastPlannedFiles = Some(datas.size)
     val (maxSplit, openCost) = GraftShims.fileSplitConf(spark)
@@ -329,6 +419,26 @@ object GraftMorScan {
     * into the bench harness output so delete-prune efficacy is visible
     * per run. */
   def deleteCacheLoads: Long = GraftDeleteCache.loads.get()
+
+  /** Manifest partition-tuple string → catalyst value for the
+    * HasPartitionKey row (inverse of ParquetBatchWrite.render).
+    * Unsupported source types throw — the caller falls back to the
+    * non-SPJ layout. */
+  private[engine] def partitionKeyValue(s: String, t: graft.core.IType): Any = {
+    import graft.core.IType._
+    if (s == "__HIVE_DEFAULT_PARTITION__") null
+    else t match {
+      case TInt => s.toInt
+      case TLong => s.toLong
+      case TString => UTF8String.fromString(s)
+      case TDate => java.time.LocalDate.parse(s).toEpochDay.toInt
+      case TBoolean => s.toBoolean
+      case TDouble => s.toDouble
+      case TFloat => s.toFloat
+      case other => throw new IllegalArgumentException(
+        s"SPJ unsupported partition source type ${other.wireName}")
+    }
+  }
 }
 
 /** Executor-side reader: streams each slice through the shared parquet
@@ -348,7 +458,7 @@ private[engine] final class GraftReaderFactory(
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
-      private val slices = p.asInstanceOf[GraftInputPartition].slices.iterator
+      private val slices = p.asInstanceOf[GraftSlicedPartition].slices.iterator
       private val proj = GraftShims.unsafeProjection(outputExprs)
       private val pred = residual.map(GraftShims.basePredicate).orNull
       private val joined = new JoinedRow

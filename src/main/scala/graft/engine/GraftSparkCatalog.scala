@@ -164,6 +164,18 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       listing: Seq[Manifests.DataFile]) {
     private val parts = StatsPruning.partFields(m.partitionSpecs.values)
     private val byPath = listing.iterator.map(f => f.path -> f).toMap
+    /** The default spec, for storage-partitioned-join key grouping. */
+    def defaultSpec: Option[graft.core.PartitionSpec] =
+      m.partitionSpecs.get(m.defaultSpecId)
+    /** Route reads through [[GraftScanBuilder]] so the scan can report
+      * KeyGroupedPartitioning: only when the user opted into V2
+      * bucketing AND the default spec is all-identity (the stock
+      * parquet delegate cannot report storage partitioning). */
+    def spjEligible: Boolean =
+      SparkSession.active.conf
+        .get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean &&
+        defaultSpec.exists(sp => sp.fields.nonEmpty &&
+          sp.fields.forall(_.transform == graft.core.Transform.Identity))
     def fileKeeper(filters: Seq[org.apache.spark.sql.sources.Filter])
         : Manifests.DataFile => Boolean =
       StatsPruning.keeper(coreSchema, parts, filters)
@@ -246,8 +258,9 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
         TableCapability.V1_BATCH_WRITE,
         TableCapability.TRUNCATE)
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-      if (listing.exists(_.isDeleteFile))
-        new GraftScanBuilder(coreSchema, listing, pruning.fileKeeper)
+      if (listing.exists(_.isDeleteFile) || pruning.spjEligible)
+        new GraftScanBuilder(coreSchema, listing, pruning.fileKeeper,
+          pruning.defaultSpec)
       else delegate.asInstanceOf[SupportsRead].newScanBuilder(options)
 
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -698,8 +711,9 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     override def capabilities(): util.Set[TableCapability] =
       util.EnumSet.of(TableCapability.BATCH_READ)
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-      if (listing.exists(_.isDeleteFile))
-        new GraftScanBuilder(coreSchema, listing, pruning.fileKeeper)
+      if (listing.exists(_.isDeleteFile) || pruning.spjEligible)
+        new GraftScanBuilder(coreSchema, listing, pruning.fileKeeper,
+          pruning.defaultSpec)
       else delegate.asInstanceOf[SupportsRead].newScanBuilder(options)
   }
 
@@ -742,8 +756,9 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
         org.apache.spark.sql.types.LongType))
 
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-      if (listing.exists(_.isDeleteFile))
-        new GraftScanBuilder(coreSchema, listing, pruning.fileKeeper)
+      if (listing.exists(_.isDeleteFile) || pruning.spjEligible)
+        new GraftScanBuilder(coreSchema, listing, pruning.fileKeeper,
+          pruning.defaultSpec)
       else delegate.asInstanceOf[SupportsRead].newScanBuilder(options)
 
     // SQL DELETE FROM ... WHERE: copy-on-write rewrite through the
