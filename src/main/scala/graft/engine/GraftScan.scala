@@ -229,7 +229,7 @@ final class GraftMorScan(
   // ------------------------------------------------- storage-partitioned join
   /** Identity-partition key grouping for storage-partitioned joins:
     * when `spark.sql.sources.v2.bucketing.enabled` is set and the
-    * table's default spec is all-identity, every storage partition
+    * table's default spec is all identity/bucket, every storage partition
     * becomes ONE Spark partition carrying its typed partition tuple
     * (`HasPartitionKey`), and the scan reports KeyGroupedPartitioning —
     * two tables partitioned the same way then JOIN WITHOUT ANY
@@ -246,22 +246,29 @@ final class GraftMorScan(
     val enabled = spark.conf
       .get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean
     spjSpec.filter(_ => enabled)
-      .filter(sp => sp.fields.nonEmpty &&
-        sp.fields.forall(_.transform == graft.core.Transform.Identity))
+      .filter(sp => sp.fields.nonEmpty && sp.fields.forall(f =>
+        f.transform == graft.core.Transform.Identity ||
+          f.transform.isInstanceOf[graft.core.Transform.Bucket]))
       .flatMap { sp =>
         val srcs = sp.fields.map(f => coreSchema.fieldById(f.sourceId))
         if (srcs.exists(_.isEmpty)) None
         else try {
           val fields = sp.fields.zip(srcs.map(_.get))
-          val exprs = fields.map { case (_, s) =>
-            org.apache.spark.sql.connector.expressions.Expressions
-              .identity(s.name): org.apache.spark.sql.connector.expressions.Expression }
+          val exprs = fields.map { case (pf, s) =>
+            (pf.transform match {
+              case graft.core.Transform.Bucket(n) =>
+                org.apache.spark.sql.connector.expressions.Expressions
+                  .bucket(n, s.name)
+              case _ =>
+                org.apache.spark.sql.connector.expressions.Expressions
+                  .identity(s.name)
+            }): org.apache.spark.sql.connector.expressions.Expression }
           val grouped = listing.filterNot(_.isDeleteFile)
             .groupBy(f => fields.map { case (pf, s) =>
               GraftMorScan.partitionKeyValue(
                 f.partition.getOrElse(pf.name,
                   throw new IllegalArgumentException(s"no tuple value ${pf.name}")),
-                s.fieldType)
+                pf.transform.resultType(s.fieldType))
             })
             .toSeq.sortBy(_._1.map(String.valueOf(_)).mkString("|"))
             .map { case (vals, fs) =>

@@ -41,7 +41,7 @@ import scala.jdk.CollectionConverters._
   * Time-travel loads stay read-only.
   */
 class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
-    with StagingTableCatalog {
+    with StagingTableCatalog with FunctionCatalog {
 
   private var catalogName: String = _
   private var client: RestCatalogClient = _
@@ -100,6 +100,18 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
     try { client.dropNamespace(prefix, namespace.toSeq); true }
     catch { case e: CatalogError if e.code == 404 => false }
+
+  // ---------------------------------------------------------- functions
+  /** V2 function resolution — the planner side of bucket partitioning:
+    * storage-partitioned-join compatibility resolves `bucket(N, col)`
+    * through here (any namespace; the function is catalog-global). */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name() == "bucket") graft.functions.IcebergBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 
   // ------------------------------------------------------------ tables
   override def listTables(namespace: Array[String]): Array[Identifier] =
@@ -169,13 +181,15 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       m.partitionSpecs.get(m.defaultSpecId)
     /** Route reads through [[GraftScanBuilder]] so the scan can report
       * KeyGroupedPartitioning: only when the user opted into V2
-      * bucketing AND the default spec is all-identity (the stock
+      * bucketing AND the default spec is all identity/bucket (the stock
       * parquet delegate cannot report storage partitioning). */
     def spjEligible: Boolean =
       SparkSession.active.conf
         .get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean &&
         defaultSpec.exists(sp => sp.fields.nonEmpty &&
-          sp.fields.forall(_.transform == graft.core.Transform.Identity))
+          sp.fields.forall(f =>
+            f.transform == graft.core.Transform.Identity ||
+              f.transform.isInstanceOf[graft.core.Transform.Bucket]))
     def fileKeeper(filters: Seq[org.apache.spark.sql.sources.Filter])
         : Manifests.DataFile => Boolean =
       StatsPruning.keeper(coreSchema, parts, filters)

@@ -96,6 +96,44 @@ class SpjSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("bucket-partitioned tables join shuffle-free via the V2 bucket function") {
+    spark.sql(s"CREATE TABLE $cat.db.busers (id BIGINT, name STRING) " +
+      "PARTITIONED BY (bucket(8, id))")
+    spark.sql(s"CREATE TABLE $cat.db.bevents (id BIGINT, n BIGINT) " +
+      "PARTITIONED BY (bucket(8, id))")
+    spark.sql(s"INSERT INTO $cat.db.busers " +
+      "SELECT id, concat('u', id) FROM range(0, 500)")
+    spark.sql(s"INSERT INTO $cat.db.bevents " +
+      "SELECT id % 500, id FROM range(0, 2000)")
+
+    def run() = spark.sql(
+      s"""SELECT u.id, u.name, sum(e.n) AS total
+         |FROM $cat.db.busers u JOIN $cat.db.bevents e ON u.id = e.id
+         |GROUP BY u.id, u.name ORDER BY u.id""".stripMargin)
+
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = run()
+      val rows = df.collect()
+      assert(rows.length === 500)
+      val joins = allNodes(df.queryExecution.executedPlan).collect {
+        case j: SortMergeJoinExec => j }
+      assert(joins.nonEmpty, "expected a sort-merge join")
+      val shufflesBelowJoin = allNodes(joins.head).collect {
+        case s: ShuffleExchangeExec => s }
+      assert(shufflesBelowJoin.isEmpty,
+        s"bucket join inputs were shuffled:\n${joins.head}")
+
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      assert(rows.map(_.toString).toSeq ===
+        run().collect().map(_.toString).toSeq)
+    } finally {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("spj layout survives runtime file pruning and delete files") {
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
