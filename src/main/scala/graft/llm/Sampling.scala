@@ -271,13 +271,62 @@ object Sampling {
       |ORDER BY source, rk""".stripMargin
 
   // ----------------------------------------------------------- registry
+  /** Split hash — third decorrelated odd multiplier (see
+    * [[mixPermille]]'s rationale): a document's split assignment is
+    * independent of its sample/mixture fate. */
+  private def splitPermille(col: String) =
+    s"pmod(pmod($col, 1000000007) * 2654435769, 4294967296) % 1000"
+
+  /** Deterministic train/val/test split (98/1/1): assignment is a pure
+    * per-row hash gate — no shuffle, no state, stable under retries,
+    * re-runs, and table growth (a document's split never changes when
+    * other documents arrive, unlike any rank- or random-based split).
+    * Output pins exact per-split membership counts per source, so the
+    * gate catches both hash drift and boundary-condition drift.
+    *
+    * Scale: one projection + one small keyed two-phase aggregate over
+    * (source, split) — O(strata) output at any corpus size. */
+  def qSplitAssign(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .selectExpr(
+        "source",
+        s"""case when ${splitPermille("doc_id")} < 980 then 'train'
+           |     when ${splitPermille("doc_id")} < 990 then 'val'
+           |     else 'test' end as split""".stripMargin,
+        "doc_id", "n_chars")
+      .groupBy("source", "split")
+      .agg(
+        org.apache.spark.sql.functions.expr("count(*) as n_docs"),
+        org.apache.spark.sql.functions.expr("sum(n_chars) as n_chars_total"),
+        org.apache.spark.sql.functions.expr("min(doc_id) as first_doc")
+        )
+      .orderBy("source", "split")
+
+  val qSplitAssignSql: String =
+    """WITH d AS (
+      |  SELECT source, doc_id, n_chars,
+      |         ((doc_id % 1000000007) * 2654435769) % 4294967296 % 1000 AS h
+      |  FROM documents)
+      |SELECT source,
+      |       CASE WHEN h < 980 THEN 'train'
+      |            WHEN h < 990 THEN 'val'
+      |            ELSE 'test' END AS split,
+      |       COUNT(*) AS n_docs,
+      |       CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+      |       MIN(doc_id) AS first_doc
+      |FROM d
+      |GROUP BY 1, 2
+      |ORDER BY source, split""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_split_assign" -> (qSplitAssign _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_shard_pack" -> (qShardPack _),
     "q_mix_epochs" -> (qMixEpochs _),
     "q_sample_per_source" -> (qSamplePerSource _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_split_assign" -> qSplitAssignSql,
     "q_sample_stratified" -> qSampleStratifiedSql,
     "q_shard_pack" -> qShardPackSql,
     "q_mix_epochs" -> qMixEpochsSql,

@@ -40,6 +40,26 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("split assignment is exhaustive, disjoint-by-construction, ~98/1/1") {
+    val out = Sampling.qSplitAssign(spark, sf).collect()
+    assert(out.nonEmpty)
+    // exhaustive: per-source split counts sum to the corpus
+    val total = graft.Tables.load(spark, sf, "documents").count()
+    assert(out.map(_.getLong(2)).sum === total)
+    // every (source, split) appears at most once (grouped output)
+    val keys = out.map(r => (r.getString(0), r.getString(1)))
+    assert(keys.distinct.length === keys.length)
+    // global ratio: train ~98% within a loose band (hash uniformity)
+    val byPct = out.groupBy(_.getString(1)).view
+      .mapValues(_.map(_.getLong(2)).sum.toDouble / total).toMap
+    assert(math.abs(byPct.getOrElse("train", 0.0) - 0.98) < 0.02)
+    assert(byPct.getOrElse("val", 0.0) < 0.05)
+    assert(byPct.getOrElse("test", 0.0) < 0.05)
+    // rerun identical (hash-gated, not rand)
+    assert(Sampling.qSplitAssign(spark, sf).collect().map(_.toString).toSeq ===
+      out.map(_.toString).toSeq)
+  }
+
   test("shard packing covers every document once, budget bounds respected") {
     val shards = Sampling.qShardPack(spark, sf).collect()
     assert(shards.nonEmpty)
