@@ -949,6 +949,24 @@ object GraftTable {
     // per-file min/max bounds tighten and stats pruning on the sort
     // columns skips more files. This is Iceberg's write.sort behavior;
     // a global sort (range exchange) stays the compaction job's call.
+    // write.distribution-mode (Iceberg's knob): with `hash`, cluster
+    // incoming rows BY PARTITION TUPLE before the task writers — one
+    // exchange, and each partition value's rows land in one task, so a
+    // partitioned table gets O(partitions) files per write instead of
+    // O(tasks × partitions) small files (the 1000-executor failure
+    // mode: every task opening a writer for every partition it sees).
+    // `range` uses a range exchange (sampled bounds), clustering
+    // adjacent partition values for tighter cross-partition file
+    // ordering. Default (unset/none) keeps the incoming distribution —
+    // zero added shuffle, the right call when the query is already
+    // clustered (e.g. streaming epochs, sorted compaction output).
+    val stamped1 = m.properties.get("write.distribution-mode") match {
+      case Some(mode @ ("hash" | "range")) if !spec.isUnpartitioned =>
+        val pcols = PartitionExprs.partitionColumns(spec, m.currentSchema, col)
+        if (mode == "hash") stamped0.repartition(pcols: _*)
+        else stamped0.repartitionByRange(pcols: _*)
+      case _ => stamped0
+    }
     val order = m.defaultSortOrder
     val sortCols = order.fields.flatMap { sf =>
       for {
@@ -963,8 +981,8 @@ object GraftTable {
       }
     }
     val stamped =
-      if (sortCols.isEmpty) stamped0
-      else stamped0.sortWithinPartitions(sortCols: _*)
+      if (sortCols.isEmpty) stamped1
+      else stamped1.sortWithinPartitions(sortCols: _*)
     val routing =
       if (spec.isUnpartitioned) None
       else Some(ParquetBatchWrite.PartitionRouting(
