@@ -112,6 +112,21 @@ private[engine] final case class GraftFileSlice(
     path: String, fileSize: Long, seq: Long, start: Long, length: Long,
     stats: Map[Int, Manifests.ColumnStats])
 
+/** The ONE storage-partitioned-join eligibility predicate, shared by
+  * the catalog's scan routing and the scan's key grouping so the two
+  * can never drift: a spec qualifies when every field is an identity
+  * or bucket transform (the transforms the planner can resolve —
+  * identity as a column ref, bucket through the catalog's V2
+  * FunctionCatalog). */
+private[engine] object GraftSpj {
+  def enabled(spark: SparkSession): Boolean =
+    spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean
+  def supportedSpec(spec: graft.core.PartitionSpec): Boolean =
+    spec.fields.nonEmpty && spec.fields.forall(f =>
+      f.transform == graft.core.Transform.Identity ||
+        f.transform.isInstanceOf[graft.core.Transform.Bucket])
+}
+
 private[engine] sealed trait GraftSlicedPartition extends InputPartition {
   def slices: Seq[GraftFileSlice]
 }
@@ -239,16 +254,21 @@ final class GraftMorScan(
     * shifts under runtime filtering (a runtime-pruned group plans as
     * an empty partition rather than vanishing). Any unparseable
     * partition value (legacy files, unsupported source type) falls
-    * back to the normal bin-packed layout. */
+    * back to the normal bin-packed layout.
+    *
+    * TRADEOFF (why this is opt-in via the conf, same as Iceberg's
+    * preserve-data-grouping): while enabled, EVERY scan of an eligible
+    * table plans one unsplit task per storage partition and reads
+    * through this scan instead of the stock columnar delegate — for
+    * non-join queries that caps parallelism at the partition count.
+    * Enable it per-session around co-partitioned join workloads (the
+    * conf is read at plan time, so `SET` toggles it query-by-query);
+    * leave it off for scan-heavy sessions. */
   private lazy val spjGroups
       : Option[(Array[org.apache.spark.sql.connector.expressions.Expression],
                 Seq[(InternalRow, Seq[Manifests.DataFile])])] = {
-    val enabled = spark.conf
-      .get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean
-    spjSpec.filter(_ => enabled)
-      .filter(sp => sp.fields.nonEmpty && sp.fields.forall(f =>
-        f.transform == graft.core.Transform.Identity ||
-          f.transform.isInstanceOf[graft.core.Transform.Bucket]))
+    spjSpec.filter(_ => GraftSpj.enabled(spark))
+      .filter(GraftSpj.supportedSpec)
       .flatMap { sp =>
         val srcs = sp.fields.map(f => coreSchema.fieldById(f.sourceId))
         if (srcs.exists(_.isEmpty)) None

@@ -184,12 +184,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       * bucketing AND the default spec is all identity/bucket (the stock
       * parquet delegate cannot report storage partitioning). */
     def spjEligible: Boolean =
-      SparkSession.active.conf
-        .get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean &&
-        defaultSpec.exists(sp => sp.fields.nonEmpty &&
-          sp.fields.forall(f =>
-            f.transform == graft.core.Transform.Identity ||
-              f.transform.isInstanceOf[graft.core.Transform.Bucket]))
+      GraftSpj.enabled(SparkSession.active) &&
+        defaultSpec.exists(GraftSpj.supportedSpec)
     def fileKeeper(filters: Seq[org.apache.spark.sql.sources.Filter])
         : Manifests.DataFile => Boolean =
       StatsPruning.keeper(coreSchema, parts, filters)

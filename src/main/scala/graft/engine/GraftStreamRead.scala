@@ -113,6 +113,17 @@ final class GraftMicroBatchStream(
           chain ::= at.get
           at = at.get.parentSnapshotId.flatMap(m.snapshots.get)
         }
+        // the walk must TERMINATE AT s (s == Earliest legitimately
+        // drains the whole lineage); anything else means the
+        // checkpointed snapshot expired or lives on another branch —
+        // fail HERE with the real diagnosis instead of letting
+        // planFilesIncremental throw a confusing range error later
+        if (at.isEmpty && s != Earliest)
+          throw graft.catalog.CatalogError.badRequest(
+            s"stream checkpoint snapshot $s is not an ancestor of the " +
+              s"current snapshot $cur (expired via expire_snapshots, or " +
+              "on another branch) — restart the stream from a fresh " +
+              "checkpoint or stream-from=earliest")
         def totalOf(id: Long): Option[Long] =
           m.snapshots.get(id).flatMap(_.summary.get("total-records"))
             .flatMap(_.toLongOption)

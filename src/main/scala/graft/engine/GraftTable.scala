@@ -277,8 +277,13 @@ final class GraftTable(
       df: DataFrame,
       expectedBase: Option[Long],
       operation: String = "overwrite",
-      branch: String = TableMetadata.MainBranch): TableMetadata = {
-    val written = writeDataFiles(df)
+      branch: String = TableMetadata.MainBranch,
+      /** true when the CALLER already laid out df (compaction/z-order):
+        * skips write.distribution-mode repartitioning and the default
+        * sort, both of which would silently destroy that layout */
+      preserveLayout: Boolean = false): TableMetadata = {
+    val written = GraftTable.writeDataFiles(df, metadata,
+      preserveLayout = preserveLayout)
     commitOnce(branch, operation, expectedBase, _ => (Nil, written))
   }
 
@@ -438,7 +443,12 @@ final class GraftTable(
           .sortWithinPartitions("__graft_z")
           .drop("__graft_z")
       }
-    overwriteAll(compacted, m.currentSnapshotId, operation = "replace")
+    // z-order IS the layout decision: the write path must not
+    // re-distribute (write.distribution-mode) or re-sort (default sort
+    // order) the clustered frame. Plain compaction keeps both — its
+    // repartition is only a file-count choice, not an ordering.
+    overwriteAll(compacted, m.currentSnapshotId, operation = "replace",
+      preserveLayout = zorderBy.nonEmpty)
   }
 
   /** expire_snapshots maintenance: remove snapshots older than the
@@ -934,7 +944,8 @@ object GraftTable {
     * Shared by the live-table write path and the staged-table
     * (CTAS/RTAS) write path, which has no loadable table yet. */
   private[engine] def writeDataFiles(
-      df: DataFrame, m: TableMetadata): Seq[Manifests.DataFile] = {
+      df: DataFrame, m: TableMetadata,
+      preserveLayout: Boolean = false): Seq[Manifests.DataFile] = {
     val spec = m.defaultSpec
     val dataDir = s"${m.location}/data/${UUID.randomUUID()}"
     // Stamp every column with its Iceberg field id so the parquet writer
@@ -960,15 +971,19 @@ object GraftTable {
     // ordering. Default (unset/none) keeps the incoming distribution —
     // zero added shuffle, the right call when the query is already
     // clustered (e.g. streaming epochs, sorted compaction output).
+    // `preserveLayout` (compaction/z-order callers): the caller IS the
+    // layout decision — re-distributing or re-sorting here would
+    // silently undo it.
     val stamped1 = m.properties.get("write.distribution-mode") match {
-      case Some(mode @ ("hash" | "range")) if !spec.isUnpartitioned =>
+      case Some(mode @ ("hash" | "range"))
+          if !spec.isUnpartitioned && !preserveLayout =>
         val pcols = PartitionExprs.partitionColumns(spec, m.currentSchema, col)
         if (mode == "hash") stamped0.repartition(pcols: _*)
         else stamped0.repartitionByRange(pcols: _*)
       case _ => stamped0
     }
     val order = m.defaultSortOrder
-    val sortCols = order.fields.flatMap { sf =>
+    val sortCols = if (preserveLayout) Nil else order.fields.flatMap { sf =>
       for {
         src <- m.currentSchema.fieldById(sf.sourceId)
         base <- scala.util.Try(PartitionExprs.partitionValue(

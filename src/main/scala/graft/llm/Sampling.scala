@@ -275,7 +275,7 @@ object Sampling {
     * [[mixPermille]]'s rationale): a document's split assignment is
     * independent of its sample/mixture fate. */
   private def splitPermille(col: String) =
-    s"pmod(pmod($col, 1000000007) * 2654435769, 4294967296) % 1000"
+    s"pmod(pmod($col, 1000000007) * 3267000013L, 4294967296) % 1000"
 
   /** Deterministic train/val/test split (98/1/1): assignment is a pure
     * per-row hash gate — no shuffle, no state, stable under retries,
@@ -305,7 +305,7 @@ object Sampling {
   val qSplitAssignSql: String =
     """WITH d AS (
       |  SELECT source, doc_id, n_chars,
-      |         ((doc_id % 1000000007) * 2654435769) % 4294967296 % 1000 AS h
+      |         ((doc_id % 1000000007) * 3267000013) % 4294967296 % 1000 AS h
       |  FROM documents)
       |SELECT source,
       |       CASE WHEN h < 980 THEN 'train'

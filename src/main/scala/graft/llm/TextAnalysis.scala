@@ -261,15 +261,23 @@ object TextAnalysis {
     * redacted (the phone pattern would otherwise re-match the digits
     * of an IP). Patterns are the Java/RE2 common subset — character
     * classes, bounded repetition, `\b` — so Spark and the DuckDB
-    * oracle agree byte-for-byte. On clean text this is a proven
-    * NO-OP (zero false positives on the corpus); true-positive
-    * behavior is pinned in TextAnalysisSpec on synthetic PII.
+    * oracle agree byte-for-byte (RE2 has no lookaround, so a total
+    * digit-count gate is not expressible). The phone stage is a
+    * HEURISTIC with known false-positive classes inherent to
+    * regex-only detection: dash/space-grouped digit strings of
+    * phone-like length (ISO dates, ISBNs, long digit runs) are
+    * redacted too — the conservative direction for training data
+    * (over-redaction loses a token; under-redaction leaks PII).
+    * Plain decimals, short numbers, and sentence-spanning digit
+    * sequences do NOT match (no `.` in the class, run bounded).
+    * On this corpus the pass is a proven no-op; true positives and
+    * the FP boundary are pinned in TextAnalysisSpec.
     *
     * Scale: three codegen'd regexp passes per row, no shuffle at all
     * until the final presentation sort. */
   private val piiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val piiIp = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
-  private val piiPhone = "\\+?[0-9][0-9()\\-. ]{7,}[0-9]"
+  private val piiPhone = "\\+?[0-9][0-9()\\- ]{7,14}[0-9]"
 
   def qPiiRedact(s: SparkSession, dir: String): DataFrame =
     redactPii(load(s, dir, "documents"))
@@ -301,9 +309,9 @@ object TextAnalysis {
       |         regexp_replace(red_text, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS red_text
       |  FROM e)
       |SELECT doc_id,
-      |       regexp_replace(red_text, '\+?[0-9][0-9()\-. ]{7,}[0-9]', '<PHONE>', 'g') AS red_text,
+      |       regexp_replace(red_text, '\+?[0-9][0-9()\- ]{7,14}[0-9]', '<PHONE>', 'g') AS red_text,
       |       n_emails, n_ips,
-      |       len(regexp_extract_all(red_text, '\+?[0-9][0-9()\-. ]{7,}[0-9]')) AS n_phones
+      |       len(regexp_extract_all(red_text, '\+?[0-9][0-9()\- ]{7,14}[0-9]')) AS n_phones
       |FROM i
       |ORDER BY doc_id""".stripMargin
 

@@ -58,6 +58,28 @@ class ZOrderSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(zdf.where($"y" === 1L).select("z").head().getLong(0) >= 0L)
   }
 
+  test("zorder layout survives write.distribution-mode on a partitioned table") {
+    // hash distribution re-clusters ordinary writes by partition tuple;
+    // a z-order rewrite must NOT be re-clustered (preserveLayout) or
+    // the z-ranges collapse into one file per partition value
+    spark.sql(s"CREATE TABLE $cat.db.zo2 (x BIGINT, y BIGINT, p BIGINT) " +
+      "PARTITIONED BY (p) " +
+      "TBLPROPERTIES ('write.distribution-mode'='hash')")
+    spark.sql(
+      s"""INSERT INTO $cat.db.zo2
+         |SELECT id % 64 AS x, (id DIV 64) % 64 AS y, id % 2 AS p
+         |FROM range(0, 4096)""".stripMargin)
+    spark.sql(s"CALL $cat.system.rewrite_data_files(" +
+      s"table => 'db.zo2', target_file_count => 16, zorder => 'x,y')")
+
+    GraftFileIndex.lastPlanned = None
+    spark.sql(s"SELECT count(*) FROM $cat.db.zo2 WHERE y BETWEEN 0 AND 7").collect()
+    val planned = GraftFileIndex.lastPlanned.get
+    assert(planned.total >= 16, s"z-ranges collapsed: only ${planned.total} files")
+    assert(planned.kept < planned.total,
+      s"y-pred should prune z-ordered files: ${planned.kept}/${planned.total}")
+  }
+
   test("zorder rewrite prunes on BOTH columns; linear sort only on one") {
     // 64x64 grid, shuffled so pre-rewrite files have no locality at all
     spark.sql(s"CREATE TABLE $cat.db.zo (x BIGINT, y BIGINT, p BIGINT)")

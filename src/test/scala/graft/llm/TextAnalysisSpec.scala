@@ -20,7 +20,14 @@ class TextAnalysisSpec extends AnyFunSuite {
       4L -> "perfectly clean prose with no identifiers at all",
       // an IP must be redacted AS an ip, not re-counted by the phone
       // pattern (digits+dots would match it)
-      5L -> "ping 172.16.254.3 then dial 020 7946 0958").toDF("doc_id", "text")
+      5L -> "ping 172.16.254.3 then dial 020 7946 0958",
+      // FP boundary: decimals and sentence-spanning digit runs survive
+      // (no '.' in the phone class, run bounded) ...
+      6L -> "pi is 3.14159265 and from 1914. 1918 was the end",
+      // ... while dash-grouped digit strings of phone-like length are a
+      // KNOWN false-positive class of regex-only detection (pinned —
+      // over-redaction is the conservative direction for training data)
+      7L -> "released 2020-06-15 in stores").toDF("doc_id", "text")
     val out = TextAnalysis.redactPii(docs).collect()
       .map(r => r.getLong(0) -> r).toMap
 
@@ -35,6 +42,9 @@ class TextAnalysisSpec extends AnyFunSuite {
     // staging: the IP is gone before the phone pass ever sees it
     assert(out(5L).getString(1) === "ping <IP> then dial <PHONE>")
     assert((out(5L).getLong(3), out(5L).getLong(4)) === ((1L, 1L)))
+    // FP boundary pinned both ways
+    assert(out(6L).getString(1) === "pi is 3.14159265 and from 1914. 1918 was the end")
+    assert(out(7L).getString(1) === "released <PHONE> in stores")
   }
 
   test("repetition metrics: bounded, and exact on a hand-checked doc") {
