@@ -32,7 +32,11 @@ import java.util
   *    the first batch (rejected if the snapshot carries merge-on-read
   *    delete files — compact first), then increments;
   *  - `stream-from` = <snapshot-id>: resume from an explicit
-  *    checkpoint snapshot (it must remain an un-expired ancestor).
+  *    checkpoint snapshot (it must remain an un-expired ancestor);
+  *  - `max-rows-per-trigger` = N: admission control — each trigger
+  *    admits whole snapshots until their summed row counts exceed N
+  *    (always at least one, so oversized commits still progress); a
+  *    commit backlog after downtime drains as bounded batches.
   *
   * Row-level change (`delete`/`overwrite` snapshots) in a streamed
   * range throws — same line the batch incremental scan draws; streams
