@@ -61,7 +61,8 @@ final class GraftScanBuilder(
       * key grouping (None disables SPJ reporting) */
     spjSpec: Option[graft.core.PartitionSpec] = None)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private val tableSchema = SchemaBridge.toSpark(coreSchema)
   private val lineageFields = Seq(
@@ -95,13 +96,34 @@ final class GraftScanBuilder(
     required = StructType(requiredSchema.fields.flatMap(f => byName.get(f.name)))
   }
 
-  override def build(): Scan = {
-    val spark = SparkSession.active
-    // plan-time static prune (stats + partition tuples); deletes survive
-    val kept =
-      if (pushed.isEmpty) listing else listing.filter(keeper(pushed.toSeq))
-    new GraftMorScan(spark, coreSchema, tableSchema, kept, keeper,
-      pushed.toSeq, required, spjSpec)
+  /** Manifest-answered aggregation, when sound ([[MetadataAggregates]]):
+    * count/min/max over a delete-free, unfiltered snapshot never reads
+    * a data file. `pushed.nonEmpty` declines because accepted filters
+    * are REMOVED from Spark's post-scan evaluation on this path — a
+    * metadata answer could not enforce them. */
+  private var metaAgg: Option[(StructType, Array[InternalRow], Seq[String])] = None
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    pushed.isEmpty && MetadataAggregates.plan(coreSchema, listing, agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    metaAgg =
+      if (pushed.nonEmpty) None
+      else MetadataAggregates.plan(coreSchema, listing, agg)
+    metaAgg.isDefined
+  }
+
+  override def build(): Scan = metaAgg match {
+    case Some((schema, rows, funcs)) => new GraftMetaAggScan(schema, rows, funcs)
+    case None =>
+      val spark = SparkSession.active
+      // plan-time static prune (stats + partition tuples); deletes survive
+      val kept =
+        if (pushed.isEmpty) listing else listing.filter(keeper(pushed.toSeq))
+      new GraftMorScan(spark, coreSchema, tableSchema, kept, keeper,
+        pushed.toSeq, required, spjSpec)
   }
 }
 

@@ -156,7 +156,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     val delegate = GraftShims.prunedParquetTable(
       i.name(), spark,
       listing.filterNot(_.isDeleteFile).map(f => (f.path, f.sizeBytes)),
-      schema, pruning.pathKeeper)
+      schema, pruning.pathKeeper,
+      MetadataAggregates.plan(coreSchema, listing, _))
     // time-travel loads are read-only: you can't INSERT into the past
     if (version.isDefined)
       new ReadOnlyTable(fullName, delegate, schema, coreSchema, listing,
@@ -235,7 +236,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
         val pruning = new SnapshotPruning(m, m.currentSchema, listing)
         val delegate = GraftShims.prunedParquetTable(i.name(), SparkSession.active,
           listing.filterNot(_.isDeleteFile).map(f => (f.path, f.sizeBytes)),
-          schema, pruning.pathKeeper)
+          schema, pruning.pathKeeper,
+          MetadataAggregates.plan(m.currentSchema, listing, _))
         // branches accept SQL INSERT / INSERT OVERWRITE (committed on
         // the branch ref, main untouched); tags are immutable
         if (name.startsWith("branch_"))

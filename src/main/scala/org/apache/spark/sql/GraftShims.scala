@@ -38,12 +38,19 @@ object GraftShims {
       spark: SparkSession,
       files: Seq[(String, Long)],
       schema: org.apache.spark.sql.types.StructType,
-      prune: Seq[org.apache.spark.sql.sources.Filter] => (String => Boolean))
+      prune: Seq[org.apache.spark.sql.sources.Filter] => (String => Boolean),
+      /** manifest-stats aggregation resolver ([[graft.engine
+        * .MetadataAggregates]]): Some = answer count/min/max locally
+        * with zero file reads; None = run the scan */
+      metaAgg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation =>
+        Option[(org.apache.spark.sql.types.StructType,
+          Array[org.apache.spark.sql.catalyst.InternalRow], Seq[String])] =
+        _ => None)
       : org.apache.spark.sql.connector.catalog.Table = {
     val cs = spark.asInstanceOf[classic.SparkSession]
     new execution.datasources.GraftParquetTable(name, cs, files.map(_._1), schema,
       new execution.datasources.GraftFileIndex(cs, name, files, prune),
-      files, prune)
+      files, prune, metaAgg)
   }
 
   /** Spark's own executor-side parquet write machinery for custom V2

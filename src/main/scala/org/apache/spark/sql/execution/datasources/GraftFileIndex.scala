@@ -93,16 +93,68 @@ class GraftRuntimeScanBuilder(
     options: org.apache.spark.sql.util.CaseInsensitiveStringMap,
     tableName: String,
     files: Seq[(String, Long)],
-    prune: Seq[Filter] => (String => Boolean))
+    prune: Seq[Filter] => (String => Boolean),
+    metaAgg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation =>
+      Option[(org.apache.spark.sql.types.StructType,
+        Array[org.apache.spark.sql.catalyst.InternalRow], Seq[String])] = _ => None)
     extends v2.parquet.ParquetScanBuilder(
       spark, index, tableSchema, tableSchema, options) {
 
+  /** Manifest-answered aggregation (graft.engine.MetadataAggregates):
+    * a bare count/min/max never opens a file — the listing's stats
+    * already hold the answer. Guarded on no pushed filters (file-source
+    * data filters are re-evaluated post-scan, so Spark won't push
+    * aggregates with filters present anyway — belt and braces), else
+    * falls through to the stock parquet footer-based pushdown. */
+  private var answered: Option[(org.apache.spark.sql.types.StructType,
+    Array[org.apache.spark.sql.catalyst.InternalRow], Seq[String])] = None
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    (dataFilters.isEmpty && partitionFilters.isEmpty && metaAgg(agg).isDefined) ||
+      super.supportCompletePushDown(agg)
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    answered =
+      if (dataFilters.isEmpty && partitionFilters.isEmpty) metaAgg(agg) else None
+    answered.isDefined || super.pushAggregation(agg)
+  }
+
   override def build(): v2.parquet.ParquetScan = {
     val p = super.build()
-    // aggregate pushdown replans the scan shape — leave it stock
-    if (p.pushedAggregate.nonEmpty) p
-    else new GraftRuntimeFilteredScan(p, spark, tableName, files, prune)
+    answered match {
+      case Some((schema, rows, funcs)) =>
+        new GraftMetaAggDelegateScan(p, spark, schema, rows, funcs)
+      case None =>
+        // stock aggregate pushdown replans the scan shape — leave it stock
+        if (p.pushedAggregate.nonEmpty) p
+        else new GraftRuntimeFilteredScan(p, spark, tableName, files, prune)
+    }
   }
+}
+
+/** The scan a manifest-answered aggregation builds on the parquet
+  * delegate path: structurally a [[v2.parquet.ParquetScan]] (the
+  * builder's return type is narrowed to it) but planned as a
+  * [[org.apache.spark.sql.connector.read.LocalScan]] — the strategy
+  * turns it into a local table scan of the precomputed result row.
+  * ZERO Spark jobs, zero file opens. */
+final class GraftMetaAggDelegateScan(
+    p: v2.parquet.ParquetScan,
+    spark: SparkSession,
+    schema: org.apache.spark.sql.types.StructType,
+    result: Array[InternalRow],
+    funcs: Seq[String])
+    extends v2.parquet.ParquetScan(
+      spark, p.hadoopConf, p.fileIndex, p.dataSchema, p.readDataSchema,
+      p.readPartitionSchema, p.pushedFilters, p.options, p.pushedAggregate,
+      p.partitionFilters, p.dataFilters)
+    with org.apache.spark.sql.connector.read.LocalScan {
+  override def readSchema(): org.apache.spark.sql.types.StructType = schema
+  override def rows(): Array[InternalRow] = result
+  override def description(): String =
+    s"GraftMetaAggScan[${funcs.mkString(", ")}] (manifest stats, no file reads)"
 }
 
 /** [[v2.parquet.ParquetScan]] with [[SupportsRuntimeFiltering]] over
@@ -158,7 +210,10 @@ class GraftParquetTable(
     tableSchema: org.apache.spark.sql.types.StructType,
     index: PartitioningAwareFileIndex,
     files: Seq[(String, Long)],
-    prune: Seq[Filter] => (String => Boolean))
+    prune: Seq[Filter] => (String => Boolean),
+    metaAgg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation =>
+      Option[(org.apache.spark.sql.types.StructType,
+        Array[org.apache.spark.sql.catalyst.InternalRow], Seq[String])] = _ => None)
     extends v2.parquet.ParquetTable(
       tableName,
       spark,
@@ -174,5 +229,5 @@ class GraftParquetTable(
       options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
       : v2.parquet.ParquetScanBuilder =
     new GraftRuntimeScanBuilder(
-      spark, fileIndex, tableSchema, options, tableName, files, prune)
+      spark, fileIndex, tableSchema, options, tableName, files, prune, metaAgg)
 }
