@@ -928,7 +928,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
 object GraftSparkCatalog {
   /** Metadata-table identifier suffixes (`SELECT * FROM db.t.files`). */
   val MetadataTables: Set[String] =
-    Set("files", "partitions", "refs", "snapshots", "history")
+    Set("files", "partitions", "refs", "snapshots", "history", "manifests")
 
   import org.apache.spark.sql.types.{LongType, StringType, StructField}
   private[engine] val FilesTableSchema: StructType = StructType(Seq(

@@ -19,6 +19,9 @@ import org.apache.spark.sql.types.StructType
   *   CALL cat.system.rewrite_data_files(table => 'db.t'[, target_file_count => N][, zorder => 'x,y'])
   *   CALL cat.system.expire_snapshots(table => 'db.t', older_than_ms => N)
   *   CALL cat.system.remove_orphan_files(table => 'db.t'[, older_than_ms => N])
+  *   CALL cat.system.rewrite_manifests(table => 'db.t')
+  *   CALL cat.system.rollback_to_snapshot(table => 'db.t', snapshot_id => N)
+  *   CALL cat.system.set_current_snapshot(table => 'db.t', snapshot_id => N)
   *
   * Everything else delegates verbatim. Injected by
   * [[graft.functions.GraftExtensions]] via `spark.sql.extensions`.
@@ -139,6 +142,7 @@ final case class CallProcedureCommand(
   private val CountArg = """(?i)target_file_count\s*=>\s*(\d+)""".r
   private val ZorderArg = """(?i)zorder\s*=>\s*'([^']+)'""".r
   private val OlderArg = """(?i)older_than_ms\s*=>\s*(\d+)""".r
+  private val SnapshotArg = """(?i)snapshot_id\s*=>\s*(\d+)""".r
 
   override def run(spark: SparkSession): Seq[Row] = {
     require(catalogParts.size == 1, s"expected CALL <catalog>.system.<proc>")
@@ -162,6 +166,14 @@ final case class CallProcedureCommand(
           case Some(cutoff) => t.removeOrphanFiles(spark, cutoff)
           case None => t.removeOrphanFiles(spark) // default: 3-day age guard
         }
+      case "rewrite_manifests" =>
+        catalog.engineTable(ti).rewriteManifests()
+      case "rollback_to_snapshot" | "set_current_snapshot" =>
+        val snapId = SnapshotArg.findFirstMatchIn(args).map(_.group(1).toLong)
+          .getOrElse(throw new IllegalArgumentException(
+            s"$procedure requires snapshot_id => N"))
+        catalog.engineTable(ti).setCurrentSnapshot(snapId,
+          requireAncestor = procedure == "rollback_to_snapshot")
       case other =>
         throw new UnsupportedOperationException(s"unknown procedure: system.$other")
     }

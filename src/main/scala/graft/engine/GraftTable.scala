@@ -213,6 +213,14 @@ final class GraftTable(
           (new java.sql.Timestamp(e.timestampMs), e.snapshotId,
             m.currentSnapshotId.contains(e.snapshotId)))
           .toDF("made_current_at", "snapshot_id", "is_current_ancestor")
+      case "manifests" =>
+        m.currentSnapshot.map(s => Manifests.readEntries(s.manifestList))
+          .getOrElse(Nil)
+          .map(e => (e.path, e.fileCount, e.rowCount, e.hasDeletes,
+            e.partition.map(_.toSeq.sorted
+              .map { case (k, v) => s"$k=$v" }.mkString("/")).orNull))
+          .toDF("path", "added_data_files_count", "added_rows_count",
+            "has_deletes", "partition_summary")
       case other =>
         throw CatalogError.badRequest(s"unknown metadata table: $other")
     }
@@ -449,6 +457,50 @@ final class GraftTable(
     // repartition is only a file-count choice, not an ordering.
     overwriteAll(compacted, m.currentSnapshotId, operation = "replace",
       preserveLayout = zorderBy.nonEmpty)
+  }
+
+  /** CALL system.rewrite_manifests: re-shard the current snapshot's
+    * manifest tree into fresh partition-grouped shards — same data
+    * files (paths, sequence numbers, stats, delete files all carried
+    * byte-exact), new grouping. A long-lived table accumulates one
+    * shard set per commit plus mixed overflow shards; planning cost
+    * and shard-level pruning both degrade with that fragmentation. At
+    * 100 TB the manifest tree IS the planning hot path — this compacts
+    * it back to ≤[[Manifests.MaxShardsPerCommit]] homogeneous shards
+    * and makes every shard partition-prunable again. Metadata-only:
+    * no data file is read or written; query results are unchanged. */
+  def rewriteManifests(branch: String = TableMetadata.MainBranch): TableMetadata = {
+    val m = metadata
+    if (m.snapshotFor(branch).isEmpty) return m
+    commitLoop(branch, "replace")(base =>
+      (Nil, base.map(s => Manifests.read(s.manifestList)).getOrElse(Nil)))
+  }
+
+  /** CALL system.rollback_to_snapshot / set_current_snapshot: point
+    * the main branch at `snapshotId`. Rollback requires the target to
+    * be an ancestor of the current snapshot (undo recent commits);
+    * set_current_snapshot accepts any snapshot the table retains.
+    * Metadata-only commit guarded against concurrent writers by the
+    * branch-head requirement. */
+  def setCurrentSnapshot(
+      snapshotId: Long, requireAncestor: Boolean = false): TableMetadata = {
+    val m = metadata
+    if (!m.snapshots.contains(snapshotId))
+      throw CatalogError.badRequest(s"unknown snapshot: $snapshotId")
+    if (requireAncestor) {
+      val ancestors = Iterator.iterate(m.currentSnapshotId)(
+        _.flatMap(id => m.snapshots.get(id).flatMap(_.parentSnapshotId)))
+        .takeWhile(_.isDefined).map(_.get).toSet
+      if (!ancestors.contains(snapshotId))
+        throw CatalogError.badRequest(
+          s"snapshot $snapshotId is not an ancestor of the current snapshot " +
+            "(use set_current_snapshot for non-linear moves)")
+    }
+    client.commitTable(prefix, ident,
+      Seq(TableRequirement.AssertRefSnapshotId(
+        TableMetadata.MainBranch, m.currentSnapshotId)),
+      Seq(TableUpdate.SetSnapshotRef(
+        TableMetadata.MainBranch, snapshotId, SnapshotRefType.Branch))).metadata
   }
 
   /** expire_snapshots maintenance: remove snapshots older than the
