@@ -59,7 +59,10 @@ final class GraftScanBuilder(
     keeper: Seq[Filter] => Manifests.DataFile => Boolean = _ => _ => true,
     /** the table's default partition spec, for storage-partitioned-join
       * key grouping (None disables SPJ reporting) */
-    spjSpec: Option[graft.core.PartitionSpec] = None)
+    spjSpec: Option[graft.core.PartitionSpec] = None,
+    /** ALL the table's partition specs, for manifest-answered GROUP BY
+      * (identity-column groups; [[MetadataAggregates]]) */
+    aggSpecs: Iterable[graft.core.PartitionSpec] = Nil)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -105,13 +108,14 @@ final class GraftScanBuilder(
 
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    pushed.isEmpty && MetadataAggregates.plan(coreSchema, listing, agg).isDefined
+    pushed.isEmpty &&
+      MetadataAggregates.plan(coreSchema, aggSpecs, listing, agg).isDefined
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     metaAgg =
       if (pushed.nonEmpty) None
-      else MetadataAggregates.plan(coreSchema, listing, agg)
+      else MetadataAggregates.plan(coreSchema, aggSpecs, listing, agg)
     metaAgg.isDefined
   }
 

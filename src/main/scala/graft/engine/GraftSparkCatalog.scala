@@ -157,7 +157,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       i.name(), spark,
       listing.filterNot(_.isDeleteFile).map(f => (f.path, f.sizeBytes)),
       schema, pruning.pathKeeper,
-      MetadataAggregates.plan(coreSchema, listing, _))
+      MetadataAggregates.plan(coreSchema, m.partitionSpecs.values, listing, _))
     // time-travel loads are read-only: you can't INSERT into the past
     if (version.isDefined)
       new ReadOnlyTable(fullName, delegate, schema, coreSchema, listing,
@@ -180,6 +180,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     /** The default spec, for storage-partitioned-join key grouping. */
     def defaultSpec: Option[graft.core.PartitionSpec] =
       m.partitionSpecs.get(m.defaultSpecId)
+    /** Every spec, for manifest-answered GROUP BY exactness checks. */
+    def allSpecs: Iterable[graft.core.PartitionSpec] = m.partitionSpecs.values
     /** Route reads through [[GraftScanBuilder]] so the scan can report
       * KeyGroupedPartitioning: only when the user opted into V2
       * bucketing AND the default spec is all identity/bucket (the stock
@@ -237,7 +239,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
         val delegate = GraftShims.prunedParquetTable(i.name(), SparkSession.active,
           listing.filterNot(_.isDeleteFile).map(f => (f.path, f.sizeBytes)),
           schema, pruning.pathKeeper,
-          MetadataAggregates.plan(m.currentSchema, listing, _))
+          MetadataAggregates.plan(m.currentSchema, m.partitionSpecs.values, listing, _))
         // branches accept SQL INSERT / INSERT OVERWRITE (committed on
         // the branch ref, main untouched); tags are immutable
         if (name.startsWith("branch_"))
@@ -272,7 +274,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
       if (listing.exists(_.isDeleteFile) || pruning.spjEligible)
         new GraftScanBuilder(coreSchema, listing, pruning.fileKeeper,
-          pruning.defaultSpec)
+          pruning.defaultSpec, pruning.allSpecs)
       else delegate.asInstanceOf[SupportsRead].newScanBuilder(options)
 
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -725,7 +727,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
       if (listing.exists(_.isDeleteFile) || pruning.spjEligible)
         new GraftScanBuilder(coreSchema, listing, pruning.fileKeeper,
-          pruning.defaultSpec)
+          pruning.defaultSpec, pruning.allSpecs)
       else delegate.asInstanceOf[SupportsRead].newScanBuilder(options)
   }
 
@@ -770,7 +772,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
       if (listing.exists(_.isDeleteFile) || pruning.spjEligible)
         new GraftScanBuilder(coreSchema, listing, pruning.fileKeeper,
-          pruning.defaultSpec)
+          pruning.defaultSpec, pruning.allSpecs)
       else delegate.asInstanceOf[SupportsRead].newScanBuilder(options)
 
     // SQL DELETE FROM ... WHERE: copy-on-write rewrite through the

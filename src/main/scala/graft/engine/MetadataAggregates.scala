@@ -48,7 +48,7 @@ import graft.core.Schema
   */
 object MetadataAggregates {
 
-  final case class Answered(functions: Seq[String], files: Int)
+  final case class Answered(functions: Seq[String], files: Int, groups: Int)
 
   /** Last aggregation answered from manifests — spec observation point. */
   @volatile var lastAnswered: Option[Answered] = None
@@ -58,19 +58,35 @@ object MetadataAggregates {
   def enabled: Boolean =
     SparkSession.active.conf.get(ConfKey, "true").toBoolean
 
+  /** One resolved aggregate function: its output field and a fold over
+    * a file group. `eval` returns None to DECLINE (missing stats);
+    * a present result may still be the SQL NULL (empty min/max). */
+  private final case class AggFold(
+      field: StructField, name: String,
+      eval: Seq[Manifests.DataFile] => Option[Any])
+
   /** Try to answer `agg` from `listing`'s stats. Some = the exact
-    * result: the scan's output schema (one field per aggregate, in
-    * order), its single result row, and the answered function names
-    * (for the scan's EXPLAIN description). */
+    * result: the scan's output schema (group columns first, then one
+    * field per aggregate, in order), its result rows (one per group;
+    * exactly one for the global case), and the answered function names
+    * (for the scan's EXPLAIN description).
+    *
+    * GROUP BY is answerable when every group column is an IDENTITY
+    * partition column in every spec that names it (`specs`): each data
+    * file then carries the exact group value in its partition tuple —
+    * `SELECT day, count(*) ... GROUP BY day` over 100 TB is a fold
+    * over the listing, one output row per partition value, zero file
+    * reads. Any file missing the tuple key (pre-evolution files) or a
+    * name that was ever a non-identity transform declines. */
   def plan(
       schema: Schema,
+      specs: Iterable[graft.core.PartitionSpec],
       listing: Seq[Manifests.DataFile],
       agg: Aggregation): Option[(StructType, Array[InternalRow], Seq[String])] = {
     if (!enabled) return None
-    if (agg.aggregateExpressions.isEmpty) return None
-    if (agg.groupByExpressions.nonEmpty) return None
+    if (agg.aggregateExpressions.isEmpty && agg.groupByExpressions.isEmpty)
+      return None
     if (listing.exists(_.isDeleteFile)) return None
-    val datas = listing
 
     // single top-level column; count needs only a null count (any
     // type), min/max additionally need exact-bound types
@@ -83,9 +99,7 @@ object MetadataAggregates {
     def col(e: VExpression): Option[(Int, IType, DataType)] =
       anyCol(e).filter { case (_, t, _) => boundsExact(t) }
 
-    def countStar: Long = datas.iterator.map(_.recordCount).sum
-
-    def countCol(id: Int): Option[Long] =
+    def countCol(id: Int, datas: Seq[Manifests.DataFile]): Option[Long] =
       datas.foldLeft(Option(0L)) { (acc, f) =>
         acc.flatMap(n => f.stats.get(id).flatMap(_.nullCount)
           .map(nulls => n + f.recordCount - nulls))
@@ -93,7 +107,8 @@ object MetadataAggregates {
 
     // fold one bound across files; None = some file's bound is missing
     // and the file can't be proven valueless; Some(None) = no values
-    def extreme(id: Int, t: IType, wantMin: Boolean): Option[Option[Any]] =
+    def extreme(id: Int, t: IType, wantMin: Boolean,
+        datas: Seq[Manifests.DataFile]): Option[Option[Any]] =
       datas.foldLeft(Option(Option.empty[Any])) { (acc, f) =>
         acc.flatMap { cur =>
           val st = f.stats.get(id)
@@ -107,50 +122,121 @@ object MetadataAggregates {
         }
       }
 
-    val fields = Vector.newBuilder[StructField]
-    val values = Vector.newBuilder[Any]
-    val names = Vector.newBuilder[String]
-    val ok = agg.aggregateExpressions.forall {
-      case _: CountStar =>
-        fields += StructField("count_star", LongType, nullable = false)
-        values += java.lang.Long.valueOf(countStar)
-        names += "count(*)"
-        true
-      case c: Count if !c.isDistinct =>
-        anyCol(c.column).flatMap { case (id, _, _) => countCol(id) }.exists { n =>
-          fields += StructField("count", LongType, nullable = false)
-          values += java.lang.Long.valueOf(n)
-          names += s"count(${c.column})"
-          true
+    // ---- aggregate functions → per-group folds (all-or-nothing)
+    val folds: Option[Seq[AggFold]] =
+      agg.aggregateExpressions.foldLeft(Option(Vector.empty[AggFold])) {
+        (acc, fn) => acc.flatMap { fs =>
+          fn match {
+            case _: CountStar => Some(fs :+ AggFold(
+              StructField("count_star", LongType, nullable = false), "count(*)",
+              datas => Some(java.lang.Long.valueOf(
+                datas.iterator.map(_.recordCount).sum))))
+            case c: Count if !c.isDistinct =>
+              anyCol(c.column).map { case (id, _, _) => fs :+ AggFold(
+                StructField("count", LongType, nullable = false),
+                s"count(${c.column})",
+                datas => countCol(id, datas).map(java.lang.Long.valueOf)) }
+            case m: Min =>
+              col(m.column).map { case (id, t, dt) => fs :+ AggFold(
+                StructField("min", dt, nullable = true), s"min(${m.column})",
+                datas => extreme(id, t, wantMin = true, datas)
+                  .map(_.map(internal(_, t)).orNull)) }
+            case m: Max =>
+              col(m.column).map { case (id, t, dt) => fs :+ AggFold(
+                StructField("max", dt, nullable = true), s"max(${m.column})",
+                datas => extreme(id, t, wantMin = false, datas)
+                  .map(_.map(internal(_, t)).orNull)) }
+            case _ => None
+          }
         }
-      case m: Min =>
-        col(m.column).flatMap { case (id, t, dt) =>
-          extreme(id, t, wantMin = true).map(v => (v, t, dt))
-        }.exists { case (v, t, dt) =>
-          fields += StructField("min", dt, nullable = true)
-          values += v.map(internal(_, t)).orNull
-          names += s"min(${m.column})"
-          true
+      }
+
+    // ---- group columns → identity partition-tuple keys
+    final case class GroupCol(pname: String, t: IType, dt: DataType)
+    val allSpecFields = specs.flatMap(_.fields).toSeq
+    val groupCols: Option[Seq[GroupCol]] =
+      agg.groupByExpressions.foldLeft(Option(Vector.empty[GroupCol])) {
+        (acc, e) => acc.flatMap { cols =>
+          e match {
+            case r: NamedReference if r.fieldNames.length == 1 =>
+              schema.fieldByName(r.fieldNames()(0)).flatMap { f =>
+                val idNames = allSpecFields.filter(pf =>
+                  pf.sourceId == f.id &&
+                    pf.transform == graft.core.Transform.Identity)
+                  .map(_.name).distinct
+                idNames match {
+                  // the name must ALWAYS have meant identity-on-this-
+                  // column: a name that was ever a different transform
+                  // (or source) can carry non-identity rendered values
+                  // in files written under the older spec
+                  case Seq(pname) if allSpecFields.filter(_.name == pname)
+                    .forall(pf => pf.sourceId == f.id &&
+                      pf.transform == graft.core.Transform.Identity) &&
+                    groupKeyExact(f.fieldType) =>
+                    Some(cols :+ GroupCol(
+                      pname, f.fieldType, SchemaBridge.toSpark(f.fieldType)))
+                  case _ => None
+                }
+              }
+            case _ => None
+          }
         }
-      case m: Max =>
-        col(m.column).flatMap { case (id, t, dt) =>
-          extreme(id, t, wantMin = false).map(v => (v, t, dt))
-        }.exists { case (v, t, dt) =>
-          fields += StructField("max", dt, nullable = true)
-          values += v.map(internal(_, t)).orNull
-          names += s"max(${m.column})"
-          true
+      }
+
+    // ---- file groups: Nil key = the global fold (one row even when
+    // empty); grouped keys come from partition tuples (zero-row files
+    // contribute no group, matching a real scan's empty-group absence)
+    def fileGroups(cols: Seq[GroupCol])
+        : Option[Seq[(Seq[String], Seq[Manifests.DataFile])]] =
+      if (cols.isEmpty) Some(Seq(Nil -> listing))
+      else {
+        val datas = listing.filter(_.recordCount > 0)
+        val allKeyed = datas.forall(f =>
+          cols.forall(c => f.partition.contains(c.pname)))
+        // a STRING value equal to the null marker is indistinguishable
+        // from a genuine null — decline rather than conflate
+        val ambiguous = cols.exists(c => c.t == IType.TString &&
+          datas.exists(_.partition.get(c.pname).contains(NullMarker)))
+        if (!allKeyed || ambiguous) None
+        else Some(datas.groupBy(f => cols.map(c => f.partition(c.pname)))
+          .toSeq.sortBy(_._1.mkString(" ")))
+      }
+
+    for {
+      fs <- folds
+      cols <- groupCols
+      groups <- fileGroups(cols)
+      rows <- groups.foldLeft(Option(Vector.empty[InternalRow])) {
+        (acc, kv) => acc.flatMap { rs =>
+          val (key, datas) = kv
+          fs.foldLeft(Option(Vector.empty[Any])) { (vacc, fold) =>
+            vacc.flatMap(vs => fold.eval(datas).map(vs :+ _))
+          }.map { aggVals =>
+            val keyVals = cols.zip(key).map { case (c, s) =>
+              GraftMorScan.partitionKeyValue(s, c.t)
+            }
+            rs :+ new GenericInternalRow((keyVals ++ aggVals).toArray)
+          }
         }
-      case _ => false
+      }
+    } yield {
+      val groupFields = cols.zipWithIndex.map { case (c, i) =>
+        StructField(s"group_$i", c.dt, nullable = true)
+      }
+      val funcNames = fs.map(_.name)
+      lastAnswered = Some(Answered(funcNames, listing.size, groups.size))
+      (StructType(groupFields ++ fs.map(_.field)), rows.toArray, funcNames)
     }
-    if (!ok) None
-    else {
-      val funcNames = names.result()
-      lastAnswered = Some(Answered(funcNames, datas.size))
-      Some((StructType(fields.result()),
-        Array[InternalRow](new GenericInternalRow(values.result().toArray)),
-        funcNames))
-    }
+  }
+
+  /** The partition-tuple null marker ([[ParquetBatchWrite]] rendering). */
+  private val NullMarker = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Types whose rendered partition values round-trip exactly through
+    * [[GraftMorScan.partitionKeyValue]] (the SPJ-proven inverse). */
+  private def groupKeyExact(t: IType): Boolean = t match {
+    case TInt | TLong | TString | TDate | TBoolean => true
+    case _ => false
   }
 
   /** Types whose manifest bounds, when present, are the exact file

@@ -153,6 +153,60 @@ class MetadataAggregatesSpec extends AnyFunSuite with BeforeAndAfterAll {
     finally spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
   }
 
+  test("GROUP BY identity partition columns answered from partition tuples") {
+    spark.sql(s"CREATE TABLE $cat.db.g (id BIGINT, region STRING, n INT) " +
+      "PARTITIONED BY (region)")
+    spark.sql(s"INSERT INTO $cat.db.g VALUES " +
+      "(1,'eu',10), (2,'us',20), (3,'eu',NULL), (4,'ap',40)")
+    spark.sql(s"INSERT INTO $cat.db.g VALUES (5,'eu',50), (6,'us',NULL)")
+
+    MetadataAggregates.lastAnswered = None
+    val sql = s"SELECT region, count(*), count(n), min(id), max(id) " +
+      s"FROM $cat.db.g GROUP BY region ORDER BY region"
+    check(sql, expectLocal = true)
+    assert(MetadataAggregates.lastAnswered.exists(_.groups === 3))
+    val rows = spark.sql(sql).collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("ap", "eu", "us"))
+    assert(rows.map(_.getLong(1)).toSeq === Seq(1L, 3L, 2L)) // count(*)
+    assert(rows.map(_.getLong(2)).toSeq === Seq(1L, 2L, 1L)) // count(n)
+
+    // agg-before-group-column projection order still maps correctly
+    check(s"SELECT max(id), region FROM $cat.db.g GROUP BY region ORDER BY region",
+      expectLocal = true)
+    // grouping by a NON-partition column must run as a scan
+    check(s"SELECT n, count(*) FROM $cat.db.g GROUP BY n ORDER BY n",
+      expectLocal = false)
+  }
+
+  test("GROUP BY declines: bucket transforms and pre-evolution files") {
+    // bucket(4, id): the tuple value is a bucket ordinal, not the id
+    spark.sql(s"CREATE TABLE $cat.db.gb (id BIGINT, v STRING) " +
+      "PARTITIONED BY (bucket(4, id))")
+    spark.sql(s"INSERT INTO $cat.db.gb VALUES (1,'a'), (2,'b')")
+    check(s"SELECT id, count(*) FROM $cat.db.gb GROUP BY id ORDER BY id",
+      expectLocal = false)
+
+    // files written BEFORE the partition field existed carry no tuple key
+    spark.sql(s"CREATE TABLE $cat.db.ge (id BIGINT, region STRING)")
+    spark.sql(s"INSERT INTO $cat.db.ge VALUES (1,'eu')")
+    spark.sql(s"ALTER TABLE $cat.db.ge ADD PARTITION FIELD region")
+    spark.sql(s"INSERT INTO $cat.db.ge VALUES (2,'us')")
+    check(s"SELECT region, count(*) FROM $cat.db.ge GROUP BY region ORDER BY region",
+      expectLocal = false)
+  }
+
+  test("GROUP BY with a null partition value: non-string keys group it") {
+    spark.sql(s"CREATE TABLE $cat.db.gn (id BIGINT, bucket INT) " +
+      "PARTITIONED BY (bucket)")
+    spark.sql(s"INSERT INTO $cat.db.gn VALUES (1, 7), (2, NULL), (3, 7), (4, NULL)")
+    check(s"SELECT bucket, count(*) FROM $cat.db.gn GROUP BY bucket " +
+      "ORDER BY bucket NULLS FIRST", expectLocal = true)
+    val rows = spark.sql(s"SELECT bucket, count(*) FROM $cat.db.gn " +
+      "GROUP BY bucket ORDER BY bucket NULLS FIRST").collect()
+    assert(rows.head.isNullAt(0) && rows.head.getLong(1) === 2L)
+    assert(rows(1).getInt(0) === 7 && rows(1).getLong(1) === 2L)
+  }
+
   test("time travel answers from the historical snapshot's manifests") {
     // first snapshot of db.m (before the later inserts): 2 rows
     val t = new GraftTable(client, prefix, TableIdent(Seq("db"), "m"))
