@@ -270,6 +270,62 @@ object Sampling {
       |WHERE rk <= 10
       |ORDER BY source, rk""".stripMargin
 
+  /** Quality-quota curation: keep the K best documents PER SOURCE by
+    * the heuristic quality score (ties to the lowest doc_id) — the
+    * FineWeb/Dolma-style "cap each domain, keep its best" stage.
+    *
+    * Scale: where [[qSamplePerSource]]'s ranking window funnels each
+    * source through one task (its documented hot-domain caveat), this
+    * runs the bounded [[graft.functions.TopK]] aggregate — a regular
+    * two-phase hash aggregate whose per-group state is O(K): every
+    * input partition reduces locally to ≤K candidates per source and
+    * only those survivors shuffle. A source with a billion documents
+    * costs its mappers K slots each, never one task sorting the
+    * domain. */
+  def qSourceCap(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val rowSchema = StructType(Seq(
+      StructField("quality", DoubleType), StructField("doc_id", LongType)))
+    TextAnalysis.qualityScored(s, dir)
+      .groupBy("source")
+      .agg(graft.functions.TopK.topK(SourceCapK, rowSchema)(
+        col("quality").cast("double"), col("doc_id")).as("top"))
+      .selectExpr("source", "posexplode(top) as (i, r)")
+      .selectExpr("source", "r.doc_id as doc_id", "r.quality as quality",
+        "cast(i + 1 as bigint) as rank")
+      .orderBy("source", "rank")
+  }
+
+  val SourceCapK = 25
+
+  val qSourceCapSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |         len(string_split(lower(text), ' ')) AS n_tok,
+      |         len(list_filter(string_split(lower(text), ' '),
+      |             x -> x IN ('the','a','of','to','and','in','is','it','for','on'))) AS n_stop,
+      |         length(text) AS n_char,
+      |         length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS n_clean,
+      |         length(replace(text, ' ', '')) AS n_nospace
+      |  FROM documents),
+      |q AS (
+      |  SELECT doc_id, source,
+      |         CAST(n_tok BETWEEN 20 AND 1000 AS INT) * 0.25
+      |       + CAST((CAST(n_stop AS DOUBLE) / n_tok) BETWEEN 0.01 AND 0.5 AS INT) * 0.25
+      |       + CAST((CAST(n_nospace AS DOUBLE) / n_tok) BETWEEN 3.0 AND 10.0 AS INT) * 0.25
+      |       + CAST((CAST(n_char - n_clean AS DOUBLE) / n_char) <= 0.2 AS INT) * 0.25
+      |         AS quality
+      |  FROM d),
+      |r AS (
+      |  SELECT source, doc_id, CAST(quality AS DOUBLE) AS quality,
+      |         ROW_NUMBER() OVER (PARTITION BY source
+      |                            ORDER BY quality DESC, doc_id) AS rank
+      |  FROM q)
+      |SELECT source, doc_id, quality, rank FROM r
+      |WHERE rank <= 25
+      |ORDER BY source, rank""".stripMargin
+
   // ----------------------------------------------------------- registry
   /** Split hash — third decorrelated odd multiplier (see
     * [[mixPermille]]'s rationale): a document's split assignment is
@@ -323,12 +379,14 @@ object Sampling {
     "q_sample_stratified" -> (qSampleStratified _),
     "q_shard_pack" -> (qShardPack _),
     "q_mix_epochs" -> (qMixEpochs _),
-    "q_sample_per_source" -> (qSamplePerSource _))
+    "q_sample_per_source" -> (qSamplePerSource _),
+    "q_source_cap" -> (qSourceCap _))
 
   val oracleSql: Map[String, String] = Map(
     "q_split_assign" -> qSplitAssignSql,
     "q_sample_stratified" -> qSampleStratifiedSql,
     "q_shard_pack" -> qShardPackSql,
     "q_mix_epochs" -> qMixEpochsSql,
-    "q_sample_per_source" -> qSamplePerSourceSql)
+    "q_sample_per_source" -> qSamplePerSourceSql,
+    "q_source_cap" -> qSourceCapSql)
 }

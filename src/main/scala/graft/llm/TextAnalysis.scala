@@ -64,13 +64,14 @@ object TextAnalysis {
       |ORDER BY lang, source""".stripMargin
 
   // ----------------------------------------------------------- quality
-  /** Heuristic quality scoring (the classic pre-LLM-filtering shape:
-    * length band, stopword ratio, mean word length, punctuation ratio),
-    * 0.25 per satisfied criterion, aggregated per source.
-    */
-  def qTextQuality(s: SparkSession, dir: String): DataFrame =
+  /** Per-document heuristic quality score (0.25 per satisfied
+    * criterion, exact binary fractions — cross-engine hash-safe) —
+    * shared by the per-source aggregate below and the quota cap
+    * ([[Sampling.qSourceCap]]). One narrow codegen'd pass. */
+  private[llm] def qualityScored(s: SparkSession, dir: String): DataFrame =
     load(s, dir, "documents")
       .selectExpr(
+        "doc_id",
         "source",
         s"size($toksS) as n_tok",
         s"size(filter($toksS, x -> x in $stopwords)) as n_stop",
@@ -78,12 +79,20 @@ object TextAnalysis {
         "length(regexp_replace(lower(text), '[^a-z0-9 ]', '')) as n_clean",
         "length(replace(text, ' ', '')) as n_nospace")
       .selectExpr(
+        "doc_id",
         "source",
         """cast(n_tok between 20 and 1000 as int) * 0.25
           | + cast((cast(n_stop as double) / n_tok) between 0.01 and 0.5 as int) * 0.25
           | + cast((cast(n_nospace as double) / n_tok) between 3.0 and 10.0 as int) * 0.25
           | + cast((cast(n_char - n_clean as double) / n_char) <= 0.2 as int) * 0.25
           | as quality""".stripMargin)
+
+  /** Heuristic quality scoring (the classic pre-LLM-filtering shape:
+    * length band, stopword ratio, mean word length, punctuation ratio),
+    * 0.25 per satisfied criterion, aggregated per source.
+    */
+  def qTextQuality(s: SparkSession, dir: String): DataFrame =
+    qualityScored(s, dir)
       .groupBy("source")
       .agg(
         org.apache.spark.sql.functions.expr("count(*) as n_docs"),

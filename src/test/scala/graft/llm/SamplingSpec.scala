@@ -229,4 +229,39 @@ class SamplingSpec extends AnyFunSuite {
       assert(a.count(_._1 == src) === 10, s"source $src not cut to quota")
     }
   }
+
+  test("source cap: quality quota via TopK aggregate — no window at all") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = Sampling.qSourceCap(spark, sf)
+    val got = df.collect()
+    // the whole point vs qSamplePerSource: a hot source must NOT rank
+    // through one task — the plan must carry zero WindowExec anywhere
+    def windowsIn(p: SparkPlan): Seq[WindowExec] = p.collect {
+      case w: WindowExec => Seq(w)
+      case a: AdaptiveSparkPlanExec => windowsIn(a.executedPlan)
+      case q: QueryStageExec => windowsIn(q.plan)
+      case r: ReusedExchangeExec => windowsIn(r.child)
+    }.flatten
+    assert(windowsIn(df.queryExecution.executedPlan).isEmpty,
+      "quota cap must be the bounded TopK aggregate, not a ranking window")
+
+    // bit-identical to the ranking-window semantics (the oracle's form)
+    val window = graft.llm.TextAnalysis.qualityScored(spark, sf)
+      .selectExpr("source", "doc_id", "cast(quality as double) as quality",
+        "row_number() over (partition by source " +
+          "order by quality desc, doc_id) as rank")
+      .where(s"rank <= ${Sampling.SourceCapK}")
+      .selectExpr("source", "doc_id", "quality", "cast(rank as bigint) as rank")
+      .orderBy("source", "rank")
+    assert(got.toSeq === window.collect().toSeq)
+
+    got.groupBy(_.getString(0)).foreach { case (src, rows) =>
+      assert(rows.length <= Sampling.SourceCapK, s"source $src over cap")
+      assert(rows.map(_.getLong(3)).sorted.toSeq
+        === (1L to rows.length.toLong).toSeq, s"ranks not contiguous: $src")
+    }
+  }
 }
