@@ -244,18 +244,30 @@ object Sampling {
     * deterministic uniform draw, not "first K by ingest order" (which
     * would bias toward whatever the crawler fetched first).
     *
-    * Scale: one shuffle on source; the ranking window is partitioned by
-    * source, so each domain ranks independently. A pathologically hot
-    * domain ranks through one task — if a single domain's row count
-    * exceeds a task, pre-filter with an approximate per-source
-    * threshold on the same hash (two-pass) before the exact window. */
-  def qSamplePerSource(s: SparkSession, dir: String): DataFrame =
+    * Scale: the bounded [[graft.functions.TopK]] aggregate, not a
+    * ranking window — a two-phase hash aggregate with O(K) state per
+    * source, so every input partition reduces locally to ≤K candidates
+    * and only those survivors shuffle. A pathologically hot domain
+    * costs its mappers K slots each; nothing ever funnels the domain
+    * through one ranking task. (TopK orders descending, so the
+    * ascending hash draw rides in negated — exact: h < 2^32 fits a
+    * double.) Result is bit-identical to the
+    * `row_number() over (partition by source order by h, doc_id)`
+    * form the DuckDB oracle pins. */
+  def qSamplePerSource(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types._
+    val rowSchema = StructType(Seq(
+      StructField("negh", DoubleType), StructField("doc_id", LongType)))
     load(s, dir, "documents")
       .selectExpr("source", "doc_id", s"${capHash("doc_id")} as h")
-      .selectExpr("source", "doc_id",
-        "row_number() over (partition by source order by h, doc_id) as rk")
-      .where("rk <= 10")
+      .groupBy("source")
+      .agg(graft.functions.TopK.topK(10, rowSchema)(
+        expr("cast(-h as double)"), col("doc_id")).as("top"))
+      .selectExpr("source", "posexplode(top) as (i, r)")
+      .selectExpr("source", "r.doc_id as doc_id", "cast(i + 1 as int) as rk")
       .orderBy("source", "rk")
+  }
 
   val qSamplePerSourceSql: String =
     """WITH h AS (

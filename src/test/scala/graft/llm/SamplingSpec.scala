@@ -208,8 +208,21 @@ class SamplingSpec extends AnyFunSuite {
   }
 
   test("per-source cap: at most K per source, deterministic, hash-ordered") {
-    val a = Sampling.qSamplePerSource(spark, sf).collect()
+    val df = Sampling.qSamplePerSource(spark, sf)
+    val a = df.collect()
       .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    // windowless: the uniform draw is the TopK aggregate too
+    assert(!df.queryExecution.executedPlan.toString.contains("Window"),
+      "per-source cap must not plan a ranking window")
+    // bit-identical to the ranking-window semantics
+    val window = graft.Tables.load(spark, sf, "documents")
+      .selectExpr("source", "doc_id",
+        "pmod(pmod(doc_id, 1000000007) * 2654435769, 4294967296) as h")
+      .selectExpr("source", "doc_id",
+        "row_number() over (partition by source order by h, doc_id) as rk")
+      .where("rk <= 10").orderBy("source", "rk").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(a.toSeq === window.toSeq)
     val b = Sampling.qSamplePerSource(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
     assert(a.toSeq === b.toSeq) // hash-deterministic, not rand()
