@@ -155,15 +155,67 @@ object CorpusStats {
       |GROUP BY label, idx
       |ORDER BY label, dim""".stripMargin
 
+  /** How many hottest tokens join broadcast in [[qTokenRarity]] —
+    * bounded by construction (a TakeOrdered of this many rows). */
+  val RarityHeadK = 256
+
+  /** Document rarity score — the CCNet-style perplexity proxy without
+    * a model: each token occurrence contributes the BIT LENGTH of its
+    * corpus document frequency (= floor(log2 df), computed as
+    * `length(bin(df)) - 1` — exact integer arithmetic, no libm, so
+    * both engines agree to the bit), and a document's score is the
+    * mean over its occurrences. Boilerplate-heavy documents score
+    * high, rare-vocabulary documents low — the usual bucket signal
+    * for rarity-aware filtering and sampling.
+    *
+    * Scale: joining occurrences to the df table is the classic skew
+    * join — "the" funnels a constant fraction of the corpus onto one
+    * key. The plan SPLITS it: the [[RarityHeadK]] hottest tokens by
+    * (df desc, token) collect to the driver (bounded TakeOrdered, the
+    * IVF-seed pattern) and join BROADCAST — the hot keys never
+    * shuffle; everything else anti-filters against the same broadcast
+    * head and joins keyed, where per-key fan-in is bounded above by
+    * the head cutoff's df. Union, then one map-side-combinable
+    * per-document mean. */
+  def qTokenRarity(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(s, dir).select(col("doc_id"), col("token"))
+    val dfTab = toks.dropDuplicates("token", "doc_id")
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val head = dfTab.orderBy(col("df").desc, col("token")).limit(RarityHeadK)
+    val headToks = toks.join(broadcast(head), "token")
+    val tailToks = toks
+      .join(broadcast(head.select(col("token"))), Seq("token"), "left_anti")
+      .join(dfTab, "token")
+    headToks.select(col("doc_id"), col("df"))
+      .unionByName(tailToks.select(col("doc_id"), col("df")))
+      .selectExpr("doc_id", "length(bin(df)) - 1 as bucket")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"), avg(col("bucket")).as("rarity"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qTokenRaritySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, t AS token
+      |  FROM documents, UNNEST(string_split(text, ' ')) AS u(t)
+      |  WHERE len(t) > 0),
+      |df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY token),
+      |j AS (SELECT t.doc_id, length(printf('%b', d.df)) - 1 AS bucket
+      |      FROM toks t JOIN df d USING (token))
+      |SELECT doc_id, COUNT(*) AS n_toks, AVG(bucket) AS rarity
+      |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vocab_topk" -> (qVocabTopk _),
     "q_tfidf_keywords" -> (qTfidfKeywords _),
     "q_source_overlap" -> (qSourceOverlap _),
-    "q_emb_centroids" -> (qEmbCentroids _))
+    "q_emb_centroids" -> (qEmbCentroids _),
+    "q_token_rarity" -> (qTokenRarity _))
 
   val oracleSql: Map[String, String] = Map(
     "q_vocab_topk" -> qVocabTopkSql,
     "q_tfidf_keywords" -> qTfidfKeywordsSql,
     "q_source_overlap" -> qSourceOverlapSql,
-    "q_emb_centroids" -> qEmbCentroidsSql)
+    "q_emb_centroids" -> qEmbCentroidsSql,
+    "q_token_rarity" -> qTokenRaritySql)
 }

@@ -68,4 +68,52 @@ class CorpusStatsSpec extends AnyFunSuite {
       assert(math.abs(sumQ) <= 2000000L * n, s"($label,$dim) sum_q=$sumQ n=$n")
     }
   }
+
+  test("token rarity: skew-split join, bit-identical to the single join") {
+    val df = CorpusStats.qTokenRarity(spark, sf)
+    val got = df.collect()
+    assert(got.nonEmpty)
+
+    // the plan must carry BOTH halves of the skew split BY
+    // CONSTRUCTION. At test scale the planner (rightly) broadcasts the
+    // tiny df table everywhere, so simulate corpus scale by disabling
+    // size-based broadcasts: the head join must STILL broadcast (the
+    // explicit hint carries it at any scale) while the tail falls to a
+    // keyed join — the shape that executes when the df table exceeds
+    // any broadcast threshold.
+    val threshold = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(threshold)
+    val plan =
+      try {
+        spark.conf.set(threshold, "-1")
+        CorpusStats.qTokenRarity(spark, sf).queryExecution.sparkPlan.toString
+      } finally spark.conf.set(threshold, saved)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the hinted broadcast head join:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"expected the keyed tail join with broadcasts disabled:\n$plan")
+
+    // values: identical to the naive single-join form
+    import org.apache.spark.sql.functions._
+    val toks = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .where(length(col("token")) > 0)
+    val dfTab = toks.dropDuplicates("token", "doc_id")
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val naive = toks.join(dfTab, "token")
+      .selectExpr("doc_id", "length(bin(df)) - 1 as bucket")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"), avg(col("bucket")).as("rarity"))
+      .orderBy("doc_id")
+    assert(got.toSeq === naive.collect().toSeq)
+
+    // rarity sanity: buckets are non-negative and bounded by log2(docs)
+    val nDocs = graft.Tables.load(spark, sf, "documents").count()
+    val maxBucket = 64 - java.lang.Long.numberOfLeadingZeros(nDocs)
+    got.foreach { r =>
+      val rarity = r.getDouble(2)
+      assert(rarity >= 0.0 && rarity <= maxBucket.toDouble,
+        s"doc ${r.getLong(0)} rarity $rarity out of [0, $maxBucket]")
+    }
+  }
 }
