@@ -4,7 +4,7 @@ import graft.Tables.load
 import graft.llm.Portable._
 import graft.functions.TopK
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col}
+import org.apache.spark.sql.functions.{broadcast, col, lit}
 import org.apache.spark.sql.types._
 
 /** Similarity search over the `embeddings` table (vec_id,
@@ -511,6 +511,54 @@ object Similarity {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** SemDeDup threshold: within-cell cosine at/above this marks the
+    * higher-id vector redundant. */
+  private val SEM_DUP_COS = 0.98
+
+  /** SemDeDup-style semantic deduplication: cluster the corpus with
+    * the IVF coarse quantizer, then deduplicate ONLY within each cell
+    * — a vector is redundant when a lower-id vector in its cell has
+    * cosine ≥ [[SEM_DUP_COS]]. The cells bound the quadratic: instead
+    * of all-pairs (or LSH recall tuning, [[qDedupEmbedding]]'s
+    * domain), candidate pairs are O(Σ cell²) with K chosen so cells
+    * stay task-sized — at corpus scale K grows with N, holding
+    * per-cell cost flat; the trade is the clustering's recall (a
+    * near-dup split across a cell boundary survives — the published
+    * SemDeDup trade, made explicit here).
+    *
+    * Scale: one shuffle of (cell, id, e) each side, per-cell
+    * self-join with the triangular `b.id < a.id` gate, keyed
+    * anti-membership at the end. Output is the full per-vector
+    * verdict, so the gate pins exact membership both ways. */
+  def qSemDedup(s: SparkSession, dir: String): DataFrame = {
+    val corpus = load(s, dir, "embeddings").select(col("vec_id"),
+      graft.functions.VectorExprs.toDouble(col("embedding")).as("e"))
+    val assigned = ivfAssign(corpus, ivfCentroids(corpus))
+    val right = assigned.select(col("cell").as("cell_b"),
+      col("vec_id").as("vid_b"), col("e").as("e_b"))
+    val victims = assigned.join(right,
+        col("cell") === col("cell_b") && col("vid_b") < col("vec_id"))
+      .where(graft.functions.VectorExprs.cosine(col("e"), col("e_b"))
+        >= SEM_DUP_COS)
+      .select(col("vec_id")).distinct()
+    assigned.select(col("vec_id"), col("cell"))
+      .join(victims.withColumn("dup", lit(1)), Seq("vec_id"), "left")
+      .selectExpr("vec_id", "cell",
+        "cast(coalesce(dup, 0) = 0 as int) as kept")
+      .orderBy("vec_id")
+  }
+
+  val qSemDedupSql: String =
+    s"""WITH $ivfOracleCtes,
+       |victims AS (
+       |  SELECT DISTINCT a.vec_id
+       |  FROM asg a JOIN asg b ON a.cell = b.cell AND b.vec_id < a.vec_id
+       |  WHERE ${cosD("a.e", "b.e")} >= $SEM_DUP_COS)
+       |SELECT a.vec_id, a.cell,
+       |       CAST(CASE WHEN v.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+       |FROM asg a LEFT JOIN victims v ON a.vec_id = v.vec_id
+       |ORDER BY a.vec_id""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_bruteforce" -> (qKnnBruteForce _),
@@ -518,6 +566,7 @@ object Similarity {
     "q_ann_lsh_topk" -> (qAnnLshTopK _),
     "q_ann_ivf_cells" -> (qIvfCells _),
     "q_ann_ivf_assign" -> (qIvfAssign _),
+    "q_semdedup" -> (qSemDedup _),
     "q_ann_ivf_topk" -> (qIvfTopK _),
     "q_dedup_embedding" -> (qDedupEmbedding _))
 
@@ -527,6 +576,7 @@ object Similarity {
     "q_ann_lsh_topk" -> qAnnLshTopKSql,
     "q_ann_ivf_cells" -> qIvfCellsSql,
     "q_ann_ivf_assign" -> qIvfAssignSql,
+    "q_semdedup" -> qSemDedupSql,
     "q_ann_ivf_topk" -> qIvfTopKSql,
     "q_dedup_embedding" -> qDedupEmbeddingSql)
 }

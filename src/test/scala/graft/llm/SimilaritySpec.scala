@@ -60,4 +60,41 @@ class SimilaritySpec extends AnyFunSuite {
     // partitions the space (quality of the hyperplane hash)
     assert(buckets.map(_.getLong(1)).max < total)
   }
+
+  test("semdedup: cell-scoped verdicts, every vector judged exactly once") {
+    val rows = Similarity.qSemDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val corpus = graft.Tables.load(spark, sf, "embeddings").count()
+    assert(rows.length.toLong === corpus, "one verdict per vector")
+    assert(rows.map(_._1).distinct.length === rows.length)
+    assert(rows.forall(r => r._3 == 0 || r._3 == 1))
+
+    // the LOWEST id in every cell is always kept (no lower-id neighbor
+    // can exist) — the determinism anchor of the keep rule
+    rows.groupBy(_._2).foreach { case (cell, vs) =>
+      val lowest = vs.minBy(_._1)
+      assert(lowest._3 === 1, s"cell $cell dropped its lowest id $lowest")
+    }
+
+    // verdicts agree with a direct within-cell cosine check on a
+    // sample: every dropped vector really has a lower-id ≥-threshold
+    // neighbor IN ITS CELL
+    val dropped = rows.filter(_._3 == 0)
+    if (dropped.nonEmpty) {
+      import org.apache.spark.sql.functions._
+      val assigned = Similarity.qSemDedup(spark, sf) // (vec_id, cell, kept)
+      val emb = graft.Tables.load(spark, sf, "embeddings")
+        .select(col("vec_id"),
+          graft.functions.VectorExprs.toDouble(col("embedding")).as("e"))
+      val withE = assigned.join(emb, "vec_id")
+      val b = withE.select(col("cell").as("cell_b"),
+        col("vec_id").as("vid_b"), col("e").as("e_b"))
+      val confirmed = withE.where(col("kept") === 0)
+        .join(b, col("cell") === col("cell_b") && col("vid_b") < col("vec_id"))
+        .where(graft.functions.VectorExprs.cosine(col("e"), col("e_b")) >= 0.98)
+        .select("vec_id").distinct().count()
+      assert(confirmed === dropped.length.toLong,
+        "every dropped vector must have an in-cell lower-id near-duplicate")
+    }
+  }
 }
