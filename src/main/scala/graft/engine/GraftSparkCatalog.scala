@@ -750,11 +750,18 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     override def schema(): StructType = tableSchema
     /** SHOW TBLPROPERTIES surface (reference test_spark.py:106-120). */
     override def properties(): util.Map[String, String] = props.asJava
+    /** The default spec as V2 transforms — what lets the analyzer
+      * accept `INSERT OVERWRITE ... PARTITION (p='v')` (it validates
+      * the clause's columns against this) and DESCRIBE report the
+      * layout. */
+    override def partitioning(): Array[Transform] =
+      GraftSparkCatalog.v2Partitioning(coreSchema, pruning.defaultSpec)
     override def capabilities(): util.Set[TableCapability] =
       util.EnumSet.of(
         TableCapability.BATCH_READ,
         TableCapability.V1_BATCH_WRITE,
-        TableCapability.TRUNCATE)
+        TableCapability.TRUNCATE,
+        TableCapability.OVERWRITE_BY_FILTER)
 
     /** Row-lineage metadata columns — the SupportsDelta row id. Served
       * by [[GraftScanBuilder]] (row-level operation scans and MoR
@@ -833,10 +840,25 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       shaped.filter { case (_, rows) => rows.forall(_.forall(_ != null)) }
     }
 
+    /** Truncate = full replace; a filter-scoped overwrite (the static
+      * `INSERT OVERWRITE ... PARTITION (p='v')` clause) routes through
+      * [[GraftTable.overwritePartitions]] — only the matching identity
+      * partitions are replaced, everything else carries byte-untouched.
+      */
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-      new WriteBuilder with SupportsTruncate {
+      new WriteBuilder with SupportsTruncate
+          with org.apache.spark.sql.connector.write.SupportsOverwrite {
         private var replace = false
+        private var scoped: Array[org.apache.spark.sql.sources.Filter] = Array.empty
         override def truncate(): WriteBuilder = { replace = true; this }
+        override def overwrite(
+            filters: Array[org.apache.spark.sql.sources.Filter]): WriteBuilder = {
+          if (filters.isEmpty || filters.forall(
+            _.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
+            replace = true
+          else scoped = filters
+          this
+        }
         override def build(): Write = new V1Write {
           override def toInsertableRelation: InsertableRelation =
             new InsertableRelation {
@@ -846,7 +868,9 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
                   s"INSERT column count ${data.columns.length} != table arity ${tableSchema.length}")
                 val aligned = data.toDF(tableSchema.fieldNames.toIndexedSeq: _*)
                 val table = new GraftTable(client, prefix, tid)
-                if (replace || overwrite)
+                if (scoped.nonEmpty)
+                  table.overwritePartitions(aligned, scoped.toSeq)
+                else if (replace || overwrite)
                   table.overwriteAll(aligned, table.metadata.currentSnapshotId)
                 else table.append(aligned)
               }
@@ -928,6 +952,28 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
 }
 
 object GraftSparkCatalog {
+  /** Core partition spec → V2 transform array (None / unmappable
+    * fields — void, renamed-away sources — are skipped: the analyzer
+    * only needs the DECLARABLE dimensions). */
+  private[engine] def v2Partitioning(
+      schema: graft.core.Schema,
+      spec: Option[graft.core.PartitionSpec]): Array[Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    spec.map(_.fields.flatMap { pf =>
+      schema.fieldById(pf.sourceId).map(_.name).flatMap { src =>
+        pf.transform match {
+          case graft.core.Transform.Identity => Some(Expressions.identity(src))
+          case graft.core.Transform.Bucket(n) => Some(Expressions.bucket(n, src))
+          case graft.core.Transform.Year => Some(Expressions.years(src))
+          case graft.core.Transform.Month => Some(Expressions.months(src))
+          case graft.core.Transform.Day => Some(Expressions.days(src))
+          case graft.core.Transform.Hour => Some(Expressions.hours(src))
+          case _ => None
+        }
+      }
+    }.toArray).getOrElse(Array.empty)
+  }
+
   /** Metadata-table identifier suffixes (`SELECT * FROM db.t.files`). */
   val MetadataTables: Set[String] =
     Set("files", "partitions", "refs", "snapshots", "history", "manifests")

@@ -459,6 +459,77 @@ final class GraftTable(
       preserveLayout = zorderBy.nonEmpty)
   }
 
+  /** Partition-scoped INSERT OVERWRITE (the static `PARTITION (p='v')`
+    * clause, arriving as a filter-scoped V2 overwrite): drops exactly
+    * the data files whose IDENTITY partition values satisfy `filters`,
+    * carries everything else byte-untouched, and lands `df` as the
+    * partitions' new content — an O(affected + new files) commit,
+    * never a table rewrite. Shard entries matching wholly drop at the
+    * ENTRY level (no shard read); mixed/legacy shards are read once
+    * and their survivors re-recorded with their own sequence numbers.
+    * Delete files always carry (they key by content — a stale target
+    * simply stops matching; new files outsequence them regardless).
+    *
+    * Exactness over convenience: the predicate must be a conjunction
+    * of equalities / IN on columns that are identity partition fields
+    * in EVERY spec naming them, and every data file's tuple must
+    * DECIDE it — a file written before the partition field existed
+    * aborts the operation with a clear error rather than silently
+    * leaving half the partition behind. */
+  def overwritePartitions(
+      df: DataFrame,
+      filters: Seq[org.apache.spark.sql.sources.Filter],
+      branch: String = TableMetadata.MainBranch): TableMetadata = {
+    val m = metadata
+    val pred = GraftTable.partitionPredicate(m, filters).fold(
+      why => throw new UnsupportedOperationException(
+        s"INSERT OVERWRITE with this condition cannot be partition-scoped " +
+          s"($why); supported: AND of =, <=>, IN on identity partition " +
+          s"columns. Condition: ${filters.mkString(", ")}"),
+      identity)
+    val written = GraftTable.writeDataFiles(df, m)
+    commitLoop(branch, "overwrite")(base => {
+      val (carried, extra) = splitCarried(carriedEntries(base), pred)
+      (carried, written ++ extra)
+    })
+  }
+
+  /** Entry-level split for a partition-scoped replace: (carried
+    * entries, per-file survivors re-recorded from shards the entry
+    * tuple could not decide). `drop(tuple) = None` = undecidable. */
+  private def splitCarried(
+      entries: Seq[Manifests.ManifestEntry],
+      drop: Map[String, String] => Option[Boolean])
+      : (Seq[Manifests.ManifestEntry], Seq[Manifests.DataFile]) = {
+    def undecidable(what: String): Nothing =
+      throw new UnsupportedOperationException(
+        s"partition overwrite cannot decide $what (file predates the " +
+          "partition field or uses a non-identity spec) — run CALL " +
+          "system.rewrite_data_files to normalize the layout first")
+    val carried = Seq.newBuilder[Manifests.ManifestEntry]
+    val extra = Seq.newBuilder[Manifests.DataFile]
+    entries.foreach { e =>
+      if (e.hasDeletes) carried += e
+      else e.partition match {
+        case Some(pt) => drop(pt) match {
+          case Some(true) => () // whole shard replaced
+          case Some(false) => carried += e
+          case None => undecidable(s"shard ${e.path}")
+        }
+        case None =>
+          Manifests.filesOf(Seq(e)).foreach { f =>
+            if (f.isDeleteFile) extra += f
+            else drop(f.partition) match {
+              case Some(true) => ()
+              case Some(false) => extra += f
+              case None => undecidable(s"file ${f.path}")
+            }
+          }
+      }
+    }
+    (carried.result(), extra.result())
+  }
+
   /** CALL system.rewrite_manifests: re-shard the current snapshot's
     * manifest tree into fresh partition-grouped shards — same data
     * files (paths, sequence numbers, stats, delete files all carried
@@ -698,6 +769,76 @@ object GraftTable {
     * (specs assert candidates ≪ total for selective sources). */
   final case class UpsertPlan(candidates: Int, total: Int)
   @volatile var lastUpsertPlan: Option[UpsertPlan] = None
+
+  /** Compile an overwrite condition into a partition-TUPLE predicate:
+    * `Right(eval)` where `eval(tuple)` is Some(matches) or None when
+    * the tuple cannot decide (missing field). `Left(reason)` when the
+    * condition shape / column transforms make file-exact evaluation
+    * impossible. Only columns that are IDENTITY partition fields in
+    * every spec naming them qualify — for those, equality against the
+    * rendered tuple value IS row equality ([[ParquetBatchWrite]]'s
+    * rendering; dates via their ISO form, nulls via the hive marker).
+    */
+  private[engine] def partitionPredicate(
+      m: TableMetadata, filters: Seq[org.apache.spark.sql.sources.Filter])
+      : Either[String, Map[String, String] => Option[Boolean]] = {
+    import org.apache.spark.sql.sources._
+    val NullMarker = "__HIVE_DEFAULT_PARTITION__"
+    val allFields = m.partitionSpecs.values.flatMap(_.fields).toSeq
+    def pname(col: String): Either[String, String] =
+      m.currentSchema.fieldByName(col).toRight(s"unknown column $col").flatMap { f =>
+        val idNames = allFields.filter(pf =>
+          pf.sourceId == f.id && pf.transform == Transform.Identity)
+          .map(_.name).distinct
+        idNames match {
+          case Seq(n) if allFields.filter(_.name == n).forall(pf =>
+            pf.sourceId == f.id && pf.transform == Transform.Identity) =>
+            Right(n)
+          case Seq(_) => Left(s"partition name for $col was not always identity")
+          case _ => Left(s"$col is not an identity partition column")
+        }
+      }
+    def render(v: Any): Either[String, String] = v match {
+      case null => Right(NullMarker)
+      case d: java.sql.Date => Right(d.toString)
+      case d: java.time.LocalDate => Right(d.toString)
+      case _: java.sql.Timestamp | _: java.time.Instant |
+           _: java.time.LocalDateTime => Left("timestamp partition equality")
+      case s: String if s == NullMarker =>
+        Left("value collides with the null partition marker")
+      case other => Right(other.toString)
+    }
+    def eq(col: String, v: Any, nullSafe: Boolean)
+        : Either[String, Map[String, String] => Option[Boolean]] =
+      if (v == null && !nullSafe) Right(_ => Some(false)) // x = NULL: never
+      else for { n <- pname(col); rv <- render(v) } yield
+        (t: Map[String, String]) => t.get(n).map(_ == rv)
+    def compile(f: Filter): Either[String, Map[String, String] => Option[Boolean]] =
+      f match {
+        case And(l, r) => for { cl <- compile(l); cr <- compile(r) } yield
+          (t: Map[String, String]) =>
+            for { a <- cl(t); b <- cr(t) } yield a && b
+        case EqualTo(a, v) => eq(a, v, nullSafe = false)
+        case EqualNullSafe(a, v) => eq(a, v, nullSafe = true)
+        case In(a, vs) => pname(a).flatMap { n =>
+          val rendered = vs.toSeq.filter(_ != null).foldLeft(
+            Right(Set.empty[String]): Either[String, Set[String]]) { (acc, v) =>
+            for { s <- acc; r <- render(v) } yield s + r
+          }
+          rendered.map(set =>
+            (t: Map[String, String]) => t.get(n).map(pv =>
+              pv != NullMarker && set.contains(pv)))
+        }
+        case AlwaysTrue() => Right(_ => Some(true))
+        case other => Left(s"unsupported condition ${other.getClass.getSimpleName}")
+      }
+    filters.foldLeft(
+      Right((_: Map[String, String]) => Some(true)): Either[String,
+        Map[String, String] => Option[Boolean]]) { (acc, f) =>
+      for { ca <- acc; cf <- compile(f) } yield
+        (t: Map[String, String]) => for { a <- ca(t); b <- cf(t) } yield a && b
+    }
+  }
 
   /** Manifest shards parsed vs total by the last `.files`/`.partitions`
     * metadata-table scan — observable shard-level pruning. */
