@@ -199,7 +199,7 @@ object MetadataAggregates {
           datas.exists(_.partition.get(c.pname).contains(NullMarker)))
         if (!allKeyed || ambiguous) None
         else Some(datas.groupBy(f => cols.map(c => f.partition(c.pname)))
-          .toSeq.sortBy(_._1.mkString(" ")))
+          .toSeq.sortBy(_._1.mkString("\u0000")))
       }
 
     for {
