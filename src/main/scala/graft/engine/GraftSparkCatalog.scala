@@ -760,8 +760,13 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       util.EnumSet.of(
         TableCapability.BATCH_READ,
         TableCapability.V1_BATCH_WRITE,
+        // BATCH_WRITE is required by the DYNAMIC overwrite capability
+        // check; append/truncate/filter writes still build V1Write and
+        // plan through the V1 execs (routing is by Write instance)
+        TableCapability.BATCH_WRITE,
         TableCapability.TRUNCATE,
-        TableCapability.OVERWRITE_BY_FILTER)
+        TableCapability.OVERWRITE_BY_FILTER,
+        TableCapability.OVERWRITE_DYNAMIC)
 
     /** Row-lineage metadata columns — the SupportsDelta row id. Served
       * by [[GraftScanBuilder]] (row-level operation scans and MoR
@@ -847,8 +852,10 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       */
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
       new WriteBuilder with SupportsTruncate
-          with org.apache.spark.sql.connector.write.SupportsOverwrite {
+          with org.apache.spark.sql.connector.write.SupportsOverwrite
+          with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
         private var replace = false
+        private var dynamic = false
         private var scoped: Array[org.apache.spark.sql.sources.Filter] = Array.empty
         override def truncate(): WriteBuilder = { replace = true; this }
         override def overwrite(
@@ -859,23 +866,55 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
           else scoped = filters
           this
         }
-        override def build(): Write = new V1Write {
-          override def toInsertableRelation: InsertableRelation =
-            new InsertableRelation {
-              override def insert(data: org.apache.spark.sql.DataFrame,
-                  overwrite: Boolean): Unit = {
-                require(data.columns.length == tableSchema.length,
-                  s"INSERT column count ${data.columns.length} != table arity ${tableSchema.length}")
-                val aligned = data.toDF(tableSchema.fieldNames.toIndexedSeq: _*)
-                val table = new GraftTable(client, prefix, tid)
-                if (scoped.nonEmpty)
-                  table.overwritePartitions(aligned, scoped.toSeq)
-                else if (replace || overwrite)
-                  table.overwriteAll(aligned, table.metadata.currentSnapshotId)
-                else table.append(aligned)
-              }
-            }
+        override def overwriteDynamicPartitions(): WriteBuilder = {
+          dynamic = true; this
         }
+        /** Dynamic overwrite has no V1 fallback exec in Spark, so it
+          * builds the genuine distributed [[ParquetBatchWrite]] (the
+          * row-level operations' write half): tasks stream rows to
+          * parquet with their partition tuples riding the commit
+          * messages, and the driver commit replaces exactly the tuples
+          * written. */
+        override def build(): Write =
+          if (dynamic) new Write {
+            override def description(): String = "graft dynamic overwrite"
+            override def toBatch: org.apache.spark.sql.connector.write.BatchWrite = {
+              val table = new GraftTable(client, prefix, tid)
+              val m = table.metadata
+              val spec = m.defaultSpec
+              val spark = SparkSession.active
+              val writeSchema = SchemaBridge.toSpark(m.currentSchema)
+              val dataDir = s"${m.location}/data/${java.util.UUID.randomUUID()}"
+              val routing =
+                if (spec.isUnpartitioned) None
+                else Some(ParquetBatchWrite.PartitionRouting(
+                  spec.fields.map(_.name),
+                  GraftShims.boundExpressions(spark, writeSchema,
+                    PartitionExprs.partitionColumns(spec, m.currentSchema,
+                      org.apache.spark.sql.functions.col))))
+              val (factory, conf) =
+                GraftShims.parquetWriteSpec(spark, writeSchema, Map.empty)
+              new ParquetBatchWrite(dataDir, writeSchema, factory, conf, routing,
+                files => table.overwriteDynamic(GraftTable.toDataFiles(files)))
+            }
+          }
+          else new V1Write {
+            override def toInsertableRelation: InsertableRelation =
+              new InsertableRelation {
+                override def insert(data: org.apache.spark.sql.DataFrame,
+                    overwrite: Boolean): Unit = {
+                  require(data.columns.length == tableSchema.length,
+                    s"INSERT column count ${data.columns.length} != table arity ${tableSchema.length}")
+                  val aligned = data.toDF(tableSchema.fieldNames.toIndexedSeq: _*)
+                  val table = new GraftTable(client, prefix, tid)
+                  if (scoped.nonEmpty)
+                    table.overwritePartitions(aligned, scoped.toSeq)
+                  else if (replace || overwrite)
+                    table.overwriteAll(aligned, table.metadata.currentSnapshotId)
+                  else table.append(aligned)
+                }
+              }
+          }
       }
 
     /** SQL MERGE INTO / UPDATE / DELETE as DELTA operations

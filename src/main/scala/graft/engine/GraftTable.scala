@@ -494,6 +494,27 @@ final class GraftTable(
     })
   }
 
+  /** Dynamic partition overwrite (`partitionOverwriteMode=dynamic` /
+    * `writeTo.overwritePartitions()`): replace exactly the partition
+    * tuples PRESENT in the freshly-written files — the Hive-dynamic
+    * semantics. `written` comes from a distributed
+    * [[ParquetBatchWrite]] commit (per-task inventory, tuples ride the
+    * commit messages); the drop predicate is full-tuple membership, so
+    * every file decides (pre-evolution tuples simply never match a
+    * current-spec tuple and survive). An empty write replaces nothing.
+    */
+  def overwriteDynamic(
+      written: Seq[Manifests.DataFile],
+      branch: String = TableMetadata.MainBranch): TableMetadata = {
+    if (written.isEmpty) return metadata
+    val tuples = written.map(_.partition).toSet
+    commitLoop(branch, "overwrite")(base => {
+      val (carried, extra) =
+        splitCarried(carriedEntries(base), pt => Some(tuples.contains(pt)))
+      (carried, written ++ extra)
+    })
+  }
+
   /** Entry-level split for a partition-scoped replace: (carried
     * entries, per-file survivors re-recorded from shards the entry
     * tuple could not decide). `drop(tuple) = None` = undecidable. */

@@ -112,6 +112,46 @@ class PartitionOverwriteSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().head.getLong(0) === 2L)
   }
 
+  test("dynamic mode replaces exactly the partitions present in the data") {
+    spark.sql(s"CREATE TABLE $cat.db.pody (id BIGINT, region STRING) " +
+      "PARTITIONED BY (region)")
+    spark.sql(s"INSERT INTO $cat.db.pody VALUES (1,'eu'), (2,'us'), (3,'ap')")
+    val usFiles = table("pody").planFiles()
+      .filter(_.partition.get("region").contains("us")).map(_.path).toSet
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try spark.sql(s"INSERT OVERWRITE $cat.db.pody VALUES (10,'eu'), (30,'ap')")
+    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+
+    val rows = spark.sql(s"SELECT id, region FROM $cat.db.pody ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows === Seq((2L, "us"), (10L, "eu"), (30L, "ap")))
+    // the untouched partition kept its very files
+    assert(table("pody").planFiles()
+      .filter(_.partition.get("region").contains("us")).map(_.path).toSet === usFiles)
+    assert(table("pody").metadata.currentSnapshot
+      .exists(_.summary.get("operation").contains("overwrite")))
+
+    // writeTo.overwritePartitions() — the API form of the same plan
+    import spark.implicits._
+    Seq((99L, "us")).toDF("id", "region")
+      .writeTo(s"$cat.db.pody").overwritePartitions()
+    val after = spark.sql(s"SELECT id, region FROM $cat.db.pody ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(after === Seq((10L, "eu"), (30L, "ap"), (99L, "us")))
+  }
+
+  test("dynamic overwrite of an empty frame replaces nothing") {
+    spark.sql(s"CREATE TABLE $cat.db.podye (id BIGINT, region STRING) " +
+      "PARTITIONED BY (region)")
+    spark.sql(s"INSERT INTO $cat.db.podye VALUES (1,'eu')")
+    import spark.implicits._
+    spark.emptyDataset[(Long, String)].toDF("id", "region")
+      .writeTo(s"$cat.db.podye").overwritePartitions()
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.podye")
+      .collect().head.getLong(0) === 1L)
+  }
+
   test("plain INSERT OVERWRITE still replaces the whole table") {
     spark.sql(s"CREATE TABLE $cat.db.pofull (id BIGINT, region STRING) " +
       "PARTITIONED BY (region)")
