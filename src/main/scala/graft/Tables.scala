@@ -22,23 +22,29 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-      // reader rejects; with spark.sql.legacy.parquet.nanosAsLong=true
-      // it reads as the raw int64 nanos, which we truncate to micros
-      // (integer div — the value exceeds 2^53, double math would lose
-      // precision). DuckDB does the same ns→µs truncation natively.
-      // The flag is session-construction config (set in Verify/Bench
-      // builders); if the hosting session (e.g. the driver's own) was
-      // built without it, set it once here — idempotent, and flagged
-      // loudly rather than silently flipped per load() call.
+      // events.ts has varied across driver testdata generations:
+      // TIMESTAMP(NANOS) in some rounds (which Spark only reads with
+      // spark.sql.legacy.parquet.nanosAsLong=true, as raw int64 nanos
+      // we truncate to micros — integer div, the value exceeds 2^53 so
+      // double math would lose precision; DuckDB truncates ns→µs the
+      // same way), plain TIMESTAMP(MICROS) in others. Adapt to the
+      // schema actually on disk and normalize to a session-TZ (UTC)
+      // TIMESTAMP either way so downstream micros arithmetic
+      // (unix_micros) is engine-identical.
       if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true") {
         System.err.println(
           "[graft] session built without spark.sql.legacy.parquet.nanosAsLong=true; " +
-            "setting it now (required to read events.parquet TIMESTAMP(NANOS))")
+            "setting it now (required when events.parquet carries TIMESTAMP(NANOS))")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       }
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => // nanos-as-long
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case _ => // TIMESTAMP / TIMESTAMP_NTZ: micros already; NTZ wall
+          // clock binds to the UTC session zone, matching DuckDB
+          raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 

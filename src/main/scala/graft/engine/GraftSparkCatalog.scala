@@ -126,28 +126,49 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(i: Identifier, version: String): Table =
     loadTableAt(i, Some(version))
 
-  private def loadTableAt(i: Identifier, version: Option[String]): Table = {
+  /** SQL time travel: `TIMESTAMP AS OF <ts>` — Spark hands micros since
+    * epoch; the snapshot is the last snapshot-log entry at or before
+    * that instant (Iceberg's as-of-time rule), skipping entries whose
+    * snapshot was since expired. */
+  override def loadTable(i: Identifier, timestampMicros: Long): Table =
+    loadTableAt(i, None, Some(timestampMicros))
+
+  private def loadTableAt(
+      i: Identifier, version: Option[String],
+      asOfMicros: Option[Long] = None): Table = {
+    val timeTravel = version.isDefined || asOfMicros.isDefined
     val loaded =
       try client.loadTable(prefix, ident(i))
       catch { case e: CatalogError if e.code == 404 =>
         // `db.t.files` / `db.t.branch_x` style identifier suffixes
-        return loadSpecialTable(i, version).getOrElse(throw new NoSuchTableException(i)) }
+        // (not combinable with time travel, like loadSpecialTable's
+        // version guard)
+        return (if (asOfMicros.isDefined) None else loadSpecialTable(i, version))
+          .getOrElse(throw new NoSuchTableException(i)) }
     val m = loaded.metadata
-    val snapshot = version match {
-      case None => m.currentSnapshot
-      case Some(v) =>
+    val snapshot = (version, asOfMicros) match {
+      case (None, None) => m.currentSnapshot
+      case (Some(v), _) =>
         val byId = v.toLongOption.flatMap(m.snapshots.get)
         Some(byId.orElse(m.snapshotFor(v)).getOrElse(
           throw new NoSuchTableException(i)))
+      case (None, Some(us)) =>
+        val ms = Math.floorDiv(us, 1000L)
+        Some(m.snapshotLog.reverseIterator
+          .filter(e => e.timestampMs <= ms && m.snapshots.contains(e.snapshotId))
+          .map(e => m.snapshots(e.snapshotId))
+          .nextOption()
+          .getOrElse(throw new IllegalArgumentException(
+            s"no snapshot of ${i.namespace().mkString(".")}.${i.name()} " +
+              s"at or before epoch-ms $ms (oldest retained: " +
+              s"${m.snapshotLog.headOption.map(_.timestampMs).getOrElse("none")})")))
     }
     // a current load always presents the table's CURRENT schema (data
     // files resolve by field id, so older files still read correctly);
     // only time travel pins the snapshot's schema
-    val coreSchema = version match {
-      case None => m.currentSchema
-      case Some(_) =>
-        snapshot.flatMap(_.schemaId).flatMap(m.schemas.get).getOrElse(m.currentSchema)
-    }
+    val coreSchema =
+      if (!timeTravel) m.currentSchema
+      else snapshot.flatMap(_.schemaId).flatMap(m.schemas.get).getOrElse(m.currentSchema)
     val schema = SchemaBridge.toSpark(coreSchema)
     val listing = snapshot.map(s => Manifests.read(s.manifestList)).getOrElse(Nil)
     val spark = SparkSession.active
@@ -159,7 +180,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       schema, pruning.pathKeeper,
       MetadataAggregates.plan(coreSchema, m.partitionSpecs.values, listing, _))
     // time-travel loads are read-only: you can't INSERT into the past
-    if (version.isDefined)
+    if (timeTravel)
       new ReadOnlyTable(fullName, delegate, schema, coreSchema, listing,
         m.properties, pruning)
     else new WritableTable(fullName, ident(i), delegate, schema,

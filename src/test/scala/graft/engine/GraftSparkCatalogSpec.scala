@@ -439,6 +439,31 @@ class GraftSparkCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.sql(s"SELECT * FROM $cat.tt.t VERSION AS OF 'ghost'").collect())
   }
 
+  test("SQL time travel: TIMESTAMP AS OF picks the last snapshot at or before") {
+    import spark.implicits._
+    spark.sql(s"CREATE NAMESPACE $cat.tts")
+    spark.sql(s"CREATE TABLE $cat.tts.t (id INT, s STRING)")
+    val t = new GraftTable(client, prefix, TableIdent(Seq("tts"), "t"))
+    t.append(Seq((1, "v1")).toDF("id", "s"))
+    val firstMs = t.metadata.currentSnapshot.get.timestampMs
+    Thread.sleep(5) // distinct commit millis, so the boundary is testable
+    t.append(Seq((2, "v2")).toDF("id", "s"))
+    val secondMs = t.metadata.currentSnapshot.get.timestampMs
+    assert(secondMs > firstMs)
+
+    def atMs(ms: Long): Long = {
+      val ts = java.sql.Timestamp.from(java.time.Instant.ofEpochMilli(ms))
+      spark.sql(s"SELECT * FROM $cat.tts.t TIMESTAMP AS OF '$ts'").count()
+    }
+    // the exact first-commit instant sees snapshot 1; just before it, nothing
+    assert(atMs(firstMs) === 1)
+    assert(atMs(secondMs - 1) === 1)
+    assert(atMs(secondMs) === 2)
+    assert(atMs(System.currentTimeMillis() + 60000) === 2)
+    val ex = intercept[Exception](atMs(firstMs - 1))
+    assert(ex.getMessage.contains("no snapshot"))
+  }
+
   test("MoR equality deletes survive RENAME COLUMN on a key column") {
     spark.sql(s"CREATE NAMESPACE $cat.rn")
     spark.sql(s"CREATE TABLE $cat.rn.t (id INT, v STRING) " +

@@ -173,10 +173,15 @@ class ServerMainSpec extends AnyFunSuite {
       client.createTable(prefix, TableIdent(Seq("db"), "t"),
         graft.core.Schema(0, Seq(graft.core.NestedField.required(
           1, "id", graft.core.IType.TLong))))
-      running.close() // joins the publisher worker
-      val seen = pubs.toArray(Array.empty[String]).toSeq
-      assert(seen.exists(p => p.startsWith("catalog.events|") &&
-        p.contains("createTable")), s"expected a createTable on the subject: $seen")
+      running.close() // joins the publisher worker: bytes are on the wire
+      // the stub's READER runs on its own thread — poll briefly for it
+      // to parse the delivered frames before asserting
+      def seen(): Seq[String] = pubs.toArray(Array.empty[String]).toSeq
+      def delivered(): Boolean = seen().exists(p =>
+        p.startsWith("catalog.events|") && p.contains("createTable"))
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (!delivered() && System.nanoTime() < deadline) Thread.sleep(20)
+      assert(delivered(), s"expected a createTable on the subject: ${seen()}")
     } finally { running.close(); server.close() }
   }
 
