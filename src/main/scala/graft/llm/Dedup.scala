@@ -366,13 +366,21 @@ object Dedup {
     * labels are rebuilt as a LEAF DataFrame over the round's RDD
     * (persist alone caches DATA but leaves the logical plan growing —
     * the jump's self-reference would double plan size per round and
-    * blow up plan rendering), and the single action per round both
-    * materializes the cache AND computes the convergence probe (no
-    * separate probe job): per-node labels only ever decrease — the
-    * jump target `l(l(v))` satisfies `l(u) ≤ u` for `u = l(v)` — so
-    * Σ(cluster) strictly decreases iff any node changed (sum over zero
-    * rows is SQL NULL: an empty pair graph reads as 0 and converges
-    * immediately instead of NPE-ing).
+    * blow up plan rendering), and the ONLY action per round both
+    * materializes the cache AND probes convergence of the round's
+    * OUTPUT: an edge-consistency aggregate (`∃ edge whose endpoints
+    * carry different labels`). Edge-constant labels are already the
+    * component minima — a constant label c per component satisfies
+    * `l(m) ≤ m` for the component minimum m (labels start at
+    * `min(v, neighbors)` and only ever decrease) while c is itself a
+    * node id of the component, forcing c = m — so the round that
+    * PRODUCES stable labels also detects it, with no trailing confirm
+    * round and no baseline: neither the init aggregation nor the edges
+    * leaf gets a job of its own (round 1's single job computes edges,
+    * init, propagation, and the probe together; clique-heavy LSH
+    * graphs converge in ONE job where the r8 shape took three). `max`
+    * over zero rows is SQL NULL: an empty pair graph converges
+    * immediately instead of NPE-ing.
     *
     * CACHE OWNERSHIP: the result is the final round's persisted leaf,
     * already materialized by that round's probe. Each call's result is
@@ -395,16 +403,17 @@ object Dedup {
         .unionAll(pairs.toDF("dst", "src").select(col("src"), col("dst"))))
     // init = the FIRST propagation, fused into the materializing
     // aggregation: l0(v) = min(v, min neighbor) — one keyed agg, same
-    // cost as a distinct-nodes init, one whole round cheaper
+    // cost as a distinct-nodes init, one whole round cheaper. NOT
+    // probed (or even materialized) by a job of its own: round 1's
+    // single job computes the edges leaf, this aggregation, and the
+    // round-1 propagation together (the persist just keeps later
+    // rounds from recomputing it). A separate edges pre-warm job
+    // would ADD a scheduling point, not remove one — the union's two
+    // branches already share the upstream exchange inside that job.
     var labels = edges.groupBy(col("src").as("id"))
       .agg(org.apache.spark.sql.functions.least(
         col("id"), org.apache.spark.sql.functions.min(col("dst"))).as("cluster"))
       .persist()
-    def labelSum(df: DataFrame): Long = {
-      val v = df.agg(org.apache.spark.sql.functions.sum("cluster")).head().get(0)
-      if (v == null) 0L else v.asInstanceOf[Long]
-    }
-    var prevSum = labelSum(labels)
     var changed = true
     var rounds = 0
     // the previous round's leaf RDD cache — unpersisted EXPLICITLY once
@@ -455,9 +464,21 @@ object Dedup {
       // constant-size while lost blocks stay recomputable through the
       // RDD chain (upstream caches, then the pair pipeline).
       val (next, nextRdd) = org.apache.spark.sql.GraftShims.cachedLeaf(jumpPlan)
-      val s = labelSum(next) // one job: materializes cache + probes
-      changed = s != prevSum
-      prevSum = s
+      // One job: materializes the round's cache AND probes convergence
+      // of the round's OUTPUT — an edge-consistency check (∃ edge whose
+      // endpoints carry different labels). Checking the output (not the
+      // prop delta) saves the whole trailing confirm round: a round
+      // that produces edge-constant labels has already converged (see
+      // scaladoc), so clique-heavy LSH graphs finish in ONE round. The
+      // two `next` scans shuffle on the same key over the same leaf, so
+      // ReuseExchange computes the leaf once inside the job.
+      val aEnd = next.select(col("id").as("aid"), col("cluster").as("acl"))
+      val bEnd = next.select(col("id").as("bid"), col("cluster").as("bcl"))
+      val v = edges.join(aEnd, col("src") === col("aid"))
+        .join(bEnd, col("dst") === col("bid"))
+        .agg(org.apache.spark.sql.functions.max(col("acl") =!= col("bcl")))
+        .head().get(0)
+      changed = v != null && v.asInstanceOf[Boolean]
       labels.unpersist(blocking = false) // round-0 init (DF-level cache)
       if (labelsRdd != null) labelsRdd.unpersist(blocking = false)
       labels = next
