@@ -620,7 +620,8 @@ final class GraftTable(
     * not-yet-committed files alive (default 3 days, Iceberg's
     * convention), unknown mtimes are never deleted, and referenced
     * paths compare scheme-normalized. Metadata-only — no commit, no
-    * snapshot change. Returns the deleted locations.
+    * snapshot change. Returns the exact deleted count plus a bounded
+    * sorted path sample ([[GraftTable.OrphanSweepResult]]).
     *
     * DISTRIBUTED like the `.files` machinery — a table-scale reclaim
     * (the post-DROP case is millions of files) never funnels through
@@ -635,15 +636,16 @@ final class GraftTable(
     *    trips);
     *  - the sweep set is a LEFT ANTI join on normalized path — keyed
     *    shuffle, O(files) but parallel;
-    *  - deletion fans back out to executors in batches; only the
-    *    final orphan list (the return value) lands on the driver.
+    *  - deletion happens IN the anti-join's output tasks; the driver
+    *    receives one bounded (count, sample) summary per partition —
+    *    the full orphan path list never exists driver-side.
     * Executors resolve backends from the FileIO registry, so a real
     * cluster needs [[graft.catalog.GraftSparkPlugin]] — same contract
     * as the distributed metadata tables. */
   def removeOrphanFiles(
       spark: SparkSession,
       olderThanMs: Long = System.currentTimeMillis() - 3L * 24 * 3600 * 1000)
-      : Seq[String] = {
+      : GraftTable.OrphanSweepResult = {
     val m = metadata
     GraftTable.sweepOrphans(spark, m.location,
       m.snapshots.values.map(_.manifestList).toSeq, olderThanMs)
@@ -887,6 +889,13 @@ object GraftTable {
     else p
   }
 
+  /** What an orphan sweep reports back: how many files were deleted
+    * (exact) and a bounded, sorted sample of their paths (complete
+    * when `deletedCount ≤ sampleCap`). The full path list deliberately
+    * does NOT exist anywhere driver-side — see [[sweepOrphans]]. */
+  final case class OrphanSweepResult(
+      deletedCount: Long, sample: Seq[String], sampleCap: Int)
+
   /** The orphan sweep behind [[GraftTable.removeOrphanFiles]], keyed
     * only by the table location and its snapshots' manifest lists (so
     * specs can drive it against an [[graft.catalog.InMemoryFileIO]]
@@ -895,7 +904,8 @@ object GraftTable {
       spark: SparkSession,
       location: String,
       manifestLists: Seq[String],
-      olderThanMs: Long): Seq[String] = {
+      olderThanMs: Long,
+      sampleCap: Int = 100): OrphanSweepResult = {
     import spark.implicits._
     val sc = spark.sparkContext
     def par(n: Int): Int = math.max(1, math.min(n, sc.defaultParallelism))
@@ -961,11 +971,27 @@ object GraftTable {
         candidates("base") === col("ref_path"), "left_anti")
       .where(col("mtime").isNotNull && col("mtime") < olderThanMs) // unknown age: keep
       .select("path").as[String]
-      .collect().toSeq.sorted
-    if (orphans.nonEmpty)
-      sc.parallelize(orphans, par(orphans.size)).foreachPartition(it =>
-        it.foreach(p => graft.catalog.FileIO.forLocation(p).delete(p)))
-    orphans
+    // Deletion happens EXECUTOR-SIDE, directly off the anti-join
+    // output — the full orphan list never rides to the driver. A
+    // pathological sweep (millions of orphans after a failed backfill,
+    // ~200 B/path) would otherwise materialize gigabytes there. Each
+    // task deletes its partition's paths and emits one bounded summary
+    // (count + first ≤cap paths); the driver folds those summaries
+    // keeping at most ~2·cap paths live at any moment.
+    val perPart = orphans.rdd.mapPartitions { it =>
+      var n = 0L
+      val samp = scala.collection.mutable.ArrayBuffer.empty[String]
+      it.foreach { p =>
+        graft.catalog.FileIO.forLocation(p).delete(p)
+        n += 1
+        if (samp.size < sampleCap) samp += p
+      }
+      Iterator.single((n, samp.toList))
+    }
+    val (deleted, sample) = perPart.aggregate((0L, List.empty[String]))(
+      (a, b) => (a._1 + b._1, (a._2 ++ b._2).sorted.take(sampleCap)),
+      (a, b) => (a._1 + b._1, (a._2 ++ b._2).sorted.take(sampleCap)))
+    OrphanSweepResult(deleted, sample, sampleCap)
   }
 
   /** Per-key pruning filters derived from the SOURCE side of an

@@ -48,8 +48,10 @@ class OrphanSweepSpec extends AnyFunSuite {
       mem.resetCounters()
       val swept = GraftTable.sweepOrphans(spark, loc, Seq(l1, l2, l3), cutoff)
 
-      assert(swept === Seq(orphOldCrc, orphOld, delOld).sorted)
-      assert(mem.keys.toSet.intersect(swept.toSet).isEmpty)
+      // ≤ cap orphans ⇒ the bounded sample is the complete sorted list
+      assert(swept.deletedCount === 3L)
+      assert(swept.sample === Seq(orphOldCrc, orphOld, delOld).sorted)
+      assert(mem.keys.toSet.intersect(swept.sample.toSet).isEmpty)
       // keep rules: referenced (live + its sidecar), too fresh, unknown age
       assert(mem.keys.contains(live) && mem.keys.contains(liveCrc))
       assert(mem.keys.contains(orphFresh) && mem.keys.contains(orphNoAge))
@@ -66,7 +68,7 @@ class OrphanSweepSpec extends AnyFunSuite {
       assert(mem.dirLists.get() === 2L)
       assert(mem.lists.get() === 0L)
       assert(mem.mtimeProbes.get() === all.size.toLong)
-      assert(mem.deletes.get() === swept.size.toLong)
+      assert(mem.deletes.get() === swept.deletedCount)
     } finally FileIO.unregister("orph")
   }
 
@@ -91,8 +93,19 @@ class OrphanSweepSpec extends AnyFunSuite {
         Seq(Manifests.DataFile(live, 1L, 1L)))
 
       mem.resetCounters()
-      val swept = GraftTable.sweepOrphans(spark, loc, Seq(l1), cutoff)
-      assert(swept.size === files.size - 1 && !swept.contains(live))
+      // sampleCap BELOW the orphan count: the count stays exact, the
+      // driver-side sample is capped (never the full path list), and
+      // every orphan is still actually gone from the store
+      val cap = 10
+      val swept = GraftTable.sweepOrphans(spark, loc, Seq(l1), cutoff, sampleCap = cap)
+      assert(swept.deletedCount === (files.size - 1).toLong)
+      assert(swept.sample.size === cap && swept.sampleCap === cap)
+      assert(swept.sample === swept.sample.sorted)
+      assert(!swept.sample.contains(live))
+      assert(mem.keys.toSet.filter(
+        k => k.contains("/data/") || k.contains("/deletes/")) === Set(live),
+        "non-sampled orphans must be gone too")
+      assert(mem.deletes.get() === swept.deletedCount)
 
       // fan-out proof by op counters: the driver's TWO delimiter
       // probes return only shard names; then one LIST task per shard

@@ -390,7 +390,7 @@ class SurfaceBSpec extends AnyFunSuite with BeforeAndAfterAll {
         System.currentTimeMillis() - 10L * 24 * 3600 * 1000))
 
     val swept = t.removeOrphanFiles(spark) // default 3-day guard
-    assert(swept.size === 1 && swept.head.endsWith("stray-old.parquet"),
+    assert(swept.deletedCount === 1L && swept.sample.head.endsWith("stray-old.parquet"),
       s"swept=$swept live=$live")
     assert(!java.nio.file.Files.exists(oldStray))
     assert(java.nio.file.Files.exists(newStray)) // too fresh: protected
@@ -401,7 +401,7 @@ class SurfaceBSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     // explicit future cutoff reclaims the fresh stray too
     val swept2 = t.removeOrphanFiles(spark, System.currentTimeMillis() + 1000)
-    assert(swept2.size === 1 && !java.nio.file.Files.exists(newStray),
+    assert(swept2.deletedCount === 1L && !java.nio.file.Files.exists(newStray),
       s"swept2=$swept2 live=$live")
     assert(rows(t) === Set((1, "a", 1.0), (2, "b", 2.0)))
   }
