@@ -210,21 +210,26 @@ object TokenVerifier {
     *
     * A hostile/hung issuer cannot stall request threads: every OIDC
     * HTTP call carries connect+request timeouts (`httpTimeoutMs`, the
-    * reference's client is bounded the same way), and the two refresh
-    * triggers block differently by what the caller NEEDS:
-    *  - TTL aging (cached kid still present) is a CAS-guarded best-
-    *    effort attempt — verifies with cached keys never wait on the
-    *    network (pinned in AuthSpec by a stalling-JWKS stub);
-    *  - an UNKNOWN kid (key rotation) waits on the fetch lock for the
-    *    in-flight result — bounded by the fetch timeout — because a
-    *    non-waiting miss would 401 freshly rotated, perfectly valid
-    *    tokens that lose the race to the fetching thread. */
+    * reference's client is bounded the same way), the fetch itself
+    * runs on a dedicated daemon thread (never on a request thread),
+    * and the two refresh triggers wait differently by what the caller
+    * NEEDS:
+    *  - TTL aging (cached kid still present) is fire-and-forget —
+    *    verifies with cached keys never wait on the network AT ALL
+    *    (pinned in AuthSpec by a stalling-JWKS stub);
+    *  - an UNKNOWN kid (key rotation) waits on the in-flight fetch for
+    *    at most `unknownKidWaitMs` and then 401s — a fast issuer means
+    *    freshly rotated tokens verify on first sight, a wedged issuer
+    *    costs each unknown-kid request a bounded wait (the client
+    *    retries once the background fetch lands) instead of convoying
+    *    every verify thread behind one ≤`httpTimeoutMs` fetch. */
   final class OidcJwtVerifier(
       providerUrl: String,
       clock: () => Long = () => System.currentTimeMillis(),
       minRefreshIntervalMs: Long = 30 * 1000L,
       cacheTtlMs: Long = 15 * 60 * 1000L,
-      httpTimeoutMs: Long = 10 * 1000L) extends TokenVerifier {
+      httpTimeoutMs: Long = 10 * 1000L,
+      unknownKidWaitMs: Long = 1000L) extends TokenVerifier {
 
     private def fetch(url: String): String = httpGet(url, httpTimeoutMs)
 
@@ -251,14 +256,16 @@ object TokenVerifier {
             s"its token keys): ${e.getMessage}", e)
       }
     @volatile private var fetchedAt: Long = clock()
-    // single-flight guard for BEST-EFFORT (TTL) refreshes: the thread
-    // that wins the CAS does the timeout-bounded network fetch;
-    // everyone else returns at once and verifies against the cached
-    // @volatile key map
-    private val refreshing = new java.util.concurrent.atomic.AtomicBoolean(false)
-    // waited on only by unknown-kid resolution (the callers that NEED
-    // the fetch result); a hung fetch holds it at most httpTimeoutMs
-    private val fetchLock = new Object
+    // ALL refreshes run on this dedicated daemon thread; request
+    // threads never perform (or block behind) the network fetch.
+    // Single-flight is the `inflight` handle: whoever finds it null
+    // schedules one fetch, everyone else shares the same future.
+    private val fetchPool = java.util.concurrent.Executors.newSingleThreadExecutor(
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-jwks-fetch"); t.setDaemon(true); t
+      })
+    private val inflight = new java.util.concurrent.atomic.AtomicReference[
+      java.util.concurrent.CompletableFuture[Unit]](null)
 
     def verify(bearer: Option[String]): Either[CatalogError, Principal] = {
       if (clock() - fetchedAt > cacheTtlMs) refresh(waitForResult = false)
@@ -269,17 +276,37 @@ object TokenVerifier {
         : Option[java.security.interfaces.RSAPublicKey] =
       keys.get(kid).orElse { refresh(waitForResult = true); keys.get(kid) }
 
+    /** Schedule (or join) the single in-flight background fetch.
+      * `waitForResult` callers — unknown-`kid` resolution, the only
+      * ones that NEED the outcome — wait AT MOST `unknownKidWaitMs`
+      * and then give up: the token fails 401 and the client retries,
+      * which is strictly better than a burst of unknown-kid tokens
+      * during a key rotation serializing every verify thread behind
+      * one slow (≤ httpTimeoutMs) fetch. Cached-kid verifies never
+      * wait at all. */
     private def refresh(waitForResult: Boolean): Unit = {
       if (clock() - fetchedAt < minRefreshIntervalMs) return
-      if (waitForResult) {
-        // block for the in-flight (or own) fetch: after the lock, the
-        // rate-limit re-check observes the fetch that just completed
-        // and the caller re-reads the fresh key map
-        fetchLock.synchronized(doFetch())
-      } else if (refreshing.compareAndSet(false, true)) {
-        try fetchLock.synchronized(doFetch())
-        finally refreshing.set(false)
-      } // else: fetch in flight — proceed on cached keys
+      val f = {
+        val cur = inflight.get()
+        if (cur != null) cur
+        else {
+          val fut = new java.util.concurrent.CompletableFuture[Unit]()
+          if (inflight.compareAndSet(null, fut)) {
+            fetchPool.execute { () =>
+              try doFetch()
+              finally { inflight.set(null); fut.complete(()) }
+            }
+            fut
+          } else inflight.get() // raced: join theirs (null = just done)
+        }
+      }
+      if (waitForResult && f != null)
+        try f.get(unknownKidWaitMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+        catch {
+          case _: java.util.concurrent.TimeoutException => () // reject now, keys may land later
+          case _: InterruptedException => Thread.currentThread().interrupt()
+          case _: java.util.concurrent.ExecutionException => ()
+        }
     }
 
     private def doFetch(): Unit =

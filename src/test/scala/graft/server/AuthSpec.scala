@@ -190,11 +190,15 @@ class AuthSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(jwksHits === 3)
       assert(v.verify(Some(t2)).map(_.subject) === Right("bob")) // cache still serves
 
-      // cache TTL: a stale key set refreshes on the next verify even
-      // with no unknown kid in sight
+      // cache TTL: a stale key set refreshes after the next verify even
+      // with no unknown kid in sight — fire-and-forget on a background
+      // thread, so the verify itself returns from cache and the hit
+      // lands shortly after
       jwksFail = false
       now += 16 * 60 * 1000L
       assert(v.verify(Some(t2)).map(_.subject) === Right("bob"))
+      val deadline = System.currentTimeMillis() + 5000
+      while (jwksHits < 4 && System.currentTimeMillis() < deadline) Thread.sleep(10)
       assert(jwksHits === 4)
     } finally http.stop(0)
   }
@@ -260,6 +264,71 @@ class AuthSpec extends AnyFunSuite with BeforeAndAfterAll {
       stalled.join(10000)
       assert(!stalled.isAlive)
     } finally http.stop(0)
+  }
+
+  test("unknown-kid verifies against a stalled JWKS return 401 within the bound, not behind the fetch") {
+    import java.security.interfaces.RSAPublicKey
+    import com.sun.net.httpserver.HttpServer
+    val kp = rsaKeyPair()
+    val rotated = rsaKeyPair()
+    val served = Map("kid-1" -> kp.getPublic.asInstanceOf[RSAPublicKey])
+    val hang = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val hangRelease = new java.util.concurrent.CountDownLatch(1)
+    val http = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    http.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
+    val base = s"http://127.0.0.1:${http.getAddress.getPort}"
+    def respond(ex: com.sun.net.httpserver.HttpExchange, body: String): Unit = {
+      val b = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, b.length)
+      ex.getResponseBody.write(b)
+      ex.close()
+    }
+    http.createContext("/realm/.well-known/openid-configuration",
+      ex => respond(ex, s"""{"issuer":"$issuer","jwks_uri":"$base/realm/jwks"}"""))
+    http.createContext("/realm/jwks", ex => {
+      if (hang.get()) hangRelease.await(30, java.util.concurrent.TimeUnit.SECONDS)
+      respond(ex, TokenVerifier.jwksJson(served))
+    })
+    http.start()
+    try {
+      @volatile var now = System.currentTimeMillis()
+      val exp = now / 1000 + 3600
+      val waitBound = 500L
+      val v = new TokenVerifier.OidcJwtVerifier(s"$base/realm", () => now,
+        unknownKidWaitMs = waitBound)
+      val cached = TokenVerifier.signRs256(kp.getPrivate, "kid-1", issuer, "alice", exp)
+      assert(v.verify(Some(cached)).map(_.subject) === Right("alice"))
+
+      // key rotation happens while the issuer is wedged: a BURST of
+      // unknown-kid tokens must each fail fast within the bound — not
+      // serialize behind the single hung fetch — and cached-kid
+      // verifies must keep succeeding throughout
+      hang.set(true)
+      now += 31 * 1000L
+      val unknown = TokenVerifier.signRs256(
+        rotated.getPrivate, "kid-2", issuer, "bob", exp)
+      val n = 8
+      val results = new java.util.concurrent.ConcurrentLinkedQueue[Either[Int, String]]()
+      val t0 = System.nanoTime()
+      val burst = (1 to n).map(_ => new Thread(() => {
+        results.add(v.verify(Some(unknown))
+          .map(_.subject).left.map(_.code))
+      }))
+      burst.foreach(_.start())
+      burst.foreach(_.join(5000))
+      val elapsedMs = (System.nanoTime() - t0) / 1000000
+      assert(burst.forall(!_.isAlive),
+        "an unknown-kid verify blocked past the join bound behind the hung fetch")
+      import scala.jdk.CollectionConverters._
+      assert(results.size === n && results.asScala.forall(_ === Left(401)))
+      // concurrency proof: n serialized waits would take ≥ n·bound; the
+      // whole burst must finish in roughly ONE bound (generous 3× slack
+      // for thread scheduling), and never anywhere near n·bound
+      assert(elapsedMs < waitBound * 3,
+        s"burst of $n unknown-kid verifies took ${elapsedMs}ms — serialized behind the fetch?")
+      // cached-kid traffic is untouched while the fetch is still hung
+      assert(v.verify(Some(cached)).map(_.subject) === Right("alice"))
+    } finally { hangRelease.countDown(); http.stop(0) }
   }
 
   test("OIDC discovery failure is a loud startup error, not an open catalog") {
