@@ -313,9 +313,29 @@ object Similarity {
   /** IVF parameters. Cells partition the corpus (the inverted lists);
     * probing P of K cells scans ≈ P/K of the data per query. At 100 TB
     * K grows with the corpus (cell ≈ constant rows) and the refined
-    * centroids stay a tiny broadcast (K × DIM doubles). */
-  private val IVF_CELLS = 16
+    * centroids stay a tiny broadcast (K × DIM doubles).
+    *
+    * K and P are SESSION CONFS (not constants): a deployment sizes
+    * `spark.graft.ann.ivf.cells` ≈ corpus_rows / target_rows_per_cell
+    * so per-cell cost stays flat as the corpus grows (pinned at two
+    * corpus sizes in SimilaritySpec), and tunes
+    * `spark.graft.ann.ivf.probes` for the recall/scan trade. The
+    * defaults below are what the driver-gated oracle SQL pins. The
+    * same K drives [[qSemDedup]]'s cell-bounded quadratic. */
+  val IvfCellsConf = "spark.graft.ann.ivf.cells"
+  val IvfProbesConf = "spark.graft.ann.ivf.probes"
+  private val IVF_CELLS = 16 // default; the oracle SQL is generated from it
   private val IVF_PROBES = 4
+  private def ivfCells(s: SparkSession): Int = {
+    val k = s.conf.get(IvfCellsConf, IVF_CELLS.toString).toInt
+    require(k > 0, s"$IvfCellsConf must be positive, got $k")
+    k
+  }
+  private def ivfProbes(s: SparkSession): Int = {
+    val p = s.conf.get(IvfProbesConf, IVF_PROBES.toString).toInt
+    require(p > 0, s"$IvfProbesConf must be positive, got $p")
+    p
+  }
   /** Centroid coordinates are means over assigned vectors — a cross-row
     * float sum whose result depends on reduction ORDER. Quantizing each
     * element to an integer first makes the sum exact and order-free, so
@@ -357,7 +377,7 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val seedIds = corpus.select(col("vec_id")).orderBy("vec_id")
-      .limit(IVF_CELLS).collect().map(_.getLong(0))
+      .limit(ivfCells(spark)).collect().map(_.getLong(0))
     val rankDf = seedIds.zipWithIndex.map { case (id, i) => (id, i) }
       .toSeq.toDF("vec_id", "cell")
     val seeds = corpus.join(broadcast(rankDf), "vec_id")
@@ -420,7 +440,7 @@ object Similarity {
         graft.functions.VectorExprs.cosine(col("q_emb"), col("c")).as("cos"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cos").desc, col("cell"))))
-      .filter(s"rn <= $IVF_PROBES")
+      .filter(s"rn <= ${ivfProbes(s)}")
       .select("query_id", "cell")
 
     assigned.join(broadcast(probed), "cell")

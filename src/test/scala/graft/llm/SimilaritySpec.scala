@@ -97,4 +97,42 @@ class SimilaritySpec extends AnyFunSuite {
         "every dropped vector must have an in-cell lower-id near-duplicate")
     }
   }
+
+  test("IVF cells conf: K scales with the corpus, cell occupancy stays bounded") {
+    import spark.implicits._
+    // synthetic corpora on a circle: golden-ratio angle sequence
+    // (Fibonacci lattice), so ANY id prefix — in particular the K
+    // lowest ids, the Lloyd seeds — is low-discrepancy-spread over the
+    // space, as real embedding ids are. Two sizes, K grown with N at a
+    // FIXED target of ~20 rows/cell. The 100 TB claim under test:
+    // growing K with N holds the max cell — the per-task unit of both
+    // the ANN probe and SemDeDup's in-cell quadratic — flat.
+    val rowsPerCell = 20
+    def corpusDir(n: Int): String = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-ivf-$n").toString
+      val phi = 0.6180339887498949
+      (0 until n).map { i =>
+        val theta = 2.0 * math.Pi * ((i * phi) % 1.0)
+        (i.toLong, Seq(math.cos(theta).toFloat, math.sin(theta).toFloat, 0f, 0f))
+      }.toDF("vec_id", "embedding").write.mode("overwrite")
+        .parquet(s"$dir/embeddings.parquet")
+      dir
+    }
+    def occupancies(n: Int): Seq[Long] = {
+      val k = n / rowsPerCell
+      spark.conf.set(Similarity.IvfCellsConf, k.toString)
+      try {
+        val cells = Similarity.qIvfCells(spark, corpusDir(n)).collect()
+        assert(cells.map(_.getLong(1)).sum === n.toLong, "every vector assigned once")
+        assert(cells.length > k / 2, s"quantizer collapsed: ${cells.length} of $k cells")
+        cells.map(_.getLong(1)).toSeq
+      } finally spark.conf.unset(Similarity.IvfCellsConf)
+    }
+    val small = occupancies(240) //  K = 12
+    val large = occupancies(960) //  K = 48
+    // 4× the target density bounds the max cell AT BOTH SIZES — the
+    // bound does not degrade as N grows because K grew with it
+    assert(small.max <= 4L * rowsPerCell, s"max cell ${small.max} at N=240")
+    assert(large.max <= 4L * rowsPerCell, s"max cell ${large.max} at N=960")
+  }
 }
