@@ -89,10 +89,32 @@ object CorpusStats {
       |FROM ranked WHERE rnk <= 3
       |ORDER BY doc_id, rnk""".stripMargin
 
+  /** Ceiling on distinct sources [[qSourceOverlap]] will accept
+    * (session conf). The operator's output — and its per-token join
+    * fan-out — is O(sources²); that is the DESIGN for bounded strata
+    * and a planning accident for open domain sets, so the bound is
+    * enforced, not just documented. */
+  val OverlapMaxSourcesConf = "spark.graft.overlap.maxSources"
+  private val OVERLAP_MAX_SOURCES = 2000
+
   /** Pairwise source overlap: exact token-set Jaccard for every source
     * pair, via the distinct (source, token) inverted index — never a
-    * source × source cross join over documents. */
+    * source × source cross join over documents.
+    *
+    * GUARDRAILED: counts distinct sources first (one cheap
+    * single-column job) and refuses to plan the quadratic above
+    * [[OverlapMaxSourcesConf]] — a misuse at 10⁵ web domains would
+    * otherwise fan out ~5·10⁹ pairs per shared token. The error names
+    * the scalable alternative (MinHash, [[Dedup.qDedupMinhashLsh]]'s
+    * machinery over source-level shingle sets). */
   def qSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val maxSources = s.conf.get(OverlapMaxSourcesConf, OVERLAP_MAX_SOURCES.toString).toInt
+    val nSources = load(s, dir, "documents").select(col("source")).distinct().count()
+    if (nSources > maxSources) throw new IllegalStateException(
+      s"q_source_overlap is scoped to bounded strata: $nSources distinct sources " +
+        s"exceeds $OverlapMaxSourcesConf=$maxSources. Exact pairwise Jaccard plans " +
+        "an O(sources²) fan-out; for open-ended domain sets use the MinHash " +
+        "near-dup operators instead, or raise the conf deliberately.")
     val st = tokens(s, dir).select(col("source"), col("token")).distinct()
     val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("sz"))
     val a = st.select(col("source").as("src_a"), col("token"))

@@ -52,6 +52,22 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(rows.map(p => (p._1, p._2)).distinct.length === rows.length)
   }
 
+  test("source overlap refuses to plan the quadratic above the source bound") {
+    // scope guardrail: with the ceiling set below the corpus's actual
+    // source count, the operator must FAIL FAST (before any join is
+    // planned) and point at the MinHash path — a 10⁵-domain misuse can
+    // never reach the O(sources²) fan-out
+    spark.conf.set(CorpusStats.OverlapMaxSourcesConf, "1")
+    try {
+      val ex = intercept[IllegalStateException](
+        CorpusStats.qSourceOverlap(spark, sf).collect())
+      assert(ex.getMessage.contains("bounded strata"))
+      assert(ex.getMessage.contains("MinHash"))
+    } finally spark.conf.unset(CorpusStats.OverlapMaxSourcesConf)
+    // defaults unaffected (the driver gate also pins this end-to-end)
+    assert(CorpusStats.qSourceOverlap(spark, sf).count() > 0)
+  }
+
   test("embedding centroids: every (label, dim) cell, consistent counts") {
     val rows = CorpusStats.qEmbCentroids(spark, sf).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
