@@ -598,8 +598,14 @@ final class CatalogServer(
         val projectId = params.get("project-id").map(UUID.fromString)
           .getOrElse(defaultProjectId)
         val includeInactive = params.get("status").contains("all")
-        respond(ex, 200, RestCodecs.listWarehousesResponse(
-          store.listWarehouses(projectId, includeInactive)))
+        // same keyset pagination as the catalog lists (the management
+        // spec is ours to extend — the reference returns everything;
+        // sort by name so the keyset token is stable under concurrent
+        // creates: an insert before the cursor is simply not revisited)
+        val all = store.listWarehouses(projectId, includeInactive)
+          .sortBy(_.name)
+        val (page, next) = paginate(ex, all)(_.name)
+        respond(ex, 200, RestCodecs.listWarehousesResponse(page, next))
       case ("GET", "warehouse" :: id :: Nil) =>
         withWh(ex, id)(w => ok(ex, store.getWarehouse(w))(RestCodecs.warehouseResponse))
       case ("DELETE", "warehouse" :: id :: Nil) =>

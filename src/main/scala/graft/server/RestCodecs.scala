@@ -387,11 +387,13 @@ object RestCodecs {
     render(o)
   }
 
-  def listWarehousesResponse(ws: Seq[Warehouse]): String = {
+  def listWarehousesResponse(
+      ws: Seq[Warehouse], nextPageToken: Option[String] = None): String = {
     val o = objNode()
     val arr = arrNode()
     ws.foreach(w => arr.add(M.readTree(warehouseResponse(w))))
     o.set[ObjectNode]("warehouses", arr)
+    nextPageToken.foreach(o.put("next-page-token", _))
     render(o)
   }
 

@@ -424,6 +424,77 @@ class CatalogServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(all.get("identifiers").size() === 7 && all.get("next-page-token") == null)
   }
 
+  test("pagination at 1k tables: complete walk, stable under concurrent creates") {
+    import scala.jdk.CollectionConverters._
+    assert(post(s"/catalog/v1/$prefix/namespaces",
+      """{"namespace":["pgbig"],"properties":{}}""").statusCode() === 200)
+    def create(name: String): Unit = {
+      val r = post(s"/catalog/v1/$prefix/namespaces/pgbig/tables",
+        s"""{"name":"$name","schema":{"type":"struct","schema-id":0,"fields":[
+           |{"id":1,"name":"id","required":true,"type":"int"}]}}""".stripMargin)
+      assert(r.statusCode() === 200, r.body())
+    }
+    val original = (1 to 1000).map(i => f"t$i%04d")
+    original.foreach(create)
+
+    // walk at pageSize=100 with CREATES INTERLEAVED between page
+    // fetches — some sorting before the cursor (a keyset token skips
+    // them, never re-shuffles the walk), some after (legitimately
+    // picked up). The guarantee under test: every ORIGINAL table is
+    // seen exactly once — no duplicates, no misses — regardless.
+    var token = ""
+    var seen = Vector.empty[String]
+    var pages = 0
+    var done = false
+    while (!done) {
+      val q = "pageSize=100" + (if (token.nonEmpty) s"&pageToken=$token" else "")
+      val r = get(s"/catalog/v1/$prefix/namespaces/pgbig/tables?$q")
+      assert(r.statusCode() === 200, r.body())
+      val n = json(r.body())
+      seen ++= n.get("identifiers").elements().asScala.map(_.get("name").asText()).toSeq
+      if (pages == 3) { create("a-before-cursor"); create("zz-after-cursor") }
+      pages += 1
+      Option(n.get("next-page-token")).filter(!_.isNull).map(_.asText()) match {
+        case Some(t) => token = t
+        case None => done = true
+      }
+    }
+    assert(pages >= 10, s"walked only $pages pages")
+    assert(seen.distinct.length === seen.length, "a page re-served an identifier")
+    assert(original.forall(seen.contains), "an original table was skipped mid-walk")
+    assert(seen.contains("zz-after-cursor"), "an after-cursor create should be seen")
+    assert(!seen.contains("a-before-cursor"), "a before-cursor create must not rewind the walk")
+  }
+
+  test("management warehouse list paginates with a keyset token") {
+    import scala.jdk.CollectionConverters._
+    val pid = java.util.UUID.randomUUID()
+    (1 to 7).foreach { i =>
+      val dir = java.nio.file.Files.createTempDirectory(s"pgwh$i").toUri.toString.stripSuffix("/")
+      val r = post("/management/v1/warehouse",
+        s"""{"warehouse-name":"pgwh$i","location":"$dir","project-id":"$pid"}""")
+      assert(r.statusCode() === 200, r.body())
+    }
+    var token = ""
+    var seen = Vector.empty[String]
+    var done = false
+    while (!done) {
+      val q = s"project-id=$pid&pageSize=3" + (if (token.nonEmpty) s"&pageToken=$token" else "")
+      val r = get(s"/management/v1/warehouse?$q")
+      assert(r.statusCode() === 200, r.body())
+      val n = json(r.body())
+      seen ++= n.get("warehouses").elements().asScala.map(_.get("name").asText()).toSeq
+      Option(n.get("next-page-token")).filter(!_.isNull).map(_.asText()) match {
+        case Some(t) => token = t
+        case None => done = true
+      }
+    }
+    assert(seen === (1 to 7).map(i => s"pgwh$i").sorted)
+    // unpaginated parity default: full list, no token
+    val all = json(get(s"/management/v1/warehouse?project-id=$pid").body())
+    assert(all.get("warehouses").size() === 7 && all.get("next-page-token") == null)
+  }
+
   test("uniform error envelope carries message/type/code") {
     val err = get(s"/catalog/v1/$prefix/namespaces/ghost")
     assert(err.statusCode() === 404)
