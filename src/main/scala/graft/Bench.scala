@@ -101,8 +101,23 @@ object Bench {
     // clustering observability: rounds the last connected-components
     // run took (0 when q_dedup_clusters wasn't in the suite)
     val ccRounds = graft.llm.Dedup.lastCcRounds
+    // environment fingerprint: this box is SHARED, and a loaded-box
+    // run can triple medians with zero code change (seen r8→r9). One
+    // load-average + JVM-count line lets a reader separate box noise
+    // from regressions without re-running.
+    val loadAvg = {
+      val la = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      if (la < 0) "null" else fmt(la)
+    }
+    val nJvms =
+      try ProcessHandle.allProcesses().filter(p =>
+        p.info().command().map[Boolean](c => c.endsWith("/java") || c == "java")
+          .orElse(false)).count()
+      catch { case _: Exception => -1L }
+    val env = s"""{"load_avg":$loadAvg,"java_procs":$nJvms,"cpus":"$cpus"}"""
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_stats":$stats,"reps":$reps,"failed":$nFailed,"delete_cache_loads":$delLoads,"cc_rounds":$ccRounds,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_stats":$stats,"reps":$reps,"failed":$nFailed,"delete_cache_loads":$delLoads,"cc_rounds":$ccRounds,"bench_env":$env,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outPath), json + "\n")
     spark.stop()
     // Final clean stdout line AFTER spark.stop() so no executor log
