@@ -37,6 +37,16 @@ object Tables {
             "setting it now (required when events.parquet carries TIMESTAMP(NANOS))")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       }
+      // same guard for the timezone the NTZ branch below depends on: a
+      // hosting session built without timeZone=UTC would silently bind
+      // NTZ wall-clock values to a local zone and diverge from the
+      // DuckDB oracle
+      if (spark.conf.get("spark.sql.session.timeZone", "") != "UTC") {
+        System.err.println(
+          "[graft] session timeZone is not UTC; setting it now (events.ts " +
+            "normalization assumes UTC to match the DuckDB oracle)")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+      }
       val raw = spark.read.parquet(s"$dir/$name.parquet")
       raw.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType => // nanos-as-long

@@ -161,7 +161,12 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
           .getOrElse(throw new IllegalArgumentException(
             s"no snapshot of ${i.namespace().mkString(".")}.${i.name()} " +
               s"at or before epoch-ms $ms (oldest retained: " +
-              s"${m.snapshotLog.headOption.map(_.timestampMs).getOrElse("none")})")))
+              // same still-loadable filter as the selection above: an
+              // EXPIRED log entry's timestamp would name a snapshot the
+              // user cannot actually travel to
+              s"${m.snapshotLog.iterator
+                .filter(e => m.snapshots.contains(e.snapshotId))
+                .map(_.timestampMs).nextOption().getOrElse("none")})")))
     }
     // a current load always presents the table's CURRENT schema (data
     // files resolve by field id, so older files still read correctly);

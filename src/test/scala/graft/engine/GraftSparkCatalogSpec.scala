@@ -452,7 +452,14 @@ class GraftSparkCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(secondMs > firstMs)
 
     def atMs(ms: Long): Long = {
-      val ts = java.sql.Timestamp.from(java.time.Instant.ofEpochMilli(ms))
+      // render the literal in UTC explicitly: Spark parses it in the
+      // UTC session timeZone, while java.sql.Timestamp.toString would
+      // use the host JVM default zone and shift the boundary on
+      // non-UTC machines
+      val ts = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochMilli(ms))
       spark.sql(s"SELECT * FROM $cat.tts.t TIMESTAMP AS OF '$ts'").count()
     }
     // the exact first-commit instant sees snapshot 1; just before it, nothing
