@@ -521,6 +521,65 @@ object Dedup {
        |FROM (SELECT id, MIN(r) AS cl FROM allr GROUP BY id)
        |ORDER BY cluster, doc_id""".stripMargin
 
+  /** Survivor selection over the near-dup clusters: instead of the
+    * min-id convention ([[qDedupClusters]]), each cluster keeps its
+    * HIGHEST-QUALITY member — the policy real pipelines want ("of the
+    * N crawls of this page, keep the cleanest"), ties to the lowest
+    * member id. A member's quality is its underlying document's
+    * heuristic score ([[TextAnalysis.qualityScored]]); derived corpus
+    * variants (id + 2000000, the MinHash derivation) map back with the
+    * derivation's own inverse (id % 2000000).
+    *
+    * Scale: clusters come from the log-rounds CC (never all-pairs),
+    * quality is one narrow codegen'd pass, and the selection is a
+    * keyed `max_by` aggregation — map-side combinable, O(members)
+    * shuffle, O(1) state per cluster. */
+  def qDedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val members = connectedComponents(
+      qDedupMinhashLsh(s, dir).select("id_a", "id_b"))
+    val quality = TextAnalysis.qualityScored(s, dir)
+      .selectExpr("doc_id as qid", "quality")
+    members.join(quality, members("id") % 2000000L === col("qid"))
+      .groupBy(col("cluster"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        expr("max_by(struct(id, quality), struct(quality, -id)) as best"))
+      .selectExpr("cluster", "n_members",
+        "best.id as best_id", "cast(best.quality as double) as quality")
+      .orderBy("cluster")
+  }
+
+  val qDedupKeepBestSql: String =
+    s"""WITH members AS (SELECT cluster, doc_id AS id FROM ($qDedupClustersSql) c),
+       |qd AS (
+       |  SELECT doc_id, source,
+       |         len(string_split(lower(text), ' ')) AS n_tok,
+       |         len(list_filter(string_split(lower(text), ' '),
+       |             x -> x IN ('the','a','of','to','and','in','is','it','for','on'))) AS n_stop,
+       |         length(text) AS n_char,
+       |         length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS n_clean,
+       |         length(replace(text, ' ', '')) AS n_nospace
+       |  FROM documents),
+       |qual AS (
+       |  SELECT doc_id,
+       |         CAST(n_tok BETWEEN 20 AND 1000 AS INT) * 0.25
+       |       + CAST((CAST(n_stop AS DOUBLE) / n_tok) BETWEEN 0.01 AND 0.5 AS INT) * 0.25
+       |       + CAST((CAST(n_nospace AS DOUBLE) / n_tok) BETWEEN 3.0 AND 10.0 AS INT) * 0.25
+       |       + CAST((CAST(n_char - n_clean AS DOUBLE) / n_char) <= 0.2 AS INT) * 0.25
+       |         AS quality
+       |  FROM qd),
+       |scored AS (
+       |  SELECT m.cluster, m.id, CAST(q.quality AS DOUBLE) AS quality,
+       |         ROW_NUMBER() OVER (PARTITION BY m.cluster
+       |                            ORDER BY q.quality DESC, m.id) AS rk
+       |  FROM members m JOIN qual q ON m.id % 2000000 = q.doc_id)
+       |SELECT s.cluster, n.n_members, s.id AS best_id, s.quality
+       |FROM scored s
+       |JOIN (SELECT cluster, COUNT(*) AS n_members FROM scored GROUP BY cluster) n
+       |  USING (cluster)
+       |WHERE s.rk = 1
+       |ORDER BY s.cluster""".stripMargin
+
   /** Prefix-containment dedup: pairs (contained, container) where one
     * document's full text is a prefix of another's — the truncation
     * artifact family (same page crawled twice, one fetch cut short)
@@ -622,6 +681,7 @@ object Dedup {
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash_lsh" -> (qDedupMinhashLsh _),
     "q_dedup_clusters" -> (qDedupClusters _),
+    "q_dedup_keep_best" -> (qDedupKeepBest _),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
     "q_dedup_simhash" -> (qDedupSimhash _))
 
@@ -631,6 +691,7 @@ object Dedup {
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_minhash_lsh" -> qDedupMinhashLshSql,
     "q_dedup_clusters" -> qDedupClustersSql,
+    "q_dedup_keep_best" -> qDedupKeepBestSql,
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccardSql,
     "q_dedup_simhash" -> qDedupSimhashSql)
 }

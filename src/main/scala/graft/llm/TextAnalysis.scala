@@ -126,6 +126,75 @@ object TextAnalysis {
       |FROM q GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** Per-source quality-quantile filter (the CCNet-style bucket cut):
+    * each source keeps its documents at or above the smallest quality
+    * level whose top-down cumulative count reaches 25% of the source —
+    * a THRESHOLD filter, so ties at the cut level are all kept (the
+    * deterministic, rank-free semantics; an exact 25% head with an id
+    * tiebreak is [[Sampling.qSourceCap]]'s job).
+    *
+    * Scale: the quantile threshold is computed on the per-(source,
+    * quality-level) HISTOGRAM — at most 5 rows per source regardless
+    * of corpus size — so the only window in the plan runs over that
+    * tiny histogram, keyed by source; the documents themselves see two
+    * keyed aggregations and one broadcast-sized threshold join, never
+    * a per-document sort. That is the 100 TB shape: a quantile cut
+    * over N docs costs O(N) plus O(#sources) threshold state. */
+  def qQualityQuantile(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val scored = qualityScored(s, dir) // doc_id, source, quality
+    val hist = scored.groupBy(col("source"), col("quality"))
+      .agg(count(lit(1)).as("c"))
+    val totals = scored.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"))
+    // integer-exact ceil(n/4): no float in the threshold rule
+    val thr = hist
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy("source").orderBy(col("quality").desc)))
+      .join(totals, "source")
+      .where(col("cum") >= expr("(n + 3) div 4")) // integer ceil(n/4)
+      .groupBy(col("source")).agg(max(col("quality")).as("q_thr"))
+    scored.join(thr, "source")
+      .where(col("quality") >= col("q_thr"))
+      .select(col("doc_id"), col("source"),
+        col("quality").cast("double").as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qQualityQuantileSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |         len(string_split(lower(text), ' ')) AS n_tok,
+      |         len(list_filter(string_split(lower(text), ' '),
+      |             x -> x IN ('the','a','of','to','and','in','is','it','for','on'))) AS n_stop,
+      |         length(text) AS n_char,
+      |         length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS n_clean,
+      |         length(replace(text, ' ', '')) AS n_nospace
+      |  FROM documents),
+      |q AS (
+      |  SELECT doc_id, source,
+      |         CAST(n_tok BETWEEN 20 AND 1000 AS INT) * 0.25
+      |       + CAST((CAST(n_stop AS DOUBLE) / n_tok) BETWEEN 0.01 AND 0.5 AS INT) * 0.25
+      |       + CAST((CAST(n_nospace AS DOUBLE) / n_tok) BETWEEN 3.0 AND 10.0 AS INT) * 0.25
+      |       + CAST((CAST(n_char - n_clean AS DOUBLE) / n_char) <= 0.2 AS INT) * 0.25
+      |         AS quality
+      |  FROM d),
+      |h AS (SELECT source, quality, COUNT(*) AS c FROM q GROUP BY source, quality),
+      |t AS (SELECT source, COUNT(*) AS n FROM q GROUP BY source),
+      |cum AS (
+      |  SELECT h.source, h.quality, t.n,
+      |         SUM(h.c) OVER (PARTITION BY h.source
+      |                        ORDER BY h.quality DESC) AS cum
+      |  FROM h JOIN t USING (source)),
+      |thr AS (
+      |  SELECT source, MAX(quality) AS q_thr
+      |  FROM cum WHERE cum >= (n + 3) // 4 GROUP BY source)
+      |SELECT q.doc_id, q.source, CAST(q.quality AS DOUBLE) AS quality
+      |FROM q JOIN thr USING (source)
+      |WHERE q.quality >= thr.q_thr
+      |ORDER BY q.doc_id""".stripMargin
+
   // ------------------------------------------------------------ langid
   /** N-gram-marker language ID: counts language-characteristic function
     * words (padded substring occurrences — a tiny fixed "n-gram profile")
@@ -330,7 +399,8 @@ object TextAnalysis {
     "q_text_quality" -> (qTextQuality _),
     "q_text_langid" -> (qTextLangId _),
     "q_text_fingerprint" -> (qTextFingerprint _),
-    "q_text_repetition" -> (qTextRepetition _))
+    "q_text_repetition" -> (qTextRepetition _),
+    "q_quality_quantile" -> (qQualityQuantile _))
 
   val oracleSql: Map[String, String] = Map(
     "q_pii_redact" -> qPiiRedactSql,
@@ -338,5 +408,6 @@ object TextAnalysis {
     "q_text_quality" -> qTextQualitySql,
     "q_text_langid" -> qTextLangIdSql,
     "q_text_fingerprint" -> qTextFingerprintSql,
-    "q_text_repetition" -> qTextRepetitionSql)
+    "q_text_repetition" -> qTextRepetitionSql,
+    "q_quality_quantile" -> qQualityQuantileSql)
 }

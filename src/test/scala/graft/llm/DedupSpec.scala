@@ -219,4 +219,28 @@ class DedupSpec extends AnyFunSuite {
     }.flatten
     assert(bad(df.queryExecution.executedPlan).isEmpty)
   }
+
+  test("keep-best survivor: one per cluster, maximal quality, deterministic ties") {
+    val best = Dedup.qDedupKeepBest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(best.nonEmpty)
+    assert(best.map(_._1).distinct.length === best.length, "one survivor per cluster")
+
+    // cross-check against the min-id cluster assignment: same clusters,
+    // same membership counts, and the survivor really is the argmax of
+    // the members' underlying quality (ties to the lowest member id)
+    val members = Dedup.qDedupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))) // (cluster, doc_id)
+    val quality = graft.llm.TextAnalysis.qualityScored(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDecimal(2).doubleValue())).toMap
+    val byCluster = members.groupBy(_._1)
+    assert(best.map(_._1).toSet === byCluster.keySet)
+    best.foreach { case (cl, n, bestId, q) =>
+      val ms = byCluster(cl).map(_._2)
+      assert(n === ms.length.toLong, s"cluster $cl member count")
+      val expected = ms.map(id => (id, quality(id % 2000000L)))
+        .minBy { case (id, mq) => (-mq, id) }
+      assert((bestId, q) === expected, s"cluster $cl survivor")
+    }
+  }
 }

@@ -74,4 +74,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(math.abs(row.getDouble(2) - expectedDup) < 1e-12)
     assert(math.abs(row.getDouble(3) - expectedTop) < 1e-12)
   }
+
+  test("quality quantile: threshold semantics — >=25% kept per source, clean cut") {
+    val kept = TextAnalysis.qQualityQuantile(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(kept.nonEmpty)
+    val all = TextAnalysis.qualityScored(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getDecimal(2).doubleValue()))
+    val bySource = all.groupBy(_._2)
+    val keptBySource = kept.groupBy(_._2)
+    bySource.foreach { case (src, docs) =>
+      val k = keptBySource.getOrElse(src, Array.empty[(Long, String, Double)])
+      // a threshold cut keeps AT LEAST the quantile's worth (ties at
+      // the cut level are all kept, never tie-broken away)
+      assert(k.length >= (docs.length + 3) / 4,
+        s"source $src kept ${k.length} of ${docs.length}")
+      // clean cut: every excluded doc scores strictly below every kept
+      // doc's minimum — the defining property of a threshold filter
+      val thr = k.map(_._3).min
+      val keptIds = k.map(_._1).toSet
+      docs.filterNot(d => keptIds.contains(d._1)).foreach { d =>
+        assert(d._3 < thr, s"excluded doc ${d._1} at quality ${d._3} >= cut $thr")
+      }
+    }
+  }
 }
