@@ -81,4 +81,38 @@ class TableStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     table.expireSnapshots(olderThanMs = System.currentTimeMillis() + 1000)
     assert(TableStreams.lastCommittedBatch(table, "ingest-1") === Some(1L))
   }
+
+  test("stream-static join enriches a stream from a catalog dimension table") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    // dimension table lives in the catalog (the usual enrichment
+    // shape: a small, slowly-changing dim joined into a live stream)
+    client.createTable(prefix, TableIdent(Seq("db"), "dim_users"), Schema(0, Seq(
+      NestedField.required(1, "id", TInt),
+      NestedField.optional(2, "name", TString))))
+    val dim = new GraftTable(client, prefix, TableIdent(Seq("db"), "dim_users"))
+    dim.append(Seq((1, "alice"), (2, "bob")).toDF("id", "name"))
+
+    val input = MemoryStream[(Int, Long)]
+    val joined = input.toDF().toDF("uid", "amount")
+      .join(dim.scan(spark), col("uid") === col("id")) // inner stream-static
+      .select(col("uid"), col("name"), col("amount"))
+    val q = joined.writeStream.format("memory")
+      .queryName("ss_join").outputMode("append").start()
+    try {
+      input.addData((1, 10L), (2, 20L), (3, 30L)) // uid 3 has no dim row
+      q.processAllAvailable()
+      val got1 = spark.table("ss_join").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+      assert(got1 === Set((1, "alice", 10L), (2, "bob", 20L)))
+
+      // the join keeps enriching across micro-batches
+      input.addData((1, 40L))
+      q.processAllAvailable()
+      val got2 = spark.table("ss_join").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+      assert(got2 === got1 + ((1, "alice", 40L)))
+    } finally q.stop()
+  }
 }
