@@ -29,11 +29,20 @@ object IncrementalDedup {
     * deployment writes this frame as a table
     * `PARTITIONED BY (bucket(N, k))` — appends route by band key and
     * probes join storage-partitioned. */
-  def indexRows(docs: DataFrame, maxBucket: Int = Dedup.MaxBucket): DataFrame = {
+  def indexRows(docs: DataFrame, maxBucket: Int = Dedup.MaxBucket): DataFrame =
+    compactIndex(Dedup.bandsOf(docs), maxBucket)
+
+  /** Re-apply the hot-bucket cap to an EXISTING index — the periodic
+    * maintenance pass a growing index runs: buckets that were cold at
+    * build time but turned hot as increments appended (new boilerplate
+    * entering the corpus) are dropped wholesale. One keyed streaming
+    * window count over the index — O(1) state per bucket, no join. A
+    * deployment runs this as the index table's compaction criterion
+    * and rewrites only the partitions whose buckets changed. */
+  def compactIndex(index: DataFrame, maxBucket: Int = Dedup.MaxBucket): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    Dedup.bandsOf(docs)
-      .withColumn("occ", count(expr("*")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("b", "k")))
+    index
+      .withColumn("occ", count(expr("*")).over(Window.partitionBy("b", "k")))
       .filter(col("occ") <= maxBucket)
       .drop("occ")
   }

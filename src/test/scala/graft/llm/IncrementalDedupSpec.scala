@@ -101,6 +101,19 @@ class IncrementalDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("index compaction drops buckets that turned hot after increments") {
+    // an index built cold, then an increment floods one bucket: the
+    // maintenance pass must drop exactly that bucket's rows
+    import spark.implicits._
+    val base = (1L to 5L).map(i => (i, 0, "cold")) ++ Seq((1L, 1, "warm"))
+    val flood = (100L to 300L).map(i => (i, 0, "cold"))
+    val index = (base ++ flood).toDF("id", "b", "k")
+    val compacted = IncrementalDedup.compactIndex(index, maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(compacted.toSeq === Seq((1L, 1, "warm")),
+      "only the still-cold bucket survives")
+  }
+
   test("materialized index + batch keys join storage-partitioned: zero shuffles") {
     // the materialized layout folds (band, key) into ONE column `bk` —
     // the join key IS the bucket-partitioning source column, which is
