@@ -144,15 +144,17 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     val scored = qualityScored(s, dir) // doc_id, source, quality
+    // per-source totals derive FROM the histogram (a second window over
+    // the ≤5-row-per-source frame), not from a third corpus scan — the
+    // whole query reads documents exactly twice: once into the kept
+    // stream, once into the histogram that yields the broadcast-sized
+    // threshold table
     val hist = scored.groupBy(col("source"), col("quality"))
       .agg(count(lit(1)).as("c"))
-    val totals = scored.groupBy(col("source"))
-      .agg(count(lit(1)).as("n"))
-    // integer-exact ceil(n/4): no float in the threshold rule
     val thr = hist
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("source")))
       .withColumn("cum", sum(col("c")).over(
         Window.partitionBy("source").orderBy(col("quality").desc)))
-      .join(totals, "source")
       .where(col("cum") >= expr("(n + 3) div 4")) // integer ceil(n/4)
       .groupBy(col("source")).agg(max(col("quality")).as("q_thr"))
     scored.join(thr, "source")
@@ -181,12 +183,12 @@ object TextAnalysis {
       |         AS quality
       |  FROM d),
       |h AS (SELECT source, quality, COUNT(*) AS c FROM q GROUP BY source, quality),
-      |t AS (SELECT source, COUNT(*) AS n FROM q GROUP BY source),
       |cum AS (
-      |  SELECT h.source, h.quality, t.n,
-      |         SUM(h.c) OVER (PARTITION BY h.source
-      |                        ORDER BY h.quality DESC) AS cum
-      |  FROM h JOIN t USING (source)),
+      |  SELECT source, quality,
+      |         SUM(c) OVER (PARTITION BY source) AS n,
+      |         SUM(c) OVER (PARTITION BY source
+      |                      ORDER BY quality DESC) AS cum
+      |  FROM h),
       |thr AS (
       |  SELECT source, MAX(quality) AS q_thr
       |  FROM cum WHERE cum >= (n + 3) // 4 GROUP BY source)
