@@ -114,7 +114,7 @@ object CorpusStats {
       s"q_source_overlap is scoped to bounded strata: $nSources distinct sources " +
         s"exceeds $OverlapMaxSourcesConf=$maxSources. Exact pairwise Jaccard plans " +
         "an O(sources²) fan-out; for open-ended domain sets use the MinHash " +
-        "near-dup operators instead, or raise the conf deliberately.")
+        "path (q_source_overlap_minhash) instead, or raise the conf deliberately.")
     val st = tokens(s, dir).select(col("source"), col("token")).distinct()
     val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("sz"))
     val a = st.select(col("source").as("src_a"), col("token"))
@@ -152,6 +152,77 @@ object CorpusStats {
       |JOIN sizes sa ON sa.source = i.src_a
       |JOIN sizes sb ON sb.source = i.src_b
       |ORDER BY i.src_a, i.src_b""".stripMargin
+
+  /** Source overlap for OPEN domain sets — the scalable path the
+    * [[qSourceOverlap]] guardrail routes to. Instead of the exact
+    * inverted-index quadratic, each source gets a MinHash signature
+    * over its distinct token set (a streaming min-aggregation — the
+    * token set is never materialized as an array, so a billion-token
+    * source costs O(1) agg state), signatures pair through banded LSH
+    * with the same hot-band occupancy cap as document dedup, and each
+    * surviving pair reports its signature-agreement Jaccard estimate.
+    * Pair count is driven by true similarity density, never
+    * (#sources choose 2). Estimates are k-of-8 fractions — exact
+    * binary doubles, hash-identical across engines. */
+  def qSourceOverlapMinhash(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nh = 8
+    val nBands = 4
+    val st = tokens(s, dir).select(col("source"), col("token")).distinct()
+      .selectExpr("source", s"${Portable.hSpark("token")} % ${Dedup.P} as x")
+    val minExprs = (0 until nh).map(i =>
+      s"min((${Dedup.aCoefs(i)} * x + ${Dedup.bCoefs(i)}) % ${Dedup.P}) as m$i")
+    val sig = st.groupBy(col("source"))
+      .agg(expr(minExprs.head), minExprs.tail.map(expr): _*)
+    val bands = sig.selectExpr("source",
+      s"""explode(array(${(0 until nBands).map(b =>
+        s"named_struct('b', $b, 'k', concat(cast(m${2 * b} as string), ',', cast(m${2 * b + 1} as string)))")
+        .mkString(", ")})) as band""")
+      .selectExpr("source", "band.b as b", "band.k as k")
+      .withColumn("occ", count(expr("*")).over(Window.partitionBy("b", "k")))
+      .filter(col("occ") <= Dedup.MaxBucket)
+    val cand = bands.select(col("source").as("src_a"), col("b"), col("k"))
+      .join(bands.select(col("source").as("src_b"), col("b"), col("k")), Seq("b", "k"))
+      .where(col("src_a") < col("src_b"))
+      .select("src_a", "src_b").distinct()
+    val est = (0 until nh).map(i => s"cast(a.m$i = bb.m$i as int)").mkString(" + ")
+    cand.alias("c")
+      .join(sig.alias("a"), col("c.src_a") === col("a.source"))
+      .join(sig.alias("bb"), col("c.src_b") === col("bb.source"))
+      .selectExpr("c.src_a as src_a", "c.src_b as src_b",
+        s"cast($est as double) / $nh as est_jaccard")
+      .orderBy("src_a", "src_b")
+  }
+
+  val qSourceOverlapMinhashSql: String = {
+    val minCols = (0 until 8).map(i =>
+      s"MIN((${Dedup.aCoefs(i)} * x + ${Dedup.bCoefs(i)}) % ${Dedup.P}) AS m$i")
+      .mkString(",\n      |         ")
+    val mhList = (0 until 8).map("m" + _).mkString("[", ",", "]")
+    val est = (0 until 8).map(i => s"CAST(a.m$i = b.m$i AS INT)").mkString(" + ")
+    s"""WITH st AS (
+       |  SELECT DISTINCT source, token
+       |  FROM (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents)
+       |  WHERE len(token) > 0),
+       |hx AS (SELECT source, ${Portable.hDuck("token")} % ${Dedup.P} AS x FROM st),
+       |sig AS (SELECT source, $minCols
+       |        FROM hx GROUP BY source),
+       |bands AS (
+       |  SELECT source, b,
+       |         ($mhList)[2*b+1]::VARCHAR || ',' || ($mhList)[2*b+2]::VARCHAR AS k
+       |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bs),
+       |cold AS (SELECT b, k FROM bands GROUP BY b, k
+       |         HAVING COUNT(*) <= ${Dedup.MaxBucket}),
+       |kept AS (SELECT bands.* FROM bands JOIN cold USING (b, k)),
+       |cand AS (
+       |  SELECT DISTINCT x.source AS src_a, y.source AS src_b
+       |  FROM kept x JOIN kept y ON x.b = y.b AND x.k = y.k AND x.source < y.source)
+       |SELECT c.src_a, c.src_b, ($est) / 8.0 AS est_jaccard
+       |FROM cand c
+       |JOIN sig a ON c.src_a = a.source
+       |JOIN sig b ON c.src_b = b.source
+       |ORDER BY c.src_a, c.src_b""".stripMargin
+  }
 
   /** Per-label embedding centroids in exact integer micro-units: each
     * float component widens to double (exact), scales by 1e6 (one IEEE
@@ -231,6 +302,7 @@ object CorpusStats {
     "q_vocab_topk" -> (qVocabTopk _),
     "q_tfidf_keywords" -> (qTfidfKeywords _),
     "q_source_overlap" -> (qSourceOverlap _),
+    "q_source_overlap_minhash" -> (qSourceOverlapMinhash _),
     "q_emb_centroids" -> (qEmbCentroids _),
     "q_token_rarity" -> (qTokenRarity _))
 
@@ -238,6 +310,7 @@ object CorpusStats {
     "q_vocab_topk" -> qVocabTopkSql,
     "q_tfidf_keywords" -> qTfidfKeywordsSql,
     "q_source_overlap" -> qSourceOverlapSql,
+    "q_source_overlap_minhash" -> qSourceOverlapMinhashSql,
     "q_emb_centroids" -> qEmbCentroidsSql,
     "q_token_rarity" -> qTokenRaritySql)
 }

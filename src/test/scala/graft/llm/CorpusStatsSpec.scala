@@ -52,6 +52,31 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(rows.map(p => (p._1, p._2)).distinct.length === rows.length)
   }
 
+  test("minhash source overlap: canonical pairs, k/8 estimates coherent with exact") {
+    val est = CorpusStats.qSourceOverlapMinhash(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(est.nonEmpty)
+    est.foreach { case (a, b, e) =>
+      assert(a < b, s"pair ($a,$b) not canonical")
+      val k = e * 8
+      assert(k == math.rint(k) && e >= 0.0 && e <= 1.0,
+        s"estimate $e is not a k/8 signature fraction")
+    }
+    assert(est.map(p => (p._1, p._2)).distinct.length === est.length)
+    // coherence with the exact operator: strongly-overlapping source
+    // pairs (exact jaccard >= 0.9) must estimate high — the banded
+    // signature path agrees with the inverted-index path on the
+    // pairs that matter (loose floor: deterministic, never tuned)
+    val exact = CorpusStats.qSourceOverlap(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(4))).toMap
+    val estMap = est.map(p => ((p._1, p._2), p._3)).toMap
+    val strong = exact.filter(_._2 >= 0.9).keySet
+    strong.foreach { pair =>
+      assert(estMap.get(pair).exists(_ >= 0.5),
+        s"$pair exact=${exact(pair)} but est=${estMap.get(pair)}")
+    }
+  }
+
   test("source overlap refuses to plan the quadratic above the source bound") {
     // scope guardrail: with the ceiling set below the corpus's actual
     // source count, the operator must FAIL FAST (before any join is
