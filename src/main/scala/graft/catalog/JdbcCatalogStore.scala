@@ -445,7 +445,7 @@ final class JdbcCatalogStore(jdbcUrl: String) extends CatalogStore {
         // transaction (postgres/table.rs:639-852).
         val applied = Vector.newBuilder[(TableIdent, TableRecord)]
         for (change <- changes.sortBy(ch =>
-          (ch.ident.namespace.mkString(" "), ch.ident.name))) {
+          (ch.ident.namespace.mkString("\u0000"), ch.ident.name))) {
           val existing = lockTableRow(c, wh, change.ident)
           for (req <- change.requirements)
             req.check(existing.map(_.metadata)) match {
