@@ -260,7 +260,12 @@ object TokenVerifier {
     // threads never perform (or block behind) the network fetch.
     // Single-flight is the `inflight` handle: whoever finds it null
     // schedules one fetch, everyone else shares the same future.
-    private val fetchPool = java.util.concurrent.Executors.newSingleThreadExecutor(
+    // core 0 / max 1 with a keepalive: the fetch thread exists only
+    // around refreshes and dies idle (a verifier per spec would
+    // otherwise pin a thread each for the JVM's lifetime)
+    private val fetchPool = new java.util.concurrent.ThreadPoolExecutor(
+      0, 1, 30L, java.util.concurrent.TimeUnit.SECONDS,
+      new java.util.concurrent.LinkedBlockingQueue[Runnable](),
       (r: Runnable) => {
         val t = new Thread(r, "graft-jwks-fetch"); t.setDaemon(true); t
       })
