@@ -98,8 +98,12 @@ object Bench {
     // delete-prune observability: actual executor delete-set loads this
     // run (0 when no bench query scans a MoR table with live deletes)
     val delLoads = graft.engine.GraftMorScan.deleteCacheLoads
-    // clustering observability: rounds the last connected-components
-    // run took (0 when q_dedup_clusters wasn't in the suite)
+    // clustering observability: rounds the MOST RECENT connected-
+    // components run took (0 when no CC-running query is in the
+    // suite). Both CC consumers — q_dedup_clusters and
+    // q_dedup_keep_best — cluster the SAME pair graph at a given SF,
+    // so whichever ran last reports the same round count; if a future
+    // query clusters a different graph, split this counter per query.
     val ccRounds = graft.llm.Dedup.lastCcRounds
     // environment fingerprint: this box is SHARED, and a loaded-box
     // run can triple medians with zero code change (seen r8→r9). One

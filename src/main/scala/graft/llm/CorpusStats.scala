@@ -165,22 +165,26 @@ object CorpusStats {
     * (#sources choose 2). Estimates are k-of-8 fractions — exact
     * binary doubles, hash-identical across engines. */
   def qSourceOverlapMinhash(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val nh = 8
-    val nBands = 4
+    // genuinely THE SAME layout as document dedup: signature length,
+    // band count, permutation coefficients, and the hot-bucket cap all
+    // come from Dedup — retuning the doc pipeline retunes this one
+    val nh = Dedup.NumHashes
+    val nBands = Dedup.NumBands
+    val rowsPerBand = nh / nBands
     val st = tokens(s, dir).select(col("source"), col("token")).distinct()
       .selectExpr("source", s"${Portable.hSpark("token")} % ${Dedup.P} as x")
     val minExprs = (0 until nh).map(i =>
       s"min((${Dedup.aCoefs(i)} * x + ${Dedup.bCoefs(i)}) % ${Dedup.P}) as m$i")
     val sig = st.groupBy(col("source"))
       .agg(expr(minExprs.head), minExprs.tail.map(expr): _*)
-    val bands = sig.selectExpr("source",
-      s"""explode(array(${(0 until nBands).map(b =>
-        s"named_struct('b', $b, 'k', concat(cast(m${2 * b} as string), ',', cast(m${2 * b + 1} as string)))")
-        .mkString(", ")})) as band""")
-      .selectExpr("source", "band.b as b", "band.k as k")
-      .withColumn("occ", count(expr("*")).over(Window.partitionBy("b", "k")))
-      .filter(col("occ") <= Dedup.MaxBucket)
+    val bands = Dedup.capHotBuckets(
+      sig.selectExpr("source",
+        s"""explode(array(${(0 until nBands).map(b =>
+          s"named_struct('b', $b, 'k', concat(${(0 until rowsPerBand).map(r =>
+            s"cast(m${rowsPerBand * b + r} as string)").mkString(", ',', ")}))")
+          .mkString(", ")})) as band""")
+        .selectExpr("source", "band.b as b", "band.k as k"),
+      Dedup.MaxBucket)
     val cand = bands.select(col("source").as("src_a"), col("b"), col("k"))
       .join(bands.select(col("source").as("src_b"), col("b"), col("k")), Seq("b", "k"))
       .where(col("src_a") < col("src_b"))
@@ -195,11 +199,15 @@ object CorpusStats {
   }
 
   val qSourceOverlapMinhashSql: String = {
-    val minCols = (0 until 8).map(i =>
+    val nh = Dedup.NumHashes
+    val rowsPerBand = nh / Dedup.NumBands
+    val minCols = (0 until nh).map(i =>
       s"MIN((${Dedup.aCoefs(i)} * x + ${Dedup.bCoefs(i)}) % ${Dedup.P}) AS m$i")
       .mkString(",\n      |         ")
-    val mhList = (0 until 8).map("m" + _).mkString("[", ",", "]")
-    val est = (0 until 8).map(i => s"CAST(a.m$i = b.m$i AS INT)").mkString(" + ")
+    val mhList = (0 until nh).map("m" + _).mkString("[", ",", "]")
+    val bandKey = (0 until rowsPerBand).map(r =>
+      s"($mhList)[$rowsPerBand*b+${r + 1}]::VARCHAR").mkString(" || ',' || ")
+    val est = (0 until nh).map(i => s"CAST(a.m$i = b.m$i AS INT)").mkString(" + ")
     s"""WITH st AS (
        |  SELECT DISTINCT source, token
        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents)
@@ -208,16 +216,15 @@ object CorpusStats {
        |sig AS (SELECT source, $minCols
        |        FROM hx GROUP BY source),
        |bands AS (
-       |  SELECT source, b,
-       |         ($mhList)[2*b+1]::VARCHAR || ',' || ($mhList)[2*b+2]::VARCHAR AS k
-       |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bs),
+       |  SELECT source, b, $bandKey AS k
+       |  FROM sig CROSS JOIN (SELECT unnest(range(0, ${Dedup.NumBands})) AS b) bs),
        |cold AS (SELECT b, k FROM bands GROUP BY b, k
        |         HAVING COUNT(*) <= ${Dedup.MaxBucket}),
        |kept AS (SELECT bands.* FROM bands JOIN cold USING (b, k)),
        |cand AS (
        |  SELECT DISTINCT x.source AS src_a, y.source AS src_b
        |  FROM kept x JOIN kept y ON x.b = y.b AND x.k = y.k AND x.source < y.source)
-       |SELECT c.src_a, c.src_b, ($est) / 8.0 AS est_jaccard
+       |SELECT c.src_a, c.src_b, ($est) / $nh.0 AS est_jaccard
        |FROM cand c
        |JOIN sig a ON c.src_a = a.source
        |JOIN sig b ON c.src_b = b.source

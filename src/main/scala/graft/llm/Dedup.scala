@@ -123,9 +123,24 @@ object Dedup {
       .selectExpr("id", "band.b as b", "band.k as k")
 
   private[llm] val NumBands: Int = NUM_BANDS
+  private[llm] val NumHashes: Int = NUM_HASHES
   /** Hot-bucket occupancy cap (What's-wrong r2 #5): buckets holding
     * more rows than this are dropped before the pair join. */
   private[llm] val MaxBucket = 100
+
+  /** THE hot-bucket cap: drop every row of a `(…, b, k)` bucket whose
+    * occupancy exceeds `maxBucket` — one keyed streaming window count,
+    * O(1) state per bucket (safe on a billion-row boilerplate bucket).
+    * Shared by [[candidatePairs]], [[IncrementalDedup.compactIndex]],
+    * and [[CorpusStats.qSourceOverlapMinhash]] so the cap's semantics
+    * can never drift between the dedup paths. */
+  private[llm] def capHotBuckets(rows: DataFrame, maxBucket: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    rows
+      .withColumn("occ", count(expr("*")).over(Window.partitionBy("b", "k")))
+      .filter(col("occ") <= maxBucket)
+      .drop("occ")
+  }
 
   /** Candidate pairs from banded LSH with the hot-bucket cap applied:
     * (id_a < id_b, n_shared_bands).
@@ -139,11 +154,7 @@ object Dedup {
     * re-aggregated by pair. Every stage is keyed; per-bucket cost is
     * ≤ cap²/2 by construction. */
   private[llm] def candidatePairs(docs: DataFrame, maxBucket: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val bands = bandsOf(docs)
-    val kept = bands
-      .withColumn("occ", count(expr("*")).over(Window.partitionBy("b", "k")))
-      .filter(col("occ") <= maxBucket)
+    val kept = capHotBuckets(bandsOf(docs), maxBucket)
     kept.groupBy("b", "k")
       .agg(expr("sort_array(collect_list(id)) as ids"))
       .filter("size(ids) >= 2")
@@ -528,18 +539,28 @@ object Dedup {
     * member id. A member's quality is its underlying document's
     * heuristic score ([[TextAnalysis.qualityScored]]); derived corpus
     * variants (id + 2000000, the MinHash derivation) map back with the
-    * derivation's own inverse (id % 2000000).
+    * derivation's own inverse (subtract the offset for ids in the
+    * variant range). The convention RESERVES ids ≥ 2000000 for
+    * variants, so the query fails loudly if the base corpus itself
+    * crosses that line — a silent wrong-quality join may pick a wrong
+    * survivor with no signal.
     *
     * Scale: clusters come from the log-rounds CC (never all-pairs),
     * quality is one narrow codegen'd pass, and the selection is a
     * keyed `max_by` aggregation — map-side combinable, O(members)
     * shuffle, O(1) state per cluster. */
   def qDedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val maxId = load(s, dir, "documents")
+      .agg(org.apache.spark.sql.functions.max(col("doc_id"))).head().getLong(0)
+    require(maxId < 2000000L,
+      s"q_dedup_keep_best reserves doc ids >= 2000000 for derived variants; " +
+        s"base corpus max doc_id $maxId collides — remap the corpus or the offset")
     val members = connectedComponents(
       qDedupMinhashLsh(s, dir).select("id_a", "id_b"))
     val quality = TextAnalysis.qualityScored(s, dir)
       .selectExpr("doc_id as qid", "quality")
-    members.join(quality, members("id") % 2000000L === col("qid"))
+    members.join(quality,
+      expr("if(id >= 2000000, id - 2000000, id) = qid"))
       .groupBy(col("cluster"))
       .agg(
         count(lit(1)).as("n_members"),
@@ -572,7 +593,8 @@ object Dedup {
        |  SELECT m.cluster, m.id, CAST(q.quality AS DOUBLE) AS quality,
        |         ROW_NUMBER() OVER (PARTITION BY m.cluster
        |                            ORDER BY q.quality DESC, m.id) AS rk
-       |  FROM members m JOIN qual q ON m.id % 2000000 = q.doc_id)
+       |  FROM members m JOIN qual q
+       |    ON (CASE WHEN m.id >= 2000000 THEN m.id - 2000000 ELSE m.id END) = q.doc_id)
        |SELECT s.cluster, n.n_members, s.id AS best_id, s.quality
        |FROM scored s
        |JOIN (SELECT cluster, COUNT(*) AS n_members FROM scored GROUP BY cluster) n

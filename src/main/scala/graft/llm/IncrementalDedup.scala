@@ -39,13 +39,8 @@ object IncrementalDedup {
     * window count over the index — O(1) state per bucket, no join. A
     * deployment runs this as the index table's compaction criterion
     * and rewrites only the partitions whose buckets changed. */
-  def compactIndex(index: DataFrame, maxBucket: Int = Dedup.MaxBucket): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    index
-      .withColumn("occ", count(expr("*")).over(Window.partitionBy("b", "k")))
-      .filter(col("occ") <= maxBucket)
-      .drop("occ")
-  }
+  def compactIndex(index: DataFrame, maxBucket: Int = Dedup.MaxBucket): DataFrame =
+    Dedup.capHotBuckets(index, maxBucket)
 
   /** Probe a new batch `(id, toks)` against a materialized index
     * `(id, b, k)` (cold buckets only — see [[indexRows]]) plus the

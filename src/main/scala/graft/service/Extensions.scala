@@ -290,21 +290,29 @@ object TokenVerifier {
       * one slow (≤ httpTimeoutMs) fetch. Cached-kid verifies never
       * wait at all. */
     private def refresh(waitForResult: Boolean): Unit = {
-      if (clock() - fetchedAt < minRefreshIntervalMs) return
-      val f = {
-        val cur = inflight.get()
-        if (cur != null) cur
-        else {
-          val fut = new java.util.concurrent.CompletableFuture[Unit]()
-          if (inflight.compareAndSet(null, fut)) {
-            fetchPool.execute { () =>
-              try doFetch()
-              finally { inflight.set(null); fut.complete(()) }
-            }
-            fut
-          } else inflight.get() // raced: join theirs (null = just done)
+      val f: java.util.concurrent.CompletableFuture[Unit] =
+        if (clock() - fetchedAt < minRefreshIntervalMs) {
+          // rate-limited — but doFetch bumps fetchedAt at fetch START,
+          // so "recent" may mean a fetch is IN FLIGHT right now. An
+          // unknown-kid caller must still join it (bounded below), or
+          // valid freshly-rotated tokens that arrive milliseconds
+          // behind the fetch-triggering request would 401 for no
+          // reason. inflight == null ⇒ genuinely rate-limited ⇒ no wait.
+          if (waitForResult) inflight.get() else null
+        } else {
+          val cur = inflight.get()
+          if (cur != null) cur
+          else {
+            val fut = new java.util.concurrent.CompletableFuture[Unit]()
+            if (inflight.compareAndSet(null, fut)) {
+              fetchPool.execute { () =>
+                try doFetch()
+                finally { inflight.set(null); fut.complete(()) }
+              }
+              fut
+            } else inflight.get() // raced: join theirs (null = just done)
+          }
         }
-      }
       if (waitForResult && f != null)
         try f.get(unknownKidWaitMs, java.util.concurrent.TimeUnit.MILLISECONDS)
         catch {

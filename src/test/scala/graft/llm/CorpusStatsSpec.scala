@@ -58,9 +58,9 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(est.nonEmpty)
     est.foreach { case (a, b, e) =>
       assert(a < b, s"pair ($a,$b) not canonical")
-      val k = e * 8
+      val k = e * Dedup.NumHashes
       assert(k == math.rint(k) && e >= 0.0 && e <= 1.0,
-        s"estimate $e is not a k/8 signature fraction")
+        s"estimate $e is not a k/${Dedup.NumHashes} signature fraction")
     }
     assert(est.map(p => (p._1, p._2)).distinct.length === est.length)
     // coherence with the exact operator: strongly-overlapping source

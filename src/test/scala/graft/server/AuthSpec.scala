@@ -333,6 +333,57 @@ class AuthSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { hangRelease.countDown(); http.stop(0) }
   }
 
+  test("rotation on a slow-but-healthy issuer: late arrivals join the in-flight fetch") {
+    import java.security.interfaces.RSAPublicKey
+    import com.sun.net.httpserver.HttpServer
+    val kp1 = rsaKeyPair()
+    val kp2 = rsaKeyPair()
+    @volatile var served = Map("kid-1" -> kp1.getPublic.asInstanceOf[RSAPublicKey])
+    @volatile var delayMs = 0L
+    val http = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    http.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
+    val base = s"http://127.0.0.1:${http.getAddress.getPort}"
+    def respond(ex: com.sun.net.httpserver.HttpExchange, body: String): Unit = {
+      val b = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, b.length)
+      ex.getResponseBody.write(b)
+      ex.close()
+    }
+    http.createContext("/realm/.well-known/openid-configuration",
+      ex => respond(ex, s"""{"issuer":"$issuer","jwks_uri":"$base/realm/jwks"}"""))
+    http.createContext("/realm/jwks", ex => {
+      if (delayMs > 0) Thread.sleep(delayMs)
+      respond(ex, TokenVerifier.jwksJson(served))
+    })
+    http.start()
+    try {
+      @volatile var now = System.currentTimeMillis()
+      val exp = now / 1000 + 3600
+      val v = new TokenVerifier.OidcJwtVerifier(s"$base/realm", () => now,
+        unknownKidWaitMs = 2000L)
+      // rotate while the issuer answers SLOWLY (but within the wait
+      // bound): several requests carrying the new kid land while the
+      // first one's fetch is still in flight — every one of them must
+      // join that fetch and verify, not fall through the rate-limit
+      // check to a spurious 401
+      served = Map("kid-2" -> kp2.getPublic.asInstanceOf[RSAPublicKey])
+      delayMs = 400L
+      now += 31 * 1000L
+      val rotated = TokenVerifier.signRs256(kp2.getPrivate, "kid-2", issuer, "bob", exp)
+      val results = new java.util.concurrent.ConcurrentLinkedQueue[Either[Int, String]]()
+      val threads = (1 to 4).map(i => new Thread(() => {
+        Thread.sleep(i * 30L) // stagger: later ones arrive mid-fetch
+        results.add(v.verify(Some(rotated)).map(_.subject).left.map(_.code))
+      }))
+      threads.foreach(_.start())
+      threads.foreach(_.join(10000))
+      assert(threads.forall(!_.isAlive))
+      import scala.jdk.CollectionConverters._
+      assert(results.asScala.toSeq === Seq.fill(4)(Right("bob")),
+        s"late arrivals during the in-flight fetch were rejected: ${results.asScala.toSeq}")
+    } finally http.stop(0)
+  }
+
   test("OIDC discovery failure is a loud startup error, not an open catalog") {
     // nothing listening on the path → fetch fails → constructor throws
     val ex = intercept[IllegalStateException](
