@@ -220,6 +220,17 @@ class DedupSpec extends AnyFunSuite {
     assert(bad(df.queryExecution.executedPlan).isEmpty)
   }
 
+  test("keep-best refuses a corpus whose ids cross the reserved variant range") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-keepbest-guard").toString
+    Seq((2500000L, "some text here", "src0"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val ex = intercept[IllegalArgumentException](
+      Dedup.qDedupKeepBest(spark, dir).collect())
+    assert(ex.getMessage.contains("reserves doc ids"))
+  }
+
   test("keep-best survivor: one per cluster, maximal quality, deterministic ties") {
     val best = Dedup.qDedupKeepBest(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
