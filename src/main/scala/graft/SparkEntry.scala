@@ -15,12 +15,23 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     graft.queries.Relational.q01PricingSummary(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * Builders are LAZY (constructing the DataFrame runs no job) with
+    * two documented exceptions: `q_source_overlap` runs a bounded
+    * single-column job at construction time to refuse planning its
+    * quadratic above the conf'd source bound
+    * ([[graft.llm.CorpusStats.qSourceOverlap]]), and the
+    * connected-components family (`q_dedup_clusters`,
+    * `q_dedup_keep_best*`) runs its iterative label rounds at
+    * construction — the result frame is the converged final round. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.Temporal.queries ++
       graft.llm.CorpusStats.queries ++
       graft.llm.Dedup.queries ++
+      graft.llm.DedupPipeline.queries ++
+      graft.llm.IncrementalDedup.queries ++
       graft.llm.Similarity.queries ++
       graft.llm.TextAnalysis.queries ++
       graft.llm.Sampling.queries ++
@@ -35,6 +46,8 @@ object SparkEntry {
       graft.queries.Temporal.oracleSql ++
       graft.llm.CorpusStats.oracleSql ++
       graft.llm.Dedup.oracleSql ++
+      graft.llm.DedupPipeline.oracleSql ++
+      graft.llm.IncrementalDedup.oracleSql ++
       graft.llm.Similarity.oracleSql ++
       graft.llm.TextAnalysis.oracleSql ++
       graft.llm.Sampling.oracleSql ++

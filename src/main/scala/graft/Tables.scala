@@ -37,16 +37,21 @@ object Tables {
             "setting it now (required when events.parquet carries TIMESTAMP(NANOS))")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       }
-      // same guard for the timezone the NTZ branch below depends on: a
-      // hosting session built without timeZone=UTC would silently bind
-      // NTZ wall-clock values to a local zone and diverge from the
-      // DuckDB oracle
-      if (spark.conf.get("spark.sql.session.timeZone", "") != "UTC") {
-        System.err.println(
-          "[graft] session timeZone is not UTC; setting it now (events.ts " +
-            "normalization assumes UTC to match the DuckDB oracle)")
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-      }
+      // the NTZ branch below (and every downstream date_trunc/hour
+      // bucketing over events) binds wall clocks to the SESSION zone;
+      // the oracle contract requires UTC. Mutating the hosting
+      // session's timeZone here would silently change timestamp
+      // semantics of UNRELATED queries in an embedding application, so
+      // a non-UTC session is refused loudly instead — the embedder
+      // decides (set timeZone=UTC, or load events with a dedicated
+      // session) rather than having shared state rewritten under them.
+      val tz = spark.conf.get("spark.sql.session.timeZone", "")
+      if (tz != "UTC") throw new IllegalStateException(
+        s"graft events queries require spark.sql.session.timeZone=UTC " +
+          s"(session has '$tz'): events.ts normalization and the DuckDB " +
+          "oracle bind wall clocks to UTC. Set the conf on the session " +
+          "(or use a dedicated session for events) — graft will not " +
+          "mutate a shared session's timezone as a side effect.")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
       raw.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType => // nanos-as-long

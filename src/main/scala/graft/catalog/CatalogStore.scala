@@ -130,6 +130,17 @@ trait CatalogStore {
       stageCreate: Boolean,
       timestampMs: Long,
       formatVersion: Int = 2): Either[CatalogError, TableRecord]
+  /** Register an EXISTING Iceberg table from its already-validated
+    * metadata + metadata file location — the migration path (BEYOND
+    * the reference, which 501s register, catalog/tables.rs:211-225;
+    * real users moving tables between catalogs hit it immediately).
+    * The table keeps its original uuid, location, and metadata file
+    * (nothing is rewritten); registering a uuid already present in
+    * the warehouse is a 409 — two catalog rows commit-racing one
+    * metadata tree would corrupt it. */
+  def registerTable(wh: UUID, ns: Seq[String], name: String,
+      metadata: TableMetadata, metadataLocation: String)
+      : Either[CatalogError, TableRecord]
   def loadTable(wh: UUID, ident: TableIdent): Either[CatalogError, TableRecord]
   def tableExists(wh: UUID, ident: TableIdent): Either[CatalogError, Boolean]
   def listTables(wh: UUID, ns: Seq[String]): Either[CatalogError, Seq[TableIdent]]
@@ -426,6 +437,34 @@ final class InMemoryCatalogStore extends CatalogStore {
 
   private def newMetadataLocation(tableLocation: String): String =
     s"$tableLocation/metadata/${UUID.randomUUID()}.gz.metadata.json"
+
+  def registerTable(wh: UUID, ns: Seq[String], name: String,
+      metadata: TableMetadata, metadataLocation: String)
+      : Either[CatalogError, TableRecord] = lock.synchronized {
+    for {
+      _ <- activeWarehouse(wh)
+      _ <- namespaces.get((wh, ns))
+        .toRight(notFound("NamespaceNotFound", s"namespace ${ns.mkString(".")} not found"))
+      ident = TableIdent(ns, name)
+      _ <- tables.get((wh, ident)) match {
+        case Some(existing) if !existing.staged =>
+          Left(conflict("TableAlreadyExists", s"table $name already exists"))
+        case _ => Right(())
+      }
+      _ <- tables.collectFirst {
+        case ((`wh`, id), rec) if rec.tableId == metadata.tableUuid => id
+      } match {
+        case Some(other) => Left(conflict("TableAlreadyExists",
+          s"table uuid ${metadata.tableUuid} is already registered as ${other.name}"))
+        case None => Right(())
+      }
+    } yield {
+      val rec = TableRecord(metadata.tableUuid, ns, name, metadata,
+        Some(metadataLocation), metadata.location)
+      tables += (wh, ident) -> rec
+      rec
+    }
+  }
 
   def loadTable(wh: UUID, ident: TableIdent): Either[CatalogError, TableRecord] =
     lock.synchronized {

@@ -369,6 +369,49 @@ final class JdbcCatalogStore(jdbcUrl: String) extends CatalogStore {
   private def newMetadataLocation(tableLocation: String): String =
     s"$tableLocation/metadata/${UUID.randomUUID()}.gz.metadata.json"
 
+  def registerTable(wh: UUID, ns: Seq[String], name: String,
+      metadata: TableMetadata, metadataLocation: String)
+      : Either[CatalogError, TableRecord] = withConn { c =>
+    for {
+      _ <- activeWarehouse(c, wh)
+      _ <- nsRow(c, wh, ns).toRight(notFound("NamespaceNotFound",
+        s"namespace ${ns.mkString(".")} not found"))
+      ident = TableIdent(ns, name)
+      existing = tableRow(c, wh, ident)
+      _ <- existing match {
+        case Some(rec) if !rec.staged =>
+          Left(conflict("TableAlreadyExists", s"table $name already exists"))
+        case _ => Right(())
+      }
+      sameUuid = query(c, "SELECT name FROM tbls WHERE wh = ? AND table_id = ?",
+        Seq(wh.toString, metadata.tableUuid.toString))(_.getString(1))
+      _ <- sameUuid.headOption match {
+        case Some(other) => Left(conflict("TableAlreadyExists",
+          s"table uuid ${metadata.tableUuid} is already registered as $other"))
+        case None => Right(())
+      }
+    } yield {
+      val rec = TableRecord(metadata.tableUuid, ns, name, metadata,
+        Some(metadataLocation), metadata.location)
+      // same one-transaction staged-overwrite shape as createTable
+      c.setAutoCommit(false)
+      try {
+        if (existing.isDefined)
+          update(c, "DELETE FROM tbls WHERE wh = ? AND ns = ? AND name = ?",
+            Seq(wh.toString, encodeNs(ns), name))
+        insertTable(c, wh, rec)
+        c.commit()
+      } catch {
+        case e: java.sql.SQLException if e.getSQLState == "23505" =>
+          c.rollback()
+          throw CatalogError.conflict("TableAlreadyExists",
+            s"table $name already exists")
+        case e: Throwable => c.rollback(); throw e
+      } finally c.setAutoCommit(true)
+      rec
+    }
+  }
+
   def loadTable(wh: UUID, ident: TableIdent): Either[CatalogError, TableRecord] =
     withConn { c =>
       activeWarehouse(c, wh).flatMap(_ => tableRow(c, wh, ident).filter(!_.staged)

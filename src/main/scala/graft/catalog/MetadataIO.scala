@@ -33,13 +33,23 @@ object MetadataIO {
     FileIO.forLocation(location).write(location, buf.toByteArray)
   }
 
-  def read(location: String): Either[String, TableMetadata] =
+  def read(location: String): Either[String, TableMetadata] = {
+    if (!FileIO.canHandle(location))
+      return Left(s"no storage backend registered for metadata location: $location")
     FileIO.forLocation(location).read(location) match {
       case None => Left(s"metadata file not found: $location")
       case Some(bytes) =>
-        val in = new GZIPInputStream(new ByteArrayInputStream(bytes))
-        try JsonCodecs.metadataFromJson(
-          new String(in.readAllBytes(), StandardCharsets.UTF_8))
-        finally in.close()
+        // gzip-sniff instead of trusting the extension: our own mirrors
+        // are gzip'd, but register must also accept the PLAIN
+        // `*.metadata.json` every other Iceberg writer produces
+        val text =
+          if (bytes.length >= 2 &&
+              (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b) {
+            val in = new GZIPInputStream(new ByteArrayInputStream(bytes))
+            try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+            finally in.close()
+          } else new String(bytes, StandardCharsets.UTF_8)
+        JsonCodecs.metadataFromJson(text)
     }
+  }
 }

@@ -108,7 +108,19 @@ object CorpusStats {
     * the scalable alternative (MinHash, [[Dedup.qDedupMinhashLsh]]'s
     * machinery over source-level shingle sets). */
   def qSourceOverlap(s: SparkSession, dir: String): DataFrame = {
-    val maxSources = s.conf.get(OverlapMaxSourcesConf, OVERLAP_MAX_SOURCES.toString).toInt
+    // NOTE (registry contract): unlike the rest of the registry, this
+    // builder runs one bounded Spark job at DataFrame-CONSTRUCTION time
+    // — the distinct-source count below — because the guard must refuse
+    // to even PLAN the quadratic. Callers embedding the registry should
+    // expect that one eager (single-column, cheap) job from this entry;
+    // every other registry builder is lazy.
+    val rawMax = s.conf.get(OverlapMaxSourcesConf, OVERLAP_MAX_SOURCES.toString)
+    val maxSources =
+      try rawMax.toInt
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$OverlapMaxSourcesConf must be an integer source-count bound, got '$rawMax'")
+      }
     val nSources = load(s, dir, "documents").select(col("source")).distinct().count()
     if (nSources > maxSources) throw new IllegalStateException(
       s"q_source_overlap is scoped to bounded strata: $nSources distinct sources " +

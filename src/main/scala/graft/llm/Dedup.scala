@@ -111,9 +111,15 @@ object Dedup {
     * is a 4-struct array over the materialized signature column (cheap
     * to re-evaluate). Docs with no 3-grams drop out (null signature). */
   private[llm] def bandsOf(docs: DataFrame): DataFrame =
-    docs
-      .select(col("id"), graft.functions.TextHashExprs.minhashSig(
-        col("toks"), aCoefs, bCoefs, P).as("mh"))
+    bandsOfSig(docs.select(col("id"), graft.functions.TextHashExprs.minhashSig(
+      col("toks"), aCoefs, bCoefs, P).as("mh")))
+
+  /** Band rows from an ALREADY-COMPUTED signature frame `(id, mh)` —
+    * the entry point for materialized-signature pipelines
+    * ([[DedupPipeline]]): bands are pure arithmetic over the stored
+    * signature, so deriving them never touches document text. */
+  private[llm] def bandsOfSig(sig: DataFrame): DataFrame =
+    sig
       .filter(col("mh").isNotNull)
       .selectExpr(
         "id",
@@ -124,6 +130,12 @@ object Dedup {
 
   private[llm] val NumBands: Int = NUM_BANDS
   private[llm] val NumHashes: Int = NUM_HASHES
+  /** Id offset for corpus-derived near-copy variants (the MinHash
+    * fixture derivation: every 7th doc, truncated). ONE constant shared
+    * by the derivation, the keep-best inverse mapping, its reserved-id
+    * guard, and the DuckDB oracle SQL — the ranges can never drift
+    * apart. Ids at or above this value are RESERVED for variants. */
+  private[llm] val VariantIdOffset = 2000000L
   /** Hot-bucket occupancy cap (What's-wrong r2 #5): buckets holding
     * more rows than this are dropped before the pair join. */
   private[llm] val MaxBucket = 100
@@ -153,8 +165,14 @@ object Dedup {
     * pairs are generated by a codegen'd combination expression and
     * re-aggregated by pair. Every stage is keyed; per-bucket cost is
     * ≤ cap²/2 by construction. */
-  private[llm] def candidatePairs(docs: DataFrame, maxBucket: Int): DataFrame = {
-    val kept = capHotBuckets(bandsOf(docs), maxBucket)
+  private[llm] def candidatePairs(docs: DataFrame, maxBucket: Int): DataFrame =
+    candidatePairsFromBands(bandsOf(docs), maxBucket)
+
+  /** [[candidatePairs]] over pre-derived band rows `(id, b, k)` — lets
+    * materialized-signature pipelines reuse the exact single-exchange
+    * cap+pair shape without re-signaturing. */
+  private[llm] def candidatePairsFromBands(bands: DataFrame, maxBucket: Int): DataFrame = {
+    val kept = capHotBuckets(bands, maxBucket)
     kept.groupBy("b", "k")
       .agg(expr("sort_array(collect_list(id)) as ids"))
       .filter("size(ids) >= 2")
@@ -170,7 +188,8 @@ object Dedup {
   def qDedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
     val base = load(s, dir, "documents").selectExpr("doc_id as id", s"$toksS as toks")
     val variants = base.filter("id % 7 = 0")
-      .selectExpr("id + 2000000 as id", "slice(toks, 1, greatest(size(toks) - 4, 0)) as toks")
+      .selectExpr(s"id + $VariantIdOffset as id",
+        "slice(toks, 1, greatest(size(toks) - 4, 0)) as toks")
     val corpus = base.unionAll(variants)
     val pairs = candidatePairs(corpus, MaxBucket)
 
@@ -198,7 +217,7 @@ object Dedup {
        |corpus AS (
        |  SELECT id, toks FROM base
        |  UNION ALL
-       |  SELECT id + 2000000, toks[1:greatest(len(toks) - 4, 0)] FROM base WHERE id % 7 = 0),
+       |  SELECT id + $VariantIdOffset, toks[1:greatest(len(toks) - 4, 0)] FROM base WHERE id % 7 = 0),
        |sh AS (SELECT id, $shingleD AS sh FROM corpus),
        |hx AS (SELECT id, ${hDuck("s")} % $P AS x
        |       FROM (SELECT id, unnest(sh) AS s FROM sh)),
@@ -295,15 +314,18 @@ object Dedup {
     // codegen'd combination transform, and the pair re-aggregation
     // applies the shared-shingle gate.
     import org.apache.spark.sql.expressions.Window
-    // the repartitions are EXCHANGE BARRIERS: they materialize the
-    // computed arrays so each explode's child is a plain attribute —
-    // otherwise CollapseProject folds the hash/combination expression
-    // INTO the Generate child and it re-evaluates per OUTPUT row (the
-    // measured Generate re-evaluation trap)
-    val hashed = corpus
-      .select(col("id"), graft.functions.TextHashExprs.shingleHashes(col("toks")).as("shs"))
+    // the hash table is a CACHED LEAF (same construct as the CC
+    // rounds): the candidate-index explode AND the two verify joins all
+    // consume it, so the corpus is tokenized+hashed ONCE instead of
+    // three times — and as a leaf, each explode/join child is a plain
+    // stored attribute, which also kills the CollapseProject trap
+    // (folding the hash expression INTO a Generate child re-evaluates
+    // it per OUTPUT row). Cache ownership: the returned frame owns the
+    // blocks; the ContextCleaner reclaims them when the consumer drops
+    // the frame (lineage stays intact for lost-executor recompute).
+    val (hashed, _) = org.apache.spark.sql.GraftShims.cachedLeaf(corpus
+      .select(col("id"), graft.functions.TextHashExprs.shingleHashes(col("toks")).as("shs")))
     val shingles = hashed
-      .repartition(col("id"))
       .select(col("id"), explode(col("shs")).as("sh"))
     val pairs = shingles
       .withColumn("df", count(expr("*")).over(Window.partitionBy("sh")))
@@ -538,37 +560,41 @@ object Dedup {
     * N crawls of this page, keep the cleanest"), ties to the lowest
     * member id. A member's quality is its underlying document's
     * heuristic score ([[TextAnalysis.qualityScored]]); derived corpus
-    * variants (id + 2000000, the MinHash derivation) map back with the
-    * derivation's own inverse (subtract the offset for ids in the
-    * variant range). The convention RESERVES ids ≥ 2000000 for
-    * variants, so the query fails loudly if the base corpus itself
-    * crosses that line — a silent wrong-quality join may pick a wrong
-    * survivor with no signal.
+    * variants (id + [[VariantIdOffset]], the MinHash derivation) map
+    * back with the derivation's own inverse (subtract the offset for
+    * ids in the variant range). The convention RESERVES ids ≥ the
+    * offset for variants, so the query fails loudly if the base corpus
+    * itself crosses that line — a silent wrong-quality join may pick a
+    * wrong survivor with no signal. The guard runs INSIDE the quality
+    * pass (a short-circuit `raise_error` on the reserved range), so
+    * keep-best launches exactly one Spark job chain — no eager
+    * plan-build-time scan.
     *
     * Scale: clusters come from the log-rounds CC (never all-pairs),
     * quality is one narrow codegen'd pass, and the selection is a
     * keyed `max_by` aggregation — map-side combinable, O(members)
     * shuffle, O(1) state per cluster. */
-  def qDedupKeepBest(s: SparkSession, dir: String): DataFrame = {
-    val maxId = load(s, dir, "documents")
-      .agg(org.apache.spark.sql.functions.max(col("doc_id"))).head().getLong(0)
-    require(maxId < 2000000L,
-      s"q_dedup_keep_best reserves doc ids >= 2000000 for derived variants; " +
-        s"base corpus max doc_id $maxId collides — remap the corpus or the offset")
-    val members = connectedComponents(
-      qDedupMinhashLsh(s, dir).select("id_a", "id_b"))
-    val quality = TextAnalysis.qualityScored(s, dir)
+  def qDedupKeepBest(s: SparkSession, dir: String): DataFrame =
+    DedupPipeline.keepBestFromClusters(
+      connectedComponents(qDedupMinhashLsh(s, dir).select("id_a", "id_b")),
+      keepBestQuality(s, dir))
+
+  /** Quality frame for survivor selection, with the reserved-id
+    * invariant asserted IN the job: every base doc id must sit below
+    * [[VariantIdOffset]], enforced by a short-circuiting `raise_error`
+    * predicate evaluated per row (true rows pass untouched; a
+    * violating row aborts the job with the remap message instead of
+    * silently mis-joining a variant's quality). Shared by
+    * [[qDedupKeepBest]] and [[DedupPipeline.keepBestFromClusters]]'s
+    * gated caller. */
+  private[llm] def keepBestQuality(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityScored(s, dir)
       .selectExpr("doc_id as qid", "quality")
-    members.join(quality,
-      expr("if(id >= 2000000, id - 2000000, id) = qid"))
-      .groupBy(col("cluster"))
-      .agg(
-        count(lit(1)).as("n_members"),
-        expr("max_by(struct(id, quality), struct(quality, -id)) as best"))
-      .selectExpr("cluster", "n_members",
-        "best.id as best_id", "cast(best.quality as double) as quality")
-      .orderBy("cluster")
-  }
+      .where(expr(
+        s"""qid < $VariantIdOffset or raise_error(concat(
+           |  'q_dedup_keep_best reserves doc ids >= $VariantIdOffset for derived variants; ',
+           |  'base corpus doc_id ', cast(qid as string),
+           |  ' collides - remap the corpus or the offset')) is null""".stripMargin))
 
   val qDedupKeepBestSql: String =
     s"""WITH members AS (SELECT cluster, doc_id AS id FROM ($qDedupClustersSql) c),
@@ -594,7 +620,7 @@ object Dedup {
        |         ROW_NUMBER() OVER (PARTITION BY m.cluster
        |                            ORDER BY q.quality DESC, m.id) AS rk
        |  FROM members m JOIN qual q
-       |    ON (CASE WHEN m.id >= 2000000 THEN m.id - 2000000 ELSE m.id END) = q.doc_id)
+       |    ON (CASE WHEN m.id >= $VariantIdOffset THEN m.id - $VariantIdOffset ELSE m.id END) = q.doc_id)
        |SELECT s.cluster, n.n_members, s.id AS best_id, s.quality
        |FROM scored s
        |JOIN (SELECT cluster, COUNT(*) AS n_members FROM scored GROUP BY cluster) n

@@ -1,6 +1,8 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import graft.Tables.load
+import graft.llm.Portable.hDuck
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Incremental (batch-vs-corpus) near-dup detection — the operating
@@ -72,4 +74,106 @@ object IncrementalDedup {
         "cast(st.inter as double) / (st.na + st.nb - st.inter) as jaccard")
       .filter(s"jaccard >= $threshold")
   }
+
+  // --------------------------------------------------- gated query
+  /** Id offset for the derived "day-2" near-copy batch (every 13th
+    * doc, one token truncated) — shared by the query, the spec's
+    * fixture, and the DuckDB oracle. */
+  private[llm] val IncBatchIdOffset = 5000000L
+  /** Id offset for the derived genuinely-new batch docs (synthetic
+    * unique vocabularies — nothing to find in the corpus). */
+  private[llm] val IncFreshIdOffset = 6000000L
+
+  /** The incremental operating mode as a driver-gated query: the full
+    * corpus is indexed ("day 1"), a derived batch of planted
+    * near-copies plus genuinely-new docs probes it ("day 2"), and each
+    * batch doc gets its dedup DECISION row — its best verified match
+    * `(dup_of, jaccard)`, or NULLs if it survives as new. Best =
+    * highest jaccard, ties to the lowest corpus id.
+    *
+    * Scale shape is [[dedupAgainstIndex]]'s: O(batch) band keys, one
+    * keyed join against the (capped) index, O(candidates) verify —
+    * never batch × corpus; the decision pick is a keyed `max_by`
+    * (O(1) state per batch doc) and the survivor fill-in is a keyed
+    * left join. */
+  def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val corpus = load(s, dir, "documents")
+      .selectExpr("doc_id as id", "split(lower(text), ' ') as toks")
+    val planted = corpus.where("id % 13 = 0 and size(toks) >= 12")
+      .selectExpr(s"id + $IncBatchIdOffset as id",
+        "slice(toks, 1, size(toks) - 1) as toks")
+    val fresh = s.range(0, 20)
+      .selectExpr(s"id + $IncFreshIdOffset as id")
+      .selectExpr("id",
+        "transform(sequence(0, 9), i -> concat('zzz', cast(id as string), 'w', cast(i as string))) as toks")
+    val batch = planted.unionAll(fresh)
+    val best = dedupAgainstIndex(batch, indexRows(corpus), corpus)
+      .groupBy(col("new_id"))
+      .agg(expr(
+        "max_by(named_struct('d', dup_of, 'j', jaccard), named_struct('j', jaccard, 'd', -dup_of)) as bm"))
+      .selectExpr("new_id", "bm.d as dup_of", "bm.j as jaccard")
+    batch.select(col("id").as("new_id"))
+      .join(best, Seq("new_id"), "left")
+      .select("new_id", "dup_of", "jaccard")
+      .orderBy("new_id")
+  }
+
+  val qDedupIncrementalSql: String = {
+    val nh = Dedup.NumHashes
+    val minCols = (0 until nh).map(i =>
+      s"MIN((${Dedup.aCoefs(i)} * x + ${Dedup.bCoefs(i)}) % ${Dedup.P}) AS m$i")
+      .mkString(",\n       |         ")
+    val mhList = (0 until nh).map("m" + _).mkString("[", ",", "]")
+    val shingle =
+      """list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+        |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))""".stripMargin
+    def sigCtes(src: String, tag: String): String =
+      s"""sh$tag AS (SELECT id, $shingle AS sh FROM $src),
+         |hx$tag AS (SELECT id, ${hDuck("s")} % ${Dedup.P} AS x
+         |       FROM (SELECT id, unnest(sh) AS s FROM sh$tag)),
+         |mh$tag AS (SELECT id, $minCols
+         |        FROM hx$tag GROUP BY id),
+         |band$tag AS (
+         |  SELECT id, b, ($mhList)[2*b+1]::VARCHAR || ',' || ($mhList)[2*b+2]::VARCHAR AS k
+         |  FROM mh$tag CROSS JOIN (SELECT unnest(range(0, ${Dedup.NumBands})) AS b) bs)""".stripMargin
+    s"""WITH base AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS toks FROM documents),
+       |batch AS (
+       |  SELECT id + $IncBatchIdOffset AS id, toks[1:len(toks)-1] AS toks
+       |  FROM base WHERE id % 13 = 0 AND len(toks) >= 12
+       |  UNION ALL
+       |  SELECT i + $IncFreshIdOffset,
+       |         list_transform(range(0, 10),
+       |           j -> 'zzz' || CAST(i + $IncFreshIdOffset AS VARCHAR) || 'w' || CAST(j AS VARCHAR))
+       |  FROM (SELECT unnest(range(0, 20)) AS i)),
+       |${sigCtes("base", "c")},
+       |${sigCtes("batch", "p")},
+       |coldc AS (SELECT b, k FROM bandc GROUP BY b, k HAVING COUNT(*) <= ${Dedup.MaxBucket}),
+       |idx AS (SELECT bandc.* FROM bandc JOIN coldc USING (b, k)),
+       |cand AS (
+       |  SELECT p.id AS new_id, i.id AS dup_of
+       |  FROM bandp p JOIN idx i ON p.b = i.b AND p.k = i.k
+       |  GROUP BY p.id, i.id),
+       |verified AS (
+       |  SELECT c.new_id, c.dup_of,
+       |         len(list_filter(a.sh, q -> list_contains(b2.sh, q))) AS inter,
+       |         len(a.sh) + len(b2.sh) AS tot
+       |  FROM cand c JOIN shp a ON c.new_id = a.id JOIN shc b2 ON c.dup_of = b2.id),
+       |matched AS (
+       |  SELECT new_id, dup_of,
+       |         CAST(inter AS DOUBLE) / (tot - inter) AS jaccard,
+       |         ROW_NUMBER() OVER (PARTITION BY new_id
+       |                            ORDER BY CAST(inter AS DOUBLE) / (tot - inter) DESC, dup_of) AS rk
+       |  FROM verified
+       |  WHERE CAST(inter AS DOUBLE) / (tot - inter) >= 0.5)
+       |SELECT b.id AS new_id, m.dup_of, m.jaccard
+       |FROM batch b LEFT JOIN (SELECT * FROM matched WHERE rk = 1) m ON b.id = m.new_id
+       |ORDER BY new_id""".stripMargin
+  }
+
+  // ----------------------------------------------------------- registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_incremental" -> (qDedupIncremental _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_incremental" -> qDedupIncrementalSql)
 }

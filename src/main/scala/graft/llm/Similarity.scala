@@ -329,13 +329,27 @@ object Similarity {
   private def ivfCells(s: SparkSession): Int = {
     val k = s.conf.get(IvfCellsConf, IVF_CELLS.toString).toInt
     require(k > 0, s"$IvfCellsConf must be positive, got $k")
+    warnIfOracleDiverges(IvfCellsConf, k, IVF_CELLS)
     k
   }
   private def ivfProbes(s: SparkSession): Int = {
     val p = s.conf.get(IvfProbesConf, IVF_PROBES.toString).toInt
     require(p > 0, s"$IvfProbesConf must be positive, got $p")
+    warnIfOracleDiverges(IvfProbesConf, p, IVF_PROBES)
     p
   }
+  /** The driver's DuckDB oracle SQL is generated ONCE from the default
+    * K/P (it has no session to read a conf from), so an oracle-parity
+    * run with overridden confs would hash-mismatch BY CONSTRUCTION, not
+    * by a bug. Overriding is the intended production path — but it must
+    * never be silent in a run that also compares against the static
+    * oracle, so divergence logs loudly at plan-build time. */
+  private def warnIfOracleDiverges(conf: String, got: Int, default: Int): Unit =
+    if (got != default) System.err.println(
+      s"[graft-ann] $conf=$got overrides the default $default: the static " +
+        "DuckDB oracle SQL for q_ann_ivf_* / q_semdedup is generated from " +
+        "the DEFAULTS — skip oracle comparison for this run (results are " +
+        "valid, the oracle just answers a different configuration)")
   /** Centroid coordinates are means over assigned vectors — a cross-row
     * float sum whose result depends on reduction ORDER. Quantizing each
     * element to an integer first makes the sum exact and order-free, so

@@ -254,10 +254,35 @@ final class CatalogServer(
             events.nextSequenceNumber(), clock())))
           ok(ex, result)(RestCodecs.loadTableResponse(_))
         }
-      case ("POST", _ :: "namespaces" :: _ :: "register" :: Nil) =>
-        // not supported, like the reference (catalog/tables.rs:211-225)
-        respondError(ex, CatalogError(501, "RegisterTableNotSupported",
-          "register table is not supported"))
+      case ("POST", prefix :: "namespaces" :: ns :: "register" :: Nil) =>
+        // BEYOND the reference (it 501s, catalog/tables.rs:211-225):
+        // adopt an existing Iceberg table from its metadata file — the
+        // path every catalog migration hits. The metadata is read
+        // through the FileIO seam and validated by the strict codecs;
+        // unreadable/malformed/foreign-scheme locations are 400s, and
+        // the table keeps its uuid/location/file untouched.
+        withWh(ex, prefix) { wh =>
+          val result = RestCodecs.registerTableRequest(readBody(ex)).flatMap { r =>
+            if (r.overwrite)
+              Left(CatalogError.badRequest("overwrite on register is not supported"))
+            else authz.checkTableOp(wh, "create", TableIdent(decodeNs(ns), r.name))
+              .flatMap { _ =>
+                val parsed =
+                  try MetadataIO.read(r.metadataLocation)
+                  catch { case e: Exception => Left(String.valueOf(e.getMessage)) }
+                parsed match {
+                  case Left(msg) => Left(CatalogError.badRequest(
+                    s"cannot read table metadata at ${r.metadataLocation}: $msg"))
+                  case Right(md) =>
+                    store.registerTable(wh, decodeNs(ns), r.name, md, r.metadataLocation)
+                }
+              }
+          }
+          result.foreach(rec => events.emit(CatalogEvent("registerTable", wh,
+            TableIdent(rec.namespace, rec.name), rec.tableId,
+            events.nextSequenceNumber(), clock())))
+          ok(ex, result)(RestCodecs.loadTableResponse(_))
+        }
       case ("GET", prefix :: "namespaces" :: ns :: "tables" :: tbl :: Nil) =>
         withWh(ex, prefix) { wh =>
           val ident = TableIdent(decodeNs(ns), tbl)

@@ -141,6 +141,17 @@ object RestCodecs {
     render(o)
   }
 
+  final case class RegisterTableRequest(
+      name: String, metadataLocation: String, overwrite: Boolean)
+
+  def registerTableRequest(body: String): Either[CatalogError, RegisterTableRequest] =
+    for {
+      n <- parse(body)
+      name <- requireField(n, "name").map(_.asText())
+      loc <- requireField(n, "metadata-location").map(_.asText())
+    } yield RegisterTableRequest(
+      name, loc, optField(n, "overwrite").exists(_.asBoolean(false)))
+
   final case class RenameTableRequest(source: TableIdent, destination: TableIdent)
 
   def renameTableRequest(body: String): Either[CatalogError, RenameTableRequest] = {

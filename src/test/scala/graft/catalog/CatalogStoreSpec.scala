@@ -44,6 +44,33 @@ abstract class CatalogStoreContract extends AnyFunSuite {
     Snapshot(id, None, seq, t0 + id, s"manifests/$id.avro",
       Map("operation" -> "append"), Some(0))
 
+  // -------------------------------------------------- register (r11)
+  test("register: adopts metadata verbatim; name and uuid conflicts 409") {
+    val (store, wh) = freshStore()
+    assert(store.createNamespace(wh, Seq("ns"), Map.empty).isRight)
+    val src = createTable(store, wh, Seq("ns"), "src")
+    assert(store.dropTable(wh, TableIdent(Seq("ns"), "src")).isRight)
+
+    val reg = store.registerTable(wh, Seq("ns"), "adopted",
+      src.metadata, src.metadataLocation.get).fold(e => fail(e.message), identity)
+    assert(reg.tableId === src.tableId, "register keeps the original uuid")
+    assert(reg.metadataLocation === src.metadataLocation,
+      "register keeps the original metadata file")
+    assert(reg.tableLocation === src.metadata.location)
+    assert(store.loadTable(wh, TableIdent(Seq("ns"), "adopted")).isRight)
+
+    // same NAME again → 409
+    val other = createTable(store, wh, Seq("ns"), "other")
+    assert(store.registerTable(wh, Seq("ns"), "adopted",
+      other.metadata, other.metadataLocation.get).left.exists(_.code === 409))
+    // same UUID under a new name → 409 (one metadata tree, one owner)
+    assert(store.registerTable(wh, Seq("ns"), "twin",
+      src.metadata, src.metadataLocation.get).left.exists(_.code === 409))
+    // missing namespace → 404
+    assert(store.registerTable(wh, Seq("ghost"), "g",
+      src.metadata, src.metadataLocation.get).left.exists(_.code === 404))
+  }
+
   // ----------------------------------------------- namespace lifecycle
   test("namespace lifecycle: create, get, list, exists, drop") {
     val (store, wh) = freshStore()

@@ -223,12 +223,18 @@ class DedupSpec extends AnyFunSuite {
   test("keep-best refuses a corpus whose ids cross the reserved variant range") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-keepbest-guard").toString
-    Seq((2500000L, "some text here", "src0"))
+    Seq((Dedup.VariantIdOffset + 500000L, "some text here", "src0"))
       .toDF("doc_id", "text", "source")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val ex = intercept[IllegalArgumentException](
-      Dedup.qDedupKeepBest(spark, dir).collect())
-    assert(ex.getMessage.contains("reserves doc ids"))
+    // the guard runs INSIDE the job (no eager plan-build scan), so the
+    // raise_error surfaces at execution wrapped by Spark — walk the
+    // cause chain for the remap message
+    val ex = intercept[Exception](Dedup.qDedupKeepBest(spark, dir).collect())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else String.valueOf(t.getMessage) +: messages(t.getCause)
+    assert(messages(ex).exists(_.contains("reserves doc ids")),
+      s"expected the reserved-id guard, got: ${messages(ex).mkString(" | ")}")
   }
 
   test("keep-best survivor: one per cluster, maximal quality, deterministic ties") {
@@ -249,7 +255,8 @@ class DedupSpec extends AnyFunSuite {
     best.foreach { case (cl, n, bestId, q) =>
       val ms = byCluster(cl).map(_._2)
       assert(n === ms.length.toLong, s"cluster $cl member count")
-      val expected = ms.map(id => (id, quality(id % 2000000L)))
+      val expected = ms.map(id => (id, quality(
+        if (id >= Dedup.VariantIdOffset) id - Dedup.VariantIdOffset else id)))
         .minBy { case (id, mq) => (-mq, id) }
       assert((bestId, q) === expected, s"cluster $cl survivor")
     }

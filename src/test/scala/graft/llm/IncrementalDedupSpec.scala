@@ -101,6 +101,22 @@ class IncrementalDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("gated decision rows: planted near-copies matched, fresh docs survive as new") {
+    val out = IncrementalDedup.qDedupIncremental(spark, sf).collect()
+    val planted = out.filter(_.getLong(0) < IncrementalDedup.IncFreshIdOffset)
+    val fresh = out.filter(_.getLong(0) >= IncrementalDedup.IncFreshIdOffset)
+    assert(planted.nonEmpty)
+    // every planted near-copy gets a verified match, and the BEST match
+    // of at least the bulk of them is their own source doc
+    assert(planted.forall(r => !r.isNullAt(1)), "a planted near-copy survived unmatched")
+    assert(planted.count(r =>
+      r.getLong(1) == r.getLong(0) - IncrementalDedup.IncBatchIdOffset) >= planted.length / 2)
+    assert(planted.forall(r => r.getDouble(2) >= 0.5))
+    // genuinely-new docs (disjoint vocabulary) all survive with NULLs
+    assert(fresh.length === 20)
+    assert(fresh.forall(r => r.isNullAt(1) && r.isNullAt(2)))
+  }
+
   test("index compaction drops buckets that turned hot after increments") {
     // an index built cold, then an increment floods one bucket: the
     // maintenance pass must drop exactly that bucket's rows

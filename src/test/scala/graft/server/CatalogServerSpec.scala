@@ -163,11 +163,14 @@ class CatalogServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       """{"identifier":{"namespace":["db"],"name":"other"},"updates":[]}""")
       .statusCode() === 400)
 
-    // metrics no-op, register 501
+    // metrics no-op; register with an unreadable metadata location → 400
+    // (register itself is real since r11 — full flow in the dedicated
+    // register test below)
     assert(post(s"/catalog/v1/$prefix/namespaces/db/tables/t/metrics",
       """{"report-type":"scan"}""").statusCode() === 204)
     assert(post(s"/catalog/v1/$prefix/namespaces/db/register",
-      """{"name":"x","metadata-location":"file:///x"}""").statusCode() === 501)
+      """{"name":"x","metadata-location":"file:///nonexistent/x.metadata.json"}""")
+      .statusCode() === 400)
 
     // rename then drop
     assert(post(s"/catalog/v1/$prefix/tables/rename",
