@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** 10× scale rehearsal: every 100 TB claim in this repo is otherwise
+  * proven at sf0.1 plus invariant specs — this derives a deterministic
+  * ~N× corpus from a driver testdata dir and (a) re-checks the four
+  * growth invariants on it (ScalingRehearsalSpec), (b) records 1× vs
+  * N× wall-times (the `main` below → SCALING.md).
+  *
+  * Growth model: replica r of every document gets each token prefixed
+  * `g<r>` — replicas are shingle-disjoint from each other and from the
+  * originals, so growth adds NEW content and near-dup density grows
+  * LINEARLY (each replica carries its own derived near-copies), which
+  * is how a real corpus grows; replica 0 is the untouched original.
+  * Embeddings get hash-derived per-element jitter so the vector space
+  * fills rather than collapsing onto 10 identical copies. Everything
+  * is a pure function of (base row, replica index): two derivations of
+  * the same base are byte-identical.
+  */
+object ScalingRehearsal {
+
+  /** Id stride between replicas — far above any driver-testdata id
+    * (sf0.1 tops out < 10⁴) and 10 replicas stay below the dedup
+    * family's reserved variant range (10 · stride < 2 000 000). */
+  val ReplicaIdStride = 100000L
+
+  /** Write the N× documents+embeddings derivation of `baseDir` under
+    * `outDir` (same file layout as the driver testdata, so every
+    * registered query runs on it unchanged). */
+  def derive(spark: SparkSession, baseDir: String, outDir: String,
+      replicas: Int): Unit = {
+    require(replicas >= 1 && replicas * ReplicaIdStride < 2000000L,
+      s"replicas=$replicas would cross the reserved variant id range")
+    Tables.load(spark, baseDir, "documents")
+      .selectExpr(s"explode(sequence(0, ${replicas - 1})) as r",
+        "doc_id", "text", "lang", "source", "n_chars")
+      .selectExpr(
+        s"doc_id + r * ${ReplicaIdStride}L as doc_id",
+        "case when r = 0 then text else " +
+          "array_join(transform(split(text, ' '), t -> concat('g', r, t)), ' ') end as text",
+        "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    Tables.load(spark, baseDir, "embeddings")
+      .selectExpr(s"explode(sequence(0, ${replicas - 1})) as r",
+        "vec_id", "embedding", "label")
+      .selectExpr(
+        s"vec_id + r * ${ReplicaIdStride}L as vec_id",
+        // ±0.05 deterministic jitter per element: hash is pure in
+        // (vec_id, r, i), so re-derivation is byte-stable
+        "case when r = 0 then embedding else " +
+          "transform(embedding, (v, i) -> cast(v + 0.05 * (pmod(hash(vec_id, r, i), 41) - 20) / 20.0 as float)) end as embedding",
+        "label")
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
+
+  /** Time one registered-query-shaped pipeline to a noop sink. */
+  def time(fn: => DataFrame): Double = {
+    val t0 = System.nanoTime()
+    fn.write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Wall-time the headline growth-sensitive pipelines on `dir`,
+    * returning (name → seconds). `ivfCells` sizes the quantizer the
+    * way a deployment would (cells ∝ corpus). */
+  def measure(spark: SparkSession, dir: String, ivfCells: Int)
+      : Seq[(String, Double)] = {
+    spark.conf.set(graft.llm.Similarity.IvfCellsConf, ivfCells.toString)
+    try Seq(
+      "minhash_lsh_pairs" -> time(graft.llm.Dedup.qDedupMinhashLsh(spark, dir)),
+      "lsh_clusters_cc" -> time(graft.llm.Dedup.qDedupClusters(spark, dir)),
+      "ngram_jaccard" -> time(graft.llm.Dedup.qDedupNgramJaccard(spark, dir)),
+      "vocab_topk" -> time(graft.llm.CorpusStats.qVocabTopk(spark, dir)),
+      "quality_quantile" -> time(graft.llm.TextAnalysis.qQualityQuantile(spark, dir)),
+      "source_cap" -> time(graft.llm.Sampling.qSourceCap(spark, dir)),
+      "ivf_index" -> time(graft.llm.Similarity.ivfIndex(spark, dir)),
+      "ivf_index_2level" -> time(graft.llm.Similarity.ivfIndexTwoLevel(spark, dir)))
+    finally spark.conf.unset(graft.llm.Similarity.IvfCellsConf)
+  }
+
+  /** Derive sf0.1 × N under /tmp and print the 1× vs N× wall-time
+    * table (markdown) — the SCALING.md generator. Args:
+    * [baseDir] [replicas] [outDir]. */
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val replicas = args.lift(1).map(_.toInt).getOrElse(10)
+    val outDir = args.lift(2).getOrElse("/tmp/graft-scaling-x" + replicas)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    derive(spark, baseDir, outDir, replicas)
+
+    // warmup (JIT/codegen/footers), then one measured pass per scale
+    measure(spark, baseDir, 16)
+    val one = measure(spark, baseDir, 16)
+    val oneCc = graft.llm.Dedup.lastCcRounds
+    val big = measure(spark, outDir, 16 * replicas)
+    val bigCc = graft.llm.Dedup.lastCcRounds
+
+    println(s"| pipeline | 1x (s) | ${replicas}x (s) | ratio |")
+    println("|---|---|---|---|")
+    one.zip(big).foreach { case ((n, t1), (_, tN)) =>
+      println(f"| $n | $t1%.2f | $tN%.2f | ${tN / t1}%.1fx |")
+    }
+    println(f"| cc_rounds | $oneCc | $bigCc | — |")
+    spark.stop()
+  }
+}

@@ -396,7 +396,14 @@ object Similarity {
       .toSeq.toDF("vec_id", "cell")
     val seeds = corpus.join(broadcast(rankDf), "vec_id")
       .select(col("cell"), col("e").as("c"))
-    ivfAssign(corpus, seeds)
+    quantizedMeans(ivfAssign(corpus, seeds))
+  }
+
+  /** Per-cell quantized mean of assigned vectors `(cell, e)` → `(cell,
+    * c)` — the exact order-free mean both Lloyd steps share (see
+    * [[IVF_QUANT]]). */
+  private def quantizedMeans(assigned: DataFrame): DataFrame =
+    assigned
       .selectExpr("cell", "posexplode(e) as (i, x)")
       .groupBy("cell", "i")
       .agg(
@@ -407,7 +414,6 @@ object Similarity {
       .agg(org.apache.spark.sql.functions.expr(
         s"transform(array_sort(collect_list(struct(i, s, n))), " +
           s"p -> cast(p.s as double) / (p.n * cast($IVF_QUANT as double))) as c"))
-  }
 
   /** The IVF index CONTENT — one row per vector with its assigned cell
     * (the inverted-list id) and embedding. This is what a large-scale
@@ -420,6 +426,95 @@ object Similarity {
     val corpus = load(s, dir, "embeddings").select(col("vec_id"),
       graft.functions.VectorExprs.toDouble(col("embedding")).as("e"))
     ivfAssign(corpus, ivfCentroids(corpus))
+  }
+
+  /** TWO-LEVEL nearest-cell assignment — the build-time scale path the
+    * 10× rehearsal forced (SCALING.md): the flat [[ivfAssign]] scores
+    * every (vector, cell) pair, O(rows · K) — and since a deployment
+    * grows K ∝ rows to keep cells flat, index BUILD cost grows
+    * quadratically with the corpus (measured 21× time at 10× data).
+    * Here the K centroids are first clustered into G ≈ √K
+    * super-groups (a Lloyd step over the K centroids — O(K · G), dust
+    * at any scale); each vector scores the G super-centroids, takes
+    * the best super-group, then scores only that group's ≈ K/G member
+    * centroids: O(rows · (G + K/G)) = O(rows · 2√K) per vector, the
+    * standard coarse-quantizer answer. Both joins broadcast (supers:
+    * G rows; members: K rows keyed by group), so the corpus is
+    * scanned once and never shuffled.
+    *
+    * APPROXIMATE by construction — a vector near a group boundary may
+    * land in the runner-up group's best cell (same recall trade every
+    * IMI/IVF build makes; agreement pinned ≥ 90% in SimilaritySpec) —
+    * so this backs [[ivfIndexTwoLevel]], while the oracle-gated
+    * queries keep the exact flat assignment. */
+  private def ivfAssignTwoLevel(corpus: DataFrame, cents: DataFrame,
+      groups: Int): DataFrame = {
+    // super-centroids: one Lloyd step over the K centroids, seeded by
+    // the `groups` lowest cell ids (same deterministic shape as
+    // ivfCentroids, centroids standing in for the corpus)
+    val seedGroups = cents.filter(col("cell") < groups)
+      .select(col("cell").as("g"), col("c").as("sc"))
+    val centToGroup = cents.crossJoin(broadcast(seedGroups))
+      .select(col("cell"), col("c"), col("g"),
+        graft.functions.VectorExprs.cosine(col("c"), col("sc")).as("cos"))
+      .groupBy("cell")
+      .agg(org.apache.spark.sql.functions.expr(
+        "max_by(struct(g, c), struct(cos, -g)) as best"))
+      .selectExpr("cell", "best.g as g", "best.c as c")
+    val supers = centToGroup
+      .selectExpr("g", "posexplode(c) as (i, x)")
+      .groupBy("g", "i")
+      .agg(
+        org.apache.spark.sql.functions.expr(s"sum(floor(x * $IVF_QUANT)) as s"),
+        org.apache.spark.sql.functions.expr("count(*) as n"))
+      .groupBy("g")
+      .agg(org.apache.spark.sql.functions.expr(
+        s"transform(array_sort(collect_list(struct(i, s, n))), " +
+          s"p -> cast(p.s as double) / (p.n * cast($IVF_QUANT as double))) as sc"))
+
+    // level 1: best super-group per vector (O(rows · G), broadcast)
+    val coarse = corpus.crossJoin(broadcast(supers))
+      .select(col("vec_id"), col("e"), col("g"),
+        graft.functions.VectorExprs.cosine(col("e"), col("sc")).as("cos"))
+      .groupBy("vec_id")
+      .agg(org.apache.spark.sql.functions.expr(
+        "max_by(struct(g, e), struct(cos, -g)) as best"))
+      .selectExpr("vec_id", "best.g as g", "best.e as e")
+    // level 2: best member cell within the chosen group (O(rows · K/G),
+    // broadcast equi-join on g)
+    coarse.join(broadcast(centToGroup.select(col("g"), col("cell"), col("c"))), "g")
+      .select(col("vec_id"), col("e"), col("cell"),
+        graft.functions.VectorExprs.cosine(col("e"), col("c")).as("cos"))
+      .groupBy("vec_id")
+      .agg(org.apache.spark.sql.functions.expr(
+        "max_by(struct(cell, e), struct(cos, -cell)) as best"))
+      .selectExpr("vec_id", "best.cell as cell", "best.e as e")
+  }
+
+  /** [[ivfIndex]] through the two-level quantizer END TO END — both
+    * the Lloyd refinement pass and the final assignment go through
+    * [[ivfAssignTwoLevel]], so index BUILD cost is O(rows · 2√K)
+    * instead of the flat path's O(rows · K) per pass (which is
+    * rows²/cell_size once a deployment grows K with the corpus — the
+    * 21× blow-up the 10× rehearsal measured, see SCALING.md).
+    * Probe-side layout and pruning are identical; the only difference
+    * is which cell a group-boundary vector lands in. */
+  def ivfIndexTwoLevel(s: SparkSession, dir: String): DataFrame = {
+    val corpus = load(s, dir, "embeddings").select(col("vec_id"),
+      graft.functions.VectorExprs.toDouble(col("embedding")).as("e"))
+    val k = ivfCells(s)
+    val g = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
+    // seeds: same deterministic choice as the exact path
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val seedIds = corpus.select(col("vec_id")).orderBy("vec_id")
+      .limit(k).collect().map(_.getLong(0))
+    val rankDf = seedIds.zipWithIndex.map { case (id, i) => (id, i) }
+      .toSeq.toDF("vec_id", "cell")
+    val seeds = corpus.join(broadcast(rankDf), "vec_id")
+      .select(col("cell"), col("e").as("c"))
+    val cents = quantizedMeans(ivfAssignTwoLevel(corpus, seeds, g))
+    ivfAssignTwoLevel(corpus, cents, g)
   }
 
   /** Cell occupancy histogram — the inverted-list layout view (cell id
@@ -593,8 +688,68 @@ object Similarity {
        |FROM asg a LEFT JOIN victims v ON a.vec_id = v.vec_id
        |ORDER BY a.vec_id""".stripMargin
 
+  /** The two-level build's full assignment, driver-gated: every
+    * arithmetic step (quantized means, left-fold cosines, tie rules)
+    * is portable, so even the APPROXIMATE scale path gets a
+    * bit-for-bit DuckDB oracle rather than a weaker spec-only check
+    * (the same standard the MinHash source-overlap scale path meets). */
+  def qIvfAssign2Level(s: SparkSession, dir: String): DataFrame =
+    ivfIndexTwoLevel(s, dir).selectExpr("vec_id", "cell").orderBy("vec_id")
+
+  val qIvfAssign2LevelSql: String = {
+    val g = math.max(2, math.ceil(math.sqrt(IVF_CELLS.toDouble)).toInt)
+    // one two-level assignment of `src`(id-ish rows with vector col) to
+    // `cents`(cell, c), emitted as CTE text: super-groups from the
+    // lowest-G cells, centroid→group by cosine, per-group quantized
+    // super-centroids, then coarse (vector→group) + fine
+    // (vector→member cell) picks — the SQL twin of ivfAssignTwoLevel
+    def twoLevelCtes(tag: String, centsCte: String): String =
+      s"""sg$tag AS (SELECT cell AS g, c AS sc FROM $centsCte WHERE cell < $g),
+         |c2g$tag AS (
+         |  SELECT cell, c, g FROM (
+         |    SELECT k.cell, k.c, t.g,
+         |           ROW_NUMBER() OVER (PARTITION BY k.cell
+         |                              ORDER BY ${cosD("k.c", "t.sc")} DESC, t.g) AS rn
+         |    FROM $centsCte k CROSS JOIN sg$tag t) x WHERE rn = 1),
+         |sup$tag AS (
+         |  SELECT g, array_agg(s::DOUBLE / (n * $IVF_QUANT.0) ORDER BY i) AS sc
+         |  FROM (SELECT g, i,
+         |               SUM(CAST(FLOOR(c[i] * $IVF_QUANT) AS BIGINT)) AS s,
+         |               COUNT(*) AS n
+         |        FROM c2g$tag CROSS JOIN (SELECT unnest(range(1, $DIM + 1)) AS i) idx
+         |        GROUP BY g, i) q GROUP BY g),
+         |coarse$tag AS (
+         |  SELECT vec_id, e, g FROM (
+         |    SELECT v.vec_id, v.e, t.g,
+         |           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |                              ORDER BY ${cosD("v.e", "t.sc")} DESC, t.g) AS rn
+         |    FROM emb v CROSS JOIN sup$tag t) x WHERE rn = 1),
+         |asg$tag AS (
+         |  SELECT vec_id, e, cell FROM (
+         |    SELECT v.vec_id, v.e, m.cell,
+         |           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |                              ORDER BY ${cosD("v.e", "m.c")} DESC, m.cell) AS rn
+         |    FROM coarse$tag v JOIN c2g$tag m ON v.g = m.g) x WHERE rn = 1)""".stripMargin
+    s"""WITH emb AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+       |             FROM embeddings),
+       |seeds AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+       |                 e AS c
+       |          FROM (SELECT vec_id, e FROM emb ORDER BY vec_id LIMIT $IVF_CELLS)),
+       |${twoLevelCtes("L", "seeds")},
+       |cents2 AS (
+       |  SELECT cell, array_agg(s::DOUBLE / (n * $IVF_QUANT.0) ORDER BY i) AS c
+       |  FROM (SELECT cell, i,
+       |               SUM(CAST(FLOOR(e[i] * $IVF_QUANT) AS BIGINT)) AS s,
+       |               COUNT(*) AS n
+       |        FROM asgL CROSS JOIN (SELECT unnest(range(1, $DIM + 1)) AS i) idx
+       |        GROUP BY cell, i) q GROUP BY cell),
+       |${twoLevelCtes("F", "cents2")}
+       |SELECT vec_id, cell FROM asgF ORDER BY vec_id""".stripMargin
+  }
+
   // ----------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_ivf_assign2" -> (qIvfAssign2Level _),
     "q_knn_bruteforce" -> (qKnnBruteForce _),
     "q_ann_lsh_buckets" -> (qAnnLshBuckets _),
     "q_ann_lsh_topk" -> (qAnnLshTopK _),
@@ -605,6 +760,7 @@ object Similarity {
     "q_dedup_embedding" -> (qDedupEmbedding _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_ann_ivf_assign2" -> qIvfAssign2LevelSql,
     "q_knn_bruteforce" -> qKnnBruteForceSql,
     "q_ann_lsh_buckets" -> qAnnLshBucketsSql,
     "q_ann_lsh_topk" -> qAnnLshTopKSql,

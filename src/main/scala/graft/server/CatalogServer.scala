@@ -72,8 +72,13 @@ final class CatalogServer(
     ex.close()
   }
 
-  private def respondError(ex: HttpExchange, e: CatalogError): Unit =
+  private def respondError(ex: HttpExchange, e: CatalogError): Unit = {
+    // 503s are RETRYABLE by contract (auth keys mid-fetch, transient
+    // backend unavailability) — say so in a header so clients
+    // distinguish them from terminal failures without parsing bodies
+    if (e.code == 503) ex.getResponseHeaders.set("Retry-After", "1")
     respond(ex, e.code, RestCodecs.errorResponse(e))
+  }
 
   private def ok[A](ex: HttpExchange, r: Either[CatalogError, A])(f: A => String): Unit =
     r match {

@@ -129,9 +129,14 @@ object TokenVerifier {
     * verified with `java.security.Signature`, then the standard
     * claims. Backs both the offline-injected [[RsaJwtVerifier]] and
     * the discovery-backed [[OidcJwtVerifier]]. */
+  /** Key resolution outcome: `Right(None)` = the key set is SETTLED and
+    * the kid is genuinely absent (401); `Left(e)` = resolution itself
+    * failed retryably (keys still in flight — 503, so clients can
+    * distinguish "not yet fetched" from "bad token"). */
   private def rs256Verify(
       bearer: Option[String],
-      resolveKey: String => Option[java.security.interfaces.RSAPublicKey],
+      resolveKey: String => Either[CatalogError,
+        Option[java.security.interfaces.RSAPublicKey]],
       issuer: String,
       clock: () => Long): Either[CatalogError, Principal] =
     bearer match {
@@ -150,8 +155,9 @@ object TokenVerifier {
             else Option(header.get("kid")).map(_.asText) match {
               case None => unauthorized("token has no kid")
               case Some(kid) => resolveKey(kid) match {
-                case None => unauthorized(s"unknown signing key: $kid")
-                case Some(key) =>
+                case Left(e) => Left(e)
+                case Right(None) => unauthorized(s"unknown signing key: $kid")
+                case Right(Some(key)) =>
                   if (!rs256Signature(key, s"$h.$p", sig))
                     unauthorized("invalid signature")
                   else checkClaims(p, issuer, clock)
@@ -185,7 +191,7 @@ object TokenVerifier {
       issuer: String,
       clock: () => Long = () => System.currentTimeMillis()) extends TokenVerifier {
     def verify(bearer: Option[String]): Either[CatalogError, Principal] =
-      rs256Verify(bearer, keys.get, issuer, clock)
+      rs256Verify(bearer, k => Right(keys.get(k)), issuer, clock)
   }
 
   /** Live OIDC verification, the reference's actual startup shape
@@ -218,11 +224,14 @@ object TokenVerifier {
     *    verifies with cached keys never wait on the network AT ALL
     *    (pinned in AuthSpec by a stalling-JWKS stub);
     *  - an UNKNOWN kid (key rotation) waits on the in-flight fetch for
-    *    at most `unknownKidWaitMs` and then 401s — a fast issuer means
-    *    freshly rotated tokens verify on first sight, a wedged issuer
-    *    costs each unknown-kid request a bounded wait (the client
-    *    retries once the background fetch lands) instead of convoying
-    *    every verify thread behind one ≤`httpTimeoutMs` fetch. */
+    *    at most `unknownKidWaitMs` and then fails 503 with Retry-After
+    *    (NOT 401 — the kid's status is unknown, not bad, and REST
+    *    clients treat 401 as terminal) — a fast issuer means freshly
+    *    rotated tokens verify on first sight, a wedged issuer costs
+    *    each unknown-kid request a bounded wait (the client retries
+    *    once the background fetch lands) instead of convoying every
+    *    verify thread behind one ≤`httpTimeoutMs` fetch. A kid that is
+    *    absent AFTER a completed fetch is genuinely unknown → 401. */
   final class OidcJwtVerifier(
       providerUrl: String,
       clock: () => Long = () => System.currentTimeMillis(),
@@ -277,19 +286,38 @@ object TokenVerifier {
       rs256Verify(bearer, resolveKey, issuer, clock)
     }
 
-    private def resolveKey(kid: String)
-        : Option[java.security.interfaces.RSAPublicKey] =
-      keys.get(kid).orElse { refresh(waitForResult = true); keys.get(kid) }
+    private def resolveKey(kid: String): Either[CatalogError,
+        Option[java.security.interfaces.RSAPublicKey]] =
+      keys.get(kid) match {
+        case some @ Some(_) => Right(some)
+        case None =>
+          val settled = refresh(waitForResult = true)
+          keys.get(kid) match {
+            case some @ Some(_) => Right(some)
+            // fetch completed (or none was needed) and the kid is
+            // genuinely not in the set → 401 at the caller
+            case None if settled => Right(None)
+            // the bounded join TIMED OUT with the fetch still in
+            // flight: the kid's status is UNKNOWN, not bad — 503 +
+            // Retry-After so clients retry instead of treating a
+            // freshly rotated token as an auth failure
+            case None => Left(CatalogError(503, "AuthKeysUnavailable",
+              s"signing key '$kid' is not cached and the JWKS refresh " +
+                "is still in flight; retry shortly"))
+          }
+      }
 
     /** Schedule (or join) the single in-flight background fetch.
       * `waitForResult` callers — unknown-`kid` resolution, the only
       * ones that NEED the outcome — wait AT MOST `unknownKidWaitMs`
-      * and then give up: the token fails 401 and the client retries,
-      * which is strictly better than a burst of unknown-kid tokens
-      * during a key rotation serializing every verify thread behind
-      * one slow (≤ httpTimeoutMs) fetch. Cached-kid verifies never
-      * wait at all. */
-    private def refresh(waitForResult: Boolean): Unit = {
+      * and then give up, returning `false` ("outcome not settled"):
+      * the token fails 503/Retry-After and the client retries, which
+      * is strictly better than a burst of unknown-kid tokens during a
+      * key rotation serializing every verify thread behind one slow
+      * (≤ httpTimeoutMs) fetch. Cached-kid verifies never wait at
+      * all. Returns `true` when the outcome is settled (the joined
+      * fetch completed, or there was nothing to wait for). */
+    private def refresh(waitForResult: Boolean): Boolean = {
       val f: java.util.concurrent.CompletableFuture[Unit] =
         if (clock() - fetchedAt < minRefreshIntervalMs) {
           // rate-limited — but doFetch bumps fetchedAt at fetch START,
@@ -314,12 +342,16 @@ object TokenVerifier {
           }
         }
       if (waitForResult && f != null)
-        try f.get(unknownKidWaitMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+        try { f.get(unknownKidWaitMs, java.util.concurrent.TimeUnit.MILLISECONDS); true }
         catch {
-          case _: java.util.concurrent.TimeoutException => () // reject now, keys may land later
-          case _: InterruptedException => Thread.currentThread().interrupt()
-          case _: java.util.concurrent.ExecutionException => ()
+          // keys may still land later — not settled, caller 503s
+          case _: java.util.concurrent.TimeoutException => false
+          case _: InterruptedException => Thread.currentThread().interrupt(); false
+          // the fetch ran to completion (doFetch swallows its own
+          // errors, so this is belt-and-braces): settled
+          case _: java.util.concurrent.ExecutionException => true
         }
+      else true
     }
 
     private def doFetch(): Unit =

@@ -98,6 +98,39 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("two-level IVF build quantizes as well as the exact build, without degenerating") {
+    // the O(rows·2√K) build path (SCALING.md's fix for the 21×
+    // super-linear flat build) may label boundary vectors differently
+    // from the flat assignment — on near-isotropic synthetic
+    // embeddings that label disagreement is LARGE by nature (supers
+    // carry little signal), so label agreement is the wrong gate. The
+    // contract that matters for probe recall is QUANTIZATION QUALITY:
+    // how close each vector sits to its own cell's (post-hoc) mean.
+    // The two-level index must match the exact index on that measure
+    // and produce a non-degenerate layout.
+    def meanSelfCosine(index: org.apache.spark.sql.DataFrame): Double = {
+      import org.apache.spark.sql.functions._
+      val cents = index.selectExpr("cell", "posexplode(e) as (i, x)")
+        .groupBy("cell", "i").agg(avg(col("x")).as("m"))
+        .groupBy("cell")
+        .agg(expr("transform(array_sort(collect_list(struct(i, m))), p -> p.m) as c"))
+      index.join(cents, "cell")
+        .select(graft.functions.VectorExprs.cosine(col("e"), col("c")).as("cos"))
+        .agg(avg(col("cos"))).head().getDouble(0)
+    }
+    val exact = Similarity.ivfIndex(spark, sf)
+    val two = Similarity.ivfIndexTwoLevel(spark, sf)
+    val n = exact.count()
+    assert(two.count() === n, "every vector assigned exactly once")
+    val qExact = meanSelfCosine(exact)
+    val qTwo = meanSelfCosine(two)
+    assert(qTwo >= qExact - 0.03,
+      s"two-level quantization quality $qTwo vs exact $qExact")
+    val occ = two.groupBy("cell").count().collect().map(_.getLong(1))
+    assert(occ.length > 4, "two-level quantizer collapsed the corpus")
+    assert(occ.max < n / 2, "one two-level cell dominates")
+  }
+
   test("IVF cells conf: K scales with the corpus, cell occupancy stays bounded") {
     import spark.implicits._
     // synthetic corpora on a circle: golden-ratio angle sequence

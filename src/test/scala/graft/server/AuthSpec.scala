@@ -266,7 +266,7 @@ class AuthSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally http.stop(0)
   }
 
-  test("unknown-kid verifies against a stalled JWKS return 401 within the bound, not behind the fetch") {
+  test("unknown-kid verifies against a stalled JWKS return 503 within the bound, not behind the fetch") {
     import java.security.interfaces.RSAPublicKey
     import com.sun.net.httpserver.HttpServer
     val kp = rsaKeyPair()
@@ -302,7 +302,10 @@ class AuthSpec extends AnyFunSuite with BeforeAndAfterAll {
       // key rotation happens while the issuer is wedged: a BURST of
       // unknown-kid tokens must each fail fast within the bound — not
       // serialize behind the single hung fetch — and cached-kid
-      // verifies must keep succeeding throughout
+      // verifies must keep succeeding throughout. The failure is 503
+      // (keys not yet fetched — retryable), NOT 401: the kid's status
+      // is unknown while the fetch is in flight, and clients must be
+      // able to distinguish that from a genuinely bad token
       hang.set(true)
       now += 31 * 1000L
       val unknown = TokenVerifier.signRs256(
@@ -320,7 +323,7 @@ class AuthSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(burst.forall(!_.isAlive),
         "an unknown-kid verify blocked past the join bound behind the hung fetch")
       import scala.jdk.CollectionConverters._
-      assert(results.size === n && results.asScala.forall(_ === Left(401)))
+      assert(results.size === n && results.asScala.forall(_ === Left(503)))
       // concurrency proof: convoying behind the hung fetch would hold
       // threads for the 10s HTTP timeout (the old fetchLock behavior);
       // the burst must finish in roughly one bound — 6× slack keeps a
@@ -381,6 +384,14 @@ class AuthSpec extends AnyFunSuite with BeforeAndAfterAll {
       import scala.jdk.CollectionConverters._
       assert(results.asScala.toSeq === Seq.fill(4)(Right("bob")),
         s"late arrivals during the in-flight fetch were rejected: ${results.asScala.toSeq}")
+
+      // a kid that is still absent AFTER a fetch that COMPLETED within
+      // the bound is genuinely unknown → 401 (the 503 is reserved for
+      // the not-yet-fetched case)
+      delayMs = 0
+      now += 31 * 1000L
+      val ghost = TokenVerifier.signRs256(kp1.getPrivate, "kid-ghost", issuer, "eve", exp)
+      assert(v.verify(Some(ghost)).left.map(_.code) === Left(401))
     } finally http.stop(0)
   }
 
@@ -412,5 +423,28 @@ class AuthSpec extends AnyFunSuite with BeforeAndAfterAll {
         HttpResponse.BodyHandlers.ofString())
       assert(anon.statusCode() === 401)
     } finally rsServer.stop()
+  }
+
+  test("auth-keys-unavailable surfaces as HTTP 503 with Retry-After") {
+    // a verifier mid-key-fetch (the OIDC timed-out-join case) mounted
+    // as middleware: the server must tell the client this is retryable
+    val stuck = new TokenVerifier {
+      def verify(bearer: Option[String]) =
+        Left(graft.catalog.CatalogError(503, "AuthKeysUnavailable",
+          "signing key not yet fetched; retry shortly"))
+    }
+    val srv = new CatalogServer(new InMemoryCatalogStore, UUID.randomUUID(),
+      auth = stuck).start()
+    try {
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"${srv.baseUri}/catalog/v1/config?warehouse=nope"))
+          .header("Authorization", "Bearer whatever").GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() === 503)
+      assert(resp.headers().firstValue("Retry-After").isPresent,
+        "503 must carry Retry-After so clients distinguish retryable from terminal")
+      assert(resp.body().contains("AuthKeysUnavailable"))
+    } finally srv.stop()
   }
 }
