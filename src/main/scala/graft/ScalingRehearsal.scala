@@ -21,17 +21,33 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object ScalingRehearsal {
 
   /** Id stride between replicas — far above any driver-testdata id
-    * (sf0.1 tops out < 10⁴) and 10 replicas stay below the dedup
-    * family's reserved variant range (10 · stride < 2 000 000). */
+    * (sf0.1 tops out < 10⁴; the derivation VERIFIES this per base) and
+    * 10 replicas stay below the dedup family's reserved variant range
+    * ([[graft.llm.Dedup.VariantIdOffset]]). */
   val ReplicaIdStride = 100000L
 
   /** Write the N× documents+embeddings derivation of `baseDir` under
     * `outDir` (same file layout as the driver testdata, so every
-    * registered query runs on it unchanged). */
+    * registered query runs on it unchanged). Guards are LOUD, not
+    * assumed: base ids must fit under the replica stride (a collision
+    * would silently corrupt every dedup/CC invariant measured on the
+    * output), and the derived range must stay below the dedup
+    * family's reserved variant offset. */
   def derive(spark: SparkSession, baseDir: String, outDir: String,
       replicas: Int): Unit = {
-    require(replicas >= 1 && replicas * ReplicaIdStride < 2000000L,
-      s"replicas=$replicas would cross the reserved variant id range")
+    require(replicas >= 1 &&
+        replicas * ReplicaIdStride < graft.llm.Dedup.VariantIdOffset,
+      s"replicas=$replicas would cross the reserved variant id range " +
+        s"(${graft.llm.Dedup.VariantIdOffset})")
+    // bounded, column-pruned guard jobs — this is a rehearsal tool,
+    // not a lazy registry builder
+    val maxDoc = Tables.load(spark, baseDir, "documents")
+      .agg(org.apache.spark.sql.functions.max("doc_id")).head().getLong(0)
+    val maxVec = Tables.load(spark, baseDir, "embeddings")
+      .agg(org.apache.spark.sql.functions.max("vec_id")).head().getLong(0)
+    require(maxDoc < ReplicaIdStride && maxVec < ReplicaIdStride,
+      s"base ids (max doc $maxDoc, max vec $maxVec) must stay below the " +
+        s"replica stride $ReplicaIdStride — raise ReplicaIdStride for this base")
     Tables.load(spark, baseDir, "documents")
       .selectExpr(s"explode(sequence(0, ${replicas - 1})) as r",
         "doc_id", "text", "lang", "source", "n_chars")

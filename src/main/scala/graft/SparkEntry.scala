@@ -18,13 +18,16 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2.
     *
     * Builders are LAZY (constructing the DataFrame runs no job) with
-    * two documented exceptions: `q_source_overlap` runs a bounded
-    * single-column job at construction time to refuse planning its
+    * three documented exceptions: `q_source_overlap` runs a bounded
+    * single-column job at construction to refuse planning its
     * quadratic above the conf'd source bound
-    * ([[graft.llm.CorpusStats.qSourceOverlap]]), and the
+    * ([[graft.llm.CorpusStats.qSourceOverlap]]); the
     * connected-components family (`q_dedup_clusters`,
     * `q_dedup_keep_best*`) runs its iterative label rounds at
-    * construction — the result frame is the converged final round. */
+    * construction — the result frame is the converged final round;
+    * and the IVF family (`q_ann_ivf_*`, `q_semdedup`) runs one
+    * bounded K-row TakeOrdered collect at construction to pick its
+    * deterministic quantizer seeds. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.Temporal.queries ++

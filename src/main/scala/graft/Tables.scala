@@ -46,7 +46,13 @@ object Tables {
       // decides (set timeZone=UTC, or load events with a dedicated
       // session) rather than having shared state rewritten under them.
       val tz = spark.conf.get("spark.sql.session.timeZone", "")
-      if (tz != "UTC") throw new IllegalStateException(
+      // accept any zone whose rules ARE UTC ("UTC", "Etc/UTC", "GMT",
+      // "+00:00", "Z") — the contract is wall-clock semantics, not a
+      // string spelling
+      val zoneIsUtc =
+        try java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC
+        catch { case _: Exception => false }
+      if (!zoneIsUtc) throw new IllegalStateException(
         s"graft events queries require spark.sql.session.timeZone=UTC " +
           s"(session has '$tz'): events.ts normalization and the DuckDB " +
           "oracle bind wall clocks to UTC. Set the conf on the session " +

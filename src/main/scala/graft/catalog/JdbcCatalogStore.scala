@@ -61,7 +61,14 @@ final class JdbcCatalogStore(jdbcUrl: String) extends CatalogStore {
           |  metadata CLOB NOT NULL,
           |  metadata_location VARCHAR(2048),
           |  table_location VARCHAR(2048) NOT NULL,
-          |  PRIMARY KEY (wh, ns, name))""".stripMargin)
+          |  PRIMARY KEY (wh, ns, name))""".stripMargin,
+        // one metadata tree, one catalog row: registerTable's
+        // uuid-uniqueness 409 needs a CONSTRAINT behind its
+        // read-then-insert (two concurrent registers of the same
+        // metadata file under different names race past the SELECT;
+        // the name PK cannot catch them). Safe for every other writer:
+        // create/rename/commit never reuse a table_id within a wh.
+        "CREATE UNIQUE INDEX tbls_uuid_uniq ON tbls(wh, table_id)")
       ddl.foreach { sql =>
         try { val st = c.createStatement(); try st.execute(sql) finally st.close() }
         catch { case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () }
@@ -402,10 +409,13 @@ final class JdbcCatalogStore(jdbcUrl: String) extends CatalogStore {
         insertTable(c, wh, rec)
         c.commit()
       } catch {
+        // name PK or the (wh, table_id) unique index — the latter is
+        // the backstop for concurrent registers of one metadata tree
+        // racing past the uuid SELECT above
         case e: java.sql.SQLException if e.getSQLState == "23505" =>
           c.rollback()
           throw CatalogError.conflict("TableAlreadyExists",
-            s"table $name already exists")
+            s"table $name (or its metadata tree's uuid) is already registered")
         case e: Throwable => c.rollback(); throw e
       } finally c.setAutoCommit(true)
       rec

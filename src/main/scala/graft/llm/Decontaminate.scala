@@ -87,9 +87,8 @@ object Decontaminate {
     * posting-join shape mirrored so the df-cap semantics match
     * exactly. */
   val qDecontaminateSql: String = {
-    val shingleD =
-      """list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
-        |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))""".stripMargin
+    // the ONE 3-gram shingle derivation every oracle shares
+    val shingleD = Dedup.shingleD
     s"""WITH base AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS toks FROM documents),
        |bench AS (SELECT id, toks FROM base WHERE id % 97 = 0),
        |leaked AS (SELECT id + 4000000 AS id, toks[1:greatest(len(toks) - 3, 0)] AS toks FROM bench),

@@ -50,9 +50,30 @@ object Dedup {
   // DuckDB-side twins (the oracle keeps the list-valued derivation —
   // DuckDB's list HOFs are vectorized and the values are identical to
   // the relational shingle-row pipeline on the Spark side).
-  private val shingleD: String =
+  private[llm] val shingleD: String =
     """list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
       |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))""".stripMargin
+
+  /** DuckDB oracle twin of [[bandsOf]] as a reusable TAGGED CTE chain
+    * `sh{tag} → hx{tag} → mh{tag} → band{tag}` over an `(id, toks)`
+    * CTE named `src` — one emitter shared by the MinHash-LSH oracle
+    * and the incremental-dedup oracle, so the SQL twins can never
+    * drift from each other (the Spark side already shares
+    * bandsOf/bandsOfSig the same way). */
+  private[llm] def sigBandSqlCtes(src: String, tag: String): String = {
+    val minCols = (0 until NUM_HASHES).map(i =>
+      s"MIN((${aCoef(i)} * x + ${bCoef(i)}) % $P) AS m$i")
+      .mkString(",\n             ")
+    val mhList = (0 until NUM_HASHES).map("m" + _).mkString("[", ",", "]")
+    s"""sh$tag AS (SELECT id, $shingleD AS sh FROM $src),
+       |hx$tag AS (SELECT id, ${hDuck("s")} % $P AS x
+       |       FROM (SELECT id, unnest(sh) AS s FROM sh$tag)),
+       |mh$tag AS (SELECT id, $minCols
+       |        FROM hx$tag GROUP BY id),
+       |band$tag AS (
+       |  SELECT id, b, ($mhList)[2*b+1]::VARCHAR || ',' || ($mhList)[2*b+2]::VARCHAR AS k
+       |  FROM mh$tag CROSS JOIN (SELECT unnest(range(0, $NUM_BANDS)) AS b) bs)""".stripMargin
+  }
 
   // ------------------------------------------------------------- exact
   /** Exact dedup: group by content hash, keep the smallest id per group.
@@ -133,9 +154,10 @@ object Dedup {
   /** Id offset for corpus-derived near-copy variants (the MinHash
     * fixture derivation: every 7th doc, truncated). ONE constant shared
     * by the derivation, the keep-best inverse mapping, its reserved-id
-    * guard, and the DuckDB oracle SQL — the ranges can never drift
+    * guard, the DuckDB oracle SQL, and the scale-rehearsal derivation
+    * guard ([[graft.ScalingRehearsal]]) — the ranges can never drift
     * apart. Ids at or above this value are RESERVED for variants. */
-  private[llm] val VariantIdOffset = 2000000L
+  private[graft] val VariantIdOffset = 2000000L
   /** Hot-bucket occupancy cap (What's-wrong r2 #5): buckets holding
     * more rows than this are dropped before the pair join. */
   private[llm] val MaxBucket = 100
@@ -209,25 +231,15 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  val qDedupMinhashLshSql: String = {
-    val minCols = (0 until NUM_HASHES).map(i =>
-      s"MIN((${aCoef(i)} * x + ${bCoef(i)}) % $P) AS m$i").mkString(",\n       |         ")
-    val mhList = (0 until NUM_HASHES).map("m" + _).mkString("[", ",", "]")
+  val qDedupMinhashLshSql: String =
     s"""WITH base AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS toks FROM documents),
        |corpus AS (
        |  SELECT id, toks FROM base
        |  UNION ALL
        |  SELECT id + $VariantIdOffset, toks[1:greatest(len(toks) - 4, 0)] FROM base WHERE id % 7 = 0),
-       |sh AS (SELECT id, $shingleD AS sh FROM corpus),
-       |hx AS (SELECT id, ${hDuck("s")} % $P AS x
-       |       FROM (SELECT id, unnest(sh) AS s FROM sh)),
-       |mh0 AS (SELECT id, $minCols
-       |        FROM hx GROUP BY id),
-       |bands AS (
-       |  SELECT id, b, ($mhList)[2*b+1]::VARCHAR || ',' || ($mhList)[2*b+2]::VARCHAR AS k
-       |  FROM mh0 CROSS JOIN (SELECT unnest(range(0, $NUM_BANDS)) AS b) bs),
-       |cold AS (SELECT b, k FROM bands GROUP BY b, k HAVING COUNT(*) <= $MaxBucket),
-       |kept AS (SELECT bands.* FROM bands JOIN cold USING (b, k)),
+       |${sigBandSqlCtes("corpus", "")},
+       |cold AS (SELECT b, k FROM band GROUP BY b, k HAVING COUNT(*) <= $MaxBucket),
+       |kept AS (SELECT band.* FROM band JOIN cold USING (b, k)),
        |pairs AS (
        |  SELECT x.id AS id_a, y.id AS id_b, COUNT(*) AS n_shared_bands
        |  FROM kept x JOIN kept y ON x.b = y.b AND x.k = y.k AND x.id < y.id
@@ -242,7 +254,6 @@ object Dedup {
        |FROM verified
        |WHERE CAST(inter AS DOUBLE) / (tot - inter) >= 0.5
        |ORDER BY id_a, id_b""".stripMargin
-  }
 
   // ----------------------------------------------------------- SimHash
   /** 60-bit SimHash signature per document from distinct unigram token

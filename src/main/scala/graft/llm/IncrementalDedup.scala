@@ -1,7 +1,6 @@
 package graft.llm
 
 import graft.Tables.load
-import graft.llm.Portable.hDuck
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -118,24 +117,7 @@ object IncrementalDedup {
       .orderBy("new_id")
   }
 
-  val qDedupIncrementalSql: String = {
-    val nh = Dedup.NumHashes
-    val minCols = (0 until nh).map(i =>
-      s"MIN((${Dedup.aCoefs(i)} * x + ${Dedup.bCoefs(i)}) % ${Dedup.P}) AS m$i")
-      .mkString(",\n       |         ")
-    val mhList = (0 until nh).map("m" + _).mkString("[", ",", "]")
-    val shingle =
-      """list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
-        |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))""".stripMargin
-    def sigCtes(src: String, tag: String): String =
-      s"""sh$tag AS (SELECT id, $shingle AS sh FROM $src),
-         |hx$tag AS (SELECT id, ${hDuck("s")} % ${Dedup.P} AS x
-         |       FROM (SELECT id, unnest(sh) AS s FROM sh$tag)),
-         |mh$tag AS (SELECT id, $minCols
-         |        FROM hx$tag GROUP BY id),
-         |band$tag AS (
-         |  SELECT id, b, ($mhList)[2*b+1]::VARCHAR || ',' || ($mhList)[2*b+2]::VARCHAR AS k
-         |  FROM mh$tag CROSS JOIN (SELECT unnest(range(0, ${Dedup.NumBands})) AS b) bs)""".stripMargin
+  val qDedupIncrementalSql: String =
     s"""WITH base AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS toks FROM documents),
        |batch AS (
        |  SELECT id + $IncBatchIdOffset AS id, toks[1:len(toks)-1] AS toks
@@ -145,8 +127,8 @@ object IncrementalDedup {
        |         list_transform(range(0, 10),
        |           j -> 'zzz' || CAST(i + $IncFreshIdOffset AS VARCHAR) || 'w' || CAST(j AS VARCHAR))
        |  FROM (SELECT unnest(range(0, 20)) AS i)),
-       |${sigCtes("base", "c")},
-       |${sigCtes("batch", "p")},
+       |${Dedup.sigBandSqlCtes("base", "c")},
+       |${Dedup.sigBandSqlCtes("batch", "p")},
        |coldc AS (SELECT b, k FROM bandc GROUP BY b, k HAVING COUNT(*) <= ${Dedup.MaxBucket}),
        |idx AS (SELECT bandc.* FROM bandc JOIN coldc USING (b, k)),
        |cand AS (
@@ -168,7 +150,6 @@ object IncrementalDedup {
        |SELECT b.id AS new_id, m.dup_of, m.jaccard
        |FROM batch b LEFT JOIN (SELECT * FROM matched WHERE rk = 1) m ON b.id = m.new_id
        |ORDER BY new_id""".stripMargin
-  }
 
   // ----------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

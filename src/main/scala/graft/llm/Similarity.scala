@@ -450,9 +450,12 @@ object Similarity {
   private def ivfAssignTwoLevel(corpus: DataFrame, cents: DataFrame,
       groups: Int): DataFrame = {
     // super-centroids: one Lloyd step over the K centroids, seeded by
-    // the `groups` lowest cell ids (same deterministic shape as
-    // ivfCentroids, centroids standing in for the corpus)
-    val seedGroups = cents.filter(col("cell") < groups)
+    // the `groups` lowest cell ids PRESENT (same deterministic shape
+    // as ivfCentroids, centroids standing in for the corpus; an
+    // absolute `cell < groups` filter would shrink — or empty — the
+    // group set whenever the lowest-id cells lost all members in the
+    // previous pass, silently degenerating the index)
+    val seedGroups = cents.orderBy(col("cell")).limit(groups)
       .select(col("cell").as("g"), col("c").as("sc"))
     val centToGroup = cents.crossJoin(broadcast(seedGroups))
       .select(col("cell"), col("c"), col("g"),
@@ -704,7 +707,7 @@ object Similarity {
     // super-centroids, then coarse (vector→group) + fine
     // (vector→member cell) picks — the SQL twin of ivfAssignTwoLevel
     def twoLevelCtes(tag: String, centsCte: String): String =
-      s"""sg$tag AS (SELECT cell AS g, c AS sc FROM $centsCte WHERE cell < $g),
+      s"""sg$tag AS (SELECT cell AS g, c AS sc FROM $centsCte ORDER BY cell LIMIT $g),
          |c2g$tag AS (
          |  SELECT cell, c, g FROM (
          |    SELECT k.cell, k.c, t.g,

@@ -271,15 +271,28 @@ final class CatalogServer(
             if (r.overwrite)
               Left(CatalogError.badRequest("overwrite on register is not supported"))
             else authz.checkTableOp(wh, "create", TableIdent(decodeNs(ns), r.name))
-              .flatMap { _ =>
-                val parsed =
-                  try MetadataIO.read(r.metadataLocation)
-                  catch { case e: Exception => Left(String.valueOf(e.getMessage)) }
-                parsed match {
-                  case Left(msg) => Left(CatalogError.badRequest(
-                    s"cannot read table metadata at ${r.metadataLocation}: $msg"))
-                  case Right(md) =>
-                    store.registerTable(wh, decodeNs(ns), r.name, md, r.metadataLocation)
+              .flatMap(_ => store.getWarehouse(wh))
+              .flatMap { w =>
+                // CONTAINMENT before any read: the location is
+                // client-supplied and FileIO serves local paths, so an
+                // unchecked read would hand any create-authorized
+                // client an arbitrary server-filesystem read/probe
+                // oracle. Same rule as the reference's storage-profile
+                // validation: metadata must live under THIS warehouse.
+                val whPrefix = w.location.stripSuffix("/") + "/"
+                if (!r.metadataLocation.startsWith(whPrefix))
+                  Left(CatalogError.badRequest(
+                    s"metadata-location must be under the warehouse location ${w.location}"))
+                else {
+                  val parsed =
+                    try MetadataIO.read(r.metadataLocation)
+                    catch { case e: Exception => Left(String.valueOf(e.getMessage)) }
+                  parsed match {
+                    case Left(msg) => Left(CatalogError.badRequest(
+                      s"cannot read table metadata at ${r.metadataLocation}: $msg"))
+                    case Right(md) =>
+                      store.registerTable(wh, decodeNs(ns), r.name, md, r.metadataLocation)
+                  }
                 }
               }
           }

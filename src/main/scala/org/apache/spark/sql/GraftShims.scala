@@ -174,9 +174,18 @@ object GraftShims {
     *    ~0.5-0.9 s/round against a cached LSH pair pipeline.
     * Rows are copied because the unsafe rows backing `toRdd` are
     * reused per partition. The returned RDD handle is the cache
-    * owner: callers unpersist it explicitly when the iteration ends
-    * (GC/ContextCleaner reclaim would be too lazy for large
-    * intermediates). */
+    * owner, with TWO legitimate ownership modes:
+    *  - ITERATION-SCOPED (connectedComponents): the caller unpersists
+    *    the handle explicitly the moment the round supersedes it —
+    *    GC/ContextCleaner reclaim would be too lazy for per-round
+    *    corpus-sized intermediates that a single call accumulates;
+    *  - QUERY-SCOPED (the ngram/keep-best-indexed signature leafs):
+    *    the RETURNED FRAME owns the blocks for its whole (unknown)
+    *    consumer lifetime, so there is no point at which the builder
+    *    may unpersist; the ContextCleaner reclaims after the consumer
+    *    drops the frame. Callers in this mode accept that repeated
+    *    invocations hold storage until driver GC — fine for
+    *    query-sized leafs, NOT for per-round loops. */
   def cachedLeaf(df: Dataset[Row])
       : (Dataset[Row], org.apache.spark.rdd.RDD[catalyst.InternalRow]) = {
     val ds = df.asInstanceOf[classic.Dataset[Row]]

@@ -26,10 +26,11 @@ class RegisterTableSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val cat = "regtbl_cat"
   private val http = HttpClient.newHttpClient()
   private var whId: String = _
+  private var whLoc: String = _
 
   override def beforeAll(): Unit = {
     server = new CatalogServer(store, project).start()
-    val whLoc = Files.createTempDirectory("graft-register").toUri.toString.stripSuffix("/")
+    whLoc = Files.createTempDirectory("graft-register").toUri.toString.stripSuffix("/")
     val wh = store.createWarehouse(project, "wh", whLoc).fold(e => fail(e.message), identity)
     whId = wh.id.toString
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftSparkCatalog].getName)
@@ -86,14 +87,22 @@ class RegisterTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again.body().contains("already registered"))
   }
 
-  test("malformed, foreign-scheme, and overwrite requests are 400s") {
-    // a file that exists but is not table metadata
-    val junk = Files.createTempFile("graft-junk", ".metadata.json")
+  test("malformed, outside-warehouse, foreign-scheme, and overwrite requests are 400s") {
+    // a file UNDER the warehouse that exists but is not table metadata
+    val junk = java.nio.file.Paths.get(java.net.URI.create(s"$whLoc/junk.metadata.json"))
     Files.write(junk, """{"not":"metadata"}""".getBytes("UTF-8"))
     assert(post(s"/catalog/v1/$whId/namespaces/db/register",
-      s"""{"name":"j","metadata-location":"${junk.toUri}"}""").statusCode() === 400)
+      s"""{"name":"j","metadata-location":"$whLoc/junk.metadata.json"}""")
+      .statusCode() === 400)
 
-    // a scheme no FileIO backend serves
+    // CONTAINMENT: a location outside the warehouse is refused WITHOUT
+    // being read — register must not be a server-filesystem read oracle
+    val probe = post(s"/catalog/v1/$whId/namespaces/db/register",
+      """{"name":"p","metadata-location":"file:///etc/hostname"}""")
+    assert(probe.statusCode() === 400)
+    assert(probe.body().contains("must be under the warehouse location"))
+
+    // a scheme no FileIO backend serves (also fails containment first)
     assert(post(s"/catalog/v1/$whId/namespaces/db/register",
       """{"name":"f","metadata-location":"foo://bucket/x.metadata.json"}""")
       .statusCode() === 400)
@@ -113,13 +122,15 @@ class RegisterTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     // pyiceberg/Spark-Iceberg write it, and register from that
     val rec = store.loadTable(UUID.fromString(whId), TableIdent(Seq("db"), "adopted"))
       .fold(e => fail(e.message), identity)
-    val plain = Files.createTempFile("graft-plain", ".metadata.json")
+    // under the warehouse (containment) but plain-encoded
+    val plainLoc = s"$whLoc/plain.metadata.json"
+    val plain = java.nio.file.Paths.get(java.net.URI.create(plainLoc))
     // a DIFFERENT uuid so the one-owner guard doesn't 409 this
     val remapped = rec.metadata.copy(tableUuid = UUID.randomUUID())
     Files.write(plain,
       graft.core.JsonCodecs.metadataToJson(remapped).getBytes("UTF-8"))
     val resp = post(s"/catalog/v1/$whId/namespaces/db/register",
-      s"""{"name":"plain_adopted","metadata-location":"${plain.toUri}"}""")
+      s"""{"name":"plain_adopted","metadata-location":"$plainLoc"}""")
     assert(resp.statusCode() === 200, resp.body())
     val rows = spark.sql(s"SELECT count(*) FROM $cat.db.plain_adopted").head().getLong(0)
     assert(rows >= 3L)
