@@ -30,6 +30,12 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // bounded-buffer imperative aggregates (CappedCollect, TopK) are
+      // hash-friendly: the default 128-key sort-based fallback would
+      // make every high-cardinality capped-collect sort its input
+      // map-side; buffers are <= cap+1 values so a 1M-key map is
+      // bounded (~128 MB/task worst case) and strictly faster
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       .config("spark.ui.enabled", "false")
       // events.ts is parquet TIMESTAMP(NANOS): read as raw long, set
       // once at construction (see Tables.load).

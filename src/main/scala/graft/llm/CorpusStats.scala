@@ -187,8 +187,13 @@ object CorpusStats {
       .selectExpr("source", s"${Portable.hSpark("token")} % ${Dedup.P} as x")
     val minExprs = (0 until nh).map(i =>
       s"min((${Dedup.aCoefs(i)} * x + ${Dedup.bCoefs(i)}) % ${Dedup.P}) as m$i")
-    val sig = st.groupBy(col("source"))
-      .agg(expr(minExprs.head), minExprs.tail.map(expr): _*)
+    // cached leaf: sig (one narrow row per source) feeds the band
+    // derivation AND both sides of the estimate join below — and the
+    // cap's count+keep-join shape reads its input twice; without the
+    // cache the distinct+min token aggregation would run 4×
+    val (sig, _) = org.apache.spark.sql.GraftShims.cachedLeaf(
+      st.groupBy(col("source"))
+        .agg(expr(minExprs.head), minExprs.tail.map(expr): _*))
     val bands = Dedup.capHotBuckets(
       sig.selectExpr("source",
         s"""explode(array(${(0 until nBands).map(b =>

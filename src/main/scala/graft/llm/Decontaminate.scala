@@ -43,7 +43,6 @@ object Decontaminate {
   private val toksS = "split(lower(text), ' ')"
 
   def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val base = load(s, dir, "documents").selectExpr("doc_id as id", s"$toksS as toks")
     val bench = base.filter("id % 97 = 0")
     val leaked = bench.selectExpr(
@@ -60,11 +59,15 @@ object Decontaminate {
     val bsz = bsh.filter("size(sh) > 0")
       .selectExpr("bench_id", "cast(size(sh) as bigint) as bsize")
     // benchmark-side df cap: shingles shared by many benchmark docs
-    // are boilerplate, not signal (and bound the join fanout)
-    val bkept = bsh.select(col("bench_id"), explode(col("sh")).as("s"))
-      .withColumn("bdf", count(expr("*")).over(Window.partitionBy("s")))
+    // are boilerplate, not signal (and bound the join fanout) — the
+    // same codegen'd count-prefilter + keep-join shape as
+    // Dedup.capHotBuckets, no window buffering
+    val brows = bsh.select(col("bench_id"), explode(col("sh")).as("s"))
+    val bcold = brows.groupBy("s")
+      .agg(count(expr("*")).as("bdf"))
       .filter(col("bdf") <= Dedup.DfCap)
-      .select("bench_id", "s")
+      .select("s")
+    val bkept = brows.join(bcold, "s").select("bench_id", "s")
 
     val cpost = corpus
       .select(col("id").as("doc_id"),

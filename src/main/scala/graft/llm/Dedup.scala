@@ -163,45 +163,75 @@ object Dedup {
   private[llm] val MaxBucket = 100
 
   /** THE hot-bucket cap: drop every row of a `(…, b, k)` bucket whose
-    * occupancy exceeds `maxBucket` — one keyed streaming window count,
-    * O(1) state per bucket (safe on a billion-row boilerplate bucket).
-    * Shared by [[candidatePairs]], [[IncrementalDedup.compactIndex]],
-    * and [[CorpusStats.qSourceOverlapMinhash]] so the cap's semantics
-    * can never drift between the dedup paths. */
+    * occupancy exceeds `maxBucket` — a codegen'd COUNT pre-filter
+    * joined back to the rows. Replaces the earlier `count(*) over
+    * (partition by b, k)` form, which funneled every row of a hot
+    * bucket into one buffering window task before the count existed to
+    * drop it — at corpus scale a billion-row boilerplate bucket became
+    * one spilling task. Here the count is a Tungsten fixed-width hash
+    * aggregate whose map-side partials collapse the flood to ONE row
+    * per mapper per bucket, and the keep-join brings only cold-bucket
+    * rows back. The shape evaluates `rows` twice (the probe side
+    * cannot reuse the aggregate's exchange) — callers whose input is
+    * expensive to recompute hand in a CACHED LEAF
+    * ([[IncrementalDedup.indexRows]],
+    * [[CorpusStats.qSourceOverlapMinhash]]) or a materialized table
+    * (the production index path, where the count pass is a
+    * column-pruned (b, k) parquet scan — near free). The fully fused
+    * one-pass alternative ([[graft.functions.CappedCollect]]) stays
+    * the choice where the posting list itself is the wanted output —
+    * [[candidatePairsFromBands]]. Shared by [[candidatePairs]],
+    * [[IncrementalDedup.compactIndex]], and
+    * [[CorpusStats.qSourceOverlapMinhash]] so the cap's semantics can
+    * never drift between the dedup paths. */
   private[llm] def capHotBuckets(rows: DataFrame, maxBucket: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    rows
-      .withColumn("occ", count(expr("*")).over(Window.partitionBy("b", "k")))
+    val cold = rows.groupBy("b", "k")
+      .agg(count(lit(1)).as("occ"))
       .filter(col("occ") <= maxBucket)
-      .drop("occ")
+      .select("b", "k")
+    rows.join(cold, Seq("b", "k")).select(rows.columns.map(col): _*)
   }
 
   /** Candidate pairs from banded LSH with the hot-bucket cap applied:
     * (id_a < id_b, n_shared_bands).
     *
-    * Single pass over the bands — no self-join: one shuffle on the
-    * bucket key computes occupancy (streaming window count, O(1) state —
-    * safe even on a billion-row boilerplate bucket), drops hot buckets,
-    * and the SAME exchange feeds the per-bucket id-list aggregation
-    * (bounded by the cap, so collect_list is ≤ maxBucket ids); in-bucket
-    * pairs are generated by a codegen'd combination expression and
-    * re-aggregated by pair. Every stage is keyed; per-bucket cost is
-    * ≤ cap²/2 by construction. */
+    * Single pass over the bands — no self-join, no window: ONE
+    * capped-collect hash aggregate on the bucket key gathers each
+    * bucket's posting list with state ≤ cap+1 ids per mapper
+    * ([[graft.functions.CappedCollect.longs]]); lists at cap+1 are the
+    * over-cap sentinel (hot boilerplate bucket, dropped wholesale —
+    * the flood never funnels into one task), surviving lists
+    * (2 ≤ size ≤ cap) expand to in-list pairs via a codegen'd
+    * combination transform and re-aggregate by pair. Every stage is
+    * keyed; per-bucket cost is ≤ cap²/2 by construction. */
   private[llm] def candidatePairs(docs: DataFrame, maxBucket: Int): DataFrame =
     candidatePairsFromBands(bandsOf(docs), maxBucket)
+
+  /** In-list a<b pair expansion over a SORTED id array column: all
+    * (element j, element i) with j < i, via 1-based indices i drawn
+    * from `slice(sequence(1, n), 2, n - 1)`. The slice makes the
+    * expression TOTAL — empty (no pairs) for n ≤ 1 instead of erroring
+    * — which is load-bearing: `InferFiltersFromGenerate` copies the
+    * downstream Generate's `size(...) > 0` constraint into the same
+    * Filter as the occupancy guard, and codegen's subexpression
+    * elimination then evaluates this expression BEFORE the
+    * `size ≥ 2` conjunct can short-circuit, i.e. on sub-2 arrays the
+    * guard was about to drop. (A `sequence(1, n-1)` form blows up
+    * there: Spark's `sequence(1, 0)` is the DESCENDING [1, 0].) */
+  private[llm] def pairExpansion(ids: String): String =
+    s"""flatten(transform(slice(sequence(1, size($ids)), 2, size($ids) - 1),
+       |  i -> transform(sequence(1, i - 1),
+       |    j -> named_struct('a', element_at($ids, j), 'b', element_at($ids, i)))))""".stripMargin
 
   /** [[candidatePairs]] over pre-derived band rows `(id, b, k)` — lets
     * materialized-signature pipelines reuse the exact single-exchange
     * cap+pair shape without re-signaturing. */
   private[llm] def candidatePairsFromBands(bands: DataFrame, maxBucket: Int): DataFrame = {
-    val kept = capHotBuckets(bands, maxBucket)
-    kept.groupBy("b", "k")
-      .agg(expr("sort_array(collect_list(id)) as ids"))
-      .filter("size(ids) >= 2")
-      .selectExpr(
-        """explode(flatten(transform(sequence(1, size(ids) - 1),
-          |  i -> transform(sequence(0, i - 1),
-          |    j -> named_struct('a', element_at(ids, j + 1), 'b', element_at(ids, i + 1)))))) as p""".stripMargin)
+    bands.groupBy("b", "k")
+      .agg(graft.functions.CappedCollect.longs(maxBucket)(col("id")).as("raw"))
+      .filter(expr(s"size(raw) between 2 and $maxBucket"))
+      .selectExpr("sort_array(raw) as ids")
+      .selectExpr(s"explode(${pairExpansion("ids")}) as p")
       .selectExpr("p.a as id_a", "p.b as id_b")
       .groupBy("id_a", "id_b")
       .agg(count(expr("*")).as("n_shared_bands"))
@@ -318,13 +348,17 @@ object Dedup {
     val corpus = base.unionAll(variants)
 
     // (id, shingle-hash) rows — hashes are distinct per doc already.
-    // ONE shuffle on the shingle key serves df-capping AND pairing
-    // (same single-exchange shape as the LSH candidatePairs): a
-    // streaming window count drops non-rare shingles, the surviving
-    // posting lists (≤ DfCap ids) expand to in-list pairs via a
-    // codegen'd combination transform, and the pair re-aggregation
-    // applies the shared-shingle gate.
-    import org.apache.spark.sql.expressions.Window
+    // df-capping is a codegen'd COUNT pre-filter + co-partitioned
+    // keep-join (the capHotBuckets shape): shingle keys are millions
+    // of mostly-singleton groups, exactly where the Tungsten
+    // fixed-width count aggregate wins — partials collapse boilerplate
+    // floods to one row per mapper, no window task ever buffers them —
+    // and the keep-join reuses the aggregate's exchange, so shingle
+    // rows move once. Only the surviving rare-shingle rows (df within
+    // [2, DfCap]) reach the posting-list collect, which is therefore
+    // bounded at DfCap ids per group BY CONSTRUCTION; lists expand to
+    // in-list pairs via a codegen'd combination transform and the pair
+    // re-aggregation applies the shared-shingle gate.
     // the hash table is a CACHED LEAF (same construct as the CC
     // rounds): the candidate-index explode AND the two verify joins all
     // consume it, so the corpus is tokenized+hashed ONCE instead of
@@ -338,17 +372,14 @@ object Dedup {
       .select(col("id"), graft.functions.TextHashExprs.shingleHashes(col("toks")).as("shs")))
     val shingles = hashed
       .select(col("id"), explode(col("shs")).as("sh"))
-    val pairs = shingles
-      .withColumn("df", count(expr("*")).over(Window.partitionBy("sh")))
-      .filter(col("df") >= 2 && col("df") <= DfCap)
+    val rare = shingles.groupBy("sh")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, DfCap))
+      .select("sh")
+    val pairs = shingles.join(rare, "sh")
       .groupBy("sh")
       .agg(expr("sort_array(collect_list(id)) as ids"))
-      .selectExpr(
-        """flatten(transform(sequence(1, size(ids) - 1),
-          |  i -> transform(sequence(0, i - 1),
-          |    j -> named_struct('a', element_at(ids, j + 1), 'b', element_at(ids, i + 1))))) as prs""".stripMargin)
-      .repartition(col("prs"))
-      .selectExpr("explode(prs) as p")
+      .selectExpr(s"explode(${pairExpansion("ids")}) as p")
       .selectExpr("p.a as id_a", "p.b as id_b")
       .groupBy("id_a", "id_b")
       .agg(count(expr("*")).as("n_shared"))

@@ -227,13 +227,12 @@ object Similarity {
   /** Embedding-cosine near-duplicate detection: corpus = embeddings ∪
     * deterministically perturbed copies of every 5th vector (±10%
     * per-element scaling from the portable hash, so true near-dups
-    * exist at every scale factor and the oracle replays them); ALL-PAIR
-    * candidates come from the multi-table LSH (t, bucket) self-join —
-    * never n² — capped per bucket, then exact cosine ≥ 0.98 verifies.
+    * exist at every scale factor and the oracle replays them);
+    * candidates come from the multi-table LSH (t, bucket) posting
+    * lists — never n² — capped per bucket by the bounded
+    * capped-collect aggregate, then exact cosine ≥ 0.98 verifies.
     */
   def qDedupEmbedding(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions.count
     import graft.functions.VectorExprs
     val emb = load(s, dir, "embeddings")
     val base = emb.select(col("vec_id"),
@@ -243,17 +242,20 @@ object Similarity {
         VectorExprs.perturb(col("vec_id"), col("embedding")).as("embedding"))
     val corpus = base.unionAll(perturbed)
 
-    val sig = lshSignatures(corpus, NEARDUP_TABLES, NEARDUP_BITS)
-      .withColumn("occ", count(org.apache.spark.sql.functions.expr("*"))
-        .over(Window.partitionBy("t", "bucket")))
-      .filter(s"occ <= $NEARDUP_MAX_BUCKET")
-      .select("vec_id", "t", "bucket")
-
-    val cand = sig.as("x")
-      .join(sig.as("y"),
-        col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket") &&
-          col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+    // bucket cap + in-bucket pairing in ONE capped-collect hash
+    // aggregate on the bucket key (the same single-exchange shape as
+    // Dedup.candidatePairsFromBands): state ≤ cap+1 ids per mapper, a
+    // flooded bucket dies in the aggregate instead of buffering in a
+    // window task, and the sorted posting list expands to a<b pairs
+    // with no self-join at all.
+    val cand = lshSignatures(corpus, NEARDUP_TABLES, NEARDUP_BITS)
+      .groupBy("t", "bucket")
+      .agg(graft.functions.CappedCollect.longs(NEARDUP_MAX_BUCKET)(col("vec_id")).as("raw"))
+      .filter(org.apache.spark.sql.functions.expr(
+        s"size(raw) between 2 and $NEARDUP_MAX_BUCKET"))
+      .selectExpr("sort_array(raw) as ids")
+      .selectExpr(s"explode(${Dedup.pairExpansion("ids")}) as p")
+      .selectExpr("p.a as id_a", "p.b as id_b")
       .distinct()
 
     // norms are per-VECTOR: computed once with the deterministic fold

@@ -11,6 +11,12 @@ object SparkTestSession {
       .appName("graft-tests")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // bounded-buffer imperative aggregates (CappedCollect, TopK) are
+      // hash-friendly: the default 128-key sort-based fallback would
+      // make every high-cardinality capped-collect sort its input
+      // map-side; buffers are <= cap+1 values so a 1M-key map is
+      // bounded (~128 MB/task worst case) and strictly faster
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // the library's SQL surface: functions + extension parser

@@ -261,4 +261,16 @@ class DedupSpec extends AnyFunSuite {
       assert((bestId, q) === expected, s"cluster $cl survivor")
     }
   }
+
+  test("capHotBuckets: agg+explode equals the exact-occupancy filter, any payload") {
+    import spark.implicits._
+    // (b, k, id): bucket (b,k) has occupancy k; cap 5 keeps k <= 5 intact
+    val rows = for { b <- 0 until 3; k <- 1 to 12; i <- 1 to k }
+      yield (b, k.toString, (b * 100000 + k * 100 + i).toLong)
+    val df = rows.toDF("b", "k", "id").repartition(9)
+    val got = Dedup.capHotBuckets(df, 5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    val expected = rows.filter { case (_, k, _) => k.toInt <= 5 }.toSet
+    assert(got === expected)
+  }
 }
