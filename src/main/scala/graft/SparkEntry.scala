@@ -38,6 +38,7 @@ object SparkEntry {
       graft.llm.Similarity.queries ++
       graft.llm.TextAnalysis.queries ++
       graft.llm.Sampling.queries ++
+      graft.llm.Curate.queries ++
       graft.llm.Decontaminate.queries ++
       graft.llm.Features.queries ++
       graft.llm.Multimodal.queries
@@ -54,6 +55,7 @@ object SparkEntry {
       graft.llm.Similarity.oracleSql ++
       graft.llm.TextAnalysis.oracleSql ++
       graft.llm.Sampling.oracleSql ++
+      graft.llm.Curate.oracleSql ++
       graft.llm.Decontaminate.oracleSql ++
       graft.llm.Features.oracleSql ++
       graft.llm.Multimodal.oracleSql

@@ -342,7 +342,7 @@ object Sampling {
   /** Split hash — third decorrelated odd multiplier (see
     * [[mixPermille]]'s rationale): a document's split assignment is
     * independent of its sample/mixture fate. */
-  private def splitPermille(col: String) =
+  private[llm] def splitPermille(col: String) =
     s"pmod(pmod($col, 1000000007) * 3267000013L, 4294967296) % 1000"
 
   /** Deterministic train/val/test split (98/1/1): assignment is a pure

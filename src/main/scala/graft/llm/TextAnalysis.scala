@@ -22,8 +22,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object TextAnalysis {
 
   // Shared expression snippets (Spark SQL dialect).
-  private val toksS = "split(lower(text), ' ')"
-  private val stopwords = "('the','a','of','to','and','in','is','it','for','on')"
+  private[llm] val toksS = "split(lower(text), ' ')"
+  private[llm] val stopwords = "('the','a','of','to','and','in','is','it','for','on')"
 
   // ------------------------------------------------------------- stats
   /** Token counting: whitespace tokens and a BPE-ish regex token count
@@ -69,23 +69,27 @@ object TextAnalysis {
     * shared by the per-source aggregate below and the quota cap
     * ([[Sampling.qSourceCap]]). One narrow codegen'd pass. */
   private[llm] def qualityScored(s: SparkSession, dir: String): DataFrame =
-    load(s, dir, "documents")
-      .selectExpr(
-        "doc_id",
-        "source",
+    scoreQuality(load(s, dir, "documents"), Seq("doc_id", "source"))
+
+  /** THE quality formula applied to any frame with a `text` column:
+    * appends `quality`, keeps `carry`. One narrow codegen'd pass —
+    * shared by [[qualityScored]] and the end-to-end curation pipeline
+    * ([[Curate.qCurateE2e]]) so the score can never drift between the
+    * standalone gates and the composed one. */
+  private[llm] def scoreQuality(df: DataFrame, carry: Seq[String]): DataFrame =
+    df
+      .selectExpr(carry ++ Seq(
         s"size($toksS) as n_tok",
         s"size(filter($toksS, x -> x in $stopwords)) as n_stop",
         "length(text) as n_char",
         "length(regexp_replace(lower(text), '[^a-z0-9 ]', '')) as n_clean",
-        "length(replace(text, ' ', '')) as n_nospace")
-      .selectExpr(
-        "doc_id",
-        "source",
+        "length(replace(text, ' ', '')) as n_nospace"): _*)
+      .selectExpr(carry :+
         """cast(n_tok between 20 and 1000 as int) * 0.25
           | + cast((cast(n_stop as double) / n_tok) between 0.01 and 0.5 as int) * 0.25
           | + cast((cast(n_nospace as double) / n_tok) between 3.0 and 10.0 as int) * 0.25
           | + cast((cast(n_char - n_clean as double) / n_char) <= 0.2 as int) * 0.25
-          | as quality""".stripMargin)
+          | as quality""".stripMargin: _*)
 
   /** Heuristic quality scoring (the classic pre-LLM-filtering shape:
     * length band, stopword ratio, mean word length, punctuation ratio),

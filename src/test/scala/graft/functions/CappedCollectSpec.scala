@@ -73,4 +73,26 @@ class CappedCollectSpec extends AnyFunSuite {
     assert(got(1) === Seq(10L, 11L))
     assert(got(2) === Seq.empty)
   }
+
+  test("sort-based fallback path (threshold 2) agrees with the hash path") {
+    import spark.implicits._
+    // force ObjectHashAggregate's sort-based fallback after 2 keys so
+    // the serialize/deserialize/merge codepaths run; results must be
+    // identical to the pure hash-map run
+    val rows = for { g <- 1 to 40; i <- 1 to g } yield (g.toLong, (g * 1000 + i).toLong)
+    val df = rows.toDF("g", "id").repartition(16)
+    def run(): Map[Long, Int] = df.groupBy("g")
+      .agg(CappedCollect.longs(7)(col("id")).as("raw"))
+      .selectExpr("g", "size(raw) as n")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val hashRun = run()
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "2")
+      assert(run() === hashRun)
+    } finally spark.conf.set(key, prev)
+    for (g <- 1 to 40)
+      assert(hashRun(g.toLong) === math.min(g, 8), s"group $g")
+  }
 }
