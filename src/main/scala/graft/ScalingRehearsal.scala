@@ -109,6 +109,10 @@ object ScalingRehearsal {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // same rationale as Bench/Verify: bounded-buffer imperative
+      // aggregates are hash-friendly; the 128-key default would make
+      // the 10x capped-collect run measure the sort fallback instead
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

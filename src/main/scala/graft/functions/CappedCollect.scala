@@ -103,6 +103,92 @@ final case class CappedCollectAgg(
   override def prettyName: String = "capped_collect"
 }
 
+/** Growable primitive buffer for [[CappedCollectLongsAgg]] — an
+  * `Array[Long]` plus fill length, so the per-group aggregation state
+  * never boxes. */
+final class LongsBuffer(var arr: Array[Long], var len: Int) {
+  def append(v: Long, lim: Int): Unit = {
+    if (len == arr.length) {
+      val grown = new Array[Long](math.min(math.max(arr.length * 2, 8), math.max(lim, 8)))
+      System.arraycopy(arr, 0, grown, 0, len)
+      arr = grown
+    }
+    arr(len) = v
+    len += 1
+  }
+}
+
+/** LONG-specialized capped collect — identical semantics to
+  * [[CappedCollectAgg]] (≤ cap+1 values per group, size cap+1 is the
+  * over-cap sentinel) with primitive `Array[Long]` state: no per-row
+  * boxing or `copyValue`, serialization is a bulk byte copy, and the
+  * result array materializes through
+  * `UnsafeArrayData.fromPrimitiveArray` (zero boxing end-to-end).
+  * Every dedup-family posting list collects doc ids (longs), so this
+  * is the hot path; the generic form stays for struct payloads.
+  * Measured at sf0.1: the generic form's boxed buffers cost the
+  * n-gram df-cap stage ~35% — this form closes that gap while keeping
+  * the map-side-capped, sort-free shuffle shape that wins at 10×. */
+final case class CappedCollectLongsAgg(
+    child: Expression,
+    cap: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[LongsBuffer]
+    with UnaryLike[Expression] {
+
+  private val lim = if (cap == Int.MaxValue) Int.MaxValue else cap + 1
+
+  override def createAggregationBuffer(): LongsBuffer =
+    new LongsBuffer(new Array[Long](math.min(lim, 8)), 0)
+
+  override def update(buf: LongsBuffer, input: InternalRow): LongsBuffer = {
+    if (buf.len < lim) {
+      val v = child.eval(input)
+      if (v != null) buf.append(v.asInstanceOf[Long], lim)
+    }
+    buf
+  }
+
+  override def merge(a: LongsBuffer, b: LongsBuffer): LongsBuffer = {
+    var i = 0
+    while (a.len < lim && i < b.len) { a.append(b.arr(i), lim); i += 1 }
+    a
+  }
+
+  override def eval(buf: LongsBuffer): Any =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(buf.arr, buf.len))
+
+  override def serialize(obj: LongsBuffer): Array[Byte] = {
+    val bytes = new Array[Byte](obj.len * 8)
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.asLongBuffer().put(obj.arr, 0, obj.len)
+    bytes
+  }
+
+  override def deserialize(bytes: Array[Byte]): LongsBuffer = {
+    val n = bytes.length / 8
+    val arr = new Array[Long](math.max(n, 1))
+    java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .asLongBuffer().get(arr, 0, n)
+    new LongsBuffer(arr, n)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): CappedCollectLongsAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CappedCollectLongsAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(newChild: Expression): CappedCollectLongsAgg =
+    copy(child = newChild)
+
+  override def defaultResult: Option[Literal] =
+    Option(Literal.create(Array.empty[Long], dataType))
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "capped_collect_longs"
+}
+
 object CappedCollect {
 
   /** `of(cap)(col)` → array of at most `cap + 1` input values
@@ -114,6 +200,9 @@ object CappedCollect {
     GraftShims.column(
       CappedCollectAgg(GraftShims.expression(c), cap).toAggregateExpression())
 
-  /** Long-column alias kept for call-site readability. */
-  def longs(cap: Int)(c: Column): Column = of(cap)(c)
+  /** LONG-specialized form — same contract, primitive state
+    * ([[CappedCollectLongsAgg]]). The input column must be LongType. */
+  def longs(cap: Int)(c: Column): Column =
+    GraftShims.column(
+      CappedCollectLongsAgg(GraftShims.expression(c), cap).toAggregateExpression())
 }

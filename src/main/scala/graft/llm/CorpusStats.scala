@@ -188,9 +188,8 @@ object CorpusStats {
     val minExprs = (0 until nh).map(i =>
       s"min((${Dedup.aCoefs(i)} * x + ${Dedup.bCoefs(i)}) % ${Dedup.P}) as m$i")
     // cached leaf: sig (one narrow row per source) feeds the band
-    // derivation AND both sides of the estimate join below — and the
-    // cap's count+keep-join shape reads its input twice; without the
-    // cache the distinct+min token aggregation would run 4×
+    // derivation AND both sides of the estimate join below — without
+    // the cache the distinct+min token aggregation would run 3×
     val (sig, _) = org.apache.spark.sql.GraftShims.cachedLeaf(
       st.groupBy(col("source"))
         .agg(expr(minExprs.head), minExprs.tail.map(expr): _*))

@@ -163,33 +163,54 @@ object Dedup {
   private[llm] val MaxBucket = 100
 
   /** THE hot-bucket cap: drop every row of a `(…, b, k)` bucket whose
-    * occupancy exceeds `maxBucket` — a codegen'd COUNT pre-filter
-    * joined back to the rows. Replaces the earlier `count(*) over
-    * (partition by b, k)` form, which funneled every row of a hot
-    * bucket into one buffering window task before the count existed to
-    * drop it — at corpus scale a billion-row boilerplate bucket became
-    * one spilling task. Here the count is a Tungsten fixed-width hash
-    * aggregate whose map-side partials collapse the flood to ONE row
-    * per mapper per bucket, and the keep-join brings only cold-bucket
-    * rows back. The shape evaluates `rows` twice (the probe side
-    * cannot reuse the aggregate's exchange) — callers whose input is
-    * expensive to recompute hand in a CACHED LEAF
-    * ([[IncrementalDedup.indexRows]],
-    * [[CorpusStats.qSourceOverlapMinhash]]) or a materialized table
-    * (the production index path, where the count pass is a
-    * column-pruned (b, k) parquet scan — near free). The fully fused
-    * one-pass alternative ([[graft.functions.CappedCollect]]) stays
-    * the choice where the posting list itself is the wanted output —
-    * [[candidatePairsFromBands]]. Shared by [[candidatePairs]],
-    * [[IncrementalDedup.compactIndex]], and
+    * occupancy exceeds `maxBucket` — one fused capped-collect
+    * aggregate, then re-explode to the input shape. Replaces the
+    * earlier `count(*) over (partition by b, k)` form, which funneled
+    * every row of a hot bucket into one buffering window task before
+    * the count existed to drop it — at corpus scale a billion-row
+    * boilerplate bucket became one spilling task. Here a hot bucket
+    * ships at most (cap+1)×mappers payloads through the shuffle and
+    * dies in the hash aggregate ([[graft.functions.CappedCollectAgg]],
+    * ≤ cap+1 values of state per bucket per mapper; the single-long
+    * payload case — every dedup call site — takes the primitive
+    * [[graft.functions.CappedCollectLongsAgg]]) — ONE pass over the
+    * input, NO sort at any scale. The count-prefilter + keep-join
+    * alternative was measured and rejected (SCALING.md "Why fused,
+    * with numbers"): its keep side is "all cold bucket keys", which
+    * grows with the corpus — unbroadcastable beyond toy scale — and
+    * the join shuffles the input a second time. Count+join remains
+    * correct ONLY where the keep side is bounded by definition — the
+    * benchmark eval set in [[Decontaminate.qDecontaminate]]. Shared by
+    * [[candidatePairs]], [[IncrementalDedup.compactIndex]], and
     * [[CorpusStats.qSourceOverlapMinhash]] so the cap's semantics can
     * never drift between the dedup paths. */
   private[llm] def capHotBuckets(rows: DataFrame, maxBucket: Int): DataFrame = {
-    val cold = rows.groupBy("b", "k")
-      .agg(count(lit(1)).as("occ"))
-      .filter(col("occ") <= maxBucket)
-      .select("b", "k")
-    rows.join(cold, Seq("b", "k")).select(rows.columns.map(col): _*)
+    import org.apache.spark.sql.functions.{explode, size => asize, struct}
+    import org.apache.spark.sql.types.LongType
+    val payload = rows.columns.toSeq.filterNot(n => n == "b" || n == "k")
+    // single-long payloads (the (id, b, k) band/index shape — every
+    // dedup call site today) take the primitive-state aggregate; the
+    // struct form stays for any future multi-column payload
+    val singleLong = payload.size == 1 &&
+      rows.schema(payload.head).dataType == LongType
+    if (singleLong) {
+      rows.groupBy("b", "k")
+        .agg(graft.functions.CappedCollect.longs(maxBucket)(
+          col(payload.head)).as("rws"))
+        .filter(asize(col("rws")) <= maxBucket)
+        .select(col("b"), col("k"), explode(col("rws")).as(payload.head))
+        .select(rows.columns.toSeq.map(col): _*)
+    } else {
+      rows.groupBy("b", "k")
+        .agg(graft.functions.CappedCollect.of(maxBucket)(
+          struct(payload.map(col): _*)).as("rws"))
+        .filter(asize(col("rws")) <= maxBucket)
+        .select(col("b"), col("k"), explode(col("rws")).as("r"))
+        .select(rows.columns.toSeq.map {
+          case n @ ("b" | "k") => col(n)
+          case n               => col(s"r.$n").as(n)
+        }: _*)
+    }
   }
 
   /** Candidate pairs from banded LSH with the hot-bucket cap applied:
@@ -348,17 +369,18 @@ object Dedup {
     val corpus = base.unionAll(variants)
 
     // (id, shingle-hash) rows — hashes are distinct per doc already.
-    // df-capping is a codegen'd COUNT pre-filter + co-partitioned
-    // keep-join (the capHotBuckets shape): shingle keys are millions
-    // of mostly-singleton groups, exactly where the Tungsten
-    // fixed-width count aggregate wins — partials collapse boilerplate
-    // floods to one row per mapper, no window task ever buffers them —
-    // and the keep-join reuses the aggregate's exchange, so shingle
-    // rows move once. Only the surviving rare-shingle rows (df within
-    // [2, DfCap]) reach the posting-list collect, which is therefore
-    // bounded at DfCap ids per group BY CONSTRUCTION; lists expand to
-    // in-list pairs via a codegen'd combination transform and the pair
-    // re-aggregation applies the shared-shingle gate.
+    // ONE capped-collect hash aggregate on the shingle key serves
+    // df-capping AND posting-list collection (the capHotBuckets /
+    // candidatePairsFromBands shape): boilerplate shingles cap at
+    // DfCap+1 ids of state per mapper and die in the aggregate, rare
+    // lists (2 ≤ df ≤ DfCap) expand to in-list pairs, and the pair
+    // re-aggregation applies the shared-shingle gate. The shingle
+    // stream crosses the shuffle ONCE with map-side-capped payloads —
+    // the count-prefilter + keep-join alternatives shuffle it twice
+    // or lean on broadcasting a keep side that grows with the corpus;
+    // the measured three-way comparison (1× and 10×) and the
+    // shuffle-volume argument live in SCALING.md ("Why fused, with
+    // numbers").
     // the hash table is a CACHED LEAF (same construct as the CC
     // rounds): the candidate-index explode AND the two verify joins all
     // consume it, so the corpus is tokenized+hashed ONCE instead of
@@ -372,13 +394,10 @@ object Dedup {
       .select(col("id"), graft.functions.TextHashExprs.shingleHashes(col("toks")).as("shs")))
     val shingles = hashed
       .select(col("id"), explode(col("shs")).as("sh"))
-    val rare = shingles.groupBy("sh")
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df").between(2, DfCap))
-      .select("sh")
-    val pairs = shingles.join(rare, "sh")
-      .groupBy("sh")
-      .agg(expr("sort_array(collect_list(id)) as ids"))
+    val pairs = shingles.groupBy("sh")
+      .agg(graft.functions.CappedCollect.longs(DfCap)(col("id")).as("raw"))
+      .filter(expr(s"size(raw) between 2 and $DfCap"))
+      .selectExpr("sort_array(raw) as ids")
       .selectExpr(s"explode(${pairExpansion("ids")}) as p")
       .selectExpr("p.a as id_a", "p.b as id_b")
       .groupBy("id_a", "id_b")

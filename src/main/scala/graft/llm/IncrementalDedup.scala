@@ -31,22 +31,17 @@ object IncrementalDedup {
     * `PARTITIONED BY (bucket(N, k))` — appends route by band key and
     * probes join storage-partitioned. */
   def indexRows(docs: DataFrame, maxBucket: Int = Dedup.MaxBucket): DataFrame =
-    // cached leaf: the cap's count pass and keep-join both consume the
-    // band rows (see capHotBuckets), and the MinHash signatures behind
-    // them are the expensive part — hash once, not twice. The returned
-    // frame owns the blocks (ContextCleaner reclaims on drop).
-    compactIndex(org.apache.spark.sql.GraftShims.cachedLeaf(
-      Dedup.bandsOf(docs))._1, maxBucket)
+    compactIndex(Dedup.bandsOf(docs), maxBucket)
 
   /** Re-apply the hot-bucket cap to an EXISTING index — the periodic
     * maintenance pass a growing index runs: buckets that were cold at
     * build time but turned hot as increments appended (new boilerplate
-    * entering the corpus) are dropped wholesale. One codegen'd count
-    * pass + keep-join over the index (see [[Dedup.capHotBuckets]]) —
-    * on a materialized index table the count side is a column-pruned
-    * (b, k) scan. A deployment runs this as the index table's
-    * compaction criterion and rewrites only the partitions whose
-    * buckets changed. */
+    * entering the corpus) are dropped wholesale. ONE bounded
+    * capped-collect aggregate over the index (see
+    * [[Dedup.capHotBuckets]] — single pass, no sort, state ≤ cap+1
+    * rows per bucket per mapper). A deployment runs this as the index
+    * table's compaction criterion and rewrites only the partitions
+    * whose buckets changed. */
   def compactIndex(index: DataFrame, maxBucket: Int = Dedup.MaxBucket): DataFrame =
     Dedup.capHotBuckets(index, maxBucket)
 

@@ -74,6 +74,19 @@ class CappedCollectSpec extends AnyFunSuite {
     assert(got(2) === Seq.empty)
   }
 
+  test("longs form: nulls skipped, agrees with the generic form on long input") {
+    import spark.implicits._
+    val df = Seq((1, Some(10L)), (1, None), (1, Some(11L)), (2, None), (3, Some(7L)))
+      .toDF("g", "v").repartition(5)
+    def sets(c: org.apache.spark.sql.Column): Map[Int, Seq[Long]] =
+      df.groupBy("g").agg(c.as("raw"))
+        .selectExpr("g", "sort_array(raw) as raw")
+        .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    val prim = sets(CappedCollect.longs(5)(col("v")))
+    assert(prim === sets(CappedCollect.of(5)(col("v"))))
+    assert(prim(1) === Seq(10L, 11L) && prim(2) === Seq.empty && prim(3) === Seq(7L))
+  }
+
   test("sort-based fallback path (threshold 2) agrees with the hash path") {
     import spark.implicits._
     // force ObjectHashAggregate's sort-based fallback after 2 keys so
