@@ -321,13 +321,84 @@ object CorpusStats {
       |SELECT doc_id, COUNT(*) AS n_toks, AVG(bucket) AS rarity
       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Per-document BIGRAM conditional surprisal — the language-model
+    * quality score one step past [[qTokenRarity]]'s unigram proxy:
+    * each bigram occurrence (w1, w2) contributes
+    * `floor(log2 cnt(w1·)) - floor(log2 cnt(w1,w2))` — the quantized
+    * `-log2 p(w2 | w1)` of the corpus's own bigram model — and a
+    * document's score is the mean over its bigrams (docs with < 2
+    * tokens have no bigrams and no row). The real CCNet-style
+    * filtering signal: template/boilerplate text (predictable
+    * continuations) scores low, incoherent or rare text scores high.
+    * All arithmetic is integer bit-lengths (`length(bin(x)) - 1`
+    * deltas — no libm, both engines agree to the bit) with ONE final
+    * IEEE division.
+    *
+    * Scale: bigram derivation is a per-row array transform (no
+    * shuffle); the model tables are two map-side-combinable keyed
+    * aggregations; scoring joins occurrences to the per-bigram score
+    * table — the classic skew join ("of the" funnels a constant
+    * corpus fraction onto one key), SPLIT exactly like
+    * [[qTokenRarity]]: the [[RarityHeadK]] hottest bigrams broadcast,
+    * the tail joins keyed with per-key fan-in bounded by the head
+    * cutoff's count. The bi⋈ctx join underneath is on DISTINCT
+    * bigrams (vocabulary-scale, fan-out = distinct successors per
+    * context), never occurrence-scale. */
+  def qLmBigramSurprisal(s: SparkSession, dir: String): DataFrame = {
+    val bg = load(s, dir, "documents")
+      .selectExpr("doc_id", "filter(split(text, ' '), t -> length(t) > 0) as ta")
+      .where("size(ta) >= 2")
+      .selectExpr("doc_id",
+        """explode(transform(sequence(2, size(ta)),
+          |  i -> named_struct('w1', element_at(ta, i - 1),
+          |                    'w2', element_at(ta, i)))) as g""".stripMargin)
+      .selectExpr("doc_id", "g.w1 as w1", "g.w2 as w2")
+    val bi = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("bcnt"))
+    val ctx = bg.groupBy(col("w1")).agg(count(lit(1)).as("ccnt"))
+    val scored = bi.join(ctx, "w1")
+      .selectExpr("w1", "w2", "bcnt",
+        "length(bin(ccnt)) - length(bin(bcnt)) as sbits")
+    val head = scored.orderBy(col("bcnt").desc, col("w1"), col("w2"))
+      .limit(RarityHeadK)
+    val headRows = bg.join(broadcast(head), Seq("w1", "w2"))
+    val tailRows = bg
+      .join(broadcast(head.select(col("w1"), col("w2"))), Seq("w1", "w2"), "left_anti")
+      .join(scored, Seq("w1", "w2"))
+    headRows.select(col("doc_id"), col("sbits"))
+      .unionByName(tailRows.select(col("doc_id"), col("sbits")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("sbits")).as("sb"))
+      .selectExpr("doc_id", "n_bigrams",
+        "cast(sb as double) / n_bigrams as surprisal")
+      .orderBy(col("doc_id"))
+  }
+
+  val qLmBigramSurprisalSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS ta
+      |  FROM documents),
+      |d2 AS (SELECT doc_id, ta FROM d WHERE len(ta) >= 2),
+      |bg AS (SELECT doc_id, ta[i - 1] AS w1, ta[i] AS w2
+      |       FROM d2, UNNEST(range(2, len(ta) + 1)) AS u(i)),
+      |bi AS (SELECT w1, w2, COUNT(*) AS bcnt FROM bg GROUP BY w1, w2),
+      |ctx AS (SELECT w1, COUNT(*) AS ccnt FROM bg GROUP BY w1),
+      |sc AS (SELECT b.w1, b.w2,
+      |              length(printf('%b', c.ccnt)) - length(printf('%b', b.bcnt)) AS sbits
+      |       FROM bi b JOIN ctx c USING (w1))
+      |SELECT g.doc_id, COUNT(*) AS n_bigrams,
+      |       CAST(SUM(s.sbits) AS DOUBLE) / COUNT(*) AS surprisal
+      |FROM bg g JOIN sc s ON g.w1 = s.w1 AND g.w2 = s.w2
+      |GROUP BY g.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vocab_topk" -> (qVocabTopk _),
     "q_tfidf_keywords" -> (qTfidfKeywords _),
     "q_source_overlap" -> (qSourceOverlap _),
     "q_source_overlap_minhash" -> (qSourceOverlapMinhash _),
     "q_emb_centroids" -> (qEmbCentroids _),
-    "q_token_rarity" -> (qTokenRarity _))
+    "q_token_rarity" -> (qTokenRarity _),
+    "q_lm_bigram_surprisal" -> (qLmBigramSurprisal _))
 
   val oracleSql: Map[String, String] = Map(
     "q_vocab_topk" -> qVocabTopkSql,
@@ -335,5 +406,6 @@ object CorpusStats {
     "q_source_overlap" -> qSourceOverlapSql,
     "q_source_overlap_minhash" -> qSourceOverlapMinhashSql,
     "q_emb_centroids" -> qEmbCentroidsSql,
-    "q_token_rarity" -> qTokenRaritySql)
+    "q_token_rarity" -> qTokenRaritySql,
+    "q_lm_bigram_surprisal" -> qLmBigramSurprisalSql)
 }

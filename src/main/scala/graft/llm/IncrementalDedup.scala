@@ -153,10 +153,143 @@ object IncrementalDedup {
        |FROM batch b LEFT JOIN (SELECT * FROM matched WHERE rk = 1) m ON b.id = m.new_id
        |ORDER BY new_id""".stripMargin
 
+  // ------------------------------------------- exact-hash incremental
+  /** Expected item count for [[hashBloom]] (session conf). A
+    * deployment sets this to the corpus cardinality it probes against
+    * (the filter ships with every probe task, so size it deliberately
+    * — Spark's own runtime-filter ceiling,
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` = 4M, is a
+    * sensible upper bound); the default covers the test corpora.
+    * UNDERSIZING NEVER BREAKS CORRECTNESS — it only raises the FP
+    * fraction that pays the confirm join (ExactIncrementalSpec pins
+    * this). Beyond driver-comfortable bloom sizes the right tool is
+    * the partitioned anti-join against the materialized
+    * [[exactHashIndex]] table — the bloom is a PREFILTER, never the
+    * source of truth. */
+  val BloomExpectedItemsConf = "spark.graft.bloom.expectedItems"
+  private val BLOOM_EXPECTED_ITEMS = 100000L
+
+  private def bloomExpectedItems(s: SparkSession): Long = {
+    val raw = s.conf.get(BloomExpectedItemsConf, BLOOM_EXPECTED_ITEMS.toString)
+    val n = try raw.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"$BloomExpectedItemsConf must be a positive long, got '$raw'")
+    }
+    require(n > 0, s"$BloomExpectedItemsConf must be positive, got $n")
+    n
+  }
+
+  /** Exact-content hash index of a corpus `(new-style: doc_id, text)`:
+    * one row per distinct normalized text, carrying the canonical
+    * (minimum) doc id — `(h, dup_of)`. A deployment materializes this
+    * once (tiny: 16 bytes/distinct doc) sorted by `h`, and appends to
+    * it as increments commit. */
+  def exactHashIndex(docs: DataFrame): DataFrame =
+    docs.selectExpr("xxhash64(lower(text)) as h", "doc_id")
+      .groupBy("h").agg(min(col("doc_id")).as("dup_of"))
+
+  /** ONE-row bloom frame over an [[exactHashIndex]]'s hash column,
+    * built with Spark's native `BloomFilterAggregate` (the same sketch
+    * the optimizer's runtime row-level filtering injects): corpus
+    * scanned once, partial sketches OR-merge map-side, result is a
+    * single binary value a deployment stores next to the index. */
+  def hashBloom(index: DataFrame, expectedItems: Long): DataFrame =
+    index.agg(org.apache.spark.sql.GraftShims.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        org.apache.spark.sql.GraftShims.expression(col("h")),
+        expectedItems).toAggregateExpression()).as("bf"))
+
+  /** Exact incremental dedup decisions for a batch `(new_id, t)`
+    * against a corpus hash index + its bloom: `(new_id, dup_of, keep)`
+    * where `dup_of` is the canonical corpus id of an exact-content
+    * match (NULL if none) and `keep` marks the batch's surviving
+    * first occurrences (no corpus match AND first of its content
+    * within the batch).
+    *
+    * Scale shape — the reason this exists: the bloom rides in as a
+    * SCALAR SUBQUERY (`Dataset.scalar()`, evaluated once, shipped
+    * with the plan like Spark's own runtime filters), so batch rows
+    * whose hash the bloom rejects are decided MAP-SIDE with zero
+    * shuffle and zero corpus I/O — for a daily increment that is the
+    * overwhelming majority. Only might-contain rows (true dups +
+    * the bloom's FP fraction) reach the confirm join against the
+    * index, which makes the result EXACT regardless of FP rate; the
+    * in-batch first-occurrence pass is one keyed aggregate over the
+    * (small) batch. Nothing ever scans batch × corpus, and the
+    * corpus-sized side is only the pre-built index. */
+  def exactProbe(batch: DataFrame, index: DataFrame, bloom: DataFrame): DataFrame = {
+    val hashed = batch.selectExpr("new_id", "xxhash64(lower(t)) as h")
+    val mc = org.apache.spark.sql.GraftShims.column(
+      new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.GraftShims.expression(bloom.scalar()),
+        org.apache.spark.sql.GraftShims.expression(col("h"))))
+    val hits = hashed.filter(mc)
+      .join(index, Seq("h"), "left")
+      .select(col("new_id"), col("h"), col("dup_of"))
+    val misses = hashed.filter(!mc)
+      .select(col("new_id"), col("h"), lit(null).cast("long").as("dup_of"))
+    val decided = hits.unionByName(misses)
+    val batchFirst = hashed.groupBy("h").agg(min(col("new_id")).as("batch_first"))
+    decided.join(batchFirst, "h")
+      .selectExpr("new_id", "dup_of",
+        "dup_of is null and new_id = batch_first as keep")
+  }
+
+  /** Id offsets for the derived exact-dedup "day-2" batch — shared by
+    * the query, the spec fixtures, and the DuckDB oracle. */
+  private[llm] val ExactResubmitOffset = 7000000L
+  private[llm] val ExactModifiedOffset = 7500000L
+  private[llm] val ExactFreshOffset = 8000000L
+
+  /** Exact-hash incremental dedup as a driver-gated query: the corpus
+    * is the day-1 index, the day-2 batch is derived as verbatim
+    * re-submissions (every 9th doc — corpus dups), modified docs
+    * (every 9th+4, one token appended — exact-new), and 30 synthetic
+    * fresh docs over 15 distinct texts (in-batch dups). Each batch row
+    * gets its decision `(new_id, dup_of, keep)`. The bloom prefilter
+    * affects the PLAN only, never the answer — the oracle is the plain
+    * exact-match join algebra. */
+  def qDedupIncrementalExact(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val base = docs.selectExpr("doc_id", "lower(text) as t")
+    val batch = base.where("doc_id % 9 = 0")
+      .selectExpr(s"doc_id + $ExactResubmitOffset as new_id", "t")
+      .unionAll(base.where("doc_id % 9 = 4")
+        .selectExpr(s"doc_id + $ExactModifiedOffset as new_id",
+          "concat(t, ' graftnew') as t"))
+      .unionAll(s.range(0, 30)
+        .selectExpr(s"id + $ExactFreshOffset as new_id",
+          "concat('graft fresh doc ', cast(id % 15 as string)) as t"))
+    val idx = exactHashIndex(docs)
+    exactProbe(batch, idx, hashBloom(idx, bloomExpectedItems(s)))
+      .select("new_id", "dup_of", "keep")
+      .orderBy("new_id")
+  }
+
+  val qDedupIncrementalExactSql: String =
+    s"""WITH base AS (SELECT doc_id, lower(text) AS t FROM documents),
+       |batch AS (
+       |  SELECT doc_id + $ExactResubmitOffset AS new_id, t FROM base WHERE doc_id % 9 = 0
+       |  UNION ALL
+       |  SELECT doc_id + $ExactModifiedOffset, t || ' graftnew' FROM base WHERE doc_id % 9 = 4
+       |  UNION ALL
+       |  SELECT i + $ExactFreshOffset, 'graft fresh doc ' || CAST(i % 15 AS VARCHAR)
+       |  FROM (SELECT unnest(range(0, 30)) AS i)),
+       |idx AS (SELECT t, min(doc_id) AS dup_of FROM base GROUP BY t),
+       |bfirst AS (SELECT t, min(new_id) AS batch_first FROM batch GROUP BY t)
+       |SELECT b.new_id, i.dup_of,
+       |       (i.dup_of IS NULL AND b.new_id = f.batch_first) AS keep
+       |FROM batch b
+       |LEFT JOIN idx i USING (t)
+       |JOIN bfirst f USING (t)
+       |ORDER BY new_id""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_dedup_incremental" -> (qDedupIncremental _))
+    "q_dedup_incremental" -> (qDedupIncremental _),
+    "q_dedup_incremental_exact" -> (qDedupIncrementalExact _))
 
   val oracleSql: Map[String, String] = Map(
-    "q_dedup_incremental" -> qDedupIncrementalSql)
+    "q_dedup_incremental" -> qDedupIncrementalSql,
+    "q_dedup_incremental_exact" -> qDedupIncrementalExactSql)
 }
