@@ -167,6 +167,32 @@ private[functions] object TextHashHelper {
     while (it.hasNext) if (sb.contains(it.next())) inter += 1
     InternalRow(inter, sa.size.toLong, sb.size.toLong)
   }
+
+  /** Per-POSITION w-token window hashes (NON-distinct — element i is
+    * the window starting at token i, so the array length is
+    * `len - w + 1`); empty when the doc is shorter than w. One pass,
+    * one h() per window, a reused builder for the join. Input contract:
+    * non-null tokens (callers filter empties first). */
+  def windowHashes(arr: ArrayData, w: Int): ArrayData = {
+    val toks = tokens(arr)
+    val n = toks.length - w + 1
+    if (n <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val sb = new java.lang.StringBuilder()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < w) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = h(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 private[functions] trait TokArrayInput { self: Expression =>
@@ -265,6 +291,29 @@ final case class ShingleMin(child: Expression)
   override protected def withNewChildInternal(c: Expression): ShingleMin = copy(child = c)
 }
 
+/** Per-position w-token window hashes — the duplicated-span profile's
+  * index keys ([[graft.llm.Dedup.qDupSpans]]): one codegen'd pass per
+  * document, long keys only (no window-string shuffle, and no
+  * HOF-built array under an explode — Generate would re-evaluate the
+  * lambda per OUTPUT row). */
+final case class WindowHashes(child: Expression, w: Int)
+    extends UnaryExpression with TokArrayInput {
+  require(w >= 1, s"window width must be positive, got $w")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "window_hashes"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (tokOk(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"window_hashes expects array<string>, got ${child.dataType.catalogString}")
+  override protected def nullSafeEval(a: Any): Any =
+    TextHashHelper.windowHashes(a.asInstanceOf[ArrayData], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"$helperRef.windowHashes($a, $w)")
+  override protected def withNewChildInternal(c: Expression): WindowHashes =
+    copy(child = c)
+}
+
 /** Per-document repetition statistics (token count, distinct tokens,
   * top-bigram multiplicity, bigram total) in one codegen'd pass — the
   * whole Gopher-repetition metric without exploding a single token row
@@ -318,6 +367,7 @@ object TextHashExprs {
   def minhashSig(toks: Column, a: Array[Long], b: Array[Long], p: Long): Column =
     c(MinhashSig(x(toks), a, b, p))
   def shingleHashes(toks: Column): Column = c(ShingleHashes(x(toks)))
+  def windowHashes(toks: Column, w: Int): Column = c(WindowHashes(x(toks), w))
   def shingleMin(toks: Column): Column = c(ShingleMin(x(toks)))
   def shingleStats(a: Column, b: Column): Column = c(ShingleStats(x(a), x(b)))
   def repetitionStats(toks: Column): Column = c(RepetitionStats(x(toks)))

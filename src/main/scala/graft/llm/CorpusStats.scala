@@ -354,7 +354,10 @@ object CorpusStats {
           |                    'w2', element_at(ta, i)))) as g""".stripMargin)
       .selectExpr("doc_id", "g.w1 as w1", "g.w2 as w2")
     val bi = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("bcnt"))
-    val ctx = bg.groupBy(col("w1")).agg(count(lit(1)).as("ccnt"))
+    // ctx counts roll up from the (distinct-bigram-sized) bi table —
+    // one partial-agg over vocabulary-scale rows, not a third
+    // occurrence-scale explode+shuffle of the corpus
+    val ctx = bi.groupBy(col("w1")).agg(sum(col("bcnt")).as("ccnt"))
     val scored = bi.join(ctx, "w1")
       .selectExpr("w1", "w2", "bcnt",
         "length(bin(ccnt)) - length(bin(bcnt)) as sbits")

@@ -783,8 +783,78 @@ object Dedup {
       |GROUP BY a.doc_id, b.doc_id
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Window width for [[qDupSpans]] — the Lee-et-al.-style duplicated
+    * span unit, shared by the query, spec fixtures, and the oracle. */
+  private[llm] val DupSpanW = 8
+
+  /** Duplicated-span profile — the memorization-risk signal doc-level
+    * dedup cannot see: for every doc, the fraction of its token-window
+    * positions whose [[DupSpanW]]-gram occurs ≥ 2 times ANYWHERE in
+    * the corpus (another doc or the same one). A doc can be globally
+    * unique yet 60% built from corpus-duplicated spans — exactly the
+    * text span-level dedup (Lee et al.'s exact-substring family)
+    * targets; this query is the profile a pipeline ranks/filters on.
+    *
+    * Scale: window keys are per-position 60-bit hashes from ONE native
+    * codegen'd pass per doc ([[graft.functions.WindowHashes]] — no
+    * HOF-array under the explode, no window-string shuffle); the
+    * explode child is a CACHED-LEAF column (the Generate
+    * re-evaluation trap, see [[qDedupNgramJaccard]]). In-doc counts
+    * collapse occurrences map-side to one (doc, window) row; global
+    * counts roll up from those (distinct-window scale). The
+    * occurrence→count join is the classic skew join — a boilerplate
+    * window is in everything — SPLIT like [[CorpusStats.qTokenRarity]]:
+    * hottest windows broadcast from a bounded TakeOrdered, the tail
+    * joins keyed with fan-in bounded by the head cutoff. Only longs
+    * ever shuffle. */
+  def qDupSpans(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, explode, sum}
+    val (docs, _) = org.apache.spark.sql.GraftShims.cachedLeaf(
+      load(s, dir, "documents")
+        .selectExpr("doc_id", "filter(split(text, ' '), t -> length(t) > 0) as ta")
+        .where(s"size(ta) >= $DupSpanW")
+        .select(col("doc_id"),
+          graft.functions.TextHashExprs.windowHashes(col("ta"), DupSpanW).as("whs")))
+    val k = docs.select(col("doc_id"), explode(col("whs")).as("wh"))
+      .groupBy("doc_id", "wh")
+      .agg(count(lit(1)).as("k"))
+    val cnt = k.groupBy("wh").agg(sum(col("k")).as("cnt"))
+    val head = cnt.orderBy(col("cnt").desc, col("wh"))
+      .limit(CorpusStats.RarityHeadK)
+    val headRows = k.join(broadcast(head), "wh")
+    val tailRows = k
+      .join(broadcast(head.select(col("wh"))), Seq("wh"), "left_anti")
+      .join(cnt, "wh")
+    headRows.select(col("doc_id"), col("k"), col("cnt"))
+      .unionByName(tailRows.select(col("doc_id"), col("k"), col("cnt")))
+      .groupBy("doc_id")
+      .agg(sum(col("k")).as("n_windows"),
+        sum(expr("case when cnt >= 2 then k else 0 end")).as("n_dup"))
+      .selectExpr("doc_id", "n_windows", "n_dup",
+        "cast(n_dup as double) / n_windows as dup_fraction")
+      .orderBy("doc_id")
+  }
+
+  val qDupSpansSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS ta
+       |  FROM documents),
+       |d2 AS (SELECT doc_id, ta FROM d WHERE len(ta) >= $DupSpanW),
+       |wo AS (SELECT doc_id, array_to_string(ta[i:i + ${DupSpanW - 1}], ' ') AS w
+       |       FROM d2, UNNEST(range(1, len(ta) - ${DupSpanW - 2})) AS u(i)),
+       |k AS (SELECT doc_id, w, COUNT(*) AS k FROM wo GROUP BY doc_id, w),
+       |c AS (SELECT w, SUM(k) AS cnt FROM k GROUP BY w)
+       |SELECT doc_id,
+       |       CAST(SUM(k) AS BIGINT) AS n_windows,
+       |       CAST(SUM(CASE WHEN cnt >= 2 THEN k ELSE 0 END) AS BIGINT) AS n_dup,
+       |       CAST(SUM(CASE WHEN cnt >= 2 THEN k ELSE 0 END) AS DOUBLE) / SUM(k) AS dup_fraction
+       |FROM k JOIN c USING (w)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dup_spans" -> (qDupSpans _),
     "q_dedup_blocks" -> (qDedupBlocks _),
     "q_dedup_prefix" -> (qPrefixDedup _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -795,6 +865,7 @@ object Dedup {
     "q_dedup_simhash" -> (qDedupSimhash _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_dup_spans" -> qDupSpansSql,
     "q_dedup_blocks" -> qDedupBlocksSql,
     "q_dedup_prefix" -> qPrefixDedupSql,
     "q_dedup_exact" -> qDedupExactSql,

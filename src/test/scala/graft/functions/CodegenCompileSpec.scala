@@ -62,10 +62,13 @@ class CodegenCompileSpec extends AnyFunSuite {
         TextHashExprs.minhashSig(col("t1"),
           Array(3L, 5L), Array(7L, 11L), (1L << 61) - 1).as("mh"),
         TextHashExprs.shingleMin(col("t1")).as("smin"),
-        TextHashExprs.shingleStats(col("t1"), col("t2")).as("stats")).collect().head
+        TextHashExprs.shingleStats(col("t1"), col("t2")).as("stats"),
+        TextHashExprs.windowHashes(col("t1"), 2).as("wh")).collect().head
       assert(r.getLong(0) !== 0L)
       assert(r.getSeq[Long](1).length === 2)
       assert(r.getStruct(3).length === 3) // (inter, na, nb)
+      // 4 tokens, width 2 -> 3 per-position windows; "a b" appears once
+      assert(r.getSeq[Long](4).length === 3)
     }
   }
 
