@@ -91,7 +91,10 @@ object ScalingRehearsal {
       "quality_quantile" -> time(graft.llm.TextAnalysis.qQualityQuantile(spark, dir)),
       "source_cap" -> time(graft.llm.Sampling.qSourceCap(spark, dir)),
       "ivf_index" -> time(graft.llm.Similarity.ivfIndex(spark, dir)),
-      "ivf_index_2level" -> time(graft.llm.Similarity.ivfIndexTwoLevel(spark, dir)))
+      "ivf_index_2level" -> time(graft.llm.Similarity.ivfIndexTwoLevel(spark, dir)),
+      "dup_spans" -> time(graft.llm.Dedup.qDupSpans(spark, dir)),
+      "lm_bigram_surprisal" -> time(graft.llm.CorpusStats.qLmBigramSurprisal(spark, dir)),
+      "incremental_exact" -> time(graft.llm.IncrementalDedup.qDedupIncrementalExact(spark, dir)))
     finally spark.conf.unset(graft.llm.Similarity.IvfCellsConf)
   }
 

@@ -236,10 +236,17 @@ object IncrementalDedup {
   }
 
   /** Id offsets for the derived exact-dedup "day-2" batch — shared by
-    * the query, the spec fixtures, and the DuckDB oracle. */
-  private[llm] val ExactResubmitOffset = 7000000L
-  private[llm] val ExactModifiedOffset = 7500000L
-  private[llm] val ExactFreshOffset = 8000000L
+    * the query, the spec fixtures, and the DuckDB oracle. Spaced 10M
+    * apart: corpus ids provably stay below 2M
+    * ([[graft.ScalingRehearsal.derive]]'s reserved-range guard +
+    * [[Dedup.VariantIdOffset]]), so the three derived ranges can never
+    * collide. The first cut spaced them 500k apart and the 10× scale
+    * rehearsal caught the collision (a 10× corpus id plus the
+    * resubmit offset landed inside the modified range, yielding two
+    * contradictory decision rows for one new_id). */
+  private[llm] val ExactResubmitOffset = 10000000L
+  private[llm] val ExactModifiedOffset = 20000000L
+  private[llm] val ExactFreshOffset = 30000000L
 
   /** Exact-hash incremental dedup as a driver-gated query: the corpus
     * is the day-1 index, the day-2 batch is derived as verbatim
