@@ -459,6 +459,76 @@ final class GraftTable(
       preserveLayout = zorderBy.nonEmpty)
   }
 
+  /** CALL system.rewrite_position_delete_files: compact the table's
+    * position-delete files WITHOUT touching data. MoR DELETE/MERGE
+    * traffic accumulates one small delete file per task per commit,
+    * and scans pay one set-load per applicable file — the file COUNT
+    * is the read-side tax. This procedure reads every live
+    * position-delete row once, DROPS rows whose target data file left
+    * the snapshot (dead pointers from partition overwrites /
+    * compactions), dedupes (file_path, pos), and lands the result as
+    * `targetFileCount` fresh delete files in one commit that retires
+    * the old ones — O(delete rows), never the O(table) data rewrite
+    * `rewrite_data_files` costs. Content-identical ⇒ "replace"; the
+    * new files take the commit's sequence number, which preserves
+    * applicability exactly (a position delete is born with a sequence
+    * ≥ its target's, and paths are never reused, so raising the
+    * sequence cannot activate anything new).
+    *
+    * Concurrency: the compacted source list is pinned up front; the
+    * commit loop drops exactly those paths from whatever base it
+    * lands on, so delete files committed concurrently carry
+    * untouched. If a concurrent commit retired a compacted source's
+    * targets, the merged rows become dead pointers — harmless no-ops
+    * at scan, collected by the next compaction. */
+  def rewritePositionDeleteFiles(
+      spark: SparkSession, targetFileCount: Int = 1): TableMetadata = {
+    val m = metadata
+    m.currentSnapshot match {
+      case None => m
+      case Some(snap) =>
+        val all = Manifests.filesOf(Manifests.readEntries(snap.manifestList))
+        val posFiles = all.filter(_.isPositionDeleteFile)
+        if (posFiles.isEmpty) return m
+        val compacted = posFiles.map(_.path).toSet
+        import spark.implicits._
+        val live = all.filter(_.content == Manifests.ContentData)
+          .map(f => GraftDeleteCache.fileKey(f.path)).toDF("target_key")
+        val rows = spark.read.parquet(posFiles.map(_.path): _*)
+          .select(
+            col("file_path").as("file_path",
+              SchemaBridge.fieldIdMetadata(GraftTable.PosDeleteFilePathId)),
+            col("pos").as("pos",
+              SchemaBridge.fieldIdMetadata(GraftTable.PosDeletePosId)))
+          .withColumn("target_key", GraftTable.fileKey(col("file_path")))
+          .join(live, Seq("target_key"), "left_semi")
+          .select("file_path", "pos")
+          .distinct()
+          .repartition(math.max(targetFileCount, 1))
+        val dir = s"${m.location}/deletes/${UUID.randomUUID()}"
+        val newFiles = GraftTable
+          .toDataFiles(ParquetBatchWrite.writeJob(rows, dir, None))
+          .map(_.copy(content = Manifests.ContentPositionDeletes))
+        commitLoop(TableMetadata.MainBranch, "replace")(base => {
+          val carried = Seq.newBuilder[Manifests.ManifestEntry]
+          val extra = Seq.newBuilder[Manifests.DataFile]
+          carriedEntries(base).foreach { e =>
+            if (!e.hasDeletes) carried += e
+            else {
+              // shards can mix data and delete files: re-record the
+              // shard's survivors (own sequence numbers kept) only
+              // when it actually holds a compacted source
+              val files = Manifests.filesOf(Seq(e))
+              if (files.exists(f => compacted(f.path)))
+                extra ++= files.filterNot(f => compacted(f.path))
+              else carried += e
+            }
+          }
+          (carried.result(), newFiles ++ extra.result())
+        })
+    }
+  }
+
   /** Partition-scoped INSERT OVERWRITE (the static `PARTITION (p='v')`
     * clause, arriving as a filter-scoped V2 overwrite): drops exactly
     * the data files whose IDENTITY partition values satisfy `filters`,
@@ -1039,6 +1109,7 @@ object GraftTable {
   private[engine] val PosDeleteFilePathId = 2147483546
   private[engine] val PosDeletePosId = 2147483545
 
+
   /** Position-delete READ schema: which row of which data file dies.
     * Deliberately id-LESS — columns resolve by NAME, so delete files
     * written before the ids landed still read (an id-bearing read
@@ -1153,9 +1224,13 @@ object GraftTable {
     * forms between manifest paths and `_metadata.file_path`, and safe
     * under nested layouts or cross-job name reuse where a last-two-
     * segment suffix could collide. */
-  private def fileKey(c: Column): Column =
+  private[engine] def fileKey(c: Column): Column =
     regexp_replace(
-      regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", ""),
+      regexp_replace(
+        // degenerate scheme://authority with NO path keys as the bare
+        // authority (the JVM twin's behavior), not the empty string
+        regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]*)$", "$1"),
+        "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", ""),
       "^file:", "")
 
   private[engine] def emptyDf(
@@ -1257,3 +1332,4 @@ object GraftTable {
       content = f.content, stats = f.stats))
       .sortBy(_.path)
 }
+
