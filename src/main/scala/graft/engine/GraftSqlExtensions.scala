@@ -21,6 +21,7 @@ import org.apache.spark.sql.types.StructType
   *   CALL cat.system.remove_orphan_files(table => 'db.t'[, older_than_ms => N])
   *   CALL cat.system.rewrite_manifests(table => 'db.t')
   *   CALL cat.system.rewrite_position_delete_files(table => 'db.t'[, target_file_count => N])
+  *   CALL cat.system.convert_equality_deletes(table => 'db.t'[, target_file_count => N])
   *   CALL cat.system.rollback_to_snapshot(table => 'db.t', snapshot_id => N)
   *   CALL cat.system.set_current_snapshot(table => 'db.t', snapshot_id => N)
   *
@@ -172,6 +173,9 @@ final case class CallProcedureCommand(
       case "rewrite_position_delete_files" =>
         val target = CountArg.findFirstMatchIn(args).map(_.group(1).toInt).getOrElse(1)
         catalog.engineTable(ti).rewritePositionDeleteFiles(spark, target)
+      case "convert_equality_deletes" =>
+        val target = CountArg.findFirstMatchIn(args).map(_.group(1).toInt).getOrElse(1)
+        catalog.engineTable(ti).convertEqualityDeletes(spark, target)
       case "rollback_to_snapshot" | "set_current_snapshot" =>
         val snapId = SnapshotArg.findFirstMatchIn(args).map(_.group(1).toLong)
           .getOrElse(throw new IllegalArgumentException(

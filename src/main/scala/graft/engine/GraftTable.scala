@@ -509,23 +509,115 @@ final class GraftTable(
         val newFiles = GraftTable
           .toDataFiles(ParquetBatchWrite.writeJob(rows, dir, None))
           .map(_.copy(content = Manifests.ContentPositionDeletes))
-        commitLoop(TableMetadata.MainBranch, "replace")(base => {
-          val carried = Seq.newBuilder[Manifests.ManifestEntry]
-          val extra = Seq.newBuilder[Manifests.DataFile]
-          carriedEntries(base).foreach { e =>
-            if (!e.hasDeletes) carried += e
-            else {
-              // shards can mix data and delete files: re-record the
-              // shard's survivors (own sequence numbers kept) only
-              // when it actually holds a compacted source
-              val files = Manifests.filesOf(Seq(e))
-              if (files.exists(f => compacted(f.path)))
-                extra ++= files.filterNot(f => compacted(f.path))
-              else carried += e
-            }
+        commitRetiringFiles("replace", compacted, newFiles)
+    }
+  }
+
+  /** Commit that RETIRES the pinned delete-file `retired` paths and
+    * lands `newFiles`, carrying everything else — INCLUDING delete
+    * files committed concurrently (the retired set is pinned, never
+    * recomputed per attempt). Shards can mix data and delete files:
+    * a shard holding a retired path is read once and its survivors
+    * re-recorded with their own sequence numbers; all other shards
+    * carry verbatim. */
+  private def commitRetiringFiles(
+      operation: String,
+      retired: Set[String],
+      newFiles: Seq[Manifests.DataFile]): TableMetadata =
+    commitLoop(TableMetadata.MainBranch, operation)(base => {
+      val carried = Seq.newBuilder[Manifests.ManifestEntry]
+      val extra = Seq.newBuilder[Manifests.DataFile]
+      carriedEntries(base).foreach { e =>
+        if (!e.hasDeletes) carried += e
+        else {
+          val files = Manifests.filesOf(Seq(e))
+          if (files.exists(f => retired(f.path)))
+            extra ++= files.filterNot(f => retired(f.path))
+          else carried += e
+        }
+      }
+      (carried.result(), newFiles ++ extra.result())
+    })
+
+  /** CALL system.convert_equality_deletes: rewrite every equality-
+    * delete file as position-delete rows addressing the exact rows it
+    * deletes — content-identical now AND forever: an equality delete
+    * only ever applies to data files sequenced below its own, all of
+    * which exist at conversion time, and files appended later are
+    * untouched by both forms. After conversion scans pay an O(1)
+    * row-index set probe instead of hashing every row's key tuple
+    * against every applicable equality set, and
+    * [[rewritePositionDeleteFiles]] can fold ALL delete state into
+    * one file. Key columns resolve by FIELD ID (the same rename-safe
+    * resolution the scan uses), so conversion is correct across
+    * RENAME COLUMN — spec-pinned. Rows already position-deleted may
+    * convert too (a duplicate (file, pos) is a no-op at scan).
+    *
+    * The matching scan mirrors [[readFiles]]'s equality application
+    * exactly — one multi-path scan per key-set with per-file
+    * sequences from a broadcast — but keeps the SEMI side (the rows
+    * the anti-join would drop). */
+  def convertEqualityDeletes(
+      spark: SparkSession, targetFileCount: Int = 1): TableMetadata = {
+    val m = metadata
+    m.currentSnapshot match {
+      case None => m
+      case Some(snap) =>
+        val schema = m.currentSchema
+        val all = Manifests.filesOf(Manifests.readEntries(snap.manifestList))
+        val eqFiles = all.filter(_.content == Manifests.ContentEqualityDeletes)
+        if (eqFiles.isEmpty) return m
+        val datas = all.filter(_.content == Manifests.ContentData)
+        val retired = eqFiles.map(_.path).toSet
+        if (datas.isEmpty)
+          return commitRetiringFiles("replace", retired, Nil)
+        import spark.implicits._
+        val seqDf = datas.map(f => (GraftDeleteCache.fileKey(f.path), f.seq))
+          .toDF("__seq_file", "__data_seq")
+        val base = spark.read.schema(SchemaBridge.toSpark(schema))
+          .parquet(datas.map(_.path): _*)
+          .withColumn(GraftTable.FileCol, col("_metadata.file_path"))
+          .withColumn(GraftTable.PosCol, col("_metadata.row_index"))
+          .withColumn("__seq_file", GraftTable.fileKey(col(GraftTable.FileCol)))
+          .join(broadcast(seqDf), "__seq_file")
+        var matched: DataFrame = null
+        eqFiles.groupBy(f => (f.equalityIds, f.equalityColumns))
+          .foreach { case ((ids, legacyNames), dfiles) =>
+            val keyFields =
+              if (ids.nonEmpty) ids.map(id => schema.fieldById(id).getOrElse(
+                sys.error(s"equality-delete key field id $id missing from schema")))
+              else legacyNames.map(n => schema.fieldByName(n).getOrElse(
+                sys.error(s"equality-delete key column $n missing from schema")))
+            val keys = keyFields.map(_.name)
+            val delSchema = org.apache.spark.sql.types.StructType(keyFields.map(f =>
+              org.apache.spark.sql.types.StructField(f.name,
+                SchemaBridge.toSpark(f.fieldType), nullable = true,
+                SchemaBridge.fieldIdMetadata(f.id))))
+            val delSeqDf = dfiles
+              .map(f => (GraftDeleteCache.fileKey(f.path), f.seq))
+              .toDF("__del_seq_file", "__del_seq")
+            val delRows = spark.read.schema(delSchema)
+              .parquet(dfiles.map(_.path): _*)
+              .withColumn("__del_seq_file",
+                GraftTable.fileKey(col("_metadata.file_path")))
+              .join(broadcast(delSeqDf), "__del_seq_file")
+              .select(keys.map(k => col(k).as(s"__del_$k")) :+ col("__del_seq"): _*)
+            val cond = keys.map(k => base(k) <=> delRows(s"__del_$k")).reduce(_ && _) &&
+              delRows("__del_seq") > base("__data_seq")
+            val hit = base.join(delRows, cond, "left_semi")
+              .select(
+                col(GraftTable.FileCol).as("file_path",
+                  SchemaBridge.fieldIdMetadata(GraftTable.PosDeleteFilePathId)),
+                col(GraftTable.PosCol).as("pos",
+                  SchemaBridge.fieldIdMetadata(GraftTable.PosDeletePosId)))
+            matched = if (matched == null) hit else matched.unionByName(hit)
           }
-          (carried.result(), newFiles ++ extra.result())
-        })
+        val rows = matched.distinct().repartition(math.max(targetFileCount, 1))
+        val dir = s"${m.location}/deletes/${UUID.randomUUID()}"
+        val newFiles = GraftTable
+          .toDataFiles(ParquetBatchWrite.writeJob(rows, dir, None))
+          .map(_.copy(content = Manifests.ContentPositionDeletes))
+        commitRetiringFiles("replace", retired, newFiles)
     }
   }
 

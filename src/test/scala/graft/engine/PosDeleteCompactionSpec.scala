@@ -114,8 +114,45 @@ class PosDeleteCompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
     val snapBefore = new GraftTable(client, prefix, TableIdent(Seq("db"), "pdc3"))
       .metadata.currentSnapshotId
     spark.sql(s"CALL $cat.system.rewrite_position_delete_files(table => 'db.pdc3')")
+    spark.sql(s"CALL $cat.system.convert_equality_deletes(table => 'db.pdc3')")
     val snapAfter = new GraftTable(client, prefix, TableIdent(Seq("db"), "pdc3"))
       .metadata.currentSnapshotId
     assert(snapBefore === snapAfter, "no commit on a delete-free table")
+  }
+
+  test("convert_equality_deletes: id-resolved across RENAME, then the triad folds to one file") {
+    import spark.implicits._
+    spark.sql(s"CREATE TABLE $cat.db.ced (id BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.db.ced SELECT id, concat('v', id) FROM range(0, 100)")
+    spark.sql(s"INSERT INTO $cat.db.ced SELECT id, concat('v', id) FROM range(100, 200)")
+    val t = new GraftTable(client, prefix, TableIdent(Seq("db"), "ced"))
+    // two equality-delete commits + one position-delete commit
+    t.deleteByKeys(spark, Seq("id"), Seq(5L).toDF("id"))
+    t.deleteByKeys(spark, Seq("id"), Seq(150L).toDF("id"))
+    spark.sql(s"DELETE FROM $cat.db.ced WHERE id = 42")
+    // rename the equality KEY column while the delete files are live
+    spark.sql(s"ALTER TABLE $cat.db.ced RENAME COLUMN id TO ident")
+    val before = spark.sql(s"SELECT * FROM $cat.db.ced ORDER BY ident").collect().toSeq
+    assert(before.length === 197)
+    assert(liveFiles("ced").count(_.content == Manifests.ContentEqualityDeletes) === 2)
+
+    spark.sql(s"CALL $cat.system.convert_equality_deletes(table => 'db.ced')")
+
+    val afterConvert = liveFiles("ced")
+    assert(afterConvert.count(_.content == Manifests.ContentEqualityDeletes) === 0)
+    assert(afterConvert.count(_.isPositionDeleteFile) >= 2) // converted + original DELETE's
+    assert(spark.sql(s"SELECT * FROM $cat.db.ced ORDER BY ident").collect().toSeq === before)
+    // equality semantics preserved going forward: a re-insert of a
+    // converted key SURVIVES (both forms only affect older files)
+    spark.sql(s"INSERT INTO $cat.db.ced VALUES (5, 'reborn')")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.ced WHERE ident = 5")
+      .collect().head.getLong(0) === 1)
+
+    // the triad composition: all delete state folds into ONE file
+    spark.sql(s"CALL $cat.system.rewrite_position_delete_files(table => 'db.ced')")
+    val pos = liveFiles("ced").filter(_.isPositionDeleteFile)
+    assert(pos.size === 1)
+    assert(pos.head.recordCount === 3) // ids 5, 150, 42
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.ced").collect().head.getLong(0) === 198)
   }
 }
