@@ -852,9 +852,99 @@ object Dedup {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** Position-key encoding for [[qDupSpansClean]]'s keeper choice:
+    * `doc_id * PosKeyBase + position` must be collision-free, so docs
+    * are bounded at PosKeyBase tokens (far above any real document
+    * after normalization; the derivation guard in ScalingRehearsal
+    * keeps ids < 2M, so the product stays well inside a long). */
+  private[llm] val PosKeyBase = 1000000L
+
+  /** Duplicated-span REMOVAL — the intervention [[qDupSpans]] is the
+    * profile for (Lee et al.'s "deduplicating training data" applied
+    * at span granularity): every duplicated [[DupSpanW]]-token window
+    * keeps its FIRST occurrence corpus-wide (minimum (doc_id, pos))
+    * and every other occurrence's token range is cut; each document
+    * comes back as its kept tokens re-joined (`n_kept`, `clean_text`).
+    * Documents shorter than the window pass through unchanged.
+    *
+    * Scale: same key discipline as [[qDupSpans]] — window hashes from
+    * the native one-pass expression, explode children are CACHED-LEAF
+    * columns. The occurrence stream pre-aggregates to one row per
+    * (doc, window) carrying its position list (state bounded by the
+    * DOCUMENT's own length — the same bound as the doc row itself),
+    * so the skew join against per-window stats runs at
+    * doc-distinct-window scale with the hot side's fan-in bounded by
+    * document count, never raw occurrence count. Interval cover and
+    * text rebuild are per-document array work (bounded by doc
+    * length); nothing global ever sorts. */
+  def qDupSpansClean(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, posexplode}
+    val (docs, _) = org.apache.spark.sql.GraftShims.cachedLeaf(
+      load(s, dir, "documents")
+        .selectExpr("doc_id", "filter(split(text, ' '), t -> length(t) > 0) as ta")
+        .select(col("doc_id"), col("ta"),
+          graft.functions.TextHashExprs.windowHashes(col("ta"), DupSpanW).as("whs")))
+    // one row per (doc, window value): its 1-based start positions
+    val byDocWin = docs
+      .select(col("doc_id"), posexplode(col("whs")).as(Seq("p0", "wh")))
+      .selectExpr("doc_id", "wh", "p0 + 1 as i")
+      .groupBy("doc_id", "wh")
+      .agg(expr("sort_array(collect_list(i)) as is"))
+    val winStats = byDocWin
+      .groupBy("wh")
+      .agg(expr("sum(size(is)) as cnt"),
+        expr(s"min(doc_id * $PosKeyBase + is[0]) as keep_key"))
+    val head = winStats.orderBy(col("cnt").desc, col("wh"))
+      .limit(CorpusStats.RarityHeadK)
+    val headRows = byDocWin.join(broadcast(head), "wh")
+    val tailRows = byDocWin
+      .join(broadcast(head.select(col("wh"))), Seq("wh"), "left_anti")
+      .join(winStats, "wh")
+    val covered = headRows.unionByName(tailRows)
+      .where("cnt >= 2")
+      .selectExpr("doc_id",
+        s"filter(is, i -> doc_id * $PosKeyBase + i != keep_key) as rm")
+      .where("size(rm) > 0")
+      .selectExpr("doc_id",
+        s"explode(flatten(transform(rm, i -> sequence(i, i + ${DupSpanW - 1})))) as p")
+      .distinct()
+    docs.select(col("doc_id"), posexplode(col("ta")).as(Seq("p0", "t")))
+      .selectExpr("doc_id", "p0 + 1 as p", "t")
+      .join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy("doc_id")
+      .agg(expr("count(1) as n_kept"),
+        expr("array_join(transform(sort_array(collect_list(struct(p, t))), x -> x.t), ' ') as clean_text"))
+      .orderBy("doc_id")
+  }
+
+  val qDupSpansCleanSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS ta
+       |  FROM documents),
+       |w AS (SELECT doc_id, i, array_to_string(ta[i:i + ${DupSpanW - 1}], ' ') AS wv
+       |      FROM d, UNNEST(range(1, len(ta) - ${DupSpanW - 2})) AS u(i)),
+       |stats AS (SELECT wv, COUNT(*) AS cnt,
+       |                 MIN(doc_id * $PosKeyBase + i) AS keep_key
+       |          FROM w GROUP BY wv),
+       |removed AS (
+       |  SELECT w.doc_id, w.i FROM w JOIN stats USING (wv)
+       |  WHERE cnt >= 2 AND w.doc_id * $PosKeyBase + w.i <> keep_key),
+       |cov AS (SELECT DISTINCT doc_id, i + o AS p
+       |        FROM removed, UNNEST(range(0, $DupSpanW)) AS v(o)),
+       |toks AS (SELECT doc_id, p, ta[p] AS t
+       |         FROM d, UNNEST(range(1, len(ta) + 1)) AS u(p)),
+       |kept AS (SELECT t.doc_id, t.p, t.t
+       |         FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.p
+       |         WHERE c.doc_id IS NULL)
+       |SELECT doc_id, COUNT(*) AS n_kept,
+       |       array_to_string(list(t ORDER BY p), ' ') AS clean_text
+       |FROM kept GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dup_spans" -> (qDupSpans _),
+    "q_dup_spans_clean" -> (qDupSpansClean _),
     "q_dedup_blocks" -> (qDedupBlocks _),
     "q_dedup_prefix" -> (qPrefixDedup _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -866,6 +956,7 @@ object Dedup {
 
   val oracleSql: Map[String, String] = Map(
     "q_dup_spans" -> qDupSpansSql,
+    "q_dup_spans_clean" -> qDupSpansCleanSql,
     "q_dedup_blocks" -> qDedupBlocksSql,
     "q_dedup_prefix" -> qPrefixDedupSql,
     "q_dedup_exact" -> qDedupExactSql,

@@ -37,6 +37,27 @@ class DupSpansSpec extends AnyFunSuite {
     assert(got(4L) === ((9L, 2L, 2.0 / 9)))
   }
 
+  test("span removal keeps the corpus-first occurrence, cuts the rest, drops emptied docs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-spansclean").toString
+    import spark.implicits._
+    val w8 = "a b c d e f g h"
+    Seq(
+      (1L, s"$w8 i j", "en", "s", 1L),         // keeper of w8: doc 1 pos 1 — untouched
+      (2L, s"$w8 zz qq", "en", "s", 1L),       // w8 copy removed, tail survives
+      (3L, "p q r s t u v w", "en", "s", 1L),  // unique window — untouched
+      (4L, s"$w8 $w8", "en", "s", 1L),         // both spans removed -> emptied, no row
+      (5L, "too short", "en", "s", 1L))        // < window: passthrough
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.qDupSpansClean(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got === Map(
+      1L -> ((10L, s"$w8 i j")),
+      2L -> ((2L, "zz qq")),
+      3L -> ((8L, "p q r s t u v w")),
+      5L -> ((2L, "too short"))))
+  }
+
   test("hash-keyed pipeline equals the string-window brute force at sf0.001") {
     val dir = "/root/testdata/sf0.001"
     val got = run(dir)
