@@ -598,9 +598,16 @@ object Dedup {
     * id — the canonical-survivor assignment a dedup pipeline acts on
     * ("keep cluster == doc_id, drop the rest"). */
   def qDedupClusters(s: SparkSession, dir: String): DataFrame =
-    connectedComponents(qDedupMinhashLsh(s, dir).select("id_a", "id_b"))
+    clusterLabels(s, dir)
       .selectExpr("cluster", "id as doc_id")
       .orderBy("cluster", "doc_id")
+
+  /** The `(id, cluster)` label table over the verified MinHash-LSH
+    * pair graph — the common core [[qDedupClusters]] and
+    * [[Sampling.qSplitLeakfree]] share (only CLUSTERED docs appear;
+    * singletons are absent by construction). */
+  private[llm] def clusterLabels(s: SparkSession, dir: String): DataFrame =
+    connectedComponents(qDedupMinhashLsh(s, dir).select("id_a", "id_b"))
 
   val qDedupClustersSql: String =
     s"""WITH RECURSIVE p AS (SELECT id_a, id_b FROM ($qDedupMinhashLshSql) mh),

@@ -386,8 +386,159 @@ object Sampling {
       |GROUP BY 1, 2
       |ORDER BY source, split""".stripMargin
 
+  /** Temperature-mixing hash — fourth decorrelated odd multiplier,
+    * into [0, 1e6) (finer than permille: the derived per-source rates
+    * live on a much finer grid than hand-picked mixture weights). */
+  private[llm] def tempPpmHash(col: String) =
+    s"pmod(pmod($col, 1000000007) * 2971215073L, 4294967296) % 1000000"
+
+  /** Total document budget the temperature mixture targets. */
+  private[llm] val TempBudgetDocs = 10000L
+  /** Quantization for sqrt(n) source weights (milli-units). */
+  private[llm] val TempQuant = 1000L
+
+  /** TEMPERATURE-weighted source mixing (the data-mixture policy used
+    * when weights are not hand-picked): a source's share of the
+    * training budget is proportional to n_s^α with α = 0.5 — large
+    * sources are DOWN-weighted relative to their size, small sources
+    * up-weighted, the standard smoothing between "proportional" (α=1)
+    * and "uniform" (α=0). Unlike [[qMixEpochs]] (fixed caller-supplied
+    * weights), the rates here are DERIVED from corpus statistics:
+    * keep-probability p_s = min(1, B·w_s / n_s) with
+    * w_s = √n_s / Σ√n_s and B = [[TempBudgetDocs]].
+    *
+    * Cross-engine exactness: √n is a single correctly-rounded IEEE op
+    * (identical everywhere), then quantizes to integer milli-units so
+    * the SUM over sources is exact integer arithmetic — never an
+    * order-dependent float sum. The final rate is one double division
+    * chain with an IDENTICAL expression tree in both engines (each op
+    * correctly rounded ⇒ bit-identical), floored onto a ppm grid.
+    *
+    * Scale: one map-side-combined count per source (O(sources) rows),
+    * a single-row exact total, a broadcast of the O(sources) rate
+    * table back onto the corpus, and a per-row hash gate — the corpus
+    * is scanned once and never shuffled. Output pins per-source kept
+    * counts and the derived ppm thresholds. */
+  def qMixTemperature(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val docs = load(s, dir, "documents").select(col("doc_id"), col("source"))
+    val counts = docs.groupBy("source")
+      .agg(org.apache.spark.sql.functions.expr("count(*) as n_docs"))
+      .selectExpr("source", "n_docs",
+        s"cast(floor(sqrt(cast(n_docs as double)) * $TempQuant) as bigint) as w_q")
+    val total = counts.agg(
+      org.apache.spark.sql.functions.expr("sum(w_q) as z_q"))
+    val rates = counts.crossJoin(broadcast(total))
+      .selectExpr("source", "n_docs",
+        s"""least(1000000L, cast(floor(
+           |  (cast($TempBudgetDocs as double) * cast(w_q as double) * 1000000.0d)
+           |  / (cast(z_q as double) * cast(n_docs as double))) as bigint)) as t_ppm""".stripMargin)
+    docs.join(broadcast(rates), "source")
+      .selectExpr("source", "n_docs", "t_ppm", "doc_id",
+        s"${tempPpmHash("doc_id")} as h")
+      .where("h < t_ppm")
+      .groupBy("source", "n_docs", "t_ppm")
+      .agg(
+        org.apache.spark.sql.functions.expr("count(*) as n_kept"),
+        org.apache.spark.sql.functions.expr("min(doc_id) as first_kept"))
+      .orderBy("source")
+  }
+
+  val qMixTemperatureSql: String =
+    s"""WITH c AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |         CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * $TempQuant) AS BIGINT) AS w_q
+       |  FROM documents GROUP BY source),
+       |z AS (SELECT CAST(SUM(w_q) AS BIGINT) AS z_q FROM c),
+       |r AS (
+       |  SELECT source, n_docs,
+       |         least(1000000, CAST(floor(
+       |           (CAST($TempBudgetDocs AS DOUBLE) * CAST(w_q AS DOUBLE) * 1000000.0)
+       |           / (CAST(z_q AS DOUBLE) * CAST(n_docs AS DOUBLE))) AS BIGINT)) AS t_ppm
+       |  FROM c CROSS JOIN z),
+       |g AS (
+       |  SELECT d.source, r.n_docs, r.t_ppm, d.doc_id,
+       |         ((d.doc_id % 1000000007) * 2971215073) % 4294967296 % 1000000 AS h
+       |  FROM documents d JOIN r USING (source))
+       |SELECT source, n_docs, t_ppm,
+       |       COUNT(*) AS n_kept, MIN(doc_id) AS first_kept
+       |FROM g WHERE h < t_ppm
+       |GROUP BY source, n_docs, t_ppm
+       |ORDER BY source""".stripMargin
+
+  /** LEAKAGE-FREE train/val/test split: near-duplicate documents must
+    * land in the SAME split, or evaluation on the held-out set scores
+    * memorization (the test doc's near-copy was trained on). The split
+    * key is therefore the document's near-dup CLUSTER root — from the
+    * same verified MinHash-LSH pair graph + connected components as
+    * [[Dedup.qDedupClusters]] — for clustered docs, and the doc's own
+    * id for singletons; the hash gate then runs on the GROUP key, so a
+    * whole cluster moves between splits as one unit. By construction
+    * no cluster can span splits (pinned in SamplingSpec). Corpus =
+    * documents ∪ the MinHash near-copy derivation, so real cluster
+    * traffic exists at every scale factor.
+    *
+    * Scale: the pair graph is banded/capped LSH (never all-pairs), CC
+    * is the log-rounds loop, and the split itself is one left join of
+    * the corpus against the O(dup-docs) label table plus a per-row
+    * hash — re-running over a grown corpus never moves an untouched
+    * singleton (its key is its own id), and only merges clusters
+    * forward. Output pins per-split doc/group counts and id bounds. */
+  def qSplitLeakfree(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val base = load(s, dir, "documents").selectExpr("doc_id as id")
+    val variants = base.filter(s"id % 7 = 0")
+      .selectExpr(s"id + ${Dedup.VariantIdOffset} as id")
+    val corpus = base.unionAll(variants)
+    val labels = Dedup.clusterLabels(s, dir).selectExpr("id", "cluster")
+    corpus.join(labels, Seq("id"), "left")
+      .selectExpr("id", "coalesce(cluster, id) as skey")
+      .selectExpr("id", "skey",
+        s"""case when ${splitPermille("skey")} < 980 then 'train'
+           |     when ${splitPermille("skey")} < 990 then 'val'
+           |     else 'test' end as split""".stripMargin)
+      .groupBy("split")
+      .agg(
+        org.apache.spark.sql.functions.expr("count(*) as n_docs"),
+        org.apache.spark.sql.functions.expr("count(distinct skey) as n_groups"),
+        org.apache.spark.sql.functions.expr("min(id) as min_id"),
+        org.apache.spark.sql.functions.expr("max(id) as max_id"))
+      .orderBy("split")
+  }
+
+  val qSplitLeakfreeSql: String =
+    s"""WITH RECURSIVE p AS (SELECT id_a, id_b FROM (${Dedup.qDedupMinhashLshSql}) mh),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+       |          UNION ALL SELECT id_b, id_a FROM p),
+       |reach AS (
+       |  SELECT src AS id, dst AS r FROM edges
+       |  UNION
+       |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+       |allr AS (SELECT id, r FROM reach UNION SELECT src, src FROM edges),
+       |lab AS (SELECT id, MIN(r) AS cl FROM allr GROUP BY id),
+       |ids AS (
+       |  SELECT doc_id AS id FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + ${Dedup.VariantIdOffset} FROM documents WHERE doc_id % 7 = 0),
+       |keyed AS (
+       |  SELECT ids.id, COALESCE(lab.cl, ids.id) AS skey
+       |  FROM ids LEFT JOIN lab ON ids.id = lab.id),
+       |sp AS (
+       |  SELECT id, skey,
+       |         ((skey % 1000000007) * 3267000013) % 4294967296 % 1000 AS h
+       |  FROM keyed)
+       |SELECT CASE WHEN h < 980 THEN 'train'
+       |            WHEN h < 990 THEN 'val'
+       |            ELSE 'test' END AS split,
+       |       COUNT(*) AS n_docs, COUNT(DISTINCT skey) AS n_groups,
+       |       MIN(id) AS min_id, MAX(id) AS max_id
+       |FROM sp GROUP BY 1
+       |ORDER BY split""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_split_assign" -> (qSplitAssign _),
+    "q_split_leakfree" -> (qSplitLeakfree _),
+    "q_mix_temperature" -> (qMixTemperature _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_shard_pack" -> (qShardPack _),
     "q_mix_epochs" -> (qMixEpochs _),
@@ -396,6 +547,8 @@ object Sampling {
 
   val oracleSql: Map[String, String] = Map(
     "q_split_assign" -> qSplitAssignSql,
+    "q_split_leakfree" -> qSplitLeakfreeSql,
+    "q_mix_temperature" -> qMixTemperatureSql,
     "q_sample_stratified" -> qSampleStratifiedSql,
     "q_shard_pack" -> qShardPackSql,
     "q_mix_epochs" -> qMixEpochsSql,

@@ -277,4 +277,67 @@ class SamplingSpec extends AnyFunSuite {
         === (1L to rows.length.toLong).toSeq, s"ranks not contiguous: $src")
     }
   }
+
+  test("leakage-free split: no near-dup cluster ever spans two splits") {
+    // Recompute the per-DOC assignment the aggregate query collapses:
+    // split of every corpus member via its group key, then assert each
+    // CC cluster lands in exactly one split.
+    val labels = Dedup.clusterLabels(spark, sf)
+      .selectExpr("id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.nonEmpty, "fixture must produce near-dup clusters")
+    def permille(k: Long): Long = ((k % 1000000007L) * 3267000013L) % 4294967296L % 1000L
+    def splitOf(k: Long): String =
+      if (permille(k) < 980) "train" else if (permille(k) < 990) "val" else "test"
+    val clusterSplits = labels.groupBy(_._2).view.mapValues { members =>
+      members.map { case (_, cl) => splitOf(cl) }.toSet
+    }
+    clusterSplits.foreach { case (cl, splits) =>
+      assert(splits.size == 1, s"cluster $cl spans splits $splits")
+    }
+
+    // and the aggregate output is consistent: docs total = corpus size,
+    // groups never exceed docs, split set is exactly the three names
+    val got = Sampling.qSplitLeakfree(spark, sf).collect()
+    val docs = graft.Tables.load(spark, sf, "documents").count()
+    val variants = graft.Tables.load(spark, sf, "documents")
+      .where("doc_id % 7 = 0").count()
+    assert(got.map(_.getLong(1)).sum === docs + variants)
+    got.foreach(r => assert(r.getLong(2) <= r.getLong(1),
+      s"${r.getString(0)}: more groups than docs"))
+    assert(got.map(_.getString(0)).toSet.subsetOf(Set("train", "val", "test")))
+
+    // a cluster's members all sit in the split of their ROOT: spot-pin
+    // via the per-doc recomputation against the aggregate's counts
+    val perSplit = labels.keys.map(id => splitOf(labels(id))).toSeq
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    perSplit.foreach { case (split, n) =>
+      val row = got.find(_.getString(0) == split)
+      assert(row.nonEmpty && row.get.getLong(1) >= n,
+        s"$split: aggregate counts fewer docs than clustered members alone")
+    }
+  }
+
+  test("temperature mixing: derived rates smooth toward small sources, exact determinism") {
+    val a = Sampling.qMixTemperature(spark, sf).collect()
+    val b = Sampling.qMixTemperature(spark, sf).collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq, "must be hash-deterministic")
+    assert(a.nonEmpty)
+    a.foreach { r =>
+      val (n, t, kept) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(t >= 0L && t <= 1000000L, s"t_ppm out of range: $t")
+      assert(kept <= n, "kept more than the source holds")
+    }
+    // temperature property: keep-RATE is non-increasing in source size
+    // (α = 0.5 < 1 means larger sources get proportionally less) —
+    // compare the derived thresholds of the largest vs smallest source
+    val bySize = a.sortBy(_.getLong(1))
+    if (bySize.length >= 2) {
+      val smallest = bySize.head
+      val largest = bySize.last
+      if (largest.getLong(1) > smallest.getLong(1))
+        assert(smallest.getLong(2) >= largest.getLong(2),
+          "smaller source must get at least the larger source's keep rate")
+    }
+  }
 }
