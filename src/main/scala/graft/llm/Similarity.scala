@@ -752,8 +752,104 @@ object Similarity {
        |SELECT vec_id, cell FROM asgF ORDER BY vec_id""".stripMargin
   }
 
+  // ------------------------------------------------------------ k-means
+  /** k-means cluster count / Lloyd refinement rounds. Deliberately NOT
+    * the IVF knobs: k-means here is the data-curation clustering step
+    * (cluster-balanced pruning, SemDeDup-style cell prep, topic
+    * bucketing), where a handful of rounds to near-convergence matters;
+    * IVF runs exactly one refinement because its cells only need to be
+    * roughly balanced. */
+  private val KMEANS_K = 8
+  private val KMEANS_ROUNDS = 3
+
+  /** Full ITERATIVE spherical k-means (Lloyd's algorithm) over the
+    * embedding corpus: deterministic seeds (the K lowest vec_ids'
+    * vectors), then [[KMEANS_ROUNDS]] rounds of assign-to-nearest (by
+    * cosine, ties to the lowest cluster id) + quantized-mean centroid
+    * recompute, then a final assignment against the converged
+    * centroids. Output per vector: its cluster and the cosine to its
+    * centroid floored onto a 1e-6 grid — so the hash gate pins both
+    * the assignment AND the centroid arithmetic of every round.
+    *
+    * Cross-engine exactness: identical to the IVF family — per-cell
+    * means go through integer micro-unit sums ([[IVF_QUANT]], exact
+    * and order-free), and the cosine is the same left-fold expression
+    * tree on both engines.
+    *
+    * Scale: the centroid table is K × DIM doubles — broadcast every
+    * round — and each round is one corpus scan with a map-side-folded
+    * `max_by` (shuffle O(corpus), never O(corpus × K)) plus an
+    * O(K × DIM) aggregate; rounds are a fixed constant, so total cost
+    * is (rounds + 1) linear passes in ONE job chain. This is the
+    * iterative-refinement loop pattern ([[Dedup.connectedComponents]]
+    * is its graph sibling) with per-round state that stays driver-size
+    * independent of the corpus. */
+  def qEmbKmeans(s: SparkSession, dir: String): DataFrame = {
+    val corpus = load(s, dir, "embeddings").select(col("vec_id"),
+      graft.functions.VectorExprs.toDouble(col("embedding")).as("e"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // deterministic seeds — the IVF pattern: K ids via a bounded
+    // TakeOrdered collect, ranked back in as a broadcast map
+    val seedIds = corpus.select(col("vec_id")).orderBy("vec_id")
+      .limit(KMEANS_K).collect().map(_.getLong(0))
+    val rankDf = seedIds.zipWithIndex.map { case (id, i) => (id, i) }
+      .toSeq.toDF("vec_id", "cell")
+    var cents = corpus.join(broadcast(rankDf), "vec_id")
+      .select(col("cell"), col("e").as("c"))
+    for (_ <- 0 until KMEANS_ROUNDS)
+      cents = quantizedMeans(ivfAssign(corpus, cents))
+    corpus.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cell"),
+        graft.functions.VectorExprs.cosine(col("e"), col("c")).as("cos"))
+      .groupBy("vec_id")
+      .agg(org.apache.spark.sql.functions.expr(
+        "max_by(struct(cell, cos), struct(cos, -cell)) as best"))
+      .selectExpr("vec_id", "best.cell as cluster",
+        "cast(floor(best.cos * 1000000.0d) as bigint) as cos_q")
+      .orderBy("vec_id")
+  }
+
+  val qEmbKmeansSql: String = {
+    // one Lloyd round as CTE text: assignment a$r against cents c$(r-1),
+    // quantized means c$r — the SQL twin of the Scala loop body
+    def roundCtes(r: Int, prevCents: String): String =
+      s"""a$r AS (
+         |  SELECT vec_id, e, cell FROM (
+         |    SELECT v.vec_id, v.e, k.cell,
+         |           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |                              ORDER BY ${cosD("v.e", "k.c")} DESC, k.cell) AS rn
+         |    FROM emb v CROSS JOIN $prevCents k) t WHERE rn = 1),
+         |c$r AS (
+         |  SELECT cell, array_agg(s::DOUBLE / (n * $IVF_QUANT.0) ORDER BY i) AS c
+         |  FROM (SELECT cell, i,
+         |               SUM(CAST(FLOOR(e[i] * $IVF_QUANT) AS BIGINT)) AS s,
+         |               COUNT(*) AS n
+         |        FROM a$r CROSS JOIN (SELECT unnest(range(1, $DIM + 1)) AS i) idx
+         |        GROUP BY cell, i) q GROUP BY cell)""".stripMargin
+    val rounds = (1 to KMEANS_ROUNDS)
+      .map(r => roundCtes(r, if (r == 1) "c0" else s"c${r - 1}"))
+      .mkString(",\n")
+    val cosFinal = cosD("v.e", "k.c")
+    s"""WITH emb AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+       |             FROM embeddings),
+       |c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+       |              e AS c
+       |       FROM (SELECT vec_id, e FROM emb ORDER BY vec_id LIMIT $KMEANS_K)),
+       |$rounds
+       |SELECT vec_id, cluster, CAST(FLOOR(cos * 1000000.0) AS BIGINT) AS cos_q
+       |FROM (
+       |  SELECT vec_id, cell AS cluster, cos, ROW_NUMBER() OVER (
+       |           PARTITION BY vec_id ORDER BY cos DESC, cell) AS rn
+       |  FROM (SELECT v.vec_id, k.cell, $cosFinal AS cos
+       |        FROM emb v CROSS JOIN c$KMEANS_ROUNDS k) x) t
+       |WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin
+  }
+
   // ----------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_emb_kmeans" -> (qEmbKmeans _),
     "q_ann_ivf_assign2" -> (qIvfAssign2Level _),
     "q_knn_bruteforce" -> (qKnnBruteForce _),
     "q_ann_lsh_buckets" -> (qAnnLshBuckets _),
@@ -765,6 +861,7 @@ object Similarity {
     "q_dedup_embedding" -> (qDedupEmbedding _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_emb_kmeans" -> qEmbKmeansSql,
     "q_ann_ivf_assign2" -> qIvfAssign2LevelSql,
     "q_knn_bruteforce" -> qKnnBruteForceSql,
     "q_ann_lsh_buckets" -> qAnnLshBucketsSql,

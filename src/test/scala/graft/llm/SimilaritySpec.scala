@@ -168,4 +168,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(small.max <= 4L * rowsPerCell, s"max cell ${small.max} at N=240")
     assert(large.max <= 4L * rowsPerCell, s"max cell ${large.max} at N=960")
   }
+
+  test("k-means: total partition, deterministic, rounds improve the seed fit") {
+    val sf = "/root/testdata/sf0.001"
+    val got = Similarity.qEmbKmeans(spark, sf).collect()
+    val n = graft.Tables.load(spark, sf, "embeddings").count()
+    assert(got.length.toLong === n, "every vector assigned exactly once")
+    assert(got.map(_.getLong(0)).distinct.length.toLong === n)
+    val clusters = got.map(_.getInt(1)).distinct
+    assert(clusters.forall(c => c >= 0 && c < 8), "cluster ids out of range")
+    assert(clusters.length >= 2, "clustering collapsed to one cell")
+    assert(got.map(_.toSeq).toSeq ===
+      Similarity.qEmbKmeans(spark, sf).collect().map(_.toSeq).toSeq,
+      "must be deterministic across runs")
+    // refinement property: mean cosine-to-centroid after the Lloyd
+    // rounds beats assigning straight to the raw seeds (the rounds
+    // actually move the centroids toward the data)
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val spark2 = spark
+    import spark2.implicits._
+    val corpus = graft.Tables.load(spark, sf, "embeddings").select(col("vec_id"),
+      graft.functions.VectorExprs.toDouble(col("embedding")).as("e"))
+    val seedIds = corpus.select(col("vec_id")).orderBy("vec_id")
+      .limit(8).collect().map(_.getLong(0))
+    val rankDf = seedIds.zipWithIndex.map { case (id, i) => (id, i) }
+      .toSeq.toDF("vec_id", "cell")
+    val seeds = corpus.join(broadcast(rankDf), "vec_id")
+      .select(col("cell"), col("e").as("c"))
+    val seedFit = corpus.crossJoin(broadcast(seeds))
+      .select(graft.functions.VectorExprs.cosine(col("e"), col("c")).as("cos"),
+        col("vec_id"))
+      .groupBy("vec_id")
+      .agg(org.apache.spark.sql.functions.expr("max(cos) as best"))
+      .agg(org.apache.spark.sql.functions.expr("avg(best)"))
+      .head().getDouble(0)
+    val kmFit = got.map(_.getLong(2).toDouble / 1e6).sum / got.length
+    assert(kmFit > seedFit,
+      s"rounds did not improve fit: kmeans $kmFit vs seeds $seedFit")
+  }
 }
