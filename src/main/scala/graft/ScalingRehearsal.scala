@@ -94,7 +94,10 @@ object ScalingRehearsal {
       "ivf_index_2level" -> time(graft.llm.Similarity.ivfIndexTwoLevel(spark, dir)),
       "dup_spans" -> time(graft.llm.Dedup.qDupSpans(spark, dir)),
       "lm_bigram_surprisal" -> time(graft.llm.CorpusStats.qLmBigramSurprisal(spark, dir)),
-      "incremental_exact" -> time(graft.llm.IncrementalDedup.qDedupIncrementalExact(spark, dir)))
+      "incremental_exact" -> time(graft.llm.IncrementalDedup.qDedupIncrementalExact(spark, dir)),
+      "split_leakfree" -> time(graft.llm.Sampling.qSplitLeakfree(spark, dir)),
+      "mix_temperature" -> time(graft.llm.Sampling.qMixTemperature(spark, dir)),
+      "emb_kmeans" -> time(graft.llm.Similarity.qEmbKmeans(spark, dir)))
     finally spark.conf.unset(graft.llm.Similarity.IvfCellsConf)
   }
 

@@ -145,6 +145,8 @@ final case class CallProcedureCommand(
   private val ZorderArg = """(?i)zorder\s*=>\s*'([^']+)'""".r
   private val OlderArg = """(?i)older_than_ms\s*=>\s*(\d+)""".r
   private val SnapshotArg = """(?i)snapshot_id\s*=>\s*(\d+)""".r
+  private val BranchArg = """(?i)branch\s*=>\s*'([^']+)'""".r
+  private val ToArg = """(?i)to\s*=>\s*'([^']+)'""".r
 
   override def run(spark: SparkSession): Seq[Row] = {
     require(catalogParts.size == 1, s"expected CALL <catalog>.system.<proc>")
@@ -176,6 +178,19 @@ final case class CallProcedureCommand(
       case "convert_equality_deletes" =>
         val target = CountArg.findFirstMatchIn(args).map(_.group(1).toInt).getOrElse(1)
         catalog.engineTable(ti).convertEqualityDeletes(spark, target)
+      case "cherrypick_snapshot" =>
+        val snapId = SnapshotArg.findFirstMatchIn(args).map(_.group(1).toLong)
+          .getOrElse(throw new IllegalArgumentException(
+            "cherrypick_snapshot requires snapshot_id => N"))
+        catalog.engineTable(ti).cherrypickSnapshot(snapId)
+      case "fast_forward" =>
+        val branch = BranchArg.findFirstMatchIn(args).map(_.group(1))
+          .getOrElse(throw new IllegalArgumentException(
+            "fast_forward requires branch => '<name>'"))
+        val to = ToArg.findFirstMatchIn(args).map(_.group(1))
+          .getOrElse(throw new IllegalArgumentException(
+            "fast_forward requires to => '<ref>'"))
+        catalog.engineTable(ti).fastForward(branch, to)
       case "rollback_to_snapshot" | "set_current_snapshot" =>
         val snapId = SnapshotArg.findFirstMatchIn(args).map(_.group(1).toLong)
           .getOrElse(throw new IllegalArgumentException(

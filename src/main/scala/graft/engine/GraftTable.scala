@@ -757,6 +757,88 @@ final class GraftTable(
         TableMetadata.MainBranch, snapshotId, SnapshotRefType.Branch))).metadata
   }
 
+  /** CALL system.fast_forward: move `branch` to `toRef`'s head iff
+    * that head is a DESCENDANT of the branch's current head — the
+    * merge-without-merge publish step of a branch workflow (audit on a
+    * staging branch, then fast-forward main onto it). A non-ancestor
+    * head is rejected loudly (that move needs cherry-picks or an
+    * explicit set_current_snapshot, never a silent history swap). A
+    * branch that does not exist yet is created at the target head —
+    * the Iceberg procedure's convention. Metadata-only commit, guarded
+    * by the branch-head requirement against concurrent writers. */
+  def fastForward(branch: String, toRef: String): TableMetadata = {
+    val m = metadata
+    val toHead = m.refs.getOrElse(toRef,
+      throw CatalogError.badRequest(s"unknown ref: $toRef")).snapshotId
+    val curHead = m.refs.get(branch).map { r =>
+      if (r.refType != SnapshotRefType.Branch)
+        throw CatalogError.badRequest(s"cannot fast-forward tag $branch")
+      r.snapshotId
+    }
+    curHead.foreach { c =>
+      if (c != toHead) {
+        val ancestorsOfTarget = Iterator.iterate(Option(toHead))(
+          _.flatMap(id => m.snapshots.get(id).flatMap(_.parentSnapshotId)))
+          .takeWhile(_.isDefined).map(_.get).toSet
+        if (!ancestorsOfTarget.contains(c))
+          throw CatalogError.badRequest(
+            s"$branch (at $c) is not an ancestor of $toRef's head $toHead " +
+              "— not a fast-forward")
+      }
+    }
+    if (curHead.contains(toHead)) m
+    else client.commitTable(prefix, ident,
+      Seq(TableRequirement.AssertRefSnapshotId(branch, curHead)),
+      Seq(TableUpdate.SetSnapshotRef(
+        branch, toHead, SnapshotRefType.Branch))).metadata
+  }
+
+  /** CALL system.cherrypick_snapshot: apply ONE append snapshot's
+    * added files on top of the current main head as a NEW commit —
+    * the selective-publish half of a branch workflow (the snapshot
+    * usually lives on a staging branch or was orphaned by a
+    * rollback). Only `append` snapshots are cherry-pickable ("what
+    * this snapshot added" is well-defined exactly there; row-level
+    * change is not replayable against a moved base — same line
+    * Iceberg draws). The added set is the manifest-LIST diff against
+    * the snapshot's own parent (O(shards) driver work, no data I/O),
+    * and the files re-enter with the new commit's sequence number —
+    * they are logically new on this branch. Picking a snapshot that
+    * is already an ancestor of main is rejected: it would append the
+    * same rows twice with no signal. */
+  def cherrypickSnapshot(snapshotId: Long): TableMetadata = {
+    val m0 = metadata
+    val snap = m0.snapshots.getOrElse(snapshotId,
+      throw CatalogError.badRequest(s"unknown snapshot: $snapshotId"))
+    if (!snap.operation.contains("append"))
+      throw CatalogError.badRequest(
+        s"cherrypick_snapshot supports append snapshots only; " +
+          s"$snapshotId is ${snap.operation.getOrElse("unknown")}")
+    val parentPaths = snap.parentSnapshotId
+      .flatMap(m0.snapshots.get)
+      .map(p => Manifests.readEntries(p.manifestList).map(_.path).toSet)
+      .getOrElse(Set.empty[String])
+    val added = Manifests.filesOf(
+      Manifests.readEntries(snap.manifestList).filterNot(e => parentPaths(e.path)))
+    // appends never carry delete shards; guard loudly anyway
+    require(added.forall(!_.isDeleteFile),
+      s"snapshot $snapshotId unexpectedly adds delete files")
+    commitLoop(TableMetadata.MainBranch, "append",
+      extraSummary = Map("source-snapshot-id" -> snapshotId.toString)) { base =>
+      base.foreach { b =>
+        val ancestors = Iterator.iterate(Option(b.snapshotId))(
+          _.flatMap(id => metadata.snapshots.get(id).flatMap(_.parentSnapshotId)))
+          .takeWhile(_.isDefined).map(_.get).toSet
+        if (ancestors.contains(snapshotId))
+          throw CatalogError.badRequest(
+            s"snapshot $snapshotId is already an ancestor of main — " +
+              "cherry-picking it would duplicate its rows")
+      }
+      val carried = base.map(s => Manifests.readEntries(s.manifestList)).getOrElse(Nil)
+      (carried, added.map(_.copy(seq = Manifests.UnassignedSeq)))
+    }
+  }
+
   /** expire_snapshots maintenance: remove snapshots older than the
     * cutoff that no ref points at (ref targets and the current snapshot
     * always survive). Metadata-only commit; data files of expired

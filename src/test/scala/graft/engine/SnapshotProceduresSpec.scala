@@ -133,4 +133,85 @@ class SnapshotProceduresSpec extends AnyFunSuite with BeforeAndAfterAll {
     val m = table("fork").metadata
     assert(m.currentSnapshot.flatMap(_.parentSnapshotId) === Some(snapA))
   }
+
+  test("fast_forward publishes a branch; divergence and tags are refused") {
+    import spark.implicits._
+    spark.sql(s"CREATE TABLE $cat.db.ff (id BIGINT)")
+    spark.sql(s"INSERT INTO $cat.db.ff VALUES (1)")
+    val t = table("ff")
+    t.createRef("dev", graft.core.SnapshotRefType.Branch)
+    t.append(Seq(2L).toDF("id"), branch = "dev")
+    t.append(Seq(3L).toDF("id"), branch = "dev")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.ff")
+      .collect().head.getLong(0) === 1L) // main untouched pre-publish
+
+    spark.sql(s"CALL $cat.system.fast_forward(table => 'db.ff', " +
+      "branch => 'main', to => 'dev')")
+    val m = t.metadata
+    assert(m.refs("main").snapshotId === m.refs("dev").snapshotId)
+    assert(spark.sql(s"SELECT id FROM $cat.db.ff ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+
+    // ff of a branch that does not exist yet: created at the target head
+    spark.sql(s"CALL $cat.system.fast_forward(table => 'db.ff', " +
+      "branch => 'audit', to => 'main')")
+    assert(table("ff").metadata.refs("audit").snapshotId === m.refs("main").snapshotId)
+
+    // diverge main past dev — the move back is no longer a fast-forward
+    spark.sql(s"INSERT INTO $cat.db.ff VALUES (4)")
+    t.append(Seq(5L).toDF("id"), branch = "dev")
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.fast_forward(table => 'db.ff', " +
+        "branch => 'main', to => 'dev')")
+    }
+    assert(e.getMessage.contains("not a fast-forward"))
+
+    // a tag can never be fast-forwarded
+    t.createRef("v1", graft.core.SnapshotRefType.Tag)
+    val tagErr = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.fast_forward(table => 'db.ff', " +
+        "branch => 'v1', to => 'dev')")
+    }
+    assert(tagErr.getMessage.contains("tag"))
+  }
+
+  test("cherrypick_snapshot applies one branch append onto a diverged main") {
+    import spark.implicits._
+    spark.sql(s"CREATE TABLE $cat.db.cp (id BIGINT)")
+    spark.sql(s"INSERT INTO $cat.db.cp VALUES (1)")
+    val t = table("cp")
+    val snapA = t.metadata.currentSnapshotId.get
+    t.createRef("dev", graft.core.SnapshotRefType.Branch)
+    t.append(Seq(2L).toDF("id"), branch = "dev")
+    val devHead = t.metadata.refs("dev").snapshotId
+    spark.sql(s"INSERT INTO $cat.db.cp VALUES (3)") // main diverges
+
+    spark.sql(s"CALL $cat.system.cherrypick_snapshot(table => 'db.cp', " +
+      s"snapshot_id => $devHead)")
+    assert(spark.sql(s"SELECT id FROM $cat.db.cp ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    val m = t.metadata
+    // provenance recorded; dev itself untouched
+    assert(m.currentSnapshot.get.summary.get("source-snapshot-id")
+      === Some(devHead.toString))
+    assert(m.refs("dev").snapshotId === devHead)
+    assert(t.scan(spark, t.AtRef("dev")).collect().map(_.getLong(0)).toSet
+      === Set(1L, 2L))
+
+    // an ancestor of main cannot be picked again (would duplicate rows)
+    val dup = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.cherrypick_snapshot(table => 'db.cp', " +
+        s"snapshot_id => $snapA)")
+    }
+    assert(dup.getMessage.contains("already an ancestor"))
+
+    // row-level change is not replayable
+    spark.sql(s"DELETE FROM $cat.db.cp WHERE id = 2")
+    val delSnap = t.metadata.currentSnapshotId.get
+    val nonAppend = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.cherrypick_snapshot(table => 'db.cp', " +
+        s"snapshot_id => $delSnap)")
+    }
+    assert(nonAppend.getMessage.contains("append snapshots only"))
+  }
 }
