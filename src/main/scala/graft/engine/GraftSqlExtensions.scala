@@ -147,6 +147,9 @@ final case class CallProcedureCommand(
   private val SnapshotArg = """(?i)snapshot_id\s*=>\s*(\d+)""".r
   private val BranchArg = """(?i)branch\s*=>\s*'([^']+)'""".r
   private val ToArg = """(?i)to\s*=>\s*'([^']+)'""".r
+  private val ViewArg = """(?i)changelog_view\s*=>\s*'([^']+)'""".r
+  private val FromSnapArg = """(?i)from_snapshot_id\s*=>\s*(\d+)""".r
+  private val ToSnapArg = """(?i)to_snapshot_id\s*=>\s*(\d+)""".r
 
   override def run(spark: SparkSession): Seq[Row] = {
     require(catalogParts.size == 1, s"expected CALL <catalog>.system.<proc>")
@@ -178,6 +181,16 @@ final case class CallProcedureCommand(
       case "convert_equality_deletes" =>
         val target = CountArg.findFirstMatchIn(args).map(_.group(1).toInt).getOrElse(1)
         catalog.engineTable(ti).convertEqualityDeletes(spark, target)
+      case "create_changelog_view" =>
+        val view = ViewArg.findFirstMatchIn(args).map(_.group(1))
+          .getOrElse(throw new IllegalArgumentException(
+            "create_changelog_view requires changelog_view => '<name>'"))
+        val from = FromSnapArg.findFirstMatchIn(args).map(_.group(1).toLong)
+          .getOrElse(throw new IllegalArgumentException(
+            "create_changelog_view requires from_snapshot_id => N"))
+        val toSnap = ToSnapArg.findFirstMatchIn(args).map(_.group(1).toLong)
+        catalog.engineTable(ti).changelogScan(spark, from, toSnap)
+          .createOrReplaceTempView(view)
       case "cherrypick_snapshot" =>
         val snapId = SnapshotArg.findFirstMatchIn(args).map(_.group(1).toLong)
           .getOrElse(throw new IllegalArgumentException(

@@ -155,6 +155,126 @@ final class GraftTable(
       .filterNot(_.isDeleteFile)
   }
 
+  /** CHANGELOG scan — the row-level CDC view `scanIncremental` can't
+    * give: every change committed after `fromSnapshotId` (exclusive)
+    * up to `toSnapshotId` (inclusive; default = current main head) as
+    * table rows tagged `_change_type` ('insert' | 'delete'),
+    * `_change_ordinal` (commit position within the range) and
+    * `_commit_snapshot_id`. An updated row appears as its old row
+    * deleted + its new row inserted — the delta shape a downstream
+    * sync or incremental materialization consumes.
+    *
+    * Per-snapshot semantics (file-diff based, like Iceberg's
+    * changelog):
+    *  - `append`: rows of the ADDED data files → inserts;
+    *  - `replace` (compaction/manifest rewrite): nothing — a physical
+    *    rewrite changes no logical row;
+    *  - MoR `delete`/`merge`: added data files → inserts; rows killed
+    *    by the ADDED delete files → deletes, computed as the exact
+    *    visibility diff (parent-visible minus current-visible) over
+    *    ONLY the affected data files — position-delete targets by
+    *    file key, equality deletes scoping older-sequence files;
+    *  - removed data files (CoW rewrites, truncate) → their
+    *    parent-visible rows as deletes.
+    *
+    * Scale: per commit the scan reads its CHURN, never the table —
+    * added files, plus only data files its new delete files can
+    * touch. The one broad case is an equality-delete commit (targets
+    * = every older file; stats could narrow it — or
+    * `convert_equality_deletes` turns them into file-scoped position
+    * deletes first, which also shrinks this scan). The visibility
+    * diff is one keyed exceptAll over those bounded reads; the full
+    * range is a union of independent per-commit plans. */
+  def changelogScan(
+      spark: SparkSession,
+      fromSnapshotId: Long,
+      toSnapshotId: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val m = metadata
+    val to = toSnapshotId match {
+      case Some(id) => m.snapshots.getOrElse(id,
+        throw CatalogError.notFound("SnapshotNotFound", s"snapshot $id not found"))
+      case None => m.currentSnapshot.getOrElse(
+        throw CatalogError.notFound("SnapshotNotFound", "table has no snapshots"))
+    }
+    if (!m.snapshots.contains(fromSnapshotId))
+      throw CatalogError.notFound(
+        "SnapshotNotFound", s"snapshot $fromSnapshotId not found")
+    val schema = m.currentSchema
+    def withChange(df: DataFrame, t: String, ord: Int, snap: Long): DataFrame =
+      df.withColumn("_change_type", lit(t))
+        .withColumn("_change_ordinal", lit(ord))
+        .withColumn("_commit_snapshot_id", lit(snap))
+    val empty = withChange(emptyDf(spark, schema), "insert", 0, 0L).limit(0)
+    if (to.snapshotId == fromSnapshotId) return empty
+
+    var chain = List.empty[Snapshot] // from-exclusive .. to, oldest first
+    var cur = to
+    while (cur.snapshotId != fromSnapshotId) {
+      chain ::= cur
+      cur = cur.parentSnapshotId.flatMap(m.snapshots.get).getOrElse(
+        throw CatalogError.badRequest(
+          s"snapshot $fromSnapshotId is not an ancestor of ${to.snapshotId} " +
+            "(expired, or on another branch) — a changelog needs a " +
+            "contiguous history"))
+    }
+
+    val parts = chain.zipWithIndex.flatMap { case (s, ord) =>
+      if (s.operation.contains("replace")) Nil
+      else {
+        val parentFiles = s.parentSnapshotId.flatMap(m.snapshots.get)
+          .map(p => Manifests.read(p.manifestList)).getOrElse(Nil)
+        val curFiles = Manifests.read(s.manifestList)
+        val parentPaths = parentFiles.map(_.path).toSet
+        val curPaths = curFiles.map(_.path).toSet
+        val addedData = curFiles.filter(f => !f.isDeleteFile && !parentPaths(f.path))
+        val removedData = parentFiles.filter(f => !f.isDeleteFile && !curPaths(f.path))
+        val addedDeletes = curFiles.filter(f => f.isDeleteFile && !parentPaths(f.path))
+        val parentDeletes = parentFiles.filter(_.isDeleteFile)
+
+        val inserts =
+          if (addedData.isEmpty) Nil
+          else Seq(withChange(
+            readFiles(spark, schema, addedData), "insert", ord, s.snapshotId))
+        val rowDeletes =
+          if (addedDeletes.isEmpty) Nil
+          else {
+            // affected data files only: position-delete targets by
+            // normalized file key (one bounded distinct over the
+            // delete files — O(referenced files) driver-side, the
+            // same order as the manifest list already held); equality
+            // deletes scope every older-sequence file
+            val posFiles = addedDeletes.filter(_.isPositionDeleteFile)
+            val posKeys: Set[String] =
+              if (posFiles.isEmpty) Set.empty
+              else spark.read.parquet(posFiles.map(_.path): _*)
+                .select("file_path").distinct().collect()
+                .map(r => GraftDeleteCache.fileKey(r.getString(0))).toSet
+            val eqMaxSeq = addedDeletes.filterNot(_.isPositionDeleteFile)
+              .map(_.seq).maxOption
+            val affected = parentFiles.filter(f => !f.isDeleteFile &&
+              (posKeys(GraftDeleteCache.fileKey(f.path)) ||
+                eqMaxSeq.exists(f.seq < _)))
+            if (affected.isEmpty) Nil
+            else {
+              val visParent = readFiles(spark, schema, affected ++ parentDeletes)
+              val visCur = readFiles(
+                spark, schema, affected ++ curFiles.filter(_.isDeleteFile))
+              Seq(withChange(
+                visParent.exceptAll(visCur), "delete", ord, s.snapshotId))
+            }
+          }
+        val fileDeletes =
+          if (removedData.isEmpty) Nil
+          else Seq(withChange(
+            readFiles(spark, schema, removedData ++ parentDeletes),
+            "delete", ord, s.snapshotId))
+        inserts ++ rowDeletes ++ fileDeletes
+      }
+    }
+    parts.reduceOption(_ unionAll _).getOrElse(empty)
+  }
+
   /** Partition-pruned snapshot scan: only data files whose partition
     * tuple passes `keep` are read — the manifest prune happens at plan
     * time on the driver, so a selective partition predicate touches a
