@@ -66,4 +66,53 @@ object ChangelogApply {
   def emptyCountSum(
       like: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
     recomputeCountSum(like, keys, valueCol).limit(0)
+
+  /** Checkpoint property key on the TARGET table: the source snapshot
+    * its content reflects. Committed atomically with the content. */
+  private[engine] def ckptKey(sourceName: String): String =
+    s"graft.materialization.$sourceName.source-snapshot"
+
+  /** ONE maintenance tick of a continuously-maintained aggregate
+    * table: fold the source's changes since the target's recorded
+    * checkpoint into the target, committing the updated content AND
+    * the advanced checkpoint in the SAME snapshot — the exactly-once
+    * construct the streaming sink uses for its high-water mark. A
+    * retry after any crash is idempotent: either the commit landed
+    * (checkpoint == source head → no-op) or it didn't (refold from
+    * the same checkpoint); a concurrent writer on the target 409s via
+    * the expected-base pin instead of silently losing rows.
+    *
+    * Cold start (no checkpoint yet) recomputes from the source head
+    * pinned by snapshot id, so the recorded checkpoint is exactly
+    * what was read. Returns the new checkpoint, or None when there
+    * was nothing to fold.
+    *
+    * Scale: steady-state ticks pay the CHURN (changelog bounded to
+    * touched files + keyed fold); only the cold start pays the
+    * table. */
+  def runOnce(
+      spark: org.apache.spark.sql.SparkSession,
+      source: GraftTable, sourceName: String,
+      target: GraftTable,
+      keys: Seq[String], valueCol: String): Option[Long] = {
+    val srcHead = source.metadata.currentSnapshotId.getOrElse(return None)
+    val tgtMeta = target.metadata
+    val key = ckptKey(sourceName)
+    tgtMeta.properties.get(key).flatMap(_.toLongOption) match {
+      case Some(c) if c == srcHead => None // already current
+      case Some(c) =>
+        val changes = source.changelogScan(spark, c, Some(srcHead))
+        val updated = applyCountSum(
+          target.scan(spark), changes, keys, valueCol)
+        target.overwriteAll(updated, tgtMeta.currentSnapshotId,
+          extraProperties = Map(key -> srcHead.toString))
+        Some(srcHead)
+      case None =>
+        val full = recomputeCountSum(
+          source.scan(spark, source.AtSnapshot(srcHead)), keys, valueCol)
+        target.overwriteAll(full, tgtMeta.currentSnapshotId,
+          extraProperties = Map(key -> srcHead.toString))
+        Some(srcHead)
+    }
+  }
 }

@@ -409,10 +409,15 @@ final class GraftTable(
       /** true when the CALLER already laid out df (compaction/z-order):
         * skips write.distribution-mode repartitioning and the default
         * sort, both of which would silently destroy that layout */
-      preserveLayout: Boolean = false): TableMetadata = {
+      preserveLayout: Boolean = false,
+      /** properties committed ATOMICALLY with the new content — the
+        * incremental-materialization checkpoint rides here, same
+        * exactly-once construct as the streaming high-water mark */
+      extraProperties: Map[String, String] = Map.empty): TableMetadata = {
     val written = GraftTable.writeDataFiles(df, metadata,
       preserveLayout = preserveLayout)
-    commitOnce(branch, operation, expectedBase, _ => (Nil, written))
+    commitOnce(branch, operation, expectedBase, _ => (Nil, written),
+      extraProperties = extraProperties)
   }
 
   /** MERGE INTO (upsert form: WHEN MATCHED UPDATE SET *, WHEN NOT
@@ -1080,13 +1085,15 @@ final class GraftTable(
 
   private def commitOnce(
       branch: String, operation: String, expectedBase: Option[Long],
-      delta: Option[Snapshot] => (Seq[Manifests.ManifestEntry], Seq[Manifests.DataFile]))
+      delta: Option[Snapshot] => (Seq[Manifests.ManifestEntry], Seq[Manifests.DataFile]),
+      extraProperties: Map[String, String] = Map.empty)
       : TableMetadata = {
     val cur = metadata
     val base = expectedBase.map(id => cur.snapshots.getOrElse(id,
       throw CatalogError.conflict("SnapshotNotFound", s"base snapshot $id vanished")))
     val (carried, newFiles) = delta(base)
-    commitOnceAgainst(cur, branch, operation, base, carried, newFiles)
+    commitOnceAgainst(cur, branch, operation, base, carried, newFiles,
+      extraProperties = extraProperties)
   }
 
   private def commitOnceAgainst(

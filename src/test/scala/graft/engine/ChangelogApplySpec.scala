@@ -89,4 +89,36 @@ class ChangelogApplySpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def table(name: String): GraftTable =
     new GraftTable(client, prefix, TableIdent(Seq("db"), name))
+
+  test("runOnce maintains a target TABLE exactly-once across ticks and retries") {
+    spark.sql(s"CREATE TABLE $cat.db.src2 (k STRING, v BIGINT)")
+    spark.sql(s"CREATE TABLE $cat.db.mat2 (k STRING, n_rows BIGINT, sum_v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.db.src2 VALUES ('a', 1), ('b', 10)")
+    val src = table("src2")
+    val tgt = table("mat2")
+
+    // cold start: full recompute, checkpoint recorded atomically
+    val c1 = ChangelogApply.runOnce(spark, src, "src2", tgt, Seq("k"), "v")
+    assert(c1 === src.metadata.currentSnapshotId)
+    assert(sorted(spark.sql(s"SELECT k, n_rows, sum_v FROM $cat.db.mat2"))
+      === Seq(("a", 1L, 1L), ("b", 1L, 10L)))
+
+    // retry with no source change: no-op, no new target snapshot
+    val snaps = tgt.metadata.snapshots.size
+    assert(ChangelogApply.runOnce(spark, src, "src2", tgt, Seq("k"), "v") === None)
+    assert(tgt.metadata.snapshots.size === snaps)
+
+    // steady state: churn folds incrementally, equal to the recompute
+    spark.sql(s"INSERT INTO $cat.db.src2 VALUES ('a', 2), ('c', 7)")
+    spark.sql(s"DELETE FROM $cat.db.src2 WHERE k = 'b'")
+    val c2 = ChangelogApply.runOnce(spark, src, "src2", tgt, Seq("k"), "v")
+    assert(c2 === src.metadata.currentSnapshotId)
+    assert(sorted(spark.sql(s"SELECT k, n_rows, sum_v FROM $cat.db.mat2"))
+      === Seq(("a", 2L, 3L), ("c", 1L, 7L)))
+    assert(sorted(spark.sql(s"SELECT k, n_rows, sum_v FROM $cat.db.mat2"))
+      === sorted(ChangelogApply.recomputeCountSum(
+        spark.sql(s"SELECT k, v FROM $cat.db.src2"), Seq("k"), "v")))
+    // and the tick is again idempotent
+    assert(ChangelogApply.runOnce(spark, src, "src2", tgt, Seq("k"), "v") === None)
+  }
 }
