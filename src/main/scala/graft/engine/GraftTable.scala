@@ -179,12 +179,14 @@ final class GraftTable(
     *
     * Scale: per commit the scan reads its CHURN, never the table —
     * added files, plus only data files its new delete files can
-    * touch. The one broad case is an equality-delete commit (targets
-    * = every older file; stats could narrow it — or
-    * `convert_equality_deletes` turns them into file-scoped position
-    * deletes first, which also shrinks this scan). The visibility
-    * diff is one keyed exceptAll over those bounded reads; the full
-    * range is a union of independent per-commit plans. */
+    * touch: position-delete targets by file key, equality deletes by
+    * sequence bound AND the delete rows' key bounds against manifest
+    * stats (the upsert runtime file filter pointed at delete files;
+    * `convert_equality_deletes` shrinks this further by making them
+    * file-scoped). The visibility diff is one keyed exceptAll over
+    * those bounded reads; the full range is a union of independent
+    * per-commit plans. [[GraftTable.lastChangelogDiff]] records the
+    * last delete-diff's candidate-vs-affected file counts. */
   def changelogScan(
       spark: SparkSession,
       fromSnapshotId: Long,
@@ -250,11 +252,43 @@ final class GraftTable(
               else spark.read.parquet(posFiles.map(_.path): _*)
                 .select("file_path").distinct().collect()
                 .map(r => GraftDeleteCache.fileKey(r.getString(0))).toSet
-            val eqMaxSeq = addedDeletes.filterNot(_.isPositionDeleteFile)
-              .map(_.seq).maxOption
+            // equality deletes scope older-sequence files, NARROWED by
+            // the key bounds of the delete rows against manifest stats
+            // (the upsert runtime-file-filter, aimed at delete files) —
+            // one bounded aggregation over churn-sized delete files per
+            // key group. Renamed-away key columns fall back to the
+            // sequence bound alone (correct, just broader).
+            val eqFiles = addedDeletes.filterNot(_.isPositionDeleteFile)
+            val eqAffected: Manifests.DataFile => Boolean =
+              if (eqFiles.isEmpty) _ => false
+              else {
+                val parts = StatsPruning.partFields(m.partitionSpecs.values)
+                val preds = eqFiles
+                  .groupBy(f => (f.equalityIds, f.equalityColumns)).toSeq
+                  .map { case ((ids, legacyNames), dfs) =>
+                    val keyNames =
+                      if (ids.nonEmpty) ids.flatMap(id =>
+                        schema.fieldById(id).map(_.name))
+                      else legacyNames
+                    val maxSeq = dfs.map(_.seq).max
+                    val rows = spark.read.parquet(dfs.map(_.path): _*)
+                    val prunable = keyNames.nonEmpty &&
+                      keyNames.forall(rows.columns.contains)
+                    val keep =
+                      if (!prunable) (_: Manifests.DataFile) => true
+                      else GraftTable.sourceKeyFilters(rows, keyNames) match {
+                        case Some(filters) =>
+                          StatsPruning.keeper(schema, parts, filters)
+                        case None => (_: Manifests.DataFile) => true
+                      }
+                    (f: Manifests.DataFile) => f.seq < maxSeq && keep(f)
+                  }
+                f => preds.exists(_(f))
+              }
             val affected = parentFiles.filter(f => !f.isDeleteFile &&
-              (posKeys(GraftDeleteCache.fileKey(f.path)) ||
-                eqMaxSeq.exists(f.seq < _)))
+              (posKeys(GraftDeleteCache.fileKey(f.path)) || eqAffected(f)))
+            GraftTable.lastChangelogDiff = Some(GraftTable.ChangelogDiffPlan(
+              parentFiles.count(!_.isDeleteFile), affected.size))
             if (affected.isEmpty) Nil
             else {
               val visParent = readFiles(spark, schema, affected ++ parentDeletes)
@@ -1163,6 +1197,13 @@ object GraftTable {
     * (specs assert candidates ≪ total for selective sources). */
   final case class UpsertPlan(candidates: Int, total: Int)
   @volatile var lastUpsertPlan: Option[UpsertPlan] = None
+
+  /** Last changelog delete-diff's file bound: how many of the parent
+    * snapshot's data files the new delete files could touch (the
+    * visibility diff reads only `affected`). Observability for specs
+    * and run logs, like [[lastUpsertPlan]]. */
+  final case class ChangelogDiffPlan(candidateFiles: Int, affectedFiles: Int)
+  @volatile var lastChangelogDiff: Option[ChangelogDiffPlan] = None
 
   /** Compile an overwrite condition into a partition-TUPLE predicate:
     * `Right(eval)` where `eval(tuple)` is Some(matches) or None when

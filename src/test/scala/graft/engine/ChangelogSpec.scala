@@ -110,6 +110,35 @@ class ChangelogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq === Seq((2L, "b", "insert", s2)))
   }
 
+  test("delete-diff reads only the files the delete can touch (stats-narrowed)") {
+    import spark.implicits._
+    spark.sql(s"CREATE TABLE $cat.db.cln (id BIGINT, v STRING)")
+    // two commits → two data files with DISJOINT id ranges
+    spark.sql(s"INSERT INTO $cat.db.cln VALUES (1,'a'), (2,'b')")
+    spark.sql(s"INSERT INTO $cat.db.cln VALUES (100,'x'), (101,'y')")
+    val t = table("cln")
+    val s1 = t.metadata.currentSnapshotId.get
+
+    // position delete: only the targeted file is affected
+    spark.sql(s"DELETE FROM $cat.db.cln WHERE id = 100")
+    t.changelogScan(spark, s1).collect()
+    val pos = GraftTable.lastChangelogDiff.get
+    assert(pos.affectedFiles === 1 && pos.candidateFiles > 1,
+      s"pos-delete diff read ${pos.affectedFiles} of ${pos.candidateFiles}")
+
+    // equality delete keyed far inside the low file's range: manifest
+    // stats must exclude the high file
+    val s2 = t.metadata.currentSnapshotId.get
+    t.deleteByKeys(spark, Seq("id"), Seq(2L).toDF("id"))
+    val got = t.changelogScan(spark, s2).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSeq
+    assert(got === Seq((2L, "delete")))
+    val eq = GraftTable.lastChangelogDiff.get
+    assert(eq.affectedFiles < eq.candidateFiles && eq.affectedFiles >= 1,
+      s"eq-delete diff read ${eq.affectedFiles} of ${eq.candidateFiles} " +
+        "— stats narrowing did not exclude the out-of-range files")
+  }
+
   test("a non-ancestor start snapshot is refused loudly") {
     spark.sql(s"CREATE TABLE $cat.db.clx (id BIGINT)")
     spark.sql(s"INSERT INTO $cat.db.clx VALUES (1)")
