@@ -403,7 +403,56 @@ object TextAnalysis {
       |FROM i
       |ORDER BY doc_id""".stripMargin
 
+  /** Chunk window / stride in tokens (overlap = W − S). */
+  private val ChunkW = 64
+  private val ChunkS = 48
+
+  /** Document CHUNKING — the RAG / context-window prep step: each
+    * document explodes into fixed-size token windows (W = [[ChunkW]],
+    * stride [[ChunkS]], so consecutive chunks overlap by W − S
+    * tokens; the final chunk is the remainder, never empty). Output
+    * pins chunk boundaries and content via a portable 60-bit hash of
+    * each chunk's text — the id a chunk store / embedding pipeline
+    * would key on.
+    *
+    * Scale: a pure per-row explode (fanout n/S per document) with no
+    * shuffle except the gate's output sort; chunk membership is a
+    * function of the document alone, so re-chunking any partition is
+    * deterministic and parallel. */
+  def qDocChunks(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .selectExpr("doc_id", s"filter($toksS, t -> length(t) > 0) as ta")
+      .selectExpr("doc_id", "ta", "size(ta) as n")
+      .where("n > 0")
+      .selectExpr("doc_id", "ta",
+        s"explode(sequence(0, (greatest(n - $ChunkW, 0) + ${ChunkS - 1}) div $ChunkS)) as chunk_id")
+      .selectExpr("doc_id", "chunk_id",
+        s"slice(ta, cast(chunk_id * $ChunkS + 1 as int), $ChunkW) as ct")
+      .selectExpr("doc_id", "cast(chunk_id as bigint) as chunk_id",
+        "cast(size(ct) as bigint) as n_tokens",
+        s"${hSpark("array_join(ct, ' ')")} as chunk_hash")
+      .orderBy("doc_id", "chunk_id")
+
+  val qDocChunksSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS ta
+       |  FROM documents),
+       |n AS (SELECT doc_id, ta, len(ta) AS n FROM d WHERE len(ta) > 0),
+       |c AS (SELECT doc_id, ta,
+       |             unnest(range(0, (greatest(n - $ChunkW, 0) + ${ChunkS - 1}) // $ChunkS + 1)) AS cid
+       |      FROM n),
+       |s AS (SELECT doc_id, cid,
+       |             ta[cid * $ChunkS + 1 : cid * $ChunkS + $ChunkW] AS ct
+       |      FROM c)
+       |SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id,
+       |       CAST(len(ct) AS BIGINT) AS n_tokens,
+       |       ${hDuck("array_to_string(ct, ' ')")} AS chunk_hash
+       |FROM s
+       |ORDER BY doc_id, chunk_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_doc_chunks" -> (qDocChunks _),
     "q_pii_redact" -> (qPiiRedact _),
     "q_text_stats" -> (qTextStats _),
     "q_text_quality" -> (qTextQuality _),
@@ -413,6 +462,7 @@ object TextAnalysis {
     "q_quality_quantile" -> (qQualityQuantile _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_doc_chunks" -> qDocChunksSql,
     "q_pii_redact" -> qPiiRedactSql,
     "q_text_stats" -> qTextStatsSql,
     "q_text_quality" -> qTextQualitySql,

@@ -99,4 +99,33 @@ class TextAnalysisSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("chunking: contiguous ids, full windows except the tail, exact coverage") {
+    val w = 64
+    val stride = 48
+    val chunks = TextAnalysis.qDocChunks(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val nTokens = graft.Tables.load(spark, sf, "documents")
+      .selectExpr("doc_id",
+        "size(filter(split(lower(text), ' '), t -> length(t) > 0)) as n")
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(chunks.nonEmpty)
+    chunks.foreach { case (doc, cs) =>
+      val n = nTokens(doc)
+      val sortedCs = cs.sortBy(_._2)
+      // ids contiguous from 0; count matches the closed form
+      assert(sortedCs.map(_._2).toSeq ===
+        (0L until sortedCs.length.toLong).toSeq, s"doc $doc ids not contiguous")
+      val expectK = (math.max(n - w, 0) + stride - 1) / stride + 1
+      assert(sortedCs.length.toLong === expectK, s"doc $doc chunk count")
+      // every chunk but the last is a full window; none is empty
+      sortedCs.init.foreach { c =>
+        assert(c._3 === w.toLong, s"doc $doc chunk ${c._2} not full") }
+      assert(sortedCs.last._3 >= 1L && sortedCs.last._3 <= w.toLong)
+      // the last chunk ends exactly at the last token: full coverage
+      assert(sortedCs.last._2 * stride + sortedCs.last._3 === n,
+        s"doc $doc coverage gap")
+    }
+  }
 }
