@@ -780,7 +780,92 @@ object Relational {
       |ORDER BY n_name""".stripMargin
 
   // ----------------------------------------------------------- registry
+  // ----------------------------------------------------- events: funnel
+  /** Ordered conversion funnel view → click → purchase: per user, the
+    * earliest view, the earliest click strictly AFTER it, the
+    * earliest purchase strictly after that — the product-analytics
+    * staple. Expressed as STEPWISE keyed min-aggregations (each stage
+    * filters one event type, joins the previous stage's anchor, takes
+    * a keyed min) — never a per-user event sort: at 100 TB the
+    * per-stage frames are O(users), the joins are keyed (and the
+    * stage frames broadcast when users ≪ events), and hot users cost
+    * one combiner cell per stage instead of a buffered timeline.
+    * Times surface as epoch micros (the cross-engine-stable form). */
+  def qEventFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === lit("view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val c = ev.filter(col("event_type") === lit("click"))
+      .join(v, "user_id").where(col("ts") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val p = ev.filter(col("event_type") === lit("purchase"))
+      .join(c, "user_id").where(col("ts") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .selectExpr("user_id",
+        "cast(cast(t_click is not null as int) + cast(t_purchase is not null as int) + 1 as int) as stage",
+        "unix_micros(t_view) as t_view_us",
+        "unix_micros(t_click) as t_click_us",
+        "unix_micros(t_purchase) as t_purchase_us")
+      .orderBy("user_id")
+  }
+
+  val qEventFunnelSql: String =
+    """WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+      |           WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, MIN(e.ts) AS t_click
+      |      FROM events e JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      |      GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+      |      FROM events e JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      |      GROUP BY e.user_id)
+      |SELECT v.user_id,
+      |       CAST((c.t_click IS NOT NULL)::INT + (p.t_purchase IS NOT NULL)::INT + 1 AS INT) AS stage,
+      |       epoch_us(v.t_view) AS t_view_us,
+      |       epoch_us(c.t_click) AS t_click_us,
+      |       epoch_us(p.t_purchase) AS t_purchase_us
+      |FROM v LEFT JOIN c ON v.user_id = c.user_id
+      |       LEFT JOIN p ON v.user_id = p.user_id
+      |ORDER BY v.user_id""".stripMargin
+
+  // -------------------------------------------------- events: retention
+  /** Weekly cohort retention: users grouped by their FIRST active week
+    * (Monday-truncated, UTC — pinned by the session conf), counted in
+    * each later week they reappear. Two keyed aggregations plus one
+    * keyed join over the O(users × weeks) distinct-activity frame —
+    * the raw event stream collapses map-side before anything joins. */
+  def qEventRetention(s: SparkSession, dir: String): DataFrame = {
+    val act = t(s, dir, "events")
+      .selectExpr("user_id", "cast(date_trunc('week', ts) as date) as wk")
+      .distinct()
+    val cohort = act.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    act.join(cohort, "user_id")
+      // ISO string on the wire: the gate's value comparison is
+      // type-exact and date surfaces differ between engines
+      .selectExpr("cast(cohort_wk as string) as cohort_wk",
+        "cast(datediff(wk, cohort_wk) div 7 as int) as weeks_since", "user_id")
+      .groupBy(col("cohort_wk"), col("weeks_since"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_wk"), col("weeks_since"))
+  }
+
+  val qEventRetentionSql: String =
+    """WITH act AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      |  FROM events),
+      |cohort AS (SELECT user_id, MIN(wk) AS cohort_wk FROM act GROUP BY user_id)
+      |SELECT CAST(c.cohort_wk AS VARCHAR) AS cohort_wk,
+      |       CAST((a.wk - c.cohort_wk) // 7 AS INT) AS weeks_since,
+      |       COUNT(DISTINCT a.user_id) AS n_users
+      |FROM act a JOIN cohort c ON a.user_id = c.user_id
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_event_funnel" -> (qEventFunnel _),
+    "q_event_retention" -> (qEventRetention _),
     "q12_late_priority" -> (q12LatePriority _),
     "q15_top_supplier" -> (q15TopSupplier _),
     "q17_small_quantity_revenue" -> (q17SmallQuantityRevenue _),
@@ -810,6 +895,8 @@ object Relational {
     "q_events_props_extract" -> (qEventsPropsExtract _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_event_funnel" -> qEventFunnelSql,
+    "q_event_retention" -> qEventRetentionSql,
     "q12_late_priority" -> q12Sql,
     "q15_top_supplier" -> q15Sql,
     "q17_small_quantity_revenue" -> q17Sql,
