@@ -91,6 +91,70 @@ object EventStreams {
       .select(col("purchase_id"), col("error_id"))
   }
 
+  /** Completed view→click→purchase funnel chain for one user. */
+  final case class FunnelCompletion(
+      user_id: Long, t_view: java.sql.Timestamp,
+      t_click: java.sql.Timestamp, t_purchase: java.sql.Timestamp)
+
+  /** Per-user funnel progression (−1 = stage unreached). Public for
+    * the codegen'd state-store encoder, like [[SessionState]]. */
+  final case class FunnelState(tView: Long, tClick: Long, tPurchase: Long)
+
+  /** STREAMING conversion funnel — the continuous twin of the batch
+    * `q_event_funnel`: per user, an ordered state machine advances
+    * view → click (strictly later) → purchase (strictly later), and a
+    * completion row is emitted EXACTLY ONCE, in the micro-batch where
+    * the chain closes. State is three longs per in-progress user —
+    * nothing buffers event timelines — and users idle past the
+    * timeout are evicted (completed users immediately, in-progress
+    * users after `idleTimeoutHours` of event time), so state size
+    * tracks the ACTIVE funnel population, not history.
+    *
+    * Ordering contract: events are ordered within each micro-batch;
+    * across batches the state machine sees watermark-disciplined
+    * arrival (a stage event arriving after a later stage already
+    * advanced cannot retroactively re-anchor the chain — the bounded
+    * state that makes this streamable cannot replay alternatives;
+    * the batch query is the exact-anchored form). */
+  def funnel(
+      events: Dataset[Event], idleTimeoutHours: Int = 24): Dataset[FunnelCompletion] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelCompletion](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+            var completed = List.empty[FunnelCompletion]
+            var lastTs = 0L
+            batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              val t = e.ts.getTime
+              lastTs = math.max(lastTs, t)
+              if (s.tPurchase < 0) e.event_type match {
+                case "view" if s.tView < 0 => s = s.copy(tView = t)
+                case "click" if s.tView >= 0 && s.tClick < 0 && t > s.tView =>
+                  s = s.copy(tClick = t)
+                case "purchase" if s.tClick >= 0 && t > s.tClick =>
+                  s = s.copy(tPurchase = t)
+                  completed ::= FunnelCompletion(userId,
+                    new java.sql.Timestamp(s.tView), new java.sql.Timestamp(s.tClick),
+                    new java.sql.Timestamp(t))
+                case _ => ()
+              }
+            }
+            if (s.tPurchase >= 0) state.remove() // chain closed: evict now
+            else {
+              state.update(s)
+              state.setTimeoutTimestamp(lastTs + idleTimeoutHours * 3600000L)
+            }
+            completed.iterator
+          }
+      }
+  }
+
   /** Gap-based sessionization with explicit per-user state
     * (flatMapGroupsWithState + event-time timeout): a session closes
     * when no event arrives within `gapMinutes` of its last event (by

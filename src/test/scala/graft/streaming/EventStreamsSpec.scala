@@ -146,4 +146,38 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(streamed === Set((2L, 1L), (2L, 3L), (6L, 4L), (6L, 5L)))
     } finally query.stop()
   }
+
+  test("streaming funnel emits one completion per closed chain, evicts state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = funnel(input.toDS())
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode("append").start()
+    try {
+      // user 1 completes in-order; user 2 stalls at click; user 3's
+      // purchase PRECEDES its click (ordered semantics: no completion)
+      input.addData(
+        evt(1, 1, 1, "view", 0), evt(2, 5, 1, "click", 0),
+        evt(3, 9, 1, "purchase", 0),
+        evt(4, 2, 2, "view", 0), evt(5, 6, 2, "click", 0),
+        evt(6, 3, 3, "purchase", 0), evt(7, 4, 3, "view", 0),
+        evt(8, 7, 3, "click", 0))
+      query.processAllAvailable()
+      val first = spark.table("funnel").as[FunnelCompletion].collect()
+      assert(first.map(_.user_id).toSeq === Seq(1L))
+      assert(first.head.t_view === ts(1) && first.head.t_click === ts(5) &&
+        first.head.t_purchase === ts(9))
+
+      // user 2 completes in a later batch; user 1's extra purchase
+      // starts a NEW chain, not a duplicate completion
+      input.addData(evt(9, 20, 2, "purchase", 0), evt(10, 21, 1, "purchase", 0))
+      query.processAllAvailable()
+      val second = spark.table("funnel").as[FunnelCompletion].collect()
+      assert(second.map(_.user_id).sorted.toSeq === Seq(1L, 2L))
+      assert(second.count(_.user_id == 1L) === 1, "no duplicate completion")
+      val u2 = second.find(_.user_id == 2L).get
+      assert(u2.t_view === ts(2) && u2.t_click === ts(6) && u2.t_purchase === ts(20))
+    } finally query.stop()
+  }
 }
