@@ -299,4 +299,18 @@ object IncrementalDedup {
   val oracleSql: Map[String, String] = Map(
     "q_dedup_incremental" -> qDedupIncrementalSql,
     "q_dedup_incremental_exact" -> qDedupIncrementalExactSql)
+
+  /** Batch-id-partitioned dynamic overwrite — the ONE idempotent-sink
+    * contract both streaming dedup faces share: replaying a batch
+    * replaces exactly its own partition, turning foreachBatch's
+    * at-least-once into effective exactly-once for deterministic
+    * batches. (Shared here so a change to the sink contract cannot
+    * drift between the near-dup and exact streams.) */
+  private[llm] def idempotentAppend(
+      df: org.apache.spark.sql.DataFrame, partCol: String, path: String): Unit =
+    df.write
+      .partitionBy(partCol)
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(path)
 }

@@ -79,37 +79,48 @@ object StreamingDedup {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val b = batch.select(col("id"), col("toks"))
-        val index = spark.read.parquet(indexPath)
-          .select("id", "b", "k")
-        val corpus = spark.read.parquet(corpusPath)
-          .select("id", "toks")
-        val matches = IncrementalDedup
-          .dedupAgainstIndex(b, index, corpus, threshold)
-          .withColumn("batch_id", lit(batchId))
-        idempotentAppend(matches, "batch_id", matchesPath)
-        // self-append AFTER the probe: this batch's bands join the
-        // index for every LATER batch (partition pruning keeps old
-        // probes from rescanning them)
-        idempotentAppend(
-          Dedup.bandsOf(b).withColumn("batch_id", lit(batchId)),
-          "batch_id", indexPath)
-        idempotentAppend(
-          b.withColumn("batch_id", lit(batchId)), "batch_id", corpusPath)
-        ()
+        processBatch(batch, batchId, indexPath, corpusPath, matchesPath, threshold)
       }
       .start()
   }
 
-  /** Batch-id-partitioned dynamic overwrite: replaying a batch
-    * replaces exactly its own partition — the idempotence contract
-    * that turns foreachBatch's at-least-once into effective
-    * exactly-once for deterministic batches. */
+  /** One micro-batch — package-visible so specs can drive replay
+    * scenarios directly (foreachBatch is at-least-once; calling this
+    * twice with the same batchId IS the crash-replay case). */
+  private[llm] def processBatch(
+      batch: DataFrame, batchId: Long,
+      indexPath: String, corpusPath: String, matchesPath: String,
+      threshold: Double): Unit = {
+    val spark = batch.sparkSession
+    val b = batch.select(col("id"), col("toks"))
+    // REPLAY GUARD: the index must be strictly "everything before
+    // this batch". Without the filter, a batch replayed after its
+    // own self-append (crash between step 3 and the checkpoint
+    // commit) would find its own rows and match every doc to
+    // itself — the partition filter restores the exactly-once
+    // contract the dynamic overwrite promises.
+    val index = spark.read.parquet(indexPath)
+      .where(col("batch_id") < lit(batchId))
+      .select("id", "b", "k")
+    val corpus = spark.read.parquet(corpusPath)
+      .where(col("batch_id") < lit(batchId))
+      .select("id", "toks")
+    val matches = IncrementalDedup
+      .dedupAgainstIndex(b, index, corpus, threshold)
+      .withColumn("batch_id", lit(batchId))
+    idempotentAppend(matches, "batch_id", matchesPath)
+    // self-append AFTER the probe: this batch's bands join the
+    // index for every LATER batch (partition pruning keeps old
+    // probes from rescanning them)
+    idempotentAppend(
+      Dedup.bandsOf(b).withColumn("batch_id", lit(batchId)),
+      "batch_id", indexPath)
+    idempotentAppend(
+      b.withColumn("batch_id", lit(batchId)), "batch_id", corpusPath)
+    ()
+  }
+
   private def idempotentAppend(
       df: DataFrame, partCol: String, path: String): Unit =
-    df.write
-      .partitionBy(partCol)
-      .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite")
-      .parquet(path)
+    IncrementalDedup.idempotentAppend(df, partCol, path)
 }

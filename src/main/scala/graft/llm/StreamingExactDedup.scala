@@ -68,39 +68,76 @@ object StreamingExactDedup {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val b = batch.select(col("new_id"), col("t"))
-        val index = spark.read.parquet(indexPath).select("h", "dup_of")
-        val bloom = spark.read.parquet(bloomPath)
-        val decisions = IncrementalDedup.exactProbe(b, index, bloom)
-          .withColumn("batch_id", lit(batchId))
-        idempotentAppend(decisions, "batch_id", decisionsPath)
-        // survivors extend the seen-set for every later batch
-        val survivors = spark.read.parquet(decisionsPath)
-          .where(col("batch_id") === batchId && col("keep"))
-          .select(col("new_id"))
-          .join(b, "new_id")
-          .selectExpr("xxhash64(lower(t)) as h", "new_id as dup_of")
-        idempotentAppend(
-          survivors.withColumn("batch_id", lit(batchId)), "batch_id", indexPath)
-        mergeBloom(spark, survivors, bloomPath, expectedItems)
-        ()
+        processBatch(batch, batchId, indexPath, bloomPath, decisionsPath, expectedItems)
       }
       .start()
+  }
+
+  /** One micro-batch — package-visible so specs can drive replay
+    * scenarios directly (foreachBatch is at-least-once; calling this
+    * twice with the same batchId IS the crash-replay case). */
+  private[llm] def processBatch(
+      batch: DataFrame, batchId: Long,
+      indexPath: String, bloomPath: String, decisionsPath: String,
+      expectedItems: Long): Unit = {
+    val spark = batch.sparkSession
+    val b = batch.select(col("new_id"), col("t"))
+    // REPLAY GUARD: strictly pre-batch index only — a replayed
+    // batch must not find its own survivors (crash between the
+    // survivor append and the checkpoint commit) or it would flip
+    // their decisions to dup-of-self. The bloom may already carry
+    // this batch's hashes after such a crash; that only routes
+    // those rows through the confirm join, where the filtered
+    // index decides them correctly.
+    val index = spark.read.parquet(indexPath)
+      .where(col("batch_id") < lit(batchId))
+      .select("h", "dup_of")
+    val bloom = readBloom(spark, bloomPath)
+    val decisions = IncrementalDedup.exactProbe(b, index, bloom)
+      .withColumn("batch_id", lit(batchId))
+    idempotentAppend(decisions, "batch_id", decisionsPath)
+    // survivors extend the seen-set for every later batch
+    val survivors = spark.read.parquet(decisionsPath)
+      .where(col("batch_id") === batchId && col("keep"))
+      .select(col("new_id"))
+      .join(b, "new_id")
+      .selectExpr("xxhash64(lower(t)) as h", "new_id as dup_of")
+    idempotentAppend(
+      survivors.withColumn("batch_id", lit(batchId)), "batch_id", indexPath)
+    mergeBloom(spark, survivors, bloomPath, expectedItems)
+    ()
+  }
+
+  /** Read the stored bloom, REPAIRING an interrupted swap first: if a
+    * crash landed between `delete(dst)` and `rename(tmp, dst)` in
+    * [[mergeBloom]], the completed tmp directory is promoted — the
+    * stable path always resolves, the stream never poisons on a
+    * half-finished swap. */
+  private def readBloom(
+      spark: org.apache.spark.sql.SparkSession, bloomPath: String): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(bloomPath)
+    val tmp = new org.apache.hadoop.fs.Path(bloomPath + ".tmp")
+    if (!fs.exists(dst) && fs.exists(tmp)) fs.rename(tmp, dst)
+    spark.read.parquet(bloomPath)
   }
 
   /** OR-merge the survivors' bloom into the stored one — two
     * conf-bounded binaries on the driver, written back as the one-row
     * bloom table. Idempotent under replay (OR of already-present
-    * elements). */
+    * elements); a survivor-less batch (every row was a dup) is a
+    * no-op, not a null sketch. */
   private def mergeBloom(
       spark: org.apache.spark.sql.SparkSession,
       survivorsIdx: DataFrame,
       bloomPath: String,
       expectedItems: Long): Unit = {
     import org.apache.spark.util.sketch.BloomFilter
-    val storedBytes = spark.read.parquet(bloomPath)
-      .head().getAs[Array[Byte]](0)
     val addBytes = IncrementalDedup.hashBloom(survivorsIdx, expectedItems)
+      .head().getAs[Array[Byte]](0)
+    if (addBytes == null) return // zero survivors: nothing to merge
+    val storedBytes = readBloom(spark, bloomPath)
       .head().getAs[Array[Byte]](0)
     val merged = BloomFilter.readFrom(new java.io.ByteArrayInputStream(storedBytes))
     merged.mergeInPlace(
@@ -110,8 +147,8 @@ object StreamingExactDedup {
     import spark.implicits._
     Seq(out.toByteArray).toDF("bf")
       .write.mode("overwrite").parquet(bloomPath + ".tmp")
-    // parquet has no atomic single-file swap here; rewrite via a tmp
-    // dir then point reads at the stable path by moving files
+    // parquet has no atomic single-file swap; the read side repairs a
+    // crash between these two calls ([[readBloom]] promotes tmp)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(bloomPath)
@@ -122,9 +159,5 @@ object StreamingExactDedup {
 
   private def idempotentAppend(
       df: DataFrame, partCol: String, path: String): Unit =
-    df.write
-      .partitionBy(partCol)
-      .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite")
-      .parquet(path)
+    IncrementalDedup.idempotentAppend(df, partCol, path)
 }

@@ -280,18 +280,27 @@ final class CatalogServer(
                 // oracle. Same rule as the reference's storage-profile
                 // validation: metadata must live under THIS warehouse.
                 val whPrefix = w.location.stripSuffix("/") + "/"
-                if (!r.metadataLocation.startsWith(whPrefix))
+                // normalize BEFORE the prefix check: a raw startsWith
+                // is bypassable with `..` segments ('wh/../../etc/x'
+                // shares the prefix but resolves outside), re-opening
+                // the read oracle the check closes
+                val normalized =
+                  try java.net.URI.create(r.metadataLocation).normalize().toString
+                  catch { case _: IllegalArgumentException => "" }
+                if (normalized.isEmpty || normalized.contains("/../") ||
+                    !normalized.startsWith(whPrefix))
                   Left(CatalogError.badRequest(
                     s"metadata-location must be under the warehouse location ${w.location}"))
                 else {
+                  // read and record the NORMALIZED form only
                   val parsed =
-                    try MetadataIO.read(r.metadataLocation)
+                    try MetadataIO.read(normalized)
                     catch { case e: Exception => Left(String.valueOf(e.getMessage)) }
                   parsed match {
                     case Left(msg) => Left(CatalogError.badRequest(
-                      s"cannot read table metadata at ${r.metadataLocation}: $msg"))
+                      s"cannot read table metadata at $normalized: $msg"))
                     case Right(md) =>
-                      store.registerTable(wh, decodeNs(ns), r.name, md, r.metadataLocation)
+                      store.registerTable(wh, decodeNs(ns), r.name, md, normalized)
                   }
                 }
               }

@@ -107,6 +107,13 @@ class RegisterTableSpec extends AnyFunSuite with BeforeAndAfterAll {
       """{"name":"f","metadata-location":"foo://bucket/x.metadata.json"}""")
       .statusCode() === 400)
 
+    // `..` TRAVERSAL: shares the warehouse prefix as a raw string but
+    // resolves outside — must be refused without being read
+    val traverse = post(s"/catalog/v1/$whId/namespaces/db/register",
+      s"""{"name":"trv","metadata-location":"$whLoc/../../../../etc/hostname"}""")
+    assert(traverse.statusCode() === 400, traverse.body())
+    assert(traverse.body().contains("must be under the warehouse location"))
+
     // overwrite is explicitly unsupported
     assert(post(s"/catalog/v1/$whId/namespaces/db/register",
       """{"name":"o","metadata-location":"file:///x","overwrite":true}""")

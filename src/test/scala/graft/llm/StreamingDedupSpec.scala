@@ -87,6 +87,21 @@ class StreamingDedupSpec extends AnyFunSuite {
       val corpusIds = spark.read.parquet(corpusPath)
         .select("id").collect().map(_.getLong(0)).toSet
       assert(corpusIds === Set(1L, 2L, 3L, 101L, 102L, 201L))
+
+      // CRASH-REPLAY: rerun batch 1 AFTER its self-append already
+      // landed (the at-least-once case) — decisions must be identical,
+      // never dup-of-self matches against its own index rows
+      val before = spark.read.parquet(matchesPath)
+        .select(col("batch_id").cast("long"), col("new_id"), col("dup_of"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      StreamingDedup.processBatch(
+        Seq(b1near, b1fresh).toDF("id", "toks"), 0L,
+        indexPath, corpusPath, matchesPath, 0.5)
+      val after = spark.read.parquet(matchesPath)
+        .select(col("batch_id").cast("long"), col("new_id"), col("dup_of"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(after === before,
+        "replaying a batch over its own self-appended state must be a no-op")
     } finally query.stop()
   }
 }

@@ -73,6 +73,38 @@ class StreamingExactDedupSpec extends AnyFunSuite {
       val idx = spark.read.parquet(indexPath)
       assert(idx.groupBy("h").count().where("count > 1").count() === 0)
       assert(idx.count() === 2 + 2 + 1) // corpus 2, batch1 keeps 102+103, batch2 keeps 202
+
+      // CRASH-REPLAY: rerun batch 0 after its survivor append + bloom
+      // merge landed — decisions must be unchanged (the replay guard
+      // hides the batch's own index rows; bloom false-positives only
+      // route rows through the confirm join)
+      StreamingExactDedup.processBatch(
+        Seq((101L, "THE CATALYST OPTIMIZER REWRITES LOGICAL PLANS"),
+          (102L, "a genuinely new document about stream state"),
+          (103L, "twin text appearing twice in one batch"),
+          (104L, "twin text appearing twice in one batch")).toDF("new_id", "t"),
+        0L, indexPath, bloomPath, decisionsPath, items)
+      val d2 = spark.read.parquet(decisionsPath)
+        .where(col("batch_id").cast("long") === 0L).collect()
+        .map(r => r.getAs[Long]("new_id") ->
+          ((Option(r.getAs[Any]("dup_of")).map(_.asInstanceOf[Long]),
+            r.getAs[Boolean]("keep"))))
+        .toMap
+      assert(d2(101L) === ((Some(1L), false)) && d2(102L) === ((None, true)) &&
+        d2(103L) === ((None, true)) && d2(104L) === ((None, false)),
+        s"replay changed decisions: $d2")
+      assert(spark.read.parquet(indexPath)
+        .groupBy("h").count().where("count > 1").count() === 0,
+        "replay must not duplicate index rows")
+
+      // ALL-DUP batch: zero survivors must be a no-op, not a null
+      // sketch NPE (the poison-batch case)
+      StreamingExactDedup.processBatch(
+        Seq((301L, "the catalyst optimizer rewrites logical plans")).toDF("new_id", "t"),
+        5L, indexPath, bloomPath, decisionsPath, items)
+      val d3 = spark.read.parquet(decisionsPath)
+        .where(col("batch_id").cast("long") === 5L).collect()
+      assert(d3.length === 1 && !d3.head.getAs[Boolean]("keep"))
     } finally query.stop()
   }
 }
