@@ -609,6 +609,58 @@ object Dedup {
   private[llm] def clusterLabels(s: SparkSession, dir: String): DataFrame =
     connectedComponents(qDedupMinhashLsh(s, dir).select("id_a", "id_b"))
 
+  /** Per-source DUPLICATION REPORT — the profiling view a curation run
+    * starts from ("which sources are internally duplicated, and how
+    * badly"): for each source, its corpus size, how many of its
+    * documents sit in a near-dup cluster (derived variant ids map back
+    * to their base doc), and the rate on an exact ppm grid (integer
+    * division — no float in the gate).
+    *
+    * Scale: clusters come from the capped-LSH + log-rounds CC core;
+    * the report itself is one distinct over O(clustered docs), a keyed
+    * left join, and a per-source two-phase aggregate. */
+  def qDedupReport(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents").select(col("doc_id"), col("source"))
+    val members = clusterLabels(s, dir)
+      .selectExpr(
+        s"if(id >= $VariantIdOffset, id - $VariantIdOffset, id) as doc_id")
+      .distinct()
+    docs.join(
+        members.withColumn("dup", org.apache.spark.sql.functions.lit(1)),
+        Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(
+        count(expr("*")).as("n_docs"),
+        org.apache.spark.sql.functions.expr(
+          "cast(sum(coalesce(dup, 0)) as bigint) as n_dup_docs"))
+      .selectExpr("source", "n_docs", "n_dup_docs",
+        "(n_dup_docs * 1000000L) div n_docs as dup_rate_ppm")
+      .orderBy("source")
+  }
+
+  val qDedupReportSql: String =
+    s"""WITH RECURSIVE p AS (SELECT id_a, id_b FROM ($qDedupMinhashLshSql) mh),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+       |          UNION ALL SELECT id_b, id_a FROM p),
+       |reach AS (
+       |  SELECT src AS id, dst AS r FROM edges
+       |  UNION
+       |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+       |allr AS (SELECT id, r FROM reach UNION SELECT src, src FROM edges),
+       |mem AS (
+       |  SELECT DISTINCT CASE WHEN id >= $VariantIdOffset
+       |                       THEN id - $VariantIdOffset ELSE id END AS doc_id
+       |  FROM allr),
+       |j AS (
+       |  SELECT d.source, d.doc_id,
+       |         CASE WHEN m.doc_id IS NULL THEN 0 ELSE 1 END AS dup
+       |  FROM documents d LEFT JOIN mem m ON d.doc_id = m.doc_id)
+       |SELECT source, COUNT(*) AS n_docs,
+       |       CAST(SUM(dup) AS BIGINT) AS n_dup_docs,
+       |       CAST((SUM(dup) * 1000000) // COUNT(*) AS BIGINT) AS dup_rate_ppm
+       |FROM j GROUP BY source
+       |ORDER BY source""".stripMargin
+
   val qDedupClustersSql: String =
     s"""WITH RECURSIVE p AS (SELECT id_a, id_b FROM ($qDedupMinhashLshSql) mh),
        |edges AS (SELECT id_a AS src, id_b AS dst FROM p
@@ -957,6 +1009,7 @@ object Dedup {
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash_lsh" -> (qDedupMinhashLsh _),
     "q_dedup_clusters" -> (qDedupClusters _),
+    "q_dedup_report" -> (qDedupReport _),
     "q_dedup_keep_best" -> (qDedupKeepBest _),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
     "q_dedup_simhash" -> (qDedupSimhash _))
@@ -969,6 +1022,7 @@ object Dedup {
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_minhash_lsh" -> qDedupMinhashLshSql,
     "q_dedup_clusters" -> qDedupClustersSql,
+    "q_dedup_report" -> qDedupReportSql,
     "q_dedup_keep_best" -> qDedupKeepBestSql,
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccardSql,
     "q_dedup_simhash" -> qDedupSimhashSql)
