@@ -37,6 +37,7 @@ object SparkEntry {
       graft.llm.IncrementalDedup.queries ++
       graft.llm.Similarity.queries ++
       graft.llm.TextAnalysis.queries ++
+      graft.llm.Tokenizer.queries ++
       graft.llm.Sampling.queries ++
       graft.llm.Curate.queries ++
       graft.llm.Decontaminate.queries ++
@@ -54,6 +55,7 @@ object SparkEntry {
       graft.llm.IncrementalDedup.oracleSql ++
       graft.llm.Similarity.oracleSql ++
       graft.llm.TextAnalysis.oracleSql ++
+      graft.llm.Tokenizer.oracleSql ++
       graft.llm.Sampling.oracleSql ++
       graft.llm.Curate.oracleSql ++
       graft.llm.Decontaminate.oracleSql ++

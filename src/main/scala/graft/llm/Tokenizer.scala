@@ -1,0 +1,137 @@
+package graft.llm
+
+import graft.Tables.load
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col}
+
+/** Tokenizer-vocabulary induction — the BPE-style merge loop that
+  * turns a corpus into merge rules: each round counts ADJACENT token
+  * pairs corpus-wide, picks the most frequent (ties to the
+  * lexicographically smallest pair), and rewrites every document with
+  * that pair fused into one token. The merge-rule list IS the
+  * tokenizer artifact a training pipeline ships.
+  *
+  * Self-pairs (A == B) are excluded from rule selection: for A ≠ B,
+  * adjacent matches can never overlap ((t_i,t_{i+1}) = (A,B) and
+  * (t_{i+1},t_{i+2}) = (A,B) would force A = B), so "merge all
+  * matches" equals the sequential greedy-leftmost scan and the
+  * rewrite stays a PURE per-position expression — no sequential scan
+  * state anywhere. (Run-merging self-pairs need exactly that state;
+  * real BPE implementations special-case them for the same reason.)
+  *
+  * Scale: each round is (a) one explode + keyed count over adjacent
+  * pairs — map-side combinable, O(corpus tokens) shuffle of tiny
+  * (pair, count) rows; (b) a TakeOrdered(1) for the best rule — never
+  * a global sort; (c) one broadcast of the 1-row rule cross-joined
+  * into a codegen'd per-document rewrite. Rounds are a fixed
+  * constant, the whole chain is lazy (the rule frames broadcast at
+  * execution, nothing collects to the driver), and per-round state is
+  * one rule — the same iterative-refinement shape as
+  * [[Similarity.qEmbKmeans]]'s centroid loop.
+  */
+object Tokenizer {
+
+  private val Rounds = 3
+
+  /** Adjacent-pair counts `(a, b, cnt)` over `(doc_id, ta)`, self-pairs
+    * excluded (see scaladoc). */
+  private def pairCounts(corpus: DataFrame): DataFrame =
+    corpus
+      // the ≥2 filter makes the index expression total: Spark's
+      // sequence(1, n−1) is the DESCENDING [1, 0] for n = 1 (the
+      // pairExpansion trap), which would index past 1-token docs —
+      // and such docs carry no pairs by definition anyway
+      .where("size(ta) >= 2")
+      .selectExpr(
+        """explode(transform(sequence(1, size(ta) - 1),
+          |  i -> struct(element_at(ta, i) as a, element_at(ta, i + 1) as b))) as p""".stripMargin)
+      .where("p.a != p.b")
+      .selectExpr("p.a as a", "p.b as b")
+      .groupBy("a", "b")
+      .agg(org.apache.spark.sql.functions.expr("count(*) as cnt"))
+
+  /** The round's merge rule: most frequent pair, ties to the smallest
+    * (a, b) — a bounded TakeOrdered, not a sort. */
+  private def bestRule(pc: DataFrame): DataFrame =
+    pc.orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+
+  /** Rewrite every document with the (broadcast, 1-row) rule fused:
+    * position i emits the merged token on a match, nothing when the
+    * previous position matched (it was consumed), its own token
+    * otherwise. Total and per-position — no scan state (sound because
+    * a ≠ b makes matches non-overlapping). Merged tokens join with a
+    * SPACE, which no split-token can contain, so rules over merged
+    * tokens in later rounds can never collide with raw text. */
+  private def applyRule(corpus: DataFrame, rule: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(rule.select(col("a"), col("b"))))
+      // the empty-doc guard keeps sequence(1, 0) (= descending [1, 0])
+      // from ever indexing an empty array
+      .selectExpr("doc_id",
+        """case when size(ta) = 0 then ta else
+          |flatten(transform(sequence(1, size(ta)), i ->
+          |  case when i < size(ta) and element_at(ta, i) = a
+          |            and element_at(ta, i + 1) = b
+          |       then array(concat(a, ' ', b))
+          |       when i > 1 and element_at(ta, i - 1) = a
+          |            and element_at(ta, i) = b
+          |       then array()
+          |       else array(element_at(ta, i)) end)) end as ta""".stripMargin)
+
+  /** The gated query: [[Rounds]] merge rounds over the documents
+    * corpus; one output row per round with the learned rule, its
+    * pre-merge frequency, and the corpus token count after applying
+    * it — pinning rule selection, tie-breaks, and every rewrite. */
+  def qBpeMerges(s: SparkSession, dir: String): DataFrame = {
+    var corpus = load(s, dir, "documents")
+      .selectExpr("doc_id",
+        "filter(split(lower(text), ' '), t -> length(t) > 0) as ta")
+    val rounds = (1 to Rounds).map { r =>
+      val rule = bestRule(pairCounts(corpus))
+      corpus = applyRule(corpus, rule)
+      val toks = corpus.agg(org.apache.spark.sql.functions.expr(
+        "sum(size(ta)) as total_tokens_after"))
+      rule.selectExpr(s"cast($r as int) as round", "a", "b", "cnt")
+        .crossJoin(broadcast(toks))
+    }
+    rounds.reduce(_ unionAll _).orderBy("round")
+  }
+
+  val qBpeMergesSql: String = {
+    def round(r: Int): String = {
+      val prev = s"c${r - 1}"
+      s"""pc$r AS (
+         |  SELECT a, b, COUNT(*) AS cnt
+         |  FROM (SELECT ta[i] AS a, ta[i + 1] AS b
+         |        FROM $prev, UNNEST(range(1, len(ta))) AS u(i))
+         |  WHERE a <> b GROUP BY a, b),
+         |b$r AS (SELECT a, b, cnt FROM pc$r ORDER BY cnt DESC, a, b LIMIT 1),
+         |c$r AS (
+         |  SELECT doc_id,
+         |         flatten(list_transform(range(1, len(ta) + 1), i ->
+         |           CASE WHEN i < len(ta) AND ta[i] = b$r.a AND ta[i + 1] = b$r.b
+         |                THEN [ta[i] || ' ' || ta[i + 1]]
+         |                WHEN i > 1 AND ta[i - 1] = b$r.a AND ta[i] = b$r.b
+         |                THEN []
+         |                ELSE [ta[i]] END)) AS ta
+         |  FROM $prev CROSS JOIN b$r),
+         |t$r AS (SELECT CAST(SUM(len(ta)) AS BIGINT) AS total_tokens_after FROM c$r)""".stripMargin
+    }
+    val selects = (1 to Rounds).map(r =>
+      s"""SELECT CAST($r AS INT) AS round, a, b, cnt,
+         |       (SELECT total_tokens_after FROM t$r) AS total_tokens_after
+         |FROM b$r""".stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH c0 AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS ta
+       |  FROM documents),
+       |${(1 to Rounds).map(round).mkString(",\n")}
+       |$selects
+       |ORDER BY round""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bpe_merges" -> (qBpeMerges _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_bpe_merges" -> qBpeMergesSql)
+}

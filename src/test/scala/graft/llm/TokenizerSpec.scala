@@ -1,0 +1,37 @@
+package graft.llm
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BPE merge induction on a hand-computed corpus: rule selection,
+  * lexicographic tie-breaks, self-pair exclusion, non-overlapping
+  * rewrite, and the per-round token accounting. */
+class TokenizerSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  test("three merge rounds match the hand-derived rules and token counts") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    Seq(
+      (1L, "x y x y z", "en", "src0", 9L),
+      (2L, "x y q", "en", "src0", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val got = Tokenizer.qBpeMerges(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got === Seq(
+      // round 1: (x,y) appears 3 times; both docs rewrite; 7+5-3 pairs→5 tokens
+      (1, "x", "y", 3L, 5L),
+      // round 2: ("x y","x y") is a SELF-pair — excluded; the tie
+      // between ("x y","q") and ("x y","z") breaks to the smaller b
+      (2, "x y", "q", 1L, 4L),
+      (3, "x y", "z", 1L, 3L)))
+
+    // determinism: a rerun selects the identical rules
+    assert(Tokenizer.qBpeMerges(spark, dir).collect()
+      .map(_.toSeq).toSeq === got.map(t => Seq(t._1, t._2, t._3, t._4, t._5)))
+  }
+}
