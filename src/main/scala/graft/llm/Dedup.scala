@@ -625,16 +625,19 @@ object Dedup {
       .selectExpr(
         s"if(id >= $VariantIdOffset, id - $VariantIdOffset, id) as doc_id")
       .distinct()
-    docs.join(
-        members.withColumn("dup", org.apache.spark.sql.functions.lit(1)),
-        Seq("doc_id"), "left")
+    // two aggregates meeting at O(sources): per-source totals are one
+    // column-pruned scan, dup counts join only the O(clustered) member
+    // ids against the corpus — the corpus never rides through a
+    // corpus-wide outer join just to carry a 0/1 flag
+    val totals = docs.groupBy("source")
+      .agg(count(expr("*")).as("n_docs"))
+    val dups = members.join(docs, "doc_id")
       .groupBy("source")
-      .agg(
-        count(expr("*")).as("n_docs"),
-        org.apache.spark.sql.functions.expr(
-          "cast(sum(coalesce(dup, 0)) as bigint) as n_dup_docs"))
-      .selectExpr("source", "n_docs", "n_dup_docs",
-        "(n_dup_docs * 1000000L) div n_docs as dup_rate_ppm")
+      .agg(count(expr("*")).as("n_dup_docs"))
+    totals.join(dups, Seq("source"), "left")
+      .selectExpr("source", "n_docs",
+        "coalesce(n_dup_docs, 0L) as n_dup_docs",
+        "(coalesce(n_dup_docs, 0L) * 1000000L) div n_docs as dup_rate_ppm")
       .orderBy("source")
   }
 

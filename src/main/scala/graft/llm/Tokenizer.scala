@@ -80,50 +80,82 @@ object Tokenizer {
   /** The gated query: [[Rounds]] merge rounds over the documents
     * corpus; one output row per round with the learned rule, its
     * pre-merge frequency, and the corpus token count after applying
-    * it — pinning rule selection, tie-breaks, and every rewrite. */
+    * it — pinning rule selection, tie-breaks, and every rewrite.
+    *
+    * EAGER like the CC family (a documented registry exception): each
+    * round's rule is a bounded 1-row TakeOrdered collect, because the
+    * next round's pair count needs it as a literal. Post-merge token
+    * counts are ARITHMETIC (`total − cnt` — exact, matches are
+    * non-overlapping), so the final rewrite is never materialized at
+    * all: the corpus pays one pair-count pass per round plus one
+    * rewrite per non-final round (each a cached leaf, evaluated once,
+    * unpersisted before return). */
   def qBpeMerges(s: SparkSession, dir: String): DataFrame = {
-    var corpus = load(s, dir, "documents")
+    val spark = s
+    import spark.implicits._
+    val base = load(s, dir, "documents")
       .selectExpr("doc_id",
         "filter(split(lower(text), ' '), t -> length(t) > 0) as ta")
-    val rounds = (1 to Rounds).map { r =>
-      val rule = bestRule(pairCounts(corpus))
-      corpus = applyRule(corpus, rule)
-      val toks = corpus.agg(org.apache.spark.sql.functions.expr(
-        "sum(size(ta)) as total_tokens_after"))
-      rule.selectExpr(s"cast($r as int) as round", "a", "b", "cnt")
-        .crossJoin(broadcast(toks))
-    }
-    rounds.reduce(_ unionAll _).orderBy("round")
+    val caches = scala.collection.mutable.ListBuffer.empty[org.apache.spark.rdd.RDD[_]]
+    try {
+      var (corpus, rdd0) = org.apache.spark.sql.GraftShims.cachedLeaf(base)
+      caches += rdd0
+      var total = corpus
+        .agg(org.apache.spark.sql.functions.expr("sum(size(ta))"))
+        .head().getLong(0)
+      val rows = (1 to Rounds).map { r =>
+        val rule = bestRule(pairCounts(corpus)).head()
+        val (a, b, cnt) = (rule.getString(0), rule.getString(1), rule.getLong(2))
+        total -= cnt
+        if (r < Rounds) {
+          val (next, rdd) = org.apache.spark.sql.GraftShims.cachedLeaf(
+            applyRule(corpus, Seq((a, b)).toDF("a", "b")))
+          caches += rdd
+          corpus = next
+        }
+        (r, a, b, cnt, total)
+      }
+      rows.toDF("round", "a", "b", "cnt", "total_tokens_after")
+        .orderBy("round")
+    } finally caches.foreach(_.unpersist(blocking = false))
   }
 
   val qBpeMergesSql: String = {
     def round(r: Int): String = {
       val prev = s"c${r - 1}"
+      val rewrite =
+        if (r == Rounds) "" // the final rewrite is never needed (totals are arithmetic)
+        else s""",
+           |c$r AS (
+           |  SELECT doc_id,
+           |         flatten(list_transform(range(1, len(ta) + 1), i ->
+           |           CASE WHEN i < len(ta) AND ta[i] = b$r.a AND ta[i + 1] = b$r.b
+           |                THEN [ta[i] || ' ' || ta[i + 1]]
+           |                WHEN i > 1 AND ta[i - 1] = b$r.a AND ta[i] = b$r.b
+           |                THEN []
+           |                ELSE [ta[i]] END)) AS ta
+           |  FROM $prev CROSS JOIN b$r)""".stripMargin
       s"""pc$r AS (
          |  SELECT a, b, COUNT(*) AS cnt
          |  FROM (SELECT ta[i] AS a, ta[i + 1] AS b
          |        FROM $prev, UNNEST(range(1, len(ta))) AS u(i))
          |  WHERE a <> b GROUP BY a, b),
-         |b$r AS (SELECT a, b, cnt FROM pc$r ORDER BY cnt DESC, a, b LIMIT 1),
-         |c$r AS (
-         |  SELECT doc_id,
-         |         flatten(list_transform(range(1, len(ta) + 1), i ->
-         |           CASE WHEN i < len(ta) AND ta[i] = b$r.a AND ta[i + 1] = b$r.b
-         |                THEN [ta[i] || ' ' || ta[i + 1]]
-         |                WHEN i > 1 AND ta[i - 1] = b$r.a AND ta[i] = b$r.b
-         |                THEN []
-         |                ELSE [ta[i]] END)) AS ta
-         |  FROM $prev CROSS JOIN b$r),
-         |t$r AS (SELECT CAST(SUM(len(ta)) AS BIGINT) AS total_tokens_after FROM c$r)""".stripMargin
+         |b$r AS (SELECT a, b, cnt FROM pc$r ORDER BY cnt DESC, a, b LIMIT 1)$rewrite""".stripMargin
     }
-    val selects = (1 to Rounds).map(r =>
+    // post-merge totals by subtraction: matches are non-overlapping, so
+    // each merge loses exactly one token — same identity the Spark side
+    // uses, so no engine ever materializes the final rewrite
+    val selects = (1 to Rounds).map { r =>
+      val minus = (1 to r).map(i => s" - (SELECT cnt FROM b$i)").mkString
       s"""SELECT CAST($r AS INT) AS round, a, b, cnt,
-         |       (SELECT total_tokens_after FROM t$r) AS total_tokens_after
-         |FROM b$r""".stripMargin).mkString("\nUNION ALL\n")
+         |       CAST((SELECT n FROM t0)$minus AS BIGINT) AS total_tokens_after
+         |FROM b$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
     s"""WITH c0 AS (
        |  SELECT doc_id,
        |         list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS ta
        |  FROM documents),
+       |t0 AS (SELECT CAST(SUM(len(ta)) AS BIGINT) AS n FROM c0),
        |${(1 to Rounds).map(round).mkString(",\n")}
        |$selects
        |ORDER BY round""".stripMargin
