@@ -97,7 +97,10 @@ object ScalingRehearsal {
       "incremental_exact" -> time(graft.llm.IncrementalDedup.qDedupIncrementalExact(spark, dir)),
       "split_leakfree" -> time(graft.llm.Sampling.qSplitLeakfree(spark, dir)),
       "mix_temperature" -> time(graft.llm.Sampling.qMixTemperature(spark, dir)),
-      "emb_kmeans" -> time(graft.llm.Similarity.qEmbKmeans(spark, dir)))
+      "emb_kmeans" -> time(graft.llm.Similarity.qEmbKmeans(spark, dir)),
+      "doc_chunks" -> time(graft.llm.TextAnalysis.qDocChunks(spark, dir)),
+      "bpe_merges" -> time(graft.llm.Tokenizer.qBpeMerges(spark, dir)),
+      "dedup_report" -> time(graft.llm.Dedup.qDedupReport(spark, dir)))
     finally spark.conf.unset(graft.llm.Similarity.IvfCellsConf)
   }
 

@@ -25,9 +25,11 @@ object SparkEntry {
     * connected-components family (`q_dedup_clusters`,
     * `q_dedup_keep_best*`) runs its iterative label rounds at
     * construction — the result frame is the converged final round;
-    * and the IVF family (`q_ann_ivf_*`, `q_semdedup`) runs one
-    * bounded K-row TakeOrdered collect at construction to pick its
-    * deterministic quantizer seeds. */
+    * the IVF family (`q_ann_ivf_*`, `q_semdedup`) and `q_emb_kmeans`
+    * run one bounded K-row TakeOrdered collect at construction to
+    * pick their deterministic quantizer seeds; and `q_bpe_merges`
+    * runs its merge rounds at construction (each round's 1-row rule
+    * must be known to plan the next round's pair count). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.Temporal.queries ++
