@@ -23,8 +23,9 @@ object SparkEntry {
     * quadratic above the conf'd source bound
     * ([[graft.llm.CorpusStats.qSourceOverlap]]); the
     * connected-components family (`q_dedup_clusters`,
-    * `q_dedup_keep_best*`) runs its iterative label rounds at
-    * construction — the result frame is the converged final round;
+    * `q_dedup_keep_best*`, `q_split_leakfree`, `q_dedup_report`) runs
+    * its iterative label rounds at construction — the result frame
+    * consumes the converged final round;
     * the IVF family (`q_ann_ivf_*`, `q_semdedup`) and `q_emb_kmeans`
     * run one bounded K-row TakeOrdered collect at construction to
     * pick their deterministic quantizer seeds; and `q_bpe_merges`

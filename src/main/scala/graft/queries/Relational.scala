@@ -830,6 +830,59 @@ object Relational {
       |       LEFT JOIN p ON v.user_id = p.user_id
       |ORDER BY v.user_id""".stripMargin
 
+  /** [[qEventFunnel]] with per-stage DEADLINES — the form product
+    * analytics actually ships ("converted within 7 days"): the click
+    * must land within [[FunnelWindowDays]] days of the anchoring view,
+    * the purchase within the same window of that click. Same stepwise
+    * keyed-min shape (the window bound is one more conjunct on each
+    * stage's join), so the scale story is unchanged — and a user who
+    * clicked only AFTER the window shows as stage 1, not stage 2. */
+  private val FunnelWindowDays = 7
+
+  def qEventFunnelWindowed(s: SparkSession, dir: String): DataFrame = {
+    val iv = s"INTERVAL $FunnelWindowDays DAYS"
+    val ev = t(s, dir, "events").select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === lit("view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val c = ev.filter(col("event_type") === lit("click"))
+      .join(v, "user_id")
+      .where(col("ts") > col("t_view") && col("ts") <= expr(s"t_view + $iv"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val p = ev.filter(col("event_type") === lit("purchase"))
+      .join(c, "user_id")
+      .where(col("ts") > col("t_click") && col("ts") <= expr(s"t_click + $iv"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .selectExpr("user_id",
+        "cast(cast(t_click is not null as int) + cast(t_purchase is not null as int) + 1 as int) as stage",
+        "unix_micros(t_view) as t_view_us",
+        "unix_micros(t_click) as t_click_us",
+        "unix_micros(t_purchase) as t_purchase_us")
+      .orderBy("user_id")
+  }
+
+  val qEventFunnelWindowedSql: String =
+    s"""WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+       |           WHERE event_type = 'view' GROUP BY user_id),
+       |c AS (SELECT e.user_id, MIN(e.ts) AS t_click
+       |      FROM events e JOIN v ON e.user_id = v.user_id
+       |      WHERE e.event_type = 'click' AND e.ts > v.t_view
+       |        AND e.ts <= v.t_view + INTERVAL $FunnelWindowDays DAYS
+       |      GROUP BY e.user_id),
+       |p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+       |      FROM events e JOIN c ON e.user_id = c.user_id
+       |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+       |        AND e.ts <= c.t_click + INTERVAL $FunnelWindowDays DAYS
+       |      GROUP BY e.user_id)
+       |SELECT v.user_id,
+       |       CAST((c.t_click IS NOT NULL)::INT + (p.t_purchase IS NOT NULL)::INT + 1 AS INT) AS stage,
+       |       epoch_us(v.t_view) AS t_view_us,
+       |       epoch_us(c.t_click) AS t_click_us,
+       |       epoch_us(p.t_purchase) AS t_purchase_us
+       |FROM v LEFT JOIN c ON v.user_id = c.user_id
+       |       LEFT JOIN p ON v.user_id = p.user_id
+       |ORDER BY v.user_id""".stripMargin
+
   // -------------------------------------------------- events: retention
   /** Weekly cohort retention: users grouped by their FIRST active week
     * (Monday-truncated, UTC — pinned by the session conf), counted in
@@ -865,6 +918,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_event_funnel" -> (qEventFunnel _),
+    "q_event_funnel_windowed" -> (qEventFunnelWindowed _),
     "q_event_retention" -> (qEventRetention _),
     "q12_late_priority" -> (q12LatePriority _),
     "q15_top_supplier" -> (q15TopSupplier _),
@@ -896,6 +950,7 @@ object Relational {
 
   val oracleSql: Map[String, String] = Map(
     "q_event_funnel" -> qEventFunnelSql,
+    "q_event_funnel_windowed" -> qEventFunnelWindowedSql,
     "q_event_retention" -> qEventRetentionSql,
     "q12_late_priority" -> q12Sql,
     "q15_top_supplier" -> q15Sql,
