@@ -1,7 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
+import org.apache.spark.sql.functions.{coalesce, col, expr, greatest, least, lit, when}
 
 /** The changelog CONSUMER pattern: maintain a derived aggregate from
   * [[GraftTable.changelogScan]] deltas instead of recomputing it from
@@ -9,10 +9,13 @@ import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
   * (checkpoint a snapshot id, read the changelog forward from it,
   * fold the delta into the materialization, repeat).
   *
-  * Scope: ADDITIVE aggregates (count / sum families), where a delete
-  * is exactly a negated insert — the class that folds with keyed
-  * arithmetic alone. Non-additive aggregates (min/max, distinct
-  * counts) need retraction state and are out of scope here.
+  * Scope: ADDITIVE aggregates (count / sum families) fold with keyed
+  * arithmetic alone — a delete is exactly a negated insert.
+  * NON-ADDITIVE aggregates (min/max, distinct counts) need retraction
+  * handling: [[applyMinMax]] folds insert-only keys arithmetically and
+  * recomputes delete-touched keys from the base (churn-sized state,
+  * never a table-sized aggregate); [[applyCountDistinct]] recomputes
+  * every touched key (no per-value-free fold exists for distinct).
   *
   * Scale: the update is one keyed aggregation over the CHANGES (sized
   * by churn, not by table) and one keyed outer join against the
@@ -44,13 +47,24 @@ object ChangelogApply {
       .groupBy(keys.map(col): _*)
       .agg(
         expr("sum(__sign)").as("__dn"),
+        // non-null value count delta: a NULL-valued row moves n_rows
+        // but not n_vals/sum_v — needed so sum_v can go back to SQL
+        // NULL (not 0) when a group's last non-null value is deleted,
+        // matching what count/sum recompute would say
+        expr(s"sum(CASE WHEN $valueCol IS NULL THEN 0 ELSE __sign END)")
+          .as("__dnv"),
         expr(s"sum(__sign * $valueCol)").as("__dv"))
     val joined = prev.join(delta, keys, "full_outer")
+    val nVals =
+      coalesce(col("n_vals"), lit(0L)) + coalesce(col("__dnv"), lit(0L))
     val updated = joined.select(
       keys.map(col) ++ Seq(
         (coalesce(col("n_rows"), lit(0L)) + coalesce(col("__dn"), lit(0L)))
           .as("n_rows"),
-        (coalesce(col("sum_v"), lit(0L)) + coalesce(col("__dv"), lit(0L)))
+        nVals.as("n_vals"),
+        when(nVals === lit(0L), lit(null))
+          .otherwise(coalesce(col("sum_v"), lit(0L)) +
+            coalesce(col("__dv"), lit(0L)))
           .as("sum_v")): _*)
     updated.filter(col("n_rows") =!= lit(0L))
   }
@@ -60,12 +74,105 @@ object ChangelogApply {
   def recomputeCountSum(
       table: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
     table.groupBy(keys.map(col): _*)
-      .agg(expr("count(*)").as("n_rows"), expr(s"sum($valueCol)").as("sum_v"))
+      .agg(expr("count(*)").as("n_rows"),
+        expr(s"count($valueCol)").as("n_vals"),
+        expr(s"sum($valueCol)").as("sum_v"))
 
   /** Empty materialization with the right shape for a cold start. */
   def emptyCountSum(
       like: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
     recomputeCountSum(like, keys, valueCol).limit(0)
+
+  // ---------------------------------------- non-additive: min/max
+  /** Fold a changelog frame into a per-key (n_rows, min_v, max_v)
+    * aggregate — the NON-ADDITIVE class: a delete may retract the
+    * current extreme, and no arithmetic can resurrect the runner-up
+    * from the aggregate alone. The standard answer is
+    * recompute-on-retract, scoped per TOUCHED key:
+    *
+    *  - keys with only INSERTS fold with pure arithmetic
+    *    (`least`/`greatest` against the delta) — no base access, so an
+    *    append-mostly workload stays churn-priced end to end;
+    *  - keys with any DELETE recompute from `base` (the CURRENT source
+    *    content) restricted to those keys — one left-semi join + keyed
+    *    aggregate whose STATE is churn-sized; the base scan prunes by
+    *    the engine's stats/partition pruning when the keys allow it,
+    *    and a group emptied by its deletes drops out naturally
+    *    (recompute returns no row for it);
+    *  - untouched keys carry over verbatim.
+    *
+    * `least`/`greatest` skip SQL NULLs (and `min`/`max` ignore them),
+    * so all-NULL groups carry NULL extremes exactly like the
+    * recompute. */
+  def applyMinMax(
+      prev: DataFrame, changes: DataFrame, base: DataFrame,
+      keys: Seq[String], valueCol: String): DataFrame = {
+    val kCols = keys.map(col)
+    val delKeys = changes
+      .filter(col("_change_type") === lit("delete"))
+      .select(kCols: _*).distinct()
+    val insOnly = changes
+      .filter(col("_change_type") === lit("insert"))
+      .join(delKeys, keys, "left_anti")
+      .groupBy(kCols: _*)
+      .agg(
+        expr("count(*)").as("__in"),
+        expr(s"min($valueCol)").as("__imin"),
+        expr(s"max($valueCol)").as("__imax"))
+    val folded = prev.join(insOnly, keys, "full_outer")
+      // an untouched prev key rides through this full-outer with null
+      // deltas — coalesce keeps it verbatim, so no separate carry path
+      .join(delKeys, keys, "left_anti")
+      .select(kCols ++ Seq(
+        (coalesce(col("n_rows"), lit(0L)) + coalesce(col("__in"), lit(0L)))
+          .as("n_rows"),
+        least(col("min_v"), col("__imin")).as("min_v"),
+        greatest(col("max_v"), col("__imax")).as("max_v")): _*)
+    val recomputed = base.join(delKeys, keys, "left_semi")
+      .groupBy(kCols: _*)
+      .agg(
+        expr("count(*)").as("n_rows"),
+        expr(s"min($valueCol)").as("min_v"),
+        expr(s"max($valueCol)").as("max_v"))
+    folded.unionByName(recomputed)
+  }
+
+  /** The full-recompute twin of [[applyMinMax]]. */
+  def recomputeMinMax(
+      table: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    table.groupBy(keys.map(col): _*)
+      .agg(expr("count(*)").as("n_rows"),
+        expr(s"min($valueCol)").as("min_v"),
+        expr(s"max($valueCol)").as("max_v"))
+
+  // ------------------------------------- non-additive: distinct count
+  /** Fold a changelog frame into a per-key exact distinct-value count.
+    * Distinct counts retract on BOTH sides — an insert of an
+    * already-present value adds nothing, a delete removes the value
+    * only when its last copy goes — so every touched key recomputes
+    * from `base` (no pure-arithmetic fold exists without per-value
+    * state); untouched keys carry over verbatim. State stays
+    * churn-sized: one distinct over the changes' keys, one left-semi
+    * scan of the base restricted to them, one keyed aggregate. A
+    * deployment needing cheaper ticks trades exactness for a
+    * mergeable sketch (HLL) — this is the EXACT maintenance tier. */
+  def applyCountDistinct(
+      prev: DataFrame, changes: DataFrame, base: DataFrame,
+      keys: Seq[String], valueCol: String): DataFrame = {
+    val touched = changes.select(keys.map(col): _*).distinct()
+    val recomputed = base.join(touched, keys, "left_semi")
+      .groupBy(keys.map(col): _*)
+      .agg(expr("count(*)").as("n_rows"),
+        expr(s"count(distinct $valueCol)").as("n_distinct"))
+    prev.join(touched, keys, "left_anti").unionByName(recomputed)
+  }
+
+  /** The full-recompute twin of [[applyCountDistinct]]. */
+  def recomputeCountDistinct(
+      table: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    table.groupBy(keys.map(col): _*)
+      .agg(expr("count(*)").as("n_rows"),
+        expr(s"count(distinct $valueCol)").as("n_distinct"))
 
   /** Checkpoint property key on the TARGET table: the source snapshot
     * its content reflects. Committed atomically with the content. */

@@ -237,21 +237,47 @@ final class GraftTable(
         val inserts =
           if (addedData.isEmpty) Nil
           else Seq(withChange(
-            readFiles(spark, schema, addedData), "insert", ord, s.snapshotId))
+            // same-commit delete files ride along: a foreign snapshot
+            // (register adopts any legal Iceberg tree) may add
+            // position deletes targeting data files added in the SAME
+            // commit — those rows were never visible and must not
+            // appear as inserts. readFiles' sequence semantics make
+            // this exact: position deletes apply at seq >= data seq
+            // (suppressing same-commit targets), equality deletes at
+            // seq > data seq (same-commit adds correctly unaffected),
+            // and deletes aimed at parent files can't match added
+            // rows' file keys. Our own writers never produce the
+            // shape, so the ride-along is usually a no-op join on a
+            // churn-sized read.
+            readFiles(spark, schema, addedData ++ addedDeletes),
+            "insert", ord, s.snapshotId))
         val rowDeletes =
           if (addedDeletes.isEmpty) Nil
           else {
             // affected data files only: position-delete targets by
             // normalized file key (one bounded distinct over the
             // delete files — O(referenced files) driver-side, the
-            // same order as the manifest list already held); equality
-            // deletes scope every older-sequence file
+            // same order as the manifest list already held, CAPPED by
+            // conf: a wide-churn commit referencing millions of files
+            // must not materialize them all on the driver, so past
+            // the cap the diff falls back to sequence-bound scoping —
+            // every parent data file is a candidate (broader read,
+            // identical answer; the same correct-but-broader fallback
+            // the equality path uses when key bounds are underivable)
             val posFiles = addedDeletes.filter(_.isPositionDeleteFile)
-            val posKeys: Set[String] =
-              if (posFiles.isEmpty) Set.empty
+            val maxPosKeys = GraftTable.changelogMaxPosDeleteKeys(spark)
+            val posKeyRows: Array[String] =
+              if (posFiles.isEmpty) Array.empty
               else spark.read.parquet(posFiles.map(_.path): _*)
-                .select("file_path").distinct().collect()
-                .map(r => GraftDeleteCache.fileKey(r.getString(0))).toSet
+                .select("file_path").distinct().limit(maxPosKeys + 1)
+                .collect().map(r => r.getString(0))
+            val posOverCap = posKeyRows.length > maxPosKeys
+            val posKeys: Set[String] =
+              if (posOverCap) Set.empty
+              else posKeyRows.map(GraftDeleteCache.fileKey).toSet
+            val posAffected: Manifests.DataFile => Boolean =
+              if (posOverCap) _ => true
+              else f => posKeys(GraftDeleteCache.fileKey(f.path))
             // equality deletes scope older-sequence files, NARROWED by
             // the key bounds of the delete rows against manifest stats
             // (the upsert runtime-file-filter, aimed at delete files) —
@@ -286,7 +312,7 @@ final class GraftTable(
                 f => preds.exists(_(f))
               }
             val affected = parentFiles.filter(f => !f.isDeleteFile &&
-              (posKeys(GraftDeleteCache.fileKey(f.path)) || eqAffected(f)))
+              (posAffected(f) || eqAffected(f)))
             GraftTable.lastChangelogDiff = Some(GraftTable.ChangelogDiffPlan(
               parentFiles.count(!_.isDeleteFile), affected.size))
             if (affected.isEmpty) Nil
@@ -1204,6 +1230,24 @@ object GraftTable {
     * and run logs, like [[lastUpsertPlan]]. */
   final case class ChangelogDiffPlan(candidateFiles: Int, affectedFiles: Int)
   @volatile var lastChangelogDiff: Option[ChangelogDiffPlan] = None
+
+  /** Cap on the per-commit distinct position-delete TARGET keys the
+    * changelog diff materializes on the driver. O(referenced files) is
+    * the same order the driver already holds in manifests, but a
+    * wide-churn foreign commit can reference 10⁶ files in its delete
+    * rows; past the cap the diff scopes by sequence bound instead —
+    * every parent data file becomes a visibility-diff candidate
+    * (broader executor read, identical rows out; spec-pinned with the
+    * cap forced to 0). */
+  val ChangelogMaxPosDeleteKeysConf = "spark.graft.changelog.maxPosDeleteKeys"
+  private val CHANGELOG_MAX_POS_DELETE_KEYS = 100000
+  private[engine] def changelogMaxPosDeleteKeys(
+      spark: SparkSession): Int = {
+    val n = spark.conf.get(ChangelogMaxPosDeleteKeysConf,
+      CHANGELOG_MAX_POS_DELETE_KEYS.toString).toInt
+    require(n >= 0, s"$ChangelogMaxPosDeleteKeysConf must be non-negative, got $n")
+    n
+  }
 
   /** Compile an overwrite condition into a partition-TUPLE predicate:
     * `Right(eval)` where `eval(tuple)` is Some(matches) or None when

@@ -41,7 +41,12 @@ object StreamingExactDedup {
 
   /** Day-0 seeding: the corpus's exact-hash index under the stream's
     * batch-id partition layout (batch_id = -1) and its bloom as a
-    * one-row table. */
+    * one-row table. `expectedItems` is PERSISTED NEXT TO the sketch:
+    * Spark's `BloomFilter.mergeInPlace` throws on any sizing mismatch,
+    * so the per-batch survivor blooms must be built with exactly the
+    * seed-time sizing — reading it back from the bloom row (instead of
+    * re-supplying it at start()) makes a mismatched restart
+    * impossible, not merely documented. */
   def seed(
       corpusDocs: DataFrame,
       expectedItems: Long,
@@ -50,25 +55,25 @@ object StreamingExactDedup {
     val idx = IncrementalDedup.exactHashIndex(corpusDocs)
     idempotentAppend(idx.withColumn("batch_id", lit(-1L)), "batch_id", indexPath)
     IncrementalDedup.hashBloom(idx, expectedItems)
+      .withColumn("expected_items", lit(expectedItems))
       .write.mode("overwrite").parquet(bloomPath)
   }
 
   /** Start the exact-dedup stream over `docs` (streaming frame with
     * `new_id: long, t: string`). `indexPath`/`bloomPath` must hold the
-    * day-0 state ([[seed]]) before the stream starts. */
+    * day-0 state ([[seed]]) before the stream starts; the bloom's
+    * sizing travels WITH the bloom (see [[seed]]). */
   def start(
       docs: DataFrame,
       indexPath: String,
       bloomPath: String,
       decisionsPath: String,
-      checkpoint: String,
-      expectedItems: Long): StreamingQuery = {
-    val spark = docs.sparkSession
+      checkpoint: String): StreamingQuery = {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, batchId, indexPath, bloomPath, decisionsPath, expectedItems)
+        processBatch(batch, batchId, indexPath, bloomPath, decisionsPath)
       }
       .start()
   }
@@ -78,8 +83,7 @@ object StreamingExactDedup {
     * twice with the same batchId IS the crash-replay case). */
   private[llm] def processBatch(
       batch: DataFrame, batchId: Long,
-      indexPath: String, bloomPath: String, decisionsPath: String,
-      expectedItems: Long): Unit = {
+      indexPath: String, bloomPath: String, decisionsPath: String): Unit = {
     val spark = batch.sparkSession
     val b = batch.select(col("new_id"), col("t"))
     // REPLAY GUARD: strictly pre-batch index only — a replayed
@@ -93,7 +97,7 @@ object StreamingExactDedup {
       .where(col("batch_id") < lit(batchId))
       .select("h", "dup_of")
     val bloom = readBloom(spark, bloomPath)
-    val decisions = IncrementalDedup.exactProbe(b, index, bloom)
+    val decisions = IncrementalDedup.exactProbe(b, index, bloom.select("bf"))
       .withColumn("batch_id", lit(batchId))
     idempotentAppend(decisions, "batch_id", decisionsPath)
     // survivors extend the seen-set for every later batch
@@ -104,7 +108,7 @@ object StreamingExactDedup {
       .selectExpr("xxhash64(lower(t)) as h", "new_id as dup_of")
     idempotentAppend(
       survivors.withColumn("batch_id", lit(batchId)), "batch_id", indexPath)
-    mergeBloom(spark, survivors, bloomPath, expectedItems)
+    mergeBloom(spark, survivors, bloomPath)
     ()
   }
 
@@ -125,27 +129,31 @@ object StreamingExactDedup {
 
   /** OR-merge the survivors' bloom into the stored one — two
     * conf-bounded binaries on the driver, written back as the one-row
-    * bloom table. Idempotent under replay (OR of already-present
+    * bloom table. The survivors' sketch is built with the
+    * `expected_items` stored NEXT TO the bloom (seed-time sizing), so
+    * `mergeInPlace`'s identical-sizing precondition holds by
+    * construction — a caller can't crash the stream mid-run with a
+    * mismatched size. Idempotent under replay (OR of already-present
     * elements); a survivor-less batch (every row was a dup) is a
     * no-op, not a null sketch. */
   private def mergeBloom(
       spark: org.apache.spark.sql.SparkSession,
       survivorsIdx: DataFrame,
-      bloomPath: String,
-      expectedItems: Long): Unit = {
+      bloomPath: String): Unit = {
     import org.apache.spark.util.sketch.BloomFilter
+    val stored = readBloom(spark, bloomPath).head()
+    val storedBytes = stored.getAs[Array[Byte]]("bf")
+    val expectedItems = stored.getAs[Long]("expected_items")
     val addBytes = IncrementalDedup.hashBloom(survivorsIdx, expectedItems)
       .head().getAs[Array[Byte]](0)
     if (addBytes == null) return // zero survivors: nothing to merge
-    val storedBytes = readBloom(spark, bloomPath)
-      .head().getAs[Array[Byte]](0)
     val merged = BloomFilter.readFrom(new java.io.ByteArrayInputStream(storedBytes))
     merged.mergeInPlace(
       BloomFilter.readFrom(new java.io.ByteArrayInputStream(addBytes)))
     val out = new java.io.ByteArrayOutputStream()
     merged.writeTo(out)
     import spark.implicits._
-    Seq(out.toByteArray).toDF("bf")
+    Seq((out.toByteArray, expectedItems)).toDF("bf", "expected_items")
       .write.mode("overwrite").parquet(bloomPath + ".tmp")
     // parquet has no atomic single-file swap; the read side repairs a
     // crash between these two calls ([[readBloom]] promotes tmp)

@@ -287,8 +287,23 @@ final class CatalogServer(
                 val normalized =
                   try java.net.URI.create(r.metadataLocation).normalize().toString
                   catch { case _: IllegalArgumentException => "" }
+                // The string check alone is still bypassable: FileIO
+                // resolves via Paths.get(URI.create(...)) which
+                // percent-DECODES, so '%2E%2E' segments pass the string
+                // normalize+startsWith yet resolve outside the
+                // warehouse. Authoritative check: resolve BOTH sides
+                // the way LocalFileIO will and compare decoded,
+                // normalized absolute paths segment-wise.
+                def resolved(loc: String): Option[java.nio.file.Path] =
+                  try Some(graft.catalog.LocalFileIO.toPath(loc)
+                    .toAbsolutePath.normalize())
+                  catch { case _: Exception => None }
+                val pathContained = (for {
+                  whP <- resolved(w.location)
+                  mdP <- resolved(normalized)
+                } yield mdP.startsWith(whP)).getOrElse(false)
                 if (normalized.isEmpty || normalized.contains("/../") ||
-                    !normalized.startsWith(whPrefix))
+                    !normalized.startsWith(whPrefix) || !pathContained)
                   Left(CatalogError.badRequest(
                     s"metadata-location must be under the warehouse location ${w.location}"))
                 else {

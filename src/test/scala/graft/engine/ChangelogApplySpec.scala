@@ -38,8 +38,13 @@ class ChangelogApplySpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = server.stop()
 
-  private def sorted(df: org.apache.spark.sql.DataFrame): Seq[(String, Long, Long)] =
-    df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+  // project to the user-facing columns (the materialization also
+  // carries n_vals, its internal null-tracking state); sum_v is
+  // nullable — an all-NULL-valued group must read back as SQL NULL
+  private def sorted(df: org.apache.spark.sql.DataFrame): Seq[(String, Long, Option[Long])] =
+    df.select("k", "n_rows", "sum_v").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
       .sortBy(_._1).toSeq
 
   test("changelog-maintained count/sum equals the full recompute at every step") {
@@ -52,7 +57,7 @@ class ChangelogApplySpec extends AnyFunSuite with BeforeAndAfterAll {
     var mat = ChangelogApply.recomputeCountSum(full(), Seq("k"), "v")
       .persist()
     var checkpoint = t.metadata.currentSnapshotId.get
-    assert(sorted(mat) === Seq(("a", 2L, 3L), ("b", 1L, 10L)))
+    assert(sorted(mat) === Seq(("a", 2L, Some(3L)), ("b", 1L, Some(10L))))
 
     // step 1: appends + a MoR delete, folded incrementally
     spark.sql(s"INSERT INTO $cat.db.mat VALUES ('b', 20), ('c', 5)")
@@ -62,7 +67,7 @@ class ChangelogApplySpec extends AnyFunSuite with BeforeAndAfterAll {
     checkpoint = t.metadata.currentSnapshotId.get
     assert(sorted(mat) ===
       sorted(ChangelogApply.recomputeCountSum(full(), Seq("k"), "v")))
-    assert(sorted(mat) === Seq(("a", 1L, 2L), ("b", 2L, 30L), ("c", 1L, 5L)))
+    assert(sorted(mat) === Seq(("a", 1L, Some(2L)), ("b", 2L, Some(30L)), ("c", 1L, Some(5L))))
 
     // step 2: MERGE update (delete+insert through the changelog), a
     // group emptied to zero must DROP OUT, and compaction in range
@@ -78,7 +83,7 @@ class ChangelogApplySpec extends AnyFunSuite with BeforeAndAfterAll {
     checkpoint = t.metadata.currentSnapshotId.get
     assert(sorted(mat) ===
       sorted(ChangelogApply.recomputeCountSum(full(), Seq("k"), "v")))
-    assert(sorted(mat) === Seq(("b", 2L, 30L), ("c", 1L, 50L)))
+    assert(sorted(mat) === Seq(("b", 2L, Some(30L)), ("c", 1L, Some(50L))))
     assert(!sorted(mat).exists(_._1 == "a"), "emptied group must drop out")
 
     // step 3: empty range folds to the identity
@@ -92,7 +97,7 @@ class ChangelogApplySpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("runOnce maintains a target TABLE exactly-once across ticks and retries") {
     spark.sql(s"CREATE TABLE $cat.db.src2 (k STRING, v BIGINT)")
-    spark.sql(s"CREATE TABLE $cat.db.mat2 (k STRING, n_rows BIGINT, sum_v BIGINT)")
+    spark.sql(s"CREATE TABLE $cat.db.mat2 (k STRING, n_rows BIGINT, n_vals BIGINT, sum_v BIGINT)")
     spark.sql(s"INSERT INTO $cat.db.src2 VALUES ('a', 1), ('b', 10)")
     val src = table("src2")
     val tgt = table("mat2")
@@ -101,7 +106,7 @@ class ChangelogApplySpec extends AnyFunSuite with BeforeAndAfterAll {
     val c1 = ChangelogApply.runOnce(spark, src, "src2", tgt, Seq("k"), "v")
     assert(c1 === src.metadata.currentSnapshotId)
     assert(sorted(spark.sql(s"SELECT k, n_rows, sum_v FROM $cat.db.mat2"))
-      === Seq(("a", 1L, 1L), ("b", 1L, 10L)))
+      === Seq(("a", 1L, Some(1L)), ("b", 1L, Some(10L))))
 
     // retry with no source change: no-op, no new target snapshot
     val snaps = tgt.metadata.snapshots.size
@@ -114,11 +119,110 @@ class ChangelogApplySpec extends AnyFunSuite with BeforeAndAfterAll {
     val c2 = ChangelogApply.runOnce(spark, src, "src2", tgt, Seq("k"), "v")
     assert(c2 === src.metadata.currentSnapshotId)
     assert(sorted(spark.sql(s"SELECT k, n_rows, sum_v FROM $cat.db.mat2"))
-      === Seq(("a", 2L, 3L), ("c", 1L, 7L)))
+      === Seq(("a", 2L, Some(3L)), ("c", 1L, Some(7L))))
     assert(sorted(spark.sql(s"SELECT k, n_rows, sum_v FROM $cat.db.mat2"))
       === sorted(ChangelogApply.recomputeCountSum(
         spark.sql(s"SELECT k, v FROM $cat.db.src2"), Seq("k"), "v")))
     // and the tick is again idempotent
     assert(ChangelogApply.runOnce(spark, src, "src2", tgt, Seq("k"), "v") === None)
+  }
+
+  test("min/max: retraction recomputes touched keys only, equals recompute") {
+    spark.sql(s"CREATE TABLE $cat.db.matm (k STRING, v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.db.matm VALUES ('a', 5), ('a', 9), ('b', 10), ('n', NULL)")
+    val t = table("matm")
+    val full = () => spark.sql(s"SELECT k, v FROM $cat.db.matm")
+    def mm(df: org.apache.spark.sql.DataFrame): Seq[(String, Long, Option[Long], Option[Long])] =
+      df.select("k", "n_rows", "min_v", "max_v").collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))
+        .sortBy(_._1).toSeq
+
+    var mat = ChangelogApply.recomputeMinMax(full(), Seq("k"), "v").persist()
+    var ckpt = t.metadata.currentSnapshotId.get
+    assert(mm(mat) === Seq(
+      ("a", 2L, Some(5L), Some(9L)), ("b", 1L, Some(10L), Some(10L)),
+      ("n", 1L, None, None)))
+
+    // retraction of a current MAX ('a',9), pure-insert fold on 'b',
+    // a brand-new key 'c', and an all-NULL key untouched
+    spark.sql(s"DELETE FROM $cat.db.matm WHERE k = 'a' AND v = 9")
+    spark.sql(s"INSERT INTO $cat.db.matm VALUES ('b', 3), ('c', 7)")
+    mat = ChangelogApply.applyMinMax(
+      mat, t.changelogScan(spark, ckpt), full(), Seq("k"), "v").persist()
+    ckpt = t.metadata.currentSnapshotId.get
+    assert(mm(mat) === mm(ChangelogApply.recomputeMinMax(full(), Seq("k"), "v")))
+    assert(mm(mat) === Seq(
+      ("a", 1L, Some(5L), Some(5L)), ("b", 2L, Some(3L), Some(10L)),
+      ("c", 1L, Some(7L), Some(7L)), ("n", 1L, None, None)))
+
+    // a group emptied by its deletes drops out of the recompute branch
+    spark.sql(s"DELETE FROM $cat.db.matm WHERE k = 'a'")
+    mat = ChangelogApply.applyMinMax(
+      mat, t.changelogScan(spark, ckpt), full(), Seq("k"), "v")
+    assert(mm(mat) === mm(ChangelogApply.recomputeMinMax(full(), Seq("k"), "v")))
+    assert(!mm(mat).exists(_._1 == "a"))
+  }
+
+  test("distinct count: every touched key recomputes, equals recompute") {
+    spark.sql(s"CREATE TABLE $cat.db.matd (k STRING, v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.db.matd VALUES ('a', 1), ('a', 1), ('a', 2), ('b', 10)")
+    val t = table("matd")
+    val full = () => spark.sql(s"SELECT k, v FROM $cat.db.matd")
+    def dc(df: org.apache.spark.sql.DataFrame): Seq[(String, Long, Long)] =
+      df.select("k", "n_rows", "n_distinct").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+
+    var mat = ChangelogApply.recomputeCountDistinct(full(), Seq("k"), "v").persist()
+    var ckpt = t.metadata.currentSnapshotId.get
+    assert(dc(mat) === Seq(("a", 3L, 2L), ("b", 1L, 1L)))
+
+    // the two traps additive arithmetic gets wrong: inserting an
+    // ALREADY-PRESENT value must not raise the count, deleting ONE of
+    // two copies must not lower it
+    spark.sql(s"INSERT INTO $cat.db.matd VALUES ('a', 2), ('b', 10)")
+    spark.sql(s"DELETE FROM $cat.db.matd WHERE k = 'a' AND v = 1")
+    mat = ChangelogApply.applyCountDistinct(
+      mat, t.changelogScan(spark, ckpt), full(), Seq("k"), "v")
+    assert(dc(mat) === dc(ChangelogApply.recomputeCountDistinct(full(), Seq("k"), "v")))
+    // 'a': the DELETE removed both v=1 copies, the INSERT added a
+    // duplicate v=2 → rows {2,2}, distinct {2}; 'b': duplicate insert
+    // leaves distinct at 1 while n_rows grows
+    assert(dc(mat) === Seq(("a", 2L, 1L), ("b", 2L, 1L)))
+  }
+
+  test("nullable value column: incremental equals recompute, NULL sum preserved") {
+    spark.sql(s"CREATE TABLE $cat.db.matn (k STRING, v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.db.matn VALUES ('a', 1), ('a', NULL), ('n', NULL)")
+    val t = table("matn")
+    val full = () => spark.sql(s"SELECT k, v FROM $cat.db.matn")
+
+    var mat = ChangelogApply.recomputeCountSum(full(), Seq("k"), "v").persist()
+    var checkpoint = t.metadata.currentSnapshotId.get
+    // all-NULL group reports SQL NULL sum (not 0), like sum() would
+    assert(sorted(mat) === Seq(("a", 2L, Some(1L)), ("n", 1L, None)))
+
+    // delete 'a''s only non-null value: its sum must RETURN to NULL
+    // incrementally, and a new all-NULL group must be born as NULL
+    spark.sql(s"DELETE FROM $cat.db.matn WHERE k = 'a' AND v = 1")
+    spark.sql(s"INSERT INTO $cat.db.matn VALUES ('m', NULL), ('m', 4)")
+    mat = ChangelogApply.applyCountSum(
+      mat, t.changelogScan(spark, checkpoint), Seq("k"), "v").persist()
+    checkpoint = t.metadata.currentSnapshotId.get
+    assert(sorted(mat) ===
+      sorted(ChangelogApply.recomputeCountSum(full(), Seq("k"), "v")))
+    assert(sorted(mat) ===
+      Seq(("a", 1L, None), ("m", 2L, Some(4L)), ("n", 1L, None)))
+
+    // deleting a NULL-valued row moves n_rows but not the sum
+    spark.sql(s"DELETE FROM $cat.db.matn WHERE k = 'm' AND v IS NULL")
+    mat = ChangelogApply.applyCountSum(
+      mat, t.changelogScan(spark, checkpoint), Seq("k"), "v")
+    assert(sorted(mat) ===
+      sorted(ChangelogApply.recomputeCountSum(full(), Seq("k"), "v")))
+    assert(sorted(mat) ===
+      Seq(("a", 1L, None), ("m", 1L, Some(4L)), ("n", 1L, None)))
   }
 }

@@ -3,6 +3,7 @@ package graft.engine
 import graft.SparkTestSession
 import graft.catalog._
 import graft.server.CatalogServer
+import org.apache.spark.sql.functions.col
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -137,6 +138,73 @@ class ChangelogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(eq.affectedFiles < eq.candidateFiles && eq.affectedFiles >= 1,
       s"eq-delete diff read ${eq.affectedFiles} of ${eq.candidateFiles} " +
         "— stats narrowing did not exclude the out-of-range files")
+  }
+
+  test("pos-delete key cap forced to 0: broader scoping, identical changelog") {
+    spark.sql(s"CREATE TABLE $cat.db.clc (id BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.db.clc VALUES (1,'a'), (2,'b')")
+    spark.sql(s"INSERT INTO $cat.db.clc VALUES (100,'x'), (101,'y')")
+    val t = table("clc")
+    val s1 = t.metadata.currentSnapshotId.get
+    spark.sql(s"DELETE FROM $cat.db.clc WHERE id = 100")
+
+    // default cap: targeted-file scoping (a strict subset of the
+    // candidates — each INSERT may land as several task files)
+    val narrow = changes(t, s1)
+    val narrowDiff = GraftTable.lastChangelogDiff.get
+    assert(narrowDiff.affectedFiles >= 1 &&
+      narrowDiff.affectedFiles < narrowDiff.candidateFiles,
+      s"expected targeted scoping, got $narrowDiff")
+
+    // cap 0: the driver materializes NO target keys — sequence-bound
+    // fallback reads every parent data file, rows out must be identical
+    spark.conf.set(GraftTable.ChangelogMaxPosDeleteKeysConf, "0")
+    try {
+      val broad = changes(t, s1)
+      val broadDiff = GraftTable.lastChangelogDiff.get
+      assert(broadDiff.affectedFiles === broadDiff.candidateFiles,
+        "capped fallback must scope every candidate file")
+      assert(broad === narrow, "the broader read must not change the answer")
+      assert(broad === Seq((100L, "x", "delete", 0)))
+    } finally spark.conf.unset(GraftTable.ChangelogMaxPosDeleteKeysConf)
+  }
+
+  test("foreign same-commit position deletes suppress never-visible inserts") {
+    import spark.implicits._
+    // Legal Iceberg our own writers never emit (but register can
+    // adopt): ONE commit adds a data file AND a position-delete file
+    // targeting that same data file. The deleted row was never
+    // visible in any snapshot, so the changelog must not report it as
+    // an insert — a naive raw read of added files would, corrupting
+    // downstream ChangelogApply materializations.
+    spark.sql(s"CREATE TABLE $cat.db.clf (id BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.db.clf VALUES (1,'a')")
+    val t = table("clf")
+    val s1 = t.metadata.currentSnapshotId.get
+    val m = t.metadata
+
+    val dataFiles = GraftTable.writeDataFiles(
+      Seq((10L, "x0"), (11L, "x1"), (12L, "x2")).toDF("id", "v").coalesce(1), m)
+    assert(dataFiles.size === 1)
+    val delRows = Seq((dataFiles.head.path, 0L)).toDF("file_path", "pos")
+      .select(
+        col("file_path").as("file_path",
+          SchemaBridge.fieldIdMetadata(GraftTable.PosDeleteFilePathId)),
+        col("pos").as("pos",
+          SchemaBridge.fieldIdMetadata(GraftTable.PosDeletePosId)))
+    val delDir = s"${m.location}/deletes/${UUID.randomUUID()}"
+    val delFiles = GraftTable
+      .toDataFiles(ParquetBatchWrite.writeJob(delRows, delDir, None))
+      .map(_.copy(content = Manifests.ContentPositionDeletes))
+    t.commitDelta(dataFiles ++ delFiles, "overwrite", Some(s1))
+
+    // the table itself never shows row 10 (MoR scan applies the delete)
+    assert(spark.sql(s"SELECT id FROM $cat.db.clf ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 11L, 12L))
+    // and neither does the changelog: inserts are the VISIBLE adds only
+    assert(changes(t, s1) === Seq(
+      (11L, "x1", "insert", 0),
+      (12L, "x2", "insert", 0)))
   }
 
   test("a non-ancestor start snapshot is refused loudly") {

@@ -114,6 +114,15 @@ class RegisterTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(traverse.statusCode() === 400, traverse.body())
     assert(traverse.body().contains("must be under the warehouse location"))
 
+    // PERCENT-ENCODED traversal: '%2E%2E' segments survive
+    // URI.normalize() (opaque to the string check) but LocalFileIO's
+    // Paths.get(URI.create(...)) percent-DECODES them back to '..' —
+    // the decoded-path containment check must refuse this too
+    val encTraverse = post(s"/catalog/v1/$whId/namespaces/db/register",
+      s"""{"name":"etrv","metadata-location":"$whLoc/%2E%2E/%2E%2E/%2E%2E/%2E%2E/etc/hostname"}""")
+    assert(encTraverse.statusCode() === 400, encTraverse.body())
+    assert(encTraverse.body().contains("must be under the warehouse location"))
+
     // overwrite is explicitly unsupported
     assert(post(s"/catalog/v1/$whId/namespaces/db/register",
       """{"name":"o","metadata-location":"file:///x","overwrite":true}""")

@@ -36,9 +36,13 @@ class StreamingExactDedupSpec extends AnyFunSuite {
     StreamingExactDedup.seed(corpus, items, indexPath, bloomPath)
 
     val input = MemoryStream[(Long, String)]
+    // note: NO sizing parameter — the stream reads the bloom's
+    // expected_items back from the bloom row seed() wrote, so a
+    // restart can never supply a mismatched size (mergeInPlace would
+    // throw IncompatibleMergeException mid-stream)
     val query = StreamingExactDedup.start(
       input.toDF().toDF("new_id", "t"),
-      indexPath, bloomPath, decisionsPath, ckpt, items)
+      indexPath, bloomPath, decisionsPath, ckpt)
     try {
       // batch 1: corpus dup, fresh survivor, in-batch twins
       input.addData(
@@ -83,7 +87,7 @@ class StreamingExactDedupSpec extends AnyFunSuite {
           (102L, "a genuinely new document about stream state"),
           (103L, "twin text appearing twice in one batch"),
           (104L, "twin text appearing twice in one batch")).toDF("new_id", "t"),
-        0L, indexPath, bloomPath, decisionsPath, items)
+        0L, indexPath, bloomPath, decisionsPath)
       val d2 = spark.read.parquet(decisionsPath)
         .where(col("batch_id").cast("long") === 0L).collect()
         .map(r => r.getAs[Long]("new_id") ->
@@ -101,7 +105,7 @@ class StreamingExactDedupSpec extends AnyFunSuite {
       // sketch NPE (the poison-batch case)
       StreamingExactDedup.processBatch(
         Seq((301L, "the catalyst optimizer rewrites logical plans")).toDF("new_id", "t"),
-        5L, indexPath, bloomPath, decisionsPath, items)
+        5L, indexPath, bloomPath, decisionsPath)
       val d3 = spark.read.parquet(decisionsPath)
         .where(col("batch_id").cast("long") === 5L).collect()
       assert(d3.length === 1 && !d3.head.getAs[Boolean]("keep"))
