@@ -33,9 +33,13 @@ object Bench {
       // bounded-buffer imperative aggregates (CappedCollect, TopK) are
       // hash-friendly: the default 128-key sort-based fallback would
       // make every high-cardinality capped-collect sort its input
-      // map-side; buffers are <= cap+1 values so a 1M-key map is
-      // bounded (~128 MB/task worst case) and strictly faster
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+      // map-side. Threshold sized from the ACTUAL cap: buffers are
+      // <= cap+1 values (cap <= 100 at every call site), so 100k keys
+      // x 101 longs x 8 B ~= 80 MB/task worst case — safe headroom;
+      // 1M keys would be ~800 MB/task and can OOM before falling back
+      // (this raised setting applies to EVERY ObjectHashAggregate in
+      // the session, including plain collect_list sites)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "100000")
       .config("spark.ui.enabled", "false")
       // events.ts is parquet TIMESTAMP(NANOS): read as raw long, set
       // once at construction (see Tables.load).
@@ -47,8 +51,8 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val t0 = System.nanoTime()
-      try {
+      val t = try {
+        val t0 = System.nanoTime()
         val df = fn(spark, sfDir)
         if (sys.env.contains("GRAFT_PROF")) {
           df.queryExecution.executedPlan
@@ -61,6 +65,19 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
           -1.0
       }
+      // CACHE HYGIENE, outside the timed window: the eager-construction
+      // families (CC rounds, BPE, IVF seeds, the *_indexed signature
+      // leaves) own cached leaves whose blocks are reclaimed only when
+      // the ContextCleaner notices the dropped frame — GC-driven, so in
+      // an 86-query × 3-rep single JVM the residue accretes and later
+      // reps degrade (r11: 3× median/min spreads on UNTOUCHED queries).
+      // Drop every cached plan AND every persisted RDD deterministically
+      // instead of waiting: cachedLeaf persists a raw RDD that the SQL
+      // cache manager never sees, so clearCache() alone misses it.
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      t
     }
 
     // SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the suite — a dev-loop
@@ -79,9 +96,15 @@ object Bench {
     // per query, so one query's page-cache residue can't flatter its
     // own repeat more than everyone else's).
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
-    val rounds = Seq.fill(reps)(queries.toSeq.map {
-      case (name, fn) => name -> runOnce(name, fn)
-    })
+    val rounds = Seq.fill(reps) {
+      // between full rounds (charged to no query): trigger the
+      // ContextCleaner so shuffle files / broadcast blocks of the
+      // previous round's dereferenced RDDs are actually deleted —
+      // otherwise tmp-dir and heap pressure build monotonically across
+      // reps and the later rounds pay for the earlier ones.
+      System.gc()
+      queries.toSeq.map { case (name, fn) => name -> runOnce(name, fn) }
+    }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2)
@@ -90,17 +113,22 @@ object Bench {
     val results = queries.keys.toSeq.map { name =>
       val times = rounds.map(_.find(_._1 == name).get._2)
       val ok = times.filter(_ >= 0)
-      name -> (if (ok.isEmpty) (-1.0, -1.0) else (median(ok), ok.min))
+      val (med, mn) = if (ok.isEmpty) (-1.0, -1.0) else (median(ok), ok.min)
+      (name, med, mn, times)
     }
 
     def fmt(v: Double): String = (math.rint(v * 1e4) / 1e4).toString
-    val qs = results.map { case (k, (med, _)) => "\"" + k + "\":" + fmt(med) }
+    val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + fmt(med) }
       .mkString("{", ",", "}")
-    val stats = results.map { case (k, (med, mn)) =>
-      "\"" + k + "\":{\"median\":" + fmt(med) + ",\"min\":" + fmt(mn) + "}"
+    // per-rep raw times ride in queries_stats so median/min SPREAD is
+    // visible in the artifact itself — a 3× spread on an untouched
+    // query reads as environment, not regression, without a re-run
+    val stats = results.map { case (k, med, mn, times) =>
+      "\"" + k + "\":{\"median\":" + fmt(med) + ",\"min\":" + fmt(mn) +
+        ",\"reps\":" + times.map(fmt).mkString("[", ",", "]") + "}"
     }.mkString("{", ",", "}")
-    val total = results.map(_._2._1).filter(_ >= 0).sum
-    val nFailed = results.count(_._2._1 < 0)
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val nFailed = results.count(_._2 < 0)
     // delete-prune observability: actual executor delete-set loads this
     // run (0 when no bench query scans a MoR table with live deletes)
     val delLoads = graft.engine.GraftMorScan.deleteCacheLoads

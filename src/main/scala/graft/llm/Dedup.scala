@@ -619,9 +619,19 @@ object Dedup {
     * Scale: clusters come from the capped-LSH + log-rounds CC core;
     * the report itself is one distinct over O(clustered docs), a keyed
     * left join, and a per-source two-phase aggregate. */
-  def qDedupReport(s: SparkSession, dir: String): DataFrame = {
+  def qDedupReport(s: SparkSession, dir: String): DataFrame =
+    reportFromLabels(s, dir, clusterLabels(s, dir))
+
+  /** [[qDedupReport]]'s body over ANY `(id, cluster)` label frame —
+    * the label source is the only difference between the
+    * self-contained query (recomputes the LSH+CC core) and the
+    * indexed twin ([[DedupPipeline.qDedupReportIndexed]], reads the
+    * materialized signature leaf); one body means the report algebra
+    * can never drift between them. */
+  private[llm] def reportFromLabels(
+      s: SparkSession, dir: String, labels: DataFrame): DataFrame = {
     val docs = load(s, dir, "documents").select(col("doc_id"), col("source"))
-    val members = clusterLabels(s, dir)
+    val members = labels
       .selectExpr(
         s"if(id >= $VariantIdOffset, id - $VariantIdOffset, id) as doc_id")
       .distinct()

@@ -105,27 +105,60 @@ object DedupPipeline {
     *
     * Registry contract: still LAZY — the cached leaf plans eagerly but
     * materializes on first job, inside the query's own execution. */
-  def qDedupKeepBestIndexed(s: SparkSession, dir: String): DataFrame = {
+  def qDedupKeepBestIndexed(s: SparkSession, dir: String): DataFrame =
+    keepBestFromClusters(
+      indexedClusterLabels(s, dir),
+      Dedup.keepBestQuality(s, dir))
+
+  /** The `(id, cluster)` label table computed THROUGH the materialized
+    * signature stage: the standard corpus derivation is signatured
+    * ONCE into a cached leaf, and pairs → verification → CC all read
+    * that leaf — the document text is never re-tokenized downstream.
+    * This is the shared indexed core under the three `*_indexed` gated
+    * twins (keep-best, report, leak-free split); a deployment writes
+    * [[signatureRows]] as a real table in place of the leaf
+    * (DedupPipelineSpec runs that written-table chain).
+    *
+    * Cache ownership: the returned frame owns the leaf's blocks; the
+    * ContextCleaner reclaims them once the consumer drops the frame.
+    * Registry contract: still LAZY — the cached leaf plans eagerly but
+    * materializes on first job, inside the query's own execution. */
+  private[llm] def indexedClusterLabels(
+      s: SparkSession, dir: String): DataFrame = {
     val base = load(s, dir, "documents")
       .selectExpr("doc_id as id", "split(lower(text), ' ') as toks")
     val variants = base.filter("id % 7 = 0")
       .selectExpr(s"id + ${Dedup.VariantIdOffset} as id",
         "slice(toks, 1, greatest(size(toks) - 4, 0)) as toks")
-    // cache ownership: the returned frame owns the leaf's blocks; the
-    // ContextCleaner reclaims them once the consumer drops the frame
     val (sig, _) = org.apache.spark.sql.GraftShims.cachedLeaf(
       signatureRows(base.unionAll(variants)))
-    keepBestFromClusters(
-      clustersFromPairs(pairsFromSignatures(sig)),
-      Dedup.keepBestQuality(s, dir))
+    clustersFromPairs(pairsFromSignatures(sig))
   }
+
+  /** Per-source duplication report through the materialized-signature
+    * core — same answer as [[Dedup.qDedupReport]] (one oracle pins
+    * both), but the LSH+CC core reads the signature leaf instead of
+    * re-tokenizing the corpus inside the report (the r11 verdict's
+    * second-slowest query rode that recompute). */
+  def qDedupReportIndexed(s: SparkSession, dir: String): DataFrame =
+    Dedup.reportFromLabels(s, dir, indexedClusterLabels(s, dir))
+
+  /** Leakage-free split through the materialized-signature core — same
+    * split as [[Sampling.qSplitLeakfree]] under the same oracle. */
+  def qSplitLeakfreeIndexed(s: SparkSession, dir: String): DataFrame =
+    Sampling.splitLeakfreeFromLabels(s, dir,
+      indexedClusterLabels(s, dir).selectExpr("id", "cluster"))
 
   // ----------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_dedup_keep_best_indexed" -> (qDedupKeepBestIndexed _))
+    "q_dedup_keep_best_indexed" -> (qDedupKeepBestIndexed _),
+    "q_dedup_report_indexed" -> (qDedupReportIndexed _),
+    "q_split_leakfree_indexed" -> (qSplitLeakfreeIndexed _))
 
-  /** Same survivors as the self-contained twin — one oracle, two
+  /** Same answers as the self-contained twins — one oracle each, two
     * plans; the driver hash-gates both against it. */
   val oracleSql: Map[String, String] = Map(
-    "q_dedup_keep_best_indexed" -> Dedup.qDedupKeepBestSql)
+    "q_dedup_keep_best_indexed" -> Dedup.qDedupKeepBestSql,
+    "q_dedup_report_indexed" -> Dedup.qDedupReportSql,
+    "q_split_leakfree_indexed" -> Sampling.qSplitLeakfreeSql)
 }

@@ -484,13 +484,22 @@ object Sampling {
     * hash — re-running over a grown corpus never moves an untouched
     * singleton (its key is its own id), and only merges clusters
     * forward. Output pins per-split doc/group counts and id bounds. */
-  def qSplitLeakfree(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions.col
+  def qSplitLeakfree(s: SparkSession, dir: String): DataFrame =
+    splitLeakfreeFromLabels(s, dir,
+      Dedup.clusterLabels(s, dir).selectExpr("id", "cluster"))
+
+  /** [[qSplitLeakfree]]'s body over ANY `(id, cluster)` label frame —
+    * shared with the indexed twin
+    * ([[DedupPipeline.qSplitLeakfreeIndexed]]) so the split algebra
+    * (group key, permille gate, per-split aggregate) cannot drift
+    * between the self-contained and materialized-signature plans. */
+  private[llm] def splitLeakfreeFromLabels(
+      s: SparkSession, dir: String,
+      labels: org.apache.spark.sql.DataFrame): DataFrame = {
     val base = load(s, dir, "documents").selectExpr("doc_id as id")
     val variants = base.filter(s"id % 7 = 0")
       .selectExpr(s"id + ${Dedup.VariantIdOffset} as id")
     val corpus = base.unionAll(variants)
-    val labels = Dedup.clusterLabels(s, dir).selectExpr("id", "cluster")
     corpus.join(labels, Seq("id"), "left")
       .selectExpr("id", "coalesce(cluster, id) as skey")
       .selectExpr("id", "skey",

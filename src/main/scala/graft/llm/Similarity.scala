@@ -326,8 +326,25 @@ object Similarity {
     * same K drives [[qSemDedup]]'s cell-bounded quadratic. */
   val IvfCellsConf = "spark.graft.ann.ivf.cells"
   val IvfProbesConf = "spark.graft.ann.ivf.probes"
+  /** K threshold above which the OPERATING build paths ([[ivfIndex]],
+    * [[qSemDedup]]) route through the two-level coarse quantizer: the
+    * flat build is O(rows · K) per pass — quadratic in the corpus once
+    * a deployment grows K ∝ rows — while two-level is O(rows · 2√K)
+    * (the 10× rehearsal's finding, SCALING.md). At the default K=16
+    * the flat path is both cheaper AND exact, so the gated oracles pin
+    * it; a deployment that raises `spark.graft.ann.ivf.cells` past
+    * this threshold gets the scale-safe build automatically instead of
+    * only in the gated `q_ann_ivf_assign2` query. */
+  val IvfTwoLevelMinCellsConf = "spark.graft.ann.ivf.twoLevel.minCells"
   private val IVF_CELLS = 16 // default; the oracle SQL is generated from it
   private val IVF_PROBES = 4
+  private val IVF_TWO_LEVEL_MIN_CELLS = 64
+  private def ivfTwoLevelMinCells(s: SparkSession): Int = {
+    val n = s.conf.get(IvfTwoLevelMinCellsConf,
+      IVF_TWO_LEVEL_MIN_CELLS.toString).toInt
+    require(n > 1, s"$IvfTwoLevelMinCellsConf must exceed 1, got $n")
+    n
+  }
   private def ivfCells(s: SparkSession): Int = {
     val k = s.conf.get(IvfCellsConf, IVF_CELLS.toString).toInt
     require(k > 0, s"$IvfCellsConf must be positive, got $k")
@@ -427,8 +444,20 @@ object Similarity {
   def ivfIndex(s: SparkSession, dir: String): DataFrame = {
     val corpus = load(s, dir, "embeddings").select(col("vec_id"),
       graft.functions.VectorExprs.toDouble(col("embedding")).as("e"))
-    ivfAssign(corpus, ivfCentroids(corpus))
+    assignedIndex(s, corpus)
   }
+
+  /** The OPERATING index build — the conf-gated routing between the
+    * exact flat quantizer and the two-level scale build: below
+    * [[IvfTwoLevelMinCellsConf]] cells the flat path is cheaper and
+    * exact (and what the static oracles pin); at or above it the flat
+    * build's O(rows · K) is the measured quadratic and the two-level
+    * O(rows · 2√K) path takes over. Shared by [[ivfIndex]] and
+    * [[qSemDedup]] so "which build runs at which K" is decided in
+    * exactly one place. */
+  private[llm] def assignedIndex(s: SparkSession, corpus: DataFrame): DataFrame =
+    if (ivfCells(s) >= ivfTwoLevelMinCells(s)) twoLevelIndex(s, corpus)
+    else ivfAssign(corpus, ivfCentroids(corpus))
 
   /** TWO-LEVEL nearest-cell assignment — the build-time scale path the
     * 10× rehearsal forced (SCALING.md): the flat [[ivfAssign]] scores
@@ -507,6 +536,12 @@ object Similarity {
   def ivfIndexTwoLevel(s: SparkSession, dir: String): DataFrame = {
     val corpus = load(s, dir, "embeddings").select(col("vec_id"),
       graft.functions.VectorExprs.toDouble(col("embedding")).as("e"))
+    twoLevelIndex(s, corpus)
+  }
+
+  /** [[ivfIndexTwoLevel]]'s body over a given corpus — also the
+    * high-K branch of [[assignedIndex]]. */
+  private def twoLevelIndex(s: SparkSession, corpus: DataFrame): DataFrame = {
     val k = ivfCells(s)
     val g = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
     // seeds: same deterministic choice as the exact path
@@ -667,7 +702,9 @@ object Similarity {
   def qSemDedup(s: SparkSession, dir: String): DataFrame = {
     val corpus = load(s, dir, "embeddings").select(col("vec_id"),
       graft.functions.VectorExprs.toDouble(col("embedding")).as("e"))
-    val assigned = ivfAssign(corpus, ivfCentroids(corpus))
+    // routed build: exact flat at the default K (what the oracle
+    // pins), two-level past the conf threshold (the scale build)
+    val assigned = assignedIndex(s, corpus)
     val right = assigned.select(col("cell").as("cell_b"),
       col("vec_id").as("vid_b"), col("e").as("e_b"))
     val victims = assigned.join(right,

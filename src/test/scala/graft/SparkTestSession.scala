@@ -14,9 +14,10 @@ object SparkTestSession {
       // bounded-buffer imperative aggregates (CappedCollect, TopK) are
       // hash-friendly: the default 128-key sort-based fallback would
       // make every high-cardinality capped-collect sort its input
-      // map-side; buffers are <= cap+1 values so a 1M-key map is
-      // bounded (~128 MB/task worst case) and strictly faster
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+      // map-side. Sized from the ACTUAL cap (<= 100 at every call
+      // site): 100k keys x 101 longs x 8 B ~= 80 MB/task worst case
+      // (1M keys would be ~800 MB and can OOM before falling back)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "100000")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // the library's SQL surface: functions + extension parser

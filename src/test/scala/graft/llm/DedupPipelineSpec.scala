@@ -96,6 +96,23 @@ class DedupPipelineSpec extends AnyFunSuite {
     assert(indexed.toSeq === twin.toSeq)
   }
 
+  test("indexed report and leak-free split equal their self-contained twins") {
+    val repIdx = DedupPipeline.qDedupReportIndexed(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val repTwin = Dedup.qDedupReport(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(repIdx.nonEmpty && repIdx.exists(_._3 > 0),
+      "report fixture must show real duplication traffic")
+    assert(repIdx.toSeq === repTwin.toSeq)
+
+    val splitIdx = DedupPipeline.qSplitLeakfreeIndexed(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val splitTwin = Sampling.qSplitLeakfree(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(splitIdx.nonEmpty)
+    assert(splitIdx.toSeq === splitTwin.toSeq)
+  }
+
   test("signature rows: null signature for shingle-less docs, hashes kept") {
     import spark.implicits._
     val docs = Seq(

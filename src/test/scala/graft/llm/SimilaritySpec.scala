@@ -131,6 +131,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(occ.max < n / 2, "one two-level cell dominates")
   }
 
+  test("operating build routes to two-level past the cells threshold") {
+    // at the DEFAULT K=16 the operating build is the exact flat
+    // quantizer (what the static oracles pin) …
+    val flat = Similarity.ivfIndex(spark, sf)
+      .selectExpr("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    // … and lowering the threshold TO the current K flips ivfIndex to
+    // the two-level scale build with no other change
+    spark.conf.set(Similarity.IvfTwoLevelMinCellsConf, "16")
+    try {
+      val routed = Similarity.ivfIndex(spark, sf)
+        .selectExpr("vec_id", "cell").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+      val two = Similarity.ivfIndexTwoLevel(spark, sf)
+        .selectExpr("vec_id", "cell").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+      assert(routed === two, "routed build must BE the two-level build")
+      assert(routed !== flat,
+        "fixture too easy: two-level and flat agree everywhere, routing unobservable")
+      // the routed build flows into semdedup's cell layout too
+      val sd = Similarity.qSemDedup(spark, sf)
+        .selectExpr("vec_id", "cell").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+      assert(sd === two, "semdedup must cluster through the routed build")
+    } finally spark.conf.unset(Similarity.IvfTwoLevelMinCellsConf)
+  }
+
   test("IVF cells conf: K scales with the corpus, cell occupancy stays bounded") {
     import spark.implicits._
     // synthetic corpora on a circle: golden-ratio angle sequence
