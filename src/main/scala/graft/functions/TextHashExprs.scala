@@ -193,6 +193,30 @@ private[functions] object TextHashHelper {
     }
     new GenericArrayData(out)
   }
+
+  /** All a<b pairs of a (distinct-id) posting list, sorted internally
+    * — ONE primitive loop per list. Total: n ≤ 1 yields the empty
+    * array (the same contract that makes the SQL form safe under
+    * InferFiltersFromGenerate's eval-before-guard). */
+  def sortedPairs(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val ids = arr.toLongArray()
+    java.util.Arrays.sort(ids)
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    var i = 1
+    while (i < n) {
+      var j = 0
+      while (j < i) {
+        out(k) = InternalRow(ids(j), ids(i))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 private[functions] trait TokArrayInput { self: Expression =>
@@ -360,6 +384,34 @@ final case class ShingleStats(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** a<b pair expansion of a LONG posting list (sorts a private copy,
+  * emits the n(n-1)/2 ordered pairs): the native replacement for the
+  * nested `transform`/`flatten` SQL form — higher-order functions run
+  * INTERPRETED (per-element lambda contexts, per-pair named_struct
+  * eval), measured at ~2× the candidate stage's expansion cost on the
+  * dedup family; this is one primitive loop inside codegen. Input ids
+  * must be distinct (every posting-list producer here is a grouped
+  * key); n ≤ 1 yields the empty array. */
+final case class SortedPairExpand(child: Expression)
+    extends UnaryExpression with TokArrayInput {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("a", LongType, nullable = false),
+    StructField("b", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "sorted_pair_expand"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"sorted_pair_expand expects array<bigint>, got ${other.catalogString}")
+  }
+  override protected def nullSafeEval(a: Any): Any =
+    TextHashHelper.sortedPairs(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"$helperRef.sortedPairs($a)")
+  override protected def withNewChildInternal(c: Expression): SortedPairExpand =
+    copy(child = c)
+}
+
 object TextHashExprs {
   private def c(e: Expression): Column = GraftShims.column(e)
   private def x(col: Column): Expression = GraftShims.expression(col)
@@ -371,4 +423,5 @@ object TextHashExprs {
   def shingleMin(toks: Column): Column = c(ShingleMin(x(toks)))
   def shingleStats(a: Column, b: Column): Column = c(ShingleStats(x(a), x(b)))
   def repetitionStats(toks: Column): Column = c(RepetitionStats(x(toks)))
+  def sortedPairExpand(ids: Column): Column = c(SortedPairExpand(x(ids)))
 }

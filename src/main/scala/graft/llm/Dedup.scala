@@ -228,21 +228,15 @@ object Dedup {
   private[llm] def candidatePairs(docs: DataFrame, maxBucket: Int): DataFrame =
     candidatePairsFromBands(bandsOf(docs), maxBucket)
 
-  /** In-list a<b pair expansion over a SORTED id array column: all
-    * (element j, element i) with j < i, via 1-based indices i drawn
-    * from `slice(sequence(1, n), 2, n - 1)`. The slice makes the
-    * expression TOTAL — empty (no pairs) for n ≤ 1 instead of erroring
-    * — which is load-bearing: `InferFiltersFromGenerate` copies the
-    * downstream Generate's `size(...) > 0` constraint into the same
-    * Filter as the occupancy guard, and codegen's subexpression
-    * elimination then evaluates this expression BEFORE the
-    * `size ≥ 2` conjunct can short-circuit, i.e. on sub-2 arrays the
-    * guard was about to drop. (A `sequence(1, n-1)` form blows up
-    * there: Spark's `sequence(1, 0)` is the DESCENDING [1, 0].) */
-  private[llm] def pairExpansion(ids: String): String =
-    s"""flatten(transform(slice(sequence(1, size($ids)), 2, size($ids) - 1),
-       |  i -> transform(sequence(1, i - 1),
-       |    j -> named_struct('a', element_at($ids, j), 'b', element_at($ids, i)))))""".stripMargin
+  // In-list pair expansion is the native
+  // [[graft.functions.SortedPairExpand]] (one primitive loop inside
+  // codegen). Its predecessor — a nested transform/flatten SQL form —
+  // ran INTERPRETED (Spark higher-order functions are CodegenFallback)
+  // and cost ~2× the expansion's work in lambda contexts and per-pair
+  // named_struct eval. The totality contract it carried (n ≤ 1 →
+  // empty, because InferFiltersFromGenerate evaluates the expansion
+  // before the size-guard conjunct can short-circuit) moved to the
+  // native expression and stays pinned in PairExpansionSpec.
 
   /** [[candidatePairs]] over pre-derived band rows `(id, b, k)` — lets
     * materialized-signature pipelines reuse the exact single-exchange
@@ -251,8 +245,8 @@ object Dedup {
     bands.groupBy("b", "k")
       .agg(graft.functions.CappedCollect.longs(maxBucket)(col("id")).as("raw"))
       .filter(expr(s"size(raw) between 2 and $maxBucket"))
-      .selectExpr("sort_array(raw) as ids")
-      .selectExpr(s"explode(${pairExpansion("ids")}) as p")
+      .select(org.apache.spark.sql.functions.explode(
+        graft.functions.TextHashExprs.sortedPairExpand(col("raw"))).as("p"))
       .selectExpr("p.a as id_a", "p.b as id_b")
       .groupBy("id_a", "id_b")
       .agg(count(expr("*")).as("n_shared_bands"))
@@ -397,8 +391,8 @@ object Dedup {
     val pairs = shingles.groupBy("sh")
       .agg(graft.functions.CappedCollect.longs(DfCap)(col("id")).as("raw"))
       .filter(expr(s"size(raw) between 2 and $DfCap"))
-      .selectExpr("sort_array(raw) as ids")
-      .selectExpr(s"explode(${pairExpansion("ids")}) as p")
+      .select(explode(
+        graft.functions.TextHashExprs.sortedPairExpand(col("raw"))).as("p"))
       .selectExpr("p.a as id_a", "p.b as id_b")
       .groupBy("id_a", "id_b")
       .agg(count(expr("*")).as("n_shared"))

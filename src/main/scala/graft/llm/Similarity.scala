@@ -253,8 +253,8 @@ object Similarity {
       .agg(graft.functions.CappedCollect.longs(NEARDUP_MAX_BUCKET)(col("vec_id")).as("raw"))
       .filter(org.apache.spark.sql.functions.expr(
         s"size(raw) between 2 and $NEARDUP_MAX_BUCKET"))
-      .selectExpr("sort_array(raw) as ids")
-      .selectExpr(s"explode(${Dedup.pairExpansion("ids")}) as p")
+      .select(org.apache.spark.sql.functions.explode(
+        graft.functions.TextHashExprs.sortedPairExpand(col("raw"))).as("p"))
       .selectExpr("p.a as id_a", "p.b as id_b")
       .distinct()
 

@@ -39,7 +39,7 @@ object Tokenizer {
     corpus
       // the ≥2 filter makes the index expression total: Spark's
       // sequence(1, n−1) is the DESCENDING [1, 0] for n = 1 (the
-      // pairExpansion trap), which would index past 1-token docs —
+      // same trap PairExpansionSpec pins), indexing past 1-token docs —
       // and such docs carry no pairs by definition anyway
       .where("size(ta) >= 2")
       .selectExpr(
