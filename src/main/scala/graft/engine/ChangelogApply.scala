@@ -201,23 +201,48 @@ object ChangelogApply {
       spark: org.apache.spark.sql.SparkSession,
       source: GraftTable, sourceName: String,
       target: GraftTable,
-      keys: Seq[String], valueCol: String): Option[Long] = {
+      keys: Seq[String], valueCol: String): Option[Long] =
+    tick(spark, source, sourceName, target)(
+      (prev, changes, _) => applyCountSum(prev, changes, keys, valueCol),
+      base => recomputeCountSum(base, keys, valueCol))
+
+  /** [[runOnce]]'s non-additive twin: one exactly-once maintenance
+    * tick of a per-key (n_rows, min_v, max_v) table. The retraction
+    * recompute reads the source PINNED AT the tick's head snapshot, so
+    * a crash-retry folds from exactly the same base — the same
+    * determinism contract as the changelog range itself. */
+  def runOnceMinMax(
+      spark: org.apache.spark.sql.SparkSession,
+      source: GraftTable, sourceName: String,
+      target: GraftTable,
+      keys: Seq[String], valueCol: String): Option[Long] =
+    tick(spark, source, sourceName, target)(
+      (prev, changes, baseAtHead) =>
+        applyMinMax(prev, changes, baseAtHead, keys, valueCol),
+      base => recomputeMinMax(base, keys, valueCol))
+
+  /** The shared exactly-once tick skeleton: resolve the checkpoint,
+    * fold (or cold-start) against the head PINNED BY SNAPSHOT ID, and
+    * commit content + advanced checkpoint in ONE target snapshot. */
+  private def tick(
+      spark: org.apache.spark.sql.SparkSession,
+      source: GraftTable, sourceName: String, target: GraftTable)(
+      incremental: (DataFrame, DataFrame, DataFrame) => DataFrame,
+      cold: DataFrame => DataFrame): Option[Long] = {
     val srcHead = source.metadata.currentSnapshotId.getOrElse(return None)
     val tgtMeta = target.metadata
     val key = ckptKey(sourceName)
+    val baseAtHead = source.scan(spark, source.AtSnapshot(srcHead))
     tgtMeta.properties.get(key).flatMap(_.toLongOption) match {
       case Some(c) if c == srcHead => None // already current
       case Some(c) =>
-        val changes = source.changelogScan(spark, c, Some(srcHead))
-        val updated = applyCountSum(
-          target.scan(spark), changes, keys, valueCol)
+        val updated = incremental(target.scan(spark),
+          source.changelogScan(spark, c, Some(srcHead)), baseAtHead)
         target.overwriteAll(updated, tgtMeta.currentSnapshotId,
           extraProperties = Map(key -> srcHead.toString))
         Some(srcHead)
       case None =>
-        val full = recomputeCountSum(
-          source.scan(spark, source.AtSnapshot(srcHead)), keys, valueCol)
-        target.overwriteAll(full, tgtMeta.currentSnapshotId,
+        target.overwriteAll(cold(baseAtHead), tgtMeta.currentSnapshotId,
           extraProperties = Map(key -> srcHead.toString))
         Some(srcHead)
     }

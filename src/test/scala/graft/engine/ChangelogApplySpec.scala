@@ -127,6 +127,32 @@ class ChangelogApplySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ChangelogApply.runOnce(spark, src, "src2", tgt, Seq("k"), "v") === None)
   }
 
+  test("runOnceMinMax maintains a min/max TABLE exactly-once across ticks") {
+    spark.sql(s"CREATE TABLE $cat.db.srcm (k STRING, v BIGINT)")
+    spark.sql(s"CREATE TABLE $cat.db.matmm (k STRING, n_rows BIGINT, min_v BIGINT, max_v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.db.srcm VALUES ('a', 5), ('a', 9), ('b', 10)")
+    val src = table("srcm")
+    val tgt = table("matmm")
+    def mm(): Seq[(String, Long, Long, Long)] =
+      spark.sql(s"SELECT k, n_rows, min_v, max_v FROM $cat.db.matmm")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+
+    val c1 = ChangelogApply.runOnceMinMax(spark, src, "srcm", tgt, Seq("k"), "v")
+    assert(c1 === src.metadata.currentSnapshotId)
+    assert(mm() === Seq(("a", 2L, 5L, 9L), ("b", 1L, 10L, 10L)))
+    // idempotent retry
+    assert(ChangelogApply.runOnceMinMax(spark, src, "srcm", tgt, Seq("k"), "v") === None)
+
+    // retraction of a max + pure-insert growth, one tick
+    spark.sql(s"DELETE FROM $cat.db.srcm WHERE k = 'a' AND v = 9")
+    spark.sql(s"INSERT INTO $cat.db.srcm VALUES ('b', 99)")
+    val c2 = ChangelogApply.runOnceMinMax(spark, src, "srcm", tgt, Seq("k"), "v")
+    assert(c2 === src.metadata.currentSnapshotId)
+    assert(mm() === Seq(("a", 1L, 5L, 5L), ("b", 2L, 10L, 99L)))
+    assert(ChangelogApply.runOnceMinMax(spark, src, "srcm", tgt, Seq("k"), "v") === None)
+  }
+
   test("min/max: retraction recomputes touched keys only, equals recompute") {
     spark.sql(s"CREATE TABLE $cat.db.matm (k STRING, v BIGINT)")
     spark.sql(s"INSERT INTO $cat.db.matm VALUES ('a', 5), ('a', 9), ('b', 10), ('n', NULL)")
