@@ -118,7 +118,8 @@ object ScalingRehearsal {
       // threshold at 10× (cells=160) — so its ratio shows the routing
       "dedup_report_indexed" -> time(graft.llm.DedupPipeline.qDedupReportIndexed(spark, dir)),
       "split_leakfree_indexed" -> time(graft.llm.DedupPipeline.qSplitLeakfreeIndexed(spark, dir)),
-      "semdedup_routed" -> time(graft.llm.Similarity.qSemDedup(spark, dir)))
+      "semdedup_routed" -> time(graft.llm.Similarity.qSemDedup(spark, dir)),
+      "pq_adc_topk" -> time(graft.llm.Similarity.qPqTopK(spark, dir)))
     finally spark.conf.unset(graft.llm.Similarity.IvfCellsConf)
   }
 

@@ -26,7 +26,7 @@ object SparkEntry {
     * `q_dedup_keep_best*`, `q_split_leakfree`, `q_dedup_report`) runs
     * its iterative label rounds at construction — the result frame
     * consumes the converged final round;
-    * the IVF family (`q_ann_ivf_*`, `q_semdedup`) and `q_emb_kmeans`
+    * the IVF/PQ family (`q_ann_ivf_*`, `q_ann_pq_*`, `q_semdedup`) and `q_emb_kmeans`
     * run one bounded K-row TakeOrdered collect at construction to
     * pick their deterministic quantizer seeds; and `q_bpe_merges`
     * runs its merge rounds at construction (each round's 1-row rule

@@ -221,6 +221,20 @@ object ChangelogApply {
         applyMinMax(prev, changes, baseAtHead, keys, valueCol),
       base => recomputeMinMax(base, keys, valueCol))
 
+  /** One exactly-once maintenance tick of a per-key exact
+    * distinct-count table — every touched key recomputes from the
+    * snapshot-pinned head (see [[applyCountDistinct]]); untouched keys
+    * carry over verbatim, so the tick stays churn-priced. */
+  def runOnceCountDistinct(
+      spark: org.apache.spark.sql.SparkSession,
+      source: GraftTable, sourceName: String,
+      target: GraftTable,
+      keys: Seq[String], valueCol: String): Option[Long] =
+    tick(spark, source, sourceName, target)(
+      (prev, changes, baseAtHead) =>
+        applyCountDistinct(prev, changes, baseAtHead, keys, valueCol),
+      base => recomputeCountDistinct(base, keys, valueCol))
+
   /** The shared exactly-once tick skeleton: resolve the checkpoint,
     * fold (or cold-start) against the head PINNED BY SNAPSHOT ID, and
     * commit content + advanced checkpoint in ONE target snapshot. */

@@ -884,6 +884,324 @@ object Similarity {
        |ORDER BY vec_id""".stripMargin
   }
 
+  // ------------------------------------------------------------- PQ ANN
+  /** Product quantization (Jégou, Douze, Schmid: "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011): split each DIM-dim
+    * vector into [[PQ_M]] contiguous subvectors of [[PQ_SUB]] dims,
+    * k-means each subspace to [[PQ_KS]] centroids (the per-subspace
+    * CODEBOOK), and store each vector as its M nearest-centroid codes —
+    * log2(KS)·M bits instead of DIM floats. Query-time ADC (asymmetric
+    * distance computation) keeps the query full-precision: its squared
+    * L2 distance to a coded vector is approximated by the sum over
+    * subspaces of d²(query_m, codebook_m[code_m]) — M lookups into a
+    * per-query M × KS table, never a touch of the original floats.
+    *
+    * Scale story (why PQ is the 100 TB memory tier): the coded corpus
+    * is M bytes/vector (32× smaller than 64 float32s here), the
+    * codebook is M × KS × PQ_SUB doubles (a broadcast constant), and a
+    * query's ADC table is M × KS integers — so the scan side of top-k
+    * is a codes-only columnar read joined to a broadcast LUT with a
+    * map-side-combinable integer sum. Combined with IVF (scan only
+    * probed cells' codes) this is the standard IVFADC layout.
+    *
+    * Cross-engine exactness, same recipe as the IVF family: codebook
+    * means go through [[IVF_QUANT]] integer micro-units (order-free);
+    * every d² is the fixed tree normSq(a) + normSq(b) − 2·dot(a,b)
+    * over the deterministic left-fold dot; assignment ties break to
+    * the lowest code; and each ADC TERM is floored onto a 1e-6 grid
+    * BEFORE the cross-subspace sum, so the ranking key is an integer
+    * sum of integers — bit-identical in any summation order. */
+  private val PQ_M = 8
+  private val PQ_SUB = DIM / PQ_M
+  private val PQ_KS = 16
+  private val PQ_TOPK = 10
+
+  /** Squared L2 distance as a fixed expression tree both engines share:
+    * (|a|² + |b|²) − 2·(a·b), each factor its pinned fold. */
+  private def l2sq(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import graft.functions.VectorExprs
+    VectorExprs.normSq(a) + VectorExprs.normSq(b) -
+      lit(2.0d) * VectorExprs.dot(a, b)
+  }
+
+  /** DuckDB twin of [[l2sq]] — same association order. */
+  private def d2D(a: String, b: String): String = {
+    def fold(l: String) = s"list_reduce($l, (acc, p) -> acc + p)"
+    val dot = fold(s"list_transform(range(1, len($a) + 1), i -> ($a)[i]::DOUBLE * ($b)[i]::DOUBLE)")
+    val na = fold(s"list_transform($a, x -> x::DOUBLE * x::DOUBLE)")
+    val nb = fold(s"list_transform($b, x -> x::DOUBLE * x::DOUBLE)")
+    s"($na + $nb - 2 * $dot)"
+  }
+
+  /** (vec_id, e) → (vec_id, m, sub): the M contiguous subvectors, one
+    * codegen'd slice pass + posexplode of a plain materialized column
+    * (the [[lshSignatures]] shape — no join, no shuffle). */
+  private def pqSubvectors(corpus: DataFrame): DataFrame =
+    corpus.selectExpr("vec_id",
+      s"posexplode(transform(sequence(0, ${PQ_M - 1}), " +
+        s"m -> slice(e, m * $PQ_SUB + 1, $PQ_SUB))) as (m, sub)")
+
+  /** Nearest-codebook-entry assignment per (vector, subspace): broadcast
+    * the M × KS codebook, equi-join on the subspace, and collapse with
+    * a map-side-folded `min_by` — shuffle O(M · corpus) compact rows,
+    * never O(corpus · KS). Ties to the lowest code in both engines. */
+  private def pqAssign(subs: DataFrame, codebook: DataFrame): DataFrame =
+    subs.join(broadcast(codebook), "m")
+      .select(col("vec_id"), col("m"), col("sub"), col("code"),
+        l2sq(col("sub"), col("c")).as("d2"))
+      .groupBy("vec_id", "m")
+      .agg(org.apache.spark.sql.functions.expr(
+        "min_by(struct(code, sub), struct(d2, code)) as best"))
+      .selectExpr("vec_id", "m", "best.code as code", "best.sub as sub")
+
+  /** Per-(subspace, code) quantized mean — [[quantizedMeans]] keyed by
+    * the subspace as well (see [[IVF_QUANT]] for why integer
+    * micro-units). */
+  private def pqQuantizedMeans(assigned: DataFrame): DataFrame =
+    assigned
+      .selectExpr("m", "code", "posexplode(sub) as (i, x)")
+      .groupBy("m", "code", "i")
+      .agg(
+        org.apache.spark.sql.functions.expr(s"sum(floor(x * $IVF_QUANT)) as s"),
+        org.apache.spark.sql.functions.expr("count(*) as n"))
+      .groupBy("m", "code")
+      .agg(org.apache.spark.sql.functions.expr(
+        s"transform(array_sort(collect_list(struct(i, s, n))), " +
+          s"p -> cast(p.s as double) / (p.n * cast($IVF_QUANT as double))) as c"))
+
+  /** Train the codebook: deterministic seeds (the KS lowest vec_ids'
+    * subvectors, the [[ivfCentroids]] pattern — KS longs via one
+    * bounded TakeOrdered), ONE Lloyd refinement with quantized means.
+    * All M subspaces train in a single plan (the subspace id is just
+    * another key), so the corpus is sliced and shuffled once, not M
+    * times. */
+  private def pqCodebook(corpus: DataFrame): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val subs = pqSubvectors(corpus)
+    val seedIds = corpus.select(col("vec_id")).orderBy("vec_id")
+      .limit(PQ_KS).collect().map(_.getLong(0))
+    val rankDf = seedIds.zipWithIndex.map { case (id, i) => (id, i) }
+      .toSeq.toDF("vec_id", "code")
+    val seeds = subs.join(broadcast(rankDf), "vec_id")
+      .select(col("m"), col("code"), col("sub").as("c"))
+    pqQuantizedMeans(pqAssign(subs, seeds))
+  }
+
+  /** The coded corpus — each vector's M codebook codes, the content a
+    * deployment materializes as the M-bytes-per-vector index. Gated
+    * row-for-row, so the oracle pins the codebook training (seeds,
+    * Lloyd round, quantized means) AND every assignment. */
+  def qPqCodes(s: SparkSession, dir: String): DataFrame = {
+    val corpus = load(s, dir, "embeddings").select(col("vec_id"),
+      graft.functions.VectorExprs.toDouble(col("embedding")).as("e"))
+    pqAssign(pqSubvectors(corpus), pqCodebook(corpus))
+      .selectExpr("vec_id", "m", "code")
+      .orderBy("vec_id", "m")
+  }
+
+  /** Shared oracle CTE chain: subvectors, seeded + one-round codebook
+    * (`cb(m, code, c)`), coded corpus (`codes(vec_id, m, code)`).
+    * Split as emb + tail so [[qIvfAdcTopKSql]] can graft the tail onto
+    * [[ivfOracleCtes]] (which declares the same `emb`) without a
+    * duplicate-CTE collision. */
+  private def pqOracleCtes: String =
+    s"""emb AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+       |        FROM embeddings),
+       |$pqOracleTail""".stripMargin
+
+  private def pqOracleTail: String = {
+    val d2Seed = d2D("s.sub", "k.c")
+    s"""subs AS (
+       |  SELECT vec_id, CAST(m AS INT) AS m,
+       |         list_slice(e, m * $PQ_SUB + 1, (m + 1) * $PQ_SUB) AS sub
+       |  FROM emb CROSS JOIN (SELECT unnest(range(0, $PQ_M)) AS m) ms),
+       |pq_seedids AS (SELECT vec_id,
+       |                   CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+       |            FROM (SELECT vec_id FROM emb ORDER BY vec_id LIMIT $PQ_KS)),
+       |pq_seeds AS (SELECT s.m, r.code, s.sub AS c
+       |          FROM subs s JOIN pq_seedids r USING (vec_id)),
+       |pq_a0 AS (
+       |  SELECT vec_id, m, sub, code FROM (
+       |    SELECT s.vec_id, s.m, s.sub, k.code,
+       |           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+       |                              ORDER BY $d2Seed ASC, k.code) AS rn
+       |    FROM subs s JOIN pq_seeds k ON s.m = k.m) t WHERE rn = 1),
+       |cb AS (
+       |  SELECT m, code, array_agg(s::DOUBLE / (n * $IVF_QUANT.0) ORDER BY i) AS c
+       |  FROM (SELECT m, code, i,
+       |               SUM(CAST(FLOOR(sub[i] * $IVF_QUANT) AS BIGINT)) AS s,
+       |               COUNT(*) AS n
+       |        FROM pq_a0 CROSS JOIN (SELECT unnest(range(1, $PQ_SUB + 1)) AS i) idx
+       |        GROUP BY m, code, i) q GROUP BY m, code),
+       |codes AS (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT s.vec_id, s.m, k.code,
+       |           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+       |                              ORDER BY $d2Seed ASC, k.code) AS rn
+       |    FROM subs s JOIN cb k ON s.m = k.m) t WHERE rn = 1)""".stripMargin
+  }
+
+  val qPqCodesSql: String =
+    s"""WITH $pqOracleCtes
+       |SELECT vec_id, m, code FROM codes ORDER BY vec_id, m""".stripMargin
+
+  /** ADC top-k: each query (vec_id < 5, full precision) precomputes its
+    * M × KS lookup table of 1e-6-floored integer subspace distances (a
+    * broadcast of |Q| · M · KS rows); the coded corpus joins it on
+    * (m, code) and an integer keyed sum produces the approximate
+    * distance — the corpus-side scan never touches a float vector.
+    * Smallest-distance top-k, ties to the lowest vec_id. */
+  def qPqTopK(s: SparkSession, dir: String): DataFrame = {
+    val corpus = load(s, dir, "embeddings").select(col("vec_id"),
+      graft.functions.VectorExprs.toDouble(col("embedding")).as("e"))
+    val cb = pqCodebook(corpus)
+    val codes = pqAssign(pqSubvectors(corpus), cb)
+      .select(col("vec_id"), col("m"), col("code"))
+    val qsubs = pqSubvectors(corpus.filter("vec_id < 5"))
+      .selectExpr("vec_id as query_id", "m", "sub as qsub")
+    val lut = cb.join(qsubs, "m")
+      .select(col("query_id"), col("m"), col("code"),
+        org.apache.spark.sql.functions.floor(
+          l2sq(col("qsub"), col("c")) * lit(IVF_QUANT.toDouble)).as("t"))
+    codes.join(broadcast(lut), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(org.apache.spark.sql.functions.expr("sum(t) as adc_q"))
+      .select(col("query_id"), col("vec_id"),
+        (-col("adc_q")).cast(DoubleType).as("ord"))
+      .groupBy("query_id")
+      .agg(TopK.topK(PQ_TOPK, knnSchema)(col("ord"), col("vec_id")).as("top"))
+      .selectExpr("query_id", "posexplode(top) as (pos, r)")
+      .selectExpr("query_id", "cast(pos + 1 as int) as rank",
+        "r.tie as vec_id", "cast(-r.ord as bigint) as adc_q")
+      .orderBy("query_id", "rank")
+  }
+
+  val qPqTopKSql: String = {
+    val d2q = d2D("q.qsub", "k.c")
+    s"""WITH $pqOracleCtes,
+       |qsubs AS (SELECT vec_id AS query_id, m, sub AS qsub
+       |          FROM subs WHERE vec_id < 5),
+       |lut AS (SELECT q.query_id, k.m, k.code,
+       |               CAST(FLOOR($d2q * $IVF_QUANT) AS BIGINT) AS t
+       |        FROM cb k JOIN qsubs q ON k.m = q.m),
+       |adc AS (SELECT l.query_id, c.vec_id,
+       |               CAST(SUM(l.t) AS BIGINT) AS adc_q
+       |        FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.code
+       |        WHERE c.vec_id <> l.query_id
+       |        GROUP BY l.query_id, c.vec_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, adc_q,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |                            ORDER BY adc_q, vec_id) AS rank
+       |  FROM adc)
+       |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, adc_q
+       |FROM ranked WHERE rank <= $PQ_TOPK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  // --------------------------------------------------------- IVFADC ANN
+  /** IVFADC (Jégou et al. 2011, §IV): the standard billion-scale ANN
+    * layout — an IVF coarse quantizer prunes the corpus to the P
+    * probed cells, and PQ/ADC ranks ONLY those cells' codes. One
+    * consistent metric end-to-end: cells are probed by smallest
+    * squared L2 to the centroid and candidates ranked by the ADC
+    * approximation of squared L2 (the [[qPqTopK]] integer-grid sum).
+    *
+    * Scale story: the scan side is the coded index — `(cell, vec_id,
+    * code…)`, M bytes a vector, cell-partitioned exactly like
+    * [[ivfIndex]] (a probe plans only P of K cells' files through
+    * partition pruning; IvfIndexLayoutSpec pins that planner path) —
+    * and everything query-sided (centroids, probe list, ADC tables) is
+    * a broadcast constant. The only shuffle is the final compact
+    * (query_id, vec_id) integer sum; nothing query-time ever touches a
+    * full-precision corpus vector. Recall is bounded by the probe (a
+    * true neighbor in an unprobed cell is lost — the published IVF
+    * trade) ON TOP of PQ distortion; the gate pins the composition
+    * exactly rather than hiding either loss. */
+  def qIvfAdcTopK(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    val corpus = load(s, dir, "embeddings").select(col("vec_id"),
+      graft.functions.VectorExprs.toDouble(col("embedding")).as("e"))
+    val cents = ivfCentroids(corpus)
+    val assigned = ivfAssign(corpus, cents).select("vec_id", "cell")
+    val cb = pqCodebook(corpus)
+    val codes = pqAssign(pqSubvectors(corpus), cb)
+      .select(col("vec_id"), col("m"), col("code"))
+
+    val queries = corpus.filter("vec_id < 5")
+      .selectExpr("vec_id as query_id", "e as q_emb")
+    // probe: P cells of smallest centroid distance, ties to lowest cell
+    val probed = queries.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("cell"),
+        l2sq(col("q_emb"), col("c")).as("d2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("d2").asc, col("cell"))))
+      .filter(s"rn <= ${ivfProbes(s)}")
+      .select("query_id", "cell")
+    // per-query ADC tables over the SAME codebook ([[qPqTopK]])
+    val qsubs = pqSubvectors(queries.selectExpr("query_id as vec_id", "q_emb as e"))
+      .selectExpr("vec_id as query_id", "m", "sub as qsub")
+    val lut = cb.join(qsubs, "m")
+      .select(col("query_id"), col("m"), col("code"),
+        org.apache.spark.sql.functions.floor(
+          l2sq(col("qsub"), col("c")) * lit(IVF_QUANT.toDouble)).as("t"))
+
+    codes.join(assigned, "vec_id") // build-time co-location of the index
+      .join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(lut), Seq("query_id", "m", "code"))
+      .groupBy("query_id", "vec_id")
+      .agg(org.apache.spark.sql.functions.expr("sum(t) as adc_q"))
+      .select(col("query_id"), col("vec_id"),
+        (-col("adc_q")).cast(DoubleType).as("ord"))
+      .groupBy("query_id")
+      .agg(TopK.topK(PQ_TOPK, knnSchema)(col("ord"), col("vec_id")).as("top"))
+      .selectExpr("query_id", "posexplode(top) as (pos, r)")
+      .selectExpr("query_id", "cast(pos + 1 as int) as rank",
+        "r.tie as vec_id", "cast(-r.ord as bigint) as adc_q")
+      .orderBy("query_id", "rank")
+  }
+
+  val qIvfAdcTopKSql: String = {
+    val d2Probe = d2D("q.q_emb", "k.c")
+    val d2q = d2D("qu.qsub", "k.c")
+    s"""WITH $ivfOracleCtes,
+       |$pqOracleTail,
+       |q AS (SELECT vec_id AS query_id, e AS q_emb FROM emb WHERE vec_id < 5),
+       |probed AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.query_id, k.cell,
+       |           ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |                              ORDER BY $d2Probe ASC, k.cell) AS rn
+       |    FROM q CROSS JOIN cents k) t WHERE rn <= $IVF_PROBES),
+       |qsubs AS (SELECT vec_id AS query_id, m, sub AS qsub
+       |          FROM subs WHERE vec_id < 5),
+       |lut AS (SELECT qu.query_id, k.m, k.code,
+       |               CAST(FLOOR($d2q * $IVF_QUANT) AS BIGINT) AS t
+       |        FROM cb k JOIN qsubs qu ON k.m = qu.m),
+       |adc AS (SELECT l.query_id, c.vec_id,
+       |               CAST(SUM(l.t) AS BIGINT) AS adc_q
+       |        FROM codes c
+       |        JOIN asg a ON c.vec_id = a.vec_id
+       |        JOIN probed p ON a.cell = p.cell
+       |        JOIN lut l ON c.m = l.m AND c.code = l.code
+       |                  AND l.query_id = p.query_id
+       |        WHERE c.vec_id <> p.query_id
+       |        GROUP BY l.query_id, c.vec_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, adc_q,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |                            ORDER BY adc_q, vec_id) AS rank
+       |  FROM adc)
+       |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, adc_q
+       |FROM ranked WHERE rank <= $PQ_TOPK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   // ----------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_emb_kmeans" -> (qEmbKmeans _),
@@ -895,6 +1213,9 @@ object Similarity {
     "q_ann_ivf_assign" -> (qIvfAssign _),
     "q_semdedup" -> (qSemDedup _),
     "q_ann_ivf_topk" -> (qIvfTopK _),
+    "q_ann_pq_codes" -> (qPqCodes _),
+    "q_ann_pq_topk" -> (qPqTopK _),
+    "q_ann_ivfadc_topk" -> (qIvfAdcTopK _),
     "q_dedup_embedding" -> (qDedupEmbedding _))
 
   val oracleSql: Map[String, String] = Map(
@@ -907,5 +1228,8 @@ object Similarity {
     "q_ann_ivf_assign" -> qIvfAssignSql,
     "q_semdedup" -> qSemDedupSql,
     "q_ann_ivf_topk" -> qIvfTopKSql,
+    "q_ann_pq_codes" -> qPqCodesSql,
+    "q_ann_pq_topk" -> qPqTopKSql,
+    "q_ann_ivfadc_topk" -> qIvfAdcTopKSql,
     "q_dedup_embedding" -> qDedupEmbeddingSql)
 }

