@@ -75,8 +75,12 @@ object Bench {
       // instead of waiting: cachedLeaf persists a raw RDD that the SQL
       // cache manager never sees, so clearCache() alone misses it.
       spark.sharedState.cacheManager.clearCache()
+      // blocking: a non-blocking unpersist lets block residue of rep N
+      // outlive into rep N+1 — measured as monotonic per-rep
+      // degradation (2.5× by rep 5 on a tight two-query loop); the
+      // blocking wait is outside the timed window and costs ms
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
       t
     }
 
@@ -95,7 +99,11 @@ object Bench {
     // Median-of-N measured passes, full-suite rounds (not back-to-back
     // per query, so one query's page-cache residue can't flatter its
     // own repeat more than everyone else's).
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    // 5 reps (was 3): the shared box lands ~one outlier pass per
+    // query; a 5-rep median tolerates two without moving, so the
+    // headline tracks the plan instead of the neighbors (r11's 3×
+    // median/min spreads on untouched queries)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt.max(1)
     val rounds = Seq.fill(reps) {
       // between full rounds (charged to no query): trigger the
       // ContextCleaner so shuffle files / broadcast blocks of the

@@ -139,8 +139,13 @@ final case class CappedCollectLongsAgg(
 
   private val lim = if (cap == Int.MaxValue) Int.MaxValue else cap + 1
 
+  // initial capacity 2, not cap: on Zipfian key streams (shingle df,
+  // LSH buckets) almost every key collects 1-2 values — at millions of
+  // distinct keys per task, an 8-slot initial buffer is ~4× the
+  // allocation traffic for slots that never fill; the doubling growth
+  // path absorbs the hot minority
   override def createAggregationBuffer(): LongsBuffer =
-    new LongsBuffer(new Array[Long](math.min(lim, 8)), 0)
+    new LongsBuffer(new Array[Long](math.min(lim, 2)), 0)
 
   override def update(buf: LongsBuffer, input: InternalRow): LongsBuffer = {
     if (buf.len < lim) {
