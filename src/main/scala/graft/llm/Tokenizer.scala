@@ -161,9 +161,82 @@ object Tokenizer {
        |ORDER BY round""".stripMargin
   }
 
+  /** ENCODE — the other half of the tokenizer artifact: apply the
+    * induced merge rules to the corpus (the step a training pipeline
+    * runs over every document with the shipped rule list). Each rule
+    * application is the same pure per-position rewrite as the
+    * induction loop ([[applyRule]] — sound because a ≠ b keeps matches
+    * non-overlapping, so greedy-leftmost equals merge-all), applied in
+    * rule order. Output pins the FULL encoding per document: post-
+    * encode token count plus a portable md5 over the token array
+    * joined on the 0x1f unit separator (a byte no whitespace-split
+    * token can contain) — one changed token anywhere flips the hash,
+    * so the gate certifies every document's exact encoded form.
+    *
+    * Scale: identical per-round shape to [[qBpeMerges]] (keyed
+    * pair-count shuffle, 1-row TakeOrdered rule, broadcast rewrite);
+    * the final rewrite IS materialized here (it is the product), read
+    * straight into a per-row hash — no extra shuffle after the last
+    * merge. Intermediate rounds ride cached leaves owned by the
+    * returned frame (the [[DedupPipeline.indexedClusterLabels]]
+    * ownership contract). */
+  def qBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val base = load(s, dir, "documents")
+      .selectExpr("doc_id",
+        "filter(split(lower(text), ' '), t -> length(t) > 0) as ta")
+    var (corpus, _) = org.apache.spark.sql.GraftShims.cachedLeaf(base)
+    (1 to Rounds).foreach { r =>
+      val rule = bestRule(pairCounts(corpus)).head()
+      val ruleDf = Seq((rule.getString(0), rule.getString(1))).toDF("a", "b")
+      val next = applyRule(corpus, ruleDf)
+      // cache every round but the last: rounds 1..R-1 feed two
+      // consumers (next rule's pair count + next rewrite); the final
+      // rewrite feeds only the output projection
+      corpus =
+        if (r < Rounds) org.apache.spark.sql.GraftShims.cachedLeaf(next)._1
+        else next
+    }
+    corpus.selectExpr("doc_id", "size(ta) as n_toks",
+      "md5(concat_ws(chr(31), ta)) as tok_hash")
+      .orderBy("doc_id")
+  }
+
+  val qBpeEncodeSql: String = {
+    def round(r: Int): String = {
+      val prev = s"c${r - 1}"
+      s"""pc$r AS (
+         |  SELECT a, b, COUNT(*) AS cnt
+         |  FROM (SELECT ta[i] AS a, ta[i + 1] AS b
+         |        FROM $prev, UNNEST(range(1, len(ta))) AS u(i))
+         |  WHERE a <> b GROUP BY a, b),
+         |b$r AS (SELECT a, b, cnt FROM pc$r ORDER BY cnt DESC, a, b LIMIT 1),
+         |c$r AS (
+         |  SELECT doc_id,
+         |         flatten(list_transform(range(1, len(ta) + 1), i ->
+         |           CASE WHEN i < len(ta) AND ta[i] = b$r.a AND ta[i + 1] = b$r.b
+         |                THEN [ta[i] || ' ' || ta[i + 1]]
+         |                WHEN i > 1 AND ta[i - 1] = b$r.a AND ta[i] = b$r.b
+         |                THEN []
+         |                ELSE [ta[i]] END)) AS ta
+         |  FROM $prev CROSS JOIN b$r)""".stripMargin
+    }
+    s"""WITH c0 AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS ta
+       |  FROM documents),
+       |${(1 to Rounds).map(round).mkString(",\n")}
+       |SELECT doc_id, CAST(len(ta) AS INT) AS n_toks,
+       |       md5(array_to_string(ta, chr(31))) AS tok_hash
+       |FROM c$Rounds ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_bpe_merges" -> (qBpeMerges _))
+    "q_bpe_merges" -> (qBpeMerges _),
+    "q_bpe_encode" -> (qBpeEncode _))
 
   val oracleSql: Map[String, String] = Map(
-    "q_bpe_merges" -> qBpeMergesSql)
+    "q_bpe_merges" -> qBpeMergesSql,
+    "q_bpe_encode" -> qBpeEncodeSql)
 }

@@ -34,4 +34,26 @@ class TokenizerSpec extends AnyFunSuite {
     assert(Tokenizer.qBpeMerges(spark, dir).collect()
       .map(_.toSeq).toSeq === got.map(t => Seq(t._1, t._2, t._3, t._4, t._5)))
   }
+
+  test("encode applies the induced rules; counts and content hashes are exact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe-enc").toString
+    Seq(
+      (1L, "x y x y z", "en", "src0", 9L),
+      (2L, "x y q", "en", "src0", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // rules (previous test): (x,y) → ("x y",q) → ("x y",z), so
+    // doc 1: [x,y,x,y,z] → [x y, x y, z] → (no q) → [x y, x y z]
+    // doc 2: [x,y,q]     → [x y, q]      → [x y q] → (no z match)
+    def md5(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val got = Tokenizer.qBpeEncode(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    assert(got === Seq(
+      (1L, 2, md5(Seq("x y", "x y z").mkString("\u001f"))),
+      (2L, 1, md5("x y q"))))
+  }
 }
