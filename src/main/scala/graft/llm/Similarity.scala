@@ -606,12 +606,15 @@ object Similarity {
   }
 
   /** Shared oracle CTE chain up to refined centroids (`cents(cell, c)`)
-    * and final assignment (`asg(vec_id, e, cell)`). */
-  private def ivfOracleCtes: String = {
+    * and final assignment (`asg(vec_id, e, cell)`). `embWhere` filters
+    * the training corpus ([[qAnnAssignIncremental]] trains the frozen
+    * quantizer on the index subset only). */
+  private def ivfOracleCtes: String = ivfOracleCtesW("TRUE")
+  private def ivfOracleCtesW(embWhere: String): String = {
     val cosSeed = cosD("v.e", "s.c")
     val cosCent = cosD("v.e", "k.c")
     s"""emb AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
-       |        FROM embeddings),
+       |        FROM embeddings WHERE $embWhere),
        |seeds AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
        |                 e AS c
        |          FROM (SELECT vec_id, e FROM emb ORDER BY vec_id LIMIT $IVF_CELLS)),
@@ -952,8 +955,12 @@ object Similarity {
         l2sq(col("sub"), col("c")).as("d2"))
       .groupBy("vec_id", "m")
       .agg(org.apache.spark.sql.functions.expr(
-        "min_by(struct(code, sub), struct(d2, code)) as best"))
-      .selectExpr("vec_id", "m", "best.code as code", "best.sub as sub")
+        // the winner's d2 rides along (floored to the shared 1e-6
+        // integer grid) so distortion reporting needs no re-join
+        s"min_by(struct(code, sub, cast(floor(d2 * $IVF_QUANT) as bigint) as d2q), " +
+          "struct(d2, code)) as best"))
+      .selectExpr("vec_id", "m", "best.code as code", "best.sub as sub",
+        "best.d2q as d2q")
 
   /** Per-(subspace, code) quantized mean — [[quantizedMeans]] keyed by
     * the subspace as well (see [[IVF_QUANT]] for why integer
@@ -1036,8 +1043,9 @@ object Similarity {
        |        FROM pq_a0 CROSS JOIN (SELECT unnest(range(1, $PQ_SUB + 1)) AS i) idx
        |        GROUP BY m, code, i) q GROUP BY m, code),
        |codes AS (
-       |  SELECT vec_id, m, code FROM (
-       |    SELECT s.vec_id, s.m, k.code,
+       |  SELECT vec_id, m, code,
+       |         CAST(FLOOR(d2 * $IVF_QUANT) AS BIGINT) AS d2q FROM (
+       |    SELECT s.vec_id, s.m, k.code, $d2Seed AS d2,
        |           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
        |                              ORDER BY $d2Seed ASC, k.code) AS rn
        |    FROM subs s JOIN cb k ON s.m = k.m) t WHERE rn = 1)""".stripMargin
@@ -1202,6 +1210,88 @@ object Similarity {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Per-codebook-entry quantization distortion — the quality monitor a
+    * deployment watches to decide when the codebook needs retraining
+    * (rising distortion = drifted embedding distribution). One keyed
+    * integer aggregate over the coded corpus: the winner's grid-floored
+    * d² rides out of [[pqAssign]], so the report is sum/count per
+    * (subspace, code) with no re-join against the codebook. */
+  def qPqDistortion(s: SparkSession, dir: String): DataFrame = {
+    val corpus = load(s, dir, "embeddings").select(col("vec_id"),
+      graft.functions.VectorExprs.toDouble(col("embedding")).as("e"))
+    pqAssign(pqSubvectors(corpus), pqCodebook(corpus))
+      .groupBy("m", "code")
+      .agg(
+        org.apache.spark.sql.functions.expr("count(*) as n_vectors"),
+        org.apache.spark.sql.functions.expr("sum(d2q) as sum_d2q"))
+      .selectExpr("m", "code", "n_vectors",
+        s"cast(sum_d2q as double) / (n_vectors * cast($IVF_QUANT as double)) as distortion")
+      .orderBy("m", "code")
+  }
+
+  val qPqDistortionSql: String =
+    s"""WITH $pqOracleCtes
+       |SELECT m, code, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       |       CAST(SUM(d2q) AS DOUBLE) / (COUNT(*) * $IVF_QUANT.0) AS distortion
+       |FROM codes GROUP BY m, code ORDER BY m, code""".stripMargin
+
+  /** Incremental index maintenance — the daily-batch story for the ANN
+    * tier, mirroring [[IncrementalDedup]]: new vectors are assigned
+    * against the FROZEN quantizer (IVF centroids + PQ codebook trained
+    * on the existing index corpus) without retraining anything and
+    * without rescanning the corpus. The batch-side plan is
+    * batch × broadcast(constants) — one pass over the new vectors, a
+    * keyed fold per vector, zero corpus reads; a deployment appends
+    * the result straight into the cell-partitioned coded index
+    * ([[ivfIndex]]'s layout). Quantizer drift is watched separately
+    * via [[qPqDistortion]]. */
+  def qAnnAssignIncremental(s: SparkSession, dir: String): DataFrame = {
+    val all = load(s, dir, "embeddings").select(col("vec_id"),
+      graft.functions.VectorExprs.toDouble(col("embedding")).as("e"))
+    // deterministic derivation: vec_id % 10 = 7 is "today's batch",
+    // the rest is the already-indexed corpus the quantizer froze on
+    val indexCorpus = all.filter("vec_id % 10 != 7")
+    val batch = all.filter("vec_id % 10 = 7")
+    val cents = ivfCentroids(indexCorpus)
+    val cb = pqCodebook(indexCorpus)
+    val cellAsg = ivfAssign(batch, cents).select("vec_id", "cell")
+    // one row per (vector, subspace): the exact coded-index rows a
+    // deployment appends (cell rides every row — it IS the partition
+    // key of the index the batch lands in)
+    val codeAsg = pqAssign(pqSubvectors(batch), cb).select("vec_id", "m", "code")
+    cellAsg.join(codeAsg, "vec_id")
+      .select("vec_id", "cell", "m", "code")
+      .orderBy("vec_id", "m")
+  }
+
+  val qAnnAssignIncrementalSql: String = {
+    val cosCent = cosD("b.e", "k.c")
+    val d2Code = d2D("bs.sub", "k.c")
+    s"""WITH ${ivfOracleCtesW("vec_id % 10 != 7")},
+       |$pqOracleTail,
+       |batch AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+       |          FROM embeddings WHERE vec_id % 10 = 7),
+       |bcell AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT b.vec_id, k.cell,
+       |           ROW_NUMBER() OVER (PARTITION BY b.vec_id
+       |                              ORDER BY $cosCent DESC, k.cell) AS rn
+       |    FROM batch b CROSS JOIN cents k) t WHERE rn = 1),
+       |bsubs AS (
+       |  SELECT vec_id, CAST(m AS INT) AS m,
+       |         list_slice(e, m * $PQ_SUB + 1, (m + 1) * $PQ_SUB) AS sub
+       |  FROM batch CROSS JOIN (SELECT unnest(range(0, $PQ_M)) AS m) ms),
+       |bcode AS (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT bs.vec_id, bs.m, k.code,
+       |           ROW_NUMBER() OVER (PARTITION BY bs.vec_id, bs.m
+       |                              ORDER BY $d2Code ASC, k.code) AS rn
+       |    FROM bsubs bs JOIN cb k ON bs.m = k.m) t WHERE rn = 1)
+       |SELECT c.vec_id, c.cell, d.m, d.code
+       |FROM bcell c JOIN bcode d ON c.vec_id = d.vec_id
+       |ORDER BY c.vec_id, d.m""".stripMargin
+  }
+
   // ----------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_emb_kmeans" -> (qEmbKmeans _),
@@ -1216,6 +1306,8 @@ object Similarity {
     "q_ann_pq_codes" -> (qPqCodes _),
     "q_ann_pq_topk" -> (qPqTopK _),
     "q_ann_ivfadc_topk" -> (qIvfAdcTopK _),
+    "q_ann_pq_distortion" -> (qPqDistortion _),
+    "q_ann_assign_incremental" -> (qAnnAssignIncremental _),
     "q_dedup_embedding" -> (qDedupEmbedding _))
 
   val oracleSql: Map[String, String] = Map(
@@ -1231,5 +1323,7 @@ object Similarity {
     "q_ann_pq_codes" -> qPqCodesSql,
     "q_ann_pq_topk" -> qPqTopKSql,
     "q_ann_ivfadc_topk" -> qIvfAdcTopKSql,
+    "q_ann_pq_distortion" -> qPqDistortionSql,
+    "q_ann_assign_incremental" -> qAnnAssignIncrementalSql,
     "q_dedup_embedding" -> qDedupEmbeddingSql)
 }

@@ -302,4 +302,36 @@ class SimilaritySpec extends AnyFunSuite {
       assert(cells.size <= 4, s"query $q drew neighbors from ${cells.size} > P cells")
     }
   }
+
+  test("PQ distortion: per-entry counts partition the corpus, distortion non-negative") {
+    val rows = Similarity.qPqDistortion(spark, sf).collect()
+    val n = graft.Tables.load(spark, sf, "embeddings").count()
+    // every subspace's entry counts sum to the corpus size
+    rows.groupBy(_.getInt(0)).foreach { case (m, rs) =>
+      assert(rs.map(_.getLong(2)).sum === n, s"subspace $m counts do not partition")
+    }
+    assert(rows.forall(_.getDouble(3) >= 0.0))
+    // a degenerate codebook (all mass on one code) would make ADC
+    // useless — require spread in every subspace
+    rows.groupBy(_.getInt(0)).foreach { case (m, rs) =>
+      assert(rs.length >= 2, s"subspace $m collapsed to ${rs.length} codes")
+    }
+  }
+
+  test("incremental assignment: frozen quantizer, full batch coverage, valid ranges") {
+    val rows = Similarity.qAnnAssignIncremental(spark, sf).collect()
+    val batchIds = graft.Tables.load(spark, sf, "embeddings")
+      .filter("vec_id % 10 = 7").select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getLong(0)).toSet === batchIds, "batch not fully assigned")
+    assert(rows.forall(r => r.getInt(1) >= 0 && r.getInt(1) < 16))
+    assert(rows.forall(r => r.getInt(3) >= 0 && r.getInt(3) < 16))
+    rows.groupBy(_.getLong(0)).foreach { case (v, rs) =>
+      assert(rs.map(_.getInt(2)).sorted.toSeq === (0 to 7), s"vector $v subspaces")
+      assert(rs.map(_.getInt(1)).distinct.length === 1, s"vector $v cell not constant")
+    }
+    // determinism: the frozen quantizer assigns identically on rerun
+    val again = Similarity.qAnnAssignIncremental(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
 }
