@@ -1018,15 +1018,20 @@ object Similarity {
        |        FROM embeddings),
        |$pqOracleTail""".stripMargin
 
-  private def pqOracleTail: String = {
+  private def pqOracleTail: String = pqOracleTailFrom("emb")
+
+  /** The codebook-training + encoding CTE chain over an arbitrary
+    * `(vec_id, e)` source CTE — `emb` for plain PQ, `remb` (residuals)
+    * for [[qIvfAdcResidualTopK]]. */
+  private def pqOracleTailFrom(src: String): String = {
     val d2Seed = d2D("s.sub", "k.c")
     s"""subs AS (
        |  SELECT vec_id, CAST(m AS INT) AS m,
        |         list_slice(e, m * $PQ_SUB + 1, (m + 1) * $PQ_SUB) AS sub
-       |  FROM emb CROSS JOIN (SELECT unnest(range(0, $PQ_M)) AS m) ms),
+       |  FROM $src CROSS JOIN (SELECT unnest(range(0, $PQ_M)) AS m) ms),
        |pq_seedids AS (SELECT vec_id,
        |                   CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS code
-       |            FROM (SELECT vec_id FROM emb ORDER BY vec_id LIMIT $PQ_KS)),
+       |            FROM (SELECT vec_id FROM $src ORDER BY vec_id LIMIT $PQ_KS)),
        |pq_seeds AS (SELECT s.m, r.code, s.sub AS c
        |          FROM subs s JOIN pq_seedids r USING (vec_id)),
        |pq_a0 AS (
@@ -1210,6 +1215,123 @@ object Similarity {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Residual-encoded IVFADC (Jégou et al. 2011, §IV-B — the paper's
+    * actual IVFADC): PQ encodes each vector's RESIDUAL from its cell
+    * centroid, not the raw vector. Residuals concentrate near the
+    * origin, so the same M × KS codebook spends its resolution on a
+    * far smaller support — the standard recall win over raw-vector
+    * coding at identical index bytes. Query time mirrors the paper:
+    * for each probed cell the query's residual against THAT cell's
+    * centroid builds its own ADC table (|Q| · P · M · KS — still a
+    * broadcast constant), and candidates in the cell are ranked by the
+    * residual-ADC sum. Scan side unchanged from [[qIvfAdcTopK]]:
+    * codes + cell only, never a full-precision vector; residual
+    * construction at BUILD time is one broadcast-centroid zip per
+    * vector, folded into the same single corpus pass as assignment.
+    *
+    * Cross-engine exactness: residuals are elementwise differences of
+    * two bit-identical quantities (the vector and the quantized-mean
+    * centroid), so the whole [[pqOracleTailFrom]] chain applies to
+    * `remb` unchanged; every ADC term stays on the 1e-6 integer grid
+    * before summation. */
+  def qIvfAdcResidualTopK(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    val corpus = load(s, dir, "embeddings").select(col("vec_id"),
+      graft.functions.VectorExprs.toDouble(col("embedding")).as("e"))
+    val cents = ivfCentroids(corpus)
+    val asg = ivfAssign(corpus, cents)
+    // residual corpus: e − centroid[cell]; one broadcast join, no
+    // extra corpus shuffle (asg is already keyed however it arrives)
+    val rcorpus = asg.join(broadcast(cents), "cell")
+      .selectExpr("vec_id", "cell", "zip_with(e, c, (x, y) -> x - y) as e")
+    val rve = rcorpus.select("vec_id", "e")
+    val cb = pqCodebook(rve)
+    val codes = pqAssign(pqSubvectors(rve), cb).select("vec_id", "m", "code")
+
+    val queries = corpus.filter("vec_id < 5")
+      .selectExpr("vec_id as query_id", "e as q_emb")
+    val probed = queries.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("cell"),
+        l2sq(col("q_emb"), col("c")).as("d2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("d2").asc, col("cell"))))
+      .filter(s"rn <= ${ivfProbes(s)}")
+      .select("query_id", "cell")
+    // per-(query, probed cell) residual → its own ADC table
+    val rq = probed.join(broadcast(queries), "query_id")
+      .join(broadcast(cents), "cell")
+      .selectExpr("query_id", "cell", "zip_with(q_emb, c, (x, y) -> x - y) as e")
+    val rqsubs = rq.selectExpr("query_id", "cell",
+      s"posexplode(transform(sequence(0, ${PQ_M - 1}), " +
+        s"m -> slice(e, m * $PQ_SUB + 1, $PQ_SUB))) as (m, qsub)")
+    val lut = cb.join(rqsubs, "m")
+      .select(col("query_id"), col("cell"), col("m"), col("code"),
+        org.apache.spark.sql.functions.floor(
+          l2sq(col("qsub"), col("c")) * lit(IVF_QUANT.toDouble)).as("t"))
+
+    codes.join(asg.select("vec_id", "cell"), "vec_id")
+      .join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(lut), Seq("query_id", "cell", "m", "code"))
+      .groupBy("query_id", "vec_id")
+      .agg(org.apache.spark.sql.functions.expr("sum(t) as adc_q"))
+      .select(col("query_id"), col("vec_id"),
+        (-col("adc_q")).cast(DoubleType).as("ord"))
+      .groupBy("query_id")
+      .agg(TopK.topK(PQ_TOPK, knnSchema)(col("ord"), col("vec_id")).as("top"))
+      .selectExpr("query_id", "posexplode(top) as (pos, r)")
+      .selectExpr("query_id", "cast(pos + 1 as int) as rank",
+        "r.tie as vec_id", "cast(-r.ord as bigint) as adc_q")
+      .orderBy("query_id", "rank")
+  }
+
+  val qIvfAdcResidualTopKSql: String = {
+    val d2Probe = d2D("q.q_emb", "k.c")
+    val d2q = d2D("r.qsub", "k.c")
+    s"""WITH $ivfOracleCtes,
+       |remb AS (
+       |  SELECT a.vec_id,
+       |         list_transform(range(1, $DIM + 1), i -> a.e[i] - k.c[i]) AS e
+       |  FROM asg a JOIN cents k ON a.cell = k.cell),
+       |${pqOracleTailFrom("remb")},
+       |q AS (SELECT vec_id AS query_id, e AS q_emb FROM emb WHERE vec_id < 5),
+       |probed AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.query_id, k.cell,
+       |           ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |                              ORDER BY $d2Probe ASC, k.cell) AS rn
+       |    FROM q CROSS JOIN cents k) t WHERE rn <= $IVF_PROBES),
+       |rq AS (
+       |  SELECT p.query_id, p.cell,
+       |         list_transform(range(1, $DIM + 1), i -> q.q_emb[i] - k.c[i]) AS e
+       |  FROM probed p JOIN q USING (query_id) JOIN cents k ON p.cell = k.cell),
+       |rqsubs AS (
+       |  SELECT query_id, cell, CAST(m AS INT) AS m,
+       |         list_slice(e, m * $PQ_SUB + 1, (m + 1) * $PQ_SUB) AS qsub
+       |  FROM rq CROSS JOIN (SELECT unnest(range(0, $PQ_M)) AS m) ms),
+       |lut AS (SELECT r.query_id, r.cell, k.m, k.code,
+       |               CAST(FLOOR($d2q * $IVF_QUANT) AS BIGINT) AS t
+       |        FROM cb k JOIN rqsubs r ON k.m = r.m),
+       |adc AS (SELECT l.query_id, c.vec_id,
+       |               CAST(SUM(l.t) AS BIGINT) AS adc_q
+       |        FROM codes c
+       |        JOIN asg a ON c.vec_id = a.vec_id
+       |        JOIN probed p ON a.cell = p.cell
+       |        JOIN lut l ON c.m = l.m AND c.code = l.code
+       |                  AND l.query_id = p.query_id AND l.cell = a.cell
+       |        WHERE c.vec_id <> p.query_id
+       |        GROUP BY l.query_id, c.vec_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, adc_q,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |                            ORDER BY adc_q, vec_id) AS rank
+       |  FROM adc)
+       |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, adc_q
+       |FROM ranked WHERE rank <= $PQ_TOPK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Per-codebook-entry quantization distortion — the quality monitor a
     * deployment watches to decide when the codebook needs retraining
     * (rising distortion = drifted embedding distribution). One keyed
@@ -1306,6 +1428,7 @@ object Similarity {
     "q_ann_pq_codes" -> (qPqCodes _),
     "q_ann_pq_topk" -> (qPqTopK _),
     "q_ann_ivfadc_topk" -> (qIvfAdcTopK _),
+    "q_ann_ivfadc_residual_topk" -> (qIvfAdcResidualTopK _),
     "q_ann_pq_distortion" -> (qPqDistortion _),
     "q_ann_assign_incremental" -> (qAnnAssignIncremental _),
     "q_dedup_embedding" -> (qDedupEmbedding _))
@@ -1323,6 +1446,7 @@ object Similarity {
     "q_ann_pq_codes" -> qPqCodesSql,
     "q_ann_pq_topk" -> qPqTopKSql,
     "q_ann_ivfadc_topk" -> qIvfAdcTopKSql,
+    "q_ann_ivfadc_residual_topk" -> qIvfAdcResidualTopKSql,
     "q_ann_pq_distortion" -> qPqDistortionSql,
     "q_ann_assign_incremental" -> qAnnAssignIncrementalSql,
     "q_dedup_embedding" -> qDedupEmbeddingSql)
