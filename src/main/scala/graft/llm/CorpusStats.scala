@@ -344,7 +344,16 @@ object CorpusStats {
     * cutoff's count. The bi⋈ctx join underneath is on DISTINCT
     * bigrams (vocabulary-scale, fan-out = distinct successors per
     * context), never occurrence-scale. */
-  def qLmBigramSurprisal(s: SparkSession, dir: String): DataFrame = {
+  def qLmBigramSurprisal(s: SparkSession, dir: String): DataFrame =
+    docSurprisalRaw(s, dir)
+      .selectExpr("doc_id", "n_bigrams",
+        "cast(sb as double) / n_bigrams as surprisal")
+      .orderBy(col("doc_id"))
+
+  /** Per-doc integer surprisal totals `(doc_id, n_bigrams, sb)` — the
+    * derivation [[qLmBigramSurprisal]] and [[qLmPplBand]] share (one
+    * final IEEE division each; everything before it integer-exact). */
+  private def docSurprisalRaw(s: SparkSession, dir: String): DataFrame = {
     val bg = load(s, dir, "documents")
       .selectExpr("doc_id", "filter(split(text, ' '), t -> length(t) > 0) as ta")
       .where("size(ta) >= 2")
@@ -371,10 +380,55 @@ object CorpusStats {
       .unionByName(tailRows.select(col("doc_id"), col("sbits")))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("sbits")).as("sb"))
-      .selectExpr("doc_id", "n_bigrams",
-        "cast(sb as double) / n_bigrams as surprisal")
+  }
+
+  /** CCNet-style perplexity banding: bucket each SOURCE's documents
+    * into head / middle / tail terciles of the corpus-LM surprisal
+    * (band 1 = most predictable — the "head" CCNet keeps; band 3 =
+    * least). Banding is PER SOURCE on purpose: a global cut would
+    * simply rank whole domains against each other (code always "odd",
+    * news always "fluent") instead of ranking documents within their
+    * own register — the published CCNet design.
+    *
+    * Scale: the ntile window partitions by source, so the only
+    * ordered structure is each source's own doc list — a keyed sort,
+    * never a global one (PlanAuditSpec's machine line). A deployment
+    * with one source holding a corpus-scale majority would pre-split
+    * that source by hash into subshards first (same skew answer as
+    * the hot-token split above). */
+  def qLmPplBand(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sc = docSurprisalRaw(s, dir)
+      .selectExpr("doc_id", "cast(sb as double) / n_bigrams as surprisal")
+    val src = load(s, dir, "documents").select(col("doc_id"), col("source"))
+    sc.join(src, "doc_id")
+      .withColumn("band", org.apache.spark.sql.functions.ntile(3).over(
+        Window.partitionBy("source").orderBy(col("surprisal"), col("doc_id"))))
+      .selectExpr("doc_id", "source", "surprisal", "cast(band as int) as band")
       .orderBy(col("doc_id"))
   }
+
+  val qLmPplBandSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS ta
+      |  FROM documents),
+      |d2 AS (SELECT doc_id, ta FROM d WHERE len(ta) >= 2),
+      |bg AS (SELECT doc_id, ta[i - 1] AS w1, ta[i] AS w2
+      |       FROM d2, UNNEST(range(2, len(ta) + 1)) AS u(i)),
+      |bi AS (SELECT w1, w2, COUNT(*) AS bcnt FROM bg GROUP BY w1, w2),
+      |ctx AS (SELECT w1, COUNT(*) AS ccnt FROM bg GROUP BY w1),
+      |sc AS (SELECT b.w1, b.w2,
+      |              length(printf('%b', c.ccnt)) - length(printf('%b', b.bcnt)) AS sbits
+      |       FROM bi b JOIN ctx c USING (w1)),
+      |ds AS (SELECT g.doc_id,
+      |              CAST(SUM(s.sbits) AS DOUBLE) / COUNT(*) AS surprisal
+      |       FROM bg g JOIN sc s ON g.w1 = s.w1 AND g.w2 = s.w2
+      |       GROUP BY g.doc_id)
+      |SELECT ds.doc_id, doc.source, ds.surprisal,
+      |       CAST(NTILE(3) OVER (PARTITION BY doc.source
+      |                           ORDER BY ds.surprisal, ds.doc_id) AS INT) AS band
+      |FROM ds JOIN documents doc ON ds.doc_id = doc.doc_id
+      |ORDER BY ds.doc_id""".stripMargin
 
   val qLmBigramSurprisalSql: String =
     """WITH d AS (
@@ -401,7 +455,8 @@ object CorpusStats {
     "q_source_overlap_minhash" -> (qSourceOverlapMinhash _),
     "q_emb_centroids" -> (qEmbCentroids _),
     "q_token_rarity" -> (qTokenRarity _),
-    "q_lm_bigram_surprisal" -> (qLmBigramSurprisal _))
+    "q_lm_bigram_surprisal" -> (qLmBigramSurprisal _),
+    "q_lm_ppl_band" -> (qLmPplBand _))
 
   val oracleSql: Map[String, String] = Map(
     "q_vocab_topk" -> qVocabTopkSql,
@@ -410,5 +465,6 @@ object CorpusStats {
     "q_source_overlap_minhash" -> qSourceOverlapMinhashSql,
     "q_emb_centroids" -> qEmbCentroidsSql,
     "q_token_rarity" -> qTokenRaritySql,
-    "q_lm_bigram_surprisal" -> qLmBigramSurprisalSql)
+    "q_lm_bigram_surprisal" -> qLmBigramSurprisalSql,
+    "q_lm_ppl_band" -> qLmPplBandSql)
 }

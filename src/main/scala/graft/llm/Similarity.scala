@@ -1414,9 +1414,221 @@ object Similarity {
        |ORDER BY c.vec_id, d.m""".stripMargin
   }
 
+  // -------------------------------------------------------- recall eval
+  /** Shared top-3-ids collapse: (query_id, vec_id, cosine) pairs → the
+    * 3 best ids per query via the bounded [[TopK]] aggregate (ties to
+    * the lowest vec_id — the same rule every ranked query here pins). */
+  private def top3Ids(pairs: DataFrame): DataFrame =
+    pairs.groupBy("query_id")
+      .agg(TopK.topK(3, knnSchema)(col("cosine"), col("vec_id")).as("top"))
+      .selectExpr("query_id", "explode(top) as r")
+      .selectExpr("query_id", "r.tie as vec_id")
+
+  /** Recall@3 of the multi-table LSH index against the exact
+    * brute-force ground truth — the quality metric every ANN
+    * deployment monitors continuously (index drift, parameter tuning,
+    * rebuild triggers). Per query: |LSH top-3 ∩ exact top-3| / 3.
+    *
+    * Scale: the ground-truth side is the brute-force scan — affordable
+    * exactly because the QUERY side is a small monitored sample (five
+    * probes here; a deployment samples a few hundred), broadcast, so
+    * the corpus is scanned once with a bounded TopK fold. The ANN side
+    * reuses the production candidate path. Both collapse to O(queries)
+    * rows before the final join, which is driver-dust either way. */
+  def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorExprs
+    val emb = load(s, dir, "embeddings")
+    val queries = emb.filter("vec_id < 5")
+      .selectExpr("vec_id as query_id", "embedding as q_emb")
+    val truth = top3Ids(
+      emb.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          VectorExprs.cosine(col("q_emb"), col("embedding")).as("cosine")))
+    // ANN side: the qAnnLshTopK candidate path, verbatim
+    val sig = lshSignatures(emb)
+    val qsig = sig.filter("vec_id < 5")
+      .selectExpr("vec_id as query_id", "t", "bucket")
+    val candidates = sig.join(broadcast(qsig), Seq("t", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id")
+      .distinct()
+    val ann = top3Ids(
+      candidates.join(emb, "vec_id")
+        .join(broadcast(queries), "query_id")
+        .select(col("query_id"), col("vec_id"),
+          VectorExprs.cosine(col("q_emb"), col("embedding")).as("cosine")))
+    truth.join(ann.withColumn("hit", lit(1)), Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(org.apache.spark.sql.functions.expr(
+        "cast(sum(coalesce(hit, 0)) as bigint) as n_hits"))
+      .selectExpr("query_id", "n_hits",
+        "cast(n_hits as double) / 3.0d as recall")
+      .orderBy("query_id")
+  }
+
+  val qAnnRecallSql: String = {
+    val wArr = wLitDuck(ANN_TABLES * ANN_BITS)
+    val cosT = cosD("q.q_emb", "e.embedding")
+    s"""WITH w AS (SELECT $wArr AS wm),
+       |q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+       |truth AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT q.query_id, e.vec_id,
+       |           ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |                              ORDER BY $cosT DESC, e.vec_id) AS rank
+       |    FROM embeddings e CROSS JOIN q
+       |    WHERE e.vec_id <> q.query_id) t WHERE rank <= 3),
+       |sig AS (
+       |  SELECT vec_id, t, ${sigD("w.wm", s"t * $ANN_BITS", ANN_BITS)} AS bucket
+       |  FROM embeddings CROSS JOIN w
+       |       CROSS JOIN (SELECT unnest(range(0, $ANN_TABLES)) AS t) ts),
+       |cand AS (
+       |  SELECT DISTINCT qq.vec_id AS query_id, e.vec_id
+       |  FROM sig e JOIN (SELECT * FROM sig WHERE vec_id < 5) qq
+       |    ON e.t = qq.t AND e.bucket = qq.bucket
+       |  WHERE e.vec_id <> qq.vec_id),
+       |ann AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT c.query_id, c.vec_id,
+       |           ROW_NUMBER() OVER (PARTITION BY c.query_id
+       |                              ORDER BY $cosT DESC, c.vec_id) AS rank
+       |    FROM cand c
+       |    JOIN embeddings e ON c.vec_id = e.vec_id
+       |    JOIN q ON c.query_id = q.query_id) t WHERE rank <= 3)
+       |SELECT t.query_id,
+       |       CAST(SUM(CASE WHEN a.vec_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_hits,
+       |       CAST(SUM(CASE WHEN a.vec_id IS NULL THEN 0 ELSE 1 END) AS DOUBLE) / 3.0 AS recall
+       |FROM truth t LEFT JOIN ann a ON t.query_id = a.query_id AND t.vec_id = a.vec_id
+       |GROUP BY t.query_id
+       |ORDER BY t.query_id""".stripMargin
+  }
+
+  // ------------------------------------------------- hard-negative mining
+  /** Near-duplicate ceiling for negative mining: a candidate at/above
+    * this cosine is (almost surely) the same content — a FALSE negative
+    * that would actively poison a contrastive objective. */
+  private val HARDNEG_DUP_COS = 0.98
+
+  /** Hard-negative mining for contrastive training: for each anchor
+    * (vec_id < 5), the 5 MOST similar corpus vectors that are NOT
+    * legitimate positives — excluding the anchor itself, anything with
+    * the anchor's label (in-class ⇒ positive, not negative), and
+    * anything at near-duplicate cosine (≥ [[HARDNEG_DUP_COS]] — same
+    * content under a different id, the classic false-negative trap).
+    * What survives is exactly the "hardest" tier every contrastive /
+    * embedding-finetune recipe (DPR, Contriever, SimCSE hard-neg
+    * variants) mines for.
+    *
+    * Scale: identical shape to [[qKnnBruteForce]] — the anchor set is
+    * a small broadcast batch, the corpus scans once with the filters
+    * FUSED into the scan (no candidate materialization), and the per-
+    * anchor result is a bounded [[TopK]] fold. At deployment scale the
+    * candidate pass swaps to the IVF/LSH index ([[qIvfTopK]]'s probe
+    * path) with the same exclusions — mining cost per anchor drops to
+    * probed-cells; the exclusion predicates are index-independent. */
+  def qHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorExprs
+    val emb = load(s, dir, "embeddings")
+    val anchors = emb.filter("vec_id < 5")
+      .selectExpr("vec_id as query_id", "embedding as q_emb", "label as q_label")
+    emb.crossJoin(broadcast(anchors))
+      .filter(col("vec_id") =!= col("query_id"))
+      .filter(col("label") =!= col("q_label"))
+      .select(col("query_id"), col("vec_id"),
+        VectorExprs.cosine(col("q_emb"), col("embedding")).as("cosine"))
+      .filter(col("cosine") < HARDNEG_DUP_COS)
+      .groupBy("query_id")
+      .agg(TopK.topK(5, knnSchema)(col("cosine"), col("vec_id")).as("top"))
+      .selectExpr("query_id", "posexplode(top) as (pos, r)")
+      .selectExpr("query_id", "cast(pos + 1 as int) as rank",
+        "r.tie as vec_id", "r.ord as cosine")
+      .orderBy("query_id", "rank")
+  }
+
+  val qHardNegativesSql: String = {
+    val cos = cosD("q.q_emb", "e.embedding")
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb, label AS q_label
+       |           FROM embeddings WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id, $cos AS cosine
+       |  FROM embeddings e CROSS JOIN q
+       |  WHERE e.vec_id <> q.query_id AND e.label <> q.q_label),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cosine,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |                            ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM scored WHERE cosine < $HARDNEG_DUP_COS)
+       |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cosine
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  // ------------------------------------------------------ outlier mining
+  /** Outlier margin in [[IVF_QUANT]] micro-units: a vector is an
+    * outlier when its cosine to its assigned centroid sits ≥ 0.05
+    * below its cell's mean — integer cross-multiplied so both engines
+    * decide with exact arithmetic (no mean division ever happens). */
+  private val OUTLIER_MARGIN_Q = 50000L
+
+  /** Embedding-space outlier mining over the IVF clustering: score
+    * every vector by cosine to its assigned cell centroid, compare to
+    * the CELL's mean — vectors far below their own cluster's
+    * cohesion are the mislabeled / off-distribution / garbage-encode
+    * candidates a curation pipeline routes to review or drops (the
+    * cluster-based outlier pruning step in data-pruning literature,
+    * e.g. SemDeDup's sibling "prototypicality" filters).
+    *
+    * Exactness: the per-cell mean never materializes as a float —
+    * membership is decided on integers, n·cos_q < Σcos_q − n·margin_q
+    * (sums of 1e-6-floored cosines, order-free). Scale: one broadcast
+    * re-join of the K×DIM centroids, one O(K)-row aggregate, one
+    * broadcast of the K-row stats — the corpus is scanned once and
+    * shuffled only by the assignment's own O(corpus) fold. */
+  def qEmbOutliers(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorExprs
+    val corpus = load(s, dir, "embeddings").select(col("vec_id"),
+      VectorExprs.toDouble(col("embedding")).as("e"))
+    val cents = ivfCentroids(corpus)
+    val scored = ivfAssign(corpus, cents)
+      .join(broadcast(cents), "cell")
+      .select(col("vec_id"), col("cell"),
+        VectorExprs.cosine(col("e"), col("c")).as("cos"))
+      .selectExpr("vec_id", "cell",
+        s"cast(floor(cos * $IVF_QUANT.0d) as bigint) as cos_q")
+    val cellStats = scored.groupBy("cell")
+      .agg(
+        org.apache.spark.sql.functions.expr("sum(cos_q) as sum_q"),
+        org.apache.spark.sql.functions.expr("count(*) as n"))
+    scored.join(broadcast(cellStats), "cell")
+      .selectExpr("vec_id", "cell", "cos_q",
+        s"cast(n * cos_q < sum_q - n * ${OUTLIER_MARGIN_Q}L as int) as outlier")
+      .orderBy("vec_id")
+  }
+
+  val qEmbOutliersSql: String = {
+    val cosCent = cosD("a.e", "k.c")
+    s"""WITH $ivfOracleCtes,
+       |scored AS (
+       |  SELECT a.vec_id, a.cell,
+       |         CAST(FLOOR($cosCent * $IVF_QUANT.0) AS BIGINT) AS cos_q
+       |  FROM asg a JOIN cents k ON a.cell = k.cell),
+       |stats AS (
+       |  SELECT cell, CAST(SUM(cos_q) AS BIGINT) AS sum_q, COUNT(*) AS n
+       |  FROM scored GROUP BY cell)
+       |SELECT s.vec_id, s.cell, s.cos_q,
+       |       CAST(CASE WHEN t.n * s.cos_q < t.sum_q - t.n * $OUTLIER_MARGIN_Q
+       |            THEN 1 ELSE 0 END AS INT) AS outlier
+       |FROM scored s JOIN stats t ON s.cell = t.cell
+       |ORDER BY s.vec_id""".stripMargin
+  }
+
   // ----------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_emb_kmeans" -> (qEmbKmeans _),
+    "q_ann_recall" -> (qAnnRecall _),
+    "q_emb_outliers" -> (qEmbOutliers _),
+    "q_hard_negatives" -> (qHardNegatives _),
     "q_ann_ivf_assign2" -> (qIvfAssign2Level _),
     "q_knn_bruteforce" -> (qKnnBruteForce _),
     "q_ann_lsh_buckets" -> (qAnnLshBuckets _),
@@ -1435,6 +1647,9 @@ object Similarity {
 
   val oracleSql: Map[String, String] = Map(
     "q_emb_kmeans" -> qEmbKmeansSql,
+    "q_ann_recall" -> qAnnRecallSql,
+    "q_emb_outliers" -> qEmbOutliersSql,
+    "q_hard_negatives" -> qHardNegativesSql,
     "q_ann_ivf_assign2" -> qIvfAssign2LevelSql,
     "q_knn_bruteforce" -> qKnnBruteForceSql,
     "q_ann_lsh_buckets" -> qAnnLshBucketsSql,

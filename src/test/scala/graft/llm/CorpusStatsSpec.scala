@@ -157,4 +157,27 @@ class CorpusStatsSpec extends AnyFunSuite {
         s"doc ${r.getLong(0)} rarity $rarity out of [0, $maxBucket]")
     }
   }
+
+  test("ppl bands: per-source terciles, balanced, ordered by surprisal") {
+    val rows = CorpusStats.qLmPplBand(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._4 >= 1 && r._4 <= 3))
+    // exactly the scoreable docs (>= 2 tokens) are banded
+    val scored = CorpusStats.qLmBigramSurprisal(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(rows.map(_._1).toSet === scored.keySet)
+    // surprisal column carries the same per-doc score
+    rows.foreach { case (id, _, s, _) => assert(s === scored(id), s"doc $id") }
+    rows.groupBy(_._2).foreach { case (src, rs) =>
+      // balanced: tercile sizes differ by at most 1 within a source
+      val sizes = rs.groupBy(_._4).view.mapValues(_.length).values
+      assert(sizes.max - sizes.min <= 1, s"source $src bands unbalanced")
+      // monotone: walking a source by (surprisal, doc_id), the band
+      // never decreases — the banding IS the order statistic
+      val walked = rs.sortBy(r => (r._3, r._1)).map(_._4)
+      assert(walked.zip(walked.drop(1)).forall { case (a, b) => a <= b },
+        s"source $src bands out of order")
+    }
+  }
 }

@@ -357,4 +357,85 @@ class SimilaritySpec extends AnyFunSuite {
     val again = Similarity.qAnnAssignIncremental(spark, sf).collect()
     assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
+
+  test("recall eval agrees with the set-computed recall of its two sources") {
+    val rows = Similarity.qAnnRecall(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L, 3L, 4L))
+    rows.foreach { r =>
+      val hits = r.getLong(1)
+      assert(hits >= 0 && hits <= 3, s"n_hits $hits out of range")
+      assert(r.getDouble(2) === hits.toDouble / 3.0)
+    }
+    // cross-check against the independent per-query set intersection of
+    // the two production queries the metric claims to compare
+    val exact = Similarity.qKnnBruteForce(spark, sf).collect()
+      .filter(_.getInt(1) <= 3)
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val ann = Similarity.qAnnLshTopK(spark, sf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    rows.foreach { r =>
+      val q = r.getLong(0)
+      val want = (exact(q) & ann.getOrElse(q, Set.empty)).size.toLong
+      assert(r.getLong(1) === want, s"query $q n_hits")
+    }
+  }
+
+  test("hard negatives: exclusions hold, results are the best eligible") {
+    val rows = Similarity.qHardNegatives(spark, sf).collect()
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+      .selectExpr("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      // ranks contiguous from 1; all negatives distinct
+      assert(rs.map(_.getInt(1)).sorted.toSeq === (1 to rs.length))
+      assert(rs.map(_.getLong(2)).distinct.length === rs.length)
+      rs.foreach { r =>
+        val v = r.getLong(2)
+        assert(v !== q, s"anchor $q returned itself")
+        assert(emb(v) !== emb(q), s"anchor $q returned an in-class positive $v")
+        assert(r.getDouble(3) < 0.98, s"anchor $q returned a near-duplicate $v")
+      }
+      // hardest-first: cosines non-increasing down the rank order
+      val cs = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(cs.zip(cs.drop(1)).forall { case (a, b) => a >= b })
+    }
+    // cross-check one anchor against an exhaustively recomputed
+    // eligible ranking (the spec-side mirror of the oracle)
+    val q0 = rows.map(_.getLong(0)).min
+    val got = rows.filter(_.getLong(0) == q0).sortBy(_.getInt(1))
+      .map(_.getLong(2)).toSeq
+    val all = Similarity.qKnnBruteForce(spark, sf).collect()
+      .filter(_.getLong(0) == q0)
+    // brute force is top-10 unfiltered; the hard-negative list must be a
+    // subsequence of it once positives/near-dups are dropped (when 5
+    // eligible exist inside the top-10 window)
+    val eligible = all.sortBy(_.getInt(1))
+      .filter(r => emb(r.getLong(2)) != emb(q0) && r.getDouble(3) < 0.98)
+      .map(_.getLong(2)).toSeq
+    if (eligible.length >= 5) assert(got === eligible.take(5))
+    else assert(got.take(eligible.length) === eligible)
+  }
+
+  test("outliers: total partition, verdicts re-derivable from cell stats") {
+    val rows = Similarity.qEmbOutliers(spark, sf).collect()
+    val n = graft.Tables.load(spark, sf, "embeddings").count()
+    assert(rows.length.toLong === n, "every vector judged exactly once")
+    assert(rows.forall(r => r.getInt(3) == 0 || r.getInt(3) == 1))
+    // re-derive each verdict from the cell sums with the same integer
+    // cross-multiplication (no float mean anywhere)
+    val byCell = rows.groupBy(_.getInt(1))
+    byCell.foreach { case (_, rs) =>
+      val sumQ = rs.map(_.getLong(2)).sum
+      val cn = rs.length.toLong
+      rs.foreach { r =>
+        val want = if (cn * r.getLong(2) < sumQ - cn * 50000L) 1 else 0
+        assert(r.getInt(3) === want, s"vec ${r.getLong(0)} verdict")
+      }
+    }
+    // the margin must bite somewhere at this sf, else the gate is vacuous
+    assert(rows.exists(_.getInt(3) == 1), "no outliers flagged at sf0.001")
+    assert(rows.count(_.getInt(3) == 1) < rows.length / 2,
+      "outliers are the exception, not the rule")
+  }
 }
