@@ -119,7 +119,15 @@ object ScalingRehearsal {
       "dedup_report_indexed" -> time(graft.llm.DedupPipeline.qDedupReportIndexed(spark, dir)),
       "split_leakfree_indexed" -> time(graft.llm.DedupPipeline.qSplitLeakfreeIndexed(spark, dir)),
       "semdedup_routed" -> time(graft.llm.Similarity.qSemDedup(spark, dir)),
-      "pq_adc_topk" -> time(graft.llm.Similarity.qPqTopK(spark, dir)))
+      "pq_adc_topk" -> time(graft.llm.Similarity.qPqTopK(spark, dir)),
+      // late-r12: fixed anchor/query sets mean these must scale with
+      // the corpus scan alone (ratio ≈ replicas); emb_outliers rides
+      // the ROUTED build (flat at 1×, two-level at N× cells), so its
+      // ratio shows the routing the same way semdedup's does
+      "ann_recall" -> time(graft.llm.Similarity.qAnnRecall(spark, dir)),
+      "emb_outliers" -> time(graft.llm.Similarity.qEmbOutliers(spark, dir)),
+      "hard_negatives" -> time(graft.llm.Similarity.qHardNegatives(spark, dir)),
+      "lm_ppl_band" -> time(graft.llm.CorpusStats.qLmPplBand(spark, dir)))
     finally spark.conf.unset(graft.llm.Similarity.IvfCellsConf)
   }
 

@@ -384,7 +384,7 @@ object Similarity {
     * broadcast cross join), so the shuffle stays O(corpus), never
     * O(corpus × K). Ties break to the lowest cell id in both engines.
     */
-  private def ivfAssign(corpus: DataFrame, cents: DataFrame): DataFrame =
+  private[llm] def ivfAssign(corpus: DataFrame, cents: DataFrame): DataFrame =
     corpus.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("e"), col("cell"),
         graft.functions.VectorExprs.cosine(col("e"), col("c")).as("cos"))
@@ -400,7 +400,7 @@ object Similarity {
     * recompute each cell's mean). At scale the training input would be
     * a sample — the refinement itself is already fully distributed (the
     * only per-cell state is the K × DIM mean matrix). */
-  private def ivfCentroids(corpus: DataFrame): DataFrame = {
+  private[llm] def ivfCentroids(corpus: DataFrame): DataFrame = {
     // seed selection: the K lowest vec_ids PRESENT. The ids (not the
     // vectors) collect to the driver — K longs via a TakeOrdered job —
     // and rank back in as a broadcast (vec_id, cell) map, so no window
@@ -940,7 +940,7 @@ object Similarity {
   /** (vec_id, e) → (vec_id, m, sub): the M contiguous subvectors, one
     * codegen'd slice pass + posexplode of a plain materialized column
     * (the [[lshSignatures]] shape — no join, no shuffle). */
-  private def pqSubvectors(corpus: DataFrame): DataFrame =
+  private[llm] def pqSubvectors(corpus: DataFrame): DataFrame =
     corpus.selectExpr("vec_id",
       s"posexplode(transform(sequence(0, ${PQ_M - 1}), " +
         s"m -> slice(e, m * $PQ_SUB + 1, $PQ_SUB))) as (m, sub)")
@@ -949,7 +949,7 @@ object Similarity {
     * the M × KS codebook, equi-join on the subspace, and collapse with
     * a map-side-folded `min_by` — shuffle O(M · corpus) compact rows,
     * never O(corpus · KS). Ties to the lowest code in both engines. */
-  private def pqAssign(subs: DataFrame, codebook: DataFrame): DataFrame =
+  private[llm] def pqAssign(subs: DataFrame, codebook: DataFrame): DataFrame =
     subs.join(broadcast(codebook), "m")
       .select(col("vec_id"), col("m"), col("sub"), col("code"),
         l2sq(col("sub"), col("c")).as("d2"))
@@ -983,7 +983,7 @@ object Similarity {
     * All M subspaces train in a single plan (the subspace id is just
     * another key), so the corpus is sliced and shuffled once, not M
     * times. */
-  private def pqCodebook(corpus: DataFrame): DataFrame = {
+  private[llm] def pqCodebook(corpus: DataFrame): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val subs = pqSubvectors(corpus)
@@ -1581,16 +1581,24 @@ object Similarity {
     *
     * Exactness: the per-cell mean never materializes as a float —
     * membership is decided on integers, n·cos_q < Σcos_q − n·margin_q
-    * (sums of 1e-6-floored cosines, order-free). Scale: one broadcast
-    * re-join of the K×DIM centroids, one O(K)-row aggregate, one
-    * broadcast of the K-row stats — the corpus is scanned once and
-    * shuffled only by the assignment's own O(corpus) fold. */
+    * (sums of 1e-6-floored cosines, order-free). The reference vector
+    * each member scores against is its cell's own quantized-mean
+    * centroid (the mean of the FINAL assignment — cohesion vs the
+    * cluster as it actually stands, not vs the training-pass seeds).
+    *
+    * Scale: the assignment routes through [[assignedIndex]] — flat and
+    * exact at the default K (what the oracle pins), the O(rows·2√K)
+    * two-level build past the cells conf, same as semdedup — then one
+    * broadcast re-join of the K×DIM means, one O(K)-row stats
+    * aggregate broadcast back. The corpus is scanned once and shuffled
+    * only by the assignment's own O(corpus) fold. */
   def qEmbOutliers(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorExprs
     val corpus = load(s, dir, "embeddings").select(col("vec_id"),
       VectorExprs.toDouble(col("embedding")).as("e"))
-    val cents = ivfCentroids(corpus)
-    val scored = ivfAssign(corpus, cents)
+    val assigned = assignedIndex(s, corpus)
+    val cents = quantizedMeans(assigned)
+    val scored = assigned
       .join(broadcast(cents), "cell")
       .select(col("vec_id"), col("cell"),
         VectorExprs.cosine(col("e"), col("c")).as("cos"))
@@ -1609,10 +1617,17 @@ object Similarity {
   val qEmbOutliersSql: String = {
     val cosCent = cosD("a.e", "k.c")
     s"""WITH $ivfOracleCtes,
+       |cents2 AS (
+       |  SELECT cell, array_agg(s::DOUBLE / (n * $IVF_QUANT.0) ORDER BY i) AS c
+       |  FROM (SELECT cell, i,
+       |               SUM(CAST(FLOOR(e[i] * $IVF_QUANT) AS BIGINT)) AS s,
+       |               COUNT(*) AS n
+       |        FROM asg CROSS JOIN (SELECT unnest(range(1, $DIM + 1)) AS i) idx
+       |        GROUP BY cell, i) q GROUP BY cell),
        |scored AS (
        |  SELECT a.vec_id, a.cell,
        |         CAST(FLOOR($cosCent * $IVF_QUANT.0) AS BIGINT) AS cos_q
-       |  FROM asg a JOIN cents k ON a.cell = k.cell),
+       |  FROM asg a JOIN cents2 k ON a.cell = k.cell),
        |stats AS (
        |  SELECT cell, CAST(SUM(cos_q) AS BIGINT) AS sum_q, COUNT(*) AS n
        |  FROM scored GROUP BY cell)

@@ -180,7 +180,16 @@ object Tokenizer {
     * merge. Intermediate rounds ride cached leaves owned by the
     * returned frame (the [[DedupPipeline.indexedClusterLabels]]
     * ownership contract). */
-  def qBpeEncode(s: SparkSession, dir: String): DataFrame = {
+  def qBpeEncode(s: SparkSession, dir: String): DataFrame =
+    encodedCorpus(s, dir)
+      .selectExpr("doc_id", "size(ta) as n_toks",
+        "md5(concat_ws(chr(31), ta)) as tok_hash")
+      .orderBy("doc_id")
+
+  /** The fully encoded corpus `(doc_id, ta)` after [[Rounds]] induced
+    * merges — the shared derivation behind [[qBpeEncode]] and
+    * [[qBpeFertility]]. */
+  private def encodedCorpus(s: SparkSession, dir: String): DataFrame = {
     val spark = s
     import spark.implicits._
     val base = load(s, dir, "documents")
@@ -198,12 +207,39 @@ object Tokenizer {
         if (r < Rounds) org.apache.spark.sql.GraftShims.cachedLeaf(next)._1
         else next
     }
-    corpus.selectExpr("doc_id", "size(ta) as n_toks",
-      "md5(concat_ws(chr(31), ta)) as tok_hash")
-      .orderBy("doc_id")
+    corpus
   }
 
-  val qBpeEncodeSql: String = {
+  /** FERTILITY — the tokenizer-efficiency report: per source, total
+    * post-encode pieces over total pre-encode words (merges only fuse,
+    * so ≤ 1 here; a subword tokenizer reports the same ratio ≥ 1 —
+    * either way it is the per-register compression the vocab-size and
+    * per-language token-budget decisions read). Per SOURCE because
+    * that is where real corpora diverge: code/markup merges poorly,
+    * templated text merges heavily.
+    *
+    * Scale: both totals are map-side-combinable keyed sums over
+    * per-row `size()` projections (no explode, no extra corpus
+    * shuffle beyond the encode rounds the product already pays);
+    * output is O(sources). */
+  def qBpeFertility(s: SparkSession, dir: String): DataFrame = {
+    val words = load(s, dir, "documents")
+      .selectExpr("doc_id", "source",
+        "cast(size(filter(split(lower(text), ' '), t -> length(t) > 0)) as bigint) as w")
+    encodedCorpus(s, dir).selectExpr("doc_id", "cast(size(ta) as bigint) as p")
+      .join(words, "doc_id")
+      .groupBy("source")
+      .agg(
+        org.apache.spark.sql.functions.expr("sum(w) as n_words"),
+        org.apache.spark.sql.functions.expr("sum(p) as n_pieces"))
+      .selectExpr("source", "n_words", "n_pieces",
+        "cast(n_pieces as double) / n_words as fertility")
+      .orderBy("source")
+  }
+
+  /** Shared oracle CTE chain `c0 … c$Rounds` — the encode rounds both
+    * [[qBpeEncodeSql]] and [[qBpeFertilitySql]] replay. */
+  private def encodeRoundsSqlCtes: String = {
     def round(r: Int): String = {
       val prev = s"c${r - 1}"
       s"""pc$r AS (
@@ -222,21 +258,39 @@ object Tokenizer {
          |                ELSE [ta[i]] END)) AS ta
          |  FROM $prev CROSS JOIN b$r)""".stripMargin
     }
-    s"""WITH c0 AS (
+    s"""c0 AS (
        |  SELECT doc_id,
        |         list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS ta
        |  FROM documents),
-       |${(1 to Rounds).map(round).mkString(",\n")}
+       |${(1 to Rounds).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  val qBpeEncodeSql: String =
+    s"""WITH $encodeRoundsSqlCtes
        |SELECT doc_id, CAST(len(ta) AS INT) AS n_toks,
        |       md5(array_to_string(ta, chr(31))) AS tok_hash
        |FROM c$Rounds ORDER BY doc_id""".stripMargin
-  }
+
+  val qBpeFertilitySql: String =
+    s"""WITH $encodeRoundsSqlCtes,
+       |w AS (SELECT doc_id, len(ta) AS w FROM c0),
+       |p AS (SELECT doc_id, len(ta) AS p FROM c$Rounds)
+       |SELECT d.source,
+       |       CAST(SUM(w.w) AS BIGINT) AS n_words,
+       |       CAST(SUM(p.p) AS BIGINT) AS n_pieces,
+       |       CAST(SUM(p.p) AS DOUBLE) / CAST(SUM(w.w) AS BIGINT) AS fertility
+       |FROM w JOIN p ON w.doc_id = p.doc_id
+       |     JOIN documents d ON w.doc_id = d.doc_id
+       |GROUP BY d.source
+       |ORDER BY d.source""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_merges" -> (qBpeMerges _),
-    "q_bpe_encode" -> (qBpeEncode _))
+    "q_bpe_encode" -> (qBpeEncode _),
+    "q_bpe_fertility" -> (qBpeFertility _))
 
   val oracleSql: Map[String, String] = Map(
     "q_bpe_merges" -> qBpeMergesSql,
-    "q_bpe_encode" -> qBpeEncodeSql)
+    "q_bpe_encode" -> qBpeEncodeSql,
+    "q_bpe_fertility" -> qBpeFertilitySql)
 }

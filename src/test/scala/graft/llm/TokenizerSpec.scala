@@ -55,5 +55,26 @@ class TokenizerSpec extends AnyFunSuite {
     assert(got === Seq(
       (1L, 2, md5(Seq("x y", "x y z").mkString("\u001f"))),
       (2L, 1, md5("x y q"))))
+
+    // fertility over the same corpus: one source, 8 words -> 3 pieces
+    val fert = Tokenizer.qBpeFertility(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(fert.toSeq === Seq(("src0", 8L, 3L, 3.0 / 8.0)))
+  }
+
+  test("fertility on the shared corpus: totals consistent, merges only fuse") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Tokenizer.qBpeFertility(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, w, p, f) =>
+      assert(p <= w, s"source $src gained tokens under merges")
+      assert(f === p.toDouble / w, s"source $src fertility inconsistent")
+      assert(f > 0.0 && f <= 1.0)
+    }
+    // cross-check the totals against the per-doc encode output
+    val encP = Tokenizer.qBpeEncode(spark, sf).collect()
+      .map(_.getInt(1).toLong).sum
+    assert(rows.map(_._3).sum === encP, "fertility piece total != encode total")
   }
 }
