@@ -386,6 +386,28 @@ object Dedup {
     // the frame (lineage stays intact for lost-executor recompute).
     val (hashed, _) = org.apache.spark.sql.GraftShims.cachedLeaf(corpus
       .select(col("id"), graft.functions.TextHashExprs.shingleHashes(col("toks")).as("shs")))
+    // exact-Jaccard verify on the HASH sets (no re-hashing per pair —
+    // array_intersect over longs; 60-bit hashes make collisions
+    // negligible, so values equal the string-set Jaccard the oracle
+    // computes)
+    verifiedPairSets(hashed)
+      .selectExpr("id_a", "id_b",
+        "cast(inter as double) / (tot - inter) as jaccard")
+      .filter("jaccard >= 0.6")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** The fused rare-shingle candidate core + set-overlap verify, shared
+    * by the Jaccard and containment near-dup queries: from a cached
+    * `(id, shs)` hash frame, candidate pairs via ONE capped-collect
+    * aggregate on the shingle key (df-cap + posting list in one
+    * exchange), the [[MinSharedShingles]] gate, then both hash sets
+    * joined back by id. Returns `(id_a, id_b, shs_a, shs_b, inter,
+    * tot)` — each caller derives its own overlap metric (Jaccard:
+    * inter/(tot−inter); containment: inter/|side|) so the candidate
+    * machinery can never drift between the metrics. */
+  private def verifiedPairSets(hashed: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.explode
     val shingles = hashed
       .select(col("id"), explode(col("shs")).as("sh"))
     val pairs = shingles.groupBy("sh")
@@ -398,21 +420,12 @@ object Dedup {
       .agg(count(expr("*")).as("n_shared"))
       .filter(col("n_shared") >= MinSharedShingles)
       .select("id_a", "id_b")
-
-    // exact-Jaccard verify on the HASH sets (no re-hashing per pair —
-    // array_intersect over longs; 60-bit hashes make collisions
-    // negligible, so values equal the string-set Jaccard the oracle
-    // computes)
     pairs
       .join(hashed.selectExpr("id as id_a", "shs as shs_a"), "id_a")
       .join(hashed.selectExpr("id as id_b", "shs as shs_b"), "id_b")
-      .selectExpr("id_a", "id_b",
+      .selectExpr("id_a", "id_b", "shs_a", "shs_b",
         "size(array_intersect(shs_a, shs_b)) as inter",
         "size(shs_a) + size(shs_b) as tot")
-      .selectExpr("id_a", "id_b",
-        "cast(inter as double) / (tot - inter) as jaccard")
-      .filter("jaccard >= 0.6")
-      .orderBy("id_a", "id_b")
   }
 
   val qDedupNgramJaccardSql: String =
@@ -438,6 +451,82 @@ object Dedup {
        |SELECT id_a, id_b, CAST(inter AS DOUBLE) / (tot - inter) AS jaccard
        |FROM verified
        |WHERE CAST(inter AS DOUBLE) / (tot - inter) >= 0.6
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ------------------------------------------------- containment (asymmetric)
+  /** Containment threshold: a pair reports when either side's shingle
+    * set is ≥ this fraction inside the other. */
+  private[llm] val ContainThreshold = 0.8
+  /** Id offset for the excerpt variants (first-half prefixes) the
+    * containment fixture derives — above [[VariantIdOffset]]'s band and
+    * the ngram fixture's 3000000 band so the three derivations can
+    * never collide. */
+  private[llm] val ExcerptIdOffset = 4000000L
+
+  /** Asymmetric near-dup detection by n-gram CONTAINMENT — the overlap
+    * metric Jaccard dedup is blind to: an excerpt (a quote, a lead
+    * paragraph, a chunk re-crawled on its own) has containment ≈ 1.0 in
+    * its source but Jaccard ≈ |excerpt|/|source| — half-length excerpts
+    * sit at ~0.5, under every symmetric near-dup threshold, yet are
+    * exactly the contained-duplication a curation pipeline must see
+    * (training on source + excerpt double-weights the excerpt's text).
+    * Corpus = documents ∪ first-half excerpts of every 13th doc; pairs
+    * report when either side is ≥ [[ContainThreshold]] contained in the
+    * other, with both directed containments and the Jaccard for
+    * contrast.
+    *
+    * Scale: identical candidate discipline to [[qDedupNgramJaccard]] —
+    * the shared [[verifiedPairSets]] core (ONE capped-collect exchange,
+    * df-capped posting lists, shared-shingle gate, keyed verify joins);
+    * the only new work is two integer divisions per verified pair. A
+    * fully-contained excerpt shares ALL its shingles with its source,
+    * so the rare-shingle candidate generator finds these pairs whenever
+    * the excerpt carries any sub-[[DfCap]] shingle — the same
+    * signal-not-boilerplate contract as the Jaccard query. */
+  def qDedupContainment(s: SparkSession, dir: String): DataFrame = {
+    val base = load(s, dir, "documents").selectExpr("doc_id as id", s"$toksS as toks")
+    val excerpts = base.filter("id % 13 = 0")
+      .selectExpr(s"id + $ExcerptIdOffset as id",
+        "slice(toks, 1, greatest(cast(floor(size(toks) / 2) as int), 3)) as toks")
+    val corpus = base.unionAll(excerpts)
+    val (hashed, _) = org.apache.spark.sql.GraftShims.cachedLeaf(corpus
+      .select(col("id"), graft.functions.TextHashExprs.shingleHashes(col("toks")).as("shs")))
+    verifiedPairSets(hashed)
+      .selectExpr("id_a", "id_b",
+        "cast(inter as double) / size(shs_a) as contain_a",
+        "cast(inter as double) / size(shs_b) as contain_b",
+        "cast(inter as double) / (tot - inter) as jaccard")
+      .filter(s"greatest(contain_a, contain_b) >= $ContainThreshold")
+      .orderBy("id_a", "id_b")
+  }
+
+  val qDedupContainmentSql: String =
+    s"""WITH base AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS toks FROM documents),
+       |corpus AS (
+       |  SELECT id, toks FROM base
+       |  UNION ALL
+       |  SELECT id + $ExcerptIdOffset, toks[1:greatest(CAST(floor(len(toks) / 2) AS INT), 3)]
+       |  FROM base WHERE id % 13 = 0),
+       |sh AS (SELECT id, $shingleD AS sh FROM corpus),
+       |shrows AS (SELECT id, unnest(sh) AS s FROM sh),
+       |rare AS (SELECT s FROM shrows GROUP BY s HAVING COUNT(*) BETWEEN 2 AND $DfCap),
+       |cand AS (
+       |  SELECT a.id AS id_a, b.id AS id_b
+       |  FROM (SELECT * FROM shrows JOIN rare USING (s)) a
+       |  JOIN (SELECT * FROM shrows JOIN rare USING (s)) b
+       |    ON a.s = b.s AND a.id < b.id
+       |  GROUP BY a.id, b.id HAVING COUNT(*) >= $MinSharedShingles),
+       |verified AS (
+       |  SELECT c.id_a, c.id_b,
+       |         len(list_filter(x.sh, q -> list_contains(y.sh, q))) AS inter,
+       |         len(x.sh) AS n_a, len(y.sh) AS n_b
+       |  FROM cand c JOIN sh x ON c.id_a = x.id JOIN sh y ON c.id_b = y.id)
+       |SELECT id_a, id_b,
+       |       CAST(inter AS DOUBLE) / n_a AS contain_a,
+       |       CAST(inter AS DOUBLE) / n_b AS contain_b,
+       |       CAST(inter AS DOUBLE) / (n_a + n_b - inter) AS jaccard
+       |FROM verified
+       |WHERE greatest(CAST(inter AS DOUBLE) / n_a, CAST(inter AS DOUBLE) / n_b) >= $ContainThreshold
        |ORDER BY id_a, id_b""".stripMargin
 
   // ------------------------------------------------------- clustering
@@ -918,6 +1007,66 @@ object Dedup {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** Per-document NOVELTY — the curation-ordering signal dual to
+    * [[qDupSpans]]'s duplication profile: for each doc, the fraction of
+    * its DISTINCT [[DupSpanW]]-token windows whose corpus-wide first
+    * occurrence (minimum doc_id) is this document. A doc full of
+    * content that earlier documents already carry scores near 0; a doc
+    * contributing fresh spans scores near 1 — the rank a
+    * dedup-prioritized ingestion keeps/drops/reweights on, and the
+    * per-increment "how much is actually new" metric an incremental
+    * corpus build reports.
+    *
+    * Scale: identical key discipline to [[qDupSpans]] — one native
+    * codegen'd window-hash pass per doc, cached-leaf explode child,
+    * per-(doc, window) distinct collapses map-side, window stats at
+    * distinct-window scale, and the stats→occurrence join skew-SPLIT
+    * (hottest windows broadcast from a bounded TakeOrdered, tail joins
+    * keyed). Only longs shuffle; the attribution aggregate is O(1)
+    * state per doc. */
+  def qDocNovelty(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, explode, sum}
+    val (docs, _) = org.apache.spark.sql.GraftShims.cachedLeaf(
+      load(s, dir, "documents")
+        .selectExpr("doc_id", "filter(split(text, ' '), t -> length(t) > 0) as ta")
+        .where(s"size(ta) >= $DupSpanW")
+        .select(col("doc_id"),
+          graft.functions.TextHashExprs.windowHashes(col("ta"), DupSpanW).as("whs")))
+    val docWin = docs.select(col("doc_id"), explode(col("whs")).as("wh")).distinct()
+    val stats = docWin.groupBy("wh")
+      .agg(min(col("doc_id")).as("first_doc"), count(lit(1)).as("cnt"))
+    val head = stats.orderBy(col("cnt").desc, col("wh"))
+      .limit(CorpusStats.RarityHeadK)
+    val headRows = docWin.join(broadcast(head), "wh")
+    val tailRows = docWin
+      .join(broadcast(head.select(col("wh"))), Seq("wh"), "left_anti")
+      .join(stats, "wh")
+    headRows.select(col("doc_id"), col("first_doc"))
+      .unionByName(tailRows.select(col("doc_id"), col("first_doc")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(expr("case when first_doc = doc_id then 1 else 0 end")).as("n_novel"))
+      .selectExpr("doc_id", "n_windows", "cast(n_novel as bigint) as n_novel",
+        "cast(n_novel as double) / n_windows as novelty_fraction")
+      .orderBy("doc_id")
+  }
+
+  val qDocNoveltySql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS ta
+       |  FROM documents),
+       |d2 AS (SELECT doc_id, ta FROM d WHERE len(ta) >= $DupSpanW),
+       |wo AS (SELECT DISTINCT doc_id, array_to_string(ta[i:i + ${DupSpanW - 1}], ' ') AS w
+       |       FROM d2, UNNEST(range(1, len(ta) - ${DupSpanW - 2})) AS u(i)),
+       |f AS (SELECT w, MIN(doc_id) AS first_doc FROM wo GROUP BY w)
+       |SELECT doc_id,
+       |       COUNT(*) AS n_windows,
+       |       CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       |       CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS novelty_fraction
+       |FROM wo JOIN f USING (w)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   /** Position-key encoding for [[qDupSpansClean]]'s keeper choice:
     * `doc_id * PosKeyBase + position` must be collision-free, so docs
     * are bounded at PosKeyBase tokens (far above any real document
@@ -1019,6 +1168,8 @@ object Dedup {
     "q_dedup_report" -> (qDedupReport _),
     "q_dedup_keep_best" -> (qDedupKeepBest _),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
+    "q_dedup_containment" -> (qDedupContainment _),
+    "q_doc_novelty" -> (qDocNovelty _),
     "q_dedup_simhash" -> (qDedupSimhash _))
 
   val oracleSql: Map[String, String] = Map(
@@ -1032,5 +1183,7 @@ object Dedup {
     "q_dedup_report" -> qDedupReportSql,
     "q_dedup_keep_best" -> qDedupKeepBestSql,
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccardSql,
+    "q_dedup_containment" -> qDedupContainmentSql,
+    "q_doc_novelty" -> qDocNoveltySql,
     "q_dedup_simhash" -> qDedupSimhashSql)
 }

@@ -432,6 +432,85 @@ object Relational {
       |HAVING COUNT(*) >= 20
       |ORDER BY user_id""".stripMargin
 
+  // ------------------------------------------------ events: transitions
+  /** First-order Markov transition matrix over each user's event
+    * sequence: for every (from, to) event-type pair, the transition
+    * count and the conditional probability P(to | from). The standard
+    * user-journey summary (and the generator model behind synthetic
+    * session replay).
+    *
+    * Scale: the sequence window partitions BY USER — one keyed
+    * exchange, per-user state is a single lag row; the pair aggregate
+    * map-side combines to |event_types|² rows, and the per-from
+    * normalization windows over THAT aggregate (≤ |event_types|²
+    * rows — never a global window over raw events). Counts are exact
+    * integers; the probability is one integer-ratio division, so both
+    * engines compute the identical double. */
+  def qEventTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val byFrom = Window.partitionBy(col("from_event"))
+    t(s, dir, "events")
+      .withColumn("to_event", lead(col("event_type"), 1).over(w))
+      .filter(col("to_event").isNotNull)
+      .select(col("event_type").as("from_event"), col("to_event"))
+      .groupBy(col("from_event"), col("to_event"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .withColumn("p_transition",
+        col("n_transitions").cast(DoubleType) /
+          sum(col("n_transitions")).over(byFrom).cast(DoubleType))
+      .orderBy(col("from_event"), col("to_event"))
+  }
+
+  val qEventTransitionsSql: String =
+    """WITH seq AS (
+      |  SELECT event_type AS from_event,
+      |         LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_event
+      |  FROM events),
+      |pairs AS (
+      |  SELECT from_event, to_event, COUNT(*) AS n_transitions
+      |  FROM seq WHERE to_event IS NOT NULL
+      |  GROUP BY from_event, to_event)
+      |SELECT from_event, to_event, n_transitions,
+      |       CAST(n_transitions AS DOUBLE) /
+      |         CAST(SUM(n_transitions) OVER (PARTITION BY from_event) AS DOUBLE) AS p_transition
+      |FROM pairs
+      |ORDER BY from_event, to_event""".stripMargin
+
+  // ------------------------------------------------------ events: paths
+  /** Top-10 three-step event paths (trigram sequences within a user's
+    * stream) by frequency — the path-analysis view funnels don't give:
+    * funnels fix the steps and count users; this finds WHICH step
+    * sequences dominate.
+    *
+    * Scale: same per-user window exchange as the transition matrix
+    * (two lag-family columns instead of one — identical shuffle), then
+    * a map-side-combinable count over ≤ |event_types|³ path keys and a
+    * bounded TakeOrdered(10) — no global row sort at any scale. */
+  def qEventPaths(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("path"))
+      .limit(10)
+  }
+
+  val qEventPathsSql: String =
+    """WITH seq AS (
+      |  SELECT event_type AS e1,
+      |         LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+      |         LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+      |  FROM events)
+      |SELECT e1 || '>' || e2 || '>' || e3 AS path, COUNT(*) AS n_occurrences
+      |FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+      |GROUP BY 1
+      |ORDER BY n_occurrences DESC, path
+      |LIMIT 10""".stripMargin
+
   // ---------------------------------------------------- events: regex k
   /** Extract a numeric field from the JSON-ish props payload with a
     * regex (codegen'd, no UDF) and aggregate it. */
@@ -946,6 +1025,8 @@ object Relational {
     "q_rollup_orders" -> (qRollupOrders _),
     "q_events_hourly" -> (qEventsHourly _),
     "q_event_sessions" -> (qEventSessions _),
+    "q_event_transitions" -> (qEventTransitions _),
+    "q_event_paths" -> (qEventPaths _),
     "q_events_props_extract" -> (qEventsPropsExtract _))
 
   val oracleSql: Map[String, String] = Map(
@@ -978,5 +1059,7 @@ object Relational {
     "q_rollup_orders" -> qRollupOrdersSql,
     "q_events_hourly" -> qEventsHourlySql,
     "q_event_sessions" -> qEventSessionsSql,
+    "q_event_transitions" -> qEventTransitionsSql,
+    "q_event_paths" -> qEventPathsSql,
     "q_events_props_extract" -> qEventsPropsExtractSql)
 }
