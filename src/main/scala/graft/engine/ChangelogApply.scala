@@ -174,6 +174,78 @@ object ChangelogApply {
       .agg(expr("count(*)").as("n_rows"),
         expr(s"count(distinct $valueCol)").as("n_distinct"))
 
+  // ------------------------------------------- non-additive: top-k
+  private def topkExpr(valueExpr: String, k: Int): String =
+    s"slice(reverse(array_sort(collect_list(CAST($valueExpr AS DOUBLE)))), 1, $k)"
+  private val EmptyTopk = "CAST(array() AS ARRAY<DOUBLE>)"
+
+  /** Fold a changelog frame into a per-key top-`k` largest values of
+    * `valueCol` (descending `topk_v` array) — the leaderboard /
+    * keep-best-n materialization. Retraction class sits between
+    * min/max and distinct-count:
+    *
+    *  - keys with only INSERTS fold arithmetically: top-k of a union
+    *    IS the top-k of the two sides' top-ks (merge two ≤k arrays,
+    *    re-sort, cut) — so append-mostly stays churn-priced with O(k)
+    *    state per touched key;
+    *  - keys with any DELETE recompute from `base` restricted to those
+    *    keys: a retracted member's runner-up is not in the ≤k state,
+    *    exactly the min/max argument k-fold;
+    *  - untouched keys carry over verbatim.
+    *
+    * Values are maintained as DOUBLE (collect_list drops SQL NULLs on
+    * both the fold and recompute paths, so the equivalence holds on
+    * nullable columns). */
+  def applyTopK(
+      prev: DataFrame, changes: DataFrame, base: DataFrame,
+      keys: Seq[String], valueCol: String, k: Int): DataFrame = {
+    val kCols = keys.map(col)
+    val delKeys = changes
+      .filter(col("_change_type") === lit("delete"))
+      .select(kCols: _*).distinct()
+    val insOnly = changes
+      .filter(col("_change_type") === lit("insert"))
+      .join(delKeys, keys, "left_anti")
+      .groupBy(kCols: _*)
+      .agg(
+        expr("count(*)").as("__in"),
+        expr(topkExpr(valueCol, k)).as("__itop"))
+    val folded = prev.join(insOnly, keys, "full_outer")
+      .join(delKeys, keys, "left_anti")
+      .select(kCols ++ Seq(
+        (coalesce(col("n_rows"), lit(0L)) + coalesce(col("__in"), lit(0L)))
+          .as("n_rows"),
+        expr(s"""slice(reverse(array_sort(concat(
+                |  coalesce(topk_v, $EmptyTopk),
+                |  coalesce(__itop, $EmptyTopk)))), 1, $k)""".stripMargin)
+          .as("topk_v")): _*)
+    val recomputed = base.join(delKeys, keys, "left_semi")
+      .groupBy(kCols: _*)
+      .agg(expr("count(*)").as("n_rows"),
+        expr(topkExpr(valueCol, k)).as("topk_v"))
+    folded.unionByName(recomputed)
+  }
+
+  /** The full-recompute twin of [[applyTopK]]. */
+  def recomputeTopK(
+      table: DataFrame, keys: Seq[String], valueCol: String, k: Int): DataFrame =
+    table.groupBy(keys.map(col): _*)
+      .agg(expr("count(*)").as("n_rows"),
+        expr(topkExpr(valueCol, k)).as("topk_v"))
+
+  /** One exactly-once maintenance tick of a per-key top-k table —
+    * insert-only keys merge O(k) state, delete-touched keys recompute
+    * from the snapshot-pinned head (see [[applyTopK]]). */
+  def runOnceTopK(
+      spark: org.apache.spark.sql.SparkSession,
+      source: GraftTable, sourceName: String,
+      target: GraftTable,
+      keys: Seq[String], valueCol: String, k: Int): Option[Long] =
+    tick(spark, source, sourceName, target)(
+      (prev, changes, baseAtHead) =>
+        applyTopK(prev, changes, baseAtHead, keys, valueCol, k),
+      base => recomputeTopK(base, keys, valueCol, k))
+
   /** Checkpoint property key on the TARGET table: the source snapshot
     * its content reflects. Committed atomically with the content. */
   private[engine] def ckptKey(sourceName: String): String =

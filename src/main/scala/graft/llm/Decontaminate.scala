@@ -2,7 +2,7 @@ package graft.llm
 
 import graft.Tables.load
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, count, explode, expr}
+import org.apache.spark.sql.functions.{broadcast, col, count, explode, expr, lit}
 
 /** Benchmark decontamination: find corpus documents whose content
   * overlaps an evaluation ("benchmark") set — the training-data
@@ -42,7 +42,17 @@ object Decontaminate {
 
   private val toksS = "split(lower(text), ' ')"
 
-  def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+  def qDecontaminate(s: SparkSession, dir: String): DataFrame =
+    contaminationPairs(s, dir)
+      .select("doc_id", "bench_id", "n_shared", "overlap")
+      .orderBy("doc_id", "bench_id")
+
+  /** The shared contamination pipeline: `(doc_id, bench_id, n_shared,
+    * overlap)` rows at overlap ≥ 0.5 — consumed by the pair listing
+    * ([[qDecontaminate]]) and the per-source report
+    * ([[qDecontaminateReport]]), so the derivation and df-cap
+    * semantics can never drift between them. */
+  private def contaminationPairs(s: SparkSession, dir: String): DataFrame = {
     val base = load(s, dir, "documents").selectExpr("doc_id as id", s"$toksS as toks")
     val bench = base.filter("id % 97 = 0")
     val leaked = bench.selectExpr(
@@ -83,8 +93,53 @@ object Decontaminate {
         "cast(n_shared as double) / bsize as overlap")
       .filter("overlap >= 0.5")
       .select("doc_id", "bench_id", "n_shared", "overlap")
-      .orderBy("doc_id", "bench_id")
   }
+
+  /** Per-source contamination report — the go/no-go summary a corpus
+    * release gates on: for every source, how many corpus docs exist,
+    * how many are contaminated by ≥1 benchmark doc, and the rate.
+    * Leaked variants attribute to the source of their base benchmark
+    * doc (their text came from it).
+    *
+    * Scale: rides the shared [[contaminationPairs]] pipeline (bounded
+    * broadcast benchmark index, one corpus pass); the report itself is
+    * a distinct-doc collapse plus one O(sources) aggregate joined
+    * against an O(sources) corpus census — the meeting point is source
+    * cardinality, never corpus rows. */
+  def qDecontaminateReport(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    // corpus census with the SAME derivation as the pipeline: non-bench
+    // originals keep their source; each leak inherits its bench doc's
+    val corpusSrc = docs.filter("doc_id % 97 != 0").selectExpr("doc_id as id", "source")
+      .unionAll(docs.filter("doc_id % 97 = 0")
+        .selectExpr("doc_id + 4000000 as id", "source"))
+    val contaminated = contaminationPairs(s, dir)
+      .select("doc_id").distinct()
+      .withColumn("is_cont", lit(1L))
+    corpusSrc
+      .join(contaminated, col("id") === col("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("cast(sum(coalesce(is_cont, 0)) as bigint) as n_contaminated"))
+      .selectExpr("source", "n_docs", "n_contaminated",
+        "cast(n_contaminated as double) / n_docs as contamination_rate")
+      .orderBy("source")
+  }
+
+  // lazy: textually precedes the qDecontaminateSql val it embeds
+  lazy val qDecontaminateReportSql: String =
+    s"""WITH pairs AS (${qDecontaminateSql.replace("ORDER BY doc_id, bench_id", "")}),
+       |cont AS (SELECT DISTINCT doc_id FROM pairs),
+       |census AS (
+       |  SELECT doc_id AS id, source FROM documents WHERE doc_id % 97 != 0
+       |  UNION ALL
+       |  SELECT doc_id + 4000000 AS id, source FROM documents WHERE doc_id % 97 = 0)
+       |SELECT source, COUNT(*) AS n_docs,
+       |       CAST(SUM(CASE WHEN cont.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       |       CAST(SUM(CASE WHEN cont.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS contamination_rate
+       |FROM census LEFT JOIN cont ON census.id = cont.doc_id
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
 
   /** DuckDB twin — string-valued shingle sets, identical derivation,
     * posting-join shape mirrored so the df-cap semantics match
@@ -120,8 +175,10 @@ object Decontaminate {
 
   // ----------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_decontaminate" -> (qDecontaminate _))
+    "q_decontaminate" -> (qDecontaminate _),
+    "q_decontaminate_report" -> (qDecontaminateReport _))
 
   val oracleSql: Map[String, String] = Map(
-    "q_decontaminate" -> qDecontaminateSql)
+    "q_decontaminate" -> qDecontaminateSql,
+    "q_decontaminate_report" -> qDecontaminateReportSql)
 }

@@ -83,6 +83,83 @@ object Similarity {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // --------------------------------------- Matryoshka truncate + rerank
+  /** Coarse dimensionality for the truncated retrieval pass. */
+  private val MrlDim = 16
+  /** Coarse candidate pool reranked at full dimension. */
+  private val MrlPool = 50
+
+  /** Two-stage Matryoshka retrieval (Kusupati et al.'s MRL serving
+    * pattern): the corpus-scanning pass scores cosine over only the
+    * FIRST [[MrlDim]] of 64 dimensions — reading a quarter of the
+    * vector bytes moves a quarter of the memory bandwidth, which is
+    * the whole cost of a brute-force pass at corpus scale — then only
+    * the coarse top-[[MrlPool]] candidates per query are rescored at
+    * full dimension for the final top-10. Exactness degrades only
+    * when a true top-10 neighbor falls outside the coarse top-50;
+    * [[qAnnRecall]] is the harness that would measure that, and this
+    * query's oracle pins the two-stage result itself.
+    *
+    * Scale: stage 1 is the broadcast-query corpus scan of
+    * [[qKnnBruteForce]] with 4× less vector arithmetic and a bounded
+    * O(pool) TopK aggregate; stage 2 touches [[MrlPool]] rows per
+    * query — a broadcast semi-join against the corpus, O(queries ×
+    * pool) work regardless of corpus size. Truncation is `slice` on
+    * the stored array: no rewrite, the same column serves both
+    * resolutions (the Matryoshka property). */
+  def qEmbTruncateRerank(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    val emb = load(s, dir, "embeddings")
+    val queries = emb.filter("vec_id < 5")
+      .selectExpr("vec_id as query_id", "embedding as q_emb")
+    val cand = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.VectorExprs.cosine(
+          expr(s"slice(q_emb, 1, $MrlDim)"),
+          expr(s"slice(embedding, 1, $MrlDim)")).as("coarse_cos"))
+      .groupBy("query_id")
+      .agg(TopK.topK(MrlPool, knnSchema)(col("coarse_cos"), col("vec_id")).as("top"))
+      .selectExpr("query_id", "explode(top) as r")
+      .selectExpr("query_id", "r.tie as vec_id")
+    cand.join(emb, "vec_id")
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.VectorExprs.cosine(col("q_emb"), col("embedding")).as("cosine"))
+      .groupBy("query_id")
+      .agg(TopK.topK(10, knnSchema)(col("cosine"), col("vec_id")).as("top"))
+      .selectExpr("query_id", "posexplode(top) as (pos, r)")
+      .selectExpr("query_id", "cast(pos + 1 as int) as rank",
+        "r.tie as vec_id", "r.ord as cosine")
+      .orderBy("query_id", "rank")
+  }
+
+  val qEmbTruncateRerankSql: String = {
+    val ccos = cosD(s"(q.q_emb[1:$MrlDim])", s"(e.embedding[1:$MrlDim])")
+    val fcos = cosD("q.q_emb", "e.embedding")
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+       |coarse AS (
+       |  SELECT q.query_id, e.vec_id, $ccos AS ccos
+       |  FROM embeddings e CROSS JOIN q
+       |  WHERE e.vec_id <> q.query_id),
+       |cr AS (
+       |  SELECT query_id, vec_id,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ccos DESC, vec_id) AS crank
+       |  FROM coarse),
+       |cand AS (SELECT query_id, vec_id FROM cr WHERE crank <= $MrlPool),
+       |rer AS (
+       |  SELECT c.query_id, c.vec_id, $fcos AS cosine
+       |  FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id
+       |  JOIN q ON c.query_id = q.query_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cosine,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM rer)
+       |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cosine
+       |FROM ranked WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   // --------------------------------------------------------- LSH bits
   private val DIM = 64 // embeddings table vector dimension (TESTDATA.md)
 
@@ -1646,6 +1723,7 @@ object Similarity {
     "q_hard_negatives" -> (qHardNegatives _),
     "q_ann_ivf_assign2" -> (qIvfAssign2Level _),
     "q_knn_bruteforce" -> (qKnnBruteForce _),
+    "q_emb_truncate_rerank" -> (qEmbTruncateRerank _),
     "q_ann_lsh_buckets" -> (qAnnLshBuckets _),
     "q_ann_lsh_topk" -> (qAnnLshTopK _),
     "q_ann_ivf_cells" -> (qIvfCells _),
@@ -1667,6 +1745,7 @@ object Similarity {
     "q_hard_negatives" -> qHardNegativesSql,
     "q_ann_ivf_assign2" -> qIvfAssign2LevelSql,
     "q_knn_bruteforce" -> qKnnBruteForceSql,
+    "q_emb_truncate_rerank" -> qEmbTruncateRerankSql,
     "q_ann_lsh_buckets" -> qAnnLshBucketsSql,
     "q_ann_lsh_topk" -> qAnnLshTopKSql,
     "q_ann_ivf_cells" -> qIvfCellsSql,

@@ -246,6 +246,44 @@ class ChangelogApplySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dc(mat) === Seq(("a", 2L, 1L), ("b", 2L, 1L)))
   }
 
+  test("top-k: insert-only keys merge O(k) state, retraction resurrects the runner-up") {
+    spark.sql(s"CREATE TABLE $cat.db.matk (k STRING, v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.db.matk VALUES ('a', 5), ('a', 9), ('a', 7), ('b', 10)")
+    val t = table("matk")
+    val full = () => spark.sql(s"SELECT k, v FROM $cat.db.matk")
+    def tk(df: org.apache.spark.sql.DataFrame): Seq[(String, Long, Seq[Double])] =
+      df.select("k", "n_rows", "topk_v").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getSeq[Double](2).toSeq))
+        .sortBy(_._1).toSeq
+
+    var mat = ChangelogApply.recomputeTopK(full(), Seq("k"), "v", 2).persist()
+    var ckpt = t.metadata.currentSnapshotId.get
+    // 'a' holds 3 values but the state keeps only its top-2
+    assert(tk(mat) === Seq(
+      ("a", 3L, Seq(9.0, 7.0)), ("b", 1L, Seq(10.0))))
+
+    // the retraction trap: delete 'a''s current #1 — its runner-up
+    // (5) is NOT in the stored top-2 state and must come back from the
+    // base recompute; 'b' folds pure-insert (merge two <=k arrays);
+    // 'c' is born from the fold path alone
+    spark.sql(s"DELETE FROM $cat.db.matk WHERE k = 'a' AND v = 9")
+    spark.sql(s"INSERT INTO $cat.db.matk VALUES ('b', 3), ('b', 20), ('c', 4)")
+    mat = ChangelogApply.applyTopK(
+      mat, t.changelogScan(spark, ckpt), full(), Seq("k"), "v", 2).persist()
+    ckpt = t.metadata.currentSnapshotId.get
+    assert(tk(mat) === tk(ChangelogApply.recomputeTopK(full(), Seq("k"), "v", 2)))
+    assert(tk(mat) === Seq(
+      ("a", 2L, Seq(7.0, 5.0)), ("b", 3L, Seq(20.0, 10.0)),
+      ("c", 1L, Seq(4.0))))
+
+    // a group emptied by its deletes drops out; untouched keys verbatim
+    spark.sql(s"DELETE FROM $cat.db.matk WHERE k = 'a'")
+    mat = ChangelogApply.applyTopK(
+      mat, t.changelogScan(spark, ckpt), full(), Seq("k"), "v", 2)
+    assert(tk(mat) === tk(ChangelogApply.recomputeTopK(full(), Seq("k"), "v", 2)))
+    assert(!tk(mat).exists(_._1 == "a"))
+  }
+
   test("nullable value column: incremental equals recompute, NULL sum preserved") {
     spark.sql(s"CREATE TABLE $cat.db.matn (k STRING, v BIGINT)")
     spark.sql(s"INSERT INTO $cat.db.matn VALUES ('a', 1), ('a', NULL), ('n', NULL)")
