@@ -127,7 +127,17 @@ object ScalingRehearsal {
       "ann_recall" -> time(graft.llm.Similarity.qAnnRecall(spark, dir)),
       "emb_outliers" -> time(graft.llm.Similarity.qEmbOutliers(spark, dir)),
       "hard_negatives" -> time(graft.llm.Similarity.qHardNegatives(spark, dir)),
-      "lm_ppl_band" -> time(graft.llm.CorpusStats.qLmPplBand(spark, dir)))
+      "lm_ppl_band" -> time(graft.llm.CorpusStats.qLmPplBand(spark, dir)),
+      // r12 second wave: containment rides the same capped-collect
+      // pair core as ngram_jaccard (ratio must match its shape);
+      // novelty rides the dup-spans window machinery; the trigram
+      // scorer is the heaviest text op (trigram-vocabulary model);
+      // truncate_rerank's stage-2 pool is FIXED, so its ratio must
+      // track the coarse corpus scan alone (≈ replicas)
+      "dedup_containment" -> time(graft.llm.Dedup.qDedupContainment(spark, dir)),
+      "doc_novelty" -> time(graft.llm.Dedup.qDocNovelty(spark, dir)),
+      "lm_trigram_backoff" -> time(graft.llm.CorpusStats.qLmTrigramBackoff(spark, dir)),
+      "emb_truncate_rerank" -> time(graft.llm.Similarity.qEmbTruncateRerank(spark, dir)))
     finally spark.conf.unset(graft.llm.Similarity.IvfCellsConf)
   }
 

@@ -382,6 +382,115 @@ object CorpusStats {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("sbits")).as("sb"))
   }
 
+  /** Backoff penalty in quantized bits (≈ −log2 of stupid backoff's
+    * 0.4 discount, floored to keep every term integer-exact). */
+  private val BackoffPenaltyBits = 1
+
+  /** Per-document TRIGRAM surprisal with STUPID BACKOFF (Brants et
+    * al.) — the model tier above [[qLmBigramSurprisal]]: a trigram
+    * occurrence scores from the trigram model when its count is
+    * trustworthy (≥ 2 — singletons are Zipf noise, the standard
+    * min-count cut), otherwise it BACKS OFF to the bigram estimate
+    * `p(w3 | w2)` plus a fixed [[BackoffPenaltyBits]] discount. Scores
+    * are quantized integer bit-lengths end to end (`floor(log2)`
+    * deltas, no libm) with ONE final IEEE division; `n_backoff` is
+    * reported per doc — itself a quality signal (the fraction of a
+    * doc's trigrams that are corpus singletons).
+    *
+    * Scale: the trigram model is distinct-trigram scale (sub-
+    * occurrence); its context table rolls up FROM it; the bigram
+    * fallback tables are the [[qLmBigramSurprisal]] shapes. Each
+    * distinct trigram precomputes both paths' bits in one
+    * vocabulary-scale join chain (every join keyed, fan-out 1), and
+    * the occurrence→score join SPLITs on the [[RarityHeadK]] hottest
+    * trigrams exactly like the bigram scorer — broadcast head, keyed
+    * tail, fan-in bounded by the head cutoff. */
+  def qLmTrigramBackoff(s: SparkSession, dir: String): DataFrame = {
+    val tg = load(s, dir, "documents")
+      .selectExpr("doc_id", "filter(split(text, ' '), t -> length(t) > 0) as ta")
+      .where("size(ta) >= 3")
+      .selectExpr("doc_id",
+        """explode(transform(sequence(3, size(ta)),
+          |  i -> named_struct('w1', element_at(ta, i - 2),
+          |                    'w2', element_at(ta, i - 1),
+          |                    'w3', element_at(ta, i)))) as g""".stripMargin)
+      .selectExpr("doc_id", "g.w1 as w1", "g.w2 as w2", "g.w3 as w3")
+    val tri = tg.groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("tcnt"))
+    val ctx2 = tri.groupBy(col("w1"), col("w2")).agg(sum(col("tcnt")).as("c2cnt"))
+    // bigram fallback model over the full bigram derivation (docs ≥ 2
+    // tokens) — the same model the bigram scorer uses, so the two
+    // tiers are comparable
+    val bg = load(s, dir, "documents")
+      .selectExpr("doc_id", "filter(split(text, ' '), t -> length(t) > 0) as ta")
+      .where("size(ta) >= 2")
+      .selectExpr("doc_id",
+        """explode(transform(sequence(2, size(ta)),
+          |  i -> named_struct('w2', element_at(ta, i - 1),
+          |                    'w3', element_at(ta, i)))) as g""".stripMargin)
+      .selectExpr("g.w2 as w2", "g.w3 as w3")
+    val bi = bg.groupBy(col("w2"), col("w3")).agg(count(lit(1)).as("bcnt"))
+    val ctx1 = bi.groupBy(col("w2")).agg(sum(col("bcnt")).as("c1cnt"))
+    // per DISTINCT trigram: the chosen path's bits + the backoff flag
+    val scored = tri.join(ctx2, Seq("w1", "w2"))
+      .join(bi, Seq("w2", "w3"))
+      .join(ctx1, Seq("w2"))
+      .selectExpr("w1", "w2", "w3", "tcnt",
+        s"""case when tcnt >= 2
+           |  then length(bin(c2cnt)) - length(bin(tcnt))
+           |  else length(bin(c1cnt)) - length(bin(bcnt)) + $BackoffPenaltyBits
+           |end as sbits""".stripMargin,
+        "case when tcnt >= 2 then 0L else 1L end as backed")
+    val head = scored.orderBy(col("tcnt").desc, col("w1"), col("w2"), col("w3"))
+      .limit(RarityHeadK)
+    val keys = Seq("w1", "w2", "w3")
+    val headRows = tg.join(broadcast(head), keys)
+    val tailRows = tg
+      .join(broadcast(head.select(col("w1"), col("w2"), col("w3"))), keys, "left_anti")
+      .join(scored, keys)
+    headRows.select(col("doc_id"), col("sbits"), col("backed"))
+      .unionByName(tailRows.select(col("doc_id"), col("sbits"), col("backed")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(col("backed")).as("n_backoff"),
+        sum(col("sbits")).as("sb"))
+      .selectExpr("doc_id", "n_trigrams", "cast(n_backoff as bigint) as n_backoff",
+        "cast(sb as double) / n_trigrams as surprisal")
+      .orderBy(col("doc_id"))
+  }
+
+  val qLmTrigramBackoffSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS ta
+       |  FROM documents),
+       |t3 AS (SELECT doc_id, ta FROM d WHERE len(ta) >= 3),
+       |tg AS (SELECT doc_id, ta[i - 2] AS w1, ta[i - 1] AS w2, ta[i] AS w3
+       |       FROM t3, UNNEST(range(3, len(ta) + 1)) AS u(i)),
+       |tri AS (SELECT w1, w2, w3, COUNT(*) AS tcnt FROM tg GROUP BY w1, w2, w3),
+       |ctx2 AS (SELECT w1, w2, CAST(SUM(tcnt) AS BIGINT) AS c2cnt FROM tri GROUP BY w1, w2),
+       |d2 AS (SELECT doc_id, ta FROM d WHERE len(ta) >= 2),
+       |bg AS (SELECT ta[i - 1] AS w2, ta[i] AS w3
+       |       FROM d2, UNNEST(range(2, len(ta) + 1)) AS u(i)),
+       |bi AS (SELECT w2, w3, COUNT(*) AS bcnt FROM bg GROUP BY w2, w3),
+       |ctx1 AS (SELECT w2, CAST(SUM(bcnt) AS BIGINT) AS c1cnt FROM bi GROUP BY w2),
+       |sc AS (
+       |  SELECT t.w1, t.w2, t.w3,
+       |         CASE WHEN t.tcnt >= 2
+       |           THEN length(printf('%b', c2.c2cnt)) - length(printf('%b', t.tcnt))
+       |           ELSE length(printf('%b', c1.c1cnt)) - length(printf('%b', b.bcnt)) + $BackoffPenaltyBits
+       |         END AS sbits,
+       |         CASE WHEN t.tcnt >= 2 THEN 0 ELSE 1 END AS backed
+       |  FROM tri t
+       |  JOIN ctx2 c2 ON t.w1 = c2.w1 AND t.w2 = c2.w2
+       |  JOIN bi b ON t.w2 = b.w2 AND t.w3 = b.w3
+       |  JOIN ctx1 c1 ON t.w2 = c1.w2)
+       |SELECT g.doc_id, COUNT(*) AS n_trigrams,
+       |       CAST(SUM(s.backed) AS BIGINT) AS n_backoff,
+       |       CAST(SUM(s.sbits) AS DOUBLE) / COUNT(*) AS surprisal
+       |FROM tg g JOIN sc s ON g.w1 = s.w1 AND g.w2 = s.w2 AND g.w3 = s.w3
+       |GROUP BY g.doc_id
+       |ORDER BY doc_id""".stripMargin
+
   /** CCNet-style perplexity banding: bucket each SOURCE's documents
     * into head / middle / tail terciles of the corpus-LM surprisal
     * (band 1 = most predictable — the "head" CCNet keeps; band 3 =
@@ -456,6 +565,7 @@ object CorpusStats {
     "q_emb_centroids" -> (qEmbCentroids _),
     "q_token_rarity" -> (qTokenRarity _),
     "q_lm_bigram_surprisal" -> (qLmBigramSurprisal _),
+    "q_lm_trigram_backoff" -> (qLmTrigramBackoff _),
     "q_lm_ppl_band" -> (qLmPplBand _))
 
   val oracleSql: Map[String, String] = Map(
@@ -466,5 +576,6 @@ object CorpusStats {
     "q_emb_centroids" -> qEmbCentroidsSql,
     "q_token_rarity" -> qTokenRaritySql,
     "q_lm_bigram_surprisal" -> qLmBigramSurprisalSql,
+    "q_lm_trigram_backoff" -> qLmTrigramBackoffSql,
     "q_lm_ppl_band" -> qLmPplBandSql)
 }
