@@ -155,6 +155,58 @@ object EventStreams {
       }
   }
 
+  /** One observed (from → to) step in a user's event sequence. */
+  final case class Transition(
+      user_id: Long, from_event: String, to_event: String)
+
+  /** Per-user last-seen event (public for the codegen'd state-store
+    * encoder, like [[SessionState]]). */
+  final case class LastEventState(ts: Long, eventId: Long, eventType: String)
+
+  /** STREAMING transition emission — the continuous twin of the batch
+    * `q_event_transitions` lag window: per user, every consecutive
+    * event pair is emitted as a (from, to) row in the micro-batch
+    * where the successor arrives; the consumer folds pairs into the
+    * transition matrix with an ordinary (additive, idempotent via
+    * batch-id) foreachBatch count — the matrix itself is
+    * O(|event_types|²), so the fold is a constant-size upsert.
+    *
+    * State is ONE (ts, event_id, event_type) triple per active user —
+    * the streaming equivalent of the lag buffer — and idle users evict
+    * after `idleTimeoutHours` of event time, so state tracks the
+    * active population, not history. Ordering contract: in-batch
+    * events sort by (event time, event_id) exactly like the batch
+    * window; across batches the state carries the last event, so the
+    * emitted pairs equal the batch lag pairs whenever arrival respects
+    * event-time order across batches (the watermark discipline) —
+    * parity is spec-pinned batch-vs-stream on split replays. */
+  def transitions(
+      events: Dataset[Event], idleTimeoutHours: Int = 24): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEventState, Transition](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[LastEventState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val out = List.newBuilder[Transition]
+            var prev = state.getOption
+            batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              prev.foreach(p =>
+                out += Transition(userId, p.eventType, e.event_type))
+              prev = Some(LastEventState(e.ts.getTime, e.event_id, e.event_type))
+            }
+            prev.foreach { p =>
+              state.update(p)
+              state.setTimeoutTimestamp(p.ts + idleTimeoutHours * 3600000L)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** Gap-based sessionization with explicit per-user state
     * (flatMapGroupsWithState + event-time timeout): a session closes
     * when no event arrives within `gapMinutes` of its last event (by

@@ -180,4 +180,45 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(u2.t_view === ts(2) && u2.t_click === ts(6) && u2.t_purchase === ts(20))
     } finally query.stop()
   }
+
+  test("streaming transitions equal the batch lag pairs across a split replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = transitions(input.toDS())
+      .writeStream.format("memory").queryName("transitions")
+      .outputMode("append").start()
+    try {
+      // two users, interleaved types, a same-minute tie broken by
+      // event_id (6 before 7), split across TWO micro-batches at an
+      // event-time boundary — the cross-batch pair (user 1: click at
+      // 30 → view at 45) must come from carried state
+      val first = Seq(
+        evt(1, 1, 1, "view", 0), evt(2, 10, 1, "click", 0),
+        evt(3, 5, 2, "view", 0), evt(6, 20, 2, "click", 0),
+        evt(7, 20, 2, "purchase", 0), evt(4, 30, 1, "click", 0))
+      val second = Seq(
+        evt(8, 45, 1, "view", 0), evt(9, 50, 2, "view", 0))
+      input.addData(first: _*)
+      query.processAllAvailable()
+      input.addData(second: _*)
+      query.processAllAvailable()
+
+      val streamed = spark.table("transitions").as[Transition].collect()
+        .map(t => (t.user_id, t.from_event, t.to_event))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      val all = (first ++ second).toDF()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val batch = all
+        .withColumn("to_event", lead(col("event_type"), 1).over(w))
+        .where(col("to_event").isNotNull)
+        .select(col("user_id"), col("event_type"), col("to_event"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      assert(streamed === batch)
+      // the cross-batch carried-state pair specifically
+      assert(streamed.contains((1L, "click", "view")))
+    } finally query.stop()
+  }
 }
