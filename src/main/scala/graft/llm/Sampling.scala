@@ -165,9 +165,13 @@ object Sampling {
     packShards(load(s, dir, "documents")
       .selectExpr("doc_id", "size(split(lower(text), ' ')) as n_toks"))
 
-  /** The packing algebra over an explicit (doc_id, n_toks) frame — the
-    * seam that lets specs drive pathological id distributions. */
-  def packShards(docs: DataFrame): DataFrame = {
+  /** The distributed global prefix sum under both packers: returns
+    * (doc_id, n_toks, prior_toks) where prior_toks is the exact sum of
+    * n_toks over all strictly-smaller doc_ids — bit-identical to a
+    * single global window, executed as range-local windows plus a
+    * broadcast of O(ranges) prefix offsets (steps documented at
+    * [[qShardPack]]). */
+  private[llm] def withPriorToks(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, coalesce, col, expr, lit, sum}
     val s = docs.sparkSession
     val ranges = math.max(1, s.conf.get("spark.sql.shuffle.partitions", "200").toInt)
@@ -203,6 +207,13 @@ object Sampling {
     bucketed.join(broadcast(offsets), "bucket")
       .selectExpr("doc_id", "n_toks",
         "bucket_offset + sum(n_toks) over (partition by bucket order by doc_id rows between unbounded preceding and current row) - n_toks as prior_toks")
+  }
+
+  /** The packing algebra over an explicit (doc_id, n_toks) frame — the
+    * seam that lets specs drive pathological id distributions. */
+  def packShards(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    withPriorToks(docs)
       .selectExpr(s"cast(floor(prior_toks / $ShardBudget) as int) as shard",
         "doc_id", "n_toks")
       .groupBy("shard")
@@ -231,6 +242,85 @@ object Sampling {
        |       MAX(doc_id) AS last_doc
        |FROM c GROUP BY shard
        |ORDER BY shard""".stripMargin
+
+  /** Fixed training-sequence length (whitespace tokens). */
+  private val SeqLen = 2048L
+
+  /** Sequence packing: the step AFTER shard packing in a pretraining
+    * pipeline — documents concatenate in doc_id order and the token
+    * stream is cut into fixed-length training sequences of [[SeqLen]]
+    * tokens, so a document CAN straddle a sequence boundary (attention
+    * masking handles the seam; what the pipeline needs is the exact
+    * doc→sequence layout). Output per sequence: how many documents
+    * contribute, total tokens (= SeqLen except the tail), how many of
+    * its documents carried over from the previous sequence, and the
+    * contributing doc-id range — the manifest a sequence-loader reads.
+    *
+    * Scale shape: the same distributed prefix sum as [[qShardPack]]
+    * (one corpus shuffle + broadcast offsets — never a global window),
+    * then a PER-DOC bounded explode: a document touches
+    * `(first..last spanned sequence)` — at most `n_toks/SeqLen + 1`
+    * rows, so the expansion is ≤ (corpus tokens)/SeqLen + corpus docs
+    * regardless of skew, and a pathological 10⁹-token document expands
+    * to its own token count / SeqLen rows on its own partition, never
+    * through a hot key. Integer-exact throughout (`div`, no doubles),
+    * so the oracle pins boundaries bit-for-bit. */
+  def qSeqPack(s: SparkSession, dir: String): DataFrame =
+    packSequences(load(s, dir, "documents")
+      .selectExpr("doc_id", "size(split(lower(text), ' ')) as n_toks"))
+
+  /** The sequence-packing algebra over an explicit (doc_id, n_toks)
+    * frame — spec seam, mirroring [[packShards]]. */
+  def packSequences(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    withPriorToks(docs)
+      // 0-token docs occupy no sequence (and Spark's sequence(a, a-1)
+      // would count DOWN, not come back empty — guard, don't assume)
+      .where("n_toks > 0")
+      // a doc occupies sequences floor(prior/L) .. floor((prior+n-1)/L);
+      // bounded explode (≤ n/L + 1 rows per doc)
+      .selectExpr("doc_id", "n_toks", "prior_toks",
+        s"explode(sequence(prior_toks div $SeqLen, (prior_toks + n_toks - 1) div $SeqLen)) as seq")
+      .selectExpr("seq", "doc_id", "prior_toks",
+        // tokens this doc contributes to THIS sequence: overlap of
+        // [prior, prior+n) with [seq*L, (seq+1)*L)
+        s"least((seq + 1) * $SeqLen, prior_toks + n_toks) - greatest(seq * $SeqLen, prior_toks) as seq_toks")
+      .groupBy("seq")
+      .agg(
+        expr("count(*) as n_docs"),
+        expr("sum(seq_toks) as seq_tokens"),
+        // docs whose text began before this sequence (carried over the seam)
+        expr(s"sum(case when prior_toks < seq * $SeqLen then 1 else 0 end) as n_carried"),
+        expr("min(doc_id) as first_doc"),
+        expr("max(doc_id) as last_doc"))
+      .orderBy("seq")
+  }
+
+  val qSeqPackSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, len(string_split(lower(text), ' ')) AS n_toks
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, n_toks,
+       |         CAST(SUM(n_toks) OVER (ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_toks
+       |           AS BIGINT) AS prior_toks
+       |  FROM t),
+       |e AS (
+       |  SELECT doc_id, prior_toks,
+       |         unnest(generate_series(prior_toks // $SeqLen,
+       |                                (prior_toks + n_toks - 1) // $SeqLen)) AS seq,
+       |         n_toks
+       |  FROM c)
+       |SELECT seq,
+       |       COUNT(*) AS n_docs,
+       |       CAST(SUM(LEAST((seq + 1) * $SeqLen, prior_toks + n_toks)
+       |              - GREATEST(seq * $SeqLen, prior_toks)) AS BIGINT) AS seq_tokens,
+       |       CAST(SUM(CASE WHEN prior_toks < seq * $SeqLen THEN 1 ELSE 0 END) AS BIGINT) AS n_carried,
+       |       MIN(doc_id) AS first_doc,
+       |       MAX(doc_id) AS last_doc
+       |FROM e GROUP BY seq
+       |ORDER BY seq""".stripMargin
 
   /** Per-source cap hash — third decorrelated odd multiplier (golden
     * ratio), same overflow-safe reduce-then-multiply form. */
@@ -550,6 +640,7 @@ object Sampling {
     "q_mix_temperature" -> (qMixTemperature _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_shard_pack" -> (qShardPack _),
+    "q_seq_pack" -> (qSeqPack _),
     "q_mix_epochs" -> (qMixEpochs _),
     "q_sample_per_source" -> (qSamplePerSource _),
     "q_source_cap" -> (qSourceCap _))
@@ -560,6 +651,7 @@ object Sampling {
     "q_mix_temperature" -> qMixTemperatureSql,
     "q_sample_stratified" -> qSampleStratifiedSql,
     "q_shard_pack" -> qShardPackSql,
+    "q_seq_pack" -> qSeqPackSql,
     "q_mix_epochs" -> qMixEpochsSql,
     "q_sample_per_source" -> qSamplePerSourceSql,
     "q_source_cap" -> qSourceCapSql)

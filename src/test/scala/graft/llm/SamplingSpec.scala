@@ -340,4 +340,60 @@ class SamplingSpec extends AnyFunSuite {
           "smaller source must get at least the larger source's keep rate")
     }
   }
+
+  test("sequence packing partitions the token stream into fixed-length sequences") {
+    val seqs = Sampling.qSeqPack(spark, sf).collect()
+    assert(seqs.nonEmpty)
+    val totalToks = graft.Tables.load(spark, sf, "documents")
+      .selectExpr("size(split(lower(text), ' ')) as n")
+      .agg(org.apache.spark.sql.functions.sum("n")).head.getLong(0)
+    // token partition: every token lands in exactly one sequence
+    assert(seqs.map(_.getLong(2)).sum === totalToks)
+    // contiguous ids from 0; every sequence but the tail holds exactly SeqLen
+    assert(seqs.map(_.getLong(0)).toSeq === seqs.indices.map(_.toLong))
+    seqs.dropRight(1).foreach(r => assert(r.getLong(2) === 2048L,
+      s"interior sequence ${r.getLong(0)} holds ${r.getLong(2)} tokens"))
+    assert(seqs.last.getLong(2) <= 2048L)
+    // the first sequence cannot carry anything over; carried docs bound
+    assert(seqs.head.getLong(3) === 0L)
+    seqs.foreach(r => assert(r.getLong(3) <= 1L || r.getLong(1) >= r.getLong(3),
+      "carried docs exceed contributing docs"))
+  }
+
+  test("sequence packing: a long document straddles boundaries with exact token splits") {
+    // 3 docs: 100 toks, 5000 toks (spans seqs 0..2), 1000 toks
+    val docs = spark.range(0, 3).selectExpr("id as doc_id",
+      "cast(case id when 0 then 100 when 1 then 5000 else 1000 end as int) as n_toks")
+    val got = Sampling.packSequences(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    // stream: doc0 [0,100), doc1 [100,5100), doc2 [5100,6100)
+    // seq0 [0,2048): doc0(100) + doc1(1948); seq1 [2048,4096): doc1(2048)
+    // seq2 [4096,6100): doc1(1004) + doc2(1000) -> 2004 tokens, doc1 carried
+    assert(got.toSeq === Seq(
+      (0L, 2L, 2048L, 0L, 0L, 1L),
+      (1L, 1L, 2048L, 1L, 1L, 1L),
+      (2L, 2L, 2004L, 1L, 1L, 2L)))
+  }
+
+  test("sequence packing matches the single-window oracle semantics bit-for-bit") {
+    val df = Sampling.qSeqPack(spark, sf)
+    val single = graft.Tables.load(spark, sf, "documents")
+      .selectExpr("doc_id", "size(split(lower(text), ' ')) as n_toks")
+      .selectExpr("doc_id", "n_toks",
+        "sum(n_toks) over (order by doc_id rows between unbounded preceding and current row) - n_toks as prior_toks")
+      .where("n_toks > 0")
+      .selectExpr("doc_id", "n_toks", "prior_toks",
+        "explode(sequence(prior_toks div 2048, (prior_toks + n_toks - 1) div 2048)) as seq")
+      .selectExpr("seq", "doc_id", "prior_toks",
+        "least((seq + 1) * 2048, prior_toks + n_toks) - greatest(seq * 2048, prior_toks) as seq_toks")
+      .groupBy("seq")
+      .agg(
+        org.apache.spark.sql.functions.expr("count(*) as n_docs"),
+        org.apache.spark.sql.functions.expr("sum(seq_toks) as seq_tokens"),
+        org.apache.spark.sql.functions.expr("sum(case when prior_toks < seq * 2048 then 1 else 0 end) as n_carried"),
+        org.apache.spark.sql.functions.expr("min(doc_id) as first_doc"),
+        org.apache.spark.sql.functions.expr("max(doc_id) as last_doc"))
+      .orderBy("seq")
+    assert(df.collect().toSeq === single.collect().toSeq)
+  }
 }
