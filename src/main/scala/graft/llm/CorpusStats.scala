@@ -557,7 +557,84 @@ object CorpusStats {
       |GROUP BY g.doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Hashed feature buckets in the DSIR importance model — the fixed
+    * model dimension that makes the score table broadcastable at ANY
+    * corpus size (DSIR's own trick: hashed n-gram features, Xie et
+    * al. 2023, "Data Selection for Language Models via Importance
+    * Resampling"). */
+  val DsirBuckets = 4096L
+
+  /** Importance-weight quantization: 1/1024 units of the per-bucket
+    * target-vs-raw ratio. */
+  val DsirWeightScale = 1024L
+
+  /** DSIR-style importance score: how much each document's tokens lean
+    * toward a TARGET distribution (here: the `lang = 'en'` slice)
+    * relative to the raw-corpus distribution — the
+    * importance-resampling signal for "select web data that looks like
+    * the curated target". Each token occurrence hashes into one of
+    * [[DsirBuckets]] buckets; bucket b carries the importance WEIGHT
+    * `(ct+1)/(cr+1)` (Laplace +1) — the very quantity DSIR samples
+    * proportionally to — quantized to integer [[DsirWeightScale]]ths
+    * via one exact integer division, and a document's score is the
+    * mean weight over its occurrences with ONE final IEEE division.
+    * (The textbook log-ratio form quantized to whole bits collapses
+    * mild ratios — anything in (0.5, 1] floors to the same bucket —
+    * so the linear weight is both the more faithful DSIR quantity and
+    * the one that survives integer-exact cross-engine arithmetic. The
+    * dropped `T_raw/T_target` normalizer is a per-corpus constant
+    * factor, so ranking and thresholding are unaffected.)
+    *
+    * Scale: the model is a ≤[[DsirBuckets]]-row aggregate (map-side
+    * combine collapses every partition to ≤4096 keys) and joins back
+    * BROADCAST — unlike vocabulary-keyed scoring there is no skew join
+    * to split, because the feature space is bounded by construction.
+    * Everything else is per-row: explode, hash, per-doc mean. The
+    * scaled numerator `(ct+1)·1024` stays under 2^63 for any bucket
+    * count below ~9·10^15 tokens — headroom past 100 TB corpora. */
+  def qDsirImportance(s: SparkSession, dir: String): DataFrame = {
+    val toks = load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("token"))
+      .where(length(col("token")) > 0)
+      .selectExpr("doc_id", "lang",
+        s"pmod(${Portable.hSpark("token")}, $DsirBuckets) as bucket")
+    val model = toks.groupBy(col("bucket"))
+      .agg(
+        sum(expr("cast(lang = 'en' as int)")).as("ct"),
+        count(lit(1)).as("cr"))
+      .selectExpr("bucket",
+        s"((ct + 1) * $DsirWeightScale) div (cr + 1) as wq")
+    toks.join(broadcast(model), "bucket")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("wq")).as("sw"))
+      .selectExpr("doc_id", "lang", "n_toks",
+        "cast(sw as double) / n_toks as dsir")
+      .orderBy(col("doc_id"))
+  }
+
+  val qDsirImportanceSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, ${Portable.hDuck("token")} % $DsirBuckets AS bucket
+       |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+       |        FROM documents)
+       |  WHERE len(token) > 0),
+       |m AS (
+       |  SELECT bucket,
+       |         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct,
+       |         COUNT(*) AS cr
+       |  FROM toks GROUP BY bucket),
+       |sc AS (
+       |  SELECT bucket,
+       |         CAST((ct + 1) * $DsirWeightScale AS BIGINT) // CAST(cr + 1 AS BIGINT) AS wq
+       |  FROM m)
+       |SELECT t.doc_id, t.lang AS lang, COUNT(*) AS n_toks,
+       |       CAST(SUM(wq) AS DOUBLE) / COUNT(*) AS dsir
+       |FROM toks t JOIN sc USING (bucket)
+       |GROUP BY t.doc_id, t.lang
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dsir_importance" -> (qDsirImportance _),
     "q_vocab_topk" -> (qVocabTopk _),
     "q_tfidf_keywords" -> (qTfidfKeywords _),
     "q_source_overlap" -> (qSourceOverlap _),
@@ -569,6 +646,7 @@ object CorpusStats {
     "q_lm_ppl_band" -> (qLmPplBand _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_dsir_importance" -> qDsirImportanceSql,
     "q_vocab_topk" -> qVocabTopkSql,
     "q_tfidf_keywords" -> qTfidfKeywordsSql,
     "q_source_overlap" -> qSourceOverlapSql,

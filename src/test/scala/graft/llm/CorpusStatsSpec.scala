@@ -180,4 +180,25 @@ class CorpusStatsSpec extends AnyFunSuite {
         s"source $src bands out of order")
     }
   }
+
+  test("DSIR importance: target-language docs outrank the rest; model stays bounded") {
+    val rows = CorpusStats.qDsirImportance(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // every scoreable doc appears exactly once
+    assert(rows.map(_._1).distinct.length === rows.length)
+    // the signal works: docs FROM the target distribution (lang=en)
+    // must average a higher importance than docs outside it — that is
+    // the whole premise of importance resampling
+    val (en, rest) = rows.partition(_._2 == "en")
+    assert(en.nonEmpty && rest.nonEmpty, "fixture must carry both slices")
+    val enAvg = en.map(_._4).sum / en.length
+    val restAvg = rest.map(_._4).sum / rest.length
+    assert(enAvg > restAvg,
+      s"target slice scored $enAvg, rest $restAvg — importance signal inverted")
+    // deterministic: same inputs, same scores
+    val again = CorpusStats.qDsirImportance(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq === again.toSeq)
+  }
 }
