@@ -244,7 +244,7 @@ object Sampling {
        |ORDER BY shard""".stripMargin
 
   /** Fixed training-sequence length (whitespace tokens). */
-  private val SeqLen = 2048L
+  private[llm] val SeqLen = 2048L
 
   /** Sequence packing: the step AFTER shard packing in a pretraining
     * pipeline — documents concatenate in doc_id order and the token
@@ -269,22 +269,31 @@ object Sampling {
     packSequences(load(s, dir, "documents")
       .selectExpr("doc_id", "size(split(lower(text), ' ')) as n_toks"))
 
-  /** The sequence-packing algebra over an explicit (doc_id, n_toks)
-    * frame — spec seam, mirroring [[packShards]]. */
-  def packSequences(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.expr
+  /** Doc-level sequence assignment with the token stream starting at
+    * `base` (a prior stream's running total): one row per
+    * (doc, spanned sequence) with the exact token split — the form a
+    * sequence-builder consumes, and the seam [[graft.llm.StreamingSeqPack]]
+    * continues batch-over-batch. */
+  private[llm] def packDocSequences(docs: DataFrame, base: Long): DataFrame =
     withPriorToks(docs)
       // 0-token docs occupy no sequence (and Spark's sequence(a, a-1)
       // would count DOWN, not come back empty — guard, don't assume)
       .where("n_toks > 0")
+      .selectExpr("doc_id", "n_toks", s"prior_toks + ${base}L as prior_toks")
       // a doc occupies sequences floor(prior/L) .. floor((prior+n-1)/L);
       // bounded explode (≤ n/L + 1 rows per doc)
       .selectExpr("doc_id", "n_toks", "prior_toks",
         s"explode(sequence(prior_toks div $SeqLen, (prior_toks + n_toks - 1) div $SeqLen)) as seq")
-      .selectExpr("seq", "doc_id", "prior_toks",
+      .selectExpr("seq", "doc_id", "prior_toks", "n_toks",
         // tokens this doc contributes to THIS sequence: overlap of
         // [prior, prior+n) with [seq*L, (seq+1)*L)
         s"least((seq + 1) * $SeqLen, prior_toks + n_toks) - greatest(seq * $SeqLen, prior_toks) as seq_toks")
+
+  /** The sequence-packing algebra over an explicit (doc_id, n_toks)
+    * frame — spec seam, mirroring [[packShards]]. */
+  def packSequences(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    packDocSequences(docs, 0L)
       .groupBy("seq")
       .agg(
         expr("count(*) as n_docs"),
