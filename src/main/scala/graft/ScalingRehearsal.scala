@@ -137,7 +137,13 @@ object ScalingRehearsal {
       "dedup_containment" -> time(graft.llm.Dedup.qDedupContainment(spark, dir)),
       "doc_novelty" -> time(graft.llm.Dedup.qDocNovelty(spark, dir)),
       "lm_trigram_backoff" -> time(graft.llm.CorpusStats.qLmTrigramBackoff(spark, dir)),
-      "emb_truncate_rerank" -> time(graft.llm.Similarity.qEmbTruncateRerank(spark, dir)))
+      "emb_truncate_rerank" -> time(graft.llm.Similarity.qEmbTruncateRerank(spark, dir)),
+      // r12 third wave: seq_pack is the distributed prefix sum + a
+      // token-bounded explode (ratio must track the corpus linearly);
+      // dsir's model is a fixed 4096-bucket broadcast, so its cost is
+      // the two token scans alone — also linear, never skew-bound
+      "seq_pack" -> time(graft.llm.Sampling.qSeqPack(spark, dir)),
+      "dsir_importance" -> time(graft.llm.CorpusStats.qDsirImportance(spark, dir)))
     finally spark.conf.unset(graft.llm.Similarity.IvfCellsConf)
   }
 
