@@ -633,7 +633,79 @@ object CorpusStats {
        |GROUP BY t.doc_id, t.lang
        |ORDER BY doc_id""".stripMargin
 
+  /** CMS grid: 4 rows × 8192 counters ≈ 256 KB of state — fixed at any
+    * corpus size. Error bound: est − exact ≤ e·N/width with probability
+    * 1 − e^−depth (standard CMS), N = total occurrences. */
+  val CmsDepth = 4
+  val CmsWidth = 8192
+  private def cmsA: Array[Long] =
+    (0 until CmsDepth).map(r => Portable.h(s"cmsa$r") % (Dedup.P - 1) + 1).toArray
+  private def cmsB: Array[Long] =
+    (0 until CmsDepth).map(r => Portable.h(s"cmsb$r") % Dedup.P).toArray
+
+  /** Watchlist term counts through a count-min sketch
+    * ([[graft.functions.CmsSketchAgg]]), demoed against the exact
+    * counts of the corpus's top-20 tokens: output is (token, exact,
+    * estimate) — the estimate can only overcount, and the gate pins
+    * both columns, so any drift between the native grid and the
+    * oracle's SQL-rebuilt grid fails loudly.
+    *
+    * Why this exists at 100 TB: "how often do these K watchlist terms
+    * appear" must not pay a vocabulary-scale aggregation (billions of
+    * distinct tokens shuffle for a K-row answer). The sketch's state
+    * is a FIXED 256 KB grid whose partials merge by elementwise sum —
+    * commutative and associative, so the answer is bit-deterministic
+    * under any partitioning or retry order — and the shuffle carries
+    * one grid per mapper, bounded by parallelism, never by data. The
+    * exact half of this demo is the gate's ground truth; a production
+    * watchlist query runs ONLY the sketch side (one scan, zero
+    * vocabulary shuffle). */
+  def qCmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(s, dir)
+      .selectExpr("token", s"${Portable.hSpark("token")} as h")
+    val sketch = toks.agg(
+      graft.functions.CmsSketch.of(CmsDepth, CmsWidth, cmsA, cmsB, Dedup.P)(col("h"))
+        .as("sk"))
+    // exact top-20 (h rides along: constant per token, so max == the value)
+    val top = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("n_exact"), max(col("h")).as("h"))
+      .orderBy(col("n_exact").desc, col("token")).limit(20)
+    val est = (0 until CmsDepth).map { r =>
+      s"element_at(sk, cast(${r * CmsWidth} + ((${cmsA(r)}L * (h % ${Dedup.P}L) + ${cmsB(r)}L) % ${Dedup.P}L) % $CmsWidth as int) + 1)"
+    }.mkString("least(", ", ", ")")
+    top.crossJoin(broadcast(sketch))
+      .selectExpr("token", "n_exact", s"$est as n_est")
+      .orderBy(col("n_exact").desc, col("token"))
+  }
+
+  val qCmsHeavyHittersSql: String = {
+    val consts = (0 until CmsDepth)
+      .map(r => s"($r, ${cmsA(r)}, ${cmsB(r)})").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT token, ${Portable.hDuck("token")} AS h
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+       |  WHERE len(token) > 0),
+       |c(r, a, b) AS (VALUES $consts),
+       |grid AS (
+       |  SELECT c.r AS r, ((c.a * (t.h % ${Dedup.P}) + c.b) % ${Dedup.P}) % $CmsWidth AS bkt,
+       |         COUNT(*) AS cnt
+       |  FROM toks t CROSS JOIN c
+       |  GROUP BY 1, 2),
+       |top AS (
+       |  SELECT token, COUNT(*) AS n_exact, MAX(h) AS h
+       |  FROM toks GROUP BY token
+       |  ORDER BY n_exact DESC, token LIMIT 20)
+       |SELECT t.token, t.n_exact, MIN(g.cnt) AS n_est
+       |FROM top t
+       |CROSS JOIN c
+       |JOIN grid g
+       |  ON g.r = c.r AND g.bkt = ((c.a * (t.h % ${Dedup.P}) + c.b) % ${Dedup.P}) % $CmsWidth
+       |GROUP BY t.token, t.n_exact
+       |ORDER BY t.n_exact DESC, t.token""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cms_heavy_hitters" -> (qCmsHeavyHitters _),
     "q_dsir_importance" -> (qDsirImportance _),
     "q_vocab_topk" -> (qVocabTopk _),
     "q_tfidf_keywords" -> (qTfidfKeywords _),
@@ -646,6 +718,7 @@ object CorpusStats {
     "q_lm_ppl_band" -> (qLmPplBand _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_cms_heavy_hitters" -> qCmsHeavyHittersSql,
     "q_dsir_importance" -> qDsirImportanceSql,
     "q_vocab_topk" -> qVocabTopkSql,
     "q_tfidf_keywords" -> qTfidfKeywordsSql,
