@@ -53,6 +53,19 @@ final case class TableRecord(
 
 final case class TableIdent(namespace: Seq[String], name: String)
 
+/** A catalog view row — the view-side twin of [[TableRecord]]. Views
+  * are metadata-only (no data files): the record is the authoritative
+  * copy and a gzip'd view-metadata.json mirror lands under the view's
+  * server-assigned location, exactly like tables. BEYOND the reference,
+  * which 501s every view mutation (catalog/views.rs:84-189). */
+final case class ViewRecord(
+    viewId: UUID,
+    namespace: Seq[String],
+    name: String,
+    metadata: ViewMetadata,
+    metadataLocation: String,
+    viewLocation: String)
+
 final case class PropertyUpdateResult(
     updated: Seq[String], removed: Seq[String], missing: Seq[String])
 
@@ -166,6 +179,26 @@ trait CatalogStore {
     * prefix of `location` (longest match; staged excluded) — reference
     * LIKE-prefix query postgres/table.rs:430-505. */
   def tableByLocation(wh: UUID, location: String): Either[CatalogError, TableRecord]
+
+  // -- views (BEYOND the reference: catalog/views.rs 501s all of these).
+  // Views share the namespace's name space with tables: a create 409s
+  // against an existing table OR view of the same name, matching the
+  // REST spec's create-view conflict contract.
+  def createView(wh: UUID, ns: Seq[String], name: String, schema: Schema,
+      version: ViewVersion, props: Map[String, String], timestampMs: Long)
+      : Either[CatalogError, ViewRecord]
+  def loadView(wh: UUID, ident: TableIdent): Either[CatalogError, ViewRecord]
+  def viewExists(wh: UUID, ident: TableIdent): Either[CatalogError, Boolean]
+  def listViews(wh: UUID, ns: Seq[String]): Either[CatalogError, Seq[TableIdent]]
+  def dropView(wh: UUID, ident: TableIdent): Either[CatalogError, Unit]
+  def renameView(wh: UUID, source: TableIdent, dest: TableIdent)
+      : Either[CatalogError, Unit]
+  /** View commit: requirements asserted against current metadata inside
+    * the critical section (losers 409), updates folded via
+    * [[ViewUpdate.applyAll]], new metadata mirror written, row swapped. */
+  def commitView(wh: UUID, ident: TableIdent,
+      requirements: Seq[ViewRequirement], updates: Seq[ViewUpdate],
+      timestampMs: Long): Either[CatalogError, ViewRecord]
 }
 
 /** In-memory store for dev/tests. One global monitor plays the role of
@@ -185,6 +218,8 @@ final class InMemoryCatalogStore extends CatalogStore {
   private var namespaces = Map.empty[(UUID, Seq[String]), NamespaceRecord]
   /** (warehouse, ident) → record */
   private var tables = Map.empty[(UUID, TableIdent), TableRecord]
+  /** (warehouse, ident) → view record (same ident space as tables) */
+  private var views = Map.empty[(UUID, TableIdent), ViewRecord]
 
   /** Reserved namespaces (reference catalog/config.rs:15). */
   private val ReservedNamespaces = Set("system", "examples")
@@ -359,7 +394,8 @@ final class InMemoryCatalogStore extends CatalogStore {
       activeWarehouse(wh).flatMap { _ =>
         if (!namespaces.contains((wh, name)))
           Left(notFound("NamespaceNotFound", s"namespace ${name.mkString(".")} not found"))
-        else if (tables.keys.exists { case (w, id) => w == wh && id.namespace == name })
+        else if (tables.keys.exists { case (w, id) => w == wh && id.namespace == name } ||
+                 views.keys.exists { case (w, id) => w == wh && id.namespace == name })
           // FK-violation behavior (reference postgres/namespace.rs:243-297)
           Left(conflict("NamespaceNotEmpty",
             s"namespace ${name.mkString(".")} is not empty"))
@@ -405,6 +441,9 @@ final class InMemoryCatalogStore extends CatalogStore {
           Left(conflict("TableAlreadyExists", s"table $name already exists"))
         case _ => Right(())
       }
+      _ <- if (views.contains((wh, ident)))
+        Left(conflict("ViewAlreadyExists", s"a view named $name already exists"))
+      else Right(())
       tableId = UUID.randomUUID()
       // server-assigned location {wh}/{ns_uuid}/{table_uuid} (reference
       // storage/s3.rs:291-305); client-specified locations are rejected
@@ -509,6 +548,8 @@ final class InMemoryCatalogStore extends CatalogStore {
           s"namespace ${dest.namespace.mkString(".")} not found"))
       _ <- if (tables.get((wh, dest)).exists(!_.staged))
         Left(conflict("TableAlreadyExists", s"table ${dest.name} already exists"))
+      else if (views.contains((wh, dest)))
+        Left(conflict("ViewAlreadyExists", s"a view named ${dest.name} already exists"))
       else Right(())
     } yield {
       tables -= ((wh, source))
@@ -587,4 +628,111 @@ final class InMemoryCatalogStore extends CatalogStore {
           .toRight(notFound("TableNotFound", s"no table owns location $location"))
       }
     }
+
+  // ------------------------------------------------------------- views
+  def createView(wh: UUID, ns: Seq[String], name: String, schema: Schema,
+      version: ViewVersion, props: Map[String, String], timestampMs: Long)
+      : Either[CatalogError, ViewRecord] = lock.synchronized {
+    for {
+      warehouse <- activeWarehouse(wh)
+      nsRec <- namespaces.get((wh, ns))
+        .toRight(notFound("NamespaceNotFound", s"namespace ${ns.mkString(".")} not found"))
+      ident = TableIdent(ns, name)
+      _ <- if (views.contains((wh, ident)))
+        Left(conflict("ViewAlreadyExists", s"view $name already exists"))
+      else if (tables.get((wh, ident)).exists(!_.staged))
+        Left(conflict("TableAlreadyExists", s"a table named $name already exists"))
+      else Right(())
+      viewId = UUID.randomUUID()
+      location = s"${warehouse.location}/${nsRec.id}/$viewId"
+      metadata <- ViewMetadata
+        .newView(viewId, location, schema, version, props, timestampMs)
+        .left.map(badRequest)
+    } yield {
+      val loc = newViewMetadataLocation(location)
+      ViewMetadataIO.write(loc, metadata)
+      val rec = ViewRecord(viewId, ns, name, metadata, loc, location)
+      views += (wh, ident) -> rec
+      rec
+    }
+  }
+
+  private def newViewMetadataLocation(viewLocation: String): String =
+    s"$viewLocation/metadata/${UUID.randomUUID()}.gz.metadata.json"
+
+  def loadView(wh: UUID, ident: TableIdent): Either[CatalogError, ViewRecord] =
+    lock.synchronized {
+      activeWarehouse(wh).flatMap(_ => views.get((wh, ident))
+        .toRight(notFound("ViewNotFound", s"view ${ident.name} not found")))
+    }
+
+  def viewExists(wh: UUID, ident: TableIdent): Either[CatalogError, Boolean] =
+    lock.synchronized {
+      activeWarehouse(wh).map(_ => views.contains((wh, ident)))
+    }
+
+  def listViews(wh: UUID, ns: Seq[String]): Either[CatalogError, Seq[TableIdent]] =
+    lock.synchronized {
+      activeWarehouse(wh).flatMap { _ =>
+        if (!namespaces.contains((wh, ns)))
+          Left(notFound("NamespaceNotFound", s"namespace ${ns.mkString(".")} not found"))
+        else Right(views.collect {
+          case ((`wh`, id), _) if id.namespace == ns => id
+        }.toSeq.sortBy(_.name))
+      }
+    }
+
+  def dropView(wh: UUID, ident: TableIdent): Either[CatalogError, Unit] =
+    lock.synchronized {
+      activeWarehouse(wh).flatMap { _ =>
+        if (views.contains((wh, ident))) { views -= ((wh, ident)); Right(()) }
+        else Left(notFound("ViewNotFound", s"view ${ident.name} not found"))
+      }
+    }
+
+  def renameView(wh: UUID, source: TableIdent, dest: TableIdent)
+      : Either[CatalogError, Unit] = lock.synchronized {
+    for {
+      _ <- activeWarehouse(wh)
+      rec <- views.get((wh, source))
+        .toRight(notFound("ViewNotFound", s"view ${source.name} not found"))
+      _ <- namespaces.get((wh, dest.namespace))
+        .toRight(notFound("NamespaceNotFound",
+          s"namespace ${dest.namespace.mkString(".")} not found"))
+      _ <- if (views.contains((wh, dest)))
+        Left(conflict("ViewAlreadyExists", s"view ${dest.name} already exists"))
+      else if (tables.get((wh, dest)).exists(!_.staged))
+        Left(conflict("TableAlreadyExists", s"a table named ${dest.name} already exists"))
+      else Right(())
+    } yield {
+      views -= ((wh, source))
+      views += (wh, dest) -> rec.copy(namespace = dest.namespace, name = dest.name)
+    }
+  }
+
+  def commitView(wh: UUID, ident: TableIdent,
+      requirements: Seq[ViewRequirement], updates: Seq[ViewUpdate],
+      timestampMs: Long): Either[CatalogError, ViewRecord] = lock.synchronized {
+    for {
+      _ <- activeWarehouse(wh)
+      rec <- views.get((wh, ident))
+        .toRight(notFound("ViewNotFound", s"view ${ident.name} not found"))
+      // requirements asserted against CURRENT metadata inside the lock —
+      // optimistic-concurrency losers observe a 409, same contract as
+      // table commits
+      _ <- requirements.collectFirst {
+        case ViewRequirement.AssertViewUuid(u) if u != rec.metadata.viewUuid =>
+          conflict("CommitFailedException",
+            s"requirement failed: view uuid is ${rec.metadata.viewUuid}, asserted $u")
+      }.toLeft(())
+      next <- ViewUpdate.applyAll(rec.metadata, updates, timestampMs)
+        .left.map(fromCommit)
+    } yield {
+      val loc = newViewMetadataLocation(rec.viewLocation)
+      ViewMetadataIO.write(loc, next)
+      val out = rec.copy(metadata = next, metadataLocation = loc)
+      views += (wh, ident) -> out
+      out
+    }
+  }
 }

@@ -68,7 +68,16 @@ final class JdbcCatalogStore(jdbcUrl: String) extends CatalogStore {
         // metadata file under different names race past the SELECT;
         // the name PK cannot catch them). Safe for every other writer:
         // create/rename/commit never reuse a table_id within a wh.
-        "CREATE UNIQUE INDEX tbls_uuid_uniq ON tbls(wh, table_id)")
+        "CREATE UNIQUE INDEX tbls_uuid_uniq ON tbls(wh, table_id)",
+        """CREATE TABLE vws(
+          |  wh VARCHAR(36) NOT NULL,
+          |  ns VARCHAR(1024) NOT NULL,
+          |  name VARCHAR(255) NOT NULL,
+          |  view_id VARCHAR(36) NOT NULL,
+          |  metadata CLOB NOT NULL,
+          |  metadata_location VARCHAR(2048) NOT NULL,
+          |  view_location VARCHAR(2048) NOT NULL,
+          |  PRIMARY KEY (wh, ns, name))""".stripMargin)
       ddl.foreach { sql =>
         try { val st = c.createStatement(); try st.execute(sql) finally st.close() }
         catch { case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () }
@@ -268,7 +277,9 @@ final class JdbcCatalogStore(jdbcUrl: String) extends CatalogStore {
         if (nsRow(c, wh, name).isEmpty)
           Left(notFound("NamespaceNotFound", s"namespace ${name.mkString(".")} not found"))
         else if (query(c, "SELECT name FROM tbls WHERE wh = ? AND ns = ?",
-          Seq(wh.toString, encodeNs(name)))(_ => ()).nonEmpty)
+          Seq(wh.toString, encodeNs(name)))(_ => ()).nonEmpty ||
+          query(c, "SELECT name FROM vws WHERE wh = ? AND ns = ?",
+            Seq(wh.toString, encodeNs(name)))(_ => ()).nonEmpty)
           Left(conflict("NamespaceNotEmpty",
             s"namespace ${name.mkString(".")} is not empty"))
         else {
@@ -323,6 +334,9 @@ final class JdbcCatalogStore(jdbcUrl: String) extends CatalogStore {
           Left(conflict("TableAlreadyExists", s"table $name already exists"))
         case _ => Right(())
       }
+      _ <- if (viewRow(c, wh, ident).isDefined)
+        Left(conflict("ViewAlreadyExists", s"a view named $name already exists"))
+      else Right(())
       tableId = UUID.randomUUID()
       location = s"${warehouse.location}/${nsRec.id}/$tableId"
       builder <- TableMetadataBuilder
@@ -464,6 +478,8 @@ final class JdbcCatalogStore(jdbcUrl: String) extends CatalogStore {
         s"namespace ${dest.namespace.mkString(".")} not found"))
       _ <- if (tableRow(c, wh, dest).exists(!_.staged))
         Left(conflict("TableAlreadyExists", s"table ${dest.name} already exists"))
+      else if (viewRow(c, wh, dest).isDefined)
+        Left(conflict("ViewAlreadyExists", s"a view named ${dest.name} already exists"))
       else Right(())
     } yield ()
     checks match {
@@ -552,6 +568,171 @@ final class JdbcCatalogStore(jdbcUrl: String) extends CatalogStore {
         case e: Throwable => c.rollback(); throw e
       } finally c.setAutoCommit(true)
     }
+  }
+
+  // ------------------------------------------------------------- views
+  def createView(wh: UUID, ns: Seq[String], name: String, schema: Schema,
+      version: ViewVersion, props: Map[String, String], timestampMs: Long)
+      : Either[CatalogError, ViewRecord] = withConn { c =>
+    for {
+      warehouse <- activeWarehouse(c, wh)
+      nsRec <- nsRow(c, wh, ns).toRight(notFound("NamespaceNotFound",
+        s"namespace ${ns.mkString(".")} not found"))
+      ident = TableIdent(ns, name)
+      _ <- if (viewRow(c, wh, ident).isDefined)
+        Left(conflict("ViewAlreadyExists", s"view $name already exists"))
+      else if (tableRow(c, wh, ident).exists(!_.staged))
+        Left(conflict("TableAlreadyExists", s"a table named $name already exists"))
+      else Right(())
+      viewId = UUID.randomUUID()
+      location = s"${warehouse.location}/${nsRec.id}/$viewId"
+      metadata <- ViewMetadata
+        .newView(viewId, location, schema, version, props, timestampMs)
+        .left.map(badRequest)
+    } yield {
+      val loc = newViewMetadataLocation(location)
+      ViewMetadataIO.write(loc, metadata)
+      val rec = ViewRecord(viewId, ns, name, metadata, loc, location)
+      onDuplicate[ViewRecord](conflict("ViewAlreadyExists",
+        s"view $name already exists")) {
+        update(c, "INSERT INTO vws VALUES (?,?,?,?,?,?,?)", Seq(
+          wh.toString, encodeNs(ns), name, viewId.toString,
+          ViewJsonCodecs.metadataToJson(metadata), loc, location))
+        Right(rec)
+      }.fold(e => throw e, identity)
+    }
+  }
+
+  private def newViewMetadataLocation(viewLocation: String): String =
+    s"$viewLocation/metadata/${UUID.randomUUID()}.gz.metadata.json"
+
+  def loadView(wh: UUID, ident: TableIdent): Either[CatalogError, ViewRecord] =
+    withConn { c =>
+      activeWarehouse(c, wh).flatMap(_ => viewRow(c, wh, ident)
+        .toRight(notFound("ViewNotFound", s"view ${ident.name} not found")))
+    }
+
+  def viewExists(wh: UUID, ident: TableIdent): Either[CatalogError, Boolean] =
+    withConn { c =>
+      activeWarehouse(c, wh).map(_ => viewRow(c, wh, ident).isDefined)
+    }
+
+  def listViews(wh: UUID, ns: Seq[String]): Either[CatalogError, Seq[TableIdent]] =
+    withConn { c =>
+      activeWarehouse(c, wh).flatMap { _ =>
+        if (nsRow(c, wh, ns).isEmpty)
+          Left(notFound("NamespaceNotFound", s"namespace ${ns.mkString(".")} not found"))
+        else Right(query(c,
+          "SELECT name FROM vws WHERE wh = ? AND ns = ? ORDER BY name",
+          Seq(wh.toString, encodeNs(ns)))(rs => TableIdent(ns, rs.getString(1))))
+      }
+    }
+
+  def dropView(wh: UUID, ident: TableIdent): Either[CatalogError, Unit] =
+    withConn { c =>
+      activeWarehouse(c, wh).flatMap { _ =>
+        if (update(c, "DELETE FROM vws WHERE wh = ? AND ns = ? AND name = ?",
+          Seq(wh.toString, encodeNs(ident.namespace), ident.name)) == 0)
+          Left(notFound("ViewNotFound", s"view ${ident.name} not found"))
+        else Right(())
+      }
+    }
+
+  def renameView(wh: UUID, source: TableIdent, dest: TableIdent)
+      : Either[CatalogError, Unit] = withConn { c =>
+    val checks = for {
+      _ <- activeWarehouse(c, wh)
+      _ <- viewRow(c, wh, source)
+        .toRight(notFound("ViewNotFound", s"view ${source.name} not found"))
+      _ <- nsRow(c, wh, dest.namespace).toRight(notFound("NamespaceNotFound",
+        s"namespace ${dest.namespace.mkString(".")} not found"))
+      _ <- if (viewRow(c, wh, dest).isDefined)
+        Left(conflict("ViewAlreadyExists", s"view ${dest.name} already exists"))
+      else if (tableRow(c, wh, dest).exists(!_.staged))
+        Left(conflict("TableAlreadyExists",
+          s"a table named ${dest.name} already exists"))
+      else Right(())
+    } yield ()
+    checks match {
+      case Left(e) => Left(e)
+      case Right(_) => onDuplicate[Unit](conflict("ViewAlreadyExists",
+        s"view ${dest.name} already exists")) {
+        update(c, "UPDATE vws SET ns = ?, name = ? WHERE wh = ? AND ns = ? AND name = ?",
+          Seq(encodeNs(dest.namespace), dest.name, wh.toString,
+            encodeNs(source.namespace), source.name))
+        Right(())
+      }
+    }
+  }
+
+  def commitView(wh: UUID, ident: TableIdent,
+      requirements: Seq[ViewRequirement], updates: Seq[ViewUpdate],
+      timestampMs: Long): Either[CatalogError, ViewRecord] = withConn { c =>
+    activeWarehouse(c, wh).flatMap { _ =>
+      c.setAutoCommit(false)
+      c.setTransactionIsolation(java.sql.Connection.TRANSACTION_SERIALIZABLE)
+      try {
+        // same commit shape as tables: lock the row, assert
+        // requirements against it AS LOCKED, fold updates, swap
+        val existing = lockViewRow(c, wh, ident)
+        val rec = existing.getOrElse {
+          c.rollback()
+          return Left(notFound("ViewNotFound", s"view ${ident.name} not found"))
+        }
+        requirements.collectFirst {
+          case ViewRequirement.AssertViewUuid(u) if u != rec.metadata.viewUuid =>
+            conflict("CommitFailedException",
+              s"requirement failed: view uuid is ${rec.metadata.viewUuid}, asserted $u")
+        } match {
+          case Some(e) => c.rollback(); return Left(e)
+          case None =>
+        }
+        ViewUpdate.applyAll(rec.metadata, updates, timestampMs) match {
+          case Left(e) => c.rollback(); Left(fromCommit(e))
+          case Right(next) =>
+            val loc = newViewMetadataLocation(rec.viewLocation)
+            ViewMetadataIO.write(loc, next)
+            update(c,
+              "UPDATE vws SET metadata = ?, metadata_location = ? WHERE wh = ? AND ns = ? AND name = ?",
+              Seq(ViewJsonCodecs.metadataToJson(next), loc,
+                wh.toString, encodeNs(ident.namespace), ident.name))
+            c.commit()
+            Right(rec.copy(metadata = next, metadataLocation = loc))
+        }
+      } catch {
+        case e: Throwable => c.rollback(); throw e
+      } finally c.setAutoCommit(true)
+    }
+  }
+
+  private def viewRow(c: Connection, wh: UUID, ident: TableIdent): Option[ViewRecord] =
+    query(c, "SELECT * FROM vws WHERE wh = ? AND ns = ? AND name = ?",
+      Seq(wh.toString, encodeNs(ident.namespace), ident.name))(readView).headOption
+
+  private def lockViewRow(c: Connection, wh: UUID, ident: TableIdent)
+      : Option[ViewRecord] = {
+    val ps = c.prepareStatement(
+      "SELECT * FROM vws WHERE wh = ? AND ns = ? AND name = ? FOR UPDATE",
+      ResultSet.TYPE_FORWARD_ONLY, ResultSet.CONCUR_UPDATABLE)
+    try {
+      ps.setString(1, wh.toString)
+      ps.setString(2, encodeNs(ident.namespace))
+      ps.setString(3, ident.name)
+      val rs = ps.executeQuery()
+      try { if (rs.next()) Some(readView(rs)) else None } finally rs.close()
+    } finally ps.close()
+  }
+
+  private def readView(rs: ResultSet): ViewRecord = {
+    val metadata = ViewJsonCodecs.metadataFromJson(rs.getString("metadata"))
+      .fold(e => sys.error(s"corrupt view metadata row: $e"), identity)
+    ViewRecord(
+      UUID.fromString(rs.getString("view_id")),
+      decodeNs(rs.getString("ns")),
+      rs.getString("name"),
+      metadata,
+      rs.getString("metadata_location"),
+      rs.getString("view_location"))
   }
 
   def tableByLocation(wh: UUID, location: String): Either[CatalogError, TableRecord] =

@@ -1,6 +1,6 @@
 package graft.catalog
 
-import graft.core.{JsonCodecs, TableMetadata}
+import graft.core.{JsonCodecs, TableMetadata, ViewJsonCodecs, ViewMetadata}
 
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import java.nio.charset.StandardCharsets
@@ -50,6 +50,38 @@ object MetadataIO {
             finally in.close()
           } else new String(bytes, StandardCharsets.UTF_8)
         JsonCodecs.metadataFromJson(text)
+    }
+  }
+}
+
+/** View-metadata twin of [[MetadataIO]]: same gzip mirror + sniffing
+  * rules, the view-spec codec instead of the table one. */
+object ViewMetadataIO {
+
+  def write(location: String, metadata: ViewMetadata): Unit = {
+    if (!FileIO.canHandle(location)) return
+    val buf = new ByteArrayOutputStream()
+    val out = new GZIPOutputStream(buf)
+    try out.write(
+      ViewJsonCodecs.metadataToJson(metadata).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    FileIO.forLocation(location).write(location, buf.toByteArray)
+  }
+
+  def read(location: String): Either[String, ViewMetadata] = {
+    if (!FileIO.canHandle(location))
+      return Left(s"no storage backend registered for metadata location: $location")
+    FileIO.forLocation(location).read(location) match {
+      case None => Left(s"metadata file not found: $location")
+      case Some(bytes) =>
+        val text =
+          if (bytes.length >= 2 &&
+              (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b) {
+            val in = new GZIPInputStream(new ByteArrayInputStream(bytes))
+            try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+            finally in.close()
+          } else new String(bytes, StandardCharsets.UTF_8)
+        ViewJsonCodecs.metadataFromJson(text)
     }
   }
 }

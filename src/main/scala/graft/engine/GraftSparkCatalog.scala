@@ -41,7 +41,7 @@ import scala.jdk.CollectionConverters._
   * Time-travel loads stay read-only.
   */
 class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
-    with StagingTableCatalog with FunctionCatalog {
+    with StagingTableCatalog with FunctionCatalog with ViewCatalog {
 
   private var catalogName: String = _
   private var client: RestCatalogClient = _
@@ -734,6 +734,107 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     try client.renameTable(prefix, ident(oldIdent), ident(newIdent))
     catch { case e: CatalogError if e.code == 404 =>
       throw new NoSuchTableException(oldIdent) }
+
+  // ------------------------------------------------------------- views
+  // Spark's ViewCatalog connector API over the REST views surface —
+  // BEYOND the reference, which 501s every view mutation
+  // (catalog/views.rs:84-189). Spark 4.1 ships the interface but no
+  // analyzer support, so [[GraftViewResolution]] (injected via
+  // spark.sql.extensions) routes SQL view commands and view reads here,
+  // the same wiring pattern iceberg-spark uses for its view support.
+
+  override def listViews(namespace: String*): Array[Identifier] =
+    try client.listViews(prefix, namespace.toSeq)
+      .map(id => Identifier.of(id.namespace.toArray, id.name)).toArray
+    catch { case e: CatalogError if e.code == 404 =>
+      throw new NoSuchNamespaceException(namespace.toArray) }
+
+  override def loadView(viewIdent: Identifier): View =
+    try {
+      val lv = client.loadView(prefix, ident(viewIdent))
+      new GraftView(viewIdent, lv.metadata)
+    } catch { case e: CatalogError if e.code == 404 =>
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(viewIdent) }
+
+  override def viewExists(viewIdent: Identifier): Boolean =
+    client.viewExists(prefix, ident(viewIdent))
+
+  override def createView(info: ViewInfo): View = {
+    val (schema, version, props) = GraftView.fromViewInfo(info)
+    try {
+      val lv = client.createView(prefix, ident(info.ident), schema, version, props)
+      new GraftView(info.ident, lv.metadata)
+    } catch {
+      case e: CatalogError if e.code == 409 =>
+        throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(info.ident)
+      case e: CatalogError if e.code == 404 =>
+        throw new NoSuchNamespaceException(info.ident.namespace())
+    }
+  }
+
+  override def replaceView(info: ViewInfo, orCreate: Boolean): View = {
+    val id = ident(info.ident)
+    val (schema, version, props) = GraftView.fromViewInfo(info)
+    val existing =
+      try Some(client.loadView(prefix, id))
+      catch { case e: CatalogError if e.code == 404 => None }
+    existing match {
+      case None =>
+        if (!orCreate)
+          throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(info.ident)
+        createView(info)
+      case Some(lv) =>
+        // CAS on the loaded uuid: a concurrent replace loses with a 409
+        // instead of silently clobbering (same contract as table commits)
+        import graft.core.{ViewRequirement, ViewUpdate}
+        val old = lv.metadata.properties
+        val updates = Seq(
+          ViewUpdate.AddSchema(schema),
+          ViewUpdate.AddViewVersion(version.copy(schemaId = -1,
+            summary = version.summary + ("operation" -> "replace"))),
+          ViewUpdate.SetCurrentViewVersion(-1)) ++
+          (if (props != old) Seq(ViewUpdate.SetProperties(props)) else Nil) ++ {
+            val gone = old.keySet -- props.keySet
+            if (gone.nonEmpty) Seq(ViewUpdate.RemoveProperties(gone.toSeq.sorted)) else Nil
+          }
+        val out = client.commitView(prefix, id,
+          Seq(ViewRequirement.AssertViewUuid(lv.metadata.viewUuid)), updates)
+        new GraftView(info.ident, out.metadata)
+    }
+  }
+
+  override def alterView(viewIdent: Identifier, changes: ViewChange*): View = {
+    import graft.core.{ViewRequirement, ViewUpdate}
+    val sets = changes.collect {
+      case c: ViewChange.SetProperty => c.property -> c.value
+    }.toMap
+    val removes = changes.collect {
+      case c: ViewChange.RemoveProperty => c.property
+    }
+    try {
+      val lv = client.loadView(prefix, ident(viewIdent))
+      val updates =
+        (if (sets.nonEmpty) Seq(ViewUpdate.SetProperties(sets)) else Nil) ++
+        (if (removes.nonEmpty) Seq(ViewUpdate.RemoveProperties(removes)) else Nil)
+      val out = client.commitView(prefix, ident(viewIdent),
+        Seq(ViewRequirement.AssertViewUuid(lv.metadata.viewUuid)), updates)
+      new GraftView(viewIdent, out.metadata)
+    } catch { case e: CatalogError if e.code == 404 =>
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(viewIdent) }
+  }
+
+  override def dropView(viewIdent: Identifier): Boolean =
+    try { client.dropView(prefix, ident(viewIdent)); true }
+    catch { case e: CatalogError if e.code == 404 => false }
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit =
+    try client.renameView(prefix, ident(oldIdent), ident(newIdent))
+    catch {
+      case e: CatalogError if e.code == 404 =>
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(oldIdent)
+      case e: CatalogError if e.code == 409 =>
+        throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(newIdent)
+    }
 
   /** Delegates scans to the parquet table, but exposes NO write
     * capability — used for time-travel loads, which must stay

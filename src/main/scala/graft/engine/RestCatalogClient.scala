@@ -134,6 +134,59 @@ final class RestCatalogClient(baseUri: String) {
         .fold(e => throw CatalogError(500, "MalformedMetadata", e), identity))
   }
 
+  // -------------------------------------------------------------- views
+  final case class LoadedView(metadataLocation: String, metadata: ViewMetadata)
+
+  def listViews(prefix: String, ns: Seq[String]): Seq[TableIdent] = {
+    import scala.jdk.CollectionConverters._
+    getJson(viewsUri(prefix, ns)).get("identifiers").elements().asScala
+      .map(i => TableIdent(
+        i.get("namespace").elements().asScala.map(_.asText()).toSeq,
+        i.get("name").asText())).toSeq
+  }
+
+  def createView(prefix: String, ident: TableIdent, schema: Schema,
+      version: ViewVersion, props: Map[String, String]): LoadedView =
+    parseLoadedView(postJson(viewsUri(prefix, ident.namespace),
+      RestCodecs.createViewRequestJson(ident.name, schema, version, props)))
+
+  def loadView(prefix: String, ident: TableIdent): LoadedView =
+    parseLoadedView(getJson(viewUri(prefix, ident)))
+
+  def viewExists(prefix: String, ident: TableIdent): Boolean =
+    send(HttpRequest.newBuilder(URI.create(viewUri(prefix, ident)))
+      .method("HEAD", HttpRequest.BodyPublishers.noBody()).build(),
+      expectError = true).statusCode() == 204
+
+  def dropView(prefix: String, ident: TableIdent): Unit = {
+    send(HttpRequest.newBuilder(URI.create(viewUri(prefix, ident))).DELETE().build())
+    ()
+  }
+
+  def renameView(prefix: String, source: TableIdent, dest: TableIdent): Unit = {
+    def identJson(id: TableIdent) =
+      s"""{"namespace":${id.namespace.map(p => s""""$p"""").mkString("[", ",", "]")},"name":"${id.name}"}"""
+    postJson(s"$baseUri/catalog/v1/$prefix/views/rename",
+      s"""{"source":${identJson(source)},"destination":${identJson(dest)}}""")
+    ()
+  }
+
+  def commitView(prefix: String, ident: TableIdent,
+      requirements: Seq[ViewRequirement], updates: Seq[ViewUpdate]): LoadedView =
+    parseLoadedView(postJson(viewUri(prefix, ident),
+      RestCodecs.commitViewRequestJson(Some(ident), requirements, updates)))
+
+  private def viewsUri(prefix: String, ns: Seq[String]): String =
+    s"$baseUri/catalog/v1/$prefix/namespaces/${encodeNs(ns)}/views"
+  private def viewUri(prefix: String, ident: TableIdent): String =
+    s"${viewsUri(prefix, ident.namespace)}/${URLEncoder.encode(ident.name, "UTF-8")}"
+
+  private def parseLoadedView(n: JsonNode): LoadedView =
+    LoadedView(
+      n.get("metadata-location").asText(),
+      ViewJsonCodecs.metadataFromJson(RestCodecs.render(n.get("metadata")))
+        .fold(e => throw CatalogError(500, "MalformedMetadata", e), identity))
+
   // ------------------------------------------------------------ helpers
   private def tablesUri(prefix: String, ns: Seq[String]): String =
     s"$baseUri/catalog/v1/$prefix/namespaces/${encodeNs(ns)}/tables"

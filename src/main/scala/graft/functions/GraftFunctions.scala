@@ -46,5 +46,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // planted pre-CBO (post operator optimization, pre scan pushdown)
     extensions.injectPreCBORule(spark =>
       graft.engine.MergeRuntimeFiltering(spark))
+    // ViewCatalog wiring: Spark 4.1 ships the connector API but no
+    // analyzer support (its ResolveSessionCatalog hard-fails view DDL
+    // on any non-session catalog), so graft-catalog view commands are
+    // rewritten in the HINT batch — which runs BEFORE that check — and
+    // view reads expand via a normal resolution rule (the iceberg-spark
+    // RewriteViewCommands/ResolveViews pattern)
+    extensions.injectHintResolutionRule(spark =>
+      graft.engine.GraftViewCommandRewrite(spark))
+    extensions.injectResolutionRule(spark =>
+      graft.engine.GraftViewResolution(spark))
   }
 }

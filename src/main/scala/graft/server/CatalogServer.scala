@@ -394,18 +394,83 @@ final class CatalogServer(
             events.nextSequenceNumber(), clock())))
           ok(ex, result)(_ => "")
         }
-      // -- views (reference surface: list is empty, mutations 501/404 —
-      //    catalog/views.rs:43-189)
-      case ("GET", prefix :: "namespaces" :: _ :: "views" :: Nil) =>
-        withWh(ex, prefix)(_ => respond(ex, 200, """{"identifiers":[]}"""))
-      case ("POST", _ :: "namespaces" :: _ :: "views" :: Nil) =>
-        respondError(ex, CatalogError(501, "CreateViewNotSupported",
-          "views are not supported"))
-      case (("GET" | "HEAD" | "DELETE"), _ :: "namespaces" :: _ :: "views" :: _ :: Nil) =>
-        respondError(ex, CatalogError.notFound("ViewNotFound", "views are not supported"))
-      case ("POST", _ :: "views" :: "rename" :: Nil) =>
-        respondError(ex, CatalogError(501, "RenameViewNotSupported",
-          "views are not supported"))
+      // -- views: BEYOND the reference (it serves an empty list and
+      //    501s every mutation, catalog/views.rs:43-189). Full CRUD +
+      //    commit over Iceberg view-spec metadata; routes mirror the
+      //    reference's router shape (api/iceberg/v1/views.rs:80-234).
+      case ("GET", prefix :: "namespaces" :: ns :: "views" :: Nil) =>
+        withWh(ex, prefix) { wh =>
+          ok(ex, store.listViews(wh, decodeNs(ns))) { all =>
+            val (page, next) = paginate(ex, all)(_.name)
+            RestCodecs.listTablesResponse(page, next)
+          }
+        }
+      case ("POST", prefix :: "namespaces" :: ns :: "views" :: Nil) =>
+        withWh(ex, prefix) { wh =>
+          val result = RestCodecs.createViewRequest(readBody(ex)).flatMap { r =>
+            // server-assigned locations only, same rule as tables
+            if (r.location.isDefined)
+              Left(CatalogError.badRequest("client-specified location is not allowed"))
+            else authz.checkTableOp(wh, "create", TableIdent(decodeNs(ns), r.name))
+              .flatMap(_ => store.createView(wh, decodeNs(ns), r.name, r.schema,
+                r.version, r.properties, clock()))
+          }
+          result.foreach(rec => events.emit(CatalogEvent("createView", wh,
+            TableIdent(rec.namespace, rec.name), rec.viewId,
+            events.nextSequenceNumber(), clock())))
+          ok(ex, result)(RestCodecs.loadViewResponse)
+        }
+      case ("GET", prefix :: "namespaces" :: ns :: "views" :: v :: Nil) =>
+        withWh(ex, prefix) { wh =>
+          val ident = TableIdent(decodeNs(ns), v)
+          ok(ex, authz.checkTableOp(wh, "load", ident)
+            .flatMap(_ => store.loadView(wh, ident)))(RestCodecs.loadViewResponse)
+        }
+      case ("HEAD", prefix :: "namespaces" :: ns :: "views" :: v :: Nil) =>
+        withWh(ex, prefix) { wh =>
+          store.viewExists(wh, TableIdent(decodeNs(ns), v)) match {
+            case Right(true) => respond(ex, 204)
+            case Right(false) => respond(ex, 404)
+            case Left(e) => respondError(ex, e)
+          }
+        }
+      case ("DELETE", prefix :: "namespaces" :: ns :: "views" :: v :: Nil) =>
+        withWh(ex, prefix) { wh =>
+          val ident = TableIdent(decodeNs(ns), v)
+          val result = authz.checkTableOp(wh, "drop", ident).flatMap { _ =>
+            val rec = store.loadView(wh, ident).toOption
+            store.dropView(wh, ident).map(_ => rec)
+          }
+          result.foreach(_.foreach(rec => events.emit(CatalogEvent("dropView", wh,
+            ident, rec.viewId, events.nextSequenceNumber(), clock()))))
+          ok(ex, result)(_ => "")
+        }
+      case ("POST", prefix :: "namespaces" :: ns :: "views" :: v :: Nil) =>
+        withWh(ex, prefix) { wh =>
+          val ident = TableIdent(decodeNs(ns), v)
+          val result = RestCodecs.commitViewRequest(readBody(ex)).flatMap { r =>
+            if (r.identifier.exists(_ != ident))
+              Left(CatalogError.badRequest(
+                "identifier in body does not match request path"))
+            else authz.checkTableOp(wh, "commit", ident)
+              .flatMap(_ => store.commitView(wh, ident, r.requirements,
+                r.updates, clock()))
+          }
+          result.foreach(rec => events.emit(CatalogEvent("updateView", wh, ident,
+            rec.viewId, events.nextSequenceNumber(), clock())))
+          ok(ex, result)(RestCodecs.loadViewResponse)
+        }
+      case ("POST", prefix :: "views" :: "rename" :: Nil) =>
+        withWh(ex, prefix) { wh =>
+          val result = RestCodecs.renameTableRequest(readBody(ex)).flatMap(r =>
+            authz.checkTableOp(wh, "rename", r.source)
+              .flatMap(_ => store.renameView(wh, r.source, r.destination))
+              .flatMap(_ => store.loadView(wh, r.destination)))
+          result.foreach(rec => events.emit(CatalogEvent("renameView", wh,
+            TableIdent(rec.namespace, rec.name), rec.viewId,
+            events.nextSequenceNumber(), clock())))
+          ok(ex, result)(_ => "")
+        }
 
       // -- S3 remote signing (§2.1 #19 / §2.4)
       case ("POST", prefix :: "v1" :: "aws" :: "s3" :: "sign" :: Nil) =>

@@ -416,6 +416,179 @@ object RestCodecs {
     render(o)
   }
 
+  // ------------------------------------------------------------- views
+  final case class CreateViewRequest(
+      name: String, schema: Schema, version: ViewVersion,
+      properties: Map[String, String], location: Option[String])
+
+  def createViewRequest(body: String): Either[CatalogError, CreateViewRequest] =
+    for {
+      n <- parse(body)
+      name <- requireField(n, "name").map(_.asText())
+      schemaNode <- requireField(n, "schema")
+      schema <- JsonCodecs.schemaFromJson(schemaNode).left.map(CatalogError.badRequest)
+      verNode <- requireField(n, "view-version")
+      version <- ViewJsonCodecs.versionFromJson(verNode)
+        .left.map(CatalogError.badRequest)
+    } yield CreateViewRequest(name, schema, version,
+      optField(n, "properties").map(stringMap).getOrElse(Map.empty),
+      optField(n, "location").map(_.asText()))
+
+  /** LoadViewResult {metadata-location, metadata} — views always have a
+    * metadata location (no staged state). */
+  def loadViewResponse(rec: ViewRecord): String = {
+    val o = objNode()
+    o.put("metadata-location", rec.metadataLocation)
+    o.set[ObjectNode]("metadata",
+      M.readTree(ViewJsonCodecs.metadataToJson(rec.metadata)))
+    render(o)
+  }
+
+  def viewRequirementToJson(r: ViewRequirement): ObjectNode = {
+    val o = objNode()
+    r match {
+      case ViewRequirement.AssertViewUuid(u) =>
+        o.put("type", "assert-view-uuid"); o.put("uuid", u.toString)
+    }
+    o
+  }
+
+  def viewRequirementFromJson(n: JsonNode): Either[CatalogError, ViewRequirement] =
+    requireField(n, "type").map(_.asText()).flatMap {
+      case "assert-view-uuid" =>
+        requireField(n, "uuid").flatMap { u =>
+          try Right(ViewRequirement.AssertViewUuid(UUID.fromString(u.asText())))
+          catch { case _: IllegalArgumentException =>
+            Left(CatalogError.badRequest("malformed uuid in assert-view-uuid")) }
+        }
+      case other =>
+        Left(CatalogError.badRequest(s"unknown view requirement type: $other"))
+    }
+
+  def viewUpdateToJson(u: ViewUpdate): ObjectNode = {
+    import ViewUpdate._
+    val o = objNode()
+    u match {
+      case AssignUuid(uuid) =>
+        o.put("action", "assign-uuid"); o.put("uuid", uuid.toString)
+      case UpgradeFormatVersion(v) =>
+        o.put("action", "upgrade-format-version"); o.put("format-version", v)
+      case AddSchema(schema) =>
+        o.put("action", "add-schema")
+        o.set[ObjectNode]("schema", JsonCodecs.schemaToJson(schema))
+      case SetLocation(l) =>
+        o.put("action", "set-location"); o.put("location", l)
+      case SetProperties(props) =>
+        o.put("action", "set-properties")
+        val p = objNode(); props.foreach { case (k, v) => p.put(k, v) }
+        o.set[ObjectNode]("updates", p)
+      case RemoveProperties(keys) =>
+        o.put("action", "remove-properties")
+        val a = arrNode(); keys.foreach(a.add)
+        o.set[ObjectNode]("removals", a)
+      case AddViewVersion(v) =>
+        o.put("action", "add-view-version")
+        o.set[ObjectNode]("view-version", ViewJsonCodecs.versionToJson(v))
+      case SetCurrentViewVersion(id) =>
+        o.put("action", "set-current-view-version"); o.put("view-version-id", id)
+    }
+    o
+  }
+
+  def viewUpdateFromJson(n: JsonNode): Either[CatalogError, ViewUpdate] = {
+    import ViewUpdate._
+    requireField(n, "action").map(_.asText()).flatMap {
+      case "assign-uuid" => requireField(n, "uuid").flatMap { u =>
+        try Right(AssignUuid(UUID.fromString(u.asText())))
+        catch { case _: IllegalArgumentException =>
+          Left(CatalogError.badRequest("malformed uuid in assign-uuid")) }
+      }
+      case "upgrade-format-version" =>
+        requireField(n, "format-version").map(v => UpgradeFormatVersion(v.asInt()))
+      case "add-schema" => requireField(n, "schema").flatMap(s =>
+        JsonCodecs.schemaFromJson(s).map(AddSchema(_))
+          .left.map(CatalogError.badRequest))
+      case "set-location" =>
+        requireField(n, "location").map(l => SetLocation(l.asText()))
+      case "set-properties" =>
+        requireField(n, "updates").map(p => SetProperties(stringMap(p)))
+      case "remove-properties" =>
+        requireField(n, "removals").map(r => RemoveProperties(stringSeq(r)))
+      case "add-view-version" => requireField(n, "view-version").flatMap(v =>
+        ViewJsonCodecs.versionFromJson(v).map(AddViewVersion(_))
+          .left.map(CatalogError.badRequest))
+      case "set-current-view-version" =>
+        requireField(n, "view-version-id").map(v => SetCurrentViewVersion(v.asInt()))
+      case other =>
+        Left(CatalogError.badRequest(s"unknown view update action: $other"))
+    }
+  }
+
+  final case class CommitViewRequest(
+      identifier: Option[TableIdent],
+      requirements: Seq[ViewRequirement],
+      updates: Seq[ViewUpdate])
+
+  def commitViewRequest(body: String): Either[CatalogError, CommitViewRequest] =
+    for {
+      n <- parse(body)
+      ident <- optField(n, "identifier") match {
+        case None => Right(None)
+        case Some(in) => for {
+          ns <- requireField(in, "namespace").map(stringSeq)
+          name <- requireField(in, "name").map(_.asText())
+        } yield Some(TableIdent(ns, name))
+      }
+      reqs <- {
+        val parsed = optField(n, "requirements")
+          .map(_.elements().asScala.toSeq).getOrElse(Nil)
+          .map(viewRequirementFromJson)
+        parsed.collectFirst { case Left(e) => Left(e) }
+          .getOrElse(Right(parsed.collect { case Right(r) => r }))
+      }
+      ups <- {
+        val parsed = optField(n, "updates")
+          .map(_.elements().asScala.toSeq).getOrElse(Nil)
+          .map(viewUpdateFromJson)
+        parsed.collectFirst { case Left(e) => Left(e) }
+          .getOrElse(Right(parsed.collect { case Right(u) => u }))
+      }
+    } yield CommitViewRequest(ident, reqs, ups)
+
+  /** Client-side serializer for the same wire (round-trips with
+    * commitViewRequest). */
+  def commitViewRequestJson(
+      ident: Option[TableIdent],
+      requirements: Seq[ViewRequirement],
+      updates: Seq[ViewUpdate]): String = {
+    val o = objNode()
+    ident.foreach { id =>
+      val in = objNode()
+      val ns = arrNode(); id.namespace.foreach(ns.add)
+      in.set[ObjectNode]("namespace", ns)
+      in.put("name", id.name)
+      o.set[ObjectNode]("identifier", in)
+    }
+    val reqs = arrNode(); requirements.foreach(r => reqs.add(viewRequirementToJson(r)))
+    o.set[ObjectNode]("requirements", reqs)
+    val ups = arrNode(); updates.foreach(u => ups.add(viewUpdateToJson(u)))
+    o.set[ObjectNode]("updates", ups)
+    render(o)
+  }
+
+  /** Client-side serializer for create-view. */
+  def createViewRequestJson(
+      name: String, schema: Schema, version: ViewVersion,
+      properties: Map[String, String]): String = {
+    val o = objNode()
+    o.put("name", name)
+    o.set[ObjectNode]("schema", JsonCodecs.schemaToJson(schema))
+    o.set[ObjectNode]("view-version", ViewJsonCodecs.versionToJson(version))
+    val p = objNode(); properties.foreach { case (k, v) => p.put(k, v) }
+    o.set[ObjectNode]("properties", p)
+    render(o)
+  }
+
   /** Uniform error envelope (reference IcebergErrorResponse shape). */
   def errorResponse(e: CatalogError): String = {
     val o = objNode()

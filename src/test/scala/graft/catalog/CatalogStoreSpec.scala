@@ -349,6 +349,93 @@ abstract class CatalogStoreContract extends AnyFunSuite {
       stageCreate = false, timestampMs = t0).left.exists(_.code === 400))
     assert(store.tableExists(wh, TableIdent(Seq("ns"), "t2")) === Right(false))
   }
+
+  // ------------------------------------------------------ views (r12)
+  private def viewVersion(sql: String): ViewVersion =
+    ViewVersion(1, t0, 0, Map("operation" -> "create"),
+      Seq(ViewRepresentation("spark", sql)), Some("cat"), Seq("ns"))
+
+  test("view lifecycle: create, load, list, exists, rename, drop") {
+    val (store, wh) = freshStore()
+    assert(store.createNamespace(wh, Seq("ns"), Map.empty).isRight)
+    val rec = store.createView(wh, Seq("ns"), "v", schema,
+      viewVersion("SELECT 1"), Map("team" -> "data"), t0)
+      .fold(e => fail(e.message), identity)
+    assert(rec.metadata.currentVersionId === 1)
+    assert(rec.metadata.currentVersion.summary("operation") === "create")
+    assert(store.loadView(wh, TableIdent(Seq("ns"), "v")).map(_.viewId) ===
+      Right(rec.viewId))
+    assert(store.listViews(wh, Seq("ns")) ===
+      Right(Seq(TableIdent(Seq("ns"), "v"))))
+    assert(store.viewExists(wh, TableIdent(Seq("ns"), "v")) === Right(true))
+    assert(store.renameView(wh, TableIdent(Seq("ns"), "v"),
+      TableIdent(Seq("ns"), "v2")).isRight)
+    assert(store.viewExists(wh, TableIdent(Seq("ns"), "v")) === Right(false))
+    assert(store.dropView(wh, TableIdent(Seq("ns"), "v2")).isRight)
+    assert(store.dropView(wh, TableIdent(Seq("ns"), "v2")).left.exists(_.code === 404))
+  }
+
+  test("view commit: uuid CAS, add-version/-1 sentinels, history append") {
+    val (store, wh) = freshStore()
+    assert(store.createNamespace(wh, Seq("ns"), Map.empty).isRight)
+    val rec = store.createView(wh, Seq("ns"), "v", schema,
+      viewVersion("SELECT 1"), Map.empty, t0).fold(e => fail(e.message), identity)
+    val id = TableIdent(Seq("ns"), "v")
+
+    // stale uuid loses with 409 INSIDE the commit
+    assert(store.commitView(wh, id,
+      Seq(ViewRequirement.AssertViewUuid(UUID.randomUUID())),
+      Seq(ViewUpdate.SetProperties(Map("a" -> "b"))), t0 + 1)
+      .left.exists(_.code === 409))
+
+    // replace: add-schema + add-view-version(-1) + set-current(-1)
+    val schema2 = Schema(0, Seq(NestedField.required(1, "id", TInt)))
+    val out = store.commitView(wh, id,
+      Seq(ViewRequirement.AssertViewUuid(rec.metadata.viewUuid)),
+      Seq(ViewUpdate.AddSchema(schema2),
+        ViewUpdate.AddViewVersion(ViewVersion(0, 0, -1,
+          Map("operation" -> "replace"),
+          Seq(ViewRepresentation("spark", "SELECT 2")), Some("cat"), Seq("ns"))),
+        ViewUpdate.SetCurrentViewVersion(-1)), t0 + 2)
+      .fold(e => fail(e.message), identity)
+    assert(out.metadata.currentVersionId === 2)
+    assert(out.metadata.versions(2).representations.head.sql === "SELECT 2")
+    assert(out.metadata.versionLog.map(_.versionId) === Seq(1, 2))
+    assert(out.metadata.schemas.size === 2)
+    // new metadata mirror written at a NEW location
+    assert(out.metadataLocation !== rec.metadataLocation)
+
+    // set-current to a MISSING version is a validation error
+    assert(store.commitView(wh, id, Nil,
+      Seq(ViewUpdate.SetCurrentViewVersion(99)), t0 + 3)
+      .left.exists(_.code === 400))
+  }
+
+  test("views and tables share the name space; drops guard the namespace") {
+    val (store, wh) = freshStore()
+    assert(store.createNamespace(wh, Seq("ns"), Map.empty).isRight)
+    createTable(store, wh, Seq("ns"), "t")
+    // a view cannot shadow a table, nor a table a view
+    assert(store.createView(wh, Seq("ns"), "t", schema,
+      viewVersion("SELECT 1"), Map.empty, t0).left.exists(_.code === 409))
+    assert(store.createView(wh, Seq("ns"), "v", schema,
+      viewVersion("SELECT 1"), Map.empty, t0).isRight)
+    assert(store.createTable(wh, Seq("ns"), "v", schema,
+      UnboundPartitionSpec.Unpartitioned, None, Map.empty,
+      stageCreate = false, timestampMs = t0).left.exists(_.code === 409))
+    // rename onto either kind conflicts
+    createTable(store, wh, Seq("ns"), "t2")
+    assert(store.renameTable(wh, TableIdent(Seq("ns"), "t2"),
+      TableIdent(Seq("ns"), "v")).left.exists(_.code === 409))
+    assert(store.renameView(wh, TableIdent(Seq("ns"), "v"),
+      TableIdent(Seq("ns"), "t")).left.exists(_.code === 409))
+    // namespace with only a view left is still non-empty
+    assert(store.dropTable(wh, TableIdent(Seq("ns"), "t")).isRight)
+    assert(store.dropTable(wh, TableIdent(Seq("ns"), "t2")).isRight)
+    assert(store.dropNamespace(wh, Seq("ns")).left.exists(_.code === 409))
+    assert(store.dropView(wh, TableIdent(Seq("ns"), "v")).isRight)
+    assert(store.dropNamespace(wh, Seq("ns")).isRight)
+  }
 }
 
 /** The contract run against the in-memory dev/test store. */

@@ -327,15 +327,53 @@ class CatalogServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       .statusCode() === 405)
   }
 
-  test("views surface matches the reference: empty list, 501 mutations") {
-    assert(get(s"/catalog/v1/$prefix/namespaces/web/views").statusCode() === 200)
-    assert(get(s"/catalog/v1/$prefix/namespaces/web/views").body() ===
-      """{"identifiers":[]}""")
-    assert(post(s"/catalog/v1/$prefix/namespaces/web/views",
-      """{"name":"v"}""").statusCode() === 501)
-    assert(get(s"/catalog/v1/$prefix/namespaces/web/views/v").statusCode() === 404)
-    assert(req("DELETE", s"/catalog/v1/$prefix/namespaces/web/views/v").statusCode() === 404)
-    assert(post(s"/catalog/v1/$prefix/views/rename", """{}""").statusCode() === 501)
+  test("views surface: real CRUD (BEYOND the reference's empty-list/501 parity)") {
+    // own namespace: self-sufficient under any test ordering
+    assert(post(s"/catalog/v1/$prefix/namespaces",
+      """{"namespace":["vns"],"properties":{}}""").statusCode() === 200)
+    // empty list and 404s before anything exists — same observable
+    // starting state as the reference, but live routes behind it
+    assert(get(s"/catalog/v1/$prefix/namespaces/vns/views").statusCode() === 200)
+    assert(json(get(s"/catalog/v1/$prefix/namespaces/vns/views").body())
+      .get("identifiers").size() === 0)
+    assert(get(s"/catalog/v1/$prefix/namespaces/vns/views/v").statusCode() === 404)
+    assert(req("DELETE", s"/catalog/v1/$prefix/namespaces/vns/views/v").statusCode() === 404)
+    // malformed create is a 400 (missing schema/view-version), not a 501
+    assert(post(s"/catalog/v1/$prefix/namespaces/vns/views",
+      """{"name":"v"}""").statusCode() === 400)
+
+    // create → load → list → head → rename → drop, all live
+    val createBody =
+      """{"name":"v",
+        |"schema":{"schema-id":0,"type":"struct","fields":[
+        |  {"id":1,"name":"x","required":true,"type":"long"}]},
+        |"view-version":{"version-id":1,"timestamp-ms":0,"schema-id":0,
+        |  "summary":{"operation":"create"},
+        |  "representations":[{"type":"sql","sql":"SELECT 1 AS x","dialect":"spark"}],
+        |  "default-namespace":["vns"]},
+        |"properties":{"team":"data"}}""".stripMargin
+    val created = post(s"/catalog/v1/$prefix/namespaces/vns/views", createBody)
+    assert(created.statusCode() === 200)
+    val md = json(created.body()).get("metadata")
+    assert(md.get("format-version").asInt() === 1)
+    assert(md.get("current-version-id").asInt() === 1)
+    assert(json(created.body()).get("metadata-location").asText().nonEmpty)
+
+    assert(get(s"/catalog/v1/$prefix/namespaces/vns/views/v").statusCode() === 200)
+    assert(req("HEAD", s"/catalog/v1/$prefix/namespaces/vns/views/v").statusCode() === 204)
+    val listed = json(get(s"/catalog/v1/$prefix/namespaces/vns/views").body())
+    assert(listed.get("identifiers").get(0).get("name").asText() === "v")
+    // duplicate create is a 409
+    assert(post(s"/catalog/v1/$prefix/namespaces/vns/views", createBody)
+      .statusCode() === 409)
+
+    assert(post(s"/catalog/v1/$prefix/views/rename",
+      """{"source":{"namespace":["vns"],"name":"v"},"destination":{"namespace":["vns"],"name":"v2"}}""")
+      .statusCode() === 204)
+    assert(get(s"/catalog/v1/$prefix/namespaces/vns/views/v").statusCode() === 404)
+    assert(req("DELETE", s"/catalog/v1/$prefix/namespaces/vns/views/v2").statusCode() === 204)
+    assert(json(get(s"/catalog/v1/$prefix/namespaces/vns/views").body())
+      .get("identifiers").size() === 0)
   }
 
   test("a present but undecodable storage-credential is a 400, not silently dropped") {
