@@ -633,6 +633,73 @@ object CorpusStats {
        |GROUP BY t.doc_id, t.lang
        |ORDER BY doc_id""".stripMargin
 
+  /** KMV keep-size: 64 longs of state per group. Standard error of the
+    * distinct estimate ≈ 1/√(k−2) ≈ 12.7% — the scale knob is k, not
+    * the corpus. */
+  val KmvK = 64
+  private val TwoPow60 = "1152921504606846976.0" // 2^60, the hash range
+
+  /** Per-source distinct-BIGRAM cardinality via the KMV sketch
+    * ([[graft.functions.KmvSketchAgg]]): keep the k smallest DISTINCT
+    * 60-bit hashes per source; the k-th smallest estimates the
+    * cardinality as (k−1)·2^60/kth. Bigrams, not unigrams, so the
+    * per-group cardinality (~700 per source at sf0.01) actually FILLS
+    * the sketch and the estimator path is what the gate exercises.
+    *
+    * Why this exists at 100 TB: per-source COUNT(DISTINCT ngram) is a
+    * vocabulary-scale shuffle — billions of keys move so a
+    * sources-count answer can come back. The sketch state is ≤ k longs
+    * per source, merges by sorted-merge-dedup (commutative/associative
+    * ⇒ bit-deterministic under any partitioning), and — unlike
+    * engine-native HLL — is EXACTLY reproducible cross-engine: the
+    * oracle recomputes the same k minimum md5-hashes in SQL, so the
+    * gate pins the kept set itself (n_kept + kth_min), not a tolerance
+    * band around an estimate. The estimate column divides two exactly
+    * representable doubles, identical IEEE result in both engines. */
+  def qKmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    val bg = load(s, dir, "documents")
+      .selectExpr("source", "filter(split(text, ' '), t -> length(t) > 0) as ta")
+      .where("size(ta) >= 2")
+      .selectExpr("source",
+        """explode(transform(sequence(2, size(ta)),
+          |  i -> concat(element_at(ta, i - 1), ' ', element_at(ta, i)))) as bigram""".stripMargin)
+      .selectExpr("source", s"${Portable.hSpark("bigram")} as h")
+    bg.groupBy(col("source"))
+      .agg(graft.functions.KmvSketch.of(KmvK)(col("h")).as("sk"))
+      .selectExpr(
+        "source",
+        "cast(size(sk) as bigint) as n_kept",
+        "element_at(sk, size(sk)) as kth_min",
+        s"case when size(sk) < $KmvK then cast(size(sk) as double) " +
+          s"else ${KmvK - 1}.0 * $TwoPow60 / cast(element_at(sk, $KmvK) as double) end " +
+          "as est_distinct")
+      .orderBy(col("source"))
+  }
+
+  val qKmvDistinctSql: String =
+    s"""WITH d AS (
+       |  SELECT source, list_filter(string_split(text, ' '), t -> len(t) > 0) AS ta
+       |  FROM documents),
+       |d2 AS (SELECT source, ta FROM d WHERE len(ta) >= 2),
+       |h AS (
+       |  SELECT DISTINCT source,
+       |         ${Portable.hDuck("ta[i - 1] || ' ' || ta[i]")} AS h
+       |  FROM d2, UNNEST(range(2, len(ta) + 1)) AS u(i)),
+       |r AS (
+       |  SELECT source, h,
+       |         row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
+       |         count(*) OVER (PARTITION BY source) AS nd
+       |  FROM h)
+       |SELECT source,
+       |       count(*) AS n_kept,
+       |       max(h) AS kth_min,
+       |       CASE WHEN max(nd) < $KmvK THEN CAST(max(nd) AS DOUBLE)
+       |            ELSE ${KmvK - 1}.0 * $TwoPow60 / CAST(max(h) AS DOUBLE) END
+       |         AS est_distinct
+       |FROM r WHERE rn <= $KmvK
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   /** CMS grid: 4 rows × 8192 counters ≈ 256 KB of state — fixed at any
     * corpus size. Error bound: est − exact ≤ e·N/width with probability
     * 1 − e^−depth (standard CMS), N = total occurrences. */
@@ -706,6 +773,7 @@ object CorpusStats {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cms_heavy_hitters" -> (qCmsHeavyHitters _),
+    "q_kmv_distinct" -> (qKmvDistinct _),
     "q_dsir_importance" -> (qDsirImportance _),
     "q_vocab_topk" -> (qVocabTopk _),
     "q_tfidf_keywords" -> (qTfidfKeywords _),
@@ -719,6 +787,7 @@ object CorpusStats {
 
   val oracleSql: Map[String, String] = Map(
     "q_cms_heavy_hitters" -> qCmsHeavyHittersSql,
+    "q_kmv_distinct" -> qKmvDistinctSql,
     "q_dsir_importance" -> qDsirImportanceSql,
     "q_vocab_topk" -> qVocabTopkSql,
     "q_tfidf_keywords" -> qTfidfKeywordsSql,
