@@ -1,0 +1,350 @@
+package graft.engine
+
+import graft.catalog.TableIdent
+import org.apache.spark.sql.{Column, DataFrame, GraftShims, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, SubqueryAlias}
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions.{col, lit}
+
+/** MATERIALIZED views over the engine: the MV is an ordinary catalog
+  * TABLE carrying its defining SQL in table properties, refreshed
+  * exactly-once through the same checkpoint-in-snapshot construct
+  * [[ChangelogApply]] uses. BEYOND both the reference (no views at
+  * all) and Spark (which parses `CREATE MATERIALIZED VIEW` into a
+  * logical node, `CreateMaterializedViewAsSelect`, that NO built-in
+  * session catalog executes).
+  *
+  * Refresh routing — the 100 TB story:
+  *  - when the defining query is a FOLDABLE aggregate (group-by keys +
+  *    any of count(*) / count(v) / sum(v) over ONE graft table with an
+  *    optional deterministic WHERE), refresh folds the source's
+  *    CHANGELOG into the stored rows via
+  *    [[ChangelogApply.applyCountSum]]: a 100 TB source with a 1 GB
+  *    daily delta pays 1 GB, never 100 TB, and the advanced source
+  *    checkpoint commits ATOMICALLY with the new content (crash-safe
+  *    exactly-once — a replayed refresh is a no-op);
+  *  - any other query shape falls back to a full recompute, still a
+  *    single CAS-guarded overwrite commit.
+  *
+  * The create-time population of a foldable MV is pinned AT the source
+  * snapshot recorded as its first checkpoint (scan-at-S + ckpt=S in one
+  * commit), so the first incremental refresh folds exactly the changes
+  * after what the table holds — no create/refresh race window. */
+object GraftMaterializedViews {
+
+  val MarkerProp = "graft.mv"
+  val SqlProp = "graft.mv.sql"
+  val DefCatProp = "graft.mv.default-catalog"
+  val DefNsProp = "graft.mv.default-namespace"
+  private val NsSep = "\u001f"
+
+  /** How a refresh executed — surfaced for observability and specs. */
+  sealed trait RefreshMode
+  case object Incremental extends RefreshMode
+  case object Full extends RefreshMode
+  case object NoOp extends RefreshMode
+
+  // ----------------------------------------------------------- create
+  private[engine] def create(
+      spark: SparkSession,
+      catalog: GraftSparkCatalog,
+      id: Identifier,
+      userCols: Seq[String],
+      query: LogicalPlan,
+      originalText: String,
+      ifNotExists: Boolean,
+      properties: Map[String, String]): Unit = {
+    if (catalog.tableExists(id)) {
+      if (ifNotExists) return
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(id)
+    }
+    val analyzed = spark.sessionState.executePlan(query).analyzed
+    if (userCols.nonEmpty && userCols.size != analyzed.output.size)
+      throw new IllegalArgumentException(
+        s"materialized view column list has ${userCols.size} names but query " +
+          s"produces ${analyzed.output.size} columns")
+    val fields = analyzed.output.zipWithIndex.map { case (attr, i) =>
+      org.apache.spark.sql.types.StructField(
+        userCols.lift(i).getOrElse(attr.name), attr.dataType, attr.nullable)
+    }
+    val mgr = spark.sessionState.catalogManager
+    val props = properties ++ Map(
+      MarkerProp -> "true",
+      SqlProp -> originalText,
+      DefCatProp -> mgr.currentCatalog.name(),
+      DefNsProp -> mgr.currentNamespace.mkString(NsSep))
+    catalog.createTable(id, org.apache.spark.sql.types.StructType(fields),
+      Array.empty, props.asJava)
+    val ti = TableIdent(id.namespace().toSeq, id.name())
+    val mv = catalog.engineTable(ti)
+    shapeOf(spark, analyzed) match {
+      case Some(shape) =>
+        // pinned cold start: scan the source AT its head snapshot and
+        // commit content + that snapshot as the checkpoint atomically
+        val source = shape.sourceTable(spark)
+        source.metadata.currentSnapshotId match {
+          case Some(head) =>
+            val base = shape.applyFilter(
+              source.scan(spark, source.AtSnapshot(head)))
+            mv.overwriteAll(shape.recompute(base, fields.map(_.name)), None,
+              extraProperties = Map(
+                ChangelogApply.ckptKey(shape.sourceName) -> head.toString))
+          case None => // empty source: leave the MV empty, first refresh cold-starts
+        }
+      case None =>
+        val df = GraftShims.ofRows(spark, analyzed)
+        mv.overwriteAll(df.toDF(fields.map(_.name): _*), None)
+    }
+  }
+
+  // ---------------------------------------------------------- refresh
+  /** One refresh tick. Incremental when the stored SQL still matches a
+    * foldable shape AND the MV carries a checkpoint for that source;
+    * full recompute otherwise; NoOp when already current. */
+  def refresh(
+      spark: SparkSession,
+      catalog: GraftSparkCatalog,
+      ti: TableIdent): RefreshMode = {
+    val mv = catalog.engineTable(ti)
+    val meta = mv.metadata
+    require(meta.properties.get(MarkerProp).contains("true"),
+      s"${ti.namespace.mkString(".")}.${ti.name} is not a materialized view")
+    val sql = meta.properties.getOrElse(SqlProp, throw new IllegalStateException(
+      s"materialized view ${ti.name} lost its defining SQL property"))
+    val defCat = meta.properties.get(DefCatProp)
+    val defNs = meta.properties.get(DefNsProp)
+      .map(_.split(NsSep).toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    val parsed = GraftViewResolution.qualifyRelations(
+      spark, spark.sessionState.sqlParser.parsePlan(sql), defCat, defNs)
+    val analyzed = spark.sessionState.executePlan(parsed).analyzed
+    val outNames = mv.metadata.currentSchema.fields.map(_.name)
+
+    shapeOf(spark, analyzed) match {
+      case Some(shape) =>
+        val source = shape.sourceTable(spark)
+        val srcHead = source.metadata.currentSnapshotId.getOrElse(return NoOp)
+        val key = ChangelogApply.ckptKey(shape.sourceName)
+        meta.properties.get(key).flatMap(_.toLongOption) match {
+          case Some(c) if c == srcHead => NoOp
+          case Some(c) =>
+            val changes = shape.applyFilter(
+              source.changelogScan(spark, c, Some(srcHead)))
+            val prev = shape.toInternal(mv.scan(spark))
+            val folded = ChangelogApply.applyCountSum(
+              prev, shape.withValue(changes), shape.keySrcNames, shape.valueName)
+            mv.overwriteAll(shape.fromInternal(folded, outNames, mv),
+              meta.currentSnapshotId,
+              extraProperties = Map(key -> srcHead.toString))
+            Incremental
+          case None =>
+            val base = shape.applyFilter(
+              source.scan(spark, source.AtSnapshot(srcHead)))
+            mv.overwriteAll(shape.recompute(base, outNames),
+              meta.currentSnapshotId,
+              extraProperties = Map(key -> srcHead.toString))
+            Full
+        }
+      case None =>
+        val df = GraftShims.ofRows(spark, analyzed)
+        mv.overwriteAll(df.toDF(outNames: _*), meta.currentSnapshotId)
+        Full
+    }
+  }
+
+  // ------------------------------------------------- shape detection
+  /** One MV output column of a foldable aggregate. */
+  private[engine] sealed trait OutCol
+  private[engine] final case class KeyOut(srcName: String, outName: String) extends OutCol
+  private[engine] final case class CountStarOut(outName: String) extends OutCol
+  private[engine] final case class CountVOut(outName: String) extends OutCol
+  private[engine] final case class SumVOut(outName: String) extends OutCol
+
+  /** A defining query that folds through [[ChangelogApply.applyCountSum]]:
+    * `SELECT keys..., count(*)/count(v)/sum(v)... FROM <graft table>
+    * [WHERE deterministic-predicate] GROUP BY keys...`. */
+  private[engine] final case class FoldShape(
+      catalogName: String,
+      sourceIdent: TableIdent,
+      filter: Option[Expression], // unresolved-by-name, deterministic
+      outs: Seq[OutCol],
+      valueSrc: Option[String]) {
+
+    def sourceName: String = s"$catalogName.${sourceIdent.namespace.mkString(".")}.${sourceIdent.name}"
+    def keySrcNames: Seq[String] = outs.collect { case k: KeyOut => k.srcName }
+    private def keyOuts: Seq[KeyOut] = outs.collect { case k: KeyOut => k }
+
+    def sourceTable(spark: SparkSession): GraftTable = {
+      val plugin = GraftShims.catalogPlugin(spark, Some(catalogName))
+      plugin.asInstanceOf[GraftSparkCatalog].engineTable(sourceIdent)
+    }
+
+    def applyFilter(df: DataFrame): DataFrame =
+      filter.fold(df)(e => df.filter(GraftShims.column(e)))
+
+    /** Name the fold's value column; when the query has no value
+      * aggregate a constant 1 stands in (sum of 1s == count — the fold
+      * stays exact and the synthetic columns are dropped on output). */
+    val valueName: String = valueSrc.getOrElse("__mv_one")
+    def withValue(changes: DataFrame): DataFrame =
+      if (valueSrc.isDefined) changes else changes.withColumn(valueName, lit(1L))
+
+    /** Stored MV rows → the internal (keys..., n_rows, n_vals, sum_v)
+      * frame [[ChangelogApply.applyCountSum]] folds. */
+    def toInternal(stored: DataFrame): DataFrame = {
+      val nRows = outs.collectFirst { case c: CountStarOut => col(c.outName) }.get
+      val nVals = outs.collectFirst { case c: CountVOut => col(c.outName) }
+        .getOrElse(nRows) // value col proven non-nullable (or synthetic 1)
+      val sumV = outs.collectFirst { case c: SumVOut => col(c.outName) }
+        .getOrElse(nRows.cast("long")) // synthetic value 1: sum == count
+      stored.select(
+        keyOuts.map(k => col(k.outName).as(k.srcName)) ++ Seq(
+          nRows.cast("long").as("n_rows"),
+          nVals.cast("long").as("n_vals"),
+          sumV.as("sum_v")): _*)
+    }
+
+    /** Folded internal frame → the MV's declared columns, cast to its
+      * declared types (sum over int widens internally; the table
+      * schema wins). */
+    def fromInternal(folded: DataFrame, outNames: Seq[String], mv: GraftTable): DataFrame = {
+      val types = mv.metadata.currentSchema.fields
+        .map(f => f.name -> SchemaBridge.toSpark(f.fieldType)).toMap
+      val byName: Map[String, Column] = outs.map {
+        case KeyOut(src, out) => out -> col(src).cast(types(out)).as(out)
+        case CountStarOut(out) => out -> col("n_rows").cast(types(out)).as(out)
+        case CountVOut(out) => out -> col("n_vals").cast(types(out)).as(out)
+        case SumVOut(out) => out -> col("sum_v").cast(types(out)).as(out)
+      }.toMap
+      // column order must match the declared schema
+      folded.select(outNames.map(byName): _*)
+    }
+
+    /** Full recompute in the MV's declared column order — the cold
+      * start and the fallback the incremental fold must always equal. */
+    def recompute(base: DataFrame, outNames: Seq[String]): DataFrame = {
+      val grouped = base.groupBy(keySrcNames.map(col): _*)
+      val aggs = outs.collect {
+        case CountStarOut(out) => org.apache.spark.sql.functions.count(lit(1)).as(out)
+        case CountVOut(out) => org.apache.spark.sql.functions.count(col(valueName)).as(out)
+        case SumVOut(out) => org.apache.spark.sql.functions.sum(col(valueName)).as(out)
+      }
+      val keyed = grouped.agg(aggs.head, aggs.tail: _*)
+      val renamedKeys = keyOuts.foldLeft(keyed) { (df, k) =>
+        if (k.srcName == k.outName) df else df.withColumnRenamed(k.srcName, k.outName)
+      }
+      renamedKeys.select(outNames.map(col): _*)
+    }
+  }
+
+  /** Analyzed plan → foldable shape, or None (→ full-refresh MV).
+    * Guards, each a deliberate fallback-to-full rather than an error:
+    * single graft-table source; deterministic filter; all grouping
+    * columns present in the output (the fold joins back on them);
+    * count(*) present (the group-liveness signal `n_rows != 0` needs
+    * it); at most one distinct value column; count(v) present OR v
+    * non-nullable whenever sum(v) is (the NULL-sum contract needs
+    * n_vals). */
+  private[engine] def shapeOf(
+      spark: SparkSession, analyzed: LogicalPlan): Option[FoldShape] = analyzed match {
+    case Aggregate(groupExprs, aggExprs, child0, _) =>
+      val (cond, rel) = strip(child0) match {
+        case Filter(c, r) => (Some(c), strip(r))
+        case r => (None, r)
+      }
+      rel match {
+        case r: DataSourceV2Relation if r.identifier.isDefined &&
+            r.catalog.exists(_.isInstanceOf[GraftSparkCatalog]) =>
+          val groupAttrs = groupExprs.map {
+            case a: AttributeReference => a
+            case _ => return None
+          }
+          if (cond.exists(c => !c.deterministic)) return None
+          var valueSrc: Option[String] = None
+          def noteValue(name: String): Boolean = valueSrc match {
+            case Some(v) => v == name
+            case None => valueSrc = Some(name); true
+          }
+          val outs = aggExprs.map {
+            case a: AttributeReference if groupAttrs.exists(_.exprId == a.exprId) =>
+              KeyOut(a.name, a.name)
+            case Alias(a: AttributeReference, out)
+                if groupAttrs.exists(_.exprId == a.exprId) =>
+              KeyOut(a.name, out)
+            case Alias(AggregateExpression(Count(Seq(Literal(_, _))), _, false, None, _), out) =>
+              CountStarOut(out)
+            case Alias(AggregateExpression(Count(Seq(v: AttributeReference)), _, false, None, _), out) =>
+              if (!noteValue(v.name)) return None
+              CountVOut(out)
+            case Alias(AggregateExpression(Sum(v: AttributeReference, _), _, false, None, _), out) =>
+              if (!noteValue(v.name)) return None
+              SumVOut(out)
+            case _ => return None
+          }
+          val keyNames = outs.collect { case k: KeyOut => k.srcName }.toSet
+          if (!groupAttrs.forall(a => keyNames(a.name))) return None
+          if (!outs.exists(_.isInstanceOf[CountStarOut])) return None
+          val hasSum = outs.exists(_.isInstanceOf[SumVOut])
+          val hasCountV = outs.exists(_.isInstanceOf[CountVOut])
+          if (hasSum && !hasCountV) {
+            // NULL-sum contract needs n_vals; reconstructible iff v can't be NULL
+            val nonNullable = valueSrc.exists(v =>
+              r.output.exists(a => a.name == v && !a.nullable))
+            if (!nonNullable) return None
+          }
+          val ident = r.identifier.get
+          Some(FoldShape(
+            r.catalog.get.name(),
+            TableIdent(ident.namespace().toSeq, ident.name()),
+            cond.map(unresolveByName),
+            outs,
+            valueSrc))
+        case _ => None
+      }
+    case _ => None
+  }
+
+  private def strip(p: LogicalPlan): LogicalPlan = p match {
+    case SubqueryAlias(_, c) => strip(c)
+    case other => other
+  }
+
+  /** Resolved predicate → name-based unresolved twin, applicable to
+    * any frame carrying the source's column names (the changelog scan
+    * does). */
+  private def unresolveByName(e: Expression): Expression = e.transformUp {
+    case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
+  }
+
+  private implicit class JavaMapOps(m: Map[String, String]) {
+    def asJava: java.util.Map[String, String] = {
+      val out = new java.util.HashMap[String, String]()
+      m.foreach { case (k, v) => out.put(k, v) }
+      out
+    }
+  }
+}
+
+/** CREATE MATERIALIZED VIEW ... AS <query> — rewritten from Spark's
+  * `CreateMaterializedViewAsSelect` (which no built-in catalog
+  * executes) by [[GraftViewCommandRewrite]]. */
+final case class CreateGraftMaterializedViewCommand(
+    catalog: GraftSparkCatalog,
+    viewIdent: Identifier,
+    userCols: Seq[String],
+    query: LogicalPlan,
+    originalText: String,
+    ifNotExists: Boolean,
+    properties: Map[String, String])
+    extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftMaterializedViews.create(spark, catalog, viewIdent, userCols,
+      query, originalText, ifNotExists, properties)
+    Nil
+  }
+}

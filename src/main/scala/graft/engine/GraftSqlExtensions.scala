@@ -191,6 +191,12 @@ final case class CallProcedureCommand(
         val toSnap = ToSnapArg.findFirstMatchIn(args).map(_.group(1).toLong)
         catalog.engineTable(ti).changelogScan(spark, from, toSnap)
           .createOrReplaceTempView(view)
+      case "refresh_materialized_view" =>
+        // exactly-once tick: incremental (changelog fold) when the MV's
+        // defining query is a foldable aggregate, full recompute
+        // otherwise, no-op when already current — see
+        // [[GraftMaterializedViews.refresh]]
+        GraftMaterializedViews.refresh(spark, catalog, ti)
       case "cherrypick_snapshot" =>
         val snapId = SnapshotArg.findFirstMatchIn(args).map(_.group(1).toLong)
           .getOrElse(throw new IllegalArgumentException(

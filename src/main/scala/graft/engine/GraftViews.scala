@@ -185,6 +185,22 @@ final case class GraftViewCommandRewrite(spark: SparkSession)
             requireExists = true)
         case None => a
       }
+    case m @ CreateMaterializedViewAsSelect(
+        child, columns, partitioning, tableSpec, query, originalText, ifNotExists) =>
+      graftIdent(child) match {
+        case Some((cat, id)) =>
+          if (partitioning.nonEmpty)
+            throw new UnsupportedOperationException(
+              "materialized view partitioning is not supported yet")
+          val props = tableSpec match {
+            case t: UnresolvedTableSpec => t.properties
+            case t: TableSpec => t.properties
+            case _ => Map.empty[String, String]
+          }
+          CreateGraftMaterializedViewCommand(cat, id, columns.map(_.name),
+            query, originalText, ifNotExists, props)
+        case None => m
+      }
   }
 }
 
@@ -216,6 +232,27 @@ final case class GraftViewResolution(spark: SparkSession)
 }
 
 object GraftViewResolution {
+
+  /** Qualify bare relation names in stored SQL with the definition's
+    * default catalog/namespace: a bare `t` must keep meaning THAT t no
+    * matter where the view (or materialized view) is consumed from.
+    * Shared by view expansion and materialized-view refresh. */
+  private[engine] def qualifyRelations(
+      spark: SparkSession, plan: LogicalPlan,
+      defCat: Option[String], defNs: Seq[String]): LogicalPlan =
+    plan.transformUp {
+      case u @ UnresolvedRelation(parts, opts, false) =>
+        val full = parts match {
+          case Seq(t) if defNs.nonEmpty =>
+            defCat.toSeq ++ defNs :+ t
+          case p @ +:(head, _) if defCat.isDefined &&
+              !GraftShims.isCatalogName(spark, head) && p.size == defNs.size + 1 =>
+            defCat.toSeq ++ p
+          case p => p
+        }
+        if (full == parts) u else UnresolvedRelation(full, opts, isStreaming = false)
+    }
+
   /** Nested-view expansion guard: cycles (v1 → v2 → v1) would otherwise
     * loop the analyzer forever. Spark's own views cap at
     * `spark.sql.view.maxNestedViewDepth`; a fixed cap keeps this
@@ -237,21 +274,7 @@ object GraftViewResolution {
       val parsed = spark.sessionState.sqlParser.parsePlan(view.query)
       val defCat = Option(view.currentCatalog)
       val defNs = view.currentNamespace.toSeq
-      // qualify: the stored SQL was written against the view's default
-      // catalog/namespace; a bare `t` must keep meaning THAT t no
-      // matter where the view is consumed from
-      val qualified = parsed.transformUp {
-        case u @ UnresolvedRelation(parts, opts, false) =>
-          val full = parts match {
-            case Seq(t) if defNs.nonEmpty =>
-              defCat.toSeq ++ defNs :+ t
-            case p @ +:(head, _) if defCat.isDefined &&
-                !GraftShims.isCatalogName(spark, head) && p.size == defNs.size + 1 =>
-              defCat.toSeq ++ p
-            case p => p
-          }
-          if (full == parts) u else UnresolvedRelation(full, opts, isStreaming = false)
-      }
+      val qualified = qualifyRelations(spark, parsed, defCat, defNs)
       val named = view.schema().fieldNames.toSeq match {
         case names if names.nonEmpty =>
           UnresolvedSubqueryColumnAliases(names, qualified)

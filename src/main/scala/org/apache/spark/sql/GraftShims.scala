@@ -195,6 +195,13 @@ object GraftShims {
       rdd)
   }
 
+  /** LogicalPlan → DataFrame on a live session (classic Dataset.ofRows
+    * is private[sql]) — the hook custom commands use to execute a
+    * stored/constructed plan. */
+  def ofRows(spark: SparkSession, plan: catalyst.plans.logical.LogicalPlan)
+      : Dataset[Row] =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Resolve a configured V2 catalog plugin by name (None → the
     * session's current catalog) — the hook custom SQL commands use to
     * reach their owning catalog instance. */

@@ -1,0 +1,154 @@
+package graft.engine
+
+import graft.SparkTestSession
+import graft.catalog._
+import graft.server.CatalogServer
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+import java.util.UUID
+
+/** Materialized views: CREATE MATERIALIZED VIEW (Spark parses it, no
+  * built-in catalog executes it), reads as an ordinary table, and the
+  * refresh procedure routing — incremental changelog fold for foldable
+  * aggregates, full recompute otherwise, no-op when current, all
+  * exactly-once via the checkpoint-in-snapshot property. */
+class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkTestSession.spark
+  private val project = UUID.randomUUID()
+  private val store = new InMemoryCatalogStore
+  private var server: CatalogServer = _
+  private val cat = "mvcat"
+  private var whId: UUID = _
+
+  override def beforeAll(): Unit = {
+    server = new CatalogServer(store, project).start()
+    val whLoc = Files.createTempDirectory("graft-mv").toUri.toString.stripSuffix("/")
+    whId = store.createWarehouse(project, "wh", whLoc)
+      .fold(e => fail(e.message), identity).id
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftSparkCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.uri", server.baseUri)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", "wh")
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.orders (id BIGINT, status STRING, amount DOUBLE)")
+    spark.sql(s"""INSERT INTO $cat.db.orders VALUES
+      (1,'open',10.0),(2,'open',20.0),(3,'done',30.0),(4,'done',NULL)""")
+  }
+
+  override def afterAll(): Unit = server.stop()
+
+  private def graftCatalog: GraftSparkCatalog =
+    org.apache.spark.sql.GraftShims.catalogPlugin(spark, Some(cat))
+      .asInstanceOf[GraftSparkCatalog]
+
+  private def collectMv(name: String): Set[(String, Long, Option[Double])] =
+    spark.sql(s"SELECT status, n, total FROM $cat.db.$name ORDER BY status")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+
+  private def recomputed: Set[(String, Long, Option[Double])] =
+    spark.sql(
+      s"SELECT status, count(*) AS n, sum(amount) AS total, count(amount) AS nv FROM $cat.db.orders GROUP BY status")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+
+  test("foldable MV: create populates pinned, refresh folds the changelog") {
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.db.mv_totals AS
+         |SELECT status, count(*) AS n, sum(amount) AS total, count(amount) AS nv
+         |FROM $cat.db.orders GROUP BY status""".stripMargin)
+    assert(collectMv("mv_totals") === recomputed)
+
+    // MV is a table with the defining SQL in properties
+    val rec = store.loadTable(whId, TableIdent(Seq("db"), "mv_totals"))
+      .fold(e => fail(e.message), identity)
+    assert(rec.metadata.properties.get(GraftMaterializedViews.MarkerProp)
+      .contains("true"))
+    assert(rec.metadata.properties(GraftMaterializedViews.SqlProp)
+      .toLowerCase.contains("group by"))
+    // create stamped the source checkpoint (pinned cold start)
+    assert(rec.metadata.properties.keys.exists(_.startsWith("graft.changelog.")) ||
+      rec.metadata.properties.keys.exists(_.contains("ckpt")) ||
+      rec.metadata.properties.contains(
+        ChangelogApply.ckptKey(s"$cat.db.orders")))
+
+    // already current → NoOp
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_totals")) === GraftMaterializedViews.NoOp)
+
+    // churn: inserts, a NULL-valued insert, and a delete
+    spark.sql(s"INSERT INTO $cat.db.orders VALUES (5,'open',5.0),(6,'new',NULL)")
+    spark.sql(s"DELETE FROM $cat.db.orders WHERE id = 3")
+    val mode = GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_totals"))
+    assert(mode === GraftMaterializedViews.Incremental)
+    assert(collectMv("mv_totals") === recomputed)
+
+    // a group deleted to zero drops out
+    spark.sql(s"DELETE FROM $cat.db.orders WHERE status = 'new'")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_totals")) === GraftMaterializedViews.Incremental)
+    assert(collectMv("mv_totals") === recomputed)
+    assert(!collectMv("mv_totals").exists(_._1 == "new"))
+  }
+
+  test("CALL system.refresh_materialized_view drives the same tick") {
+    spark.sql(s"INSERT INTO $cat.db.orders VALUES (7,'open',70.0)")
+    spark.sql(s"CALL $cat.system.refresh_materialized_view(table => 'db.mv_totals')")
+    assert(collectMv("mv_totals") === recomputed)
+  }
+
+  test("foldable MV with WHERE: filter applies to base and changes alike") {
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.db.mv_open AS
+         |SELECT status, count(*) AS n FROM $cat.db.orders
+         |WHERE amount > 8.0 GROUP BY status""".stripMargin)
+    def expect: Set[(String, Long)] = spark.sql(
+      s"SELECT status, count(*) n FROM $cat.db.orders WHERE amount > 8.0 GROUP BY status")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    def got: Set[(String, Long)] = spark.sql(s"SELECT status, n FROM $cat.db.mv_open")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === expect)
+    spark.sql(s"INSERT INTO $cat.db.orders VALUES (8,'open',2.0),(9,'done',90.0)")
+    spark.sql(s"DELETE FROM $cat.db.orders WHERE id = 7")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_open")) === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+  }
+
+  test("non-foldable MV (avg) refreshes by full recompute, still exactly once") {
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.db.mv_avg AS
+         |SELECT status, avg(amount) AS mean FROM $cat.db.orders GROUP BY status""".stripMargin)
+    def expect: Set[(String, Option[Double])] = spark.sql(
+      s"SELECT status, avg(amount) mean FROM $cat.db.orders GROUP BY status")
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSet
+    def got: Set[(String, Option[Double])] =
+      spark.sql(s"SELECT status, mean FROM $cat.db.mv_avg")
+        .collect().map(r => (r.getString(0),
+          if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSet
+    assert(got === expect)
+    spark.sql(s"INSERT INTO $cat.db.orders VALUES (10,'open',100.0)")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_avg")) === GraftMaterializedViews.Full)
+    assert(got === expect)
+  }
+
+  test("IF NOT EXISTS is a no-op; plain duplicate create errors") {
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.mv_once AS SELECT 1 AS one")
+    spark.sql(
+      s"CREATE MATERIALIZED VIEW IF NOT EXISTS $cat.db.mv_once AS SELECT 2 AS two")
+    assert(spark.sql(s"SELECT * FROM $cat.db.mv_once").columns.toSeq === Seq("one"))
+    intercept[Exception](
+      spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.mv_once AS SELECT 3 AS three"))
+  }
+
+  test("refresh on a plain table is refused loudly") {
+    val e = intercept[Exception](
+      spark.sql(s"CALL $cat.system.refresh_materialized_view(table => 'db.orders')"))
+    assert(e.getMessage.contains("not a materialized view"))
+  }
+}
