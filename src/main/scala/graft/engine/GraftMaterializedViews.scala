@@ -4,7 +4,7 @@ import graft.catalog.TableIdent
 import org.apache.spark.sql.{Column, DataFrame, GraftShims, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedIdentifier}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, SubqueryAlias}
 import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -135,8 +135,13 @@ object GraftMaterializedViews {
             val changes = shape.applyFilter(
               source.changelogScan(spark, c, Some(srcHead)))
             val prev = shape.toInternal(mv.scan(spark))
-            val folded = ChangelogApply.applyCountSum(
-              prev, shape.withValue(changes), shape.keySrcNames, shape.valueName)
+            val folded =
+              if (shape.isMinMax)
+                ChangelogApply.applyMinMax(prev, changes,
+                  shape.applyFilter(source.scan(spark, source.AtSnapshot(srcHead))),
+                  shape.keySrcNames, shape.valueName)
+              else ChangelogApply.applyCountSum(
+                prev, shape.withValue(changes), shape.keySrcNames, shape.valueName)
             mv.overwriteAll(shape.fromInternal(folded, outNames, mv),
               meta.currentSnapshotId,
               extraProperties = Map(key -> srcHead.toString))
@@ -163,6 +168,8 @@ object GraftMaterializedViews {
   private[engine] final case class CountStarOut(outName: String) extends OutCol
   private[engine] final case class CountVOut(outName: String) extends OutCol
   private[engine] final case class SumVOut(outName: String) extends OutCol
+  private[engine] final case class MinVOut(outName: String) extends OutCol
+  private[engine] final case class MaxVOut(outName: String) extends OutCol
 
   /** A defining query that folds through [[ChangelogApply.applyCountSum]]:
     * `SELECT keys..., count(*)/count(v)/sum(v)... FROM <graft table>
@@ -177,6 +184,11 @@ object GraftMaterializedViews {
     def sourceName: String = s"$catalogName.${sourceIdent.namespace.mkString(".")}.${sourceIdent.name}"
     def keySrcNames: Seq[String] = outs.collect { case k: KeyOut => k.srcName }
     private def keyOuts: Seq[KeyOut] = outs.collect { case k: KeyOut => k }
+    /** Min/max family folds through [[ChangelogApply.applyMinMax]]
+      * (recompute-on-retract); count/sum through applyCountSum. */
+    def isMinMax: Boolean = outs.exists {
+      case _: MinVOut | _: MaxVOut => true; case _ => false
+    }
 
     def sourceTable(spark: SparkSession): GraftTable = {
       val plugin = GraftShims.catalogPlugin(spark, Some(catalogName))
@@ -193,19 +205,33 @@ object GraftMaterializedViews {
     def withValue(changes: DataFrame): DataFrame =
       if (valueSrc.isDefined) changes else changes.withColumn(valueName, lit(1L))
 
-    /** Stored MV rows → the internal (keys..., n_rows, n_vals, sum_v)
-      * frame [[ChangelogApply.applyCountSum]] folds. */
+    /** Stored MV rows → the internal frame the fold expects:
+      * (keys..., n_rows, n_vals, sum_v) for the count/sum family,
+      * (keys..., n_rows, min_v, max_v) for the min/max family. A
+      * declared-but-absent internal column is synthesized from what IS
+      * stored; synthesized columns are discarded on output, so they
+      * only need to keep the fold's arithmetic well-typed. */
     def toInternal(stored: DataFrame): DataFrame = {
       val nRows = outs.collectFirst { case c: CountStarOut => col(c.outName) }.get
-      val nVals = outs.collectFirst { case c: CountVOut => col(c.outName) }
-        .getOrElse(nRows) // value col proven non-nullable (or synthetic 1)
-      val sumV = outs.collectFirst { case c: SumVOut => col(c.outName) }
-        .getOrElse(nRows.cast("long")) // synthetic value 1: sum == count
-      stored.select(
-        keyOuts.map(k => col(k.outName).as(k.srcName)) ++ Seq(
-          nRows.cast("long").as("n_rows"),
-          nVals.cast("long").as("n_vals"),
-          sumV.as("sum_v")): _*)
+      if (isMinMax) {
+        val minV = outs.collectFirst { case c: MinVOut => col(c.outName) }
+        val maxV = outs.collectFirst { case c: MaxVOut => col(c.outName) }
+        stored.select(
+          keyOuts.map(k => col(k.outName).as(k.srcName)) ++ Seq(
+            nRows.cast("long").as("n_rows"),
+            minV.getOrElse(maxV.get).as("min_v"),
+            maxV.getOrElse(minV.get).as("max_v")): _*)
+      } else {
+        val nVals = outs.collectFirst { case c: CountVOut => col(c.outName) }
+          .getOrElse(nRows) // value col proven non-nullable (or synthetic 1)
+        val sumV = outs.collectFirst { case c: SumVOut => col(c.outName) }
+          .getOrElse(nRows.cast("long")) // synthetic value 1: sum == count
+        stored.select(
+          keyOuts.map(k => col(k.outName).as(k.srcName)) ++ Seq(
+            nRows.cast("long").as("n_rows"),
+            nVals.cast("long").as("n_vals"),
+            sumV.as("sum_v")): _*)
+      }
     }
 
     /** Folded internal frame → the MV's declared columns, cast to its
@@ -219,6 +245,8 @@ object GraftMaterializedViews {
         case CountStarOut(out) => out -> col("n_rows").cast(types(out)).as(out)
         case CountVOut(out) => out -> col("n_vals").cast(types(out)).as(out)
         case SumVOut(out) => out -> col("sum_v").cast(types(out)).as(out)
+        case MinVOut(out) => out -> col("min_v").cast(types(out)).as(out)
+        case MaxVOut(out) => out -> col("max_v").cast(types(out)).as(out)
       }.toMap
       // column order must match the declared schema
       folded.select(outNames.map(byName): _*)
@@ -232,6 +260,8 @@ object GraftMaterializedViews {
         case CountStarOut(out) => org.apache.spark.sql.functions.count(lit(1)).as(out)
         case CountVOut(out) => org.apache.spark.sql.functions.count(col(valueName)).as(out)
         case SumVOut(out) => org.apache.spark.sql.functions.sum(col(valueName)).as(out)
+        case MinVOut(out) => org.apache.spark.sql.functions.min(col(valueName)).as(out)
+        case MaxVOut(out) => org.apache.spark.sql.functions.max(col(valueName)).as(out)
       }
       val keyed = grouped.agg(aggs.head, aggs.tail: _*)
       val renamedKeys = keyOuts.foldLeft(keyed) { (df, k) =>
@@ -283,6 +313,12 @@ object GraftMaterializedViews {
             case Alias(AggregateExpression(Sum(v: AttributeReference, _), _, false, None, _), out) =>
               if (!noteValue(v.name)) return None
               SumVOut(out)
+            case Alias(AggregateExpression(Min(v: AttributeReference), _, false, None, _), out) =>
+              if (!noteValue(v.name)) return None
+              MinVOut(out)
+            case Alias(AggregateExpression(Max(v: AttributeReference), _, false, None, _), out) =>
+              if (!noteValue(v.name)) return None
+              MaxVOut(out)
             case _ => return None
           }
           val keyNames = outs.collect { case k: KeyOut => k.srcName }.toSet
@@ -290,6 +326,12 @@ object GraftMaterializedViews {
           if (!outs.exists(_.isInstanceOf[CountStarOut])) return None
           val hasSum = outs.exists(_.isInstanceOf[SumVOut])
           val hasCountV = outs.exists(_.isInstanceOf[CountVOut])
+          val hasMinMax = outs.exists {
+            case _: MinVOut | _: MaxVOut => true; case _ => false
+          }
+          // families don't mix in v1: a combined fold would need both
+          // apply paths joined — full refresh handles it correctly
+          if (hasMinMax && (hasSum || hasCountV)) return None
           if (hasSum && !hasCountV) {
             // NULL-sum contract needs n_vals; reconstructible iff v can't be NULL
             val nonNullable = valueSrc.exists(v =>

@@ -118,6 +118,36 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === expect)
   }
 
+  test("min/max MV folds incrementally with recompute-on-retract") {
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.db.mv_extremes AS
+         |SELECT status, count(*) AS n, min(amount) AS lo, max(amount) AS hi
+         |FROM $cat.db.orders GROUP BY status""".stripMargin)
+    def expect: Set[(String, Long, Option[Double], Option[Double])] = spark.sql(
+      s"SELECT status, count(*) n, min(amount) lo, max(amount) hi FROM $cat.db.orders GROUP BY status")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+    def got: Set[(String, Long, Option[Double], Option[Double])] =
+      spark.sql(s"SELECT status, n, lo, hi FROM $cat.db.mv_extremes")
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+    assert(got === expect)
+
+    // inserts extend extremes arithmetically (no base access needed)
+    spark.sql(s"INSERT INTO $cat.db.orders VALUES (20,'open',0.5),(21,'open',999.0)")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_extremes")) === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+
+    // deleting the current extreme forces the per-touched-key recompute
+    spark.sql(s"DELETE FROM $cat.db.orders WHERE id = 21")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_extremes")) === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+  }
+
   test("non-foldable MV (avg) refreshes by full recompute, still exactly once") {
     spark.sql(
       s"""CREATE MATERIALIZED VIEW $cat.db.mv_avg AS
