@@ -135,10 +135,14 @@ object GraftMaterializedViews {
             val changes = shape.applyFilter(
               source.changelogScan(spark, c, Some(srcHead)))
             val prev = shape.toInternal(mv.scan(spark))
+            def baseAtHead = shape.applyFilter(
+              source.scan(spark, source.AtSnapshot(srcHead)))
             val folded =
-              if (shape.isMinMax)
-                ChangelogApply.applyMinMax(prev, changes,
-                  shape.applyFilter(source.scan(spark, source.AtSnapshot(srcHead))),
+              if (shape.isCountDistinct)
+                ChangelogApply.applyCountDistinct(prev, changes, baseAtHead,
+                  shape.keySrcNames, shape.valueName)
+              else if (shape.isMinMax)
+                ChangelogApply.applyMinMax(prev, changes, baseAtHead,
                   shape.keySrcNames, shape.valueName)
               else ChangelogApply.applyCountSum(
                 prev, shape.withValue(changes), shape.keySrcNames, shape.valueName)
@@ -170,6 +174,7 @@ object GraftMaterializedViews {
   private[engine] final case class SumVOut(outName: String) extends OutCol
   private[engine] final case class MinVOut(outName: String) extends OutCol
   private[engine] final case class MaxVOut(outName: String) extends OutCol
+  private[engine] final case class CountDistinctOut(outName: String) extends OutCol
 
   /** A defining query that folds through [[ChangelogApply.applyCountSum]]:
     * `SELECT keys..., count(*)/count(v)/sum(v)... FROM <graft table>
@@ -189,6 +194,10 @@ object GraftMaterializedViews {
     def isMinMax: Boolean = outs.exists {
       case _: MinVOut | _: MaxVOut => true; case _ => false
     }
+    /** Distinct-count family folds through
+      * [[ChangelogApply.applyCountDistinct]] (every touched key
+      * recomputes — no per-value-free fold exists for distinct). */
+    def isCountDistinct: Boolean = outs.exists(_.isInstanceOf[CountDistinctOut])
 
     def sourceTable(spark: SparkSession): GraftTable = {
       val plugin = GraftShims.catalogPlugin(spark, Some(catalogName))
@@ -213,7 +222,13 @@ object GraftMaterializedViews {
       * only need to keep the fold's arithmetic well-typed. */
     def toInternal(stored: DataFrame): DataFrame = {
       val nRows = outs.collectFirst { case c: CountStarOut => col(c.outName) }.get
-      if (isMinMax) {
+      if (isCountDistinct) {
+        val nd = outs.collectFirst { case c: CountDistinctOut => col(c.outName) }.get
+        stored.select(
+          keyOuts.map(k => col(k.outName).as(k.srcName)) ++ Seq(
+            nRows.cast("long").as("n_rows"),
+            nd.cast("long").as("n_distinct")): _*)
+      } else if (isMinMax) {
         val minV = outs.collectFirst { case c: MinVOut => col(c.outName) }
         val maxV = outs.collectFirst { case c: MaxVOut => col(c.outName) }
         stored.select(
@@ -247,6 +262,7 @@ object GraftMaterializedViews {
         case SumVOut(out) => out -> col("sum_v").cast(types(out)).as(out)
         case MinVOut(out) => out -> col("min_v").cast(types(out)).as(out)
         case MaxVOut(out) => out -> col("max_v").cast(types(out)).as(out)
+        case CountDistinctOut(out) => out -> col("n_distinct").cast(types(out)).as(out)
       }.toMap
       // column order must match the declared schema
       folded.select(outNames.map(byName): _*)
@@ -262,6 +278,8 @@ object GraftMaterializedViews {
         case SumVOut(out) => org.apache.spark.sql.functions.sum(col(valueName)).as(out)
         case MinVOut(out) => org.apache.spark.sql.functions.min(col(valueName)).as(out)
         case MaxVOut(out) => org.apache.spark.sql.functions.max(col(valueName)).as(out)
+        case CountDistinctOut(out) =>
+          org.apache.spark.sql.functions.count_distinct(col(valueName)).as(out)
       }
       val keyed = grouped.agg(aggs.head, aggs.tail: _*)
       val renamedKeys = keyOuts.foldLeft(keyed) { (df, k) =>
@@ -310,6 +328,9 @@ object GraftMaterializedViews {
             case Alias(AggregateExpression(Count(Seq(v: AttributeReference)), _, false, None, _), out) =>
               if (!noteValue(v.name)) return None
               CountVOut(out)
+            case Alias(AggregateExpression(Count(Seq(v: AttributeReference)), _, true, None, _), out) =>
+              if (!noteValue(v.name)) return None
+              CountDistinctOut(out)
             case Alias(AggregateExpression(Sum(v: AttributeReference, _), _, false, None, _), out) =>
               if (!noteValue(v.name)) return None
               SumVOut(out)
@@ -329,9 +350,11 @@ object GraftMaterializedViews {
           val hasMinMax = outs.exists {
             case _: MinVOut | _: MaxVOut => true; case _ => false
           }
-          // families don't mix in v1: a combined fold would need both
+          val hasDistinct = outs.exists(_.isInstanceOf[CountDistinctOut])
+          // families don't mix in v1: a combined fold would need the
           // apply paths joined — full refresh handles it correctly
-          if (hasMinMax && (hasSum || hasCountV)) return None
+          val families = Seq(hasSum || hasCountV, hasMinMax, hasDistinct).count(identity)
+          if (families > 1) return None
           if (hasSum && !hasCountV) {
             // NULL-sum contract needs n_vals; reconstructible iff v can't be NULL
             val nonNullable = valueSrc.exists(v =>

@@ -148,6 +148,32 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === expect)
   }
 
+  test("count(DISTINCT v) MV folds by recompute-on-touch") {
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.db.mv_distinct AS
+         |SELECT status, count(*) AS n, count(DISTINCT amount) AS nd
+         |FROM $cat.db.orders GROUP BY status""".stripMargin)
+    def expect: Set[(String, Long, Long)] = spark.sql(
+      s"SELECT status, count(*) n, count(DISTINCT amount) nd FROM $cat.db.orders GROUP BY status")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    def got: Set[(String, Long, Long)] =
+      spark.sql(s"SELECT status, n, nd FROM $cat.db.mv_distinct")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expect)
+
+    // duplicate-value insert moves n but not nd; a delete of one copy
+    // of a duplicated value keeps nd — both only provable by the
+    // per-touched-key recompute
+    spark.sql(s"INSERT INTO $cat.db.orders VALUES (30,'open',10.0),(31,'open',10.0)")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_distinct")) === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+    spark.sql(s"DELETE FROM $cat.db.orders WHERE id = 30")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_distinct")) === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+  }
+
   test("non-foldable MV (avg) refreshes by full recompute, still exactly once") {
     spark.sql(
       s"""CREATE MATERIALIZED VIEW $cat.db.mv_avg AS
