@@ -143,7 +143,13 @@ object ScalingRehearsal {
       // dsir's model is a fixed 4096-bucket broadcast, so its cost is
       // the two token scans alone — also linear, never skew-bound
       "seq_pack" -> time(graft.llm.Sampling.qSeqPack(spark, dir)),
-      "dsir_importance" -> time(graft.llm.CorpusStats.qDsirImportance(spark, dir)))
+      "dsir_importance" -> time(graft.llm.CorpusStats.qDsirImportance(spark, dir)),
+      // r12 fourth wave: KMV distinct sketches are ONE corpus bigram
+      // scan into k-longs-per-source state — the ratio must track the
+      // scan alone (≈ replicas), never the distinct-bigram count the
+      // replicas multiply (which is exactly what COUNT(DISTINCT)
+      // could not promise)
+      "kmv_distinct" -> time(graft.llm.CorpusStats.qKmvDistinct(spark, dir)))
     finally spark.conf.unset(graft.llm.Similarity.IvfCellsConf)
   }
 
