@@ -173,12 +173,96 @@ object Decontaminate {
        |ORDER BY doc_id, bench_id""".stripMargin
   }
 
+  // ------------------------------------- embedding-level contamination
+  /** Cosine threshold for semantic contamination: paraphrased leaks
+    * don't share n-grams but stay near the eval vector; the ±10%
+    * deterministic perturbation lands ≈0.995, random synthetic pairs
+    * far below. */
+  private val EmbThreshold = 0.95
+  private val LeakIdOffset = 200000L
+
+  /** SEMANTIC decontamination — the embedding-space twin of the n-gram
+    * [[qDecontaminate]]: flag corpus vectors whose cosine against ANY
+    * eval-set vector clears the threshold. Catches the leak class the
+    * n-gram gate misses (paraphrases, translations, re-tokenizations —
+    * text changed, meaning intact).
+    *
+    * Scale design, same story as the n-gram side: the eval set is
+    * BOUNDED (thousands of items, never corpus-scale), so its vectors
+    * + norms BROADCAST and the corpus side is ONE pass — corpus ×
+    * |eval| scored map-side with zero shuffles and no all-pairs
+    * anywhere. At 100 TB the cost is the corpus scan times a bounded
+    * constant; if the eval set ever outgrew the broadcast the LSH
+    * candidate route ([[Similarity.qDedupEmbedding]]'s shape) is the
+    * documented fallback.
+    *
+    * Test corpus derives true positives deterministically: eval =
+    * every 97th vector; each eval vector plants a leak (id +
+    * [[LeakIdOffset]], ±10% per-element deterministic perturbation —
+    * the same hash recipe the near-dup family pins cross-engine). */
+  def qDecontaminateEmbedding(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorExprs
+    val emb = load(s, dir, "embeddings")
+    val evalSet = emb.filter("vec_id % 97 = 0")
+      .select(col("vec_id").as("eval_id"),
+        VectorExprs.toDouble(col("embedding")).as("e"))
+    val leaks = emb.filter("vec_id % 97 = 0")
+      .select((col("vec_id") + LeakIdOffset).as("vec_id"),
+        VectorExprs.perturb(col("vec_id"), col("embedding")).as("embedding"))
+    val corpus = emb.filter("vec_id % 97 != 0")
+      .select(col("vec_id"), VectorExprs.toDouble(col("embedding")).as("embedding"))
+      .unionAll(leaks)
+    val corpusN = corpus.select(col("vec_id"), col("embedding"),
+      VectorExprs.normSq(col("embedding")).as("cn"))
+    val evalN = evalSet.select(col("eval_id"), col("e"),
+      VectorExprs.normSq(col("e")).as("en"))
+    corpusN.crossJoin(broadcast(evalN))
+      .select(col("vec_id"), col("eval_id"),
+        (VectorExprs.dot(col("embedding"), col("e")) /
+          (org.apache.spark.sql.functions.sqrt(col("cn")) *
+            org.apache.spark.sql.functions.sqrt(col("en")))).as("cosine"))
+      .filter(s"cosine >= $EmbThreshold")
+      .orderBy("vec_id", "eval_id")
+  }
+
+  val qDecontaminateEmbeddingSql: String = {
+    // same hash recipe as the near-dup family's perturbation oracle
+    val h = Portable.hDuck("('n|' || vec_id::VARCHAR || '|' || (i - 1)::VARCHAR)")
+    def fold(l: String) = s"list_reduce($l, (acc, p) -> acc + p)"
+    val dot = fold(
+      "list_transform(range(1, len(c.embedding) + 1), i -> (c.embedding)[i] * (e.e)[i])")
+    s"""WITH ev AS (
+       |  SELECT vec_id AS eval_id, list_transform(embedding, x -> x::DOUBLE) AS e
+       |  FROM embeddings WHERE vec_id % 97 = 0),
+       |leaks AS (
+       |  SELECT vec_id + $LeakIdOffset AS vec_id,
+       |         list_transform(range(1, len(embedding) + 1),
+       |           i -> embedding[i]::DOUBLE * (1.0 + ($h % 21 - 10) / 100.0)) AS embedding
+       |  FROM embeddings WHERE vec_id % 97 = 0),
+       |corpus AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding
+       |  FROM embeddings WHERE vec_id % 97 != 0
+       |  UNION ALL SELECT * FROM leaks),
+       |cn AS (SELECT vec_id, embedding,
+       |              ${fold("list_transform(embedding, x -> x * x)")} AS norm
+       |       FROM corpus),
+       |en AS (SELECT eval_id, e, ${fold("list_transform(e, x -> x * x)")} AS norm
+       |       FROM ev)
+       |SELECT c.vec_id, e.eval_id,
+       |       ($dot / (sqrt(c.norm) * sqrt(e.norm))) AS cosine
+       |FROM cn c CROSS JOIN en e
+       |WHERE ($dot / (sqrt(c.norm) * sqrt(e.norm))) >= $EmbThreshold
+       |ORDER BY vec_id, eval_id""".stripMargin
+  }
+
   // ----------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_decontaminate" -> (qDecontaminate _),
+    "q_decontaminate_embedding" -> (qDecontaminateEmbedding _),
     "q_decontaminate_report" -> (qDecontaminateReport _))
 
   val oracleSql: Map[String, String] = Map(
     "q_decontaminate" -> qDecontaminateSql,
+    "q_decontaminate_embedding" -> qDecontaminateEmbeddingSql,
     "q_decontaminate_report" -> qDecontaminateReportSql)
 }

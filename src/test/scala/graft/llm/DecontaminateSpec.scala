@@ -57,4 +57,29 @@ class DecontaminateSpec extends AnyFunSuite {
       s"benchmark-side join must broadcast (corpus-side shingle shuffle " +
         s"would move 100 TB of postings): ${j.getClass.getSimpleName}"))
   }
+
+  test("embedding decontamination flags every planted semantic leak, eval side broadcast") {
+    val out = Decontaminate.qDecontaminateEmbedding(spark, sf)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // every eval vector's planted perturbation (id + 200000) must be
+    // flagged against exactly its source
+    val evalIds = graft.Tables.load(spark, sf, "embeddings")
+      .filter("vec_id % 97 = 0").select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val detected = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    evalIds.foreach { e =>
+      assert(detected.contains((e + 200000L, e)),
+        s"planted semantic leak of eval vector $e not detected")
+    }
+    // all flagged pairs clear the gate against a real eval id
+    assert(rows.forall(_.getDouble(2) >= 0.95))
+    assert(rows.forall(r => r.getLong(1) % 97 == 0))
+
+    // the eval side must BROADCAST: a shuffle there would move the
+    // corpus for a bounded benchmark
+    val hasBroadcastNL = out.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin")
+    assert(hasBroadcastNL, "expected a broadcast nested-loop over the bounded eval set")
+  }
 }
