@@ -432,6 +432,67 @@ object Relational {
       |HAVING COUNT(*) >= 20
       |ORDER BY user_id""".stripMargin
 
+  // ------------------------------------------- events: gap percentiles
+  /** Exact inter-event gap percentiles per event type (p50/p95 of the
+    * seconds between a user's consecutive events of that type) — the
+    * latency/cadence profile behind rate-limit tuning and
+    * session-timeout selection.
+    *
+    * Scale: the gap derivation windows BY (user, type) — keyed, single
+    * lag row of state. The percentile is the HISTOGRAM method (the
+    * same shape as the CCNet quality-quantile filter): gaps quantize
+    * to whole seconds, ONE keyed count builds the per-type histogram,
+    * and the cumulative window runs over BUCKETS — bounded by the time
+    * horizon in seconds, never by event count — so no gap population
+    * is ever sorted. Discrete quantiles over integer buckets are
+    * integer-exact cross-engine. */
+  def qEventGapQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = t(s, dir, "events")
+      .withColumn("prev_us", lag(expr("unix_micros(ts)"), 1).over(w))
+      .filter(col("prev_us").isNotNull)
+      .selectExpr("event_type",
+        "cast(floor((unix_micros(ts) - prev_us) / 1000000) as bigint) as gap_s")
+    val hist = gaps.groupBy(col("event_type"), col("gap_s"))
+      .agg(count(lit(1)).as("cnt"))
+    val cumW = Window.partitionBy(col("event_type")).orderBy(col("gap_s"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(cumW))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("event_type"))))
+    def pick(q: String, name: String) =
+      cum.filter(expr(s"cum >= ceil($q * n)"))
+        .groupBy(col("event_type"))
+        .agg(min(col("gap_s")).as(name), max(col("n")).as(s"__n_$name"))
+    pick("0.5", "p50_gap_s")
+      .join(pick("0.95", "p95_gap_s"), "event_type")
+      .selectExpr("event_type", "__n_p50_gap_s as n_gaps", "p50_gap_s", "p95_gap_s")
+      .orderBy(col("event_type"))
+  }
+
+  val qEventGapQuantilesSql: String =
+    """WITH gaps AS (
+      |  SELECT event_type,
+      |         CAST(floor((epoch_us(ts) - prev_us) / 1000000) AS BIGINT) AS gap_s
+      |  FROM (SELECT event_type, ts,
+      |               LAG(epoch_us(ts), 1) OVER (
+      |                 PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev_us
+      |        FROM events)
+      |  WHERE prev_us IS NOT NULL),
+      |hist AS (SELECT event_type, gap_s, COUNT(*) AS cnt FROM gaps GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT event_type, gap_s, cnt,
+      |         SUM(cnt) OVER (PARTITION BY event_type ORDER BY gap_s) AS cum,
+      |         SUM(cnt) OVER (PARTITION BY event_type) AS n
+      |  FROM hist),
+      |p50 AS (SELECT event_type, MIN(gap_s) AS p50_gap_s, MAX(n) AS n_gaps
+      |        FROM cum WHERE cum >= ceil(0.5 * n) GROUP BY event_type),
+      |p95 AS (SELECT event_type, MIN(gap_s) AS p95_gap_s
+      |        FROM cum WHERE cum >= ceil(0.95 * n) GROUP BY event_type)
+      |SELECT event_type, CAST(n_gaps AS BIGINT) AS n_gaps, p50_gap_s, p95_gap_s
+      |FROM p50 JOIN p95 USING (event_type)
+      |ORDER BY event_type""".stripMargin
+
   // ------------------------------------------------ events: transitions
   /** First-order Markov transition matrix over each user's event
     * sequence: for every (from, to) event-type pair, the transition
@@ -1025,6 +1086,7 @@ object Relational {
     "q_rollup_orders" -> (qRollupOrders _),
     "q_events_hourly" -> (qEventsHourly _),
     "q_event_sessions" -> (qEventSessions _),
+    "q_event_gap_quantiles" -> (qEventGapQuantiles _),
     "q_event_transitions" -> (qEventTransitions _),
     "q_event_paths" -> (qEventPaths _),
     "q_events_props_extract" -> (qEventsPropsExtract _))
@@ -1059,6 +1121,7 @@ object Relational {
     "q_rollup_orders" -> qRollupOrdersSql,
     "q_events_hourly" -> qEventsHourlySql,
     "q_event_sessions" -> qEventSessionsSql,
+    "q_event_gap_quantiles" -> qEventGapQuantilesSql,
     "q_event_transitions" -> qEventTransitionsSql,
     "q_event_paths" -> qEventPathsSql,
     "q_events_props_extract" -> qEventsPropsExtractSql)
