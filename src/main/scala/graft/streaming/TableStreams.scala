@@ -67,4 +67,37 @@ object TableStreams {
         ()
       }
       .start()
+
+  /** CONTINUOUS materialized-view maintenance: a readStream on the MV's
+    * source table drives one [[graft.engine.GraftMaterializedViews
+    * .refresh]] tick per micro-batch — the MV stays current as data
+    * arrives, without any scheduler.
+    *
+    * The micro-batch CONTENT is deliberately ignored: the stream is
+    * only the "source advanced" signal. Refresh reads the source's
+    * changelog itself under its OWN exactly-once checkpoint (committed
+    * atomically with the MV content), so the composition needs zero
+    * coordination between the two progress trackers — an at-least-once
+    * foreachBatch replay re-invokes refresh, which observes the
+    * checkpoint already at the head and no-ops; a missed signal is
+    * caught by the next batch's tick, which folds BOTH commits'
+    * changes in one churn-priced pass. */
+  def materializedViewStream(
+      spark: org.apache.spark.sql.SparkSession,
+      catalog: graft.engine.GraftSparkCatalog,
+      catalogName: String,
+      sourceIdent: graft.catalog.TableIdent,
+      mvIdent: graft.catalog.TableIdent,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    spark.readStream
+      .table(s"$catalogName.${(sourceIdent.namespace :+ sourceIdent.name).mkString(".")}.stream")
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        graft.engine.GraftMaterializedViews.refresh(spark, catalog, mvIdent)
+        ()
+      }
+      .start()
 }

@@ -202,6 +202,36 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.mv_once AS SELECT 3 AS three"))
   }
 
+  test("streaming maintenance: the MV follows source commits without a scheduler") {
+    spark.sql(s"CREATE TABLE $cat.db.visits (page STRING, ms BIGINT)")
+    spark.sql(s"INSERT INTO $cat.db.visits VALUES ('a',10),('a',20),('b',5)")
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.db.mv_visits AS
+         |SELECT page, count(*) AS n, sum(ms) AS total_ms, count(ms) AS nv
+         |FROM $cat.db.visits GROUP BY page""".stripMargin)
+    val ckpt = Files.createTempDirectory("graft-mv-stream").toString
+    def mvRows: Set[(String, Long, Long)] =
+      spark.sql(s"SELECT page, n, total_ms FROM $cat.db.mv_visits")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+    // two source commits AFTER the MV's create checkpoint, then one
+    // available-now maintenance pass: the stream signals, refresh folds
+    spark.sql(s"INSERT INTO $cat.db.visits VALUES ('a',30),('c',7)")
+    spark.sql(s"INSERT INTO $cat.db.visits VALUES ('b',15)")
+    val q = graft.streaming.TableStreams.materializedViewStream(
+      spark, graftCatalog, cat,
+      TableIdent(Seq("db"), "visits"), TableIdent(Seq("db"), "mv_visits"), ckpt)
+    try q.processAllAvailable() finally q.stop()
+    assert(mvRows === Set(("a", 3L, 60L), ("b", 2L, 20L), ("c", 1L, 7L)))
+    // and the fold was the incremental path (checkpoint advanced to head)
+    val rec = store.loadTable(whId, TableIdent(Seq("db"), "mv_visits"))
+      .fold(e => fail(e.message), identity)
+    val srcHead = store.loadTable(whId, TableIdent(Seq("db"), "visits"))
+      .fold(e => fail(e.message), identity).metadata.currentSnapshotId.get
+    assert(rec.metadata.properties(
+      ChangelogApply.ckptKey(s"$cat.db.visits")) === srcHead.toString)
+  }
+
   test("refresh on a plain table is refused loudly") {
     val e = intercept[Exception](
       spark.sql(s"CALL $cat.system.refresh_materialized_view(table => 'db.orders')"))
