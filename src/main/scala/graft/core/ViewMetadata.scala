@@ -218,7 +218,8 @@ object ViewJsonCodecs {
     o.put("timestamp-ms", v.timestampMs)
     o.put("schema-id", v.schemaId)
     val s = M.createObjectNode()
-    v.summary.foreach { case (k, value) => s.put(k, value) }
+    // sorted emission → canonical JSON (round-trip is a fixed point)
+    v.summary.toSeq.sortBy(_._1).foreach { case (k, value) => s.put(k, value) }
     o.set[JsonNode]("summary", s)
     val reps = M.createArrayNode()
     v.representations.foreach { r =>
@@ -291,7 +292,7 @@ object ViewJsonCodecs {
     }
     o.set[JsonNode]("version-log", log)
     val props = M.createObjectNode()
-    m.properties.foreach { case (k, v) => props.put(k, v) }
+    m.properties.toSeq.sortBy(_._1).foreach { case (k, v) => props.put(k, v) }
     o.set[JsonNode]("properties", props)
     M.writeValueAsString(o)
   }
