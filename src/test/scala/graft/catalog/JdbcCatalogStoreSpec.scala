@@ -54,6 +54,25 @@ class JdbcCatalogStoreSpec extends CatalogStoreContract {
         "manifests/8.json", Map("operation" -> "append"), Some(0))),
         TableUpdate.SetSnapshotRef("main", 8L, SnapshotRefType.Branch)),
       t0 + 2).isRight)
+
+    // views are rows too: they survive the restart with their version
+    // history, and view commits keep working against the reopened store
+    val ver = ViewVersion(1, t0, 0, Map("operation" -> "create"),
+      Seq(ViewRepresentation("spark", "SELECT 1 AS one")), Some("cat"), Seq("ns"))
+    val created = store2.createView(wh, Seq("ns"), "v", schemaOf(store2), ver,
+      Map("team" -> "data"), t0 + 3).fold(e => fail(e.message), identity)
+    val store3 = JdbcCatalogStore.embedded(dir)
+    val reloadedView = store3.loadView(wh, TableIdent(Seq("ns"), "v"))
+      .fold(e => fail(e.message), identity)
+    assert(reloadedView.metadata === created.metadata)
+    assert(store3.commitView(wh, TableIdent(Seq("ns"), "v"),
+      Seq(ViewRequirement.AssertViewUuid(created.metadata.viewUuid)),
+      Seq(ViewUpdate.SetProperties(Map("tier" -> "gold"))), t0 + 4).isRight)
+  }
+
+  private def schemaOf(s: CatalogStore): Schema = {
+    import IType._
+    Schema(0, Seq(NestedField.required(1, "one", TInt)))
   }
 }
 
