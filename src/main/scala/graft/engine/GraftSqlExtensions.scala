@@ -144,6 +144,7 @@ final case class CallProcedureCommand(
   private val CountArg = """(?i)target_file_count\s*=>\s*(\d+)""".r
   private val ZorderArg = """(?i)zorder\s*=>\s*'([^']+)'""".r
   private val OlderArg = """(?i)older_than_ms\s*=>\s*(\d+)""".r
+  private val RetainArg = """(?i)retain_last\s*=>\s*(\d+)""".r
   private val SnapshotArg = """(?i)snapshot_id\s*=>\s*(\d+)""".r
   private val BranchArg = """(?i)branch\s*=>\s*'([^']+)'""".r
   private val ToArg = """(?i)to\s*=>\s*'([^']+)'""".r
@@ -166,7 +167,8 @@ final case class CallProcedureCommand(
       case "expire_snapshots" =>
         val olderThan = OlderArg.findFirstMatchIn(args).map(_.group(1).toLong).getOrElse(
           throw new IllegalArgumentException("expire_snapshots requires older_than_ms => N"))
-        catalog.engineTable(ti).expireSnapshots(olderThan)
+        val retain = RetainArg.findFirstMatchIn(args).map(_.group(1).toInt).getOrElse(1)
+        catalog.engineTable(ti).expireSnapshots(olderThan, retain)
       case "remove_orphan_files" =>
         val t = catalog.engineTable(ti)
         OlderArg.findFirstMatchIn(args).map(_.group(1).toLong) match {

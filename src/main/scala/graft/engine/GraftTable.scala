@@ -1029,9 +1029,23 @@ final class GraftTable(
     * always survive). Metadata-only commit; data files of expired
     * snapshots are left for a separate orphan sweep, like the
     * reference's no-purge drop. */
-  def expireSnapshots(olderThanMs: Long): TableMetadata = {
+  def expireSnapshots(olderThanMs: Long, retainLast: Int = 1): TableMetadata = {
     val m = metadata
-    val pinned = m.refs.values.map(_.snapshotId).toSet ++ m.currentSnapshotId
+    // retain_last: the newest N ancestors of the current snapshot stay
+    // regardless of age (the Iceberg-standard guard against an
+    // older_than cutoff in the future expiring the whole history and
+    // stranding time travel/rollback)
+    val retained = {
+      var keep = List.empty[Long]
+      var cur = m.currentSnapshotId
+      while (keep.size < math.max(retainLast, 1) && cur.isDefined) {
+        keep ::= cur.get
+        cur = m.snapshots.get(cur.get).flatMap(_.parentSnapshotId)
+      }
+      keep.toSet
+    }
+    val pinned = m.refs.values.map(_.snapshotId).toSet ++
+      m.currentSnapshotId ++ retained
     val removable = m.snapshots.values
       .filter(s => s.timestampMs < olderThanMs && !pinned.contains(s.snapshotId))
       .map(_.snapshotId).toSeq.sorted

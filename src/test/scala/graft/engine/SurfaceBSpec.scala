@@ -351,6 +351,26 @@ class SurfaceBSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertThrows[CatalogError](t.scan(spark, t.AtSnapshot(middle)))
   }
 
+  test("expire_snapshots retain_last keeps the newest N ancestors at any cutoff") {
+    import spark.implicits._
+    val t = table("t_retain")
+    t.append(Seq((1, "a", 1.0)).toDF("id", "strings", "floats"))
+    t.append(Seq((2, "b", 2.0)).toDF("id", "strings", "floats"))
+    t.append(Seq((3, "c", 3.0)).toDF("id", "strings", "floats"))
+    val before = t.metadata
+    assert(before.snapshots.size === 3)
+    val ancestry = before.snapshotLog.map(_.snapshotId)
+
+    // a cutoff in the FUTURE would expire everything unguarded;
+    // retain_last => 2 keeps the newest two ancestors
+    val after = t.expireSnapshots(
+      olderThanMs = System.currentTimeMillis() + 60000, retainLast = 2)
+    assert(after.snapshots.keySet === ancestry.takeRight(2).toSet)
+    // rollback to the retained parent still works — the guard's point
+    t.setCurrentSnapshot(ancestry(1), requireAncestor = true)
+    assert(rows(t).map(_._1) === Set(1, 2))
+  }
+
   test("writes honor the table's default sort order within each file") {
     import spark.implicits._
     val t = table("t_sorted")
