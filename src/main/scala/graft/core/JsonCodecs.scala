@@ -62,7 +62,10 @@ object JsonCodecs {
   }
 
   def typeFromJson(node: JsonNode): Either[String, IType] =
-    if (node.isTextual) IType.parsePrimitive(node.asText())
+    if (node == null) Left("malformed type node: null")
+    else if (node.isTextual) IType.parsePrimitive(node.asText())
+    else if (node.isObject && !node.hasNonNull("type"))
+      Left(s"malformed type node (no `type`): ${String.valueOf(node).take(80)}")
     else if (node.isObject) node.get("type").asText() match {
       case "struct" => fieldsFromJson(node.get("fields")).map(IType.TStruct)
       case "list" =>
@@ -80,8 +83,13 @@ object JsonCodecs {
     else Left(s"malformed type node: $node")
 
   private def fieldsFromJson(node: JsonNode): Either[String, Seq[NestedField]] = {
+    if (node == null || !node.isArray)
+      return Left(s"malformed fields node: ${String.valueOf(node).take(80)}")
     val out = Vector.newBuilder[NestedField]
     for (f <- node.elements().asScala) {
+      if (!f.isObject || !f.hasNonNull("id") || !f.hasNonNull("name") ||
+          !f.hasNonNull("required") || !f.hasNonNull("type"))
+        return Left(s"malformed field node: ${String.valueOf(f).take(80)}")
       typeFromJson(f.get("type")) match {
         case Left(e) => return Left(e)
         case Right(t) =>
@@ -109,7 +117,13 @@ object JsonCodecs {
   }
 
   def schemaFromJson(node: JsonNode): Either[String, Schema] =
-    fieldsFromJson(node.get("fields")).map { fs =>
+    // shape-check BEFORE touching members: a string/array/null here
+    // must be a 400 at the codec seam, not an NPE escaping as a 500
+    // (found by the MalformedInputSpec fuzz sweep)
+    if (node == null || !node.isObject || !node.hasNonNull("fields") ||
+        !node.get("fields").isArray)
+      Left(s"malformed schema node: ${String.valueOf(node).take(80)}")
+    else fieldsFromJson(node.get("fields")).map { fs =>
       val ids = Option(node.get("identifier-field-ids"))
         .filter(!_.isNull)
         .map(_.elements().asScala.map(_.asInt()).toSet)

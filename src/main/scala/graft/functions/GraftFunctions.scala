@@ -24,8 +24,41 @@ object GraftFunctions {
       s"iceberg_bucket expects (numBuckets: int literal, col); got ${other.size} args")
   }
 
+  /** The dedup family's native text-hash expressions as plain SQL
+    * functions, so users compose their own pipelines in SQL with the
+    * exact codegen'd primitives the built-in operators use (and the
+    * same cross-engine md5 hash contract):
+    *
+    *   simhash60(tokens)        — 60-bit SimHash of array<string>
+    *   shingle_hashes(tokens)   — distinct 3-gram shingle hashes
+    *   window_hashes(tokens, w) — rolling w-token window hashes
+    */
+  private[functions] val simhashBuilder: Seq[Expression] => Expression = {
+    case Seq(toks) => SimHash60(toks)
+    case other => throw new IllegalArgumentException(
+      s"simhash60 expects (tokens: array<string>); got ${other.size} args")
+  }
+  private[functions] val shingleBuilder: Seq[Expression] => Expression = {
+    case Seq(toks) => ShingleHashes(toks)
+    case other => throw new IllegalArgumentException(
+      s"shingle_hashes expects (tokens: array<string>); got ${other.size} args")
+  }
+  private[functions] val windowBuilder: Seq[Expression] => Expression = {
+    case Seq(toks, w) if w.foldable &&
+        w.dataType == org.apache.spark.sql.types.IntegerType =>
+      WindowHashes(toks, w.eval().asInstanceOf[Int])
+    case other => throw new IllegalArgumentException(
+      s"window_hashes expects (tokens: array<string>, w: int literal); got ${other.size} args")
+  }
+
+  private[functions] val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "iceberg_bucket" -> bucketBuilder,
+    "simhash60" -> simhashBuilder,
+    "shingle_hashes" -> shingleBuilder,
+    "window_hashes" -> windowBuilder)
+
   def register(spark: SparkSession): Unit =
-    GraftShims.registerFunction(spark, "iceberg_bucket", bucketBuilder)
+    all.foreach { case (name, b) => GraftShims.registerFunction(spark, name, b) }
 }
 
 /** `--conf spark.sql.extensions=graft.functions.GraftExtensions`
@@ -36,10 +69,12 @@ object GraftFunctions {
   * [[graft.engine.GraftSqlParser]]). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(extensions: SparkSessionExtensions): Unit = {
-    extensions.injectFunction((
-      FunctionIdentifier("iceberg_bucket"),
-      new ExpressionInfo("graft.functions.GraftFunctions", "iceberg_bucket"),
-      GraftFunctions.bucketBuilder))
+    GraftFunctions.all.foreach { case (name, builder) =>
+      extensions.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.GraftFunctions", name),
+        builder))
+    }
     extensions.injectParser((_, parser) =>
       new graft.engine.GraftSqlParser(parser))
     // runtime file pruning for key-only MERGE/UPDATE/DELETE deltas:

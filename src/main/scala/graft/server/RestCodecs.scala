@@ -18,8 +18,16 @@ object RestCodecs {
   import graft.core.JsonCodecs.{mapperRef => M}
 
   def parse(body: String): Either[CatalogError, JsonNode] =
-    try Right(M.readTree(body))
-    catch { case e: Exception =>
+    try {
+      val n = M.readTree(body)
+      // every REST request body is a JSON OBJECT; Jackson's readTree
+      // maps "" to MissingNode and "null"/arrays parse fine, which
+      // would otherwise flow through optional-field lookups as a
+      // silent no-op 200 (found by the MalformedInputSpec fuzz sweep)
+      if (n == null || !n.isObject)
+        Left(CatalogError.badRequest("request body must be a JSON object"))
+      else Right(n)
+    } catch { case e: Exception =>
       Left(CatalogError.badRequest(s"malformed JSON: ${e.getMessage}")) }
 
   private def objNode(): ObjectNode = M.createObjectNode()
