@@ -185,6 +185,19 @@ final case class GraftViewCommandRewrite(spark: SparkSession)
             requireExists = true)
         case None => a
       }
+    case s @ ShowCreateTable(child, _, output) =>
+      // SHOW CREATE TABLE on a graft VIEW: reconstruct the DDL from the
+      // stored definition (the table path stays native — this case
+      // only claims identifiers that resolve to a view)
+      (child match {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView =>
+          graftParts(u.multipartIdentifier)
+        case _ => None
+      }) match {
+        case Some((cat, id)) if cat.viewExists(id) =>
+          ShowCreateGraftViewCommand(cat, id, output)
+        case _ => s
+      }
     case m @ CreateMaterializedViewAsSelect(
         child, columns, partitioning, tableSpec, query, originalText, ifNotExists) =>
       graftIdent(child) match {
@@ -356,6 +369,24 @@ final case class ShowGraftViewsCommand(
         org.apache.spark.sql.catalyst.util.StringUtils
           .filterPattern(Seq(id.name), p).nonEmpty))
       .map(id => Row(id.namespace().mkString("."), id.name, false)).toSeq
+  }
+}
+
+final case class ShowCreateGraftViewCommand(
+    catalog: GraftSparkCatalog, viewIdent: Identifier,
+    override val output: Seq[Attribute])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = catalog.loadView(viewIdent)
+    val cols = v.schema().fields
+      .map(f => s"  ${f.name} ${f.dataType.sql}").mkString(",\n")
+    val props = v.properties().asScala.toSeq.sortBy(_._1)
+      .filterNot { case (k, _) => k == "location" || k == "format-version" }
+      .map { case (k, x) => s"  '$k' = '$x'" }
+    val tbl = if (props.nonEmpty)
+      props.mkString("\nTBLPROPERTIES (\n", ",\n", ")") else ""
+    Seq(Row(
+      s"CREATE VIEW ${viewIdent.toString} (\n$cols)$tbl AS\n${v.query}"))
   }
 }
 

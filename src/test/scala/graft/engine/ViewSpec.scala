@@ -186,6 +186,21 @@ class ViewSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(store.dropNamespace(whId, Seq("vonly")).isRight)
   }
 
+  test("SHOW CREATE TABLE on a view reconstructs the definition") {
+    spark.sql(
+      s"CREATE VIEW $cat.db.showme AS SELECT id, status FROM $cat.db.orders WHERE id = 1")
+    val ddl = spark.sql(s"SHOW CREATE TABLE $cat.db.showme")
+      .collect()(0).getString(0)
+    assert(ddl.startsWith("CREATE VIEW"))
+    assert(ddl.contains("showme"))
+    assert(ddl.contains("id BIGINT"))
+    assert(ddl.contains("SELECT id, status FROM"))
+    // tables keep Spark's native SHOW CREATE TABLE path
+    val tddl = spark.sql(s"SHOW CREATE TABLE $cat.db.orders")
+      .collect()(0).getString(0)
+    assert(tddl.startsWith("CREATE TABLE"))
+  }
+
   test("session-catalog temp views are untouched by the graft rule") {
     spark.range(3).createOrReplaceTempView("plain_temp")
     assert(spark.sql("SELECT count(*) FROM plain_temp").collect()(0).getLong(0) == 3)
