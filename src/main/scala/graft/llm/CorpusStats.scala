@@ -633,6 +633,61 @@ object CorpusStats {
        |GROUP BY t.doc_id, t.lang
        |ORDER BY doc_id""".stripMargin
 
+  /** Per-source token-distribution DRIFT against the whole corpus — a
+    * quantized KL(source‖corpus) in bits: for each token,
+    * `sbits_s − sbits_g` where `sbits = bitlen(total) − bitlen(count)`
+    * (the integer −log2 p quantization the surprisal family uses),
+    * count-weighted and normalized by the source's token mass. The
+    * corpus-mixture monitoring view: a source whose language drifts
+    * from the blend (new spam template, scraper change, language flip)
+    * shows up as rising bits before any downstream metric moves.
+    *
+    * Scale: per-source token counts are ONE keyed map-side-combined
+    * aggregation (vocabulary × sources rows out, raw text never
+    * shuffles twice); the global distribution ROLLS UP from that table
+    * (vocabulary-sized, never a second corpus pass); the meeting join
+    * is keyed on token with per-token fanout bounded by the source
+    * count. All arithmetic is integer bit-lengths until one final
+    * division, so both engines emit the identical double. */
+  def qSourceTokenDrift(s: SparkSession, dir: String): DataFrame = {
+    val st = tokens(s, dir)
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = st.groupBy(col("source")).agg(sum(col("cnt")).as("n_s"))
+    val g = st.groupBy(col("token")).agg(sum(col("cnt")).as("gcnt"))
+    val gTotal = g.agg(sum(col("gcnt")).as("n_g"))
+    st.join(totals, "source")
+      .join(g, "token")
+      .crossJoin(broadcast(gTotal))
+      .selectExpr("source", "n_s", "cnt",
+        "(length(bin(n_s)) - length(bin(cnt))) - (length(bin(n_g)) - length(bin(gcnt))) as dbits")
+      .groupBy(col("source"))
+      .agg(
+        expr("max(n_s) as n_tokens"),
+        expr("sum(cnt * dbits) as drift_num"))
+      .selectExpr("source", "n_tokens",
+        "cast(drift_num as double) / n_tokens as drift_bits")
+      .orderBy(col("source"))
+  }
+
+  val qSourceTokenDriftSql: String =
+    """WITH toks AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+      |st AS (SELECT source, token, COUNT(*) AS cnt FROM toks
+      |       WHERE len(token) > 0 GROUP BY source, token),
+      |totals AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_s FROM st GROUP BY source),
+      |g AS (SELECT token, CAST(SUM(cnt) AS BIGINT) AS gcnt FROM st GROUP BY token),
+      |gt AS (SELECT CAST(SUM(gcnt) AS BIGINT) AS n_g FROM g),
+      |d AS (
+      |  SELECT st.source, totals.n_s, st.cnt,
+      |         (length(printf('%b', totals.n_s)) - length(printf('%b', st.cnt)))
+      |           - (length(printf('%b', gt.n_g)) - length(printf('%b', g.gcnt))) AS dbits
+      |  FROM st JOIN totals USING (source) JOIN g USING (token) CROSS JOIN gt)
+      |SELECT source, CAST(MAX(n_s) AS BIGINT) AS n_tokens,
+      |       CAST(SUM(cnt * dbits) AS DOUBLE) / MAX(n_s) AS drift_bits
+      |FROM d GROUP BY source
+      |ORDER BY source""".stripMargin
+
   /** KMV keep-size: 64 longs of state per group. Standard error of the
     * distinct estimate ≈ 1/√(k−2) ≈ 12.7% — the scale knob is k, not
     * the corpus. */
@@ -774,6 +829,7 @@ object CorpusStats {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cms_heavy_hitters" -> (qCmsHeavyHitters _),
     "q_kmv_distinct" -> (qKmvDistinct _),
+    "q_source_token_drift" -> (qSourceTokenDrift _),
     "q_dsir_importance" -> (qDsirImportance _),
     "q_vocab_topk" -> (qVocabTopk _),
     "q_tfidf_keywords" -> (qTfidfKeywords _),
@@ -788,6 +844,7 @@ object CorpusStats {
   val oracleSql: Map[String, String] = Map(
     "q_cms_heavy_hitters" -> qCmsHeavyHittersSql,
     "q_kmv_distinct" -> qKmvDistinctSql,
+    "q_source_token_drift" -> qSourceTokenDriftSql,
     "q_dsir_importance" -> qDsirImportanceSql,
     "q_vocab_topk" -> qVocabTopkSql,
     "q_tfidf_keywords" -> qTfidfKeywordsSql,
