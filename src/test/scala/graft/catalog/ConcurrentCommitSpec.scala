@@ -104,6 +104,69 @@ abstract class ConcurrentCommitContract extends AnyFunSuite {
     assert(conflicts.get() >= writers - 1)
   }
 
+  test("racing view replaces: versions land exactly once, history stays linear") {
+    val store = newStore()
+    val whLoc = Files.createTempDirectory("graft-vrace").toUri.toString.stripSuffix("/")
+    val wh = store.createWarehouse(UUID.randomUUID(), "vrace", whLoc)
+      .fold(e => fail(e.message), identity).id
+    assert(store.createNamespace(wh, Seq("ns"), Map.empty).isRight)
+    val ident = TableIdent(Seq("ns"), "v")
+    val created = store.createView(wh, Seq("ns"), "v", schema,
+      ViewVersion(1, t0, 0, Map("operation" -> "create"),
+        Seq(ViewRepresentation("spark", "SELECT 0 AS x")), None, Seq("ns")),
+      Map.empty, t0).fold(e => fail(e.message), identity)
+    val uuid = created.metadata.viewUuid
+
+    val writers = 6
+    val replacesPerWriter = 4
+    val idGen = new AtomicInteger(0)
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(writers)
+    val futures = (0 until writers).map { w =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          start.await()
+          var done = 0
+          while (done < replacesPerWriter) {
+            val n = idGen.incrementAndGet()
+            // CAS is on the immutable uuid (views have no ref chain),
+            // so every well-formed replace should land; the race being
+            // tested is the commit CRITICAL SECTION — two writers
+            // folding onto the same row must serialize, or version ids
+            // collide / the log forks
+            store.commitView(wh, ident,
+              Seq(ViewRequirement.AssertViewUuid(uuid)),
+              Seq(ViewUpdate.AddSchema(schema),
+                ViewUpdate.AddViewVersion(ViewVersion(0, 0, -1,
+                  Map("operation" -> "replace"),
+                  Seq(ViewRepresentation("spark", s"SELECT $n AS x")),
+                  None, Seq("ns"))),
+                ViewUpdate.SetCurrentViewVersion(-1)), t0 + n) match {
+              case Right(_) => done += 1
+              case Left(e) if e.code == 409 => // JDBC serialization loser: retry
+              case Left(e) => throw e
+            }
+          }
+        }
+      })
+    }
+    start.countDown()
+    futures.foreach(_.get(60, TimeUnit.SECONDS))
+    pool.shutdown()
+
+    val m = store.loadView(wh, ident).fold(e => fail(e.message), identity).metadata
+    val total = writers * replacesPerWriter
+    // every replace minted exactly one NEW version id — no collisions,
+    // no lost updates under the race
+    assert(m.versions.size === total + 1)
+    assert(m.versions.keySet === (1 to total + 1).toSet)
+    // the version log appended exactly once per replace and points at
+    // versions that exist
+    assert(m.versionLog.size === total + 1)
+    m.versionLog.foreach(e => assert(m.versions.contains(e.versionId)))
+    assert(m.currentVersionId === m.versionLog.last.versionId)
+  }
+
   test("multi-table transactions race atomically: both tables or neither") {
     val store = newStore()
     val whLoc = Files.createTempDirectory("graft-race2").toUri.toString.stripSuffix("/")

@@ -232,6 +232,30 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
       ChangelogApply.ckptKey(s"$cat.db.visits")) === srcHead.toString)
   }
 
+  test("source schema drift fails refresh loudly, never misfolds silently") {
+    spark.sql(s"CREATE TABLE $cat.db.drifting (k STRING, v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.db.drifting VALUES ('a', 1), ('b', 2)")
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.db.mv_drift AS
+         |SELECT k, count(*) AS n, sum(v) AS total, count(v) AS nv
+         |FROM $cat.db.drifting GROUP BY k""".stripMargin)
+    // the defining query references `v`; renaming it out from under the
+    // MV must make refresh THROW (the stored SQL no longer analyzes),
+    // not fold garbage or quietly full-refresh into a different shape
+    spark.sql(s"ALTER TABLE $cat.db.drifting RENAME COLUMN v TO amount")
+    spark.sql(s"INSERT INTO $cat.db.drifting VALUES ('c', 3)")
+    val e = intercept[Exception](
+      GraftMaterializedViews.refresh(spark, graftCatalog,
+        TableIdent(Seq("db"), "mv_drift")))
+    assert(e.getMessage.toLowerCase.contains("v") ||
+      e.getMessage.toLowerCase.contains("column"),
+      s"drift failure should name the missing column: ${e.getMessage}")
+    // the stored rows are untouched by the failed tick
+    assert(spark.sql(s"SELECT k, n FROM $cat.db.mv_drift ORDER BY k")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("a", 1L), ("b", 1L)))
+  }
+
   test("refresh on a plain table is refused loudly") {
     val e = intercept[Exception](
       spark.sql(s"CALL $cat.system.refresh_materialized_view(table => 'db.orders')"))
