@@ -55,6 +55,7 @@ object GraftMaterializedViews {
       catalog: GraftSparkCatalog,
       id: Identifier,
       userCols: Seq[String],
+      partitioning: Seq[org.apache.spark.sql.connector.expressions.Transform],
       query: LogicalPlan,
       originalText: String,
       ifNotExists: Boolean,
@@ -78,8 +79,11 @@ object GraftMaterializedViews {
       SqlProp -> originalText,
       DefCatProp -> mgr.currentCatalog.name(),
       DefNsProp -> mgr.currentNamespace.mkString(NsSep))
+    // PARTITIONED BY flows straight through to the backing table: the
+    // fold's overwrite commits write through the table's default spec,
+    // so a partitioned MV gets partition pruning on its read side for free
     catalog.createTable(id, org.apache.spark.sql.types.StructType(fields),
-      Array.empty, props.asJava)
+      partitioning.toArray, props.asJava)
     val ti = TableIdent(id.namespace().toSeq, id.name())
     val mv = catalog.engineTable(ti)
     shapeOf(spark, analyzed) match {
@@ -401,6 +405,7 @@ final case class CreateGraftMaterializedViewCommand(
     catalog: GraftSparkCatalog,
     viewIdent: Identifier,
     userCols: Seq[String],
+    partitioning: Seq[org.apache.spark.sql.connector.expressions.Transform],
     query: LogicalPlan,
     originalText: String,
     ifNotExists: Boolean,
@@ -409,7 +414,7 @@ final case class CreateGraftMaterializedViewCommand(
   override def output: Seq[Attribute] = Nil
   override def run(spark: SparkSession): Seq[Row] = {
     GraftMaterializedViews.create(spark, catalog, viewIdent, userCols,
-      query, originalText, ifNotExists, properties)
+      partitioning, query, originalText, ifNotExists, properties)
     Nil
   }
 }

@@ -202,16 +202,13 @@ final case class GraftViewCommandRewrite(spark: SparkSession)
         child, columns, partitioning, tableSpec, query, originalText, ifNotExists) =>
       graftIdent(child) match {
         case Some((cat, id)) =>
-          if (partitioning.nonEmpty)
-            throw new UnsupportedOperationException(
-              "materialized view partitioning is not supported yet")
           val props = tableSpec match {
             case t: UnresolvedTableSpec => t.properties
             case t: TableSpec => t.properties
             case _ => Map.empty[String, String]
           }
           CreateGraftMaterializedViewCommand(cat, id, columns.map(_.name),
-            query, originalText, ifNotExists, props)
+            partitioning, query, originalText, ifNotExists, props)
         case None => m
       }
   }

@@ -232,6 +232,31 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
       ChangelogApply.ckptKey(s"$cat.db.visits")) === srcHead.toString)
   }
 
+  test("PARTITIONED BY flows to the backing table; the fold keeps the layout") {
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.db.mv_part
+         |PARTITIONED BY (status) AS
+         |SELECT status, count(*) AS n, sum(amount) AS total, count(amount) AS nv
+         |FROM $cat.db.orders GROUP BY status""".stripMargin)
+    val rec = store.loadTable(whId, TableIdent(Seq("db"), "mv_part"))
+      .fold(e => fail(e.message), identity)
+    assert(rec.metadata.defaultSpec.fields.map(_.name) === Seq("status"))
+    // fold a change and confirm the partitioned MV still matches recompute
+    spark.sql(s"INSERT INTO $cat.db.orders VALUES (40,'open',400.0)")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_part")) === GraftMaterializedViews.Incremental)
+    val got = spark.sql(s"SELECT status, n FROM $cat.db.mv_part")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val expect = spark.sql(
+      s"SELECT status, count(*) n FROM $cat.db.orders GROUP BY status")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === expect)
+    // reads prune by partition: one status touches one partition's files
+    val plan = spark.sql(s"SELECT n FROM $cat.db.mv_part WHERE status = 'open'")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "a partition-pruned point read needs no shuffle")
+  }
+
   test("source schema drift fails refresh loudly, never misfolds silently") {
     spark.sql(s"CREATE TABLE $cat.db.drifting (k STRING, v BIGINT)")
     spark.sql(s"INSERT INTO $cat.db.drifting VALUES ('a', 1), ('b', 2)")
