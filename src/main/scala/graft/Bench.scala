@@ -17,9 +17,11 @@ import java.nio.file.{Files, Paths}
   *    row without letting Spark prune output columns the way `count()`
   *    can, and without filesystem cost;
   *  - failures surfaced (query name + error on stderr, -1 recorded);
-  *  - the result JSON written BOTH to SPARK_GRAFT_BENCH_OUT (default
-  *    bench_out.json) and as the single final stdout line, so the
-  *    driver's parser finds a clean line regardless of log noise.
+  *  - the FULL result JSON (with per-rep `queries_stats`) written to
+  *    SPARK_GRAFT_BENCH_OUT (default bench_out.json); stdout gets one
+  *    final COMPACT line (same record minus `queries_stats`) — the
+  *    driver's artifact pipe truncates long stdout, so per-rep arrays
+  *    stay out of it.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -162,12 +164,21 @@ object Bench {
           .orElse(false)).count()
       catch { case _: Exception => -1L }
     val env = s"""{"load_avg":$loadAvg,"java_procs":$nJvms,"cpus":"$cpus"}"""
-    val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_stats":$stats,"reps":$reps,"failed":$nFailed,"delete_cache_loads":$delLoads,"cc_rounds":$ccRounds,"bench_env":$env,"sf":"$sfDir"}"""
-    Files.writeString(Paths.get(outPath), json + "\n")
+    val tail =
+      s""""reps":$reps,"failed":$nFailed,"delete_cache_loads":$delLoads,"cc_rounds":$ccRounds,"bench_env":$env,"sf":"$sfDir""""
+    // full record (per-rep spreads included) → bench_out.json only;
+    // stdout gets the COMPACT line — the driver's artifact pipe
+    // truncates long stdout (BENCH_r11/r12 both carried parsed:null
+    // from the queries_stats payload), so the per-rep arrays must not
+    // ride the pipe
+    val full =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_stats":$stats,$tail}"""
+    val compact =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,$tail}"""
+    Files.writeString(Paths.get(outPath), full + "\n")
     spark.stop()
     // Final clean stdout line AFTER spark.stop() so no executor log
     // lines can interleave behind it.
-    println(json)
+    println(compact)
   }
 }

@@ -4,7 +4,7 @@ import graft.catalog.TableIdent
 import org.apache.spark.sql.{Column, DataFrame, GraftShims, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedIdentifier}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, SubqueryAlias}
 import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -41,6 +41,10 @@ object GraftMaterializedViews {
   val SqlProp = "graft.mv.sql"
   val DefCatProp = "graft.mv.default-catalog"
   val DefNsProp = "graft.mv.default-namespace"
+  /** DESCRIBE-visible routing report: "incremental" when the defining
+    * query folds through the changelog, "full" when every refresh
+    * recomputes. Set at create, re-asserted on each refresh commit. */
+  val RefreshModeProp = "graft.mv.refresh-mode"
   private val NsSep = "\u001f"
 
   /** How a refresh executed — surfaced for observability and specs. */
@@ -74,11 +78,19 @@ object GraftMaterializedViews {
         userCols.lift(i).getOrElse(attr.name), attr.dataType, attr.nullable)
     }
     val mgr = spark.sessionState.catalogManager
+    // the shape's out-names are the QUERY's output names; remap them
+    // positionally to the DECLARED names so a user column list
+    // (CREATE MATERIALIZED VIEW mv (k, n) AS SELECT key, count(*)...)
+    // reads and writes the backing table it actually created
+    val shape = shapeOf(spark, analyzed).map(_.withOutNames(fields.map(_.name)))
     val props = properties ++ Map(
       MarkerProp -> "true",
       SqlProp -> originalText,
       DefCatProp -> mgr.currentCatalog.name(),
-      DefNsProp -> mgr.currentNamespace.mkString(NsSep))
+      DefNsProp -> mgr.currentNamespace.mkString(NsSep),
+      // observability: DESCRIBE TABLE EXTENDED shows which price this
+      // MV pays per refresh — delta (foldable) or full recompute
+      RefreshModeProp -> (if (shape.isDefined) "incremental" else "full"))
     // PARTITIONED BY flows straight through to the backing table: the
     // fold's overwrite commits write through the table's default spec,
     // so a partitioned MV gets partition pruning on its read side for free
@@ -86,7 +98,7 @@ object GraftMaterializedViews {
       partitioning.toArray, props.asJava)
     val ti = TableIdent(id.namespace().toSeq, id.name())
     val mv = catalog.engineTable(ti)
-    shapeOf(spark, analyzed) match {
+    shape match {
       case Some(shape) =>
         // pinned cold start: scan the source AT its head snapshot and
         // commit content + that snapshot as the checkpoint atomically
@@ -126,9 +138,9 @@ object GraftMaterializedViews {
     val parsed = GraftViewResolution.qualifyRelations(
       spark, spark.sessionState.sqlParser.parsePlan(sql), defCat, defNs)
     val analyzed = spark.sessionState.executePlan(parsed).analyzed
-    val outNames = mv.metadata.currentSchema.fields.map(_.name)
+    val outNames = mv.metadata.currentSchema.fields.map(_.name).toSeq
 
-    shapeOf(spark, analyzed) match {
+    shapeOf(spark, analyzed).map(_.withOutNames(outNames)) match {
       case Some(shape) =>
         val source = shape.sourceTable(spark)
         val srcHead = source.metadata.currentSnapshotId.getOrElse(return NoOp)
@@ -152,19 +164,22 @@ object GraftMaterializedViews {
                 prev, shape.withValue(changes), shape.keySrcNames, shape.valueName)
             mv.overwriteAll(shape.fromInternal(folded, outNames, mv),
               meta.currentSnapshotId,
-              extraProperties = Map(key -> srcHead.toString))
+              extraProperties = Map(key -> srcHead.toString,
+                RefreshModeProp -> "incremental"))
             Incremental
           case None =>
             val base = shape.applyFilter(
               source.scan(spark, source.AtSnapshot(srcHead)))
             mv.overwriteAll(shape.recompute(base, outNames),
               meta.currentSnapshotId,
-              extraProperties = Map(key -> srcHead.toString))
+              extraProperties = Map(key -> srcHead.toString,
+                RefreshModeProp -> "incremental"))
             Full
         }
       case None =>
         val df = GraftShims.ofRows(spark, analyzed)
-        mv.overwriteAll(df.toDF(outNames: _*), meta.currentSnapshotId)
+        mv.overwriteAll(df.toDF(outNames: _*), meta.currentSnapshotId,
+          extraProperties = Map(RefreshModeProp -> "full"))
         Full
     }
   }
@@ -176,6 +191,7 @@ object GraftMaterializedViews {
   private[engine] final case class CountStarOut(outName: String) extends OutCol
   private[engine] final case class CountVOut(outName: String) extends OutCol
   private[engine] final case class SumVOut(outName: String) extends OutCol
+  private[engine] final case class AvgVOut(outName: String) extends OutCol
   private[engine] final case class MinVOut(outName: String) extends OutCol
   private[engine] final case class MaxVOut(outName: String) extends OutCol
   private[engine] final case class CountDistinctOut(outName: String) extends OutCol
@@ -193,6 +209,23 @@ object GraftMaterializedViews {
     def sourceName: String = s"$catalogName.${sourceIdent.namespace.mkString(".")}.${sourceIdent.name}"
     def keySrcNames: Seq[String] = outs.collect { case k: KeyOut => k.srcName }
     private def keyOuts: Seq[KeyOut] = outs.collect { case k: KeyOut => k }
+
+    /** Positional rename of the OUT side: [[shapeOf]] labels columns
+      * with the QUERY's output names, but the MV's backing table may
+      * carry user-declared names — reading/writing that table must use
+      * the declared names. `outs` is 1:1 positional with the analyzed
+      * output, so a zip is exact. */
+    def withOutNames(declared: Seq[String]): FoldShape =
+      copy(outs = outs.zip(declared).map {
+        case (k: KeyOut, n) => k.copy(outName = n)
+        case (c: CountStarOut, n) => c.copy(outName = n)
+        case (c: CountVOut, n) => c.copy(outName = n)
+        case (c: SumVOut, n) => c.copy(outName = n)
+        case (c: AvgVOut, n) => c.copy(outName = n)
+        case (c: MinVOut, n) => c.copy(outName = n)
+        case (c: MaxVOut, n) => c.copy(outName = n)
+        case (c: CountDistinctOut, n) => c.copy(outName = n)
+      })
     /** Min/max family folds through [[ChangelogApply.applyMinMax]]
       * (recompute-on-retract); count/sum through applyCountSum. */
     def isMinMax: Boolean = outs.exists {
@@ -215,8 +248,19 @@ object GraftMaterializedViews {
       * aggregate a constant 1 stands in (sum of 1s == count — the fold
       * stays exact and the synthetic columns are dropped on output). */
     val valueName: String = valueSrc.getOrElse("__mv_one")
+    private def needsRealSum: Boolean = outs.exists {
+      case _: SumVOut | _: AvgVOut => true; case _ => false
+    }
     def withValue(changes: DataFrame): DataFrame =
-      if (valueSrc.isDefined) changes else changes.withColumn(valueName, lit(1L))
+      if (valueSrc.isEmpty) changes.withColumn(valueName, lit(1L))
+      else if (!needsRealSum)
+        // count(v)-only fold: only the NULL positions matter, so map v
+        // to a {1L, NULL} indicator — keeps applyCountSum's
+        // `__sign * v` arithmetic well-typed for ANY source type
+        // (count(string) would otherwise hit an ANSI cast error)
+        changes.withColumn(valueName,
+          org.apache.spark.sql.functions.when(col(valueName).isNotNull, lit(1L)))
+      else changes
 
     /** Stored MV rows → the internal frame the fold expects:
       * (keys..., n_rows, n_vals, sum_v) for the count/sum family,
@@ -244,7 +288,19 @@ object GraftMaterializedViews {
         val nVals = outs.collectFirst { case c: CountVOut => col(c.outName) }
           .getOrElse(nRows) // value col proven non-nullable (or synthetic 1)
         val sumV = outs.collectFirst { case c: SumVOut => col(c.outName) }
-          .getOrElse(nRows.cast("long")) // synthetic value 1: sum == count
+          .orElse(outs.collectFirst { case c: AvgVOut =>
+            // avg-only MV: recover the exact sum as avg × n_vals.
+            // shapeOf admits this shape only for INTEGRAL values, where
+            // the round() makes the double round-trip exact (up to
+            // ~2^51 of per-key mass — see SCALING.md's MV section)
+            org.apache.spark.sql.functions
+              .round(col(c.outName) * nVals.cast("double")).cast("long")
+          })
+          // no sum/avg stored: the fold's value is the {1L, NULL}
+          // indicator (or the synthetic constant 1), whose sum IS the
+          // non-null count — seed sum_v with n_vals so prev + delta
+          // stay in the same unit (the column is dropped on output)
+          .getOrElse(nVals.cast("long"))
         stored.select(
           keyOuts.map(k => col(k.outName).as(k.srcName)) ++ Seq(
             nRows.cast("long").as("n_rows"),
@@ -264,6 +320,13 @@ object GraftMaterializedViews {
         case CountStarOut(out) => out -> col("n_rows").cast(types(out)).as(out)
         case CountVOut(out) => out -> col("n_vals").cast(types(out)).as(out)
         case SumVOut(out) => out -> col("sum_v").cast(types(out)).as(out)
+        case AvgVOut(out) =>
+          // SQL NULL when the group has no non-null values — and the
+          // `when` guard keeps ANSI division away from n_vals = 0
+          out -> org.apache.spark.sql.functions
+            .when(col("n_vals") > lit(0L),
+              col("sum_v").cast("double") / col("n_vals").cast("double"))
+            .cast(types(out)).as(out)
         case MinVOut(out) => out -> col("min_v").cast(types(out)).as(out)
         case MaxVOut(out) => out -> col("max_v").cast(types(out)).as(out)
         case CountDistinctOut(out) => out -> col("n_distinct").cast(types(out)).as(out)
@@ -280,6 +343,7 @@ object GraftMaterializedViews {
         case CountStarOut(out) => org.apache.spark.sql.functions.count(lit(1)).as(out)
         case CountVOut(out) => org.apache.spark.sql.functions.count(col(valueName)).as(out)
         case SumVOut(out) => org.apache.spark.sql.functions.sum(col(valueName)).as(out)
+        case AvgVOut(out) => org.apache.spark.sql.functions.avg(col(valueName)).as(out)
         case MinVOut(out) => org.apache.spark.sql.functions.min(col(valueName)).as(out)
         case MaxVOut(out) => org.apache.spark.sql.functions.max(col(valueName)).as(out)
         case CountDistinctOut(out) =>
@@ -338,6 +402,9 @@ object GraftMaterializedViews {
             case Alias(AggregateExpression(Sum(v: AttributeReference, _), _, false, None, _), out) =>
               if (!noteValue(v.name)) return None
               SumVOut(out)
+            case Alias(AggregateExpression(Average(v: AttributeReference, _), _, false, None, _), out) =>
+              if (!noteValue(v.name)) return None
+              AvgVOut(out)
             case Alias(AggregateExpression(Min(v: AttributeReference), _, false, None, _), out) =>
               if (!noteValue(v.name)) return None
               MinVOut(out)
@@ -350,6 +417,7 @@ object GraftMaterializedViews {
           if (!groupAttrs.forall(a => keyNames(a.name))) return None
           if (!outs.exists(_.isInstanceOf[CountStarOut])) return None
           val hasSum = outs.exists(_.isInstanceOf[SumVOut])
+          val hasAvg = outs.exists(_.isInstanceOf[AvgVOut])
           val hasCountV = outs.exists(_.isInstanceOf[CountVOut])
           val hasMinMax = outs.exists {
             case _: MinVOut | _: MaxVOut => true; case _ => false
@@ -357,13 +425,27 @@ object GraftMaterializedViews {
           val hasDistinct = outs.exists(_.isInstanceOf[CountDistinctOut])
           // families don't mix in v1: a combined fold would need the
           // apply paths joined — full refresh handles it correctly
-          val families = Seq(hasSum || hasCountV, hasMinMax, hasDistinct).count(identity)
+          val families = Seq(hasSum || hasCountV || hasAvg, hasMinMax, hasDistinct)
+            .count(identity)
           if (families > 1) return None
-          if (hasSum && !hasCountV) {
-            // NULL-sum contract needs n_vals; reconstructible iff v can't be NULL
+          if ((hasSum || hasAvg) && !hasCountV) {
+            // NULL-sum/avg contract needs n_vals; reconstructible iff v can't be NULL
             val nonNullable = valueSrc.exists(v =>
               r.output.exists(a => a.name == v && !a.nullable))
             if (!nonNullable) return None
+          }
+          if (hasAvg && !hasSum) {
+            // avg-only MVs store no sum: the fold reconstructs it as
+            // round(avg × n_vals), exact only for INTEGRAL values
+            // (fractional sums don't survive the divide/multiply
+            // round-trip) — anything else routes to full recompute
+            import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+            val integral = valueSrc.exists(v => r.output.exists(a =>
+              a.name == v && (a.dataType match {
+                case ByteType | ShortType | IntegerType | LongType => true
+                case _ => false
+              })))
+            if (!integral) return None
           }
           val ident = r.identifier.get
           Some(FoldShape(

@@ -223,13 +223,35 @@ final case class GraftViewCommandRewrite(spark: SparkSession)
 final case class GraftViewResolution(spark: SparkSession)
     extends Rule[LogicalPlan] with GraftViewIdents {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
-    case u @ UnresolvedRelation(parts, _, false) =>
-      lookupView(parts) match {
-        case Some((cat, id, view)) => GraftViewResolution.expand(spark, cat, id, view)
-        case None => u
-      }
-  }
+  /** Hand-rolled recursion (not `resolveOperatorsUp`) so the expansion
+    * PATH travels with the traversal: each view expands eagerly into
+    * its definition, carrying the chain of enclosing view names. A
+    * cycle (v1 → v2 → v1) is the name reappearing on its own chain —
+    * caught with a message naming the loop, instead of the analyzer's
+    * generic max-iterations failure. A diamond (v_top → {v_a, v_b} →
+    * v_base) is legal: each branch carries its own path. */
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    GraftShims.allowTransformsInAnalyzer { expandAll(plan, Vector.empty) }
+
+  private def expandAll(plan: LogicalPlan, path: Vector[String]): LogicalPlan =
+    plan match {
+      case u @ UnresolvedRelation(parts, _, false) =>
+        lookupView(parts) match {
+          case Some((cat, id, view)) =>
+            val key = (cat.name() +: id.namespace().toSeq :+ id.name()).mkString(".")
+            if (path.contains(key))
+              throw new IllegalStateException(
+                s"view cycle detected: ${(path :+ key).mkString(" -> ")}")
+            if (path.size >= GraftViewResolution.MaxNestedDepth)
+              throw new IllegalStateException(
+                s"view nesting deeper than ${GraftViewResolution.MaxNestedDepth}: " +
+                  (path :+ key).mkString(" -> "))
+            expandAll(
+              GraftViewResolution.expand(spark, cat, id, view), path :+ key)
+          case None => u
+        }
+      case p => p.mapChildren(expandAll(_, path))
+    }
 
   private def lookupView(parts: Seq[String])
       : Option[(GraftSparkCatalog, Identifier, View)] =
@@ -263,12 +285,13 @@ object GraftViewResolution {
         if (full == parts) u else UnresolvedRelation(full, opts, isStreaming = false)
     }
 
-  /** Nested-view expansion guard: cycles (v1 → v2 → v1) would otherwise
-    * loop the analyzer forever. Spark's own views cap at
+  /** Nested-view expansion cap: Spark's own views cap at
     * `spark.sql.view.maxNestedViewDepth`; a fixed cap keeps this
-    * self-contained. */
-  private val MaxNestedDepth = 10
-  private val depth = new ThreadLocal[Integer] { override def initialValue() = 0 }
+    * self-contained. Enforced along the expansion PATH in
+    * [[GraftViewResolution.apply]] — a ThreadLocal depth counter would
+    * be dead code here, because each `expand` call returns before the
+    * nested view's relations are looked at. */
+  private[engine] val MaxNestedDepth = 10
 
   /** Parse the stored SQL, qualify bare relation names with the view's
     * default catalog/namespace, re-apply the stored column names
@@ -276,22 +299,16 @@ object GraftViewResolution {
   private[engine] def expand(
       spark: SparkSession, cat: GraftSparkCatalog, id: Identifier,
       view: View): LogicalPlan = {
-    if (depth.get() >= MaxNestedDepth)
-      throw new IllegalStateException(
-        s"view nesting deeper than $MaxNestedDepth — cycle through ${id.name}?")
-    depth.set(depth.get() + 1)
-    try {
-      val parsed = spark.sessionState.sqlParser.parsePlan(view.query)
-      val defCat = Option(view.currentCatalog)
-      val defNs = view.currentNamespace.toSeq
-      val qualified = qualifyRelations(spark, parsed, defCat, defNs)
-      val named = view.schema().fieldNames.toSeq match {
-        case names if names.nonEmpty =>
-          UnresolvedSubqueryColumnAliases(names, qualified)
-        case _ => qualified
-      }
-      SubqueryAlias(id.name, named)
-    } finally depth.set(depth.get() - 1)
+    val parsed = spark.sessionState.sqlParser.parsePlan(view.query)
+    val defCat = Option(view.currentCatalog)
+    val defNs = view.currentNamespace.toSeq
+    val qualified = qualifyRelations(spark, parsed, defCat, defNs)
+    val named = view.schema().fieldNames.toSeq match {
+      case names if names.nonEmpty =>
+        UnresolvedSubqueryColumnAliases(names, qualified)
+      case _ => qualified
+    }
+    SubqueryAlias(id.name, named)
   }
 }
 
@@ -324,6 +341,18 @@ final case class CreateGraftViewCommand(
       org.apache.spark.sql.types.StructField(name, attr.dataType, attr.nullable)
     }
     val mgr = spark.sessionState.catalogManager
+    val exists = catalog.viewExists(viewIdent)
+    if (requireExists && !exists)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(viewIdent)
+    // ALTER VIEW ... AS changes only the QUERY: properties and comment
+    // set earlier survive (Spark's native ALTER VIEW AS preserves them
+    // too) — without this carry, replaceView's diff-against-empty would
+    // emit RemoveProperties for every existing key
+    val carried: Map[String, String] =
+      if (requireExists)
+        catalog.loadView(viewIdent).properties().asScala.toMap --
+          Seq("format-version", "location")
+      else Map.empty
     val info = new ViewInfo(
       viewIdent, sql, mgr.currentCatalog.name(), mgr.currentNamespace,
       StructType(fields),
@@ -331,10 +360,7 @@ final case class CreateGraftViewCommand(
       (if (userCols.nonEmpty) userCols.map(_._1) else Seq.empty[String]).toArray,
       (if (userCols.exists(_._2.isDefined))
         userCols.map(_._2.getOrElse("")) else Seq.empty[String]).toArray,
-      (props ++ comment.map("comment" -> _)).asJava)
-    val exists = catalog.viewExists(viewIdent)
-    if (requireExists && !exists)
-      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(viewIdent)
+      (carried ++ props ++ comment.map("comment" -> _)).asJava)
     if (exists && allowExisting) return Nil // CREATE VIEW IF NOT EXISTS: no-op
     if (replace) catalog.replaceView(info, /* orCreate = */ !requireExists)
     else catalog.createView(info)

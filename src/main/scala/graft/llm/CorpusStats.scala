@@ -635,7 +635,7 @@ object CorpusStats {
 
   /** Per-source token-distribution DRIFT against the whole corpus — a
     * quantized KL(source‖corpus) in bits: for each token,
-    * `sbits_s − sbits_g` where `sbits = bitlen(total) − bitlen(count)`
+    * `sbits_g − sbits_s` where `sbits = bitlen(total) − bitlen(count)`
     * (the integer −log2 p quantization the surprisal family uses),
     * count-weighted and normalized by the source's token mass. The
     * corpus-mixture monitoring view: a source whose language drifts
@@ -660,7 +660,11 @@ object CorpusStats {
       .join(g, "token")
       .crossJoin(broadcast(gTotal))
       .selectExpr("source", "n_s", "cnt",
-        "(length(bin(n_s)) - length(bin(cnt))) - (length(bin(n_g)) - length(bin(gcnt))) as dbits")
+        // KL(source‖corpus): corpus surprisal − source surprisal, so a
+        // token the source over-represents (rarer globally than locally)
+        // contributes POSITIVE bits — drift rises, matching
+        // [[graft.llm.StreamingDrift.driftOf]]'s ref−batch convention.
+        "(length(bin(n_g)) - length(bin(gcnt))) - (length(bin(n_s)) - length(bin(cnt))) as dbits")
       .groupBy(col("source"))
       .agg(
         expr("max(n_s) as n_tokens"),
@@ -680,8 +684,8 @@ object CorpusStats {
       |gt AS (SELECT CAST(SUM(gcnt) AS BIGINT) AS n_g FROM g),
       |d AS (
       |  SELECT st.source, totals.n_s, st.cnt,
-      |         (length(printf('%b', totals.n_s)) - length(printf('%b', st.cnt)))
-      |           - (length(printf('%b', gt.n_g)) - length(printf('%b', g.gcnt))) AS dbits
+      |         (length(printf('%b', gt.n_g)) - length(printf('%b', g.gcnt)))
+      |           - (length(printf('%b', totals.n_s)) - length(printf('%b', st.cnt))) AS dbits
       |  FROM st JOIN totals USING (source) JOIN g USING (token) CROSS JOIN gt)
       |SELECT source, CAST(MAX(n_s) AS BIGINT) AS n_tokens,
       |       CAST(SUM(cnt * dbits) AS DOUBLE) / MAX(n_s) AS drift_bits

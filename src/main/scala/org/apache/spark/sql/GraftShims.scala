@@ -216,6 +216,12 @@ object GraftShims {
     try { catalogPlugin(spark, Some(name)); true }
     catch { case _: Exception => false }
 
+  /** Run `f` with catalyst's analyzer transform guard lifted — the
+    * hook a resolution rule needs when it hand-recurses over the plan
+    * (cycle-aware view expansion) instead of using `resolveOperators*`. */
+  def allowTransformsInAnalyzer[T](f: => T): T =
+    catalyst.plans.logical.AnalysisHelper.allowInvokingTransformsInAnalyzer(f)
+
   /** Register a SQL function on a LIVE session (the extensions route,
     * `spark.sql.extensions`, only applies at session construction). */
   def registerFunction(

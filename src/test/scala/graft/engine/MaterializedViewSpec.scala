@@ -281,6 +281,159 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(("a", 1L), ("b", 1L)))
   }
 
+  test("avg MV folds incrementally via the count+sum state (integral values)") {
+    spark.sql(s"CREATE TABLE $cat.db.scores (k STRING, v BIGINT)")
+    spark.sql(
+      s"INSERT INTO $cat.db.scores VALUES ('a',1),('a',2),('b',10),('b',NULL),('c',NULL)")
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.db.mv_mean AS
+         |SELECT k, count(*) AS n, count(v) AS nv, avg(v) AS mean
+         |FROM $cat.db.scores GROUP BY k""".stripMargin)
+    def expect: Set[(String, Long, Long, Option[Double])] = spark.sql(
+      s"SELECT k, count(*) n, count(v) nv, avg(v) mean FROM $cat.db.scores GROUP BY k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+    def got: Set[(String, Long, Long, Option[Double])] =
+      spark.sql(s"SELECT k, n, nv, mean FROM $cat.db.mv_mean")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+    assert(got === expect)
+    // all-NULL group 'c' carries mean = NULL, exactly like recompute
+    assert(got.exists(t => t._1 == "c" && t._4.isEmpty))
+
+    // churn across every avg edge: new values, a NULL insert, deleting
+    // a non-null value, and deleting a group's LAST non-null value
+    // (mean must return to SQL NULL, not 0)
+    spark.sql(s"INSERT INTO $cat.db.scores VALUES ('a',7),('c',NULL),('d',5)")
+    spark.sql(s"DELETE FROM $cat.db.scores WHERE k = 'a' AND v = 1")
+    spark.sql(s"DELETE FROM $cat.db.scores WHERE k = 'b' AND v = 10")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_mean")) === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+    assert(got.exists(t => t._1 == "b" && t._2 == 1L && t._4.isEmpty))
+  }
+
+  test("avg+sum MV over fractional values folds exactly (stored sum is the state)") {
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.db.mv_mean_amt AS
+         |SELECT status, count(*) AS n, count(amount) AS nv,
+         |       sum(amount) AS total, avg(amount) AS mean
+         |FROM $cat.db.orders GROUP BY status""".stripMargin)
+    def expect: Set[(String, Long, Option[Double])] = spark.sql(
+      s"SELECT status, count(*) n, avg(amount) mean FROM $cat.db.orders GROUP BY status")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    def got: Set[(String, Long, Option[Double])] =
+      spark.sql(s"SELECT status, n, mean FROM $cat.db.mv_mean_amt")
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(got === expect)
+    spark.sql(s"INSERT INTO $cat.db.orders VALUES (50,'open',0.25),(51,'new',NULL)")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_mean_amt")) === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+  }
+
+  test("avg-only over fractional values routes to full recompute (documented boundary)") {
+    // no stored sum and no exact reconstruction from a double mean —
+    // the shape must refuse the fold, not drift
+    spark.sql(s"CREATE TABLE $cat.db.fracs (k STRING, v DOUBLE NOT NULL)")
+    spark.sql(s"INSERT INTO $cat.db.fracs VALUES ('a',1.5),('a',2.5)")
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.db.mv_frac AS
+         |SELECT k, count(*) AS n, avg(v) AS mean
+         |FROM $cat.db.fracs GROUP BY k""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.db.fracs VALUES ('a',3.0)")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_frac")) === GraftMaterializedViews.Full)
+    val r = spark.sql(s"SELECT n, mean FROM $cat.db.mv_frac WHERE k = 'a'").head()
+    assert(r.getLong(0) === 3L)
+    assert(math.abs(r.getDouble(1) - 7.0 / 3.0) < 1e-12)
+  }
+
+  test("user column list renames flow through create, read, and the fold") {
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.db.mv_named
+         |(st STRING, cnt BIGINT, amt_total DOUBLE, amt_n BIGINT) AS
+         |SELECT status, count(*), sum(amount), count(amount)
+         |FROM $cat.db.orders GROUP BY status""".stripMargin)
+    def expect: Set[(String, Long, Option[Double])] = spark.sql(
+      s"SELECT status, count(*) n, sum(amount) t FROM $cat.db.orders GROUP BY status")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    def got: Set[(String, Long, Option[Double])] =
+      spark.sql(s"SELECT st, cnt, amt_total FROM $cat.db.mv_named")
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(got === expect)
+    spark.sql(s"INSERT INTO $cat.db.orders VALUES (60,'open',600.0)")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_named")) === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+  }
+
+  test("count(v) over a STRING column folds incrementally (no ANSI cast trap)") {
+    spark.sql(s"CREATE TABLE $cat.db.notes (k STRING, note STRING)")
+    spark.sql(
+      s"INSERT INTO $cat.db.notes VALUES ('a','x'),('a',NULL),('b','y'),('b','z')")
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.db.mv_notes AS
+         |SELECT k, count(*) AS n, count(note) AS filled
+         |FROM $cat.db.notes GROUP BY k""".stripMargin)
+    def expect: Set[(String, Long, Long)] = spark.sql(
+      s"SELECT k, count(*) n, count(note) filled FROM $cat.db.notes GROUP BY k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    def got: Set[(String, Long, Long)] =
+      spark.sql(s"SELECT k, n, filled FROM $cat.db.mv_notes")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expect)
+    spark.sql(s"INSERT INTO $cat.db.notes VALUES ('a','w'),('c',NULL)")
+    spark.sql(s"DELETE FROM $cat.db.notes WHERE note = 'y'")
+    // the first incremental tick is where the string value meets the
+    // fold arithmetic — this used to throw an ANSI cast error
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_notes")) === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+  }
+
+  test("refresh mode is a DESCRIBE-visible table property") {
+    val props = spark.sql(s"DESCRIBE TABLE EXTENDED $cat.db.mv_totals")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val tblProps = props.getOrElse("Table Properties", "")
+    assert(tblProps.contains(s"${GraftMaterializedViews.RefreshModeProp}=incremental") ||
+      spark.sql(s"SHOW TBLPROPERTIES $cat.db.mv_totals")
+        .collect().exists(r => r.getString(0) == GraftMaterializedViews.RefreshModeProp &&
+          r.getString(1) == "incremental"))
+    assert(spark.sql(s"SHOW TBLPROPERTIES $cat.db.mv_frac")
+      .collect().exists(r => r.getString(0) == GraftMaterializedViews.RefreshModeProp &&
+        r.getString(1) == "full"))
+  }
+
+  test("join-shaped MV routes to full recompute, never a garbage fold") {
+    spark.sql(s"CREATE TABLE $cat.db.dims (status STRING, label STRING)")
+    spark.sql(s"INSERT INTO $cat.db.dims VALUES ('open','O'),('done','D')")
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.db.mv_join AS
+         |SELECT d.label AS label, count(*) AS n
+         |FROM $cat.db.orders o JOIN $cat.db.dims d ON o.status = d.status
+         |GROUP BY d.label""".stripMargin)
+    def expect: Set[(String, Long)] = spark.sql(
+      s"""SELECT d.label, count(*) n FROM $cat.db.orders o
+         |JOIN $cat.db.dims d ON o.status = d.status GROUP BY d.label""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    def got: Set[(String, Long)] =
+      spark.sql(s"SELECT label, n FROM $cat.db.mv_join")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === expect)
+    assert(spark.sql(s"SHOW TBLPROPERTIES $cat.db.mv_join")
+      .collect().exists(r => r.getString(0) == GraftMaterializedViews.RefreshModeProp &&
+        r.getString(1) == "full"))
+    spark.sql(s"INSERT INTO $cat.db.orders VALUES (70,'done',7.0)")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_join")) === GraftMaterializedViews.Full)
+    assert(got === expect)
+  }
+
   test("refresh on a plain table is refused loudly") {
     val e = intercept[Exception](
       spark.sql(s"CALL $cat.system.refresh_materialized_view(table => 'db.orders')"))

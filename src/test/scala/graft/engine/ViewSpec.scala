@@ -201,6 +201,53 @@ class ViewSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tddl.startsWith("CREATE TABLE"))
   }
 
+  test("ALTER VIEW ... AS preserves properties and comment (only the query changes)") {
+    spark.sql(
+      s"CREATE VIEW $cat.db.kept AS SELECT id FROM $cat.db.orders")
+    spark.sql(
+      s"ALTER VIEW $cat.db.kept SET TBLPROPERTIES ('team'='data','comment'='the kept view')")
+    spark.sql(
+      s"ALTER VIEW $cat.db.kept AS SELECT id, status FROM $cat.db.orders")
+    // new query took effect…
+    assert(spark.sql(s"SELECT * FROM $cat.db.kept").columns.toSeq ===
+      Seq("id", "status"))
+    // …and the properties survived (Spark's native ALTER VIEW AS keeps them)
+    val rec = store.loadView(whId, TableIdent(Seq("db"), "kept"))
+      .fold(e => fail(e.message), identity)
+    assert(rec.metadata.properties.get("team").contains("data"))
+    assert(rec.metadata.properties.get("comment").contains("the kept view"))
+  }
+
+  test("a view cycle fails with a message naming the loop, not analyzer max-iterations") {
+    spark.sql(s"CREATE VIEW $cat.db.cyc1 AS SELECT id FROM $cat.db.orders")
+    spark.sql(s"CREATE VIEW $cat.db.cyc2 AS SELECT id FROM $cat.db.cyc1")
+    // re-pointing cyc1 at cyc2 closes the loop; the ALTER itself is
+    // legal (at analysis time cyc2 still expands to the OLD cyc1 body)
+    spark.sql(s"ALTER VIEW $cat.db.cyc1 AS SELECT id FROM $cat.db.cyc2")
+    val e = intercept[Exception](spark.sql(s"SELECT * FROM $cat.db.cyc1").collect())
+    def chain(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ++ chain(t.getCause)
+    val msgs = chain(e).mkString(" | ").toLowerCase
+    assert(msgs.contains("cycle"), s"expected a cycle error, got: $msgs")
+    assert(msgs.contains("cyc1") && msgs.contains("cyc2"),
+      s"the error should name the looping views: $msgs")
+  }
+
+  test("deep-but-acyclic nesting expands fine under the depth cap") {
+    spark.sql(s"CREATE VIEW $cat.db.deep0 AS SELECT id FROM $cat.db.orders")
+    (1 to 5).foreach { i =>
+      spark.sql(s"CREATE VIEW $cat.db.deep$i AS SELECT id FROM $cat.db.deep${i - 1}")
+    }
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.db.deep5")
+      .collect()(0).getLong(0) >= 3)
+    // a diamond is NOT a cycle: two branches sharing a base both expand
+    spark.sql(
+      s"""CREATE VIEW $cat.db.diamond AS
+         |SELECT a.id FROM $cat.db.deep1 a JOIN $cat.db.deep2 b ON a.id = b.id""".stripMargin)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.db.diamond")
+      .collect()(0).getLong(0) >= 3)
+  }
+
   test("session-catalog temp views are untouched by the graft rule") {
     spark.range(3).createOrReplaceTempView("plain_temp")
     assert(spark.sql("SELECT count(*) FROM plain_temp").collect()(0).getLong(0) == 3)
