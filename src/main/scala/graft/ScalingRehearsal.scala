@@ -149,7 +149,16 @@ object ScalingRehearsal {
       // scan alone (≈ replicas), never the distinct-bigram count the
       // replicas multiply (which is exactly what COUNT(DISTINCT)
       // could not promise)
-      "kmv_distinct" -> time(graft.llm.CorpusStats.qKmvDistinct(spark, dir)))
+      "kmv_distinct" -> time(graft.llm.CorpusStats.qKmvDistinct(spark, dir)),
+      // r13: the two IVFADC composites — the suite's heaviest ANN
+      // queries and (residual especially) the one family that already
+      // hid a quadratic once. Their coarse quantizer now conf-routes
+      // two-level at cells ≥ threshold (160 at 10× trips it), and the
+      // shared stages (centroids, assignment, codebook) are cached
+      // leaves computed once per query — the ratio must track the
+      // coded-corpus scan, not a re-run Lloyd chain per consumer
+      "ivfadc_topk" -> time(graft.llm.Similarity.qIvfAdcTopK(spark, dir)),
+      "ivfadc_residual" -> time(graft.llm.Similarity.qIvfAdcResidualTopK(spark, dir)))
     finally spark.conf.unset(graft.llm.Similarity.IvfCellsConf)
   }
 

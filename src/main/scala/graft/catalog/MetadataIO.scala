@@ -49,7 +49,12 @@ object MetadataIO {
             try new String(in.readAllBytes(), StandardCharsets.UTF_8)
             finally in.close()
           } else new String(bytes, StandardCharsets.UTF_8)
+        // adoption seam: decode, then SEMANTIC validation — a hostile
+        // tree can be well-shaped JSON and still structurally
+        // impossible (duplicate field ids, snapshot parent cycles,
+        // out-of-range sequence numbers); both layers answer Left → 400
         JsonCodecs.metadataFromJson(text)
+          .flatMap(JsonCodecs.validateAdopted)
     }
   }
 }

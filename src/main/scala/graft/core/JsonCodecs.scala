@@ -388,7 +388,9 @@ object JsonCodecs {
         case Right(so) => orders(so.orderId) = so
       }
     if (orders.isEmpty) orders(0) = SortOrder.Unsorted
-    val snaps = n.get("snapshots").elements().asScala
+    // absent/null snapshots is legal (a just-created table) — and this
+    // codec also faces ADOPTED files, where nothing is guaranteed
+    val snaps = arr("snapshots")
       .map(snapshotFromJson).map(s => s.snapshotId -> s).toMap
     val refs = Option(n.get("refs")).filter(!_.isNull).map(r =>
       r.properties().asScala.map(e => e.getKey -> refFromJson(e.getValue)).toMap)
@@ -426,5 +428,68 @@ object JsonCodecs {
       defaultSortOrderId = Option(n.get("default-sort-order-id")).filter(!_.isNull)
         .map(_.asInt()).getOrElse(0),
       refs = refs))
+  }
+
+  /** Semantic validation for ADOPTED metadata (register): the decoder
+    * above accepts any well-shaped JSON, but a hostile or corrupted
+    * tree can be well-shaped and still structurally impossible —
+    * duplicate field ids, a snapshot parent cycle, sequence numbers
+    * past the recorded high-water mark, dangling current/ref pointers.
+    * Our OWN commit path can never produce these (the builder enforces
+    * them), so this runs only at the adoption seam, where the file is
+    * client-supplied. Every finding is a `Left` → 400, never a throw.
+    *
+    * Deliberately ALLOWED: a parent-snapshot-id that is absent from
+    * `snapshots` — expiring old snapshots legitimately drops parents
+    * while children retain the pointer (the cycle walk just stops
+    * there). */
+  def validateAdopted(md: TableMetadata): Either[String, TableMetadata] = {
+    def fieldIds(t: IType): Seq[Int] = t match {
+      case IType.TStruct(fs) =>
+        fs.flatMap(f => f.id +: fieldIds(f.fieldType))
+      case IType.TList(eid, e, _) => eid +: fieldIds(e)
+      case IType.TMap(kid, k, vid, v, _) =>
+        Seq(kid, vid) ++ fieldIds(k) ++ fieldIds(v)
+      case _ => Nil
+    }
+    for (s <- md.schemas.values.toSeq.sortBy(_.schemaId)) {
+      val ids = fieldIds(s.struct)
+      val dups = ids.groupBy(identity).collect { case (id, g) if g.size > 1 => id }
+      if (dups.nonEmpty) return Left(
+        s"schema ${s.schemaId} repeats field id(s) ${dups.toSeq.sorted.mkString(", ")}")
+    }
+    if (!md.schemas.contains(md.currentSchemaId))
+      return Left(s"current-schema-id ${md.currentSchemaId} names no schema")
+    if (!md.partitionSpecs.contains(md.defaultSpecId))
+      return Left(s"default-spec-id ${md.defaultSpecId} names no partition spec")
+    if (!md.sortOrders.contains(md.defaultSortOrderId))
+      return Left(s"default-sort-order-id ${md.defaultSortOrderId} names no sort order")
+    if (md.lastSequenceNumber < 0)
+      return Left(s"last-sequence-number ${md.lastSequenceNumber} is negative")
+    for (sn <- md.snapshots.values.toSeq.sortBy(_.snapshotId)) {
+      if (sn.sequenceNumber < 0 || sn.sequenceNumber > md.lastSequenceNumber)
+        return Left(s"snapshot ${sn.snapshotId} sequence-number " +
+          s"${sn.sequenceNumber} outside [0, ${md.lastSequenceNumber}]")
+      if (sn.parentSnapshotId.contains(sn.snapshotId))
+        return Left(s"snapshot ${sn.snapshotId} is its own parent")
+    }
+    // parent-chain cycles among PRESENT snapshots: walk each chain with
+    // a step bound of |snapshots| — revisiting means a loop
+    for (start <- md.snapshots.keys.toSeq.sorted) {
+      var cur = md.snapshots.get(start).flatMap(_.parentSnapshotId)
+      var steps = 0
+      while (cur.isDefined && steps <= md.snapshots.size) {
+        if (cur.contains(start))
+          return Left(s"snapshot parent chain cycles through $start")
+        cur = cur.flatMap(md.snapshots.get).flatMap(_.parentSnapshotId)
+        steps += 1
+      }
+    }
+    for (id <- md.currentSnapshotId if !md.snapshots.contains(id))
+      return Left(s"current-snapshot-id $id names no snapshot")
+    for ((name, ref) <- md.refs.toSeq.sortBy(_._1)
+         if !md.snapshots.contains(ref.snapshotId))
+      return Left(s"ref '$name' points at missing snapshot ${ref.snapshotId}")
+    Right(md)
   }
 }

@@ -3,9 +3,10 @@ package graft.engine
 import graft.catalog.TableIdent
 import org.apache.spark.sql.{Column, DataFrame, GraftShims, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedIdentifier}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, EqualTo, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, SubqueryAlias}
 import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -83,6 +84,9 @@ object GraftMaterializedViews {
     // (CREATE MATERIALIZED VIEW mv (k, n) AS SELECT key, count(*)...)
     // reads and writes the backing table it actually created
     val shape = shapeOf(spark, analyzed).map(_.withOutNames(fields.map(_.name)))
+    val joinShape =
+      if (shape.isDefined) None
+      else joinShapeOf(spark, analyzed).map(_.withOutNames(fields.map(_.name)))
     val props = properties ++ Map(
       MarkerProp -> "true",
       SqlProp -> originalText,
@@ -90,7 +94,8 @@ object GraftMaterializedViews {
       DefNsProp -> mgr.currentNamespace.mkString(NsSep),
       // observability: DESCRIBE TABLE EXTENDED shows which price this
       // MV pays per refresh — delta (foldable) or full recompute
-      RefreshModeProp -> (if (shape.isDefined) "incremental" else "full"))
+      RefreshModeProp ->
+        (if (shape.isDefined || joinShape.isDefined) "incremental" else "full"))
     // PARTITIONED BY flows straight through to the backing table: the
     // fold's overwrite commits write through the table's default spec,
     // so a partitioned MV gets partition pruning on its read side for free
@@ -112,9 +117,27 @@ object GraftMaterializedViews {
                 ChangelogApply.ckptKey(shape.sourceName) -> head.toString))
           case None => // empty source: leave the MV empty, first refresh cold-starts
         }
-      case None =>
-        val df = GraftShims.ofRows(spark, analyzed)
-        mv.overwriteAll(df.toDF(fields.map(_.name): _*), None)
+      case None => joinShape match {
+        case Some(js) =>
+          // pinned cold start at BOTH heads, both checkpoints atomic
+          // with the content (the join twin of the branch above)
+          val lt = js.table(spark, js.leftIdent)
+          val rt = js.table(spark, js.rightIdent)
+          (lt.metadata.currentSnapshotId, rt.metadata.currentSnapshotId) match {
+            case (Some(lh), Some(rh)) =>
+              mv.overwriteAll(
+                js.recompute(lt.scan(spark, lt.AtSnapshot(lh)),
+                  rt.scan(spark, rt.AtSnapshot(rh)), fields.map(_.name)),
+                None,
+                extraProperties = Map(
+                  ChangelogApply.ckptKey(js.leftName) -> lh.toString,
+                  ChangelogApply.ckptKey(js.rightName) -> rh.toString))
+            case _ => // an empty side: inner join is empty, refresh cold-starts
+          }
+        case None =>
+          val df = GraftShims.ofRows(spark, analyzed)
+          mv.overwriteAll(df.toDF(fields.map(_.name): _*), None)
+      }
     }
   }
 
@@ -177,10 +200,86 @@ object GraftMaterializedViews {
             Full
         }
       case None =>
-        val df = GraftShims.ofRows(spark, analyzed)
-        mv.overwriteAll(df.toDF(outNames: _*), meta.currentSnapshotId,
-          extraProperties = Map(RefreshModeProp -> "full"))
+        joinShapeOf(spark, analyzed).map(_.withOutNames(outNames)) match {
+          case Some(js) => refreshJoin(spark, mv, js, outNames)
+          case None =>
+            val df = GraftShims.ofRows(spark, analyzed)
+            mv.overwriteAll(df.toDF(outNames: _*), meta.currentSnapshotId,
+              extraProperties = Map(RefreshModeProp -> "full"))
+            Full
+        }
+    }
+  }
+
+  /** One refresh tick for the two-table [[JoinShape]]: NoOp when both
+    * checkpoints sit at their heads; one-sided delta fold when exactly
+    * one side moved (Δchanged ⋈ other@unchanged-head); full recompute
+    * at the two pinned heads when both moved or either checkpoint is
+    * missing. Both checkpoints commit ATOMICALLY with the content —
+    * the same exactly-once construct as the single-table tick. */
+  private def refreshJoin(
+      spark: SparkSession, mv: GraftTable,
+      js: JoinShape, outNames: Seq[String]): RefreshMode = {
+    val meta = mv.metadata
+    val lt = js.table(spark, js.leftIdent)
+    val rt = js.table(spark, js.rightIdent)
+    val lHead = lt.metadata.currentSnapshotId
+    val rHead = rt.metadata.currentSnapshotId
+    if (lHead.isEmpty && rHead.isEmpty) return NoOp // both empty: joined result is empty
+    val kL = ChangelogApply.ckptKey(js.leftName)
+    val kR = ChangelogApply.ckptKey(js.rightName)
+    val ckL = meta.properties.get(kL).flatMap(_.toLongOption)
+    val ckR = meta.properties.get(kR).flatMap(_.toLongOption)
+    val ckpts = (lHead.map(h => kL -> h.toString) ++
+      rHead.map(h => kR -> h.toString)).toMap +
+      (RefreshModeProp -> "incremental")
+
+    def fullAtHeads(): RefreshMode = (lHead, rHead) match {
+      case (Some(lh), Some(rh)) =>
+        mv.overwriteAll(
+          js.recompute(lt.scan(spark, lt.AtSnapshot(lh)),
+            rt.scan(spark, rt.AtSnapshot(rh)), outNames),
+          meta.currentSnapshotId, extraProperties = ckpts)
         Full
+      case _ =>
+        // one side empty: inner join is empty — store the empty frame
+        // (recomputed from an empty scan-shaped limit 0 of the MV)
+        mv.overwriteAll(mv.scan(spark).limit(0),
+          meta.currentSnapshotId, extraProperties = ckpts)
+        Full
+    }
+
+    def fold(changes: DataFrame, otherScan: DataFrame,
+        changedIsLeft: Boolean): RefreshMode = {
+      val delta = js.delta(changes, otherScan, changedIsLeft)
+      val prev = js.agg.toInternal(mv.scan(spark))
+      val folded = ChangelogApply.applyCountSum(
+        prev, js.agg.withValue(delta), js.agg.keySrcNames, js.agg.valueName)
+      mv.overwriteAll(js.agg.fromInternal(folded, outNames, mv),
+        meta.currentSnapshotId, extraProperties = ckpts)
+      Incremental
+    }
+
+    (ckL, ckR) match {
+      case (Some(cl), Some(cr))
+          if lHead.contains(cl) && rHead.contains(cr) => NoOp
+      case (Some(cl), Some(cr)) if rHead.contains(cr) =>
+        // only the left side moved
+        lHead match {
+          case Some(lh) => fold(
+            lt.changelogScan(spark, cl, Some(lh)),
+            rt.scan(spark, rt.AtSnapshot(cr)), changedIsLeft = true)
+          case None => fullAtHeads()
+        }
+      case (Some(cl), Some(cr)) if lHead.contains(cl) =>
+        // only the right side moved
+        rHead match {
+          case Some(rh) => fold(
+            rt.changelogScan(spark, cr, Some(rh)),
+            lt.scan(spark, lt.AtSnapshot(cl)), changedIsLeft = false)
+          case None => fullAtHeads()
+        }
+      case _ => fullAtHeads() // both moved, or a checkpoint is missing
     }
   }
 
@@ -357,6 +456,80 @@ object GraftMaterializedViews {
     }
   }
 
+  /** The two-table incremental-view-maintenance shape (r13):
+    * `SELECT keys..., count(*)[, count(v)/sum(v)/avg(v)] FROM a JOIN b
+    * ON a.x = b.y [WHERE det] GROUP BY keys...` over two graft tables.
+    * The classic one-sided delta rule: when only ONE side changed
+    * since its checkpoint, Δ(A ⋈ B) = ΔA ⋈ B — fold the changed
+    * side's CHANGELOG joined against the other side's (unchanged)
+    * head through the same count/sum state, churn × other-side-sized,
+    * never either table from scratch. Both sides changed → full
+    * recompute at the two pinned heads (a cross-delta term ΔA ⋈ ΔB
+    * would be needed otherwise; v1 takes the honest fallback).
+    * Additive family only — min/max/distinct recompute-on-retract
+    * would need the joined base, deliberately out of v1's scope.
+    *
+    * `agg` carries the aggregate arithmetic (outs/value/internal
+    * frames) — the same machinery [[FoldShape]] uses, over the JOINED
+    * frame's column names. */
+  private[engine] final case class JoinShape(
+      catalogName: String,
+      leftIdent: TableIdent,
+      rightIdent: TableIdent,
+      leftKey: String,
+      rightKey: String,
+      /** non-join-key columns each fold needs from each side */
+      leftCols: Seq[String],
+      rightCols: Seq[String],
+      /** post-join, name-based (right join key rewritten to left's) */
+      filter: Option[Expression],
+      agg: FoldShape) {
+
+    def leftName: String =
+      s"$catalogName.${leftIdent.namespace.mkString(".")}.${leftIdent.name}"
+    def rightName: String =
+      s"$catalogName.${rightIdent.namespace.mkString(".")}.${rightIdent.name}"
+
+    def table(spark: SparkSession, ti: TableIdent): GraftTable = {
+      val plugin = GraftShims.catalogPlugin(spark, Some(catalogName))
+      plugin.asInstanceOf[GraftSparkCatalog].engineTable(ti)
+    }
+
+    def withOutNames(declared: Seq[String]): JoinShape =
+      copy(agg = agg.withOutNames(declared))
+
+    /** Join `lf` (left-side frame, may carry `_change_type`) with `rf`
+      * (right-side frame, likewise): ONE join-key column survives,
+      * named after the LEFT key; each side is pruned to what the fold
+      * reads. Right-side names are disjoint from left's by detection. */
+    private def joined(lf: DataFrame, rf: DataFrame): DataFrame = {
+      def keep(df: DataFrame, needed: Seq[String]): Seq[String] =
+        needed.filter(df.columns.contains) // _change_type rides only on the changelog side
+      val lNeeded = (leftKey +: (leftCols :+ "_change_type")).distinct
+      val rNeeded = (rightKey +: (rightCols :+ "_change_type")).distinct
+      val lp = lf.select(keep(lf, lNeeded).map(col): _*)
+      val rp = rf.select(keep(rf, rNeeded).map(col): _*)
+        .withColumnRenamed(rightKey, "__mv_jk")
+      lp.join(rp, col(leftKey) === col("__mv_jk"), "inner").drop("__mv_jk")
+    }
+
+    private def applyFilter(df: DataFrame): DataFrame =
+      filter.fold(df)(e => df.filter(GraftShims.column(e)))
+
+    /** The one-sided delta: the changed side's changelog ⋈ the other
+      * side's head scan, filter applied POST-join (it may reference
+      * both sides). `changedIsLeft` orients the join. */
+    def delta(changes: DataFrame, other: DataFrame,
+        changedIsLeft: Boolean): DataFrame =
+      applyFilter(
+        if (changedIsLeft) joined(changes, other) else joined(other, changes))
+
+    /** Full recompute over the two PINNED head scans. */
+    def recompute(lScan: DataFrame, rScan: DataFrame,
+        outNames: Seq[String]): DataFrame =
+      agg.recompute(applyFilter(joined(lScan, rScan)), outNames)
+  }
+
   /** Analyzed plan → foldable shape, or None (→ full-refresh MV).
     * Guards, each a deliberate fallback-to-full rather than an error:
     * single graft-table source; deterministic filter; all grouping
@@ -375,78 +548,10 @@ object GraftMaterializedViews {
       rel match {
         case r: DataSourceV2Relation if r.identifier.isDefined &&
             r.catalog.exists(_.isInstanceOf[GraftSparkCatalog]) =>
-          val groupAttrs = groupExprs.map {
-            case a: AttributeReference => a
-            case _ => return None
-          }
           if (cond.exists(c => !c.deterministic)) return None
-          var valueSrc: Option[String] = None
-          def noteValue(name: String): Boolean = valueSrc match {
-            case Some(v) => v == name
-            case None => valueSrc = Some(name); true
-          }
-          val outs = aggExprs.map {
-            case a: AttributeReference if groupAttrs.exists(_.exprId == a.exprId) =>
-              KeyOut(a.name, a.name)
-            case Alias(a: AttributeReference, out)
-                if groupAttrs.exists(_.exprId == a.exprId) =>
-              KeyOut(a.name, out)
-            case Alias(AggregateExpression(Count(Seq(Literal(_, _))), _, false, None, _), out) =>
-              CountStarOut(out)
-            case Alias(AggregateExpression(Count(Seq(v: AttributeReference)), _, false, None, _), out) =>
-              if (!noteValue(v.name)) return None
-              CountVOut(out)
-            case Alias(AggregateExpression(Count(Seq(v: AttributeReference)), _, true, None, _), out) =>
-              if (!noteValue(v.name)) return None
-              CountDistinctOut(out)
-            case Alias(AggregateExpression(Sum(v: AttributeReference, _), _, false, None, _), out) =>
-              if (!noteValue(v.name)) return None
-              SumVOut(out)
-            case Alias(AggregateExpression(Average(v: AttributeReference, _), _, false, None, _), out) =>
-              if (!noteValue(v.name)) return None
-              AvgVOut(out)
-            case Alias(AggregateExpression(Min(v: AttributeReference), _, false, None, _), out) =>
-              if (!noteValue(v.name)) return None
-              MinVOut(out)
-            case Alias(AggregateExpression(Max(v: AttributeReference), _, false, None, _), out) =>
-              if (!noteValue(v.name)) return None
-              MaxVOut(out)
-            case _ => return None
-          }
-          val keyNames = outs.collect { case k: KeyOut => k.srcName }.toSet
-          if (!groupAttrs.forall(a => keyNames(a.name))) return None
-          if (!outs.exists(_.isInstanceOf[CountStarOut])) return None
-          val hasSum = outs.exists(_.isInstanceOf[SumVOut])
-          val hasAvg = outs.exists(_.isInstanceOf[AvgVOut])
-          val hasCountV = outs.exists(_.isInstanceOf[CountVOut])
-          val hasMinMax = outs.exists {
-            case _: MinVOut | _: MaxVOut => true; case _ => false
-          }
-          val hasDistinct = outs.exists(_.isInstanceOf[CountDistinctOut])
-          // families don't mix in v1: a combined fold would need the
-          // apply paths joined — full refresh handles it correctly
-          val families = Seq(hasSum || hasCountV || hasAvg, hasMinMax, hasDistinct)
-            .count(identity)
-          if (families > 1) return None
-          if ((hasSum || hasAvg) && !hasCountV) {
-            // NULL-sum/avg contract needs n_vals; reconstructible iff v can't be NULL
-            val nonNullable = valueSrc.exists(v =>
-              r.output.exists(a => a.name == v && !a.nullable))
-            if (!nonNullable) return None
-          }
-          if (hasAvg && !hasSum) {
-            // avg-only MVs store no sum: the fold reconstructs it as
-            // round(avg × n_vals), exact only for INTEGRAL values
-            // (fractional sums don't survive the divide/multiply
-            // round-trip) — anything else routes to full recompute
-            import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-            val integral = valueSrc.exists(v => r.output.exists(a =>
-              a.name == v && (a.dataType match {
-                case ByteType | ShortType | IntegerType | LongType => true
-                case _ => false
-              })))
-            if (!integral) return None
-          }
+          val (outs, valueSrc, _) =
+            detectAggOuts(groupExprs, aggExprs, _.name, additiveOnly = false)
+              .getOrElse(return None)
           val ident = r.identifier.get
           Some(FoldShape(
             r.catalog.get.name(),
@@ -454,6 +559,162 @@ object GraftMaterializedViews {
             cond.map(unresolveByName),
             outs,
             valueSrc))
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** The aggregate-output matcher [[shapeOf]] and [[joinShapeOf]]
+    * share. `nameOf` maps a source attribute to its post-scan column
+    * name (identity for one table; the join shape maps the right join
+    * key onto the left's, since only one key column survives the
+    * join). Returns `(outs, value column name, value attribute)`, or
+    * None when any output falls outside the foldable grammar or a
+    * gate (count(*) present, one value column, one family,
+    * sum/avg nullability, avg-only integrality) fails. */
+  private def detectAggOuts(
+      groupExprs: Seq[Expression],
+      aggExprs: Seq[NamedExpression],
+      nameOf: AttributeReference => String,
+      additiveOnly: Boolean)
+      : Option[(Seq[OutCol], Option[String], Option[AttributeReference])] = {
+    val groupAttrs = groupExprs.map {
+      case a: AttributeReference => a
+      case _ => return None
+    }
+    var valueSrc: Option[String] = None
+    var valueAttr: Option[AttributeReference] = None
+    def noteValue(v: AttributeReference): Boolean = valueSrc match {
+      case Some(n) => n == nameOf(v)
+      case None => valueSrc = Some(nameOf(v)); valueAttr = Some(v); true
+    }
+    val outs = aggExprs.map {
+      case a: AttributeReference if groupAttrs.exists(_.exprId == a.exprId) =>
+        KeyOut(nameOf(a), a.name)
+      case Alias(a: AttributeReference, out)
+          if groupAttrs.exists(_.exprId == a.exprId) =>
+        KeyOut(nameOf(a), out)
+      case Alias(AggregateExpression(Count(Seq(Literal(_, _))), _, false, None, _), out) =>
+        CountStarOut(out)
+      case Alias(AggregateExpression(Count(Seq(v: AttributeReference)), _, false, None, _), out) =>
+        if (!noteValue(v)) return None
+        CountVOut(out)
+      case Alias(AggregateExpression(Count(Seq(v: AttributeReference)), _, true, None, _), out) =>
+        if (!noteValue(v)) return None
+        CountDistinctOut(out)
+      case Alias(AggregateExpression(Sum(v: AttributeReference, _), _, false, None, _), out) =>
+        if (!noteValue(v)) return None
+        SumVOut(out)
+      case Alias(AggregateExpression(Average(v: AttributeReference, _), _, false, None, _), out) =>
+        if (!noteValue(v)) return None
+        AvgVOut(out)
+      case Alias(AggregateExpression(Min(v: AttributeReference), _, false, None, _), out) =>
+        if (!noteValue(v)) return None
+        MinVOut(out)
+      case Alias(AggregateExpression(Max(v: AttributeReference), _, false, None, _), out) =>
+        if (!noteValue(v)) return None
+        MaxVOut(out)
+      case _ => return None
+    }
+    val keyNames = outs.collect { case k: KeyOut => k.srcName }.toSet
+    if (!groupAttrs.forall(a => keyNames(nameOf(a)))) return None
+    if (!outs.exists(_.isInstanceOf[CountStarOut])) return None
+    val hasSum = outs.exists(_.isInstanceOf[SumVOut])
+    val hasAvg = outs.exists(_.isInstanceOf[AvgVOut])
+    val hasCountV = outs.exists(_.isInstanceOf[CountVOut])
+    val hasMinMax = outs.exists {
+      case _: MinVOut | _: MaxVOut => true; case _ => false
+    }
+    val hasDistinct = outs.exists(_.isInstanceOf[CountDistinctOut])
+    // families don't mix in v1: a combined fold would need the
+    // apply paths joined — full refresh handles it correctly
+    val families = Seq(hasSum || hasCountV || hasAvg, hasMinMax, hasDistinct)
+      .count(identity)
+    if (families > 1) return None
+    // the join shape folds the ADDITIVE family only: min/max/distinct
+    // recompute-on-retract would need the joined base per touched key
+    if (additiveOnly && (hasMinMax || hasDistinct)) return None
+    if ((hasSum || hasAvg) && !hasCountV) {
+      // NULL-sum/avg contract needs n_vals; reconstructible iff v can't be NULL
+      if (!valueAttr.exists(!_.nullable)) return None
+    }
+    if (hasAvg && !hasSum) {
+      // avg-only MVs store no sum: the fold reconstructs it as
+      // round(avg × n_vals), exact only for INTEGRAL values
+      // (fractional sums don't survive the divide/multiply
+      // round-trip) — anything else routes to full recompute
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val integral = valueAttr.exists(_.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      })
+      if (!integral) return None
+    }
+    Some((outs, valueSrc, valueAttr))
+  }
+
+  /** Analyzed plan → the two-table [[JoinShape]], or None. Guards
+    * beyond [[detectAggOuts]]'s: both sides graft tables in the SAME
+    * catalog; a single-attribute inner equi-join; deterministic
+    * post-join filter; and every right-side column the fold reads
+    * (minus its join key, which is renamed away) name-disjoint from
+    * the left table — the joined frame keeps bare names, so a
+    * collision would make the fold ambiguous (full refresh handles
+    * those queries correctly instead). */
+  private[engine] def joinShapeOf(
+      spark: SparkSession, analyzed: LogicalPlan): Option[JoinShape] = analyzed match {
+    case Aggregate(groupExprs, aggExprs, child0, _) =>
+      val (cond, below) = strip(child0) match {
+        case Filter(c, r) => (Some(c), strip(r))
+        case r => (None, r)
+      }
+      below match {
+        case Join(l0, r0, Inner,
+            Some(EqualTo(x: AttributeReference, y: AttributeReference)), _) =>
+          (strip(l0), strip(r0)) match {
+            case (lr: DataSourceV2Relation, rr: DataSourceV2Relation)
+                if lr.identifier.isDefined && rr.identifier.isDefined &&
+                  lr.catalog.exists(_.isInstanceOf[GraftSparkCatalog]) &&
+                  rr.catalog.exists(_.isInstanceOf[GraftSparkCatalog]) &&
+                  lr.catalog.get.name() == rr.catalog.get.name() =>
+              val lOut = l0.outputSet
+              val rOut = r0.outputSet
+              val (lk, rk) =
+                if (lOut.contains(x) && rOut.contains(y)) (x, y)
+                else if (lOut.contains(y) && rOut.contains(x)) (y, x)
+                else return None
+              if (cond.exists(c => !c.deterministic)) return None
+              val lNames = lr.output.map(_.name).toSet
+              if (rr.output.map(_.name).exists(n => n != rk.name && lNames(n)))
+                return None
+              def nameOf(a: AttributeReference): String =
+                if (a.exprId == rk.exprId) lk.name else a.name
+              detectAggOuts(groupExprs, aggExprs, nameOf, additiveOnly = true)
+                .map { case (outs, valueSrc, valueAttr) =>
+                  val filterAttrs = cond.toSeq.flatMap(_.references.toSeq)
+                    .collect { case a: AttributeReference => a }
+                  val groupAttrs = groupExprs
+                    .collect { case a: AttributeReference => a }
+                  val needed = groupAttrs ++ valueAttr.toSeq ++ filterAttrs
+                  def sideCols(out: org.apache.spark.sql.catalyst.expressions.AttributeSet,
+                      jk: AttributeReference): Seq[String] =
+                    needed.filter(a => out.contains(a) && a.exprId != jk.exprId)
+                      .map(_.name).distinct
+                  val li = lr.identifier.get
+                  val ri = rr.identifier.get
+                  JoinShape(
+                    lr.catalog.get.name(),
+                    TableIdent(li.namespace().toSeq, li.name()),
+                    TableIdent(ri.namespace().toSeq, ri.name()),
+                    lk.name, rk.name,
+                    sideCols(lOut, lk), sideCols(rOut, rk),
+                    cond.map(unresolveByNameMapped(_, Map(rk.exprId -> lk.name))),
+                    FoldShape(lr.catalog.get.name(),
+                      TableIdent(li.namespace().toSeq, li.name()),
+                      None, outs, valueSrc))
+                }
+            case _ => None
+          }
         case _ => None
       }
     case _ => None
@@ -469,6 +730,16 @@ object GraftMaterializedViews {
     * does). */
   private def unresolveByName(e: Expression): Expression = e.transformUp {
     case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
+  }
+
+  /** [[unresolveByName]] with an exprId→name override — the join shape
+    * rewrites the right join key onto the left's surviving column. */
+  private def unresolveByNameMapped(
+      e: Expression,
+      mapped: Map[org.apache.spark.sql.catalyst.expressions.ExprId, String])
+      : Expression = e.transformUp {
+    case a: AttributeReference =>
+      UnresolvedAttribute(Seq(mapped.getOrElse(a.exprId, a.name)))
   }
 
   private implicit class JavaMapOps(m: Map[String, String]) {

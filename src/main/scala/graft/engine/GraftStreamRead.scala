@@ -41,7 +41,12 @@ import java.util
   * Row-level change (`delete`/`overwrite` snapshots) in a streamed
   * range throws — same line the batch incremental scan draws; streams
   * over churning tables should read a branch that only receives
-  * appends.
+  * appends, or opt in:
+  *  - `skip-row-level-changes` = true: delete/overwrite snapshots in
+  *    range contribute NOTHING instead of throwing (Iceberg's
+  *    `streaming-skip-delete-snapshots` line) — for signal-style
+  *    consumers (MV maintenance reads the changelog itself) or readers
+  *    that accept missing overwrite-added rows.
   */
 final class StreamReadTable(
     tableName: String,
@@ -63,7 +68,8 @@ final class StreamReadTable(
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new GraftMicroBatchStream(gt, coreSchema, sparkSchema,
             Option(options.get("stream-from")).getOrElse("latest"),
-            Option(options.get("max-rows-per-trigger")).map(_.toLong))
+            Option(options.get("max-rows-per-trigger")).map(_.toLong),
+            Option(options.get("skip-row-level-changes")).exists(_.toBoolean))
       }
     }
 }
@@ -79,7 +85,8 @@ final class GraftMicroBatchStream(
     coreSchema: graft.core.Schema,
     sparkSchema: StructType,
     streamFrom: String,
-    maxRowsPerTrigger: Option[Long] = None)
+    maxRowsPerTrigger: Option[Long] = None,
+    skipRowLevelChanges: Boolean = false)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
   import GraftMicroBatchStream.Earliest
 
@@ -189,7 +196,7 @@ final class GraftMicroBatchStream(
           "stream-from=earliest over a snapshot with merge-on-read delete " +
             "files — run CALL system.rewrite_data_files first")
       listing
-    } else gt.planFilesIncremental(start, Some(end))
+    } else gt.planFilesIncremental(start, Some(end), skipRowLevelChanges)
 
   private def scanFor(files: Seq[Manifests.DataFile]): GraftMorScan =
     new GraftMorScan(spark, coreSchema, sparkSchema, files,

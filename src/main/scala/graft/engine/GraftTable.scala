@@ -105,10 +105,18 @@ final class GraftTable(
   }
 
   /** Plan-time file listing for [[scanIncremental]] (public so tests
-    * and schedulers can count what an incremental read would touch). */
+    * and schedulers can count what an incremental read would touch).
+    *
+    * `skipRowLevelChanges` relaxes the delete/overwrite throw: those
+    * snapshots contribute NOTHING (the same line Iceberg's
+    * `streaming-skip-delete-snapshots` / `-overwrite-snapshots` draw) —
+    * an explicit opt-in for consumers that use the stream as a SIGNAL
+    * (MV maintenance reads the changelog itself) or accept missing the
+    * rows an overwrite added. */
   def planFilesIncremental(
       fromSnapshotId: Long,
-      toSnapshotId: Option[Long] = None): Seq[Manifests.DataFile] = {
+      toSnapshotId: Option[Long] = None,
+      skipRowLevelChanges: Boolean = false): Seq[Manifests.DataFile] = {
     val m = metadata
     val to = toSnapshotId match {
       case Some(id) => m.snapshots.getOrElse(id,
@@ -135,6 +143,7 @@ final class GraftTable(
     chain.foreach { s =>
       s.operation match {
         case Some("append") | Some("replace") => ()
+        case _ if skipRowLevelChanges => ()
         case op => throw CatalogError.badRequest(
           s"incremental append scan undefined across snapshot ${s.snapshotId} " +
             s"(operation ${op.getOrElse("unknown")}): row-level change in range")

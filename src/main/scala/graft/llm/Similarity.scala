@@ -618,7 +618,14 @@ object Similarity {
 
   /** [[ivfIndexTwoLevel]]'s body over a given corpus — also the
     * high-K branch of [[assignedIndex]]. */
-  private def twoLevelIndex(s: SparkSession, corpus: DataFrame): DataFrame = {
+  private def twoLevelIndex(s: SparkSession, corpus: DataFrame): DataFrame =
+    twoLevelQuantizer(s, corpus)._2
+
+  /** The two-level build returning BOTH halves of the quantizer —
+    * `(cell centroids, assignment)` — for consumers that also probe
+    * (the IVFADC tier needs the centroids to rank probed cells). */
+  private def twoLevelQuantizer(
+      s: SparkSession, corpus: DataFrame): (DataFrame, DataFrame) = {
     val k = ivfCells(s)
     val g = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
     // seeds: same deterministic choice as the exact path
@@ -630,9 +637,38 @@ object Similarity {
       .toSeq.toDF("vec_id", "cell")
     val seeds = corpus.join(broadcast(rankDf), "vec_id")
       .select(col("cell"), col("e").as("c"))
-    val cents = quantizedMeans(ivfAssignTwoLevel(corpus, seeds, g))
-    ivfAssignTwoLevel(corpus, cents, g)
+    // the K×DIM centroid table is dust but expensive to DERIVE (a full
+    // two-level pass) — cache it so the final assignment and any
+    // caller-side probe both read the finished table, not the plan
+    val (cents, _) = org.apache.spark.sql.GraftShims.cachedLeaf(
+      quantizedMeans(ivfAssignTwoLevel(corpus, seeds, g)))
+    (cents, ivfAssignTwoLevel(corpus, cents, g))
   }
+
+  /** Conf-routed coarse quantizer for the IVFADC tier: `(centroids,
+    * assignment)`, flat-and-exact below [[IvfTwoLevelMinCellsConf]]
+    * cells (bit-identical to the static oracles at the default
+    * config), two-level O(rows · 2√K) at or above it — the same
+    * routing decision [[assignedIndex]] makes, shared so the ADC
+    * queries' build cost survives cells ∝ corpus exactly the way the
+    * plain IVF build does. */
+  private[llm] def routedQuantizer(
+      s: SparkSession, corpus: DataFrame,
+      /** cache the centroid leaf so the assignment AND every caller-side
+        * consumer (probe, residual build) read the finished table. Off
+        * by default: at the small default cell count the flat Lloyd
+        * chain is cheap and fuses into consumers' jobs — measured
+        * faster than paying a cache materialization. On for callers
+        * with 3+ centroid consumers (the residual ADC query). */
+      cacheCents: Boolean = false): (DataFrame, DataFrame) =
+    if (ivfCells(s) >= ivfTwoLevelMinCells(s)) twoLevelQuantizer(s, corpus)
+    else {
+      val cents0 = ivfCentroids(corpus)
+      val cents =
+        if (cacheCents) org.apache.spark.sql.GraftShims.cachedLeaf(cents0)._1
+        else cents0
+      (cents, ivfAssign(corpus, cents))
+    }
 
   /** Cell occupancy histogram — the inverted-list layout view (cell id
     * is the partition key of the index at scale). */
@@ -1216,8 +1252,13 @@ object Similarity {
     import org.apache.spark.sql.functions.row_number
     val corpus = load(s, dir, "embeddings").select(col("vec_id"),
       graft.functions.VectorExprs.toDouble(col("embedding")).as("e"))
-    val cents = ivfCentroids(corpus)
-    val assigned = ivfAssign(corpus, cents).select("vec_id", "cell")
+    // the coarse quantizer conf-routes two-level at deployment cell
+    // counts (flat-and-exact at the oracle-pinned default); stage
+    // recompute here is cheap enough that caching measured SLOWER —
+    // [[qIvfAdcResidualTopK]], with twice the consumers per stage, is
+    // where the cached-leaf reuse pays
+    val (cents, asg0) = routedQuantizer(s, corpus)
+    val assigned = asg0.select("vec_id", "cell")
     val cb = pqCodebook(corpus)
     val codes = pqAssign(pqSubvectors(corpus), cb)
       .select(col("vec_id"), col("m"), col("code"))
@@ -1316,14 +1357,24 @@ object Similarity {
     import org.apache.spark.sql.functions.row_number
     val corpus = load(s, dir, "embeddings").select(col("vec_id"),
       graft.functions.VectorExprs.toDouble(col("embedding")).as("e"))
-    val cents = ivfCentroids(corpus)
-    val asg = ivfAssign(corpus, cents)
-    // residual corpus: e − centroid[cell]; one broadcast join, no
-    // extra corpus shuffle (asg is already keyed however it arrives)
+    // shared-stage reuse (the [[DedupPipeline.indexedClusterLabels]]
+    // leaf pattern): centroid training and cell assignment are each
+    // consumed by several downstream stages (residual build, codebook
+    // training, the coded scan, the probe) — uncached, EVERY consumer
+    // re-runs the whole Lloyd chain. The cached leaves make this query
+    // pay centroids once and the corpus-sized assignment once; at a
+    // deployment these are the materialized cell-partitioned index.
+    // The quantizer conf-routes two-level at deployment cell counts.
+    val (cents, asg0) = routedQuantizer(s, corpus, cacheCents = true)
+    val (asg, _) = org.apache.spark.sql.GraftShims.cachedLeaf(
+      asg0) // (vec_id, cell, e) — the index content
+    // residual corpus: e − centroid[cell]; one broadcast join over the
+    // cached assignment, no extra corpus shuffle
     val rcorpus = asg.join(broadcast(cents), "cell")
       .selectExpr("vec_id", "cell", "zip_with(e, c, (x, y) -> x - y) as e")
     val rve = rcorpus.select("vec_id", "e")
-    val cb = pqCodebook(rve)
+    val (cb, _) = org.apache.spark.sql.GraftShims.cachedLeaf(
+      pqCodebook(rve)) // M × KS codebook — dust, but costly to derive
     val codes = pqAssign(pqSubvectors(rve), cb).select("vec_id", "m", "code")
 
     val queries = corpus.filter("vec_id < 5")

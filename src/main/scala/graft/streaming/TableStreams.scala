@@ -91,6 +91,9 @@ object TableStreams {
       checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     spark.readStream
+      // signal-only consumer: deletes/overwrites on the source must not
+      // kill the maintenance stream — refresh reads the changelog itself
+      .option("skip-row-level-changes", "true")
       .table(s"$catalogName.${(sourceIdent.namespace :+ sourceIdent.name).mkString(".")}.stream")
       .writeStream
       .option("checkpointLocation", checkpointDir)

@@ -409,7 +409,7 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
         r.getString(1) == "full"))
   }
 
-  test("join-shaped MV routes to full recompute, never a garbage fold") {
+  test("delta-join MV: one-sided churn folds incrementally, two-sided recomputes") {
     spark.sql(s"CREATE TABLE $cat.db.dims (status STRING, label STRING)")
     spark.sql(s"INSERT INTO $cat.db.dims VALUES ('open','O'),('done','D')")
     spark.sql(
@@ -427,11 +427,142 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === expect)
     assert(spark.sql(s"SHOW TBLPROPERTIES $cat.db.mv_join")
       .collect().exists(r => r.getString(0) == GraftMaterializedViews.RefreshModeProp &&
-        r.getString(1) == "full"))
-    spark.sql(s"INSERT INTO $cat.db.orders VALUES (70,'done',7.0)")
+        r.getString(1) == "incremental"))
+
+    // fact-side-only churn: Δfact ⋈ dim — Incremental
+    spark.sql(s"INSERT INTO $cat.db.orders VALUES (70,'done',7.0),(71,'new',1.0)")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_join")) === GraftMaterializedViews.Incremental)
+    assert(got === expect) // 'new' has no dim row: inner join drops it, both sides
+
+    // dim-side-only churn (a NEW mapping pulls existing fact rows in): Δdim ⋈ fact
+    spark.sql(s"INSERT INTO $cat.db.dims VALUES ('new','N')")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_join")) === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+    assert(got.exists(_._1 == "N"))
+
+    // dim-side delete retracts every joined fact row for that key
+    spark.sql(s"DELETE FROM $cat.db.dims WHERE status = 'new'")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_join")) === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+    assert(!got.exists(_._1 == "N"))
+
+    // BOTH sides moved since the last tick → honest full recompute
+    spark.sql(s"INSERT INTO $cat.db.orders VALUES (72,'open',2.0)")
+    spark.sql(s"INSERT INTO $cat.db.dims VALUES ('new','N2')")
     assert(GraftMaterializedViews.refresh(spark, graftCatalog,
       TableIdent(Seq("db"), "mv_join")) === GraftMaterializedViews.Full)
     assert(got === expect)
+    // and a NoOp when nothing moved
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_join")) === GraftMaterializedViews.NoOp)
+  }
+
+  test("delta-join MV with a value column and post-join filter") {
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.db.mv_join_amt AS
+         |SELECT d.label AS label, count(*) AS n, count(o.amount) AS nv,
+         |       sum(o.amount) AS total
+         |FROM $cat.db.orders o JOIN $cat.db.dims d ON o.status = d.status
+         |WHERE o.amount > 1.0
+         |GROUP BY d.label""".stripMargin)
+    def expect: Set[(String, Long, Option[Double])] = spark.sql(
+      s"""SELECT d.label, count(*) n, sum(o.amount) total
+         |FROM $cat.db.orders o JOIN $cat.db.dims d ON o.status = d.status
+         |WHERE o.amount > 1.0 GROUP BY d.label""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    def got: Set[(String, Long, Option[Double])] =
+      spark.sql(s"SELECT label, n, total FROM $cat.db.mv_join_amt")
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(got === expect)
+    spark.sql(s"INSERT INTO $cat.db.orders VALUES (80,'open',0.5),(81,'open',800.0)")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_join_amt")) === GraftMaterializedViews.Incremental)
+    assert(got === expect) // the 0.5 row is filtered out on both paths
+  }
+
+  test("a join outside the delta-foldable grammar still routes to full, never garbage") {
+    // min() over a join: recompute-on-retract would need the joined
+    // base — deliberately outside v1's additive-only join fold
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.db.mv_join_min AS
+         |SELECT d.label AS label, count(*) AS n, min(o.amount) AS lo
+         |FROM $cat.db.orders o JOIN $cat.db.dims d ON o.status = d.status
+         |GROUP BY d.label""".stripMargin)
+    assert(spark.sql(s"SHOW TBLPROPERTIES $cat.db.mv_join_min")
+      .collect().exists(r => r.getString(0) == GraftMaterializedViews.RefreshModeProp &&
+        r.getString(1) == "full"))
+    spark.sql(s"INSERT INTO $cat.db.orders VALUES (90,'open',0.01)")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_join_min")) === GraftMaterializedViews.Full)
+    val expect = spark.sql(
+      s"""SELECT d.label, min(o.amount) lo FROM $cat.db.orders o
+         |JOIN $cat.db.dims d ON o.status = d.status GROUP BY d.label""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    val gotMin = spark.sql(s"SELECT label, lo FROM $cat.db.mv_join_min")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(gotMin === expect)
+  }
+
+  test("view → MV → table-stream: the full chain composes with exactly-once ticks") {
+    // Layer 1: a source table; Layer 2: a foldable MV maintained by the
+    // table-stream signal; Layer 3: a logical VIEW over the MV. A read
+    // through the view must reflect source commits after one
+    // maintenance drain, and a REPLAYED drain must change nothing
+    // (refresh observes its checkpoint at head and no-ops).
+    spark.sql(s"CREATE TABLE $cat.db.clicks (page STRING, ms BIGINT)")
+    spark.sql(s"INSERT INTO $cat.db.clicks VALUES ('a',10),('b',5)")
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.db.mv_clicks AS
+         |SELECT page, count(*) AS n, sum(ms) AS total_ms, count(ms) AS nv
+         |FROM $cat.db.clicks GROUP BY page""".stripMargin)
+    spark.sql(
+      s"""CREATE VIEW $cat.db.v_hot_pages AS
+         |SELECT page, n, total_ms FROM $cat.db.mv_clicks WHERE n >= 2""".stripMargin)
+
+    def hot: Set[(String, Long, Long)] =
+      spark.sql(s"SELECT page, n, total_ms FROM $cat.db.v_hot_pages")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(hot === Set.empty) // no page has 2 clicks yet
+
+    // two source commits, one maintenance drain
+    spark.sql(s"INSERT INTO $cat.db.clicks VALUES ('a',30)")
+    spark.sql(s"INSERT INTO $cat.db.clicks VALUES ('b',15),('b',1)")
+    val ckpt = Files.createTempDirectory("graft-mv-chain").toString
+    val q = graft.streaming.TableStreams.materializedViewStream(
+      spark, graftCatalog, cat,
+      TableIdent(Seq("db"), "clicks"), TableIdent(Seq("db"), "mv_clicks"), ckpt)
+    try q.processAllAvailable() finally q.stop()
+    assert(hot === Set(("a", 2L, 40L), ("b", 3L, 21L)))
+
+    // exactly-once: the MV's snapshot history must not grow under a
+    // replayed drain (a second stream over the same checkpoint has
+    // nothing to emit; a direct re-tick no-ops on the checkpoint)
+    def mvSnapshots: Int = store.loadTable(whId, TableIdent(Seq("db"), "mv_clicks"))
+      .fold(e => fail(e.message), identity).metadata.snapshots.size
+    val before = mvSnapshots
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_clicks")) === GraftMaterializedViews.NoOp)
+    val q2 = graft.streaming.TableStreams.materializedViewStream(
+      spark, graftCatalog, cat,
+      TableIdent(Seq("db"), "clicks"), TableIdent(Seq("db"), "mv_clicks"), ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(mvSnapshots === before,
+      "a replayed maintenance drain must not commit new MV snapshots")
+    assert(hot === Set(("a", 2L, 40L), ("b", 3L, 21L)))
+
+    // and the chain stays LIVE: one more commit, one more drain,
+    // visible through the view
+    spark.sql(s"DELETE FROM $cat.db.clicks WHERE page = 'b' AND ms = 1")
+    val q3 = graft.streaming.TableStreams.materializedViewStream(
+      spark, graftCatalog, cat,
+      TableIdent(Seq("db"), "clicks"), TableIdent(Seq("db"), "mv_clicks"), ckpt)
+    try q3.processAllAvailable() finally q3.stop()
+    assert(hot === Set(("a", 2L, 40L), ("b", 2L, 20L)))
   }
 
   test("refresh on a plain table is refused loudly") {
