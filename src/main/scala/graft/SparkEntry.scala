@@ -39,6 +39,7 @@ object SparkEntry {
       graft.llm.DedupPipeline.queries ++
       graft.llm.IncrementalDedup.queries ++
       graft.llm.Similarity.queries ++
+      graft.llm.Retrieval.queries ++
       graft.llm.TextAnalysis.queries ++
       graft.llm.Tokenizer.queries ++
       graft.llm.Sampling.queries ++
@@ -57,6 +58,7 @@ object SparkEntry {
       graft.llm.DedupPipeline.oracleSql ++
       graft.llm.IncrementalDedup.oracleSql ++
       graft.llm.Similarity.oracleSql ++
+      graft.llm.Retrieval.oracleSql ++
       graft.llm.TextAnalysis.oracleSql ++
       graft.llm.Tokenizer.oracleSql ++
       graft.llm.Sampling.oracleSql ++

@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, Log
 import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, lit, when}
 
 /** MATERIALIZED views over the engine: the MV is an ordinary catalog
   * TABLE carrying its defining SQL in table properties, refreshed
@@ -249,9 +249,7 @@ object GraftMaterializedViews {
         Full
     }
 
-    def fold(changes: DataFrame, otherScan: DataFrame,
-        changedIsLeft: Boolean): RefreshMode = {
-      val delta = js.delta(changes, otherScan, changedIsLeft)
+    def fold(delta: DataFrame): RefreshMode = {
       val prev = js.agg.toInternal(mv.scan(spark))
       val folded = ChangelogApply.applyCountSum(
         prev, js.agg.withValue(delta), js.agg.keySrcNames, js.agg.valueName)
@@ -266,20 +264,36 @@ object GraftMaterializedViews {
       case (Some(cl), Some(cr)) if rHead.contains(cr) =>
         // only the left side moved
         lHead match {
-          case Some(lh) => fold(
+          case Some(lh) => fold(js.delta(
             lt.changelogScan(spark, cl, Some(lh)),
-            rt.scan(spark, rt.AtSnapshot(cr)), changedIsLeft = true)
+            rt.scan(spark, rt.AtSnapshot(cr)), changedIsLeft = true))
           case None => fullAtHeads()
         }
       case (Some(cl), Some(cr)) if lHead.contains(cl) =>
         // only the right side moved
         rHead match {
-          case Some(rh) => fold(
+          case Some(rh) => fold(js.delta(
             rt.changelogScan(spark, cr, Some(rh)),
-            lt.scan(spark, lt.AtSnapshot(cl)), changedIsLeft = false)
+            lt.scan(spark, lt.AtSnapshot(cl)), changedIsLeft = false))
           case None => fullAtHeads()
         }
-      case _ => fullAtHeads() // both moved, or a checkpoint is missing
+      case (Some(cl), Some(cr)) =>
+        // BOTH sides moved: the full bilinear expansion —
+        //   Δ(A⋈B) = ΔA⋈B_old + A_old⋈ΔB + ΔA⋈ΔB
+        // (signed multisets; the cross-term's pair sign is the product
+        // of the two row signs). Still churn-priced: the only
+        // full-table scans are each side AT ITS OLD checkpoint joined
+        // against the OTHER side's delta — never old⋈old.
+        (lHead, rHead) match {
+          case (Some(lh), Some(rh)) =>
+            val dL = lt.changelogScan(spark, cl, Some(lh))
+            val dR = rt.changelogScan(spark, cr, Some(rh))
+            fold(js.delta(dL, rt.scan(spark, rt.AtSnapshot(cr)), changedIsLeft = true)
+              .unionByName(js.delta(dR, lt.scan(spark, lt.AtSnapshot(cl)), changedIsLeft = false))
+              .unionByName(js.deltaCross(dL, dR)))
+          case _ => fullAtHeads() // a side went from/to empty-headed
+        }
+      case _ => fullAtHeads() // a checkpoint is missing
     }
   }
 
@@ -523,6 +537,27 @@ object GraftMaterializedViews {
         changedIsLeft: Boolean): DataFrame =
       applyFilter(
         if (changedIsLeft) joined(changes, other) else joined(other, changes))
+
+    /** The second-order cross-term ΔA ⋈ ΔB of the bilinear expansion:
+      * both inputs carry `_change_type`, and a joined pair's sign is
+      * the PRODUCT of the two row signs — re-encoded as one
+      * `_change_type` ((insert,insert) and (delete,delete) → insert,
+      * mixed → delete) so the additive fold consumes it unchanged.
+      * Churn × churn sized: both inputs are changelogs. */
+    def deltaCross(lChanges: DataFrame, rChanges: DataFrame): DataFrame = {
+      val lp = lChanges
+        .select(((leftKey +: leftCols).distinct.map(col) :+
+          col("_change_type").as("__ct_l")): _*)
+      val rp = rChanges
+        .select(((rightKey +: rightCols).distinct.map(col) :+
+          col("_change_type").as("__ct_r")): _*)
+        .withColumnRenamed(rightKey, "__mv_jk")
+      applyFilter(lp.join(rp, col(leftKey) === col("__mv_jk"), "inner")
+        .withColumn("_change_type",
+          when(col("__ct_l") === col("__ct_r"), lit("insert"))
+            .otherwise(lit("delete")))
+        .drop("__mv_jk", "__ct_l", "__ct_r"))
+    }
 
     /** Full recompute over the two PINNED head scans. */
     def recompute(lScan: DataFrame, rScan: DataFrame,

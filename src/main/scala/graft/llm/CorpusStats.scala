@@ -759,6 +759,92 @@ object CorpusStats {
        |GROUP BY source
        |ORDER BY source""".stripMargin
 
+  /** Pairwise source OVERLAP from the same per-source KMV sketches
+    * [[qKmvDistinct]] keeps — the sketch-algebra readout HLL can't do:
+    * union = sorted-merge of two kept sets (a KMV sketch of the union
+    * by construction), and the Jaccard estimate is the INCLUSION rule
+    * (Beyer et al., "On synopses for distinct-value estimation under
+    * multiset operations", SIGMOD 2007): of the k smallest union
+    * hashes, the fraction present in BOTH sketches estimates
+    * |A∩B|/|A∪B|; times the union estimate gives the intersection
+    * size. Every step is integer/array arithmetic on ≤ k longs, so the
+    * oracle rebuilds the identical numbers in SQL and the gate pins
+    * them exactly — no tolerance band.
+    *
+    * Why this exists at 100 TB: "which sources duplicate each other's
+    * n-gram space" as an exact computation is a vocabulary-scale
+    * self-join (distinct bigrams × sources against itself). Here the
+    * corpus is scanned ONCE into |sources| sketches of k longs; the
+    * pairwise algebra runs on |sources|² sketch pairs — driver-trivial
+    * at any corpus size, and the estimate error is the standard
+    * KMV 1/√(k−2), tunable by k alone. */
+  def qKmvSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val sketches = load(s, dir, "documents")
+      .selectExpr("source", "filter(split(text, ' '), t -> length(t) > 0) as ta")
+      .where("size(ta) >= 2")
+      .selectExpr("source",
+        """explode(transform(sequence(2, size(ta)),
+          |  i -> concat(element_at(ta, i - 1), ' ', element_at(ta, i)))) as bigram""".stripMargin)
+      .selectExpr("source", s"${Portable.hSpark("bigram")} as h")
+      .groupBy(col("source"))
+      .agg(graft.functions.KmvSketch.of(KmvK)(col("h")).as("sk"))
+    val pairs = sketches.selectExpr("source as source_a", "sk as sk_a")
+      .join(broadcast(sketches.selectExpr("source as source_b", "sk as sk_b")),
+        col("source_a") < col("source_b"))
+    pairs
+      .selectExpr("source_a", "source_b", "sk_a", "sk_b",
+        s"slice(array_sort(array_distinct(concat(sk_a, sk_b))), 1, $KmvK) as merged")
+      .selectExpr("source_a", "source_b",
+        "cast(size(merged) as bigint) as n_merged",
+        "cast(size(array_intersect(array_intersect(merged, sk_a), sk_b)) as bigint) as n_both",
+        s"case when size(merged) < $KmvK then cast(size(merged) as double) " +
+          s"else ${KmvK - 1}.0 * $TwoPow60 / cast(element_at(merged, $KmvK) as double) end " +
+          "as est_union")
+      .selectExpr("source_a", "source_b", "n_merged", "n_both",
+        "cast(n_both as double) / n_merged as jaccard_kmv",
+        "est_union",
+        "(cast(n_both as double) / n_merged) * est_union as est_intersect")
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val qKmvSourceOverlapSql: String =
+    s"""WITH d AS (
+       |  SELECT source, list_filter(string_split(text, ' '), t -> len(t) > 0) AS ta
+       |  FROM documents),
+       |d2 AS (SELECT source, ta FROM d WHERE len(ta) >= 2),
+       |h AS (
+       |  SELECT DISTINCT source,
+       |         ${Portable.hDuck("ta[i - 1] || ' ' || ta[i]")} AS h
+       |  FROM d2, UNNEST(range(2, len(ta) + 1)) AS u(i)),
+       |r AS (
+       |  SELECT source, h,
+       |         row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+       |  FROM h),
+       |sk AS (
+       |  SELECT source, list_sort(list(h ORDER BY h)) AS sk
+       |  FROM r WHERE rn <= $KmvK GROUP BY source),
+       |p AS (
+       |  SELECT a.source AS source_a, b.source AS source_b,
+       |         a.sk AS sk_a, b.sk AS sk_b,
+       |         list_slice(list_sort(list_distinct(list_concat(a.sk, b.sk))),
+       |                    1, $KmvK) AS merged
+       |  FROM sk a JOIN sk b ON a.source < b.source),
+       |m AS (
+       |  SELECT source_a, source_b,
+       |         CAST(len(merged) AS BIGINT) AS n_merged,
+       |         CAST(len(list_intersect(list_intersect(merged, sk_a), sk_b))
+       |              AS BIGINT) AS n_both,
+       |         CASE WHEN len(merged) < $KmvK THEN CAST(len(merged) AS DOUBLE)
+       |              ELSE ${KmvK - 1}.0 * $TwoPow60 / CAST(merged[$KmvK] AS DOUBLE) END
+       |           AS est_union
+       |  FROM p)
+       |SELECT source_a, source_b, n_merged, n_both,
+       |       CAST(n_both AS DOUBLE) / n_merged AS jaccard_kmv,
+       |       est_union,
+       |       (CAST(n_both AS DOUBLE) / n_merged) * est_union AS est_intersect
+       |FROM m
+       |ORDER BY source_a, source_b""".stripMargin
+
   /** CMS grid: 4 rows × 8192 counters ≈ 256 KB of state — fixed at any
     * corpus size. Error bound: est − exact ≤ e·N/width with probability
     * 1 − e^−depth (standard CMS), N = total occurrences. */
@@ -833,6 +919,7 @@ object CorpusStats {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cms_heavy_hitters" -> (qCmsHeavyHitters _),
     "q_kmv_distinct" -> (qKmvDistinct _),
+    "q_kmv_source_overlap" -> (qKmvSourceOverlap _),
     "q_source_token_drift" -> (qSourceTokenDrift _),
     "q_dsir_importance" -> (qDsirImportance _),
     "q_vocab_topk" -> (qVocabTopk _),
@@ -848,6 +935,7 @@ object CorpusStats {
   val oracleSql: Map[String, String] = Map(
     "q_cms_heavy_hitters" -> qCmsHeavyHittersSql,
     "q_kmv_distinct" -> qKmvDistinctSql,
+    "q_kmv_source_overlap" -> qKmvSourceOverlapSql,
     "q_source_token_drift" -> qSourceTokenDriftSql,
     "q_dsir_importance" -> qDsirImportanceSql,
     "q_vocab_topk" -> qVocabTopkSql,

@@ -1,0 +1,238 @@
+package graft.llm
+
+import graft.Tables.load
+import graft.functions.TopK
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col}
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+
+/** Retrieval scoring over the documents/embeddings corpus: BM25
+  * lexical top-k and reciprocal-rank-fusion hybrid (lexical + dense)
+  * retrieval — the two workhorse rankers of a training-data curation
+  * stack (hard-negative mining, dedup-aware sampling, eval-set
+  * construction all start from "give me the top-k for this query").
+  *
+  * Cross-engine exactness: BM25 is computed in FIXED-POINT INTEGER
+  * arithmetic end to end — idf as quantized bit-lengths
+  * (`bitlen(N) − bitlen(df)`, the repo's established no-libm log2),
+  * the tf saturation as ×1000-scaled integer division — so the DuckDB
+  * oracle reproduces every score bit-for-bit (integer division of
+  * non-negative BIGINTs is identical in both engines); the one IEEE
+  * double division per output row is exact-by-construction. RRF
+  * contributions are `1e6 div (60 + rank)` integers for the same
+  * reason. No tolerance bands anywhere.
+  *
+  * Scale shape (the 100 TB story):
+  *  - the postings side is `(doc, term, tf)` — an explode → map-side
+  *    combined partial agg, the same pipeline as the vocabulary
+  *    queries; raw text never shuffles;
+  *  - the query side (5 query docs × top-5 rarest terms each) is a
+  *    BROADCAST constant, so candidate generation is one keyed join
+  *    postings ⋈ tiny — never a cross product and never a scan per
+  *    query;
+  *  - per-query ranking is the bounded [[TopK]] aggregate (k-row
+  *    state, mergeable), not a global window: no full sort of the
+  *    candidate set ever materializes;
+  *  - the dense pool is the [[Similarity.qKnnBruteForce]] broadcast
+  *    corpus scan; fusion then touches ≤ 2·pool rows per query — a
+  *    driver-trivial frame at any corpus size.
+  */
+object Retrieval {
+
+  /** BM25 k1 = 1.2 and b = 0.75 (the standard Robertson defaults),
+    * carried as ×10 / ×100 integers inside the fixed-point algebra. */
+  private val PoolK = 20
+  /** Query docs: doc_id < 5 (aligned with the ANN queries' vec_id < 5). */
+  private val QueryDocs = 5
+  /** Rarest distinct terms per query doc that form its query. */
+  private val TermsPerQuery = 5
+  /** Classic RRF smoothing constant (Cormack et al.). */
+  private val RrfK = 60
+
+  private val rankSchema = StructType(Seq(
+    StructField("ord", DoubleType, nullable = false),
+    StructField("tie", LongType, nullable = false)))
+
+  /** `(query_id, rank, doc_id, score1000)` — BM25 top-`k` per query,
+    * all-integer scores (×1000). */
+  private def bm25Ranked(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val toks = load(s, dir, "documents")
+      .selectExpr("doc_id", "filter(split(text, ' '), t -> length(t) > 0) as ta")
+      .where("size(ta) >= 1")
+      .selectExpr("doc_id", "size(ta) as dl", "explode(ta) as token")
+    // postings (doc, term, tf) with the doc length riding along
+    val tf = toks.groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("tf"))
+    val df = tf.groupBy(col("token"))
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("df"))
+    val stats = toks.selectExpr("doc_id", "dl").distinct()
+      .selectExpr("count(*) as n_docs", "cast(sum(dl) as bigint) as tot_dl")
+      .selectExpr("n_docs", "(tot_dl * 100) div n_docs as avg100")
+    // the query: per query doc, its TermsPerQuery rarest distinct
+    // terms. The vocabulary-scale df side stays KEYED (streamed);
+    // only the query docs' token set — and from it the final ≤
+    // QueryDocs × TermsPerQuery terms — ever broadcasts.
+    val qtok = tf.where(s"doc_id < $QueryDocs")
+      .select(col("doc_id").as("query_id"), col("token"))
+    val qterms = df.join(broadcast(qtok), "token")
+      .selectExpr("query_id", "token", "df",
+        "row_number() over (partition by query_id order by df asc, token asc) as tr")
+      .where(s"tr <= $TermsPerQuery")
+      .select(col("query_id"), col("token"), col("df"))
+    val scored = tf
+      .join(broadcast(qterms), "token")
+      .where(col("doc_id") =!= col("query_id"))
+      .crossJoin(broadcast(stats))
+      .selectExpr("query_id", "doc_id",
+        // 1000·(1 − b + b·dl/avgdl), b = 0.75, avgdl carried ×100
+        "250 + (750 * dl * 100) div avg100 as nrm1000",
+        "tf", "df", "n_docs")
+      .selectExpr("query_id", "doc_id",
+        // 1000-scaled tf·(k1+1)/(tf + k1·nrm), k1 = 1.2
+        "(tf * 2200 * 1000) div (tf * 1000 + (12 * nrm1000) div 10) as tffac1000",
+        "length(bin(n_docs)) - length(bin(df)) as idf_bits")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.expr("idf_bits * tffac1000")).as("score1000"))
+    scored.groupBy(col("query_id"))
+      .agg(TopK.topK(k, rankSchema)(
+        col("score1000").cast("double"), col("doc_id")).as("top"))
+      .selectExpr("query_id", "posexplode(top) as (pos, r)")
+      .selectExpr("query_id", "cast(pos + 1 as int) as rank",
+        "r.tie as doc_id", "cast(r.ord as bigint) as score1000")
+  }
+
+  /** Shared oracle CTE text for the BM25 ranking (DuckDB). */
+  private def bm25CtesD: String =
+    s"""toks AS (
+       |  SELECT doc_id, len(ta) AS dl, unnest(ta) AS token
+       |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS ta
+       |        FROM documents)
+       |  WHERE len(ta) >= 1),
+       |tf AS (SELECT doc_id, dl, token, count(*) AS tf FROM toks GROUP BY 1, 2, 3),
+       |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+       |stats AS (
+       |  SELECT count(*) AS n_docs,
+       |         (CAST(sum(dl) AS BIGINT) * 100) // count(*) AS avg100
+       |  FROM (SELECT DISTINCT doc_id, dl FROM toks)),
+       |qterms AS (
+       |  SELECT query_id, token FROM (
+       |    SELECT t.doc_id AS query_id, t.token,
+       |           row_number() OVER (PARTITION BY t.doc_id
+       |                              ORDER BY d.df ASC, t.token ASC) AS tr
+       |    FROM tf t JOIN df d ON t.token = d.token
+       |    WHERE t.doc_id < $QueryDocs)
+       |  WHERE tr <= $TermsPerQuery),
+       |scored AS (
+       |  SELECT q.query_id, t.doc_id,
+       |         CAST(sum((length(printf('%b', s.n_docs)) - length(printf('%b', d.df))) *
+       |             ((t.tf * 2200 * 1000) //
+       |              (t.tf * 1000 + (12 * (250 + (750 * t.dl * 100) // s.avg100)) // 10)))
+       |           AS BIGINT) AS score1000
+       |  FROM tf t
+       |  JOIN qterms q ON t.token = q.token AND t.doc_id <> q.query_id
+       |  JOIN df d ON t.token = d.token
+       |  CROSS JOIN stats s
+       |  GROUP BY 1, 2),
+       |bm25 AS (
+       |  SELECT query_id, doc_id, score1000,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY score1000 DESC, doc_id ASC) AS rank
+       |  FROM scored)""".stripMargin
+
+  /** BM25 top-10 per query: `(query_id, rank, doc_id, score1000,
+    * score)`. The integer `score1000` column is what the gate pins;
+    * `score` is its one exact ÷1000 readout. */
+  def qBm25TopK(s: SparkSession, dir: String): DataFrame =
+    bm25Ranked(s, dir, 10)
+      .selectExpr("query_id", "rank", "doc_id", "score1000",
+        "cast(score1000 as double) / 1000 as score")
+      .orderBy(col("query_id"), col("rank"))
+
+  val qBm25TopKSql: String =
+    s"""WITH ${bm25CtesD}
+       |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score1000,
+       |       CAST(score1000 AS DOUBLE) / 1000 AS score
+       |FROM bm25 WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** Reciprocal-rank fusion of the BM25 pool and the dense cosine
+    * pool (both top-[[PoolK]]): each list contributes
+    * `1e6 div (60 + rank)` — quantized-integer RRF, so the fused
+    * ordering is cross-engine exact. A doc missing from one list
+    * simply contributes nothing from it (the standard RRF treatment).
+    * Output: fused top-10 per query with both source ranks exposed
+    * (NULL when the doc was absent from that list). */
+  def qHybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val bm = bm25Ranked(s, dir, PoolK)
+      .selectExpr("query_id", "doc_id", "rank as bm25_rank")
+    val emb = load(s, dir, "embeddings")
+    val queries = emb.filter(s"vec_id < $QueryDocs")
+      .selectExpr("vec_id as query_id", "embedding as q_emb")
+    val dense = emb.crossJoin(broadcast(queries))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.VectorExprs.cosine(col("q_emb"), col("embedding")).as("cosine"))
+      .groupBy(col("query_id"))
+      .agg(TopK.topK(PoolK, rankSchema)(col("cosine"), col("vec_id")).as("top"))
+      .selectExpr("query_id", "posexplode(top) as (pos, r)")
+      .selectExpr("query_id", "cast(pos + 1 as int) as dense_rank_", "r.tie as doc_id")
+    bm.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .selectExpr("query_id", "doc_id", "bm25_rank",
+        "dense_rank_ as dense_rank",
+        s"""coalesce(1000000 div ($RrfK + bm25_rank), 0) +
+           |coalesce(1000000 div ($RrfK + dense_rank_), 0) as rrf1e6""".stripMargin)
+      .selectExpr("query_id", "doc_id", "bm25_rank", "dense_rank", "rrf1e6",
+        "row_number() over (partition by query_id order by rrf1e6 desc, doc_id asc) as rank")
+      .where("rank <= 10")
+      .selectExpr("query_id", "cast(rank as int) as rank", "doc_id",
+        "bm25_rank", "dense_rank", "rrf1e6",
+        "cast(rrf1e6 as double) / 1000000 as rrf")
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val qHybridRrfSql: String = {
+    val cos = Similarity.cosD("q.q_emb", "e.embedding")
+    s"""WITH ${bm25CtesD},
+       |bmpool AS (
+       |  SELECT query_id, doc_id, CAST(rank AS INT) AS bm25_rank
+       |  FROM bm25 WHERE rank <= $PoolK),
+       |q AS (SELECT vec_id AS query_id, embedding AS q_emb
+       |      FROM embeddings WHERE vec_id < $QueryDocs),
+       |cscored AS (
+       |  SELECT q.query_id, e.vec_id AS doc_id, $cos AS cosine
+       |  FROM embeddings e CROSS JOIN q
+       |  WHERE e.vec_id <> q.query_id),
+       |dpool AS (
+       |  SELECT query_id, doc_id, CAST(rank AS INT) AS dense_rank
+       |  FROM (SELECT query_id, doc_id, cosine,
+       |               row_number() OVER (PARTITION BY query_id
+       |                                  ORDER BY cosine DESC, doc_id ASC) AS rank
+       |        FROM cscored)
+       |  WHERE rank <= $PoolK),
+       |fused AS (
+       |  SELECT coalesce(b.query_id, d.query_id) AS query_id,
+       |         coalesce(b.doc_id, d.doc_id) AS doc_id,
+       |         b.bm25_rank, d.dense_rank,
+       |         coalesce(1000000 // ($RrfK + b.bm25_rank), 0) +
+       |         coalesce(1000000 // ($RrfK + d.dense_rank), 0) AS rrf1e6
+       |  FROM bmpool b FULL OUTER JOIN dpool d
+       |    ON b.query_id = d.query_id AND b.doc_id = d.doc_id)
+       |SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
+       |       bm25_rank, dense_rank, rrf1e6,
+       |       CAST(rrf1e6 AS DOUBLE) / 1000000 AS rrf
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                   ORDER BY rrf1e6 DESC, doc_id ASC) AS rank
+       |      FROM fused)
+       |WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bm25_topk" -> (qBm25TopK _),
+    "q_hybrid_rrf" -> (qHybridRrf _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_bm25_topk" -> qBm25TopKSql,
+    "q_hybrid_rrf" -> qHybridRrfSql)
+}

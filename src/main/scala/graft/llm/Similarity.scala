@@ -36,7 +36,7 @@ object Similarity {
 
   /** DuckDB cosine with left-fold sums — the shape graft.functions.VectorExprs
     * reproduces exactly on the Spark side. */
-  private def cosD(a: String, b: String): String = {
+  private[llm] def cosD(a: String, b: String): String = {
     def fold(l: String) = s"list_reduce($l, (acc, p) -> acc + p)"
     val dot = fold(s"list_transform(range(1, len($a) + 1), i -> ($a)[i]::DOUBLE * ($b)[i]::DOUBLE)")
     val na = fold(s"list_transform($a, x -> x::DOUBLE * x::DOUBLE)")

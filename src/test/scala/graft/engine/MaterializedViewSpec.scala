@@ -449,12 +449,36 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === expect)
     assert(!got.exists(_._1 == "N"))
 
-    // BOTH sides moved since the last tick → honest full recompute
+    // BOTH sides moved since the last tick → bilinear incremental fold
+    // (ΔA⋈B_old + A_old⋈ΔB + ΔA⋈ΔB), never a full recompute
     spark.sql(s"INSERT INTO $cat.db.orders VALUES (72,'open',2.0)")
     spark.sql(s"INSERT INTO $cat.db.dims VALUES ('new','N2')")
     assert(GraftMaterializedViews.refresh(spark, graftCatalog,
-      TableIdent(Seq("db"), "mv_join")) === GraftMaterializedViews.Full)
+      TableIdent(Seq("db"), "mv_join")) === GraftMaterializedViews.Incremental)
     assert(got === expect)
+
+    // the CROSS-TERM specifically: a fact row and its ONLY matching dim
+    // row arrive in the same tick — neither one-sided term sees the
+    // pair (the fact's status is absent from dim@old, and the dim's
+    // status is absent from fact@old), so the row counts iff ΔA⋈ΔB is
+    // in the expansion
+    spark.sql(s"INSERT INTO $cat.db.orders VALUES (73,'xterm',3.0)")
+    spark.sql(s"INSERT INTO $cat.db.dims VALUES ('xterm','X')")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_join")) === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+    assert(got.exists(_._1 == "X"), "cross-term pair missing from the fold")
+
+    // and the signed inverse: delete BOTH halves of the pair in one
+    // tick — the (−1)·(−1) cross pair re-encodes as an insert so the
+    // net is exactly −1, emptying the group
+    spark.sql(s"DELETE FROM $cat.db.orders WHERE id = 73")
+    spark.sql(s"DELETE FROM $cat.db.dims WHERE status = 'xterm'")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_join")) === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+    assert(!got.exists(_._1 == "X"), "deleted cross-term pair survived")
+
     // and a NoOp when nothing moved
     assert(GraftMaterializedViews.refresh(spark, graftCatalog,
       TableIdent(Seq("db"), "mv_join")) === GraftMaterializedViews.NoOp)

@@ -201,4 +201,43 @@ class CorpusStatsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
     assert(rows.toSeq === again.toSeq)
   }
+
+  test("kmv source overlap: canonical pairs, k-bounded union, inclusion rule tracks exact jaccard") {
+    val rows = CorpusStats.qKmvSourceOverlap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, nMerged, nBoth, jac, estUnion, estInter) =>
+      assert(a < b, s"pair ($a,$b) not canonical")
+      // the union sketch is itself a KMV sketch: never more than k kept
+      assert(nMerged >= 1 && nMerged <= CorpusStats.KmvK,
+        s"($a,$b): merged sketch kept $nMerged > k")
+      assert(nBoth >= 0 && nBoth <= nMerged, s"($a,$b): n_both=$nBoth of $nMerged")
+      assert(math.abs(jac - nBoth.toDouble / nMerged) < 1e-15)
+      assert(estUnion > 0.0 && estInter >= 0.0 &&
+        estInter <= estUnion * (1 + 1e-12),
+        s"($a,$b): est_intersect $estInter vs est_union $estUnion")
+    }
+    assert(rows.map(p => (p._1, p._2)).distinct.length === rows.length)
+    // the inclusion-rule estimate against the EXACT distinct-bigram
+    // jaccard, recomputed here from the raw table: the k smallest union
+    // hashes are a uniform sample of the union, so the fraction present
+    // in both sketches has std error ~1/sqrt(k) ≈ 0.125 at k=64; the
+    // hashes are deterministic so this is a fixed number per pair — the
+    // 3.2-sigma bound just has to hold once
+    val sets = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("source", "filter(split(text, ' '), t -> length(t) > 0) as ta")
+      .where("size(ta) >= 2")
+      .selectExpr("source",
+        """explode(transform(sequence(2, size(ta)),
+          |  i -> concat(element_at(ta, i - 1), ' ', element_at(ta, i)))) as bigram""".stripMargin)
+      .distinct().collect()
+      .groupBy(_.getString(0)).map { case (s, rs) => s -> rs.map(_.getString(1)).toSet }
+    rows.foreach { case (a, b, _, _, jac, _, _) =>
+      val (sa, sb) = (sets(a), sets(b))
+      val exact = (sa & sb).size.toDouble / (sa | sb).size
+      assert(math.abs(jac - exact) <= 0.40,
+        s"($a,$b): kmv jaccard $jac vs exact $exact")
+    }
+  }
 }
