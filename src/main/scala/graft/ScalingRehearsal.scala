@@ -91,65 +91,71 @@ object ScalingRehearsal {
   /** Wall-time the headline growth-sensitive pipelines on `dir`,
     * returning (name → seconds). `ivfCells` sizes the quantizer the
     * way a deployment would (cells ∝ corpus). */
+  /** SPARK_GRAFT_REHEARSAL_ONLY=a,b restricts the pipeline set — a
+    * dev-loop knob for measuring one new pipeline without paying the
+    * full matrix; round tables are always generated full-set. */
+  private val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_REHEARSAL_ONLY")
+    .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+
   def measure(spark: SparkSession, dir: String, ivfCells: Int)
       : Seq[(String, Double)] = {
     spark.conf.set(graft.llm.Similarity.IvfCellsConf, ivfCells.toString)
-    try Seq(
-      "minhash_lsh_pairs" -> time(graft.llm.Dedup.qDedupMinhashLsh(spark, dir)),
-      "lsh_clusters_cc" -> time(graft.llm.Dedup.qDedupClusters(spark, dir)),
-      "ngram_jaccard" -> time(graft.llm.Dedup.qDedupNgramJaccard(spark, dir)),
-      "vocab_topk" -> time(graft.llm.CorpusStats.qVocabTopk(spark, dir)),
-      "quality_quantile" -> time(graft.llm.TextAnalysis.qQualityQuantile(spark, dir)),
-      "source_cap" -> time(graft.llm.Sampling.qSourceCap(spark, dir)),
-      "ivf_index" -> time(graft.llm.Similarity.ivfIndex(spark, dir)),
-      "ivf_index_2level" -> time(graft.llm.Similarity.ivfIndexTwoLevel(spark, dir)),
-      "dup_spans" -> time(graft.llm.Dedup.qDupSpans(spark, dir)),
-      "lm_bigram_surprisal" -> time(graft.llm.CorpusStats.qLmBigramSurprisal(spark, dir)),
-      "incremental_exact" -> time(graft.llm.IncrementalDedup.qDedupIncrementalExact(spark, dir)),
-      "split_leakfree" -> time(graft.llm.Sampling.qSplitLeakfree(spark, dir)),
-      "mix_temperature" -> time(graft.llm.Sampling.qMixTemperature(spark, dir)),
-      "emb_kmeans" -> time(graft.llm.Similarity.qEmbKmeans(spark, dir)),
-      "doc_chunks" -> time(graft.llm.TextAnalysis.qDocChunks(spark, dir)),
-      "bpe_merges" -> time(graft.llm.Tokenizer.qBpeMerges(spark, dir)),
-      "dedup_report" -> time(graft.llm.Dedup.qDedupReport(spark, dir)),
+    val entries: Seq[(String, () => Double)] = Seq(
+      "minhash_lsh_pairs" -> (() => time(graft.llm.Dedup.qDedupMinhashLsh(spark, dir))),
+      "lsh_clusters_cc" -> (() => time(graft.llm.Dedup.qDedupClusters(spark, dir))),
+      "ngram_jaccard" -> (() => time(graft.llm.Dedup.qDedupNgramJaccard(spark, dir))),
+      "vocab_topk" -> (() => time(graft.llm.CorpusStats.qVocabTopk(spark, dir))),
+      "quality_quantile" -> (() => time(graft.llm.TextAnalysis.qQualityQuantile(spark, dir))),
+      "source_cap" -> (() => time(graft.llm.Sampling.qSourceCap(spark, dir))),
+      "ivf_index" -> (() => time(graft.llm.Similarity.ivfIndex(spark, dir))),
+      "ivf_index_2level" -> (() => time(graft.llm.Similarity.ivfIndexTwoLevel(spark, dir))),
+      "dup_spans" -> (() => time(graft.llm.Dedup.qDupSpans(spark, dir))),
+      "lm_bigram_surprisal" -> (() => time(graft.llm.CorpusStats.qLmBigramSurprisal(spark, dir))),
+      "incremental_exact" -> (() => time(graft.llm.IncrementalDedup.qDedupIncrementalExact(spark, dir))),
+      "split_leakfree" -> (() => time(graft.llm.Sampling.qSplitLeakfree(spark, dir))),
+      "mix_temperature" -> (() => time(graft.llm.Sampling.qMixTemperature(spark, dir))),
+      "emb_kmeans" -> (() => time(graft.llm.Similarity.qEmbKmeans(spark, dir))),
+      "doc_chunks" -> (() => time(graft.llm.TextAnalysis.qDocChunks(spark, dir))),
+      "bpe_merges" -> (() => time(graft.llm.Tokenizer.qBpeMerges(spark, dir))),
+      "dedup_report" -> (() => time(graft.llm.Dedup.qDedupReport(spark, dir))),
       // the r12 additions: the two indexed cluster riders (signature
       // leaf computed once, report/split read it) and semdedup, whose
       // build now ROUTES — flat at 1× (cells=16), two-level past the
       // threshold at 10× (cells=160) — so its ratio shows the routing
-      "dedup_report_indexed" -> time(graft.llm.DedupPipeline.qDedupReportIndexed(spark, dir)),
-      "split_leakfree_indexed" -> time(graft.llm.DedupPipeline.qSplitLeakfreeIndexed(spark, dir)),
-      "semdedup_routed" -> time(graft.llm.Similarity.qSemDedup(spark, dir)),
-      "pq_adc_topk" -> time(graft.llm.Similarity.qPqTopK(spark, dir)),
+      "dedup_report_indexed" -> (() => time(graft.llm.DedupPipeline.qDedupReportIndexed(spark, dir))),
+      "split_leakfree_indexed" -> (() => time(graft.llm.DedupPipeline.qSplitLeakfreeIndexed(spark, dir))),
+      "semdedup_routed" -> (() => time(graft.llm.Similarity.qSemDedup(spark, dir))),
+      "pq_adc_topk" -> (() => time(graft.llm.Similarity.qPqTopK(spark, dir))),
       // late-r12: fixed anchor/query sets mean these must scale with
       // the corpus scan alone (ratio ≈ replicas); emb_outliers rides
       // the ROUTED build (flat at 1×, two-level at N× cells), so its
       // ratio shows the routing the same way semdedup's does
-      "ann_recall" -> time(graft.llm.Similarity.qAnnRecall(spark, dir)),
-      "emb_outliers" -> time(graft.llm.Similarity.qEmbOutliers(spark, dir)),
-      "hard_negatives" -> time(graft.llm.Similarity.qHardNegatives(spark, dir)),
-      "lm_ppl_band" -> time(graft.llm.CorpusStats.qLmPplBand(spark, dir)),
+      "ann_recall" -> (() => time(graft.llm.Similarity.qAnnRecall(spark, dir))),
+      "emb_outliers" -> (() => time(graft.llm.Similarity.qEmbOutliers(spark, dir))),
+      "hard_negatives" -> (() => time(graft.llm.Similarity.qHardNegatives(spark, dir))),
+      "lm_ppl_band" -> (() => time(graft.llm.CorpusStats.qLmPplBand(spark, dir))),
       // r12 second wave: containment rides the same capped-collect
       // pair core as ngram_jaccard (ratio must match its shape);
       // novelty rides the dup-spans window machinery; the trigram
       // scorer is the heaviest text op (trigram-vocabulary model);
       // truncate_rerank's stage-2 pool is FIXED, so its ratio must
       // track the coarse corpus scan alone (≈ replicas)
-      "dedup_containment" -> time(graft.llm.Dedup.qDedupContainment(spark, dir)),
-      "doc_novelty" -> time(graft.llm.Dedup.qDocNovelty(spark, dir)),
-      "lm_trigram_backoff" -> time(graft.llm.CorpusStats.qLmTrigramBackoff(spark, dir)),
-      "emb_truncate_rerank" -> time(graft.llm.Similarity.qEmbTruncateRerank(spark, dir)),
+      "dedup_containment" -> (() => time(graft.llm.Dedup.qDedupContainment(spark, dir))),
+      "doc_novelty" -> (() => time(graft.llm.Dedup.qDocNovelty(spark, dir))),
+      "lm_trigram_backoff" -> (() => time(graft.llm.CorpusStats.qLmTrigramBackoff(spark, dir))),
+      "emb_truncate_rerank" -> (() => time(graft.llm.Similarity.qEmbTruncateRerank(spark, dir))),
       // r12 third wave: seq_pack is the distributed prefix sum + a
       // token-bounded explode (ratio must track the corpus linearly);
       // dsir's model is a fixed 4096-bucket broadcast, so its cost is
       // the two token scans alone — also linear, never skew-bound
-      "seq_pack" -> time(graft.llm.Sampling.qSeqPack(spark, dir)),
-      "dsir_importance" -> time(graft.llm.CorpusStats.qDsirImportance(spark, dir)),
+      "seq_pack" -> (() => time(graft.llm.Sampling.qSeqPack(spark, dir))),
+      "dsir_importance" -> (() => time(graft.llm.CorpusStats.qDsirImportance(spark, dir))),
       // r12 fourth wave: KMV distinct sketches are ONE corpus bigram
       // scan into k-longs-per-source state — the ratio must track the
       // scan alone (≈ replicas), never the distinct-bigram count the
       // replicas multiply (which is exactly what COUNT(DISTINCT)
       // could not promise)
-      "kmv_distinct" -> time(graft.llm.CorpusStats.qKmvDistinct(spark, dir)),
+      "kmv_distinct" -> (() => time(graft.llm.CorpusStats.qKmvDistinct(spark, dir))),
       // r13: the two IVFADC composites — the suite's heaviest ANN
       // queries and (residual especially) the one family that already
       // hid a quadratic once. Their coarse quantizer now conf-routes
@@ -157,8 +163,17 @@ object ScalingRehearsal {
       // shared stages (centroids, assignment, codebook) are cached
       // leaves computed once per query — the ratio must track the
       // coded-corpus scan, not a re-run Lloyd chain per consumer
-      "ivfadc_topk" -> time(graft.llm.Similarity.qIvfAdcTopK(spark, dir)),
-      "ivfadc_residual" -> time(graft.llm.Similarity.qIvfAdcResidualTopK(spark, dir)))
+      "ivfadc_topk" -> (() => time(graft.llm.Similarity.qIvfAdcTopK(spark, dir))),
+      "ivfadc_residual" -> (() => time(graft.llm.Similarity.qIvfAdcResidualTopK(spark, dir))),
+      // r13: hybrid retrieval end to end (BM25 postings build + keyed
+      // scoring + dense pool + fusion). The postings/df aggregates are
+      // corpus-linear explode→combine pipelines and the query side is
+      // a broadcast constant, so the ratio must track the token scan —
+      // a superlinear ratio here would mean the ranking stopped being
+      // a bounded TopK fold
+      "bm25_hybrid_rrf" -> (() => time(graft.llm.Retrieval.qHybridRrf(spark, dir))))
+    try entries.filter(e => only.forall(_.contains(e._1)))
+      .map { case (name, run) => name -> run() }
     finally spark.conf.unset(graft.llm.Similarity.IvfCellsConf)
   }
 

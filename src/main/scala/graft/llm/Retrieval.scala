@@ -53,13 +53,32 @@ object Retrieval {
     StructField("ord", DoubleType, nullable = false),
     StructField("tie", LongType, nullable = false)))
 
+  /** Terms are token BIGRAMS, the repo's established rich term space
+    * (the synthetic corpus has a ~31-token unigram vocabulary — every
+    * unigram is a stopword, so unigram idf is degenerate; bigram df
+    * spans 1..n_docs and discriminates). `dl` is the bigram-position
+    * count (tokens − 1), the document length in the same units the
+    * postings count in. */
+  private def bigramToks(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .selectExpr("doc_id", "filter(split(text, ' '), t -> length(t) > 0) as ta")
+      .where("size(ta) >= 2")
+      .selectExpr("doc_id", "size(ta) - 1 as dl",
+        """explode(transform(sequence(2, size(ta)),
+          |  i -> concat(element_at(ta, i - 1), ' ', element_at(ta, i)))) as token""".stripMargin)
+
+  /** DuckDB twin of [[bigramToks]] (a CTE body). */
+  private val bigramToksD: String =
+    """SELECT doc_id, len(ta) - 1 AS dl, ta[i - 1] || ' ' || ta[i] AS token
+      |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS ta
+      |        FROM documents) d,
+      |       UNNEST(range(2, len(ta) + 1)) AS u(i)
+      |  WHERE len(ta) >= 2""".stripMargin
+
   /** `(query_id, rank, doc_id, score1000)` — BM25 top-`k` per query,
     * all-integer scores (×1000). */
   private def bm25Ranked(s: SparkSession, dir: String, k: Int): DataFrame = {
-    val toks = load(s, dir, "documents")
-      .selectExpr("doc_id", "filter(split(text, ' '), t -> length(t) > 0) as ta")
-      .where("size(ta) >= 1")
-      .selectExpr("doc_id", "size(ta) as dl", "explode(ta) as token")
+    val toks = bigramToks(s, dir)
     // postings (doc, term, tf) with the doc length riding along
     val tf = toks.groupBy(col("doc_id"), col("dl"), col("token"))
       .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("tf"))
@@ -105,10 +124,7 @@ object Retrieval {
   /** Shared oracle CTE text for the BM25 ranking (DuckDB). */
   private def bm25CtesD: String =
     s"""toks AS (
-       |  SELECT doc_id, len(ta) AS dl, unnest(ta) AS token
-       |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS ta
-       |        FROM documents)
-       |  WHERE len(ta) >= 1),
+       |  $bigramToksD),
        |tf AS (SELECT doc_id, dl, token, count(*) AS tf FROM toks GROUP BY 1, 2, 3),
        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
        |stats AS (
@@ -228,11 +244,110 @@ object Retrieval {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Incremental retrieval — the operating path: "today's batch"
+    * (doc_id % 10 = 7, the repo's incremental-twin convention) is
+    * scored against the index FROZEN on the rest of the corpus (df,
+    * avgdl, postings all exclude the batch — the standard serve-stale/
+    * rebuild-nightly index discipline; terms unseen by the frozen
+    * vocabulary contribute nothing, exactly as a real inverted index
+    * would treat them).
+    *
+    * Scale shape differs from [[qBm25TopK]] deliberately: the query
+    * side is BATCH-sized, not constant, so nothing batch-derived is
+    * broadcast — term lookup and candidate generation are KEYED joins
+    * against the token-keyed df/postings index (a deployment stores
+    * both bucketed by token, so only the batch's keys move), and a
+    * stopword cap (df ≤ n_docs/10) bounds per-term posting fan-out the
+    * same way [[IncrementalDedup]]'s hot-bucket cap does. Ranking
+    * stays the bounded TopK fold: O(k) state per batch doc. */
+  def qBm25Incremental(s: SparkSession, dir: String): DataFrame = {
+    val toksAll = bigramToks(s, dir)
+    val corpus = toksAll.where("doc_id % 10 != 7")
+    val tf = corpus.groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("tf"))
+    val df = tf.groupBy(col("token"))
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("df"))
+    val stats = corpus.selectExpr("doc_id", "dl").distinct()
+      .selectExpr("count(*) as n_docs", "cast(sum(dl) as bigint) as tot_dl")
+      .selectExpr("n_docs", "(tot_dl * 100) div n_docs as avg100")
+    val qtok = toksAll.where("doc_id % 10 = 7")
+      .select(col("doc_id").as("query_id"), col("token")).distinct()
+    val qterms = df.join(qtok, "token") // keyed: batch side never broadcasts
+      .crossJoin(broadcast(stats.select(col("n_docs"))))
+      .where("df * 10 <= n_docs") // stopword cap: df ≤ n_docs/10
+      .selectExpr("query_id", "token", "df",
+        "row_number() over (partition by query_id order by df asc, token asc) as tr")
+      .where(s"tr <= $TermsPerQuery")
+      .select(col("query_id"), col("token"), col("df"))
+    val scored = tf
+      .join(qterms, "token") // keyed: the postings index is token-bucketed
+      .crossJoin(broadcast(stats))
+      .selectExpr("query_id", "doc_id",
+        "250 + (750 * dl * 100) div avg100 as nrm1000",
+        "tf", "df", "n_docs")
+      .selectExpr("query_id", "doc_id",
+        "(tf * 2200 * 1000) div (tf * 1000 + (12 * nrm1000) div 10) as tffac1000",
+        "length(bin(n_docs)) - length(bin(df)) as idf_bits")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.expr("idf_bits * tffac1000")).as("score1000"))
+    scored.groupBy(col("query_id"))
+      .agg(TopK.topK(10, rankSchema)(
+        col("score1000").cast("double"), col("doc_id")).as("top"))
+      .selectExpr("query_id", "posexplode(top) as (pos, r)")
+      .selectExpr("query_id", "cast(pos + 1 as int) as rank",
+        "r.tie as doc_id", "cast(r.ord as bigint) as score1000",
+        "cast(r.ord as double) / 1000 as score")
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val qBm25IncrementalSql: String =
+    s"""WITH toks AS (
+       |  $bigramToksD),
+       |tf AS (SELECT doc_id, dl, token, count(*) AS tf FROM toks
+       |       WHERE doc_id % 10 <> 7 GROUP BY 1, 2, 3),
+       |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+       |stats AS (
+       |  SELECT count(*) AS n_docs,
+       |         (CAST(sum(dl) AS BIGINT) * 100) // count(*) AS avg100
+       |  FROM (SELECT DISTINCT doc_id, dl FROM toks WHERE doc_id % 10 <> 7)),
+       |qtok AS (
+       |  SELECT DISTINCT doc_id AS query_id, token FROM toks WHERE doc_id % 10 = 7),
+       |qterms AS (
+       |  SELECT query_id, token, df FROM (
+       |    SELECT q.query_id, q.token, d.df,
+       |           row_number() OVER (PARTITION BY q.query_id
+       |                              ORDER BY d.df ASC, q.token ASC) AS tr
+       |    FROM qtok q JOIN df d ON q.token = d.token
+       |    CROSS JOIN stats s
+       |    WHERE d.df * 10 <= s.n_docs)
+       |  WHERE tr <= $TermsPerQuery),
+       |scored AS (
+       |  SELECT q.query_id, t.doc_id,
+       |         CAST(sum((length(printf('%b', s.n_docs)) - length(printf('%b', q.df))) *
+       |             ((t.tf * 2200 * 1000) //
+       |              (t.tf * 1000 + (12 * (250 + (750 * t.dl * 100) // s.avg100)) // 10)))
+       |           AS BIGINT) AS score1000
+       |  FROM tf t
+       |  JOIN qterms q ON t.token = q.token
+       |  CROSS JOIN stats s
+       |  GROUP BY 1, 2)
+       |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score1000,
+       |       CAST(score1000 AS DOUBLE) / 1000 AS score
+       |FROM (SELECT query_id, doc_id, score1000,
+       |             row_number() OVER (PARTITION BY query_id
+       |                                ORDER BY score1000 DESC, doc_id ASC) AS rank
+       |      FROM scored)
+       |WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25_topk" -> (qBm25TopK _),
+    "q_bm25_incremental" -> (qBm25Incremental _),
     "q_hybrid_rrf" -> (qHybridRrf _))
 
   val oracleSql: Map[String, String] = Map(
     "q_bm25_topk" -> qBm25TopKSql,
+    "q_bm25_incremental" -> qBm25IncrementalSql,
     "q_hybrid_rrf" -> qHybridRrfSql)
 }

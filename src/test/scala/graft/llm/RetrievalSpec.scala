@@ -38,6 +38,34 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25 incremental: batch queries only, frozen corpus only, dense grounded ranks") {
+    val rows = Retrieval.qBm25Incremental(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, _, d, _) =>
+      assert(q % 10 === 7, s"non-batch doc $q used as a query")
+      assert(d % 10 !== 7, s"batch doc $d retrieved from the frozen index")
+    }
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1 to rs.length).toSeq, s"query $q ranks not dense")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 > b._4 || (a._4 == b._4 && a._3 < b._3),
+            s"query $q: rank ${a._2} ($a) does not dominate ($b)")
+        case _ =>
+      }
+    }
+    // grounding: every hit shares a token with its batch query doc
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "filter(split(text, ' '), t -> length(t) > 0) as ta")
+      .selectExpr("doc_id", "explode(ta) as t").collect()
+      .groupBy(_.getLong(0)).map { case (d, rs) => d -> rs.map(_.getString(1)).toSet }
+    rows.foreach { case (q, _, d, _) =>
+      assert((toks(q) & toks(d)).nonEmpty, s"doc $d shares no token with batch query $q")
+    }
+  }
+
   test("hybrid rrf: fused score is exactly the two integer rank contributions") {
     val rows = Retrieval.qHybridRrf(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
