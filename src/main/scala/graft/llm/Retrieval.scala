@@ -60,12 +60,25 @@ object Retrieval {
     * count (tokens − 1), the document length in the same units the
     * postings count in. */
   private def bigramToks(s: SparkSession, dir: String): DataFrame =
-    load(s, dir, "documents")
+    bigramToksOf(load(s, dir, "documents"))
+
+  /** Frame form of the term derivation — shared with
+    * [[StreamingLexicalIndex]] so the streaming index can never
+    * tokenize differently than the gated batch queries. Expects
+    * (doc_id: bigint, text: string). */
+  private[llm] def bigramToksOf(docs: DataFrame): DataFrame =
+    docs
       .selectExpr("doc_id", "filter(split(text, ' '), t -> length(t) > 0) as ta")
       .where("size(ta) >= 2")
       .selectExpr("doc_id", "size(ta) - 1 as dl",
         """explode(transform(sequence(2, size(ta)),
           |  i -> concat(element_at(ta, i - 1), ' ', element_at(ta, i)))) as token""".stripMargin)
+
+  /** Postings `(doc_id, dl, token, tf)` of a token frame. */
+  private[llm] def postingsOf(toks: DataFrame): DataFrame =
+    toks.groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("tf"))
 
   /** DuckDB twin of [[bigramToks]] (a CTE body). */
   private val bigramToksD: String =
@@ -262,16 +275,22 @@ object Retrieval {
     * stays the bounded TopK fold: O(k) state per batch doc. */
   def qBm25Incremental(s: SparkSession, dir: String): DataFrame = {
     val toksAll = bigramToks(s, dir)
-    val corpus = toksAll.where("doc_id % 10 != 7")
-    val tf = corpus.groupBy(col("doc_id"), col("dl"), col("token"))
-      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("tf"))
+    bm25Against(
+      postingsOf(toksAll.where("doc_id % 10 != 7")),
+      toksAll.where("doc_id % 10 = 7")
+        .select(col("doc_id").as("query_id"), col("token")).distinct())
+  }
+
+  /** Score batch queries `qtok` (query_id, token — distinct) against a
+    * frozen postings index `tf` (doc_id, dl, token, tf) — shared by
+    * [[qBm25Incremental]] and [[StreamingLexicalIndex]], so the
+    * streaming index answers exactly like the gated batch query. */
+  private[llm] def bm25Against(tf: DataFrame, qtok: DataFrame): DataFrame = {
     val df = tf.groupBy(col("token"))
       .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("df"))
-    val stats = corpus.selectExpr("doc_id", "dl").distinct()
+    val stats = tf.selectExpr("doc_id", "dl").distinct()
       .selectExpr("count(*) as n_docs", "cast(sum(dl) as bigint) as tot_dl")
       .selectExpr("n_docs", "(tot_dl * 100) div n_docs as avg100")
-    val qtok = toksAll.where("doc_id % 10 = 7")
-      .select(col("doc_id").as("query_id"), col("token")).distinct()
     val qterms = df.join(qtok, "token") // keyed: batch side never broadcasts
       .crossJoin(broadcast(stats.select(col("n_docs"))))
       .where("df * 10 <= n_docs") // stopword cap: df ≤ n_docs/10

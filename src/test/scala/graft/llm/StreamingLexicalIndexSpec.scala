@@ -1,0 +1,83 @@
+package graft.llm
+
+import graft.SparkTestSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** StreamingLexicalIndex: continuous BM25 postings maintenance.
+  *
+  *  - the index after N batches EQUALS the batch postings derivation
+  *    over seed ∪ batches (the streaming twin can never drift from
+  *    [[Retrieval]]'s tokenization/aggregation);
+  *  - replaying a batch overwrites its own partition with identical
+  *    bytes — the index must not move (at-least-once safety);
+  *  - scoring against the streamed state equals the gated
+  *    `q_bm25_incremental` when the ingested state matches its
+  *    frozen-corpus split — tier parity, same contract as
+  *    StreamingAnnAssign ↔ q_ann_assign_incremental.
+  */
+class StreamingLexicalIndexSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def mkDocs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("streamed index equals the batch derivation; replay is a no-op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-slex").toString
+    val statePath = s"$dir/state"
+
+    val corpus = mkDocs(
+      (1L, "spark query plan spark query join"),
+      (2L, "filter scan shuffle filter scan"))
+    StreamingLexicalIndex.seed(corpus, statePath)
+
+    val input = MemoryStream[(Long, String)]
+    val query = StreamingLexicalIndex.start(
+      input.toDF().toDF("doc_id", "text"), statePath, s"$dir/ckpt")
+    try {
+      val b1 = Seq((10L, "spark query window sort merge"),
+        (11L, "broadcast join shuffle hash"))
+      input.addData(b1: _*)
+      query.processAllAvailable()
+      val b2 = Seq((20L, "scan filter scan filter project"))
+      input.addData(b2: _*)
+      query.processAllAvailable()
+
+      def postingsSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3))).toSet
+      val expected = postingsSet(Retrieval.postingsOf(
+        Retrieval.bigramToksOf(corpus.unionByName(mkDocs(b1 ++ b2: _*)))))
+      val got = postingsSet(StreamingLexicalIndex.indexPostings(spark, statePath))
+      assert(got === expected)
+
+      // replay batch 0 (same docs, same id): identical bytes, no drift
+      StreamingLexicalIndex.processBatch(mkDocs(b1: _*), batchId = 0L, statePath)
+      assert(postingsSet(
+        StreamingLexicalIndex.indexPostings(spark, statePath)) === expected)
+    } finally query.stop()
+  }
+
+  test("scoring the streamed state matches the gated incremental query") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-slex2").toString
+    val statePath = s"$dir/state"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "text")
+    // ingest the incremental query's frozen corpus as the seed + one
+    // streamed batch (split by parity, exercising multi-partition reads)
+    StreamingLexicalIndex.seed(
+      docs.where("doc_id % 10 != 7 and doc_id % 2 = 0"), statePath)
+    StreamingLexicalIndex.processBatch(
+      docs.where("doc_id % 10 != 7 and doc_id % 2 = 1"), batchId = 5L, statePath)
+    val streamed = StreamingLexicalIndex.scoreAgainstIndex(
+      spark, docs.where("doc_id % 10 = 7"), statePath).collect()
+    val gated = Retrieval.qBm25Incremental(spark, sf).collect()
+    assert(streamed.length === gated.length && streamed.nonEmpty)
+    assert(streamed.map(_.toSeq).toSeq === gated.map(_.toSeq).toSeq)
+  }
+}
