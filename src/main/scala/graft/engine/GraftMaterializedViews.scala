@@ -249,10 +249,28 @@ object GraftMaterializedViews {
         Full
     }
 
+    /** The JOINED base at the two current heads — what the
+      * recompute-on-touch families (min/max, count-distinct) rebuild
+      * their touched keys from. Touched-key sized after the semi-join
+      * inside the apply helpers; only evaluated for those families. */
+    def baseAtHeads: DataFrame = (lHead, rHead) match {
+      case (Some(lh), Some(rh)) =>
+        js.baseFrame(lt.scan(spark, lt.AtSnapshot(lh)),
+          rt.scan(spark, rt.AtSnapshot(rh)))
+      case _ => mv.scan(spark).limit(0) // unreachable: folds need both heads
+    }
+
     def fold(delta: DataFrame): RefreshMode = {
       val prev = js.agg.toInternal(mv.scan(spark))
-      val folded = ChangelogApply.applyCountSum(
-        prev, js.agg.withValue(delta), js.agg.keySrcNames, js.agg.valueName)
+      val folded =
+        if (js.agg.isCountDistinct)
+          ChangelogApply.applyCountDistinct(prev, delta, baseAtHeads,
+            js.agg.keySrcNames, js.agg.valueName)
+        else if (js.agg.isMinMax)
+          ChangelogApply.applyMinMax(prev, delta, baseAtHeads,
+            js.agg.keySrcNames, js.agg.valueName)
+        else ChangelogApply.applyCountSum(
+          prev, js.agg.withValue(delta), js.agg.keySrcNames, js.agg.valueName)
       mv.overwriteAll(js.agg.fromInternal(folded, outNames, mv),
         meta.currentSnapshotId, extraProperties = ckpts)
       Incremental
@@ -283,14 +301,23 @@ object GraftMaterializedViews {
         // (signed multisets; the cross-term's pair sign is the product
         // of the two row signs). Still churn-priced: the only
         // full-table scans are each side AT ITS OLD checkpoint joined
-        // against the OTHER side's delta — never old⋈old.
+        // against the OTHER side's delta — never old⋈old. For the
+        // recompute-on-touch families the bilinear terms serve as the
+        // TOUCHED-KEY cover (every added or removed joined pair appears
+        // in one of them); min/max additionally re-marks every row
+        // 'delete' so no second-order pair is ever arithmetic-folded —
+        // its touched keys all rebuild from the joined base.
         (lHead, rHead) match {
           case (Some(lh), Some(rh)) =>
             val dL = lt.changelogScan(spark, cl, Some(lh))
             val dR = rt.changelogScan(spark, cr, Some(rh))
-            fold(js.delta(dL, rt.scan(spark, rt.AtSnapshot(cr)), changedIsLeft = true)
-              .unionByName(js.delta(dR, lt.scan(spark, lt.AtSnapshot(cl)), changedIsLeft = false))
-              .unionByName(js.deltaCross(dL, dR)))
+            val union =
+              js.delta(dL, rt.scan(spark, rt.AtSnapshot(cr)), changedIsLeft = true)
+                .unionByName(js.delta(dR, lt.scan(spark, lt.AtSnapshot(cl)), changedIsLeft = false))
+                .unionByName(js.deltaCross(dL, dR))
+            fold(if (js.agg.isMinMax)
+              union.withColumn("_change_type", lit("delete"))
+            else union)
           case _ => fullAtHeads() // a side went from/to empty-headed
         }
       case _ => fullAtHeads() // a checkpoint is missing
@@ -559,10 +586,16 @@ object GraftMaterializedViews {
         .drop("__mv_jk", "__ct_l", "__ct_r"))
     }
 
+    /** The joined, filtered base frame over two pinned scans — the
+      * recompute input AND the touched-key rebuild source for the
+      * min/max / count-distinct folds. */
+    def baseFrame(lScan: DataFrame, rScan: DataFrame): DataFrame =
+      applyFilter(joined(lScan, rScan))
+
     /** Full recompute over the two PINNED head scans. */
     def recompute(lScan: DataFrame, rScan: DataFrame,
         outNames: Seq[String]): DataFrame =
-      agg.recompute(applyFilter(joined(lScan, rScan)), outNames)
+      agg.recompute(baseFrame(lScan, rScan), outNames)
   }
 
   /** Analyzed plan → foldable shape, or None (→ full-refresh MV).
@@ -585,7 +618,7 @@ object GraftMaterializedViews {
             r.catalog.exists(_.isInstanceOf[GraftSparkCatalog]) =>
           if (cond.exists(c => !c.deterministic)) return None
           val (outs, valueSrc, _) =
-            detectAggOuts(groupExprs, aggExprs, _.name, additiveOnly = false)
+            detectAggOuts(groupExprs, aggExprs, _.name)
               .getOrElse(return None)
           val ident = r.identifier.get
           Some(FoldShape(
@@ -610,8 +643,7 @@ object GraftMaterializedViews {
   private def detectAggOuts(
       groupExprs: Seq[Expression],
       aggExprs: Seq[NamedExpression],
-      nameOf: AttributeReference => String,
-      additiveOnly: Boolean)
+      nameOf: AttributeReference => String)
       : Option[(Seq[OutCol], Option[String], Option[AttributeReference])] = {
     val groupAttrs = groupExprs.map {
       case a: AttributeReference => a
@@ -666,9 +698,6 @@ object GraftMaterializedViews {
     val families = Seq(hasSum || hasCountV || hasAvg, hasMinMax, hasDistinct)
       .count(identity)
     if (families > 1) return None
-    // the join shape folds the ADDITIVE family only: min/max/distinct
-    // recompute-on-retract would need the joined base per touched key
-    if (additiveOnly && (hasMinMax || hasDistinct)) return None
     if ((hasSum || hasAvg) && !hasCountV) {
       // NULL-sum/avg contract needs n_vals; reconstructible iff v can't be NULL
       if (!valueAttr.exists(!_.nullable)) return None
@@ -724,7 +753,11 @@ object GraftMaterializedViews {
                 return None
               def nameOf(a: AttributeReference): String =
                 if (a.exprId == rk.exprId) lk.name else a.name
-              detectAggOuts(groupExprs, aggExprs, nameOf, additiveOnly = true)
+              // r13: every single-table family folds over the join too
+              // — min/max and count-distinct recompute touched keys
+              // from the JOINED base at the pinned heads (refreshJoin
+              // supplies it), so no additive-only restriction remains
+              detectAggOuts(groupExprs, aggExprs, nameOf)
                 .map { case (outs, valueSrc, valueAttr) =>
                   val filterAttrs = cond.toSeq.flatMap(_.references.toSeq)
                     .collect { case a: AttributeReference => a }

@@ -509,9 +509,7 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === expect) // the 0.5 row is filtered out on both paths
   }
 
-  test("a join outside the delta-foldable grammar still routes to full, never garbage") {
-    // min() over a join: recompute-on-retract would need the joined
-    // base — deliberately outside v1's additive-only join fold
+  test("min/max over a join folds incrementally: touched keys rebuild from the joined base") {
     spark.sql(
       s"""CREATE MATERIALIZED VIEW $cat.db.mv_join_min AS
          |SELECT d.label AS label, count(*) AS n, min(o.amount) AS lo
@@ -519,15 +517,89 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
          |GROUP BY d.label""".stripMargin)
     assert(spark.sql(s"SHOW TBLPROPERTIES $cat.db.mv_join_min")
       .collect().exists(r => r.getString(0) == GraftMaterializedViews.RefreshModeProp &&
-        r.getString(1) == "full"))
+        r.getString(1) == "incremental"))
+    def expect: Set[(String, Long, Double)] = spark.sql(
+      s"""SELECT d.label, count(*) n, min(o.amount) lo FROM $cat.db.orders o
+         |JOIN $cat.db.dims d ON o.status = d.status GROUP BY d.label""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    def got: Set[(String, Long, Double)] =
+      spark.sql(s"SELECT label, n, lo FROM $cat.db.mv_join_min")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === expect)
+    // fact insert lowering a min: insert-only arithmetic fold
     spark.sql(s"INSERT INTO $cat.db.orders VALUES (90,'open',0.01)")
     assert(GraftMaterializedViews.refresh(spark, graftCatalog,
-      TableIdent(Seq("db"), "mv_join_min")) === GraftMaterializedViews.Full)
+      TableIdent(Seq("db"), "mv_join_min")) === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+    // retract the current min: its key must REBUILD from the joined base
+    spark.sql(s"DELETE FROM $cat.db.orders WHERE id = 90")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_join_min")) === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+    // both sides move in one tick (incl. a cross pair): still incremental
+    spark.sql(s"INSERT INTO $cat.db.orders VALUES (91,'mmx',5.0)")
+    spark.sql(s"INSERT INTO $cat.db.dims VALUES ('mmx','M')")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_join_min")) === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+    assert(got.exists(_._1 == "M"))
+    spark.sql(s"DELETE FROM $cat.db.orders WHERE id = 91")
+    spark.sql(s"DELETE FROM $cat.db.dims WHERE status = 'mmx'")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_join_min")) === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+    assert(!got.exists(_._1 == "M"))
+  }
+
+  test("count(DISTINCT) over a join folds by recompute-on-touch from the joined base") {
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.db.mv_join_cd AS
+         |SELECT d.label AS label, count(*) AS n, count(DISTINCT o.amount) AS nv
+         |FROM $cat.db.orders o JOIN $cat.db.dims d ON o.status = d.status
+         |GROUP BY d.label""".stripMargin)
+    assert(spark.sql(s"SHOW TBLPROPERTIES $cat.db.mv_join_cd")
+      .collect().exists(r => r.getString(0) == GraftMaterializedViews.RefreshModeProp &&
+        r.getString(1) == "incremental"))
+    def expect: Set[(String, Long, Long)] = spark.sql(
+      s"""SELECT d.label, count(*) n, count(DISTINCT o.amount) nv
+         |FROM $cat.db.orders o JOIN $cat.db.dims d ON o.status = d.status
+         |GROUP BY d.label""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    def got: Set[(String, Long, Long)] =
+      spark.sql(s"SELECT label, n, nv FROM $cat.db.mv_join_cd")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expect)
+    // a duplicate amount arrives: n moves, nv must not
+    spark.sql(s"INSERT INTO $cat.db.orders VALUES (95,'open',7.0),(96,'open',7.0)")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_join_cd")) === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+    // delete ONE copy: nv must still count the surviving copy
+    spark.sql(s"DELETE FROM $cat.db.orders WHERE id = 95")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_join_cd")) === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+  }
+
+  test("a join outside the delta-foldable grammar still routes to full, never garbage") {
+    // mixed aggregate families over a join (additive sum + min of the
+    // same column): the apply paths don't compose — full refresh
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.db.mv_join_mixed AS
+         |SELECT d.label AS label, count(*) AS n, sum(o.amount) AS s, min(o.amount) AS lo
+         |FROM $cat.db.orders o JOIN $cat.db.dims d ON o.status = d.status
+         |GROUP BY d.label""".stripMargin)
+    assert(spark.sql(s"SHOW TBLPROPERTIES $cat.db.mv_join_mixed")
+      .collect().exists(r => r.getString(0) == GraftMaterializedViews.RefreshModeProp &&
+        r.getString(1) == "full"))
+    spark.sql(s"INSERT INTO $cat.db.orders VALUES (97,'open',0.02)")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_join_mixed")) === GraftMaterializedViews.Full)
     val expect = spark.sql(
       s"""SELECT d.label, min(o.amount) lo FROM $cat.db.orders o
          |JOIN $cat.db.dims d ON o.status = d.status GROUP BY d.label""".stripMargin)
       .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
-    val gotMin = spark.sql(s"SELECT label, lo FROM $cat.db.mv_join_min")
+    val gotMin = spark.sql(s"SELECT label, lo FROM $cat.db.mv_join_mixed")
       .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
     assert(gotMin === expect)
   }
