@@ -791,6 +791,9 @@ object CorpusStats {
     val pairs = sketches.selectExpr("source as source_a", "sk as sk_a")
       .join(broadcast(sketches.selectExpr("source as source_b", "sk as sk_b")),
         col("source_a") < col("source_b"))
+    def estOf(sk: String): String =
+      s"case when size($sk) < $KmvK then cast(size($sk) as double) " +
+        s"else ${KmvK - 1}.0 * $TwoPow60 / cast(element_at($sk, $KmvK) as double) end"
     pairs
       .selectExpr("source_a", "source_b", "sk_a", "sk_b",
         s"slice(array_sort(array_distinct(concat(sk_a, sk_b))), 1, $KmvK) as merged")
@@ -799,11 +802,22 @@ object CorpusStats {
         "cast(size(array_intersect(array_intersect(merged, sk_a), sk_b)) as bigint) as n_both",
         s"case when size(merged) < $KmvK then cast(size(merged) as double) " +
           s"else ${KmvK - 1}.0 * $TwoPow60 / cast(element_at(merged, $KmvK) as double) end " +
-          "as est_union")
+          "as est_union",
+        s"${estOf("sk_a")} as est_a",
+        s"${estOf("sk_b")} as est_b")
       .selectExpr("source_a", "source_b", "n_merged", "n_both",
         "cast(n_both as double) / n_merged as jaccard_kmv",
         "est_union",
-        "(cast(n_both as double) / n_merged) * est_union as est_intersect")
+        "(cast(n_both as double) / n_merged) * est_union as est_intersect",
+        "est_a", "est_b")
+      // asymmetric CONTAINMENT readout from the same algebra: how much
+      // of A's n-gram space lives inside B (and vice versa) — the
+      // source-granularity dual of q_dedup_containment; estimation
+      // noise can push a ratio slightly past 1, left raw (deterministic)
+      .selectExpr("source_a", "source_b", "n_merged", "n_both",
+        "jaccard_kmv", "est_union", "est_intersect",
+        "est_intersect / est_a as contain_a_in_b",
+        "est_intersect / est_b as contain_b_in_a")
       .orderBy(col("source_a"), col("source_b"))
   }
 
@@ -836,13 +850,26 @@ object CorpusStats {
        |              AS BIGINT) AS n_both,
        |         CASE WHEN len(merged) < $KmvK THEN CAST(len(merged) AS DOUBLE)
        |              ELSE ${KmvK - 1}.0 * $TwoPow60 / CAST(merged[$KmvK] AS DOUBLE) END
-       |           AS est_union
-       |  FROM p)
+       |           AS est_union,
+       |         CASE WHEN len(sk_a) < $KmvK THEN CAST(len(sk_a) AS DOUBLE)
+       |              ELSE ${KmvK - 1}.0 * $TwoPow60 / CAST(sk_a[$KmvK] AS DOUBLE) END
+       |           AS est_a,
+       |         CASE WHEN len(sk_b) < $KmvK THEN CAST(len(sk_b) AS DOUBLE)
+       |              ELSE ${KmvK - 1}.0 * $TwoPow60 / CAST(sk_b[$KmvK] AS DOUBLE) END
+       |           AS est_b
+       |  FROM p),
+       |m2 AS (
+       |  SELECT source_a, source_b, n_merged, n_both,
+       |         CAST(n_both AS DOUBLE) / n_merged AS jaccard_kmv,
+       |         est_union,
+       |         (CAST(n_both AS DOUBLE) / n_merged) * est_union AS est_intersect,
+       |         est_a, est_b
+       |  FROM m)
        |SELECT source_a, source_b, n_merged, n_both,
-       |       CAST(n_both AS DOUBLE) / n_merged AS jaccard_kmv,
-       |       est_union,
-       |       (CAST(n_both AS DOUBLE) / n_merged) * est_union AS est_intersect
-       |FROM m
+       |       jaccard_kmv, est_union, est_intersect,
+       |       est_intersect / est_a AS contain_a_in_b,
+       |       est_intersect / est_b AS contain_b_in_a
+       |FROM m2
        |ORDER BY source_a, source_b""".stripMargin
 
   /** CMS grid: 4 rows × 8192 counters ≈ 256 KB of state — fixed at any

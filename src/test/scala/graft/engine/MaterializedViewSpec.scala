@@ -536,6 +536,20 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(GraftMaterializedViews.refresh(spark, graftCatalog,
       TableIdent(Seq("db"), "mv_join_min")) === GraftMaterializedViews.Incremental)
     assert(got === expect)
+    // dim-side churn: a second label for an existing status pulls every
+    // joined fact row into a brand-new group (insert-fold), then its
+    // deletion retracts the whole group (rebuild finds it empty)
+    spark.sql(s"INSERT INTO $cat.db.dims VALUES ('done','D2')")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_join_min")) === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+    assert(got.exists(_._1 == "D2"))
+    spark.sql(s"DELETE FROM $cat.db.dims WHERE label = 'D2'")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_join_min")) === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+    assert(!got.exists(_._1 == "D2"))
+
     // both sides move in one tick (incl. a cross pair): still incremental
     spark.sql(s"INSERT INTO $cat.db.orders VALUES (91,'mmx',5.0)")
     spark.sql(s"INSERT INTO $cat.db.dims VALUES ('mmx','M')")

@@ -205,9 +205,9 @@ class CorpusStatsSpec extends AnyFunSuite {
   test("kmv source overlap: canonical pairs, k-bounded union, inclusion rule tracks exact jaccard") {
     val rows = CorpusStats.qKmvSourceOverlap(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
-        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7), r.getDouble(8)))
     assert(rows.nonEmpty)
-    rows.foreach { case (a, b, nMerged, nBoth, jac, estUnion, estInter) =>
+    rows.foreach { case (a, b, nMerged, nBoth, jac, estUnion, estInter, cAB, cBA) =>
       assert(a < b, s"pair ($a,$b) not canonical")
       // the union sketch is itself a KMV sketch: never more than k kept
       assert(nMerged >= 1 && nMerged <= CorpusStats.KmvK,
@@ -217,6 +217,12 @@ class CorpusStatsSpec extends AnyFunSuite {
       assert(estUnion > 0.0 && estInter >= 0.0 &&
         estInter <= estUnion * (1 + 1e-12),
         s"($a,$b): est_intersect $estInter vs est_union $estUnion")
+      // containment dominates jaccard (each side's estimate ≤ the
+      // union's) and estimation noise stays within a loose roof
+      assert(cAB >= jac - 1e-12 && cBA >= jac - 1e-12,
+        s"($a,$b): containment ($cAB,$cBA) below jaccard $jac")
+      assert(cAB >= 0.0 && cAB <= 2.0 && cBA >= 0.0 && cBA <= 2.0,
+        s"($a,$b): containment out of sane range ($cAB,$cBA)")
     }
     assert(rows.map(p => (p._1, p._2)).distinct.length === rows.length)
     // the inclusion-rule estimate against the EXACT distinct-bigram
@@ -233,7 +239,7 @@ class CorpusStatsSpec extends AnyFunSuite {
           |  i -> concat(element_at(ta, i - 1), ' ', element_at(ta, i)))) as bigram""".stripMargin)
       .distinct().collect()
       .groupBy(_.getString(0)).map { case (s, rs) => s -> rs.map(_.getString(1)).toSet }
-    rows.foreach { case (a, b, _, _, jac, _, _) =>
+    rows.foreach { case (a, b, _, _, jac, _, _, _, _) =>
       val (sa, sb) = (sets(a), sets(b))
       val exact = (sa & sb).size.toDouble / (sa | sb).size
       assert(math.abs(jac - exact) <= 0.40,
