@@ -62,17 +62,30 @@ object Retrieval {
   private def bigramToks(s: SparkSession, dir: String): DataFrame =
     bigramToksOf(load(s, dir, "documents"))
 
-  /** Frame form of the term derivation — shared with
-    * [[StreamingLexicalIndex]] so the streaming index can never
-    * tokenize differently than the gated batch queries. Expects
+  /** General n-gram term derivation `(doc_id, dl, token)` — the term
+    * space is a PARAMETER, not a constant: the gated queries pin n = 2
+    * because the synthetic corpus's unigram vocabulary is degenerate
+    * (see [[bigramToks]]), but a real corpus wants n = 1 with the
+    * stopword df-cap in [[bm25Against]] doing the discrimination work.
+    * `dl` is the n-gram-position count (tokens − n + 1) so postings
+    * and length normalization always count in the same units. Expects
     * (doc_id: bigint, text: string). */
-  private[llm] def bigramToksOf(docs: DataFrame): DataFrame =
+  private[llm] def ngramToksOf(docs: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, s"n-gram order must be >= 1, got $n")
     docs
       .selectExpr("doc_id", "filter(split(text, ' '), t -> length(t) > 0) as ta")
-      .where("size(ta) >= 2")
-      .selectExpr("doc_id", "size(ta) - 1 as dl",
-        """explode(transform(sequence(2, size(ta)),
-          |  i -> concat(element_at(ta, i - 1), ' ', element_at(ta, i)))) as token""".stripMargin)
+      .where(s"size(ta) >= $n")
+      .selectExpr("doc_id", s"size(ta) - ${n - 1} as dl",
+        s"""explode(transform(sequence($n, size(ta)),
+           |  i -> array_join(transform(sequence(i - ${n - 1}, i),
+           |    j -> element_at(ta, j)), ' '))) as token""".stripMargin)
+  }
+
+  /** Bigram form — shared with [[StreamingLexicalIndex]] so the
+    * streaming index can never tokenize differently than the gated
+    * batch queries. */
+  private[llm] def bigramToksOf(docs: DataFrame): DataFrame =
+    ngramToksOf(docs, 2)
 
   /** Postings `(doc_id, dl, token, tf)` of a token frame. */
   private[llm] def postingsOf(toks: DataFrame): DataFrame =
@@ -80,40 +93,33 @@ object Retrieval {
       .agg(org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)).as("tf"))
 
-  /** DuckDB twin of [[bigramToks]] (a CTE body). */
-  private val bigramToksD: String =
-    """SELECT doc_id, len(ta) - 1 AS dl, ta[i - 1] || ' ' || ta[i] AS token
-      |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS ta
-      |        FROM documents) d,
-      |       UNNEST(range(2, len(ta) + 1)) AS u(i)
-      |  WHERE len(ta) >= 2""".stripMargin
+  /** Document frequency `(token, df)` of a postings frame — the ONE
+    * derivation both the batch and frozen-index paths use. */
+  private def dfOf(tf: DataFrame): DataFrame =
+    tf.groupBy(col("token"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("df"))
 
-  /** `(query_id, rank, doc_id, score1000)` — BM25 top-`k` per query,
-    * all-integer scores (×1000). */
-  private def bm25Ranked(s: SparkSession, dir: String, k: Int): DataFrame = {
-    val toks = bigramToks(s, dir)
-    // postings (doc, term, tf) with the doc length riding along
-    val tf = toks.groupBy(col("doc_id"), col("dl"), col("token"))
-      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("tf"))
-    val df = tf.groupBy(col("token"))
-      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("df"))
-    val stats = toks.selectExpr("doc_id", "dl").distinct()
+  /** Corpus stats `(n_docs, avg100)` of a postings frame (avgdl
+    * carried ×100 in the fixed-point algebra). */
+  private def statsOf(tf: DataFrame): DataFrame =
+    tf.selectExpr("doc_id", "dl").distinct()
       .selectExpr("count(*) as n_docs", "cast(sum(dl) as bigint) as tot_dl")
       .selectExpr("n_docs", "(tot_dl * 100) div n_docs as avg100")
-    // the query: per query doc, its TermsPerQuery rarest distinct
-    // terms. The vocabulary-scale df side stays KEYED (streamed);
-    // only the query docs' token set — and from it the final ≤
-    // QueryDocs × TermsPerQuery terms — ever broadcasts.
-    val qtok = tf.where(s"doc_id < $QueryDocs")
-      .select(col("doc_id").as("query_id"), col("token"))
-    val qterms = df.join(broadcast(qtok), "token")
-      .selectExpr("query_id", "token", "df",
-        "row_number() over (partition by query_id order by df asc, token asc) as tr")
-      .where(s"tr <= $TermsPerQuery")
-      .select(col("query_id"), col("token"), col("df"))
-    val scored = tf
-      .join(broadcast(qterms), "token")
-      .where(col("doc_id") =!= col("query_id"))
+
+  /** Fixed-point BM25 score + bounded top-`k` fold: postings `tf` ⋈
+    * query terms `qterms` (query_id, token, df) → per-query top-k.
+    * HOW the join moves is the caller's scale decision — the batch
+    * path passes a `broadcast(...)`-hinted constant qterms, the
+    * incremental path a keyed batch-sized one — so the arithmetic
+    * lives in exactly one place. Output: (query_id, rank, doc_id,
+    * score1000). */
+  private def bm25TopKOf(
+      tf: DataFrame, qterms: DataFrame, stats: DataFrame,
+      k: Int, excludeSelf: Boolean): DataFrame = {
+    val cand = tf.join(qterms, "token")
+    val kept = if (excludeSelf) cand.where(col("doc_id") =!= col("query_id")) else cand
+    val scored = kept
       .crossJoin(broadcast(stats))
       .selectExpr("query_id", "doc_id",
         // 1000·(1 − b + b·dl/avgdl), b = 0.75, avgdl carried ×100
@@ -132,6 +138,34 @@ object Retrieval {
       .selectExpr("query_id", "posexplode(top) as (pos, r)")
       .selectExpr("query_id", "cast(pos + 1 as int) as rank",
         "r.tie as doc_id", "cast(r.ord as bigint) as score1000")
+  }
+
+  /** DuckDB twin of [[bigramToks]] (a CTE body). */
+  private val bigramToksD: String =
+    """SELECT doc_id, len(ta) - 1 AS dl, ta[i - 1] || ' ' || ta[i] AS token
+      |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS ta
+      |        FROM documents) d,
+      |       UNNEST(range(2, len(ta) + 1)) AS u(i)
+      |  WHERE len(ta) >= 2""".stripMargin
+
+  /** `(query_id, rank, doc_id, score1000)` — BM25 top-`k` per query,
+    * all-integer scores (×1000). */
+  private def bm25Ranked(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val tf = postingsOf(bigramToks(s, dir))
+    val df = dfOf(tf)
+    // the query: per query doc, its TermsPerQuery rarest distinct
+    // terms. The vocabulary-scale df side stays KEYED (streamed);
+    // only the query docs' token set — and from it the final ≤
+    // QueryDocs × TermsPerQuery terms — ever broadcasts.
+    val qtok = tf.where(s"doc_id < $QueryDocs")
+      .select(col("doc_id").as("query_id"), col("token"))
+    val qterms = df.join(broadcast(qtok), "token")
+      .selectExpr("query_id", "token", "df",
+        "row_number() over (partition by query_id order by df asc, token asc) as tr")
+      .where(s"tr <= $TermsPerQuery")
+      .select(col("query_id"), col("token"), col("df"))
+    // query docs live in the index here, so self-matches are excluded
+    bm25TopKOf(tf, broadcast(qterms), statsOf(tf), k, excludeSelf = true)
   }
 
   /** Shared oracle CTE text for the BM25 ranking (DuckDB). */
@@ -286,37 +320,19 @@ object Retrieval {
     * [[qBm25Incremental]] and [[StreamingLexicalIndex]], so the
     * streaming index answers exactly like the gated batch query. */
   private[llm] def bm25Against(tf: DataFrame, qtok: DataFrame): DataFrame = {
-    val df = tf.groupBy(col("token"))
-      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("df"))
-    val stats = tf.selectExpr("doc_id", "dl").distinct()
-      .selectExpr("count(*) as n_docs", "cast(sum(dl) as bigint) as tot_dl")
-      .selectExpr("n_docs", "(tot_dl * 100) div n_docs as avg100")
-    val qterms = df.join(qtok, "token") // keyed: batch side never broadcasts
+    val stats = statsOf(tf)
+    val qterms = dfOf(tf).join(qtok, "token") // keyed: batch side never broadcasts
       .crossJoin(broadcast(stats.select(col("n_docs"))))
       .where("df * 10 <= n_docs") // stopword cap: df ≤ n_docs/10
       .selectExpr("query_id", "token", "df",
         "row_number() over (partition by query_id order by df asc, token asc) as tr")
       .where(s"tr <= $TermsPerQuery")
       .select(col("query_id"), col("token"), col("df"))
-    val scored = tf
-      .join(qterms, "token") // keyed: the postings index is token-bucketed
-      .crossJoin(broadcast(stats))
-      .selectExpr("query_id", "doc_id",
-        "250 + (750 * dl * 100) div avg100 as nrm1000",
-        "tf", "df", "n_docs")
-      .selectExpr("query_id", "doc_id",
-        "(tf * 2200 * 1000) div (tf * 1000 + (12 * nrm1000) div 10) as tffac1000",
-        "length(bin(n_docs)) - length(bin(df)) as idf_bits")
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(org.apache.spark.sql.functions.sum(
-        org.apache.spark.sql.functions.expr("idf_bits * tffac1000")).as("score1000"))
-    scored.groupBy(col("query_id"))
-      .agg(TopK.topK(10, rankSchema)(
-        col("score1000").cast("double"), col("doc_id")).as("top"))
-      .selectExpr("query_id", "posexplode(top) as (pos, r)")
-      .selectExpr("query_id", "cast(pos + 1 as int) as rank",
-        "r.tie as doc_id", "cast(r.ord as bigint) as score1000",
-        "cast(r.ord as double) / 1000 as score")
+    // keyed tf ⋈ qterms: the postings index is token-bucketed; query
+    // docs are NOT in the frozen index, so no self-exclusion applies
+    bm25TopKOf(tf, qterms, stats, 10, excludeSelf = false)
+      .selectExpr("query_id", "rank", "doc_id", "score1000",
+        "cast(score1000 as double) / 1000 as score")
       .orderBy(col("query_id"), col("rank"))
   }
 

@@ -1,7 +1,9 @@
 package graft.llm
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 
 /** Continuous lexical-index maintenance: a stream of document batches
   * keeps the BM25 postings index current — the streaming face of
@@ -28,6 +30,14 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * The index is the postings table itself, which a deployment stores
   * bucketed by token; per-batch work is O(batch tokens), and the
   * index grows with the CORPUS, never with replay count.
+  *
+  * Small-files control: one directory per micro-batch is a listing
+  * bomb at production batch counts, so [[compact]] periodically folds
+  * every live directory into a single token-bucketed
+  * `compacted_upto_<id>` generation; reads always take the highest
+  * watermark plus only the batches past it, so compaction is safe to
+  * replay and safe to crash mid-way (covered dirs are garbage, not
+  * state).
   *
   * Scoring is [[Retrieval.bm25Against]] over the union of batch
   * partitions — incoming queries see every document ingested so far,
@@ -62,9 +72,111 @@ object StreamingLexicalIndex {
     Retrieval.postingsOf(Retrieval.bigramToksOf(batch))
       .write.mode("overwrite").parquet(s"$statePath/batch_$batchId")
 
-  /** The index as of now: every ingested batch's postings. */
-  def indexPostings(spark: SparkSession, statePath: String): DataFrame =
-    spark.read.parquet(s"$statePath/batch_*")
+  /** Postings schema pinned for the empty-index case (exactly what
+    * [[Retrieval.postingsOf]] produces). */
+  private val postingsSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = true),
+    StructField("dl", IntegerType, nullable = true),
+    StructField("token", StringType, nullable = true),
+    StructField("tf", LongType, nullable = false)))
+
+  private def fs(spark: SparkSession, statePath: String) =
+    new Path(statePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The live state directories: (compaction watermark if any, batch
+    * dirs NOT covered by it). A `compacted_upto_<W>` directory holds
+    * the merged postings of batch_seed and every batch_<id> with
+    * id <= W; reads take the HIGHEST watermark plus only the batch
+    * dirs beyond it, so deleting covered dirs is pure garbage
+    * collection — correctness never depends on the delete having
+    * happened (a crash between compaction-write and cleanup cannot
+    * double-count). */
+  private def liveDirs(
+      spark: SparkSession, statePath: String): (Option[Long], Seq[Path]) = {
+    val root = new Path(statePath)
+    val f = fs(spark, statePath)
+    if (!f.exists(root)) return (None, Seq.empty)
+    val dirs = f.listStatus(root).filter(_.isDirectory).map(_.getPath).toSeq
+    val watermark = dirs.flatMap { p =>
+      p.getName match {
+        case s if s.startsWith("compacted_upto_") =>
+          scala.util.Try(s.stripPrefix("compacted_upto_").toLong).toOption
+        case _ => None
+      }
+    }.sorted.lastOption
+    val live = dirs.filter { p =>
+      p.getName match {
+        case "batch_seed" => watermark.isEmpty // seed is covered by any compaction
+        case s if s.startsWith("compacted_upto_") =>
+          watermark.contains(s.stripPrefix("compacted_upto_").toLong)
+        case s if s.startsWith("batch_") =>
+          scala.util.Try(s.stripPrefix("batch_").toLong).toOption
+            .exists(id => watermark.forall(id > _))
+        case _ => false
+      }
+    }
+    (watermark, live)
+  }
+
+  /** The index as of now: the latest compacted generation plus every
+    * batch ingested past it. An index with no state yet (no seed, no
+    * micro-batch) is EMPTY, not an error — scoring against it returns
+    * zero rows, the behavior a freshly-started serving index needs. */
+  def indexPostings(spark: SparkSession, statePath: String): DataFrame = {
+    val (_, live) = liveDirs(spark, statePath)
+    if (live.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], postingsSchema)
+    else spark.read.schema(postingsSchema).parquet(live.map(_.toString): _*)
+  }
+
+  /** Token buckets of a compacted generation — fixed fan-in so the
+    * consolidated index is a bounded number of files regardless of how
+    * many micro-batches it absorbed. */
+  private val CompactBuckets = 8
+
+  /** Merge every live directory into ONE consolidated token-bucketed
+    * generation, `compacted_upto_<maxBatchId>`. Idempotent by the same
+    * batch-addressing discipline as ingest: the target directory name
+    * is a pure function of the covered inputs and is written
+    * mode=overwrite, so a replayed/crashed compaction rewrites the
+    * same generation with identical content; reads switch to the new
+    * watermark atomically-enough (highest watermark wins) and covered
+    * dirs are then deleted as garbage collection. Returns the new
+    * watermark, or None when there is nothing new to compact (no
+    * batches past the current watermark — replaying a no-op compaction
+    * must not mint a new generation). Postings rows are merged
+    * verbatim (documents are batch-unique, the ingest contract), so
+    * scoring before and after compaction is byte-identical. */
+  def compact(spark: SparkSession, statePath: String): Option[Long] = {
+    val (watermark, live) = liveDirs(spark, statePath)
+    val batchIds = live.flatMap(p =>
+      scala.util.Try(p.getName.stripPrefix("batch_").toLong).toOption)
+    if (batchIds.isEmpty) return None // nothing beyond the watermark (or only seed)
+    val newW = (batchIds ++ watermark).max
+    spark.read.schema(postingsSchema).parquet(live.map(_.toString): _*)
+      .repartition(CompactBuckets, org.apache.spark.sql.functions.col("token"))
+      .write.mode("overwrite").parquet(s"$statePath/compacted_upto_$newW")
+    // GC — best-effort, reads are already on newW: sweep EVERY covered
+    // dir (inputs, superseded generations, and any replayed batch a
+    // prior crash left behind), never a batch past the new watermark
+    val f = fs(spark, statePath)
+    f.listStatus(new Path(statePath)).filter(_.isDirectory).map(_.getPath)
+      .filter { p =>
+        p.getName match {
+          case "batch_seed" => true
+          case s if s.startsWith("compacted_upto_") =>
+            scala.util.Try(s.stripPrefix("compacted_upto_").toLong).toOption
+              .exists(_ < newW)
+          case s if s.startsWith("batch_") =>
+            scala.util.Try(s.stripPrefix("batch_").toLong).toOption
+              .exists(_ <= newW)
+          case _ => false
+        }
+      }
+      .foreach(p => f.delete(p, true))
+    Some(newW)
+  }
 
   /** Score query docs (doc_id, text) against the index as of now —
     * exactly [[Retrieval.bm25Against]], so answers match the gated

@@ -66,6 +66,31 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("n-gram term space is a parameter: unigram terms + stopword cap rank a real corpus shape") {
+    import spark.implicits._
+    // n = 1: dl is the token count, tokens are the words themselves
+    val docs = Seq((1L, "alpha beta  alpha"), (2L, "beta gamma")).toDF("doc_id", "text")
+    val uni = Retrieval.ngramToksOf(docs, 1).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    assert(uni.sorted === Seq((1L, 3, "alpha"), (1L, 3, "alpha"), (1L, 3, "beta"),
+      (2L, 2, "beta"), (2L, 2, "gamma")))
+    // n = 3 generalizes the same derivation (dl = tokens − 2)
+    val tri = Retrieval.ngramToksOf(docs, 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    assert(tri === Seq((1L, 1, "alpha beta alpha")))
+    // end-to-end on unigram terms: a 12-doc corpus where 'needle' is
+    // rare (df = 2 ≤ n_docs/10 is false at 12... use df=1) and 'the' is
+    // universal; the stopword cap must keep 'needle' and drop 'the',
+    // so the query retrieves exactly the needle doc
+    val corpus = ((1L to 11L).map(i => (i, s"the common filler word$i")) :+
+      (12L, "the needle document exact")).toDF("doc_id", "text")
+    val hits = Retrieval.bm25Against(
+      Retrieval.postingsOf(Retrieval.ngramToksOf(corpus, 1)),
+      Seq((100L, "needle"), (100L, "the")).toDF("query_id", "token"))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(hits.toSeq === Seq((100L, 12L)))
+  }
+
   test("hybrid rrf: fused score is exactly the two integer rank contributions") {
     val rows = Retrieval.qHybridRrf(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),

@@ -63,6 +63,70 @@ class StreamingLexicalIndexSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("a freshly-started index is empty, not an error") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-slex0").toString
+    // no seed, no batches — scoring must return zero rows, not throw
+    val scored = StreamingLexicalIndex.scoreAgainstIndex(
+      spark, mkDocs((1L, "spark query plan")), s"$dir/state")
+    assert(scored.collect().isEmpty)
+    assert(StreamingLexicalIndex.indexPostings(spark, s"$dir/state").isEmpty)
+  }
+
+  test("compaction: scoring identical before/after, dirs bounded, replay no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-slex3").toString
+    val statePath = s"$dir/state"
+    val queries = mkDocs((100L, "spark query filter scan"))
+    StreamingLexicalIndex.seed(mkDocs(
+      (1L, "spark query plan spark query join"),
+      (2L, "filter scan shuffle filter scan")), statePath)
+    (0L to 4L).foreach { id =>
+      StreamingLexicalIndex.processBatch(
+        mkDocs((10L + id, s"spark query window sort batch$id")), id, statePath)
+    }
+    def dirNames = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(statePath))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filterNot(_.startsWith(".")).toSet
+      finally s.close()
+    }
+    assert(dirNames.count(_.startsWith("batch_")) === 6) // seed + 5 batches
+    val before = StreamingLexicalIndex.scoreAgainstIndex(spark, queries, statePath)
+      .collect().map(_.toSeq).toSeq
+    val postingsBefore = StreamingLexicalIndex.indexPostings(spark, statePath)
+      .collect().map(_.toSeq).toSet
+
+    assert(StreamingLexicalIndex.compact(spark, statePath) === Some(4L))
+    // consolidated: exactly one live generation, the small-files bound
+    assert(dirNames === Set("compacted_upto_4"))
+    assert(StreamingLexicalIndex.indexPostings(spark, statePath)
+      .collect().map(_.toSeq).toSet === postingsBefore)
+    assert(StreamingLexicalIndex.scoreAgainstIndex(spark, queries, statePath)
+      .collect().map(_.toSeq).toSeq === before)
+    // replaying a no-op compaction mints no new generation
+    assert(StreamingLexicalIndex.compact(spark, statePath) === None)
+    assert(dirNames === Set("compacted_upto_4"))
+
+    // crash-window safety: a covered batch dir whose GC delete never
+    // ran must be IGNORED by reads (highest watermark wins), not
+    // double-counted
+    StreamingLexicalIndex.processBatch(
+      mkDocs((12L, "spark query window sort batch2")), 2L, statePath)
+    assert(StreamingLexicalIndex.indexPostings(spark, statePath)
+      .collect().map(_.toSeq).toSet === postingsBefore)
+
+    // ingest continues past the watermark; the next compaction absorbs it
+    StreamingLexicalIndex.processBatch(
+      mkDocs((20L, "scan filter scan filter project")), 7L, statePath)
+    val withNew = StreamingLexicalIndex.indexPostings(spark, statePath)
+      .collect().map(_.toSeq).toSet
+    assert(withNew.size > postingsBefore.size)
+    assert(StreamingLexicalIndex.compact(spark, statePath) === Some(7L))
+    assert(dirNames === Set("compacted_upto_7"))
+    assert(StreamingLexicalIndex.indexPostings(spark, statePath)
+      .collect().map(_.toSeq).toSet === withNew)
+  }
+
   test("scoring the streamed state matches the gated incremental query") {
     val dir = java.nio.file.Files.createTempDirectory("graft-slex2").toString
     val statePath = s"$dir/state"
