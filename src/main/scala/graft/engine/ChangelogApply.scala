@@ -25,6 +25,35 @@ import org.apache.spark.sql.functions.{coalesce, col, expr, greatest, least, lit
   * materialization never accretes tombstones. */
 object ChangelogApply {
 
+  /** Null-safe keyed join. SQL GROUP BY treats NULL as a group, so
+    * every state join in the fold family must treat NULL keys as EQUAL
+    * — a plain name join silently drops them, splitting (or losing)
+    * the NULL-key group's state. Spark's using-column joins compile to
+    * EqualTo, so the condition is built explicitly with `<=>`; for the
+    * row-producing join kinds the two key column sets are coalesced
+    * back into one (exactly what a using-join outputs), while
+    * left_semi/left_anti keep the left side verbatim. Aliases make the
+    * condition unambiguous when both inputs derive from the same
+    * lineage (insert-side vs delete-side of one changelog). */
+  private[engine] def nullSafeJoin(
+      left: DataFrame, right: DataFrame,
+      keys: Seq[String], how: String): DataFrame = {
+    val l = left.alias("__nsl")
+    val r = right.alias("__nsr")
+    val cond = keys.map(k => col(s"__nsl.$k") <=> col(s"__nsr.$k")).reduce(_ && _)
+    how match {
+      case "left_semi" | "left_anti" => l.join(r, cond, how)
+      case _ =>
+        val keyCols = keys.map(k =>
+          coalesce(col(s"__nsl.$k"), col(s"__nsr.$k")).as(k))
+        val lRest = left.columns.filterNot(keys.contains)
+          .map(c => col(s"__nsl.$c"))
+        val rRest = right.columns.filterNot(keys.contains)
+          .map(c => col(s"__nsr.$c"))
+        l.join(r, cond, how).select(keyCols ++ lRest ++ rRest: _*)
+    }
+  }
+
   /** Fold a changelog frame into a per-key (count, sum) aggregate.
     *
     * @param prev    previous materialization: `keys ++ (n_rows, sum_v)`
@@ -54,7 +83,7 @@ object ChangelogApply {
         expr(s"sum(CASE WHEN $valueCol IS NULL THEN 0 ELSE __sign END)")
           .as("__dnv"),
         expr(s"sum(__sign * $valueCol)").as("__dv"))
-    val joined = prev.join(delta, keys, "full_outer")
+    val joined = nullSafeJoin(prev, delta, keys, "full_outer")
     val nVals =
       coalesce(col("n_vals"), lit(0L)) + coalesce(col("__dnv"), lit(0L))
     val updated = joined.select(
@@ -111,24 +140,23 @@ object ChangelogApply {
     val delKeys = changes
       .filter(col("_change_type") === lit("delete"))
       .select(kCols: _*).distinct()
-    val insOnly = changes
-      .filter(col("_change_type") === lit("insert"))
-      .join(delKeys, keys, "left_anti")
+    val insOnly = nullSafeJoin(changes
+      .filter(col("_change_type") === lit("insert")), delKeys, keys, "left_anti")
       .groupBy(kCols: _*)
       .agg(
         expr("count(*)").as("__in"),
         expr(s"min($valueCol)").as("__imin"),
         expr(s"max($valueCol)").as("__imax"))
-    val folded = prev.join(insOnly, keys, "full_outer")
-      // an untouched prev key rides through this full-outer with null
-      // deltas — coalesce keeps it verbatim, so no separate carry path
-      .join(delKeys, keys, "left_anti")
+    // an untouched prev key rides through this full-outer with null
+    // deltas — coalesce keeps it verbatim, so no separate carry path
+    val folded = nullSafeJoin(
+      nullSafeJoin(prev, insOnly, keys, "full_outer"), delKeys, keys, "left_anti")
       .select(kCols ++ Seq(
         (coalesce(col("n_rows"), lit(0L)) + coalesce(col("__in"), lit(0L)))
           .as("n_rows"),
         least(col("min_v"), col("__imin")).as("min_v"),
         greatest(col("max_v"), col("__imax")).as("max_v")): _*)
-    val recomputed = base.join(delKeys, keys, "left_semi")
+    val recomputed = nullSafeJoin(base, delKeys, keys, "left_semi")
       .groupBy(kCols: _*)
       .agg(
         expr("count(*)").as("n_rows"),
@@ -160,11 +188,11 @@ object ChangelogApply {
       prev: DataFrame, changes: DataFrame, base: DataFrame,
       keys: Seq[String], valueCol: String): DataFrame = {
     val touched = changes.select(keys.map(col): _*).distinct()
-    val recomputed = base.join(touched, keys, "left_semi")
+    val recomputed = nullSafeJoin(base, touched, keys, "left_semi")
       .groupBy(keys.map(col): _*)
       .agg(expr("count(*)").as("n_rows"),
         expr(s"count(distinct $valueCol)").as("n_distinct"))
-    prev.join(touched, keys, "left_anti").unionByName(recomputed)
+    nullSafeJoin(prev, touched, keys, "left_anti").unionByName(recomputed)
   }
 
   /** The full-recompute twin of [[applyCountDistinct]]. */
@@ -203,15 +231,14 @@ object ChangelogApply {
     val delKeys = changes
       .filter(col("_change_type") === lit("delete"))
       .select(kCols: _*).distinct()
-    val insOnly = changes
-      .filter(col("_change_type") === lit("insert"))
-      .join(delKeys, keys, "left_anti")
+    val insOnly = nullSafeJoin(changes
+      .filter(col("_change_type") === lit("insert")), delKeys, keys, "left_anti")
       .groupBy(kCols: _*)
       .agg(
         expr("count(*)").as("__in"),
         expr(topkExpr(valueCol, k)).as("__itop"))
-    val folded = prev.join(insOnly, keys, "full_outer")
-      .join(delKeys, keys, "left_anti")
+    val folded = nullSafeJoin(
+      nullSafeJoin(prev, insOnly, keys, "full_outer"), delKeys, keys, "left_anti")
       .select(kCols ++ Seq(
         (coalesce(col("n_rows"), lit(0L)) + coalesce(col("__in"), lit(0L)))
           .as("n_rows"),
@@ -219,7 +246,7 @@ object ChangelogApply {
                 |  coalesce(topk_v, $EmptyTopk),
                 |  coalesce(__itop, $EmptyTopk)))), 1, $k)""".stripMargin)
           .as("topk_v")): _*)
-    val recomputed = base.join(delKeys, keys, "left_semi")
+    val recomputed = nullSafeJoin(base, delKeys, keys, "left_semi")
       .groupBy(kCols: _*)
       .agg(expr("count(*)").as("n_rows"),
         expr(topkExpr(valueCol, k)).as("topk_v"))
@@ -241,7 +268,7 @@ object ChangelogApply {
       source: GraftTable, sourceName: String,
       target: GraftTable,
       keys: Seq[String], valueCol: String, k: Int): Option[Long] =
-    tick(spark, source, sourceName, target)(
+    tick(spark, source, sourceName, target, keys)(
       (prev, changes, baseAtHead) =>
         applyTopK(prev, changes, baseAtHead, keys, valueCol, k),
       base => recomputeTopK(base, keys, valueCol, k))
@@ -274,7 +301,7 @@ object ChangelogApply {
       source: GraftTable, sourceName: String,
       target: GraftTable,
       keys: Seq[String], valueCol: String): Option[Long] =
-    tick(spark, source, sourceName, target)(
+    tick(spark, source, sourceName, target, keys)(
       (prev, changes, _) => applyCountSum(prev, changes, keys, valueCol),
       base => recomputeCountSum(base, keys, valueCol))
 
@@ -288,7 +315,7 @@ object ChangelogApply {
       source: GraftTable, sourceName: String,
       target: GraftTable,
       keys: Seq[String], valueCol: String): Option[Long] =
-    tick(spark, source, sourceName, target)(
+    tick(spark, source, sourceName, target, keys)(
       (prev, changes, baseAtHead) =>
         applyMinMax(prev, changes, baseAtHead, keys, valueCol),
       base => recomputeMinMax(base, keys, valueCol))
@@ -302,17 +329,28 @@ object ChangelogApply {
       source: GraftTable, sourceName: String,
       target: GraftTable,
       keys: Seq[String], valueCol: String): Option[Long] =
-    tick(spark, source, sourceName, target)(
+    tick(spark, source, sourceName, target, keys)(
       (prev, changes, baseAtHead) =>
         applyCountDistinct(prev, changes, baseAtHead, keys, valueCol),
       base => recomputeCountDistinct(base, keys, valueCol))
 
   /** The shared exactly-once tick skeleton: resolve the checkpoint,
     * fold (or cold-start) against the head PINNED BY SNAPSHOT ID, and
-    * commit content + advanced checkpoint in ONE target snapshot. */
+    * commit content + advanced checkpoint in ONE target snapshot.
+    * Incremental ticks are churn-sized on BOTH ends: the previous
+    * state is restricted to the delta's touched keys before folding
+    * (every apply helper carries untouched keys only through its
+    * full-outer/anti joins, so a touched-key-restricted prev yields
+    * exactly the touched keys' new rows), and the commit replaces
+    * those keys via equality-delete + insert
+    * ([[GraftTable.replaceKeys]]) instead of rewriting the whole
+    * materialization — added files/records per tick are bounded by
+    * churn, never by the target's row count. Only the cold start pays
+    * a full write. */
   private def tick(
       spark: org.apache.spark.sql.SparkSession,
-      source: GraftTable, sourceName: String, target: GraftTable)(
+      source: GraftTable, sourceName: String, target: GraftTable,
+      keys: Seq[String])(
       incremental: (DataFrame, DataFrame, DataFrame) => DataFrame,
       cold: DataFrame => DataFrame): Option[Long] = {
     val srcHead = source.metadata.currentSnapshotId.getOrElse(return None)
@@ -322,9 +360,12 @@ object ChangelogApply {
     tgtMeta.properties.get(key).flatMap(_.toLongOption) match {
       case Some(c) if c == srcHead => None // already current
       case Some(c) =>
-        val updated = incremental(target.scan(spark),
-          source.changelogScan(spark, c, Some(srcHead)), baseAtHead)
-        target.overwriteAll(updated, tgtMeta.currentSnapshotId,
+        val changes = source.changelogScan(spark, c, Some(srcHead))
+        val touched = changes.select(keys.map(col): _*).distinct()
+        val prevTouched = nullSafeJoin(target.scan(spark), touched, keys, "left_semi")
+        val updated = incremental(prevTouched, changes, baseAtHead)
+        target.replaceKeys(spark, keys, touched, updated,
+          tgtMeta.currentSnapshotId,
           extraProperties = Map(key -> srcHead.toString))
         Some(srcHead)
       case None =>

@@ -22,13 +22,19 @@ import org.apache.spark.sql.functions.{col, lit, when}
   *
   * Refresh routing — the 100 TB story:
   *  - when the defining query is a FOLDABLE aggregate (group-by keys +
-  *    any of count(*) / count(v) / sum(v) over ONE graft table with an
-  *    optional deterministic WHERE), refresh folds the source's
-  *    CHANGELOG into the stored rows via
-  *    [[ChangelogApply.applyCountSum]]: a 100 TB source with a 1 GB
+  *    any mix of count(*) / count(v) / sum(v) / avg(v) / min(v) /
+  *    max(v) / count(distinct v) over ONE graft table — or an inner
+  *    equi-join of two — with an optional deterministic WHERE),
+  *    refresh folds the source's CHANGELOG into the stored rows via
+  *    the [[ChangelogApply]] family: a 100 TB source with a 1 GB
   *    daily delta pays 1 GB, never 100 TB, and the advanced source
   *    checkpoint commits ATOMICALLY with the new content (crash-safe
   *    exactly-once — a replayed refresh is a no-op);
+  *  - incremental WRITES are churn-sized too: the tick commits an
+  *    equality-delete of the touched keys plus their folded rows
+  *    ([[GraftTable.replaceKeys]]) — a 10⁹-key MV with 100 touched
+  *    keys writes ~100 rows, never the MV (added-records in the
+  *    snapshot summary is the observable bound);
   *  - any other query shape falls back to a full recompute, still a
   *    single CAS-guarded overwrite commit.
   *
@@ -173,19 +179,22 @@ object GraftMaterializedViews {
           case Some(c) =>
             val changes = shape.applyFilter(
               source.changelogScan(spark, c, Some(srcHead)))
-            val prev = shape.toInternal(mv.scan(spark))
             def baseAtHead = shape.applyFilter(
               source.scan(spark, source.AtSnapshot(srcHead)))
-            val folded =
-              if (shape.isCountDistinct)
-                ChangelogApply.applyCountDistinct(prev, changes, baseAtHead,
-                  shape.keySrcNames, shape.valueName)
-              else if (shape.isMinMax)
-                ChangelogApply.applyMinMax(prev, changes, baseAtHead,
-                  shape.keySrcNames, shape.valueName)
-              else ChangelogApply.applyCountSum(
-                prev, shape.withValue(changes), shape.keySrcNames, shape.valueName)
-            mv.overwriteAll(shape.fromInternal(folded, outNames, mv),
+            // churn-sized COMPUTE and churn-sized WRITE: the previous
+            // state is restricted to the touched keys before folding,
+            // and the commit equality-deletes those keys + lands the
+            // folded rows beside them (GraftTable.replaceKeys) — a
+            // tick's added files/records are bounded by churn, never
+            // by the MV's row count (overwriteAll would rewrite a
+            // 10⁹-key MV for a 100-key delta)
+            val touched = changes.select(shape.keySrcNames.map(col): _*).distinct()
+            val prevTouched = ChangelogApply.nullSafeJoin(
+              shape.toInternal(mv.scan(spark)), touched,
+              shape.keySrcNames, "left_semi")
+            val folded = shape.applyFold(prevTouched, changes, baseAtHead)
+            mv.replaceKeys(spark, shape.keyOutNames,
+              shape.touchedOut(touched), shape.fromInternal(folded, outNames, mv),
               meta.currentSnapshotId,
               extraProperties = Map(key -> srcHead.toString,
                 RefreshModeProp -> "incremental"))
@@ -230,9 +239,15 @@ object GraftMaterializedViews {
     val kR = ChangelogApply.ckptKey(js.rightName)
     val ckL = meta.properties.get(kL).flatMap(_.toLongOption)
     val ckR = meta.properties.get(kR).flatMap(_.toLongOption)
-    val ckpts = (lHead.map(h => kL -> h.toString) ++
-      rHead.map(h => kR -> h.toString)).toMap +
-      (RefreshModeProp -> "incremental")
+    // an absent head checkpoints as an explicit marker — otherwise a
+    // persistently-empty side would fail the currency check and commit
+    // a fresh (empty, identical) overwrite snapshot EVERY tick
+    def headMark(h: Option[Long]): String = h.map(_.toString).getOrElse("none")
+    val ckpts = Map(
+      kL -> headMark(lHead), kR -> headMark(rHead),
+      RefreshModeProp -> "incremental")
+    if (meta.properties.get(kL).contains(headMark(lHead)) &&
+        meta.properties.get(kR).contains(headMark(rHead))) return NoOp
 
     def fullAtHeads(): RefreshMode = (lHead, rHead) match {
       case (Some(lh), Some(rh)) =>
@@ -260,25 +275,27 @@ object GraftMaterializedViews {
       case _ => mv.scan(spark).limit(0) // unreachable: folds need both heads
     }
 
-    def fold(delta: DataFrame): RefreshMode = {
-      val prev = js.agg.toInternal(mv.scan(spark))
-      val folded =
-        if (js.agg.isCountDistinct)
-          ChangelogApply.applyCountDistinct(prev, delta, baseAtHeads,
-            js.agg.keySrcNames, js.agg.valueName)
-        else if (js.agg.isMinMax)
-          ChangelogApply.applyMinMax(prev, delta, baseAtHeads,
-            js.agg.keySrcNames, js.agg.valueName)
-        else ChangelogApply.applyCountSum(
-          prev, js.agg.withValue(delta), js.agg.keySrcNames, js.agg.valueName)
-      mv.overwriteAll(js.agg.fromInternal(folded, outNames, mv),
+    /** Churn-sized fold + churn-sized commit, the join twin of the
+      * single-table tick: previous state restricted to the touched
+      * keys, then replaceKeys (equality-delete + folded rows) — never
+      * an MV-sized rewrite. `mmDelta` is the frame the min/max family
+      * folds (the two-sided case re-marks it all-delete so every
+      * touched key rebuilds from the joined base, while the additive
+      * family keeps the true signed union). */
+    def fold(delta: DataFrame, mmDelta: DataFrame => DataFrame = identity)
+        : RefreshMode = {
+      val touched = delta.select(js.agg.keySrcNames.map(col): _*).distinct()
+      val prevTouched = ChangelogApply.nullSafeJoin(
+        js.agg.toInternal(mv.scan(spark)), touched,
+        js.agg.keySrcNames, "left_semi")
+      val folded = js.agg.applyFold(prevTouched, delta, baseAtHeads, mmDelta)
+      mv.replaceKeys(spark, js.agg.keyOutNames,
+        js.agg.touchedOut(touched), js.agg.fromInternal(folded, outNames, mv),
         meta.currentSnapshotId, extraProperties = ckpts)
       Incremental
     }
 
     (ckL, ckR) match {
-      case (Some(cl), Some(cr))
-          if lHead.contains(cl) && rHead.contains(cr) => NoOp
       case (Some(cl), Some(cr)) if rHead.contains(cr) =>
         // only the left side moved
         lHead match {
@@ -306,7 +323,9 @@ object GraftMaterializedViews {
         // TOUCHED-KEY cover (every added or removed joined pair appears
         // in one of them); min/max additionally re-marks every row
         // 'delete' so no second-order pair is ever arithmetic-folded —
-        // its touched keys all rebuild from the joined base.
+        // its touched keys all rebuild from the joined base (the
+        // re-mark applies to the min/max family ALONE: a mixed-family
+        // MV's additive part still folds the true signed union).
         (lHead, rHead) match {
           case (Some(lh), Some(rh)) =>
             val dL = lt.changelogScan(spark, cl, Some(lh))
@@ -315,9 +334,8 @@ object GraftMaterializedViews {
               js.delta(dL, rt.scan(spark, rt.AtSnapshot(cr)), changedIsLeft = true)
                 .unionByName(js.delta(dR, lt.scan(spark, lt.AtSnapshot(cl)), changedIsLeft = false))
                 .unionByName(js.deltaCross(dL, dR))
-            fold(if (js.agg.isMinMax)
-              union.withColumn("_change_type", lit("delete"))
-            else union)
+            fold(union,
+              mmDelta = _.withColumn("_change_type", lit("delete")))
           case _ => fullAtHeads() // a side went from/to empty-headed
         }
       case _ => fullAtHeads() // a checkpoint is missing
@@ -348,7 +366,13 @@ object GraftMaterializedViews {
 
     def sourceName: String = s"$catalogName.${sourceIdent.namespace.mkString(".")}.${sourceIdent.name}"
     def keySrcNames: Seq[String] = outs.collect { case k: KeyOut => k.srcName }
+    def keyOutNames: Seq[String] = outs.collect { case k: KeyOut => k.outName }
     private def keyOuts: Seq[KeyOut] = outs.collect { case k: KeyOut => k }
+
+    /** Touched-key frame (source names) → the MV's declared key names —
+      * what [[GraftTable.replaceKeys]] equality-deletes. */
+    def touchedOut(touched: DataFrame): DataFrame =
+      touched.select(keyOuts.map(k => col(k.srcName).as(k.outName)): _*)
 
     /** Positional rename of the OUT side: [[shapeOf]] labels columns
       * with the QUERY's output names, but the MV's backing table may
@@ -375,6 +399,39 @@ object GraftMaterializedViews {
       * [[ChangelogApply.applyCountDistinct]] (every touched key
       * recomputes — no per-value-free fold exists for distinct). */
     def isCountDistinct: Boolean = outs.exists(_.isInstanceOf[CountDistinctOut])
+    /** Additive family: sum/avg/count(v) outputs, or a pure-count(*)
+      * MV (which folds through the same count/sum arithmetic). */
+    def isAdditive: Boolean = outs.exists {
+      case _: SumVOut | _: AvgVOut | _: CountVOut => true; case _ => false
+    } || (!isMinMax && !isCountDistinct)
+
+    /** Fold one changelog delta into the previous internal state —
+      * families don't mix INSIDE an apply helper, so a mixed-family MV
+      * (e.g. sum + min in one view) folds each family through its own
+      * path and inner-joins the parts on the group keys (every part
+      * emits exactly the keys with n_rows > 0, so the join is total).
+      * `baseAtHead` is only evaluated for the recompute-on-touch
+      * families; `mmDelta` lets the two-sided join tick re-mark the
+      * min/max family's delta all-delete without corrupting the
+      * additive arithmetic. */
+    def applyFold(
+        prevInternal: DataFrame, changes: DataFrame,
+        baseAtHead: => DataFrame,
+        mmDelta: DataFrame => DataFrame = identity): DataFrame = {
+      val k = keySrcNames
+      val parts = Seq(
+        (if (isAdditive) Some(ChangelogApply.applyCountSum(
+          prevInternal.select((k ++ Seq("n_rows", "n_vals", "sum_v")).map(col): _*),
+          withValue(changes), k, valueName)) else None),
+        (if (isMinMax) Some(ChangelogApply.applyMinMax(
+          prevInternal.select((k ++ Seq("n_rows", "min_v", "max_v")).map(col): _*),
+          mmDelta(changes), baseAtHead, k, valueName)) else None),
+        (if (isCountDistinct) Some(ChangelogApply.applyCountDistinct(
+          prevInternal.select((k ++ Seq("n_rows", "n_distinct")).map(col): _*),
+          changes, baseAtHead, k, valueName)) else None)).flatten
+      parts.reduceLeft((a, b) =>
+        ChangelogApply.nullSafeJoin(a, b.drop("n_rows"), k, "inner"))
+    }
 
     def sourceTable(spark: SparkSession): GraftTable = {
       val plugin = GraftShims.catalogPlugin(spark, Some(catalogName))
@@ -410,21 +467,17 @@ object GraftMaterializedViews {
       * only need to keep the fold's arithmetic well-typed. */
     def toInternal(stored: DataFrame): DataFrame = {
       val nRows = outs.collectFirst { case c: CountStarOut => col(c.outName) }.get
-      if (isCountDistinct) {
+      val distinctCols = if (!isCountDistinct) Nil else {
         val nd = outs.collectFirst { case c: CountDistinctOut => col(c.outName) }.get
-        stored.select(
-          keyOuts.map(k => col(k.outName).as(k.srcName)) ++ Seq(
-            nRows.cast("long").as("n_rows"),
-            nd.cast("long").as("n_distinct")): _*)
-      } else if (isMinMax) {
+        Seq(nd.cast("long").as("n_distinct"))
+      }
+      val minMaxCols = if (!isMinMax) Nil else {
         val minV = outs.collectFirst { case c: MinVOut => col(c.outName) }
         val maxV = outs.collectFirst { case c: MaxVOut => col(c.outName) }
-        stored.select(
-          keyOuts.map(k => col(k.outName).as(k.srcName)) ++ Seq(
-            nRows.cast("long").as("n_rows"),
-            minV.getOrElse(maxV.get).as("min_v"),
-            maxV.getOrElse(minV.get).as("max_v")): _*)
-      } else {
+        Seq(minV.getOrElse(maxV.get).as("min_v"),
+          maxV.getOrElse(minV.get).as("max_v"))
+      }
+      val additiveCols = if (!isAdditive) Nil else {
         val nVals = outs.collectFirst { case c: CountVOut => col(c.outName) }
           .getOrElse(nRows) // value col proven non-nullable (or synthetic 1)
         val sumV = outs.collectFirst { case c: SumVOut => col(c.outName) }
@@ -441,12 +494,14 @@ object GraftMaterializedViews {
           // non-null count — seed sum_v with n_vals so prev + delta
           // stay in the same unit (the column is dropped on output)
           .getOrElse(nVals.cast("long"))
-        stored.select(
-          keyOuts.map(k => col(k.outName).as(k.srcName)) ++ Seq(
-            nRows.cast("long").as("n_rows"),
-            nVals.cast("long").as("n_vals"),
-            sumV.as("sum_v")): _*)
+        Seq(nVals.cast("long").as("n_vals"), sumV.as("sum_v"))
       }
+      // a mixed-family MV carries the UNION of its families' internal
+      // columns; each applyFold part selects its own slice
+      stored.select(
+        keyOuts.map(k => col(k.outName).as(k.srcName)) ++
+          Seq(nRows.cast("long").as("n_rows")) ++
+          additiveCols ++ minMaxCols ++ distinctCols: _*)
     }
 
     /** Folded internal frame → the MV's declared columns, cast to its
@@ -497,18 +552,16 @@ object GraftMaterializedViews {
     }
   }
 
-  /** The two-table incremental-view-maintenance shape (r13):
-    * `SELECT keys..., count(*)[, count(v)/sum(v)/avg(v)] FROM a JOIN b
-    * ON a.x = b.y [WHERE det] GROUP BY keys...` over two graft tables.
-    * The classic one-sided delta rule: when only ONE side changed
-    * since its checkpoint, Δ(A ⋈ B) = ΔA ⋈ B — fold the changed
-    * side's CHANGELOG joined against the other side's (unchanged)
-    * head through the same count/sum state, churn × other-side-sized,
-    * never either table from scratch. Both sides changed → full
-    * recompute at the two pinned heads (a cross-delta term ΔA ⋈ ΔB
-    * would be needed otherwise; v1 takes the honest fallback).
-    * Additive family only — min/max/distinct recompute-on-retract
-    * would need the joined base, deliberately out of v1's scope.
+  /** The two-table incremental-view-maintenance shape:
+    * `SELECT keys..., count(*)[, count(v)/sum(v)/avg(v)/min(v)/max(v)/
+    * count(distinct v)] FROM a JOIN b ON a.x = b.y [WHERE det]
+    * GROUP BY keys...` over two graft tables. The classic delta rules:
+    * one side changed → Δ(A ⋈ B) = ΔA ⋈ B (the changed side's
+    * CHANGELOG joined against the other side's unchanged head); both
+    * sides changed → the full signed bilinear expansion
+    * ΔA⋈B + A⋈ΔB + ΔA⋈ΔB. Every fold is churn × other-side-sized,
+    * never either table from scratch; min/max and count-distinct
+    * rebuild touched keys from the JOINED base at the pinned heads.
     *
     * `agg` carries the aggregate arithmetic (outs/value/internal
     * frames) — the same machinery [[FoldShape]] uses, over the JOINED
@@ -683,21 +736,19 @@ object GraftMaterializedViews {
         MaxVOut(out)
       case _ => return None
     }
-    val keyNames = outs.collect { case k: KeyOut => k.srcName }.toSet
+    val keySrcList = outs.collect { case k: KeyOut => k.srcName }
+    val keyNames = keySrcList.toSet
+    // duplicate post-nameOf key names (e.g. GROUP BY a.id, b.ref with
+    // ON a.id = b.ref maps both onto "id"): the fold's groupBy/rename
+    // machinery would collide — route to full refresh, never an error
+    if (keySrcList.size != keyNames.size) return None
     if (!groupAttrs.forall(a => keyNames(nameOf(a)))) return None
     if (!outs.exists(_.isInstanceOf[CountStarOut])) return None
     val hasSum = outs.exists(_.isInstanceOf[SumVOut])
     val hasAvg = outs.exists(_.isInstanceOf[AvgVOut])
     val hasCountV = outs.exists(_.isInstanceOf[CountVOut])
-    val hasMinMax = outs.exists {
-      case _: MinVOut | _: MaxVOut => true; case _ => false
-    }
-    val hasDistinct = outs.exists(_.isInstanceOf[CountDistinctOut])
-    // families don't mix in v1: a combined fold would need the
-    // apply paths joined — full refresh handles it correctly
-    val families = Seq(hasSum || hasCountV || hasAvg, hasMinMax, hasDistinct)
-      .count(identity)
-    if (families > 1) return None
+    // families MAY mix (r14): applyFold joins each family's fold on
+    // the group keys, so sum+min-style MVs stay incremental
     if ((hasSum || hasAvg) && !hasCountV) {
       // NULL-sum/avg contract needs n_vals; reconstructible iff v can't be NULL
       if (!valueAttr.exists(!_.nullable)) return None

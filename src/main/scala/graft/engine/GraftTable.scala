@@ -616,6 +616,49 @@ final class GraftTable(
     commitLoop(branch, "delete")(base => (carriedEntries(base), deleteFiles))
   }
 
+  /** Churn-sized keyed MERGE (delete+insert): equality-delete every key
+    * tuple of `deleteKeys` (MoR — an O(touched keys) key file, no data
+    * rewrite) and land `rows` as new data files, in ONE commit that
+    * also carries `extraProperties` — the incremental-materialization
+    * write path. The same-commit pairing is exact by Iceberg delete
+    * scoping: equality deletes apply only to STRICTLY older sequence
+    * numbers, so the deletes retire the keys' previous rows and never
+    * touch the rows landing beside them. An MV refresh tick over a
+    * 10⁹-key MV with 100 touched keys writes 100 delete tuples + 100
+    * rows, never the 10⁹-row table ([[overwriteAll]] would).
+    * `deleteKeys` may cover keys with no replacement row (a group
+    * folded to zero drops out). `expectedBase` pins the snapshot the
+    * fold read its previous state from — concurrent writers 409.
+    * Delete-file debt compacts away via `rewrite_data_files`, exactly
+    * as MERGE/DELETE debt does. */
+  def replaceKeys(
+      spark: SparkSession, keys: Seq[String],
+      deleteKeys: DataFrame, rows: DataFrame,
+      expectedBase: Option[Long],
+      operation: String = "overwrite",
+      branch: String = TableMetadata.MainBranch,
+      extraProperties: Map[String, String] = Map.empty): TableMetadata = {
+    val m = metadata
+    val schemaCols = m.currentSchema.fields.map(_.name).toSet
+    require(keys.nonEmpty && keys.forall(schemaCols), s"unknown key columns: $keys")
+    val byName = m.currentSchema.fields.map(f => f.name -> f).toMap
+    val dir = s"${m.location}/deletes/${UUID.randomUUID()}"
+    val keyRows = deleteKeys
+      .select(keys.map(k => col(k).as(k, SchemaBridge.fieldIdMetadata(byName(k).id))): _*)
+      .distinct()
+    val deleteFiles = m.currentSnapshot match {
+      case None => Nil // nothing stored yet: nothing to retire
+      case Some(_) => GraftTable
+        .toDataFiles(ParquetBatchWrite.writeJob(keyRows, dir, routing = None))
+        .map(_.copy(content = Manifests.ContentEqualityDeletes,
+          equalityIds = keys.map(k => byName(k).id)))
+    }
+    val dataFiles = GraftTable.writeDataFiles(rows, m)
+    commitOnce(branch, operation, expectedBase,
+      base => (carriedEntries(base), deleteFiles ++ dataFiles),
+      extraProperties = extraProperties)
+  }
+
   /** CALL system.rewrite_data_files: compact small files into
     * `targetFileCount` without changing content (reference
     * test_spark.py:330-357). Content-identical ⇒ committed as a
@@ -1215,7 +1258,15 @@ final class GraftTable(
             files.filterNot(_.isDeleteFile).map(_.recordCount).sum).toString,
         "total-delete-files" ->
           (carried.filter(_.hasDeletes).map(_.fileCount).sum +
-            files.count(_.isDeleteFile)).toString) ++
+            files.count(_.isDeleteFile)).toString,
+        // added-* = THIS commit's own writes (Iceberg's standard
+        // summary fields) — the observable half of churn-sized
+        // commits: an incremental MV tick's added-records is bounded
+        // by its touched keys, never the MV's row count
+        "added-data-files" -> files.count(!_.isDeleteFile).toString,
+        "added-records" ->
+          files.filterNot(_.isDeleteFile).map(_.recordCount).sum.toString,
+        "added-delete-files" -> files.count(_.isDeleteFile).toString) ++
         extraSummary,
       Some(cur.currentSchemaId))
     val refType =

@@ -120,6 +120,12 @@ class ChangelogApplySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(c2 === src.metadata.currentSnapshotId)
     assert(sorted(spark.sql(s"SELECT k, n_rows, sum_v FROM $cat.db.mat2"))
       === Seq(("a", 2L, Some(3L)), ("c", 1L, Some(7L))))
+    // the tick's WRITE is churn-sized: touched keys a/b/c → ≤ 3 added
+    // records (b folds to zero → no replacement row) retired via
+    // equality deletes, never an overwrite of the whole target
+    val tickSummary = tgt.metadata.currentSnapshot.get.summary
+    assert(tickSummary("added-records").toLong <= 3L)
+    assert(tickSummary("added-delete-files").toLong >= 1L)
     assert(sorted(spark.sql(s"SELECT k, n_rows, sum_v FROM $cat.db.mat2"))
       === sorted(ChangelogApply.recomputeCountSum(
         spark.sql(s"SELECT k, v FROM $cat.db.src2"), Seq("k"), "v")))

@@ -596,26 +596,213 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("a join outside the delta-foldable grammar still routes to full, never garbage") {
-    // mixed aggregate families over a join (additive sum + min of the
-    // same column): the apply paths don't compose — full refresh
+    // GROUP BY on BOTH equi-join key columns: post-join they collapse
+    // onto ONE name (the left's), so the fold's key machinery would
+    // collide — the shape detector must refuse (duplicate srcName
+    // guard) and route to full, not throw at create/refresh
     spark.sql(
-      s"""CREATE MATERIALIZED VIEW $cat.db.mv_join_mixed AS
-         |SELECT d.label AS label, count(*) AS n, sum(o.amount) AS s, min(o.amount) AS lo
+      s"""CREATE MATERIALIZED VIEW $cat.db.mv_join_bothkeys AS
+         |SELECT o.status AS st, d.status AS st2, count(*) AS n
          |FROM $cat.db.orders o JOIN $cat.db.dims d ON o.status = d.status
-         |GROUP BY d.label""".stripMargin)
-    assert(spark.sql(s"SHOW TBLPROPERTIES $cat.db.mv_join_mixed")
+         |GROUP BY o.status, d.status""".stripMargin)
+    assert(spark.sql(s"SHOW TBLPROPERTIES $cat.db.mv_join_bothkeys")
       .collect().exists(r => r.getString(0) == GraftMaterializedViews.RefreshModeProp &&
         r.getString(1) == "full"))
     spark.sql(s"INSERT INTO $cat.db.orders VALUES (97,'open',0.02)")
     assert(GraftMaterializedViews.refresh(spark, graftCatalog,
-      TableIdent(Seq("db"), "mv_join_mixed")) === GraftMaterializedViews.Full)
+      TableIdent(Seq("db"), "mv_join_bothkeys")) === GraftMaterializedViews.Full)
     val expect = spark.sql(
-      s"""SELECT d.label, min(o.amount) lo FROM $cat.db.orders o
+      s"""SELECT o.status, count(*) n FROM $cat.db.orders o
+         |JOIN $cat.db.dims d ON o.status = d.status GROUP BY o.status""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val got = spark.sql(s"SELECT st, n FROM $cat.db.mv_join_bothkeys")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === expect)
+
+    // two DIFFERENT value columns stay out of grammar too (one value
+    // column per foldable MV)
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.db.mv_join_twovals AS
+         |SELECT d.label AS label, count(*) AS n, sum(o.amount) AS s, min(o.id) AS lo
+         |FROM $cat.db.orders o JOIN $cat.db.dims d ON o.status = d.status
+         |GROUP BY d.label""".stripMargin)
+    assert(spark.sql(s"SHOW TBLPROPERTIES $cat.db.mv_join_twovals")
+      .collect().exists(r => r.getString(0) == GraftMaterializedViews.RefreshModeProp &&
+        r.getString(1) == "full"))
+  }
+
+  test("mixed-family MV (sum + min/max + counts in ONE view) folds incrementally") {
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.db.mv_mixed AS
+         |SELECT status, count(*) AS n, count(amount) AS nv, sum(amount) AS s,
+         |       min(amount) AS mn, max(amount) AS mx
+         |FROM $cat.db.orders GROUP BY status""".stripMargin)
+    assert(spark.sql(s"SHOW TBLPROPERTIES $cat.db.mv_mixed")
+      .collect().exists(r => r.getString(0) == GraftMaterializedViews.RefreshModeProp &&
+        r.getString(1) == "incremental"))
+    def expect: Set[Seq[Any]] = spark.sql(
+      s"""SELECT status, count(*) n, count(amount) nv, sum(amount) s,
+         |min(amount) mn, max(amount) mx FROM $cat.db.orders GROUP BY status""".stripMargin)
+      .collect().map(_.toSeq).toSet
+    def got: Set[Seq[Any]] =
+      spark.sql(s"SELECT status, n, nv, s, mn, mx FROM $cat.db.mv_mixed")
+        .collect().map(_.toSeq).toSet
+    assert(got === expect)
+    // churn that exercises BOTH family paths in one tick: inserts fold
+    // additively AND via least/greatest; the delete retracts a current
+    // minimum, forcing the min/max part's recompute-on-retract while
+    // the additive part folds the same signed rows arithmetically
+    spark.sql(s"INSERT INTO $cat.db.orders VALUES (201,'open',0.01),(202,'mixed',9.0)")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_mixed")) === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+    spark.sql(s"DELETE FROM $cat.db.orders WHERE id = 201") // retract the min
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_mixed")) === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+
+    // min/max + count(DISTINCT) mixed (no additive value output)
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.db.mv_mixed_cd AS
+         |SELECT status, count(*) AS n, count(DISTINCT amount) AS nd, max(amount) AS mx
+         |FROM $cat.db.orders GROUP BY status""".stripMargin)
+    assert(spark.sql(s"SHOW TBLPROPERTIES $cat.db.mv_mixed_cd")
+      .collect().exists(r => r.getString(0) == GraftMaterializedViews.RefreshModeProp &&
+        r.getString(1) == "incremental"))
+    def expectCd: Set[Seq[Any]] = spark.sql(
+      s"""SELECT status, count(*) n, count(DISTINCT amount) nd, max(amount) mx
+         |FROM $cat.db.orders GROUP BY status""".stripMargin)
+      .collect().map(_.toSeq).toSet
+    def gotCd: Set[Seq[Any]] =
+      spark.sql(s"SELECT status, n, nd, mx FROM $cat.db.mv_mixed_cd")
+        .collect().map(_.toSeq).toSet
+    assert(gotCd === expectCd)
+    spark.sql(s"INSERT INTO $cat.db.orders VALUES (203,'mixed',9.0),(204,'mixed',11.0)")
+    spark.sql(s"DELETE FROM $cat.db.orders WHERE id = 202")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_mixed_cd")) === GraftMaterializedViews.Incremental)
+    assert(gotCd === expectCd)
+  }
+
+  test("mixed-family JOIN MV folds under one-sided and both-sided churn") {
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.db.mv_join_mixed AS
+         |SELECT d.label AS label, count(*) AS n, count(o.amount) AS nv,
+         |       sum(o.amount) AS s, min(o.amount) AS lo
+         |FROM $cat.db.orders o JOIN $cat.db.dims d ON o.status = d.status
+         |GROUP BY d.label""".stripMargin)
+    assert(spark.sql(s"SHOW TBLPROPERTIES $cat.db.mv_join_mixed")
+      .collect().exists(r => r.getString(0) == GraftMaterializedViews.RefreshModeProp &&
+        r.getString(1) == "incremental"))
+    def expect: Set[Seq[Any]] = spark.sql(
+      s"""SELECT d.label, count(*) n, count(o.amount) nv, sum(o.amount) s,
+         |min(o.amount) lo FROM $cat.db.orders o
          |JOIN $cat.db.dims d ON o.status = d.status GROUP BY d.label""".stripMargin)
-      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
-    val gotMin = spark.sql(s"SELECT label, lo FROM $cat.db.mv_join_mixed")
-      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
-    assert(gotMin === expect)
+      .collect().map(_.toSeq).toSet
+    def got: Set[Seq[Any]] =
+      spark.sql(s"SELECT label, n, nv, s, lo FROM $cat.db.mv_join_mixed")
+        .collect().map(_.toSeq).toSet
+    assert(got === expect)
+    // one-sided churn (fact inserts + a min retraction)
+    spark.sql(s"INSERT INTO $cat.db.orders VALUES (210,'open',0.001)")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_join_mixed")) === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+    spark.sql(s"DELETE FROM $cat.db.orders WHERE id = 210")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_join_mixed")) === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+    // BOTH sides churn in one tick: the additive part must fold the
+    // TRUE signed bilinear union while the min/max part re-marks it
+    // all-delete and rebuilds its touched keys from the joined base —
+    // the per-family delta split (a shared all-delete mark would
+    // subtract every insert from the sums)
+    spark.sql(s"INSERT INTO $cat.db.orders VALUES (211,'open',0.002),(212,'mixedj',5.0)")
+    spark.sql(s"INSERT INTO $cat.db.dims VALUES ('mixedj','MJ')")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_join_mixed")) === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+    assert(got.exists(_.head == "MJ"), "cross-term pair missing under mixed families")
+    // signed inverse: retract both halves in one tick
+    spark.sql(s"DELETE FROM $cat.db.orders WHERE id = 212")
+    spark.sql(s"DELETE FROM $cat.db.dims WHERE status = 'mixedj'")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_join_mixed")) === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+    assert(!got.exists(_.head == "MJ"))
+  }
+
+  test("incremental refresh WRITES are churn-sized: added-records bounded by touched keys") {
+    spark.sql(s"CREATE TABLE $cat.db.wide (k BIGINT, v DOUBLE)")
+    spark.sql(s"INSERT INTO $cat.db.wide SELECT id % 100, CAST(id AS DOUBLE) FROM range(200)")
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.db.mv_wide AS
+         |SELECT k, count(*) AS n, count(v) AS nv, sum(v) AS s
+         |FROM $cat.db.wide GROUP BY k""".stripMargin)
+    def mvMeta = store.loadTable(whId, TableIdent(Seq("db"), "mv_wide"))
+      .fold(e => fail(e.message), identity).metadata
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.mv_wide").collect()
+      .head.getLong(0) === 100L)
+
+    // churn touching 3 of 100 keys: k=0 and k=1 get an insert, k=2 is
+    // deleted to zero
+    spark.sql(s"INSERT INTO $cat.db.wide VALUES (0, 1000.0), (1, 2000.0)")
+    spark.sql(s"DELETE FROM $cat.db.wide WHERE k = 2")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_wide")) === GraftMaterializedViews.Incremental)
+
+    val summary = mvMeta.currentSnapshot.get.summary
+    // the tick's own writes: folded rows for the touched keys only
+    // (k=2 folded to zero → no replacement row), never the 100-row MV
+    assert(summary("added-records").toLong <= 3L,
+      s"churn-sized tick wrote ${summary("added-records")} records")
+    assert(summary("added-delete-files").toLong >= 1L,
+      "the touched keys must be retired via equality deletes")
+    // untouched files carried over: the table holds more data files
+    // than this commit added
+    assert(summary("total-data-files").toLong > summary("added-data-files").toLong)
+
+    // and the CONTENT is exactly the recompute
+    val expect = spark.sql(
+      s"SELECT k, count(*) n, count(v) nv, sum(v) s FROM $cat.db.wide GROUP BY k")
+      .collect().map(_.toSeq).toSet
+    val got = spark.sql(s"SELECT k, n, nv, s FROM $cat.db.mv_wide")
+      .collect().map(_.toSeq).toSet
+    assert(got === expect)
+    assert(!got.exists(_.head == 2L), "the zeroed key must drop out")
+  }
+
+  test("join MV with a persistently-empty side stops committing once current") {
+    spark.sql(s"CREATE TABLE $cat.db.el (k BIGINT)")
+    spark.sql(s"CREATE TABLE $cat.db.er (k BIGINT, v DOUBLE)")
+    spark.sql(s"INSERT INTO $cat.db.el VALUES (1), (2)")
+    // right side stays EMPTY (headless)
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.db.mv_empty_side AS
+         |SELECT l.k AS k, count(*) AS n
+         |FROM $cat.db.el l JOIN $cat.db.er r ON l.k = r.k
+         |GROUP BY l.k""".stripMargin)
+    def snapCount = store.loadTable(whId, TableIdent(Seq("db"), "mv_empty_side"))
+      .fold(e => fail(e.message), identity).metadata.snapshots.size
+    // first tick records the heads (incl. the absent-head marker)
+    GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_empty_side"))
+    val after1 = snapCount
+    // every further tick with NOTHING moved must be a NoOp — not a
+    // fresh empty overwrite per tick (unbounded snapshot churn)
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_empty_side")) === GraftMaterializedViews.NoOp)
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_empty_side")) === GraftMaterializedViews.NoOp)
+    assert(snapCount === after1, "idle ticks must not mint snapshots")
+    // the side coming alive is picked up
+    spark.sql(s"INSERT INTO $cat.db.er VALUES (1, 10.0)")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_empty_side")) !== GraftMaterializedViews.NoOp)
+    assert(spark.sql(s"SELECT k, n FROM $cat.db.mv_empty_side").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 1L)))
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_empty_side")) === GraftMaterializedViews.NoOp)
   }
 
   test("view → MV → table-stream: the full chain composes with exactly-once ticks") {
