@@ -171,7 +171,15 @@ object ScalingRehearsal {
       // a broadcast constant, so the ratio must track the token scan —
       // a superlinear ratio here would mean the ranking stopped being
       // a bounded TopK fold
-      "bm25_hybrid_rrf" -> (() => time(graft.llm.Retrieval.qHybridRrf(spark, dir))))
+      "bm25_hybrid_rrf" -> (() => time(graft.llm.Retrieval.qHybridRrf(spark, dir))),
+      // r14: the OPERATING retrieval path — a batch of queries scored
+      // against the frozen index through KEYED joins only (nothing
+      // batch-derived broadcasts; the stopword df-cap bounds per-term
+      // posting fan-out). The hybrid row covers the constant-query
+      // batch path; this is the shape that must survive 100 TB, so it
+      // gets its own growth row — the exact gap r12 flagged for the
+      // IVFADC residual composite
+      "bm25_incremental" -> (() => time(graft.llm.Retrieval.qBm25Incremental(spark, dir))))
     try entries.filter(e => only.forall(_.contains(e._1)))
       .map { case (name, run) => name -> run() }
     finally spark.conf.unset(graft.llm.Similarity.IvfCellsConf)

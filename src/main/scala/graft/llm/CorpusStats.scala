@@ -97,6 +97,22 @@ object CorpusStats {
   val OverlapMaxSourcesConf = "spark.graft.overlap.maxSources"
   private val OVERLAP_MAX_SOURCES = 2000
 
+  /** (distinct sources, configured ceiling) — the shared pre-flight of
+    * every O(sources²) overlap operator (exact AND sketch: the KMV
+    * pair algebra is cheap PER PAIR but still quadratic in pairs). One
+    * cheap single-column job, run eagerly so the guard refuses to even
+    * PLAN the quadratic. */
+  private def sourceBound(s: SparkSession, dir: String): (Long, Int) = {
+    val rawMax = s.conf.get(OverlapMaxSourcesConf, OVERLAP_MAX_SOURCES.toString)
+    val maxSources =
+      try rawMax.toInt
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$OverlapMaxSourcesConf must be an integer source-count bound, got '$rawMax'")
+      }
+    (load(s, dir, "documents").select(col("source")).distinct().count(), maxSources)
+  }
+
   /** Pairwise source overlap: exact token-set Jaccard for every source
     * pair, via the distinct (source, token) inverted index — never a
     * source × source cross join over documents.
@@ -114,14 +130,7 @@ object CorpusStats {
     // to even PLAN the quadratic. Callers embedding the registry should
     // expect that one eager (single-column, cheap) job from this entry;
     // every other registry builder is lazy.
-    val rawMax = s.conf.get(OverlapMaxSourcesConf, OVERLAP_MAX_SOURCES.toString)
-    val maxSources =
-      try rawMax.toInt
-      catch {
-        case _: NumberFormatException => throw new IllegalArgumentException(
-          s"$OverlapMaxSourcesConf must be an integer source-count bound, got '$rawMax'")
-      }
-    val nSources = load(s, dir, "documents").select(col("source")).distinct().count()
+    val (nSources, maxSources) = sourceBound(s, dir)
     if (nSources > maxSources) throw new IllegalStateException(
       s"q_source_overlap is scoped to bounded strata: $nSources distinct sources " +
         s"exceeds $OverlapMaxSourcesConf=$maxSources. Exact pairwise Jaccard plans " +
@@ -779,6 +788,16 @@ object CorpusStats {
     * at any corpus size, and the estimate error is the standard
     * KMV 1/√(k−2), tunable by k alone. */
   def qKmvSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    // same guardrail as the exact twin: the sketches are k longs each,
+    // but the pair ALGEBRA is still |sources|² — designed for bounded
+    // strata, a planning accident for open-ended domain sets
+    val (nSources, maxSources) = sourceBound(s, dir)
+    if (nSources > maxSources) throw new IllegalStateException(
+      s"q_kmv_source_overlap is scoped to bounded strata: $nSources distinct " +
+        s"sources exceeds $OverlapMaxSourcesConf=$maxSources. The KMV pair " +
+        "algebra is O(sources\u00b2) sketch pairs; for open-ended domain sets " +
+        "use the MinHash path (q_source_overlap_minhash) instead, or raise " +
+        "the conf deliberately.")
     val sketches = load(s, dir, "documents")
       .selectExpr("source", "filter(split(text, ' '), t -> length(t) > 0) as ta")
       .where("size(ta) >= 2")

@@ -93,6 +93,20 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(CorpusStats.qSourceOverlap(spark, sf).count() > 0)
   }
 
+  test("KMV source overlap carries the same quadratic guard as the exact twin") {
+    // the sketches are k longs, but the PAIR algebra is |sources|² —
+    // refuse open-ended domain sets exactly like q_source_overlap,
+    // pointing at the linear MinHash path
+    spark.conf.set(CorpusStats.OverlapMaxSourcesConf, "1")
+    try {
+      val ex = intercept[IllegalStateException](
+        CorpusStats.qKmvSourceOverlap(spark, sf).collect())
+      assert(ex.getMessage.contains("bounded strata"))
+      assert(ex.getMessage.contains("q_source_overlap_minhash"))
+    } finally spark.conf.unset(CorpusStats.OverlapMaxSourcesConf)
+    assert(CorpusStats.qKmvSourceOverlap(spark, sf).count() > 0)
+  }
+
   test("embedding centroids: every (label, dim) cell, consistent counts") {
     val rows = CorpusStats.qEmbCentroids(spark, sf).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
