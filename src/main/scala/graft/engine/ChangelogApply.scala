@@ -54,6 +54,41 @@ object ChangelogApply {
     }
   }
 
+  /** Read-pruning predicate for the previous-state scan: per-key
+    * min/max (+ NULL-presence) bounds of the TOUCHED keys, pushed down
+    * to the DSv2 scan so a localized churn reads candidate files via
+    * manifest-stats pruning instead of the whole materialization — the
+    * read-side twin of the churn-sized [[GraftTable.replaceKeys]]
+    * write. NARROWING only: rows outside the touched bounds cannot be
+    * touched keys, and the null-safe semi-join against `touched` stays
+    * the exactness gate. One churn-sized aggregation evaluates the
+    * touched frame once more than the fold (persist upstream — the
+    * tick sites do). */
+  private[engine] def touchedBoundsFilter(
+      touched: DataFrame, keys: Seq[String])
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{count, max, min}
+    val aggs = keys.flatMap(k => Seq(
+      min(col(k)).as(s"__mn_$k"), max(col(k)).as(s"__mx_$k"),
+      count(col(k)).as(s"__cnt_$k"))) :+ count(lit(1)).as("__total")
+    val row = touched.agg(aggs.head, aggs.tail: _*).head()
+    val total = row.getAs[Long]("__total")
+    if (total == 0L) return lit(false) // empty delta: read nothing
+    keys.map { k =>
+      val mn = row.getAs[Any](s"__mn_$k")
+      val mx = row.getAs[Any](s"__mx_$k")
+      val hasNull = row.getAs[Long](s"__cnt_$k") < total
+      val range =
+        if (mn == null) None
+        else Some(col(k) >= lit(mn) && col(k) <= lit(mx))
+      (range, hasNull) match {
+        case (Some(r), false) => r
+        case (Some(r), true) => r || col(k).isNull
+        case (None, _) => col(k).isNull // only NULL-keyed rows touched
+      }
+    }.reduce(_ && _)
+  }
+
   /** Fold a changelog frame into a per-key (count, sum) aggregate.
     *
     * @param prev    previous materialization: `keys ++ (n_rows, sum_v)`
@@ -361,12 +396,19 @@ object ChangelogApply {
       case Some(c) if c == srcHead => None // already current
       case Some(c) =>
         val changes = source.changelogScan(spark, c, Some(srcHead))
+        // touched is consumed three times (bounds agg, semi-join,
+        // delete-key write) — persist so the changelog evaluates once
         val touched = changes.select(keys.map(col): _*).distinct()
-        val prevTouched = nullSafeJoin(target.scan(spark), touched, keys, "left_semi")
-        val updated = incremental(prevTouched, changes, baseAtHead)
-        target.replaceKeys(spark, keys, touched, updated,
-          tgtMeta.currentSnapshotId,
-          extraProperties = Map(key -> srcHead.toString))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val prevTouched = nullSafeJoin(
+            target.scan(spark).filter(touchedBoundsFilter(touched, keys)),
+            touched, keys, "left_semi")
+          val updated = incremental(prevTouched, changes, baseAtHead)
+          target.replaceKeys(spark, keys, touched, updated,
+            tgtMeta.currentSnapshotId,
+            extraProperties = Map(key -> srcHead.toString))
+        } finally touched.unpersist(blocking = false)
         Some(srcHead)
       case None =>
         target.overwriteAll(cold(baseAtHead), tgtMeta.currentSnapshotId,

@@ -189,15 +189,23 @@ object GraftMaterializedViews {
             // by the MV's row count (overwriteAll would rewrite a
             // 10⁹-key MV for a 100-key delta)
             val touched = changes.select(shape.keySrcNames.map(col): _*).distinct()
-            val prevTouched = ChangelogApply.nullSafeJoin(
-              shape.toInternal(mv.scan(spark)), touched,
-              shape.keySrcNames, "left_semi")
-            val folded = shape.applyFold(prevTouched, changes, baseAtHead)
-            mv.replaceKeys(spark, shape.keyOutNames,
-              shape.touchedOut(touched), shape.fromInternal(folded, outNames, mv),
-              meta.currentSnapshotId,
-              extraProperties = Map(key -> srcHead.toString,
-                RefreshModeProp -> "incremental"))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              // read side prunes too: touched-key bounds push down to
+              // the MV scan (manifest stats), so a localized churn
+              // reads candidate files, not the whole MV
+              val prevTouched = ChangelogApply.nullSafeJoin(
+                shape.toInternal(mv.scan(spark).filter(
+                  ChangelogApply.touchedBoundsFilter(
+                    shape.touchedOut(touched), shape.keyOutNames))),
+                touched, shape.keySrcNames, "left_semi")
+              val folded = shape.applyFold(prevTouched, changes, baseAtHead)
+              mv.replaceKeys(spark, shape.keyOutNames,
+                shape.touchedOut(touched), shape.fromInternal(folded, outNames, mv),
+                meta.currentSnapshotId,
+                extraProperties = Map(key -> srcHead.toString,
+                  RefreshModeProp -> "incremental"))
+            } finally touched.unpersist(blocking = false)
             Incremental
           case None =>
             val base = shape.applyFilter(
@@ -285,13 +293,18 @@ object GraftMaterializedViews {
     def fold(delta: DataFrame, mmDelta: DataFrame => DataFrame = identity)
         : RefreshMode = {
       val touched = delta.select(js.agg.keySrcNames.map(col): _*).distinct()
-      val prevTouched = ChangelogApply.nullSafeJoin(
-        js.agg.toInternal(mv.scan(spark)), touched,
-        js.agg.keySrcNames, "left_semi")
-      val folded = js.agg.applyFold(prevTouched, delta, baseAtHeads, mmDelta)
-      mv.replaceKeys(spark, js.agg.keyOutNames,
-        js.agg.touchedOut(touched), js.agg.fromInternal(folded, outNames, mv),
-        meta.currentSnapshotId, extraProperties = ckpts)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val prevTouched = ChangelogApply.nullSafeJoin(
+          js.agg.toInternal(mv.scan(spark).filter(
+            ChangelogApply.touchedBoundsFilter(
+              js.agg.touchedOut(touched), js.agg.keyOutNames))),
+          touched, js.agg.keySrcNames, "left_semi")
+        val folded = js.agg.applyFold(prevTouched, delta, baseAtHeads, mmDelta)
+        mv.replaceKeys(spark, js.agg.keyOutNames,
+          js.agg.touchedOut(touched), js.agg.fromInternal(folded, outNames, mv),
+          meta.currentSnapshotId, extraProperties = ckpts)
+      } finally touched.unpersist(blocking = false)
       Incremental
     }
 

@@ -322,4 +322,27 @@ class ChangelogApplySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sorted(mat) ===
       Seq(("a", 1L, None), ("m", 1L, Some(4L)), ("n", 1L, None)))
   }
+
+  test("touchedBoundsFilter: keeps touched ranges + NULLs, empty delta reads nothing") {
+    import spark.implicits._
+    // the read-side narrowing of a churn-sized tick: rows outside the
+    // touched keys' min/max(+NULL) bounds cannot be touched, so the
+    // previous-state scan skips their files via pushed-down stats
+    // pruning; rows INSIDE the range but untouched (k=6 here) ride
+    // through and are dropped by the null-safe semi-join — narrowing,
+    // never the exactness gate
+    val touched = Seq(Some(5L), Some(7L), None).toDF("k")
+    val f = ChangelogApply.touchedBoundsFilter(touched, Seq("k"))
+    val base = Seq(Some(4L), Some(5L), Some(6L), Some(7L), Some(100L), None).toDF("k")
+    assert(base.filter(f).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSet
+      === Set(Some(5L), Some(6L), Some(7L), None))
+    // no NULL in the delta: NULL-keyed previous rows are skippable too
+    val noNull = ChangelogApply.touchedBoundsFilter(Seq(5L, 7L).toDF("k"), Seq("k"))
+    assert(base.filter(noNull).collect().map(_.getLong(0)).toSet === Set(5L, 6L, 7L))
+    // empty delta: nothing can be touched, the scan collapses
+    val emptyF = ChangelogApply.touchedBoundsFilter(
+      Seq.empty[Long].toDF("k"), Seq("k"))
+    assert(base.filter(emptyF).count() === 0L)
+  }
 }
