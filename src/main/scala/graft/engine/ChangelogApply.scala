@@ -38,6 +38,10 @@ object ChangelogApply {
   private[engine] def nullSafeJoin(
       left: DataFrame, right: DataFrame,
       keys: Seq[String], how: String): DataFrame = {
+    // keyless state (a GLOBAL aggregate's single row): no key columns
+    // to null-safe over — the empty using-columns join (1×1 cross) is
+    // exactly the pre-keyed semantics
+    if (keys.isEmpty) return left.join(right, Seq.empty[String], how)
     val l = left.alias("__nsl")
     val r = right.alias("__nsr")
     val cond = keys.map(k => col(s"__nsl.$k") <=> col(s"__nsr.$k")).reduce(_ && _)
@@ -396,6 +400,14 @@ object ChangelogApply {
       case Some(c) if c == srcHead => None // already current
       case Some(c) =>
         val changes = source.changelogScan(spark, c, Some(srcHead))
+        if (keys.isEmpty) {
+          // global aggregate: single-row target, overwrite IS churn-sized
+          target.overwriteAll(
+            incremental(target.scan(spark), changes, baseAtHead),
+            tgtMeta.currentSnapshotId,
+            extraProperties = Map(key -> srcHead.toString))
+          return Some(srcHead)
+        }
         // touched is consumed three times (bounds agg, semi-join,
         // delete-key write) — persist so the changelog evaluates once
         val touched = changes.select(keys.map(col): _*).distinct()

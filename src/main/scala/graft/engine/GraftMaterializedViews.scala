@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedId
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, EqualTo, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -93,15 +93,22 @@ object GraftMaterializedViews {
     val joinShape =
       if (shape.isDefined) None
       else joinShapeOf(spark, analyzed).map(_.withOutNames(fields.map(_.name)))
+    val rebuildShape =
+      if (shape.isDefined || joinShape.isDefined) None
+      else rebuildShapeOf(spark, analyzed).map(_.withOutNames(fields.map(_.name)))
     val props = properties ++ Map(
       MarkerProp -> "true",
       SqlProp -> originalText,
       DefCatProp -> mgr.currentCatalog.name(),
       DefNsProp -> mgr.currentNamespace.mkString(NsSep),
       // observability: DESCRIBE TABLE EXTENDED shows which price this
-      // MV pays per refresh — delta (foldable) or full recompute
+      // MV pays per refresh — changelog fold ("incremental"),
+      // touched-key plan re-execution ("incremental-rebuild"), or full
+      // recompute
       RefreshModeProp ->
-        (if (shape.isDefined || joinShape.isDefined) "incremental" else "full"))
+        (if (shape.isDefined || joinShape.isDefined) "incremental"
+         else if (rebuildShape.isDefined) "incremental-rebuild"
+         else "full"))
     // PARTITIONED BY flows straight through to the backing table: the
     // fold's overwrite commits write through the table's default spec,
     // so a partitioned MV gets partition pruning on its read side for free
@@ -140,9 +147,25 @@ object GraftMaterializedViews {
                   ChangelogApply.ckptKey(js.rightName) -> rh.toString))
             case _ => // an empty side: inner join is empty, refresh cold-starts
           }
-        case None =>
-          val df = GraftShims.ofRows(spark, analyzed)
-          mv.overwriteAll(df.toDF(fields.map(_.name): _*), None)
+        case None => rebuildShape match {
+          case Some(rs) =>
+            // pinned cold start, rebuild-grammar twin of the branches
+            // above: execute the defining plan over the head-pinned
+            // scan, checkpoint committed with the content
+            val source = rs.sourceTable(spark)
+            source.metadata.currentSnapshotId match {
+              case Some(head) =>
+                mv.overwriteAll(
+                  rs.executeWith(spark, source.scan(spark, source.AtSnapshot(head))),
+                  None,
+                  extraProperties = Map(
+                    ChangelogApply.ckptKey(rs.sourceName) -> head.toString))
+              case None => // empty source: first refresh cold-starts
+            }
+          case None =>
+            val df = GraftShims.ofRows(spark, analyzed)
+            mv.overwriteAll(df.toDF(fields.map(_.name): _*), None)
+        }
       }
     }
   }
@@ -188,6 +211,18 @@ object GraftMaterializedViews {
             // tick's added files/records are bounded by churn, never
             // by the MV's row count (overwriteAll would rewrite a
             // 10⁹-key MV for a 100-key delta)
+            if (shape.keySrcNames.isEmpty) {
+              // GLOBAL aggregate (no GROUP BY): there is no key to
+              // replace rows by, and the MV is a single row — the
+              // overwrite IS churn-sized
+              val folded = shape.applyFold(
+                shape.toInternal(mv.scan(spark)), changes, baseAtHead)
+              mv.overwriteAll(shape.fromInternal(folded, outNames, mv),
+                meta.currentSnapshotId,
+                extraProperties = Map(key -> srcHead.toString,
+                  RefreshModeProp -> "incremental"))
+              return Incremental
+            }
             val touched = changes.select(shape.keySrcNames.map(col): _*).distinct()
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             try {
@@ -220,11 +255,63 @@ object GraftMaterializedViews {
         joinShapeOf(spark, analyzed).map(_.withOutNames(outNames)) match {
           case Some(js) => refreshJoin(spark, mv, js, outNames)
           case None =>
-            val df = GraftShims.ofRows(spark, analyzed)
-            mv.overwriteAll(df.toDF(outNames: _*), meta.currentSnapshotId,
-              extraProperties = Map(RefreshModeProp -> "full"))
-            Full
+            rebuildShapeOf(spark, analyzed).map(_.withOutNames(outNames)) match {
+              case Some(rs) => refreshRebuild(spark, mv, rs)
+              case None =>
+                val df = GraftShims.ofRows(spark, analyzed)
+                mv.overwriteAll(df.toDF(outNames: _*), meta.currentSnapshotId,
+                  extraProperties = Map(RefreshModeProp -> "full"))
+                Full
+            }
         }
+    }
+  }
+
+  /** One refresh tick for the generalized [[RebuildShape]] grammar —
+    * RECOMPUTE-ON-TOUCH: the defining plan re-executes over the
+    * head-pinned source restricted to the delta's touched group keys
+    * (null-safe semi-join; touched-key bounds pushed to the scan), and
+    * the commit replaces exactly those keys. No per-aggregate
+    * arithmetic is needed — HAVING, expressions over aggregates,
+    * multiple value columns, and DISTINCT projections all refresh at
+    * churn × per-key-group price, the same class as the
+    * count-distinct fold. A group whose rebuilt row fails a HAVING (or
+    * empties) simply produces no replacement row and drops out via the
+    * key delete. */
+  private def refreshRebuild(
+      spark: SparkSession, mv: GraftTable, rs: RebuildShape): RefreshMode = {
+    val meta = mv.metadata
+    val source = rs.sourceTable(spark)
+    val srcHead = source.metadata.currentSnapshotId.getOrElse(return NoOp)
+    val key = ChangelogApply.ckptKey(rs.sourceName)
+    meta.properties.get(key).flatMap(_.toLongOption) match {
+      case Some(c) if c == srcHead => NoOp
+      case Some(c) =>
+        val changes = source.changelogScan(spark, c, Some(srcHead))
+        // touched = keys of ANY changed row (no WHERE narrowing: a
+        // superset is safe — an untouched-in-truth key rebuilds to its
+        // identical row); consumed three times → persist
+        val touched = changes.select(rs.keySrcNames.map(col): _*).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val pinned = source.scan(spark, source.AtSnapshot(srcHead))
+            .filter(ChangelogApply.touchedBoundsFilter(touched, rs.keySrcNames))
+          val restricted = ChangelogApply.nullSafeJoin(
+            pinned, touched, rs.keySrcNames, "left_semi")
+          mv.replaceKeys(spark, rs.keyOutNames,
+            rs.touchedOut(touched), rs.executeWith(spark, restricted),
+            meta.currentSnapshotId,
+            extraProperties = Map(key -> srcHead.toString,
+              RefreshModeProp -> "incremental-rebuild"))
+          Incremental
+        } finally touched.unpersist(blocking = false)
+      case None =>
+        mv.overwriteAll(
+          rs.executeWith(spark, source.scan(spark, source.AtSnapshot(srcHead))),
+          meta.currentSnapshotId,
+          extraProperties = Map(key -> srcHead.toString,
+            RefreshModeProp -> "incremental-rebuild"))
+        Full
     }
   }
 
@@ -292,6 +379,15 @@ object GraftMaterializedViews {
       * family keeps the true signed union). */
     def fold(delta: DataFrame, mmDelta: DataFrame => DataFrame = identity)
         : RefreshMode = {
+      if (js.agg.keySrcNames.isEmpty) {
+        // global aggregate over a join: single-row MV, overwrite is
+        // already churn-sized
+        val folded = js.agg.applyFold(
+          js.agg.toInternal(mv.scan(spark)), delta, baseAtHeads, mmDelta)
+        mv.overwriteAll(js.agg.fromInternal(folded, outNames, mv),
+          meta.currentSnapshotId, extraProperties = ckpts)
+        return Incremental
+      }
       val touched = delta.select(js.agg.keySrcNames.map(col): _*).distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
@@ -442,7 +538,11 @@ object GraftMaterializedViews {
         (if (isCountDistinct) Some(ChangelogApply.applyCountDistinct(
           prevInternal.select((k ++ Seq("n_rows", "n_distinct")).map(col): _*),
           changes, baseAtHead, k, valueName)) else None)).flatten
-      parts.reduceLeft((a, b) =>
+      if (k.isEmpty && parts.size > 1)
+        // a keyless mixed-family MV would need a 1x1 join; cross the
+        // single rows explicitly (both sides are exactly one group)
+        parts.reduceLeft((a, b) => a.crossJoin(b.drop("n_rows")))
+      else parts.reduceLeft((a, b) =>
         ChangelogApply.nullSafeJoin(a, b.drop("n_rows"), k, "inner"))
     }
 
@@ -662,6 +762,144 @@ object GraftMaterializedViews {
     def recompute(lScan: DataFrame, rScan: DataFrame,
         outNames: Seq[String]): DataFrame =
       agg.recompute(baseFrame(lScan, rScan), outNames)
+  }
+
+  /** The GENERALIZED single-table incremental shape (r14) — the tier
+    * between the arithmetic folds and full recompute. Grammar: any
+    * `[Filter | Project]*` chain over ONE `Aggregate` over
+    * `[Filter]` over one graft table, where every node is
+    * deterministic and every group key is a plain source attribute
+    * still exposed (possibly aliased) in the final output. No
+    * per-aggregate arithmetic exists for this grammar (HAVING prunes
+    * the stored state, expressions over aggregates aren't invertible),
+    * but RECOMPUTE-ON-TOUCH doesn't need any: re-execute the defining
+    * PLAN over the pinned base restricted to the touched keys, and
+    * replace exactly those keys. Correct for ANY deterministic
+    * aggregate because it IS the defining query, scoped to the groups
+    * that could have changed. */
+  private[engine] final case class RebuildShape(
+      catalogName: String,
+      sourceIdent: TableIdent,
+      relation: DataSourceV2Relation,
+      analyzed: LogicalPlan,
+      keySrcNames: Seq[String],
+      keyOutIdx: Seq[Int],
+      declaredNames: Seq[String]) {
+
+    def sourceName: String =
+      s"$catalogName.${sourceIdent.namespace.mkString(".")}.${sourceIdent.name}"
+    def keyOutNames: Seq[String] = keyOutIdx.map(declaredNames)
+    def withOutNames(declared: Seq[String]): RebuildShape =
+      copy(declaredNames = declared)
+
+    def sourceTable(spark: SparkSession): GraftTable = {
+      val plugin = GraftShims.catalogPlugin(spark, Some(catalogName))
+      plugin.asInstanceOf[GraftSparkCatalog].engineTable(sourceIdent)
+    }
+
+    def touchedOut(touched: DataFrame): DataFrame =
+      touched.select(keySrcNames.zip(keyOutNames)
+        .map { case (s, o) => col(s).as(o) }: _*)
+
+    /** Execute the defining plan with the source relation substituted
+      * by `frame` (same column names/types — a pinned scan, optionally
+      * touched-key restricted). The substitute is wrapped in a Project
+      * that aliases its columns back onto the ORIGINAL relation
+      * attribute ids, so every reference in the upper plan resolves
+      * unchanged. Output is renamed positionally to the MV's declared
+      * columns. */
+    def executeWith(spark: SparkSession, frame: DataFrame): DataFrame = {
+      val sub = frame.queryExecution.analyzed
+      val byName = sub.output.map(a => a.name -> a).toMap
+      val restored = Project(
+        relation.output.map(a => Alias(byName(a.name), a.name)(exprId = a.exprId)),
+        sub)
+      val swapped = analyzed.transformUp {
+        case r: DataSourceV2Relation if r.output == relation.output => restored
+      }
+      GraftShims.ofRows(spark, swapped).toDF(declaredNames: _*)
+    }
+  }
+
+  /** Analyzed plan → [[RebuildShape]], or None. Checked AFTER the
+    * arithmetic fold shapes (cheaper ticks win). */
+  private[engine] def rebuildShapeOf(
+      spark: SparkSession, analyzed: LogicalPlan): Option[RebuildShape] = {
+    // peel the deterministic [Filter | Project]* chain down to ONE
+    // aggregate; SELECT DISTINCT analyzes to a Distinct node — its
+    // implicit aggregate groups by (and emits) its child's output
+    def peel(p: LogicalPlan): Option[(Seq[Expression], LogicalPlan)] = p match {
+      case f: Filter if f.condition.deterministic => peel(strip(f.child))
+      case pr: Project if pr.projectList.forall(_.deterministic) =>
+        peel(strip(pr.child))
+      case a: Aggregate
+          if a.aggregateExpressions.forall(_.deterministic) =>
+        Some((a.groupingExpressions, a.child))
+      case d: org.apache.spark.sql.catalyst.plans.logical.Distinct =>
+        Some((strip(d.child).output, d.child))
+      case _ => None
+    }
+    val (groupExprs, aggChild) = peel(strip(analyzed)).getOrElse(return None)
+    // below the aggregate: pass-through column pruning and
+    // deterministic filters are fine; anything else is out of grammar
+    // (determinism is enforced by the match guards, so reaching a
+    // relation means the whole chain qualified)
+    def below(p: LogicalPlan): LogicalPlan = strip(p) match {
+      case Filter(c, r) if c.deterministic => below(r)
+      case pr: Project if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+        below(pr.child)
+      case r => r
+    }
+    below(aggChild) match {
+      case r: DataSourceV2Relation if r.identifier.isDefined &&
+          r.catalog.exists(_.isInstanceOf[GraftSparkCatalog]) =>
+        val groupAttrs = groupExprs.map {
+          case a: AttributeReference => a
+          case _ => return None // grouping on expressions: full (v1 boundary)
+        }
+        // a global aggregate has no key to replace rows by → full
+        if (groupAttrs.isEmpty) return None
+        if (groupAttrs.map(_.name).distinct.size != groupAttrs.size) return None
+        // keys must be SOURCE columns (the changelog projects them)
+        if (!groupAttrs.forall(g => r.outputSet.contains(g))) return None
+        // trace each final output position to a pass-through source attr
+        def origins(p: LogicalPlan): Seq[Option[org.apache.spark.sql.catalyst.expressions.ExprId]] =
+          p match {
+            case a: Aggregate => a.aggregateExpressions.map {
+              case ar: AttributeReference => Some(ar.exprId)
+              case Alias(ar: AttributeReference, _) => Some(ar.exprId)
+              case _ => None
+            }
+            case f: Filter => origins(strip(f.child))
+            case s: SubqueryAlias => origins(strip(s))
+            case d: org.apache.spark.sql.catalyst.plans.logical.Distinct =>
+              strip(d.child).output.map(a => Some(a.exprId))
+            case pr: Project =>
+              val child = strip(pr.child)
+              val below = origins(child)
+              val idx = child.output.map(_.exprId).zipWithIndex.toMap
+              pr.projectList.map {
+                case ar: AttributeReference => idx.get(ar.exprId).flatMap(below)
+                case Alias(ar: AttributeReference, _) => idx.get(ar.exprId).flatMap(below)
+                case _ => None
+              }
+            case other => other.output.map(_ => None)
+          }
+        val outOrigins = origins(strip(analyzed))
+        val keyOutIdx = groupAttrs.map { g =>
+          val i = outOrigins.indexWhere(_.contains(g.exprId))
+          if (i < 0) return None // a group key not exposed: can't address rows
+          i
+        }
+        val ident = r.identifier.get
+        Some(RebuildShape(
+          r.catalog.get.name(),
+          TableIdent(ident.namespace().toSeq, ident.name()),
+          r, analyzed,
+          groupAttrs.map(_.name), keyOutIdx,
+          analyzed.output.map(_.name)))
+      case _ => None
+    }
   }
 
   /** Analyzed plan → foldable shape, or None (→ full-refresh MV).

@@ -174,10 +174,16 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === expect)
   }
 
-  test("non-foldable MV (avg) refreshes by full recompute, still exactly once") {
+  test("avg-without-count MV refreshes by touched-key plan re-execution (rebuild tier)") {
+    // no count(*) output → outside the arithmetic-fold grammar; the
+    // r14 rebuild tier re-executes the defining plan over the pinned
+    // base restricted to touched keys instead of recomputing the world
     spark.sql(
       s"""CREATE MATERIALIZED VIEW $cat.db.mv_avg AS
          |SELECT status, avg(amount) AS mean FROM $cat.db.orders GROUP BY status""".stripMargin)
+    assert(spark.sql(s"SHOW TBLPROPERTIES $cat.db.mv_avg")
+      .collect().exists(r => r.getString(0) == GraftMaterializedViews.RefreshModeProp &&
+        r.getString(1) == "incremental-rebuild"))
     def expect: Set[(String, Option[Double])] = spark.sql(
       s"SELECT status, avg(amount) mean FROM $cat.db.orders GROUP BY status")
       .collect().map(r => (r.getString(0),
@@ -189,8 +195,10 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === expect)
     spark.sql(s"INSERT INTO $cat.db.orders VALUES (10,'open',100.0)")
     assert(GraftMaterializedViews.refresh(spark, graftCatalog,
-      TableIdent(Seq("db"), "mv_avg")) === GraftMaterializedViews.Full)
+      TableIdent(Seq("db"), "mv_avg")) === GraftMaterializedViews.Incremental)
     assert(got === expect)
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_avg")) === GraftMaterializedViews.NoOp)
   }
 
   test("IF NOT EXISTS is a no-op; plain duplicate create errors") {
@@ -334,9 +342,11 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === expect)
   }
 
-  test("avg-only over fractional values routes to full recompute (documented boundary)") {
-    // no stored sum and no exact reconstruction from a double mean —
-    // the shape must refuse the fold, not drift
+  test("avg-only over fractional values: the rebuild tier keeps it exact AND incremental") {
+    // no stored sum and no exact reconstruction from a double mean, so
+    // the ARITHMETIC fold refuses this shape (r13's documented
+    // boundary); the r14 rebuild tier upgrades it — touched keys
+    // re-execute the defining plan, which computes the avg exactly
     spark.sql(s"CREATE TABLE $cat.db.fracs (k STRING, v DOUBLE NOT NULL)")
     spark.sql(s"INSERT INTO $cat.db.fracs VALUES ('a',1.5),('a',2.5)")
     spark.sql(
@@ -345,7 +355,7 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
          |FROM $cat.db.fracs GROUP BY k""".stripMargin)
     spark.sql(s"INSERT INTO $cat.db.fracs VALUES ('a',3.0)")
     assert(GraftMaterializedViews.refresh(spark, graftCatalog,
-      TableIdent(Seq("db"), "mv_frac")) === GraftMaterializedViews.Full)
+      TableIdent(Seq("db"), "mv_frac")) === GraftMaterializedViews.Incremental)
     val r = spark.sql(s"SELECT n, mean FROM $cat.db.mv_frac WHERE k = 'a'").head()
     assert(r.getLong(0) === 3L)
     assert(math.abs(r.getDouble(1) - 7.0 / 3.0) < 1e-12)
@@ -406,7 +416,7 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
           r.getString(1) == "incremental"))
     assert(spark.sql(s"SHOW TBLPROPERTIES $cat.db.mv_frac")
       .collect().exists(r => r.getString(0) == GraftMaterializedViews.RefreshModeProp &&
-        r.getString(1) == "full"))
+        r.getString(1) == "incremental-rebuild"))
   }
 
   test("delta-join MV: one-sided churn folds incrementally, two-sided recomputes") {
@@ -770,6 +780,158 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.toSeq).toSet
     assert(got === expect)
     assert(!got.exists(_.head == 2L), "the zeroed key must drop out")
+  }
+
+  test("churn-sized ticks survive compaction: delete debt clears, refresh continues") {
+    // the lifecycle story of replaceKeys: equality-delete files accrete
+    // one per tick; rewrite_data_files materializes them away WITHOUT
+    // breaking the checkpoint (a table property, not snapshot state) or
+    // the next fold (expectedBase re-reads current metadata)
+    spark.sql(s"CREATE TABLE $cat.db.wc (k BIGINT, v DOUBLE)")
+    spark.sql(s"INSERT INTO $cat.db.wc SELECT id % 20, CAST(id AS DOUBLE) FROM range(100)")
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.db.mv_wc AS
+         |SELECT k, count(*) AS n, count(v) AS nv, sum(v) AS s
+         |FROM $cat.db.wc GROUP BY k""".stripMargin)
+    def expect = spark.sql(
+      s"SELECT k, count(*) n, count(v) nv, sum(v) s FROM $cat.db.wc GROUP BY k")
+      .collect().map(_.toSeq).toSet
+    def got = spark.sql(s"SELECT k, n, nv, s FROM $cat.db.mv_wc")
+      .collect().map(_.toSeq).toSet
+    def mvMeta = store.loadTable(whId, TableIdent(Seq("db"), "mv_wc"))
+      .fold(e => fail(e.message), identity).metadata
+    // several ticks accrete equality-delete files
+    (1 to 3).foreach { i =>
+      spark.sql(s"INSERT INTO $cat.db.wc VALUES ($i, ${i * 100}.0)")
+      assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+        TableIdent(Seq("db"), "mv_wc")) === GraftMaterializedViews.Incremental)
+      assert(got === expect)
+    }
+    assert(mvMeta.currentSnapshot.get.summary("total-delete-files").toLong >= 3L)
+    // compact the MV itself: content identical, delete debt gone
+    spark.sql(s"CALL $cat.system.rewrite_data_files(table => 'db.mv_wc', target_file_count => 1)")
+    assert(mvMeta.currentSnapshot.get.summary("total-delete-files").toLong === 0L)
+    assert(got === expect)
+    // and the NEXT incremental tick still folds from its checkpoint
+    spark.sql(s"DELETE FROM $cat.db.wc WHERE k = 5")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_wc")) === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+    assert(!got.exists(_.head == 5L))
+  }
+
+  test("HAVING MV refreshes by touched-key rebuild: groups cross the threshold both ways") {
+    spark.sql(s"CREATE TABLE $cat.db.hv (k STRING, v DOUBLE)")
+    spark.sql(s"INSERT INTO $cat.db.hv VALUES ('a',1.0),('a',2.0),('b',3.0)")
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.db.mv_having AS
+         |SELECT k, count(*) AS n, sum(v) AS s FROM $cat.db.hv
+         |GROUP BY k HAVING count(*) >= 2""".stripMargin)
+    assert(spark.sql(s"SHOW TBLPROPERTIES $cat.db.mv_having")
+      .collect().exists(r => r.getString(0) == GraftMaterializedViews.RefreshModeProp &&
+        r.getString(1) == "incremental-rebuild"))
+    def expect = spark.sql(
+      s"SELECT k, count(*) n, sum(v) s FROM $cat.db.hv GROUP BY k HAVING count(*) >= 2")
+      .collect().map(_.toSeq).toSet
+    def got = spark.sql(s"SELECT k, n, s FROM $cat.db.mv_having")
+      .collect().map(_.toSeq).toSet
+    assert(got === expect)
+    assert(got.map(_.head) === Set("a")) // b is below the threshold
+    // b rises past the threshold; a keeps its row; untouched groups stay
+    spark.sql(s"INSERT INTO $cat.db.hv VALUES ('b',4.0),('c',5.0)")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_having")) === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+    assert(got.map(_.head) === Set("a", "b"))
+    // a falls BELOW the threshold: its stored row must disappear (the
+    // rebuilt group fails HAVING → no replacement row → key deleted)
+    spark.sql(s"DELETE FROM $cat.db.hv WHERE k = 'a' AND v = 1.0")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_having")) === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+    assert(got.map(_.head) === Set("b"))
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_having")) === GraftMaterializedViews.NoOp)
+  }
+
+  test("rebuild tier: expressions over aggregates and TWO value columns, churn-sized commit") {
+    spark.sql(s"CREATE TABLE $cat.db.rb (k BIGINT, x DOUBLE, y BIGINT)")
+    spark.sql(
+      s"INSERT INTO $cat.db.rb SELECT id % 50, CAST(id AS DOUBLE), id * 2 FROM range(200)")
+    // two different value columns + an expression over aggregates +
+    // key aliased through a Project: none of it arithmetic-foldable,
+    // all of it rebuildable
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.db.mv_rb AS
+         |SELECT kk, n, ratio FROM (
+         |  SELECT k AS kk, count(*) AS n,
+         |         sum(x) / count(x) + max(y) AS ratio
+         |  FROM $cat.db.rb GROUP BY k)""".stripMargin)
+    assert(spark.sql(s"SHOW TBLPROPERTIES $cat.db.mv_rb")
+      .collect().exists(r => r.getString(0) == GraftMaterializedViews.RefreshModeProp &&
+        r.getString(1) == "incremental-rebuild"))
+    def expect = spark.sql(
+      s"""SELECT k AS kk, count(*) n, sum(x) / count(x) + max(y) AS ratio
+         |FROM $cat.db.rb GROUP BY k""".stripMargin)
+      .collect().map(_.toSeq).toSet
+    def got = spark.sql(s"SELECT kk, n, ratio FROM $cat.db.mv_rb")
+      .collect().map(_.toSeq).toSet
+    assert(got === expect)
+    // churn 2 of 50 keys; the commit must stay churn-sized
+    spark.sql(s"INSERT INTO $cat.db.rb VALUES (7, 700.0, 7), (9, 900.0, 9)")
+    spark.sql(s"DELETE FROM $cat.db.rb WHERE k = 9 AND y = 9")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_rb")) === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+    val summary = store.loadTable(whId, TableIdent(Seq("db"), "mv_rb"))
+      .fold(e => fail(e.message), identity).metadata.currentSnapshot.get.summary
+    assert(summary("added-records").toLong <= 2L,
+      s"rebuild tick wrote ${summary("added-records")} records for 2 touched keys")
+    assert(summary("added-delete-files").toLong >= 1L)
+  }
+
+  test("rebuild tier: DISTINCT projection maintains incrementally") {
+    spark.sql(s"CREATE TABLE $cat.db.dv (k STRING, v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.db.dv VALUES ('a',1),('a',2),('b',3)")
+    spark.sql(
+      s"CREATE MATERIALIZED VIEW $cat.db.mv_dv AS SELECT DISTINCT k FROM $cat.db.dv")
+    assert(spark.sql(s"SHOW TBLPROPERTIES $cat.db.mv_dv")
+      .collect().exists(r => r.getString(0) == GraftMaterializedViews.RefreshModeProp &&
+        r.getString(1) == "incremental-rebuild"))
+    def got = spark.sql(s"SELECT k FROM $cat.db.mv_dv")
+      .collect().map(_.getString(0)).toSet
+    assert(got === Set("a", "b"))
+    spark.sql(s"INSERT INTO $cat.db.dv VALUES ('c',4)")
+    spark.sql(s"DELETE FROM $cat.db.dv WHERE k = 'b'")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_dv")) === GraftMaterializedViews.Incremental)
+    assert(got === Set("a", "c"))
+  }
+
+  test("rebuild-tier boundaries: group-by-expression routes to full; GLOBAL aggregates still fold") {
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.db.mv_gbe AS
+         |SELECT length(status) AS l, count(*) AS n
+         |FROM $cat.db.orders GROUP BY length(status)""".stripMargin)
+    assert(spark.sql(s"SHOW TBLPROPERTIES $cat.db.mv_gbe")
+      .collect().exists(r => r.getString(0) == GraftMaterializedViews.RefreshModeProp &&
+        r.getString(1) == "full"))
+    // a GLOBAL aggregate (no GROUP BY) has no key to replace rows by —
+    // it folds arithmetically and overwrites its single row, which IS
+    // churn-sized (regression guard: the keyed replace path must not
+    // be taken with zero keys)
+    spark.sql(
+      s"CREATE MATERIALIZED VIEW $cat.db.mv_glob AS SELECT count(*) AS n FROM $cat.db.orders")
+    assert(spark.sql(s"SHOW TBLPROPERTIES $cat.db.mv_glob")
+      .collect().exists(r => r.getString(0) == GraftMaterializedViews.RefreshModeProp &&
+        r.getString(1) == "incremental"))
+    spark.sql(s"INSERT INTO $cat.db.orders VALUES (300,'open',1.0)")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_glob")) === GraftMaterializedViews.Incremental)
+    assert(spark.sql(s"SELECT n FROM $cat.db.mv_glob").head().getLong(0) ===
+      spark.sql(s"SELECT count(*) FROM $cat.db.orders").head().getLong(0))
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_glob")) === GraftMaterializedViews.NoOp)
   }
 
   test("join MV with a persistently-empty side stops committing once current") {
