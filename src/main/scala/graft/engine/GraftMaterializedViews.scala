@@ -49,8 +49,10 @@ object GraftMaterializedViews {
   val DefCatProp = "graft.mv.default-catalog"
   val DefNsProp = "graft.mv.default-namespace"
   /** DESCRIBE-visible routing report: "incremental" when the defining
-    * query folds through the changelog, "full" when every refresh
-    * recomputes. Set at create, re-asserted on each refresh commit. */
+    * query folds through the changelog arithmetic,
+    * "incremental-rebuild" when it refreshes by touched-key plan
+    * re-execution, "full" when every refresh recomputes. Set at
+    * create, re-asserted on each refresh commit. */
   val RefreshModeProp = "graft.mv.refresh-mode"
   private val NsSep = "\u001f"
 
@@ -96,6 +98,9 @@ object GraftMaterializedViews {
     val rebuildShape =
       if (shape.isDefined || joinShape.isDefined) None
       else rebuildShapeOf(spark, analyzed).map(_.withOutNames(fields.map(_.name)))
+    val rebuildJoin =
+      if (shape.isDefined || joinShape.isDefined || rebuildShape.isDefined) None
+      else rebuildJoinShapeOf(spark, analyzed).map(_.withOutNames(fields.map(_.name)))
     val props = properties ++ Map(
       MarkerProp -> "true",
       SqlProp -> originalText,
@@ -107,7 +112,7 @@ object GraftMaterializedViews {
       // recompute
       RefreshModeProp ->
         (if (shape.isDefined || joinShape.isDefined) "incremental"
-         else if (rebuildShape.isDefined) "incremental-rebuild"
+         else if (rebuildShape.isDefined || rebuildJoin.isDefined) "incremental-rebuild"
          else "full"))
     // PARTITIONED BY flows straight through to the backing table: the
     // fold's overwrite commits write through the table's default spec,
@@ -162,9 +167,25 @@ object GraftMaterializedViews {
                     ChangelogApply.ckptKey(rs.sourceName) -> head.toString))
               case None => // empty source: first refresh cold-starts
             }
-          case None =>
-            val df = GraftShims.ofRows(spark, analyzed)
-            mv.overwriteAll(df.toDF(fields.map(_.name): _*), None)
+          case None => rebuildJoin match {
+            case Some(rj) =>
+              val lt = rj.table(spark, rj.leftIdent)
+              val rt = rj.table(spark, rj.rightIdent)
+              (lt.metadata.currentSnapshotId, rt.metadata.currentSnapshotId) match {
+                case (Some(lh), Some(rh)) =>
+                  mv.overwriteAll(
+                    rj.rebuildFull(spark, lt.scan(spark, lt.AtSnapshot(lh)),
+                      rt.scan(spark, rt.AtSnapshot(rh))),
+                    None,
+                    extraProperties = Map(
+                      ChangelogApply.ckptKey(rj.leftName) -> lh.toString,
+                      ChangelogApply.ckptKey(rj.rightName) -> rh.toString))
+                case _ => // an empty side: inner join empty, refresh cold-starts
+              }
+            case None =>
+              val df = GraftShims.ofRows(spark, analyzed)
+              mv.overwriteAll(df.toDF(fields.map(_.name): _*), None)
+          }
         }
       }
     }
@@ -258,10 +279,14 @@ object GraftMaterializedViews {
             rebuildShapeOf(spark, analyzed).map(_.withOutNames(outNames)) match {
               case Some(rs) => refreshRebuild(spark, mv, rs)
               case None =>
-                val df = GraftShims.ofRows(spark, analyzed)
-                mv.overwriteAll(df.toDF(outNames: _*), meta.currentSnapshotId,
-                  extraProperties = Map(RefreshModeProp -> "full"))
-                Full
+                rebuildJoinShapeOf(spark, analyzed).map(_.withOutNames(outNames)) match {
+                  case Some(rj) => refreshRebuildJoin(spark, mv, rj)
+                  case None =>
+                    val df = GraftShims.ofRows(spark, analyzed)
+                    mv.overwriteAll(df.toDF(outNames: _*), meta.currentSnapshotId,
+                      extraProperties = Map(RefreshModeProp -> "full"))
+                    Full
+                }
             }
         }
     }
@@ -278,6 +303,74 @@ object GraftMaterializedViews {
     * count-distinct fold. A group whose rebuilt row fails a HAVING (or
     * empties) simply produces no replacement row and drops out via the
     * key delete. */
+  /** One refresh tick for [[RebuildJoinShape]]: NoOp when both
+    * checkpoints match the heads (absent-head markers included);
+    * otherwise derive the touched group keys from the bilinear cover
+    * terms that apply (one term for one-sided churn, all three for
+    * two-sided), rebuild them from the two head-pinned scans, and
+    * commit the keyed replacement with both advanced checkpoints. */
+  private def refreshRebuildJoin(
+      spark: SparkSession, mv: GraftTable, rj: RebuildJoinShape): RefreshMode = {
+    val meta = mv.metadata
+    val lt = rj.table(spark, rj.leftIdent)
+    val rt = rj.table(spark, rj.rightIdent)
+    val lHead = lt.metadata.currentSnapshotId
+    val rHead = rt.metadata.currentSnapshotId
+    val kL = ChangelogApply.ckptKey(rj.leftName)
+    val kR = ChangelogApply.ckptKey(rj.rightName)
+    def headMark(h: Option[Long]): String = h.map(_.toString).getOrElse("none")
+    val ckpts = Map(
+      kL -> headMark(lHead), kR -> headMark(rHead),
+      RefreshModeProp -> "incremental-rebuild")
+    if (meta.properties.get(kL).contains(headMark(lHead)) &&
+        meta.properties.get(kR).contains(headMark(rHead))) return NoOp
+    if (lHead.isEmpty && rHead.isEmpty) return NoOp
+
+    def fullAtHeads(): RefreshMode = (lHead, rHead) match {
+      case (Some(lh), Some(rh)) =>
+        mv.overwriteAll(
+          rj.rebuildFull(spark, lt.scan(spark, lt.AtSnapshot(lh)),
+            rt.scan(spark, rt.AtSnapshot(rh))),
+          meta.currentSnapshotId, extraProperties = ckpts)
+        Full
+      case _ =>
+        mv.overwriteAll(mv.scan(spark).limit(0),
+          meta.currentSnapshotId, extraProperties = ckpts)
+        Full
+    }
+
+    val ckL = meta.properties.get(kL).flatMap(_.toLongOption)
+    val ckR = meta.properties.get(kR).flatMap(_.toLongOption)
+    (ckL, ckR, lHead, rHead) match {
+      case (Some(cl), Some(cr), Some(lh), Some(rh)) =>
+        // changelog rows as PLAIN source rows: for touched-key
+        // derivation the sign is irrelevant — any appearance means the
+        // key may have changed (self-join of one table: both deltas
+        // are the same range; the cover still holds)
+        def plainRows(t: GraftTable, from: Long, to: Long, rel: DataSourceV2Relation) =
+          t.changelogScan(spark, from, Some(to))
+            .select(rel.output.map(a => col(a.name)): _*)
+        val aHead = lt.scan(spark, lt.AtSnapshot(lh))
+        val bHead = rt.scan(spark, rt.AtSnapshot(rh))
+        val terms = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+        if (cl != lh) {
+          val dA = plainRows(lt, cl, lh, rj.leftRel)
+          terms += rj.keysOf(spark, dA, bHead)
+          if (cr != rh) terms += rj.keysOf(spark, dA, plainRows(rt, cr, rh, rj.rightRel))
+        }
+        if (cr != rh) terms += rj.keysOf(spark, aHead, plainRows(rt, cr, rh, rj.rightRel))
+        val touched = terms.reduceLeft(_ unionByName _).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          mv.replaceKeys(spark, rj.keyOutNames,
+            rj.touchedOut(touched), rj.rebuild(spark, touched, aHead, bHead),
+            meta.currentSnapshotId, extraProperties = ckpts)
+          Incremental
+        } finally touched.unpersist(blocking = false)
+      case _ => fullAtHeads() // a checkpoint missing or a side headless
+    }
+  }
+
   private def refreshRebuild(
       spark: SparkSession, mv: GraftTable, rs: RebuildShape): RefreshMode = {
     val meta = mv.metadata
@@ -777,6 +870,96 @@ object GraftMaterializedViews {
     * replace exactly those keys. Correct for ANY deterministic
     * aggregate because it IS the defining query, scoped to the groups
     * that could have changed. */
+  // ------------------------- rebuild tier: shared plan machinery
+  /** Peel the deterministic `[Filter | Project]*` chain down to ONE
+    * aggregate; SELECT DISTINCT analyzes to a Distinct node — its
+    * implicit aggregate groups by (and emits) its child's output. */
+  private def peelToAggregate(p: LogicalPlan): Option[(Seq[Expression], LogicalPlan)] =
+    p match {
+      case f: Filter if f.condition.deterministic => peelToAggregate(strip(f.child))
+      case pr: Project if pr.projectList.forall(_.deterministic) =>
+        peelToAggregate(strip(pr.child))
+      case a: Aggregate
+          if a.aggregateExpressions.forall(_.deterministic) =>
+        Some((a.groupingExpressions, a.child))
+      case d: org.apache.spark.sql.catalyst.plans.logical.Distinct =>
+        Some((strip(d.child).output, d.child))
+      case _ => None
+    }
+
+  /** Below the aggregate: pass-through column pruning and
+    * deterministic filters are fine; anything else is out of grammar
+    * (determinism is enforced by the match guards, so reaching a
+    * relation/join means the whole chain qualified). */
+  private def belowChain(p: LogicalPlan): LogicalPlan = strip(p) match {
+    case Filter(c, r) if c.deterministic => belowChain(r)
+    case pr: Project if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+      belowChain(pr.child)
+    case r => r
+  }
+
+  /** For each final output position, the exprId of the underlying
+    * pass-through attribute (None for computed columns). */
+  private def originsOf(p: LogicalPlan)
+      : Seq[Option[org.apache.spark.sql.catalyst.expressions.ExprId]] = p match {
+    case a: Aggregate => a.aggregateExpressions.map {
+      case ar: AttributeReference => Some(ar.exprId)
+      case Alias(ar: AttributeReference, _) => Some(ar.exprId)
+      case _ => None
+    }
+    case f: Filter => originsOf(strip(f.child))
+    case s: SubqueryAlias => originsOf(strip(s))
+    case d: org.apache.spark.sql.catalyst.plans.logical.Distinct =>
+      strip(d.child).output.map(a => Some(a.exprId))
+    case pr: Project =>
+      val child = strip(pr.child)
+      val below = originsOf(child)
+      val idx = child.output.map(_.exprId).zipWithIndex.toMap
+      pr.projectList.map {
+        case ar: AttributeReference => idx.get(ar.exprId).flatMap(below)
+        case Alias(ar: AttributeReference, _) => idx.get(ar.exprId).flatMap(below)
+        case _ => None
+      }
+    case other => other.output.map(_ => None)
+  }
+
+  /** Validate the group keys (plain attrs, non-empty, distinct names,
+    * source columns of `sourceOut`) and locate each in the final
+    * output — or None (→ full). */
+  private def traceKeys(
+      analyzed: LogicalPlan,
+      groupExprs: Seq[Expression],
+      sourceOut: org.apache.spark.sql.catalyst.expressions.AttributeSet)
+      : Option[(Seq[AttributeReference], Seq[Int])] = {
+    val groupAttrs = groupExprs.map {
+      case a: AttributeReference => a
+      case _ => return None // grouping on expressions: full (v1 boundary)
+    }
+    if (groupAttrs.isEmpty) return None // no key to replace rows by
+    if (groupAttrs.map(_.name).distinct.size != groupAttrs.size) return None
+    if (!groupAttrs.forall(sourceOut.contains)) return None
+    val outOrigins = originsOf(strip(analyzed))
+    val keyOutIdx = groupAttrs.map { g =>
+      val i = outOrigins.indexWhere(_.contains(g.exprId))
+      if (i < 0) return None // a group key not exposed: can't address rows
+      i
+    }
+    Some((groupAttrs, keyOutIdx))
+  }
+
+  /** Wrap `frame` (same column names/types as `rel` — a pinned scan or
+    * a changelog's plain rows) in a Project that aliases its columns
+    * back onto `rel`'s ORIGINAL attribute ids, so every reference in
+    * the stored analyzed plan resolves unchanged. */
+  private def restoreAttrs(
+      rel: DataSourceV2Relation, frame: DataFrame): LogicalPlan = {
+    val sub = frame.queryExecution.analyzed
+    val byName = sub.output.map(a => a.name -> a).toMap
+    Project(
+      rel.output.map(a => Alias(byName(a.name), a.name)(exprId = a.exprId)),
+      sub)
+  }
+
   private[engine] final case class RebuildShape(
       catalogName: String,
       sourceIdent: TableIdent,
@@ -802,18 +985,10 @@ object GraftMaterializedViews {
         .map { case (s, o) => col(s).as(o) }: _*)
 
     /** Execute the defining plan with the source relation substituted
-      * by `frame` (same column names/types — a pinned scan, optionally
-      * touched-key restricted). The substitute is wrapped in a Project
-      * that aliases its columns back onto the ORIGINAL relation
-      * attribute ids, so every reference in the upper plan resolves
-      * unchanged. Output is renamed positionally to the MV's declared
-      * columns. */
+      * by `frame` (a pinned scan, optionally touched-key restricted).
+      * Output is renamed positionally to the MV's declared columns. */
     def executeWith(spark: SparkSession, frame: DataFrame): DataFrame = {
-      val sub = frame.queryExecution.analyzed
-      val byName = sub.output.map(a => a.name -> a).toMap
-      val restored = Project(
-        relation.output.map(a => Alias(byName(a.name), a.name)(exprId = a.exprId)),
-        sub)
+      val restored = restoreAttrs(relation, frame)
       val swapped = analyzed.transformUp {
         case r: DataSourceV2Relation if r.output == relation.output => restored
       }
@@ -825,72 +1000,12 @@ object GraftMaterializedViews {
     * arithmetic fold shapes (cheaper ticks win). */
   private[engine] def rebuildShapeOf(
       spark: SparkSession, analyzed: LogicalPlan): Option[RebuildShape] = {
-    // peel the deterministic [Filter | Project]* chain down to ONE
-    // aggregate; SELECT DISTINCT analyzes to a Distinct node — its
-    // implicit aggregate groups by (and emits) its child's output
-    def peel(p: LogicalPlan): Option[(Seq[Expression], LogicalPlan)] = p match {
-      case f: Filter if f.condition.deterministic => peel(strip(f.child))
-      case pr: Project if pr.projectList.forall(_.deterministic) =>
-        peel(strip(pr.child))
-      case a: Aggregate
-          if a.aggregateExpressions.forall(_.deterministic) =>
-        Some((a.groupingExpressions, a.child))
-      case d: org.apache.spark.sql.catalyst.plans.logical.Distinct =>
-        Some((strip(d.child).output, d.child))
-      case _ => None
-    }
-    val (groupExprs, aggChild) = peel(strip(analyzed)).getOrElse(return None)
-    // below the aggregate: pass-through column pruning and
-    // deterministic filters are fine; anything else is out of grammar
-    // (determinism is enforced by the match guards, so reaching a
-    // relation means the whole chain qualified)
-    def below(p: LogicalPlan): LogicalPlan = strip(p) match {
-      case Filter(c, r) if c.deterministic => below(r)
-      case pr: Project if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
-        below(pr.child)
-      case r => r
-    }
-    below(aggChild) match {
+    val (groupExprs, aggChild) = peelToAggregate(strip(analyzed)).getOrElse(return None)
+    belowChain(aggChild) match {
       case r: DataSourceV2Relation if r.identifier.isDefined &&
           r.catalog.exists(_.isInstanceOf[GraftSparkCatalog]) =>
-        val groupAttrs = groupExprs.map {
-          case a: AttributeReference => a
-          case _ => return None // grouping on expressions: full (v1 boundary)
-        }
-        // a global aggregate has no key to replace rows by → full
-        if (groupAttrs.isEmpty) return None
-        if (groupAttrs.map(_.name).distinct.size != groupAttrs.size) return None
-        // keys must be SOURCE columns (the changelog projects them)
-        if (!groupAttrs.forall(g => r.outputSet.contains(g))) return None
-        // trace each final output position to a pass-through source attr
-        def origins(p: LogicalPlan): Seq[Option[org.apache.spark.sql.catalyst.expressions.ExprId]] =
-          p match {
-            case a: Aggregate => a.aggregateExpressions.map {
-              case ar: AttributeReference => Some(ar.exprId)
-              case Alias(ar: AttributeReference, _) => Some(ar.exprId)
-              case _ => None
-            }
-            case f: Filter => origins(strip(f.child))
-            case s: SubqueryAlias => origins(strip(s))
-            case d: org.apache.spark.sql.catalyst.plans.logical.Distinct =>
-              strip(d.child).output.map(a => Some(a.exprId))
-            case pr: Project =>
-              val child = strip(pr.child)
-              val below = origins(child)
-              val idx = child.output.map(_.exprId).zipWithIndex.toMap
-              pr.projectList.map {
-                case ar: AttributeReference => idx.get(ar.exprId).flatMap(below)
-                case Alias(ar: AttributeReference, _) => idx.get(ar.exprId).flatMap(below)
-                case _ => None
-              }
-            case other => other.output.map(_ => None)
-          }
-        val outOrigins = origins(strip(analyzed))
-        val keyOutIdx = groupAttrs.map { g =>
-          val i = outOrigins.indexWhere(_.contains(g.exprId))
-          if (i < 0) return None // a group key not exposed: can't address rows
-          i
-        }
+        val (groupAttrs, keyOutIdx) =
+          traceKeys(analyzed, groupExprs, r.outputSet).getOrElse(return None)
         val ident = r.identifier.get
         Some(RebuildShape(
           r.catalog.get.name(),
@@ -898,6 +1013,127 @@ object GraftMaterializedViews {
           r, analyzed,
           groupAttrs.map(_.name), keyOutIdx,
           analyzed.output.map(_.name)))
+      case _ => None
+    }
+  }
+
+  /** The rebuild tier over a TWO-TABLE inner join (r14): the same
+    * recompute-on-touch discipline for `[Filter|Project]*` over one
+    * aggregate over `[Filter|Project]*` over `a INNER JOIN b` (ANY
+    * deterministic join condition — the rebuild re-executes the plan,
+    * so nothing restricts it to single-attribute equi-joins the way
+    * the arithmetic fold is). Touched group keys are derived by the
+    * same bilinear cover the fold path proves: every joined pair that
+    * appeared or disappeared since the checkpoints shows up in
+    * ΔA⋈B@head ∪ A@head⋈ΔB ∪ ΔA⋈ΔB — each term evaluated by
+    * substituting the plan BELOW the aggregate (so the defining WHERE
+    * and join condition apply) and projecting the group keys. The
+    * rebuild then re-executes the FULL plan at the two pinned heads
+    * with a null-safe LeftSemi on the touched keys injected directly
+    * above the aggregate's child. INNER only: an outer join's
+    * null-extended rows can change for keys outside this cover. */
+  private[engine] final case class RebuildJoinShape(
+      catalogName: String,
+      leftIdent: TableIdent,
+      rightIdent: TableIdent,
+      leftRel: DataSourceV2Relation,
+      rightRel: DataSourceV2Relation,
+      analyzed: LogicalPlan,
+      aggChild: LogicalPlan,
+      groupAttrs: Seq[AttributeReference],
+      keyOutIdx: Seq[Int],
+      declaredNames: Seq[String]) {
+
+    def leftName: String =
+      s"$catalogName.${leftIdent.namespace.mkString(".")}.${leftIdent.name}"
+    def rightName: String =
+      s"$catalogName.${rightIdent.namespace.mkString(".")}.${rightIdent.name}"
+    def keySrcNames: Seq[String] = groupAttrs.map(_.name)
+    def keyOutNames: Seq[String] = keyOutIdx.map(declaredNames)
+    def withOutNames(declared: Seq[String]): RebuildJoinShape =
+      copy(declaredNames = declared)
+
+    def table(spark: SparkSession, ti: TableIdent): GraftTable = {
+      val plugin = GraftShims.catalogPlugin(spark, Some(catalogName))
+      plugin.asInstanceOf[GraftSparkCatalog].engineTable(ti)
+    }
+
+    def touchedOut(touched: DataFrame): DataFrame =
+      touched.select(keySrcNames.zip(keyOutNames)
+        .map { case (s, o) => col(s).as(o) }: _*)
+
+    private def substitute(
+        plan: LogicalPlan, aFrame: DataFrame, bFrame: DataFrame): LogicalPlan =
+      plan.transformUp {
+        case r: DataSourceV2Relation if r.output == leftRel.output =>
+          restoreAttrs(leftRel, aFrame)
+        case r: DataSourceV2Relation if r.output == rightRel.output =>
+          restoreAttrs(rightRel, bFrame)
+      }
+
+    /** Group keys of one cover term: the plan below the aggregate with
+      * the sides substituted, projected to the group-key attrs. */
+    def keysOf(spark: SparkSession, aFrame: DataFrame, bFrame: DataFrame): DataFrame =
+      GraftShims.ofRows(spark, substitute(aggChild, aFrame, bFrame))
+        .select(groupAttrs.map(a => GraftShims.column(a).as(a.name)): _*)
+
+    /** Re-execute the full defining plan at the substituted sides,
+      * restricted to `touched` keys by a null-safe LeftSemi injected
+      * above the (single) aggregate's child. */
+    def rebuild(
+        spark: SparkSession, touched: DataFrame,
+        aFrame: DataFrame, bFrame: DataFrame): DataFrame = {
+      import org.apache.spark.sql.catalyst.expressions.{And, EqualNullSafe}
+      import org.apache.spark.sql.catalyst.plans.LeftSemi
+      import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin, JoinHint}
+      val touchedPlan = touched.queryExecution.analyzed
+      val cond = groupAttrs.zip(touchedPlan.output)
+        .map { case (g, t) => EqualNullSafe(g, t): Expression }
+        .reduceLeft(And(_, _))
+      val swapped = substitute(analyzed, aFrame, bFrame)
+      val restricted = swapped.transformUp {
+        case a: Aggregate if a.groupingExpressions == (groupAttrs: Seq[Expression]) =>
+          a.copy(child = LJoin(a.child, touchedPlan, LeftSemi, Some(cond), JoinHint.NONE))
+        case d: org.apache.spark.sql.catalyst.plans.logical.Distinct
+            if strip(d.child).output == groupAttrs =>
+          d.copy(child = LJoin(d.child, touchedPlan, LeftSemi, Some(cond), JoinHint.NONE))
+      }
+      GraftShims.ofRows(spark, restricted).toDF(declaredNames: _*)
+    }
+
+    /** Unrestricted re-execution (cold start / full-at-heads). */
+    def rebuildFull(
+        spark: SparkSession, aFrame: DataFrame, bFrame: DataFrame): DataFrame =
+      GraftShims.ofRows(spark, substitute(analyzed, aFrame, bFrame))
+        .toDF(declaredNames: _*)
+  }
+
+  /** Analyzed plan → [[RebuildJoinShape]], or None. Checked after the
+    * join FOLD shape (cheaper ticks win). */
+  private[engine] def rebuildJoinShapeOf(
+      spark: SparkSession, analyzed: LogicalPlan): Option[RebuildJoinShape] = {
+    val (groupExprs, aggChild) = peelToAggregate(strip(analyzed)).getOrElse(return None)
+    belowChain(aggChild) match {
+      case Join(l0, r0, Inner, cond, _) if cond.forall(_.deterministic) =>
+        (belowChain(l0), belowChain(r0)) match {
+          case (lr: DataSourceV2Relation, rr: DataSourceV2Relation)
+              if lr.identifier.isDefined && rr.identifier.isDefined &&
+                lr.catalog.exists(_.isInstanceOf[GraftSparkCatalog]) &&
+                rr.catalog.exists(_.isInstanceOf[GraftSparkCatalog]) &&
+                lr.catalog.get.name() == rr.catalog.get.name() =>
+            val (groupAttrs, keyOutIdx) = traceKeys(analyzed, groupExprs,
+              lr.outputSet ++ rr.outputSet).getOrElse(return None)
+            val li = lr.identifier.get
+            val ri = rr.identifier.get
+            Some(RebuildJoinShape(
+              lr.catalog.get.name(),
+              TableIdent(li.namespace().toSeq, li.name()),
+              TableIdent(ri.namespace().toSeq, ri.name()),
+              lr, rr, analyzed, aggChild,
+              groupAttrs, keyOutIdx,
+              analyzed.output.map(_.name)))
+          case _ => None
+        }
       case _ => None
     }
   }

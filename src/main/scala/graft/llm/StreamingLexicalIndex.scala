@@ -51,16 +51,25 @@ object StreamingLexicalIndex {
       .write.mode("overwrite").parquet(s"$statePath/batch_seed")
 
   /** Start continuous index maintenance over `docs` (streaming frame
-    * with `doc_id: bigint, text: string`). */
+    * with `doc_id: bigint, text: string`). `compactEvery` folds the
+    * per-batch directories into one consolidated generation every N
+    * micro-batches (0 disables) — the small-files bound holds without
+    * an external scheduler, and a replayed batch that re-triggers
+    * compaction is harmless (compaction is idempotent and watermark-
+    * addressed). */
   def start(
       docs: DataFrame,
       statePath: String,
-      checkpoint: String): StreamingQuery =
+      checkpoint: String,
+      compactEvery: Int = 0): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, statePath)
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+          compact(batch.sparkSession, statePath)
+        ()
       }
       .start()
 

@@ -629,8 +629,19 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(got === expect)
 
-    // two DIFFERENT value columns stay out of grammar too (one value
-    // column per foldable MV)
+    // an OUTER join stays out of every incremental grammar (its
+    // null-extended rows can change for keys outside the delta cover)
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.db.mv_join_outer AS
+         |SELECT o.status AS st, count(*) AS n
+         |FROM $cat.db.orders o LEFT JOIN $cat.db.dims d ON o.status = d.status
+         |GROUP BY o.status""".stripMargin)
+    assert(spark.sql(s"SHOW TBLPROPERTIES $cat.db.mv_join_outer")
+      .collect().exists(r => r.getString(0) == GraftMaterializedViews.RefreshModeProp &&
+        r.getString(1) == "full"))
+  }
+
+  test("join rebuild tier: two value columns + HAVING over a join refresh by touched-key rebuild") {
     spark.sql(
       s"""CREATE MATERIALIZED VIEW $cat.db.mv_join_twovals AS
          |SELECT d.label AS label, count(*) AS n, sum(o.amount) AS s, min(o.id) AS lo
@@ -638,7 +649,104 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
          |GROUP BY d.label""".stripMargin)
     assert(spark.sql(s"SHOW TBLPROPERTIES $cat.db.mv_join_twovals")
       .collect().exists(r => r.getString(0) == GraftMaterializedViews.RefreshModeProp &&
-        r.getString(1) == "full"))
+        r.getString(1) == "incremental-rebuild"))
+    def expectTv = spark.sql(
+      s"""SELECT d.label, count(*) n, round(sum(o.amount), 6) s, min(o.id) lo
+         |FROM $cat.db.orders o JOIN $cat.db.dims d ON o.status = d.status
+         |GROUP BY d.label""".stripMargin).collect().map(_.toSeq).toSet
+    def gotTv = spark.sql(s"SELECT label, n, round(s, 6) AS s, lo FROM $cat.db.mv_join_twovals")
+      .collect().map(_.toSeq).toSet
+    assert(gotTv === expectTv)
+    // fact-side churn, then dim-side churn, then BOTH in one tick
+    // (incl. a cross pair neither one-sided cover term sees)
+    spark.sql(s"INSERT INTO $cat.db.orders VALUES (400,'open',4.0)")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_join_twovals")) === GraftMaterializedViews.Incremental)
+    assert(gotTv === expectTv)
+    spark.sql(s"INSERT INTO $cat.db.dims VALUES ('rbj','RBJ')")
+    spark.sql(s"INSERT INTO $cat.db.orders VALUES (401,'rbj',41.0)")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_join_twovals")) === GraftMaterializedViews.Incremental)
+    assert(gotTv === expectTv)
+    assert(gotTv.exists(_.head == "RBJ"), "cross pair missing from the join rebuild")
+    spark.sql(s"DELETE FROM $cat.db.orders WHERE id = 401")
+    spark.sql(s"DELETE FROM $cat.db.dims WHERE status = 'rbj'")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_join_twovals")) === GraftMaterializedViews.Incremental)
+    assert(gotTv === expectTv)
+    assert(!gotTv.exists(_.head == "RBJ"))
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_join_twovals")) === GraftMaterializedViews.NoOp)
+
+    // HAVING over the join: a group crossing the threshold disappears
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.db.mv_join_having AS
+         |SELECT d.label AS label, count(*) AS n
+         |FROM $cat.db.orders o JOIN $cat.db.dims d ON o.status = d.status
+         |GROUP BY d.label HAVING count(*) >= 2""".stripMargin)
+    assert(spark.sql(s"SHOW TBLPROPERTIES $cat.db.mv_join_having")
+      .collect().exists(r => r.getString(0) == GraftMaterializedViews.RefreshModeProp &&
+        r.getString(1) == "incremental-rebuild"))
+    def expectHv = spark.sql(
+      s"""SELECT d.label, count(*) n
+         |FROM $cat.db.orders o JOIN $cat.db.dims d ON o.status = d.status
+         |GROUP BY d.label HAVING count(*) >= 2""".stripMargin)
+      .collect().map(_.toSeq).toSet
+    def gotHv = spark.sql(s"SELECT label, n FROM $cat.db.mv_join_having")
+      .collect().map(_.toSeq).toSet
+    assert(gotHv === expectHv)
+    spark.sql(s"INSERT INTO $cat.db.dims VALUES ('solo','SOLO')")
+    spark.sql(s"INSERT INTO $cat.db.orders VALUES (402,'solo',1.0)")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_join_having")) === GraftMaterializedViews.Incremental)
+    assert(gotHv === expectHv)
+    assert(!gotHv.exists(_.head == "SOLO")) // below the threshold
+    spark.sql(s"INSERT INTO $cat.db.orders VALUES (403,'solo',2.0)")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_join_having")) === GraftMaterializedViews.Incremental)
+    assert(gotHv === expectHv)
+    assert(gotHv.exists(_.head == "SOLO")) // crossed up
+    spark.sql(s"DELETE FROM $cat.db.orders WHERE id = 403")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_join_having")) === GraftMaterializedViews.Incremental)
+    assert(gotHv === expectHv)
+    assert(!gotHv.exists(_.head == "SOLO")) // crossed back down
+  }
+
+  test("join rebuild tier: a NON-EQUI band join refreshes incrementally") {
+    // no fold can invert a range-condition join; the rebuild tier
+    // re-executes the plan, so the condition shape is irrelevant
+    spark.sql(s"CREATE TABLE $cat.db.bands (lo DOUBLE, hi DOUBLE, band STRING)")
+    spark.sql(s"""INSERT INTO $cat.db.bands VALUES
+      (0.0, 10.0, 'small'), (10.0, 100.0, 'mid'), (100.0, 100000.0, 'big')""")
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.db.mv_bands AS
+         |SELECT b.band AS band, count(*) AS n, sum(o.amount) AS s
+         |FROM $cat.db.orders o JOIN $cat.db.bands b
+         |  ON o.amount >= b.lo AND o.amount < b.hi
+         |GROUP BY b.band""".stripMargin)
+    assert(spark.sql(s"SHOW TBLPROPERTIES $cat.db.mv_bands")
+      .collect().exists(r => r.getString(0) == GraftMaterializedViews.RefreshModeProp &&
+        r.getString(1) == "incremental-rebuild"))
+    def expect = spark.sql(
+      s"""SELECT b.band, count(*) n, round(sum(o.amount), 6) s FROM $cat.db.orders o
+         |JOIN $cat.db.bands b ON o.amount >= b.lo AND o.amount < b.hi
+         |GROUP BY b.band""".stripMargin).collect().map(_.toSeq).toSet
+    def got = spark.sql(s"SELECT band, n, round(s, 6) AS s FROM $cat.db.mv_bands")
+      .collect().map(_.toSeq).toSet
+    assert(got === expect)
+    // fact churn lands in two bands; a band boundary change re-bands rows
+    spark.sql(s"INSERT INTO $cat.db.orders VALUES (500,'open',5.0),(501,'open',500.0)")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_bands")) === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+    spark.sql(s"DELETE FROM $cat.db.bands WHERE band = 'mid'")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_bands")) === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+    assert(!got.exists(_.head == "mid"))
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_bands")) === GraftMaterializedViews.NoOp)
   }
 
   test("mixed-family MV (sum + min/max + counts in ONE view) folds incrementally") {
@@ -650,12 +758,16 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql(s"SHOW TBLPROPERTIES $cat.db.mv_mixed")
       .collect().exists(r => r.getString(0) == GraftMaterializedViews.RefreshModeProp &&
         r.getString(1) == "incremental"))
+    // the double sum is compared ROUNDED: the fold adds prev+delta
+    // while the recompute sums in partition order — mathematically
+    // equal, ulp-different (the oracle gates use decimal casts for
+    // exactly this)
     def expect: Set[Seq[Any]] = spark.sql(
-      s"""SELECT status, count(*) n, count(amount) nv, sum(amount) s,
+      s"""SELECT status, count(*) n, count(amount) nv, round(sum(amount), 6) s,
          |min(amount) mn, max(amount) mx FROM $cat.db.orders GROUP BY status""".stripMargin)
       .collect().map(_.toSeq).toSet
     def got: Set[Seq[Any]] =
-      spark.sql(s"SELECT status, n, nv, s, mn, mx FROM $cat.db.mv_mixed")
+      spark.sql(s"SELECT status, n, nv, round(s, 6) AS s, mn, mx FROM $cat.db.mv_mixed")
         .collect().map(_.toSeq).toSet
     assert(got === expect)
     // churn that exercises BOTH family paths in one tick: inserts fold
@@ -705,12 +817,12 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().exists(r => r.getString(0) == GraftMaterializedViews.RefreshModeProp &&
         r.getString(1) == "incremental"))
     def expect: Set[Seq[Any]] = spark.sql(
-      s"""SELECT d.label, count(*) n, count(o.amount) nv, sum(o.amount) s,
+      s"""SELECT d.label, count(*) n, count(o.amount) nv, round(sum(o.amount), 6) s,
          |min(o.amount) lo FROM $cat.db.orders o
          |JOIN $cat.db.dims d ON o.status = d.status GROUP BY d.label""".stripMargin)
       .collect().map(_.toSeq).toSet
     def got: Set[Seq[Any]] =
-      spark.sql(s"SELECT label, n, nv, s, lo FROM $cat.db.mv_join_mixed")
+      spark.sql(s"SELECT label, n, nv, round(s, 6) AS s, lo FROM $cat.db.mv_join_mixed")
         .collect().map(_.toSeq).toSet
     assert(got === expect)
     // one-sided churn (fact inserts + a min retraction)

@@ -127,6 +127,39 @@ class StreamingLexicalIndexSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet === withNew)
   }
 
+  test("in-stream auto-compaction keeps the directory count bounded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-slex4").toString
+    val statePath = s"$dir/state"
+    val input = MemoryStream[(Long, String)]
+    val query = StreamingLexicalIndex.start(
+      input.toDF().toDF("doc_id", "text"), statePath, s"$dir/ckpt",
+      compactEvery = 2)
+    try {
+      (0 until 5).foreach { i =>
+        input.addData((100L + i, s"spark query stream batch$i"))
+        query.processAllAvailable()
+      }
+      def dirNames = {
+        import scala.jdk.CollectionConverters._
+        val s = java.nio.file.Files.list(java.nio.file.Paths.get(statePath))
+        try s.iterator().asScala.map(_.getFileName.toString)
+          .filterNot(_.startsWith(".")).toSet
+        finally s.close()
+      }
+      // batches 0..4, compactions after 1 and 3: live dirs are the
+      // latest generation + at most compactEvery uncompacted batches
+      assert(dirNames === Set("compacted_upto_3", "batch_4"), dirNames)
+      val got = StreamingLexicalIndex.indexPostings(spark, statePath).collect()
+        .map(_.toSeq).toSet
+      val expected = Retrieval.postingsOf(Retrieval.bigramToksOf(
+        (0 until 5).map(i => (100L + i, s"spark query stream batch$i"))
+          .toDF("doc_id", "text"))).collect().map(_.toSeq).toSet
+      assert(got === expected)
+    } finally query.stop()
+  }
+
   test("scoring the streamed state matches the gated incremental query") {
     val dir = java.nio.file.Files.createTempDirectory("graft-slex2").toString
     val statePath = s"$dir/state"
