@@ -713,6 +713,42 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!gotHv.exists(_.head == "SOLO")) // crossed back down
   }
 
+  test("join rebuild tier: a SELF-JOIN MV (two-hop counts) refreshes incrementally") {
+    // every column name collides with itself, so the arithmetic join
+    // fold can never take this; the rebuild substitutes each relation
+    // INSTANCE by its attribute ids, and both sides share one
+    // checkpoint (same table)
+    spark.sql(s"CREATE TABLE $cat.db.edges (src BIGINT, dst BIGINT)")
+    spark.sql(s"INSERT INTO $cat.db.edges VALUES (1,2),(2,3),(2,4),(4,1)")
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.db.mv_twohop AS
+         |SELECT e1.src AS root, count(*) AS n
+         |FROM $cat.db.edges e1 JOIN $cat.db.edges e2 ON e1.dst = e2.src
+         |GROUP BY e1.src""".stripMargin)
+    assert(spark.sql(s"SHOW TBLPROPERTIES $cat.db.mv_twohop")
+      .collect().exists(r => r.getString(0) == GraftMaterializedViews.RefreshModeProp &&
+        r.getString(1) == "incremental-rebuild"))
+    def expect = spark.sql(
+      s"""SELECT e1.src AS root, count(*) n FROM $cat.db.edges e1
+         |JOIN $cat.db.edges e2 ON e1.dst = e2.src GROUP BY e1.src""".stripMargin)
+      .collect().map(_.toSeq).toSet
+    def got = spark.sql(s"SELECT root, n FROM $cat.db.mv_twohop")
+      .collect().map(_.toSeq).toSet
+    assert(got === expect)
+    // an edge insert extends BOTH sides of the self-join in one tick
+    spark.sql(s"INSERT INTO $cat.db.edges VALUES (3,2),(5,1)")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_twohop")) === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+    assert(got.exists(_.head == 3L)) // 3→2 gained hops via 2's out-edges
+    spark.sql(s"DELETE FROM $cat.db.edges WHERE src = 2 AND dst = 3")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_twohop")) === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_twohop")) === GraftMaterializedViews.NoOp)
+  }
+
   test("join rebuild tier: a NON-EQUI band join refreshes incrementally") {
     // no fold can invert a range-condition join; the rebuild tier
     // re-executes the plan, so the condition shape is irrelevant
