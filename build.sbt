@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify drivers parse the forked JVM's LAST stdout line as
+// bare JSON. Without these, sbt routes forked stdout through its logger
+// ("[info] {...}") and appends a "[success] Total time ..." line — both
+// break "parse the last line". StdoutOutput passes the child's stdout
+// through verbatim; showSuccess drops the trailing success banner.
+run / outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
