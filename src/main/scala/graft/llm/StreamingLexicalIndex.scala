@@ -92,6 +92,17 @@ object StreamingLexicalIndex {
   private def fs(spark: SparkSession, statePath: String) =
     new Path(statePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** A compacted generation is STATE only once its job committed —
+    * Spark's file committer writes `_SUCCESS` at job commit, after
+    * every task file is in place. Without this gate a reader racing
+    * the compaction write (or arriving after a mid-write crash) would
+    * adopt the half-written generation as the highest watermark and
+    * silently serve an index missing every batch it claims to cover.
+    * Uncommitted generations are garbage: ignored by reads, swept by
+    * the next successful [[compact]]. */
+  private def committed(f: org.apache.hadoop.fs.FileSystem, p: Path): Boolean =
+    f.exists(new Path(p, "_SUCCESS"))
+
   /** The live state directories: (compaction watermark if any, batch
     * dirs NOT covered by it). A `compacted_upto_<W>` directory holds
     * the merged postings of batch_seed and every batch_<id> with
@@ -106,9 +117,12 @@ object StreamingLexicalIndex {
     val f = fs(spark, statePath)
     if (!f.exists(root)) return (None, Seq.empty)
     val dirs = f.listStatus(root).filter(_.isDirectory).map(_.getPath).toSeq
+    // only COMMITTED generations may carry the watermark (see
+    // [[committed]]); a malformed foreign name parses to None rather
+    // than throwing, matching every other parse in this file
     val watermark = dirs.flatMap { p =>
       p.getName match {
-        case s if s.startsWith("compacted_upto_") =>
+        case s if s.startsWith("compacted_upto_") && committed(f, p) =>
           scala.util.Try(s.stripPrefix("compacted_upto_").toLong).toOption
         case _ => None
       }
@@ -117,7 +131,8 @@ object StreamingLexicalIndex {
       p.getName match {
         case "batch_seed" => watermark.isEmpty // seed is covered by any compaction
         case s if s.startsWith("compacted_upto_") =>
-          watermark.contains(s.stripPrefix("compacted_upto_").toLong)
+          scala.util.Try(s.stripPrefix("compacted_upto_").toLong).toOption
+            .exists(watermark.contains) && committed(f, p)
         case s if s.startsWith("batch_") =>
           scala.util.Try(s.stripPrefix("batch_").toLong).toOption
             .exists(id => watermark.forall(id > _))
@@ -149,8 +164,11 @@ object StreamingLexicalIndex {
     * batch-addressing discipline as ingest: the target directory name
     * is a pure function of the covered inputs and is written
     * mode=overwrite, so a replayed/crashed compaction rewrites the
-    * same generation with identical content; reads switch to the new
-    * watermark atomically-enough (highest watermark wins) and covered
+    * same generation with identical content; reads adopt a generation
+    * only once its `_SUCCESS` marker exists (job commit), so the
+    * switch to the new watermark is atomic — a racing reader and a
+    * mid-write crash both resolve to the previous watermark plus the
+    * still-live batch dirs, never to a partial generation. Covered
     * dirs are then deleted as garbage collection. Returns the new
     * watermark, or None when there is nothing new to compact (no
     * batches past the current watermark — replaying a no-op compaction
