@@ -70,27 +70,50 @@ object ChangelogApply {
     * tick sites do). */
   private[engine] def touchedBoundsFilter(
       touched: DataFrame, keys: Seq[String])
-      : org.apache.spark.sql.Column = {
+      : org.apache.spark.sql.Column =
+    touchedBoundsOf(touched, keys).residual
+
+  /** The bounds of a touched-key frame in BOTH representations, from
+    * ONE aggregation job: `filters` prune the FILE LISTING at plan
+    * time (through [[GraftTable.scanStatsPruned]]'s manifest-stats
+    * keeper), `residual` narrows rows inside kept files (parquet
+    * row-group pruning + fewer semi-join probes). `isEmpty` = the
+    * touched set has no rows: read nothing at all. */
+  private[engine] final case class TouchedBounds(
+      isEmpty: Boolean,
+      filters: Seq[org.apache.spark.sql.sources.Filter],
+      residual: org.apache.spark.sql.Column)
+
+  private[engine] def touchedBoundsOf(
+      touched: DataFrame, keys: Seq[String]): TouchedBounds = {
     import org.apache.spark.sql.functions.{count, max, min}
+    import org.apache.spark.sql.{sources => S}
     val aggs = keys.flatMap(k => Seq(
       min(col(k)).as(s"__mn_$k"), max(col(k)).as(s"__mx_$k"),
       count(col(k)).as(s"__cnt_$k"))) :+ count(lit(1)).as("__total")
     val row = touched.agg(aggs.head, aggs.tail: _*).head()
     val total = row.getAs[Long]("__total")
-    if (total == 0L) return lit(false) // empty delta: read nothing
-    keys.map { k =>
+    if (total == 0L) // empty delta: read nothing
+      return TouchedBounds(isEmpty = true, Nil, lit(false))
+    val perKey = keys.map { k =>
       val mn = row.getAs[Any](s"__mn_$k")
       val mx = row.getAs[Any](s"__mx_$k")
       val hasNull = row.getAs[Long](s"__cnt_$k") < total
-      val range =
+      val range: Option[(org.apache.spark.sql.Column, S.Filter)] =
         if (mn == null) None
-        else Some(col(k) >= lit(mn) && col(k) <= lit(mx))
+        else Some((
+          col(k) >= lit(mn) && col(k) <= lit(mx),
+          if (mn == mx) S.EqualTo(k, mn)
+          else S.And(S.GreaterThanOrEqual(k, mn), S.LessThanOrEqual(k, mx))))
       (range, hasNull) match {
-        case (Some(r), false) => r
-        case (Some(r), true) => r || col(k).isNull
-        case (None, _) => col(k).isNull // only NULL-keyed rows touched
+        case (Some((c, f)), false) => (c, f)
+        case (Some((c, f)), true) => (c || col(k).isNull, S.Or(f, S.IsNull(k)))
+        case (None, _) => // only NULL-keyed rows touched
+          (col(k).isNull, S.IsNull(k))
       }
-    }.reduce(_ && _)
+    }
+    TouchedBounds(isEmpty = false, perKey.map(_._2),
+      perKey.map(_._1).reduce(_ && _))
   }
 
   /** Fold a changelog frame into a per-key (count, sum) aggregate.
@@ -134,7 +157,12 @@ object ChangelogApply {
           .otherwise(coalesce(col("sum_v"), lit(0L)) +
             coalesce(col("__dv"), lit(0L)))
           .as("sum_v")): _*)
-    updated.filter(col("n_rows") =!= lit(0L))
+    // a KEYED group emptied by its deletes drops out (recompute would
+    // return no row for it); the KEYLESS global group is a SQL fixture
+    // — `SELECT count(*), sum(v) FROM t` on empty t is one row
+    // (0, NULL), so the all-deleted fold must keep it, not drop it
+    if (keys.isEmpty) updated
+    else updated.filter(col("n_rows") =!= lit(0L))
   }
 
   /** The full-recompute twin of [[applyCountSum]] — what the
@@ -195,12 +223,21 @@ object ChangelogApply {
           .as("n_rows"),
         least(col("min_v"), col("__imin")).as("min_v"),
         greatest(col("max_v"), col("__imax")).as("max_v")): _*)
-    val recomputed = nullSafeJoin(base, delKeys, keys, "left_semi")
+    val recomputedRaw = nullSafeJoin(base, delKeys, keys, "left_semi")
       .groupBy(kCols: _*)
       .agg(
         expr("count(*)").as("n_rows"),
         expr(s"min($valueCol)").as("min_v"),
         expr(s"max($valueCol)").as("max_v"))
+    // KEYLESS guard: a global aggregate over the empty semi-join still
+    // mints one row (SQL's global-group fixture), so a delta with NO
+    // deletes would union a spurious (0, NULL, NULL) row beside the
+    // carried fold. Gate the recompute row on a delete having touched
+    // the (single) group: the keyless semi keeps the row iff delKeys
+    // is non-empty. Keyed plans are untouched (empty semi → no groups).
+    val recomputed =
+      if (keys.nonEmpty) recomputedRaw
+      else nullSafeJoin(recomputedRaw, delKeys, keys, "left_semi")
     folded.unionByName(recomputed)
   }
 
@@ -227,10 +264,16 @@ object ChangelogApply {
       prev: DataFrame, changes: DataFrame, base: DataFrame,
       keys: Seq[String], valueCol: String): DataFrame = {
     val touched = changes.select(keys.map(col): _*).distinct()
-    val recomputed = nullSafeJoin(base, touched, keys, "left_semi")
+    val recomputedRaw = nullSafeJoin(base, touched, keys, "left_semi")
       .groupBy(keys.map(col): _*)
       .agg(expr("count(*)").as("n_rows"),
         expr(s"count(distinct $valueCol)").as("n_distinct"))
+    // same KEYLESS guard as [[applyMinMax]]: an empty delta must carry
+    // the global row, not mint a second (0, 0) row from the global
+    // aggregate's empty-input fixture
+    val recomputed =
+      if (keys.nonEmpty) recomputedRaw
+      else nullSafeJoin(recomputedRaw, touched, keys, "left_semi")
     nullSafeJoin(prev, touched, keys, "left_anti").unionByName(recomputed)
   }
 
@@ -413,8 +456,11 @@ object ChangelogApply {
         val touched = changes.select(keys.map(col): _*).distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
+          // plan-time file pruning + row-level narrowing from ONE
+          // bounds job; the null-safe semi stays the exactness gate
+          val tb = touchedBoundsOf(touched, keys)
           val prevTouched = nullSafeJoin(
-            target.scan(spark).filter(touchedBoundsFilter(touched, keys)),
+            target.scanStatsPruned(spark, tb.filters).filter(tb.residual),
             touched, keys, "left_semi")
           val updated = incremental(prevTouched, changes, baseAtHead)
           target.replaceKeys(spark, keys, touched, updated,

@@ -345,4 +345,47 @@ class ChangelogApplySpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq.empty[Long].toDF("k"), Seq("k"))
     assert(base.filter(emptyF).count() === 0L)
   }
+
+  test("KEYLESS global group: each family emits EXACTLY one row under all-delete and empty deltas") {
+    import spark.implicits._
+    // SQL's global-group fixture: `SELECT count(*), agg(v) FROM t` is
+    // ONE row even over empty t. The keyless folds must preserve it in
+    // both directions — never drop it (all-delete) and never duplicate
+    // it (the global aggregate over an empty semi-join still mints a
+    // row, which must not union beside the carried fold).
+    // additive: all rows deleted → one (0, 0, NULL) row, not zero rows
+    val prevCs = Seq((2L, 2L, 30L)).toDF("n_rows", "n_vals", "sum_v")
+    val delAll = Seq(("delete", 10L), ("delete", 20L)).toDF("_change_type", "v")
+    val foldedCs = ChangelogApply.applyCountSum(prevCs, delAll, Nil, "v").collect()
+    assert(foldedCs.length === 1)
+    assert(foldedCs.head.getLong(0) === 0L && foldedCs.head.getLong(1) === 0L
+      && foldedCs.head.isNullAt(2))
+    // min/max, insert-only delta: exactly one folded row, no spurious
+    // (0, NULL, NULL) twin from the empty delete-recompute
+    val prevMm = Seq((2L, 1L, 5L)).toDF("n_rows", "min_v", "max_v")
+    val insDelta = Seq(("insert", 7L)).toDF("_change_type", "v")
+    val base3 = Seq(1L, 5L, 7L).toDF("v")
+    val foldedMm = ChangelogApply.applyMinMax(prevMm, insDelta, base3, Nil, "v").collect()
+    assert(foldedMm.length === 1)
+    assert(foldedMm.head.getLong(0) === 3L && foldedMm.head.getLong(1) === 1L
+      && foldedMm.head.getLong(2) === 7L)
+    // min/max, all-deleted: the one row recomputes from the empty base
+    val delAllMm = Seq(("delete", 1L), ("delete", 5L)).toDF("_change_type", "v")
+    val foldedMm2 = ChangelogApply.applyMinMax(
+      prevMm, delAllMm, base3.limit(0), Nil, "v").collect()
+    assert(foldedMm2.length === 1)
+    assert(foldedMm2.head.getLong(0) === 0L && foldedMm2.head.isNullAt(1)
+      && foldedMm2.head.isNullAt(2))
+    // distinct-count, EMPTY delta: the single row carries verbatim
+    val prevCd = Seq((3L, 2L)).toDF("n_rows", "n_distinct")
+    val foldedCd = ChangelogApply.applyCountDistinct(
+      prevCd, delAll.limit(0), base3, Nil, "v").collect()
+    assert(foldedCd.length === 1)
+    assert(foldedCd.head.getLong(0) === 3L && foldedCd.head.getLong(1) === 2L)
+    // distinct-count, all-deleted: one (0, 0) row from the empty base
+    val foldedCd2 = ChangelogApply.applyCountDistinct(
+      prevCd, delAll, base3.limit(0), Nil, "v").collect()
+    assert(foldedCd2.length === 1)
+    assert(foldedCd2.head.getLong(0) === 0L && foldedCd2.head.getLong(1) === 0L)
+  }
 }
