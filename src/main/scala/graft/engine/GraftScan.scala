@@ -340,8 +340,9 @@ final class GraftMorScan(
     spjGroups match {
       case Some((_, groups)) =>
         val keep = current.filterNot(_.isDeleteFile).map(_.path).toSet
-        GraftMorScan.lastPlannedFiles =
-          Some(groups.iterator.map(_._2.count(f => keep(f.path))).sum)
+        val kept = groups.iterator.map(_._2.count(f => keep(f.path))).sum
+        GraftMorScan.lastPlannedFiles = Some(kept)
+        GraftMorScan.plannedFilesCumulative.addAndGet(kept.toLong)
         return groups.map { case (key, fs) =>
           GraftKeyedInputPartition(
             fs.filter(f => keep(f.path)).map(f => GraftFileSlice(
@@ -352,6 +353,7 @@ final class GraftMorScan(
     }
     val datas = current.filterNot(_.isDeleteFile)
     GraftMorScan.lastPlannedFiles = Some(datas.size)
+    GraftMorScan.plannedFilesCumulative.addAndGet(datas.size.toLong)
     val (maxSplit, openCost) = GraftShims.fileSplitConf(spark)
     val slices = datas.flatMap { f =>
       if (f.sizeBytes <= maxSplit)
@@ -466,6 +468,12 @@ object GraftMorScan {
   @volatile var lastRuntimePrune: Option[PruneInfo] = None
   /** Data-file count of the most recent planInputPartitions call. */
   @volatile var lastPlannedFiles: Option[Int] = None
+  /** Cumulative data-file count across ALL planInputPartitions calls
+    * this JVM — lets a spec bound the files a multi-scan operation
+    * (e.g. one MV refresh tick) actually planned, where the
+    * last-call-only counter would under-report. Test observability;
+    * reset before the window you mean to measure. */
+  val plannedFilesCumulative = new java.util.concurrent.atomic.AtomicLong
 
   /** Cumulative executor-side delete-set loads (cache misses) this JVM
     * — the observable half of equality-delete file pruning, exported

@@ -74,6 +74,36 @@ final class GraftTable(
     resolveSnapshot(metadata, selector)
       .map(s => Manifests.read(s.manifestList)).getOrElse(Nil)
 
+  /** Snapshot scan with PLAN-TIME file pruning: only files whose
+    * manifest stats / partition tuples might match `filters` are read
+    * — the same [[StatsPruning.keeper]] the SQL read path and MERGE
+    * runtime pruning use, exposed for programmatic consumers (the MV
+    * refresh ticks). The programmatic [[scan]] is a multi-path v1
+    * parquet read whose file list is fixed at construction, so a
+    * row-level `.filter` on it never skips files; this variant prunes
+    * the LISTING, which is what keeps a churn-localized tick's read at
+    * O(candidate files) instead of the materialization's file count.
+    * NARROWING only: a kept file can hold non-matching rows — callers
+    * still apply their row-level predicate / exactness join. */
+  def scanStatsPruned(
+      spark: SparkSession,
+      filters: Seq[org.apache.spark.sql.sources.Filter],
+      selector: Selector = CurrentMain): DataFrame = {
+    val m = metadata
+    resolveSnapshot(m, selector) match {
+      case None => emptyDf(spark, m.currentSchema)
+      case Some(s) =>
+        val schema = selector match {
+          case CurrentMain => m.currentSchema
+          case _ => s.schemaId.flatMap(m.schemas.get).getOrElse(m.currentSchema)
+        }
+        val parts = StatsPruning.partFields(m.partitionSpecs.values)
+        val kept = Manifests.read(s.manifestList)
+          .filter(StatsPruning.keeper(schema, parts, filters))
+        readFiles(spark, schema, kept)
+    }
+  }
+
   /** Incremental append scan (CDC-style read): the rows ADDED by
     * snapshots after `fromSnapshotId` (exclusive) up to `toSnapshotId`
     * (inclusive; default = current). The consumer pattern: checkpoint
@@ -1305,6 +1335,13 @@ object GraftTable {
   final case class ChangelogDiffPlan(candidateFiles: Int, affectedFiles: Int)
   @volatile var lastChangelogDiff: Option[ChangelogDiffPlan] = None
 
+  /** Cumulative data files handed to programmatic [[readFiles]] scans
+    * this JVM — the observability hook for plan-time file pruning on
+    * the NON-SQL read path (specs bound a churn-localized tick's
+    * listing against the base's file count). Reset before the window
+    * you mean to measure. */
+  val plannedDataFiles = new java.util.concurrent.atomic.AtomicLong
+
   /** Cap on the per-commit distinct position-delete TARGET keys the
     * changelog diff materializes on the driver. O(referenced files) is
     * the same order the driver already holds in manifests, but a
@@ -1607,6 +1644,7 @@ object GraftTable {
       all: Seq[Manifests.DataFile], lineage: Boolean = false): DataFrame = {
     import spark.implicits._
     val (deletes, datas) = all.partition(_.isDeleteFile)
+    GraftTable.plannedDataFiles.addAndGet(datas.size.toLong)
     if (datas.isEmpty) return emptyDf(spark, schema, lineage)
     val base = spark.read.schema(SchemaBridge.toSpark(schema))
       .parquet(datas.map(_.path): _*)

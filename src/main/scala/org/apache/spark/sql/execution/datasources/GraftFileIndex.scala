@@ -58,6 +58,7 @@ class GraftFileIndex(
       else statuses.filter(s => keep(s.getPath.toString))
     GraftFileIndex.lastPlanned = Some(
       GraftFileIndex.Planned(tableName, kept.size, statuses.size))
+    GraftFileIndex.plannedFilesCumulative.addAndGet(kept.size.toLong)
     Seq(PartitionDirectory(InternalRow.empty, kept.toArray))
   }
 
@@ -75,6 +76,12 @@ object GraftFileIndex {
 
   /** Last RUNTIME (DPP) pruning decision on the delegate scan path. */
   @volatile var lastRuntimePrune: Option[Planned] = None
+
+  /** Cumulative kept-file count across ALL listFiles calls this JVM —
+    * the delegate-path twin of GraftMorScan.plannedFilesCumulative,
+    * letting a spec bound the files a multi-scan operation planned.
+    * Test observability; reset before the measured window. */
+  val plannedFilesCumulative = new java.util.concurrent.atomic.AtomicLong
 }
 
 /** The stock parquet scan builder, except the built scan understands
