@@ -101,6 +101,10 @@ object GraftMaterializedViews {
     val rebuildJoin =
       if (shape.isDefined || joinShape.isDefined || rebuildShape.isDefined) None
       else rebuildJoinShapeOf(spark, analyzed).map(_.withOutNames(fields.map(_.name)))
+    val rebuildMulti =
+      if (shape.isDefined || joinShape.isDefined || rebuildShape.isDefined ||
+        rebuildJoin.isDefined) None
+      else rebuildMultiJoinShapeOf(spark, analyzed).map(_.withOutNames(fields.map(_.name)))
     val props = properties ++ Map(
       MarkerProp -> "true",
       SqlProp -> originalText,
@@ -112,7 +116,8 @@ object GraftMaterializedViews {
       // recompute
       RefreshModeProp ->
         (if (shape.isDefined || joinShape.isDefined) "incremental"
-         else if (rebuildShape.isDefined || rebuildJoin.isDefined) "incremental-rebuild"
+         else if (rebuildShape.isDefined || rebuildJoin.isDefined ||
+           rebuildMulti.isDefined) "incremental-rebuild"
          else "full"))
     // PARTITIONED BY flows straight through to the backing table: the
     // fold's overwrite commits write through the table's default spec,
@@ -171,20 +176,53 @@ object GraftMaterializedViews {
             case Some(rj) =>
               val lt = rj.table(spark, rj.leftIdent)
               val rt = rj.table(spark, rj.rightIdent)
-              (lt.metadata.currentSnapshotId, rt.metadata.currentSnapshotId) match {
-                case (Some(lh), Some(rh)) =>
-                  mv.overwriteAll(
-                    rj.rebuildFull(spark, lt.scan(spark, lt.AtSnapshot(lh)),
-                      rt.scan(spark, rt.AtSnapshot(rh))),
-                    None,
-                    extraProperties = Map(
-                      ChangelogApply.ckptKey(rj.leftName) -> lh.toString,
-                      ChangelogApply.ckptKey(rj.rightName) -> rh.toString))
-                case _ => // an empty side: inner join empty, refresh cold-starts
+              val lHead = lt.metadata.currentSnapshotId
+              val rHead = rt.metadata.currentSnapshotId
+              // OUTER joins must populate even with a headless side
+              // (the preserved side still null-extends); INNER keeps
+              // the cold-start-on-refresh behavior an empty side had
+              if (lHead.isDefined && rHead.isDefined ||
+                  ((rj.preservesLeft || rj.preservesRight) &&
+                    (lHead.isDefined || rHead.isDefined))) {
+                def frameAt(t: GraftTable, h: Option[Long]) =
+                  h.map(id => t.scan(spark, t.AtSnapshot(id)))
+                    .getOrElse(t.scan(spark))
+                def headMark(h: Option[Long]): String =
+                  h.map(_.toString).getOrElse("none")
+                mv.overwriteAll(
+                  rj.rebuildFull(spark, frameAt(lt, lHead), frameAt(rt, rHead)),
+                  None,
+                  extraProperties = Map(
+                    ChangelogApply.ckptKey(rj.leftName) -> headMark(lHead),
+                    ChangelogApply.ckptKey(rj.rightName) -> headMark(rHead)))
               }
-            case None =>
-              val df = GraftShims.ofRows(spark, analyzed)
-              mv.overwriteAll(df.toDF(fields.map(_.name): _*), None)
+            case None => rebuildMulti match {
+              case Some(rmj) =>
+                val byName = rmj.idents.map(ti => rmj.nameOf(ti) -> ti)
+                  .distinctBy(_._1)
+                val tables = byName.map { case (n, ti) =>
+                  n -> rmj.table(spark, ti)
+                }.toMap
+                val heads = tables.map { case (n, t) =>
+                  n -> t.metadata.currentSnapshotId
+                }
+                // pinned cold start at ALL heads; any empty side makes
+                // the inner join empty — refresh cold-starts later
+                if (heads.values.forall(_.isDefined)) {
+                  val frames = rmj.idents.map { ti =>
+                    val n = rmj.nameOf(ti)
+                    val t = tables(n)
+                    t.scan(spark, t.AtSnapshot(heads(n).get))
+                  }
+                  mv.overwriteAll(rmj.rebuildFull(spark, frames), None,
+                    extraProperties = heads.map { case (n, h) =>
+                      ChangelogApply.ckptKey(n) -> h.get.toString
+                    }.toMap)
+                }
+              case None =>
+                val df = GraftShims.ofRows(spark, analyzed)
+                mv.overwriteAll(df.toDF(fields.map(_.name): _*), None)
+            }
           }
         }
       }
@@ -247,13 +285,15 @@ object GraftMaterializedViews {
             val touched = changes.select(shape.keySrcNames.map(col): _*).distinct()
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             try {
-              // read side prunes too: touched-key bounds push down to
-              // the MV scan (manifest stats), so a localized churn
-              // reads candidate files, not the whole MV
+              // read side prunes too: touched-key bounds prune the MV
+              // scan's FILE LISTING at plan time (manifest stats, via
+              // scanStatsPruned) and narrow rows inside kept files, so
+              // a localized churn reads candidate files, not the MV
+              val tb = ChangelogApply.touchedBoundsOf(
+                shape.touchedOut(touched), shape.keyOutNames)
               val prevTouched = ChangelogApply.nullSafeJoin(
-                shape.toInternal(mv.scan(spark).filter(
-                  ChangelogApply.touchedBoundsFilter(
-                    shape.touchedOut(touched), shape.keyOutNames))),
+                shape.toInternal(
+                  mv.scanStatsPruned(spark, tb.filters).filter(tb.residual)),
                 touched, shape.keySrcNames, "left_semi")
               val folded = shape.applyFold(prevTouched, changes, baseAtHead)
               mv.replaceKeys(spark, shape.keyOutNames,
@@ -282,10 +322,15 @@ object GraftMaterializedViews {
                 rebuildJoinShapeOf(spark, analyzed).map(_.withOutNames(outNames)) match {
                   case Some(rj) => refreshRebuildJoin(spark, mv, rj)
                   case None =>
-                    val df = GraftShims.ofRows(spark, analyzed)
-                    mv.overwriteAll(df.toDF(outNames: _*), meta.currentSnapshotId,
-                      extraProperties = Map(RefreshModeProp -> "full"))
-                    Full
+                    rebuildMultiJoinShapeOf(spark, analyzed)
+                      .map(_.withOutNames(outNames)) match {
+                      case Some(rmj) => refreshRebuildMulti(spark, mv, rmj)
+                      case None =>
+                        val df = GraftShims.ofRows(spark, analyzed)
+                        mv.overwriteAll(df.toDF(outNames: _*), meta.currentSnapshotId,
+                          extraProperties = Map(RefreshModeProp -> "full"))
+                        Full
+                    }
                 }
             }
         }
@@ -305,10 +350,22 @@ object GraftMaterializedViews {
     * key delete. */
   /** One refresh tick for [[RebuildJoinShape]]: NoOp when both
     * checkpoints match the heads (absent-head markers included);
-    * otherwise derive the touched group keys from the bilinear cover
-    * terms that apply (one term for one-sided churn, all three for
-    * two-sided), rebuild them from the two head-pinned scans, and
-    * commit the keyed replacement with both advanced checkpoints. */
+    * otherwise derive the touched group keys from the cover terms the
+    * join type requires, rebuild them from the two head-pinned scans,
+    * and commit the keyed replacement with both advanced checkpoints.
+    *
+    * Cover terms. PAIR terms (join innerized) catch every joined pair
+    * that appeared or disappeared: ΔA⋈B@head, A@head⋈ΔB, and ΔA⋈ΔB
+    * when both sides moved — the bilinear cover. An OUTER join
+    * additionally changes NULL-EXTENDED rows, whose groups the pair
+    * terms cannot see; for each PRESERVED side S the tick adds
+    *  - nullExt(ΔS): a changed S row's null-extension may have
+    *    appeared or disappeared with the row itself, and
+    *  - nullExt(S@head ⋉cond Δother): an S row whose match-set a
+    *    changed other-side row entered or left may have flipped
+    *    between matched and null-extended.
+    * Both are delta-bounded; both are supersets of the truth, which
+    * the rebuild's recompute-on-touch makes safe by construction. */
   private def refreshRebuildJoin(
       spark: SparkSession, mv: GraftTable, rj: RebuildJoinShape): RefreshMode = {
     val meta = mv.metadata
@@ -324,19 +381,18 @@ object GraftMaterializedViews {
       RefreshModeProp -> "incremental-rebuild")
     if (meta.properties.get(kL).contains(headMark(lHead)) &&
         meta.properties.get(kR).contains(headMark(rHead))) return NoOp
-    if (lHead.isEmpty && rHead.isEmpty) return NoOp
+    if (lHead.isEmpty && rHead.isEmpty && rj.joinType == Inner) return NoOp
 
-    def fullAtHeads(): RefreshMode = (lHead, rHead) match {
-      case (Some(lh), Some(rh)) =>
-        mv.overwriteAll(
-          rj.rebuildFull(spark, lt.scan(spark, lt.AtSnapshot(lh)),
-            rt.scan(spark, rt.AtSnapshot(rh))),
-          meta.currentSnapshotId, extraProperties = ckpts)
-        Full
-      case _ =>
-        mv.overwriteAll(mv.scan(spark).limit(0),
-          meta.currentSnapshotId, extraProperties = ckpts)
-        Full
+    // a headless side reads as an EMPTY frame — for INNER that makes
+    // the join empty; for OUTER the preserved side still null-extends,
+    // so the full rebuild must execute the plan, not write empty
+    def frameAt(t: GraftTable, h: Option[Long]): DataFrame =
+      h.map(id => t.scan(spark, t.AtSnapshot(id))).getOrElse(t.scan(spark))
+    def fullAtHeads(): RefreshMode = {
+      mv.overwriteAll(
+        rj.rebuildFull(spark, frameAt(lt, lHead), frameAt(rt, rHead)),
+        meta.currentSnapshotId, extraProperties = ckpts)
+      Full
     }
 
     val ckL = meta.properties.get(kL).flatMap(_.toLongOption)
@@ -352,18 +408,36 @@ object GraftMaterializedViews {
             .select(rel.output.map(a => col(a.name)): _*)
         val aHead = lt.scan(spark, lt.AtSnapshot(lh))
         val bHead = rt.scan(spark, rt.AtSnapshot(rh))
+        val aMoved = cl != lh
+        val bMoved = cr != rh
+        def dA = plainRows(lt, cl, lh, rj.leftRel)
+        def dB = plainRows(rt, cr, rh, rj.rightRel)
         val terms = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-        if (cl != lh) {
-          val dA = plainRows(lt, cl, lh, rj.leftRel)
-          terms += rj.keysOf(spark, dA, bHead)
-          if (cr != rh) terms += rj.keysOf(spark, dA, plainRows(rt, cr, rh, rj.rightRel))
+        if (aMoved) {
+          terms += rj.pairKeysOf(spark, dA, bHead)
+          if (bMoved) terms += rj.pairKeysOf(spark, dA, dB)
         }
-        if (cr != rh) terms += rj.keysOf(spark, aHead, plainRows(rt, cr, rh, rj.rightRel))
+        if (bMoved) terms += rj.pairKeysOf(spark, aHead, dB)
+        if (rj.preservesLeft) {
+          if (aMoved) terms += rj.nullExtKeys(rj.leftRel.outputSet, dA)
+          if (bMoved) terms += rj.nullExtKeys(rj.leftRel.outputSet,
+            rj.matchRows(spark, preservedIsLeft = true, aHead, dB))
+        }
+        if (rj.preservesRight) {
+          if (bMoved) terms += rj.nullExtKeys(rj.rightRel.outputSet, dB)
+          if (aMoved) terms += rj.nullExtKeys(rj.rightRel.outputSet,
+            rj.matchRows(spark, preservedIsLeft = false, bHead, dA))
+        }
         val touched = terms.reduceLeft(_ unionByName _).distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           mv.replaceKeys(spark, rj.keyOutNames,
-            rj.touchedOut(touched), rj.rebuild(spark, touched, aHead, bHead),
+            rj.touchedOut(touched),
+            rj.rebuild(spark, touched, aHead, bHead,
+              // the tick's scans prune their file listings by the
+              // touched bounds (churn-sized COMPUTE, not just write)
+              aPruned = Some(fs => lt.scanStatsPruned(spark, fs, lt.AtSnapshot(lh))),
+              bPruned = Some(fs => rt.scanStatsPruned(spark, fs, rt.AtSnapshot(rh)))),
             meta.currentSnapshotId, extraProperties = ckpts)
           Incremental
         } finally touched.unpersist(blocking = false)
@@ -387,8 +461,13 @@ object GraftMaterializedViews {
         val touched = changes.select(rs.keySrcNames.map(col): _*).distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          val pinned = source.scan(spark, source.AtSnapshot(srcHead))
-            .filter(ChangelogApply.touchedBoundsFilter(touched, rs.keySrcNames))
+          // plan-time file pruning on the pinned source scan: the
+          // bounds prune the listing (manifest stats), the residual
+          // narrows rows, the null-safe semi stays the exactness gate
+          val tb = ChangelogApply.touchedBoundsOf(touched, rs.keySrcNames)
+          val pinned = source
+            .scanStatsPruned(spark, tb.filters, source.AtSnapshot(srcHead))
+            .filter(tb.residual)
           val restricted = ChangelogApply.nullSafeJoin(
             pinned, touched, rs.keySrcNames, "left_semi")
           mv.replaceKeys(spark, rs.keyOutNames,
@@ -633,7 +712,10 @@ object GraftMaterializedViews {
           changes, baseAtHead, k, valueName)) else None)).flatten
       if (k.isEmpty && parts.size > 1)
         // a keyless mixed-family MV would need a 1x1 join; cross the
-        // single rows explicitly (both sides are exactly one group)
+        // single rows explicitly. Each family's apply helper emits
+        // EXACTLY one row for the keyless global group — including the
+        // all-deleted case (count 0, NULL aggregates: SQL's global-
+        // group fixture) — so the cross is total, never row-dropping
         parts.reduceLeft((a, b) => a.crossJoin(b.drop("n_rows")))
       else parts.reduceLeft((a, b) =>
         ChangelogApply.nullSafeJoin(a, b.drop("n_rows"), k, "inner"))
@@ -1042,7 +1124,20 @@ object GraftMaterializedViews {
       aggChild: LogicalPlan,
       groupAttrs: Seq[AttributeReference],
       keyOutIdx: Seq[Int],
-      declaredNames: Seq[String]) {
+      declaredNames: Seq[String],
+      joinType: org.apache.spark.sql.catalyst.plans.JoinType,
+      leftChild: LogicalPlan,
+      rightChild: LogicalPlan,
+      joinCond: Option[Expression]) {
+
+    import org.apache.spark.sql.catalyst.plans.{FullOuter, LeftOuter, RightOuter}
+
+    /** Does the join preserve unmatched rows of this side (LEFT
+      * preserves its left, FULL both)? Preserved-side rows can appear
+      * NULL-EXTENDED in the output — the semantics the outer-join
+      * cover terms and the restriction policy both hinge on. */
+    def preservesLeft: Boolean = joinType == LeftOuter || joinType == FullOuter
+    def preservesRight: Boolean = joinType == RightOuter || joinType == FullOuter
 
     def leftName: String =
       s"$catalogName.${leftIdent.namespace.mkString(".")}.${leftIdent.name}"
@@ -1071,18 +1166,91 @@ object GraftMaterializedViews {
           restoreAttrs(rightRel, bFrame)
       }
 
-    /** Group keys of one cover term: the plan below the aggregate with
-      * the sides substituted, projected to the group-key attrs. */
-    def keysOf(spark: SparkSession, aFrame: DataFrame, bFrame: DataFrame): DataFrame =
-      GraftShims.ofRows(spark, substitute(aggChild, aFrame, bFrame))
+    /** Group keys of one PAIR cover term: the plan below the aggregate
+      * with the sides substituted and the join INNERIZED, projected to
+      * the group-key attrs. Innerizing matters for the outer grammar:
+      * a delta-vs-head term evaluated with the plan's own OUTER join
+      * would null-extend every unmatched head row and blow the touched
+      * set up to the whole base — pairs come from the inner core, and
+      * null-extension changes are covered by [[nullExtKeys]] terms. */
+    def pairKeysOf(spark: SparkSession, aFrame: DataFrame, bFrame: DataFrame): DataFrame = {
+      val innerized = aggChild.transformUp {
+        case j: Join if j.joinType != Inner => j.copy(joinType = Inner)
+      }
+      GraftShims.ofRows(spark, substitute(innerized, aFrame, bFrame))
         .select(groupAttrs.map(a => GraftShims.column(a).as(a.name)): _*)
+    }
+
+    /** The NULL-EXTENSION key of a preserved side's rows: that side's
+      * group-key columns taken verbatim, every OTHER side's group key
+      * as a typed NULL — the group a row lands in when it has no join
+      * match. Cover terms feed this with (a) the side's delta rows
+      * (their null-extension may have appeared/disappeared) and (b)
+      * the side's head rows whose match-set changed ([[matchRows]]).
+      * A SUPERSET is safe: an untouched-in-truth key rebuilds to its
+      * identical row, and a key with no rows simply deletes. */
+    def nullExtKeys(
+        sideOut: org.apache.spark.sql.catalyst.expressions.AttributeSet,
+        rows: DataFrame): DataFrame =
+      rows.select(groupAttrs.map { g =>
+        if (sideOut.contains(g)) col(g.name).as(g.name)
+        else lit(null).cast(g.dataType).as(g.name)
+      }: _*)
+
+    /** Rows of the PRESERVED side (its join-child plan at `headFrame`)
+      * that match the OTHER side's delta under the join condition — a
+      * LeftSemi on the defining ON clause, so any a-row whose match-set
+      * a ΔB row could have entered or left is found, delta-bounded. */
+    def matchRows(
+        spark: SparkSession, preservedIsLeft: Boolean,
+        headFrame: DataFrame, deltaFrame: DataFrame): DataFrame = {
+      import org.apache.spark.sql.catalyst.plans.LeftSemi
+      import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin, JoinHint}
+      val (keep, probe) =
+        if (preservedIsLeft)
+          (substitute(leftChild, headFrame, headFrame),
+            substitute(rightChild, deltaFrame, deltaFrame))
+        else
+          (substitute(rightChild, headFrame, headFrame),
+            substitute(leftChild, deltaFrame, deltaFrame))
+      GraftShims.ofRows(spark,
+        LJoin(keep, probe, LeftSemi, joinCond, JoinHint.NONE))
+    }
+
+    /** Restrict ONE side's head-pinned scan to rows that can
+      * contribute to a touched group — the churn-sizing of the tick's
+      * COMPUTE, not just its write: a group key that originates from
+      * side S takes its value verbatim from the S row (traceKeys
+      * admits only plain pass-through attributes), so an S row whose
+      * key-column subtuple is absent from `touched`'s projection onto
+      * S's keys cannot feed any touched group. The projection's
+      * min/max bounds push down to the DSv2 scan (manifest-stats file
+      * pruning) and the null-safe semi is the row-level gate — the
+      * same construction as the single-table rebuild. A side that
+      * originates NO group key stays full: its rows join against the
+      * other side's already-restricted rows, so the join stays
+      * churn-bounded whenever at least one side carries keys. */
+    private def restrictSide(
+        frame: DataFrame, touched: DataFrame,
+        sideOut: org.apache.spark.sql.catalyst.expressions.AttributeSet,
+        prunedScan: Option[Seq[org.apache.spark.sql.sources.Filter] => DataFrame])
+        : DataFrame =
+      GraftMaterializedViews.restrictFrame(groupAttrs, frame, touched, sideOut, prunedScan)
 
     /** Re-execute the full defining plan at the substituted sides,
-      * restricted to `touched` keys by a null-safe LeftSemi injected
-      * above the (single) aggregate's child. */
+      * with the touched-key restriction applied at BOTH levels:
+      * per-side scan restriction ([[restrictSide]] — bounds pushed to
+      * the scans, so a tick's join is churn-sized, never
+      * full-join-sized) and a null-safe LeftSemi injected above the
+      * (single) aggregate's child as the exactness gate (the per-side
+      * projections are rectangular — their cross product can admit
+      * key TUPLES outside `touched`, which the semi drops). */
     def rebuild(
         spark: SparkSession, touched: DataFrame,
-        aFrame: DataFrame, bFrame: DataFrame): DataFrame = {
+        aFrame: DataFrame, bFrame: DataFrame,
+        aPruned: Option[Seq[org.apache.spark.sql.sources.Filter] => DataFrame] = None,
+        bPruned: Option[Seq[org.apache.spark.sql.sources.Filter] => DataFrame] = None)
+        : DataFrame = {
       import org.apache.spark.sql.catalyst.expressions.{And, EqualNullSafe}
       import org.apache.spark.sql.catalyst.plans.LeftSemi
       import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin, JoinHint}
@@ -1090,7 +1258,26 @@ object GraftMaterializedViews {
       val cond = groupAttrs.zip(touchedPlan.output)
         .map { case (g, t) => EqualNullSafe(g, t): Expression }
         .reduceLeft(And(_, _))
-      val swapped = substitute(analyzed, aFrame, bFrame)
+      // RESTRICTION POLICY by join type: restricting a side is exact
+      // only when removing its rows cannot FABRICATE output rows. For
+      // INNER joins removing any row only removes pairs — both sides
+      // restrict. For an OUTER join, removing rows of a NON-preserved
+      // side can turn a matched preserved row into a spurious
+      // null-extended one, which could land in a legitimately-touched
+      // (…, NULL) group and corrupt its rebuild — so only sides whose
+      // unmatched rows the join does NOT preserve against may stay
+      // unrestricted: LEFT restricts its left, RIGHT its right, FULL
+      // neither (the above-aggregate semi remains the exactness gate
+      // and the only restriction).
+      val restrictA = joinType == Inner || joinType ==
+        org.apache.spark.sql.catalyst.plans.LeftOuter
+      val restrictB = joinType == Inner || joinType ==
+        org.apache.spark.sql.catalyst.plans.RightOuter
+      val swapped = substitute(analyzed,
+        if (restrictA) restrictSide(aFrame, touched, leftRel.outputSet, aPruned)
+        else aFrame,
+        if (restrictB) restrictSide(bFrame, touched, rightRel.outputSet, bPruned)
+        else bFrame)
       val restricted = swapped.transformUp {
         case a: Aggregate if a.groupingExpressions == (groupAttrs: Seq[Expression]) =>
           a.copy(child = LJoin(a.child, touchedPlan, LeftSemi, Some(cond), JoinHint.NONE))
@@ -1108,13 +1295,46 @@ object GraftMaterializedViews {
         .toDF(declaredNames: _*)
   }
 
+  /** Restrict one side's frame to rows that can contribute to a
+    * touched group: null-safe semi against the touched keys projected
+    * onto THIS side's group-key columns, with the projection's min/max
+    * bounds both pruning the FILE LISTING (via `prunedScan` —
+    * [[GraftTable.scanStatsPruned]], supplied by the ticks) and
+    * narrowing rows. Exact for any side whose removal cannot fabricate
+    * output rows (every inner-join side; an outer join's restrictable
+    * side — see the caller's policy). A side that originates no group
+    * key stays as given. */
+  private[engine] def restrictFrame(
+      groupAttrs: Seq[AttributeReference],
+      frame: DataFrame, touched: DataFrame,
+      sideOut: org.apache.spark.sql.catalyst.expressions.AttributeSet,
+      prunedScan: Option[Seq[org.apache.spark.sql.sources.Filter] => DataFrame])
+      : DataFrame = {
+    val sideKeys = groupAttrs.filter(sideOut.contains).map(_.name)
+    if (sideKeys.isEmpty) frame
+    else {
+      val proj = touched.select(sideKeys.map(col): _*).distinct()
+      val tb = ChangelogApply.touchedBoundsOf(proj, sideKeys)
+      val bounded = prunedScan match {
+        case Some(scanWith) => scanWith(tb.filters).filter(tb.residual)
+        case None => frame.filter(tb.residual)
+      }
+      ChangelogApply.nullSafeJoin(bounded, proj, sideKeys, "left_semi")
+    }
+  }
+
   /** Analyzed plan → [[RebuildJoinShape]], or None. Checked after the
-    * join FOLD shape (cheaper ticks win). */
+    * join FOLD shape (cheaper ticks win). INNER and the three OUTER
+    * join types qualify (r15 — outer joins get null-extension cover
+    * terms in the tick); an outer join with a non-deterministic ON
+    * routes to full like everything else out of grammar. */
   private[engine] def rebuildJoinShapeOf(
       spark: SparkSession, analyzed: LogicalPlan): Option[RebuildJoinShape] = {
+    import org.apache.spark.sql.catalyst.plans.{FullOuter, LeftOuter, RightOuter}
     val (groupExprs, aggChild) = peelToAggregate(strip(analyzed)).getOrElse(return None)
     belowChain(aggChild) match {
-      case Join(l0, r0, Inner, cond, _) if cond.forall(_.deterministic) =>
+      case Join(l0, r0, jt @ (Inner | LeftOuter | RightOuter | FullOuter), cond, _)
+          if cond.forall(_.deterministic) =>
         (belowChain(l0), belowChain(r0)) match {
           case (lr: DataSourceV2Relation, rr: DataSourceV2Relation)
               if lr.identifier.isDefined && rr.identifier.isDefined &&
@@ -1131,11 +1351,227 @@ object GraftMaterializedViews {
               TableIdent(ri.namespace().toSeq, ri.name()),
               lr, rr, analyzed, aggChild,
               groupAttrs, keyOutIdx,
-              analyzed.output.map(_.name)))
+              analyzed.output.map(_.name),
+              jt, l0, r0, cond))
           case _ => None
         }
       case _ => None
     }
+  }
+
+  /** The rebuild tier over an N-ARY (3+) INNER join tree (r15): the
+    * same recompute-on-touch discipline, arity-generalized. The
+    * re-execution machinery never cared about arity — substitution
+    * replaces each relation INSTANCE by attribute ids, so self-joins
+    * and left-/right-deep trees all work. The touched cover
+    * generalizes the bilinear form: a joined TUPLE changed since the
+    * checkpoints iff at least one of its component rows changed, so
+    * every changed tuple appears in SOME term that substitutes deltas
+    * for a non-empty SUBSET of the moved instances and heads for the
+    * rest (2^m − 1 terms for m moved instances — each term joins at
+    * least one delta-sized side, so all are delta-bounded). INNER
+    * only: null-extension semantics stay with the 2-table shape. */
+  private[engine] final case class RebuildMultiJoinShape(
+      catalogName: String,
+      idents: Seq[TableIdent],
+      rels: Seq[DataSourceV2Relation],
+      analyzed: LogicalPlan,
+      aggChild: LogicalPlan,
+      groupAttrs: Seq[AttributeReference],
+      keyOutIdx: Seq[Int],
+      declaredNames: Seq[String]) {
+
+    def nameOf(ti: TableIdent): String =
+      s"$catalogName.${ti.namespace.mkString(".")}.${ti.name}"
+    def keySrcNames: Seq[String] = groupAttrs.map(_.name)
+    def keyOutNames: Seq[String] = keyOutIdx.map(declaredNames)
+    def withOutNames(declared: Seq[String]): RebuildMultiJoinShape =
+      copy(declaredNames = declared)
+
+    def table(spark: SparkSession, ti: TableIdent): GraftTable = {
+      val plugin = GraftShims.catalogPlugin(spark, Some(catalogName))
+      plugin.asInstanceOf[GraftSparkCatalog].engineTable(ti)
+    }
+
+    def touchedOut(touched: DataFrame): DataFrame =
+      touched.select(keySrcNames.zip(keyOutNames)
+        .map { case (s, o) => col(s).as(o) }: _*)
+
+    private def substitute(plan: LogicalPlan, frames: Seq[DataFrame]): LogicalPlan = {
+      val byOutput = rels.zip(frames)
+      plan.transformUp {
+        case r: DataSourceV2Relation =>
+          byOutput.find(_._1.output == r.output) match {
+            case Some((rel, frame)) => restoreAttrs(rel, frame)
+            case None => r
+          }
+      }
+    }
+
+    /** Group keys of one cover term (all-inner tree: no innerization
+      * needed): the below-aggregate plan at the substituted frames,
+      * projected to the group-key attrs. */
+    def keysOf(spark: SparkSession, frames: Seq[DataFrame]): DataFrame =
+      GraftShims.ofRows(spark, substitute(aggChild, frames))
+        .select(groupAttrs.map(a => GraftShims.column(a).as(a.name)): _*)
+
+    /** Re-execute the defining plan at the substituted frames with
+      * EVERY side restricted to its touched-key projection (exact for
+      * inner joins: removing a row only removes tuples) and the
+      * null-safe above-aggregate semi as the exactness gate. */
+    def rebuild(
+        spark: SparkSession, touched: DataFrame, frames: Seq[DataFrame],
+        pruned: Seq[Option[Seq[org.apache.spark.sql.sources.Filter] => DataFrame]])
+        : DataFrame = {
+      import org.apache.spark.sql.catalyst.expressions.{And, EqualNullSafe}
+      import org.apache.spark.sql.catalyst.plans.LeftSemi
+      import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin, JoinHint}
+      val touchedPlan = touched.queryExecution.analyzed
+      val cond = groupAttrs.zip(touchedPlan.output)
+        .map { case (g, t) => EqualNullSafe(g, t): Expression }
+        .reduceLeft(And(_, _))
+      val restrictedFrames = frames.zipWithIndex.map { case (f, i) =>
+        restrictFrame(groupAttrs, f, touched, rels(i).outputSet,
+          pruned.lift(i).flatten)
+      }
+      val swapped = substitute(analyzed, restrictedFrames)
+      val restricted = swapped.transformUp {
+        case a: Aggregate if a.groupingExpressions == (groupAttrs: Seq[Expression]) =>
+          a.copy(child = LJoin(a.child, touchedPlan, LeftSemi, Some(cond), JoinHint.NONE))
+        case d: org.apache.spark.sql.catalyst.plans.logical.Distinct
+            if strip(d.child).output == groupAttrs =>
+          d.copy(child = LJoin(d.child, touchedPlan, LeftSemi, Some(cond), JoinHint.NONE))
+      }
+      GraftShims.ofRows(spark, restricted).toDF(declaredNames: _*)
+    }
+
+    /** Unrestricted re-execution (cold start / full-at-heads). */
+    def rebuildFull(spark: SparkSession, frames: Seq[DataFrame]): DataFrame =
+      GraftShims.ofRows(spark, substitute(analyzed, frames))
+        .toDF(declaredNames: _*)
+  }
+
+  /** Leaves of an all-INNER join tree with deterministic conditions —
+    * None when anything else appears below. */
+  private def collectInnerRelTree(p: LogicalPlan): Option[Seq[DataSourceV2Relation]] =
+    belowChain(p) match {
+      case Join(l, r, Inner, cond, _) if cond.forall(_.deterministic) =>
+        for {
+          ls <- collectInnerRelTree(l)
+          rs <- collectInnerRelTree(r)
+        } yield ls ++ rs
+      case r: DataSourceV2Relation => Some(Seq(r))
+      case _ => None
+    }
+
+  /** Analyzed plan → [[RebuildMultiJoinShape]] (3+ relations), or
+    * None. Checked after the two-table rebuild shape. */
+  private[engine] def rebuildMultiJoinShapeOf(
+      spark: SparkSession, analyzed: LogicalPlan): Option[RebuildMultiJoinShape] = {
+    val (groupExprs, aggChild) = peelToAggregate(strip(analyzed)).getOrElse(return None)
+    val rels = collectInnerRelTree(aggChild).getOrElse(return None)
+    if (rels.size < 3) return None
+    if (!rels.forall(r => r.identifier.isDefined &&
+        r.catalog.exists(_.isInstanceOf[GraftSparkCatalog]))) return None
+    val catNames = rels.map(_.catalog.get.name()).distinct
+    if (catNames.size != 1) return None
+    val (groupAttrs, keyOutIdx) = traceKeys(analyzed, groupExprs,
+      rels.map(_.outputSet).reduce(_ ++ _)).getOrElse(return None)
+    Some(RebuildMultiJoinShape(
+      catNames.head,
+      rels.map(r => TableIdent(
+        r.identifier.get.namespace().toSeq, r.identifier.get.name())),
+      rels, analyzed, aggChild,
+      groupAttrs, keyOutIdx,
+      analyzed.output.map(_.name)))
+  }
+
+  /** Cover-term explosion guard: 2^m − 1 terms for m moved instances
+    * is delta-bounded but not free — past this many terms a full
+    * recompute is the cheaper honest answer. */
+  private val MaxCoverTerms = 15
+
+  /** One refresh tick for [[RebuildMultiJoinShape]] — the N-ary twin
+    * of the two-table tick: NoOp when every checkpoint matches its
+    * head, subset-cover touched derivation, per-side-restricted
+    * rebuild, one churn-sized keyed commit advancing ALL checkpoints
+    * atomically. Self-joins share one checkpoint per TABLE; the cover
+    * still ranges over INSTANCES (a tuple changes if any component
+    * row of any instance changed). */
+  private def refreshRebuildMulti(
+      spark: SparkSession, mv: GraftTable, rm: RebuildMultiJoinShape): RefreshMode = {
+    val meta = mv.metadata
+    val names = rm.idents.map(rm.nameOf)
+    val distinctIdents = rm.idents.zip(names).distinctBy(_._2)
+    val tables = distinctIdents.map { case (ti, n) => n -> rm.table(spark, ti) }.toMap
+    val heads = tables.map { case (n, t) => n -> t.metadata.currentSnapshotId }
+    def headMark(h: Option[Long]): String = h.map(_.toString).getOrElse("none")
+    val ckpts = heads.map { case (n, h) =>
+      ChangelogApply.ckptKey(n) -> headMark(h)
+    } ++ Map(RefreshModeProp -> "incremental-rebuild")
+    if (heads.forall { case (n, h) =>
+      meta.properties.get(ChangelogApply.ckptKey(n)).contains(headMark(h))
+    }) return NoOp
+
+    def fullAtHeads(): RefreshMode = {
+      def frameAt(n: String): DataFrame = {
+        val t = tables(n)
+        heads(n).map(id => t.scan(spark, t.AtSnapshot(id))).getOrElse(t.scan(spark))
+      }
+      mv.overwriteAll(
+        rm.rebuildFull(spark, names.map(frameAt)),
+        meta.currentSnapshotId, extraProperties = ckpts)
+      Full
+    }
+
+    val parsed = heads.map { case (n, h) =>
+      n -> (meta.properties.get(ChangelogApply.ckptKey(n)).flatMap(_.toLongOption), h)
+    }
+    if (!parsed.forall { case (_, (c, h)) => c.isDefined && h.isDefined })
+      return fullAtHeads() // a checkpoint missing or a table headless
+    val ck = parsed.map { case (n, (c, h)) => n -> (c.get, h.get) }
+    val movedNames = ck.collect { case (n, (c, h)) if c != h => n }.toSet
+    val movedIdx = names.zipWithIndex.collect {
+      case (n, i) if movedNames(n) => i
+    }
+    if ((1 << movedIdx.size) - 1 > MaxCoverTerms) return fullAtHeads()
+
+    def plainRows(n: String, rel: DataSourceV2Relation): DataFrame = {
+      val (c, h) = ck(n)
+      tables(n).changelogScan(spark, c, Some(h))
+        .select(rel.output.map(a => col(a.name)): _*)
+    }
+    val headFrames = names.map { n =>
+      val t = tables(n)
+      t.scan(spark, t.AtSnapshot(ck(n)._2))
+    }
+    // every non-empty subset of the moved instances: deltas for the
+    // subset, heads for the rest
+    val subsets = (1 until (1 << movedIdx.size)).map(mask =>
+      movedIdx.zipWithIndex.collect {
+        case (inst, bit) if (mask & (1 << bit)) != 0 => inst
+      }.toSet)
+    val terms = subsets.map { s =>
+      val frames = names.zipWithIndex.map { case (n, i) =>
+        if (s(i)) plainRows(n, rm.rels(i)) else headFrames(i)
+      }
+      rm.keysOf(spark, frames)
+    }
+    val touched = terms.reduceLeft(_ unionByName _).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val pruned = names.map { n =>
+        val t = tables(n)
+        val h = ck(n)._2
+        Some((fs: Seq[org.apache.spark.sql.sources.Filter]) =>
+          t.scanStatsPruned(spark, fs, t.AtSnapshot(h)))
+      }
+      mv.replaceKeys(spark, rm.keyOutNames,
+        rm.touchedOut(touched),
+        rm.rebuild(spark, touched, headFrames, pruned),
+        meta.currentSnapshotId, extraProperties = ckpts)
+      Incremental
+    } finally touched.unpersist(blocking = false)
   }
 
   /** Analyzed plan → foldable shape, or None (→ full-refresh MV).
