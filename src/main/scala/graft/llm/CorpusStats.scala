@@ -102,16 +102,18 @@ object CorpusStats {
     * pair algebra is cheap PER PAIR but still quadratic in pairs). One
     * cheap single-column job, run eagerly so the guard refuses to even
     * PLAN the quadratic. */
-  private def sourceBound(s: SparkSession, dir: String): (Long, Int) = {
+  private def overlapMaxSources(s: SparkSession): Int = {
     val rawMax = s.conf.get(OverlapMaxSourcesConf, OVERLAP_MAX_SOURCES.toString)
-    val maxSources =
-      try rawMax.toInt
-      catch {
-        case _: NumberFormatException => throw new IllegalArgumentException(
-          s"$OverlapMaxSourcesConf must be an integer source-count bound, got '$rawMax'")
-      }
-    (load(s, dir, "documents").select(col("source")).distinct().count(), maxSources)
+    try rawMax.toInt
+    catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"$OverlapMaxSourcesConf must be an integer source-count bound, got '$rawMax'")
+    }
   }
+
+  private def sourceBound(s: SparkSession, dir: String): (Long, Int) =
+    (load(s, dir, "documents").select(col("source")).distinct().count(),
+      overlapMaxSources(s))
 
   /** Pairwise source overlap: exact token-set Jaccard for every source
     * pair, via the distinct (source, token) inverted index — never a
@@ -124,12 +126,12 @@ object CorpusStats {
     * the scalable alternative (MinHash, [[Dedup.qDedupMinhashLsh]]'s
     * machinery over source-level shingle sets). */
   def qSourceOverlap(s: SparkSession, dir: String): DataFrame = {
-    // NOTE (registry contract): unlike the rest of the registry, this
-    // builder runs one bounded Spark job at DataFrame-CONSTRUCTION time
-    // — the distinct-source count below — because the guard must refuse
-    // to even PLAN the quadratic. Callers embedding the registry should
-    // expect that one eager (single-column, cheap) job from this entry;
-    // every other registry builder is lazy.
+    // NOTE (registry contract): unlike most of the registry, the two
+    // overlap builders run one bounded Spark job at DataFrame-
+    // CONSTRUCTION time because the guard must refuse to even RUN the
+    // quadratic: here a single-column distinct-source count; in the
+    // KMV twin the (persisted) sketch aggregation itself, whose row
+    // count doubles as the guard. Every other registry builder is lazy.
     val (nSources, maxSources) = sourceBound(s, dir)
     if (nSources > maxSources) throw new IllegalStateException(
       s"q_source_overlap is scoped to bounded strata: $nSources distinct sources " +
@@ -790,14 +792,17 @@ object CorpusStats {
   def qKmvSourceOverlap(s: SparkSession, dir: String): DataFrame = {
     // same guardrail as the exact twin: the sketches are k longs each,
     // but the pair ALGEBRA is still |sources|² — designed for bounded
-    // strata, a planning accident for open-ended domain sets
-    val (nSources, maxSources) = sourceBound(s, dir)
-    if (nSources > maxSources) throw new IllegalStateException(
-      s"q_kmv_source_overlap is scoped to bounded strata: $nSources distinct " +
-        s"sources exceeds $OverlapMaxSourcesConf=$maxSources. The KMV pair " +
-        "algebra is O(sources\u00b2) sketch pairs; for open-ended domain sets " +
-        "use the MinHash path (q_source_overlap_minhash) instead, or raise " +
-        "the conf deliberately.")
+    // strata, a planning accident for open-ended domain sets.
+    // GUARD WITHOUT A SECOND CORPUS SCAN (r15): the r14 pre-flight ran
+    // a separate distinct-source count — one full documents pass —
+    // before the sketch build paid the same pass again. Instead the
+    // sketch aggregation runs EAGERLY (persist + count): its row count
+    // IS the distinct-source count, so ONE corpus scan funds both the
+    // guard and the state the pair algebra consumes, and the quadratic
+    // join below the throw is never executed above the bound. The
+    // persisted sketches are |sources| × k longs — tiny — and the
+    // pair join reads them from cache, not the corpus.
+    val maxSources = overlapMaxSources(s)
     val sketches = load(s, dir, "documents")
       .selectExpr("source", "filter(split(text, ' '), t -> length(t) > 0) as ta")
       .where("size(ta) >= 2")
@@ -807,6 +812,17 @@ object CorpusStats {
       .selectExpr("source", s"${Portable.hSpark("bigram")} as h")
       .groupBy(col("source"))
       .agg(graft.functions.KmvSketch.of(KmvK)(col("h")).as("sk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nSources = sketches.count()
+    if (nSources > maxSources) {
+      sketches.unpersist(blocking = false)
+      throw new IllegalStateException(
+        s"q_kmv_source_overlap is scoped to bounded strata: $nSources distinct " +
+          s"sources exceeds $OverlapMaxSourcesConf=$maxSources. The KMV pair " +
+          "algebra is O(sources\u00b2) sketch pairs; for open-ended domain sets " +
+          "use the MinHash path (q_source_overlap_minhash) instead, or raise " +
+          "the conf deliberately.")
+    }
     val pairs = sketches.selectExpr("source as source_a", "sk as sk_a")
       .join(broadcast(sketches.selectExpr("source as source_b", "sk as sk_b")),
         col("source_a") < col("source_b"))
