@@ -235,3 +235,134 @@ object ScalingRehearsal {
     spark.stop()
   }
 }
+
+/** The MV-REFRESH-TICK growth rehearsal (r15): N× MORE MV KEYS at
+  * FIXED churn — the whole point of churn-sized maintenance is that
+  * the tick's cost follows the churn, not the materialization, so the
+  * tick wall-time must stay ~flat as the MV grows 10×. Covers BOTH
+  * maintenance tiers that commit keyed replacements:
+  *  - `mv_fold_tick`: single-table arithmetic fold (count/sum),
+  *  - `mv_join_rebuild_tick`: the two-table join REBUILD tier (the
+  *    r14 weak item — its tick COMPUTE is per-side restricted and
+  *    file-pruned as of r15, so this row is the proof at scale).
+  * The backing tables are sort-compacted (`rewrite_data_files` with a
+  * key z-order) the way a deployment would maintain them, so the
+  * touched-key bounds prune files, not just rows. Prints the same
+  * min-of-N markdown rows SCALING.md carries. */
+object MvTickRehearsal {
+
+  private def timeTick(spark: SparkSession)(run: => Unit): Double = {
+    val t0 = System.nanoTime()
+    run
+    val t = (System.nanoTime() - t0) / 1e9
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    t
+  }
+
+  /** Build the two MVs over nKeys-key sources, then time `passes`
+    * refresh ticks of a fixed `churn`-key delta each. Returns
+    * (row name → per-pass tick seconds). */
+  def measure(spark: SparkSession, nKeys: Long, churn: Int, passes: Int)
+      : Seq[(String, Seq[Double])] = {
+    val cat = s"mvtick$nKeys"
+    val store = new graft.catalog.InMemoryCatalogStore
+    val project = java.util.UUID.randomUUID()
+    val server = new graft.server.CatalogServer(store, project).start()
+    try {
+      val whLoc = java.nio.file.Files.createTempDirectory(s"graft-mvtick-$nKeys")
+        .toUri.toString.stripSuffix("/")
+      store.createWarehouse(project, "wh", whLoc)
+        .fold(e => sys.error(e.message), identity)
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.engine.GraftSparkCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.uri", server.baseUri)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", "wh")
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+
+      // fold tier: one source, count/sum MV
+      spark.sql(s"CREATE TABLE $cat.db.src (k BIGINT, v BIGINT)")
+      spark.sql(s"INSERT INTO $cat.db.src SELECT id, id FROM range(0, $nKeys, 1, 8)")
+      spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.mv_fold AS " +
+        s"SELECT k, count(*) AS n, sum(v) AS s FROM $cat.db.src GROUP BY k")
+      // join-rebuild tier: two sources, a two-conjunct condition keeps
+      // it out of the arithmetic fold grammar (same shape the specs pin)
+      spark.sql(s"CREATE TABLE $cat.db.ja (ak BIGINT, av BIGINT)")
+      spark.sql(s"CREATE TABLE $cat.db.jb (bk BIGINT, bv BIGINT)")
+      spark.sql(s"INSERT INTO $cat.db.ja SELECT id, id FROM range(0, $nKeys, 1, 8)")
+      spark.sql(s"INSERT INTO $cat.db.jb SELECT id, id FROM range(0, $nKeys, 1, 8)")
+      spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.mv_rj AS " +
+        s"SELECT a.ak AS ak, b.bk AS bk, count(*) AS n " +
+        s"FROM $cat.db.ja a JOIN $cat.db.jb b ON a.av = b.bv AND b.bv >= 0 " +
+        s"GROUP BY a.ak, b.bk")
+      // deployment-style maintenance: sort-compact sources and MVs so
+      // per-file key ranges are tight and touched-key bounds prune
+      for ((t, k) <- Seq("src" -> "k", "mv_fold" -> "k",
+          "ja" -> "ak", "jb" -> "bk", "mv_rj" -> "ak")) {
+        spark.sql(s"CALL $cat.system.rewrite_data_files(" +
+          s"table => 'db.$t', target_file_count => 16, zorder => '$k')")
+      }
+      val plugin = org.apache.spark.sql.GraftShims.catalogPlugin(spark, Some(cat))
+        .asInstanceOf[graft.engine.GraftSparkCatalog]
+      def tick(mv: String): Unit =
+        graft.engine.GraftMaterializedViews.refresh(spark, plugin,
+          graft.catalog.TableIdent(Seq("db"), mv))
+
+      val foldTimes = Seq.newBuilder[Double]
+      val rjTimes = Seq.newBuilder[Double]
+      (0 until passes).foreach { p =>
+        // FIXED churn regardless of nKeys: the first `churn` keys
+        spark.sql(s"INSERT INTO $cat.db.src SELECT id, id + $p " +
+          s"FROM range(0, $churn, 1, 1)")
+        foldTimes += timeTick(spark)(tick("mv_fold"))
+        spark.sql(s"INSERT INTO $cat.db.ja SELECT id, id " +
+          s"FROM range(0, $churn, 1, 1)")
+        rjTimes += timeTick(spark)(tick("mv_rj"))
+      }
+      Seq("mv_fold_tick" -> foldTimes.result(),
+        "mv_join_rebuild_tick" -> rjTimes.result())
+    } finally {
+      server.stop()
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.uri")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    }
+  }
+
+  /** Args: [nKeys1x] [multiplier] [churn]. Prints SCALING.md rows. */
+  def main(args: Array[String]): Unit = {
+    val nKeys = args.lift(0).map(_.toLong).getOrElse(50000L)
+    val mult = args.lift(1).map(_.toInt).getOrElse(10)
+    val churn = args.lift(2).map(_.toInt).getOrElse(100)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_PASSES", "3").toInt.max(1)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.parquet.fieldId.write.enabled", "true")
+      .config("spark.sql.parquet.fieldId.read.enabled", "true")
+      .config("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // warmup at a throwaway size (JIT, codegen, commit path)
+    measure(spark, 1000L, churn, 1)
+    val one = measure(spark, nKeys, churn, passes)
+    val big = measure(spark, nKeys * mult, churn, passes)
+    def stats(ts: Seq[Double]): (Double, Double) =
+      (ts.sorted.apply(ts.size / 2), ts.min)
+    println(s"| tick (churn=$churn keys) | ${nKeys} keys med (s) | min | " +
+      s"${nKeys * mult} keys med (s) | min | ratio (min) |")
+    println("|---|---|---|---|---|---|")
+    one.zip(big).foreach { case ((n, t1), (_, tN)) =>
+      val (m1, f1) = stats(t1)
+      val (mN, fN) = stats(tN)
+      println(f"| $n | $m1%.2f | $f1%.2f | $mN%.2f | $fN%.2f | ${fN / f1}%.1fx |")
+    }
+    spark.stop()
+  }
+}

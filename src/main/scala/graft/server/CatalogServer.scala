@@ -42,11 +42,16 @@ final class CatalogServer(
   import graft.service.CatalogEvent
 
   private val server: HttpServer = HttpServer.create(new InetSocketAddress(bindHost, port), 0)
-  server.setExecutor(Executors.newFixedThreadPool(16))
+  // keep the handle: HttpServer.stop does NOT shut down a user-supplied
+  // executor, and its non-daemon workers would pin an embedding JVM
+  // alive after stop() (surfaced by the MV-tick rehearsal main, which
+  // starts several servers in one process)
+  private val pool = Executors.newFixedThreadPool(16)
+  server.setExecutor(pool)
   server.createContext("/", (ex: HttpExchange) => route(ex))
 
   def start(): CatalogServer = { server.start(); this }
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
   def boundPort: Int = server.getAddress.getPort
   /** Loopback address of the bound port — always reachable from this
     * machine (tests, the healthcheck subcommand, local clients). */
