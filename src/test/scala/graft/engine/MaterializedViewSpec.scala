@@ -859,6 +859,79 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
       "untouched files must carry over")
   }
 
+  test("rebuild tier: 3 instances over 2 tables (self-join inside a triangle) share checkpoints") {
+    // edges appears TWICE among the three instances: the N-ary tick
+    // must keep ONE checkpoint per TABLE while the cover ranges over
+    // INSTANCES (an edge insert can extend either hop of the path)
+    spark.sql(s"CREATE TABLE $cat.db.tedges (src BIGINT, dst BIGINT)")
+    spark.sql(s"CREATE TABLE $cat.db.tnodes (id BIGINT, grp STRING)")
+    spark.sql(s"INSERT INTO $cat.db.tedges VALUES (1,2),(2,3),(3,1),(2,4)")
+    spark.sql(s"INSERT INTO $cat.db.tnodes VALUES (1,'a'),(2,'a'),(3,'b'),(4,'b')")
+    val defSql =
+      s"""SELECT e1.src AS root, n.grp AS grp, count(*) AS paths
+         |FROM $cat.db.tedges e1
+         |JOIN $cat.db.tedges e2 ON e1.dst = e2.src
+         |JOIN $cat.db.tnodes n ON e2.dst = n.id
+         |GROUP BY e1.src, n.grp""".stripMargin
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.mv_tri AS $defSql")
+    assert(spark.sql(s"SHOW TBLPROPERTIES $cat.db.mv_tri")
+      .collect().exists(r => r.getString(0) == GraftMaterializedViews.RefreshModeProp &&
+        r.getString(1) == "incremental-rebuild"))
+    def expect = spark.sql(defSql).collect().map(_.toSeq).toSet
+    def got = spark.sql(s"SELECT root, grp, paths FROM $cat.db.mv_tri")
+      .collect().map(_.toSeq).toSet
+    assert(got === expect)
+    // an edge insert extends BOTH hop positions in one tick; a node
+    // churn moves a group key value
+    spark.sql(s"INSERT INTO $cat.db.tedges VALUES (4,2)")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_tri")) === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+    spark.sql(s"DELETE FROM $cat.db.tnodes WHERE id = 4")
+    spark.sql(s"INSERT INTO $cat.db.tedges VALUES (1,4)")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_tri")) === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_tri")) === GraftMaterializedViews.NoOp)
+  }
+
+  test("join rebuild tier: a SELF LEFT-join MV refreshes incrementally") {
+    // self-join + outer: both instances share one checkpoint AND the
+    // preserved side's null-extension terms must use the correct
+    // INSTANCE's attributes (leaf nodes without out-edges)
+    spark.sql(s"CREATE TABLE $cat.db.sedges (src BIGINT, dst BIGINT)")
+    spark.sql(s"INSERT INTO $cat.db.sedges VALUES (1,2),(2,3)")
+    val defSql =
+      s"""SELECT e1.dst AS hop, count(e2.dst) AS outs
+         |FROM $cat.db.sedges e1 LEFT JOIN $cat.db.sedges e2 ON e1.dst = e2.src
+         |GROUP BY e1.dst""".stripMargin
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.mv_sl AS $defSql")
+    assert(spark.sql(s"SHOW TBLPROPERTIES $cat.db.mv_sl")
+      .collect().exists(r => r.getString(0) == GraftMaterializedViews.RefreshModeProp &&
+        r.getString(1) == "incremental-rebuild"))
+    def expect = spark.sql(defSql).collect().map(_.toSeq).toSet
+    def got = spark.sql(s"SELECT hop, outs FROM $cat.db.mv_sl")
+      .collect().map(_.toSeq).toSet
+    assert(got === expect)
+    assert(got.contains(Seq(3L, 0L)), "dangling hop must count 0 (null-extended)")
+    // 3 gains an out-edge: its left instance flips null-extended →
+    // matched, and the SAME insert extends the right instance
+    spark.sql(s"INSERT INTO $cat.db.sedges VALUES (3,1)")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_sl")) === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+    assert(got.contains(Seq(3L, 1L)))
+    // deleting it flips back
+    spark.sql(s"DELETE FROM $cat.db.sedges WHERE src = 3")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_sl")) === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+    assert(got.contains(Seq(3L, 0L)))
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_sl")) === GraftMaterializedViews.NoOp)
+  }
+
   test("join rebuild tier: LEFT OUTER join MV — matched ↔ null-extended flips refresh incrementally") {
     spark.sql(s"CREATE TABLE $cat.db.lo_f (k BIGINT, ref BIGINT)")
     spark.sql(s"CREATE TABLE $cat.db.lo_d (id BIGINT, label STRING)")
