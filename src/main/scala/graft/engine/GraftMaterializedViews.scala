@@ -105,6 +105,10 @@ object GraftMaterializedViews {
       if (shape.isDefined || joinShape.isDefined || rebuildShape.isDefined ||
         rebuildJoin.isDefined) None
       else rebuildMultiJoinShapeOf(spark, analyzed).map(_.withOutNames(fields.map(_.name)))
+    val rebuildExpr =
+      if (shape.isDefined || joinShape.isDefined || rebuildShape.isDefined ||
+        rebuildJoin.isDefined || rebuildMulti.isDefined) None
+      else rebuildExprShapeOf(spark, analyzed).map(_.withOutNames(fields.map(_.name)))
     val props = properties ++ Map(
       MarkerProp -> "true",
       SqlProp -> originalText,
@@ -117,7 +121,7 @@ object GraftMaterializedViews {
       RefreshModeProp ->
         (if (shape.isDefined || joinShape.isDefined) "incremental"
          else if (rebuildShape.isDefined || rebuildJoin.isDefined ||
-           rebuildMulti.isDefined) "incremental-rebuild"
+           rebuildMulti.isDefined || rebuildExpr.isDefined) "incremental-rebuild"
          else "full"))
     // PARTITIONED BY flows straight through to the backing table: the
     // fold's overwrite commits write through the table's default spec,
@@ -219,9 +223,25 @@ object GraftMaterializedViews {
                       ChangelogApply.ckptKey(n) -> h.get.toString
                     }.toMap)
                 }
-              case None =>
-                val df = GraftShims.ofRows(spark, analyzed)
-                mv.overwriteAll(df.toDF(fields.map(_.name): _*), None)
+              case None => rebuildExpr match {
+                case Some(re) =>
+                  // pinned cold start, the expr-keyed twin of the
+                  // single-table rebuild branch above
+                  val source = re.sourceTable(spark)
+                  source.metadata.currentSnapshotId match {
+                    case Some(head) =>
+                      mv.overwriteAll(
+                        re.rebuildFull(spark,
+                          source.scan(spark, source.AtSnapshot(head))),
+                        None,
+                        extraProperties = Map(
+                          ChangelogApply.ckptKey(re.sourceName) -> head.toString))
+                    case None => // empty source: first refresh cold-starts
+                  }
+                case None =>
+                  val df = GraftShims.ofRows(spark, analyzed)
+                  mv.overwriteAll(df.toDF(fields.map(_.name): _*), None)
+              }
             }
           }
         }
@@ -326,10 +346,16 @@ object GraftMaterializedViews {
                       .map(_.withOutNames(outNames)) match {
                       case Some(rmj) => refreshRebuildMulti(spark, mv, rmj)
                       case None =>
-                        val df = GraftShims.ofRows(spark, analyzed)
-                        mv.overwriteAll(df.toDF(outNames: _*), meta.currentSnapshotId,
-                          extraProperties = Map(RefreshModeProp -> "full"))
-                        Full
+                        rebuildExprShapeOf(spark, analyzed)
+                          .map(_.withOutNames(outNames)) match {
+                          case Some(re) => refreshRebuildExpr(spark, mv, re)
+                          case None =>
+                            val df = GraftShims.ofRows(spark, analyzed)
+                            mv.overwriteAll(df.toDF(outNames: _*),
+                              meta.currentSnapshotId,
+                              extraProperties = Map(RefreshModeProp -> "full"))
+                            Full
+                        }
                     }
                 }
             }
@@ -1356,6 +1382,198 @@ object GraftMaterializedViews {
           case _ => None
         }
       case _ => None
+    }
+  }
+
+  /** Peel the deterministic `[Filter | Project]*` chain down to the
+    * Aggregate NODE itself (the expr-keyed shape needs its
+    * aggregateExpressions to locate each group expression's exposed
+    * alias, not just the grouping list). */
+  private def peelAggNode(p: LogicalPlan): Option[Aggregate] = p match {
+    case f: Filter if f.condition.deterministic => peelAggNode(strip(f.child))
+    case pr: Project if pr.projectList.forall(_.deterministic) =>
+      peelAggNode(strip(pr.child))
+    case a: Aggregate if a.aggregateExpressions.forall(_.deterministic) => Some(a)
+    case _ => None
+  }
+
+  /** For each final output position, the exprId of the AGGREGATE
+    * output attribute it passes through (None for columns computed
+    * above the aggregate) — the aggregate-level twin of [[originsOf]],
+    * which resolves to SOURCE attrs and so cannot see computed
+    * aggregate outputs like `length(status) AS l`. */
+  private def originsToAgg(p: LogicalPlan)
+      : Seq[Option[org.apache.spark.sql.catalyst.expressions.ExprId]] = p match {
+    case a: Aggregate => a.aggregateExpressions.map(ne => Some(ne.toAttribute.exprId))
+    case f: Filter => originsToAgg(strip(f.child))
+    case s: SubqueryAlias => originsToAgg(strip(s))
+    case pr: Project =>
+      val child = strip(pr.child)
+      val below = originsToAgg(child)
+      val idx = child.output.map(_.exprId).zipWithIndex.toMap
+      pr.projectList.map {
+        case ar: AttributeReference => idx.get(ar.exprId).flatMap(below)
+        case Alias(ar: AttributeReference, _) => idx.get(ar.exprId).flatMap(below)
+        case _ => None
+      }
+    case other => other.output.map(_ => None)
+  }
+
+  /** The EXPRESSION-KEYED rebuild tier (r15): `GROUP BY <deterministic
+    * expressions>` over one graft table, each group expression EXPOSED
+    * (possibly aliased) in the output. No stored column set can
+    * file-prune by an expression's value, so the tick's source scan
+    * is FULL — but the aggregate's input is restricted to rows whose
+    * group-expression TUPLE is touched (a null-safe semi evaluated per
+    * row), so the aggregate state is churn-sized and the commit
+    * replaces exactly the touched expression values
+    * ([[GraftTable.replaceKeys]] on the exposed columns). Strictly
+    * better than the full recompute this shape previously routed to:
+    * same scan, churn-sized shuffle and write. Touched values derive
+    * by evaluating the group expressions over the changelog's plain
+    * rows through the defining plan's own below-aggregate chain. */
+  private[engine] final case class RebuildExprShape(
+      catalogName: String,
+      sourceIdent: TableIdent,
+      relation: DataSourceV2Relation,
+      analyzed: LogicalPlan,
+      aggChild: LogicalPlan,
+      groupExprs: Seq[Expression],
+      keyNames: Seq[String],
+      keyOutIdx: Seq[Int],
+      declaredNames: Seq[String]) {
+
+    def sourceName: String =
+      s"$catalogName.${sourceIdent.namespace.mkString(".")}.${sourceIdent.name}"
+    def keyOutNames: Seq[String] = keyOutIdx.map(declaredNames)
+    def withOutNames(declared: Seq[String]): RebuildExprShape =
+      copy(declaredNames = declared)
+
+    def sourceTable(spark: SparkSession): GraftTable = {
+      val plugin = GraftShims.catalogPlugin(spark, Some(catalogName))
+      plugin.asInstanceOf[GraftSparkCatalog].engineTable(sourceIdent)
+    }
+
+    private def substitute(plan: LogicalPlan, frame: DataFrame): LogicalPlan =
+      plan.transformUp {
+        case r: DataSourceV2Relation if r.output == relation.output =>
+          restoreAttrs(relation, frame)
+      }
+
+    def touchedOut(touched: DataFrame): DataFrame =
+      touched.select(keyNames.zip(keyOutNames)
+        .map { case (s, o) => col(s).as(o) }: _*)
+
+    /** Touched group-expression tuples of a delta: the below-aggregate
+      * chain over the delta's plain rows, projected to the group
+      * expressions (their own filters apply — a superset is safe). */
+    def touchedOf(spark: SparkSession, deltaRows: DataFrame): DataFrame =
+      GraftShims.ofRows(spark, substitute(aggChild, deltaRows))
+        .select(groupExprs.zip(keyNames)
+          .map { case (e, n) => GraftShims.column(e).as(n) }: _*)
+
+    /** Re-execute the defining plan at `frame`, with the aggregate's
+      * INPUT restricted to rows whose group-expression tuple is in
+      * `touched` (null-safe; exact — the tuple alone determines the
+      * group). */
+    def rebuild(spark: SparkSession, touched: DataFrame, frame: DataFrame): DataFrame = {
+      import org.apache.spark.sql.catalyst.expressions.{And, EqualNullSafe}
+      import org.apache.spark.sql.catalyst.plans.LeftSemi
+      import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin, JoinHint}
+      val touchedPlan = touched.queryExecution.analyzed
+      val cond = groupExprs.zip(touchedPlan.output)
+        .map { case (g, t) => EqualNullSafe(g, t): Expression }
+        .reduceLeft(And(_, _))
+      val restricted = substitute(analyzed, frame).transformUp {
+        case a: Aggregate if a.groupingExpressions == groupExprs =>
+          a.copy(child = LJoin(a.child, touchedPlan, LeftSemi, Some(cond), JoinHint.NONE))
+      }
+      GraftShims.ofRows(spark, restricted).toDF(declaredNames: _*)
+    }
+
+    def rebuildFull(spark: SparkSession, frame: DataFrame): DataFrame =
+      GraftShims.ofRows(spark, substitute(analyzed, frame))
+        .toDF(declaredNames: _*)
+  }
+
+  /** Analyzed plan → [[RebuildExprShape]], or None. Checked LAST among
+    * the incremental shapes (attribute-keyed tiers file-prune; this
+    * one cannot). */
+  private[engine] def rebuildExprShapeOf(
+      spark: SparkSession, analyzed: LogicalPlan): Option[RebuildExprShape] = {
+    val agg = peelAggNode(strip(analyzed)).getOrElse(return None)
+    val groupExprs = agg.groupingExpressions
+    if (groupExprs.isEmpty) return None // keyless: the fold tier's branch
+    if (!groupExprs.forall(_.deterministic)) return None
+    val rel = belowChain(agg.child) match {
+      case r: DataSourceV2Relation if r.identifier.isDefined &&
+          r.catalog.exists(_.isInstanceOf[GraftSparkCatalog]) => r
+      case _ => return None
+    }
+    if (!groupExprs.forall(_.references.subsetOf(rel.outputSet))) return None
+    // locate each group expression's exposed aggregate output
+    val aggOut = groupExprs.map { g =>
+      val j = agg.aggregateExpressions.indexWhere {
+        case a: AttributeReference => g.semanticEquals(a)
+        case Alias(e, _) => e.semanticEquals(g)
+        case _ => false
+      }
+      if (j < 0) return None // group expression not exposed
+      (agg.aggregateExpressions(j).toAttribute.exprId,
+        agg.aggregateExpressions(j).name)
+    }
+    val keyNames = aggOut.map(_._2)
+    if (keyNames.distinct.size != keyNames.size) return None
+    // trace each exposed aggregate output to a final output position
+    val traced = originsToAgg(strip(analyzed))
+    val keyOutIdx = aggOut.map { case (id, _) =>
+      val i = traced.indexWhere(_.contains(id))
+      if (i < 0) return None
+      i
+    }
+    val ident = rel.identifier.get
+    Some(RebuildExprShape(
+      rel.catalog.get.name(),
+      TableIdent(ident.namespace().toSeq, ident.name()),
+      rel, analyzed, agg.child,
+      groupExprs, keyNames, keyOutIdx,
+      analyzed.output.map(_.name)))
+  }
+
+  /** One refresh tick for [[RebuildExprShape]] — the expression-keyed
+    * twin of [[refreshRebuild]]: full source scan (no column can
+    * file-prune an expression), churn-sized aggregate state and
+    * commit. */
+  private def refreshRebuildExpr(
+      spark: SparkSession, mv: GraftTable, re: RebuildExprShape): RefreshMode = {
+    val meta = mv.metadata
+    val source = re.sourceTable(spark)
+    val srcHead = source.metadata.currentSnapshotId.getOrElse(return NoOp)
+    val key = ChangelogApply.ckptKey(re.sourceName)
+    meta.properties.get(key).flatMap(_.toLongOption) match {
+      case Some(c) if c == srcHead => NoOp
+      case Some(c) =>
+        val plainChanges = source.changelogScan(spark, c, Some(srcHead))
+          .select(re.relation.output.map(a => col(a.name)): _*)
+        val touched = re.touchedOf(spark, plainChanges).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          mv.replaceKeys(spark, re.keyOutNames,
+            re.touchedOut(touched),
+            re.rebuild(spark, touched,
+              source.scan(spark, source.AtSnapshot(srcHead))),
+            meta.currentSnapshotId,
+            extraProperties = Map(key -> srcHead.toString,
+              RefreshModeProp -> "incremental-rebuild"))
+          Incremental
+        } finally touched.unpersist(blocking = false)
+      case None =>
+        mv.overwriteAll(
+          re.rebuildFull(spark, source.scan(spark, source.AtSnapshot(srcHead))),
+          meta.currentSnapshotId,
+          extraProperties = Map(key -> srcHead.toString,
+            RefreshModeProp -> "incremental-rebuild"))
+        Full
     }
   }
 

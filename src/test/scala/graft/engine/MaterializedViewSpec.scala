@@ -1381,14 +1381,35 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === Set("a", "c"))
   }
 
-  test("rebuild-tier boundaries: group-by-expression routes to full; GLOBAL aggregates still fold") {
+  test("rebuild-tier boundaries: group-by-expression rebuilds (r15); GLOBAL aggregates still fold") {
+    // r15: grouping on an EXPOSED deterministic expression refreshes
+    // by expression-keyed rebuild — full source scan, but churn-sized
+    // aggregate state and commit (previously: full recompute)
     spark.sql(
       s"""CREATE MATERIALIZED VIEW $cat.db.mv_gbe AS
          |SELECT length(status) AS l, count(*) AS n
          |FROM $cat.db.orders GROUP BY length(status)""".stripMargin)
     assert(spark.sql(s"SHOW TBLPROPERTIES $cat.db.mv_gbe")
       .collect().exists(r => r.getString(0) == GraftMaterializedViews.RefreshModeProp &&
-        r.getString(1) == "full"))
+        r.getString(1) == "incremental-rebuild"))
+    def expectGbe = spark.sql(
+      s"SELECT length(status) l, count(*) n FROM $cat.db.orders GROUP BY length(status)")
+      .collect().map(_.toSeq).toSet
+    def gotGbe = spark.sql(s"SELECT l, n FROM $cat.db.mv_gbe")
+      .collect().map(_.toSeq).toSet
+    assert(gotGbe === expectGbe)
+    spark.sql(s"INSERT INTO $cat.db.orders VALUES (301,'abcdefgh',2.0)")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_gbe")) === GraftMaterializedViews.Incremental)
+    assert(gotGbe === expectGbe)
+    assert(gotGbe.contains(Seq(8, 1L)), "new expression value's group missing")
+    spark.sql(s"DELETE FROM $cat.db.orders WHERE id = 301")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_gbe")) === GraftMaterializedViews.Incremental)
+    assert(gotGbe === expectGbe)
+    assert(!gotGbe.contains(Seq(8, 1L)), "emptied expression group must drop")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_gbe")) === GraftMaterializedViews.NoOp)
     // a GLOBAL aggregate (no GROUP BY) has no key to replace rows by —
     // it folds arithmetically and overwrites its single row, which IS
     // churn-sized (regression guard: the keyed replace path must not
@@ -1405,6 +1426,45 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.sql(s"SELECT count(*) FROM $cat.db.orders").head().getLong(0))
     assert(GraftMaterializedViews.refresh(spark, graftCatalog,
       TableIdent(Seq("db"), "mv_glob")) === GraftMaterializedViews.NoOp)
+  }
+
+  test("expression-keyed rebuild: mixed attr+expr keys, HAVING, churn-sized commits") {
+    spark.sql(s"CREATE TABLE $cat.db.ek (k BIGINT, ts BIGINT, v DOUBLE)")
+    spark.sql(s"INSERT INTO $cat.db.ek SELECT id % 5, id * 3600, CAST(id AS DOUBLE) " +
+      s"FROM range(0, 200, 1, 1)")
+    // one plain attr + one computed bucket as group keys (time
+    // bucketing — the most common expression-keyed MV in practice),
+    // plus a HAVING: none of it attribute-keyed, all of it rebuildable
+    val defSql =
+      s"""SELECT k, ts DIV 86400 AS day, count(*) AS n, sum(v) AS s
+         |FROM $cat.db.ek GROUP BY k, ts DIV 86400
+         |HAVING count(*) >= 2""".stripMargin
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.mv_ek AS $defSql")
+    assert(spark.sql(s"SHOW TBLPROPERTIES $cat.db.mv_ek")
+      .collect().exists(r => r.getString(0) == GraftMaterializedViews.RefreshModeProp &&
+        r.getString(1) == "incremental-rebuild"))
+    def expect = spark.sql(defSql).collect().map(_.toSeq).toSet
+    def got = spark.sql(s"SELECT k, day, n, s FROM $cat.db.mv_ek")
+      .collect().map(_.toSeq).toSet
+    assert(got === expect)
+    // churn one (k, day) bucket + add a brand-new day; equivalence
+    // and a churn-sized commit
+    spark.sql(s"INSERT INTO $cat.db.ek VALUES (2, 7200, 100.0), " +
+      s"(2, 10000000, 1.0), (2, 10003600, 2.0)")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_ek")) === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+    val summary = store.loadTable(whId, TableIdent(Seq("db"), "mv_ek"))
+      .fold(e => fail(e.message), identity).metadata.currentSnapshot.get.summary
+    assert(summary("added-records").toLong <= 2L,
+      s"expr-rebuild tick wrote ${summary("added-records")} rows for 2 touched buckets")
+    // a bucket dropping below HAVING disappears via the key delete
+    spark.sql(s"DELETE FROM $cat.db.ek WHERE ts = 10000000")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_ek")) === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_ek")) === GraftMaterializedViews.NoOp)
   }
 
   test("KEYLESS mixed-family MV survives an all-delete tick: one global row, never zero") {
