@@ -296,10 +296,20 @@ object MvTickRehearsal {
         s"SELECT a.ak AS ak, b.bk AS bk, count(*) AS n " +
         s"FROM $cat.db.ja a JOIN $cat.db.jb b ON a.av = b.bv AND b.bv >= 0 " +
         s"GROUP BY a.ak, b.bk")
+      // N-ary (3-table) rebuild tier, all sides keyed — every side
+      // restricts and file-prunes, so this tick must stay flat too
+      spark.sql(s"CREATE TABLE $cat.db.jc (ck BIGINT, cv BIGINT)")
+      spark.sql(s"INSERT INTO $cat.db.jc SELECT id, id FROM range(0, $nKeys, 1, 8)")
+      spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.mv_3j AS " +
+        s"SELECT a.ak AS ak, b.bk AS bk, c.ck AS ck, count(*) AS n " +
+        s"FROM $cat.db.ja a JOIN $cat.db.jb b ON a.av = b.bv " +
+        s"JOIN $cat.db.jc c ON b.bv = c.cv " +
+        s"GROUP BY a.ak, b.bk, c.ck")
       // deployment-style maintenance: sort-compact sources and MVs so
       // per-file key ranges are tight and touched-key bounds prune
       for ((t, k) <- Seq("src" -> "k", "mv_fold" -> "k",
-          "ja" -> "ak", "jb" -> "bk", "mv_rj" -> "ak")) {
+          "ja" -> "ak", "jb" -> "bk", "mv_rj" -> "ak",
+          "jc" -> "ck", "mv_3j" -> "ak")) {
         spark.sql(s"CALL $cat.system.rewrite_data_files(" +
           s"table => 'db.$t', target_file_count => 16, zorder => '$k')")
       }
@@ -311,6 +321,7 @@ object MvTickRehearsal {
 
       val foldTimes = Seq.newBuilder[Double]
       val rjTimes = Seq.newBuilder[Double]
+      val j3Times = Seq.newBuilder[Double]
       (0 until passes).foreach { p =>
         // FIXED churn regardless of nKeys: the first `churn` keys
         spark.sql(s"INSERT INTO $cat.db.src SELECT id, id + $p " +
@@ -319,9 +330,12 @@ object MvTickRehearsal {
         spark.sql(s"INSERT INTO $cat.db.ja SELECT id, id " +
           s"FROM range(0, $churn, 1, 1)")
         rjTimes += timeTick(spark)(tick("mv_rj"))
+        // mv_3j sees ja's churn too (its own checkpoint is behind)
+        j3Times += timeTick(spark)(tick("mv_3j"))
       }
       Seq("mv_fold_tick" -> foldTimes.result(),
-        "mv_join_rebuild_tick" -> rjTimes.result())
+        "mv_join_rebuild_tick" -> rjTimes.result(),
+        "mv_3table_rebuild_tick" -> j3Times.result())
     } finally {
       server.stop()
       spark.conf.unset(s"spark.sql.catalog.$cat")
