@@ -264,9 +264,18 @@ object MvTickRehearsal {
   /** Build the two MVs over nKeys-key sources, then time `passes`
     * refresh ticks of a fixed `churn`-key delta each. Returns
     * (row name → per-pass tick seconds). */
+  /** Run-unique catalog suffix: Spark's CatalogManager caches plugin
+    * instances by NAME, so a catalog name keyed only on nKeys collides
+    * when two measure() calls share a size (e.g. warmup at 1000 vs a
+    * caller-passed 1000, or nKeys*mult landing on a prior size) — the
+    * cached plugin still points at the earlier, now-stopped
+    * CatalogServer. An incrementing counter makes every run's name
+    * fresh. */
+  private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
   def measure(spark: SparkSession, nKeys: Long, churn: Int, passes: Int)
       : Seq[(String, Seq[Double])] = {
-    val cat = s"mvtick$nKeys"
+    val cat = s"mvtick${nKeys}r${runSeq.incrementAndGet()}"
     val store = new graft.catalog.InMemoryCatalogStore
     val project = java.util.UUID.randomUUID()
     val server = new graft.server.CatalogServer(store, project).start()

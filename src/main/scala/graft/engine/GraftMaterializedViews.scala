@@ -436,37 +436,64 @@ object GraftMaterializedViews {
         val bHead = rt.scan(spark, rt.AtSnapshot(rh))
         val aMoved = cl != lh
         val bMoved = cr != rh
-        def dA = plainRows(lt, cl, lh, rj.leftRel)
-        def dB = plainRows(rt, cr, rh, rj.rightRel)
-        val terms = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-        if (aMoved) {
-          terms += rj.pairKeysOf(spark, dA, bHead)
-          if (bMoved) terms += rj.pairKeysOf(spark, dA, dB)
-        }
-        if (bMoved) terms += rj.pairKeysOf(spark, aHead, dB)
-        if (rj.preservesLeft) {
-          if (aMoved) terms += rj.nullExtKeys(rj.leftRel.outputSet, dA)
-          if (bMoved) terms += rj.nullExtKeys(rj.leftRel.outputSet,
-            rj.matchRows(spark, preservedIsLeft = true, aHead, dB))
-        }
-        if (rj.preservesRight) {
-          if (bMoved) terms += rj.nullExtKeys(rj.rightRel.outputSet, dB)
-          if (aMoved) terms += rj.nullExtKeys(rj.rightRel.outputSet,
-            rj.matchRows(spark, preservedIsLeft = false, bHead, dA))
-        }
-        val touched = terms.reduceLeft(_ unionByName _).distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // r16: persist each moved delta once (it feeds several cover
+        // terms plus its equi-key envelope aggregation), and bound
+        // the DERIVATION's head-side scans by the deltas' equi-join
+        // key min/max — a head row outside every linked delta's range
+        // cannot satisfy the equality against any delta row, so pair
+        // and match terms stay exact under the restriction. The
+        // null-extension terms read deltas only and are never
+        // restricted.
+        val eq = treeEquiPairs(rj.aggChild, Seq(rj.leftRel, rj.rightRel))
+        val dAF = if (aMoved) Some(plainRows(lt, cl, lh, rj.leftRel)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)) else None
+        val dBF = if (bMoved) Some(plainRows(rt, cr, rh, rj.rightRel)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)) else None
         try {
-          mv.replaceKeys(spark, rj.keyOutNames,
-            rj.touchedOut(touched),
-            rj.rebuild(spark, touched, aHead, bHead,
-              // the tick's scans prune their file listings by the
-              // touched bounds (churn-sized COMPUTE, not just write)
-              aPruned = Some(fs => lt.scanStatsPruned(spark, fs, lt.AtSnapshot(lh))),
-              bPruned = Some(fs => rt.scanStatsPruned(spark, fs, rt.AtSnapshot(rh)))),
-            meta.currentSnapshotId, extraProperties = ckpts)
-          Incremental
-        } finally touched.unpersist(blocking = false)
+          val aStats = dAF.map(deltaEquiStats(_, equiColsOf(eq, 0)))
+          val bStats = dBF.map(deltaEquiStats(_, equiColsOf(eq, 1)))
+          val aLive = aMoved && aStats.exists(_.rows > 0L)
+          val bLive = bMoved && bStats.exists(_.rows > 0L)
+          val aSat = aStats.exists(equiSat(eq, _, 0))
+          val bSat = bStats.exists(equiSat(eq, _, 1))
+          def prunedHead(t: GraftTable, h: Long, bounds: Seq[(String, Any, Any)]): DataFrame =
+            prunedHeadScan(spark, t, h, bounds)
+          val terms = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+          if (aLive && aSat) {
+            terms += rj.pairKeysOf(spark, dAF.get,
+              prunedHead(rt, rh, equiBoundsFor(eq, 1, aStats.get)))
+            if (bLive && bSat) terms += rj.pairKeysOf(spark, dAF.get, dBF.get)
+          }
+          if (bLive && bSat) terms += rj.pairKeysOf(spark,
+            prunedHead(lt, lh, equiBoundsFor(eq, 0, bStats.get)), dBF.get)
+          if (rj.preservesLeft) {
+            if (aLive) terms += rj.nullExtKeys(rj.leftRel.outputSet, dAF.get)
+            if (bLive && bSat) terms += rj.nullExtKeys(rj.leftRel.outputSet,
+              rj.matchRows(spark, preservedIsLeft = true,
+                prunedHead(lt, lh, equiBoundsFor(eq, 0, bStats.get)), dBF.get))
+          }
+          if (rj.preservesRight) {
+            if (bLive) terms += rj.nullExtKeys(rj.rightRel.outputSet, dBF.get)
+            if (aLive && aSat) terms += rj.nullExtKeys(rj.rightRel.outputSet,
+              rj.matchRows(spark, preservedIsLeft = false,
+                prunedHead(rt, rh, equiBoundsFor(eq, 1, aStats.get)), dAF.get))
+          }
+          val touched =
+            (if (terms.isEmpty) rj.pairKeysOf(spark, aHead, bHead).limit(0)
+            else terms.reduceLeft(_ unionByName _)).distinct()
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            mv.replaceKeys(spark, rj.keyOutNames,
+              rj.touchedOut(touched),
+              rj.rebuild(spark, touched, aHead, bHead,
+                // the tick's scans prune their file listings by the
+                // touched bounds (churn-sized COMPUTE, not just write)
+                aPruned = Some(fs => lt.scanStatsPruned(spark, fs, lt.AtSnapshot(lh))),
+                bPruned = Some(fs => rt.scanStatsPruned(spark, fs, rt.AtSnapshot(rh)))),
+              meta.currentSnapshotId, extraProperties = ckpts)
+            Incremental
+          } finally touched.unpersist(blocking = false)
+        } finally Seq(dAF, dBF).flatten.foreach(_.unpersist(blocking = false))
       case _ => fullAtHeads() // a checkpoint missing or a side headless
     }
   }
@@ -736,14 +763,39 @@ object GraftMaterializedViews {
         (if (isCountDistinct) Some(ChangelogApply.applyCountDistinct(
           prevInternal.select((k ++ Seq("n_rows", "n_distinct")).map(col): _*),
           changes, baseAtHead, k, valueName)) else None)).flatten
-      if (k.isEmpty && parts.size > 1)
-        // a keyless mixed-family MV would need a 1x1 join; cross the
-        // single rows explicitly. Each family's apply helper emits
-        // EXACTLY one row for the keyless global group — including the
-        // all-deleted case (count 0, NULL aggregates: SQL's global-
-        // group fixture) — so the cross is total, never row-dropping
-        parts.reduceLeft((a, b) => a.crossJoin(b.drop("n_rows")))
-      else parts.reduceLeft((a, b) =>
+      if (k.isEmpty && parts.size > 1) {
+        // a keyless mixed-family MV would need a 1x1 join. Each
+        // family's apply helper emits EXACTLY one row for the keyless
+        // global group — including the all-deleted case (count 0,
+        // NULL aggregates: SQL's global-group fixture). r15 relied on
+        // that invariant by convention (a crossJoin silently drops the
+        // global row if a future family ever emits zero); r16 makes it
+        // SELF-ENFORCING by literal single-row construction: each part
+        // is evaluated once (limit 2 — it is a single global aggregate
+        // either way), asserted to one row, and the combined row is a
+        // local relation — a violating family fails loudly, never
+        // silently.
+        val session = parts.head.sparkSession
+        val evaluated = parts.map { p =>
+          val rows = p.limit(2).collect()
+          require(rows.length == 1,
+            s"keyless fold invariant violated: a family part emitted " +
+              s"${rows.length} rows for the global group (contract: exactly 1, " +
+              "including the all-deleted case) — columns " +
+              p.schema.fieldNames.mkString(", "))
+          (p.schema, rows.head)
+        }
+        val (headSchema, headRow) = evaluated.head
+        val tailKept = evaluated.tail.map { case (sch, r) =>
+          val keep = sch.fields.zipWithIndex.filter(_._1.name != "n_rows")
+          (keep.map(_._1).toSeq, keep.map { case (_, i) => r.get(i) }.toSeq)
+        }
+        session.createDataFrame(
+          java.util.Arrays.asList(
+            Row.fromSeq(headRow.toSeq ++ tailKept.flatMap(_._2))),
+          org.apache.spark.sql.types.StructType(
+            headSchema.fields.toSeq ++ tailKept.flatMap(_._1)))
+      } else parts.reduceLeft((a, b) =>
         ChangelogApply.nullSafeJoin(a, b.drop("n_rows"), k, "inner"))
     }
 
@@ -1494,11 +1546,63 @@ object GraftMaterializedViews {
     def rebuildFull(spark: SparkSession, frame: DataFrame): DataFrame =
       GraftShims.ofRows(spark, substitute(analyzed, frame))
         .toDF(declaredNames: _*)
+
+    /** The tick's source frame, file-pruned through the
+      * inverse-bounds registry when possible (r16): one tiny agg over
+      * the (persisted) touched tuples collects each key's
+      * min/max/has-null; every group expression
+      * [[InvertibleKeyBounds]] can invert contributes a closed
+      * source-column bound — `date_trunc`/`trunc` time buckets,
+      * cast-to-date, `year`, floor-div and `div` range buckets, and
+      * plain attributes in a mixed key set. Returns:
+      *  - an EMPTY frame when no tuple is touched (read nothing);
+      *  - a [[GraftTable.scanStatsPruned]] scan when ≥1 key inverted
+      *    (supersets only — the rebuild's semi stays the row gate);
+      *  - the full head scan when every key is opaque (`length(s)`-
+      *    class: the r15 behavior, still honest).
+      * NULL touched values OR an `IsNull` arm in: every registry
+      * expression is null-preserving with non-null literal args, so
+      * NULL-keyed groups come exactly from NULL source rows. */
+    def sourceFrameFor(
+        spark: SparkSession, source: GraftTable, head: Long,
+        touched: DataFrame): DataFrame = {
+      import org.apache.spark.sql.functions.{count, lit, max, min}
+      import org.apache.spark.sql.{sources => S}
+      val inversions = groupExprs.map(InvertibleKeyBounds.invert)
+      lazy val fullScan = source.scan(spark, source.AtSnapshot(head))
+      if (inversions.forall(_.isEmpty)) return fullScan
+      val aggs = keyNames.flatMap(k => Seq(
+        min(col(k)).as(s"__mn_$k"), max(col(k)).as(s"__mx_$k"),
+        count(col(k)).as(s"__ct_$k"))) :+ count(lit(1)).as("__total")
+      val row = touched.agg(aggs.head, aggs.tail: _*).head()
+      val total = row.getAs[Long]("__total")
+      if (total == 0L)
+        return GraftTable.emptyDf(spark, source.metadata.currentSchema)
+      val filters = inversions.zip(keyNames).flatMap {
+        case (Some(inv), k) =>
+          val mn = row.getAs[Any](s"__mn_$k")
+          val mx = row.getAs[Any](s"__mx_$k")
+          val hasNull = row.getAs[Long](s"__ct_$k") < total
+          val range =
+            if (mn == null) None // only NULL-keyed tuples touched
+            else scala.util.Try(inv.bounds(mn, mx)).toOption.flatten
+          (range, mn == null || hasNull) match {
+            case (Some(f), false) => Some(f)
+            case (Some(f), true) => Some(S.Or(f, S.IsNull(inv.column)): S.Filter)
+            case (None, true) if mn == null => Some(S.IsNull(inv.column): S.Filter)
+            case (None, _) => None // unconvertible values: no pruning on this key
+          }
+        case (None, _) => None
+      }
+      if (filters.isEmpty) fullScan
+      else source.scanStatsPruned(spark, filters, source.AtSnapshot(head))
+    }
   }
 
   /** Analyzed plan → [[RebuildExprShape]], or None. Checked LAST among
-    * the incremental shapes (attribute-keyed tiers file-prune; this
-    * one cannot). */
+    * the incremental shapes (attribute-keyed tiers file-prune on the
+    * stored key columns directly; this tier prunes through the
+    * inverse-bounds registry when the bucketing inverts). */
   private[engine] def rebuildExprShapeOf(
       spark: SparkSession, analyzed: LogicalPlan): Option[RebuildExprShape] = {
     val agg = peelAggNode(strip(analyzed)).getOrElse(return None)
@@ -1541,9 +1645,11 @@ object GraftMaterializedViews {
   }
 
   /** One refresh tick for [[RebuildExprShape]] — the expression-keyed
-    * twin of [[refreshRebuild]]: full source scan (no column can
-    * file-prune an expression), churn-sized aggregate state and
-    * commit. */
+    * twin of [[refreshRebuild]]: churn-sized aggregate state and
+    * commit, and (r16) a source scan file-pruned through the
+    * inverse-bounds registry whenever the bucketing expressions
+    * invert ([[RebuildExprShape.sourceFrameFor]]); only fully opaque
+    * key sets still pay the full scan. */
   private def refreshRebuildExpr(
       spark: SparkSession, mv: GraftTable, re: RebuildExprShape): RefreshMode = {
     val meta = mv.metadata
@@ -1561,7 +1667,7 @@ object GraftMaterializedViews {
           mv.replaceKeys(spark, re.keyOutNames,
             re.touchedOut(touched),
             re.rebuild(spark, touched,
-              source.scan(spark, source.AtSnapshot(srcHead))),
+              re.sourceFrameFor(spark, source, srcHead, touched)),
             meta.currentSnapshotId,
             extraProperties = Map(key -> srcHead.toString,
               RefreshModeProp -> "incremental-rebuild"))
@@ -1633,6 +1739,79 @@ object GraftMaterializedViews {
       GraftShims.ofRows(spark, substitute(aggChild, frames))
         .select(groupAttrs.map(a => GraftShims.column(a).as(a.name)): _*)
 
+    /** Frames of ONE cover term (r16, killing the derivation's last
+      * linear head-scan input): deltas for the instances in `s`, heads
+      * for the rest — each head FILE-PRUNED (and row-narrowed) by the
+      * equi-join-key envelope of the deltas the tree links it to. A
+      * head row outside every linked delta's [min, max] on the equated
+      * column cannot satisfy that equality against any delta row, so
+      * it cannot appear in this (all-inner) term — exact, not just a
+      * superset argument. Heads linked to `s` only transitively (or
+      * by non-equi conditions) stay unpruned.
+      *
+      * Returns None when the term is provably EMPTY: an empty delta
+      * in `s`, or an equality whose `s`-side has no non-null values
+      * (equality never matches NULL) — the caller skips the term. */
+    def termFrames(
+        spark: SparkSession,
+        s: Set[Int],
+        deltas: Map[Int, DataFrame],
+        stats: Map[Int, DeltaEquiStats],
+        headFrames: Seq[DataFrame],
+        prunedScans: Seq[Option[Seq[org.apache.spark.sql.sources.Filter] => DataFrame]],
+        equiPairs: Seq[(Int, String, Int, String)]): Option[Seq[DataFrame]] = {
+      import org.apache.spark.sql.{sources => S}
+      if (s.exists(i => stats(i).rows == 0L)) return None
+      val unsat = equiPairs.exists { case (a, ca, b, cb) =>
+        (s(a) && !stats(a).byCol.get(ca).forall(_._3)) ||
+          (s(b) && !stats(b).byCol.get(cb).forall(_._3))
+      }
+      if (unsat) return None
+      // TRANSITIVE closure of the equality conjuncts: in `a JOIN b ON
+      // a.x = b.x JOIN c ON b.x = c.x` a Δa term bounds c's scan too —
+      // the term's rows satisfy both conjuncts, so c.x = a.x. Union
+      // the (instance, column) nodes into equivalence classes; a head
+      // column is bounded by EVERY delta column in its class.
+      val nodes = equiPairs
+        .flatMap { case (a, ca, b, cb) => Seq((a, ca), (b, cb)) }.distinct
+      val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+      def find(n: (Int, String)): (Int, String) = {
+        var x = n
+        while (parent(x) != x) x = parent(x)
+        x
+      }
+      equiPairs.foreach { case (a, ca, b, cb) =>
+        val ra = find((a, ca)); val rb = find((b, cb))
+        if (ra != rb) parent(ra) = rb
+      }
+      val classes = nodes.groupBy(find).values.toSeq
+      Some(headFrames.zipWithIndex.map { case (hf, i) =>
+        if (s(i)) deltas(i)
+        else {
+          val bounds = classes.flatMap { cls =>
+            val headCols = cls.collect { case (j, c) if j == i => c }
+            val deltaBs = cls.flatMap {
+              case (j, c) if s(j) => stats(j).byCol.get(c)
+              case _ => None
+            }
+            for { hc <- headCols; (mn, mx, _) <- deltaBs } yield (hc, mn, mx)
+          }.filter(b => b._2 != null)
+          if (bounds.isEmpty) hf
+          else {
+            val filters: Seq[S.Filter] = bounds.map { case (c, mn, mx) =>
+              S.And(S.GreaterThanOrEqual(c, mn), S.LessThanOrEqual(c, mx))
+            }
+            val residual = bounds
+              .map { case (c, mn, mx) => col(c) >= lit(mn) && col(c) <= lit(mx) }
+              .reduce(_ && _)
+            prunedScans.lift(i).flatten
+              .map(scanWith => scanWith(filters).filter(residual))
+              .getOrElse(hf.filter(residual))
+          }
+        }
+      })
+    }
+
     /** Re-execute the defining plan at the substituted frames with
       * EVERY side restricted to its touched-key projection (exact for
       * inner joins: removing a row only removes tuples) and the
@@ -1667,6 +1846,108 @@ object GraftMaterializedViews {
     def rebuildFull(spark: SparkSession, frames: Seq[DataFrame]): DataFrame =
       GraftShims.ofRows(spark, substitute(analyzed, frames))
         .toDF(declaredNames: _*)
+  }
+
+  /** Equi-key envelope of one delta (r16): row count plus per-column
+    * (min, max, has-non-null) over the columns the join tree equates
+    * with other sides. One churn-sized aggregation per moved
+    * instance, computed on the PERSISTED delta — the price of bounding
+    * every head scan the touched-key derivation joins it against. */
+  private[engine] final case class DeltaEquiStats(
+      rows: Long, byCol: Map[String, (Any, Any, Boolean)])
+
+  private[engine] def deltaEquiStats(
+      delta: DataFrame, cols: Seq[String]): DeltaEquiStats = {
+    import org.apache.spark.sql.functions.{count, lit, max, min}
+    val cs = cols.distinct
+    if (cs.isEmpty) return DeltaEquiStats(delta.limit(1).count(), Map.empty)
+    val aggs = cs.flatMap(c => Seq(
+      min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c"),
+      count(col(c)).as(s"__ct_$c"))) :+ count(lit(1)).as("__total")
+    val r = delta.agg(aggs.head, aggs.tail: _*).head()
+    DeltaEquiStats(r.getAs[Long]("__total"),
+      cs.map(c => c -> ((
+        r.getAs[Any](s"__mn_$c"), r.getAs[Any](s"__mx_$c"),
+        r.getAs[Long](s"__ct_$c") > 0L))).toMap)
+  }
+
+  /** The equi columns of instance `idx` across the tree's pairs. */
+  private def equiColsOf(
+      eq: Seq[(Int, String, Int, String)], idx: Int): Seq[String] = eq.flatMap {
+    case (i, ci, _, _) if i == idx => Some(ci)
+    case (_, _, j, cj) if j == idx => Some(cj)
+    case _ => None
+  }
+
+  /** Can this delta's rows satisfy every equi conjunct instance `idx`
+    * participates in? (equality never matches NULL — an all-null equi
+    * column makes pair/match terms empty). */
+  private def equiSat(
+      eq: Seq[(Int, String, Int, String)], ds: DeltaEquiStats, idx: Int): Boolean =
+    eq.forall {
+      case (i, ci, _, _) if i == idx => ds.byCol.get(ci).forall(_._3)
+      case (_, _, j, cj) if j == idx => ds.byCol.get(cj).forall(_._3)
+      case _ => true
+    }
+
+  /** Bounds on head side `headIdx`'s columns from the delta's equi-key
+    * envelope (direct pairs; the N-ary term builder closes
+    * transitively). */
+  private def equiBoundsFor(
+      eq: Seq[(Int, String, Int, String)], headIdx: Int, ds: DeltaEquiStats)
+      : Seq[(String, Any, Any)] =
+    eq.flatMap {
+      case (i, ci, _, cj) if i == headIdx =>
+        ds.byCol.get(cj).map { case (mn, mx, _) => (ci, mn, mx) }
+      case (i, ci, j, cj) if j == headIdx =>
+        ds.byCol.get(ci).map { case (mn, mx, _) => (cj, mn, mx) }
+      case _ => None
+    }.filter(_._2 != null)
+
+  /** Head-pinned scan, file-pruned and row-narrowed to `bounds`
+    * (closed intervals on this side's columns). */
+  private def prunedHeadScan(
+      spark: SparkSession, t: GraftTable, h: Long,
+      bounds: Seq[(String, Any, Any)]): DataFrame =
+    if (bounds.isEmpty) t.scan(spark, t.AtSnapshot(h))
+    else {
+      import org.apache.spark.sql.{sources => S}
+      val filters: Seq[S.Filter] = bounds.map { case (c, mn, mx) =>
+        S.And(S.GreaterThanOrEqual(c, mn), S.LessThanOrEqual(c, mx))
+      }
+      val residual = bounds
+        .map { case (c, mn, mx) => col(c) >= lit(mn) && col(c) <= lit(mx) }
+        .reduce(_ && _)
+      t.scanStatsPruned(spark, filters, t.AtSnapshot(h)).filter(residual)
+    }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** All `attr_i = attr_j` conjuncts of the join tree below `p`,
+    * resolved to relation-INSTANCE indices (self-join instances are
+    * distinct by exprId, so `outputSet.contains` is instance-exact).
+    * Equalities the analyzer wrapped in casts, `<=>`, or non-equi
+    * conditions simply don't appear — no pruning through them. */
+  private[engine] def treeEquiPairs(
+      p: LogicalPlan, rels: Seq[DataSourceV2Relation]): Seq[(Int, String, Int, String)] = {
+    val pairs = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Int, String)]
+    p.foreach {
+      case j: Join =>
+        j.condition.toSeq.flatMap(splitConjuncts).foreach {
+          case EqualTo(x: AttributeReference, y: AttributeReference) =>
+            val xi = rels.indexWhere(_.outputSet.contains(x))
+            val yi = rels.indexWhere(_.outputSet.contains(y))
+            if (xi >= 0 && yi >= 0 && xi != yi)
+              pairs += ((xi, x.name, yi, y.name))
+          case _ => ()
+        }
+      case _ => ()
+    }
+    pairs.toSeq
   }
 
   /** Leaves of an all-INNER join tree with deterministic conditions —
@@ -1704,10 +1985,14 @@ object GraftMaterializedViews {
       analyzed.output.map(_.name)))
   }
 
-  /** Cover-term explosion guard: 2^m − 1 terms for m moved instances
-    * is delta-bounded but not free — past this many terms a full
-    * recompute is the cheaper honest answer. */
-  private val MaxCoverTerms = 15
+  /** Cover-term explosion guard, stated on the MOVED-INSTANCE count m
+    * (2^m − 1 = 15 terms at the bound): past this many moved
+    * instances a full recompute is the cheaper honest answer. Guarded
+    * on m, not on the shifted term count, because `(1 << m) - 1`
+    * wraps in Int at m ≥ 32 (the JVM masks the shift distance to
+    * 5 bits) — a wrapped guard would pass, leave the subset list
+    * empty, and throw on `reduceLeft` instead of falling back. */
+  private val MaxMovedInstances = 4
 
   /** One refresh tick for [[RebuildMultiJoinShape]] — the N-ary twin
     * of the two-table tick: NoOp when every checkpoint matches its
@@ -1752,7 +2037,7 @@ object GraftMaterializedViews {
     val movedIdx = names.zipWithIndex.collect {
       case (n, i) if movedNames(n) => i
     }
-    if ((1 << movedIdx.size) - 1 > MaxCoverTerms) return fullAtHeads()
+    if (movedIdx.size > MaxMovedInstances) return fullAtHeads()
 
     def plainRows(n: String, rel: DataSourceV2Relation): DataFrame = {
       val (c, h) = ck(n)
@@ -1763,33 +2048,49 @@ object GraftMaterializedViews {
       val t = tables(n)
       t.scan(spark, t.AtSnapshot(ck(n)._2))
     }
-    // every non-empty subset of the moved instances: deltas for the
-    // subset, heads for the rest
-    val subsets = (1 until (1 << movedIdx.size)).map(mask =>
-      movedIdx.zipWithIndex.collect {
-        case (inst, bit) if (mask & (1 << bit)) != 0 => inst
-      }.toSet)
-    val terms = subsets.map { s =>
-      val frames = names.zipWithIndex.map { case (n, i) =>
-        if (s(i)) plainRows(n, rm.rels(i)) else headFrames(i)
-      }
-      rm.keysOf(spark, frames)
+    val pruned = names.map { n =>
+      val t = tables(n)
+      val h = ck(n)._2
+      Some((fs: Seq[org.apache.spark.sql.sources.Filter]) =>
+        t.scanStatsPruned(spark, fs, t.AtSnapshot(h)))
     }
-    val touched = terms.reduceLeft(_ unionByName _).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // r16: each moved delta is persisted ONCE (it feeds 2^(m−1) cover
+    // terms plus its envelope aggregation), and its equi-join-key
+    // min/max bound the head scans every term joins it against — the
+    // derivation's head-side INPUT becomes churn-local, closing the
+    // last linear term in the tick (the rehearsal's 1.2× residue).
+    val eqAll = treeEquiPairs(rm.aggChild, rm.rels)
+    val colsByInst = eqAll
+      .flatMap { case (a, ca, b, cb) => Seq(a -> ca, b -> cb) }
+      .groupBy(_._1).map { case (i, xs) => i -> xs.map(_._2).distinct }
+    val deltaFrames = movedIdx.map(i =>
+      i -> plainRows(names(i), rm.rels(i))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)).toMap
     try {
-      val pruned = names.map { n =>
-        val t = tables(n)
-        val h = ck(n)._2
-        Some((fs: Seq[org.apache.spark.sql.sources.Filter]) =>
-          t.scanStatsPruned(spark, fs, t.AtSnapshot(h)))
+      val stats = deltaFrames.map { case (i, df) =>
+        i -> deltaEquiStats(df, colsByInst.getOrElse(i, Nil))
       }
-      mv.replaceKeys(spark, rm.keyOutNames,
-        rm.touchedOut(touched),
-        rm.rebuild(spark, touched, headFrames, pruned),
-        meta.currentSnapshotId, extraProperties = ckpts)
-      Incremental
-    } finally touched.unpersist(blocking = false)
+      // every non-empty subset of the moved instances: deltas for the
+      // subset, heads for the rest; provably-empty terms drop
+      val subsets = (1 until (1 << movedIdx.size)).map(mask =>
+        movedIdx.zipWithIndex.collect {
+          case (inst, bit) if (mask & (1 << bit)) != 0 => inst
+        }.toSet)
+      val terms = subsets.flatMap(s =>
+        rm.termFrames(spark, s, deltaFrames, stats, headFrames, pruned, eqAll)
+          .map(frames => rm.keysOf(spark, frames)))
+      val touched =
+        (if (terms.isEmpty) rm.keysOf(spark, headFrames).limit(0)
+        else terms.reduceLeft(_ unionByName _)).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        mv.replaceKeys(spark, rm.keyOutNames,
+          rm.touchedOut(touched),
+          rm.rebuild(spark, touched, headFrames, pruned),
+          meta.currentSnapshotId, extraProperties = ckpts)
+        Incremental
+      } finally touched.unpersist(blocking = false)
+    } finally deltaFrames.values.foreach(_.unpersist(blocking = false))
   }
 
   /** Analyzed plan → foldable shape, or None (→ full-refresh MV).

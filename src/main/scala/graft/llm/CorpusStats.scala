@@ -796,14 +796,27 @@ object CorpusStats {
     // GUARD WITHOUT A SECOND CORPUS SCAN (r15): the r14 pre-flight ran
     // a separate distinct-source count — one full documents pass —
     // before the sketch build paid the same pass again. Instead the
-    // sketch aggregation runs EAGERLY (persist + count): its row count
-    // IS the distinct-source count, so ONE corpus scan funds both the
-    // guard and the state the pair algebra consumes, and the quadratic
-    // join below the throw is never executed above the bound. The
-    // persisted sketches are |sources| × k longs — tiny — and the
-    // pair join reads them from cache, not the corpus.
+    // sketch aggregation runs EAGERLY: its row count IS the
+    // distinct-source count, so ONE corpus scan funds both the guard
+    // and the state the pair algebra consumes, and the quadratic join
+    // below the throw is never executed above the bound.
+    // REGISTRY-CONTRACT NOTE: the one-scan design prices a REFUSAL at
+    // the full tokenize+sketch pass (r14 refused after a cheap
+    // single-column distinct, then charged the accepted path the scan
+    // twice); refusals are config mistakes, the accepted path is the
+    // steady state — pricing the mistake is the right trade.
+    // NO CACHE OUTLIVES THE CALL (r16): r15 persisted the sketches and
+    // only unpersisted on the refusal path, so repeated registry
+    // invocations accumulated cached partitions for the session
+    // lifetime. The guard already bounds the post-scan state at
+    // maxSources × k longs (2000 × 64 × 8 B ≈ 1 MB default), so the
+    // one eager action is a bounded COLLECT (limit maxSources+1): the
+    // sketches land on the driver, the corpus scan's lineage is cut,
+    // and the pair algebra runs over a LOCAL relation — exactly the
+    // "driver-trivial at any corpus size" shape the Scaladoc claims,
+    // with nothing left persisted after the call returns.
     val maxSources = overlapMaxSources(s)
-    val sketches = load(s, dir, "documents")
+    val sketchRows = load(s, dir, "documents")
       .selectExpr("source", "filter(split(text, ' '), t -> length(t) > 0) as ta")
       .where("size(ta) >= 2")
       .selectExpr("source",
@@ -812,17 +825,24 @@ object CorpusStats {
       .selectExpr("source", s"${Portable.hSpark("bigram")} as h")
       .groupBy(col("source"))
       .agg(graft.functions.KmvSketch.of(KmvK)(col("h")).as("sk"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nSources = sketches.count()
-    if (nSources > maxSources) {
-      sketches.unpersist(blocking = false)
+      .limit(maxSources + 1)
+      .collect()
+    if (sketchRows.length > maxSources) {
       throw new IllegalStateException(
-        s"q_kmv_source_overlap is scoped to bounded strata: $nSources distinct " +
-          s"sources exceeds $OverlapMaxSourcesConf=$maxSources. The KMV pair " +
+        s"q_kmv_source_overlap is scoped to bounded strata: more than " +
+          s"$OverlapMaxSourcesConf=$maxSources distinct sources. The KMV pair " +
           "algebra is O(sources\u00b2) sketch pairs; for open-ended domain sets " +
           "use the MinHash path (q_source_overlap_minhash) instead, or raise " +
           "the conf deliberately.")
     }
+    val sketches = s.createDataFrame(
+      java.util.Arrays.asList(sketchRows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("sk",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType, containsNull = false)))))
     val pairs = sketches.selectExpr("source as source_a", "sk as sk_a")
       .join(broadcast(sketches.selectExpr("source as source_b", "sk as sk_b")),
         col("source_a") < col("source_b"))

@@ -181,13 +181,24 @@ object StreamingLexicalIndex {
       scala.util.Try(p.getName.stripPrefix("batch_").toLong).toOption)
     if (batchIds.isEmpty) return None // nothing beyond the watermark (or only seed)
     val newW = (batchIds ++ watermark).max
+    val newGenPath = new Path(s"$statePath/compacted_upto_$newW")
     spark.read.schema(postingsSchema).parquet(live.map(_.toString): _*)
       .repartition(CompactBuckets, org.apache.spark.sql.functions.col("token"))
-      .write.mode("overwrite").parquet(s"$statePath/compacted_upto_$newW")
+      .write.mode("overwrite").parquet(newGenPath.toString)
+    val f = fs(spark, statePath)
+    // GC GATE (r16): reads adopt a generation only behind its
+    // `_SUCCESS` job-commit marker — so before sweeping the covered
+    // inputs, assert the marker the write SHOULD have left actually
+    // exists. If the committer is configured not to write markers
+    // (mapreduce.fileoutputcommitter.marksuccessfuljobs=false),
+    // liveDirs would ignore the fresh generation while its inputs
+    // vanished — silent loss of every covered posting. Skipping GC
+    // degrades that config to a no-GC compaction (the next properly
+    // configured compact() sweeps the leftovers); data loss never.
+    if (!committed(f, newGenPath)) return Some(newW)
     // GC — best-effort, reads are already on newW: sweep EVERY covered
     // dir (inputs, superseded generations, and any replayed batch a
     // prior crash left behind), never a batch past the new watermark
-    val f = fs(spark, statePath)
     f.listStatus(new Path(statePath)).filter(_.isDirectory).map(_.getPath)
       .filter { p =>
         p.getName match {

@@ -68,6 +68,17 @@ object GraftShims {
     val job = org.apache.hadoop.mapreduce.Job.getInstance(cs.sessionState.newHadoopConf())
     val factory = new execution.datasources.parquet.ParquetFileFormat()
       .prepareWrite(cs, job, options, schema)
+    // Iceberg conformance, not preference: the spec stores timestamps
+    // as INT64 microseconds, but Spark's session default
+    // (spark.sql.parquet.outputTimestampType=INT96) writes the
+    // deprecated INT96 — which a spec-conformant foreign reader may
+    // refuse, and whose parquet stats are dropped (so manifest bounds
+    // for timestamp columns vanish and no scan can file-prune on
+    // time). Force micros on the write job regardless of session conf;
+    // ParquetWriteSupport reads the key from this hadoop conf.
+    job.getConfiguration.set(
+      org.apache.spark.sql.internal.SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key,
+      "TIMESTAMP_MICROS")
     (factory, new org.apache.spark.util.SerializableConfiguration(job.getConfiguration))
   }
 

@@ -1110,6 +1110,73 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rebuilt.map(_.toSeq).toSet === Set(Seq(3L, 3L, 2L)))
   }
 
+  test("N-ary cover terms: head scans plan only the delta's equi-key files, transitively (r16)") {
+    for (t <- Seq("nta", "ntb", "ntc"))
+      spark.sql(s"CREATE TABLE $cat.db.$t (${t.last}k BIGINT, ${t.last}v BIGINT)")
+    // 4 single-file inserts per table with DISJOINT key ranges
+    for (i <- 0 until 4; t <- Seq("nta", "ntb", "ntc")) {
+      spark.sql(s"INSERT INTO $cat.db.$t SELECT id + ${i * 10}, id + ${i * 10} " +
+        s"FROM range(0, 10, 1, 1)")
+    }
+    // a CHAIN: c is equated with the delta side only THROUGH b — the
+    // closure-based bounds must prune it anyway
+    val defSql =
+      s"""SELECT a.ak AS ak, b.bk AS bk, c.ck AS ck, count(*) AS n
+         |FROM $cat.db.nta a JOIN $cat.db.ntb b ON a.av = b.bv
+         |JOIN $cat.db.ntc c ON b.bv = c.cv
+         |GROUP BY a.ak, b.bk, c.ck""".stripMargin
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.mv_nt AS $defSql")
+    def expect = spark.sql(defSql).collect().map(_.toSeq).toSet
+    def got = spark.sql(s"SELECT ak, bk, ck, n FROM $cat.db.mv_nt")
+      .collect().map(_.toSeq).toSet
+    assert(got === expect)
+    // churn ONE key in A; the tick stays exact
+    spark.sql(s"INSERT INTO $cat.db.nta VALUES (3, 3)")
+    val mvMetaPre = store.loadTable(whId, TableIdent(Seq("db"), "mv_nt"))
+      .fold(e => fail(e.message), identity).metadata
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_nt")) === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+    // unit-level pin of the r16 cover-term head pruning: rebuild the
+    // Δa term's frames and count what the head scans plan — B bounded
+    // directly (a.av = b.bv), C bounded TRANSITIVELY (b.bv = c.cv):
+    // one file each, never the 4 per side an unpruned term lists
+    val analyzed = spark.sessionState.executePlan(
+      spark.sessionState.sqlParser.parsePlan(defSql)).analyzed
+    val rm = GraftMaterializedViews.rebuildMultiJoinShapeOf(spark, analyzed)
+      .getOrElse(fail("defining SQL no longer matches the N-ary rebuild shape"))
+    val tables = rm.idents.map(ti => rm.table(spark, ti))
+    val heads = tables.map(_.metadata.currentSnapshotId.get)
+    val cks = rm.idents.map(ti => mvMetaPre
+      .properties(ChangelogApply.ckptKey(rm.nameOf(ti))).toLong)
+    import org.apache.spark.sql.functions.col
+    val delta0 = tables(0).changelogScan(spark, cks(0), Some(heads(0)))
+      .select(rm.rels(0).output.map(a => col(a.name)): _*)
+    val eqAll = GraftMaterializedViews.treeEquiPairs(rm.aggChild, rm.rels)
+    assert(eqAll.size === 2, s"expected the two chain equalities, got $eqAll")
+    val stats = Map(0 -> GraftMaterializedViews.deltaEquiStats(delta0, Seq("av")))
+    assert(stats(0).rows === 1L)
+    val headFrames = tables.zip(heads).map { case (t, h) =>
+      t.scan(spark, t.AtSnapshot(h))
+    }
+    val pruned = tables.zip(heads).map { case (t, h) =>
+      Some((fs: Seq[org.apache.spark.sql.sources.Filter]) =>
+        t.scanStatsPruned(spark, fs, t.AtSnapshot(h)))
+    }
+    GraftTable.plannedDataFiles.set(0L)
+    val frames = rm.termFrames(spark, Set(0), Map(0 -> delta0), stats,
+      headFrames, pruned, eqAll).getOrElse(fail("term dropped as empty"))
+    val keys = rm.keysOf(spark, frames).collect()
+    val planned = GraftTable.plannedDataFiles.get()
+    assert(planned <= 2L,
+      s"Δa cover term planned $planned head files (unpruned would list 8)")
+    assert(keys.map(_.toSeq).toSet === Set(Seq(3L, 3L, 3L)))
+    // an empty delta drops the term outright
+    assert(rm.termFrames(spark, Set(0), Map(0 -> delta0.limit(0)),
+      Map(0 -> GraftMaterializedViews.deltaEquiStats(delta0.limit(0), Seq("av"))),
+      headFrames, pruned, eqAll).isEmpty)
+  }
+
   test("mixed-family MV (sum + min/max + counts in ONE view) folds incrementally") {
     spark.sql(
       s"""CREATE MATERIALIZED VIEW $cat.db.mv_mixed AS
@@ -1465,6 +1532,74 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === expect)
     assert(GraftMaterializedViews.refresh(spark, graftCatalog,
       TableIdent(Seq("db"), "mv_ek")) === GraftMaterializedViews.NoOp)
+  }
+
+  test("expression-keyed rebuild: monotone time buckets file-prune the tick's source scan (r16)") {
+    spark.sql(s"CREATE TABLE $cat.db.evd (ts TIMESTAMP, v BIGINT)")
+    // four single-file inserts, one per MONTH: per-file ts ranges are
+    // weeks apart, so a touched day's inverted bounds can prune files
+    for (m <- 1 to 4) {
+      spark.sql(s"INSERT INTO $cat.db.evd " +
+        s"SELECT timestamp'2024-0$m-10 00:00:00' + make_interval(0,0,0,0,0,id,0), id " +
+        s"FROM range(0, 10, 1, 1)")
+    }
+    val defSql =
+      s"""SELECT date_trunc('DAY', ts) AS d, count(*) AS n, sum(v) AS s
+         |FROM $cat.db.evd GROUP BY date_trunc('DAY', ts)""".stripMargin
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.mv_day AS $defSql")
+    assert(spark.sql(s"SHOW TBLPROPERTIES $cat.db.mv_day")
+      .collect().exists(r => r.getString(0) == GraftMaterializedViews.RefreshModeProp &&
+        r.getString(1) == "incremental-rebuild"))
+    def expect = spark.sql(defSql).collect().map(_.toSeq).toSet
+    def got = spark.sql(s"SELECT d, n, s FROM $cat.db.mv_day")
+      .collect().map(_.toSeq).toSet
+    assert(got === expect)
+    // churn ONE day (March 10) and tick: equivalence holds
+    spark.sql(s"INSERT INTO $cat.db.evd VALUES (timestamp'2024-03-10 05:00:00', 100)")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_day")) === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+    // unit-level pin of the r16 inverse-bounds pruning (r15's weak
+    // item: this tick full-scanned the source). Re-derive the shape,
+    // rebuild the ONE touched day, and count planned data files: the
+    // March seed file + the churn file, never all 5.
+    val analyzed = spark.sessionState.executePlan(
+      spark.sessionState.sqlParser.parsePlan(defSql)).analyzed
+    val re = GraftMaterializedViews.rebuildExprShapeOf(spark, analyzed)
+      .getOrElse(fail("defining SQL no longer matches the expr-keyed shape"))
+    val t = re.sourceTable(spark)
+    val head = t.metadata.currentSnapshotId.get
+    GraftTable.plannedDataFiles.set(0L)
+    t.scan(spark, t.AtSnapshot(head))
+    val fullFiles = GraftTable.plannedDataFiles.get()
+    assert(fullFiles === 5L, s"expected 4 seed files + 1 churn file, saw $fullFiles")
+    val touched = spark.sql("SELECT timestamp'2024-03-10 00:00:00' AS d")
+    GraftTable.plannedDataFiles.set(0L)
+    val rebuilt = re.rebuild(spark, touched,
+      re.sourceFrameFor(spark, t, head, touched)).collect()
+    val planned = GraftTable.plannedDataFiles.get()
+    assert(planned <= 2L,
+      s"expr-keyed rebuild planned $planned files for 1 touched day (full = $fullFiles)")
+    val expectedD = spark.sql("SELECT timestamp'2024-03-10 00:00:00' AS d").head().get(0)
+    assert(rebuilt.map(_.toSeq).toSet === Set(Seq(expectedD, 11L, 145L)))
+    // an EMPTY touched set reads nothing at all
+    GraftTable.plannedDataFiles.set(0L)
+    assert(re.sourceFrameFor(spark, t, head, touched.limit(0)).isEmpty)
+    assert(GraftTable.plannedDataFiles.get() === 0L)
+    // a fully OPAQUE key set keeps the honest full scan (boundary:
+    // the registry must not invent bounds it can't justify)
+    val opaqueSql =
+      s"SELECT length(cast(v AS STRING)) AS lc, count(*) AS n FROM $cat.db.evd " +
+        s"GROUP BY length(cast(v AS STRING))"
+    val opAnalyzed = spark.sessionState.executePlan(
+      spark.sessionState.sqlParser.parsePlan(opaqueSql)).analyzed
+    val reOp = GraftMaterializedViews.rebuildExprShapeOf(spark, opAnalyzed)
+      .getOrElse(fail("opaque shape no longer matches the expr-keyed tier"))
+    val opTouched = spark.sql("SELECT 1 AS lc")
+    GraftTable.plannedDataFiles.set(0L)
+    reOp.sourceFrameFor(spark, t, head, opTouched)
+    assert(GraftTable.plannedDataFiles.get() === fullFiles,
+      "opaque expression keys must keep the full scan, never guess bounds")
   }
 
   test("KEYLESS mixed-family MV survives an all-delete tick: one global row, never zero") {
