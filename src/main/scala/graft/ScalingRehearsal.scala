@@ -314,11 +314,33 @@ object MvTickRehearsal {
         s"FROM $cat.db.ja a JOIN $cat.db.jb b ON a.av = b.bv " +
         s"JOIN $cat.db.jc c ON b.bv = c.cv " +
         s"GROUP BY a.ak, b.bk, c.ck")
+      // expression-keyed tier (r16): GROUP BY a time bucket — the tick
+      // file-prunes the source scan through the inverse-bounds
+      // registry, so fixed-churn ticks must stay flat as keys grow
+      spark.sql(s"CREATE TABLE $cat.db.es (ts TIMESTAMP, v BIGINT)")
+      spark.sql(s"INSERT INTO $cat.db.es " +
+        s"SELECT timestamp'2020-01-01 00:00:00' + make_interval(0,0,0,0,id,0,0), id " +
+        s"FROM range(0, $nKeys, 1, 8)")
+      spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.mv_expr AS " +
+        s"SELECT date_trunc('HOUR', ts) AS h, count(*) AS n, sum(v) AS s " +
+        s"FROM $cat.db.es GROUP BY date_trunc('HOUR', ts)")
+      // LEFT-chain tier (r16): fact LEFT dim1 LEFT dim2 — the spine
+      // cover's prefix semis and chain evaluations must stay
+      // churn-driven
+      spark.sql(s"CREATE TABLE $cat.db.cf (k BIGINT, r1 BIGINT, r2 BIGINT)")
+      spark.sql(s"INSERT INTO $cat.db.cf SELECT id, id, id FROM range(0, $nKeys, 1, 8)")
+      spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.mv_chain AS " +
+        s"SELECT f.k AS k, d1.bk AS bk, d2.ck AS ck, count(*) AS n " +
+        s"FROM $cat.db.cf f LEFT JOIN $cat.db.jb d1 ON f.r1 = d1.bv " +
+        s"LEFT JOIN $cat.db.jc d2 ON f.r2 = d2.cv " +
+        s"GROUP BY f.k, d1.bk, d2.ck")
       // deployment-style maintenance: sort-compact sources and MVs so
       // per-file key ranges are tight and touched-key bounds prune
       for ((t, k) <- Seq("src" -> "k", "mv_fold" -> "k",
           "ja" -> "ak", "jb" -> "bk", "mv_rj" -> "ak",
-          "jc" -> "ck", "mv_3j" -> "ak")) {
+          "jc" -> "ck", "mv_3j" -> "ak",
+          "es" -> "ts", "mv_expr" -> "h",
+          "cf" -> "k", "mv_chain" -> "k")) {
         spark.sql(s"CALL $cat.system.rewrite_data_files(" +
           s"table => 'db.$t', target_file_count => 16, zorder => '$k')")
       }
@@ -331,6 +353,8 @@ object MvTickRehearsal {
       val foldTimes = Seq.newBuilder[Double]
       val rjTimes = Seq.newBuilder[Double]
       val j3Times = Seq.newBuilder[Double]
+      val exprTimes = Seq.newBuilder[Double]
+      val chainTimes = Seq.newBuilder[Double]
       (0 until passes).foreach { p =>
         // FIXED churn regardless of nKeys: the first `churn` keys
         spark.sql(s"INSERT INTO $cat.db.src SELECT id, id + $p " +
@@ -341,10 +365,21 @@ object MvTickRehearsal {
         rjTimes += timeTick(spark)(tick("mv_rj"))
         // mv_3j sees ja's churn too (its own checkpoint is behind)
         j3Times += timeTick(spark)(tick("mv_3j"))
+        // expr tier: churn confined to the first `churn` hour buckets
+        spark.sql(s"INSERT INTO $cat.db.es " +
+          s"SELECT timestamp'2020-01-01 00:00:00' + make_interval(0,0,0,0,id,0,0), id + $p " +
+          s"FROM range(0, $churn, 1, 1)")
+        exprTimes += timeTick(spark)(tick("mv_expr"))
+        // chain tier: spine churn on the first `churn` keys
+        spark.sql(s"INSERT INTO $cat.db.cf SELECT id, id, id " +
+          s"FROM range(0, $churn, 1, 1)")
+        chainTimes += timeTick(spark)(tick("mv_chain"))
       }
       Seq("mv_fold_tick" -> foldTimes.result(),
         "mv_join_rebuild_tick" -> rjTimes.result(),
-        "mv_3table_rebuild_tick" -> j3Times.result())
+        "mv_3table_rebuild_tick" -> j3Times.result(),
+        "mv_expr_tick" -> exprTimes.result(),
+        "mv_chain_tick" -> chainTimes.result())
     } finally {
       server.stop()
       spark.conf.unset(s"spark.sql.catalog.$cat")

@@ -105,10 +105,19 @@ object GraftMaterializedViews {
       if (shape.isDefined || joinShape.isDefined || rebuildShape.isDefined ||
         rebuildJoin.isDefined) None
       else rebuildMultiJoinShapeOf(spark, analyzed).map(_.withOutNames(fields.map(_.name)))
-    val rebuildExpr =
+    val rebuildChain =
       if (shape.isDefined || joinShape.isDefined || rebuildShape.isDefined ||
         rebuildJoin.isDefined || rebuildMulti.isDefined) None
+      else rebuildChainShapeOf(spark, analyzed).map(_.withOutNames(fields.map(_.name)))
+    val rebuildExpr =
+      if (shape.isDefined || joinShape.isDefined || rebuildShape.isDefined ||
+        rebuildJoin.isDefined || rebuildMulti.isDefined || rebuildChain.isDefined) None
       else rebuildExprShapeOf(spark, analyzed).map(_.withOutNames(fields.map(_.name)))
+    val rebuildJoinExpr =
+      if (shape.isDefined || joinShape.isDefined || rebuildShape.isDefined ||
+        rebuildJoin.isDefined || rebuildMulti.isDefined || rebuildChain.isDefined ||
+        rebuildExpr.isDefined) None
+      else rebuildJoinExprShapeOf(spark, analyzed).map(_.withOutNames(fields.map(_.name)))
     val props = properties ++ Map(
       MarkerProp -> "true",
       SqlProp -> originalText,
@@ -121,7 +130,8 @@ object GraftMaterializedViews {
       RefreshModeProp ->
         (if (shape.isDefined || joinShape.isDefined) "incremental"
          else if (rebuildShape.isDefined || rebuildJoin.isDefined ||
-           rebuildMulti.isDefined || rebuildExpr.isDefined) "incremental-rebuild"
+           rebuildMulti.isDefined || rebuildChain.isDefined ||
+           rebuildExpr.isDefined || rebuildJoinExpr.isDefined) "incremental-rebuild"
          else "full"))
     // PARTITIONED BY flows straight through to the backing table: the
     // fold's overwrite commits write through the table's default spec,
@@ -223,7 +233,41 @@ object GraftMaterializedViews {
                       ChangelogApply.ckptKey(n) -> h.get.toString
                     }.toMap)
                 }
-              case None => rebuildExpr match {
+              case None => rebuildChain match {
+                case Some(rcs) =>
+                  // pinned cold start at all heads; headless sides
+                  // scan empty (a LEFT level still null-extends, an
+                  // INNER level empties — both the plan's own truth)
+                  val byName = rcs.idents.map(ti => rcs.nameOf(ti) -> ti)
+                    .distinctBy(_._1)
+                  val tables = byName.map { case (n, ti) =>
+                    n -> rcs.table(spark, ti)
+                  }.toMap
+                  val heads = tables.map { case (n, t) =>
+                    n -> t.metadata.currentSnapshotId
+                  }
+                  if (heads.values.exists(_.isDefined)) {
+                    val frames = rcs.idents.map { ti =>
+                      val n = rcs.nameOf(ti)
+                      val t = tables(n)
+                      heads(n).map(id => t.scan(spark, t.AtSnapshot(id)))
+                        .getOrElse(t.scan(spark))
+                    }
+                    mv.overwriteAll(rcs.rebuildFull(spark, frames), None,
+                      extraProperties = heads.map { case (n, h) =>
+                        ChangelogApply.ckptKey(n) ->
+                          h.map(_.toString).getOrElse("none")
+                      }.toMap)
+                  }
+                case None => rebuildExprCreate()
+              }
+            }
+          }
+        }
+      }
+    }
+    def rebuildExprCreate(): Unit = {
+      rebuildExpr match {
                 case Some(re) =>
                   // pinned cold start, the expr-keyed twin of the
                   // single-table rebuild branch above
@@ -238,13 +282,28 @@ object GraftMaterializedViews {
                           ChangelogApply.ckptKey(re.sourceName) -> head.toString))
                     case None => // empty source: first refresh cold-starts
                   }
-                case None =>
-                  val df = GraftShims.ofRows(spark, analyzed)
-                  mv.overwriteAll(df.toDF(fields.map(_.name): _*), None)
-              }
-            }
-          }
-        }
+                case None => rebuildJoinExpr match {
+                  case Some(rx) =>
+                    // pinned cold start at BOTH heads, the expr-keyed
+                    // twin of the two-table rebuild branch
+                    val lt = rx.table(spark, rx.leftIdent)
+                    val rt = rx.table(spark, rx.rightIdent)
+                    (lt.metadata.currentSnapshotId, rt.metadata.currentSnapshotId) match {
+                      case (Some(lh), Some(rh)) =>
+                        mv.overwriteAll(
+                          rx.rebuildFull(spark,
+                            lt.scan(spark, lt.AtSnapshot(lh)),
+                            rt.scan(spark, rt.AtSnapshot(rh))),
+                          None,
+                          extraProperties = Map(
+                            ChangelogApply.ckptKey(rx.leftName) -> lh.toString,
+                            ChangelogApply.ckptKey(rx.rightName) -> rh.toString))
+                      case _ => // an empty side: inner join empty, refresh cold-starts
+                    }
+                  case None =>
+                    val df = GraftShims.ofRows(spark, analyzed)
+                    mv.overwriteAll(df.toDF(fields.map(_.name): _*), None)
+                }
       }
     }
   }
@@ -346,15 +405,25 @@ object GraftMaterializedViews {
                       .map(_.withOutNames(outNames)) match {
                       case Some(rmj) => refreshRebuildMulti(spark, mv, rmj)
                       case None =>
+                        rebuildChainShapeOf(spark, analyzed)
+                          .map(_.withOutNames(outNames)) match {
+                          case Some(rcs) => return refreshRebuildChain(spark, mv, rcs)
+                          case None => ()
+                        }
                         rebuildExprShapeOf(spark, analyzed)
                           .map(_.withOutNames(outNames)) match {
                           case Some(re) => refreshRebuildExpr(spark, mv, re)
                           case None =>
-                            val df = GraftShims.ofRows(spark, analyzed)
-                            mv.overwriteAll(df.toDF(outNames: _*),
-                              meta.currentSnapshotId,
-                              extraProperties = Map(RefreshModeProp -> "full"))
-                            Full
+                            rebuildJoinExprShapeOf(spark, analyzed)
+                              .map(_.withOutNames(outNames)) match {
+                              case Some(rx) => refreshRebuildJoinExpr(spark, mv, rx)
+                              case None =>
+                                val df = GraftShims.ofRows(spark, analyzed)
+                                mv.overwriteAll(df.toDF(outNames: _*),
+                                  meta.currentSnapshotId,
+                                  extraProperties = Map(RefreshModeProp -> "full"))
+                                Full
+                            }
                         }
                     }
                 }
@@ -1565,38 +1634,54 @@ object GraftMaterializedViews {
       * NULL-keyed groups come exactly from NULL source rows. */
     def sourceFrameFor(
         spark: SparkSession, source: GraftTable, head: Long,
-        touched: DataFrame): DataFrame = {
-      import org.apache.spark.sql.functions.{count, lit, max, min}
-      import org.apache.spark.sql.{sources => S}
-      val inversions = groupExprs.map(InvertibleKeyBounds.invert)
-      lazy val fullScan = source.scan(spark, source.AtSnapshot(head))
-      if (inversions.forall(_.isEmpty)) return fullScan
-      val aggs = keyNames.flatMap(k => Seq(
-        min(col(k)).as(s"__mn_$k"), max(col(k)).as(s"__mx_$k"),
-        count(col(k)).as(s"__ct_$k"))) :+ count(lit(1)).as("__total")
-      val row = touched.agg(aggs.head, aggs.tail: _*).head()
-      val total = row.getAs[Long]("__total")
-      if (total == 0L)
-        return GraftTable.emptyDf(spark, source.metadata.currentSchema)
-      val filters = inversions.zip(keyNames).flatMap {
-        case (Some(inv), k) =>
-          val mn = row.getAs[Any](s"__mn_$k")
-          val mx = row.getAs[Any](s"__mx_$k")
-          val hasNull = row.getAs[Long](s"__ct_$k") < total
-          val range =
-            if (mn == null) None // only NULL-keyed tuples touched
-            else scala.util.Try(inv.bounds(mn, mx)).toOption.flatten
-          (range, mn == null || hasNull) match {
-            case (Some(f), false) => Some(f)
-            case (Some(f), true) => Some(S.Or(f, S.IsNull(inv.column)): S.Filter)
-            case (None, true) if mn == null => Some(S.IsNull(inv.column): S.Filter)
-            case (None, _) => None // unconvertible values: no pruning on this key
-          }
-        case (None, _) => None
+        touched: DataFrame): DataFrame =
+      invertedTouchedFilters(touched, groupExprs.zip(keyNames)) match {
+        case Left(()) => GraftTable.emptyDf(spark, source.metadata.currentSchema)
+        case Right(Nil) => source.scan(spark, source.AtSnapshot(head))
+        case Right(fs) => source.scanStatsPruned(spark, fs, source.AtSnapshot(head))
       }
-      if (filters.isEmpty) fullScan
-      else source.scanStatsPruned(spark, filters, source.AtSnapshot(head))
-    }
+  }
+
+  /** Shared inverse-bounds derivation ([[RebuildExprShape]] and the
+    * join-expr tier): one tiny agg over the touched tuples collects
+    * each key's min/max/has-null, and every `(groupExpr, keyName)`
+    * pair [[InvertibleKeyBounds]] can invert contributes a filter on
+    * its source column.
+    *  - `Left(())` — touched is EMPTY: read nothing;
+    *  - `Right(Nil)` — nothing inverts (or values unconvertible):
+    *    honest full scan;
+    *  - `Right(filters)` — prune the listing (supersets only; callers
+    *    keep their row-level exactness gate). */
+  private[engine] def invertedTouchedFilters(
+      touched: DataFrame, exprKeys: Seq[(Expression, String)])
+      : Either[Unit, Seq[org.apache.spark.sql.sources.Filter]] = {
+    import org.apache.spark.sql.functions.{count, max, min}
+    import org.apache.spark.sql.{sources => S}
+    val inversions = exprKeys.map { case (e, _) => InvertibleKeyBounds.invert(e) }
+    if (inversions.forall(_.isEmpty)) return Right(Nil)
+    val keyNames = exprKeys.map(_._2)
+    val aggs = keyNames.flatMap(k => Seq(
+      min(col(k)).as(s"__mn_$k"), max(col(k)).as(s"__mx_$k"),
+      count(col(k)).as(s"__ct_$k"))) :+ count(lit(1)).as("__total")
+    val row = touched.agg(aggs.head, aggs.tail: _*).head()
+    val total = row.getAs[Long]("__total")
+    if (total == 0L) return Left(())
+    Right(inversions.zip(keyNames).flatMap {
+      case (Some(inv), k) =>
+        val mn = row.getAs[Any](s"__mn_$k")
+        val mx = row.getAs[Any](s"__mx_$k")
+        val hasNull = row.getAs[Long](s"__ct_$k") < total
+        val range =
+          if (mn == null) None // only NULL-keyed tuples touched
+          else scala.util.Try(inv.bounds(mn, mx)).toOption.flatten
+        (range, mn == null || hasNull) match {
+          case (Some(f), false) => Some(f)
+          case (Some(f), true) => Some(S.Or(f, S.IsNull(inv.column)): S.Filter)
+          case (None, true) if mn == null => Some(S.IsNull(inv.column): S.Filter)
+          case (None, _) => None // unconvertible values: no pruning on this key
+        }
+      case (None, _) => None
+    })
   }
 
   /** Analyzed plan → [[RebuildExprShape]], or None. Checked LAST among
@@ -1680,6 +1765,250 @@ object GraftMaterializedViews {
           extraProperties = Map(key -> srcHead.toString,
             RefreshModeProp -> "incremental-rebuild"))
         Full
+    }
+  }
+
+  /** The expression-keyed rebuild tier over a two-table INNER join
+    * (r16): `GROUP BY <deterministic expressions>` where every group
+    * expression sits entirely on ONE side and is exposed in the
+    * output — the time-bucketed join MV (`GROUP BY
+    * date_trunc('day', o.ts), c.region`), previously a full recompute.
+    * The tick is recompute-on-touch on the expression TUPLE: touched
+    * tuples derive from the inner pair cover (Δ⋈head, head⋈Δ, Δ⋈Δ —
+    * heads pruned by the deltas' equi-join envelopes, exactly the
+    * attribute tier's derivation), the rebuild's side scans
+    * file-prune through the inverse-bounds registry
+    * ([[InvertibleKeyBounds]]) on each side's own keys, and the
+    * commit replaces exactly the touched tuples. INNER only:
+    * null-extension semantics stay with the attribute-keyed shape. */
+  private[engine] final case class RebuildJoinExprShape(
+      catalogName: String,
+      leftIdent: TableIdent,
+      rightIdent: TableIdent,
+      leftRel: DataSourceV2Relation,
+      rightRel: DataSourceV2Relation,
+      analyzed: LogicalPlan,
+      aggChild: LogicalPlan,
+      groupExprs: Seq[Expression],
+      keyNames: Seq[String],
+      keyOutIdx: Seq[Int],
+      declaredNames: Seq[String]) {
+
+    def leftName: String =
+      s"$catalogName.${leftIdent.namespace.mkString(".")}.${leftIdent.name}"
+    def rightName: String =
+      s"$catalogName.${rightIdent.namespace.mkString(".")}.${rightIdent.name}"
+    def keyOutNames: Seq[String] = keyOutIdx.map(declaredNames)
+    def withOutNames(declared: Seq[String]): RebuildJoinExprShape =
+      copy(declaredNames = declared)
+
+    def table(spark: SparkSession, ti: TableIdent): GraftTable = {
+      val plugin = GraftShims.catalogPlugin(spark, Some(catalogName))
+      plugin.asInstanceOf[GraftSparkCatalog].engineTable(ti)
+    }
+
+    def touchedOut(touched: DataFrame): DataFrame =
+      touched.select(keyNames.zip(keyOutNames)
+        .map { case (s, o) => col(s).as(o) }: _*)
+
+    private def substitute(
+        plan: LogicalPlan, aFrame: DataFrame, bFrame: DataFrame): LogicalPlan =
+      plan.transformUp {
+        case r: DataSourceV2Relation if r.output == leftRel.output =>
+          restoreAttrs(leftRel, aFrame)
+        case r: DataSourceV2Relation if r.output == rightRel.output =>
+          restoreAttrs(rightRel, bFrame)
+      }
+
+    /** Touched group-expression tuples of one cover term: the
+      * below-aggregate join at the substituted frames, projected to
+      * the group expressions. */
+    def keysOf(spark: SparkSession, aFrame: DataFrame, bFrame: DataFrame): DataFrame =
+      GraftShims.ofRows(spark, substitute(aggChild, aFrame, bFrame))
+        .select(groupExprs.zip(keyNames)
+          .map { case (e, n) => GraftShims.column(e).as(n) }: _*)
+
+    /** One side's head scan for the REBUILD, file-pruned by the
+      * touched tuples of the keys living on THIS side (exact for the
+      * inner join: removing a row only removes pairs, and the
+      * above-aggregate semi stays the row-level gate). A side carrying
+      * no invertible key keeps the full scan. */
+    def sideFrameFor(
+        spark: SparkSession, t: GraftTable, head: Long,
+        sideOut: org.apache.spark.sql.catalyst.expressions.AttributeSet,
+        touched: DataFrame): DataFrame = {
+      val sideKeys = groupExprs.zip(keyNames).filter { case (e, _) =>
+        e.references.nonEmpty && e.references.subsetOf(sideOut)
+      }
+      if (sideKeys.isEmpty) return t.scan(spark, t.AtSnapshot(head))
+      invertedTouchedFilters(
+        touched.select(sideKeys.map(_._2).map(col): _*).distinct(), sideKeys) match {
+        case Left(()) => GraftTable.emptyDf(spark, t.metadata.currentSchema)
+        case Right(Nil) => t.scan(spark, t.AtSnapshot(head))
+        case Right(fs) => t.scanStatsPruned(spark, fs, t.AtSnapshot(head))
+      }
+    }
+
+    /** Re-execute the defining plan at the substituted frames with the
+      * aggregate's input restricted to touched expression tuples
+      * (null-safe semi — exact: the tuple alone determines the
+      * group). */
+    def rebuild(
+        spark: SparkSession, touched: DataFrame,
+        aFrame: DataFrame, bFrame: DataFrame): DataFrame = {
+      import org.apache.spark.sql.catalyst.expressions.{And, EqualNullSafe}
+      import org.apache.spark.sql.catalyst.plans.LeftSemi
+      import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin, JoinHint}
+      val touchedPlan = touched.queryExecution.analyzed
+      val cond = groupExprs.zip(touchedPlan.output)
+        .map { case (g, t) => EqualNullSafe(g, t): Expression }
+        .reduceLeft(And(_, _))
+      val restricted = substitute(analyzed, aFrame, bFrame).transformUp {
+        case a: Aggregate if a.groupingExpressions == groupExprs =>
+          a.copy(child = LJoin(a.child, touchedPlan, LeftSemi, Some(cond), JoinHint.NONE))
+      }
+      GraftShims.ofRows(spark, restricted).toDF(declaredNames: _*)
+    }
+
+    /** Unrestricted re-execution (cold start / full-at-heads). */
+    def rebuildFull(
+        spark: SparkSession, aFrame: DataFrame, bFrame: DataFrame): DataFrame =
+      GraftShims.ofRows(spark, substitute(analyzed, aFrame, bFrame))
+        .toDF(declaredNames: _*)
+  }
+
+  /** Analyzed plan → [[RebuildJoinExprShape]], or None. Checked LAST
+    * (after every attribute-keyed tier and the single-table expr
+    * tier declined). */
+  private[engine] def rebuildJoinExprShapeOf(
+      spark: SparkSession, analyzed: LogicalPlan): Option[RebuildJoinExprShape] = {
+    val agg = peelAggNode(strip(analyzed)).getOrElse(return None)
+    val groupExprs = agg.groupingExpressions
+    if (groupExprs.isEmpty) return None
+    if (!groupExprs.forall(_.deterministic)) return None
+    val (lr, rr) = belowChain(agg.child) match {
+      case Join(l0, r0, Inner, cond, _) if cond.forall(_.deterministic) =>
+        (belowChain(l0), belowChain(r0)) match {
+          case (lr: DataSourceV2Relation, rr: DataSourceV2Relation)
+              if lr.identifier.isDefined && rr.identifier.isDefined &&
+                lr.catalog.exists(_.isInstanceOf[GraftSparkCatalog]) &&
+                rr.catalog.exists(_.isInstanceOf[GraftSparkCatalog]) &&
+                lr.catalog.get.name() == rr.catalog.get.name() => (lr, rr)
+          case _ => return None
+        }
+      case _ => return None
+    }
+    // each group expression must sit entirely on one side (a
+    // cross-side expression can't be derived per-side; full)
+    if (!groupExprs.forall(g =>
+      g.references.subsetOf(lr.outputSet) || g.references.subsetOf(rr.outputSet)))
+      return None
+    val aggOut = groupExprs.map { g =>
+      val j = agg.aggregateExpressions.indexWhere {
+        case a: AttributeReference => g.semanticEquals(a)
+        case Alias(e, _) => e.semanticEquals(g)
+        case _ => false
+      }
+      if (j < 0) return None // group expression not exposed
+      (agg.aggregateExpressions(j).toAttribute.exprId,
+        agg.aggregateExpressions(j).name)
+    }
+    val keyNames = aggOut.map(_._2)
+    if (keyNames.distinct.size != keyNames.size) return None
+    val traced = originsToAgg(strip(analyzed))
+    val keyOutIdx = aggOut.map { case (id, _) =>
+      val i = traced.indexWhere(_.contains(id))
+      if (i < 0) return None
+      i
+    }
+    val li = lr.identifier.get
+    val ri = rr.identifier.get
+    Some(RebuildJoinExprShape(
+      lr.catalog.get.name(),
+      TableIdent(li.namespace().toSeq, li.name()),
+      TableIdent(ri.namespace().toSeq, ri.name()),
+      lr, rr, analyzed, agg.child,
+      groupExprs, keyNames, keyOutIdx,
+      analyzed.output.map(_.name)))
+  }
+
+  /** One refresh tick for [[RebuildJoinExprShape]] — the expression-
+    * keyed twin of [[refreshRebuildJoin]]'s INNER path: NoOp when both
+    * checkpoints match their heads, pair-cover touched derivation with
+    * equi-pruned head scans, inverse-bounds-pruned rebuild scans, one
+    * churn-sized keyed commit advancing both checkpoints. */
+  private def refreshRebuildJoinExpr(
+      spark: SparkSession, mv: GraftTable, rx: RebuildJoinExprShape): RefreshMode = {
+    val meta = mv.metadata
+    val lt = rx.table(spark, rx.leftIdent)
+    val rt = rx.table(spark, rx.rightIdent)
+    val lHead = lt.metadata.currentSnapshotId
+    val rHead = rt.metadata.currentSnapshotId
+    val kL = ChangelogApply.ckptKey(rx.leftName)
+    val kR = ChangelogApply.ckptKey(rx.rightName)
+    def headMark(h: Option[Long]): String = h.map(_.toString).getOrElse("none")
+    val ckpts = Map(
+      kL -> headMark(lHead), kR -> headMark(rHead),
+      RefreshModeProp -> "incremental-rebuild")
+    if (meta.properties.get(kL).contains(headMark(lHead)) &&
+        meta.properties.get(kR).contains(headMark(rHead))) return NoOp
+    if (lHead.isEmpty && rHead.isEmpty) return NoOp // inner of two empties
+
+    def frameAt(t: GraftTable, h: Option[Long]): DataFrame =
+      h.map(id => t.scan(spark, t.AtSnapshot(id))).getOrElse(t.scan(spark))
+    def fullAtHeads(): RefreshMode = {
+      mv.overwriteAll(
+        rx.rebuildFull(spark, frameAt(lt, lHead), frameAt(rt, rHead)),
+        meta.currentSnapshotId, extraProperties = ckpts)
+      Full
+    }
+
+    val ckL = meta.properties.get(kL).flatMap(_.toLongOption)
+    val ckR = meta.properties.get(kR).flatMap(_.toLongOption)
+    (ckL, ckR, lHead, rHead) match {
+      case (Some(cl), Some(cr), Some(lh), Some(rh)) =>
+        def plainRows(t: GraftTable, from: Long, to: Long, rel: DataSourceV2Relation) =
+          t.changelogScan(spark, from, Some(to))
+            .select(rel.output.map(a => col(a.name)): _*)
+        val aHead = lt.scan(spark, lt.AtSnapshot(lh))
+        val bHead = rt.scan(spark, rt.AtSnapshot(rh))
+        val aMoved = cl != lh
+        val bMoved = cr != rh
+        val eq = treeEquiPairs(rx.aggChild, Seq(rx.leftRel, rx.rightRel))
+        val dAF = if (aMoved) Some(plainRows(lt, cl, lh, rx.leftRel)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)) else None
+        val dBF = if (bMoved) Some(plainRows(rt, cr, rh, rx.rightRel)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)) else None
+        try {
+          val aStats = dAF.map(deltaEquiStats(_, equiColsOf(eq, 0)))
+          val bStats = dBF.map(deltaEquiStats(_, equiColsOf(eq, 1)))
+          val aLive = aMoved && aStats.exists(_.rows > 0L)
+          val bLive = bMoved && bStats.exists(_.rows > 0L)
+          val aSat = aStats.exists(equiSat(eq, _, 0))
+          val bSat = bStats.exists(equiSat(eq, _, 1))
+          val terms = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+          if (aLive && aSat) {
+            terms += rx.keysOf(spark, dAF.get,
+              prunedHeadScan(spark, rt, rh, equiBoundsFor(eq, 1, aStats.get)))
+            if (bLive && bSat) terms += rx.keysOf(spark, dAF.get, dBF.get)
+          }
+          if (bLive && bSat) terms += rx.keysOf(spark,
+            prunedHeadScan(spark, lt, lh, equiBoundsFor(eq, 0, bStats.get)), dBF.get)
+          val touched =
+            (if (terms.isEmpty) rx.keysOf(spark, aHead, bHead).limit(0)
+            else terms.reduceLeft(_ unionByName _)).distinct()
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            mv.replaceKeys(spark, rx.keyOutNames,
+              rx.touchedOut(touched),
+              rx.rebuild(spark, touched,
+                rx.sideFrameFor(spark, lt, lh, rx.leftRel.outputSet, touched),
+                rx.sideFrameFor(spark, rt, rh, rx.rightRel.outputSet, touched)),
+              meta.currentSnapshotId, extraProperties = ckpts)
+            Incremental
+          } finally touched.unpersist(blocking = false)
+        } finally Seq(dAF, dBF).flatten.foreach(_.unpersist(blocking = false))
+      case _ => fullAtHeads() // a checkpoint missing or a side headless
     }
   }
 
@@ -2090,6 +2419,346 @@ object GraftMaterializedViews {
           meta.currentSnapshotId, extraProperties = ckpts)
         Incremental
       } finally touched.unpersist(blocking = false)
+    } finally deltaFrames.values.foreach(_.unpersist(blocking = false))
+  }
+
+  /** The rebuild tier over a LEFT-DEEP chain of INNER/LEFT joins with
+    * 3+ sides (r16, the bread-and-butter reporting MV: `fact LEFT
+    * dim1 LEFT dim2 …`). The N-ary subset cover is INNER-only — outer
+    * null-extension patterns in a chain are richer than the 2-table
+    * tier's (a tuple can be null-extended at any suffix of joins, and
+    * star-shaped conditions even allow interior NULLs) — so this tier
+    * uses a SPINE cover instead:
+    *
+    * every output tuple of a left-deep INNER/LEFT chain contains
+    * exactly one row of the first (always-preserved) side. A tuple
+    * can change only if its spine row is AFFECTED: in the spine's own
+    * delta, or matching some side's delta through that join's
+    * condition at the OLD or NEW state. The touched keys are then the
+    * keys of the chain evaluated — with its own outer semantics, so
+    * every null-extension pattern falls out for free — over the
+    * affected spine rows at BOTH states: checkpoint snapshots (old
+    * patterns) and heads (new patterns). Spurious rows (a deleted
+    * spine row evaluated at head, an inserted one at ckpt) only widen
+    * the touched superset; the rebuild recomputes them to truth.
+    *
+    * Restriction policy in the rebuild: only the SPINE restricts
+    * (removing spine rows removes whole tuples — the spine is the
+    * preserved side of every join; restricting a dim could fabricate
+    * null-extensions, exactly the 2-table LEFT policy). The
+    * above-aggregate null-safe semi stays the exactness gate. */
+  private[engine] final case class RebuildChainShape(
+      catalogName: String,
+      idents: Seq[TableIdent],
+      rels: Seq[DataSourceV2Relation],
+      analyzed: LogicalPlan,
+      aggChild: LogicalPlan,
+      prefixPlans: Seq[LogicalPlan],
+      joinTypes: Seq[org.apache.spark.sql.catalyst.plans.JoinType],
+      conds: Seq[Option[Expression]],
+      groupAttrs: Seq[AttributeReference],
+      keyOutIdx: Seq[Int],
+      declaredNames: Seq[String]) {
+
+    def nameOf(ti: TableIdent): String =
+      s"$catalogName.${ti.namespace.mkString(".")}.${ti.name}"
+    def keySrcNames: Seq[String] = groupAttrs.map(_.name)
+    def keyOutNames: Seq[String] = keyOutIdx.map(declaredNames)
+    def withOutNames(declared: Seq[String]): RebuildChainShape =
+      copy(declaredNames = declared)
+
+    def table(spark: SparkSession, ti: TableIdent): GraftTable = {
+      val plugin = GraftShims.catalogPlugin(spark, Some(catalogName))
+      plugin.asInstanceOf[GraftSparkCatalog].engineTable(ti)
+    }
+
+    def touchedOut(touched: DataFrame): DataFrame =
+      touched.select(keySrcNames.zip(keyOutNames)
+        .map { case (s, o) => col(s).as(o) }: _*)
+
+    private def substitute(plan: LogicalPlan, frames: Seq[DataFrame]): LogicalPlan = {
+      val byOutput = rels.zip(frames)
+      plan.transformUp {
+        case r: DataSourceV2Relation =>
+          byOutput.find(_._1.output == r.output) match {
+            case Some((rel, frame)) => restoreAttrs(rel, frame)
+            case None => r
+          }
+      }
+    }
+
+    /** Keys of the chain (its OWN join semantics — outer levels
+      * null-extend, so every pattern appears) at the substituted
+      * frames. The key projection is injected INTO the plan before
+      * analysis: the substituted spine frame (affected rows) itself
+      * nests restored relation attribute ids, so the analyzer's
+      * relation dedup may rewrite ids — in-plan references get
+      * rewritten consistently, post-analysis `.select` on the
+      * original attr objects would not. */
+    def keysOf(spark: SparkSession, frames: Seq[DataFrame]): DataFrame =
+      GraftShims.ofRows(spark,
+        Project(groupAttrs.map(a => Alias(a, a.name)(
+          exprId = org.apache.spark.sql.catalyst.expressions.NamedExpression.newExprId)),
+          substitute(aggChild, frames)))
+
+    /** AFFECTED spine rows at ONE state (`frames` = per-instance
+      * scans at that state): the spine's own delta rows, plus spine
+      * rows whose prefix tuple matches a moved side's delta under
+      * that join's condition. Each prefix component scan file-prunes
+      * by the delta's DIRECT equi-condition envelope (a genuinely
+      * matching tuple satisfies the conjunct, so its real components
+      * survive the bounds; spurious survivors only widen the
+      * superset). Projection back to spine rows goes through the
+      * spine columns the prefix output still carries — a subset only
+      * coarsens the match (superset, safe). */
+    def affectedSpine(
+        spark: SparkSession,
+        frames: Seq[DataFrame],
+        deltas: Map[Int, DataFrame],
+        stats: Map[Int, DeltaEquiStats],
+        prunedScans: Seq[Option[Seq[org.apache.spark.sql.sources.Filter] => DataFrame]])
+        : DataFrame = {
+      import org.apache.spark.sql.catalyst.plans.LeftSemi
+      import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin, JoinHint}
+      val terms = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      deltas.get(0).foreach(d => terms += d)
+      for ((j, dj) <- deltas.toSeq.sortBy(_._1) if j > 0 && stats(j).rows > 0L) {
+        val cnd = conds(j - 1)
+        val directPairs = cnd.toSeq.flatMap(splitConjuncts).flatMap {
+          case EqualTo(x: AttributeReference, y: AttributeReference) =>
+            if (rels(j).outputSet.contains(y))
+              rels.indexWhere(_.outputSet.contains(x)) match {
+                case i if i >= 0 && i < j => Some((i, x.name, y.name))
+                case _ => None
+              }
+            else if (rels(j).outputSet.contains(x))
+              rels.indexWhere(_.outputSet.contains(y)) match {
+                case i if i >= 0 && i < j => Some((i, y.name, x.name))
+                case _ => None
+              }
+            else None
+          case _ => None
+        }
+        val pframes = frames.zipWithIndex.map { case (f, i) =>
+          if (i >= j) f
+          else {
+            val bounds = directPairs.collect {
+              case (pi, ci, cj) if pi == i =>
+                stats(j).byCol.get(cj).map { case (mn, mx, _) => (ci, mn, mx) }
+            }.flatten.filter(_._2 != null)
+            if (bounds.isEmpty) f
+            else prunedScans.lift(i).flatten match {
+              case Some(scanWith) =>
+                import org.apache.spark.sql.{sources => S}
+                val filters: Seq[S.Filter] = bounds.map { case (c, mn, mx) =>
+                  S.And(S.GreaterThanOrEqual(c, mn), S.LessThanOrEqual(c, mx))
+                }
+                scanWith(filters)
+              case None => f
+            }
+          }
+        }
+        val semiPlan = LJoin(
+          substitute(prefixPlans(j - 1), pframes),
+          restoreAttrs(rels(j), dj), LeftSemi, cnd, JoinHint.NONE)
+        val avail = semiPlan.outputSet
+        val spineAttrs = rels.head.output.filter(avail.contains)
+        if (spineAttrs.isEmpty) terms += frames(0) // degenerate: whole spine
+        else {
+          val proj = GraftShims.ofRows(spark,
+            Project(spineAttrs.map(a =>
+              Alias(a, a.name)(
+                exprId = org.apache.spark.sql.catalyst.expressions.NamedExpression.newExprId)),
+              semiPlan)).distinct()
+          terms += ChangelogApply.nullSafeJoin(
+            frames(0), proj, spineAttrs.map(_.name), "left_semi")
+        }
+      }
+      if (terms.isEmpty) frames(0).limit(0)
+      else terms.reduceLeft(_ unionByName _)
+    }
+
+    /** Re-execute the defining plan at the substituted frames: spine
+      * restricted to the touched keys it originates (file-pruned +
+      * row-narrowed), dims full (restricting a dim could fabricate
+      * null-extensions), null-safe semi above the aggregate as the
+      * exactness gate. */
+    def rebuild(
+        spark: SparkSession, touched: DataFrame, frames: Seq[DataFrame],
+        spinePruned: Option[Seq[org.apache.spark.sql.sources.Filter] => DataFrame])
+        : DataFrame = {
+      import org.apache.spark.sql.catalyst.expressions.{And, EqualNullSafe}
+      import org.apache.spark.sql.catalyst.plans.LeftSemi
+      import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin, JoinHint}
+      val touchedPlan = touched.queryExecution.analyzed
+      val cond = groupAttrs.zip(touchedPlan.output)
+        .map { case (g, t) => EqualNullSafe(g, t): Expression }
+        .reduceLeft(And(_, _))
+      val restricted0 = GraftMaterializedViews.restrictFrame(
+        groupAttrs, frames(0), touched, rels.head.outputSet, spinePruned)
+      val swapped = substitute(analyzed, frames.updated(0, restricted0))
+      val restricted = swapped.transformUp {
+        case a: Aggregate if a.groupingExpressions == (groupAttrs: Seq[Expression]) =>
+          a.copy(child = LJoin(a.child, touchedPlan, LeftSemi, Some(cond), JoinHint.NONE))
+        case d: org.apache.spark.sql.catalyst.plans.logical.Distinct
+            if strip(d.child).output == groupAttrs =>
+          d.copy(child = LJoin(d.child, touchedPlan, LeftSemi, Some(cond), JoinHint.NONE))
+      }
+      GraftShims.ofRows(spark, restricted).toDF(declaredNames: _*)
+    }
+
+    /** Unrestricted re-execution (cold start / full-at-heads). */
+    def rebuildFull(spark: SparkSession, frames: Seq[DataFrame]): DataFrame =
+      GraftShims.ofRows(spark, substitute(analyzed, frames))
+        .toDF(declaredNames: _*)
+  }
+
+  /** Left-deep chain of INNER/LEFT joins over DSv2 relations: returns
+    * (leaves in chain order, prefix subplans, join types, conditions).
+    * `prefixes(i)` is the left subtree of the join that adds side
+    * `i+1` — the sides-0..i prefix WITH its interior filters. */
+  private def collectLeftChainInfo(p: LogicalPlan)
+      : Option[(Seq[DataSourceV2Relation], Seq[LogicalPlan],
+        Seq[org.apache.spark.sql.catalyst.plans.JoinType], Seq[Option[Expression]])] = {
+    import org.apache.spark.sql.catalyst.plans.LeftOuter
+    belowChain(p) match {
+      case Join(l, r, jt @ (Inner | LeftOuter), cond, _) if cond.forall(_.deterministic) =>
+        belowChain(r) match {
+          case rr: DataSourceV2Relation =>
+            collectLeftChainInfo(l).map { case (rels, prefixes, jts, cs) =>
+              (rels :+ rr, prefixes :+ l, jts :+ jt, cs :+ cond)
+            }
+          case _ => None
+        }
+      case r: DataSourceV2Relation => Some((Seq(r), Seq.empty, Nil, Nil))
+      case _ => None
+    }
+  }
+
+  /** Analyzed plan → [[RebuildChainShape]], or None. Checked after
+    * the all-INNER N-ary tier (which owns inner-only trees) — this
+    * tier requires ≥3 sides and ≥1 LEFT level. */
+  private[engine] def rebuildChainShapeOf(
+      spark: SparkSession, analyzed: LogicalPlan): Option[RebuildChainShape] = {
+    import org.apache.spark.sql.catalyst.plans.LeftOuter
+    val (groupExprs, aggChild) = peelToAggregate(strip(analyzed)).getOrElse(return None)
+    val (rels, prefixes, jts, conds) =
+      collectLeftChainInfo(aggChild).getOrElse(return None)
+    if (rels.size < 3) return None // the 2-table tier owns n = 2
+    if (!jts.contains(LeftOuter)) return None // all-inner: the subset tier owns it
+    if (!rels.forall(r => r.identifier.isDefined &&
+        r.catalog.exists(_.isInstanceOf[GraftSparkCatalog]))) return None
+    val catNames = rels.map(_.catalog.get.name()).distinct
+    if (catNames.size != 1) return None
+    val (groupAttrs, keyOutIdx) = traceKeys(analyzed, groupExprs,
+      rels.map(_.outputSet).reduce(_ ++ _)).getOrElse(return None)
+    Some(RebuildChainShape(
+      catNames.head,
+      rels.map(r => TableIdent(
+        r.identifier.get.namespace().toSeq, r.identifier.get.name())),
+      rels, analyzed, aggChild, prefixes, jts, conds,
+      groupAttrs, keyOutIdx,
+      analyzed.output.map(_.name)))
+  }
+
+  /** One refresh tick for [[RebuildChainShape]]: NoOp when every
+    * checkpoint matches its head; otherwise derive the affected spine
+    * at BOTH states (checkpoints and heads), evaluate the chain's own
+    * outer semantics over it at both states for the touched keys, and
+    * commit the churn-sized keyed replacement advancing all
+    * checkpoints atomically. Cost per tick: two churn-driven chain
+    * evaluations plus one delta-bounded prefix semi per moved side —
+    * no exponential cover, so no moved-instance cap. */
+  private def refreshRebuildChain(
+      spark: SparkSession, mv: GraftTable, rc: RebuildChainShape): RefreshMode = {
+    val meta = mv.metadata
+    val names = rc.idents.map(rc.nameOf)
+    val distinctIdents = rc.idents.zip(names).distinctBy(_._2)
+    val tables = distinctIdents.map { case (ti, n) => n -> rc.table(spark, ti) }.toMap
+    val heads = tables.map { case (n, t) => n -> t.metadata.currentSnapshotId }
+    def headMark(h: Option[Long]): String = h.map(_.toString).getOrElse("none")
+    val ckpts = heads.map { case (n, h) =>
+      ChangelogApply.ckptKey(n) -> headMark(h)
+    } ++ Map(RefreshModeProp -> "incremental-rebuild")
+    if (heads.forall { case (n, h) =>
+      meta.properties.get(ChangelogApply.ckptKey(n)).contains(headMark(h))
+    }) return NoOp
+
+    def fullAtHeads(): RefreshMode = {
+      def frameAt(n: String): DataFrame = {
+        val t = tables(n)
+        heads(n).map(id => t.scan(spark, t.AtSnapshot(id))).getOrElse(t.scan(spark))
+      }
+      mv.overwriteAll(
+        rc.rebuildFull(spark, names.map(frameAt)),
+        meta.currentSnapshotId, extraProperties = ckpts)
+      Full
+    }
+
+    val parsed = heads.map { case (n, h) =>
+      n -> (meta.properties.get(ChangelogApply.ckptKey(n)).flatMap(_.toLongOption), h)
+    }
+    if (!parsed.forall { case (_, (c, h)) => c.isDefined && h.isDefined })
+      return fullAtHeads() // a checkpoint missing or a table headless
+    val ck = parsed.map { case (n, (c, h)) => n -> (c.get, h.get) }
+    val movedIdx = names.zipWithIndex.collect {
+      case (n, i) if ck(n)._1 != ck(n)._2 => i
+    }
+
+    val eqAll = treeEquiPairs(rc.aggChild, rc.rels)
+    val colsByInst = eqAll
+      .flatMap { case (a, ca, b, cb) => Seq(a -> ca, b -> cb) }
+      .groupBy(_._1).map { case (i, xs) => i -> xs.map(_._2).distinct }
+    def plainRows(n: String, rel: DataSourceV2Relation): DataFrame = {
+      val (c, h) = ck(n)
+      tables(n).changelogScan(spark, c, Some(h))
+        .select(rel.output.map(a => col(a.name)): _*)
+    }
+    val deltaFrames = movedIdx.map(i =>
+      i -> plainRows(names(i), rc.rels(i))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)).toMap
+    try {
+      val stats = deltaFrames.map { case (i, df) =>
+        i -> deltaEquiStats(df, colsByInst.getOrElse(i, Nil))
+      }
+      def framesAt(sel: String => Long): Seq[DataFrame] = names.map { n =>
+        val t = tables(n)
+        t.scan(spark, t.AtSnapshot(sel(n)))
+      }
+      def prunedAt(sel: String => Long)
+          : Seq[Option[Seq[org.apache.spark.sql.sources.Filter] => DataFrame]] =
+        names.map { n =>
+          val t = tables(n)
+          val s = sel(n)
+          Some((fs: Seq[org.apache.spark.sql.sources.Filter]) =>
+            t.scanStatsPruned(spark, fs, t.AtSnapshot(s)))
+        }
+      val headFrames = framesAt(n => ck(n)._2)
+      val ckptFrames = framesAt(n => ck(n)._1)
+      val affected = rc.affectedSpine(spark, headFrames, deltaFrames, stats,
+        prunedAt(n => ck(n)._2))
+        .unionByName(rc.affectedSpine(spark, ckptFrames, deltaFrames, stats,
+          prunedAt(n => ck(n)._1)))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val touched = rc.keysOf(spark, headFrames.updated(0, affected))
+          .unionByName(rc.keysOf(spark, ckptFrames.updated(0, affected)))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val spineTable = tables(names.head)
+          val spineHead = ck(names.head)._2
+          mv.replaceKeys(spark, rc.keyOutNames,
+            rc.touchedOut(touched),
+            rc.rebuild(spark, touched, headFrames,
+              Some((fs: Seq[org.apache.spark.sql.sources.Filter]) =>
+                spineTable.scanStatsPruned(spark, fs,
+                  spineTable.AtSnapshot(spineHead)))),
+            meta.currentSnapshotId, extraProperties = ckpts)
+          Incremental
+        } finally touched.unpersist(blocking = false)
+      } finally affected.unpersist(blocking = false)
     } finally deltaFrames.values.foreach(_.unpersist(blocking = false))
   }
 

@@ -192,11 +192,22 @@ private[engine] final case class EqDeleteSpec(
     keyITypes: Seq[graft.core.IType]) {
 
   /** Can this delete file's keys touch rows in a data file with
-    * `dataStats`? Missing stats on either side keep it. */
+    * `dataStats`? Missing stats on either side keep it.
+    *
+    * NULL keys are matched NULL-SAFELY by the tuple path (an MV's
+    * null-extended group key is a legitimate delete target), and a
+    * NULL key value is invisible to min/max bounds — so a column may
+    * also match when the delete file carries NULL key values and the
+    * data file may contain NULLs. Without this arm, a delete row like
+    * `(2, 'A', NULL)` was range-gated by the non-null rows sharing its
+    * file ('q'..'y' vs 'p'..'p' → provably disjoint → never loaded),
+    * silently stranding the stored null-keyed row. */
   def mightApply(f: EqDeleteFile, dataStats: Map[Int, Manifests.ColumnStats]): Boolean =
     keyIds.zip(keyITypes).forall { case (id, t) =>
       (f.stats.get(id), dataStats.get(id)) match {
-        case (Some(a), Some(b)) => StatsPruning.rangesOverlap(a, b, t)
+        case (Some(a), Some(b)) =>
+          StatsPruning.rangesOverlap(a, b, t) ||
+            (a.nullCount.forall(_ > 0L) && !b.nullCount.contains(0L))
         case _ => true
       }
     }

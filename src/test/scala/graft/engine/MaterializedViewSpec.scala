@@ -607,9 +607,11 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("a join outside the delta-foldable grammar still routes to full, never garbage") {
     // GROUP BY on BOTH equi-join key columns: post-join they collapse
-    // onto ONE name (the left's), so the fold's key machinery would
-    // collide — the shape detector must refuse (duplicate srcName
-    // guard) and route to full, not throw at create/refresh
+    // onto ONE source name (the left's), so the attribute-keyed
+    // tiers' key machinery would collide — they refuse (duplicate
+    // srcName guard). Until r16 this routed to full; the join-EXPR
+    // tier keys by OUTPUT names (st, st2), which don't collide, so
+    // the shape now refreshes by touched-tuple rebuild instead.
     spark.sql(
       s"""CREATE MATERIALIZED VIEW $cat.db.mv_join_bothkeys AS
          |SELECT o.status AS st, d.status AS st2, count(*) AS n
@@ -617,10 +619,10 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
          |GROUP BY o.status, d.status""".stripMargin)
     assert(spark.sql(s"SHOW TBLPROPERTIES $cat.db.mv_join_bothkeys")
       .collect().exists(r => r.getString(0) == GraftMaterializedViews.RefreshModeProp &&
-        r.getString(1) == "full"))
+        r.getString(1) == "incremental-rebuild"))
     spark.sql(s"INSERT INTO $cat.db.orders VALUES (97,'open',0.02)")
     assert(GraftMaterializedViews.refresh(spark, graftCatalog,
-      TableIdent(Seq("db"), "mv_join_bothkeys")) === GraftMaterializedViews.Full)
+      TableIdent(Seq("db"), "mv_join_bothkeys")) === GraftMaterializedViews.Incremental)
     val expect = spark.sql(
       s"""SELECT o.status, count(*) n FROM $cat.db.orders o
          |JOIN $cat.db.dims d ON o.status = d.status GROUP BY o.status""".stripMargin)
@@ -1534,6 +1536,71 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
       TableIdent(Seq("db"), "mv_ek")) === GraftMaterializedViews.NoOp)
   }
 
+  test("rebuild tier: 3-table LEFT-chain MV refreshes incrementally incl. null-extension flips (r16)") {
+    spark.sql(s"CREATE TABLE $cat.db.lcf (k BIGINT, r1 BIGINT, r2 BIGINT)")
+    spark.sql(s"CREATE TABLE $cat.db.lcd1 (id BIGINT, lab1 STRING)")
+    spark.sql(s"CREATE TABLE $cat.db.lcd2 (id BIGINT, lab2 STRING)")
+    spark.sql(s"INSERT INTO $cat.db.lcf VALUES (1,10,100),(2,10,999),(3,20,100),(4,77,100)")
+    spark.sql(s"INSERT INTO $cat.db.lcd1 VALUES (10,'a'),(20,'b')")
+    spark.sql(s"INSERT INTO $cat.db.lcd2 VALUES (100,'p')")
+    // the bread-and-butter reporting MV: fact LEFT dim1 LEFT dim2,
+    // group keys from ALL three sides — unmatched refs null-extend
+    val defSql =
+      s"""SELECT f.k AS k, d1.lab1 AS lab1, d2.lab2 AS lab2, count(*) AS n
+         |FROM $cat.db.lcf f
+         |LEFT JOIN $cat.db.lcd1 d1 ON f.r1 = d1.id
+         |LEFT JOIN $cat.db.lcd2 d2 ON f.r2 = d2.id
+         |GROUP BY f.k, d1.lab1, d2.lab2""".stripMargin
+    val analyzed = spark.sessionState.executePlan(
+      spark.sessionState.sqlParser.parsePlan(defSql)).analyzed
+    assert(GraftMaterializedViews.rebuildChainShapeOf(spark, analyzed).isDefined,
+      "3-table LEFT chain must match the chain-rebuild shape")
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.mv_lc AS $defSql")
+    assert(spark.sql(s"SHOW TBLPROPERTIES $cat.db.mv_lc")
+      .collect().exists(r => r.getString(0) == GraftMaterializedViews.RefreshModeProp &&
+        r.getString(1) == "incremental-rebuild"))
+    def expect = spark.sql(defSql).collect().map(_.toSeq).toSet
+    def got = spark.sql(s"SELECT k, lab1, lab2, n FROM $cat.db.mv_lc")
+      .collect().map(_.toSeq).toSet
+    def tick() = GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_lc"))
+    assert(got === expect)
+    assert(got.contains(Seq(2L, "a", null, 1L)), "seed null-extension missing")
+    // 1. new fact, both refs dangling → fully null-extended group
+    spark.sql(s"INSERT INTO $cat.db.lcf VALUES (5, 30, 200)")
+    assert(tick() === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+    assert(got.contains(Seq(5L, null, null, 1L)))
+    // 2. dim1 arrival flips (5,NULL,NULL) → (5,'x',NULL) — a pure
+    //    null-extension flip driven by a DIM-side delta
+    spark.sql(s"INSERT INTO $cat.db.lcd1 VALUES (30, 'x')")
+    assert(tick() === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+    assert(got.contains(Seq(5L, "x", null, 1L)) && !got.contains(Seq(5L, null, null, 1L)))
+    // 3. dim2 arrival completes the tuple
+    spark.sql(s"INSERT INTO $cat.db.lcd2 VALUES (200, 'y')")
+    assert(tick() === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+    assert(got.contains(Seq(5L, "x", "y", 1L)))
+    // 4. dim1 deletion flips BACK to null-extended mid-chain
+    spark.sql(s"DELETE FROM $cat.db.lcd1 WHERE id = 30")
+    assert(tick() === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+    assert(got.contains(Seq(5L, null, "y", 1L)))
+    // 5. label UPDATE moves every group of that dim row
+    spark.sql(s"UPDATE $cat.db.lcd1 SET lab1 = 'A' WHERE id = 10")
+    assert(tick() === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+    assert(got.contains(Seq(1L, "A", "p", 1L)) && got.contains(Seq(2L, "A", null, 1L)))
+    // 6. two-sided tick: fact delete + dim2 insert in ONE refresh
+    spark.sql(s"DELETE FROM $cat.db.lcf WHERE k = 5")
+    spark.sql(s"INSERT INTO $cat.db.lcd2 VALUES (999, 'q')")
+    assert(tick() === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+    assert(!got.exists(_.head == 5L) && got.contains(Seq(2L, "A", "q", 1L)))
+    assert(tick() === GraftMaterializedViews.NoOp)
+  }
+
   test("expression-keyed rebuild: monotone time buckets file-prune the tick's source scan (r16)") {
     spark.sql(s"CREATE TABLE $cat.db.evd (ts TIMESTAMP, v BIGINT)")
     // four single-file inserts, one per MONTH: per-file ts ranges are
@@ -1600,6 +1667,80 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
     reOp.sourceFrameFor(spark, t, head, opTouched)
     assert(GraftTable.plannedDataFiles.get() === fullFiles,
       "opaque expression keys must keep the full scan, never guess bounds")
+  }
+
+  test("expression-keyed rebuild over a JOIN: time-bucketed join MV refreshes incrementally (r16)") {
+    spark.sql(s"CREATE TABLE $cat.db.jeo (oid BIGINT, cid BIGINT, ts TIMESTAMP, amt BIGINT)")
+    spark.sql(s"CREATE TABLE $cat.db.jec (cid BIGINT, region STRING)")
+    spark.sql(s"INSERT INTO $cat.db.jec VALUES (1,'east'),(2,'west'),(3,'east')")
+    // one file per month on the fact side (so the rebuild's left scan
+    // can file-prune by the touched day's inverted bounds)
+    for (m <- 1 to 3) {
+      spark.sql(s"INSERT INTO $cat.db.jeo " +
+        s"SELECT id + ${m * 100}, id % 3 + 1, " +
+        s"timestamp'2024-0$m-15 00:00:00' + make_interval(0,0,0,0,0,id,0), id " +
+        s"FROM range(0, 12, 1, 1)")
+    }
+    // group keys: a time-bucket EXPRESSION on the fact side + a plain
+    // dim attribute — outside every attribute-keyed tier's grammar
+    val defSql =
+      s"""SELECT date_trunc('DAY', o.ts) AS d, c.region AS region,
+         |       count(*) AS n, sum(o.amt) AS s
+         |FROM $cat.db.jeo o JOIN $cat.db.jec c ON o.cid = c.cid
+         |GROUP BY date_trunc('DAY', o.ts), c.region""".stripMargin
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.mv_je AS $defSql")
+    assert(spark.sql(s"SHOW TBLPROPERTIES $cat.db.mv_je")
+      .collect().exists(r => r.getString(0) == GraftMaterializedViews.RefreshModeProp &&
+        r.getString(1) == "incremental-rebuild"))
+    def expect = spark.sql(defSql).collect().map(_.toSeq).toSet
+    def got = spark.sql(s"SELECT d, region, n, s FROM $cat.db.mv_je")
+      .collect().map(_.toSeq).toSet
+    assert(got === expect)
+    // fact-side churn confined to ONE day: incremental + exact +
+    // churn-sized commit (≤ touched (day, region) tuples)
+    spark.sql(s"INSERT INTO $cat.db.jeo VALUES " +
+      s"(900, 1, timestamp'2024-02-15 06:00:00', 50), " +
+      s"(901, 2, timestamp'2024-02-15 07:00:00', 60)")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_je")) === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+    val summary = store.loadTable(whId, TableIdent(Seq("db"), "mv_je"))
+      .fold(e => fail(e.message), identity).metadata.currentSnapshot.get.summary
+    assert(summary("added-records").toLong <= 2L,
+      s"join-expr tick wrote ${summary("added-records")} rows for 2 touched tuples")
+    // dim-side churn: a region flip moves every tuple of that customer
+    spark.sql(s"UPDATE $cat.db.jec SET region = 'west' WHERE cid = 3")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_je")) === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+    // delete the churn rows: their (day, region) tuples rebuild back
+    spark.sql(s"DELETE FROM $cat.db.jeo WHERE oid >= 900")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_je")) === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_je")) === GraftMaterializedViews.NoOp)
+    // unit pin: the rebuild's fact-side scan plans only the touched
+    // day's files through the inverse-bounds registry
+    val analyzed = spark.sessionState.executePlan(
+      spark.sessionState.sqlParser.parsePlan(defSql)).analyzed
+    val rx = GraftMaterializedViews.rebuildJoinExprShapeOf(spark, analyzed)
+      .getOrElse(fail("defining SQL no longer matches the join-expr shape"))
+    val lt = rx.table(spark, rx.leftIdent)
+    val lh = lt.metadata.currentSnapshotId.get
+    GraftTable.plannedDataFiles.set(0L)
+    lt.scan(spark, lt.AtSnapshot(lh))
+    val fullFiles = GraftTable.plannedDataFiles.get()
+    assert(fullFiles >= 4L, s"expected ≥4 fact files, saw $fullFiles")
+    val touched = spark.sql(
+      "SELECT timestamp'2024-02-15 00:00:00' AS d, 'east' AS region")
+    GraftTable.plannedDataFiles.set(0L)
+    rx.sideFrameFor(spark, lt, lh, rx.leftRel.outputSet, touched)
+    val planned = GraftTable.plannedDataFiles.get()
+    // ≤3: the Feb seed file + the churn file, plus the MoR position-
+    // delete file (delete files always ride along with kept data)
+    assert(planned < fullFiles && planned <= 3L,
+      s"join-expr side scan planned $planned of $fullFiles files for 1 touched day")
   }
 
   test("KEYLESS mixed-family MV survives an all-delete tick: one global row, never zero") {

@@ -116,6 +116,22 @@ class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(t) === Set((2, "B"), (9, "Z")))
   }
 
+  test("NULL-keyed equality deletes survive the bounds gate (r16 regression)") {
+    import spark.implicits._
+    val t = table("t_nullkey")
+    // one data file whose v stats are min=max='p' with one NULL
+    t.append(Seq((1, "p"), (2, null: String)).toDF("id", "v"))
+    // one delete file carrying a far-away non-null key AND a NULL key:
+    // its v bounds ('zz'..'zz') are provably disjoint from the data
+    // file's ('p'..'p') — the bounds gate must still load it, because
+    // the NULL delete key is invisible to min/max and matches the
+    // data file's NULL row null-safely
+    t.deleteByKeys(spark, Seq("v"),
+      Seq((9, "zz"), (9, null: String)).toDF("id", "v"))
+    assert(rows(t) === Set((1, "p")),
+      "the NULL-keyed delete row must retire the NULL-valued data row")
+  }
+
   test("equality deletes on BINARY key columns match by content, not reference") {
     import spark.implicits._
     val binSchema = Schema(0, Seq(
