@@ -1420,11 +1420,37 @@ object GraftMaterializedViews {
         org.apache.spark.sql.catalyst.plans.LeftOuter
       val restrictB = joinType == Inner || joinType ==
         org.apache.spark.sql.catalyst.plans.RightOuter
-      val swapped = substitute(analyzed,
-        if (restrictA) restrictSide(aFrame, touched, leftRel.outputSet, aPruned)
-        else aFrame,
-        if (restrictB) restrictSide(bFrame, touched, rightRel.outputSet, bPruned)
-        else bFrame)
+      // a side is NARROWED only when the policy allows AND it actually
+      // originates a group key (restrictSide is the identity otherwise)
+      val aNarrowed = restrictA && groupAttrs.exists(leftRel.outputSet.contains)
+      val bNarrowed = restrictB && groupAttrs.exists(rightRel.outputSet.contains)
+      val aR = if (aNarrowed) restrictSide(aFrame, touched, leftRel.outputSet, aPruned)
+        else aFrame
+      val bR = if (bNarrowed) restrictSide(bFrame, touched, rightRel.outputSet, bPruned)
+        else bFrame
+      // r16 ENVELOPE: an un-narrowed, NON-PRESERVED side only matters
+      // where it matches the narrowed companion — bound it by the
+      // companion's direct equi-join-column stats (exact: dropping
+      // non-matching rows of a non-preserved side cannot add or remove
+      // output rows over the companion). Kills the rebuild's last
+      // full dim scan in LEFT/RIGHT-join ticks and keyless-side inner
+      // ticks; FULL OUTER keeps both sides whole.
+      val eq = GraftMaterializedViews.treeEquiPairs(aggChild, Seq(leftRel, rightRel))
+      val bFinal =
+        if (!bNarrowed && !preservesRight && aNarrowed)
+          GraftMaterializedViews.companionBounds(eq, 1, 0, aR) match {
+            case Left(()) => bR.limit(0)
+            case Right(bs) => GraftMaterializedViews.applyBounds(bR, bPruned, bs)
+          }
+        else bR
+      val aFinal =
+        if (!aNarrowed && !preservesLeft && bNarrowed)
+          GraftMaterializedViews.companionBounds(eq, 0, 1, bR) match {
+            case Left(()) => aR.limit(0)
+            case Right(bs) => GraftMaterializedViews.applyBounds(aR, aPruned, bs)
+          }
+        else aR
+      val swapped = substitute(analyzed, aFinal, bFinal)
       val restricted = swapped.transformUp {
         case a: Aggregate if a.groupingExpressions == (groupAttrs: Seq[Expression]) =>
           a.copy(child = LJoin(a.child, touchedPlan, LeftSemi, Some(cond), JoinHint.NONE))
@@ -2156,11 +2182,33 @@ object GraftMaterializedViews {
       val cond = groupAttrs.zip(touchedPlan.output)
         .map { case (g, t) => EqualNullSafe(g, t): Expression }
         .reduceLeft(And(_, _))
+      val hasKeys = rels.map(r => groupAttrs.exists(r.outputSet.contains))
       val restrictedFrames = frames.zipWithIndex.map { case (f, i) =>
         restrictFrame(groupAttrs, f, touched, rels(i).outputSet,
           pruned.lift(i).flatten)
       }
-      val swapped = substitute(analyzed, restrictedFrames)
+      // r16 ENVELOPE: a keyless side of the all-inner tree only
+      // matters where it matches some key-narrowed companion — AND the
+      // bounds from every directly-equated narrowed side (exact for
+      // inner joins; see [[companionBounds]]).
+      val eq = GraftMaterializedViews.treeEquiPairs(aggChild, rels)
+      val finalFrames = restrictedFrames.zipWithIndex.map { case (f, i) =>
+        if (hasKeys(i)) f
+        else {
+          val narrowed = rels.indices.filter(j => j != i && hasKeys(j))
+          narrowed.foldLeft[Either[Unit, Seq[(String, Any, Any)]]](Right(Nil)) {
+            case (Left(()), _) => Left(())
+            case (Right(acc), j) =>
+              GraftMaterializedViews.companionBounds(eq, i, j, restrictedFrames(j))
+                .map(acc ++ _)
+          } match {
+            case Left(()) => f.limit(0)
+            case Right(bs) =>
+              GraftMaterializedViews.applyBounds(f, pruned.lift(i).flatten, bs)
+          }
+        }
+      }
+      val swapped = substitute(analyzed, finalFrames)
       val restricted = swapped.transformUp {
         case a: Aggregate if a.groupingExpressions == (groupAttrs: Seq[Expression]) =>
           a.copy(child = LJoin(a.child, touchedPlan, LeftSemi, Some(cond), JoinHint.NONE))
@@ -2248,6 +2296,59 @@ object GraftMaterializedViews {
         .map { case (c, mn, mx) => col(c) >= lit(mn) && col(c) <= lit(mx) }
         .reduce(_ && _)
       t.scanStatsPruned(spark, filters, t.AtSnapshot(h)).filter(residual)
+    }
+
+  /** Bounds on side `sideIdx`'s columns from a NARROWED companion
+    * frame's direct equi-join-column stats (r16, the rebuild's last
+    * linear scan): a non-preserved side's rows only matter where they
+    * MATCH the companion — its unmatched rows never reach the output —
+    * and every match satisfies the equality conjuncts, so the
+    * companion's min/max keep every matching row and the join result
+    * over the companion is unchanged. Returns:
+    *  - Left(()) — no row can match (companion empty, or an equated
+    *    companion column has no non-null values): read NOTHING;
+    *  - Right(bounds) — possibly empty (no direct equality / values
+    *    unconvertible): closed-interval superset bounds otherwise.
+    * One churn-sized aggregation over the companion per call. */
+  private[engine] def companionBounds(
+      eq: Seq[(Int, String, Int, String)],
+      sideIdx: Int, companionIdx: Int, companion: DataFrame)
+      : Either[Unit, Seq[(String, Any, Any)]] = {
+    val pairs = eq.flatMap {
+      case (i, ci, j, cj) if i == sideIdx && j == companionIdx => Some((ci, cj))
+      case (i, ci, j, cj) if j == sideIdx && i == companionIdx => Some((cj, ci))
+      case _ => None
+    }
+    if (pairs.isEmpty) return Right(Nil)
+    val stats = deltaEquiStats(companion, pairs.map(_._2))
+    if (stats.rows == 0L) return Left(())
+    if (pairs.exists { case (_, cc) => !stats.byCol.get(cc).forall(_._3) })
+      return Left(()) // an all-NULL companion column: equality never matches
+    Right(pairs.flatMap { case (sc, cc) =>
+      stats.byCol.get(cc).collect { case (mn, mx, _) if mn != null => (sc, mn, mx) }
+    })
+  }
+
+  /** Apply accumulated closed-interval bounds to a side's frame:
+    * file-prune the listing when the tick supplied a pruned-scan
+    * constructor, row-narrow either way. Empty bounds: unchanged. */
+  private[engine] def applyBounds(
+      frame: DataFrame,
+      prunedScan: Option[Seq[org.apache.spark.sql.sources.Filter] => DataFrame],
+      bounds: Seq[(String, Any, Any)]): DataFrame =
+    if (bounds.isEmpty) frame
+    else {
+      import org.apache.spark.sql.{sources => S}
+      val filters: Seq[S.Filter] = bounds.map { case (c, mn, mx) =>
+        S.And(S.GreaterThanOrEqual(c, mn), S.LessThanOrEqual(c, mx))
+      }
+      val residual = bounds
+        .map { case (c, mn, mx) => col(c) >= lit(mn) && col(c) <= lit(mx) }
+        .reduce(_ && _)
+      prunedScan match {
+        case Some(scanWith) => scanWith(filters).filter(residual)
+        case None => frame.filter(residual)
+      }
     }
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
@@ -2580,12 +2681,17 @@ object GraftMaterializedViews {
 
     /** Re-execute the defining plan at the substituted frames: spine
       * restricted to the touched keys it originates (file-pruned +
-      * row-narrowed), dims full (restricting a dim could fabricate
-      * null-extensions), null-safe semi above the aggregate as the
+      * row-narrowed), dims ENVELOPED by their directly-equated,
+      * already-narrowed predecessors (r16 — a dim is never preserved
+      * in an INNER/LEFT chain, so its rows only matter where they
+      * match; KEY-restricting a dim could fabricate null-extensions,
+      * an envelope cannot). The cascade runs left→right so snowflake
+      * conditions (dim-to-dim) bound through the already-enveloped
+      * intermediate. Null-safe semi above the aggregate stays the
       * exactness gate. */
     def rebuild(
         spark: SparkSession, touched: DataFrame, frames: Seq[DataFrame],
-        spinePruned: Option[Seq[org.apache.spark.sql.sources.Filter] => DataFrame])
+        prunedScans: Seq[Option[Seq[org.apache.spark.sql.sources.Filter] => DataFrame]])
         : DataFrame = {
       import org.apache.spark.sql.catalyst.expressions.{And, EqualNullSafe}
       import org.apache.spark.sql.catalyst.plans.LeftSemi
@@ -2594,9 +2700,35 @@ object GraftMaterializedViews {
       val cond = groupAttrs.zip(touchedPlan.output)
         .map { case (g, t) => EqualNullSafe(g, t): Expression }
         .reduceLeft(And(_, _))
+      val spineNarrowed = groupAttrs.exists(rels.head.outputSet.contains)
       val restricted0 = GraftMaterializedViews.restrictFrame(
-        groupAttrs, frames(0), touched, rels.head.outputSet, spinePruned)
-      val swapped = substitute(analyzed, frames.updated(0, restricted0))
+        groupAttrs, frames(0), touched, rels.head.outputSet,
+        prunedScans.headOption.flatten)
+      val eq = GraftMaterializedViews.treeEquiPairs(aggChild, rels)
+      val finalFrames = Array.fill[DataFrame](frames.size)(null)
+      val narrowed = Array.fill[Boolean](frames.size)(false)
+      finalFrames(0) = restricted0
+      narrowed(0) = spineNarrowed
+      for (j <- 1 until frames.size) {
+        val companions = (0 until j).filter(narrowed(_))
+        val enveloped = companions
+          .foldLeft[Either[Unit, Seq[(String, Any, Any)]]](Right(Nil)) {
+            case (Left(()), _) => Left(())
+            case (Right(acc), i) =>
+              GraftMaterializedViews.companionBounds(eq, j, i, finalFrames(i))
+                .map(acc ++ _)
+          }
+        enveloped match {
+          case Left(()) =>
+            finalFrames(j) = frames(j).limit(0)
+            narrowed(j) = true
+          case Right(bs) =>
+            finalFrames(j) = GraftMaterializedViews.applyBounds(
+              frames(j), prunedScans.lift(j).flatten, bs)
+            narrowed(j) = bs.nonEmpty
+        }
+      }
+      val swapped = substitute(analyzed, finalFrames.toSeq)
       val restricted = swapped.transformUp {
         case a: Aggregate if a.groupingExpressions == (groupAttrs: Seq[Expression]) =>
           a.copy(child = LJoin(a.child, touchedPlan, LeftSemi, Some(cond), JoinHint.NONE))
@@ -2747,14 +2879,9 @@ object GraftMaterializedViews {
           .distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          val spineTable = tables(names.head)
-          val spineHead = ck(names.head)._2
           mv.replaceKeys(spark, rc.keyOutNames,
             rc.touchedOut(touched),
-            rc.rebuild(spark, touched, headFrames,
-              Some((fs: Seq[org.apache.spark.sql.sources.Filter]) =>
-                spineTable.scanStatsPruned(spark, fs,
-                  spineTable.AtSnapshot(spineHead)))),
+            rc.rebuild(spark, touched, headFrames, prunedAt(n => ck(n)._2)),
             meta.currentSnapshotId, extraProperties = ckpts)
           Incremental
         } finally touched.unpersist(blocking = false)

@@ -86,22 +86,36 @@ object ZOrder {
   val Bits = 8
 
   /** The z-value Column for `cols` over `df`, bounds resolved NOW via
-    * one distributed quantile-sketch pass. Numeric columns only (dates/
-    * timestamps cluster fine via a cast at the call site). */
+    * one distributed quantile-sketch pass. Numeric columns natively;
+    * date/timestamp columns (r16 — TIME is the most common clustering
+    * key in practice) go through their ordinal representation (epoch
+    * day / epoch micros), which preserves order — exactly what the
+    * quantile cuts need. */
   def clusterColumn(df: DataFrame, cols: Seq[String]): Column = {
     require(cols.nonEmpty, "zorder needs at least one column")
     require(cols.size <= 7, s"zorder supports at most 7 columns, got ${cols.size}")
-    cols.foreach { c =>
+    val ordinal: Map[String, Column] = cols.map { c =>
       val dt = df.schema(c).dataType
-      require(dt.isInstanceOf[NumericType],
-        s"zorder column $c must be numeric, got ${dt.catalogString}")
-    }
+      require(dt.isInstanceOf[NumericType] ||
+        dt == DateType || dt == TimestampType || dt == TimestampNTZType,
+        s"zorder column $c must be numeric, date, or timestamp, got ${dt.catalogString}")
+      c -> (dt match {
+        case DateType => col(c).cast(IntegerType).cast(DoubleType)
+        case TimestampType | TimestampNTZType =>
+          col(c).cast(LongType).cast(DoubleType)
+        case _ => col(c).cast(DoubleType)
+      })
+    }.toMap
+    // the sketch runs over the ordinal projection so cuts live in the
+    // same domain the z-value evaluates in
     val probs = (1 until (1 << Bits)).map(_.toDouble / (1 << Bits)).toArray
-    val cuts: Array[Array[Double]] = df.stat
-      .approxQuantile(cols.toArray, probs, 0.001)
+    val ordinalNames = cols.map(c => s"__zord_$c")
+    val ordinalDf = df.select(cols.map(c => ordinal(c).as(s"__zord_$c")): _*)
+    val cuts: Array[Array[Double]] = ordinalDf.stat
+      .approxQuantile(ordinalNames.toArray, probs, 0.001)
       .map(_.distinct.sorted)
     GraftShims.column(ZValue(
-      GraftShims.expression(array(cols.map(c => col(c).cast(DoubleType)): _*)),
+      GraftShims.expression(array(cols.map(ordinal): _*)),
       cuts))
   }
 }

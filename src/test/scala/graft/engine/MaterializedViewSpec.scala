@@ -1601,6 +1601,64 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tick() === GraftMaterializedViews.NoOp)
   }
 
+  test("chain rebuild: dim scans are ENVELOPED by the narrowed spine (r16)") {
+    spark.sql(s"CREATE TABLE $cat.db.cnf (k BIGINT, r1 BIGINT, r2 BIGINT)")
+    spark.sql(s"CREATE TABLE $cat.db.cnd1 (bk BIGINT, bv BIGINT)")
+    spark.sql(s"CREATE TABLE $cat.db.cnd2 (ck BIGINT, cv BIGINT)")
+    // 4 disjoint-range single-file inserts per table
+    for (i <- 0 until 4) {
+      spark.sql(s"INSERT INTO $cat.db.cnf SELECT id + ${i * 10}, id + ${i * 10}, " +
+        s"id + ${i * 10} FROM range(0, 10, 1, 1)")
+      spark.sql(s"INSERT INTO $cat.db.cnd1 SELECT id + ${i * 10}, id + ${i * 10} " +
+        s"FROM range(0, 10, 1, 1)")
+      spark.sql(s"INSERT INTO $cat.db.cnd2 SELECT id + ${i * 10}, id + ${i * 10} " +
+        s"FROM range(0, 10, 1, 1)")
+    }
+    val defSql =
+      s"""SELECT f.k AS k, d1.bk AS bk, d2.ck AS ck, count(*) AS n
+         |FROM $cat.db.cnf f
+         |LEFT JOIN $cat.db.cnd1 d1 ON f.r1 = d1.bv
+         |LEFT JOIN $cat.db.cnd2 d2 ON f.r2 = d2.cv
+         |GROUP BY f.k, d1.bk, d2.ck""".stripMargin
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.mv_cn AS $defSql")
+    def expect = spark.sql(defSql).collect().map(_.toSeq).toSet
+    def got = spark.sql(s"SELECT k, bk, ck, n FROM $cat.db.mv_cn")
+      .collect().map(_.toSeq).toSet
+    assert(got === expect)
+    spark.sql(s"INSERT INTO $cat.db.cnf VALUES (3, 3, 3)")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_cn")) === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+    // unit pin of the r16 dim ENVELOPE: the rebuild of one touched key
+    // restricts the spine by its key bounds and bounds EACH dim by the
+    // restricted spine's join-column envelope — 4 of the 13 data files
+    // (2 spine incl. churn + 1 per dim), never the full layout
+    val analyzed = spark.sessionState.executePlan(
+      spark.sessionState.sqlParser.parsePlan(defSql)).analyzed
+    val rc = GraftMaterializedViews.rebuildChainShapeOf(spark, analyzed)
+      .getOrElse(fail("defining SQL no longer matches the chain shape"))
+    val tables = rc.idents.map(ti => rc.table(spark, ti))
+    val heads = tables.map(_.metadata.currentSnapshotId.get)
+    GraftTable.plannedDataFiles.set(0L)
+    val headFrames = tables.zip(heads).map { case (t, h) =>
+      t.scan(spark, t.AtSnapshot(h))
+    }
+    val fullFiles = GraftTable.plannedDataFiles.get()
+    assert(fullFiles === 13L, s"expected 13 data files, saw $fullFiles")
+    val pruned = tables.zip(heads).map { case (t, h) =>
+      Some((fs: Seq[org.apache.spark.sql.sources.Filter]) =>
+        t.scanStatsPruned(spark, fs, t.AtSnapshot(h)))
+    }
+    val touched = spark.sql("SELECT CAST(3 AS BIGINT) AS k, " +
+      "CAST(3 AS BIGINT) AS bk, CAST(3 AS BIGINT) AS ck")
+    GraftTable.plannedDataFiles.set(0L)
+    val rebuilt = rc.rebuild(spark, touched, headFrames, pruned).collect()
+    val planned = GraftTable.plannedDataFiles.get()
+    assert(planned <= 4L,
+      s"chain rebuild planned $planned files for 1 touched key (full = $fullFiles)")
+    assert(rebuilt.map(_.toSeq).toSet === Set(Seq(3L, 3L, 3L, 2L)))
+  }
+
   test("expression-keyed rebuild: monotone time buckets file-prune the tick's source scan (r16)") {
     spark.sql(s"CREATE TABLE $cat.db.evd (ts TIMESTAMP, v BIGINT)")
     // four single-file inserts, one per MONTH: per-file ts ranges are

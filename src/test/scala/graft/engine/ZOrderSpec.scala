@@ -58,6 +58,31 @@ class ZOrderSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(zdf.where($"y" === 1L).select("z").head().getLong(0) >= 0L)
   }
 
+  test("zorder clusters TIMESTAMP columns through their ordinal (r16)") {
+    // time is the most common clustering key in practice; the quantile
+    // sketch runs over epoch ordinals (order-preserving), so a
+    // time-range predicate prunes the rewritten layout
+    spark.sql(s"CREATE TABLE $cat.db.zts (ts TIMESTAMP, v BIGINT)")
+    spark.sql(
+      s"""INSERT INTO $cat.db.zts
+         |SELECT timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,id,0,0), id
+         |FROM range(0, 4096) DISTRIBUTE BY abs(hash(id)) % 16""".stripMargin)
+    val before = spark.sql(s"SELECT * FROM $cat.db.zts").collect()
+      .map(r => (r.get(0).toString, r.getLong(1))).sorted
+    spark.sql(s"CALL $cat.system.rewrite_data_files(" +
+      s"table => 'db.zts', target_file_count => 16, zorder => 'ts,v')")
+    val after = spark.sql(s"SELECT * FROM $cat.db.zts").collect()
+      .map(r => (r.get(0).toString, r.getLong(1))).sorted
+    assert(after === before)
+    GraftFileIndex.lastPlanned = None
+    spark.sql(s"SELECT count(*) FROM $cat.db.zts " +
+      "WHERE ts < timestamp'2024-01-08 00:00:00'").collect()
+    val p = GraftFileIndex.lastPlanned.get
+    assert(p.total === 16)
+    assert(p.kept < p.total,
+      s"time-range predicate should prune the ts-zordered layout: ${p.kept}/${p.total}")
+  }
+
   test("zorder layout survives write.distribution-mode on a partitioned table") {
     // hash distribution re-clusters ordinary writes by partition tuple;
     // a z-order rewrite must NOT be re-clustered (preserveLayout) or
