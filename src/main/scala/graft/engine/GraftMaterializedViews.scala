@@ -2602,6 +2602,48 @@ object GraftMaterializedViews {
           exprId = org.apache.spark.sql.catalyst.expressions.NamedExpression.newExprId)),
           substitute(aggChild, frames)))
 
+    /** Dim frames ENVELOPED left→right by their directly-equated,
+      * already-narrowed predecessors, with the (assumed narrowed)
+      * spine frame in position 0 (r16). Exact wherever the dims are
+      * non-preserved — every INNER/LEFT chain level: a dim row only
+      * matters where it MATCHES, and the companion's equi-column
+      * min/max keep every matching row. Shared by the REBUILD (spine
+      * restricted to touched keys) and the touched DERIVATION's two
+      * chain evaluations (spine := affected rows). */
+    def cascadeEnvelope(
+        spark: SparkSession,
+        spine: DataFrame,
+        spineNarrowed: Boolean,
+        frames: Seq[DataFrame],
+        prunedScans: Seq[Option[Seq[org.apache.spark.sql.sources.Filter] => DataFrame]])
+        : Seq[DataFrame] = {
+      val eq = GraftMaterializedViews.treeEquiPairs(aggChild, rels)
+      val finalFrames = Array.fill[DataFrame](frames.size)(null)
+      val narrowed = Array.fill[Boolean](frames.size)(false)
+      finalFrames(0) = spine
+      narrowed(0) = spineNarrowed
+      for (j <- 1 until frames.size) {
+        val companions = (0 until j).filter(narrowed(_))
+        val enveloped = companions
+          .foldLeft[Either[Unit, Seq[(String, Any, Any)]]](Right(Nil)) {
+            case (Left(()), _) => Left(())
+            case (Right(acc), i) =>
+              GraftMaterializedViews.companionBounds(eq, j, i, finalFrames(i))
+                .map(acc ++ _)
+          }
+        enveloped match {
+          case Left(()) =>
+            finalFrames(j) = frames(j).limit(0)
+            narrowed(j) = true
+          case Right(bs) =>
+            finalFrames(j) = GraftMaterializedViews.applyBounds(
+              frames(j), prunedScans.lift(j).flatten, bs)
+            narrowed(j) = bs.nonEmpty
+        }
+      }
+      finalFrames.toSeq
+    }
+
     /** AFFECTED spine rows at ONE state (`frames` = per-instance
       * scans at that state): the spine's own delta rows, plus spine
       * rows whose prefix tuple matches a moved side's delta under
@@ -2625,6 +2667,19 @@ object GraftMaterializedViews {
       deltas.get(0).foreach(d => terms += d)
       for ((j, dj) <- deltas.toSeq.sortBy(_._1) if j > 0 && stats(j).rows > 0L) {
         val cnd = conds(j - 1)
+        // SHORTEST covering prefix (r16): the semi only needs the
+        // prefix levels the condition references — a star condition
+        // (spine col = dim col) semis the SPINE directly, no dim scan
+        // at all. Truncating LEFT levels preserves every shorter
+        // tuple; truncating INNER levels can only ADD prefix tuples —
+        // a superset of affected spine rows, safe for the cover.
+        val condRefs = cnd.map(_.references).getOrElse(
+          org.apache.spark.sql.catalyst.expressions.AttributeSet.empty)
+        // smallest prefix level whose EXCLUDED sides the condition
+        // never references (l = j-1 trivially qualifies)
+        val prefixLevel = (0 until j).find(l =>
+          ((l + 1) until j).forall(i =>
+            condRefs.intersect(rels(i).outputSet).isEmpty)).getOrElse(j - 1)
         val directPairs = cnd.toSeq.flatMap(splitConjuncts).flatMap {
           case EqualTo(x: AttributeReference, y: AttributeReference) =>
             if (rels(j).outputSet.contains(y))
@@ -2660,7 +2715,7 @@ object GraftMaterializedViews {
           }
         }
         val semiPlan = LJoin(
-          substitute(prefixPlans(j - 1), pframes),
+          substitute(prefixPlans(prefixLevel), pframes),
           restoreAttrs(rels(j), dj), LeftSemi, cnd, JoinHint.NONE)
         val avail = semiPlan.outputSet
         val spineAttrs = rels.head.output.filter(avail.contains)
@@ -2704,31 +2759,9 @@ object GraftMaterializedViews {
       val restricted0 = GraftMaterializedViews.restrictFrame(
         groupAttrs, frames(0), touched, rels.head.outputSet,
         prunedScans.headOption.flatten)
-      val eq = GraftMaterializedViews.treeEquiPairs(aggChild, rels)
-      val finalFrames = Array.fill[DataFrame](frames.size)(null)
-      val narrowed = Array.fill[Boolean](frames.size)(false)
-      finalFrames(0) = restricted0
-      narrowed(0) = spineNarrowed
-      for (j <- 1 until frames.size) {
-        val companions = (0 until j).filter(narrowed(_))
-        val enveloped = companions
-          .foldLeft[Either[Unit, Seq[(String, Any, Any)]]](Right(Nil)) {
-            case (Left(()), _) => Left(())
-            case (Right(acc), i) =>
-              GraftMaterializedViews.companionBounds(eq, j, i, finalFrames(i))
-                .map(acc ++ _)
-          }
-        enveloped match {
-          case Left(()) =>
-            finalFrames(j) = frames(j).limit(0)
-            narrowed(j) = true
-          case Right(bs) =>
-            finalFrames(j) = GraftMaterializedViews.applyBounds(
-              frames(j), prunedScans.lift(j).flatten, bs)
-            narrowed(j) = bs.nonEmpty
-        }
-      }
-      val swapped = substitute(analyzed, finalFrames.toSeq)
+      val finalFrames = cascadeEnvelope(
+        spark, restricted0, spineNarrowed, frames, prunedScans)
+      val swapped = substitute(analyzed, finalFrames)
       val restricted = swapped.transformUp {
         case a: Aggregate if a.groupingExpressions == (groupAttrs: Seq[Expression]) =>
           a.copy(child = LJoin(a.child, touchedPlan, LeftSemi, Some(cond), JoinHint.NONE))
@@ -2874,8 +2907,16 @@ object GraftMaterializedViews {
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val touched = rc.keysOf(spark, headFrames.updated(0, affected))
-          .unionByName(rc.keysOf(spark, ckptFrames.updated(0, affected)))
+        // both chain evaluations run with the dims ENVELOPED by the
+        // affected spine's equi-column bounds (r16): matched tuples
+        // and null-extensions of affected rows are unchanged, so the
+        // keys are identical — and the dim scans are churn-local
+        val touched = rc.keysOf(spark, rc.cascadeEnvelope(
+          spark, affected, spineNarrowed = true, headFrames,
+          prunedAt(n => ck(n)._2)))
+          .unionByName(rc.keysOf(spark, rc.cascadeEnvelope(
+            spark, affected, spineNarrowed = true, ckptFrames,
+            prunedAt(n => ck(n)._1))))
           .distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {

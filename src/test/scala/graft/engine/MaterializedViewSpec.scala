@@ -1179,6 +1179,59 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
       headFrames, pruned, eqAll).isEmpty)
   }
 
+  test("LEFT-join rebuild: the dim side is ENVELOPED by the narrowed fact side (r16)") {
+    spark.sql(s"CREATE TABLE $cat.db.lef (fk BIGINT, fref BIGINT)")
+    spark.sql(s"CREATE TABLE $cat.db.led (dv BIGINT, lab BIGINT)")
+    for (i <- 0 until 4) {
+      spark.sql(s"INSERT INTO $cat.db.lef SELECT id + ${i * 10}, id + ${i * 10} " +
+        s"FROM range(0, 10, 1, 1)")
+      spark.sql(s"INSERT INTO $cat.db.led SELECT id + ${i * 10}, id + ${i * 10} " +
+        s"FROM range(0, 10, 1, 1)")
+    }
+    // keys from BOTH sides of a LEFT join: the dim may NOT be
+    // key-restricted (null-extension fabrication), but it may be
+    // ENVELOPED — its rows only matter where they match the fact
+    val defSql =
+      s"""SELECT f.fk AS fk, d.lab AS lab, count(*) AS n
+         |FROM $cat.db.lef f LEFT JOIN $cat.db.led d ON f.fref = d.dv
+         |GROUP BY f.fk, d.lab""".stripMargin
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.mv_le AS $defSql")
+    def expect = spark.sql(defSql).collect().map(_.toSeq).toSet
+    def got = spark.sql(s"SELECT fk, lab, n FROM $cat.db.mv_le")
+      .collect().map(_.toSeq).toSet
+    assert(got === expect)
+    spark.sql(s"INSERT INTO $cat.db.lef VALUES (3, 3)")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_le")) === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+    // unit pin: rebuild one touched (fk, lab) tuple — fact restricted
+    // by its key bounds, dim bounded by the restricted fact's join
+    // column envelope: 3 of the 9 data files
+    val analyzed = spark.sessionState.executePlan(
+      spark.sessionState.sqlParser.parsePlan(defSql)).analyzed
+    val rj = GraftMaterializedViews.rebuildJoinShapeOf(spark, analyzed)
+      .getOrElse(fail("defining SQL no longer matches the join-rebuild shape"))
+    val lt = rj.table(spark, rj.leftIdent)
+    val rt = rj.table(spark, rj.rightIdent)
+    val lh = lt.metadata.currentSnapshotId.get
+    val rh = rt.metadata.currentSnapshotId.get
+    GraftTable.plannedDataFiles.set(0L)
+    val aHead = lt.scan(spark, lt.AtSnapshot(lh))
+    val bHead = rt.scan(spark, rt.AtSnapshot(rh))
+    assert(GraftTable.plannedDataFiles.get() === 9L)
+    val touched = spark.sql(
+      "SELECT CAST(3 AS BIGINT) AS fk, CAST(3 AS BIGINT) AS lab")
+    GraftTable.plannedDataFiles.set(0L)
+    val rebuilt = rj.rebuild(spark, touched, aHead, bHead,
+      aPruned = Some(fs => lt.scanStatsPruned(spark, fs, lt.AtSnapshot(lh))),
+      bPruned = Some(fs => rt.scanStatsPruned(spark, fs, rt.AtSnapshot(rh)))).collect()
+    val planned = GraftTable.plannedDataFiles.get()
+    // fact: fk∈[0,9] seed + churn file; dim: enveloped to dv∈[3,3] → 1
+    assert(planned <= 3L,
+      s"LEFT-join rebuild planned $planned files for 1 touched key (full = 9)")
+    assert(rebuilt.map(_.toSeq).toSet === Set(Seq(3L, 3L, 2L)))
+  }
+
   test("mixed-family MV (sum + min/max + counts in ONE view) folds incrementally") {
     spark.sql(
       s"""CREATE MATERIALIZED VIEW $cat.db.mv_mixed AS
