@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, Log
 import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-import org.apache.spark.sql.functions.{col, lit, when}
+import org.apache.spark.sql.functions.{col, lit, struct, when}
 
 /** MATERIALIZED views over the engine: the MV is an ordinary catalog
   * TABLE carrying its defining SQL in table properties, refreshed
@@ -43,6 +43,13 @@ import org.apache.spark.sql.functions.{col, lit, when}
   * commit), so the first incremental refresh folds exactly the changes
   * after what the table holds — no create/refresh race window. */
 object GraftMaterializedViews {
+
+  /** Times [[RebuildChainShape.affectedSpine]] fell back to widening a
+    * moved side's term to the WHOLE spine because the covering prefix
+    * carried no spine column (r17 observability; see the call site).
+    * Monotonic process-lifetime counter — tests snapshot-and-diff. */
+  private[engine] val DegenerateSpineWidenings =
+    new java.util.concurrent.atomic.AtomicLong(0L)
 
   val MarkerProp = "graft.mv"
   val SqlProp = "graft.mv.sql"
@@ -118,6 +125,11 @@ object GraftMaterializedViews {
         rebuildJoin.isDefined || rebuildMulti.isDefined || rebuildChain.isDefined ||
         rebuildExpr.isDefined) None
       else rebuildJoinExprShapeOf(spark, analyzed).map(_.withOutNames(fields.map(_.name)))
+    val rebuildWindow =
+      if (shape.isDefined || joinShape.isDefined || rebuildShape.isDefined ||
+        rebuildJoin.isDefined || rebuildMulti.isDefined || rebuildChain.isDefined ||
+        rebuildExpr.isDefined || rebuildJoinExpr.isDefined) None
+      else rebuildWindowShapeOf(spark, analyzed).map(_.withOutNames(fields.map(_.name)))
     val props = properties ++ Map(
       MarkerProp -> "true",
       SqlProp -> originalText,
@@ -131,7 +143,8 @@ object GraftMaterializedViews {
         (if (shape.isDefined || joinShape.isDefined) "incremental"
          else if (rebuildShape.isDefined || rebuildJoin.isDefined ||
            rebuildMulti.isDefined || rebuildChain.isDefined ||
-           rebuildExpr.isDefined || rebuildJoinExpr.isDefined) "incremental-rebuild"
+           rebuildExpr.isDefined || rebuildJoinExpr.isDefined ||
+           rebuildWindow.isDefined) "incremental-rebuild"
          else "full"))
     // PARTITIONED BY flows straight through to the backing table: the
     // fold's overwrite commits write through the table's default spec,
@@ -300,9 +313,25 @@ object GraftMaterializedViews {
                             ChangelogApply.ckptKey(rx.rightName) -> rh.toString))
                       case _ => // an empty side: inner join empty, refresh cold-starts
                     }
-                  case None =>
-                    val df = GraftShims.ofRows(spark, analyzed)
-                    mv.overwriteAll(df.toDF(fields.map(_.name): _*), None)
+                  case None => rebuildWindow match {
+                    case Some(rw) =>
+                      // pinned cold start — the window tier IS a
+                      // RebuildShape, same branch as the aggregate one
+                      val source = rw.sourceTable(spark)
+                      source.metadata.currentSnapshotId match {
+                        case Some(head) =>
+                          mv.overwriteAll(
+                            rw.executeWith(spark,
+                              source.scan(spark, source.AtSnapshot(head))),
+                            None,
+                            extraProperties = Map(
+                              ChangelogApply.ckptKey(rw.sourceName) -> head.toString))
+                        case None => // empty source: first refresh cold-starts
+                      }
+                    case None =>
+                      val df = GraftShims.ofRows(spark, analyzed)
+                      mv.overwriteAll(df.toDF(fields.map(_.name): _*), None)
+                  }
                 }
       }
     }
@@ -418,11 +447,18 @@ object GraftMaterializedViews {
                               .map(_.withOutNames(outNames)) match {
                               case Some(rx) => refreshRebuildJoinExpr(spark, mv, rx)
                               case None =>
-                                val df = GraftShims.ofRows(spark, analyzed)
-                                mv.overwriteAll(df.toDF(outNames: _*),
-                                  meta.currentSnapshotId,
-                                  extraProperties = Map(RefreshModeProp -> "full"))
-                                Full
+                                rebuildWindowShapeOf(spark, analyzed)
+                                  .map(_.withOutNames(outNames)) match {
+                                  // the window tier IS a RebuildShape:
+                                  // same recompute-on-touch tick
+                                  case Some(rw) => refreshRebuild(spark, mv, rw)
+                                  case None =>
+                                    val df = GraftShims.ofRows(spark, analyzed)
+                                    mv.overwriteAll(df.toDF(outNames: _*),
+                                      meta.currentSnapshotId,
+                                      extraProperties = Map(RefreshModeProp -> "full"))
+                                    Full
+                                }
                             }
                         }
                     }
@@ -838,21 +874,31 @@ object GraftMaterializedViews {
         // global group — including the all-deleted case (count 0,
         // NULL aggregates: SQL's global-group fixture). r15 relied on
         // that invariant by convention (a crossJoin silently drops the
-        // global row if a future family ever emits zero); r16 makes it
-        // SELF-ENFORCING by literal single-row construction: each part
-        // is evaluated once (limit 2 — it is a single global aggregate
-        // either way), asserted to one row, and the combined row is a
-        // local relation — a violating family fails loudly, never
-        // silently.
+        // global row if a future family ever emits zero); r16 made it
+        // SELF-ENFORCING; r17 keeps the enforcement but evaluates all
+        // parts in ONE job: the parts are cross-joined as structs (all
+        // single-row by contract, so the product is 1×1×1) and
+        // collected together — a zero-row family EMPTIES the product
+        // and a multi-row family INFLATES it, both caught by the
+        // row-count check below, never silently. The per-family
+        // diagnostic job runs only on the failure path.
         val session = parts.head.sparkSession
-        val evaluated = parts.map { p =>
-          val rows = p.limit(2).collect()
-          require(rows.length == 1,
-            s"keyless fold invariant violated: a family part emitted " +
-              s"${rows.length} rows for the global group (contract: exactly 1, " +
-              "including the all-deleted case) — columns " +
-              p.schema.fieldNames.mkString(", "))
-          (p.schema, rows.head)
+        val combined = parts.zipWithIndex
+          .map { case (p, i) =>
+            p.select(struct(p.columns.map(col).toSeq: _*).as(s"__part_$i")) }
+          .reduceLeft(_ crossJoin _)
+        val combinedRows = combined.limit(2).collect()
+        if (combinedRows.length != 1) {
+          val counts = parts
+            .map(p => s"${p.schema.fieldNames.mkString("/")}: ${p.limit(3).count()}")
+          throw new IllegalArgumentException(
+            "keyless fold invariant violated: the single-row-per-family " +
+              s"product has ${combinedRows.length} rows (contract: exactly 1, " +
+              "including the all-deleted case) — per-family row counts " +
+              s"(capped at 3): ${counts.mkString("; ")}")
+        }
+        val evaluated = parts.zipWithIndex.map { case (p, i) =>
+          (p.schema, combinedRows.head.getStruct(i))
         }
         val (headSchema, headRow) = evaluated.head
         val tailKept = evaluated.tail.map { case (sch, r) =>
@@ -1138,6 +1184,12 @@ object GraftMaterializedViews {
     }
     case f: Filter => originsOf(strip(f.child))
     case s: SubqueryAlias => originsOf(strip(s))
+    // Window output = child.output ++ windowExpressions.map(_.toAttribute)
+    case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+      originsOf(strip(w.child)) ++ w.windowExpressions.map(_ => None)
+    // window-tier plans recurse all the way to the relation (aggregate
+    // plans stop at the Aggregate node and never reach here)
+    case r: DataSourceV2Relation => r.output.map(a => Some(a.exprId))
     case d: org.apache.spark.sql.catalyst.plans.logical.Distinct =>
       strip(d.child).output.map(a => Some(a.exprId))
     case pr: Project =>
@@ -1223,6 +1275,61 @@ object GraftMaterializedViews {
       }
       GraftShims.ofRows(spark, swapped).toDF(declaredNames: _*)
     }
+  }
+
+  /** WINDOW-keyed rebuild tier (r17): `[Project|Filter]*` over ONE
+    * Window node — every window expression partitioned by the SAME
+    * plain source attributes — over `[Filter|pass-through Project]*`
+    * over one graft relation. This is the top-k / latest-row-per-key
+    * operational MV spelled the way people actually spell it:
+    * {{{
+    *   SELECT k, v, payload FROM (
+    *     SELECT *, row_number() OVER (PARTITION BY k ORDER BY v DESC) rn
+    *     FROM t) WHERE rn <= 3
+    * }}}
+    * (also rank/dense_rank filters, per-key lag/lead views). It reuses
+    * [[RebuildShape]] — and therefore [[refreshRebuild]]'s tick —
+    * UNCHANGED, because a window partitioned by K computes each
+    * K-group from that group's rows alone: re-running the plan over
+    * the touched partitions' COMPLETE head-pinned row set yields
+    * exactly those keys' true rows. Runner-up resurrection is free —
+    * a deleted rank-1 row's runner-up rides back in because the whole
+    * partition recomputes, the same reason the min/max fold recomputes
+    * deleted keys. Boundaries (→ full refresh, honest): multiple
+    * Window nodes or mixed partition specs (a window over a COARSER
+    * key could read rows outside the touched partitions), empty
+    * partition spec (global window), expression partitions, keys not
+    * exposed in the output (nothing to address the replacement by). */
+  private[engine] def rebuildWindowShapeOf(
+      spark: SparkSession, analyzed: LogicalPlan): Option[RebuildShape] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    def peelToWindow(p: LogicalPlan): Option[LWindow] = strip(p) match {
+      case w: LWindow => Some(w)
+      case f: Filter if f.condition.deterministic => peelToWindow(f.child)
+      case pr: Project if pr.projectList.forall(_.deterministic) =>
+        peelToWindow(pr.child)
+      case _ => None
+    }
+    val w = peelToWindow(analyzed).getOrElse(return None)
+    // exactly one Window node: anything window-shaped below is a
+    // different (possibly coarser) partitioning — full fallback
+    if (w.child.exists(_.isInstanceOf[LWindow])) return None
+    if (!w.windowExpressions.forall(_.deterministic)) return None
+    if (!w.orderSpec.forall(_.deterministic)) return None
+    val rel = belowChain(w.child) match {
+      case r: DataSourceV2Relation if r.identifier.isDefined &&
+          r.catalog.exists(_.isInstanceOf[GraftSparkCatalog]) => r
+      case _ => return None
+    }
+    val (keyAttrs, keyOutIdx) =
+      traceKeys(analyzed, w.partitionSpec, rel.outputSet).getOrElse(return None)
+    val ident = rel.identifier.get
+    Some(RebuildShape(
+      rel.catalog.get.name(),
+      TableIdent(ident.namespace().toSeq, ident.name()),
+      rel, analyzed,
+      keyAttrs.map(_.name), keyOutIdx,
+      analyzed.output.map(_.name)))
   }
 
   /** Analyzed plan → [[RebuildShape]], or None. Checked AFTER the
@@ -2602,14 +2709,47 @@ object GraftMaterializedViews {
           exprId = org.apache.spark.sql.catalyst.expressions.NamedExpression.newExprId)),
           substitute(aggChild, frames)))
 
+    /** Equality pairs LEGAL for enveloping side `j` (r17 provenance
+      * fix): conjuncts of join j's OWN condition — there side j is the
+      * non-preserved side, so rows failing them only null-extend side
+      * j itself — plus conjuncts of LATER *INNER* levels, where a
+      * failing conjunct drops the whole tuple (and the null-extension
+      * created by removing the row drops at that same level, since a
+      * NULL conjunct is not true). Conjuncts of later LEFT joins are
+      * EXCLUDED: failing one only null-extends the LATER side, so a
+      * side-j row outside such a bound (or with a NULL value, dropped
+      * by applyBounds' residual) still produces `(…, sideJ, NULL, …)`
+      * output tuples — enveloping it away would corrupt group keys
+      * and aggregates. Conditions at level l reference sides 0..l
+      * only (left-deep chain), so side j appears in levels ≥ j. */
+    private[engine] def envelopePairs(j: Int): Seq[(Int, String, Int, String)] = {
+      import org.apache.spark.sql.catalyst.plans.Inner
+      val levels = (j until rels.size).filter(l =>
+        l == j || joinTypes(l - 1) == Inner)
+      levels.flatMap { l =>
+        conds(l - 1).toSeq
+          .flatMap(GraftMaterializedViews.splitConjuncts).flatMap {
+            case EqualTo(x: AttributeReference, y: AttributeReference) =>
+              val xi = rels.indexWhere(_.outputSet.contains(x))
+              val yi = rels.indexWhere(_.outputSet.contains(y))
+              if (xi >= 0 && yi >= 0 && xi != yi) Some((xi, x.name, yi, y.name))
+              else None
+            case _ => None
+          }
+      }.filter { case (a, _, b, _) => a == j || b == j }
+    }
+
     /** Dim frames ENVELOPED left→right by their directly-equated,
       * already-narrowed predecessors, with the (assumed narrowed)
       * spine frame in position 0 (r16). Exact wherever the dims are
       * non-preserved — every INNER/LEFT chain level: a dim row only
       * matters where it MATCHES, and the companion's equi-column
-      * min/max keep every matching row. Shared by the REBUILD (spine
-      * restricted to touched keys) and the touched DERIVATION's two
-      * chain evaluations (spine := affected rows). */
+      * min/max keep every matching row. Pairs per dim come from
+      * [[envelopePairs]] (r17): ONLY the dim's own join condition and
+      * later INNER levels — a conjunct of a later LEFT join between
+      * earlier sides must not bound this dim. Shared by the REBUILD
+      * (spine restricted to touched keys) and the touched
+      * DERIVATION's two chain evaluations (spine := affected rows). */
     def cascadeEnvelope(
         spark: SparkSession,
         spine: DataFrame,
@@ -2617,18 +2757,18 @@ object GraftMaterializedViews {
         frames: Seq[DataFrame],
         prunedScans: Seq[Option[Seq[org.apache.spark.sql.sources.Filter] => DataFrame]])
         : Seq[DataFrame] = {
-      val eq = GraftMaterializedViews.treeEquiPairs(aggChild, rels)
       val finalFrames = Array.fill[DataFrame](frames.size)(null)
       val narrowed = Array.fill[Boolean](frames.size)(false)
       finalFrames(0) = spine
       narrowed(0) = spineNarrowed
       for (j <- 1 until frames.size) {
+        val eqJ = envelopePairs(j)
         val companions = (0 until j).filter(narrowed(_))
         val enveloped = companions
           .foldLeft[Either[Unit, Seq[(String, Any, Any)]]](Right(Nil)) {
             case (Left(()), _) => Left(())
             case (Right(acc), i) =>
-              GraftMaterializedViews.companionBounds(eq, j, i, finalFrames(i))
+              GraftMaterializedViews.companionBounds(eqJ, j, i, finalFrames(i))
                 .map(acc ++ _)
           }
         enveloped match {
@@ -2719,7 +2859,20 @@ object GraftMaterializedViews {
           restoreAttrs(rels(j), dj), LeftSemi, cnd, JoinHint.NONE)
         val avail = semiPlan.outputSet
         val spineAttrs = rels.head.output.filter(avail.contains)
-        if (spineAttrs.isEmpty) terms += frames(0) // degenerate: whole spine
+        if (spineAttrs.isEmpty) {
+          // Degenerate: the covering prefix (e.g. a pass-through
+          // subquery that projected the spine's columns away) carries
+          // no spine attribute to project the semi back through, so
+          // this moved side's term widens to the WHOLE spine — a
+          // correct superset, but the only silent full-widening in
+          // the tier. Count + log it so a shape regression surfaces
+          // as a metric instead of a mystery slow tick (r17).
+          GraftMaterializedViews.DegenerateSpineWidenings.incrementAndGet()
+          System.err.println(
+            s"[graft-mv] affectedSpine: prefix level $prefixLevel for moved " +
+              s"side $j carries no spine column; widening to whole spine")
+          terms += frames(0)
+        }
         else {
           val proj = GraftShims.ofRows(spark,
             Project(spineAttrs.map(a =>
@@ -2800,12 +2953,59 @@ object GraftMaterializedViews {
     }
   }
 
+  /** Join-order NORMALIZATION ahead of chain detection (r17): the same
+    * reporting chain is often spelled `dim RIGHT JOIN fact LEFT JOIN
+    * dim2`, or with a right-deep INNER subtree — both semantically a
+    * left-deep INNER/LEFT chain that would otherwise route to full
+    * recompute. Two EXACT rewrites, run to fixpoint:
+    *  - RIGHT-outer commute: `Join(l, r, RightOuter, c)` ≡
+    *    `Join(r, l, LeftOuter, c)` — the output attribute SET is
+    *    unchanged and everything above references by exprId, so child
+    *    order is invisible; build-side hints swap with the children.
+    *  - INNER left-rotation: `X ⋈ (Y ⋈ Z)` ≡ `(X ⋈ Y) ⋈ Z` with each
+    *    conjunct placed at the lowest level whose inputs it references
+    *    (INNER conjuncts commute freely). GUARDED: when no conjunct
+    *    lands on (X, Y) the rotation would mint a cross join the
+    *    original plan never had — skip it, full fallback is honest.
+    * Outer joins are NOT rotated (they don't associate in general). */
+  private[engine] def normalizeJoinOrder(p: LogicalPlan): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.And
+    import org.apache.spark.sql.catalyst.plans.{LeftOuter, RightOuter}
+    import org.apache.spark.sql.catalyst.plans.logical.JoinHint
+    var cur = p
+    var rounds = 0
+    var changed = true
+    while (changed && rounds < 32) {
+      changed = false
+      rounds += 1
+      cur = cur.transformUp {
+        case Join(l, r, RightOuter, cond, hint) =>
+          changed = true
+          Join(r, l, LeftOuter, cond, JoinHint(hint.rightHint, hint.leftHint))
+        case Join(x, Join(y, z, Inner, cy, _), Inner, cx, _)
+            if (cx.toSeq ++ cy.toSeq).flatMap(splitConjuncts)
+              .exists(_.references.subsetOf(x.outputSet ++ y.outputSet)) =>
+          changed = true
+          val conj = (cx.toSeq ++ cy.toSeq).flatMap(splitConjuncts)
+          val xy = x.outputSet ++ y.outputSet
+          val (lower, upper) = conj.partition(_.references.subsetOf(xy))
+          Join(
+            Join(x, y, Inner, lower.reduceOption(And(_, _)), JoinHint.NONE),
+            z, Inner, upper.reduceOption(And(_, _)), JoinHint.NONE)
+      }
+    }
+    cur
+  }
+
   /** Analyzed plan → [[RebuildChainShape]], or None. Checked after
     * the all-INNER N-ary tier (which owns inner-only trees) — this
-    * tier requires ≥3 sides and ≥1 LEFT level. */
+    * tier requires ≥3 sides and ≥1 LEFT level. The plan is join-order
+    * NORMALIZED first (r17), and the normalized plan — semantically
+    * identical — is what the shape stores and the tick re-executes. */
   private[engine] def rebuildChainShapeOf(
-      spark: SparkSession, analyzed: LogicalPlan): Option[RebuildChainShape] = {
+      spark: SparkSession, analyzed0: LogicalPlan): Option[RebuildChainShape] = {
     import org.apache.spark.sql.catalyst.plans.LeftOuter
+    val analyzed = normalizeJoinOrder(analyzed0)
     val (groupExprs, aggChild) = peelToAggregate(strip(analyzed)).getOrElse(return None)
     val (rels, prefixes, jts, conds) =
       collectLeftChainInfo(aggChild).getOrElse(return None)

@@ -1712,6 +1712,352 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rebuilt.map(_.toSeq).toSet === Set(Seq(3L, 3L, 3L, 2L)))
   }
 
+  test("chain envelope PROVENANCE: a later LEFT join's conjunct between " +
+    "earlier sides must not envelope the earlier dim (r17)") {
+    // the r17 bug shape: `LEFT JOIN d2 ON f.b = d2.b2 AND d1.c = f.k`
+    // carries an equality between d1 and f inside join 2's condition.
+    // Failing it only null-extends d2 — a d1 row with c outside the
+    // narrowed spine's k range (or c NULL, which applyBounds' residual
+    // drops) still produces (f, d1, NULL) output. Enveloping d1 by
+    // that pair corrupts those groups to (f, NULL, NULL) in both the
+    // touched derivation and the rebuild.
+    spark.sql(s"CREATE TABLE $cat.db.pvf (k BIGINT, a BIGINT, b BIGINT)")
+    spark.sql(s"CREATE TABLE $cat.db.pvd1 (a2 BIGINT, c BIGINT, name STRING)")
+    spark.sql(s"CREATE TABLE $cat.db.pvd2 (b2 BIGINT, lab STRING)")
+    spark.sql(s"INSERT INTO $cat.db.pvf VALUES (1,10,100),(2,20,100)")
+    // c = 999 sits far outside the touched keys' k range; c = NULL is
+    // dropped by any range residual — both rows MATCH on join 1's own
+    // condition and must survive the envelope
+    spark.sql(s"INSERT INTO $cat.db.pvd1 VALUES (10,999,'p'),(20,NULL,'q')")
+    spark.sql(s"INSERT INTO $cat.db.pvd2 VALUES (100,'z')")
+    val defSql =
+      s"""SELECT f.k AS k, d1.name AS name, d2.lab AS lab, count(*) AS n
+         |FROM $cat.db.pvf f
+         |LEFT JOIN $cat.db.pvd1 d1 ON f.a = d1.a2
+         |LEFT JOIN $cat.db.pvd2 d2 ON f.b = d2.b2 AND d1.c = f.k
+         |GROUP BY f.k, d1.name, d2.lab""".stripMargin
+    val analyzed = spark.sessionState.executePlan(
+      spark.sessionState.sqlParser.parsePlan(defSql)).analyzed
+    assert(GraftMaterializedViews.rebuildChainShapeOf(spark, analyzed).isDefined,
+      "the mixed-provenance condition must still match the chain shape")
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.mv_pv AS $defSql")
+    def expect = spark.sql(defSql).collect().map(_.toSeq).toSet
+    def got = spark.sql(s"SELECT k, name, lab, n FROM $cat.db.mv_pv")
+      .collect().map(_.toSeq).toSet
+    assert(got === expect)
+    // d2's conjunct d1.c = f.k is false (999 ≠ 1) or NULL — d2
+    // null-extends while d1's columns stay REAL in the group keys
+    assert(got.contains(Seq(1L, "p", null, 1L)))
+    assert(got.contains(Seq(2L, "q", null, 1L)))
+    // churn BOTH keys so the narrowed spine's k envelope is [1, 2] —
+    // far away from d1.c ∈ {999, NULL}
+    spark.sql(s"INSERT INTO $cat.db.pvf VALUES (1,10,100),(2,20,100)")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_pv")) === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+    assert(got.contains(Seq(1L, "p", null, 2L)),
+      "d1 row with c outside the spine's k range was enveloped away")
+    assert(got.contains(Seq(2L, "q", null, 2L)),
+      "d1 row with NULL c was dropped by a foreign conjunct's residual")
+    // and the conjunct DOES fire where it belongs: a fact row whose k
+    // equals its d1 row's c gets the d2 match
+    spark.sql(s"INSERT INTO $cat.db.pvf VALUES (999,10,100)")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_pv")) === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+    assert(got.contains(Seq(999L, "p", "z", 1L)))
+  }
+
+  test("join-order normalization: a RIGHT-spelled chain MV refreshes via " +
+    "the chain tier (r17)") {
+    spark.sql(s"CREATE TABLE $cat.db.rsf (k BIGINT, r1 BIGINT, r2 BIGINT)")
+    spark.sql(s"CREATE TABLE $cat.db.rsd1 (id BIGINT, lab1 STRING)")
+    spark.sql(s"CREATE TABLE $cat.db.rsd2 (id BIGINT, lab2 STRING)")
+    spark.sql(s"INSERT INTO $cat.db.rsf VALUES (1,10,100),(2,10,999),(3,20,100)")
+    spark.sql(s"INSERT INTO $cat.db.rsd1 VALUES (10,'a'),(20,'b')")
+    spark.sql(s"INSERT INTO $cat.db.rsd2 VALUES (100,'p')")
+    // the same reporting chain as the r16 LEFT-chain test, spelled
+    // dim RIGHT JOIN fact — r16 routed this to full recompute
+    val defSql =
+      s"""SELECT f.k AS k, d1.lab1 AS lab1, d2.lab2 AS lab2, count(*) AS n
+         |FROM $cat.db.rsd1 d1
+         |RIGHT JOIN $cat.db.rsf f ON f.r1 = d1.id
+         |LEFT JOIN $cat.db.rsd2 d2 ON f.r2 = d2.id
+         |GROUP BY f.k, d1.lab1, d2.lab2""".stripMargin
+    val analyzed = spark.sessionState.executePlan(
+      spark.sessionState.sqlParser.parsePlan(defSql)).analyzed
+    val rc = GraftMaterializedViews.rebuildChainShapeOf(spark, analyzed)
+      .getOrElse(fail("RIGHT-spelled chain must normalize into the chain shape"))
+    // the commute puts the preserved fact FIRST (it is the spine)
+    assert(rc.idents.head.name === "rsf", s"spine must be the fact, got ${rc.idents}")
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.mv_rs AS $defSql")
+    assert(spark.sql(s"SHOW TBLPROPERTIES $cat.db.mv_rs")
+      .collect().exists(r => r.getString(0) == GraftMaterializedViews.RefreshModeProp &&
+        r.getString(1) == "incremental-rebuild"),
+      "RIGHT-spelled chain must register as incremental-rebuild")
+    def expect = spark.sql(defSql).collect().map(_.toSeq).toSet
+    def got = spark.sql(s"SELECT k, lab1, lab2, n FROM $cat.db.mv_rs")
+      .collect().map(_.toSeq).toSet
+    def tick() = GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_rs"))
+    assert(got === expect)
+    assert(got.contains(Seq(2L, "a", null, 1L)), "null-extension through RIGHT spelling")
+    // fact churn incl. a dangling ref, then a dim flip
+    spark.sql(s"INSERT INTO $cat.db.rsf VALUES (5, 30, 200)")
+    assert(tick() === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+    assert(got.contains(Seq(5L, null, null, 1L)))
+    spark.sql(s"INSERT INTO $cat.db.rsd1 VALUES (30, 'x')")
+    assert(tick() === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+    assert(got.contains(Seq(5L, "x", null, 1L)))
+    assert(tick() === GraftMaterializedViews.NoOp)
+  }
+
+  test("join-order normalization: right-deep INNER subtrees left-rotate; " +
+    "star conditions keep the honest fallback (r17)") {
+    spark.sql(s"CREATE TABLE $cat.db.rdf (k BIGINT, a BIGINT, r BIGINT)")
+    spark.sql(s"CREATE TABLE $cat.db.rdd1 (k1 BIGINT, k2 BIGINT)")
+    spark.sql(s"CREATE TABLE $cat.db.rdd2 (k2 BIGINT, lab STRING)")
+    spark.sql(s"CREATE TABLE $cat.db.rdd3 (id BIGINT, lab3 STRING)")
+    spark.sql(s"INSERT INTO $cat.db.rdf VALUES (1,10,100),(2,20,200)")
+    spark.sql(s"INSERT INTO $cat.db.rdd1 VALUES (10,7),(20,8)")
+    spark.sql(s"INSERT INTO $cat.db.rdd2 VALUES (7,'u'),(8,'v')")
+    spark.sql(s"INSERT INTO $cat.db.rdd3 VALUES (100,'z')")
+    // f JOIN (d1 JOIN d2) LEFT JOIN d3 — the right-deep INNER pair
+    // rotates into a 4-side left-deep chain
+    val defSql =
+      s"""SELECT f.k AS k, d2.lab AS lab, d3.lab3 AS lab3, count(*) AS n
+         |FROM $cat.db.rdf f
+         |JOIN ($cat.db.rdd1 d1 JOIN $cat.db.rdd2 d2 ON d1.k2 = d2.k2)
+         |  ON f.a = d1.k1
+         |LEFT JOIN $cat.db.rdd3 d3 ON f.r = d3.id
+         |GROUP BY f.k, d2.lab, d3.lab3""".stripMargin
+    val analyzed = spark.sessionState.executePlan(
+      spark.sessionState.sqlParser.parsePlan(defSql)).analyzed
+    val rc = GraftMaterializedViews.rebuildChainShapeOf(spark, analyzed)
+      .getOrElse(fail("right-deep INNER subtree must rotate into the chain shape"))
+    assert(rc.idents.map(_.name) === Seq("rdf", "rdd1", "rdd2", "rdd3"))
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.mv_rd AS $defSql")
+    def expect = spark.sql(defSql).collect().map(_.toSeq).toSet
+    def got = spark.sql(s"SELECT k, lab, lab3, n FROM $cat.db.mv_rd")
+      .collect().map(_.toSeq).toSet
+    assert(got === expect)
+    spark.sql(s"INSERT INTO $cat.db.rdf VALUES (3, 10, 999)")
+    spark.sql(s"UPDATE $cat.db.rdd2 SET lab = 'V' WHERE k2 = 8")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_rd")) === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+    assert(got.contains(Seq(3L, "u", null, 1L)) && got.contains(Seq(2L, "V", null, 1L)))
+    // NEGATIVE: a star condition that leaves (X, Y) conjunct-less must
+    // NOT rotate — the rewrite would mint a cross join the original
+    // plan never had; the honest answer is the full fallback
+    val starSql =
+      s"""SELECT f.k AS k, count(*) AS n
+         |FROM $cat.db.rdf f
+         |JOIN ($cat.db.rdd1 d1 JOIN $cat.db.rdd2 d2 ON d1.k2 = d2.k2)
+         |  ON f.a = d2.k2
+         |LEFT JOIN $cat.db.rdd3 d3 ON f.r = d3.id
+         |GROUP BY f.k""".stripMargin
+    val starAnalyzed = spark.sessionState.executePlan(
+      spark.sessionState.sqlParser.parsePlan(starSql)).analyzed
+    assert(GraftMaterializedViews.rebuildChainShapeOf(spark, starAnalyzed).isEmpty,
+      "a rotation that would mint a cross join must be rejected")
+  }
+
+  test("window tier: a rank<=k MV refreshes incrementally with runner-up " +
+    "resurrection (r17)") {
+    spark.sql(s"CREATE TABLE $cat.db.lb (k STRING, player STRING, score BIGINT)")
+    spark.sql(s"INSERT INTO $cat.db.lb VALUES " +
+      "('a','p1',100),('a','p2',90),('a','p3',80),('a','p4',70),('b','q1',50)")
+    val defSql =
+      s"""SELECT k, player, score, rn FROM (
+         |  SELECT k, player, score,
+         |         row_number() OVER (PARTITION BY k ORDER BY score DESC, player) AS rn
+         |  FROM $cat.db.lb) WHERE rn <= 3""".stripMargin
+    val analyzed = spark.sessionState.executePlan(
+      spark.sessionState.sqlParser.parsePlan(defSql)).analyzed
+    assert(GraftMaterializedViews.rebuildWindowShapeOf(spark, analyzed).isDefined,
+      "rank<=k spelling must match the window shape")
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.mv_lb AS $defSql")
+    assert(spark.sql(s"SHOW TBLPROPERTIES $cat.db.mv_lb")
+      .collect().exists(r => r.getString(0) == GraftMaterializedViews.RefreshModeProp &&
+        r.getString(1) == "incremental-rebuild"),
+      "window tier must register as incremental-rebuild")
+    def expect = spark.sql(defSql).collect().map(_.toSeq).toSet
+    def got = spark.sql(s"SELECT k, player, score, rn FROM $cat.db.mv_lb")
+      .collect().map(_.toSeq).toSet
+    def tick() = GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_lb"))
+    assert(got === expect)
+    assert(!got.exists(r => r(1) == "p4"), "rank 4 must not materialize")
+    // 1. a new leader demotes the old rank 3 out of the board
+    spark.sql(s"INSERT INTO $cat.db.lb VALUES ('a','p0',110)")
+    assert(tick() === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+    assert(got.contains(Seq("a", "p0", 110L, 1L)) && !got.exists(_(1) == "p3"))
+    // 2. RUNNER-UP RESURRECTION: deleting the leader recomputes the
+    //    whole partition from the head-pinned base — p3 (not in the
+    //    stored top-3 anymore) rides back in at rank 3
+    spark.sql(s"DELETE FROM $cat.db.lb WHERE player = 'p0'")
+    assert(tick() === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+    assert(got.contains(Seq("a", "p3", 80L, 3L)), "runner-up must resurrect")
+    // 3. untouched partitions carry over; the commit is churn-sized
+    val summary = store.loadTable(whId, TableIdent(Seq("db"), "mv_lb"))
+      .fold(e => fail(e.message), identity).metadata.currentSnapshot.get.summary
+    assert(summary("added-records").toLong <= 3L,
+      s"tick wrote ${summary("added-records")} rows for one touched partition")
+    assert(got.contains(Seq("b", "q1", 50L, 1L)))
+    // 4. a partition emptying entirely drops its keys
+    spark.sql(s"DELETE FROM $cat.db.lb WHERE k = 'b'")
+    assert(tick() === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+    assert(!got.exists(_.head == "b"))
+    assert(tick() === GraftMaterializedViews.NoOp)
+  }
+
+  test("window tier boundaries: global window, mixed partition specs, and " +
+    "unexposed keys keep the honest full fallback (r17)") {
+    spark.sql(s"CREATE TABLE $cat.db.wb (k STRING, g STRING, v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.db.wb VALUES ('a','x',1),('b','y',2)")
+    def shapeOfSql(sql: String) = {
+      val analyzed = spark.sessionState.executePlan(
+        spark.sessionState.sqlParser.parsePlan(sql)).analyzed
+      GraftMaterializedViews.rebuildWindowShapeOf(spark, analyzed)
+    }
+    // global window (empty partition): every row's rank depends on
+    // ALL rows — recompute-on-touch would be wrong, must not match
+    assert(shapeOfSql(
+      s"""SELECT k, v, rn FROM (
+         |  SELECT k, v, row_number() OVER (ORDER BY v DESC) AS rn
+         |  FROM $cat.db.wb) WHERE rn <= 2""".stripMargin).isEmpty,
+      "global window must not match")
+    // mixed partition specs (two Window nodes): the coarser window
+    // reads rows outside the touched partitions — must not match
+    assert(shapeOfSql(
+      s"""SELECT k, g, v,
+         |       row_number() OVER (PARTITION BY k ORDER BY v) AS rk,
+         |       row_number() OVER (PARTITION BY g ORDER BY v) AS rg
+         |FROM $cat.db.wb""".stripMargin).isEmpty,
+      "mixed partition specs must not match")
+    // partition key not exposed in the output: nothing to address the
+    // keyed replacement by — must not match
+    assert(shapeOfSql(
+      s"""SELECT v, rn FROM (
+         |  SELECT v, row_number() OVER (PARTITION BY k ORDER BY v) AS rn
+         |  FROM $cat.db.wb) WHERE rn <= 1""".stripMargin).isEmpty,
+      "unexposed partition key must not match")
+    // expression partition keys: no stored column carries them — must
+    // not match (the expr tier handles aggregates; windows stay full)
+    assert(shapeOfSql(
+      s"""SELECT k, v, rn FROM (
+         |  SELECT k, v, row_number() OVER (PARTITION BY substr(k, 1, 1)
+         |    ORDER BY v) AS rn FROM $cat.db.wb) WHERE rn <= 1""".stripMargin).isEmpty,
+      "expression partition keys must not match")
+    // and the CREATE path agrees: a global-window MV registers full
+    // but still answers correctly through overwrite refreshes
+    val globalSql =
+      s"""SELECT k, v, rn FROM (
+         |  SELECT k, v, row_number() OVER (ORDER BY v DESC) AS rn
+         |  FROM $cat.db.wb) WHERE rn <= 2""".stripMargin
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.mv_wb AS $globalSql")
+    assert(spark.sql(s"SHOW TBLPROPERTIES $cat.db.mv_wb")
+      .collect().exists(r => r.getString(0) == GraftMaterializedViews.RefreshModeProp &&
+        r.getString(1) == "full"))
+    spark.sql(s"INSERT INTO $cat.db.wb VALUES ('c','z',9)")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_wb")) === GraftMaterializedViews.Full)
+    assert(spark.sql(s"SELECT k, v, rn FROM $cat.db.mv_wb")
+      .collect().map(_.toSeq).toSet ===
+      spark.sql(globalSql).collect().map(_.toSeq).toSet)
+  }
+
+  test("chain tier boundary: a FULL-outer level keeps the honest full " +
+    "fallback, and stays correct through it (r17)") {
+    // WHY full: the chain tick's spine-cover argument relies on an
+    // always-preserved spine — every output tuple carries exactly one
+    // spine row, so touched keys are derivable from affected spine
+    // rows. A FULL level breaks that: the dim side's null-extensions
+    // (dim rows with NO fact match) are output tuples that carry NO
+    // spine row, so a dim-side delta can create/destroy groups the
+    // spine cover never sees. Until the cover carries per-level
+    // dim-side null-extension terms, FULL routes to full recompute.
+    spark.sql(s"CREATE TABLE $cat.db.fof (k BIGINT, r1 BIGINT, r2 BIGINT)")
+    spark.sql(s"CREATE TABLE $cat.db.fod1 (id BIGINT, lab1 STRING)")
+    spark.sql(s"CREATE TABLE $cat.db.fod2 (id BIGINT, lab2 STRING)")
+    spark.sql(s"INSERT INTO $cat.db.fof VALUES (1,10,100)")
+    spark.sql(s"INSERT INTO $cat.db.fod1 VALUES (10,'a'),(99,'orphan')")
+    spark.sql(s"INSERT INTO $cat.db.fod2 VALUES (100,'p')")
+    val defSql =
+      s"""SELECT f.k AS k, d1.lab1 AS lab1, d2.lab2 AS lab2, count(*) AS n
+         |FROM $cat.db.fof f
+         |FULL JOIN $cat.db.fod1 d1 ON f.r1 = d1.id
+         |LEFT JOIN $cat.db.fod2 d2 ON f.r2 = d2.id
+         |GROUP BY f.k, d1.lab1, d2.lab2""".stripMargin
+    val analyzed = spark.sessionState.executePlan(
+      spark.sessionState.sqlParser.parsePlan(defSql)).analyzed
+    assert(GraftMaterializedViews.rebuildChainShapeOf(spark, analyzed).isEmpty,
+      "FULL-outer level must NOT match the chain shape (spine-cover unsound)")
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.mv_foc AS $defSql")
+    assert(spark.sql(s"SHOW TBLPROPERTIES $cat.db.mv_foc")
+      .collect().exists(r => r.getString(0) == GraftMaterializedViews.RefreshModeProp &&
+        r.getString(1) == "full"))
+    def expect = spark.sql(defSql).collect().map(_.toSeq).toSet
+    def got = spark.sql(s"SELECT k, lab1, lab2, n FROM $cat.db.mv_foc")
+      .collect().map(_.toSeq).toSet
+    assert(got === expect)
+    // the dim-side null-extension group the spine cover can't see
+    assert(got.contains(Seq(null, "orphan", null, 1L)))
+    // a dim-only delta that creates ANOTHER spineless group — the full
+    // recompute keeps the answers right
+    spark.sql(s"INSERT INTO $cat.db.fod1 VALUES (98,'orphan2')")
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_foc")) === GraftMaterializedViews.Full)
+    assert(got === expect)
+    assert(got.contains(Seq(null, "orphan2", null, 1L)))
+  }
+
+  test("envelopePairs unit pin: own-level and later-INNER conjuncts in, " +
+    "later-LEFT conjuncts out (r17)") {
+    spark.sql(s"CREATE TABLE $cat.db.epf (k BIGINT, a BIGINT, b BIGINT)")
+    spark.sql(s"CREATE TABLE $cat.db.epd1 (a2 BIGINT, c BIGINT)")
+    spark.sql(s"CREATE TABLE $cat.db.epd2 (b2 BIGINT, e BIGINT)")
+    spark.sql(s"CREATE TABLE $cat.db.epd3 (g BIGINT)")
+    // level 1 LEFT: own pair (f.a, d1.a2)
+    // level 2 LEFT: pair between EARLIER sides (d1.c, f.k) — poison
+    // level 3 INNER: pair (d1.c, d3.g) — a later INNER conjunct, legal
+    val defSql =
+      s"""SELECT f.k AS k, d1.c AS c, count(*) AS n
+         |FROM $cat.db.epf f
+         |LEFT JOIN $cat.db.epd1 d1 ON f.a = d1.a2
+         |LEFT JOIN $cat.db.epd2 d2 ON f.b = d2.b2 AND d1.c = f.k
+         |JOIN $cat.db.epd3 d3 ON d1.c = d3.g
+         |GROUP BY f.k, d1.c""".stripMargin
+    val analyzed = spark.sessionState.executePlan(
+      spark.sessionState.sqlParser.parsePlan(defSql)).analyzed
+    val rc = GraftMaterializedViews.rebuildChainShapeOf(spark, analyzed)
+      .getOrElse(fail("chain shape not detected"))
+    def namesOf(ps: Seq[(Int, String, Int, String)]) =
+      ps.map { case (i, ci, j, cj) => (i, ci, j, cj) }.toSet
+    // d1 (side 1): own-level (f.a, d1.a2) and later-INNER (d1.c, d3.g)
+    // are in; the later-LEFT (d1.c, f.k) is OUT
+    val p1 = namesOf(rc.envelopePairs(1))
+    assert(p1.contains((0, "a", 1, "a2")))
+    assert(p1.contains((1, "c", 3, "g")))
+    assert(!p1.exists { case (i, ci, j, cj) =>
+      Set(i -> ci, j -> cj) == Set(1 -> "c", 0 -> "k") },
+      s"later-LEFT conjunct leaked into d1's envelope pairs: $p1")
+    // d2 (side 2): its OWN LEFT condition's pairs are legal — both the
+    // (f.b, d2.b2) pair and, it being its own level, nothing else
+    val p2 = namesOf(rc.envelopePairs(2))
+    assert(p2.contains((0, "b", 2, "b2")))
+    assert(p2.forall { case (i, _, j, _) => i == 2 || j == 2 })
+    // d3 (side 3, INNER): own condition in
+    val p3 = namesOf(rc.envelopePairs(3))
+    assert(p3.contains((1, "c", 3, "g")))
+  }
+
   test("expression-keyed rebuild: monotone time buckets file-prune the tick's source scan (r16)") {
     spark.sql(s"CREATE TABLE $cat.db.evd (ts TIMESTAMP, v BIGINT)")
     // four single-file inserts, one per MONTH: per-file ts ranges are
