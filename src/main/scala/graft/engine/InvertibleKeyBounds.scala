@@ -2,7 +2,8 @@ package graft.engine
 
 import org.apache.spark.sql.catalyst.expressions.{
   AttributeReference, Cast, Divide, Expression, Floor, IntegralDivide,
-  Literal, TruncDate, TruncTimestamp, Year}
+  Literal, RuntimeReplaceable, TruncDate, TruncTimestamp, UnixTimestamp,
+  WidthBucket, Year}
 import org.apache.spark.sql.types.{
   ByteType, DateType, DecimalType, DoubleType, FloatType, IntegerType,
   LongType, ShortType, StringType, TimestampType}
@@ -99,6 +100,7 @@ object InvertibleKeyBounds {
   private def toBigDec(v: Any): Option[java.math.BigDecimal] = v match {
     case d: java.math.BigDecimal => Some(d)
     case d: BigDecimal => Some(d.bigDecimal)
+    case d: org.apache.spark.sql.types.Decimal => Some(d.toJavaBigDecimal)
     case d: java.lang.Double =>
       if (d.isNaN || d.isInfinite) None
       else Some(java.math.BigDecimal.valueOf(d))
@@ -134,10 +136,23 @@ object InvertibleKeyBounds {
     case _ => false
   }
 
-  /** A positive numeric literal's exact decimal value. */
-  private def posLit(e: Expression): Option[java.math.BigDecimal] = e match {
-    case Literal(v, _) =>
-      toBigDec(v).filter(_.signum > 0)
+  /** A positive numeric literal's exact decimal value. Sees through
+    * the analyzer's type-coercion Casts (r17: `floor(x / 3600)` wraps
+    * both operands in cast-to-double at ANALYSIS time; constant
+    * folding only runs in the optimizer) by evaluating any foldable
+    * deterministic subtree driver-side. */
+  private def posLit(e: Expression): Option[java.math.BigDecimal] =
+    foldableValue(e).filter(_.signum > 0)
+
+  /** Any-sign foldable numeric value (width_bucket's lo may be ≤ 0). */
+  private def numLit(e: Expression): Option[java.math.BigDecimal] =
+    foldableValue(e)
+
+  private def foldableValue(e: Expression): Option[java.math.BigDecimal] = e match {
+    case Literal(v, _) => toBigDec(v)
+    case _ if e.foldable && e.deterministic =>
+      scala.util.Try(e.eval(org.apache.spark.sql.catalyst.InternalRow.empty))
+        .toOption.flatMap(v => Option(v)).flatMap(toBigDec)
     case _ => None
   }
 
@@ -149,6 +164,14 @@ object InvertibleKeyBounds {
     // identity bucketing, exact bounds
     case a: AttributeReference =>
       Some(Inversion(a.name, (mn, mx) => Some(between(a.name, mn, mx))))
+
+    // runtime-replaceable wrappers (`to_date(ts)` → cast-to-date, and
+    // friends) are SEMANTICALLY their replacement — the analyzer keeps
+    // the wrapper (ReplaceExpressions runs in the optimizer), so
+    // invert through it (r17). Sound because the replacement computes
+    // the identical value; recursion terminates because replacements
+    // are spelled in concrete expressions.
+    case r: RuntimeReplaceable => invert(r.replacement)
 
     // date_trunc(fmt, ts): ts ∈ [v, v + width)
     case TruncTimestamp(Literal(fmt, StringType), a: AttributeReference, _)
@@ -221,7 +244,102 @@ object InvertibleKeyBounds {
           a, lo.subtract(java.math.BigDecimal.ONE).multiply(n),
           hi.add(java.math.BigDecimal.ONE).multiply(n))))
 
+    // unix_timestamp(ts) div n  /  floor(unix_timestamp(ts) / n):
+    // epoch-second time buckets (r17) — ts ∈ [(v−1)·n, (v+2)·n]
+    // seconds, one bucket of slack each side covering both truncation
+    // directions, clamped to the micros-representable Instant domain
+    // (an overflowed bound could land INSIDE the data and un-keep
+    // files; clamping keeps the interval a superset)
+    case IntegralDivide(u, d, _)
+        if unixSecondsOf(u).isDefined && posLit(d).isDefined =>
+      val a = unixSecondsOf(u).get
+      Some(Inversion(a.name, epochSecondBucketBounds(a.name, posLit(d).get)))
+    case Floor(Divide(u, d, _))
+        if unixSecondsOf(u).isDefined && posLit(d).isDefined =>
+      val a = unixSecondsOf(u).get
+      Some(Inversion(a.name, epochSecondBucketBounds(a.name, posLit(d).get)))
+
+    // width_bucket(x, lo, hi, n), literal ascending bounds (r17):
+    // bucket i ∈ [1, n] holds [lo + (i−1)·w, lo + i·w), w = (hi−lo)/n;
+    // bucket 0 is everything below lo (no lower bound expressible),
+    // n+1 everything ≥ hi (no upper bound) — one-sided filters there,
+    // None when both sides are open. One bucket of slack each side.
+    case WidthBucket(v, loE, hiE, nE) =>
+      val attr = v match {
+        case a: AttributeReference if isNumeric(a) => Some(a)
+        // coercion cast is EXACT only for ≤32-bit integrals and float
+        // (a long/decimal column's cast-to-double can round by more
+        // than the ±1-bucket pad near 2^63 — those keep the full scan)
+        case Cast(a: AttributeReference, DoubleType, _, _)
+            if a.dataType == ByteType || a.dataType == ShortType ||
+              a.dataType == IntegerType || a.dataType == FloatType => Some(a)
+        case _ => None
+      }
+      (attr, numLit(loE), numLit(hiE), posLit(nE)) match {
+        case (Some(a), Some(blo), Some(bhi), Some(bn))
+            if bhi.compareTo(blo) > 0 && bn.signum > 0 =>
+          val w = bhi.subtract(blo).divide(bn, java.math.MathContext.DECIMAL128)
+          Some(Inversion(a.name, (mn, mx) =>
+            (toBigDec(mn), toBigDec(mx)) match {
+              case (Some(lo), Some(hi)) =>
+                val lowSide = if (lo.compareTo(java.math.BigDecimal.ONE) >= 0)
+                  Some(blo.add(
+                    lo.subtract(java.math.BigDecimal.valueOf(2)).multiply(w)))
+                else None
+                val highSide = if (hi.compareTo(bn) <= 0)
+                  Some(blo.add(hi.add(java.math.BigDecimal.ONE).multiply(w)))
+                else None
+                (lowSide, highSide) match {
+                  case (Some(l), Some(h)) => Some(numericBetween(a, l, h))
+                  case (Some(l), None) => Some(numericLowBound(a, l))
+                  case (None, Some(h)) => Some(numericHighBound(a, h))
+                  case _ => None
+                }
+              case _ => None
+            }))
+        case _ => None
+      }
+
     case _ => None
+  }
+
+  /** Unwrap a seconds-since-epoch view of a timestamp column:
+    * `unix_timestamp(ts)` — the format argument is irrelevant for a
+    * timestamp input (seconds truncation, monotone). */
+  private def unixSecondsOf(e: Expression): Option[AttributeReference] = e match {
+    case ut: UnixTimestamp => ut.timeExp match {
+      case a: AttributeReference if a.dataType == TimestampType => Some(a)
+      case _ => None
+    }
+    // the analyzer's numeric-widening cast around the long seconds
+    // (e.g. `unix_timestamp(ts) / 3600` casts to double) — exact for
+    // any epoch-seconds value, monotone either way
+    case Cast(inner, LongType | DoubleType | _: DecimalType, _, _) =>
+      unixSecondsOf(inner)
+    case _ => None
+  }
+
+  private def epochSecondBucketBounds(column: String, n: java.math.BigDecimal)(
+      mn: Any, mx: Any): Option[S.Filter] =
+    for { lo <- toBigDec(mn); hi <- toBigDec(mx) } yield between(
+      column,
+      instantAtSecondsClamped(
+        lo.subtract(java.math.BigDecimal.ONE).multiply(n),
+        java.math.RoundingMode.FLOOR),
+      instantAtSecondsClamped(
+        hi.add(java.math.BigDecimal.valueOf(2)).multiply(n),
+        java.math.RoundingMode.CEILING))
+
+  /** Clamped to the INT64-micros-representable range (the table
+    * format's timestamp domain), never the wider Instant.MIN/MAX — a
+    * bound the scan layer can't convert must still stay OUTSIDE the
+    * data range. */
+  private def instantAtSecondsClamped(
+      s: java.math.BigDecimal, rm: java.math.RoundingMode): java.time.Instant = {
+    val v = s.setScale(0, rm)
+    val minS = java.math.BigDecimal.valueOf(Long.MinValue / 1000000L + 1)
+    val maxS = java.math.BigDecimal.valueOf(Long.MaxValue / 1000000L - 1)
+    java.time.Instant.ofEpochSecond(v.max(minS).min(maxS).longValue())
   }
 
   private def yearToInt(v: Any): Option[Int] = v match {
@@ -233,6 +351,30 @@ object InvertibleKeyBounds {
     * whole-number widened (FLOOR low, CEILING high: strictly outward,
     * so integral columns compare exactly and fractional ones keep a
     * superset). */
+  /** One-sided variants of [[numericBetween]] (r17, the width_bucket
+    * edge buckets): same outward widening and long-CLAMP discipline. */
+  private def numericLowBound(
+      a: AttributeReference, lo: java.math.BigDecimal): S.Filter =
+    S.GreaterThanOrEqual(a.name,
+      renderNumeric(a, lo.setScale(0, java.math.RoundingMode.FLOOR)))
+
+  private def numericHighBound(
+      a: AttributeReference, hi: java.math.BigDecimal): S.Filter =
+    S.LessThanOrEqual(a.name,
+      renderNumeric(a, hi.setScale(0, java.math.RoundingMode.CEILING)))
+
+  /** A widened decimal rendered in the column's own domain (the
+    * long-CLAMP rationale lives at [[numericBetween]]). */
+  private def renderNumeric(a: AttributeReference, v: java.math.BigDecimal): Any =
+    a.dataType match {
+      case FloatType | DoubleType => java.lang.Double.valueOf(v.doubleValue())
+      case _: DecimalType => v
+      case _ =>
+        val minL = java.math.BigDecimal.valueOf(Long.MinValue)
+        val maxL = java.math.BigDecimal.valueOf(Long.MaxValue)
+        java.lang.Long.valueOf(v.max(minL).min(maxL).longValue())
+    }
+
   private def numericBetween(
       a: AttributeReference,
       lo: java.math.BigDecimal, hi: java.math.BigDecimal): S.Filter = {
