@@ -45,6 +45,23 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructFiel
   * inverted index's behavior after a refresh cycle). */
 object StreamingLexicalIndex {
 
+  /** Outcome of one [[compact]] call (r17: the degraded no-GC path is
+    * a distinct, observable result rather than a success look-alike). */
+  sealed trait CompactResult
+  object CompactResult {
+    /** Nothing past the current watermark — no generation minted. */
+    case object NoNewBatches extends CompactResult
+    /** New generation committed (`_SUCCESS` present), covered dirs
+      * swept; reads now resolve to `watermark`. */
+    final case class Compacted(watermark: Long) extends CompactResult
+    /** The generation write left NO `_SUCCESS` marker (committer
+      * configured `marksuccessfuljobs=false`): GC skipped, reads STILL
+      * resolve to the previous watermark, the uncommitted directory is
+      * garbage the next properly-configured compact sweeps. Data-safe,
+      * but NOT a compaction — monitor this. */
+    final case class MarkerMissing(attemptedWatermark: Long) extends CompactResult
+  }
+
   /** Day-0 seeding: the existing corpus's postings as batch_seed. */
   def seed(corpusDocs: DataFrame, statePath: String): Unit =
     Retrieval.postingsOf(Retrieval.bigramToksOf(corpusDocs))
@@ -169,17 +186,23 @@ object StreamingLexicalIndex {
     * switch to the new watermark is atomic — a racing reader and a
     * mid-write crash both resolve to the previous watermark plus the
     * still-live batch dirs, never to a partial generation. Covered
-    * dirs are then deleted as garbage collection. Returns the new
-    * watermark, or None when there is nothing new to compact (no
-    * batches past the current watermark — replaying a no-op compaction
-    * must not mint a new generation). Postings rows are merged
-    * verbatim (documents are batch-unique, the ingest contract), so
-    * scoring before and after compaction is byte-identical. */
-  def compact(spark: SparkSession, statePath: String): Option[Long] = {
+    * dirs are then deleted as garbage collection. Returns
+    * [[CompactResult.Compacted]] with the new watermark,
+    * [[CompactResult.NoNewBatches]] when there is nothing new to
+    * compact (replaying a no-op compaction must not mint a new
+    * generation), or [[CompactResult.MarkerMissing]] when the write
+    * left no `_SUCCESS` marker (r17: the degraded no-GC path is now
+    * OBSERVABLE — reads still resolve to the OLD watermark, so a
+    * caller must not report the tick as compacted). Postings rows are
+    * merged verbatim (documents are batch-unique, the ingest
+    * contract), so scoring before and after compaction is
+    * byte-identical. */
+  def compact(spark: SparkSession, statePath: String): CompactResult = {
     val (watermark, live) = liveDirs(spark, statePath)
     val batchIds = live.flatMap(p =>
       scala.util.Try(p.getName.stripPrefix("batch_").toLong).toOption)
-    if (batchIds.isEmpty) return None // nothing beyond the watermark (or only seed)
+    if (batchIds.isEmpty) // nothing beyond the watermark (or only seed)
+      return CompactResult.NoNewBatches
     val newW = (batchIds ++ watermark).max
     val newGenPath = new Path(s"$statePath/compacted_upto_$newW")
     spark.read.schema(postingsSchema).parquet(live.map(_.toString): _*)
@@ -195,7 +218,17 @@ object StreamingLexicalIndex {
     // vanished — silent loss of every covered posting. Skipping GC
     // degrades that config to a no-GC compaction (the next properly
     // configured compact() sweeps the leftovers); data loss never.
-    if (!committed(f, newGenPath)) return Some(newW)
+    // r17: the degraded path returns a DISTINCT result — reads still
+    // resolve to the old watermark, and a dashboard treating this as
+    // "compacted to newW" would show success forever while the
+    // directory count grows.
+    if (!committed(f, newGenPath)) {
+      System.err.println(
+        s"[graft-slex] compact: no _SUCCESS marker at $newGenPath " +
+          "(committer configured marksuccessfuljobs=false?); GC skipped, " +
+          "reads stay on the previous watermark")
+      return CompactResult.MarkerMissing(newW)
+    }
     // GC — best-effort, reads are already on newW: sweep EVERY covered
     // dir (inputs, superseded generations, and any replayed batch a
     // prior crash left behind), never a batch past the new watermark
@@ -213,7 +246,7 @@ object StreamingLexicalIndex {
         }
       }
       .foreach(p => f.delete(p, true))
-    Some(newW)
+    CompactResult.Compacted(newW)
   }
 
   /** Score query docs (doc_id, text) against the index as of now —

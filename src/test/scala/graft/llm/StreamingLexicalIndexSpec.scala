@@ -96,7 +96,8 @@ class StreamingLexicalIndexSpec extends AnyFunSuite {
     val postingsBefore = StreamingLexicalIndex.indexPostings(spark, statePath)
       .collect().map(_.toSeq).toSet
 
-    assert(StreamingLexicalIndex.compact(spark, statePath) === Some(4L))
+    assert(StreamingLexicalIndex.compact(spark, statePath) ===
+      StreamingLexicalIndex.CompactResult.Compacted(4L))
     // consolidated: exactly one live generation, the small-files bound
     assert(dirNames === Set("compacted_upto_4"))
     assert(StreamingLexicalIndex.indexPostings(spark, statePath)
@@ -104,7 +105,8 @@ class StreamingLexicalIndexSpec extends AnyFunSuite {
     assert(StreamingLexicalIndex.scoreAgainstIndex(spark, queries, statePath)
       .collect().map(_.toSeq).toSeq === before)
     // replaying a no-op compaction mints no new generation
-    assert(StreamingLexicalIndex.compact(spark, statePath) === None)
+    assert(StreamingLexicalIndex.compact(spark, statePath) ===
+      StreamingLexicalIndex.CompactResult.NoNewBatches)
     assert(dirNames === Set("compacted_upto_4"))
 
     // crash-window safety: a covered batch dir whose GC delete never
@@ -121,10 +123,71 @@ class StreamingLexicalIndexSpec extends AnyFunSuite {
     val withNew = StreamingLexicalIndex.indexPostings(spark, statePath)
       .collect().map(_.toSeq).toSet
     assert(withNew.size > postingsBefore.size)
-    assert(StreamingLexicalIndex.compact(spark, statePath) === Some(7L))
+    assert(StreamingLexicalIndex.compact(spark, statePath) ===
+      StreamingLexicalIndex.CompactResult.Compacted(7L))
     assert(dirNames === Set("compacted_upto_7"))
     assert(StreamingLexicalIndex.indexPostings(spark, statePath)
       .collect().map(_.toSeq).toSet === withNew)
+  }
+
+  test("marker-disabled committer: compact reports MarkerMissing, no GC, " +
+    "reads stay on the old watermark, next proper compact sweeps") {
+    val statePath =
+      java.nio.file.Files.createTempDirectory("graft-slex5").toString + "/state"
+    val queries = mkDocs((100L, "spark query filter scan"))
+    StreamingLexicalIndex.seed(mkDocs(
+      (1L, "spark query plan spark query join"),
+      (2L, "filter scan shuffle filter scan")), statePath)
+    (0L to 2L).foreach { id =>
+      StreamingLexicalIndex.processBatch(
+        mkDocs((10L + id, s"spark query window sort batch$id")), id, statePath)
+    }
+    val before = StreamingLexicalIndex.indexPostings(spark, statePath)
+      .collect().map(_.toSeq).toSet
+    val scoresBefore = StreamingLexicalIndex.scoreAgainstIndex(
+      spark, queries, statePath).collect().map(_.toSeq).toSeq
+    val hc = spark.sparkContext.hadoopConfiguration
+    val key = "mapreduce.fileoutputcommitter.marksuccessfuljobs"
+    hc.set(key, "false")
+    try {
+      // degraded config: the result is DISTINCT (not a success
+      // look-alike), inputs survive, and reads resolve to the OLD
+      // watermark — identical postings, identical scores
+      assert(StreamingLexicalIndex.compact(spark, statePath) ===
+        StreamingLexicalIndex.CompactResult.MarkerMissing(2L))
+      def dirNames = {
+        import scala.jdk.CollectionConverters._
+        val s = java.nio.file.Files.list(java.nio.file.Paths.get(statePath))
+        try s.iterator().asScala.map(_.getFileName.toString)
+          .filterNot(_.startsWith(".")).toSet
+        finally s.close()
+      }
+      assert(dirNames === Set(
+        "batch_seed", "batch_0", "batch_1", "batch_2", "compacted_upto_2"))
+      assert(StreamingLexicalIndex.indexPostings(spark, statePath)
+        .collect().map(_.toSeq).toSet === before)
+      // replaying under the same config stays degraded, mints nothing new
+      assert(StreamingLexicalIndex.compact(spark, statePath) ===
+        StreamingLexicalIndex.CompactResult.MarkerMissing(2L))
+    } finally hc.set(key, "true")
+    // the next properly-configured compact commits and sweeps the
+    // leftovers, including the previously-uncommitted generation
+    assert(StreamingLexicalIndex.compact(spark, statePath) ===
+      StreamingLexicalIndex.CompactResult.Compacted(2L))
+    val s = java.nio.file.Files.list(java.nio.file.Paths.get(statePath))
+    val names = try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.map(_.getFileName.toString)
+        .filterNot(_.startsWith(".")).toSet
+    } finally s.close()
+    assert(names === Set("compacted_upto_2"))
+    assert(StreamingLexicalIndex.indexPostings(spark, statePath)
+      .collect().map(_.toSeq).toSet === before)
+    // scoring is a pure function of the postings — identical through
+    // the degraded tick and the recovery compact (tiny corpora score
+    // empty under the stopword df-cap; equality is the contract)
+    assert(StreamingLexicalIndex.scoreAgainstIndex(spark, queries, statePath)
+      .collect().map(_.toSeq).toSeq === scoresBefore)
   }
 
   test("in-stream auto-compaction keeps the directory count bounded") {
