@@ -34,5 +34,16 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // 24g default (was 8g): local[32] runs 32 executor threads in THIS
+  // heap — 8g forced continuous old-gen GC across the 118-query × 6
+  // pass bench, inflating later passes uniformly (the other half of
+  // the r14→r16 drift). The box has 128 GiB; one forked JVM at a time.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // The bench suite generates ~118 queries × whole-stage codegen — far
+  // past the JVM's default 240 MB reserved code cache. A full code
+  // cache silently stops the JIT ("CodeCache is full" once, then
+  // nothing), after which later queries run de-optimized — measured as
+  // a UNIFORM suite-wide inflation that grew round over round as
+  // queries were added (the r14→r16 bench drift).
+  "-XX:ReservedCodeCacheSize=512m",
+) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))

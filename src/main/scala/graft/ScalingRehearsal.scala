@@ -334,13 +334,23 @@ object MvTickRehearsal {
         s"FROM $cat.db.cf f LEFT JOIN $cat.db.jb d1 ON f.r1 = d1.bv " +
         s"LEFT JOIN $cat.db.jc d2 ON f.r2 = d2.cv " +
         s"GROUP BY f.k, d1.bk, d2.ck")
+      // window tier (r17): rank<=3 leaderboard — the tick recomputes
+      // only the touched partitions from the file-pruned head scan, so
+      // fixed-churn ticks must stay flat as the key count grows
+      spark.sql(s"CREATE TABLE $cat.db.ws (k BIGINT, v BIGINT)")
+      spark.sql(s"INSERT INTO $cat.db.ws SELECT id div 4, id " +
+        s"FROM range(0, $nKeys, 1, 8)")
+      spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.mv_topk AS " +
+        s"SELECT k, v, rn FROM (SELECT k, v, row_number() OVER " +
+        s"(PARTITION BY k ORDER BY v DESC) AS rn FROM $cat.db.ws) WHERE rn <= 3")
       // deployment-style maintenance: sort-compact sources and MVs so
       // per-file key ranges are tight and touched-key bounds prune
       for ((t, k) <- Seq("src" -> "k", "mv_fold" -> "k",
           "ja" -> "ak", "jb" -> "bk", "mv_rj" -> "ak",
           "jc" -> "ck", "mv_3j" -> "ak",
           "es" -> "ts", "mv_expr" -> "h",
-          "cf" -> "k", "mv_chain" -> "k")) {
+          "cf" -> "k", "mv_chain" -> "k",
+          "ws" -> "k", "mv_topk" -> "k")) {
         spark.sql(s"CALL $cat.system.rewrite_data_files(" +
           s"table => 'db.$t', target_file_count => 16, zorder => '$k')")
       }
@@ -355,6 +365,7 @@ object MvTickRehearsal {
       val j3Times = Seq.newBuilder[Double]
       val exprTimes = Seq.newBuilder[Double]
       val chainTimes = Seq.newBuilder[Double]
+      val topkTimes = Seq.newBuilder[Double]
       (0 until passes).foreach { p =>
         // FIXED churn regardless of nKeys: the first `churn` keys
         spark.sql(s"INSERT INTO $cat.db.src SELECT id, id + $p " +
@@ -374,12 +385,17 @@ object MvTickRehearsal {
         spark.sql(s"INSERT INTO $cat.db.cf SELECT id, id, id " +
           s"FROM range(0, $churn, 1, 1)")
         chainTimes += timeTick(spark)(tick("mv_chain"))
+        // window tier: churn confined to the first churn/4 partitions
+        spark.sql(s"INSERT INTO $cat.db.ws SELECT id div 4, $nKeys + id + $p " +
+          s"FROM range(0, $churn, 1, 1)")
+        topkTimes += timeTick(spark)(tick("mv_topk"))
       }
       Seq("mv_fold_tick" -> foldTimes.result(),
         "mv_join_rebuild_tick" -> rjTimes.result(),
         "mv_3table_rebuild_tick" -> j3Times.result(),
         "mv_expr_tick" -> exprTimes.result(),
-        "mv_chain_tick" -> chainTimes.result())
+        "mv_chain_tick" -> chainTimes.result(),
+        "mv_window_topk_tick" -> topkTimes.result())
     } finally {
       server.stop()
       spark.conf.unset(s"spark.sql.catalog.$cat")

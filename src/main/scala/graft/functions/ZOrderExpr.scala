@@ -101,7 +101,13 @@ object ZOrder {
         s"zorder column $c must be numeric, date, or timestamp, got ${dt.catalogString}")
       c -> (dt match {
         case DateType => col(c).cast(IntegerType).cast(DoubleType)
-        case TimestampType | TimestampNTZType =>
+        case TimestampType =>
+          // true epoch MICROS (r17): cast-to-long is epoch SECONDS,
+          // which clusters correctly but truncates sub-second order
+          org.apache.spark.sql.functions.unix_micros(col(c)).cast(DoubleType)
+        case TimestampNTZType =>
+          // epoch SECONDS — cast(ntz AS long); order-preserving, which
+          // is all the quantile cuts need (unix_micros takes TZ input)
           col(c).cast(LongType).cast(DoubleType)
         case _ => col(c).cast(DoubleType)
       })
