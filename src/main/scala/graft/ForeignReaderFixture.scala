@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Foreign-reader fixture for the DATA-FILE layer (r17): builds a real
+  * engine table (partitioned, multi-snapshot, compacted, special-char
+  * partition values, sub-second timestamps, decimals, arrays, structs,
+  * NULLs), then dumps
+  *  - `<out>/files.json` — the CURRENT snapshot's data-file paths as
+  *    the engine's own `.files` metadata table reports them, and
+  *  - `<out>/expected/` — the engine's full `SELECT *`, written as
+  *    plain Spark parquet.
+  * `tools/duckdb_datafile_check.py` then reads the listed data files
+  * with DuckDB — a genuinely independent engine — and compares the row
+  * multiset against the expected dump. This is the offline-reachable
+  * half of the standing foreign-reader item (pyiceberg/duckdb-iceberg
+  * are network-blocked; the avro manifest layer is conformance-tested
+  * against the upstream Apache Avro 1.12.1 runtime): it pins that
+  * engine data files stay readable by a second engine — partition
+  * columns, sub-second INT64-micros timestamps, decimals, nested
+  * types, NULLs, unicode partition values, post-compaction files.
+  * (DuckDB tolerates legacy INT96 too, so this check alone would not
+  * have caught the pre-r16 INT96 writes — the INT64 fix matters for
+  * parquet STATS and spec-conformant readers like pyiceberg; this
+  * check pins the value-level contract.) Append/compact tables only —
+  * MoR delete files need delete application a raw file read cannot
+  * do, so the fixture avoids row-level deletes by construction. */
+object ForeignReaderFixture {
+  def main(args: Array[String]): Unit = {
+    val outDir = args.headOption.getOrElse("/tmp/graft_foreign_reader")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // the EXPECTED dump must be int64-micros too, so both sides of
+      // the DuckDB comparison carry identical timestamp physics
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val cat = "frx"
+    val store = new graft.catalog.InMemoryCatalogStore
+    val project = java.util.UUID.randomUUID()
+    val server = new graft.server.CatalogServer(store, project).start()
+    try {
+      val whLoc = java.nio.file.Files.createTempDirectory("graft-frx")
+        .toUri.toString.stripSuffix("/")
+      store.createWarehouse(project, "wh", whLoc)
+        .fold(e => sys.error(e.message), identity)
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.engine.GraftSparkCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.uri", server.baseUri)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", "wh")
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      spark.sql(
+        s"""CREATE TABLE $cat.db.t (
+           |  id BIGINT, ts TIMESTAMP, d DATE, dec DECIMAL(12,3), s STRING,
+           |  arr ARRAY<BIGINT>, st STRUCT<x: BIGINT, y: STRING>, part STRING)
+           |PARTITIONED BY (part)""".stripMargin)
+      // snapshot 1: nulls, sub-second timestamps, negative decimals,
+      // special-char + unicode partition values
+      spark.sql(
+        s"""INSERT INTO $cat.db.t VALUES
+           |  (1, timestamp'2024-03-10 01:02:03.123456', date'2024-03-10',
+           |   12345.678, 'plain', array(1L, 2L, 3L), named_struct('x', 7L, 'y', 'a'),
+           |   'p=1/q 2'),
+           |  (2, NULL, NULL, -0.001, NULL, array(), named_struct('x', NULL, 'y', NULL),
+           |   'täble ümlaut'),
+           |  (3, timestamp'1969-12-31 23:59:59.999999', date'1969-12-31',
+           |   NULL, '', NULL, NULL, 'p=1/q 2')""".stripMargin)
+      // snapshot 2: a second file in an existing partition + a new one
+      spark.sql(
+        s"""INSERT INTO $cat.db.t VALUES
+           |  (4, timestamp'2024-03-10 01:02:03.123457', date'2024-03-11',
+           |   0.000, 'x', array(9L), named_struct('x', 1L, 'y', 'z'), 'p=1/q 2'),
+           |  (5, timestamp'2000-01-01 00:00:00', date'2000-01-01',
+           |   99.999, 'y', array(NULL), named_struct('x', 2L, 'y', ''), 'third')""".stripMargin)
+      // snapshot 3: compaction rewrites files — the rewritten files are
+      // what the foreign reader sees
+      spark.sql(s"CALL $cat.system.rewrite_data_files(" +
+        s"table => 'db.t', target_file_count => 1)")
+
+      val files = spark.sql(s"SELECT file_path FROM $cat.db.t.files")
+        .collect().map(_.getString(0)).sorted
+      require(files.nonEmpty, "fixture produced no data files")
+      val json = files.map(p => "\"" + p.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+        .mkString("[", ",", "]")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(outDir, "files.json"), json)
+      spark.sql(s"SELECT * FROM $cat.db.t")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/expected")
+      println(s"[frx] ${files.length} data files; expected dump at $outDir/expected")
+      println("[frx] DONE")
+    } finally {
+      server.stop()
+      spark.stop()
+    }
+  }
+}
