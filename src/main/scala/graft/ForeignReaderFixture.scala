@@ -94,6 +94,52 @@ object ForeignReaderFixture {
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/expected")
       println(s"[frx] ${files.length} data files; expected dump at $outDir/expected")
+
+      // ---- part 2 (r17): the MoR DELETE layer. A second table gathers
+      // position-delete files (SQL DELETE) and equality-delete files
+      // (replaceKeys — the MV/streaming maintenance writer), including
+      // a NULL-keyed equality delete (the r16 GraftScan fix) and
+      // same-commit replacement rows that the strictly-older rule must
+      // keep. The checker re-implements the spec's delete application
+      // in DuckDB SQL over the raw files.
+      spark.sql(s"CREATE TABLE $cat.db.t2 (id BIGINT, k STRING, v BIGINT)")
+      spark.sql(s"INSERT INTO $cat.db.t2 VALUES " +
+        "(1,'a',10),(2,'b',20),(3,NULL,30),(4,'d',40)")
+      spark.sql(s"INSERT INTO $cat.db.t2 VALUES " +
+        "(5,'a',50),(6,'e',60),(7,NULL,70)")
+      // MoR position deletes across both batches
+      spark.sql(s"DELETE FROM $cat.db.t2 WHERE v = 20 OR v = 60")
+      val plugin = org.apache.spark.sql.GraftShims.catalogPlugin(spark, Some(cat))
+        .asInstanceOf[graft.engine.GraftSparkCatalog]
+      val t2 = plugin.engineTable(graft.catalog.TableIdent(Seq("db"), "t2"))
+      // equality delete on k ∈ {'a', NULL} + same-commit replacement
+      // rows with the SAME keys — strictly-older scoping must keep them
+      import spark.implicits._
+      val delKeys = Seq(Option("a"), Option.empty[String]).toDF("k")
+      val repl = Seq((100L, Option("a"), 1000L), (101L, Option.empty[String], 1010L))
+        .toDF("id", "k", "v")
+      t2.replaceKeys(spark, Seq("k"), delKeys, repl,
+        t2.metadata.currentSnapshotId)
+      val byId = t2.metadata.currentSchema.fields.map(f => f.id -> f.name).toMap
+      val pf = t2.planFiles().sortBy(_.path)
+      require(pf.exists(_.isPositionDeleteFile), "fixture needs position deletes")
+      require(pf.exists(f => f.isDeleteFile && !f.isPositionDeleteFile),
+        "fixture needs equality deletes")
+      def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      val morJson = pf.map { f =>
+        val cols = f.equalityIds.flatMap(byId.get)
+          .map(c => "\"" + esc(c) + "\"").mkString("[", ",", "]")
+        s"""{"path":"${esc(f.path)}","content":"${f.content}","seq":${f.seq},"cols":$cols}"""
+      }.mkString("[", ",", "]")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir, "mor"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(outDir, "mor", "files.json"), morJson)
+      spark.sql(s"SELECT * FROM $cat.db.t2")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/mor/expected")
+      println(s"[frx] mor: ${pf.count(!_.isDeleteFile)} data + " +
+        s"${pf.count(_.isPositionDeleteFile)} pos-delete + " +
+        s"${pf.count(f => f.isDeleteFile && !f.isPositionDeleteFile)} eq-delete files")
       println("[frx] DONE")
     } finally {
       server.stop()

@@ -681,7 +681,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
   // --------------------------------------- SQL-extension entry points
   /** The engine-side table handle for extension commands (CALL
     * procedures). */
-  private[engine] def engineTable(ti: TableIdent): GraftTable =
+  private[graft] def engineTable(ti: TableIdent): GraftTable =
     new GraftTable(client, prefix, ti)
 
   /** ALTER TABLE ... ADD PARTITION FIELD: commit a new default spec =
