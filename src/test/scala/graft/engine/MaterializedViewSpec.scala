@@ -1917,6 +1917,45 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tick() === GraftMaterializedViews.NoOp)
   }
 
+  test("latest-row-per-key: the max_by AGGREGATE spelling routes to the " +
+    "rebuild tier and resurrects the runner-up too (r17)") {
+    spark.sql(s"CREATE TABLE $cat.db.lrk (k STRING, ts BIGINT, payload STRING)")
+    spark.sql(s"INSERT INTO $cat.db.lrk VALUES " +
+      "('a',1,'old-a'),('a',2,'new-a'),('b',5,'b1')")
+    val defSql =
+      s"""SELECT k, max_by(payload, ts) AS payload, max(ts) AS ts
+         |FROM $cat.db.lrk GROUP BY k""".stripMargin
+    // max_by is outside the arithmetic fold grammar but inside the
+    // rebuild grammar: recompute-on-touch, same discipline as the
+    // window spelling of the same view
+    val analyzed = spark.sessionState.executePlan(
+      spark.sessionState.sqlParser.parsePlan(defSql)).analyzed
+    assert(GraftMaterializedViews.shapeOf(spark, analyzed).isEmpty)
+    assert(GraftMaterializedViews.rebuildShapeOf(spark, analyzed).isDefined)
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.mv_lrk AS $defSql")
+    assert(spark.sql(s"SHOW TBLPROPERTIES $cat.db.mv_lrk")
+      .collect().exists(r => r.getString(0) == GraftMaterializedViews.RefreshModeProp &&
+        r.getString(1) == "incremental-rebuild"))
+    def expect = spark.sql(defSql).collect().map(_.toSeq).toSet
+    def got = spark.sql(s"SELECT k, payload, ts FROM $cat.db.mv_lrk")
+      .collect().map(_.toSeq).toSet
+    def tick() = GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_lrk"))
+    assert(got === expect)
+    assert(got.contains(Seq("a", "new-a", 2L)))
+    spark.sql(s"INSERT INTO $cat.db.lrk VALUES ('a',9,'newest-a')")
+    assert(tick() === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+    assert(got.contains(Seq("a", "newest-a", 9L)))
+    // deleting the latest row resurrects the runner-up (whole-group
+    // recompute from the head-pinned base)
+    spark.sql(s"DELETE FROM $cat.db.lrk WHERE ts = 9")
+    assert(tick() === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+    assert(got.contains(Seq("a", "new-a", 2L)))
+    assert(tick() === GraftMaterializedViews.NoOp)
+  }
+
   test("window tier boundaries: global window, mixed partition specs, and " +
     "unexposed keys keep the honest full fallback (r17)") {
     spark.sql(s"CREATE TABLE $cat.db.wb (k STRING, g STRING, v BIGINT)")
