@@ -1956,6 +1956,42 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tick() === GraftMaterializedViews.NoOp)
   }
 
+  test("window tier: the tick's source scan file-prunes to the touched " +
+    "partitions' files (r17)") {
+    spark.sql(s"CREATE TABLE $cat.db.wfp (k BIGINT, v BIGINT)")
+    // 4 disjoint-key single-file inserts: per-file k ranges are tight,
+    // so touched-key bounds can prune the listing
+    for (i <- 0 until 4) {
+      spark.sql(s"INSERT INTO $cat.db.wfp SELECT id + ${i * 10}, id + ${i * 10} " +
+        s"FROM range(0, 10, 1, 1)")
+    }
+    val defSql =
+      s"""SELECT k, v, rn FROM (
+         |  SELECT k, v, row_number() OVER (PARTITION BY k ORDER BY v DESC) AS rn
+         |  FROM $cat.db.wfp) WHERE rn <= 2""".stripMargin
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.mv_wfp AS $defSql")
+    def expect = spark.sql(defSql).collect().map(_.toSeq).toSet
+    def got = spark.sql(s"SELECT k, v, rn FROM $cat.db.mv_wfp")
+      .collect().map(_.toSeq).toSet
+    assert(got === expect)
+    // churn ONE partition key and count planned data files during the
+    // tick: the touched-key bounds must keep the churn file + the one
+    // seed file whose k range covers the key — never the full layout
+    spark.sql(s"INSERT INTO $cat.db.wfp VALUES (3, 999)")
+    GraftTable.plannedDataFiles.set(0L)
+    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_wfp")) === GraftMaterializedViews.Incremental)
+    val planned = GraftTable.plannedDataFiles.get()
+    assert(got === expect)
+    assert(got.contains(Seq(3L, 999L, 1L)) && got.contains(Seq(3L, 3L, 2L)))
+    // the tick also scans the MV's own files (for the keyed replace)
+    // and the changelog file; the SOURCE side must stay ≤ 2 of the 5 —
+    // bound the total planned count well under the full 5-file layout
+    // re-scanned at both states
+    assert(planned <= 6L,
+      s"window tick planned $planned files for a 1-key churn")
+  }
+
   test("window tier boundaries: global window, mixed partition specs, and " +
     "unexposed keys keep the honest full fallback (r17)") {
     spark.sql(s"CREATE TABLE $cat.db.wb (k STRING, g STRING, v BIGINT)")
