@@ -51,6 +51,14 @@ object GraftMaterializedViews {
   private[engine] val DegenerateSpineWidenings =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Shapes already stderr-logged for degenerate widening — the
+    * counter above stays per-occurrence (the metric), but a
+    * steady-state MV whose shape legitimately projects the spine away
+    * would otherwise repeat the same line on EVERY tick (r18: log
+    * once per shape+level per process). */
+  private val DegenerateSpineLogged =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   val MarkerProp = "graft.mv"
   val SqlProp = "graft.mv.sql"
   val DefCatProp = "graft.mv.default-catalog"
@@ -130,6 +138,11 @@ object GraftMaterializedViews {
         rebuildJoin.isDefined || rebuildMulti.isDefined || rebuildChain.isDefined ||
         rebuildExpr.isDefined || rebuildJoinExpr.isDefined) None
       else rebuildWindowShapeOf(spark, analyzed).map(_.withOutNames(fields.map(_.name)))
+    val rebuildWindowExpr =
+      if (shape.isDefined || joinShape.isDefined || rebuildShape.isDefined ||
+        rebuildJoin.isDefined || rebuildMulti.isDefined || rebuildChain.isDefined ||
+        rebuildExpr.isDefined || rebuildJoinExpr.isDefined || rebuildWindow.isDefined) None
+      else rebuildWindowExprShapeOf(spark, analyzed).map(_.withOutNames(fields.map(_.name)))
     val props = properties ++ Map(
       MarkerProp -> "true",
       SqlProp -> originalText,
@@ -144,7 +157,8 @@ object GraftMaterializedViews {
          else if (rebuildShape.isDefined || rebuildJoin.isDefined ||
            rebuildMulti.isDefined || rebuildChain.isDefined ||
            rebuildExpr.isDefined || rebuildJoinExpr.isDefined ||
-           rebuildWindow.isDefined) "incremental-rebuild"
+           rebuildWindow.isDefined || rebuildWindowExpr.isDefined)
+           "incremental-rebuild"
          else "full"))
     // PARTITIONED BY flows straight through to the backing table: the
     // fold's overwrite commits write through the table's default spec,
@@ -328,9 +342,25 @@ object GraftMaterializedViews {
                               ChangelogApply.ckptKey(rw.sourceName) -> head.toString))
                         case None => // empty source: first refresh cold-starts
                       }
-                    case None =>
-                      val df = GraftShims.ofRows(spark, analyzed)
-                      mv.overwriteAll(df.toDF(fields.map(_.name): _*), None)
+                    case None => rebuildWindowExpr match {
+                      case Some(rwe) =>
+                        // pinned cold start — the window-expr tier IS a
+                        // RebuildExprShape, same branch as the expr one
+                        val source = rwe.sourceTable(spark)
+                        source.metadata.currentSnapshotId match {
+                          case Some(head) =>
+                            mv.overwriteAll(
+                              rwe.rebuildFull(spark,
+                                source.scan(spark, source.AtSnapshot(head))),
+                              None,
+                              extraProperties = Map(
+                                ChangelogApply.ckptKey(rwe.sourceName) -> head.toString))
+                          case None => // empty source: first refresh cold-starts
+                        }
+                      case None =>
+                        val df = GraftShims.ofRows(spark, analyzed)
+                        mv.overwriteAll(df.toDF(fields.map(_.name): _*), None)
+                    }
                   }
                 }
       }
@@ -453,11 +483,20 @@ object GraftMaterializedViews {
                                   // same recompute-on-touch tick
                                   case Some(rw) => refreshRebuild(spark, mv, rw)
                                   case None =>
-                                    val df = GraftShims.ofRows(spark, analyzed)
-                                    mv.overwriteAll(df.toDF(outNames: _*),
-                                      meta.currentSnapshotId,
-                                      extraProperties = Map(RefreshModeProp -> "full"))
-                                    Full
+                                    rebuildWindowExprShapeOf(spark, analyzed)
+                                      .map(_.withOutNames(outNames)) match {
+                                      // the window-EXPR tier IS a
+                                      // RebuildExprShape: same tick
+                                      case Some(rwe) =>
+                                        refreshRebuildExpr(spark, mv, rwe)
+                                      case None =>
+                                        val df = GraftShims.ofRows(spark, analyzed)
+                                        mv.overwriteAll(df.toDF(outNames: _*),
+                                          meta.currentSnapshotId,
+                                          extraProperties =
+                                            Map(RefreshModeProp -> "full"))
+                                        Full
+                                    }
                                 }
                             }
                         }
@@ -1332,6 +1371,129 @@ object GraftMaterializedViews {
       analyzed.output.map(_.name)))
   }
 
+  /** For each output position of `p`, the RELATION-LEVEL expression it
+    * computes — every intermediate alias inlined down to the single
+    * graft relation's attributes — plus that relation. None per
+    * position for window-function outputs and anything else that does
+    * not resolve to pure relation-attribute expressions; None overall
+    * when the tree is out of grammar (joins, aggregates, non-
+    * deterministic nodes). The expression twin of [[originsOf]]: the
+    * analyzer EXTRACTS expression window keys into a computing Project
+    * below the Window (`_w0`), which the pass-through grammar cannot
+    * see through — this can. */
+  private def relationLevelOutputs(p: LogicalPlan)
+      : Option[(Seq[Option[Expression]], DataSourceV2Relation)] = strip(p) match {
+    case r: DataSourceV2Relation =>
+      Some((r.output.map(a => Some(a: Expression)), r))
+    case f: Filter if f.condition.deterministic => relationLevelOutputs(f.child)
+    case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+      relationLevelOutputs(w.child).map { case (ch, r) =>
+        (ch ++ w.windowExpressions.map(_ => None), r)
+      }
+    case pr: Project if pr.projectList.forall(_.deterministic) =>
+      relationLevelOutputs(pr.child).map { case (ch, r) =>
+        val byId = pr.child.output.map(_.exprId).zip(ch).toMap
+        val outs = pr.projectList.map { ne =>
+          val e = ne match { case Alias(e0, _) => e0; case other => other }
+          inlineToRelation(e, byId)
+        }
+        (outs, r)
+      }
+    case _ => None
+  }
+
+  /** Inline every attribute reference in `e` through `byId` (attr →
+    * its relation-level expression); None when any reference is
+    * unresolvable (e.g. a window output). */
+  private def inlineToRelation(
+      e: Expression,
+      byId: Map[org.apache.spark.sql.catalyst.expressions.ExprId, Option[Expression]])
+      : Option[Expression] = {
+    var ok = true
+    val inlined = e.transformUp {
+      case a: AttributeReference =>
+        byId.get(a.exprId).flatten match {
+          case Some(re) => re
+          case None => ok = false; a
+        }
+    }
+    if (ok) Some(inlined) else None
+  }
+
+  /** WINDOW tier, EXPRESSION partitions (r18): the same top-k /
+    * latest-row-per-key operational shape as [[rebuildWindowShapeOf]]
+    * but `PARTITION BY <deterministic expressions>` — the day-bucketed
+    * leaderboard:
+    * {{{
+    *   SELECT date_trunc('day', ts) AS day, k, v, rn FROM (
+    *     SELECT *, row_number() OVER (
+    *       PARTITION BY date_trunc('day', ts) ORDER BY v DESC) rn
+    *     FROM t) WHERE rn <= 3
+    * }}}
+    * The analyzer extracts expression keys into a computing Project
+    * below the Window (`_w0`), so the attribute tier's pass-through
+    * grammar never reaches the relation; this detector inlines the
+    * below-chain aliases to recover each partition key as a
+    * RELATION-LEVEL expression and reuses the expression-keyed rebuild
+    * machinery — [[RebuildExprShape]] with `sourceGate = true`, ticked
+    * by [[refreshRebuildExpr]]: touched tuples evaluated over the
+    * changelog's plain rows, the rebuild's window input restricted at
+    * the source to rows whose tuple is touched (EXACT: a row's
+    * partition tuple is a deterministic function of the row, so the
+    * touched partitions recompute from their complete row sets —
+    * runner-up resurrection included), the tick's scan file-pruned
+    * through [[InvertibleKeyBounds]] whenever the bucketing inverts
+    * (`date_trunc` does), and a replaceKeys commit addressed by the
+    * exposed key columns. Boundaries (→ full, honest): multiple or
+    * nested Window nodes, mixed specs across window expressions, empty
+    * partition spec, a key not exposed in the output, a key whose
+    * below-chain resolution fails. */
+  private[engine] def rebuildWindowExprShapeOf(
+      spark: SparkSession, analyzed: LogicalPlan): Option[RebuildExprShape] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    def peelToWindow(p: LogicalPlan): Option[LWindow] = strip(p) match {
+      case w: LWindow => Some(w)
+      case f: Filter if f.condition.deterministic => peelToWindow(f.child)
+      case pr: Project if pr.projectList.forall(_.deterministic) =>
+        peelToWindow(pr.child)
+      case _ => None
+    }
+    val w = peelToWindow(analyzed).getOrElse(return None)
+    if (w.child.exists(_.isInstanceOf[LWindow])) return None
+    if (!w.windowExpressions.forall(_.deterministic)) return None
+    if (!w.orderSpec.forall(_.deterministic)) return None
+    if (w.partitionSpec.isEmpty) return None // global window: full
+    if (!w.partitionSpec.forall(_.deterministic)) return None
+    val (childOuts, rel) = relationLevelOutputs(w.child).getOrElse(return None)
+    if (!(rel.identifier.isDefined &&
+        rel.catalog.exists(_.isInstanceOf[GraftSparkCatalog]))) return None
+    val byId = w.child.output.map(_.exprId).zip(childOuts).toMap
+    val groupExprs = w.partitionSpec.map(e =>
+      inlineToRelation(e, byId).getOrElse(return None))
+    if (!groupExprs.forall(_.references.subsetOf(rel.outputSet))) return None
+    // exposure: each key tuple component must be addressable in the
+    // final output (replaceKeys deletes/reinserts by those columns)
+    val (outExprs, _) = relationLevelOutputs(analyzed).getOrElse(return None)
+    val keyOutIdx = groupExprs.map { g =>
+      val i = outExprs.indexWhere(_.exists(_.semanticEquals(g)))
+      if (i < 0) return None
+      i
+    }
+    if (keyOutIdx.distinct.size != keyOutIdx.size) return None
+    val declared = analyzed.output.map(_.name)
+    val keyNames = keyOutIdx.map(declared)
+    if (keyNames.distinct.size != keyNames.size) return None
+    val ident = rel.identifier.get
+    Some(RebuildExprShape(
+      rel.catalog.get.name(),
+      TableIdent(ident.namespace().toSeq, ident.name()),
+      rel, analyzed,
+      // touched tuples evaluate over PLAIN delta rows (below-chain
+      // filters skipped — a superset of the true touched set is safe)
+      rel, groupExprs, keyNames, keyOutIdx, declared,
+      sourceGate = true))
+  }
+
   /** Analyzed plan → [[RebuildShape]], or None. Checked AFTER the
     * arithmetic fold shapes (cheaper ticks win). */
   private[engine] def rebuildShapeOf(
@@ -1695,7 +1857,13 @@ object GraftMaterializedViews {
       groupExprs: Seq[Expression],
       keyNames: Seq[String],
       keyOutIdx: Seq[Int],
-      declaredNames: Seq[String]) {
+      declaredNames: Seq[String],
+      /** r18, the WINDOW-expression tier: gate the rebuild's touched
+        * semi at the SOURCE relation instead of above an Aggregate —
+        * a row's partition tuple is a deterministic function of the
+        * row, so restricting source rows to touched tuples keeps
+        * exactly the touched window partitions' complete row sets. */
+      sourceGate: Boolean = false) {
 
     def sourceName: String =
       s"$catalogName.${sourceIdent.namespace.mkString(".")}.${sourceIdent.name}"
@@ -1738,10 +1906,21 @@ object GraftMaterializedViews {
       val cond = groupExprs.zip(touchedPlan.output)
         .map { case (g, t) => EqualNullSafe(g, t): Expression }
         .reduceLeft(And(_, _))
-      val restricted = substitute(analyzed, frame).transformUp {
-        case a: Aggregate if a.groupingExpressions == groupExprs =>
-          a.copy(child = LJoin(a.child, touchedPlan, LeftSemi, Some(cond), JoinHint.NONE))
-      }
+      val restricted =
+        if (sourceGate)
+          // window tier: semi directly above the substituted source —
+          // the group expressions reference relation attributes, which
+          // restoreAttrs re-mints on the frame, so the gate row-filters
+          // the window's input to the touched partitions exactly
+          analyzed.transformUp {
+            case r: DataSourceV2Relation if r.output == relation.output =>
+              LJoin(restoreAttrs(relation, frame), touchedPlan, LeftSemi,
+                Some(cond), JoinHint.NONE)
+          }
+        else substitute(analyzed, frame).transformUp {
+          case a: Aggregate if a.groupingExpressions == groupExprs =>
+            a.copy(child = LJoin(a.child, touchedPlan, LeftSemi, Some(cond), JoinHint.NONE))
+        }
       GraftShims.ofRows(spark, restricted).toDF(declaredNames: _*)
     }
 
@@ -2703,11 +2882,108 @@ object GraftMaterializedViews {
       * relation dedup may rewrite ids — in-plan references get
       * rewritten consistently, post-analysis `.select` on the
       * original attr objects would not. */
-    def keysOf(spark: SparkSession, frames: Seq[DataFrame]): DataFrame =
+    def keysOf(
+        spark: SparkSession, frames: Seq[DataFrame],
+        demoteFullLevel: Boolean = false): DataFrame = {
+      val sub = substitute(aggChild, frames)
       GraftShims.ofRows(spark,
         Project(groupAttrs.map(a => Alias(a, a.name)(
           exprId = org.apache.spark.sql.catalyst.expressions.NamedExpression.newExprId)),
-          substitute(aggChild, frames)))
+          if (demoteFullLevel) demoteFull(sub) else sub))
+    }
+
+    /** FULL level demoted to LEFT (r18). The affected-spine
+      * evaluations and the part-A rebuild only owe rows CONTAINING a
+      * prefix row (prefix tuples all carry a spine row — the single-
+      * FULL guard); in those plans a RESTRICTED spine would make the
+      * FULL join fabricate dim-side null-extensions en masse (every
+      * dim row whose real partners were restricted away). Demoting
+      * FULL→LEFT is exact for that row population — LEFT produces
+      * precisely the prefix-row-carrying rows of FULL — and it kills
+      * the fabrication instead of filtering it after the fact. The
+      * dim-side null-extensions are owed by [[fullDimNullExtKeys]] /
+      * the part-B rebuild, which run UNDEMOTED on unrestricted
+      * frames. */
+    private def demoteFull(p: LogicalPlan): LogicalPlan = {
+      import org.apache.spark.sql.catalyst.plans.{FullOuter, LeftOuter}
+      p.transformUp {
+        case j @ Join(_, _, FullOuter, _, _) => j.copy(joinType = LeftOuter)
+      }
+    }
+
+    /** Dim rows of the single FULL level `j` whose null-extension
+      * status may have flipped this tick: the dim's own delta plus dim
+      * rows matching (under the level's own condition) the CHANGED
+      * prefix — every changed prefix tuple carries an affected-spine
+      * row, so the affected-restricted enveloped prefix evaluation
+      * covers them all. Delta-driven on the prefix side; the dim side
+      * reads its pinned scan (the semi's probe). A superset of the
+      * true flips is safe — part B recomputes those tuples exactly. */
+    def fullDimCandidates(
+        spark: SparkSession, j: Int, envFrames: Seq[DataFrame],
+        frames: Seq[DataFrame], delta: Option[DataFrame]): DataFrame = {
+      import org.apache.spark.sql.catalyst.plans.LeftSemi
+      import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin, JoinHint}
+      val dimNames = rels(j).output.map(_.name)
+      val matchTerm = conds(j - 1) match {
+        case Some(cnd) =>
+          val semi = LJoin(restoreAttrs(rels(j), frames(j)),
+            substitute(prefixPlans(j - 1), envFrames), LeftSemi,
+            Some(cnd), JoinHint.NONE)
+          GraftShims.ofRows(spark, Project(rels(j).output.map(a =>
+            Alias(a, a.name)(exprId = org.apache.spark.sql.catalyst
+              .expressions.NamedExpression.newExprId)), semi))
+        case None =>
+          // condition-less FULL: every dim row's match set is the
+          // whole prefix — conservative, the whole dim is a candidate
+          frames(j)
+      }
+      (delta match {
+        case Some(d) => matchTerm.unionByName(d.select(dimNames.map(col): _*))
+        case None => matchTerm
+      }).distinct()
+    }
+
+    /** The candidates' TRUE key tuples: evaluate the chain with every
+      * prefix frame EMPTIED and the FULL dim replaced by the
+      * candidates — a FULL join against an empty prefix null-extends
+      * every candidate (prefix attrs NULL), and the LATER levels then
+      * apply their real join semantics, so key components on later
+      * dims come out right too (a later condition referencing the
+      * dim's columns can still match). */
+    def fullDimNullExtKeys(
+        spark: SparkSession, j: Int, frames: Seq[DataFrame],
+        candidates: DataFrame): DataFrame =
+      keysOf(spark, frames.zipWithIndex.map { case (f, i) =>
+        if (i < j) f.limit(0) else if (i == j) candidates else f
+      })
+
+    /** Gated UNRESTRICTED rebuild (r18, FULL tier part B): the
+      * defining plan at the FULL frames — no spine restriction, no
+      * envelopes; for all-prefix-keys-NULL tuples any frame surgery
+      * either fabricates or loses null-extensions — with the
+      * null-safe semi as the only gate. Full-scan compute,
+      * churn-sized aggregate state and write (the same cost class as
+      * the expr tier's opaque-key scans). */
+    def rebuildGated(
+        spark: SparkSession, touched: DataFrame,
+        frames: Seq[DataFrame]): DataFrame = {
+      import org.apache.spark.sql.catalyst.expressions.{And, EqualNullSafe}
+      import org.apache.spark.sql.catalyst.plans.LeftSemi
+      import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin, JoinHint}
+      val touchedPlan = touched.queryExecution.analyzed
+      val cond = groupAttrs.zip(touchedPlan.output)
+        .map { case (g, t) => EqualNullSafe(g, t): Expression }
+        .reduceLeft(And(_, _))
+      val restricted = substitute(analyzed, frames).transformUp {
+        case a: Aggregate if a.groupingExpressions == (groupAttrs: Seq[Expression]) =>
+          a.copy(child = LJoin(a.child, touchedPlan, LeftSemi, Some(cond), JoinHint.NONE))
+        case d: org.apache.spark.sql.catalyst.plans.logical.Distinct
+            if strip(d.child).output == groupAttrs =>
+          d.copy(child = LJoin(d.child, touchedPlan, LeftSemi, Some(cond), JoinHint.NONE))
+      }
+      GraftShims.ofRows(spark, restricted).toDF(declaredNames: _*)
+    }
 
     /** Equality pairs LEGAL for enveloping side `j` (r17 provenance
       * fix): conjuncts of join j's OWN condition — there side j is the
@@ -2866,11 +3142,16 @@ object GraftMaterializedViews {
           // this moved side's term widens to the WHOLE spine — a
           // correct superset, but the only silent full-widening in
           // the tier. Count + log it so a shape regression surfaces
-          // as a metric instead of a mystery slow tick (r17).
+          // as a metric instead of a mystery slow tick (r17). The
+          // stderr line is rate-limited to once per shape+level per
+          // process (r18) — the counter alone carries the metric.
           GraftMaterializedViews.DegenerateSpineWidenings.incrementAndGet()
-          System.err.println(
-            s"[graft-mv] affectedSpine: prefix level $prefixLevel for moved " +
-              s"side $j carries no spine column; widening to whole spine")
+          val logKey = idents.map(nameOf).mkString(",") + s"#$j"
+          if (GraftMaterializedViews.DegenerateSpineLogged.add(logKey))
+            System.err.println(
+              s"[graft-mv] affectedSpine: prefix level $prefixLevel for moved " +
+                s"side $j carries no spine column; widening to whole spine " +
+                s"(logged once per shape; see DegenerateSpineWidenings counter)")
           terms += frames(0)
         }
         else {
@@ -2914,7 +3195,15 @@ object GraftMaterializedViews {
         prunedScans.headOption.flatten)
       val finalFrames = cascadeEnvelope(
         spark, restricted0, spineNarrowed, frames, prunedScans)
-      val swapped = substitute(analyzed, finalFrames)
+      // r18: with a FULL level present this is the PART-A rebuild —
+      // tuples carrying a prefix row — so the FULL level demotes to
+      // LEFT (exact for that population; see demoteFull) and the
+      // restricted/enveloped frames stay sound by the LEFT argument
+      val swapped0 = substitute(analyzed, finalFrames)
+      val swapped =
+        if (joinTypes.contains(org.apache.spark.sql.catalyst.plans.FullOuter))
+          demoteFull(swapped0)
+        else swapped0
       val restricted = swapped.transformUp {
         case a: Aggregate if a.groupingExpressions == (groupAttrs: Seq[Expression]) =>
           a.copy(child = LJoin(a.child, touchedPlan, LeftSemi, Some(cond), JoinHint.NONE))
@@ -2938,9 +3227,10 @@ object GraftMaterializedViews {
   private def collectLeftChainInfo(p: LogicalPlan)
       : Option[(Seq[DataSourceV2Relation], Seq[LogicalPlan],
         Seq[org.apache.spark.sql.catalyst.plans.JoinType], Seq[Option[Expression]])] = {
-    import org.apache.spark.sql.catalyst.plans.LeftOuter
+    import org.apache.spark.sql.catalyst.plans.{FullOuter, LeftOuter}
     belowChain(p) match {
-      case Join(l, r, jt @ (Inner | LeftOuter), cond, _) if cond.forall(_.deterministic) =>
+      case Join(l, r, jt @ (Inner | LeftOuter | FullOuter), cond, _)
+          if cond.forall(_.deterministic) =>
         belowChain(r) match {
           case rr: DataSourceV2Relation =>
             collectLeftChainInfo(l).map { case (rels, prefixes, jts, cs) =>
@@ -2953,20 +3243,39 @@ object GraftMaterializedViews {
     }
   }
 
-  /** Join-order NORMALIZATION ahead of chain detection (r17): the same
-    * reporting chain is often spelled `dim RIGHT JOIN fact LEFT JOIN
-    * dim2`, or with a right-deep INNER subtree — both semantically a
-    * left-deep INNER/LEFT chain that would otherwise route to full
-    * recompute. Two EXACT rewrites, run to fixpoint:
+  /** Join-order NORMALIZATION ahead of chain detection (r17, widened
+    * r18): the same reporting chain is often spelled `dim RIGHT JOIN
+    * fact LEFT JOIN dim2`, with a right-deep INNER subtree, or with
+    * the INNER's leaf on the LEFT of an outer subtree — all
+    * semantically a left-deep INNER/LEFT chain that would otherwise
+    * route to full recompute. Three EXACT rewrites, run to fixpoint:
     *  - RIGHT-outer commute: `Join(l, r, RightOuter, c)` ≡
     *    `Join(r, l, LeftOuter, c)` — the output attribute SET is
     *    unchanged and everything above references by exprId, so child
     *    order is invisible; build-side hints swap with the children.
     *  - INNER left-rotation: `X ⋈ (Y ⋈ Z)` ≡ `(X ⋈ Y) ⋈ Z` with each
     *    conjunct placed at the lowest level whose inputs it references
-    *    (INNER conjuncts commute freely). GUARDED: when no conjunct
-    *    lands on (X, Y) the rotation would mint a cross join the
-    *    original plan never had — skip it, full fallback is honest.
+    *    (INNER conjuncts commute freely). GUARDED (tightened r18):
+    *    rotation requires a conjunct that LINKS X and Y — references
+    *    intersecting BOTH sides non-emptily and contained in X∪Y — or
+    *    else `Join(X, Y)` would be an effective cross product the
+    *    original plan never had (a single-sided conjunct like
+    *    `d1.active = true` is ⊆ X∪Y yet links nothing); skip it, the
+    *    commute below or the honest full fallback take over. Join
+    *    hints carry through the rotation (r18): X and the leaves Y, Z
+    *    keep their per-side hints; only the original outer hint on the
+    *    COMPOSITE (Y ⋈ Z) subtree has no exact home after it
+    *    dissolves, and is dropped.
+    *  - INNER commute (r18): `Join(l, r, Inner, c)` ≡
+    *    `Join(r, l, Inner, c)` when `r` is a LEFT-outer join subtree
+    *    and `l` is a LEAF (no join below) — `dim2 INNER (fact LEFT
+    *    dim1)` becomes `(fact LEFT dim1) INNER dim2`, one more
+    *    left-deep chain level. Leaf-only on the left (two join
+    *    subtrees would flip-flop forever) and OUTER-right only: an
+    *    INNER-right subtree either left-rotates above (when a linking
+    *    conjunct exists) or keeps the honest full fallback — commuting
+    *    it would re-anchor the chain on a dim, a shape the tier has
+    *    no rehearsal for. Hints swap with the children.
     * Outer joins are NOT rotated (they don't associate in general). */
   private[engine] def normalizeJoinOrder(p: LogicalPlan): LogicalPlan = {
     import org.apache.spark.sql.catalyst.expressions.And
@@ -2982,16 +3291,26 @@ object GraftMaterializedViews {
         case Join(l, r, RightOuter, cond, hint) =>
           changed = true
           Join(r, l, LeftOuter, cond, JoinHint(hint.rightHint, hint.leftHint))
-        case Join(x, Join(y, z, Inner, cy, _), Inner, cx, _)
-            if (cx.toSeq ++ cy.toSeq).flatMap(splitConjuncts)
-              .exists(_.references.subsetOf(x.outputSet ++ y.outputSet)) =>
+        case Join(x, Join(y, z, Inner, cy, hi), Inner, cx, ho)
+            if (cx.toSeq ++ cy.toSeq).flatMap(splitConjuncts).exists { c =>
+              c.references.subsetOf(x.outputSet ++ y.outputSet) &&
+              c.references.intersect(x.outputSet).nonEmpty &&
+              c.references.intersect(y.outputSet).nonEmpty
+            } =>
           changed = true
           val conj = (cx.toSeq ++ cy.toSeq).flatMap(splitConjuncts)
           val xy = x.outputSet ++ y.outputSet
           val (lower, upper) = conj.partition(_.references.subsetOf(xy))
           Join(
-            Join(x, y, Inner, lower.reduceOption(And(_, _)), JoinHint.NONE),
-            z, Inner, upper.reduceOption(And(_, _)), JoinHint.NONE)
+            Join(x, y, Inner, lower.reduceOption(And(_, _)),
+              JoinHint(ho.leftHint, hi.leftHint)),
+            z, Inner, upper.reduceOption(And(_, _)),
+            JoinHint(None, hi.rightHint))
+        case Join(l, r: Join, Inner, cond, hint)
+            if r.joinType == LeftOuter && !l.exists(_.isInstanceOf[Join]) &&
+              cond.forall(_.deterministic) =>
+          changed = true
+          Join(r, l, Inner, cond, JoinHint(hint.rightHint, hint.leftHint))
       }
     }
     cur
@@ -3004,13 +3323,19 @@ object GraftMaterializedViews {
     * identical — is what the shape stores and the tick re-executes. */
   private[engine] def rebuildChainShapeOf(
       spark: SparkSession, analyzed0: LogicalPlan): Option[RebuildChainShape] = {
-    import org.apache.spark.sql.catalyst.plans.LeftOuter
+    import org.apache.spark.sql.catalyst.plans.FullOuter
     val analyzed = normalizeJoinOrder(analyzed0)
     val (groupExprs, aggChild) = peelToAggregate(strip(analyzed)).getOrElse(return None)
     val (rels, prefixes, jts, conds) =
       collectLeftChainInfo(aggChild).getOrElse(return None)
     if (rels.size < 3) return None // the 2-table tier owns n = 2
-    if (!jts.contains(LeftOuter)) return None // all-inner: the subset tier owns it
+    if (jts.forall(_ == Inner)) return None // all-inner: the subset tier owns it
+    // ONE FULL level supported (r18): its dim-side null-extensions are
+    // covered by the empty-spine key derivation + the two-part rebuild
+    // below, whose soundness rests on every PREFIX tuple carrying a
+    // spine row — a second FULL level below would break exactly that.
+    // Multiple FULLs keep the honest full fallback (spec-pinned).
+    if (jts.count(_ == FullOuter) > 1) return None
     if (!rels.forall(r => r.identifier.isDefined &&
         r.catalog.exists(_.isInstanceOf[GraftSparkCatalog]))) return None
     val catNames = rels.map(_.catalog.get.name()).distinct
@@ -3111,18 +3436,69 @@ object GraftMaterializedViews {
         // affected spine's equi-column bounds (r16): matched tuples
         // and null-extensions of affected rows are unchanged, so the
         // keys are identical — and the dim scans are churn-local
-        val touched = rc.keysOf(spark, rc.cascadeEnvelope(
+        val fullRel = rc.joinTypes.indexWhere(
+          _ == org.apache.spark.sql.catalyst.plans.FullOuter) match {
+          case -1 => None
+          case i => Some(i + 1) // joinTypes(i) joins rels(i + 1)
+        }
+        val envHead = rc.cascadeEnvelope(
           spark, affected, spineNarrowed = true, headFrames,
-          prunedAt(n => ck(n)._2)))
-          .unionByName(rc.keysOf(spark, rc.cascadeEnvelope(
-            spark, affected, spineNarrowed = true, ckptFrames,
-            prunedAt(n => ck(n)._1))))
+          prunedAt(n => ck(n)._2))
+        val envCkpt = rc.cascadeEnvelope(
+          spark, affected, spineNarrowed = true, ckptFrames,
+          prunedAt(n => ck(n)._1))
+        // prefix-side keys (demoted when a FULL level exists — the
+        // dim-side null-extension keys come from the empty-spine
+        // derivation below, so the restricted evaluations never
+        // fabricate them)
+        val keysA = rc.keysOf(spark, envHead, demoteFullLevel = fullRel.isDefined)
+          .unionByName(
+            rc.keysOf(spark, envCkpt, demoteFullLevel = fullRel.isDefined))
+        val touched = fullRel.map { j =>
+          val cHead = rc.fullDimCandidates(spark, j, envHead, headFrames,
+            deltaFrames.get(j))
+          val cCkpt = rc.fullDimCandidates(spark, j, envCkpt, ckptFrames,
+            deltaFrames.get(j))
+          keysA
+            .unionByName(rc.fullDimNullExtKeys(spark, j, headFrames, cHead))
+            .unionByName(rc.fullDimNullExtKeys(spark, j, ckptFrames, cCkpt))
+        }.getOrElse(keysA)
           .distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
+          // r18, FULL level: tuples carrying a prefix-resident key
+          // value rebuild through the restricted/enveloped part-A path
+          // (FULL demoted to LEFT — exact for that population); the
+          // all-prefix-keys-NULL tuples — dim-side null-extensions and
+          // NULL-valued prefix keys — rebuild through the UNRESTRICTED
+          // gated part B, which only executes when such tuples were
+          // actually touched. No FULL level: the r17 path unchanged.
+          val rebuilt = fullRel match {
+            case None =>
+              rc.rebuild(spark, touched, headFrames, prunedAt(n => ck(n)._2))
+            case Some(j) =>
+              val prefixKeyCols = rc.groupAttrs.collect {
+                case a if (0 until j).exists(k =>
+                  rc.rels(k).outputSet.contains(a)) => a.name
+              }
+              if (prefixKeyCols.isEmpty)
+                // every key lives on the FULL dim or later: every
+                // tuple is in part B's population
+                rc.rebuildGated(spark, touched, headFrames)
+              else {
+                val touchedA = touched.filter(
+                  prefixKeyCols.map(col(_).isNotNull).reduce(_ or _))
+                val touchedB = touched.filter(
+                  prefixKeyCols.map(col(_).isNull).reduce(_ and _))
+                val partA = rc.rebuild(spark, touchedA, headFrames,
+                  prunedAt(n => ck(n)._2))
+                if (touchedB.isEmpty) partA
+                else partA.unionByName(
+                  rc.rebuildGated(spark, touchedB, headFrames))
+              }
+          }
           mv.replaceKeys(spark, rc.keyOutNames,
-            rc.touchedOut(touched),
-            rc.rebuild(spark, touched, headFrames, prunedAt(n => ck(n)._2)),
+            rc.touchedOut(touched), rebuilt,
             meta.currentSnapshotId, extraProperties = ckpts)
           Incremental
         } finally touched.unpersist(blocking = false)

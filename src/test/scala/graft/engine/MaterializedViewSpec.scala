@@ -1865,6 +1865,150 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
       "a rotation that would mint a cross join must be rejected")
   }
 
+  test("join-order normalization: INNER rotation requires a true x-to-y " +
+    "linking conjunct; a single-sided conjunct must not mint a cross join (r18)") {
+    import org.apache.spark.sql.catalyst.expressions.{And, Expression}
+    import org.apache.spark.sql.catalyst.plans.Inner
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+    spark.sql(s"CREATE TABLE $cat.db.gnf (k BIGINT, a BIGINT)")
+    spark.sql(s"CREATE TABLE $cat.db.gnd1 (id BIGINT, active BOOLEAN)")
+    spark.sql(s"CREATE TABLE $cat.db.gnd2 (k2 BIGINT, lab STRING)")
+    // the ONLY conjunct contained in x∪y = (f, d1) is the single-sided
+    // `d1.active = true` — r17's subset-only guard rotated this into
+    // Join(f, d1, cond = d1.active) — an effective f×σ(d1) cross
+    // product the original plan never had, stored as the MV's
+    // permanent execution plan. The r18 guard requires a conjunct
+    // referencing BOTH sides; none exists, so no rotation.
+    val defSql =
+      s"""SELECT f.k AS k, count(*) AS n
+         |FROM $cat.db.gnf f
+         |JOIN ($cat.db.gnd1 d1 JOIN $cat.db.gnd2 d2 ON d1.id = d2.k2)
+         |  ON f.a = d2.k2 AND d1.active = true
+         |GROUP BY f.k""".stripMargin
+    val analyzed = spark.sessionState.executePlan(
+      spark.sessionState.sqlParser.parsePlan(defSql)).analyzed
+    val normalized = GraftMaterializedViews.normalizeJoinOrder(analyzed)
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def effectiveCrossJoins(p: LogicalPlan): Seq[Join] = p.collect {
+      case j @ Join(l, r, Inner, cond, _)
+          if !cond.toSeq.flatMap(conjuncts).exists(c =>
+            c.references.intersect(l.outputSet).nonEmpty &&
+            c.references.intersect(r.outputSet).nonEmpty) => j
+    }
+    assert(effectiveCrossJoins(analyzed).isEmpty, "sanity: original has no cross join")
+    assert(effectiveCrossJoins(normalized).isEmpty,
+      "normalization must never mint an effective cross join (r18 guard)")
+  }
+
+  test("join-order normalization: join hints survive the INNER left-rotation " +
+    "onto the rotated sides (r18)") {
+    import org.apache.spark.sql.catalyst.expressions.EqualTo
+    import org.apache.spark.sql.catalyst.plans.Inner
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, HintInfo, Join, JoinHint, NO_BROADCAST_HASH}
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+    spark.sql(s"CREATE TABLE $cat.db.hnf (k BIGINT, a BIGINT)")
+    spark.sql(s"CREATE TABLE $cat.db.hnd1 (id BIGINT, lab1 STRING)")
+    spark.sql(s"CREATE TABLE $cat.db.hnd2 (id2 BIGINT, lab2 STRING)")
+    def rel(name: String): DataSourceV2Relation =
+      spark.table(s"$cat.db.$name").queryExecution.analyzed.collectFirst {
+        case r: DataSourceV2Relation => r
+      }.get
+    val (f, d1, d2) = (rel("hnf"), rel("hnd1"), rel("hnd2"))
+    def attr(r: DataSourceV2Relation, n: String) =
+      r.output.find(_.name == n).get
+    val bcast = HintInfo(strategy = Some(BROADCAST))
+    val noBc = HintInfo(strategy = Some(NO_BROADCAST_HASH))
+    // f ⋈ (d1 ⋈ d2): user broadcast-hinted BOTH dims (the common
+    // spelling), and no-broadcast-hinted the fact
+    val rightDeep = Join(
+      f,
+      Join(d1, d2, Inner, Some(EqualTo(attr(d1, "id"), attr(d2, "id2"))),
+        JoinHint(Some(bcast), Some(bcast))),
+      Inner, Some(EqualTo(attr(f, "a"), attr(d1, "id"))),
+      JoinHint(Some(noBc), None))
+    val normalized = GraftMaterializedViews.normalizeJoinOrder(rightDeep)
+    normalized match {
+      case Join(Join(`f`, `d1`, Inner, _, innerHint), `d2`, Inner, _, outerHint) =>
+        assert(innerHint.leftHint.contains(noBc), "fact keeps its hint")
+        assert(innerHint.rightHint.contains(bcast),
+          "the broadcast hint on the rotated dim d1 must survive (r18)")
+        assert(outerHint.rightHint.contains(bcast),
+          "the broadcast hint on dim d2 must survive (r18)")
+      case other => fail(s"expected left-deep rotation, got:\n$other")
+    }
+  }
+
+  test("bushy commute: dim INNER (fact LEFT dim1) routes to the chain tier " +
+    "and matches the left-deep spelling; OUTER-top stays full (r18)") {
+    spark.sql(s"CREATE TABLE $cat.db.bcf (k BIGINT, a BIGINT, b BIGINT)")
+    spark.sql(s"CREATE TABLE $cat.db.bcd1 (id BIGINT, lab1 STRING)")
+    spark.sql(s"CREATE TABLE $cat.db.bcd2 (id2 BIGINT, lab2 STRING)")
+    spark.sql(s"INSERT INTO $cat.db.bcf VALUES (1,10,100),(2,10,200),(3,30,100)")
+    spark.sql(s"INSERT INTO $cat.db.bcd1 VALUES (10,'a'),(20,'b')")
+    spark.sql(s"INSERT INTO $cat.db.bcd2 VALUES (100,'p'),(200,'q')")
+    // the INNER dim spelled on the LEFT of the outer subtree — INNER
+    // commutes freely, so this is exactly `(fact LEFT dim1) INNER
+    // dim2` and must normalize into the chain tier
+    val bushySql =
+      s"""SELECT f.k AS k, d1.lab1 AS lab1, d2.lab2 AS lab2, count(*) AS n
+         |FROM $cat.db.bcd2 d2
+         |JOIN ($cat.db.bcf f LEFT JOIN $cat.db.bcd1 d1 ON f.a = d1.id)
+         |  ON f.b = d2.id2
+         |GROUP BY f.k, d1.lab1, d2.lab2""".stripMargin
+    val leftDeepSql =
+      s"""SELECT f.k AS k, d1.lab1 AS lab1, d2.lab2 AS lab2, count(*) AS n
+         |FROM $cat.db.bcf f
+         |LEFT JOIN $cat.db.bcd1 d1 ON f.a = d1.id
+         |JOIN $cat.db.bcd2 d2 ON f.b = d2.id2
+         |GROUP BY f.k, d1.lab1, d2.lab2""".stripMargin
+    def shapeOf(sql: String) = GraftMaterializedViews.rebuildChainShapeOf(spark,
+      spark.sessionState.executePlan(
+        spark.sessionState.sqlParser.parsePlan(sql)).analyzed)
+    val bushy = shapeOf(bushySql)
+      .getOrElse(fail("bushy INNER/LEFT spelling must commute into the chain tier"))
+    val leftDeep = shapeOf(leftDeepSql)
+      .getOrElse(fail("sanity: the left-deep spelling is a chain"))
+    assert(bushy.idents.map(_.name) === leftDeep.idents.map(_.name),
+      "both spellings must normalize to the SAME chain (fact spine first)")
+    assert(bushy.idents.map(_.name) === Seq("bcf", "bcd1", "bcd2"))
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.mv_bc AS $bushySql")
+    assert(spark.sql(s"SHOW TBLPROPERTIES $cat.db.mv_bc")
+      .collect().exists(r => r.getString(0) == GraftMaterializedViews.RefreshModeProp &&
+        r.getString(1) == "incremental-rebuild"),
+      "bushy spelling must register as incremental-rebuild")
+    def expect = spark.sql(bushySql).collect().map(_.toSeq).toSet
+    def got = spark.sql(s"SELECT k, lab1, lab2, n FROM $cat.db.mv_bc")
+      .collect().map(_.toSeq).toSet
+    def tick() = GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_bc"))
+    assert(got === expect)
+    assert(got.contains(Seq(3L, null, "p", 1L)), "null-extension through the commute")
+    // churn on every side: fact insert (dangling d1 ref), dim flip
+    spark.sql(s"INSERT INTO $cat.db.bcf VALUES (4, 99, 200)")
+    assert(tick() === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+    assert(got.contains(Seq(4L, null, "q", 1L)))
+    spark.sql(s"INSERT INTO $cat.db.bcd1 VALUES (99, 'z')")
+    spark.sql(s"UPDATE $cat.db.bcd2 SET lab2 = 'Q' WHERE id2 = 200")
+    assert(tick() === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+    assert(got.contains(Seq(4L, "z", "Q", 1L)))
+    assert(tick() === GraftMaterializedViews.NoOp)
+    // NEGATIVE: an OUTER top join does not commute (it is not
+    // symmetric) — `d2 LEFT (f LEFT d1)` keeps the honest fallback
+    val outerTopSql =
+      s"""SELECT f.k AS k, count(*) AS n
+         |FROM $cat.db.bcd2 d2
+         |LEFT JOIN ($cat.db.bcf f LEFT JOIN $cat.db.bcd1 d1 ON f.a = d1.id)
+         |  ON f.b = d2.id2
+         |GROUP BY f.k""".stripMargin
+    assert(shapeOf(outerTopSql).isEmpty,
+      "a LEFT-outer top join must not commute into the chain tier")
+  }
+
   test("window tier: a rank<=k MV refreshes incrementally with runner-up " +
     "resurrection (r17)") {
     spark.sql(s"CREATE TABLE $cat.db.lb (k STRING, player STRING, score BIGINT)")
@@ -1992,6 +2136,90 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"window tick planned $planned files for a 1-key churn")
   }
 
+  test("window-EXPR tier: a day-bucketed top-k MV refreshes incrementally " +
+    "with resurrection and a file-pruned tick (r18)") {
+    spark.sql(s"CREATE TABLE $cat.db.wet (ts TIMESTAMP, player STRING, score BIGINT)")
+    // SIX single-file day batches with tight per-file ts ranges, so the
+    // inverse-bounds registry can prune the tick's listing by day — a
+    // layout large enough that an unpruned tick is clearly
+    // distinguishable from a pruned one in the planned-file count
+    spark.sql(s"INSERT INTO $cat.db.wet VALUES " +
+      "(timestamp'2024-05-01 08:00:00','p1',100)," +
+      "(timestamp'2024-05-01 09:00:00','p2',90)," +
+      "(timestamp'2024-05-01 10:00:00','p3',80)")
+    spark.sql(s"INSERT INTO $cat.db.wet VALUES " +
+      "(timestamp'2024-05-02 08:00:00','q1',50)," +
+      "(timestamp'2024-05-02 09:00:00','q2',40)," +
+      "(timestamp'2024-05-02 10:00:00','q3',30)")
+    for (d <- 3 to 6) {
+      spark.sql(s"INSERT INTO $cat.db.wet VALUES " +
+        s"(timestamp'2024-05-0$d 08:00:00','r$d',10)")
+    }
+    val defSql =
+      s"""SELECT date_trunc('day', ts) AS day, player, score, rn FROM (
+         |  SELECT ts, player, score, row_number() OVER (
+         |    PARTITION BY date_trunc('day', ts)
+         |    ORDER BY score DESC, player) AS rn
+         |  FROM $cat.db.wet) WHERE rn <= 2""".stripMargin
+    val analyzed = spark.sessionState.executePlan(
+      spark.sessionState.sqlParser.parsePlan(defSql)).analyzed
+    assert(GraftMaterializedViews.rebuildWindowShapeOf(spark, analyzed).isEmpty,
+      "the attribute window tier must NOT claim expression partitions")
+    val rwe = GraftMaterializedViews.rebuildWindowExprShapeOf(spark, analyzed)
+      .getOrElse(fail("expression window partitions must match the window-expr tier"))
+    assert(rwe.sourceGate, "the window-expr shape gates at the source")
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.mv_wet AS $defSql")
+    assert(spark.sql(s"SHOW TBLPROPERTIES $cat.db.mv_wet")
+      .collect().exists(r => r.getString(0) == GraftMaterializedViews.RefreshModeProp &&
+        r.getString(1) == "incremental-rebuild"),
+      "day-bucketed top-k must register as incremental-rebuild")
+    def expect = spark.sql(defSql).collect().map(_.toSeq).toSet
+    def got = spark.sql(s"SELECT day, player, score, rn FROM $cat.db.mv_wet")
+      .collect().map(_.toSeq).toSet
+    def tick() = GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_wet"))
+    assert(got === expect)
+    // churn ONE day: a new leader enters day 2 — with the tick's scan
+    // counted, only day 2's files (plus the churn file) may be read
+    spark.sql(s"INSERT INTO $cat.db.wet VALUES " +
+      "(timestamp'2024-05-02 11:00:00','q9',99)")
+    GraftTable.plannedDataFiles.set(0L)
+    assert(tick() === GraftMaterializedViews.Incremental)
+    val planned = GraftTable.plannedDataFiles.get()
+    assert(got === expect)
+    assert(got.exists(r => r(1) == "q9" && r(3) == 1L), "new day-2 leader")
+    assert(got.exists(r => r(1) == "q1" && r(3) == 2L), "q1 demoted to rank 2")
+    assert(got.exists(r => r(1) == "p1"), "day 1 untouched")
+    // the source side must prune to day 2's two files: the tick plans
+    // the changelog file, the pruned source (2 of 7 source files), and
+    // the MV's own files for the keyed replace (which grow with the
+    // MV's shuffle-partition layout, hence the slack) — an UNPRUNED
+    // source would add 5 more files per source planning event and
+    // blow through the bound.
+    assert(planned <= 10L,
+      s"window-expr tick planned $planned files for a 1-day churn " +
+        "(unpruned source would exceed this)")
+    // and pin the pruning MECHANISM itself: the day bucket inverts to
+    // a closed source-column bound through the registry
+    import spark.implicits._
+    val touchedDf = Seq(java.sql.Timestamp.valueOf("2024-05-02 00:00:00"))
+      .toDF(rwe.keyNames.head)
+    GraftMaterializedViews.invertedTouchedFilters(
+      touchedDf, rwe.groupExprs.zip(rwe.keyNames)) match {
+      case Right(fs) => assert(fs.nonEmpty,
+        "date_trunc('day', ts) must invert to a ts file-prune bound")
+      case other => fail(s"expected invertible bounds, got $other")
+    }
+    // resurrection: deleting day-2's rank-1 row must bring q1 back to
+    // rank 1 and q2 back into the top 2
+    spark.sql(s"DELETE FROM $cat.db.wet WHERE player = 'q9'")
+    assert(tick() === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+    assert(got.exists(r => r(1) == "q1" && r(3) == 1L), "runner-up resurrected")
+    assert(got.exists(r => r(1) == "q2" && r(3) == 2L))
+    assert(tick() === GraftMaterializedViews.NoOp)
+  }
+
   test("window tier boundaries: global window, mixed partition specs, and " +
     "unexposed keys keep the honest full fallback (r17)") {
     spark.sql(s"CREATE TABLE $cat.db.wb (k STRING, g STRING, v BIGINT)")
@@ -1999,7 +2227,12 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
     def shapeOfSql(sql: String) = {
       val analyzed = spark.sessionState.executePlan(
         spark.sessionState.sqlParser.parsePlan(sql)).analyzed
+      // r18: neither the attribute tier nor the expression tier may
+      // claim these shapes — represent "claimed" as either matching
       GraftMaterializedViews.rebuildWindowShapeOf(spark, analyzed)
+        .map(_ => ()).orElse(
+          GraftMaterializedViews.rebuildWindowExprShapeOf(spark, analyzed)
+            .map(_ => ()))
     }
     // global window (empty partition): every row's rank depends on
     // ALL rows — recompute-on-touch would be wrong, must not match
@@ -2023,13 +2256,22 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
          |  SELECT v, row_number() OVER (PARTITION BY k ORDER BY v) AS rn
          |  FROM $cat.db.wb) WHERE rn <= 1""".stripMargin).isEmpty,
       "unexposed partition key must not match")
-    // expression partition keys: no stored column carries them — must
-    // not match (the expr tier handles aggregates; windows stay full)
+    // expression partition key NOT exposed in the output: nothing to
+    // address the keyed replacement by — neither window tier may match
+    // (the EXPOSED spelling routes to the window-expr tier since r18)
     assert(shapeOfSql(
       s"""SELECT k, v, rn FROM (
          |  SELECT k, v, row_number() OVER (PARTITION BY substr(k, 1, 1)
          |    ORDER BY v) AS rn FROM $cat.db.wb) WHERE rn <= 1""".stripMargin).isEmpty,
-      "expression partition keys must not match")
+      "unexposed expression partition keys must not match")
+    // …and the exposed spelling DOES match the window-expr tier
+    assert(GraftMaterializedViews.rebuildWindowExprShapeOf(spark,
+      spark.sessionState.executePlan(spark.sessionState.sqlParser.parsePlan(
+        s"""SELECT substr(k, 1, 1) AS pfx, k, v, rn FROM (
+           |  SELECT k, v, row_number() OVER (PARTITION BY substr(k, 1, 1)
+           |    ORDER BY v) AS rn FROM $cat.db.wb) WHERE rn <= 1""".stripMargin))
+        .analyzed).isDefined,
+      "an exposed expression partition key routes to the window-expr tier (r18)")
     // and the CREATE path agrees: a global-window MV registers full
     // but still answers correctly through overwrite refreshes
     val globalSql =
@@ -2048,16 +2290,17 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.sql(globalSql).collect().map(_.toSeq).toSet)
   }
 
-  test("chain tier boundary: a FULL-outer level keeps the honest full " +
-    "fallback, and stays correct through it (r17)") {
-    // WHY full: the chain tick's spine-cover argument relies on an
-    // always-preserved spine — every output tuple carries exactly one
-    // spine row, so touched keys are derivable from affected spine
-    // rows. A FULL level breaks that: the dim side's null-extensions
-    // (dim rows with NO fact match) are output tuples that carry NO
-    // spine row, so a dim-side delta can create/destroy groups the
-    // spine cover never sees. Until the cover carries per-level
-    // dim-side null-extension terms, FULL routes to full recompute.
+  test("chain tier: a FULL-outer level refreshes INCREMENTALLY through " +
+    "matched/null-extension flips on BOTH sides (r18); two FULLs stay full") {
+    // r17 pinned this as the honest full fallback — the dim side's
+    // null-extensions (dim rows with NO fact match) are output tuples
+    // carrying NO spine row, outside the spine cover. r18 closes it:
+    // dim-side flip candidates (Δdim ∪ dim ⋉ changed-prefix) feed an
+    // EMPTY-SPINE key derivation, and the rebuild splits into the
+    // restricted part A (tuples carrying a prefix key; FULL demoted to
+    // LEFT — exact for that population) and the unrestricted gated
+    // part B (all-prefix-keys-NULL tuples), which runs only when such
+    // tuples were touched.
     spark.sql(s"CREATE TABLE $cat.db.fof (k BIGINT, r1 BIGINT, r2 BIGINT)")
     spark.sql(s"CREATE TABLE $cat.db.fod1 (id BIGINT, lab1 STRING)")
     spark.sql(s"CREATE TABLE $cat.db.fod2 (id BIGINT, lab2 STRING)")
@@ -2072,25 +2315,65 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
          |GROUP BY f.k, d1.lab1, d2.lab2""".stripMargin
     val analyzed = spark.sessionState.executePlan(
       spark.sessionState.sqlParser.parsePlan(defSql)).analyzed
-    assert(GraftMaterializedViews.rebuildChainShapeOf(spark, analyzed).isEmpty,
-      "FULL-outer level must NOT match the chain shape (spine-cover unsound)")
+    assert(GraftMaterializedViews.rebuildChainShapeOf(spark, analyzed).isDefined,
+      "a single FULL level must route to the chain tier (r18)")
     spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.mv_foc AS $defSql")
     assert(spark.sql(s"SHOW TBLPROPERTIES $cat.db.mv_foc")
       .collect().exists(r => r.getString(0) == GraftMaterializedViews.RefreshModeProp &&
-        r.getString(1) == "full"))
+        r.getString(1) == "incremental-rebuild"))
     def expect = spark.sql(defSql).collect().map(_.toSeq).toSet
     def got = spark.sql(s"SELECT k, lab1, lab2, n FROM $cat.db.mv_foc")
       .collect().map(_.toSeq).toSet
+    def tick() = GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_foc"))
     assert(got === expect)
-    // the dim-side null-extension group the spine cover can't see
+    // the dim-side null-extension group the old spine cover couldn't see
     assert(got.contains(Seq(null, "orphan", null, 1L)))
-    // a dim-only delta that creates ANOTHER spineless group — the full
-    // recompute keeps the answers right
+    // (1) dim-only delta CREATING a spineless group
     spark.sql(s"INSERT INTO $cat.db.fod1 VALUES (98,'orphan2')")
-    assert(GraftMaterializedViews.refresh(spark, graftCatalog,
-      TableIdent(Seq("db"), "mv_foc")) === GraftMaterializedViews.Full)
+    assert(tick() === GraftMaterializedViews.Incremental)
     assert(got === expect)
     assert(got.contains(Seq(null, "orphan2", null, 1L)))
+    // (2) dim→matched flip: a FACT insert captures the orphan — its
+    // null-extension group must drop and the matched group appear
+    spark.sql(s"INSERT INTO $cat.db.fof VALUES (7, 99, 100)")
+    assert(tick() === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+    assert(!got.contains(Seq(null, "orphan", null, 1L)),
+      "captured orphan's null-extension must vanish")
+    assert(got.contains(Seq(7L, "orphan", "p", 1L)))
+    // (3) matched→null flip on the DIM side: deleting that fact row
+    // resurrects the orphan's null-extension
+    spark.sql(s"DELETE FROM $cat.db.fof WHERE k = 7")
+    assert(tick() === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+    assert(got.contains(Seq(null, "orphan", null, 1L)),
+      "orphan's null-extension must resurrect")
+    // (4) matched→null flip on the FACT side: deleting the dim row the
+    // fact matches null-extends the FACT row (prefix-preserved side)
+    spark.sql(s"DELETE FROM $cat.db.fod1 WHERE id = 10")
+    assert(tick() === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+    assert(got.contains(Seq(1L, null, "p", 1L)),
+      "fact row must null-extend after losing its dim match")
+    // (5) fact-side resurrection: re-inserting the dim row re-matches
+    spark.sql(s"INSERT INTO $cat.db.fod1 VALUES (10,'a2')")
+    assert(tick() === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+    assert(got.contains(Seq(1L, "a2", "p", 1L)))
+    assert(tick() === GraftMaterializedViews.NoOp)
+    // TWO FULL levels: the single-FULL soundness argument (every
+    // prefix tuple carries a spine row) breaks — honest full fallback
+    val twoFullSql =
+      s"""SELECT f.k AS k, d1.lab1 AS lab1, d2.lab2 AS lab2, count(*) AS n
+         |FROM $cat.db.fof f
+         |FULL JOIN $cat.db.fod1 d1 ON f.r1 = d1.id
+         |FULL JOIN $cat.db.fod2 d2 ON f.r2 = d2.id
+         |GROUP BY f.k, d1.lab1, d2.lab2""".stripMargin
+    assert(GraftMaterializedViews.rebuildChainShapeOf(spark,
+      spark.sessionState.executePlan(
+        spark.sessionState.sqlParser.parsePlan(twoFullSql)).analyzed).isEmpty,
+      "two FULL levels must keep the honest full fallback")
   }
 
   test("affectedSpine degenerate widening: CONSTRUCTIBLE via a pass-through " +
