@@ -48,7 +48,7 @@ object ForeignReaderFixture {
     try {
       val whLoc = java.nio.file.Files.createTempDirectory("graft-frx")
         .toUri.toString.stripSuffix("/")
-      store.createWarehouse(project, "wh", whLoc)
+      val wh = store.createWarehouse(project, "wh", whLoc)
         .fold(e => sys.error(e.message), identity)
       spark.conf.set(s"spark.sql.catalog.$cat",
         classOf[graft.engine.GraftSparkCatalog].getName)
@@ -140,6 +140,45 @@ object ForeignReaderFixture {
       println(s"[frx] mor: ${pf.count(!_.isDeleteFile)} data + " +
         s"${pf.count(_.isPositionDeleteFile)} pos-delete + " +
         s"${pf.count(f => f.isDeleteFile && !f.isPositionDeleteFile)} eq-delete files")
+
+      // ---- part 3 (r18): the AVRO METADATA layer. Dump each table's
+      // catalog metadata location plus the ENGINE's per-file claims
+      // (path, content, data sequence number, record count, partition
+      // tuple, equality ids, schema field ids) so
+      // tools/avro_walk_check.py — a dependency-free from-the-spec
+      // decoder of the avro object-container format — can walk
+      // metadata.json → manifest-list → manifests INDEPENDENTLY and
+      // cross-check the walk against both the engine's claims and
+      // DuckDB-computed file truths.
+      def metaLoc(name: String): String =
+        store.loadTable(wh.id, graft.catalog.TableIdent(Seq("db"), name))
+          .fold(e => sys.error(e.message), _.metadataLocation
+            .getOrElse(sys.error(s"$name has no metadata location")))
+      def tbl(name: String): graft.engine.GraftTable =
+        plugin.engineTable(graft.catalog.TableIdent(Seq("db"), name))
+      def fileJson(f: graft.engine.Manifests.DataFile): String = {
+        val part = f.partition.toSeq.sortBy(_._1)
+          .map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
+          .mkString("{", ",", "}")
+        s"""{"path":"${esc(f.path)}","content":"${f.content}","seq":${f.seq},""" +
+          s""""record_count":${f.recordCount},"partition":$part,""" +
+          s""""equality_ids":${f.equalityIds.mkString("[", ",", "]")}}"""
+      }
+      def tableJson(name: String): String = {
+        val t = tbl(name)
+        val fields = t.metadata.currentSchema.fields
+          .map(f => "\"" + esc(f.name) + "\":" + f.id).mkString("{", ",", "}")
+        val snap = t.metadata.currentSnapshotId
+          .getOrElse(sys.error(s"$name has no snapshot"))
+        s""""$name":{"metadata_location":"${esc(metaLoc(name))}",""" +
+          s""""current_snapshot_id":$snap,"field_ids":$fields,""" +
+          s""""files":${t.planFiles().sortBy(_.path).map(fileJson)
+            .mkString("[", ",", "]")}}"""
+      }
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(outDir, "walk.json"),
+        s"{${tableJson("t")},${tableJson("t2")}}")
+      println(s"[frx] walk: metadata locations + engine file claims at $outDir/walk.json")
       println("[frx] DONE")
     } finally {
       server.stop()
