@@ -343,6 +343,29 @@ object MvTickRehearsal {
       spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.mv_topk AS " +
         s"SELECT k, v, rn FROM (SELECT k, v, row_number() OVER " +
         s"(PARTITION BY k ORDER BY v DESC) AS rn FROM $cat.db.ws) WHERE rn <= 3")
+      // window-EXPR tier (r18): hour-bucketed top-k — the tick's scan
+      // file-prunes through the inverse-bounds registry on the bucket
+      // expression, so fixed-churn ticks must stay flat as hours grow
+      spark.sql(s"CREATE TABLE $cat.db.wes (ts TIMESTAMP, v BIGINT)")
+      spark.sql(s"INSERT INTO $cat.db.wes " +
+        s"SELECT timestamp'2020-01-01 00:00:00' + make_interval(0,0,0,0,0,id,0), id " +
+        s"FROM range(0, $nKeys, 1, 8)")
+      spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.mv_wexpr AS " +
+        s"SELECT date_trunc('HOUR', ts) AS h, v, rn FROM (" +
+        s"SELECT ts, v, row_number() OVER (PARTITION BY date_trunc('HOUR', ts) " +
+        s"ORDER BY v DESC) AS rn FROM $cat.db.wes) WHERE rn <= 3")
+      // FULL-chain tier (r18): fact FULL dim LEFT dim2 — part A stays
+      // churn-restricted; part B (the dim-side null-extension tuples)
+      // pays ONE unrestricted gated plan evaluation whenever flips are
+      // touched, with churn-sized write. Expect the tick to scale with
+      // the table (documented cost model), NOT with the MV rewrite.
+      spark.sql(s"CREATE TABLE $cat.db.ff (k BIGINT, r1 BIGINT, r2 BIGINT)")
+      spark.sql(s"INSERT INTO $cat.db.ff SELECT id, id, id FROM range(0, $nKeys, 1, 8)")
+      spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.mv_fullchain AS " +
+        s"SELECT f.k AS k, d1.bk AS bk, d2.ck AS ck, count(*) AS n " +
+        s"FROM $cat.db.ff f FULL JOIN $cat.db.jb d1 ON f.r1 = d1.bv " +
+        s"LEFT JOIN $cat.db.jc d2 ON f.r2 = d2.cv " +
+        s"GROUP BY f.k, d1.bk, d2.ck")
       // deployment-style maintenance: sort-compact sources and MVs so
       // per-file key ranges are tight and touched-key bounds prune
       for ((t, k) <- Seq("src" -> "k", "mv_fold" -> "k",
@@ -350,7 +373,9 @@ object MvTickRehearsal {
           "jc" -> "ck", "mv_3j" -> "ak",
           "es" -> "ts", "mv_expr" -> "h",
           "cf" -> "k", "mv_chain" -> "k",
-          "ws" -> "k", "mv_topk" -> "k")) {
+          "ws" -> "k", "mv_topk" -> "k",
+          "wes" -> "ts", "mv_wexpr" -> "h",
+          "ff" -> "k", "mv_fullchain" -> "k")) {
         spark.sql(s"CALL $cat.system.rewrite_data_files(" +
           s"table => 'db.$t', target_file_count => 16, zorder => '$k')")
       }
@@ -366,6 +391,8 @@ object MvTickRehearsal {
       val exprTimes = Seq.newBuilder[Double]
       val chainTimes = Seq.newBuilder[Double]
       val topkTimes = Seq.newBuilder[Double]
+      val wexprTimes = Seq.newBuilder[Double]
+      val fullTimes = Seq.newBuilder[Double]
       (0 until passes).foreach { p =>
         // FIXED churn regardless of nKeys: the first `churn` keys
         spark.sql(s"INSERT INTO $cat.db.src SELECT id, id + $p " +
@@ -389,13 +416,26 @@ object MvTickRehearsal {
         spark.sql(s"INSERT INTO $cat.db.ws SELECT id div 4, $nKeys + id + $p " +
           s"FROM range(0, $churn, 1, 1)")
         topkTimes += timeTick(spark)(tick("mv_topk"))
+        // window-EXPR tier: churn confined to the first churn minutes
+        // (= first churn/60 hour buckets)
+        spark.sql(s"INSERT INTO $cat.db.wes " +
+          s"SELECT timestamp'2020-01-01 00:00:00' + make_interval(0,0,0,0,0,id,0), " +
+          s"$nKeys + id + $p FROM range(0, $churn, 1, 1)")
+        wexprTimes += timeTick(spark)(tick("mv_wexpr"))
+        // FULL chain: fact churn on the first `churn` keys — the
+        // matching dim rows become flip candidates, so part B executes
+        spark.sql(s"INSERT INTO $cat.db.ff SELECT id, id, id " +
+          s"FROM range(0, $churn, 1, 1)")
+        fullTimes += timeTick(spark)(tick("mv_fullchain"))
       }
       Seq("mv_fold_tick" -> foldTimes.result(),
         "mv_join_rebuild_tick" -> rjTimes.result(),
         "mv_3table_rebuild_tick" -> j3Times.result(),
         "mv_expr_tick" -> exprTimes.result(),
         "mv_chain_tick" -> chainTimes.result(),
-        "mv_window_topk_tick" -> topkTimes.result())
+        "mv_window_topk_tick" -> topkTimes.result(),
+        "mv_window_expr_tick" -> wexprTimes.result(),
+        "mv_full_chain_tick" -> fullTimes.result())
     } finally {
       server.stop()
       spark.conf.unset(s"spark.sql.catalog.$cat")

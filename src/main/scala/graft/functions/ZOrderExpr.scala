@@ -103,7 +103,13 @@ object ZOrder {
         case DateType => col(c).cast(IntegerType).cast(DoubleType)
         case TimestampType =>
           // true epoch MICROS (r17): cast-to-long is epoch SECONDS,
-          // which clusters correctly but truncates sub-second order
+          // which clusters correctly but truncates sub-second order.
+          // Precision boundary: the immediate cast to double is exact
+          // only while |epoch micros| ≤ 2^53 (~year 1684..2255);
+          // beyond that the rounding is non-strictly monotone, so
+          // distinct extreme timestamps can collapse to one ordinal —
+          // harmless for quantile-cut clustering (cuts stay ordered),
+          // just not micro-exact at the extremes
           org.apache.spark.sql.functions.unix_micros(col(c)).cast(DoubleType)
         case TimestampNTZType =>
           // epoch SECONDS — cast(ntz AS long); order-preserving, which
