@@ -175,7 +175,11 @@ object Bench {
         else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2
       val q1 = ok(((ok.size - 1) * 0.25).toInt)
       val q3 = ok((math.ceil((ok.size - 1) * 0.75)).toInt)
-      (med > 0 && (q3 - q1) / med > iqrBound) || ok.last > outlierRatio * ok.head
+      // absolute-delta floors: ±50 ms jitter on a 100 ms query is
+      // measurement noise, not box interference — without the floors
+      // the tiny queries would flap medians_bankable on every run
+      ((med > 0 && (q3 - q1) / med > iqrBound && q3 - q1 > 0.1) ||
+        (ok.last > outlierRatio * ok.head && ok.last - ok.head > 0.5))
     }
     // Median-of-N measured passes, full-suite rounds (not back-to-back
     // per query, so one query's page-cache residue can't flatter its

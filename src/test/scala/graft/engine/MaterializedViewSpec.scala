@@ -2220,6 +2220,48 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tick() === GraftMaterializedViews.NoOp)
   }
 
+  test("window-EXPR tier: MIXED attribute + expression partition keys " +
+    "refresh incrementally (r18)") {
+    spark.sql(s"CREATE TABLE $cat.db.wmx (region STRING, ts TIMESTAMP, " +
+      "player STRING, score BIGINT)")
+    spark.sql(s"INSERT INTO $cat.db.wmx VALUES " +
+      "('eu', timestamp'2024-05-01 08:00:00','p1',100)," +
+      "('eu', timestamp'2024-05-01 09:00:00','p2',90)," +
+      "('us', timestamp'2024-05-01 10:00:00','p3',80)," +
+      "('us', timestamp'2024-05-02 08:00:00','q1',50)")
+    val defSql =
+      s"""SELECT region, date_trunc('day', ts) AS day, player, score, rn FROM (
+         |  SELECT region, ts, player, score, row_number() OVER (
+         |    PARTITION BY region, date_trunc('day', ts)
+         |    ORDER BY score DESC, player) AS rn
+         |  FROM $cat.db.wmx) WHERE rn <= 1""".stripMargin
+    val analyzed = spark.sessionState.executePlan(
+      spark.sessionState.sqlParser.parsePlan(defSql)).analyzed
+    val shape = GraftMaterializedViews.rebuildWindowExprShapeOf(spark, analyzed)
+      .getOrElse(fail("mixed attr+expr partition keys must match the window-expr tier"))
+    assert(shape.keyNames.size === 2)
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.mv_wmx AS $defSql")
+    def expect = spark.sql(defSql).collect().map(_.toSeq).toSet
+    def got = spark.sql(s"SELECT region, day, player, score, rn FROM $cat.db.mv_wmx")
+      .collect().map(_.toSeq).toSet
+    def tick() = GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_wmx"))
+    assert(got === expect)
+    // churn ONE (region, day) cell: a new leader for (eu, 05-01)
+    spark.sql(s"INSERT INTO $cat.db.wmx VALUES " +
+      "('eu', timestamp'2024-05-01 11:00:00','p9',999)")
+    assert(tick() === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+    assert(got.exists(r => r(0) == "eu" && r(2) == "p9"))
+    assert(got.exists(r => r(0) == "us" && r(2) == "p3"), "(us, 05-01) untouched")
+    // resurrection within the cell
+    spark.sql(s"DELETE FROM $cat.db.wmx WHERE player = 'p9'")
+    assert(tick() === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+    assert(got.exists(r => r(0) == "eu" && r(2) == "p1"), "p1 resurrected")
+    assert(tick() === GraftMaterializedViews.NoOp)
+  }
+
   test("window tier boundaries: global window, mixed partition specs, and " +
     "unexposed keys keep the honest full fallback (r17)") {
     spark.sql(s"CREATE TABLE $cat.db.wb (k STRING, g STRING, v BIGINT)")
