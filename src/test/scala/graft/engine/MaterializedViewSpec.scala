@@ -2418,6 +2418,52 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
       "two FULL levels must keep the honest full fallback")
   }
 
+  test("FULL chain, part-B-only path: every group key on the FULL dim — " +
+    "all tuples rebuild through the unrestricted gated evaluation (r18)") {
+    spark.sql(s"CREATE TABLE $cat.db.fbf (k BIGINT, r1 BIGINT, r2 BIGINT)")
+    spark.sql(s"CREATE TABLE $cat.db.fbd1 (id BIGINT, lab1 STRING)")
+    spark.sql(s"CREATE TABLE $cat.db.fbd2 (id BIGINT, lab2 STRING)")
+    spark.sql(s"INSERT INTO $cat.db.fbf VALUES (1,10,100),(2,10,100)")
+    spark.sql(s"INSERT INTO $cat.db.fbd1 VALUES (10,'a'),(99,'orphan')")
+    spark.sql(s"INSERT INTO $cat.db.fbd2 VALUES (100,'p')")
+    // no group key lives on the prefix (fact) — prefixKeyCols is
+    // empty, so EVERY touched tuple takes the part-B population
+    val defSql =
+      s"""SELECT d1.lab1 AS lab1, count(*) AS n
+         |FROM $cat.db.fbf f
+         |FULL JOIN $cat.db.fbd1 d1 ON f.r1 = d1.id
+         |LEFT JOIN $cat.db.fbd2 d2 ON f.r2 = d2.id
+         |GROUP BY d1.lab1""".stripMargin
+    assert(GraftMaterializedViews.rebuildChainShapeOf(spark,
+      spark.sessionState.executePlan(
+        spark.sessionState.sqlParser.parsePlan(defSql)).analyzed).isDefined)
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.mv_fb AS $defSql")
+    def expect = spark.sql(defSql).collect().map(_.toSeq).toSet
+    def got = spark.sql(s"SELECT lab1, n FROM $cat.db.mv_fb")
+      .collect().map(_.toSeq).toSet
+    def tick() = GraftMaterializedViews.refresh(spark, graftCatalog,
+      TableIdent(Seq("db"), "mv_fb"))
+    assert(got === expect)
+    assert(got.contains(Seq("orphan", 1L)) && got.contains(Seq("a", 2L)))
+    // fact row with no dim match: joins into the NULL-lab1 group
+    spark.sql(s"INSERT INTO $cat.db.fbf VALUES (3, 777, 100)")
+    assert(tick() === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+    assert(got.contains(Seq(null, 1L)))
+    // capture the orphan: its group flips from null-extension count to
+    // matched count (same key 'orphan', different provenance)
+    spark.sql(s"INSERT INTO $cat.db.fbf VALUES (4, 99, 100)")
+    assert(tick() === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+    assert(got.contains(Seq("orphan", 1L)))
+    // dim churn: rename-like flip via delete + reinsert under new label
+    spark.sql(s"DELETE FROM $cat.db.fbd1 WHERE id = 10")
+    assert(tick() === GraftMaterializedViews.Incremental)
+    assert(got === expect)
+    assert(got.contains(Seq(null, 3L)), "rows 1,2 null-extend; row 3 already was")
+    assert(tick() === GraftMaterializedViews.NoOp)
+  }
+
   test("affectedSpine degenerate widening: CONSTRUCTIBLE via a pass-through " +
     "subquery that projects the spine away — counted, logged, and correct (r17)") {
     // the shape the r16 judge called "likely unreachable": belowChain
