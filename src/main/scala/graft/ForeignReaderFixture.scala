@@ -175,9 +175,22 @@ object ForeignReaderFixture {
           s""""files":${t.planFiles().sortBy(_.path).map(fileJson)
             .mkString("[", ",", "]")}}"""
       }
+      // TIME TRAVEL through the walked avro layer (r18): pin table t's
+      // EARLIEST snapshot (3 rows, pre-compaction) — the walker reads
+      // that snapshot's own manifest list from the avro twins and must
+      // reproduce the engine's snapshot-pinned scan, proving the
+      // historical metadata stays walkable, not just the head
+      val t1 = tbl("t")
+      val earliest = t1.metadata.snapshots.values.minBy(_.sequenceNumber)
+      spark.sql(s"SELECT * FROM $cat.db.t VERSION AS OF ${earliest.snapshotId}")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/expected_historical")
+      val histJson =
+        s""""historical":{"table":"t","snapshot_id":${earliest.snapshotId},""" +
+          s""""expected_dir":"expected_historical"}"""
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(outDir, "walk.json"),
-        s"{${tableJson("t")},${tableJson("t2")}}")
+        s"{${tableJson("t")},${tableJson("t2")},$histJson}")
       println(s"[frx] walk: metadata locations + engine file claims at $outDir/walk.json")
       println("[frx] DONE")
     } finally {

@@ -214,28 +214,19 @@ def read_json_maybe_gz(path):
 # ----------------------------------------------------------------------
 # The walk: metadata.json -> manifest list -> manifests -> files
 # ----------------------------------------------------------------------
-def walk_table(claims):
-    """Walk one table's avro metadata chain from its metadata.json.
-    Returns (walked file list, schema name->id map, spec fields)."""
-    meta = read_json_maybe_gz(claims["metadata_location"])
-    cur_snap = meta["current-snapshot-id"]
-    check(cur_snap == claims["current_snapshot_id"],
-          f"metadata.json current-snapshot-id {cur_snap} == engine claim")
-    schema = next(s for s in meta["schemas"]
-                  if s["schema-id"] == meta["current-schema-id"])
-    name_to_id = {f["name"]: f["id"] for f in schema["fields"]}
-    types_by_id = {f["id"]: f["type"] for f in schema["fields"]}
-    check(name_to_id == claims["field_ids"],
-          f"schema field ids {sorted(name_to_id.items())} == engine claim")
-    snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == cur_snap)
+def walk_files(meta, snap_id):
+    """Walk ONE snapshot's avro manifest list -> manifests -> live
+    file inventory (works for any snapshot in the metadata, current or
+    historical — time travel through the walked layer)."""
+    snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == snap_id)
     # the engine-native list is JSON; its spec avro twin sits at the
     # documented sibling path snap-<id>-manifest-list.avro (the layout
     # contract in graft.engine.Manifests)
     list_path = re.sub(r"snap-(-?\d+)\.json$",
                        r"snap-\1-manifest-list.avro", snap["manifest-list"])
     lmeta, manifests = read_container(list_path)
-    check(int(lmeta["snapshot-id"].decode()) == cur_snap,
-          f"manifest list self-identifies snapshot {cur_snap}")
+    check(int(lmeta["snapshot-id"].decode()) == snap_id,
+          f"manifest list self-identifies snapshot {snap_id}")
     files = []
     for mf in manifests:
         _, entries = read_container(mf["manifest_path"])
@@ -261,7 +252,23 @@ def walk_table(claims):
                 "lower_bounds": int_map(df.get("lower_bounds")),
                 "upper_bounds": int_map(df.get("upper_bounds")),
             })
-    return files, name_to_id, types_by_id
+    return files
+
+
+def walk_table(claims):
+    """Walk one table's avro metadata chain from its metadata.json.
+    Returns (walked file list, schema name->id map, types by id)."""
+    meta = read_json_maybe_gz(claims["metadata_location"])
+    cur_snap = meta["current-snapshot-id"]
+    check(cur_snap == claims["current_snapshot_id"],
+          f"metadata.json current-snapshot-id {cur_snap} == engine claim")
+    schema = next(s for s in meta["schemas"]
+                  if s["schema-id"] == meta["current-schema-id"])
+    name_to_id = {f["name"]: f["id"] for f in schema["fields"]}
+    types_by_id = {f["id"]: f["type"] for f in schema["fields"]}
+    check(name_to_id == claims["field_ids"],
+          f"schema field ids {sorted(name_to_id.items())} == engine claim")
+    return walk_files(meta, cur_snap), name_to_id, types_by_id
 
 
 CONTENT_NAMES = {0: "data", 1: "position-deletes", 2: "equality-deletes"}
@@ -454,6 +461,32 @@ def check_rows_t2(con, walked, name_to_id):
           f"({n} rows, extra={extra}, missing={missing})")
 
 
+def check_historical(con, walk):
+    """Time travel through the WALKED layer: a non-current snapshot's
+    own avro manifest list must reproduce the engine's snapshot-pinned
+    scan — the historical metadata stays walkable, not just the head."""
+    h = walk["historical"]
+    meta = read_json_maybe_gz(walk[h["table"]]["metadata_location"])
+    check(h["snapshot_id"] != meta["current-snapshot-id"],
+          f"historical snapshot {h['snapshot_id']} is NOT the current one")
+    files = walk_files(meta, h["snapshot_id"])
+    paths = sorted(norm(f["path"]) for f in files if f["content"] == 0)
+    lst = ", ".join("'" + p.replace("'", "''") + "'" for p in paths)
+    cols = "id, ts, d, dec, s, arr, st, part"
+    ours = f"SELECT {cols} FROM read_parquet([{lst}], union_by_name=true)"
+    exp = (f"SELECT {cols} FROM "
+           f"read_parquet('{out}/{h['expected_dir']}/*.parquet')")
+    extra = con.execute(
+        f"SELECT count(*) FROM (({ours}) EXCEPT ALL ({exp}))").fetchone()[0]
+    missing = con.execute(
+        f"SELECT count(*) FROM (({exp}) EXCEPT ALL ({ours}))").fetchone()[0]
+    n = con.execute(f"SELECT count(*) FROM ({ours})").fetchone()[0]
+    check(extra == 0 and missing == 0 and n > 0,
+          f"historical snapshot {h['snapshot_id']} ({len(paths)} files): "
+          f"row multiset from its WALKED manifest list == engine "
+          f"VERSION AS OF ({n} rows, extra={extra}, missing={missing})")
+
+
 def main():
     walk = json.load(open(f"{out}/walk.json"))
     con = duckdb.connect()
@@ -468,6 +501,8 @@ def main():
             check_rows_t(con, walked)
         else:
             check_rows_t2(con, walked, name_to_id)
+    if "historical" in walk:
+        check_historical(con, walk)
     if failures:
         print(f"[avro-walk] FAIL ({len(failures)} checks failed)")
         sys.exit(1)
