@@ -20,7 +20,47 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+  /** Scan fan-out mode: `auto` round-robin-repartitions a loaded table
+    * to the session's default parallelism when the file's byte-planned
+    * split count would leave most cores idle — the guide §2.5 "one
+    * huge unsplittable file" remedy, relevant here because the
+    * testdata ships ONE parquet row group per table (a 0.6 MB
+    * documents file carries the whole corpus into a single scan task).
+    * Default `off` — MEASURED AND REJECTED for the bench (r19,
+    * interleaved one-JVM A/B over 12 queries at sf0.1/32 cores:
+    * fanout=auto LOST on 10 of 12, e.g. q_lm_trigram_backoff 2.65 →
+    * 3.84 s, q_token_rarity 1.10 → 1.45 s): the extra exchange + AQE
+    * stage round per scan instance costs more than the serial scan
+    * task it parallelizes, because the first keyed exchange of each
+    * pipeline already spreads the heavy reduce-side work. Kept as a
+    * knob for deployments with genuinely unsplittable large single
+    * files (gzip text, mis-written single-row-group parquet), where
+    * the trade flips. */
+  val ScanFanoutConf = "spark.graft.scan.fanout"
+  /** Ceiling on total file bytes eligible for fan-out: inputs larger
+    * than this plan enough byte-splits on their own (and repartitioning
+    * them would shuffle real volume for nothing). */
+  private val FanoutMaxBytes = 256L << 20
+
+  private def fanout(spark: SparkSession, df: DataFrame, path: String): DataFrame = {
+    if (spark.conf.get(ScanFanoutConf, "off") != "auto") return df
+    val size =
+      try {
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getContentSummary(p).getLength
+      } catch { case _: Exception => return df }
+    val (maxSplitBytes, _) = org.apache.spark.sql.GraftShims.fileSplitConf(spark)
+    val cores = spark.sparkContext.defaultParallelism
+    val plannedSplits = math.max(1L, (size + maxSplitBytes - 1) / maxSplitBytes)
+    if (plannedSplits < cores && size < FanoutMaxBytes) df.repartition(cores)
+    else df
+  }
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    fanout(spark, loadRaw(spark, dir, name), s"$dir/$name.parquet")
+
+  private def loadRaw(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       // events.ts has varied across driver testdata generations:
       // TIMESTAMP(NANOS) in some rounds (which Spark only reads with

@@ -305,13 +305,26 @@ object CorpusStats {
     * the head cutoff's df. Union, then one map-side-combinable
     * per-document mean. */
   def qTokenRarity(s: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(s, dir).select(col("doc_id"), col("token"))
+    // per-doc token ARRAYS ride a cached leaf (r19): the occurrence
+    // stream feeds the df aggregate and BOTH skew-split branches —
+    // three split() passes over every document without it (exchange
+    // reuse only unifies the df subtree). Same rows as tokens():
+    // filter-then-explode ≡ explode-then-filter.
+    val (ta, _) = org.apache.spark.sql.GraftShims.cachedLeaf(
+      load(s, dir, "documents").selectExpr("doc_id",
+        "filter(split(text, ' '), t -> length(t) > 0) as ta"))
+    val toks = ta.selectExpr("doc_id", "explode(ta) as token")
     val dfTab = toks.dropDuplicates("token", "doc_id")
       .groupBy(col("token")).agg(count(lit(1)).as("df"))
     val head = dfTab.orderBy(col("df").desc, col("token")).limit(RarityHeadK)
+    // the anti join broadcasts the SAME head frame (extra columns are
+    // inert under left_anti): identical broadcast subtrees canonicalize
+    // equal, so ReuseExchange builds the TakeOrdered head ONCE instead
+    // of once per projection — one fewer head-subtree execution per
+    // query, same rows (applies to all six head/tail skew-split sites)
     val headToks = toks.join(broadcast(head), "token")
     val tailToks = toks
-      .join(broadcast(head.select(col("token"))), Seq("token"), "left_anti")
+      .join(broadcast(head), Seq("token"), "left_anti")
       .join(dfTab, "token")
     headToks.select(col("doc_id"), col("df"))
       .unionByName(tailToks.select(col("doc_id"), col("df")))
@@ -365,8 +378,14 @@ object CorpusStats {
     * derivation [[qLmBigramSurprisal]] and [[qLmPplBand]] share (one
     * final IEEE division each; everything before it integer-exact). */
   private def docSurprisalRaw(s: SparkSession, dir: String): DataFrame = {
-    val bg = load(s, dir, "documents")
-      .selectExpr("doc_id", "filter(split(text, ' '), t -> length(t) > 0) as ta")
+    // token-array CACHED LEAF (r19, the qLmTrigramBackoff construct):
+    // the bigram stream is consumed by the model aggregate and both
+    // skew-split branches — three parquet scans + split passes without
+    // it. Ownership: the returned frame owns the blocks.
+    val (ta, _) = org.apache.spark.sql.GraftShims.cachedLeaf(
+      load(s, dir, "documents")
+        .selectExpr("doc_id", "filter(split(text, ' '), t -> length(t) > 0) as ta"))
+    val bg = ta
       .where("size(ta) >= 2")
       .selectExpr("doc_id",
         """explode(transform(sequence(2, size(ta)),
@@ -384,8 +403,8 @@ object CorpusStats {
     val head = scored.orderBy(col("bcnt").desc, col("w1"), col("w2"))
       .limit(RarityHeadK)
     val headRows = bg.join(broadcast(head), Seq("w1", "w2"))
-    val tailRows = bg
-      .join(broadcast(head.select(col("w1"), col("w2"))), Seq("w1", "w2"), "left_anti")
+    val tailRows = bg // same-frame broadcast: see qTokenRarity
+      .join(broadcast(head), Seq("w1", "w2"), "left_anti")
       .join(scored, Seq("w1", "w2"))
     headRows.select(col("doc_id"), col("sbits"))
       .unionByName(tailRows.select(col("doc_id"), col("sbits")))
@@ -417,8 +436,17 @@ object CorpusStats {
     * trigrams exactly like the bigram scorer — broadcast head, keyed
     * tail, fan-in bounded by the head cutoff. */
   def qLmTrigramBackoff(s: SparkSession, dir: String): DataFrame = {
-    val tg = load(s, dir, "documents")
-      .selectExpr("doc_id", "filter(split(text, ' '), t -> length(t) > 0) as ta")
+    // the token-array frame is a CACHED LEAF (r19): FOUR consumers —
+    // the trigram stream is evaluated for the model aggregate and both
+    // skew-split branches, plus the bigram fallback stream — each
+    // otherwise re-scanning the parquet and re-running split+filter
+    // over every document. The leaf stores one array column per doc
+    // (compact); the explodes stay cheap re-evaluations over the
+    // stored column. Ownership: the returned frame owns the blocks.
+    val (ta, _) = org.apache.spark.sql.GraftShims.cachedLeaf(
+      load(s, dir, "documents")
+        .selectExpr("doc_id", "filter(split(text, ' '), t -> length(t) > 0) as ta"))
+    val tg = ta
       .where("size(ta) >= 3")
       .selectExpr("doc_id",
         """explode(transform(sequence(3, size(ta)),
@@ -432,8 +460,7 @@ object CorpusStats {
     // bigram fallback model over the full bigram derivation (docs ≥ 2
     // tokens) — the same model the bigram scorer uses, so the two
     // tiers are comparable
-    val bg = load(s, dir, "documents")
-      .selectExpr("doc_id", "filter(split(text, ' '), t -> length(t) > 0) as ta")
+    val bg = ta
       .where("size(ta) >= 2")
       .selectExpr("doc_id",
         """explode(transform(sequence(2, size(ta)),
@@ -456,8 +483,8 @@ object CorpusStats {
       .limit(RarityHeadK)
     val keys = Seq("w1", "w2", "w3")
     val headRows = tg.join(broadcast(head), keys)
-    val tailRows = tg
-      .join(broadcast(head.select(col("w1"), col("w2"), col("w3"))), keys, "left_anti")
+    val tailRows = tg // same-frame broadcast: see qTokenRarity
+      .join(broadcast(head), keys, "left_anti")
       .join(scored, keys)
     headRows.select(col("doc_id"), col("sbits"), col("backed"))
       .unionByName(tailRows.select(col("doc_id"), col("sbits"), col("backed")))
@@ -604,11 +631,16 @@ object CorpusStats {
     * scaled numerator `(ct+1)·1024` stays under 2^63 for any bucket
     * count below ~9·10^15 tokens — headroom past 100 TB corpora. */
   def qDsirImportance(s: SparkSession, dir: String): DataFrame = {
-    val toks = load(s, dir, "documents")
-      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("token"))
-      .where(length(col("token")) > 0)
-      .selectExpr("doc_id", "lang",
-        s"pmod(${Portable.hSpark("token")}, $DsirBuckets) as bucket")
+    // per-doc bucket ARRAYS ride a cached leaf (r19, the bigramToks
+    // construct): the occurrence stream feeds the model aggregate AND
+    // the scoring join — two subtrees exchange reuse cannot unify — so
+    // split + md5-hash ran twice per document. The leaf stores one
+    // compact long array per doc; both consumers re-explode it.
+    val (ta, _) = org.apache.spark.sql.GraftShims.cachedLeaf(
+      load(s, dir, "documents").selectExpr("doc_id", "lang",
+        s"""transform(filter(split(text, ' '), t -> length(t) > 0),
+           |  t -> pmod(${Portable.hSpark("t")}, $DsirBuckets)) as buckets""".stripMargin))
+    val toks = ta.selectExpr("doc_id", "lang", "explode(buckets) as bucket")
     val model = toks.groupBy(col("bucket"))
       .agg(
         sum(expr("cast(lang = 'en' as int)")).as("ct"),

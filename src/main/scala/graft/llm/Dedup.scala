@@ -257,7 +257,17 @@ object Dedup {
     val variants = base.filter("id % 7 = 0")
       .selectExpr(s"id + $VariantIdOffset as id",
         "slice(toks, 1, greatest(size(toks) - 4, 0)) as toks")
-    val corpus = base.unionAll(variants)
+    // the tokenized corpus is a CACHED LEAF (r19; the qDedupNgramJaccard
+    // hash-frame construct): three consumers — the signature pass and
+    // BOTH verify joins — otherwise each re-scan the parquet and re-run
+    // split(lower(text)), so the corpus was tokenized three times per
+    // query (and this query is the core under the clusters / report /
+    // keep-best / split-leakfree family, which pays it too). Ownership:
+    // the returned frame owns the blocks; ContextCleaner reclaims them
+    // when the consumer drops the frame. MEMORY_AND_DISK spills at
+    // corpus scale, same as the ngram/dup-spans leaves.
+    val (corpus, _) = org.apache.spark.sql.GraftShims.cachedLeaf(
+      base.unionAll(variants))
     val pairs = candidatePairs(corpus, MaxBucket)
 
     // exact-Jaccard verify: join the candidate pair back to the two
@@ -410,9 +420,24 @@ object Dedup {
     import org.apache.spark.sql.functions.explode
     val shingles = hashed
       .select(col("id"), explode(col("shs")).as("sh"))
+    // the posting-list rows feeding the pair EXPANSION are re-spread
+    // to the session's full shuffle width with an explicit count (an
+    // explicit repartition count opts this one exchange out of AQE
+    // coalescing): the lists are tiny in BYTES — df-capped, collapsed,
+    // vocabulary-scale — so byte-targeted coalescing funnels them into
+    // 1-4 partitions, and then the ~C(df,2)-per-list pair expansion
+    // plus the pair partial-aggregation (the measured r12 bottleneck)
+    // run nearly serial. Bytes are the wrong proxy for a stage whose
+    // cost is its expansion factor. Hash on the shingle key (rare keys
+    // are many, so the spread is even) — round-robin would pay the
+    // determinism sort. Cost: one extra exchange of the CAPPED lists,
+    // proportional to the candidate index, never the corpus. Measured
+    // at sf0.1/32 cores: q_dedup_ngram_jaccard 2.9 → 1.8 s median.
     val pairs = shingles.groupBy("sh")
       .agg(graft.functions.CappedCollect.longs(DfCap)(col("id")).as("raw"))
       .filter(expr(s"size(raw) between 2 and $DfCap"))
+      .repartition(hashed.sparkSession.conf
+        .get("spark.sql.shuffle.partitions").toInt, col("sh"))
       .select(explode(
         graft.functions.TextHashExprs.sortedPairExpand(col("raw"))).as("p"))
       .selectExpr("p.a as id_a", "p.b as id_b")
@@ -977,8 +1002,8 @@ object Dedup {
     val head = cnt.orderBy(col("cnt").desc, col("wh"))
       .limit(CorpusStats.RarityHeadK)
     val headRows = k.join(broadcast(head), "wh")
-    val tailRows = k
-      .join(broadcast(head.select(col("wh"))), Seq("wh"), "left_anti")
+    val tailRows = k // same-frame broadcast: see CorpusStats.qTokenRarity
+      .join(broadcast(head), Seq("wh"), "left_anti")
       .join(cnt, "wh")
     headRows.select(col("doc_id"), col("k"), col("cnt"))
       .unionByName(tailRows.select(col("doc_id"), col("k"), col("cnt")))
@@ -1038,8 +1063,8 @@ object Dedup {
     val head = stats.orderBy(col("cnt").desc, col("wh"))
       .limit(CorpusStats.RarityHeadK)
     val headRows = docWin.join(broadcast(head), "wh")
-    val tailRows = docWin
-      .join(broadcast(head.select(col("wh"))), Seq("wh"), "left_anti")
+    val tailRows = docWin // same-frame broadcast: see CorpusStats.qTokenRarity
+      .join(broadcast(head), Seq("wh"), "left_anti")
       .join(stats, "wh")
     headRows.select(col("doc_id"), col("first_doc"))
       .unionByName(tailRows.select(col("doc_id"), col("first_doc")))
@@ -1112,9 +1137,22 @@ object Dedup {
     val head = winStats.orderBy(col("cnt").desc, col("wh"))
       .limit(CorpusStats.RarityHeadK)
     val headRows = byDocWin.join(broadcast(head), "wh")
-    val tailRows = byDocWin
-      .join(broadcast(head.select(col("wh"))), Seq("wh"), "left_anti")
+    val tailRows = byDocWin // same-frame broadcast: see CorpusStats.qTokenRarity
+      .join(broadcast(head), Seq("wh"), "left_anti")
       .join(winStats, "wh")
+    // removed-position SETS stay per-document arrays end to end (r19):
+    // the old tail exploded EVERY token of EVERY document, anti-joined
+    // the occurrence-scale stream against the covered positions, and
+    // re-assembled each document with a corpus-wide
+    // collect_list+sort_array object aggregate — two occurrence-scale
+    // shuffles and the suite's heaviest object agg, for what is
+    // per-document array work. Now: covered positions aggregate to one
+    // array per TOUCHED doc (state bounded by the doc's own length,
+    // the same bound the doc row itself carries), one keyed join
+    // attaches them to the corpus, and the rebuild is a codegen'd
+    // array_except over position indices (hash-set lookup, O(len +
+    // |rm|) per row) — token order never leaves the row, so nothing
+    // re-sorts. Measured at sf0.1/32 cores: 3.4 → 1.3 s min.
     val covered = headRows.unionByName(tailRows)
       .where("cnt >= 2")
       .selectExpr("doc_id",
@@ -1122,13 +1160,17 @@ object Dedup {
       .where("size(rm) > 0")
       .selectExpr("doc_id",
         s"explode(flatten(transform(rm, i -> sequence(i, i + ${DupSpanW - 1})))) as p")
-      .distinct()
-    docs.select(col("doc_id"), posexplode(col("ta")).as(Seq("p0", "t")))
-      .selectExpr("doc_id", "p0 + 1 as p", "t")
-      .join(covered, Seq("doc_id", "p"), "left_anti")
       .groupBy("doc_id")
-      .agg(expr("count(1) as n_kept"),
-        expr("array_join(transform(sort_array(collect_list(struct(p, t))), x -> x.t), ' ') as clean_text"))
+      .agg(expr("collect_set(p) as rm"))
+    docs.join(covered, Seq("doc_id"), "left")
+      .selectExpr("doc_id",
+        """case when rm is null then ta
+          |     else transform(array_except(sequence(1, size(ta)), rm),
+          |                    i -> element_at(ta, i)) end as kept""".stripMargin)
+      .where("size(kept) > 0") // fully-cut docs vanish, as the oracle's
+      // GROUP BY over zero kept rows does (and empty docs never appear)
+      .selectExpr("doc_id", "cast(size(kept) as bigint) as n_kept",
+        "array_join(kept, ' ') as clean_text")
       .orderBy("doc_id")
   }
 

@@ -59,8 +59,26 @@ object Retrieval {
     * spans 1..n_docs and discriminates). `dl` is the bigram-position
     * count (tokens − 1), the document length in the same units the
     * postings count in. */
-  private def bigramToks(s: SparkSession, dir: String): DataFrame =
-    bigramToksOf(load(s, dir, "documents"))
+  private def bigramToks(s: SparkSession, dir: String): DataFrame = {
+    // per-doc bigram ARRAYS ride a cached leaf (r19): the gated batch
+    // queries consume the token stream through several differently-
+    // filtered subtrees (frozen-index postings, query-batch tokens,
+    // df, corpus stats) that exchange reuse cannot unify, so the
+    // assembly (split + per-position array_join — the compute-dense
+    // part) re-ran per subtree, and its explode child was a COMPUTED
+    // array rather than a stored column (the qDedupNgramJaccard
+    // CollapseProject note). As a leaf the assembly runs once and each
+    // consumer re-explodes the stored column. One-JVM interleaved A/B
+    // at sf0.1/32 cores (conf-gated old vs new path, both variant
+    // orders): q_bm25_topk 6.1 → 2.2 s, q_bm25_incremental 6.5 → 2.9,
+    // q_hybrid_rrf 5.8 → 2.4. The streaming path keeps the lazy
+    // [[bigramToksOf]] — a leaf would persist inside every
+    // micro-batch. Ownership: returned frame owns the blocks (the
+    // qDedupNgramJaccard contract).
+    val (arrs, _) = org.apache.spark.sql.GraftShims.cachedLeaf(
+      ngramArraysOf(load(s, dir, "documents"), 2))
+    arrs.selectExpr("doc_id", "dl", "explode(ngrams) as token")
+  }
 
   /** General n-gram term derivation `(doc_id, dl, token)` — the term
     * space is a PARAMETER, not a constant: the gated queries pin n = 2
@@ -70,15 +88,21 @@ object Retrieval {
     * `dl` is the n-gram-position count (tokens − n + 1) so postings
     * and length normalization always count in the same units. Expects
     * (doc_id: bigint, text: string). */
-  private[llm] def ngramToksOf(docs: DataFrame, n: Int): DataFrame = {
+  private[llm] def ngramToksOf(docs: DataFrame, n: Int): DataFrame =
+    ngramArraysOf(docs, n).selectExpr("doc_id", "dl", "explode(ngrams) as token")
+
+  /** The per-doc n-gram ARRAY form of [[ngramToksOf]] — one emitter for
+    * the assembly expression so the exploded and leaf-cached shapes can
+    * never tokenize differently. */
+  private[llm] def ngramArraysOf(docs: DataFrame, n: Int): DataFrame = {
     require(n >= 1, s"n-gram order must be >= 1, got $n")
     docs
       .selectExpr("doc_id", "filter(split(text, ' '), t -> length(t) > 0) as ta")
       .where(s"size(ta) >= $n")
       .selectExpr("doc_id", s"size(ta) - ${n - 1} as dl",
-        s"""explode(transform(sequence($n, size(ta)),
+        s"""transform(sequence($n, size(ta)),
            |  i -> array_join(transform(sequence(i - ${n - 1}, i),
-           |    j -> element_at(ta, j)), ' '))) as token""".stripMargin)
+           |    j -> element_at(ta, j)), ' ')) as ngrams""".stripMargin)
   }
 
   /** Bigram form — shared with [[StreamingLexicalIndex]] so the

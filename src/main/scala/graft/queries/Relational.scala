@@ -460,13 +460,16 @@ object Relational {
     val cum = hist
       .withColumn("cum", sum(col("cnt")).over(cumW))
       .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("event_type"))))
-    def pick(q: String, name: String) =
-      cum.filter(expr(s"cum >= ceil($q * n)"))
-        .groupBy(col("event_type"))
-        .agg(min(col("gap_s")).as(name), max(col("n")).as(s"__n_$name"))
-    pick("0.5", "p50_gap_s")
-      .join(pick("0.95", "p95_gap_s"), "event_type")
-      .selectExpr("event_type", "__n_p50_gap_s as n_gaps", "p50_gap_s", "p95_gap_s")
+    // both quantiles in ONE conditional aggregate (r19): the old
+    // per-quantile pick-filter-join evaluated the histogram + both
+    // windows twice and paid a join — min-over-threshold per quantile
+    // is the same cumulative walk read twice, so one pass computes both
+    cum.groupBy(col("event_type"))
+      .agg(
+        max(col("n")).as("n_gaps"),
+        min(expr("case when cum >= ceil(0.5 * n) then gap_s end")).as("p50_gap_s"),
+        min(expr("case when cum >= ceil(0.95 * n) then gap_s end")).as("p95_gap_s"))
+      .selectExpr("event_type", "n_gaps", "p50_gap_s", "p95_gap_s")
       .orderBy(col("event_type"))
   }
 
