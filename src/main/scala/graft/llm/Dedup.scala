@@ -1152,7 +1152,9 @@ object Dedup {
     // attaches them to the corpus, and the rebuild is a codegen'd
     // array_except over position indices (hash-set lookup, O(len +
     // |rm|) per row) — token order never leaves the row, so nothing
-    // re-sorts. Measured at sf0.1/32 cores: 3.4 → 1.3 s min.
+    // re-sorts. One-JVM conf-gated A/B at sf0.1/32 cores (5 interleaved
+    // reps): old 2.97 s median / 2.89 min → new 2.60 / 2.54; the scale
+    // claim is the removed occurrence-scale shuffles, not the local %.
     val covered = headRows.unionByName(tailRows)
       .where("cnt >= 2")
       .selectExpr("doc_id",
