@@ -296,26 +296,46 @@ object Bench {
     }.toMap
     // targeted re-measure of unstable queries (charged to the gate,
     // not the headline: combined reps feed the FINAL median, so a
-    // one-off outlier gets diluted instead of shipping)
-    val rerunTimes: Map[String, Seq[Double]] =
+    // one-off outlier gets diluted instead of shipping). ESCALATING
+    // (r20, judge ask #3): one fixed re-run left 15 sub-second queries
+    // permanently unstable on the shared box — a single neighbor blip
+    // inside the re-run re-flunked the query with no further appeal,
+    // so `medians_bankable` had never been true on a driver run and
+    // PERF's per-query maps stayed empty. Now a query re-measures up
+    // to SPARK_GRAFT_BENCH_RERUN_MAX fresh sets (default 3) until its
+    // LATEST fresh set is stable; every rep still lands in the
+    // combined median (blips are diluted, never erased), and the
+    // verdict remains the freshest set's — same adjudication rule as
+    // r19, just applied to the final attempt instead of the only one.
+    val rerunMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUN_MAX", "3").toInt.max(1)
+    val rerunTimes: Map[String, (Seq[Double], Seq[Double])] =
       if (!rerunUnstable) Map.empty
       else measured.filter { case (_, ts) => isUnstable(ts) }.map { case (name, _) =>
-        System.err.println(s"[bench] $name unstable — re-measuring $reps reps")
-        System.gc()
-        name -> Seq.fill(reps)(runOnce(name, queries(name)))
+        var attempt = 0
+        var all = Seq.empty[Double]
+        var fresh = Seq.empty[Double]
+        do {
+          attempt += 1
+          System.err.println(s"[bench] $name unstable — re-measuring $reps reps" +
+            (if (attempt > 1) s" (attempt $attempt/$rerunMax)" else ""))
+          System.gc()
+          fresh = Seq.fill(reps)(runOnce(name, queries(name)))
+          all = all ++ fresh
+        } while (isUnstable(fresh) && attempt < rerunMax)
+        name -> (all, fresh)
       }
     val results = queries.keys.toSeq.map { name =>
-      val times = measured(name) ++ rerunTimes.getOrElse(name, Nil)
+      val times = measured(name) ++ rerunTimes.get(name).map(_._1).getOrElse(Nil)
       val ok = times.filter(_ >= 0)
       val (med, mn) = if (ok.isEmpty) (-1.0, -1.0) else (median(ok), ok.min)
       (name, med, mn, times)
     }
-    // a re-measured query's verdict comes from the FRESH rep set (the
-    // combined set would never forgive the original outlier rep even
-    // after ten clean passes); its median stays the combined one, so
-    // the blip is diluted rather than erased
+    // a re-measured query's verdict comes from its LATEST fresh rep set
+    // (the combined set would never forgive the original outlier rep
+    // even after ten clean passes); its median stays the combined one,
+    // so the blip is diluted rather than erased
     def finalUnstable(name: String, times: Seq[Double]): Boolean =
-      rerunTimes.get(name).map(isUnstable).getOrElse(isUnstable(times))
+      rerunTimes.get(name).map(r => isUnstable(r._2)).getOrElse(isUnstable(times))
     val unstableNames = results.collect {
       case (name, _, _, times) if finalUnstable(name, times) => name
     }.sorted
@@ -328,10 +348,21 @@ object Bench {
       math.max(calibPre, calibPost) / CalibRef,
       math.max(calibMtPre, calibMtPost) / CalibMtRef)
     val calibOk = calibRatio <= calibRatioBound
-    if (!calibOk) System.err.println(
-      f"[bench] WARNING: calibration probe ${math.max(calibPre, calibPost)}%.3f s is " +
-        f"$calibRatio%.2f× the reference ($CalibRef%.3f s) — this box is uniformly " +
-        "slow; medians are NOT bankable (calib_ok:false rides the artifact)")
+    if (!calibOk) {
+      // attribute the miss to the probe that actually drove the max
+      // (r20, ADVICE fix): the old message always printed the 1-thread
+      // numbers even when the MULTI-thread probe was the one over bound
+      val stRatio = math.max(calibPre, calibPost) / CalibRef
+      val mtRatio = math.max(calibMtPre, calibMtPost) / CalibMtRef
+      val (probe, secs, ref) =
+        if (mtRatio >= stRatio)
+          (s"$cpus-thread", math.max(calibMtPre, calibMtPost), CalibMtRef)
+        else ("1-thread", math.max(calibPre, calibPost), CalibRef)
+      System.err.println(
+        f"[bench] WARNING: $probe calibration probe $secs%.3f s is " +
+          f"$calibRatio%.2f× its reference ($ref%.3f s) — this box is uniformly " +
+          "slow; medians are NOT bankable (calib_ok:false rides the artifact)")
+    }
     val mediansBankable = loadOk && calibOk && unstableNames.isEmpty &&
       results.forall(_._2 >= 0)
     // the four queries perf is adjudicated on (criterion trio + the
@@ -369,7 +400,7 @@ object Bench {
       // headline median stays the combined set (the blip is diluted,
       // not erased), but the artifact now carries the number a reader
       // needs to see how much of the headline is the original outlier
-      val fresh = rerunTimes.get(k).map(_.filter(_ >= 0)) match {
+      val fresh = rerunTimes.get(k).map(_._2.filter(_ >= 0)) match {
         case Some(f) if f.nonEmpty => ",\"median_fresh\":" + fmt(median(f))
         case _ => ""
       }
@@ -445,12 +476,20 @@ object Bench {
         def envFlag(f: String): Boolean = (j \ "bench_env" \ f) == JBool(true)
         if (envFlag("load_ok") &&
             (flag("medians_bankable") || flag("criterion_bankable")))
-          Some((j \ "value") match {
-            case JDouble(v) => v
-            case JInt(v) => v.toDouble
-            case JDecimal(v) => v.toDouble
-            case _ => Double.MaxValue
-          })
+          (j \ "value") match {
+            case JDouble(v) => Some(v)
+            case JInt(v) => Some(v.toDouble)
+            case JDecimal(v) => Some(v.toDouble)
+            case _ =>
+              // a flagged-bankable artifact with no parsable total is
+              // treated as NON-banked (r20, ADVICE fix): the old
+              // Double.MaxValue fallback made such an artifact win
+              // every is-better comparison forever, diverting all
+              // future runs to timestamped siblings
+              System.err.println(s"[bench] existing artifact at $path " +
+                "has no numeric top-level \"value\" — treating as non-banked")
+              None
+          }
         else None
       }.toOption.flatten
     val outP = Paths.get(outPath)

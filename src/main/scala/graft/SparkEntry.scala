@@ -26,11 +26,22 @@ object SparkEntry {
     * `q_dedup_keep_best*`, `q_split_leakfree`, `q_dedup_report`) runs
     * its iterative label rounds at construction — the result frame
     * consumes the converged final round;
-    * the IVF/PQ family (`q_ann_ivf_*`, `q_ann_pq_*`, `q_semdedup`) and `q_emb_kmeans`
-    * run one bounded K-row TakeOrdered collect at construction to
-    * pick their deterministic quantizer seeds; and `q_bpe_merges`
-    * runs its merge rounds at construction (each round's 1-row rule
-    * must be known to plan the next round's pair count). */
+    * and the BPE family (`q_bpe_*`) runs its merge rounds at
+    * construction (each round's 1-row rule must be known to plan the
+    * next round's pair count). The IVF/PQ quantizer seeds are a lazy
+    * broadcast subtree since r20 (no construction-time collect).
+    *
+    * DEPLOYMENT CONF: several pipelines have byte-tiny but
+    * expansion-heavy exchanges (capped LSH/shingle posting lists that
+    * expand to ~C(df,2) pairs, BPE pair-count tails, ADC code joins).
+    * AQE's byte-targeted partition coalescing funnels those exchanges
+    * into 1-4 tasks at its default 1 MB floor; sessions embedding
+    * these queries should set
+    * `spark.sql.adaptive.coalescePartitions.minPartitionSize=256k`
+    * (what graft.Bench/Prof/Sweep run with; measured full-suite A/B in
+    * OPTIMIZATION_r19.md). The hottest site (the n-gram pair
+    * expansion) is additionally width-pinned in code
+    * ([[graft.llm.Dedup]] verifiedPairSets). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.Temporal.queries ++

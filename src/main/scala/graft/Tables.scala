@@ -60,6 +60,34 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     fanout(spark, loadRaw(spark, dir, name), s"$dir/$name.parquet")
 
+  /** Parquet SCHEMA memo per file path (r20) — metadata only, never
+    * data or results: without it every `load` call re-runs driver-side
+    * schema inference (footer open + decode) for a schema that cannot
+    * change mid-session, and at 118 queries × reps the re-reads are a
+    * measurable slice of the per-query fixed floor. This is exactly
+    * what a catalog-backed table provides (the reference server hands
+    * Spark the Iceberg schema; DuckDB reads the footer once) — the
+    * scan itself still plans, lists, and reads the parquet data on
+    * every invocation. Keyed by (session identity, absolute path): the
+    * memo is scoped to the live session — nothing carries across
+    * bench/verify invocations — and distinct SF dirs never collide. A file REPLACED
+    * in-session with a different schema is out of contract for these
+    * immutable testdata tables (a long-lived service over mutating
+    * tables should go through a real catalog, not bare-path loads). */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), org.apache.spark.sql.types.StructType]()
+
+  private def readParquet(spark: SparkSession, path: String): DataFrame = {
+    val key = (System.identityHashCode(spark).toString, path)
+    val cached = schemaCache.get(key)
+    if (cached != null) spark.read.schema(cached).parquet(path)
+    else {
+      val df = spark.read.parquet(path)
+      schemaCache.put(key, df.schema)
+      df
+    }
+  }
+
   private def loadRaw(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       // events.ts has varied across driver testdata generations:
@@ -98,7 +126,7 @@ object Tables {
           "oracle bind wall clocks to UTC. Set the conf on the session " +
           "(or use a dedicated session for events) — graft will not " +
           "mutate a shared session's timezone as a side effect.")
-      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      val raw = readParquet(spark, s"$dir/$name.parquet")
       raw.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType => // nanos-as-long
           raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
@@ -106,7 +134,7 @@ object Tables {
           // clock binds to the UTC session zone, matching DuckDB
           raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       }
-    } else spark.read.parquet(s"$dir/$name.parquet")
+    } else readParquet(spark, s"$dir/$name.parquet")
   }
 
   /** Exact decimal view of a double column (testdata doubles carry <=2dp). */

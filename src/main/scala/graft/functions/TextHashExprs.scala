@@ -194,6 +194,49 @@ private[functions] object TextHashHelper {
     new GenericArrayData(out)
   }
 
+  /** Row-local grouping of a LONG array (r20): one struct per DISTINCT
+    * value, carrying its ASCENDING 1-based positions — i.e. exactly the
+    * `posexplode → groupBy(row_id, value) → sort_array(collect_list)`
+    * result, computed inside the row. The dup-spans family's first
+    * aggregation grouped by (doc_id, window-hash) — a key that embeds
+    * the row's own id, so the groups never cross rows and the
+    * occurrence-scale exchange + object hash aggregate it paid were
+    * pure overhead (guide §2.4 "remove shuffles outright"). Value order
+    * is first occurrence (deterministic; consumers aggregate or join by
+    * value, never by list position). Empty input → empty array. */
+  def longGroupPositions(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val vals = arr.toLongArray()
+    val order = new java.util.ArrayList[java.lang.Long](math.min(n, 16))
+    val pos = new java.util.HashMap[java.lang.Long, java.util.ArrayList[java.lang.Integer]]()
+    var i = 0
+    while (i < n) {
+      val v = java.lang.Long.valueOf(vals(i))
+      var l = pos.get(v)
+      if (l == null) {
+        l = new java.util.ArrayList[java.lang.Integer](4)
+        pos.put(v, l)
+        order.add(v)
+      }
+      l.add(Integer.valueOf(i + 1))
+      i += 1
+    }
+    val m = order.size()
+    val out = new Array[Any](m)
+    var k = 0
+    while (k < m) {
+      val v = order.get(k)
+      val l = pos.get(v)
+      val is = new Array[Int](l.size())
+      var j = 0
+      while (j < is.length) { is(j) = l.get(j).intValue(); j += 1 }
+      out(k) = InternalRow(v.longValue(), new GenericArrayData(is))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** All a<b pairs of a (distinct-id) posting list, sorted internally
     * — ONE primitive loop per list. Total: n ≤ 1 yields the empty
     * array (the same contract that makes the SQL form safe under
@@ -412,6 +455,32 @@ final case class SortedPairExpand(child: Expression)
     copy(child = c)
 }
 
+/** Row-local (value → ascending 1-based positions) grouping of a long
+  * array — the native replacement for the dup-spans family's
+  * `posexplode → groupBy(doc_id, wh) → sort_array(collect_list(i))`
+  * stage, whose group key embeds the row id and therefore never needed
+  * an exchange (see [[TextHashHelper.longGroupPositions]]). */
+final case class LongGroupPositions(child: Expression)
+    extends UnaryExpression with TokArrayInput {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("v", LongType, nullable = false),
+    StructField("is", ArrayType(IntegerType, containsNull = false),
+      nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "long_group_positions"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"long_group_positions expects array<bigint>, got ${other.catalogString}")
+  }
+  override protected def nullSafeEval(a: Any): Any =
+    TextHashHelper.longGroupPositions(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"$helperRef.longGroupPositions($a)")
+  override protected def withNewChildInternal(c: Expression): LongGroupPositions =
+    copy(child = c)
+}
+
 object TextHashExprs {
   private def c(e: Expression): Column = GraftShims.column(e)
   private def x(col: Column): Expression = GraftShims.expression(col)
@@ -424,4 +493,5 @@ object TextHashExprs {
   def shingleStats(a: Column, b: Column): Column = c(ShingleStats(x(a), x(b)))
   def repetitionStats(toks: Column): Column = c(RepetitionStats(x(toks)))
   def sortedPairExpand(ids: Column): Column = c(SortedPairExpand(x(ids)))
+  def longGroupPositions(vals: Column): Column = c(LongGroupPositions(x(vals)))
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.{Column, GraftShims}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -63,6 +64,78 @@ private[functions] object VectorExprHelper {
     var i = 0
     while (i < n) { out(i) = at(a, i, af); i += 1 }
     new GenericArrayData(out)
+  }
+
+  /** Spark SQL's double total order (SQLOrderingUtil.compareDoubles,
+    * replicated — it is private[sql]): `x == y` first so -0.0 equals
+    * 0.0, then Double.compare so NaN sorts largest and equals itself —
+    * the exact comparator the max_by/min_by struct orderings used. */
+  @inline private def cmpD(x: Double, y: Double): Int =
+    if (x == y) 0 else java.lang.Double.compare(x, y)
+
+  /** Row-local argmax over `(id, c)` candidate structs by
+    * (cosine(vec, c) DESC, id ASC) — the quantizer assignment pick
+    * computed INSIDE the row (r20): the crossJoin(broadcast) →
+    * groupBy(vec_id) → max_by shape re-aggregated rows that all came
+    * from one input row, and the struct-ordered max_by planned as
+    * SortAggregate (sort per partial AND final) with the embedding
+    * riding the exchange. Cosine is the same [[cosine]] fold, hoisted
+    * √normSq(vec) included (bit-identical — pure deterministic fold).
+    * Returns null on an empty candidate array (the join-less twin of
+    * "no rows for this vector"). */
+  def bestByCosine(vec: ArrayData, cands: ArrayData, vf: Boolean): Any = {
+    val n = cands.numElements()
+    if (n == 0) return null
+    val sa = math.sqrt(normSq(vec, vf))
+    var bestId = 0
+    var bestCos = 0.0d
+    var has = false
+    var i = 0
+    while (i < n) {
+      val st = cands.getStruct(i, 2)
+      val id = st.getInt(0)
+      val c = st.getArray(1)
+      val cos = dot(vec, c, vf, false) / (sa * math.sqrt(normSq(c, false)))
+      val better =
+        if (!has) true
+        else {
+          val d = cmpD(cos, bestCos)
+          d > 0 || (d == 0 && id < bestId)
+        }
+      if (better) { bestId = id; bestCos = cos; has = true }
+      i += 1
+    }
+    InternalRow(bestId, bestCos)
+  }
+
+  /** Row-local argmin over `(id, c)` candidate structs by
+    * (d²(vec, c) ASC, id ASC), d² = (|a|² + |b|²) − 2·(a·b) with the
+    * identical fold/association order as the l2sq expression tree —
+    * the PQ code assignment pick inside the row (see
+    * [[bestByCosine]]). */
+  def bestByL2(vec: ArrayData, cands: ArrayData, vf: Boolean): Any = {
+    val n = cands.numElements()
+    if (n == 0) return null
+    val na = normSq(vec, vf)
+    var bestId = 0
+    var bestD2 = 0.0d
+    var has = false
+    var i = 0
+    while (i < n) {
+      val st = cands.getStruct(i, 2)
+      val id = st.getInt(0)
+      val c = st.getArray(1)
+      val d2 = (na + normSq(c, false)) - 2.0d * dot(vec, c, vf, false)
+      val better =
+        if (!has) true
+        else {
+          val d = cmpD(d2, bestD2)
+          d < 0 || (d == 0 && id < bestId)
+        }
+      if (better) { bestId = id; bestD2 = d2; has = true }
+      i += 1
+    }
+    InternalRow(bestId, bestD2)
   }
 }
 
@@ -180,6 +253,70 @@ final case class VectorToDouble(child: Expression)
     copy(child = c)
 }
 
+/** Shared input contract of the row-local argbest expressions: left a
+  * float/double vector, right an array<struct<id:int, c:array<double>>>
+  * candidate list (the collect_list(struct(id, c)) of a broadcast-sized
+  * centroid/codebook frame). Nullable output: null ⇔ empty candidates
+  * (the join-less twin of "no rows for this vector"). */
+private[functions] sealed trait VectorArgBest extends BinaryExpression with VecInput {
+  protected def ordName: String // "cos" | "d2"
+  override def dataType: DataType = StructType(Seq(
+    StructField("id", IntegerType, nullable = false),
+    StructField(ordName, DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+  protected def candsOk(dt: DataType): Boolean = dt match {
+    case ArrayType(StructType(Array(
+      StructField(_, IntegerType, _, _),
+      StructField(_, ArrayType(DoubleType, _), _, _))), _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (vecOk(left.dataType) && candsOk(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<float|double>, array<struct<int, array<double>>>), " +
+        s"got ${left.dataType.catalogString}, ${right.dataType.catalogString}")
+}
+
+/** Row-local argmax by (cosine DESC, id ASC) — see
+  * [[VectorExprHelper.bestByCosine]]. */
+final case class VectorBestByCosine(left: Expression, right: Expression)
+    extends VectorArgBest {
+  override protected def ordName: String = "cos"
+  override def prettyName: String = "vec_best_by_cosine"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorExprHelper.bestByCosine(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], isFloat(left.dataType))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val f = isFloat(left.dataType)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      Object r = $helperRef.bestByCosine($a, $b, $f);
+      if (r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) r; }""")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VectorBestByCosine =
+    copy(left = l, right = r)
+}
+
+/** Row-local argmin by (d² ASC, id ASC) — see
+  * [[VectorExprHelper.bestByL2]]. */
+final case class VectorBestByL2(left: Expression, right: Expression)
+    extends VectorArgBest {
+  override protected def ordName: String = "d2"
+  override def prettyName: String = "vec_best_by_l2"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorExprHelper.bestByL2(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], isFloat(left.dataType))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val f = isFloat(left.dataType)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      Object r = $helperRef.bestByL2($a, $b, $f);
+      if (r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) r; }""")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VectorBestByL2 =
+    copy(left = l, right = r)
+}
+
 object VectorExprs {
   private def c(e: Expression): Column = GraftShims.column(e)
   private def x(col: Column): Expression = GraftShims.expression(col)
@@ -188,4 +325,8 @@ object VectorExprs {
   def cosine(a: Column, b: Column): Column = c(VectorCosine(x(a), x(b)))
   def perturb(id: Column, a: Column): Column = c(VectorPerturb(x(id), x(a)))
   def toDouble(a: Column): Column = c(VectorToDouble(x(a)))
+  def bestByCosine(vec: Column, cands: Column): Column =
+    c(VectorBestByCosine(x(vec), x(cands)))
+  def bestByL2(vec: Column, cands: Column): Column =
+    c(VectorBestByL2(x(vec), x(cands)))
 }

@@ -268,8 +268,17 @@ object Dedup {
     // corpus scale, same as the ngram/dup-spans leaves.
     val (corpus, _) = org.apache.spark.sql.GraftShims.cachedLeaf(
       base.unionAll(variants))
-    val pairs = candidatePairs(corpus, MaxBucket)
+    verifiedLshPairs(corpus).orderBy("id_a", "id_b")
+  }
 
+  /** The banded-LSH candidate + exact-Jaccard verify core over a
+    * (cached-leaf) `(id, toks, …)` corpus — extracted (r20) so
+    * [[qDedupKeepBest]] can run it over a WIDER shared leaf (toks +
+    * text) and pay one corpus scan for both the LSH core and the
+    * quality pass; extra columns are inert (bandsOf and the verify
+    * joins project id/toks explicitly). */
+  private[llm] def verifiedLshPairs(corpus: DataFrame): DataFrame = {
+    val pairs = candidatePairs(corpus, MaxBucket)
     // exact-Jaccard verify: join the candidate pair back to the two
     // token arrays (keyed joins, O(candidates)) and compute
     // (|A∩B|, |A|, |B|) in one codegen'd pass per pair — the shingle
@@ -283,7 +292,6 @@ object Dedup {
         "id_a", "id_b", "n_shared_bands",
         "cast(st.inter as double) / (st.na + st.nb - st.inter) as jaccard")
       .filter("jaccard >= 0.5")
-      .orderBy("id_a", "id_b")
   }
 
   val qDedupMinhashLshSql: String =
@@ -436,8 +444,8 @@ object Dedup {
     val pairs = shingles.groupBy("sh")
       .agg(graft.functions.CappedCollect.longs(DfCap)(col("id")).as("raw"))
       .filter(expr(s"size(raw) between 2 and $DfCap"))
-      .repartition(hashed.sparkSession.conf
-        .get("spark.sql.shuffle.partitions").toInt, col("sh"))
+      .repartition(org.apache.spark.sql.GraftShims
+        .numShufflePartitions(hashed.sparkSession), col("sh"))
       .select(explode(
         graft.functions.TextHashExprs.sortedPairExpand(col("raw"))).as("p"))
       .selectExpr("p.a as id_a", "p.b as id_b")
@@ -815,19 +823,52 @@ object Dedup {
     * quality is one narrow codegen'd pass, and the selection is a
     * keyed `max_by` aggregation — map-side combinable, O(members)
     * shuffle, O(1) state per cluster. */
-  def qDedupKeepBest(s: SparkSession, dir: String): DataFrame =
+  def qDedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    // ONE corpus scan for BOTH consumers (r20): the LSH core and the
+    // quality pass used to scan the documents parquet independently
+    // (and the quality pass re-tokenized every doc for its
+    // n_tok/n_stop criteria). Here the shared cached leaf carries the
+    // token arrays (LSH) AND the raw text (quality) — variants store a
+    // null text and an is_base=false flag, so the quality side is the
+    // exact base-corpus row set the old scan produced. Extra columns
+    // are inert through the LSH core (bandsOf / the verify joins
+    // project id/toks explicitly).
+    // The reserved-id guard sits on the BASE rows feeding the leaf
+    // (not on the quality projection): the leaf always materializes —
+    // inside the CC job chain — so a colliding corpus raises on every
+    // run, where a guard on the quality side could be skipped
+    // entirely when runtime empty-relation propagation prunes the
+    // survivor join (e.g. a corpus with no near-dup clusters).
+    val base = load(s, dir, "documents")
+      .selectExpr("doc_id as id", s"$toksS as toks", "text", "true as is_base")
+      .where(expr(
+        s"""id < $VariantIdOffset or raise_error(concat(
+           |  'q_dedup_keep_best reserves doc ids >= $VariantIdOffset for derived variants; ',
+           |  'base corpus doc_id ', cast(id as string),
+           |  ' collides - remap the corpus or the offset')) is null""".stripMargin))
+    val variants = base.filter("id % 7 = 0")
+      .selectExpr(s"id + $VariantIdOffset as id",
+        "slice(toks, 1, greatest(size(toks) - 4, 0)) as toks",
+        "cast(null as string) as text", "false as is_base")
+    val (corpus, _) = org.apache.spark.sql.GraftShims.cachedLeaf(
+      base.unionAll(variants))
+    val quality = TextAnalysis.scoreQualityWithToks(
+        corpus.where(col("is_base")), Seq("id"))
+      .selectExpr("id as qid", "quality")
     DedupPipeline.keepBestFromClusters(
-      connectedComponents(qDedupMinhashLsh(s, dir).select("id_a", "id_b")),
-      keepBestQuality(s, dir))
+      connectedComponents(verifiedLshPairs(corpus).select("id_a", "id_b")),
+      quality)
+  }
 
   /** Quality frame for survivor selection, with the reserved-id
     * invariant asserted IN the job: every base doc id must sit below
     * [[VariantIdOffset]], enforced by a short-circuiting `raise_error`
     * predicate evaluated per row (true rows pass untouched; a
     * violating row aborts the job with the remap message instead of
-    * silently mis-joining a variant's quality). Shared by
-    * [[qDedupKeepBest]] and [[DedupPipeline.keepBestFromClusters]]'s
-    * gated caller. */
+    * silently mis-joining a variant's quality). Used by the indexed
+    * twin ([[DedupPipeline.qDedupKeepBestIndexed]]); the self-contained
+    * [[qDedupKeepBest]] scores quality off its shared corpus leaf with
+    * the same guard inlined. */
   private[llm] def keepBestQuality(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityScored(s, dir)
       .selectExpr("doc_id as qid", "quality")
@@ -989,15 +1030,24 @@ object Dedup {
     * ever shuffle. */
   def qDupSpans(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, explode, sum}
-    val (docs, _) = org.apache.spark.sql.GraftShims.cachedLeaf(
-      load(s, dir, "documents")
-        .selectExpr("doc_id", "filter(split(text, ' '), t -> length(t) > 0) as ta")
-        .where(s"size(ta) >= $DupSpanW")
-        .select(col("doc_id"),
-          graft.functions.TextHashExprs.windowHashes(col("ta"), DupSpanW).as("whs")))
-    val k = docs.select(col("doc_id"), explode(col("whs")).as("wh"))
-      .groupBy("doc_id", "wh")
-      .agg(count(lit(1)).as("k"))
+    val base = load(s, dir, "documents")
+      .selectExpr("doc_id", "filter(split(text, ' '), t -> length(t) > 0) as ta")
+      .where(s"size(ta) >= $DupSpanW")
+    // per-(doc, window) counts. The group key embeds doc_id, so the
+    // groups never cross rows: the r19 shape (explode → corpus-wide
+    // groupBy(doc_id, wh)) paid an occurrence-scale exchange + hash
+    // aggregate for what is row-local array work — now ONE codegen'd
+    // pass per doc ([[graft.functions.LongGroupPositions]], guide
+    // §2.4 "remove shuffles outright") whose grouped rows ARE the
+    // cached leaf (the old shape cached the hash arrays and re-derived
+    // the groups through the exchange). Same-JVM interleaved A/B at
+    // sf0.1/32 cores (5 reps): 1.96 → 1.26 s median; plan Exchange
+    // count 11 → 6.
+    val (k, _) = org.apache.spark.sql.GraftShims.cachedLeaf(base
+      .select(col("doc_id"), explode(
+        graft.functions.TextHashExprs.longGroupPositions(
+          graft.functions.TextHashExprs.windowHashes(col("ta"), DupSpanW))).as("g"))
+      .selectExpr("doc_id", "g.v as wh", "cast(size(g.is) as bigint) as k"))
     val cnt = k.groupBy("wh").agg(sum(col("k")).as("cnt"))
     val head = cnt.orderBy(col("cnt").desc, col("wh"))
       .limit(CorpusStats.RarityHeadK)
@@ -1051,13 +1101,17 @@ object Dedup {
     * state per doc. */
   def qDocNovelty(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, explode, sum}
-    val (docs, _) = org.apache.spark.sql.GraftShims.cachedLeaf(
-      load(s, dir, "documents")
-        .selectExpr("doc_id", "filter(split(text, ' '), t -> length(t) > 0) as ta")
-        .where(s"size(ta) >= $DupSpanW")
-        .select(col("doc_id"),
-          graft.functions.TextHashExprs.windowHashes(col("ta"), DupSpanW).as("whs")))
-    val docWin = docs.select(col("doc_id"), explode(col("whs")).as("wh")).distinct()
+    val base = load(s, dir, "documents")
+      .selectExpr("doc_id", "filter(split(text, ' '), t -> length(t) > 0) as ta")
+      .where(s"size(ta) >= $DupSpanW")
+    // per-doc DISTINCT windows: the distinct key embeds doc_id, so the
+    // r19 corpus-wide `.distinct()` exchange was row-local work —
+    // `array_distinct` inside the row (guide §2.4), grouped rows AS
+    // the leaf. Same-JVM A/B at sf0.1/32 cores (5 reps): 1.96 → 1.35 s
+    // median; plan Exchange count 10 → 6.
+    val (docWin, _) = org.apache.spark.sql.GraftShims.cachedLeaf(base
+      .select(col("doc_id"), explode(org.apache.spark.sql.functions.array_distinct(
+        graft.functions.TextHashExprs.windowHashes(col("ta"), DupSpanW))).as("wh")))
     val stats = docWin.groupBy("wh")
       .agg(min(col("doc_id")).as("first_doc"), count(lit(1)).as("cnt"))
     val head = stats.orderBy(col("cnt").desc, col("wh"))
@@ -1118,18 +1172,29 @@ object Dedup {
     * text rebuild are per-document array work (bounded by doc
     * length); nothing global ever sorts. */
   def qDupSpansClean(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, posexplode}
+    import org.apache.spark.sql.functions.{broadcast, explode}
+    // one row per (doc, window value): its ASCENDING 1-based start
+    // positions. The group key embeds doc_id — row-local work: the r19
+    // shape posexploded every occurrence into a corpus-wide
+    // groupBy(doc_id, wh) + sort_array(collect_list) (an
+    // occurrence-scale exchange + the suite's second object
+    // aggregate), where ONE codegen'd pass per doc emits the same
+    // grouped rows ([[graft.functions.LongGroupPositions]], guide §2.4
+    // "remove shuffles outright"); those rows are their own cached
+    // leaf (three consumers: winStats + both skew-split branches), and
+    // the rebuild-side leaf slims to (doc_id, ta). Same-JVM A/B at
+    // sf0.1/32 cores (5 reps): 3.06 → 1.61 s median; plan Exchange
+    // count 12 → 7, ObjectHashAggregate instances 12 → 2 (the
+    // remaining pair is the per-doc covered-position collect_set,
+    // which genuinely crosses rows after the wh-keyed joins).
     val (docs, _) = org.apache.spark.sql.GraftShims.cachedLeaf(
       load(s, dir, "documents")
-        .selectExpr("doc_id", "filter(split(text, ' '), t -> length(t) > 0) as ta")
-        .select(col("doc_id"), col("ta"),
-          graft.functions.TextHashExprs.windowHashes(col("ta"), DupSpanW).as("whs")))
-    // one row per (doc, window value): its 1-based start positions
-    val byDocWin = docs
-      .select(col("doc_id"), posexplode(col("whs")).as(Seq("p0", "wh")))
-      .selectExpr("doc_id", "wh", "p0 + 1 as i")
-      .groupBy("doc_id", "wh")
-      .agg(expr("sort_array(collect_list(i)) as is"))
+        .selectExpr("doc_id", "filter(split(text, ' '), t -> length(t) > 0) as ta"))
+    val (byDocWin, _) = org.apache.spark.sql.GraftShims.cachedLeaf(docs
+      .select(col("doc_id"), explode(
+        graft.functions.TextHashExprs.longGroupPositions(
+          graft.functions.TextHashExprs.windowHashes(col("ta"), DupSpanW))).as("g"))
+      .selectExpr("doc_id", "g.v as wh", "g.is as is"))
     val winStats = byDocWin
       .groupBy("wh")
       .agg(expr("sum(size(is)) as cnt"),

@@ -454,6 +454,26 @@ object Similarity {
     * below any cosine decision boundary here. */
   private val IVF_QUANT = 1000000L
 
+  /** Deterministic seed ranking — the K lowest `vec_id`s PRESENT, each
+    * with its rank 0..K−1 — as a LAZY broadcast-sized plan (r20). The
+    * previous form (`limit(k).collect()` + zipWithIndex + toDF) ran a
+    * TakeOrdered job on the driver at plan-BUILD time: one eager job
+    * per quantizer construction, a driver collect in a query path
+    * (guide §5), and ~0.15-0.3 s of pure job-round latency on every
+    * ANN query. Here the ranking is plan algebra that rides the first
+    * consumer job as a broadcast subtree, with NO exchange of its own:
+    * TakeOrdered emits a single partition, so the global
+    * `collect_list` aggregates in place; `sort_array` pins rank order
+    * independent of physical row order; `posexplode` re-derives
+    * (rank, id). Values are identical to the collect form (ids are
+    * unique, ranks are their ascending order). */
+  private[llm] def seedRanks(corpus: DataFrame, k: Int, rankCol: String): DataFrame =
+    corpus.select(col("vec_id")).orderBy("vec_id").limit(k)
+      .agg(org.apache.spark.sql.functions.expr(
+        "sort_array(collect_list(vec_id)) as sids"))
+      .select(org.apache.spark.sql.functions.posexplode(col("sids"))
+        .as(Seq(rankCol, "vec_id")))
+
   /** Nearest-cell assignment: broadcast the K centroids, score each
     * (vector, cell) pair with the codegen'd cosine, and collapse back
     * to one row per vector with `max_by` — partial aggregation folds
@@ -461,14 +481,30 @@ object Similarity {
     * broadcast cross join), so the shuffle stays O(corpus), never
     * O(corpus × K). Ties break to the lowest cell id in both engines.
     */
-  private[llm] def ivfAssign(corpus: DataFrame, cents: DataFrame): DataFrame =
-    corpus.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("e"), col("cell"),
-        graft.functions.VectorExprs.cosine(col("e"), col("c")).as("cos"))
-      .groupBy("vec_id")
-      .agg(org.apache.spark.sql.functions.expr(
-        "max_by(struct(cell, e), struct(cos, -cell)) as best"))
-      .selectExpr("vec_id", "best.cell as cell", "best.e as e")
+  private[llm] def ivfAssign(corpus: DataFrame, cents: DataFrame): DataFrame = {
+    // row-local pick (r20): the K candidate rows all expand from ONE
+    // corpus row via the broadcast cross join, so the max_by
+    // re-aggregation — a corpus-scale exchange CARRYING the embedding,
+    // planned as SortAggregate (struct ordering ⇒ a sort at partial
+    // AND final) — was pure overhead. The centroids collapse to one
+    // broadcast array row and the argmax runs inside the row
+    // ([[graft.functions.VectorBestByCosine]] — same cosine fold, same
+    // (cos DESC, cell ASC) tie-break, guide §2.4); the scan's
+    // partitioning survives untouched. Same-JVM interleaved A/B at
+    // sf0.1/32 cores (4 reps, medians) across the family:
+    // ivf_topk 1.27→0.93, ivf_cells 1.02→0.65, pq_topk 2.19→1.31,
+    // ivfadc_topk 2.19→1.71, ivfadc_residual 2.95→2.23, emb_kmeans
+    // 1.88→1.22, pq_codes 1.38→0.87, ivf_assign2 1.64→1.09, semdedup
+    // 1.16→0.81, pq_distortion 1.53→0.92.
+    val carr = cents.agg(org.apache.spark.sql.functions.collect_list(
+      org.apache.spark.sql.functions.struct(col("cell"), col("c"))).as("cents"))
+    corpus.crossJoin(broadcast(carr))
+      .select(col("vec_id"),
+        graft.functions.VectorExprs.bestByCosine(col("e"), col("cents")).as("best"),
+        col("e"))
+      .where(col("best").isNotNull)
+      .selectExpr("vec_id", "best.id as cell", "e")
+  }
 
   /** Deterministic coarse quantizer: seed centroids are the embeddings
     * of the K lowest vec_ids PRESENT (rank over vec_id — no dense-id
@@ -478,18 +514,10 @@ object Similarity {
     * a sample — the refinement itself is already fully distributed (the
     * only per-cell state is the K × DIM mean matrix). */
   private[llm] def ivfCentroids(corpus: DataFrame): DataFrame = {
-    // seed selection: the K lowest vec_ids PRESENT. The ids (not the
-    // vectors) collect to the driver — K longs via a TakeOrdered job —
-    // and rank back in as a broadcast (vec_id, cell) map, so no window
-    // runs at all (a global row_number over the K rows would plan a
-    // single-partition WindowExec; Spark folds away constant partition
-    // keys, so the only warning-free form is windowless)
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val seedIds = corpus.select(col("vec_id")).orderBy("vec_id")
-      .limit(ivfCells(spark)).collect().map(_.getLong(0))
-    val rankDf = seedIds.zipWithIndex.map { case (id, i) => (id, i) }
-      .toSeq.toDF("vec_id", "cell")
+    // seed selection: the K lowest vec_ids PRESENT, ranked back in as
+    // a broadcast (vec_id, cell) map — a lazy [[seedRanks]] subtree
+    // (no driver collect, no eager job, no window)
+    val rankDf = seedRanks(corpus, ivfCells(corpus.sparkSession), "cell")
     val seeds = corpus.join(broadcast(rankDf), "vec_id")
       .select(col("cell"), col("e").as("c"))
     quantizedMeans(ivfAssign(corpus, seeds))
@@ -562,16 +590,20 @@ object Similarity {
     // as ivfCentroids, centroids standing in for the corpus; an
     // absolute `cell < groups` filter would shrink — or empty — the
     // group set whenever the lowest-id cells lost all members in the
-    // previous pass, silently degenerating the index)
+    // previous pass, silently degenerating the index).
+    // All three picks below are row-local argmaxes (see [[ivfAssign]]).
     val seedGroups = cents.orderBy(col("cell")).limit(groups)
       .select(col("cell").as("g"), col("c").as("sc"))
-    val centToGroup = cents.crossJoin(broadcast(seedGroups))
-      .select(col("cell"), col("c"), col("g"),
-        graft.functions.VectorExprs.cosine(col("c"), col("sc")).as("cos"))
-      .groupBy("cell")
-      .agg(org.apache.spark.sql.functions.expr(
-        "max_by(struct(g, c), struct(cos, -g)) as best"))
-      .selectExpr("cell", "best.g as g", "best.c as c")
+    val centToGroup = {
+      val sgArr = seedGroups.agg(org.apache.spark.sql.functions.collect_list(
+        org.apache.spark.sql.functions.struct(col("g"), col("sc"))).as("sg"))
+      cents.crossJoin(broadcast(sgArr))
+        .select(col("cell"),
+          graft.functions.VectorExprs.bestByCosine(col("c"), col("sg")).as("best"),
+          col("c"))
+        .where(col("best").isNotNull)
+        .selectExpr("cell", "best.id as g", "c")
+    }
     val supers = centToGroup
       .selectExpr("g", "posexplode(c) as (i, x)")
       .groupBy("g", "i")
@@ -584,22 +616,27 @@ object Similarity {
           s"p -> cast(p.s as double) / (p.n * cast($IVF_QUANT as double))) as sc"))
 
     // level 1: best super-group per vector (O(rows · G), broadcast)
-    val coarse = corpus.crossJoin(broadcast(supers))
-      .select(col("vec_id"), col("e"), col("g"),
-        graft.functions.VectorExprs.cosine(col("e"), col("sc")).as("cos"))
-      .groupBy("vec_id")
-      .agg(org.apache.spark.sql.functions.expr(
-        "max_by(struct(g, e), struct(cos, -g)) as best"))
-      .selectExpr("vec_id", "best.g as g", "best.e as e")
+    val coarse = {
+      val supArr = supers.agg(org.apache.spark.sql.functions.collect_list(
+        org.apache.spark.sql.functions.struct(col("g"), col("sc"))).as("sup"))
+      corpus.crossJoin(broadcast(supArr))
+        .select(col("vec_id"),
+          graft.functions.VectorExprs.bestByCosine(col("e"), col("sup")).as("best"),
+          col("e"))
+        .where(col("best").isNotNull)
+        .selectExpr("vec_id", "best.id as g", "e")
+    }
     // level 2: best member cell within the chosen group (O(rows · K/G),
     // broadcast equi-join on g)
-    coarse.join(broadcast(centToGroup.select(col("g"), col("cell"), col("c"))), "g")
-      .select(col("vec_id"), col("e"), col("cell"),
-        graft.functions.VectorExprs.cosine(col("e"), col("c")).as("cos"))
-      .groupBy("vec_id")
-      .agg(org.apache.spark.sql.functions.expr(
-        "max_by(struct(cell, e), struct(cos, -cell)) as best"))
-      .selectExpr("vec_id", "best.cell as cell", "best.e as e")
+    val memArr = centToGroup.groupBy(col("g"))
+      .agg(org.apache.spark.sql.functions.collect_list(
+        org.apache.spark.sql.functions.struct(col("cell"), col("c"))).as("members"))
+    coarse.join(broadcast(memArr), "g")
+      .select(col("vec_id"),
+        graft.functions.VectorExprs.bestByCosine(col("e"), col("members")).as("best"),
+        col("e"))
+      .where(col("best").isNotNull)
+      .selectExpr("vec_id", "best.id as cell", "e")
   }
 
   /** [[ivfIndex]] through the two-level quantizer END TO END — both
@@ -628,13 +665,9 @@ object Similarity {
       s: SparkSession, corpus: DataFrame): (DataFrame, DataFrame) = {
     val k = ivfCells(s)
     val g = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
-    // seeds: same deterministic choice as the exact path
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val seedIds = corpus.select(col("vec_id")).orderBy("vec_id")
-      .limit(k).collect().map(_.getLong(0))
-    val rankDf = seedIds.zipWithIndex.map { case (id, i) => (id, i) }
-      .toSeq.toDF("vec_id", "cell")
+    // seeds: same deterministic choice as the exact path — lazy
+    // [[seedRanks]] broadcast subtree, no driver collect
+    val rankDf = seedRanks(corpus, k, "cell")
     val seeds = corpus.join(broadcast(rankDf), "vec_id")
       .select(col("cell"), col("e").as("c"))
     // the K×DIM centroid table is dust but expensive to DERIVE (a full
@@ -940,25 +973,21 @@ object Similarity {
   def qEmbKmeans(s: SparkSession, dir: String): DataFrame = {
     val corpus = load(s, dir, "embeddings").select(col("vec_id"),
       graft.functions.VectorExprs.toDouble(col("embedding")).as("e"))
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    // deterministic seeds — the IVF pattern: K ids via a bounded
-    // TakeOrdered collect, ranked back in as a broadcast map
-    val seedIds = corpus.select(col("vec_id")).orderBy("vec_id")
-      .limit(KMEANS_K).collect().map(_.getLong(0))
-    val rankDf = seedIds.zipWithIndex.map { case (id, i) => (id, i) }
-      .toSeq.toDF("vec_id", "cell")
+    // deterministic seeds — the IVF pattern: the K lowest ids ranked
+    // back in as a broadcast map, via the lazy [[seedRanks]] subtree
+    val rankDf = seedRanks(corpus, KMEANS_K, "cell")
     var cents = corpus.join(broadcast(rankDf), "vec_id")
       .select(col("cell"), col("e").as("c"))
     for (_ <- 0 until KMEANS_ROUNDS)
       cents = quantizedMeans(ivfAssign(corpus, cents))
-    corpus.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cell"),
-        graft.functions.VectorExprs.cosine(col("e"), col("c")).as("cos"))
-      .groupBy("vec_id")
-      .agg(org.apache.spark.sql.functions.expr(
-        "max_by(struct(cell, cos), struct(cos, -cell)) as best"))
-      .selectExpr("vec_id", "best.cell as cluster",
+    // final labeling: the same row-local argmax as [[ivfAssign]]
+    val carr = cents.agg(org.apache.spark.sql.functions.collect_list(
+      org.apache.spark.sql.functions.struct(col("cell"), col("c"))).as("cents"))
+    corpus.crossJoin(broadcast(carr))
+      .select(col("vec_id"),
+        graft.functions.VectorExprs.bestByCosine(col("e"), col("cents")).as("best"))
+      .where(col("best").isNotNull)
+      .selectExpr("vec_id", "best.id as cluster",
         "cast(floor(best.cos * 1000000.0d) as bigint) as cos_q")
       .orderBy("vec_id")
   }
@@ -1062,18 +1091,26 @@ object Similarity {
     * the M × KS codebook, equi-join on the subspace, and collapse with
     * a map-side-folded `min_by` — shuffle O(M · corpus) compact rows,
     * never O(corpus · KS). Ties to the lowest code in both engines. */
-  private[llm] def pqAssign(subs: DataFrame, codebook: DataFrame): DataFrame =
-    subs.join(broadcast(codebook), "m")
-      .select(col("vec_id"), col("m"), col("sub"), col("code"),
-        l2sq(col("sub"), col("c")).as("d2"))
-      .groupBy("vec_id", "m")
-      .agg(org.apache.spark.sql.functions.expr(
-        // the winner's d2 rides along (floored to the shared 1e-6
-        // integer grid) so distortion reporting needs no re-join
-        s"min_by(struct(code, sub, cast(floor(d2 * $IVF_QUANT) as bigint) as d2q), " +
-          "struct(d2, code)) as best"))
-      .selectExpr("vec_id", "m", "best.code as code", "best.sub as sub",
-        "best.d2q as d2q")
+  private[llm] def pqAssign(subs: DataFrame, codebook: DataFrame): DataFrame = {
+    // row-local pick (r20, see [[ivfAssign]]): the KS candidate rows
+    // per (vector, subspace) all expand from one subvector row via the
+    // broadcast equi-join on m, so the min_by re-aggregation — an
+    // O(M · corpus) exchange carrying every subvector, planned as
+    // SortAggregate — collapses to one codegen'd argmin inside the row
+    // over the subspace's codebook array (same l2sq association order,
+    // same (d2 ASC, code ASC) tie-break); the winner's d2 still rides
+    // out on the shared 1e-6 integer grid so distortion reporting
+    // needs no re-join.
+    val cbArr = codebook.groupBy(col("m"))
+      .agg(org.apache.spark.sql.functions.collect_list(
+        org.apache.spark.sql.functions.struct(col("code"), col("c"))).as("entries"))
+    subs.join(broadcast(cbArr), "m")
+      .select(col("vec_id"), col("m"), col("sub"),
+        graft.functions.VectorExprs.bestByL2(col("sub"), col("entries")).as("best"))
+      .where(col("best").isNotNull)
+      .selectExpr("vec_id", "m", "best.id as code", "sub",
+        s"cast(floor(best.d2 * $IVF_QUANT) as bigint) as d2q")
+  }
 
   /** Per-(subspace, code) quantized mean — [[quantizedMeans]] keyed by
     * the subspace as well (see [[IVF_QUANT]] for why integer
@@ -1091,19 +1128,17 @@ object Similarity {
           s"p -> cast(p.s as double) / (p.n * cast($IVF_QUANT as double))) as c"))
 
   /** Train the codebook: deterministic seeds (the KS lowest vec_ids'
-    * subvectors, the [[ivfCentroids]] pattern — KS longs via one
-    * bounded TakeOrdered), ONE Lloyd refinement with quantized means.
+    * subvectors, the [[ivfCentroids]] pattern — a bounded TakeOrdered
+    * riding the consumer job as a [[seedRanks]] broadcast subtree),
+    * ONE Lloyd refinement with quantized means.
     * All M subspaces train in a single plan (the subspace id is just
     * another key), so the corpus is sliced and shuffled once, not M
     * times. */
   private[llm] def pqCodebook(corpus: DataFrame): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val subs = pqSubvectors(corpus)
-    val seedIds = corpus.select(col("vec_id")).orderBy("vec_id")
-      .limit(PQ_KS).collect().map(_.getLong(0))
-    val rankDf = seedIds.zipWithIndex.map { case (id, i) => (id, i) }
-      .toSeq.toDF("vec_id", "code")
+    // seeds: the KS lowest vec_ids' subvectors — lazy [[seedRanks]]
+    // broadcast subtree, no driver collect
+    val rankDf = seedRanks(corpus, PQ_KS, "code")
     val seeds = subs.join(broadcast(rankDf), "vec_id")
       .select(col("m"), col("code"), col("sub").as("c"))
     pqQuantizedMeans(pqAssign(subs, seeds))

@@ -77,10 +77,22 @@ object TextAnalysis {
     * ([[Curate.qCurateE2e]]) so the score can never drift between the
     * standalone gates and the composed one. */
   private[llm] def scoreQuality(df: DataFrame, carry: Seq[String]): DataFrame =
+    scoreQualityWithToks(
+      df.selectExpr((carry ++ Seq("text", s"$toksS as toks")): _*), carry)
+
+  /** [[scoreQuality]] over a frame that ALREADY carries `toks` =
+    * `split(lower(text), ' ')` alongside `text` (r20): the two-stage
+    * selectExpr form evaluated the split TWICE per row (once under
+    * n_tok, once under n_stop), and corpus leaves that already store
+    * the tokenized corpus ([[Dedup.qDedupKeepBest]]'s shared leaf)
+    * can feed their stored `toks` in directly instead of paying a
+    * second documents scan + re-tokenize. Values are identical by
+    * construction — same formula text, same token derivation. */
+  private[llm] def scoreQualityWithToks(df: DataFrame, carry: Seq[String]): DataFrame =
     df
       .selectExpr(carry ++ Seq(
-        s"size($toksS) as n_tok",
-        s"size(filter($toksS, x -> x in $stopwords)) as n_stop",
+        "size(toks) as n_tok",
+        s"size(filter(toks, x -> x in $stopwords)) as n_stop",
         "length(text) as n_char",
         "length(regexp_replace(lower(text), '[^a-z0-9 ]', '')) as n_clean",
         "length(replace(text, ' ', '')) as n_nospace"): _*)

@@ -123,6 +123,14 @@ object GraftShims {
   def rowIndexColumnName: String =
     execution.datasources.parquet.ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME
 
+  /** The session's effective shuffle-partition count — via SQLConf's
+    * typed accessor, so a platform that sets
+    * `spark.sql.shuffle.partitions` to a non-numeric vendor value
+    * (e.g. "auto") resolves the same way Spark's own planner does
+    * instead of NumberFormatException-ing a raw-string parse. */
+  def numShufflePartitions(spark: SparkSession): Int =
+    spark.asInstanceOf[classic.SparkSession].sessionState.conf.numShufflePartitions
+
   /** Session split sizing for custom file-batch planning:
     * (maxPartitionBytes, openCostInBytes). */
   def fileSplitConf(spark: SparkSession): (Long, Long) = {
