@@ -42,8 +42,20 @@ object Tables {
     * them would shuffle real volume for nothing). */
   private val FanoutMaxBytes = 256L << 20
 
-  private def fanout(spark: SparkSession, df: DataFrame, path: String): DataFrame = {
-    if (spark.conf.get(ScanFanoutConf, "off") != "auto") return df
+  /** Unique-key column per table, for hash fan-out: keyless
+    * round-robin `repartition(n)` pays a local determinism SORT of the
+    * full rows (spark.sql.execution.sortBeforeRepartition — expensive
+    * over text/array payloads); hashing a unique id spreads just as
+    * evenly with no sort. */
+  private def fanoutKey(name: String): Option[String] = name match {
+    case "documents" => Some("doc_id")
+    case "embeddings" => Some("vec_id")
+    case _ => None
+  }
+
+  private def fanout(spark: SparkSession, df: DataFrame, path: String,
+      key: Option[String] = None, force: Boolean = false): DataFrame = {
+    if (!force && spark.conf.get(ScanFanoutConf, "off") != "auto") return df
     val size =
       try {
         val p = new org.apache.hadoop.fs.Path(path)
@@ -53,12 +65,39 @@ object Tables {
     val (maxSplitBytes, _) = org.apache.spark.sql.GraftShims.fileSplitConf(spark)
     val cores = spark.sparkContext.defaultParallelism
     val plannedSplits = math.max(1L, (size + maxSplitBytes - 1) / maxSplitBytes)
-    if (plannedSplits < cores && size < FanoutMaxBytes) df.repartition(cores)
+    if (plannedSplits < cores && size < FanoutMaxBytes) key match {
+      case Some(k) => df.repartition(cores, org.apache.spark.sql.functions.col(k))
+      case None => df.repartition(cores)
+    }
     else df
   }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    fanout(spark, loadRaw(spark, dir, name), s"$dir/$name.parquet")
+    fanout(spark, loadRaw(spark, dir, name), s"$dir/$name.parquet",
+      fanoutKey(name))
+
+  /** [[load]] with the scan fan-out FORCED on (still size-gated) —
+    * used ONLY by the BPE family (r20). A broad "fan out every
+    * compute-dense leaf derivation" was measured and REJECTED the same
+    * way r19's global `spark.graft.scan.fanout=auto` was (same-JVM
+    * interleaved A/B over 12 leaf-heavy queries at sf0.1/32 cores:
+    * fanout LOST on 10 — e.g. q_lm_trigram_backoff 2.59 → 3.05 s,
+    * q_emb_kmeans 1.09 → 1.77 — because each pipeline's first keyed
+    * exchange already spreads the heavy reduce work and the extra
+    * round-robin exchange + AQE stage round costs more than the serial
+    * scan it fixes). The BPE merge loop is the one family with NO
+    * early keyed exchange doing that job: each round's pair count is a
+    * corpus-wide explode + partial aggregate running ON the leaf's own
+    * partitioning, so a single-split scan serializes every round.
+    * Measured (same A/B): q_bpe_merges 1.84 → 1.32, q_bpe_encode
+    * 1.90 → 1.37, q_bpe_fertility 1.70 → 1.35 s median. The size gate
+    * keeps it a degenerate-input remedy (guide §2.5): inputs that plan
+    * ≥ cores splits, or over [[FanoutMaxBytes]], pass through
+    * untouched, so at deployment scale this never ships corpus-scale
+    * bytes through an extra exchange. */
+  def loadWide(spark: SparkSession, dir: String, name: String): DataFrame =
+    fanout(spark, loadRaw(spark, dir, name), s"$dir/$name.parquet",
+      fanoutKey(name), force = true)
 
   /** Parquet SCHEMA memo per file path (r20) — metadata only, never
     * data or results: without it every `load` call re-runs driver-side

@@ -93,7 +93,7 @@ object Tokenizer {
   def qBpeMerges(s: SparkSession, dir: String): DataFrame = {
     val spark = s
     import spark.implicits._
-    val base = load(s, dir, "documents")
+    val base = graft.Tables.loadWide(s, dir, "documents")
       .selectExpr("doc_id",
         "filter(split(lower(text), ' '), t -> length(t) > 0) as ta")
     val caches = scala.collection.mutable.ListBuffer.empty[org.apache.spark.rdd.RDD[_]]
@@ -192,7 +192,7 @@ object Tokenizer {
   private def encodedCorpus(s: SparkSession, dir: String): DataFrame = {
     val spark = s
     import spark.implicits._
-    val base = load(s, dir, "documents")
+    val base = graft.Tables.loadWide(s, dir, "documents")
       .selectExpr("doc_id",
         "filter(split(lower(text), ' '), t -> length(t) > 0) as ta")
     var (corpus, _) = org.apache.spark.sql.GraftShims.cachedLeaf(base)
